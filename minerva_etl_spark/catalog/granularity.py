@@ -1,0 +1,218 @@
+"""Granularity: the period of a trend store.
+
+Semantics follow the reference implementation
+(`/root/reference/src/minerva/storage/trend/granularity.py:13-152`):
+
+- a granularity is either a plain number of seconds (15m/30m/1h/1d/1w as
+  900/1800/3600/86400/604800) or a calendar month count;
+- timestamps **label the end of a period**, and a period covers the
+  half-open interval ``(end - granularity, end]`` — i.e. a timestamp
+  exactly on a boundary belongs to the period it terminates
+  (`aggregation_compilation.py:726-737`);
+- ``truncate`` floors a timestamp to the period start, ``bucket_end``
+  maps a timestamp to the end-label of its covering period;
+- ``range(start, end)`` yields the period-end labels in ``(start, end]``.
+
+All storage arithmetic is done in UTC (the engine pins
+``spark.sql.session.timeZone=UTC``); second-based granularities are pure
+epoch arithmetic, month granularities use calendar logic.
+
+The class also emits the matching Spark SQL *and* ANSI/DuckDB SQL
+expression text for bucket-end labeling, so generated aggregation queries
+and their oracles agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+_SECONDS = {
+    "s": 1,
+    "sec": 1,
+    "second": 1,
+    "seconds": 1,
+    "m": 60,
+    "min": 60,
+    "minute": 60,
+    "minutes": 60,
+    "h": 3600,
+    "hr": 3600,
+    "hour": 3600,
+    "hours": 3600,
+    "d": 86400,
+    "day": 86400,
+    "days": 86400,
+    "w": 604800,
+    "week": 604800,
+    "weeks": 604800,
+}
+
+_MONTHS = {"month", "months", "mon"}
+
+_GRANULARITY_RE = re.compile(r"^\s*(\d+)\s*([a-zA-Z]*)\s*$")
+
+
+@dataclass(frozen=True)
+class Granularity:
+    """Either ``seconds > 0`` (and months == 0) or ``months > 0``."""
+
+    seconds: int = 0
+    months: int = 0
+
+    # ------------------------------------------------------------- parse
+    @classmethod
+    def parse(cls, spec: "str | int | Granularity") -> "Granularity":
+        """Parse '900', '15m', '1h', '1d', '1w', '1month', 900."""
+        if isinstance(spec, Granularity):
+            return spec
+        if isinstance(spec, int):
+            return cls(seconds=spec)
+        match = _GRANULARITY_RE.match(str(spec))
+        if not match:
+            raise ValueError(f"unparsable granularity: {spec!r}")
+        num = int(match.group(1))
+        unit = match.group(2).lower()
+        if not unit:
+            return cls(seconds=num)
+        if unit in _MONTHS:
+            return cls(months=num)
+        if unit in ("y", "yr", "year", "years"):
+            return cls(months=12 * num)
+        if unit in _SECONDS:
+            return cls(seconds=num * _SECONDS[unit])
+        raise ValueError(f"unknown granularity unit: {unit!r}")
+
+    def __post_init__(self) -> None:
+        if (self.seconds > 0) == (self.months > 0):
+            raise ValueError("granularity needs exactly one of seconds/months > 0")
+
+    # ------------------------------------------------------------ render
+    @property
+    def name(self) -> str:
+        if self.months:
+            return f"{self.months}month" if self.months != 12 else "1year"
+        for label, sec in (("w", 604800), ("d", 86400), ("h", 3600), ("m", 60)):
+            if self.seconds % sec == 0 and self.seconds >= sec:
+                return f"{self.seconds // sec}{label}"
+        return f"{self.seconds}s"
+
+    def __str__(self) -> str:  # pragma: no cover
+        return self.name
+
+    # ------------------------------------------- python-side arithmetic
+    def truncate(self, ts: datetime) -> datetime:
+        """Floor ``ts`` to the start of its period (UTC wall clock)."""
+        if self.months:
+            total = (ts.year * 12 + (ts.month - 1)) // self.months * self.months
+            return ts.replace(
+                year=total // 12, month=total % 12 + 1, day=1,
+                hour=0, minute=0, second=0, microsecond=0,
+            )
+        epoch = ts.timestamp() if ts.tzinfo else (ts - datetime(1970, 1, 1)).total_seconds()
+        floored = int(epoch // self.seconds) * self.seconds
+        return ts + timedelta(seconds=floored - epoch)
+
+    def inc(self, ts: datetime) -> datetime:
+        if self.months:
+            total = ts.year * 12 + (ts.month - 1) + self.months
+            return ts.replace(year=total // 12, month=total % 12 + 1)
+        return ts + timedelta(seconds=self.seconds)
+
+    def decr(self, ts: datetime) -> datetime:
+        if self.months:
+            total = ts.year * 12 + (ts.month - 1) - self.months
+            return ts.replace(year=total // 12, month=total % 12 + 1)
+        return ts - timedelta(seconds=self.seconds)
+
+    def bucket_end(self, ts: datetime) -> datetime:
+        """End-label of the period covering ``ts`` ((start, end] semantics)."""
+        start = self.truncate(ts)
+        return start if ts == start else self.inc(start)
+
+    def range(self, start: datetime, end: datetime) -> list[datetime]:
+        """Period-end labels in ``(start, end]`` (reference granularity.range)."""
+        out: list[datetime] = []
+        cur = self.inc(self.truncate(start)) if start != self.truncate(start) else start
+        if cur == start:
+            cur = self.inc(cur)
+        while cur <= end:
+            out.append(cur)
+            cur = self.inc(cur)
+        return out
+
+    # ----------------------------------------------------- SQL emission
+    def bucket_end_spark_sql(self, ts_col: str) -> str:
+        """Spark SQL expression: bucket end-label of ``ts_col``.
+
+        Integer epoch-microsecond ceil-division — order-independent and
+        exactly reproducible, so it hashes identically to the DuckDB
+        oracle expression from :meth:`bucket_end_ansi_sql`.
+        """
+        if self.months:
+            if self.months == 1:
+                trunc = f"date_trunc('month', {ts_col})"
+            else:
+                raise NotImplementedError("multi-month bucket SQL not yet needed")
+            return (
+                f"CASE WHEN {ts_col} = {trunc} THEN {ts_col} "
+                f"ELSE {trunc} + INTERVAL 1 MONTH END"
+            )
+        period_us = self.seconds * 1_000_000
+        # NTZ-safe under a UTC session: cast NTZ -> instant -> epoch micros,
+        # ceil-divide, and come back as NTZ (naive/UTC — DuckDB-comparable)
+        return (
+            f"cast(timestamp_micros(((unix_micros(cast({ts_col} as timestamp))"
+            f" + {period_us - 1}) div {period_us}) * {period_us})"
+            f" as timestamp_ntz)"
+        )
+
+    def bucket_end_ansi_sql(self, ts_col: str) -> str:
+        """DuckDB-compatible oracle expression matching bucket_end_spark_sql."""
+        if self.months:
+            if self.months == 1:
+                trunc = f"date_trunc('month', {ts_col})"
+            else:
+                raise NotImplementedError
+            return (
+                f"CASE WHEN {ts_col} = {trunc} THEN {ts_col} "
+                f"ELSE {trunc} + INTERVAL 1 MONTH END"
+            )
+        period_us = self.seconds * 1_000_000
+        return (
+            f"make_timestamp(((epoch_us({ts_col}) + {period_us - 1}) "
+            f"// {period_us}) * {period_us})"
+        )
+
+    def bucket_start_spark_sql(self, ts_col: str) -> str:
+        """Spark SQL expression: period-start (floor) of ``ts_col``."""
+        if self.months:
+            if self.months == 1:
+                return f"date_trunc('month', {ts_col})"
+            raise NotImplementedError
+        period_us = self.seconds * 1_000_000
+        return (
+            f"cast(timestamp_micros((unix_micros(cast({ts_col} as timestamp))"
+            f" div {period_us}) * {period_us}) as timestamp_ntz)"
+        )
+
+    def partition_index_spark_sql(self, ts_col: str, partition_size: "Granularity") -> str:
+        """Partition index = which ``partition_size`` bucket the timestamp
+        falls in (reference ``timestamp_to_index``,
+        `trendstore.py:266-283`) — used as the storage partition column."""
+        if partition_size.months:
+            return f"(year({ts_col}) * 12 + month({ts_col}) - 1) div {partition_size.months}"
+        return f"unix_seconds(cast({ts_col} as timestamp)) div {partition_size.seconds}"
+
+
+#: default partition size per granularity, from the reference compiler
+#: (`aggregation_compilation.py:416-423`)
+DEFAULT_PARTITION_SIZE: dict[str, str] = {
+    "15m": "1d",
+    "30m": "2d",
+    "1h": "4d",
+    "1d": "3month",
+    "1w": "1year",
+    "1month": "5year",
+}

@@ -1,0 +1,642 @@
+"""Correctness-gate query definitions.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+extensions) is exercised here as a named query over the driver fixture
+tables, together with an exactly-equivalent DuckDB oracle SQL string.
+``__spark_entry__.py`` re-exports these to the driver.
+
+Parity rules used throughout (see operators/aggregation.py):
+- double sums/avgs go through exact decimal accumulation;
+- timestamps are timestamp_ntz floored to microseconds;
+- hashes are md5-derived (never engine-native hash functions);
+- ranking on doubles only after round(x, 6), tie-broken by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from minerva_etl_spark.catalog.granularity import Granularity
+from minerva_etl_spark.operators import dedup as D
+from minerva_etl_spark.operators import similarity as S
+from minerva_etl_spark.operators import text as X
+from minerva_etl_spark.operators.aggregation import (
+    TrendAggSpec,
+    entity_aggregate,
+    time_aggregate,
+    time_aggregate_oracle_sql,
+    _oracle_agg_sql,
+)
+from minerva_etl_spark.operators.attribute import compact_history, latest_per_entity
+from minerva_etl_spark.operators.upsert import dedup_last_wins, insert_missing, merge_packages
+from minerva_etl_spark.sources.tables import load_table
+
+
+def _prep(spark: SparkSession) -> None:
+    """Session invariants the gate depends on (driver may hand us an
+    arbitrary session)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+# =====================================================================
+# Trend-store aggregation queries (SURVEY A1-A5, W4)
+# =====================================================================
+_EV_SPECS = [
+    TrendAggSpec("value", "sum", alias="sum_value"),
+    TrendAggSpec("value", "avg", alias="avg_value"),
+    TrendAggSpec("value", "max", alias="max_value"),
+]
+
+
+def q_trend_time_agg_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 time aggregation: events rolled to 1h, (start, end] windows."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return time_aggregate(ev, "1h", _EV_SPECS, entity_col="user_id", timestamp_col="ts")
+
+
+def _oracle_time_agg_1h() -> str:
+    return time_aggregate_oracle_sql(
+        "events", "1h", _EV_SPECS, entity_col="user_id", timestamp_col="ts"
+    )
+
+
+_ROLLUP_SPECS = [
+    TrendAggSpec("sum_value", "sum", alias="sum_value"),
+    TrendAggSpec("max_value", "max", alias="max_value"),
+]
+
+
+def q_trend_time_agg_1d_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+A3: second-rung roll-up 1h→1d; samples columns sum up."""
+    _prep(spark)
+    hourly = q_trend_time_agg_1h(spark, sf_dir)
+    return time_aggregate(
+        hourly, "1d", _ROLLUP_SPECS, entity_col="user_id", timestamp_col="ts"
+    )
+
+
+def _oracle_time_agg_1d_rollup() -> str:
+    hourly = _oracle_time_agg_1h()
+    daily = time_aggregate_oracle_sql(
+        "hourly", "1d", _ROLLUP_SPECS, entity_col="user_id", timestamp_col="ts",
+        samples_mode="rollup",
+    )
+    return f"WITH hourly AS (\n{hourly}\n)\n{daily}"
+
+
+_ORD_SPECS = [TrendAggSpec("o_totalprice", "sum", alias="sum_total")]
+
+
+def q_trend_time_agg_1month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/W4 calendar granularity: orders per customer per month-end."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    return time_aggregate(
+        orders, "1month", _ORD_SPECS, entity_col="o_custkey", timestamp_col="o_orderdate"
+    )
+
+
+def _oracle_time_agg_1month() -> str:
+    return time_aggregate_oracle_sql(
+        "orders", "1month", _ORD_SPECS,
+        entity_col="o_custkey", timestamp_col="o_orderdate",
+    )
+
+
+_LI_SPECS = [
+    TrendAggSpec("l_quantity", "sum", "sum", alias="sum_qty"),
+    TrendAggSpec("l_extendedprice", "sum", "sum", alias="sum_price"),
+]
+# second rung operates on the first rung's aliased outputs
+_LI_SPECS_STAGE2 = [
+    TrendAggSpec("sum_qty", "sum", "sum", alias="sum_qty"),
+    TrendAggSpec("sum_price", "sum", "sum", alias="sum_price"),
+]
+
+
+def q_entity_agg_nation_1month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/J1: lineitem per supplier per month, rolled across the entity
+    graph supplier→nation (relation join + re-group; relation broadcast)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    monthly = time_aggregate(
+        li, "1month", _LI_SPECS, entity_col="l_suppkey", timestamp_col="l_shipdate"
+    )
+    relation = supplier.select(
+        F.col("s_suppkey").alias("source_id"),
+        F.col("s_nationkey").cast("bigint").alias("target_id"),
+    )
+    out = entity_aggregate(
+        monthly, relation, _LI_SPECS_STAGE2,
+        entity_col="l_suppkey", timestamp_col="l_shipdate",
+    )
+    return out.select(
+        F.col("l_suppkey").alias("nation_id"),
+        F.col("l_shipdate").alias("month_end"),
+        "samples", "sum_qty", "sum_price",
+    )
+
+
+def _oracle_entity_agg_nation_1month() -> str:
+    monthly = time_aggregate_oracle_sql(
+        "lineitem", "1month", _LI_SPECS,
+        entity_col="l_suppkey", timestamp_col="l_shipdate",
+    )
+    inner_aggs = ",\n       ".join(
+        _oracle_agg_sql(t.entity_aggregation, f"m.{t.column}", t.out_name)
+        for t in _LI_SPECS_STAGE2
+    )
+    return f"""
+WITH monthly AS (
+{monthly}
+)
+SELECT CAST(s.s_nationkey AS BIGINT) AS nation_id,
+       m.l_shipdate AS month_end,
+       CAST(SUM(m.samples) AS BIGINT) AS samples,
+       {inner_aggs}
+FROM monthly m JOIN supplier s ON m.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+
+def q_kpi_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 generated-trend projection: arithmetic KPI expressions
+    (reference `hub-kpi_node_15m.yaml` power_kwh*1000 analog)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue.alias("revenue"),
+        (revenue * (F.lit(1.0) + F.col("l_tax"))).alias("charge"),
+    )
+
+
+_ORACLE_KPI = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1.0 - l_discount) AS revenue,
+       (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge
+FROM lineitem
+"""
+
+
+# =====================================================================
+# Upsert / SCD / package ops (SURVEY S6-S8, A7-A9, W1-W3, U1-U2)
+# =====================================================================
+def q_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/J4 upsert key-match semantics: last write per key wins
+    (key = (user_id, event_type), write order = (ts, event_id))."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return dedup_last_wins(
+        ev.select("user_id", "event_type", "ts", "event_id", "value"),
+        keys=["user_id", "event_type"],
+        order_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+
+
+_ORACLE_UPSERT = """
+SELECT user_id, event_type, ts, event_id, value FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_attr_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8/W2 SCD compact: keep only change points of event_type per user."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return compact_history(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        value_cols=["event_type"],
+        entity_col="user_id",
+        timestamp_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+
+
+_ORACLE_COMPACT = """
+SELECT user_id, ts, event_id, event_type FROM (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1 OR event_type IS DISTINCT FROM prev_type
+"""
+
+
+def q_attr_curr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9/W1 curr-ptr: latest attribute row per entity."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_entity(
+        ev.select("user_id", "ts", "event_id", "event_type", "value"),
+        entity_col="user_id",
+        timestamp_col="ts",
+        tiebreak_cols=["event_id"],
+    )
+
+
+_ORACLE_CURR = """
+SELECT user_id, ts, event_id, event_type, value FROM (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def q_package_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/U1 package merge: two metric packages (clicks, purchases)
+    union-merged by (entity, timestamp), nulls filled column-wise."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    click = time_aggregate(
+        ev.filter(F.col("event_type") == "click"),
+        "1d", [TrendAggSpec("value", "sum", alias="click_value")],
+        entity_col="user_id", timestamp_col="ts", inject_samples=False,
+    )
+    purchase = time_aggregate(
+        ev.filter(F.col("event_type") == "purchase"),
+        "1d", [TrendAggSpec("value", "sum", alias="purchase_value")],
+        entity_col="user_id", timestamp_col="ts", inject_samples=False,
+    )
+    return merge_packages([click, purchase], keys=["user_id", "ts"])
+
+
+def _oracle_package_merge() -> str:
+    gran = Granularity.parse("1d")
+    bucket = gran.bucket_end_ansi_sql("ts")
+    return f"""
+WITH click AS (
+  SELECT user_id, {bucket} AS ts,
+         CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), purchase AS (
+  SELECT user_id, {bucket} AS ts,
+         CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS purchase_value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT coalesce(c.user_id, p.user_id) AS user_id,
+       coalesce(c.ts, p.ts) AS ts,
+       c.click_value, p.purchase_value
+FROM click c FULL OUTER JOIN purchase p
+  ON c.user_id = p.user_id AND c.ts = p.ts
+"""
+
+
+def q_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/J9/U2 left-anti 'missing rows': customers with no orders."""
+    _prep(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return insert_missing(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        customer.select("c_custkey", "c_name"),
+        keys=["c_custkey"],
+    )
+
+
+_ORACLE_ANTI = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_dn_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinguished-name functions (`distinguishedname.py:12-56`):
+    build 'region=R,nation=N' strings, parse type/name of last part and
+    the parent part back out (entity type = last component)."""
+    _prep(spark)
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    dn = F.concat(
+        F.lit("region="), F.col("r_name"), F.lit(",nation="), F.col("n_name")
+    )
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.col("n_nationkey"),
+            dn.alias("dn"),
+            F.regexp_extract(dn, r"([^,=]+)=([^,]+)$", 1).alias("entity_type"),
+            F.regexp_extract(dn, r"([^,=]+)=([^,]+)$", 2).alias("entity_name"),
+            F.regexp_extract(dn, r"^([^,=]+)=([^,]+)", 2).alias("parent_name"),
+        )
+    )
+
+
+_ORACLE_DN = r"""
+SELECT n_nationkey,
+       'region=' || r_name || ',nation=' || n_name AS dn,
+       regexp_extract('region=' || r_name || ',nation=' || n_name,
+                      '([^,=]+)=([^,]+)$', 1) AS entity_type,
+       regexp_extract('region=' || r_name || ',nation=' || n_name,
+                      '([^,=]+)=([^,]+)$', 2) AS entity_name,
+       regexp_extract('region=' || r_name || ',nation=' || n_name,
+                      '^([^,=]+)=([^,]+)', 2) AS parent_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def q_report_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 report aggregates: counts / distinct entities / ts range."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.sum(F.col("value").cast("decimal(32,6)")).cast("double").alias("sum_value"),
+    )
+
+
+_ORACLE_REPORT = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       min(ts) AS min_ts,
+       max(ts) AS max_ts,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+def q_series_fill_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/J6 timestamp-series left join (fingerprint 'modified' shape):
+    dense hour series over the data range, bucket counts, gaps as 0."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    gran = Granularity.parse("1h")
+    bucket = F.expr(gran.bucket_end_spark_sql("ts"))
+    hourly = ev.groupBy(bucket.alias("ts")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    bounds = hourly.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    series = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("ts")
+    )
+    return series.join(hourly, "ts", "left").select(
+        "ts", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events")
+    )
+
+
+def _oracle_series_fill() -> str:
+    gran = Granularity.parse("1h")
+    bucket = gran.bucket_end_ansi_sql("ts")
+    return f"""
+WITH hourly AS (
+  SELECT {bucket} AS ts, CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+), bounds AS (
+  SELECT min(ts) AS lo, max(ts) AS hi FROM hourly
+), series AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts FROM bounds
+)
+SELECT s.ts, CAST(coalesce(h.n, 0) AS BIGINT) AS n_events
+FROM series s LEFT JOIN hourly h ON s.ts = h.ts
+"""
+
+
+# =====================================================================
+# LLM-pipeline extensions: dedup / similarity / text
+# =====================================================================
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_candidate_pairs(docs)
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs).select("id_a", "id_b")
+    return D.ngram_jaccard_pairs(docs, pairs)
+
+
+def _oracle_ngram_jaccard() -> str:
+    pairs = D.minhash_pairs_oracle_sql("documents")
+    sh = D.shingles_duck_sql("text")
+    return f"""
+WITH mh AS (
+{pairs}
+), pairs AS (
+  SELECT id_a, id_b FROM mh
+), sh AS (
+  SELECT doc_id, {sh} AS shingles FROM documents
+)
+SELECT p.id_a, p.id_b,
+       CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+         AS jaccard
+FROM pairs p
+JOIN sh a ON a.doc_id = p.id_a
+JOIN sh b ON b.doc_id = p.id_b
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_quality_score(docs).select(
+        "doc_id", "n_chars", "n_tokens", "alpha_ratio", "punct_ratio",
+        "stopword_ratio", "quality_score",
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_token_count(docs).select("doc_id", "n_tokens", "n_subword_units")
+
+
+_ORACLE_TOKENS = f"""
+SELECT doc_id,
+  CAST(len({X.tokens_duck_sql('text')}) AS BIGINT) AS n_tokens,
+  CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '[^a-z0-9]+'),
+       x -> x <> '')) AS BIGINT) AS n_subword_units
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return X.with_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+_ORACLE_FINGERPRINT = f"""
+SELECT doc_id, {X.fingerprint_duck_expr('text')} AS fingerprint
+FROM documents
+"""
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-20 against the vec_id=0 embedding."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("query_vec")
+        )
+    )
+    scored = emb.filter(F.col("vec_id") != 0).crossJoin(query).select(
+        "vec_id", S.cosine_expr("embedding", "query_vec").alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(20)
+
+
+def _oracle_sim_topk() -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), p -> p[1] * p[2])), (acc, v) -> acc + v)"
+    )
+    norm_e = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), "
+        "(acc, v) -> acc + v))"
+    )
+    norm_q = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)), "
+        "(acc, v) -> acc + v))"
+    )
+    return f"""
+SELECT e.vec_id, round({dot} / ({norm_e} * {norm_q}), 6) AS cosine
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 20
+"""
+
+
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN join: top-5 neighbors for each query vector (vec_id < 5)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.knn_join_topk(
+        emb.filter(F.col("vec_id") >= 5), queries, k=5
+    )
+    return out
+
+
+def _oracle_sim_knn() -> str:
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), p -> p[1] * p[2])), (acc, v) -> acc + v)"
+    )
+    norm_e = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), "
+        "(acc, v) -> acc + v))"
+    )
+    norm_q = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)), "
+        "(acc, v) -> acc + v))"
+    )
+    return f"""
+SELECT query_id, vec_id, cosine FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round({dot} / ({norm_e} * {norm_q}), 6) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round({dot} / ({norm_e} * {norm_q}), 6) DESC,
+                                     e.vec_id ASC) AS rn
+  FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+  WHERE e.vec_id >= 5
+) WHERE rn <= 5
+"""
+
+
+# =====================================================================
+# Registry
+# =====================================================================
+def build_queries() -> dict:
+    return {
+        "trend_time_agg_1h": q_trend_time_agg_1h,
+        "trend_time_agg_1d_rollup": q_trend_time_agg_1d_rollup,
+        "trend_time_agg_1month": q_trend_time_agg_1month,
+        "entity_agg_nation_1month": q_entity_agg_nation_1month,
+        "kpi_revenue": q_kpi_revenue,
+        "upsert_last_wins": q_upsert_last_wins,
+        "attr_compact": q_attr_compact,
+        "attr_curr": q_attr_curr,
+        "package_merge": q_package_merge,
+        "anti_join_no_orders": q_anti_join_no_orders,
+        "dn_parse": q_dn_parse,
+        "report_stats": q_report_stats,
+        "series_fill_hours": q_series_fill_hours,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_tokens": q_text_tokens,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_topk": q_sim_topk,
+        "sim_knn_join": q_sim_knn_join,
+    }
+
+
+def build_oracles() -> dict[str, str]:
+    return {
+        "trend_time_agg_1h": _oracle_time_agg_1h(),
+        "trend_time_agg_1d_rollup": _oracle_time_agg_1d_rollup(),
+        "trend_time_agg_1month": _oracle_time_agg_1month(),
+        "entity_agg_nation_1month": _oracle_entity_agg_nation_1month(),
+        "kpi_revenue": _ORACLE_KPI,
+        "upsert_last_wins": _ORACLE_UPSERT,
+        "attr_compact": _ORACLE_COMPACT,
+        "attr_curr": _ORACLE_CURR,
+        "package_merge": _oracle_package_merge(),
+        "anti_join_no_orders": _ORACLE_ANTI,
+        "dn_parse": _ORACLE_DN,
+        "report_stats": _ORACLE_REPORT,
+        "series_fill_hours": _oracle_series_fill(),
+        "dedup_exact": D.exact_dedup_oracle_sql("documents"),
+        "dedup_minhash_pairs": D.minhash_pairs_oracle_sql("documents"),
+        "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
+        "dedup_simhash": D.simhash_oracle_sql("documents"),
+        "text_quality": X.quality_oracle_sql("documents"),
+        "text_langid": X.language_id_oracle_sql("documents"),
+        "text_tokens": _ORACLE_TOKENS,
+        "text_fingerprint": _ORACLE_FINGERPRINT,
+        "sim_topk": _oracle_sim_topk(),
+        "sim_knn_join": _oracle_sim_knn(),
+    }

@@ -1,0 +1,366 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Four tiers (BASELINE.json north star; each with a DuckDB oracle):
+
+- **exact**: hash-groupBy on a normalized content key — one shuffle on
+  the 128-bit digest; at 100 TB this is the cheapest possible dedup
+  (shuffle of (digest, doc_id) pairs only, never the payload).
+- **MinHash + LSH**: shingle → k md5-seeded minhashes → band buckets →
+  bucket-join for candidate pairs.  The band join is an equi-join on
+  (band_index, band_hash) so Spark shuffles only signature rows;
+  candidate verification re-joins the (small) pair list back to the
+  signatures.  No O(n²) stage anywhere.
+- **n-gram Jaccard**: exact Jaccard over shingle sets for candidate
+  pairs produced by LSH (verification tier).
+- **SimHash**: 64-bit sign-sum fingerprint; near-dups = equal simhash
+  band keys (implemented in `simhash_spark_cols`; round-2: hamming
+  radius search).
+
+Determinism: every hash is md5-derived (seeded by concatenation), so
+signatures are engine-independent and oracle-checkable — no JVM
+murmur3 / library-specific hashing anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from minerva_etl_spark.operators.text import tokens_duck_sql, tokens_spark_sql
+
+# ------------------------------------------------------------------- exact
+def exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep the lowest-id representative per identical (normalized) text.
+
+    Returns (content_key, keep_id, n_dups).  groupBy on the digest —
+    min/count are map-side partially aggregated, so the shuffle carries
+    one row per distinct digest per task.
+    """
+    if normalize:
+        key = F.md5(F.array_join(F.expr(tokens_spark_sql(text_col)), " "))
+    else:
+        key = F.md5(F.col(text_col))
+    return (
+        df.select(key.alias("content_key"), F.col(id_col))
+        .groupBy("content_key")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def exact_dedup_oracle_sql(table: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = tokens_duck_sql(text_col)
+    return f"""
+SELECT md5(array_to_string({toks}, ' ')) AS content_key,
+       CAST(min({id_col}) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_dups
+FROM {table}
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ shingles
+def shingles_spark_sql(text_col: str, n: int = 3) -> str:
+    """n-word shingles as an array<string> (Spark SQL expression)."""
+    toks = tokens_spark_sql(text_col)
+    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array(array_join({toks}, ' ')) END"
+    )
+
+
+def shingles_duck_sql(text_col: str, n: int = 3) -> str:
+    toks = tokens_duck_sql(text_col)
+    parts = " || ' ' || ".join(f"({toks})[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_distinct(list_transform(generate_series(1, len({toks}) - {n - 1}), "
+        f"i -> {parts})) "
+        f"ELSE [array_to_string({toks}, ' ')] END"
+    )
+
+
+# ------------------------------------------------------------------- minhash
+#: fixed permutation constants (a, b) for h_i(x) = (a*x + b) mod P —
+#: the classic 1-strong-hash + k-cheap-permutations minhash scheme.
+#: All < 2^30 so products stay inside int64 in every engine.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (387420489, 928772371), (268435399, 517577239), (912342347, 123456791),
+    (715827881, 862530893), (536870909, 275604541), (402653189, 617247893),
+    (329252781, 943717891), (198491317, 104395301), (295075153, 472882027),
+    (533000389, 377777777), (956722027, 188888881), (611953021, 741455309),
+    (879190747, 333666999), (477218579, 256203161), (655360001, 999999937),
+    (314159257, 271828171),
+]
+
+
+def _base_hash_spark(shingle_expr: str) -> str:
+    """28-bit md5-derived base hash of one shingle (engine-identical)."""
+    return f"CAST(conv(substring(md5({shingle_expr}), 1, 7), 16, 10) AS BIGINT)"
+
+
+def _base_hash_duck(shingle_expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({shingle_expr}), 1, 7)) AS BIGINT)"
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, mh_0..mh_{k-1}) minhash signatures.
+
+    Plan: explode shingles (tokenize+shingle once per doc), ONE md5 per
+    shingle, then k linear permutations folded by a map-side-combined
+    groupBy(id).min().  At scale this beats per-doc nested array
+    expressions: codegen stays small, hashing cost is paid once, and
+    the shuffle carries k longs per document.
+    """
+    assert num_hashes <= len(MINHASH_COEFFS)
+    sh = shingles_spark_sql(text_col, shingle_size)
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(sh)).alias("__shingle")
+    ).select(
+        F.col(id_col), F.expr(_base_hash_spark("__shingle")).alias("__h")
+    )
+    aggs = [
+        F.min(
+            (F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """LSH band join: docs sharing any band of minhashes become candidate
+    pairs; estimated Jaccard = fraction of matching minhashes.
+
+    Plan shape: signatures (narrow) → explode to (band_key, id) →
+    self-equi-join on band_key (shuffle of signature rows only) →
+    distinct pairs → re-join both sides' signatures → estimate.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size)
+    band_cols = []
+    for b in range(bands):
+        parts = [f"mh_{i}" for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        band_cols.append(
+            F.md5(F.concat_ws(",", F.lit(b), *parts)).alias(f"band_{b}")
+        )
+    banded = sigs.select(F.col(id_col), *band_cols)
+    melted = banded.select(
+        F.col(id_col),
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band_key"
+        ),
+    )
+    left = melted.alias("l")
+    right = melted.alias("r")
+    pairs = (
+        left.join(right, F.col("l.band_key") == F.col("r.band_key"))
+        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sig_a = sigs.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)],
+    )
+    sig_b = sigs.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    return (
+        pairs.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches.cast("double") / F.lit(float(num_hashes))).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def minhash_pairs_oracle_sql(
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> str:
+    sh = shingles_duck_sql(text_col, shingle_size)
+    mh_cols = ",\n    ".join(
+        f"min(({a} * __h + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    )
+    rows_per_band = num_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        parts = " || ',' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)"
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        band_exprs.append(f"md5('{b}' || ',' || {parts}) AS band_{b}")
+    bands_sql = ",\n    ".join(band_exprs)
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, band_{b} AS band_key FROM banded" for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH exploded AS (
+  SELECT {id_col}, unnest({sh}) AS __shingle FROM {table}
+), hashed AS (
+  SELECT {id_col}, {_base_hash_duck('__shingle')} AS __h FROM exploded
+), sigs AS (
+  SELECT {id_col},
+    {mh_cols}
+  FROM hashed
+  GROUP BY {id_col}
+), banded AS (
+  SELECT {id_col},
+    {bands_sql}
+  FROM sigs
+), melted AS (
+{band_union}
+), pairs AS (
+  SELECT DISTINCT l.{id_col} AS id_a, r.{id_col} AS id_b
+  FROM melted l JOIN melted r ON l.band_key = r.band_key
+  WHERE l.{id_col} < r.{id_col}
+)
+SELECT p.id_a, p.id_b,
+       CAST(({match_sum}) AS DOUBLE) / {float(num_hashes)} AS est_jaccard
+FROM pairs p
+JOIN sigs a ON a.{id_col} = p.id_a
+JOIN sigs b ON b.{id_col} = p.id_b
+"""
+
+
+# ------------------------------------------------------------ n-gram jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for (id_a, id_b) candidate pairs —
+    the verification tier after LSH.  Joins shingle arrays to the pair
+    list (pair list is small → broadcast) and computes
+    |A ∩ B| / |A ∪ B| with array built-ins."""
+    sh = F.expr(shingles_spark_sql(text_col, shingle_size))
+    docs = df.select(F.col(id_col), sh.alias("shingles"))
+    a = docs.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    b = docs.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        candidate_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter.cast("double") / union.cast("double")).alias("jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------------- simhash
+def simhash_spark_cols(
+    text_col: str = "text", bits: int = 64
+) -> "F.Column":
+    """64-bit SimHash: per token, a 60-bit md5 hash; fingerprint bit b is
+    the sign of sum over tokens of (+1 if bit set else -1).
+
+    Pure higher-order-function pipeline (no explode, no shuffle):
+    aggregate token hashes into per-bit counters, then assemble bits.
+    """
+    toks = tokens_spark_sql(text_col)
+    hashes = (
+        f"transform({toks}, s -> "
+        f"CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"
+    )
+    # per-bit net sign sum folded into an array<int> accumulator
+    acc0 = "array_repeat(0, %d)" % bits
+    step = (
+        f"(acc, h) -> zip_with(acc, sequence(0, {bits - 1}), "
+        f"(a, b) -> a + CASE WHEN (h div shiftleft(1L, b)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END)"
+    )
+    counters = f"aggregate({hashes}, {acc0}, {step})"
+    assemble = (
+        f"aggregate(zip_with({counters}, sequence(0, {bits - 1}), "
+        f"(c, b) -> CASE WHEN c > 0 THEN shiftleft(1L, b) ELSE 0L END), "
+        f"0L, (acc, x) -> acc + x)"
+    )
+    return F.expr(assemble)
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), simhash_spark_cols(text_col, bits).alias("simhash")
+    )
+
+
+def simhash_oracle_sql(
+    table: str, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
+) -> str:
+    toks = tokens_duck_sql(text_col)
+    hashes = (
+        f"list_transform({toks}, s -> "
+        f"CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))"
+    )
+    bit_terms = []
+    for b in range(bits):
+        net = (
+            f"list_sum(list_transform(hashes, h -> "
+            f"CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END))"
+        )
+        bit_terms.append(
+            f"CASE WHEN coalesce({net}, 0) > 0 THEN CAST({1 << b} AS BIGINT)"
+            f" ELSE 0 END"
+        )
+    total = " + ".join(bit_terms)
+    return (
+        f"WITH h AS (SELECT {id_col}, {hashes} AS hashes FROM {table}) "
+        f"SELECT {id_col}, CAST({total} AS BIGINT) AS simhash FROM h"
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — a single narrow projection plus a
+top-k, the right plan when the query set is small (query vectors are
+broadcast as literals / a broadcast dim).  Scale path: LSH sign-bucket
+index (deterministic md5-derived hyperplane surrogate) that prunes the
+candidate set before exact scoring — the 100 TB posture is "bucket join
+instead of cross join".
+
+Parity design: all dot products are computed by an explicit left-to-right
+``aggregate`` fold over the array after elementwise cast to double —
+deterministic order, identical in DuckDB via ``list_``/unnest-free
+folds — and cosine is rounded to 6 dp *before* ranking so rank
+boundaries agree across engines (tie-broken by id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def _dot_fold_spark(a: str, b: str) -> str:
+    """Deterministic sequential dot-product fold (Spark SQL)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_fold_spark(a: str) -> str:
+    return f"sqrt({_dot_fold_spark(a, a)})"
+
+
+def cosine_expr(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"round({_dot_fold_spark(a, b)} / ({_norm_fold_spark(a)} * "
+        f"{_norm_fold_spark(b)}), 6)"
+    )
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine against one literal query vector.
+
+    Plan: scan → per-row fold (codegen'd, no shuffle) → global top-k
+    (TakeOrderedAndProject — no full sort at scale).
+    """
+    qlit = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in query_vec) + ")"
+    df = embeddings
+    if exclude_id is not None:
+        df = df.filter(F.col(id_col) != exclude_id)
+    scored = df.select(
+        F.col(id_col),
+        cosine_expr(vec_col, qlit).alias("cosine"),
+    )
+    return (
+        scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+    )
+
+
+def brute_force_topk_oracle_sql(
+    table: str,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> str:
+    """DuckDB oracle: same fold order via list_reduce on the product list."""
+    qlit = "[" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in query_vec) + "]"
+    dot = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip(CAST({vec_col} AS DOUBLE[]), {qlit}), "
+        f"p -> p[1] * p[2])), (acc, v) -> acc + v)"
+    )
+    norm_a = (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(CAST({vec_col} AS DOUBLE[]), x -> x * x)), "
+        f"(acc, v) -> acc + v))"
+    )
+    norm_q = (
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform({qlit}, x -> x * x)), (acc, v) -> acc + v))"
+    )
+    where = f"WHERE {id_col} <> {exclude_id}" if exclude_id is not None else ""
+    return f"""
+SELECT {id_col}, round({dot} / ({norm_a} * {norm_q}), 6) AS cosine
+FROM {table}
+{where}
+ORDER BY cosine DESC, {id_col} ASC
+LIMIT {k}
+"""
+
+
+def knn_join_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Top-k neighbors for each of a (small, broadcast) query set.
+
+    Broadcast-nested-loop over queries × corpus with per-row folds, then
+    window top-k per query.  For large query sets use
+    :func:`lsh_bucket_candidates` first.
+    """
+    q = F.broadcast(queries.select(query_id_col, query_vec_col))
+    scored = embeddings.crossJoin(q).select(
+        F.col(query_id_col),
+        F.col(id_col),
+        cosine_expr(vec_col, query_vec_col).alias("cosine"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def lsh_sign_bucket(
+    embeddings: DataFrame,
+    dims: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path ANN index: bucket = sign bits of selected dimensions
+    (a deterministic stand-in for random hyperplanes — same plan shape).
+    Near-neighbor search then equi-joins on bucket instead of a cross
+    join, pruning the candidate set by ~2^len(dims)."""
+    bits = [
+        F.when(F.element_at(F.col(vec_col), d + 1) >= 0, F.lit(1)).otherwise(
+            F.lit(0)
+        ).cast("string")
+        for d in dims
+    ]
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.concat(*bits).alias("bucket"),
+    )

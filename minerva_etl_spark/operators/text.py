@@ -1,0 +1,211 @@
+"""Text-analysis operators for large-scale document pipelines.
+
+These extend the reference's surface (BASELINE.json north star): language
+identification, quality scoring, token counting, and document
+fingerprinting over a ``documents(doc_id, text, ...)`` table.
+
+Everything is built from JVM-side built-ins (split / filter / transform /
+regexp) — whole-stage-codegen'd, no Python in the hot path — and every
+operator has an exactly-matching ANSI/DuckDB oracle emitter, because the
+arithmetic is integer counts plus single IEEE divisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+#: language classifier; detection quality is secondary to scale shape —
+#: swap in real profiles without changing the plan.
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a", "for", "on", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "es", "una", "por", "con", "para", "del"],
+}
+
+STOPWORDS_EN = LANG_PROFILES["en"]
+
+
+def _sql_str_array(words: list[str]) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"array({inner})"
+
+
+def _duck_str_array(words: list[str]) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"[{inner}]"
+
+
+def tokens_expr(text_col: str) -> Column:
+    """Whitespace tokens of lowercased text, empties removed (Spark)."""
+    return F.expr(tokens_spark_sql(text_col))
+
+
+def tokens_spark_sql(text_col: str) -> str:
+    return rf"filter(split(lower(trim({text_col})), '\\s+'), x -> x != '')"
+
+
+def tokens_duck_sql(text_col: str) -> str:
+    return (
+        rf"list_filter(regexp_split_to_array(lower(trim({text_col})), '\s+'),"
+        r" x -> x <> '')"
+    )
+
+
+# ------------------------------------------------------------------ token count
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count plus a BPE-ish subword-unit count
+    (letter-runs / digit-runs / single punctuation as units)."""
+    return df.withColumn(
+        "n_tokens", F.size(tokens_expr(text_col)).cast("bigint")
+    ).withColumn(
+        "n_subword_units",
+        F.size(
+            F.expr(
+                rf"filter(split(lower(trim({text_col})),"
+                rf" '([^a-z0-9]+)'), x -> x != '')"
+            )
+        ).cast("bigint"),
+    )
+
+
+# --------------------------------------------------------------- quality score
+def quality_exprs(text_col: str = "text") -> dict[str, Column]:
+    """Length / punctuation-ratio / stopword-ratio quality signals.
+
+    All ratios are (exact int count) / (exact int count) single IEEE
+    divisions — reproducible across engines.
+    """
+    toks = tokens_expr(text_col)
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length(text_col).cast("bigint")
+    n_alpha = F.length(
+        F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    ).cast("bigint")
+    n_punct = F.length(
+        F.regexp_replace(F.col(text_col), "[^.,;:!?]", "")
+    ).cast("bigint")
+    stop_arr = _sql_str_array(STOPWORDS_EN)
+    n_stop = F.size(
+        F.expr(
+            rf"filter({tokens_spark_sql(text_col)},"
+            rf" x -> array_contains({stop_arr}, x))"
+        )
+    ).cast("bigint")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "alpha_ratio": n_alpha.cast("double") / n_chars.cast("double"),
+        "punct_ratio": n_punct.cast("double") / n_chars.cast("double"),
+        "stopword_ratio": n_stop.cast("double")
+        / F.greatest(n_tokens, F.lit(1)).cast("double"),
+    }
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach quality signals and a [0,1]-ish composite score."""
+    out = df
+    exprs = quality_exprs(text_col)
+    for name, col in exprs.items():
+        out = out.withColumn(name, col)
+    # composite: stopword presence + alphabetic density, penalize
+    # punctuation soup; min/max clamp keeps it in [0, 1]
+    score = (
+        F.least(F.col("stopword_ratio") * F.lit(2.0), F.lit(1.0)) * F.lit(0.5)
+        + F.col("alpha_ratio") * F.lit(0.5)
+        - F.col("punct_ratio")
+    )
+    return out.withColumn(
+        "quality_score", F.greatest(F.least(score, F.lit(1.0)), F.lit(0.0))
+    )
+
+
+def quality_oracle_sql(table: str, text_col: str = "text") -> str:
+    toks = tokens_duck_sql(text_col)
+    stop = _duck_str_array(STOPWORDS_EN)
+    return f"""
+SELECT doc_id,
+  CAST(length({text_col}) AS BIGINT) AS n_chars,
+  CAST(len({toks}) AS BIGINT) AS n_tokens,
+  CAST(length(regexp_replace(lower({text_col}), '[^a-z]', '', 'g')) AS DOUBLE)
+    / CAST(length({text_col}) AS DOUBLE) AS alpha_ratio,
+  CAST(length(regexp_replace({text_col}, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+    / CAST(length({text_col}) AS DOUBLE) AS punct_ratio,
+  CAST(len(list_filter({toks}, x -> list_contains({stop}, x))) AS DOUBLE)
+    / CAST(greatest(len({toks}), 1) AS DOUBLE) AS stopword_ratio,
+  greatest(least(
+      least(CAST(len(list_filter({toks}, x -> list_contains({stop}, x))) AS DOUBLE)
+            / CAST(greatest(len({toks}), 1) AS DOUBLE) * 2.0, 1.0) * 0.5
+      + CAST(length(regexp_replace(lower({text_col}), '[^a-z]', '', 'g')) AS DOUBLE)
+        / CAST(length({text_col}) AS DOUBLE) * 0.5
+      - CAST(length(regexp_replace({text_col}, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+        / CAST(length({text_col}) AS DOUBLE), 1.0), 0.0) AS quality_score
+FROM {table}
+"""
+
+
+# --------------------------------------------------------------- language id
+def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-profile language guess: argmax of per-language stopword
+    hit counts (ties broken by profile order; 'und' = undetermined when
+    no profile matches)."""
+    out = df
+    for lang, words in LANG_PROFILES.items():
+        arr = _sql_str_array(words)
+        out = out.withColumn(
+            f"__hits_{lang}",
+            F.size(
+                F.expr(
+                    rf"filter({tokens_spark_sql(text_col)},"
+                    rf" x -> array_contains({arr}, x))"
+                )
+            ),
+        )
+    langs = list(LANG_PROFILES)
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in reversed(langs):  # earlier profiles win ties
+        hits = F.col(f"__hits_{lang}")
+        best = F.when(hits >= F.greatest(best_hits, F.lit(1)), F.lit(lang)).otherwise(best)
+        best_hits = F.greatest(best_hits, hits)
+    out = out.withColumn("lang_pred", best)
+    return out.drop(*[f"__hits_{lang}" for lang in langs])
+
+
+def language_id_oracle_sql(table: str, text_col: str = "text") -> str:
+    toks = tokens_duck_sql(text_col)
+    hits = {
+        lang: f"len(list_filter({toks}, x -> list_contains({_duck_str_array(w)}, x)))"
+        for lang, w in LANG_PROFILES.items()
+    }
+    langs = list(LANG_PROFILES)
+    # same fold as the Spark side: iterate reversed, earlier profiles win ties
+    best = "'und'"
+    best_hits = "0"
+    for lang in reversed(langs):
+        best = (
+            f"CASE WHEN {hits[lang]} >= greatest({best_hits}, 1)"
+            f" THEN '{lang}' ELSE {best} END"
+        )
+        best_hits = f"greatest({best_hits}, {hits[lang]})"
+    return f"SELECT doc_id, {best} AS lang_pred FROM {table}"
+
+
+# -------------------------------------------------------------- fingerprinting
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit-ish content fingerprint: md5 of the normalized token stream
+    (whitespace-insensitive exact-dup key), 15 hex digits → bigint."""
+    normalized = F.array_join(tokens_expr(text_col), " ")
+    return df.withColumn(
+        "fingerprint",
+        F.conv(F.substring(F.md5(normalized), 1, 15), 16, 10).cast("bigint"),
+    )
+
+
+def fingerprint_duck_expr(text_col: str = "text") -> str:
+    toks = tokens_duck_sql(text_col)
+    return (
+        f"CAST(('0x' || substr(md5(array_to_string({toks}, ' ')), 1, 15))"
+        f" AS BIGINT)"
+    )

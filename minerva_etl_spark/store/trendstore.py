@@ -1,0 +1,219 @@
+"""Trend store: the fact-table abstraction and its write path.
+
+Reference semantics reproduced (Spark-first, parquet substrate):
+
+- A **TrendStore** is one logical dataset per (data_source, entity_type,
+  granularity) with N **parts** — physical wide tables
+  ``(entity_id, timestamp, created, job_id, <trend columns...>)`` with
+  primary key (entity_id, timestamp) (`trendstore.py:37-96`,
+  `trendstorepart.py:37-123`; system columns `schema.py:9-10`).
+- Writes are **upserts** on that key: fresh loads append, re-loads
+  replace the previous values and bump ``modified = greatest(old, new)``
+  (`trendstorepart.py:169-268`).
+- Tables are **time-partitioned**: partition index =
+  ``timestamp_to_index(partition_size, ts)`` (`trendstore.py:266-283`,
+  `partition.py:50-123`); retention drops whole partitions
+  (`commands/trend_store.py:793-842`).
+- Every store marks its (timestamp, now) pairs in the **modified log**
+  (`trendstorepart.py:342-349`), which feeds the materialization
+  fingerprint engine.
+
+Scale design: the upsert only ever reads/rewrites the partitions the
+incoming batch touches (dynamic partition overwrite), so write cost is
+O(touched buckets), not O(table).  Partition size per granularity
+follows the reference's table (`aggregation_compilation.py:416-423`) —
+e.g. 15m data partitions by day — keeping individual partition files in
+the 100 MB–1 GB sweet spot at cluster scale.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from datetime import datetime, timedelta, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from minerva_etl_spark.catalog.granularity import (
+    DEFAULT_PARTITION_SIZE,
+    Granularity,
+)
+from minerva_etl_spark.operators.upsert import upsert
+
+PARTITION_COL = "__part_idx"
+SYSTEM_COLS = ("entity_id", "timestamp", "created", "job_id")
+
+
+@dataclass
+class TrendStorePart:
+    """One physical part (wide metric table) of a trend store."""
+
+    name: str
+    trend_columns: list[str]
+
+
+@dataclass
+class TrendStore:
+    """Registry entry + IO for one (data_source, entity_type,
+    granularity) trend store."""
+
+    data_source: str
+    entity_type: str
+    granularity: Granularity
+    parts: list[TrendStorePart]
+    base_path: str
+    partition_size: Granularity | None = None
+    retention_period: Granularity | None = None
+
+    def __post_init__(self) -> None:
+        self.granularity = Granularity.parse(self.granularity)
+        if self.partition_size is None:
+            spec = DEFAULT_PARTITION_SIZE.get(self.granularity.name, "1d")
+            self.partition_size = Granularity.parse(spec)
+        else:
+            self.partition_size = Granularity.parse(self.partition_size)
+
+    # ---------------------------------------------------------- layout
+    def part_path(self, part: str) -> str:
+        return os.path.join(
+            self.base_path, "trend",
+            f"{self.data_source}_{self.entity_type}_{self.granularity.name}",
+            part,
+        )
+
+    def modified_log_path(self) -> str:
+        return os.path.join(self.base_path, "modified_log")
+
+    def partition_index_col(self, ts_col: str = "timestamp") -> F.Column:
+        return F.expr(
+            self.granularity.partition_index_spark_sql(ts_col, self.partition_size)
+        ).alias(PARTITION_COL)
+
+    # ----------------------------------------------------------- write
+    def store(
+        self,
+        spark: SparkSession,
+        package: DataFrame,
+        job_id: int = 0,
+        created: datetime | None = None,
+    ) -> None:
+        """Upsert one data package ``(entity_id, timestamp, metrics...)``
+        into every part it carries columns for, then mark modified.
+
+        Per part: split columns (reference package split,
+        `trendstore.py:234-250`) → upsert on (entity_id, timestamp)
+        restricted to touched partitions → dynamic partition overwrite.
+        """
+        created = created or datetime.now(timezone.utc).replace(tzinfo=None)
+        for part in self.parts:
+            cols = [c for c in part.trend_columns if c in package.columns]
+            if not cols:
+                continue
+            batch = package.select("entity_id", "timestamp", *cols)
+            batch = (
+                batch.withColumn("created", F.lit(created))
+                .withColumn("job_id", F.lit(job_id).cast("bigint"))
+                .withColumn(
+                    PARTITION_COL, self.partition_index_col("timestamp")
+                )
+            )
+            path = self.part_path(part.name)
+            existing = self.read_part(spark, part.name, with_partition_col=True)
+            if existing is not None:
+                touched = [
+                    r[PARTITION_COL]
+                    for r in batch.select(PARTITION_COL).distinct().collect()
+                ]
+                existing_touched = existing.filter(
+                    F.col(PARTITION_COL).isin(touched)
+                ).select(*batch.columns)
+                merged = upsert(
+                    existing_touched, batch,
+                    keys=["entity_id", "timestamp"],
+                    greatest_cols=["created"],
+                )
+                # break lineage from the files we're about to overwrite
+                merged = merged.localCheckpoint(eager=True)
+            else:
+                merged = batch
+            # dynamic partition overwrite: only touched buckets rewritten
+            (
+                merged.repartition(PARTITION_COL)
+                .write.mode("overwrite")
+                .partitionBy(PARTITION_COL)
+                .parquet(path)
+            )
+            self._mark_modified(spark, part.name, batch, created)
+
+    def _mark_modified(
+        self,
+        spark: SparkSession,
+        part: str,
+        batch: DataFrame,
+        modified: datetime,
+    ) -> None:
+        """Append (part, timestamp, modified) for each distinct bucket
+        (reference ``mark_modified``, `trendstorepart.py:342-349`)."""
+        log = (
+            batch.select("timestamp")
+            .distinct()
+            .withColumn("part", F.lit(part))
+            .withColumn("modified", F.lit(modified))
+        )
+        log.write.mode("append").parquet(self.modified_log_path())
+
+    # ------------------------------------------------------------ read
+    def read_part(
+        self,
+        spark: SparkSession,
+        part: str,
+        with_partition_col: bool = False,
+    ) -> DataFrame | None:
+        path = self.part_path(part)
+        try:
+            df = spark.read.parquet(path)
+        except Exception:
+            return None
+        if not with_partition_col and PARTITION_COL in df.columns:
+            df = df.drop(PARTITION_COL)
+        return df
+
+    def read_modified_log(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self.modified_log_path())
+        except Exception:
+            return None
+
+    # ------------------------------------------------------- retention
+    def expired_partitions(
+        self, spark: SparkSession, part: str, now: datetime
+    ) -> list[int]:
+        """Partition indexes entirely older than retention (+ the
+        reference's 2×partition_size slack, `commands/trend_store.py:793-842`)."""
+        if self.retention_period is None:
+            return []
+        cutoff = now
+        ret = self.retention_period
+        cutoff = (
+            ret.decr(cutoff)
+            if ret.months
+            else cutoff - timedelta(seconds=ret.seconds)
+        )
+        cutoff = self.partition_size.decr(self.partition_size.decr(cutoff))
+        df = self.read_part(spark, part, with_partition_col=True)
+        if df is None:
+            return []
+        cutoff_idx_row = (
+            spark.range(1)
+            .select(
+                F.expr(
+                    self.granularity.partition_index_spark_sql(
+                        f"timestamp'{cutoff}'", self.partition_size
+                    )
+                ).alias("i")
+            )
+            .collect()
+        )
+        cutoff_idx = cutoff_idx_row[0]["i"]
+        idxs = [r[PARTITION_COL] for r in df.select(PARTITION_COL).distinct().collect()]
+        return sorted(i for i in idxs if i < cutoff_idx)

@@ -1,0 +1,73 @@
+"""Granularity arithmetic — mirrors the reference's pure unit tier
+(`tests/storage/trend/test_granularity.py`)."""
+
+from datetime import datetime
+
+import pytest
+
+from minerva_etl_spark.catalog.granularity import Granularity
+
+
+def test_parse_seconds():
+    assert Granularity.parse("900").seconds == 900
+    assert Granularity.parse("15m").seconds == 900
+    assert Granularity.parse("1h").seconds == 3600
+    assert Granularity.parse("1d").seconds == 86400
+    assert Granularity.parse("1w").seconds == 604800
+
+
+def test_parse_months():
+    assert Granularity.parse("1month").months == 1
+    assert Granularity.parse("1year").months == 12
+
+
+def test_name_roundtrip():
+    for spec in ["15m", "1h", "1d", "1w", "1month"]:
+        assert Granularity.parse(spec).name == spec
+
+
+def test_truncate_seconds():
+    g = Granularity.parse("15m")
+    assert g.truncate(datetime(2024, 1, 1, 0, 10, 3)) == datetime(2024, 1, 1, 0, 0)
+    assert g.truncate(datetime(2024, 1, 1, 0, 15)) == datetime(2024, 1, 1, 0, 15)
+
+
+def test_truncate_month():
+    g = Granularity.parse("1month")
+    assert g.truncate(datetime(2024, 3, 15, 12)) == datetime(2024, 3, 1)
+
+
+def test_bucket_end_half_open():
+    """(start, end]: exact boundary belongs to the period it terminates."""
+    g = Granularity.parse("1h")
+    assert g.bucket_end(datetime(2024, 1, 1, 10, 0)) == datetime(2024, 1, 1, 10, 0)
+    assert g.bucket_end(datetime(2024, 1, 1, 10, 0, 0, 1)) == datetime(2024, 1, 1, 11, 0)
+
+
+def test_inc_decr_month_wraps():
+    g = Granularity.parse("1month")
+    assert g.inc(datetime(2024, 12, 1)) == datetime(2025, 1, 1)
+    assert g.decr(datetime(2024, 1, 1)) == datetime(2023, 12, 1)
+
+
+def test_range_half_open():
+    g = Granularity.parse("1h")
+    out = g.range(datetime(2024, 1, 1, 0), datetime(2024, 1, 1, 3))
+    assert out == [
+        datetime(2024, 1, 1, 1),
+        datetime(2024, 1, 1, 2),
+        datetime(2024, 1, 1, 3),
+    ]
+
+
+def test_invalid():
+    with pytest.raises(ValueError):
+        Granularity.parse("abc")
+
+
+def test_spark_sql_emission_shape():
+    g = Granularity.parse("15m")
+    sql = g.bucket_end_spark_sql("ts")
+    assert "900000000" in sql and "div" in sql
+    duck = g.bucket_end_ansi_sql("ts")
+    assert "900000000" in duck and "//" in duck

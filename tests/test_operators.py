@@ -1,0 +1,115 @@
+"""Operator semantics on tiny in-memory DataFrames — mirrors the
+reference's DataPackage / store / attribute unit+integration tiers
+(`tests/storage/trend/test_datapackage.py`,
+`integration_tests/storage/trend/test_store.py`,
+`integration_tests/storage/attribute/test_attributestore.py`)."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from minerva_etl_spark.operators.aggregation import TrendAggSpec, time_aggregate
+from minerva_etl_spark.operators.attribute import compact_history, latest_per_entity
+from minerva_etl_spark.operators.upsert import (
+    dedup_last_wins,
+    insert_missing,
+    merge_packages,
+    upsert,
+)
+
+
+def ts(*args):
+    return datetime(*args)
+
+
+@pytest.fixture()
+def trend_df(spark):
+    rows = [
+        (1, ts(2024, 1, 1, 0, 5), 10.0),
+        (1, ts(2024, 1, 1, 0, 55), 20.0),
+        (1, ts(2024, 1, 1, 1, 0), 30.0),   # exact boundary -> 01:00 bucket
+        (2, ts(2024, 1, 1, 1, 30), 5.0),
+    ]
+    return spark.createDataFrame(rows, "entity_id int, timestamp timestamp_ntz, v double")
+
+
+def test_time_aggregate_half_open_window(trend_df):
+    out = time_aggregate(
+        trend_df, "1h", [TrendAggSpec("v", "sum", alias="sum_v")]
+    ).collect()
+    got = {(r.entity_id, r.timestamp): (r.samples, r.sum_v) for r in out}
+    # rows at 00:05, 00:55 and the exact-boundary 01:00 row all label 01:00
+    assert got[(1, ts(2024, 1, 1, 1, 0))] == (3, 60.0)
+    assert got[(2, ts(2024, 1, 1, 2, 0))] == (1, 5.0)
+    assert len(got) == 2
+
+
+def test_time_aggregate_rollup_samples(spark, trend_df):
+    hourly = time_aggregate(trend_df, "1h", [TrendAggSpec("v", "sum", alias="v")])
+    daily = time_aggregate(hourly, "1d", [TrendAggSpec("v", "sum", alias="v")])
+    row = daily.filter(F.col("entity_id") == 1).collect()[0]
+    assert row.samples == 3  # summed, not recounted
+    assert row.v == 60.0
+    assert row.timestamp == ts(2024, 1, 2, 0, 0)
+
+
+def test_upsert_last_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1, 10.0), (1, "a", 2, 20.0), (2, "b", 1, 5.0)],
+        "k int, t string, seq int, v double",
+    )
+    out = dedup_last_wins(df, ["k", "t"], "seq")
+    got = {(r.k, r.t): r.v for r in out.collect()}
+    assert got == {(1, "a"): 20.0, (2, "b"): 5.0}
+
+
+def test_upsert_existing_vs_incoming(spark):
+    existing = spark.createDataFrame([(1, 10.0, 100), (2, 20.0, 100)], "k int, v double, m int")
+    incoming = spark.createDataFrame([(2, 99.0, 50), (3, 30.0, 100)], "k int, v double, m int")
+    out = upsert(existing, incoming, ["k"], greatest_cols=["m"])
+    got = {r.k: (r.v, r.m) for r in out.collect()}
+    # key 2: incoming value wins, but m keeps greatest(100, 50)
+    assert got == {1: (10.0, 100), 2: (99.0, 100), 3: (30.0, 100)}
+
+
+def test_insert_missing(spark):
+    existing = spark.createDataFrame([(1,), (2,)], "k int")
+    incoming = spark.createDataFrame([(2, "x"), (3, "y")], "k int, name string")
+    out = insert_missing(existing, incoming, ["k"])
+    assert [(r.k, r.name) for r in out.collect()] == [(3, "y")]
+
+
+def test_merge_packages_fills_nulls(spark):
+    p1 = spark.createDataFrame([(1, 10, None), (2, 20, 200)], "k int, a int, b int")
+    p2 = spark.createDataFrame([(1, 111)], "k int, b int")
+    out = merge_packages([p1, p2], ["k"])
+    got = {r.k: (r.a, r.b) for r in out.collect()}
+    assert got == {1: (10, 111), 2: (20, 200)}
+
+
+def test_compact_history_keeps_change_points(spark):
+    df = spark.createDataFrame(
+        [
+            (1, ts(2024, 1, 1), "up"),
+            (1, ts(2024, 1, 2), "up"),      # dropped (no change)
+            (1, ts(2024, 1, 3), "down"),
+            (1, ts(2024, 1, 4), "down"),    # dropped
+            (1, ts(2024, 1, 5), "up"),
+            (2, ts(2024, 1, 1), "up"),
+        ],
+        "entity_id int, timestamp timestamp_ntz, state string",
+    )
+    out = compact_history(df, ["state"])
+    got = sorted((r.entity_id, r.timestamp.day, r.state) for r in out.collect())
+    assert got == [(1, 1, "up"), (1, 3, "down"), (1, 5, "up"), (2, 1, "up")]
+
+
+def test_latest_per_entity(spark):
+    df = spark.createDataFrame(
+        [(1, ts(2024, 1, 1), "a"), (1, ts(2024, 1, 3), "b"), (2, ts(2024, 1, 2), "c")],
+        "entity_id int, timestamp timestamp_ntz, state string",
+    )
+    out = latest_per_entity(df)
+    got = {r.entity_id: r.state for r in out.collect()}
+    assert got == {1: "b", 2: "c"}

@@ -1,0 +1,117 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, column-name
+schema, and an order-insensitive value hash.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = "/root/repo"
+sys.path.insert(0, REPO)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    for col in df.columns:
+        s = df[col]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            try:
+                s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+            except TypeError:
+                pass
+            df[col] = s.astype("datetime64[us]")
+        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, (list, tuple)):
+            df[col] = s.apply(lambda v: tuple(v) if v is not None else None)
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    body = df.to_csv(index=False, float_format="%.10g").encode()
+    return hashlib.md5(body).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from minerva_etl_spark.session import get_spark
+
+    spark = get_spark(shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"SKIP-ORACLE {name}: rows={len(sdf)} ({t_spark:.1f}s)")
+            continue
+        t0 = time.time()
+        try:
+            ddf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        t_duck = time.time() - t0
+        s, d = normalize(sdf), normalize(ddf)
+        problems = []
+        if len(s) != len(d):
+            problems.append(f"rows {len(s)} vs {len(d)}")
+        if list(s.columns) != list(d.columns):
+            problems.append(f"cols {list(s.columns)} vs {list(d.columns)}")
+        if not problems and value_hash(s) != value_hash(d):
+            diff_cols = []
+            for c in s.columns:
+                if not s[c].equals(d[c]):
+                    diff_cols.append(c)
+            problems.append(f"hash mismatch in cols {diff_cols}")
+            for c in diff_cols[:2]:
+                neq = s[c] != d[c]
+                idx = neq[neq].index[:3]
+                for i in idx:
+                    print(f"    {name}.{c}[{i}]: spark={s[c][i]!r} duck={d[c][i]!r}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} "
+                  f"(spark {t_spark:.1f}s duck {t_duck:.1f}s)")
+            failures.append(name)
+        else:
+            print(f"OK   {name}: rows={len(s)} "
+                  f"(spark {t_spark:.1f}s duck {t_duck:.1f}s)")
+    spark.stop()
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
