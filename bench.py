@@ -32,6 +32,12 @@ HEADLINE = [
     "text_fingerprint",
     "sim_topk",
     "sim_knn_join",
+    "entity_resolution",
+    "relation_regex",
+    "trigger_eval",
+    "type_deduction",
+    "sim_ann_lsh",
+    "multimodal_features",
 ]
 
 

@@ -16,8 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from minerva_etl_spark.catalog import directory
 from minerva_etl_spark.catalog.granularity import Granularity
 from minerva_etl_spark.operators import dedup as D
+from minerva_etl_spark.operators import multimodal as M
+from minerva_etl_spark.plans.sqltranslate import translate
+from minerva_etl_spark.trigger import trigger as trigger_mod
 from minerva_etl_spark.operators import similarity as S
 from minerva_etl_spark.operators import text as X
 from minerva_etl_spark.operators.aggregation import (
@@ -584,6 +588,328 @@ SELECT query_id, vec_id, cosine FROM (
 
 
 # =====================================================================
+# Directory / relations / triggers / translator / deduction / streaming
+# =====================================================================
+def q_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 name→id lookup: deterministic engine-independent entity ids
+    for customer names (md5 method; production default is xxhash64 —
+    same plan, faster hash)."""
+    _prep(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        "c_name",
+        directory.entity_id_col("customer", "c_name", method="md5").alias(
+            "entity_id"
+        ),
+    )
+
+
+def _oracle_entity_resolution() -> str:
+    eid = directory.entity_id_duck_sql("customer", "c_name")
+    return f"SELECT c_custkey, c_name, {eid} AS entity_id FROM customer"
+
+
+def q_relation_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 relation-by-regex + A2: parts roll up to their last-word
+    'virtual entity' (reference node→v-site prefix relation shape);
+    lineitem aggregates across that relation."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    relation = part.select(
+        F.col("p_partkey").alias("source_id"),
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("target_id"),
+    )
+    joined = li.join(
+        F.broadcast(relation), li.l_partkey == relation.source_id
+    )
+    return joined.groupBy(F.col("target_id").alias("part_kind")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum(F.col("l_quantity").cast("decimal(32,6)")).cast("double").alias(
+            "sum_qty"
+        ),
+    )
+
+
+_ORACLE_RELATION_REGEX = r"""
+SELECT regexp_extract(p.p_name, '([a-z]+)$', 1) AS part_kind,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(32,6))) AS DOUBLE) AS sum_qty
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY 1
+"""
+
+
+def q_trigger_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 trigger: hourly KPI vs threshold → notification rows."""
+    _prep(spark)
+
+    def kpi(spark_, _timestamps):
+        ev = load_table(spark_, sf_dir, "events")
+        return time_aggregate(
+            ev, "1h",
+            [TrendAggSpec("value", "sum", alias="sum_value")],
+            entity_col="user_id", timestamp_col="ts",
+        ).select(
+            F.col("user_id").alias("entity_id"),
+            F.col("ts").alias("timestamp"),
+            "sum_value",
+        )
+
+    trig = trigger_mod.Trigger(
+        name="HighHourlyValue",
+        kpi=kpi,
+        thresholds={"max_value": 400.0},
+        condition="sum_value > max_value",
+        weight="100",
+        notification_message="concat('hourly value ', sum_value)",
+        notification_data="cast(round(sum_value, 6) as string)",
+    )
+    return trig.evaluate(spark, [])
+
+
+def _oracle_trigger_eval() -> str:
+    gran = Granularity.parse("1h")
+    bucket = gran.bucket_end_ansi_sql("ts")
+    return f"""
+WITH kpi AS (
+  SELECT user_id AS entity_id, {bucket} AS timestamp,
+         CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+  FROM events GROUP BY 1, 2
+)
+SELECT entity_id, timestamp,
+       'HighHourlyValue' AS rule,
+       CAST(100 AS INTEGER) AS weight,
+       'hourly value ' || CAST(sum_value AS VARCHAR) AS details,
+       CAST(round(sum_value, 6) AS VARCHAR) AS data
+FROM kpi WHERE sum_value > 400.0
+"""
+
+
+def q_kpi_translated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG→Spark translator path (X2/§2.8): a user-supplied PG KPI
+    expression executes through translate()."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    pg_expr = "(value * 1000)::double precision"
+    spark_expr = translate(pg_expr)
+    return ev.select(
+        "event_id", F.expr(spark_expr).alias("value_scaled")
+    )
+
+
+_ORACLE_KPI_TRANSLATED = """
+SELECT event_id, CAST(value * 1000 AS DOUBLE) AS value_scaled FROM events
+"""
+
+
+def q_type_deduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 type-deduction ladder applied to string values (the JSON
+    `props.k` field of events), counting values per deduced type."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.get_json_object("props", "$.k")
+    deduced = (
+        F.when(v.isNull() | (v == ""), F.lit(None))
+        .when(
+            v.rlike(r"^[+-]?\d+$"),
+            F.when(F.abs(v.cast("bigint")) <= 32767, "smallint")
+            .when(F.abs(v.cast("bigint")) <= 2147483647, "integer")
+            .otherwise("bigint"),
+        )
+        .when(v.rlike(r"^[+-]?(\d+\.\d*|\.\d+)$"), F.lit("real"))
+        .otherwise(F.lit("text"))
+    )
+    return (
+        ev.select(deduced.alias("deduced_type"))
+        .groupBy("deduced_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+_ORACLE_TYPE_DEDUCTION = r"""
+WITH vals AS (
+  SELECT json_extract_string(props, '$.k') AS v FROM events
+), classed AS (
+  SELECT CASE
+    WHEN v IS NULL OR v = '' THEN NULL
+    WHEN regexp_full_match(v, '[+-]?\d+') THEN
+      CASE WHEN abs(CAST(v AS BIGINT)) <= 32767 THEN 'smallint'
+           WHEN abs(CAST(v AS BIGINT)) <= 2147483647 THEN 'integer'
+           ELSE 'bigint' END
+    WHEN regexp_full_match(v, '[+-]?(\d+\.\d*|\.\d+)') THEN 'real'
+    ELSE 'text' END AS deduced_type
+  FROM vals
+)
+SELECT deduced_type, CAST(count(*) AS BIGINT) AS n
+FROM classed GROUP BY deduced_type
+"""
+
+
+def q_sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: sign-bucket LSH prune + exact rescore.  Neighbors
+    are only searched inside the query's bucket (equi-join on bucket
+    instead of a cross join — the 100 TB posture)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = list(range(8))
+    indexed = S.lsh_sign_bucket(emb, dims)
+    queries = indexed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("bucket"),
+    )
+    cands = indexed.filter(F.col("vec_id") >= 5).join(
+        F.broadcast(queries), "bucket"
+    )
+    scored = cands.select(
+        "query_id",
+        "vec_id",
+        S.cosine_expr("embedding", "query_vec").alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .drop("rn")
+    )
+
+
+def _oracle_sim_ann_lsh() -> str:
+    def bucket_sql(alias: str) -> str:
+        bits = [
+            f"CASE WHEN {alias}.embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END"
+            for d in range(8)
+        ]
+        return " || ".join(bits)
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(q.embedding AS DOUBLE[])), p -> p[1] * p[2])), (acc, v) -> acc + v)"
+    )
+    norm_e = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x)), "
+        "(acc, v) -> acc + v))"
+    )
+    norm_q = (
+        "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(CAST(q.embedding AS DOUBLE[]), x -> x * x)), "
+        "(acc, v) -> acc + v))"
+    )
+    return f"""
+SELECT query_id, vec_id, cosine FROM (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         round({dot} / ({norm_e} * {norm_q}), 6) AS cosine,
+         row_number() OVER (PARTITION BY q.vec_id
+                            ORDER BY round({dot} / ({norm_e} * {norm_q}), 6) DESC,
+                                     e.vec_id ASC) AS rn
+  FROM embeddings e
+  JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
+    ON ({bucket_sql('e')}) = ({bucket_sql('q')})
+  WHERE e.vec_id >= 5
+) WHERE rn <= 5
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (rows-only check: the decode is a
+    deterministic stub — see operators/multimodal.py): documents' text
+    bytes as opaque payloads → Arrow-batched mapInPandas features."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 4), 6).alias("f3"),
+    )
+
+
+def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T6 Structured Streaming: tumbling-window hourly aggregation of
+    the events table driven through a streaming query (availableNow
+    semantics via processAllAvailable on a memory sink).
+
+    Window semantics here are Spark's native [start, end) (label =
+    window end); the oracle mirrors that — the Minerva (start, end]
+    labeling is covered by the batch queries.
+    """
+    _prep(spark)
+    import os
+    import uuid
+
+    # FileStreamSource needs a directory; stage a symlink to the fixture
+    stage_dir = f"/tmp/minerva_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+    os.makedirs(stage_dir, exist_ok=True)
+    link = os.path.join(stage_dir, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+
+    raw_schema = (
+        "event_id bigint, ts bigint, user_id bigint, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .format("parquet")
+        .load(stage_dir)
+        .withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
+        )
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("samples"),
+            F.sum(F.col("value").cast("decimal(32,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.col("user_id"),
+            F.col("window.end").cast("timestamp_ntz").alias("ts"),
+            "samples",
+            "sum_value",
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def _oracle_streaming_hourly() -> str:
+    # [start, end) tumbling windows labeled by end (Spark F.window)
+    return """
+SELECT user_id,
+       make_timestamp(((epoch_us(ts) // 3600000000) * 3600000000)
+                      + 3600000000) AS ts,
+       CAST(count(*) AS BIGINT) AS samples,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 def build_queries() -> dict:
@@ -611,6 +937,14 @@ def build_queries() -> dict:
         "text_fingerprint": q_text_fingerprint,
         "sim_topk": q_sim_topk,
         "sim_knn_join": q_sim_knn_join,
+        "entity_resolution": q_entity_resolution,
+        "relation_regex": q_relation_regex,
+        "trigger_eval": q_trigger_eval,
+        "kpi_translated": q_kpi_translated,
+        "type_deduction": q_type_deduction,
+        "sim_ann_lsh": q_sim_ann_lsh,
+        "multimodal_features": q_multimodal_features,
+        "streaming_hourly": q_streaming_hourly,
     }
 
 
@@ -639,4 +973,12 @@ def build_oracles() -> dict[str, str]:
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "sim_topk": _oracle_sim_topk(),
         "sim_knn_join": _oracle_sim_knn(),
+        "entity_resolution": _oracle_entity_resolution(),
+        "relation_regex": _ORACLE_RELATION_REGEX,
+        "trigger_eval": _oracle_trigger_eval(),
+        "kpi_translated": _ORACLE_KPI_TRANSLATED,
+        "type_deduction": _ORACLE_TYPE_DEDUCTION,
+        "sim_ann_lsh": _oracle_sim_ann_lsh(),
+        # multimodal_features: rows-only (decode stubbed; no oracle)
+        "streaming_hourly": _oracle_streaming_hourly(),
     }

@@ -66,9 +66,15 @@ GROUP BY 1
 
 
 # ------------------------------------------------------------------ shingles
-def shingles_spark_sql(text_col: str, n: int = 3) -> str:
-    """n-word shingles as an array<string> (Spark SQL expression)."""
-    toks = tokens_spark_sql(text_col)
+def shingles_from_tokens_spark_sql(toks: str, n: int = 3) -> str:
+    """n-word shingles from a token-array expression (Spark SQL).
+
+    IMPORTANT: pass a *column name* (or other cheap attribute) as
+    ``toks`` in execution paths — a lambda body re-evaluates any inlined
+    expression per array element, turning an inlined tokenizer into
+    O(tokens²) regex work per row.  Callers stage tokens with
+    ``withColumn`` first (see :func:`minhash_signatures`).
+    """
     parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
     return (
         f"CASE WHEN size({toks}) >= {n} THEN "
@@ -76,6 +82,12 @@ def shingles_spark_sql(text_col: str, n: int = 3) -> str:
         f"i -> concat_ws(' ', {parts}))) "
         f"ELSE array(array_join({toks}, ' ')) END"
     )
+
+
+def shingles_spark_sql(text_col: str, n: int = 3) -> str:
+    """n-word shingles straight from a text column (compact form for
+    documentation/oracles; execution paths stage tokens first)."""
+    return shingles_from_tokens_spark_sql(tokens_spark_sql(text_col), n)
 
 
 def shingles_duck_sql(text_col: str, n: int = 3) -> str:
@@ -113,6 +125,19 @@ def _base_hash_duck(shingle_expr: str) -> str:
     return f"CAST(('0x' || substr(md5({shingle_expr}), 1, 7)) AS BIGINT)"
 
 
+def shingles_column(
+    df: DataFrame, text_col: str, shingle_size: int = 3
+) -> DataFrame:
+    """df + ``__shingles`` array column, with tokenization staged as its
+    own column so it runs exactly once per row."""
+    return df.withColumn(
+        "__toks", F.expr(tokens_spark_sql(text_col))
+    ).withColumn(
+        "__shingles",
+        F.expr(shingles_from_tokens_spark_sql("__toks", shingle_size)),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -129,10 +154,16 @@ def minhash_signatures(
     the shuffle carries k longs per document.
     """
     assert num_hashes <= len(MINHASH_COEFFS)
-    sh = shingles_spark_sql(text_col, shingle_size)
-    exploded = df.select(
-        F.col(id_col), F.explode(F.expr(sh)).alias("__shingle")
-    ).select(
+    staged = shingles_column(df, text_col, shingle_size)
+    # explode_outer, NOT explode: plain explode plants a pushed-down
+    # `size(shingles) > 0` filter in which the optimizer re-inlines the
+    # whole tokenize+shingle expression; interpreted per-element
+    # evaluation of that filter is O(tokens²) per row.  Outer explode
+    # has no such filter; shingle arrays are never empty by
+    # construction, and nulls are dropped after.
+    exploded = staged.select(
+        F.col(id_col), F.explode_outer(F.col("__shingles")).alias("__shingle")
+    ).filter(F.col("__shingle").isNotNull()).select(
         F.col(id_col), F.expr(_base_hash_spark("__shingle")).alias("__h")
     )
     aggs = [
@@ -281,8 +312,9 @@ def ngram_jaccard_pairs(
     the verification tier after LSH.  Joins shingle arrays to the pair
     list (pair list is small → broadcast) and computes
     |A ∩ B| / |A ∪ B| with array built-ins."""
-    sh = F.expr(shingles_spark_sql(text_col, shingle_size))
-    docs = df.select(F.col(id_col), sh.alias("shingles"))
+    docs = shingles_column(df, text_col, shingle_size).select(
+        F.col(id_col), F.col("__shingles").alias("shingles")
+    )
     a = docs.select(
         F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
     )

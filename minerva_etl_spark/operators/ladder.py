@@ -1,0 +1,125 @@
+"""Standard aggregation ladder generator (A4).
+
+Reference (`/root/reference/src/minerva/instance/
+aggregation_generation.py:27-123`): for every "raw" trend store,
+generate the standard time-aggregation rungs
+(15m→1h→1d→1w, 1d→1month) and, per entity relation, an entity
+aggregation at each rung.  The reference emits YAML + SQL text; here we
+emit executable aggregation *plans* (DataFrame builders bound to the
+trend metadata) plus the derived target store definitions with the
+reference's type promotion (`aggregation_compilation.py:396-423`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+from minerva_etl_spark.catalog import datatypes as dt
+from minerva_etl_spark.catalog.granularity import DEFAULT_PARTITION_SIZE, Granularity
+from minerva_etl_spark.catalog.instance import TrendDef, TrendStoreDef, TrendStorePartDef
+from minerva_etl_spark.operators.aggregation import TrendAggSpec, entity_aggregate, time_aggregate
+
+#: the standard rung layout (`aggregation_generation.py:27-44`)
+STANDARD_LADDER: dict[str, list[str]] = {
+    "15m": ["1h", "1d"],
+    "30m": ["1h", "1d"],
+    "1h": ["1d"],
+    "1d": ["1w", "1month"],
+}
+
+
+@dataclass(frozen=True)
+class AggregationPlan:
+    """One generated rung: source store/part → target granularity."""
+
+    name: str
+    source_part: str
+    target_granularity: str
+    kind: str  # "time" | "entity"
+    specs: list[TrendAggSpec]
+    relation: str | None = None  # entity aggregations only
+
+    def apply(
+        self, source: DataFrame, relation_df: DataFrame | None = None
+    ) -> DataFrame:
+        if self.kind == "time":
+            return time_aggregate(source, self.target_granularity, self.specs)
+        assert relation_df is not None, "entity aggregation needs the relation"
+        return entity_aggregate(source, relation_df, self.specs)
+
+
+def promoted_trend(trend: TrendDef) -> TrendDef:
+    """Target-store column type after one aggregation hop (A5)."""
+    src = dt.REGISTRY[trend.data_type.lower()]
+    out = dt.promoted_type(trend.time_aggregation, src)
+    return replace(trend, data_type=out.name)
+
+
+def generate_time_ladder(
+    store: TrendStoreDef,
+) -> list[tuple[AggregationPlan, TrendStoreDef]]:
+    """All standard time-aggregation rungs for a raw store, each with
+    its derived target store definition (samples column injected,
+    types promoted, partition size mapped)."""
+    rungs = STANDARD_LADDER.get(Granularity.parse(store.granularity).name, [])
+    out: list[tuple[AggregationPlan, TrendStoreDef]] = []
+    for target_gran in rungs:
+        parts: list[TrendStorePartDef] = []
+        plans: list[AggregationPlan] = []
+        for part in store.parts:
+            specs = [
+                TrendAggSpec(t.name, t.time_aggregation, t.entity_aggregation)
+                for t in part.trends
+            ]
+            target_part = f"{part.name.rsplit('_', 1)[0]}_{target_gran}"
+            plans.append(
+                AggregationPlan(
+                    name=f"{store.entity_type}_{target_gran}_{part.name}",
+                    source_part=part.name,
+                    target_granularity=target_gran,
+                    kind="time",
+                    specs=specs,
+                )
+            )
+            target_trends = [
+                TrendDef("samples", "integer", "sum", "sum")
+            ] + [promoted_trend(t) for t in part.trends]
+            parts.append(TrendStorePartDef(target_part, target_trends))
+        target_store = TrendStoreDef(
+            data_source=store.data_source,
+            entity_type=store.entity_type,
+            granularity=target_gran,
+            partition_size=DEFAULT_PARTITION_SIZE.get(target_gran, "1d"),
+            parts=parts,
+            retention_period=store.retention_period,
+        )
+        out.extend((plan, target_store) for plan in plans)
+    return out
+
+
+def generate_entity_aggregations(
+    store: TrendStoreDef, relations: list[str]
+) -> list[AggregationPlan]:
+    """Per relation, an entity-aggregation plan at the store's
+    granularity (`aggregation_generation.py:125-220`)."""
+    plans: list[AggregationPlan] = []
+    for rel in relations:
+        for part in store.parts:
+            specs = [
+                TrendAggSpec(t.name, t.time_aggregation, t.entity_aggregation)
+                for t in part.trends
+            ]
+            plans.append(
+                AggregationPlan(
+                    name=f"{rel}_{store.granularity}_{part.name}",
+                    source_part=part.name,
+                    target_granularity=store.granularity,
+                    kind="entity",
+                    specs=specs,
+                    relation=rel,
+                )
+            )
+    return plans

@@ -1,0 +1,134 @@
+"""PG→Spark SQL mini-translator for user-supplied view/KPI SQL.
+
+Reference materialization views and KPI functions are arbitrary
+PostgreSQL SELECTs (`materialization.py:168-204`, e.g.
+`examples/tiny_instance/materialization/hub-kpi_node_15m.yaml`:
+``power_kwh * 1000 AS power_mwh``).  The dialect gap is small
+(SURVEY §4): ``::type`` casts, ``format()``, ``string_agg()``,
+``generate_series()``, schema-qualified names.  This translates that
+slice textually — it is NOT a general SQL parser; anything it does not
+recognize passes through for Catalyst to accept or reject.
+"""
+
+from __future__ import annotations
+
+import re
+
+#: PG type name → Spark SQL type name (cast targets)
+_TYPE_MAP = {
+    "smallint": "smallint",
+    "int2": "smallint",
+    "integer": "int",
+    "int4": "int",
+    "int": "int",
+    "bigint": "bigint",
+    "int8": "bigint",
+    "real": "float",
+    "float4": "float",
+    "double precision": "double",
+    "float8": "double",
+    "numeric": "decimal(38,18)",
+    "text": "string",
+    "varchar": "string",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+    "timestamp with time zone": "timestamp",
+    "boolean": "boolean",
+    "bool": "boolean",
+}
+
+_CAST_RE = re.compile(
+    r"::\s*(" + "|".join(sorted(map(re.escape, _TYPE_MAP), key=len, reverse=True)) + r")\b",
+    re.IGNORECASE,
+)
+
+_SCHEMA_QUAL_RE = re.compile(r'\b(trend|attribute|relation|entity|directory)\."?([A-Za-z_][A-Za-z0-9_-]*)"?')
+
+_STRING_AGG_RE = re.compile(r"\bstring_agg\s*\(", re.IGNORECASE)
+_GENERATE_SERIES_RE = re.compile(r"\bgenerate_series\s*\(", re.IGNORECASE)
+_FORMAT_RE = re.compile(r"\bformat\s*\(", re.IGNORECASE)
+
+
+def translate(pg_sql: str, table_resolver=None) -> str:
+    """Translate the supported PG dialect slice to Spark SQL.
+
+    ``table_resolver(schema, name) -> str`` maps schema-qualified
+    reference table names (``trend."node_main_15m"``) to registered
+    Spark view names; default strips the schema and quotes.
+    """
+    out = pg_sql
+
+    # `expr::type` → CAST(expr AS type): handle simple operand forms
+    # (identifier, literal, call, parenthesized) right-to-left.
+    def cast_repl(match: re.Match) -> str:
+        return f"⟦CAST_AS:{_TYPE_MAP[match.group(1).lower()]}⟧"
+
+    out = _CAST_RE.sub(cast_repl, out)
+    while "⟦CAST_AS:" in out:
+        idx = out.index("⟦CAST_AS:")
+        end = out.index("⟧", idx)
+        target = out[idx + len("⟦CAST_AS:"):end]
+        operand_start = _operand_start(out, idx)
+        operand = out[operand_start:idx]
+        out = (
+            out[:operand_start]
+            + f"CAST({operand} AS {target})"
+            + out[end + 1:]
+        )
+
+    # schema-qualified names
+    def qual_repl(match: re.Match) -> str:
+        schema, name = match.group(1), match.group(2)
+        if table_resolver is not None:
+            return table_resolver(schema, name)
+        return name.replace("-", "_")
+
+    out = _SCHEMA_QUAL_RE.sub(qual_repl, out)
+
+    # string_agg(x, 'sep') -> array_join(collect_list(x), 'sep')
+    # (simple 2-arg form only — enough for the fingerprint/report SQL)
+    out = _STRING_AGG_RE.sub("array_join(collect_list(", out)
+    out = re.sub(
+        r"array_join\(collect_list\(\s*([^,()]+?)\s*,\s*('[^']*')\s*\)",
+        r"array_join(collect_list(\1), \2)",
+        out,
+    )
+    out = _GENERATE_SERIES_RE.sub("explode(sequence(", out)
+    out = re.sub(r"explode\(sequence\(([^;]*?)\)", r"explode(sequence(\1))", out, count=1)
+    out = _FORMAT_RE.sub("format_string(", out)
+    out = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", out, flags=re.IGNORECASE)
+    return out
+
+
+def _operand_start(text: str, cast_idx: int) -> int:
+    """Find the start of the expression a ``::`` cast applies to."""
+    i = cast_idx - 1
+    while i >= 0 and text[i].isspace():
+        i -= 1
+    if i < 0:
+        return 0
+    if text[i] == ")":
+        depth = 0
+        while i >= 0:
+            if text[i] == ")":
+                depth += 1
+            elif text[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            i -= 1
+        # include a preceding function name if present
+        j = i - 1
+        while j >= 0 and (text[j].isalnum() or text[j] in "_."):
+            j -= 1
+        return j + 1
+    if text[i] in "'\"":
+        quote = text[i]
+        i -= 1
+        while i >= 0 and text[i] != quote:
+            i -= 1
+        return i
+    j = i
+    while j >= 0 and (text[j].isalnum() or text[j] in "_.$"):
+        j -= 1
+    return j + 1

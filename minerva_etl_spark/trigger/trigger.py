@@ -1,0 +1,69 @@
+"""Triggers: threshold rules over KPI queries producing notifications.
+
+Reference (`/root/reference/src/minerva/trigger/trigger.py:11-131,
+157-386`, example `examples/tiny_instance/trigger/
+node-15m-highpowerusage.yaml`):
+
+- a trigger has a **KPI query** (SETOF function of a timestamp), a set
+  of named **thresholds**, a boolean **condition** over KPI values vs
+  thresholds, plus ``weight``, ``notification_message`` and
+  ``notification_data`` expressions;
+- ``create_notifications(name, ts)`` evaluates the KPI frame for that
+  timestamp, filters by the condition, and appends one notification row
+  per firing entity.
+
+Spark: the KPI query is a DataFrame builder, thresholds a broadcast
+one-row frame (cross join — exactly the reference's
+``FROM kpi, thresholds`` shape), condition/message/weight/data are SQL
+expressions evaluated by Catalyst.  ``foreachBatch`` wraps the same
+evaluation for streaming (T5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class Trigger:
+    name: str
+    #: kpi(spark, timestamps) -> DataFrame(entity_id, timestamp, <kpi cols...>)
+    kpi: Callable[[SparkSession, list[datetime]], DataFrame]
+    #: threshold name -> value (becomes a broadcast one-row frame)
+    thresholds: dict[str, float]
+    #: boolean SQL over kpi columns + threshold names
+    condition: str
+    weight: str = "1"
+    notification_message: str = "''"
+    notification_data: str | None = None  # SQL producing a JSON string
+    fire_value: str | None = None
+
+    def evaluate(
+        self, spark: SparkSession, timestamps: list[datetime]
+    ) -> DataFrame:
+        """Notification rows for the given bucket timestamps."""
+        kpi = self.kpi(spark, timestamps)
+        thresholds = F.broadcast(
+            spark.createDataFrame(
+                [tuple(self.thresholds.values())],
+                ", ".join(f"{k} double" for k in self.thresholds),
+            )
+        )
+        fired = kpi.crossJoin(thresholds).filter(F.expr(self.condition))
+        data = (
+            F.expr(self.notification_data)
+            if self.notification_data
+            else F.to_json(F.struct(*[F.col(c) for c in kpi.columns]))
+        )
+        return fired.select(
+            F.col("entity_id"),
+            F.col("timestamp"),
+            F.lit(self.name).alias("rule"),
+            F.expr(self.weight).cast("int").alias("weight"),
+            F.expr(self.notification_message).alias("details"),
+            data.alias("data"),
+        )

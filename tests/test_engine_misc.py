@@ -1,0 +1,179 @@
+"""Trigger evaluation, CSV harvest ingest, DN helpers, SQL translation,
+attribute store, notification store, multimodal plumbing."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from minerva_etl_spark.catalog.directory import (
+    dn_entity_name_expr,
+    dn_entity_type_expr,
+    dn_to_parts,
+    names_to_entity_ids,
+    register_entities,
+)
+from minerva_etl_spark.operators.multimodal import (
+    deterministic_fake_decode,
+    extract_features,
+    sample_frames,
+)
+from minerva_etl_spark.plans.sqltranslate import translate
+from minerva_etl_spark.sources.csv_harvest import CsvParserConfig, read_csv_packages
+from minerva_etl_spark.store.attribute_store import AttributeStore
+from minerva_etl_spark.store.notification import NotificationStore
+from minerva_etl_spark.trigger.trigger import Trigger
+
+
+def ts(*args):
+    return datetime(*args)
+
+
+# ------------------------------------------------------------------ trigger
+def test_trigger_fires_over_threshold(spark):
+    def kpi(spark_, timestamps):
+        return spark.createDataFrame(
+            [
+                (1, ts(2024, 1, 1, 0, 15), 0.08),
+                (2, ts(2024, 1, 1, 0, 15), 0.01),
+            ],
+            "entity_id bigint, timestamp timestamp_ntz, power_mwh double",
+        )
+
+    trig = Trigger(
+        name="HighPowerUsage",
+        kpi=kpi,
+        thresholds={"max_power": 0.05},
+        condition="power_mwh > max_power",
+        weight="100",
+        notification_message="concat('power ', power_mwh)",
+    )
+    out = trig.evaluate(spark, [ts(2024, 1, 1, 0, 15)]).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert row.entity_id == 1 and row.weight == 100 and row.rule == "HighPowerUsage"
+    assert "0.08" in row.details and "0.08" in row.data
+
+
+# -------------------------------------------------------------- csv harvest
+def test_csv_harvest_deduction_and_ids(spark, tmp_path):
+    p = tmp_path / "sample.csv"
+    p.write_text(
+        "node,timestamp,power_kwh,state\n"
+        "hillside14,2024-01-01 00:15:00,1.5,up\n"
+        "hillside15,2024-01-01 00:15:00,,down\n"
+    )
+    cfg = CsvParserConfig(
+        identifier_column="node",
+        timestamp_column="timestamp",
+        entity_type="node",
+        granularity="15m",
+    )
+    df = read_csv_packages(spark, str(p), cfg)
+    rows = {r.entity_ref: r for r in df.collect()}
+    assert rows["hillside14"].power_kwh == 1.5
+    assert rows["hillside15"].power_kwh is None
+    assert rows["hillside14"].state == "up"
+    assert rows["hillside14"].timestamp == ts(2024, 1, 1, 0, 15)
+    # deterministic ids: same name -> same id on re-read
+    df2 = read_csv_packages(spark, str(p), cfg)
+    assert (
+        df.select("entity_id").collect() == df2.select("entity_id").collect()
+    )
+
+
+def test_register_entities_create_on_miss(spark, tmp_path):
+    dim_path = str(tmp_path / "entity_node")
+    names1 = spark.createDataFrame([("a",), ("b",)], "name string")
+    dim = register_entities(spark, dim_path, names1, "node")
+    assert dim.count() == 2
+    names2 = spark.createDataFrame([("b",), ("c",)], "name string")
+    dim = register_entities(spark, dim_path, names2, "node")
+    assert dim.count() == 3  # only 'c' inserted
+
+
+# ---------------------------------------------------------------------- dn
+def test_dn_parse_and_explode(spark):
+    df = spark.createDataFrame([("network=g1,node=n001",)], "dn string")
+    row = df.select(
+        dn_entity_type_expr("dn").alias("t"), dn_entity_name_expr("dn").alias("n")
+    ).collect()[0]
+    assert (row.t, row.n) == ("node", "n001")
+    parts = dn_to_parts(df).collect()
+    assert [(p.pos, p.key, p.value) for p in parts] == [
+        (0, "network", "g1"),
+        (1, "node", "n001"),
+    ]
+
+
+# ------------------------------------------------------------ sql translate
+def test_translate_casts_and_functions():
+    assert translate("x::bigint") == "CAST(x AS bigint)"
+    assert translate("sum(v)::numeric") == "CAST(sum(v) AS decimal(38,18))"
+    assert (
+        translate("power_kwh * 1000::double precision")
+        == "power_kwh * CAST(1000 AS double)"
+    )
+    assert translate('SELECT * FROM trend."node_main_15m"') == (
+        "SELECT * FROM node_main_15m"
+    )
+    assert translate("string_agg(name, ',')") == (
+        "array_join(collect_list(name), ',')"
+    )
+    assert translate("now()") == "current_timestamp()"
+    assert "explode(sequence(" in translate("generate_series(a, b, c)")
+
+
+# ---------------------------------------------------------- attribute store
+def test_attribute_store_scd_cycle(spark, tmp_path):
+    st = AttributeStore("ds", "node", ["height", "state"], str(tmp_path))
+    st.store_batch(spark, spark.createDataFrame(
+        [(1, ts(2024, 1, 1), 10.0, "up"), (1, ts(2024, 1, 2), 10.0, "up")],
+        "entity_id bigint, timestamp timestamp_ntz, height double, state string",
+    ))
+    st.store_batch(spark, spark.createDataFrame(
+        [(1, ts(2024, 1, 3), 12.0, "down")],
+        "entity_id bigint, timestamp timestamp_ntz, height double, state string",
+    ))
+    assert st.read_history(spark).count() == 3
+    st.compact(spark)
+    hist = st.read_history(spark).collect()
+    # run of identical (10.0, up) collapses to its first row
+    assert len(hist) == 2
+    curr = st.materialize_curr(spark).collect()
+    assert len(curr) == 1 and curr[0].height == 12.0 and curr[0].state == "down"
+
+
+# -------------------------------------------------------- notification store
+def test_notification_append(spark, tmp_path):
+    ns = NotificationStore("trigger-notification", ["rule", "weight"], str(tmp_path))
+    batch = spark.createDataFrame(
+        [(1, ts(2024, 1, 1, 0, 15), "r", 100)],
+        "entity_id bigint, timestamp timestamp_ntz, rule string, weight int",
+    )
+    ns.store(batch)
+    ns.store(batch)
+    assert ns.read(spark).count() == 2  # append-only
+
+
+# ------------------------------------------------------------- multimodal
+def test_multimodal_feature_extract_and_frames(spark):
+    media = spark.createDataFrame(
+        [(1, bytearray(b"a" * 100)), (2, bytearray(b"\x00" * 2048)), (3, None)],
+        "media_id bigint, payload binary",
+    )
+    feats = {r.media_id: r for r in extract_features(media).collect()}
+    assert feats[1].n_bytes == 100
+    assert len(feats[1].feature) == 8
+    assert abs(sum(feats[1].feature) - 1.0) < 1e-6
+    assert feats[3].feature is None
+    assert feats[1].feature == deterministic_fake_decode(b"a" * 100)
+
+    frames = sample_frames(media, every_n_bytes=1024, max_frames=8).collect()
+    by_id = {}
+    for f in frames:
+        by_id.setdefault(f.media_id, []).append(f)
+    assert len(by_id[1]) == 1          # 100 bytes -> 1 frame
+    assert len(by_id[2]) == 2          # 2048 bytes -> 2 frames
+    assert 3 not in by_id              # null payload -> no frames
+    assert len(bytes(by_id[2][0].frame_bytes)) == 1024

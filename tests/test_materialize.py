@@ -1,0 +1,118 @@
+"""Fingerprint materialization engine: staleness detection, delays,
+re-materialization on late data — the reference's §3.2 protocol."""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from minerva_etl_spark.catalog.granularity import Granularity
+from minerva_etl_spark.materialize.fingerprint import (
+    Materialization,
+    MaterializationEngine,
+    fold_modified_state,
+)
+
+
+def ts(*args):
+    return datetime(*args)
+
+
+def make_log(spark, rows):
+    return spark.createDataFrame(
+        rows, "part string, timestamp timestamp_ntz, modified timestamp_ntz"
+    )
+
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = MaterializationEngine(spark, str(tmp_path / "state"))
+    results = {}
+
+    def transform(spark_, timestamps):
+        results["last_run"] = sorted(timestamps)
+        return spark_.createDataFrame(
+            [(t,) for t in timestamps], "timestamp timestamp_ntz"
+        )
+
+    eng.register(
+        Materialization(
+            name="node_1h",
+            target_gran=Granularity.parse("1h"),
+            sources=["node_main_15m"],
+            transform=transform,
+            processing_delay=timedelta(minutes=30),
+            stability_delay=timedelta(minutes=5),
+            reprocessing_period=timedelta(days=3),
+        )
+    )
+    eng._results = results
+    return eng
+
+
+def test_fold_modified_state(spark):
+    log = make_log(spark, [
+        ("p", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 20)),
+        ("p", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 40)),
+    ])
+    state = fold_modified_state(log).collect()
+    assert len(state) == 1
+    assert state[0].last_modified == ts(2024, 1, 1, 0, 40)
+
+
+def test_stale_then_processed_then_stable(spark, engine):
+    log = make_log(spark, [
+        ("node_main_15m", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 16)),
+        ("node_main_15m", ts(2024, 1, 1, 0, 30), ts(2024, 1, 1, 0, 31)),
+    ])
+    now = ts(2024, 1, 1, 3, 0)
+    sink_calls = []
+    done = engine.run(log, now, lambda name, df, t: sink_calls.append((name, df.count())))
+    # both 15m buckets map into the 01:00 target bucket -> one chunk
+    assert done == [("node_1h", ts(2024, 1, 1, 1, 0))]
+    assert sink_calls == [("node_1h", 1)]
+    # second run: fingerprint unchanged -> nothing stale
+    assert engine.run(log, now, lambda *a: None) == []
+
+
+def test_late_data_triggers_rematerialization(spark, engine):
+    log1 = make_log(spark, [
+        ("node_main_15m", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 16)),
+    ])
+    now = ts(2024, 1, 1, 3, 0)
+    assert len(engine.run(log1, now, lambda *a: None)) == 1
+    # late re-load of the same source bucket -> new modified -> stale again
+    log2 = make_log(spark, [
+        ("node_main_15m", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 16)),
+        ("node_main_15m", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 2, 0)),
+    ])
+    done = engine.run(log2, now, lambda *a: None)
+    assert done == [("node_1h", ts(2024, 1, 1, 1, 0))]
+
+
+def test_processing_delay_holds_young_buckets(spark, engine):
+    log = make_log(spark, [
+        ("node_main_15m", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 16)),
+    ])
+    # bucket end 01:00; at 01:10 the 30m processing delay hasn't elapsed
+    assert engine.run(log, ts(2024, 1, 1, 1, 10), lambda *a: None) == []
+    # at 01:40 it has
+    assert len(engine.run(log, ts(2024, 1, 1, 1, 40), lambda *a: None)) == 1
+
+
+def test_stability_delay_waits_for_quiet_sources(spark, engine):
+    now = ts(2024, 1, 1, 3, 0)
+    log = make_log(spark, [
+        # source still hot: modified 2 minutes ago (< 5m stability delay)
+        ("node_main_15m", ts(2024, 1, 1, 0, 15), now - timedelta(minutes=2)),
+    ])
+    assert engine.run(log, now, lambda *a: None) == []
+
+
+def test_reprocessing_period_bounds_lateness(spark, engine):
+    now = ts(2024, 2, 1)
+    log = make_log(spark, [
+        # a bucket from a month ago: outside the 3d reprocessing window
+        ("node_main_15m", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 16)),
+    ])
+    assert engine.run(log, now, lambda *a: None) == []

@@ -1,0 +1,101 @@
+"""Trend-store write path: upsert semantics, partition layout, modified
+log — mirrors `integration_tests/storage/trend/test_store.py` scenarios
+on the parquet substrate."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from minerva_etl_spark.catalog.granularity import Granularity
+from minerva_etl_spark.store.trendstore import (
+    PARTITION_COL,
+    TrendStore,
+    TrendStorePart,
+)
+
+
+def ts(*args):
+    return datetime(*args)
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return TrendStore(
+        data_source="hub",
+        entity_type="node",
+        granularity=Granularity.parse("15m"),
+        parts=[
+            TrendStorePart("node_main_15m", ["power_kwh", "temp"]),
+            TrendStorePart("node_module_15m", ["cpu_load"]),
+        ],
+        base_path=str(tmp_path),
+        retention_period=Granularity.parse("1w"),
+    )
+
+
+def pkg(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "entity_id bigint, timestamp timestamp_ntz, power_kwh double, "
+        "temp double, cpu_load double",
+    )
+
+
+def test_store_splits_parts_and_appends(spark, store):
+    store.store(spark, pkg(spark, [(1, ts(2024, 1, 1, 0, 15), 1.5, 20.0, 0.5)]))
+    main = store.read_part(spark, "node_main_15m")
+    module = store.read_part(spark, "node_module_15m")
+    assert {r.entity_id for r in main.collect()} == {1}
+    row = main.collect()[0]
+    assert row.power_kwh == 1.5 and row.temp == 20.0
+    assert "cpu_load" not in main.columns
+    assert module.collect()[0].cpu_load == 0.5
+    # system columns present (schema parity with the reference part)
+    assert {"entity_id", "timestamp", "created", "job_id"} <= set(main.columns)
+
+
+def test_store_upsert_replaces_on_reload(spark, store):
+    t = ts(2024, 1, 1, 0, 15)
+    store.store(spark, pkg(spark, [(1, t, 1.0, 10.0, 0.1)]), job_id=1)
+    store.store(spark, pkg(spark, [(1, t, 2.0, None, 0.2)]), job_id=2)
+    main = store.read_part(spark, "node_main_15m").collect()
+    assert len(main) == 1
+    assert main[0].power_kwh == 2.0
+    assert main[0].temp is None  # full-row replace, like ON CONFLICT UPDATE
+    assert main[0].job_id == 2
+
+
+def test_store_only_touched_partition_rewritten(spark, store):
+    # two buckets 40 days apart -> different day-partition indexes
+    store.store(spark, pkg(spark, [(1, ts(2024, 1, 1, 1), 1.0, 1.0, 1.0)]))
+    store.store(spark, pkg(spark, [(2, ts(2024, 2, 10, 1), 2.0, 2.0, 2.0)]))
+    df = store.read_part(spark, "node_main_15m", with_partition_col=True)
+    parts = {r[PARTITION_COL] for r in df.select(PARTITION_COL).distinct().collect()}
+    assert len(parts) == 2
+    # second store didn't clobber the first bucket
+    assert df.count() == 2
+
+
+def test_modified_log_marks_buckets(spark, store):
+    store.store(spark, pkg(spark, [
+        (1, ts(2024, 1, 1, 0, 15), 1.0, 1.0, 1.0),
+        (2, ts(2024, 1, 1, 0, 30), 1.0, 1.0, 1.0),
+    ]))
+    log = store.read_modified_log(spark)
+    rows = log.collect()
+    # two buckets × two parts
+    assert len(rows) == 4
+    assert {r.part for r in rows} == {"node_main_15m", "node_module_15m"}
+
+
+def test_retention_expired_partitions(spark, store):
+    store.store(spark, pkg(spark, [
+        (1, ts(2024, 1, 1, 1), 1.0, 1.0, 1.0),
+        (1, ts(2024, 3, 1, 1), 1.0, 1.0, 1.0),
+    ]))
+    expired = store.expired_partitions(
+        spark, "node_main_15m", now=ts(2024, 3, 5)
+    )
+    # the January bucket is far past 1w retention; March is inside
+    assert len(expired) == 1
