@@ -1,0 +1,116 @@
+"""Loader orchestration: file → parse → store, with job logging.
+
+Reference (`/root/reference/src/minerva/loading/loader.py:25-127,245-277`,
+job log `logging/__init__.py:4-22`): resolve the harvest plugin for the
+file type, parse into packages, wrap each store in a logged job, apply
+row/column filters, and honor the missing-target error policy
+(warn vs stop).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from minerva_etl_spark.sources.plugins import get_plugin
+from minerva_etl_spark.store.trendstore import TrendStore
+
+
+@dataclass
+class JobLog:
+    """Append-only job table (T7): (job_id, description, started, ended,
+    state)."""
+
+    base_path: str
+
+    @property
+    def path(self) -> str:
+        return os.path.join(self.base_path, "job_log")
+
+    def log(
+        self,
+        spark: SparkSession,
+        job_id: int,
+        description: str,
+        started: datetime,
+        ended: datetime,
+        state: str,
+    ) -> None:
+        spark.createDataFrame(
+            [(job_id, description, started, ended, state)],
+            "job_id bigint, description string, started timestamp_ntz, "
+            "ended timestamp_ntz, state string",
+        ).write.mode("append").parquet(self.path)
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        try:
+            return spark.read.parquet(self.path)
+        except Exception:
+            return None
+
+
+@dataclass
+class Loader:
+    """Driver-side load function (S4)."""
+
+    store: TrendStore
+    job_log: JobLog | None = None
+    #: regex filters (P8: --dn-filter / --column-filter)
+    entity_filter: str | None = None
+    column_filter: str | None = None
+    #: 'warn' drops metrics with no declared column; 'stop' raises
+    on_unknown_column: str = "warn"
+
+    def load_file(
+        self,
+        spark: SparkSession,
+        file_type: str,
+        path: str,
+        parser_config,
+        job_id: int | None = None,
+    ) -> int:
+        started = datetime.now(timezone.utc).replace(tzinfo=None)
+        job_id = job_id if job_id is not None else int(time.time() * 1000) % (2**62)
+        reader = get_plugin(file_type)
+        frame = reader(spark, path, parser_config)
+        if self.entity_filter and "entity_ref" in frame.columns:
+            frame = frame.filter(F.col("entity_ref").rlike(self.entity_filter))
+        metric_cols = [
+            c
+            for c in frame.columns
+            if c not in ("entity_id", "entity_ref", "timestamp")
+        ]
+        if self.column_filter:
+            import re
+
+            keep = [c for c in metric_cols if re.search(self.column_filter, c)]
+            frame = frame.select("entity_id", "timestamp", *keep)
+            metric_cols = keep
+        declared = {c for p in self.store.parts for c in p.trend_columns}
+        unknown = [c for c in metric_cols if c not in declared]
+        if unknown and self.on_unknown_column == "stop":
+            raise ValueError(f"undeclared metric columns: {unknown}")
+        state = "finished"
+        try:
+            self.store.store(
+                spark,
+                frame.select(
+                    "entity_id", "timestamp",
+                    *[c for c in metric_cols if c in declared],
+                ),
+                job_id=job_id,
+            )
+        except Exception:
+            state = "failed"
+            raise
+        finally:
+            if self.job_log is not None:
+                ended = datetime.now(timezone.utc).replace(tzinfo=None)
+                self.job_log.log(
+                    spark, job_id, os.path.basename(path), started, ended, state
+                )
+        return job_id

@@ -178,6 +178,28 @@ class TrendStore:
             df = df.drop(PARTITION_COL)
         return df
 
+    def read_store(self, spark: SparkSession) -> DataFrame | None:
+        """U3 multi-part read: all parts of the store joined back into
+        one wide frame on (entity_id, timestamp).
+
+        Parts share the same key distribution; at scale, writing parts
+        bucketed on entity_id would make this join shuffle-free — on the
+        parquet substrate it is one shuffle per part.
+        """
+        out: DataFrame | None = None
+        for part in self.parts:
+            df = self.read_part(spark, part.name)
+            if df is None:
+                continue
+            cols = ["entity_id", "timestamp"] + [
+                c for c in part.trend_columns if c in df.columns
+            ]
+            df = df.select(*cols)
+            out = df if out is None else out.join(
+                df, ["entity_id", "timestamp"], "full_outer"
+            )
+        return out
+
     def read_modified_log(self, spark: SparkSession) -> DataFrame | None:
         try:
             return spark.read.parquet(self.modified_log_path())
