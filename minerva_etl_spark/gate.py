@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from minerva_etl_spark.catalog import directory
 from minerva_etl_spark.catalog.granularity import Granularity
+from minerva_etl_spark.operators import asof
 from minerva_etl_spark.operators import dedup as D
 from minerva_etl_spark.operators import multimodal as M
 from minerva_etl_spark.plans.sqltranslate import translate
@@ -910,6 +911,189 @@ GROUP BY 1, 2
 
 
 # =====================================================================
+# Time-series extensions: as-of join, sessionization, rollup, arrays
+# =====================================================================
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each event picks up the customer's latest
+    order at-or-before the event time (window-merge plan, one shuffle —
+    see operators/asof.py)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders")
+    # dedupe right side to one row per (key, ts): greatest orderkey wins
+    # (as-of over duplicate timestamps would be pick-ambiguous)
+    o = dedup_last_wins(
+        orders.select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        keys=["o_custkey", "o_orderdate"],
+        order_col="o_orderkey",
+    )
+    out = asof.asof_join(
+        ev,
+        o.withColumnRenamed("o_custkey", "user_id"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        value_cols=["o_orderkey", "o_totalprice"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+_ORACLE_ASOF = """
+WITH o AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+    SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id, e.ts,
+       o.o_orderkey AS last_orderkey,
+       o.o_totalprice AS last_totalprice
+FROM events e
+ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) + per-session stats."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sessions = asof.sessionize(
+        ev.select("user_id", "ts", "event_id", "value"),
+        key_col="user_id", ts_col="ts", gap_seconds=1800,
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.sum(F.col("value").cast("decimal(32,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+
+
+_ORACLE_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+FROM numbered GROUP BY 1, 2
+"""
+
+
+def q_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals (event_type, day) — beyond the reference's
+    generated SQL, standard Spark/DuckDB shape."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "day", F.expr("cast(date_trunc('day', ts) as timestamp_ntz)")
+        )
+        .rollup("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(32,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+    )
+
+
+_ORACLE_ROLLUP = """
+SELECT event_type, date_trunc('day', ts) AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, date_trunc('day', ts))
+"""
+
+
+def q_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5 membership + array-containment (@>, <@) over per-user
+    event-type sets."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    sets = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    want = F.array(F.lit("click"), F.lit("purchase"))
+    return sets.select(
+        "user_id",
+        F.array_contains("types", "purchase").alias("has_purchase"),
+        # types @> ['click','purchase']
+        (F.size(F.array_except(want, F.col("types"))) == 0).alias(
+            "covers_click_purchase"
+        ),
+        # types <@ full set
+        (
+            F.size(
+                F.array_except(
+                    F.col("types"),
+                    F.array(*[F.lit(x) for x in
+                              ["click", "error", "purchase", "signup", "view"]]),
+                )
+            ) == 0
+        ).alias("subset_of_known"),
+        F.size("types").cast("bigint").alias("n_types"),
+    )
+
+
+_ORACLE_ARRAY_PRED = """
+WITH sets AS (
+  SELECT user_id, list_sort(list_distinct(list(event_type))) AS types
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       list_contains(types, 'purchase') AS has_purchase,
+       len(list_filter(['click', 'purchase'],
+           x -> NOT list_contains(types, x))) = 0 AS covers_click_purchase,
+       len(list_filter(types,
+           x -> NOT list_contains(['click','error','purchase','signup','view'], x)))
+         = 0 AS subset_of_known,
+       CAST(len(types) AS BIGINT) AS n_types
+FROM sets
+"""
+
+
+def q_topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 ORDER BY ... DESC LIMIT n (newest-first, deterministic
+    tiebreak) — TakeOrderedAndProject, no full sort."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "ts", "user_id", "event_type")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(50)
+    )
+
+
+_ORACLE_TOPK = """
+SELECT event_id, ts, user_id, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 50
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 def build_queries() -> dict:
@@ -945,6 +1129,11 @@ def build_queries() -> dict:
         "sim_ann_lsh": q_sim_ann_lsh,
         "multimodal_features": q_multimodal_features,
         "streaming_hourly": q_streaming_hourly,
+        "asof_join": q_asof_join,
+        "sessionize": q_sessionize,
+        "rollup_report": q_rollup_report,
+        "array_predicates": q_array_predicates,
+        "topk_recent": q_topk_recent,
     }
 
 
@@ -981,4 +1170,9 @@ def build_oracles() -> dict[str, str]:
         "sim_ann_lsh": _oracle_sim_ann_lsh(),
         # multimodal_features: rows-only (decode stubbed; no oracle)
         "streaming_hourly": _oracle_streaming_hourly(),
+        "asof_join": _ORACLE_ASOF,
+        "sessionize": _ORACLE_SESSIONIZE,
+        "rollup_report": _ORACLE_ROLLUP,
+        "array_predicates": _ORACLE_ARRAY_PRED,
+        "topk_recent": _ORACLE_TOPK,
     }
