@@ -142,6 +142,18 @@ class Granularity:
             cur = self.inc(cur)
         return out
 
+    def source_buckets(
+        self, target_end: datetime, source: "Granularity"
+    ) -> list[datetime]:
+        """X4 timestamp mapping ``trend.mapping_<src>-><dst>``: the
+        source-granularity bucket end-labels covered by the target
+        period ending at ``target_end`` (reference
+        `aggregation_generation.py:268-270`, `materialization.py:40-60`).
+        The identity case (same granularity) returns [target_end]."""
+        if source == self:
+            return [target_end]
+        return source.range(self.decr(target_end), target_end)
+
     # ----------------------------------------------------- SQL emission
     def bucket_end_spark_sql(self, ts_col: str) -> str:
         """Spark SQL expression: bucket end-label of ``ts_col``.

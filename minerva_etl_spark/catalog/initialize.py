@@ -1,0 +1,193 @@
+"""Instance initialization: compile a YAML instance into engine objects.
+
+Reference (`/root/reference/src/minerva/commands/initialize.py:111-155`):
+``minerva initialize`` loads the instance into the database in fixed
+order — trend stores, attribute/notification stores, virtual entities,
+relations, materializations, triggers — and materializes relations.
+
+Here the same pass builds `TrendStore` / `AttributeStore` /
+`NotificationStore` objects over a data directory, registers every
+materialization (view SQL goes through the PG→Spark translator) with
+one shared `MaterializationEngine`, and builds `Trigger` objects.  The
+result is an `EngineContext` a caller can load into / materialize /
+query — the Spark equivalent of an initialized Minerva database.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from datetime import datetime, timedelta
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from minerva_etl_spark.catalog.granularity import Granularity
+from minerva_etl_spark.catalog.instance import MinervaInstance, TrendStoreDef
+from minerva_etl_spark.materialize.fingerprint import (
+    Materialization,
+    MaterializationEngine,
+)
+from minerva_etl_spark.plans.sqltranslate import translate
+from minerva_etl_spark.store.attribute_store import AttributeStore
+from minerva_etl_spark.store.notification import NotificationStore
+from minerva_etl_spark.store.relation import RelationStore
+from minerva_etl_spark.store.trendstore import TrendStore, TrendStorePart
+from minerva_etl_spark.trigger.trigger import Trigger
+
+
+def _parse_delay(spec: str) -> timedelta:
+    g = Granularity.parse(spec)
+    if g.months:
+        return timedelta(days=30 * g.months)
+    return timedelta(seconds=g.seconds)
+
+
+@dataclass
+class EngineContext:
+    spark: SparkSession
+    data_dir: str
+    trend_stores: dict[str, TrendStore] = field(default_factory=dict)
+    parts_index: dict[str, TrendStore] = field(default_factory=dict)
+    attribute_stores: dict[str, AttributeStore] = field(default_factory=dict)
+    notification_stores: dict[str, NotificationStore] = field(default_factory=dict)
+    relations: RelationStore | None = None
+    engine: MaterializationEngine | None = None
+    triggers: dict[str, Trigger] = field(default_factory=dict)
+
+    def store_key(self, d: TrendStoreDef) -> str:
+        return f"{d.data_source}_{d.entity_type}_{Granularity.parse(d.granularity).name}"
+
+    # ------------------------------------------------------------ helpers
+    def read_part(self, part_name: str) -> DataFrame | None:
+        store = self.parts_index[part_name]
+        return store.read_part(self.spark, part_name)
+
+    def register_part_view(self, part_name: str) -> None:
+        df = self.read_part(part_name)
+        if df is not None:
+            df.createOrReplaceTempView(part_name.replace("-", "_"))
+
+    def modified_log(self) -> DataFrame | None:
+        # all stores share one modified log under data_dir
+        store = next(iter(self.trend_stores.values()), None)
+        return store.read_modified_log(self.spark) if store else None
+
+    def materialize_stale(self, now: datetime, max_num: int | None = None) -> list:
+        log = self.modified_log()
+        if log is None or self.engine is None:
+            return []
+
+        def sink(name: str, df: DataFrame, timestamps: list) -> None:
+            target = self.parts_index.get(name)
+            if target is None:
+                raise KeyError(f"materialization target part unknown: {name}")
+            target.store(self.spark, df, job_id=0)
+
+        return self.engine.run(log, now, sink, max_num=max_num)
+
+
+def initialize(
+    spark: SparkSession, instance: MinervaInstance, data_dir: str
+) -> EngineContext:
+    """The fixed-order initialize pass (reference
+    `initialize.py:111-155`), minus DDL — objects instead of tables."""
+    ctx = EngineContext(spark=spark, data_dir=data_dir)
+
+    # 1. trend stores
+    for d in instance.trend_stores:
+        store = TrendStore(
+            data_source=d.data_source,
+            entity_type=d.entity_type,
+            granularity=d.granularity,
+            parts=[
+                TrendStorePart(p.name, [t.name for t in p.trends])
+                for p in d.parts
+            ],
+            base_path=data_dir,
+            partition_size=d.partition_size,
+            retention_period=d.retention_period,
+        )
+        ctx.trend_stores[ctx.store_key(d)] = store
+        for p in d.parts:
+            ctx.parts_index[p.name] = store
+
+    # 2. attribute stores
+    for a in instance.attribute_stores:
+        st = AttributeStore(
+            a["data_source"], a["entity_type"],
+            [attr["name"] for attr in a.get("attributes", [])],
+            data_dir,
+        )
+        ctx.attribute_stores[f"{st.data_source}_{st.entity_type}"] = st
+
+    # 3. notification stores
+    for n in instance.notification_stores:
+        st = NotificationStore(
+            n["data_source"],
+            [attr["name"] for attr in n.get("attributes", [])],
+            data_dir,
+        )
+        ctx.notification_stores[st.data_source] = st
+
+    # 4. relations
+    ctx.relations = RelationStore(data_dir)
+
+    # 5. materializations (view SQL through the dialect translator)
+    ctx.engine = MaterializationEngine(spark, f"{data_dir}/materialization_state")
+    for m in instance.materializations:
+        target = m.target_trend_store_part
+        target_store = ctx.parts_index.get(target)
+        if target_store is None:
+            continue
+        sources = [s["trend_store_part"] if isinstance(s, dict) else s
+                   for s in m.sources]
+        view_sql = translate(m.view) if m.view else None
+
+        def make_transform(view_sql=view_sql, sources=sources):
+            def transform(spark_, timestamps):
+                for src in sources:
+                    ctx.register_part_view(src)
+                df = spark_.sql(view_sql)
+                return df.filter(F.col("timestamp").isin(timestamps))
+
+            return transform
+
+        ctx.engine.register(
+            Materialization(
+                name=target,
+                target_gran=Granularity.parse(target_store.granularity.name),
+                sources=sources,
+                transform=make_transform(),
+                processing_delay=_parse_delay(m.processing_delay),
+                stability_delay=_parse_delay(m.stability_delay),
+                reprocessing_period=_parse_delay(m.reprocessing_period),
+                enabled=m.enabled,
+            )
+        )
+
+    # 6. triggers
+    for t in instance.triggers:
+        kpi_sql = translate(t.get("kpi_query", "")) if t.get("kpi_query") else None
+
+        def make_kpi(kpi_sql=kpi_sql, sources=t.get("kpi_sources", [])):
+            def kpi(spark_, _timestamps):
+                for src in sources:
+                    ctx.register_part_view(src)
+                return spark_.sql(kpi_sql)
+
+            return kpi
+
+        thresholds = {
+            th["name"]: float(th["value"]) for th in t.get("thresholds", [])
+        }
+        ctx.triggers[t["name"]] = Trigger(
+            name=t["name"],
+            kpi=make_kpi(),
+            thresholds=thresholds,
+            condition=translate(t.get("condition", "true")),
+            weight=str(t.get("weight", "1")),
+            notification_message=translate(
+                t.get("notification", "''")
+            ),
+        )
+
+    return ctx

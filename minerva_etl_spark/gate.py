@@ -1094,6 +1094,139 @@ FROM events ORDER BY ts DESC, event_id DESC LIMIT 50
 
 
 # =====================================================================
+# Embedding near-dup + classic OLAP shapes
+# =====================================================================
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH sign-bucket candidates, exact
+    rescore, keep pairs with cosine ≥ 0.3.  Same bucket-join-not-
+    cross-join shape as sim_ann_lsh (the 100 TB dedup path)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed = S.lsh_sign_bucket(emb, list(range(8)))
+    a = indexed.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("vec_a"),
+        "bucket",
+    )
+    b = indexed.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vec_b"),
+        "bucket",
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = pairs.select(
+        "id_a", "id_b", S.cosine_expr("vec_a", "vec_b").alias("cosine")
+    )
+    return scored.filter(F.col("cosine") >= 0.3)
+
+
+def _oracle_dedup_embedding() -> str:
+    def bucket_sql(alias: str) -> str:
+        bits = [
+            f"CASE WHEN {alias}.embedding[{d + 1}] >= 0 THEN '1' ELSE '0' END"
+            for d in range(8)
+        ]
+        return " || ".join(bits)
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), "
+        "CAST(b.embedding AS DOUBLE[])), p -> p[1] * p[2])), (acc, v) -> acc + v)"
+    )
+    norm = lambda al: (  # noqa: E731
+        f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(CAST({al}.embedding AS DOUBLE[]), x -> x * x)), "
+        f"(acc, v) -> acc + v))"
+    )
+    return f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round({dot} / ({norm('a')} * {norm('b')}), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON ({bucket_sql('a')}) = ({bucket_sql('b')}) AND a.vec_id < b.vec_id
+WHERE round({dot} / ({norm('a')} * {norm('b')}), 6) >= 0.3
+"""
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide multi-aggregate groupBy with a pushed
+    filter — the classic whole-stage-codegen pipeline."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(32,6)"
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias(
+                "sum_base_price"
+            ),
+            F.sum(disc.cast(dec)).cast("double").alias("sum_disc_price"),
+            F.sum(
+                (disc * (F.lit(1.0) + F.col("l_tax"))).cast(dec)
+            ).cast("double").alias("sum_charge"),
+            F.sum(F.col("l_discount").cast(dec)).cast("double").alias("sum_disc"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+_ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(32,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(32,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS DECIMAL(32,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_discount AS DECIMAL(32,6))) AS DOUBLE) AS sum_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filters, two joins (broadcast-able
+    dims), aggregate, top-10."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    dec = "decimal(32,6)"
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+_ORACLE_SHIPPING = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 def build_queries() -> dict:
@@ -1134,6 +1267,9 @@ def build_queries() -> dict:
         "rollup_report": q_rollup_report,
         "array_predicates": q_array_predicates,
         "topk_recent": q_topk_recent,
+        "dedup_embedding": q_dedup_embedding,
+        "pricing_summary": q_pricing_summary,
+        "shipping_priority": q_shipping_priority,
     }
 
 
@@ -1175,4 +1311,7 @@ def build_oracles() -> dict[str, str]:
         "rollup_report": _ORACLE_ROLLUP,
         "array_predicates": _ORACLE_ARRAY_PRED,
         "topk_recent": _ORACLE_TOPK,
+        "dedup_embedding": _oracle_dedup_embedding(),
+        "pricing_summary": _ORACLE_PRICING,
+        "shipping_priority": _ORACLE_SHIPPING,
     }

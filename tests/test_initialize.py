@@ -1,0 +1,128 @@
+"""YAML instance → initialized engine: a tiny_instance-shaped directory
+compiled by catalog.initialize, then loaded + materialized end-to-end."""
+
+from datetime import datetime, timedelta
+
+import pytest
+
+from minerva_etl_spark.catalog.initialize import initialize
+from minerva_etl_spark.catalog.instance import MinervaInstance
+from minerva_etl_spark.sources.csv_harvest import CsvParserConfig
+from minerva_etl_spark.sources.loader import Loader
+
+TREND_YAML = """\
+data_source: hub
+entity_type: node
+granularity: 15m
+partition_size: 1d
+parts:
+  - name: node_main_15m
+    trends:
+      - name: power_kwh
+        data_type: double precision
+"""
+
+KPI_TREND_YAML = """\
+data_source: hub-kpi
+entity_type: node
+granularity: 15m
+partition_size: 1d
+parts:
+  - name: kpi_node_15m
+    trends:
+      - name: power_mwh
+        data_type: double precision
+"""
+
+MATERIALIZATION_YAML = """\
+target_trend_store_part: kpi_node_15m
+enabled: true
+processing_delay: 1s
+stability_delay: 1s
+reprocessing_period: 520w
+sources:
+  - trend_store_part: node_main_15m
+view: |
+  SELECT entity_id, timestamp, (power_kwh * 1000)::double precision AS power_mwh
+  FROM trend."node_main_15m"
+"""
+
+TRIGGER_YAML = """\
+name: HighPowerUsage
+kpi_sources: [kpi_node_15m]
+kpi_query: |
+  SELECT entity_id, timestamp, power_mwh FROM trend."kpi_node_15m"
+thresholds:
+  - name: max_power
+    value: 50.0
+condition: power_mwh > max_power
+weight: 100
+notification: "'high power'"
+"""
+
+NOTIFICATION_YAML = """\
+data_source: trigger-notification
+attributes:
+  - name: rule
+  - name: weight
+"""
+
+
+@pytest.fixture()
+def instance_dir(tmp_path):
+    root = tmp_path / "instance"
+    for sub, files in {
+        "trend": {"hub_node_15m.yaml": TREND_YAML, "kpi_node.yaml": KPI_TREND_YAML},
+        "materialization": {"kpi.yaml": MATERIALIZATION_YAML},
+        "trigger": {"high_power.yaml": TRIGGER_YAML},
+        "notification": {"notification.yaml": NOTIFICATION_YAML},
+        "relation": {},
+        "attribute": {},
+    }.items():
+        (root / sub).mkdir(parents=True, exist_ok=True)
+        for name, body in files.items():
+            (root / sub / name).write_text(body)
+    return root
+
+
+def test_initialize_and_run(spark, tmp_path, instance_dir):
+    inst = MinervaInstance.load(instance_dir)
+    assert len(inst.trend_stores) == 2
+    assert len(inst.materializations) == 1
+
+    ctx = initialize(spark, inst, str(tmp_path / "data"))
+    assert set(ctx.parts_index) == {"node_main_15m", "kpi_node_15m"}
+    assert "HighPowerUsage" in ctx.triggers
+
+    # load a csv through the initialized raw store
+    csv = tmp_path / "s.csv"
+    csv.write_text(
+        "node,timestamp,power_kwh\n"
+        "n1,2024-01-01 00:15:00,0.02\n"
+        "n1,2024-01-01 00:30:00,0.07\n"
+    )
+    raw = ctx.trend_stores["hub_node_15m"]
+    Loader(store=raw).load_file(
+        spark, "csv", str(csv),
+        CsvParserConfig(
+            identifier_column="node", timestamp_column="timestamp",
+            entity_type="node",
+            column_types={"power_kwh": "double precision"},
+        ),
+    )
+
+    # fingerprint engine materializes the translated view per bucket
+    done = ctx.materialize_stale(datetime.utcnow() + timedelta(minutes=1))
+    assert len(done) == 2
+    kpi = ctx.read_part("kpi_node_15m")
+    vals = sorted(round(r.power_mwh, 6) for r in kpi.collect())
+    assert vals == [20.0, 70.0]
+
+    # trigger over the materialized KPI -> notification store
+    notifications = ctx.triggers["HighPowerUsage"].evaluate(spark, [])
+    rows = notifications.collect()
+    assert len(rows) == 1 and rows[0].weight == 100
+    ctx.notification_stores["trigger-notification"].store(notifications)
+    assert (
+        ctx.notification_stores["trigger-notification"].read(spark).count() == 1
+    )

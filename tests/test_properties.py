@@ -1,0 +1,90 @@
+"""Property-based tests (hypothesis): granularity bucket algebra, the
+type-widening lattice, and Python↔SQL bucket parity via DuckDB.
+
+The reference has no property tests (SURVEY §5.3); these guard the
+invariants the whole engine leans on.
+"""
+
+from datetime import datetime, timedelta
+
+import duckdb
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from minerva_etl_spark.catalog import datatypes as dt
+from minerva_etl_spark.catalog.granularity import Granularity
+
+GRANS = ["15m", "30m", "1h", "1d", "1w", "1month"]
+
+timestamps = st.datetimes(
+    min_value=datetime(2001, 1, 1), max_value=datetime(2035, 12, 31)
+)
+
+
+@given(ts=timestamps, gran=st.sampled_from(GRANS))
+@settings(max_examples=300, deadline=None)
+def test_bucket_end_covers_half_open_interval(ts, gran):
+    g = Granularity.parse(gran)
+    end = g.bucket_end(ts)
+    # ts ∈ (end - g, end]
+    assert ts <= end
+    assert g.decr(end) < ts or ts == end
+    # idempotent: the label is its own bucket end
+    assert g.bucket_end(end) == end
+
+
+@given(ts=timestamps, gran=st.sampled_from(GRANS))
+@settings(max_examples=300, deadline=None)
+def test_truncate_floor_properties(ts, gran):
+    g = Granularity.parse(gran)
+    start = g.truncate(ts)
+    assert start <= ts
+    assert g.truncate(start) == start
+    assert g.inc(start) > ts or ts == start
+
+
+@given(ts=timestamps, gran=st.sampled_from(["15m", "1h", "1d", "1month"]))
+@settings(max_examples=150, deadline=None)
+def test_bucket_end_matches_duckdb_sql(ts, gran):
+    """The ANSI emission computes the same label as the Python model
+    (microsecond-floored input, as stored)."""
+    g = Granularity.parse(gran)
+    ts = ts.replace(microsecond=(ts.microsecond // 1) )
+    sql = g.bucket_end_ansi_sql("ts")
+    got = duckdb.sql(
+        f"SELECT {sql} AS b FROM (SELECT TIMESTAMP '{ts}' AS ts)"
+    ).fetchone()[0]
+    assert got == g.bucket_end(ts)
+
+
+@given(
+    a=st.sampled_from(dt.LADDER),
+    b=st.sampled_from(dt.LADDER),
+    c=st.sampled_from(dt.LADDER),
+)
+def test_widening_is_a_semilattice(a, b, c):
+    m = dt.max_data_type
+    assert m(a, b) == m(b, a)
+    assert m(a, m(b, c)) == m(m(a, b), c)
+    assert m(a, a) == a
+    # absorbing top
+    assert m(a, dt.TEXT) == dt.TEXT
+
+
+@given(st.integers(min_value=-(2**70), max_value=2**70))
+def test_integer_deduction_roundtrip(n):
+    t = dt.deduce_data_type(str(n))
+    if -32768 <= n <= 32767:
+        assert t is dt.SMALLINT
+    elif -2147483648 <= n <= 2147483647:
+        assert t is dt.INTEGER
+    elif -(2**63) <= n < 2**63:
+        assert t is dt.BIGINT
+    else:
+        assert t is dt.NUMERIC
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64))
+def test_float_deduction_never_text(x):
+    t = dt.deduce_data_type(repr(x))
+    assert t in (dt.REAL, dt.DOUBLE, dt.SMALLINT, dt.INTEGER, dt.BIGINT, dt.NUMERIC)
