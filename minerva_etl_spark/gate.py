@@ -1226,6 +1226,51 @@ LIMIT 10
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way join down the region→nation→
+    customer/supplier star with a same-nation predicate, grouped by
+    nation.  Dims broadcast; one shuffle for the final group."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    )
+    dec = "decimal(32,6)"
+    revenue = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).cast(dec)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(revenue).cast("double").alias("revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
+
+
+_ORACLE_Q5 = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(32,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1270,6 +1315,7 @@ def build_queries() -> dict:
         "dedup_embedding": q_dedup_embedding,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -1314,4 +1360,5 @@ def build_oracles() -> dict[str, str]:
         "dedup_embedding": _oracle_dedup_embedding(),
         "pricing_summary": _ORACLE_PRICING,
         "shipping_priority": _ORACLE_SHIPPING,
+        "local_supplier_volume": _ORACLE_Q5,
     }

@@ -72,6 +72,8 @@ class TrendStore:
             self.partition_size = Granularity.parse(spec)
         else:
             self.partition_size = Granularity.parse(self.partition_size)
+        if self.retention_period is not None:
+            self.retention_period = Granularity.parse(self.retention_period)
 
     # ---------------------------------------------------------- layout
     def part_path(self, part: str) -> str:
@@ -239,3 +241,19 @@ class TrendStore:
         cutoff_idx = cutoff_idx_row[0]["i"]
         idxs = [r[PARTITION_COL] for r in df.select(PARTITION_COL).distinct().collect()]
         return sorted(i for i in idxs if i < cutoff_idx)
+
+    def drop_expired(
+        self, spark: SparkSession, part: str, now: datetime
+    ) -> list[int]:
+        """T8 retention enforcement: delete expired partition
+        directories (metadata-only, no rewrite — the point of the
+        time-partitioned layout)."""
+        import shutil
+
+        expired = self.expired_partitions(spark, part, now)
+        base = self.part_path(part)
+        for idx in expired:
+            shutil.rmtree(
+                os.path.join(base, f"{PARTITION_COL}={idx}"), ignore_errors=True
+            )
+        return expired
