@@ -64,6 +64,22 @@ def fold_modified_state(modified_log: DataFrame) -> DataFrame:
     )
 
 
+def compact_modified_log(spark: SparkSession, log_path: str) -> int:
+    """Rewrite the append-only modified log to its folded state
+    (reference ``process_modified_log`` keeps a separate state table;
+    here the log IS the state, so compaction bounds its growth).
+    Returns the compacted row count.  Run under the retention job."""
+    try:
+        log = spark.read.parquet(log_path)
+    except Exception:
+        return 0
+    folded = fold_modified_state(log).select(
+        "part", "timestamp", F.col("last_modified").alias("modified")
+    ).localCheckpoint(eager=True)
+    folded.write.mode("overwrite").parquet(log_path)
+    return folded.count()
+
+
 def source_fingerprints(
     mat: Materialization, modified_state: DataFrame
 ) -> DataFrame:

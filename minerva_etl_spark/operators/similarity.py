@@ -130,6 +130,78 @@ def knn_join_topk(
     )
 
 
+def ivf_index(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 5,
+):
+    """IVF (inverted-file) ANN index: k-means centroids + per-vector
+    cluster assignment.
+
+    Returns (assigned_df, centroids) where ``assigned_df`` carries a
+    ``centroid_id`` column and ``centroids`` is the (small, driver-side)
+    list of centroid vectors.  Search = score query against centroids
+    (driver-side, tiny), then exact-rescore only the nearest
+    ``n_probe`` clusters — the classic corpus-pruning scale path,
+    complementary to :func:`lsh_sign_bucket`.
+
+    Uses MLlib KMeans (seeded, deterministic given a seed + data order);
+    being iterative it has no SQL oracle — callers verify by recall
+    against brute force (see tests).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__features"),
+    )
+    model = KMeans(
+        k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="__features"
+    ).fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("prediction").alias("centroid_id"),
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search an IVF index: pick the ``n_probe`` nearest centroids
+    (driver-side — centroids are tiny), filter to those clusters
+    (partition-prunable at scale), exact cosine rescore, top-k."""
+    import math
+
+    def cos(a: list[float], b: list[float]) -> float:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probes = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
+    )[:n_probe]
+    qlit = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in query_vec) + ")"
+    scored = assigned.filter(F.col("centroid_id").isin(probes)).select(
+        F.col(id_col), cosine_expr(vec_col, qlit).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
 def lsh_sign_bucket(
     embeddings: DataFrame,
     dims: list[int],

@@ -1,0 +1,56 @@
+"""Loader error policy + filters (reference S4/P8: warn-vs-stop on
+unknown columns, --dn-filter / --column-filter)."""
+
+import pytest
+
+from minerva_etl_spark.sources.csv_harvest import CsvParserConfig
+from minerva_etl_spark.sources.loader import Loader
+from minerva_etl_spark.store.trendstore import TrendStore, TrendStorePart
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return TrendStore(
+        data_source="hub", entity_type="node", granularity="15m",
+        parts=[TrendStorePart("main", ["power_kwh"])],
+        base_path=str(tmp_path),
+    )
+
+
+@pytest.fixture()
+def csv_path(tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "node,timestamp,power_kwh,rogue_metric\n"
+        "alpha-1,2024-01-01 00:15:00,1.5,9\n"
+        "beta-2,2024-01-01 00:15:00,2.5,9\n"
+    )
+    return str(p)
+
+
+CFG = CsvParserConfig(
+    identifier_column="node", timestamp_column="timestamp", entity_type="node"
+)
+
+
+def test_unknown_column_warn_drops(spark, store, csv_path):
+    Loader(store=store, on_unknown_column="warn").load_file(
+        spark, "csv", csv_path, CFG
+    )
+    df = store.read_part(spark, "main")
+    assert "rogue_metric" not in df.columns
+    assert df.count() == 2
+
+
+def test_unknown_column_stop_raises(spark, store, csv_path):
+    with pytest.raises(ValueError, match="rogue_metric"):
+        Loader(store=store, on_unknown_column="stop").load_file(
+            spark, "csv", csv_path, CFG
+        )
+
+
+def test_entity_filter(spark, store, csv_path):
+    Loader(store=store, entity_filter="^alpha-").load_file(
+        spark, "csv", csv_path, CFG
+    )
+    assert store.read_part(spark, "main").count() == 1

@@ -1,0 +1,54 @@
+"""IVF ANN index: recall vs brute force on the fixture embeddings, and
+modified-log compaction."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from minerva_etl_spark.materialize.fingerprint import compact_modified_log
+from minerva_etl_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_index,
+    ivf_search,
+)
+from minerva_etl_spark.sources.tables import load_table
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    query = [float(x) for x in query]
+
+    exact = brute_force_topk(emb, query, k=10, exclude_id=0)
+    exact_ids = {r.vec_id for r in exact.collect()}
+
+    assigned, centroids = ivf_index(emb, n_centroids=8)
+    approx = ivf_search(
+        assigned.filter(F.col("vec_id") != 0), centroids, query, k=10, n_probe=4
+    )
+    approx_ids = {r.vec_id for r in approx.collect()}
+
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    # probing half the clusters should catch most true neighbors
+    assert recall >= 0.5, f"recall {recall} too low: {approx_ids} vs {exact_ids}"
+    assert len(approx_ids) == 10
+
+
+def test_compact_modified_log(spark, tmp_path):
+    path = str(tmp_path / "log")
+    rows = [
+        ("p", datetime(2024, 1, 1, 0, 15), datetime(2024, 1, 1, 0, 16)),
+        ("p", datetime(2024, 1, 1, 0, 15), datetime(2024, 1, 1, 0, 40)),
+        ("p", datetime(2024, 1, 1, 0, 30), datetime(2024, 1, 1, 0, 31)),
+    ]
+    spark.createDataFrame(
+        rows, "part string, timestamp timestamp_ntz, modified timestamp_ntz"
+    ).write.mode("append").parquet(path)
+    n = compact_modified_log(spark, path)
+    assert n == 2
+    folded = {
+        (r.part, r.timestamp): r.modified
+        for r in spark.read.parquet(path).collect()
+    }
+    assert folded[("p", datetime(2024, 1, 1, 0, 15))] == datetime(2024, 1, 1, 0, 40)

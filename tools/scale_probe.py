@@ -1,0 +1,137 @@
+"""Scale probe: where does Spark's distributed plan overtake the
+in-process oracle?
+
+Synthesizes N× copies of the sf0.1 fixtures into /tmp (events with
+shifted ids/timestamps so keys stay realistic; documents re-texted so
+dedup stays non-trivial), then times the headline heavy operators on
+Spark vs DuckDB at each scale.  Records the evidence behind SCALE.md's
+claims.
+
+Usage: python tools/scale_probe.py [multipliers...]  (default: 1 4 16)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+WORK = "/tmp/minerva_scale_probe"
+
+
+def build(spark, mult: int) -> str:
+    from pyspark.sql import functions as F
+
+    out = f"{WORK}/x{mult}"
+    if os.path.exists(f"{out}/_DONE"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    copies = spark.range(mult).select(F.col("id").alias("copy"))
+    big_ev = (
+        ev.crossJoin(copies)
+        .select(
+            (F.col("event_id") + F.col("copy") * 10_000_000).alias("event_id"),
+            # shift each copy by its index × 1h of nanos: keys repeat,
+            # timestamps interleave (realistic bucket growth)
+            (F.col("ts") + F.col("copy") * 3_600_000_000_000).alias("ts"),
+            (F.col("user_id") + (F.col("copy") % 4) * 10_000).alias("user_id"),
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    big_ev.write.mode("overwrite").parquet(f"{out}/events.parquet")
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    big_docs = (
+        docs.crossJoin(copies)
+        .select(
+            (F.col("doc_id") + F.col("copy") * 1_000_000).alias("doc_id"),
+            F.when(F.col("copy") % 3 == 0, F.col("text")).otherwise(
+                F.concat(F.col("text"), F.lit(" v"), F.col("copy").cast("string"))
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+    )
+    big_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    open(f"{out}/_DONE", "w").write("ok")
+    return out
+
+
+def probe(spark, data_dir: str, mult: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from minerva_etl_spark.operators import dedup as D
+    from minerva_etl_spark.operators.aggregation import TrendAggSpec, time_aggregate
+
+    results: dict[str, dict[str, float]] = {}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    ev = spark.read.parquet(f"{data_dir}/events.parquet").withColumn(
+        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+    )
+    docs = spark.read.parquet(f"{data_dir}/documents.parquet")
+
+    t0 = time.time()
+    n1 = time_aggregate(
+        ev, "1h",
+        [TrendAggSpec("value", "sum", alias="s"), TrendAggSpec("value", "avg", alias="a")],
+        entity_col="user_id", timestamp_col="ts",
+    ).count()
+    results["time_agg_1h"] = {"spark": round(time.time() - t0, 2), "rows": n1}
+
+    t0 = time.time()
+    n2 = D.minhash_candidate_pairs(docs).count()
+    results["minhash_pairs"] = {"spark": round(time.time() - t0, 2), "rows": n2}
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{data_dir}/events.parquet/*.parquet'"
+    )
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{data_dir}/documents.parquet/*.parquet'"
+    )
+    t0 = time.time()
+    con.execute(
+        """
+        SELECT user_id,
+               -- ts column is raw int64 nanoseconds in the probe copies
+               make_timestamp((((ts // 1000) + 3599999999) // 3600000000) * 3600000000) AS b,
+               CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE)
+        FROM events GROUP BY 1, 2
+        """
+    ).fetchall()
+    results["time_agg_1h"]["duckdb"] = round(time.time() - t0, 2)
+
+    from minerva_etl_spark.operators.dedup import minhash_pairs_oracle_sql
+
+    t0 = time.time()
+    con.execute(minhash_pairs_oracle_sql("documents")).fetchall()
+    results["minhash_pairs"]["duckdb"] = round(time.time() - t0, 2)
+    con.close()
+
+    return results
+
+
+def main() -> None:
+    mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
+    from minerva_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_probe")
+    for mult in mults:
+        data_dir = build(spark, mult)
+        res = probe(spark, data_dir, mult)
+        print(f"x{mult}: {res}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
