@@ -40,9 +40,16 @@ from minerva_etl_spark.sources.tables import load_table
 def _prep(spark: SparkSession) -> None:
     """Session invariants the gate depends on (driver may hand us an
     arbitrary session)."""
+    import os
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try:  # default 200 shuffle partitions is wrong for local fixtures
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 8)
+        spark.conf.set("spark.sql.shuffle.partitions", str(cores))
+    except Exception:
+        pass
 
 
 # =====================================================================
@@ -1226,6 +1233,140 @@ LIMIT 10
 """
 
 
+def q_moving_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-spec analytics: running sum + 4-row moving average of event
+    values per user (ROWS BETWEEN frames — beyond the reference's
+    row_number/lag repertoire)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vdec = F.col("value").cast("decimal(32,6)")
+    running = F.sum(vdec).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ).cast("double")
+    moving = (
+        F.sum(vdec).over(w.rowsBetween(-3, 0)).cast("double")
+        / F.count(F.lit(1)).over(w.rowsBetween(-3, 0)).cast("double")
+    )
+    return ev.select(
+        "user_id", "ts", "event_id",
+        running.alias("running_sum"),
+        moving.alias("moving_avg4"),
+    )
+
+
+_ORACLE_MOVING = """
+SELECT user_id, ts, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         / CAST(COUNT(*) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_avg4
+FROM events
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user daily value sums, one column per event type."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    day = F.expr("cast(date_trunc('day', ts) as timestamp_ntz)")
+    return (
+        ev.withColumn("day", day)
+        .groupBy("user_id", "day")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.sum(F.col("value").cast("decimal(32,6)")).cast("double"))
+    )
+
+
+_ORACLE_PIVOT = """
+SELECT user_id, date_trunc('day', ts) AS day,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) FILTER (event_type = 'click') AS DOUBLE) AS click,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) FILTER (event_type = 'error') AS DOUBLE) AS error,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) FILTER (event_type = 'signup') AS DOUBLE) AS signup,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) FILTER (event_type = 'view') AS DOUBLE) AS view
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidates: band the 60-bit fingerprint into
+    4×15-bit chunks, bucket-join on any equal chunk (hamming ≤ 45
+    guarantee; exact hamming attached for verification)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.simhash(docs)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        *[
+            F.expr(f"(simhash div {1 << (15 * c)}) % {1 << 15}")
+            .alias(f"chunk_{c}")
+            for c in range(4)
+        ],
+    )
+    melted = chunks.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(c), F.col(f"chunk_{c}").cast("string"))
+                for c in range(4)
+            ])
+        ).alias("band"),
+    )
+    l = melted.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band"
+    )
+    r = melted.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band"
+    )
+    pairs = (
+        l.join(r, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sh_a ^ sh_b"))
+    return pairs.select(
+        "id_a", "id_b", hamming.cast("bigint").alias("hamming")
+    )
+
+
+def _oracle_simhash_pairs() -> str:
+    sims = D.simhash_oracle_sql("documents")
+    chunk_cols = ",\n    ".join(
+        f"(simhash // {1 << (15 * c)}) % {1 << 15} AS chunk_{c}"
+        for c in range(4)
+    )
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id, simhash, '{c}:' || CAST(chunk_{c} AS VARCHAR) AS band FROM chunks"
+        for c in range(4)
+    )
+    return f"""
+WITH sims AS (
+{sims}
+), chunks AS (
+  SELECT doc_id, simhash, {chunk_cols} FROM sims
+), melted AS (
+{band_union}
+), pairs AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+         l.simhash AS sh_a, r.simhash AS sh_b
+  FROM melted l JOIN melted r ON l.band = r.band
+  WHERE l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+FROM pairs
+"""
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: five-way join down the region→nation→
     customer/supplier star with a same-nation predicate, grouped by
@@ -1316,6 +1457,9 @@ def build_queries() -> dict:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "moving_window": q_moving_window,
+        "pivot_events": q_pivot_events,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
     }
 
 
@@ -1361,4 +1505,7 @@ def build_oracles() -> dict[str, str]:
         "pricing_summary": _ORACLE_PRICING,
         "shipping_priority": _ORACLE_SHIPPING,
         "local_supplier_volume": _ORACLE_Q5,
+        "moving_window": _ORACLE_MOVING,
+        "pivot_events": _ORACLE_PIVOT,
+        "dedup_simhash_pairs": _oracle_simhash_pairs(),
     }
