@@ -38,6 +38,16 @@ HEADLINE = [
     "type_deduction",
     "sim_ann_lsh",
     "multimodal_features",
+    "asof_join",
+    "sessionize",
+    "moving_window",
+    "pivot_events",
+    "rollup_report",
+    "dedup_simhash_pairs",
+    "dedup_embedding",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
 ]
 
 

@@ -101,6 +101,15 @@ class Granularity:
     def __str__(self) -> str:  # pragma: no cover
         return self.name
 
+    @property
+    def _epoch_offset(self) -> int:
+        """Alignment offset for epoch flooring.  Weeks are Monday-based
+        (reference/PostgreSQL date_trunc('week'); epoch day 0 was a
+        Thursday, so the Monday grid is shifted by -3 days)."""
+        if self.seconds and self.seconds % 604800 == 0:
+            return -259200  # 1969-12-29 (a Monday)
+        return 0
+
     # ------------------------------------------- python-side arithmetic
     def truncate(self, ts: datetime) -> datetime:
         """Floor ``ts`` to the start of its period (UTC wall clock)."""
@@ -111,7 +120,8 @@ class Granularity:
                 hour=0, minute=0, second=0, microsecond=0,
             )
         epoch = ts.timestamp() if ts.tzinfo else (ts - datetime(1970, 1, 1)).total_seconds()
-        floored = int(epoch // self.seconds) * self.seconds
+        off = self._epoch_offset
+        floored = int((epoch - off) // self.seconds) * self.seconds + off
         return ts + timedelta(seconds=floored - epoch)
 
     def inc(self, ts: datetime) -> datetime:
@@ -172,12 +182,14 @@ class Granularity:
                 f"ELSE {trunc} + INTERVAL 1 MONTH END"
             )
         period_us = self.seconds * 1_000_000
+        off_us = self._epoch_offset * 1_000_000
         # NTZ-safe under a UTC session: cast NTZ -> instant -> epoch micros,
-        # ceil-divide, and come back as NTZ (naive/UTC — DuckDB-comparable)
+        # ceil-divide on the (Monday-aligned, for weeks) grid, come back
+        # as NTZ (naive/UTC — DuckDB-comparable)
         return (
-            f"cast(timestamp_micros(((unix_micros(cast({ts_col} as timestamp))"
-            f" + {period_us - 1}) div {period_us}) * {period_us})"
-            f" as timestamp_ntz)"
+            f"cast(timestamp_micros((((unix_micros(cast({ts_col} as timestamp))"
+            f" - {off_us} + {period_us - 1}) div {period_us}) * {period_us}"
+            f" + {off_us})) as timestamp_ntz)"
         )
 
     def bucket_end_ansi_sql(self, ts_col: str) -> str:
@@ -192,9 +204,10 @@ class Granularity:
                 f"ELSE {trunc} + INTERVAL 1 MONTH END"
             )
         period_us = self.seconds * 1_000_000
+        off_us = self._epoch_offset * 1_000_000
         return (
-            f"make_timestamp(((epoch_us({ts_col}) + {period_us - 1}) "
-            f"// {period_us}) * {period_us})"
+            f"make_timestamp((((epoch_us({ts_col}) - {off_us} + {period_us - 1}) "
+            f"// {period_us}) * {period_us}) + {off_us})"
         )
 
     def bucket_start_spark_sql(self, ts_col: str) -> str:
@@ -204,9 +217,11 @@ class Granularity:
                 return f"date_trunc('month', {ts_col})"
             raise NotImplementedError
         period_us = self.seconds * 1_000_000
+        off_us = self._epoch_offset * 1_000_000
         return (
-            f"cast(timestamp_micros((unix_micros(cast({ts_col} as timestamp))"
-            f" div {period_us}) * {period_us}) as timestamp_ntz)"
+            f"cast(timestamp_micros(((unix_micros(cast({ts_col} as timestamp))"
+            f" - {off_us}) div {period_us}) * {period_us} + {off_us})"
+            f" as timestamp_ntz)"
         )
 
     def partition_index_spark_sql(self, ts_col: str, partition_size: "Granularity") -> str:

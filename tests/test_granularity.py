@@ -71,3 +71,13 @@ def test_spark_sql_emission_shape():
     assert "900000000" in sql and "div" in sql
     duck = g.bucket_end_ansi_sql("ts")
     assert "900000000" in duck and "//" in duck
+
+
+def test_week_truncation_is_monday():
+    """Weeks align to Monday (reference/PG date_trunc('week')), not the
+    raw epoch grid (1970-01-01 was a Thursday)."""
+    g = Granularity.parse("1w")
+    # 2024-01-10 is a Wednesday; its week starts Monday 2024-01-08
+    assert g.truncate(datetime(2024, 1, 10, 15, 30)) == datetime(2024, 1, 8)
+    assert g.bucket_end(datetime(2024, 1, 10)) == datetime(2024, 1, 15)
+    assert g.bucket_end(datetime(2024, 1, 8)) == datetime(2024, 1, 8)

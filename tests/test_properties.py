@@ -43,7 +43,7 @@ def test_truncate_floor_properties(ts, gran):
     assert g.inc(start) > ts or ts == start
 
 
-@given(ts=timestamps, gran=st.sampled_from(["15m", "1h", "1d", "1month"]))
+@given(ts=timestamps, gran=st.sampled_from(["15m", "1h", "1d", "1w", "1month"]))
 @settings(max_examples=150, deadline=None)
 def test_bucket_end_matches_duckdb_sql(ts, gran):
     """The ANSI emission computes the same label as the Python model
