@@ -210,6 +210,39 @@ class Granularity:
             f"// {period_us}) * {period_us}) + {off_us})"
         )
 
+    def bucket_end_local_spark_sql(self, ts_col: str, tz: str) -> str:
+        """DST-aware bucket end for calendar granularities (1d/1month):
+        the reference truncates in *local wall clock*
+        (`granularity.py:48-76`, `helpers.py:77-137`), so a day bucket
+        is 23/25 h long across DST transitions.  Input/output are naive
+        UTC; the tz database does the wall↔instant mapping."""
+        unit = "month" if self.months else "day"
+        if not self.months and self.seconds != 86400:
+            raise ValueError("local-time buckets support 1d/1month only")
+        local = f"from_utc_timestamp(cast({ts_col} as timestamp), '{tz}')"
+        trunc = f"date_trunc('{unit}', {local})"
+        step = "INTERVAL 1 MONTH" if self.months else "INTERVAL 1 DAY"
+        end_wall = (
+            f"CASE WHEN {local} = {trunc} THEN {local} "
+            f"ELSE {trunc} + {step} END"
+        )
+        return f"cast(to_utc_timestamp({end_wall}, '{tz}') as timestamp_ntz)"
+
+    def bucket_end_local_ansi_sql(self, ts_col: str, tz: str) -> str:
+        """DuckDB twin of :meth:`bucket_end_local_spark_sql`
+        (session-timezone-independent composition of timezone())."""
+        unit = "month" if self.months else "day"
+        if not self.months and self.seconds != 86400:
+            raise ValueError("local-time buckets support 1d/1month only")
+        local = f"timezone('{tz}', timezone('UTC', {ts_col}))"
+        trunc = f"CAST(date_trunc('{unit}', {local}) AS TIMESTAMP)"
+        step = "INTERVAL 1 MONTH" if self.months else "INTERVAL 1 DAY"
+        end_wall = (
+            f"CASE WHEN {local} = {trunc} THEN {local} "
+            f"ELSE {trunc} + {step} END"
+        )
+        return f"timezone('UTC', timezone('{tz}', {end_wall}))"
+
     def bucket_start_spark_sql(self, ts_col: str) -> str:
         """Spark SQL expression: period-start (floor) of ``ts_col``."""
         if self.months:

@@ -1372,6 +1372,83 @@ FROM pairs
 """
 
 
+def q_trend_time_agg_1d_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 DST-aware calendar buckets: daily roll-up in Europe/Amsterdam
+    local time (reference truncates in local wall clock — day buckets
+    are 23/25 h across DST transitions)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    gran = Granularity.parse("1d")
+    bucket = F.expr(gran.bucket_end_local_spark_sql("ts", "Europe/Amsterdam"))
+    return ev.groupBy("user_id", bucket.alias("ts")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("samples"),
+        F.sum(F.col("value").cast("decimal(32,6)")).cast("double").alias(
+            "sum_value"
+        ),
+    )
+
+
+def _oracle_time_agg_1d_dst() -> str:
+    gran = Granularity.parse("1d")
+    bucket = gran.bucket_end_local_ansi_sql("ts", "Europe/Amsterdam")
+    return f"""
+SELECT user_id, {bucket} AS ts,
+       CAST(count(*) AS BIGINT) AS samples,
+       CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+TREND_SLOPE_SCHEMA = (
+    "user_id bigint, n bigint, slope_per_hour double, intercept double"
+)
+
+
+def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 non-SQL materialization: per-entity least-squares trend slope
+    of event values over time via applyInPandas (grouped Arrow batches;
+    the reference's plpgsql-function materializations map here).
+    Results rounded to 6 dp; OLS on a few hundred points per entity is
+    stable enough for cross-engine hash parity with the DuckDB
+    regr_slope oracle."""
+    _prep(spark)
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        # pin the epoch unit: Arrow may hand us datetime64[ns] or [us]
+        x = pdf["ts"].astype("datetime64[ns]").astype("int64") / 3.6e12  # hours
+        y = pdf["value"]
+        n = len(pdf)
+        mx, my = x.mean(), y.mean()
+        sxx = ((x - mx) ** 2).sum()
+        slope = ((x - mx) * (y - my)).sum() / sxx if sxx else float("nan")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [n],
+                "slope_per_hour": [round(slope, 6)],
+                "intercept": [round(my - slope * mx, 6)],
+            }
+        )
+
+    return (
+        ev.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(fit, schema=TREND_SLOPE_SCHEMA)
+    )
+
+
+_ORACLE_SLOPE = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n,
+       round(regr_slope(value, epoch_us(ts) / 3.6e9), 6) AS slope_per_hour,
+       round(regr_intercept(value, epoch_us(ts) / 3.6e9), 6) AS intercept
+FROM events GROUP BY user_id
+"""
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: five-way join down the region→nation→
     customer/supplier star with a same-nation predicate, grouped by
@@ -1458,6 +1535,8 @@ def build_queries() -> dict:
         "rollup_report": q_rollup_report,
         "array_predicates": q_array_predicates,
         "topk_recent": q_topk_recent,
+        "trend_time_agg_1d_dst": q_trend_time_agg_1d_dst,
+        "trend_slope": q_trend_slope,
         "dedup_embedding": q_dedup_embedding,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -1506,6 +1585,8 @@ def build_oracles() -> dict[str, str]:
         "rollup_report": _ORACLE_ROLLUP,
         "array_predicates": _ORACLE_ARRAY_PRED,
         "topk_recent": _ORACLE_TOPK,
+        "trend_time_agg_1d_dst": _oracle_time_agg_1d_dst(),
+        "trend_slope": _ORACLE_SLOPE,
         "dedup_embedding": _oracle_dedup_embedding(),
         "pricing_summary": _ORACLE_PRICING,
         "shipping_priority": _ORACLE_SHIPPING,

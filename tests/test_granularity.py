@@ -81,3 +81,28 @@ def test_week_truncation_is_monday():
     assert g.truncate(datetime(2024, 1, 10, 15, 30)) == datetime(2024, 1, 8)
     assert g.bucket_end(datetime(2024, 1, 10)) == datetime(2024, 1, 15)
     assert g.bucket_end(datetime(2024, 1, 8)) == datetime(2024, 1, 8)
+
+
+def test_dst_local_day_bucket(spark):
+    """Europe/Amsterdam day buckets across the 2024-03-31 DST
+    transition: local midnight maps to 23:00 UTC in winter, 22:00 UTC
+    in summer (the 23-hour day)."""
+    from pyspark.sql import functions as F
+
+    g = Granularity.parse("1d")
+    df = spark.createDataFrame(
+        [
+            (datetime(2024, 3, 30, 12, 0),),  # CET day
+            (datetime(2024, 3, 31, 12, 0),),  # transition day (23h long)
+            (datetime(2024, 4, 1, 12, 0),),   # CEST day
+        ],
+        "ts timestamp_ntz",
+    )
+    out = df.select(
+        F.expr(g.bucket_end_local_spark_sql("ts", "Europe/Amsterdam")).alias("b")
+    ).collect()
+    assert [r.b for r in out] == [
+        datetime(2024, 3, 30, 23, 0),  # Mar 31 00:00 CET
+        datetime(2024, 3, 31, 22, 0),  # Apr 1 00:00 CEST (23h day)
+        datetime(2024, 4, 1, 22, 0),
+    ]
