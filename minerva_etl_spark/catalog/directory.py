@@ -89,6 +89,29 @@ def register_entities(
     return spark.read.parquet(dim_path)
 
 
+# ------------------------------------------------------------------ aliases
+def aliases_to_entity_ids(
+    df: DataFrame,
+    alias_table: DataFrame,
+    alias_col: str = "alias",
+    alias_type: str | None = None,
+) -> DataFrame:
+    """J2 alias variant (`alias_directory.aliases_to_entity_ids`,
+    `directory/helpers.py:15-21`): resolve entity ids through an alias
+    table ``(alias, entity_id [, type])`` instead of primary names.
+    The alias table is a dimension → broadcast; unknown aliases keep
+    null entity_id (caller decides create-or-drop)."""
+    at = alias_table
+    if alias_type is not None and "type" in at.columns:
+        at = at.filter(F.col("type") == alias_type)
+    at = F.broadcast(
+        at.select(F.col("alias").alias("__alias"), "entity_id")
+    )
+    return df.join(
+        at, df[alias_col] == F.col("__alias"), "left"
+    ).drop("__alias")
+
+
 # ------------------------------------------------------- distinguished names
 def dn_split_expr(dn_col: str) -> F.Column:
     """DN → array of 'k=v' parts (reference ``explode``,

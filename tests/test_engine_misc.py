@@ -177,3 +177,36 @@ def test_multimodal_feature_extract_and_frames(spark):
     assert len(by_id[2]) == 2          # 2048 bytes -> 2 frames
     assert 3 not in by_id              # null payload -> no frames
     assert len(bytes(by_id[2][0].frame_bytes)) == 1024
+
+
+def test_alias_directory_resolution(spark):
+    from minerva_etl_spark.catalog.directory import aliases_to_entity_ids
+
+    alias_table = spark.createDataFrame(
+        [("node-one", 11, "hostname"), ("node-1", 11, "short"),
+         ("node-two", 22, "hostname")],
+        "alias string, entity_id bigint, type string",
+    )
+    data = spark.createDataFrame(
+        [("node-one",), ("node-two",), ("unknown",)], "alias string"
+    )
+    out = aliases_to_entity_ids(data, alias_table, alias_type="hostname")
+    got = {r.alias: r.entity_id for r in out.collect()}
+    assert got == {"node-one": 11, "node-two": 22, "unknown": None}
+
+
+def test_attribute_store_array_typed(spark, tmp_path):
+    """Array-typed attributes (reference test_store_batch_with_list_*):
+    history, update, compact and curr all work on array<string>."""
+    st = AttributeStore("ds", "node", ["tags", "height"], str(tmp_path))
+    st.store_batch(spark, spark.createDataFrame(
+        [(1, ts(2024, 1, 1), ["a", "b"], 10.0),
+         (1, ts(2024, 1, 2), ["a", "b"], 10.0),
+         (1, ts(2024, 1, 3), ["c"], 10.0)],
+        "entity_id bigint, timestamp timestamp_ntz, tags array<string>, height double",
+    ))
+    st.compact(spark)
+    hist = sorted(st.read_history(spark).collect(), key=lambda r: r.timestamp)
+    assert [list(r.tags) for r in hist] == [["a", "b"], ["c"]]
+    curr = st.materialize_curr(spark).collect()
+    assert list(curr[0].tags) == ["c"]
