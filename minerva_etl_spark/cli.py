@@ -108,6 +108,34 @@ def cmd_retention(args) -> None:
         print(f"{part.name}: {len(expired)} expired partitions {expired}")
 
 
+def cmd_aggregation_generate(args) -> None:
+    """`minerva aggregation generate`: emit the standard ladder YAML for
+    every raw trend store of the instance."""
+    from minerva_etl_spark.catalog.aggregation_compile import write_generated
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    inst = MinervaInstance.load(args.instance)
+    for store in inst.trend_stores:
+        if args.raw_only and (store.title or "").lower() != "raw node data" \
+                and "raw" not in (store.title or "").lower():
+            continue
+        for path in write_generated(args.instance, store):
+            print(f"generated {path}")
+
+
+def cmd_materialize(args) -> None:
+    """`minerva trend-store materialize`: run all stale chunks."""
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    spark = _spark()
+    ctx = initialize(spark, MinervaInstance.load(args.instance), args.data_dir)
+    done = ctx.materialize_stale(_utcnow(), max_num=args.max_num)
+    for name, ts in done:
+        print(f"materialized {name} @ {ts}")
+    print(f"{len(done)} chunk(s)")
+
+
 def cmd_attribute(args) -> None:
     from minerva_etl_spark.store.attribute_store import AttributeStore
 
@@ -151,6 +179,14 @@ def main(argv: list[str] | None = None) -> None:
     rt.add_argument("--entity-type", required=True)
     rt.add_argument("--granularity", required=True)
     rt.set_defaults(fn=cmd_retention)
+
+    ag = sub.add_parser("aggregation-generate")
+    ag.add_argument("--raw-only", action="store_true")
+    ag.set_defaults(fn=cmd_aggregation_generate)
+
+    mt = sub.add_parser("materialize")
+    mt.add_argument("--max-num", type=int, default=None)
+    mt.set_defaults(fn=cmd_materialize)
 
     at = sub.add_parser("attribute")
     at.add_argument("action", choices=["compact", "curr"])

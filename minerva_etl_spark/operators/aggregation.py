@@ -160,6 +160,55 @@ def entity_aggregate(
 
 
 # ---------------------------------------------------------------- SQL text
+def time_aggregate_spark_sql(
+    source_table: str,
+    granularity: str | Granularity,
+    trends: list[TrendAggSpec],
+    entity_col: str = "entity_id",
+    timestamp_col: str = "timestamp",
+    samples_mode: str = "inject",
+) -> str:
+    """Spark SQL text equivalent of :func:`time_aggregate` — what the
+    aggregation *compiler* emits into generated materialization YAML
+    (the analog of the reference's generated plpgsql,
+    `aggregation_compilation.py:684-745`)."""
+    gran = Granularity.parse(granularity)
+    bucket = gran.bucket_end_spark_sql(timestamp_col)
+    parts = []
+    if samples_mode == "inject":
+        parts.append("CAST(count(*) AS BIGINT) AS samples")
+    elif samples_mode == "rollup":
+        parts.append("CAST(SUM(samples) AS BIGINT) AS samples")
+    for t in trends:
+        parts.append(_spark_agg_sql(t.time_aggregation, t.column, t.out_name))
+    select = ",\n       ".join(parts)
+    return (
+        f"SELECT {entity_col} AS entity_id, {bucket} AS {timestamp_col},\n"
+        f"       {select}\n"
+        f"FROM {source_table}\n"
+        f"GROUP BY {entity_col}, {bucket}"
+    )
+
+
+def _spark_agg_sql(aggregation: str, column: str, out_name: str) -> str:
+    agg = aggregation.lower()
+    quoted = f"`{column}`"
+    if agg == "sum":
+        return (
+            f"CAST(SUM(CAST({quoted} AS {SUM_DECIMAL})) AS DOUBLE) AS {out_name}"
+        )
+    if agg in ("avg", "mean"):
+        return (
+            f"(CAST(SUM(CAST({quoted} AS {SUM_DECIMAL})) AS DOUBLE) / "
+            f"CAST(COUNT({quoted}) AS DOUBLE)) AS {out_name}"
+        )
+    if agg == "max":
+        return f"MAX({quoted}) AS {out_name}"
+    if agg == "min":
+        return f"MIN({quoted}) AS {out_name}"
+    if agg == "count":
+        return f"CAST(COUNT({quoted}) AS BIGINT) AS {out_name}"
+    raise ValueError(f"unsupported aggregation: {aggregation!r}")
 def time_aggregate_oracle_sql(
     source_table: str,
     granularity: str | Granularity,
