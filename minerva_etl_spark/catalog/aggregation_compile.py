@@ -84,6 +84,89 @@ def generate_time_aggregations(
     return out
 
 
+def generate_entity_aggregation(
+    store: TrendStoreDef,
+    relation: str,
+    target_entity_type: str,
+) -> list[tuple[dict, dict]]:
+    """Entity aggregation across a relation at the store's own
+    granularity (`aggregation_generation.py:125-220`,
+    `aggregation_compilation.py:332-365`): per part, a view
+    ``SELECT r.target_id AS entity_id, timestamp, sum(samples)?,
+    <entity_agg(c)...> FROM part t JOIN relation r ON t.entity_id =
+    r.source_id GROUP BY timestamp, r.target_id``."""
+    from minerva_etl_spark.operators.aggregation import _spark_agg_sql
+
+    out: list[tuple[dict, dict]] = []
+    gran = Granularity.parse(store.granularity).name
+    rel_slug = relation.replace("->", "__").replace("-", "_")
+    for part in store.parts:
+        has_samples = any(t.name == "samples" for t in part.trends)
+        samples_sql = (
+            "CAST(SUM(samples) AS BIGINT) AS samples"
+            if has_samples
+            else "CAST(count(*) AS BIGINT) AS samples"
+        )
+        aggs = ",\n       ".join(
+            [samples_sql]
+            + [
+                _spark_agg_sql(t.entity_aggregation, t.name, t.name)
+                for t in part.trends
+                if t.name != "samples"
+            ]
+        )
+        target_part = f"{rel_slug}_{part.name}"
+        view = (
+            f"SELECT r.target_id AS entity_id, t.timestamp,\n"
+            f"       {aggs}\n"
+            f'FROM trend."{part.name}" t\n'
+            f'JOIN relation."{rel_slug}" r ON t.entity_id = r.source_id\n'
+            f"GROUP BY t.timestamp, r.target_id"
+        )
+        store_yaml = {
+            "data_source": store.data_source,
+            "entity_type": target_entity_type,
+            "granularity": gran,
+            "partition_size": store.partition_size,
+            "parts": [
+                {
+                    "name": target_part,
+                    "trends": (
+                        [{
+                            "name": "samples", "data_type": "integer",
+                            "time_aggregation": "sum",
+                            "entity_aggregation": "sum",
+                        }]
+                        + [
+                            {
+                                "name": t.name,
+                                "data_type": promoted_trend(t).data_type,
+                                "time_aggregation": t.time_aggregation,
+                                "entity_aggregation": t.entity_aggregation,
+                            }
+                            for t in part.trends
+                            if t.name != "samples"
+                        ]
+                    ),
+                }
+            ],
+        }
+        mat_yaml = {
+            "target_trend_store_part": target_part,
+            "enabled": True,
+            "processing_delay": "30m",
+            "stability_delay": "5m",
+            "reprocessing_period": "3d",
+            "sources": [
+                {"trend_store_part": part.name},
+                {"relation": relation},
+            ],
+            "view": view,
+        }
+        out.append((store_yaml, mat_yaml))
+    return out
+
+
 def write_generated(instance_dir: str | Path, store: TrendStoreDef) -> list[str]:
     """Write generated YAML files into the instance directory (what
     `minerva aggregation generate` does).  Returns written paths."""

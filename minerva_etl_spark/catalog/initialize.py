@@ -66,6 +66,14 @@ class EngineContext:
         if df is not None:
             df.createOrReplaceTempView(part_name.replace("-", "_"))
 
+    def register_relation_view(self, relation_name: str) -> None:
+        if self.relations is None:
+            return
+        df = self.relations.read(self.spark, relation_name)
+        if df is not None:
+            slug = relation_name.replace("->", "__").replace("-", "_")
+            df.createOrReplaceTempView(slug)
+
     def modified_log(self) -> DataFrame | None:
         # all stores share one modified log under data_dir
         store = next(iter(self.trend_stores.values()), None)
@@ -138,14 +146,26 @@ def initialize(
         target_store = ctx.parts_index.get(target)
         if target_store is None:
             continue
-        sources = [s["trend_store_part"] if isinstance(s, dict) else s
-                   for s in m.sources]
+        sources = [
+            s["trend_store_part"]
+            for s in m.sources
+            if (isinstance(s, dict) and "trend_store_part" in s)
+        ] + [s for s in m.sources if isinstance(s, str)]
+        relation_sources = [
+            s["relation"]
+            for s in m.sources
+            if isinstance(s, dict) and "relation" in s
+        ]
         view_sql = translate(m.view) if m.view else None
 
-        def make_transform(view_sql=view_sql, sources=sources):
+        def make_transform(
+            view_sql=view_sql, sources=sources, relations=relation_sources
+        ):
             def transform(spark_, timestamps):
                 for src in sources:
                     ctx.register_part_view(src)
+                for rel in relations:
+                    ctx.register_relation_view(rel)
                 df = spark_.sql(view_sql)
                 return df.filter(F.col("timestamp").isin(timestamps))
 

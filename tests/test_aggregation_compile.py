@@ -91,3 +91,62 @@ def test_generated_ladder_runs(spark, tmp_path):
     }
     assert hourly[datetime(2024, 1, 1, 1, 0)] == (2, 3.0, 21.0)
     assert hourly[datetime(2024, 1, 1, 2, 0)] == (1, 4.0, 24.0)
+
+
+def test_generated_entity_aggregation_runs(spark, tmp_path):
+    """Entity aggregation across a relation through the generated-YAML +
+    initialize + fingerprint-engine path (A2/A4/J1)."""
+    import yaml
+
+    from minerva_etl_spark.catalog.aggregation_compile import (
+        generate_entity_aggregation,
+    )
+
+    store = TrendStoreDef.from_dict(RAW_YAML)
+    pairs = generate_entity_aggregation(store, "node->v-site", "v-site")
+    assert len(pairs) == 1
+    store_yaml, mat_yaml = pairs[0]
+    assert mat_yaml["target_trend_store_part"] == "node__v_site_node_main_15m"
+    assert 'relation."node__v_site"' in mat_yaml["view"]
+
+    instance_dir = tmp_path / "instance"
+    (instance_dir / "trend").mkdir(parents=True)
+    (instance_dir / "materialization").mkdir(parents=True)
+    (instance_dir / "trend" / "raw.yaml").write_text(
+        yaml.safe_dump(RAW_YAML, sort_keys=False)
+    )
+    (instance_dir / "trend" / "vsite.yaml").write_text(
+        yaml.safe_dump(store_yaml, sort_keys=False)
+    )
+    (instance_dir / "materialization" / "ea.yaml").write_text(
+        yaml.safe_dump(mat_yaml, sort_keys=False)
+    )
+
+    ctx = initialize(spark, MinervaInstance.load(instance_dir), str(tmp_path / "d"))
+    # relation: nodes 1,2 -> site 100; node 3 -> site 200
+    ctx.relations.materialize(
+        spark, "node->v-site",
+        spark.createDataFrame(
+            [(1, 100), (2, 100), (3, 200)], "source_id bigint, target_id bigint"
+        ),
+    )
+    raw = ctx.trend_stores["hub_node_15m"]
+    raw.store(spark, spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 15), 1.0, 10.0),
+            (2, datetime(2024, 1, 1, 0, 15), 2.0, 20.0),
+            (3, datetime(2024, 1, 1, 0, 15), 4.0, 40.0),
+        ],
+        "entity_id bigint, timestamp timestamp_ntz, power_kwh double, inside_temp double",
+    ))
+    for mat in ctx.engine.materializations.values():
+        mat.processing_delay = timedelta(0)
+        mat.stability_delay = timedelta(0)
+        mat.reprocessing_period = timedelta(days=365 * 100)
+    done = ctx.materialize_stale(datetime.utcnow() + timedelta(minutes=1))
+    assert ("node__v_site_node_main_15m", datetime(2024, 1, 1, 0, 15)) in done
+    got = {
+        r.entity_id: (r.samples, r.power_kwh, r.inside_temp)
+        for r in ctx.read_part("node__v_site_node_main_15m").collect()
+    }
+    assert got == {100: (2, 3.0, 15.0), 200: (1, 4.0, 40.0)}
