@@ -17,7 +17,7 @@ directory via ``catalog.instance``; table data lives under --data-dir.
 from __future__ import annotations
 
 import argparse
-import json
+
 import sys
 from datetime import datetime, timezone
 

@@ -13,7 +13,7 @@ reference's type promotion (`aggregation_compilation.py:396-423`).
 from __future__ import annotations
 
 from dataclasses import dataclass, replace
-from typing import Callable
+from typing import Callable  # noqa: F401  (public plan type)
 
 from pyspark.sql import DataFrame
 

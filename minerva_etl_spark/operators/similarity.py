@@ -153,7 +153,7 @@ def ivf_index(
     against brute force (see tests).
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = embeddings.select(
         F.col(id_col),

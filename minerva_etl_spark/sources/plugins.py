@@ -12,7 +12,7 @@ provides it, else plugins register directly.
 
 from __future__ import annotations
 
-from typing import Callable, Protocol
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
