@@ -1449,6 +1449,28 @@ FROM events GROUP BY user_id
 """
 
 
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group (Spark `percentile` ↔
+    DuckDB `quantile_cont`, both linear; rounded to 6 dp because the
+    interpolation arithmetic differs in last-bit order)."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+_ORACLE_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: five-way join down the region→nation→
     customer/supplier star with a same-nation predicate, grouped by
@@ -1537,6 +1559,7 @@ def build_queries() -> dict:
         "topk_recent": q_topk_recent,
         "trend_time_agg_1d_dst": q_trend_time_agg_1d_dst,
         "trend_slope": q_trend_slope,
+        "quantiles": q_quantiles,
         "dedup_embedding": q_dedup_embedding,
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
@@ -1587,6 +1610,7 @@ def build_oracles() -> dict[str, str]:
         "topk_recent": _ORACLE_TOPK,
         "trend_time_agg_1d_dst": _oracle_time_agg_1d_dst(),
         "trend_slope": _ORACLE_SLOPE,
+        "quantiles": _ORACLE_QUANTILES,
         "dedup_embedding": _oracle_dedup_embedding(),
         "pricing_summary": _ORACLE_PRICING,
         "shipping_priority": _ORACLE_SHIPPING,

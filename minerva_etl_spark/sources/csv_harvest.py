@@ -79,16 +79,22 @@ def read_csv_packages(
         .csv(path)
     )
     types = deduce_csv_schema(spark, path, config)
-    ts = F.col(config.timestamp_column)
+    # try_* variants: malformed cells become null instead of failing the
+    # load under ANSI mode (the COPY-protocol null-marker behavior)
     if config.timestamp_format:
-        ts_parsed = F.to_timestamp(ts, config.timestamp_format)
+        ts_parsed = F.expr(
+            f"try_to_timestamp(`{config.timestamp_column}`, "
+            f"'{config.timestamp_format}')"
+        )
     else:
-        ts_parsed = F.to_timestamp(ts)
+        ts_parsed = F.expr(f"try_to_timestamp(`{config.timestamp_column}`)")
     out = raw.select(
         F.col(config.identifier_column).alias("entity_ref"),
         ts_parsed.cast("timestamp_ntz").alias("timestamp"),
         *[
-            F.col(c).cast(types[c].spark_type).alias(c)
+            F.expr(
+                f"try_cast(`{c}` AS {types[c].spark_type.simpleString()})"
+            ).alias(c)
             for c in raw.columns
             if c not in (config.identifier_column, config.timestamp_column)
         ],

@@ -54,3 +54,26 @@ def test_entity_filter(spark, store, csv_path):
         spark, "csv", csv_path, CFG
     )
     assert store.read_part(spark, "main").count() == 1
+
+
+def test_bad_rows_parse_to_null(spark, store, tmp_path):
+    """Malformed timestamps/values parse to null (COPY-protocol null
+    semantics) instead of failing the load."""
+    p = tmp_path / "bad.csv"
+    p.write_text(
+        "node,timestamp,power_kwh\n"
+        "good-1,2024-01-01 00:15:00,1.5\n"
+        "bad-ts,not-a-timestamp,2.5\n"
+        "bad-val,2024-01-01 00:30:00,oops\n"
+    )
+    from minerva_etl_spark.sources.csv_harvest import read_csv_packages
+
+    cfg = CsvParserConfig(
+        identifier_column="node", timestamp_column="timestamp",
+        entity_type="node",
+        column_types={"power_kwh": "double precision"},
+    )
+    rows = {r.entity_ref: r for r in read_csv_packages(spark, str(p), cfg).collect()}
+    assert rows["good-1"].power_kwh == 1.5
+    assert rows["bad-ts"].timestamp is None
+    assert rows["bad-val"].power_kwh is None
