@@ -52,6 +52,7 @@ class EngineContext:
     relations: RelationStore | None = None
     engine: MaterializationEngine | None = None
     triggers: dict[str, Trigger] = field(default_factory=dict)
+    _relation_defs: list = field(default_factory=list)
 
     def store_key(self, d: TrendStoreDef) -> str:
         return f"{d.data_source}_{d.entity_type}_{Granularity.parse(d.granularity).name}"
@@ -73,6 +74,42 @@ class EngineContext:
         if df is not None:
             slug = relation_name.replace("->", "__").replace("-", "_")
             df.createOrReplaceTempView(slug)
+
+    def register_entity_view(self, entity_type: str) -> None:
+        """Register the entity dimension table as ``entity_<type>``
+        (slugged), for relation/virtual-entity defining queries."""
+        import os
+
+        path = os.path.join(self.data_dir, "entity", entity_type)
+        try:
+            df = self.spark.read.parquet(path)
+        except Exception:
+            return
+        df.createOrReplaceTempView(f"entity_{entity_type}".replace("-", "_"))
+
+    def materialize_relations(
+        self, relation_defs: list | None = None
+    ) -> list[str]:
+        """§3.3 final initialize step: rebuild every relation from its
+        defining query (TRUNCATE+INSERT ≡ overwrite,
+        `commands/relation.py:63-129`).  Queries may reference
+        ``entity."<type>"`` views (registered from the data dir) and
+        other relations."""
+        import re
+
+        def resolver(schema: str, name: str) -> str:
+            slug = name.replace("->", "__").replace("-", "_")
+            return f"entity_{slug}" if schema == "entity" else slug
+
+        done: list[str] = []
+        for rel in (relation_defs if relation_defs is not None
+                    else self._relation_defs):
+            for etype in re.findall(r'entity\."?([A-Za-z0-9_><-]+)"?', rel.query):
+                self.register_entity_view(etype)
+            df = self.spark.sql(translate(rel.query, table_resolver=resolver))
+            self.relations.materialize(self.spark, rel.name, df)
+            done.append(rel.name)
+        return done
 
     def modified_log(self) -> DataFrame | None:
         # all stores share one modified log under data_dir
@@ -136,8 +173,10 @@ def initialize(
         )
         ctx.notification_stores[st.data_source] = st
 
-    # 4. relations
+    # 4. relations (materialized on demand via ctx.materialize_relations,
+    #    mirroring initialize's "materialize ... relations" final step)
     ctx.relations = RelationStore(data_dir)
+    ctx._relation_defs = list(instance.relations)
 
     # 5. materializations (view SQL through the dialect translator)
     ctx.engine = MaterializationEngine(spark, f"{data_dir}/materialization_state")

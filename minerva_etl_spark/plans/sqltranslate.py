@@ -93,6 +93,20 @@ def translate(pg_sql: str, table_resolver=None) -> str:
         r"array_join(collect_list(\1), \2)",
         out,
     )
+    # PG regex substring: substring(x from 'pat') -> regexp_extract(x, pat, g)
+    # (group 1 when the pattern captures, whole match otherwise)
+    def substr_repl(match: re.Match) -> str:
+        operand, pattern = match.group(1).strip(), match.group(2)
+        group = 1 if "(" in pattern else 0
+        return f"regexp_extract({operand}, {pattern}, {group})"
+
+    out = re.sub(
+        r"substring\s*\(\s*([^()']+?)\s+from\s+('[^']*')\s*\)",
+        substr_repl,
+        out,
+        flags=re.IGNORECASE,
+    )
+
     out = _GENERATE_SERIES_RE.sub("explode(sequence(", out)
     out = re.sub(r"explode\(sequence\(([^;]*?)\)", r"explode(sequence(\1))", out, count=1)
     out = _FORMAT_RE.sub("format_string(", out)

@@ -67,6 +67,14 @@ def deduce_csv_schema(
     return out
 
 
+def normalize_frame(
+    raw: DataFrame, config: CsvParserConfig, types: dict[str, dt.DataType]
+) -> DataFrame:
+    """All-strings frame → canonical typed trend frame (shared by the
+    batch reader and the streaming ingest's foreachBatch)."""
+    return _project(raw, config, types)
+
+
 def read_csv_packages(
     spark: SparkSession, path: str, config: CsvParserConfig
 ) -> DataFrame:
@@ -79,6 +87,12 @@ def read_csv_packages(
         .csv(path)
     )
     types = deduce_csv_schema(spark, path, config)
+    return _project(raw, config, types)
+
+
+def _project(
+    raw: DataFrame, config: CsvParserConfig, types: dict[str, dt.DataType]
+) -> DataFrame:
     # try_* variants: malformed cells become null instead of failing the
     # load under ANSI mode (the COPY-protocol null-marker behavior)
     if config.timestamp_format:

@@ -126,3 +126,45 @@ def test_initialize_and_run(spark, tmp_path, instance_dir):
     assert (
         ctx.notification_stores["trigger-notification"].read(spark).count() == 1
     )
+
+
+RELATION_YAML = """\
+name: node->v-site
+query: |
+  SELECT n.id AS source_id, v.id AS target_id
+  FROM entity."node" n JOIN entity."v-site" v
+    ON substring(n.name from '([a-z]+)-.*') = v.name
+"""
+
+
+def test_relation_from_yaml_definition(spark, tmp_path, instance_dir):
+    """§3.3 final step: relations rebuilt from their defining SQL over
+    entity dimension views (the reference's regex-prefix example)."""
+    from minerva_etl_spark.catalog.directory import register_entities
+
+    (instance_dir / "relation" / "node_vsite.yaml").write_text(RELATION_YAML)
+    inst = MinervaInstance.load(instance_dir)
+    assert len(inst.relations) == 1
+
+    data_dir = tmp_path / "data"
+    ctx = initialize(spark, inst, str(data_dir))
+    register_entities(
+        spark, str(data_dir / "entity" / "node"),
+        spark.createDataFrame(
+            [("alpha-1",), ("alpha-2",), ("beta-1",)], "name string"
+        ),
+        "node",
+    )
+    register_entities(
+        spark, str(data_dir / "entity" / "v-site"),
+        spark.createDataFrame([("alpha",), ("beta",)], "name string"),
+        "v-site",
+    )
+    done = ctx.materialize_relations()
+    assert done == ["node->v-site"]
+    rel = ctx.relations.read(spark, "node->v-site")
+    # alpha has two member nodes, beta one
+    counts = (
+        rel.groupBy("target_id").count().collect()
+    )
+    assert sorted(r["count"] for r in counts) == [1, 2]

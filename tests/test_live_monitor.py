@@ -120,3 +120,52 @@ def test_store_package_without_part_columns(spark, tmp_path):
     )
     store.store(spark, other)  # no overlapping columns -> part untouched
     assert store.read_part(spark, "main") is None
+
+
+def test_streaming_csv_ingest(spark, tmp_path):
+    """Always-on ingest: CSV files landing in a directory stream into
+    the trend store; a late file upserts and re-marks the bucket."""
+    from minerva_etl_spark.sources.csv_harvest import CsvParserConfig
+    from minerva_etl_spark.streaming.ingest import ingest_stream
+
+    csv_dir = tmp_path / "landing"
+    csv_dir.mkdir()
+    store = TrendStore(
+        data_source="hub", entity_type="node", granularity="15m",
+        parts=[TrendStorePart("main", ["power_kwh"])],
+        base_path=str(tmp_path / "data"),
+    )
+    cfg = CsvParserConfig(
+        identifier_column="node", timestamp_column="timestamp",
+        entity_type="node", column_types={"power_kwh": "double precision"},
+    )
+    (csv_dir / "f1.csv").write_text(
+        "node,timestamp,power_kwh\n"
+        "n1,2024-01-01 00:15:00,1.0\n"
+        "n2,2024-01-01 00:15:00,2.0\n"
+    )
+    writer = ingest_stream(
+        spark, str(csv_dir), cfg, store,
+        checkpoint=str(tmp_path / "ckpt"),
+        columns=["node", "timestamp", "power_kwh"],
+    )
+    q = writer.start()
+    try:
+        q.processAllAvailable()
+        assert store.read_part(spark, "main").count() == 2
+        # late file: replaces n1's value, adds n3
+        (csv_dir / "f2.csv").write_text(
+            "node,timestamp,power_kwh\n"
+            "n1,2024-01-01 00:15:00,9.0\n"
+            "n3,2024-01-01 00:30:00,3.0\n"
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = store.read_part(spark, "main").collect()
+    assert len(rows) == 3  # upsert replaced n1, appended n3
+    by_val = sorted(r.power_kwh for r in rows)
+    assert by_val == [2.0, 3.0, 9.0]
+    # two distinct buckets marked across the two batches (plus re-mark)
+    log = store.read_modified_log(spark)
+    assert log.select("timestamp").distinct().count() == 2
