@@ -53,6 +53,7 @@ class EngineContext:
     engine: MaterializationEngine | None = None
     triggers: dict[str, Trigger] = field(default_factory=dict)
     _relation_defs: list = field(default_factory=list)
+    _virtual_entity_defs: list = field(default_factory=list)
 
     def store_key(self, d: TrendStoreDef) -> str:
         return f"{d.data_source}_{d.entity_type}_{Granularity.parse(d.granularity).name}"
@@ -86,6 +87,37 @@ class EngineContext:
         except Exception:
             return
         df.createOrReplaceTempView(f"entity_{entity_type}".replace("-", "_"))
+
+    def materialize_virtual_entities(
+        self, defs: list[dict] | None = None
+    ) -> list[str]:
+        """Virtual entities (`commands/virtual_entity.py:30-57`): each is
+        a name-producing query; new names anti-insert into the entity
+        dimension (``ON CONFLICT DO NOTHING`` ≡ left-anti append)."""
+        import os
+        import re
+
+        from minerva_etl_spark.catalog.directory import register_entities
+
+        done: list[str] = []
+        for d in (defs if defs is not None else self._virtual_entity_defs):
+            name, query = d["name"], d["query"]
+            for etype in re.findall(r'entity\."?([A-Za-z0-9_><-]+)"?', query):
+                self.register_entity_view(etype)
+
+            def resolver(schema: str, nm: str) -> str:
+                slug = nm.replace("->", "__").replace("-", "_")
+                return f"entity_{slug}" if schema == "entity" else slug
+
+            names = self.spark.sql(translate(query, table_resolver=resolver))
+            register_entities(
+                self.spark,
+                os.path.join(self.data_dir, "entity", name),
+                names,
+                name,
+            )
+            done.append(name)
+        return done
 
     def materialize_relations(
         self, relation_defs: list | None = None
@@ -177,6 +209,7 @@ def initialize(
     #    mirroring initialize's "materialize ... relations" final step)
     ctx.relations = RelationStore(data_dir)
     ctx._relation_defs = list(instance.relations)
+    ctx._virtual_entity_defs = list(instance.virtual_entities)
 
     # 5. materializations (view SQL through the dialect translator)
     ctx.engine = MaterializationEngine(spark, f"{data_dir}/materialization_state")

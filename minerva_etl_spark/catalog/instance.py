@@ -170,6 +170,7 @@ class MinervaInstance:
     attribute_stores: list[dict] = field(default_factory=list)
     notification_stores: list[dict] = field(default_factory=list)
     triggers: list[dict] = field(default_factory=list)
+    virtual_entities: list[dict] = field(default_factory=list)
 
     @classmethod
     def load(cls, root: str | Path) -> "MinervaInstance":
@@ -188,6 +189,7 @@ class MinervaInstance:
             ("attribute", inst.attribute_stores),
             ("notification", inst.notification_stores),
             ("trigger", inst.triggers),
+            ("virtual-entity", inst.virtual_entities),
         ):
             for p in sorted((root / sub).glob("*.yaml")):
                 bucket.append(_load_yaml(p))
