@@ -45,9 +45,14 @@ HEADLINE = [
     "rollup_report",
     "dedup_simhash_pairs",
     "dedup_embedding",
+    "dedup_ngram_jaccard",
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
+    "quantiles",
+    "trend_time_agg_1d_dst",
+    "trend_slope",
+    "series_fill_hours",
 ]
 
 

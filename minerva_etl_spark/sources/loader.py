@@ -64,6 +64,10 @@ class Loader:
     column_filter: str | None = None
     #: 'warn' drops metrics with no declared column; 'stop' raises
     on_unknown_column: str = "warn"
+    #: maintain the entity dimension table (create-on-miss) under
+    #: <store.base_path>/entity/<entity_type> — powers virtual-entity
+    #: and relation defining queries (J2 create-on-miss)
+    register_entity_dim: bool = True
 
     def load_file(
         self,
@@ -90,6 +94,15 @@ class Loader:
             keep = [c for c in metric_cols if re.search(self.column_filter, c)]
             frame = frame.select("entity_id", "timestamp", *keep)
             metric_cols = keep
+        if self.register_entity_dim and "entity_ref" in frame.columns:
+            from minerva_etl_spark.catalog.directory import register_entities
+
+            register_entities(
+                spark,
+                os.path.join(self.store.base_path, "entity", self.store.entity_type),
+                frame.select(F.col("entity_ref").alias("name")),
+                self.store.entity_type,
+            )
         declared = {c for p in self.store.parts for c in p.trend_columns}
         unknown = [c for c in metric_cols if c not in declared]
         if unknown and self.on_unknown_column == "stop":

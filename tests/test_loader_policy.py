@@ -77,3 +77,14 @@ def test_bad_rows_parse_to_null(spark, store, tmp_path):
     assert rows["good-1"].power_kwh == 1.5
     assert rows["bad-ts"].timestamp is None
     assert rows["bad-val"].power_kwh is None
+
+
+def test_loader_registers_entity_dim(spark, store, csv_path):
+    """The loader maintains the entity dimension create-on-miss, so
+    virtual-entity/relation queries can run right after a load."""
+    Loader(store=store).load_file(spark, "csv", csv_path, CFG)
+    dim = spark.read.parquet(f"{store.base_path}/entity/node")
+    assert {r.name for r in dim.collect()} == {"alpha-1", "beta-2"}
+    # re-load: no duplicates
+    Loader(store=store).load_file(spark, "csv", csv_path, CFG)
+    assert spark.read.parquet(f"{store.base_path}/entity/node").count() == 2
