@@ -129,6 +129,16 @@ def dn_entity_name_expr(dn_col: str) -> F.Column:
     return F.regexp_extract(F.col(dn_col), r"([^,=]+)=([^,]+)$", 2)
 
 
+def dn_implode(*pairs: tuple[str, "F.Column | str"]) -> F.Column:
+    """Build a DN string from (key, value-column) pairs — the inverse of
+    the parse helpers (`distinguishedname.py:24-34` implode)."""
+    parts = []
+    for key, value in pairs:
+        col = F.col(value) if isinstance(value, str) else value
+        parts.append(F.concat(F.lit(f"{key}="), col))
+    return F.concat_ws(",", *parts)
+
+
 def dn_to_parts(df: DataFrame, dn_col: str = "dn") -> DataFrame:
     """Explode a DN column into (position, key, value) rows."""
     parts = F.posexplode(dn_split_expr(dn_col))

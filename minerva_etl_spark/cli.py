@@ -136,6 +136,33 @@ def cmd_materialize(args) -> None:
     print(f"{len(done)} chunk(s)")
 
 
+def cmd_live_monitor(args) -> None:
+    """`minerva live-monitor`: poll the modified log and run stale
+    materializations (reference cadence: 2 s, batch of 50)."""
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+    from minerva_etl_spark.streaming.live_monitor import run_loop
+
+    spark = _spark()
+    ctx = initialize(spark, MinervaInstance.load(args.instance), args.data_dir)
+
+    def sink(name, df, timestamps):
+        target = ctx.parts_index.get(name)
+        if target is not None:
+            target.store(spark, df, job_id=0)
+
+    total = run_loop(
+        ctx.engine,
+        read_log=ctx.modified_log,
+        sink=sink,
+        poll_seconds=args.poll_seconds,
+        max_cycles=args.cycles,
+        max_num=args.batch,
+    )
+    print(f"{total} chunk(s) materialized over "
+          f"{args.cycles or 'unbounded'} cycle(s)")
+
+
 def cmd_attribute(args) -> None:
     from minerva_etl_spark.store.attribute_store import AttributeStore
 
@@ -187,6 +214,13 @@ def main(argv: list[str] | None = None) -> None:
     mt = sub.add_parser("materialize")
     mt.add_argument("--max-num", type=int, default=None)
     mt.set_defaults(fn=cmd_materialize)
+
+    lm = sub.add_parser("live-monitor")
+    lm.add_argument("--poll-seconds", type=float, default=2.0)
+    lm.add_argument("--cycles", type=int, default=None,
+                    help="stop after N cycles (default: run forever)")
+    lm.add_argument("--batch", type=int, default=50)
+    lm.set_defaults(fn=cmd_live_monitor)
 
     at = sub.add_parser("attribute")
     at.add_argument("action", choices=["compact", "curr"])

@@ -210,3 +210,17 @@ def test_attribute_store_array_typed(spark, tmp_path):
     assert [list(r.tags) for r in hist] == [["a", "b"], ["c"]]
     curr = st.materialize_curr(spark).collect()
     assert list(curr[0].tags) == ["c"]
+
+
+def test_dn_implode_roundtrip(spark):
+    from minerva_etl_spark.catalog.directory import dn_implode
+
+    df = spark.createDataFrame([("g1", "n001")], "network string, node string")
+    out = df.select(dn_implode(("network", "network"), ("node", "node")).alias("dn"))
+    row = out.select(
+        "dn",
+        dn_entity_type_expr("dn").alias("t"),
+        dn_entity_name_expr("dn").alias("n"),
+    ).collect()[0]
+    assert row.dn == "network=g1,node=n001"
+    assert (row.t, row.n) == ("node", "n001")
