@@ -37,6 +37,8 @@ def get_spark(
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.ui.showConsoleProgress", "false")
+        # keep catalog-table data out of the working directory
+        .config("spark.sql.warehouse.dir", "/tmp/minerva_spark_warehouse")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
