@@ -123,10 +123,17 @@ class RelationDef:
 
     name: str
     query: str
+    source_entity_type: str | None = None
+    target_entity_type: str | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "RelationDef":
-        return cls(d["name"], d["query"])
+        return cls(
+            d["name"],
+            d["query"],
+            d.get("source_entity_type"),
+            d.get("target_entity_type"),
+        )
 
 
 @dataclass

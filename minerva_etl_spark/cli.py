@@ -111,16 +111,38 @@ def cmd_retention(args) -> None:
 def cmd_aggregation_generate(args) -> None:
     """`minerva aggregation generate`: emit the standard ladder YAML for
     every raw trend store of the instance."""
-    from minerva_etl_spark.catalog.aggregation_compile import write_generated
+    import yaml
+    from pathlib import Path
+
+    from minerva_etl_spark.catalog.aggregation_compile import (
+        generate_entity_aggregation,
+        write_generated,
+    )
     from minerva_etl_spark.catalog.instance import MinervaInstance
 
     inst = MinervaInstance.load(args.instance)
+    relations = [
+        (r.name, getattr(r, "target_entity_type", None)) for r in inst.relations
+    ]
     for store in inst.trend_stores:
-        if args.raw_only and (store.title or "").lower() != "raw node data" \
-                and "raw" not in (store.title or "").lower():
+        if args.raw_only and "raw" not in (store.title or "").lower():
             continue
         for path in write_generated(args.instance, store):
             print(f"generated {path}")
+        if args.with_relations:
+            root = Path(args.instance)
+            for rel_name, target_type in relations:
+                pairs = generate_entity_aggregation(
+                    store, rel_name, target_type or rel_name.split("->")[-1]
+                )
+                for store_yaml, mat_yaml in pairs:
+                    part = mat_yaml["target_trend_store_part"]
+                    sp = root / "trend" / f"{part}_store.yaml"
+                    mp = root / "materialization" / f"{part}.yaml"
+                    sp.write_text(yaml.safe_dump(store_yaml, sort_keys=False))
+                    mp.write_text(yaml.safe_dump(mat_yaml, sort_keys=False))
+                    print(f"generated {sp}")
+                    print(f"generated {mp}")
 
 
 def cmd_materialize(args) -> None:
@@ -209,6 +231,8 @@ def main(argv: list[str] | None = None) -> None:
 
     ag = sub.add_parser("aggregation-generate")
     ag.add_argument("--raw-only", action="store_true")
+    ag.add_argument("--with-relations", action="store_true",
+                    help="also generate entity aggregations per relation")
     ag.set_defaults(fn=cmd_aggregation_generate)
 
     mt = sub.add_parser("materialize")

@@ -111,7 +111,45 @@ def translate(pg_sql: str, table_resolver=None) -> str:
     out = re.sub(r"explode\(sequence\(([^;]*?)\)", r"explode(sequence(\1))", out, count=1)
     out = _FORMAT_RE.sub("format_string(", out)
     out = re.sub(r"\bnow\s*\(\s*\)", "current_timestamp()", out, flags=re.IGNORECASE)
+    out = re.sub(r"\barray_to_string\s*\(", "array_join(", out, flags=re.IGNORECASE)
+    out = _rewrite_array_literals(out)
     return out
+
+
+def _rewrite_array_literals(text: str) -> str:
+    """PG ``ARRAY[a, b]`` → Spark ``array(a, b)`` (bracket matching is
+    nesting-aware; string literals are skipped)."""
+    out = []
+    i = 0
+    pattern = re.compile(r"\bARRAY\s*\[", re.IGNORECASE)
+    while True:
+        match = pattern.search(text, i)
+        if not match:
+            out.append(text[i:])
+            break
+        out.append(text[i:match.start()])
+        out.append("array(")
+        depth = 1
+        j = match.end()
+        while j < len(text) and depth:
+            ch = text[j]
+            if ch == "'":
+                end = text.find("'", j + 1)
+                j = (end if end != -1 else len(text) - 1) + 1
+                continue
+            if ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    j += 1
+                    break
+            j += 1
+        inner = text[match.end():j - 1]
+        out.append(_rewrite_array_literals(inner))
+        out.append(")")
+        i = j
+    return "".join(out)
 
 
 def _operand_start(text: str, cast_idx: int) -> int:

@@ -224,3 +224,56 @@ def test_dn_implode_roundtrip(spark):
     ).collect()[0]
     assert row.dn == "network=g1,node=n001"
     assert (row.t, row.n) == ("node", "n001")
+
+
+def test_translate_reference_example_corpus(spark):
+    """Golden corpus: the actual SQL texts from the reference's
+    tiny_instance examples translate to runnable Spark SQL
+    (`examples/tiny_instance/materialization/hub-kpi_node_15m.yaml`,
+    `relation/node->v-site.yaml`)."""
+    kpi_view = (
+        'SELECT\n'
+        '  timestamp,\n'
+        '  entity_id,\n'
+        '  power_kwh * 1000 as power_mwh\n'
+        'FROM trend."hub_node_main_15m"'
+    )
+    out = translate(kpi_view)
+    assert 'FROM hub_node_main_15m' in out
+    spark.createDataFrame(
+        [(1, ts(2024, 1, 1), 0.5)],
+        "entity_id bigint, timestamp timestamp_ntz, power_kwh double",
+    ).createOrReplaceTempView("hub_node_main_15m")
+    assert spark.sql(out).collect()[0].power_mwh == 500.0
+
+    relation_query = (
+        "SELECT\n"
+        "  n.id AS source_id,\n"
+        "  vs.id AS target_id\n"
+        'FROM entity."node" n\n'
+        'JOIN entity."v-site" vs ON vs.name = '
+        "substring(n.name from '([a-z]+)-.*')\n"
+        "GROUP BY n.id, vs.id"
+    )
+    out = translate(
+        relation_query,
+        table_resolver=lambda schema, name: f"{schema}_{name}".replace("-", "_"),
+    )
+    assert "regexp_extract(n.name, '([a-z]+)-.*', 1)" in out
+    spark.createDataFrame(
+        [(1, "alpha-1")], "id bigint, name string"
+    ).createOrReplaceTempView("entity_node")
+    spark.createDataFrame(
+        [(100, "alpha")], "id bigint, name string"
+    ).createOrReplaceTempView("entity_v_site")
+    rows = spark.sql(out).collect()
+    assert [(r.source_id, r.target_id) for r in rows] == [(1, 100)]
+
+    # trigger notification shape: array_to_string + format
+    notification = (
+        "array_to_string(ARRAY['HighPowerUsage', "
+        "format('%s > %s', power_kwh, max_power)], ',')"
+    )
+    out = translate(notification)
+    assert out.startswith("array_join(array(")
+    assert "format_string(" in out
