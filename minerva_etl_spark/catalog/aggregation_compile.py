@@ -34,7 +34,10 @@ def generate_time_aggregations(
         for part in store.parts:
             target_part = f"{part.name.rsplit('_', 1)[0]}_{target_gran}"
             specs = [
-                TrendAggSpec(t.name, t.time_aggregation, t.entity_aggregation)
+                TrendAggSpec(
+                    t.name, t.time_aggregation, t.entity_aggregation,
+                    result_type=promoted_trend(t).data_type,
+                )
                 for t in part.trends
             ]
             view = time_aggregate_spark_sql(
@@ -51,8 +54,10 @@ def generate_time_aggregations(
                         "name": target_part,
                         "trends": (
                             [{
+                                # bigint: matches the CAST(... AS BIGINT)
+                                # the generated view actually writes
                                 "name": "samples",
-                                "data_type": "integer",
+                                "data_type": "bigint",
                                 "time_aggregation": "sum",
                                 "entity_aggregation": "sum",
                             }]
@@ -110,7 +115,10 @@ def generate_entity_aggregation(
         aggs = ",\n       ".join(
             [samples_sql]
             + [
-                _spark_agg_sql(t.entity_aggregation, t.name, t.name)
+                _spark_agg_sql(
+                    t.entity_aggregation, t.name, t.name,
+                    promoted_trend(t, which="entity").data_type,
+                )
                 for t in part.trends
                 if t.name != "samples"
             ]
@@ -133,14 +141,16 @@ def generate_entity_aggregation(
                     "name": target_part,
                     "trends": (
                         [{
-                            "name": "samples", "data_type": "integer",
+                            "name": "samples", "data_type": "bigint",
                             "time_aggregation": "sum",
                             "entity_aggregation": "sum",
                         }]
                         + [
                             {
                                 "name": t.name,
-                                "data_type": promoted_trend(t).data_type,
+                                "data_type": promoted_trend(
+                                    t, which="entity"
+                                ).data_type,
                                 "time_aggregation": t.time_aggregation,
                                 "entity_aggregation": t.entity_aggregation,
                             }

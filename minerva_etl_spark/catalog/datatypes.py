@@ -149,6 +149,48 @@ _AVG_PROMOTION = {
 }
 
 
+def spark_ddl(type_name: str) -> str:
+    """Spark SQL DDL string for a declared (reference-named) type —
+    e.g. ``'bigint'`` → ``bigint``, ``'numeric'`` → ``decimal(38,18)``."""
+    return REGISTRY[type_name.lower()].spark_type.simpleString()
+
+
+# ---------------------------------------------------------------------------
+# Spark-type widening (schema evolution on the write path).  The reference
+# widens column types in place via ALTER TABLE (`commands/trend_store.py:
+# 436-465`, `storage/generic.py:131-160`) using the same lattice as
+# deduction; here the lattice is keyed by Spark ``simpleString`` names.
+_SPARK_WIDEN_RANK = {
+    "boolean": 0, "tinyint": 1, "smallint": 1, "int": 2, "bigint": 3,
+    "float": 4, "double": 5, "decimal": 6, "date": 7, "timestamp_ntz": 7,
+    "timestamp": 7, "string": 8,
+}
+
+
+def widen_spark_type(left: str, right: str) -> str:
+    """The narrower Spark type (simpleString) that can represent values
+    of both ``left`` and ``right``; ``string`` is the top element.
+
+    Mirrors ``max_data_type`` (`datatype.py:919-929`) on the physical
+    side: used when an incoming batch's column type differs from the
+    stored one.
+    """
+    if left == right:
+        return left
+    base_l, base_r = left.split("(")[0], right.split("(")[0]
+    rank_l = _SPARK_WIDEN_RANK.get(base_l)
+    rank_r = _SPARK_WIDEN_RANK.get(base_r)
+    if rank_l is None or rank_r is None:
+        # non-scalar / unknown combination: only textual widening is safe
+        return "string"
+    if rank_l == rank_r:
+        # e.g. timestamp vs timestamp_ntz, decimal(10,2) vs decimal(38,18)
+        if base_l == base_r == "decimal":
+            return "decimal(38,18)"
+        return "timestamp" if "timestamp" in (left, right) else left
+    return left if rank_l > rank_r else right
+
+
 def promoted_type(aggregation: str, source: DataType) -> DataType:
     """Result type a declared aggregation must be cast to so rolled-up
     stores keep the reference's declared column types."""

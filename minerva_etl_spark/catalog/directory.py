@@ -51,11 +51,12 @@ def entity_id_duck_sql(entity_type: str, name_expr: str) -> str:
 
 
 def names_to_entity_ids(
-    df: DataFrame, entity_type: str, name_col: str = "name"
+    df: DataFrame, entity_type: str, name_col: str = "name",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """J2 lookup: attach ``entity_id`` for a name column.  Pure
     projection — no join, no shuffle (the payoff of hash ids)."""
-    return df.withColumn("entity_id", entity_id_col(entity_type, name_col))
+    return df.withColumn("entity_id", entity_id_col(entity_type, name_col, method))
 
 
 def register_entities(
@@ -64,6 +65,7 @@ def register_entities(
     names: DataFrame,
     entity_type: str,
     name_col: str = "name",
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Create-on-miss into the dimension table (J2/J9 anti-insert):
     append rows for names not yet present; returns the new dimension.
@@ -74,7 +76,7 @@ def register_entities(
     incoming = (
         names.select(F.col(name_col).alias("name"))
         .distinct()
-        .withColumn("id", entity_id_col(entity_type, "name"))
+        .withColumn("id", entity_id_col(entity_type, "name", method))
         .withColumn("entity_type", F.lit(entity_type))
         .withColumn("created", F.current_timestamp().cast("timestamp_ntz"))
     )

@@ -1567,7 +1567,20 @@ def build_queries() -> dict:
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        **_lifecycle_queries(),
     }
+
+
+def _lifecycle_queries() -> dict:
+    from minerva_etl_spark.gate_lifecycle import lifecycle_queries
+
+    return lifecycle_queries()
+
+
+def _lifecycle_oracles() -> dict[str, str]:
+    from minerva_etl_spark.gate_lifecycle import lifecycle_oracles
+
+    return lifecycle_oracles()
 
 
 def build_oracles() -> dict[str, str]:
@@ -1618,4 +1631,5 @@ def build_oracles() -> dict[str, str]:
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_pairs": _oracle_simhash_pairs(),
+        **_lifecycle_oracles(),
     }

@@ -43,23 +43,44 @@ class TrendAggSpec:
     time_aggregation: str = "sum"
     entity_aggregation: str = "sum"
     alias: str | None = None
+    #: declared result type (reference promoted type, A5); when set the
+    #: aggregate is cast to it so catalog and stored data agree
+    result_type: str | None = None
 
     @property
     def out_name(self) -> str:
         return self.alias or self.column
 
 
-def _agg_column(aggregation: str, column: str, out_name: str) -> Column:
+def _result_ddl(result_type: str | None) -> str | None:
+    if result_type is None:
+        return None
+    from minerva_etl_spark.catalog.datatypes import spark_ddl
+
+    return spark_ddl(result_type)
+
+
+def _agg_column(
+    aggregation: str,
+    column: str,
+    out_name: str,
+    result_type: str | None = None,
+) -> Column:
     """Build the aggregate expression for one trend column.
 
     Double-typed sums/avgs go through exact decimal accumulation so the
     result is independent of row order and partitioning (bit-for-bit
-    reproducible at any scale/parallelism).
+    reproducible at any scale/parallelism).  ``result_type`` (declared
+    promoted type, `aggregation_compilation.py:396-414`) casts the final
+    value so written data matches the generated store definition.
     """
     agg = aggregation.lower()
     col = F.col(column)
+    ddl = _result_ddl(result_type)
     if agg == "sum":
-        out = F.sum(col.cast(SUM_DECIMAL)).cast("double")
+        # cast the exact decimal accumulator straight to the declared
+        # type (integer sums are exact; no double round-trip)
+        out = F.sum(col.cast(SUM_DECIMAL)).cast(ddl or "double")
     elif agg in ("avg", "mean"):
         # exact decimal sum -> double, then one IEEE division: engine-
         # independent result (decimal *division* rules differ per engine)
@@ -67,12 +88,14 @@ def _agg_column(aggregation: str, column: str, out_name: str) -> Column:
             F.sum(col.cast(SUM_DECIMAL)).cast("double")
             / F.count(F.when(col.isNotNull(), 1)).cast("double")
         )
+        if ddl:
+            out = out.cast(ddl)
     elif agg == "max":
         out = F.max(col)
     elif agg == "min":
         out = F.min(col)
     elif agg == "count":
-        out = F.count(F.when(col.isNotNull(), 1)).cast("bigint")
+        out = F.count(F.when(col.isNotNull(), 1)).cast(ddl or "bigint")
     elif agg == "first":
         out = F.first(col, ignorenulls=True)
     elif agg == "last":
@@ -108,7 +131,8 @@ def time_aggregate(
         # roll-up of a roll-up: samples add up (`:496-510`)
         aggs.append(F.sum(samples_col).cast("bigint").alias(samples_col))
     aggs.extend(
-        _agg_column(t.time_aggregation, t.column, t.out_name) for t in trends
+        _agg_column(t.time_aggregation, t.column, t.out_name, t.result_type)
+        for t in trends
     )
     return (
         source.groupBy(F.col(entity_col), bucket.alias(timestamp_col))
@@ -150,7 +174,8 @@ def entity_aggregate(
     else:
         aggs.append(F.sum(samples_col).cast("bigint").alias(samples_col))
     aggs.extend(
-        _agg_column(t.entity_aggregation, t.column, t.out_name) for t in trends
+        _agg_column(t.entity_aggregation, t.column, t.out_name, t.result_type)
+        for t in trends
     )
     return (
         joined.groupBy(
@@ -180,7 +205,9 @@ def time_aggregate_spark_sql(
     elif samples_mode == "rollup":
         parts.append("CAST(SUM(samples) AS BIGINT) AS samples")
     for t in trends:
-        parts.append(_spark_agg_sql(t.time_aggregation, t.column, t.out_name))
+        parts.append(
+            _spark_agg_sql(t.time_aggregation, t.column, t.out_name, t.result_type)
+        )
     select = ",\n       ".join(parts)
     return (
         f"SELECT {entity_col} AS entity_id, {bucket} AS {timestamp_col},\n"
@@ -190,24 +217,35 @@ def time_aggregate_spark_sql(
     )
 
 
-def _spark_agg_sql(aggregation: str, column: str, out_name: str) -> str:
+def _spark_agg_sql(
+    aggregation: str,
+    column: str,
+    out_name: str,
+    result_type: str | None = None,
+) -> str:
     agg = aggregation.lower()
     quoted = f"`{column}`"
+    ddl = _result_ddl(result_type)
     if agg == "sum":
         return (
-            f"CAST(SUM(CAST({quoted} AS {SUM_DECIMAL})) AS DOUBLE) AS {out_name}"
+            f"CAST(SUM(CAST({quoted} AS {SUM_DECIMAL})) AS {ddl or 'DOUBLE'})"
+            f" AS {out_name}"
         )
     if agg in ("avg", "mean"):
-        return (
+        core = (
             f"(CAST(SUM(CAST({quoted} AS {SUM_DECIMAL})) AS DOUBLE) / "
-            f"CAST(COUNT({quoted}) AS DOUBLE)) AS {out_name}"
+            f"CAST(COUNT({quoted}) AS DOUBLE))"
+        )
+        return (
+            f"CAST({core} AS {ddl}) AS {out_name}" if ddl
+            else f"{core} AS {out_name}"
         )
     if agg == "max":
         return f"MAX({quoted}) AS {out_name}"
     if agg == "min":
         return f"MIN({quoted}) AS {out_name}"
     if agg == "count":
-        return f"CAST(COUNT({quoted}) AS BIGINT) AS {out_name}"
+        return f"CAST(COUNT({quoted}) AS {ddl or 'BIGINT'}) AS {out_name}"
     raise ValueError(f"unsupported aggregation: {aggregation!r}")
 def time_aggregate_oracle_sql(
     source_table: str,

@@ -51,10 +51,14 @@ class AggregationPlan:
         return entity_aggregate(source, relation_df, self.specs)
 
 
-def promoted_trend(trend: TrendDef) -> TrendDef:
-    """Target-store column type after one aggregation hop (A5)."""
+def promoted_trend(trend: TrendDef, which: str = "time") -> TrendDef:
+    """Target-store column type after one aggregation hop (A5).
+    ``which`` selects the time- or entity-aggregation function."""
     src = dt.REGISTRY[trend.data_type.lower()]
-    out = dt.promoted_type(trend.time_aggregation, src)
+    agg = (
+        trend.time_aggregation if which == "time" else trend.entity_aggregation
+    )
+    out = dt.promoted_type(agg, src)
     return replace(trend, data_type=out.name)
 
 
@@ -71,7 +75,10 @@ def generate_time_ladder(
         plans: list[AggregationPlan] = []
         for part in store.parts:
             specs = [
-                TrendAggSpec(t.name, t.time_aggregation, t.entity_aggregation)
+                TrendAggSpec(
+                    t.name, t.time_aggregation, t.entity_aggregation,
+                    result_type=promoted_trend(t).data_type,
+                )
                 for t in part.trends
             ]
             target_part = f"{part.name.rsplit('_', 1)[0]}_{target_gran}"
@@ -85,7 +92,7 @@ def generate_time_ladder(
                 )
             )
             target_trends = [
-                TrendDef("samples", "integer", "sum", "sum")
+                TrendDef("samples", "bigint", "sum", "sum")
             ] + [promoted_trend(t) for t in part.trends]
             parts.append(TrendStorePartDef(target_part, target_trends))
         target_store = TrendStoreDef(

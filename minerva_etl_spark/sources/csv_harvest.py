@@ -41,6 +41,9 @@ class CsvParserConfig:
     entity_type: str = "entity"
     granularity: str | Granularity = "15m"
     null_value: str = ""
+    #: entity-id hash method: 'xxhash64' (production) or 'md5'
+    #: (engine-portable, used by oracle-checked queries)
+    id_method: str = "xxhash64"
 
 
 def deduce_csv_schema(
@@ -113,4 +116,6 @@ def _project(
             if c not in (config.identifier_column, config.timestamp_column)
         ],
     )
-    return names_to_entity_ids(out, config.entity_type, "entity_ref")
+    return names_to_entity_ids(
+        out, config.entity_type, "entity_ref", method=config.id_method
+    )

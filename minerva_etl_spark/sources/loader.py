@@ -62,12 +62,15 @@ class Loader:
     #: regex filters (P8: --dn-filter / --column-filter)
     entity_filter: str | None = None
     column_filter: str | None = None
-    #: 'warn' drops metrics with no declared column; 'stop' raises
+    #: 'warn' drops metrics with no declared column; 'stop' raises;
+    #: 'add' declares them on the first part (schema evolution)
     on_unknown_column: str = "warn"
     #: maintain the entity dimension table (create-on-miss) under
     #: <store.base_path>/entity/<entity_type> — powers virtual-entity
     #: and relation defining queries (J2 create-on-miss)
     register_entity_dim: bool = True
+    #: entity-id hash method for the dimension table ('xxhash64' | 'md5')
+    id_method: str = "xxhash64"
 
     def load_file(
         self,
@@ -76,6 +79,7 @@ class Loader:
         path: str,
         parser_config,
         job_id: int | None = None,
+        created: datetime | None = None,
     ) -> int:
         started = datetime.now(timezone.utc).replace(tzinfo=None)
         job_id = job_id if job_id is not None else int(time.time() * 1000) % (2**62)
@@ -92,7 +96,10 @@ class Loader:
             import re
 
             keep = [c for c in metric_cols if re.search(self.column_filter, c)]
-            frame = frame.select("entity_id", "timestamp", *keep)
+            # entity_ref survives the filter so the entity dimension is
+            # still maintained on filtered loads (it is never a metric)
+            passthrough = [c for c in ("entity_ref",) if c in frame.columns]
+            frame = frame.select("entity_id", "timestamp", *passthrough, *keep)
             metric_cols = keep
         if self.register_entity_dim and "entity_ref" in frame.columns:
             from minerva_etl_spark.catalog.directory import register_entities
@@ -102,13 +109,22 @@ class Loader:
                 os.path.join(self.store.base_path, "entity", self.store.entity_type),
                 frame.select(F.col("entity_ref").alias("name")),
                 self.store.entity_type,
+                method=self.id_method,
             )
-        declared = {c for p in self.store.parts for c in p.trend_columns}
-        unknown = [c for c in metric_cols if c not in declared]
-        if unknown and self.on_unknown_column == "stop":
-            raise ValueError(f"undeclared metric columns: {unknown}")
         state = "finished"
         try:
+            declared = {c for p in self.store.parts for c in p.trend_columns}
+            unknown = [c for c in metric_cols if c not in declared]
+            if unknown and self.on_unknown_column == "stop":
+                # inside the logged scope: a rejected load is a FAILED
+                # job in the log, like any other load error
+                raise ValueError(f"undeclared metric columns: {unknown}")
+            if unknown and self.on_unknown_column == "add":
+                # schema evolution for drifting feeds: declare the new
+                # columns on the first part (reference parity is the
+                # explicit `alter-trends` command; 'add' automates it)
+                self.store.alter_trends(self.store.parts[0].name, unknown)
+                declared |= set(unknown)
             self.store.store(
                 spark,
                 frame.select(
@@ -116,6 +132,7 @@ class Loader:
                     *[c for c in metric_cols if c in declared],
                 ),
                 job_id=job_id,
+                created=created,
             )
         except Exception:
             state = "failed"

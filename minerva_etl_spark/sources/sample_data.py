@@ -51,11 +51,46 @@ def generate_trend_sample(
             f"cast(timestamp'{start}' + make_interval(0, 0, 0, 0, 0, 0, step * {gran.seconds}) as timestamp_ntz)"
         )
     out = grid.select("entity_ref", ts.alias("timestamp"), "step")
-    for i, (name, (lo, hi)) in enumerate(metrics.items()):
-        out = out.withColumn(
-            name, F.round(F.rand(seed + i) * (hi - lo) + lo, 3)
-        )
+    for name, (lo, hi) in metrics.items():
+        # md5-derived uniform, NOT F.rand(seed): rand() is seeded per
+        # partition, so its output changes under repartitioning/AQE —
+        # useless for idempotent loads.  The hash value is a pure
+        # function of (seed, entity, timestamp, metric): identical on
+        # every executor layout and reproducible in any engine.
+        out = out.withColumn(name, _metric_col(name, lo, hi, seed))
     return out.drop("step")
+
+
+def _metric_col(name: str, lo: float, hi: float, seed: int) -> F.Column:
+    key = F.concat_ws(
+        "|",
+        F.lit(str(seed)), F.col("entity_ref"),
+        F.col("timestamp").cast("string"), F.lit(name),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+    uniform = (h % F.lit(1_000_000)).cast("double") / F.lit(1_000_000.0)
+    return F.lit(float(lo)) + uniform * F.lit(float(hi) - float(lo))
+
+
+def metric_ansi_sql(
+    name: str,
+    lo: float,
+    hi: float,
+    seed: int,
+    entity_expr: str = "entity_ref",
+    ts_expr: str = "timestamp",
+) -> str:
+    """DuckDB twin of the generated metric expression (the generator is
+    oracle-checkable because it is hash-based)."""
+    key = (
+        f"'{seed}' || '|' || {entity_expr} || '|' || "
+        f"CAST({ts_expr} AS VARCHAR) || '|' || '{name}'"
+    )
+    h = f"CAST(('0x' || substr(md5({key}), 1, 8)) AS BIGINT)"
+    return (
+        f"({float(lo)} + CAST(({h}) % 1000000 AS DOUBLE) / 1000000.0"
+        f" * ({float(hi)} - {float(lo)}))"
+    )
 
 
 def write_sample_csv(df: DataFrame, path: str) -> None:

@@ -44,6 +44,55 @@ PARTITION_COL = "__part_idx"
 SYSTEM_COLS = ("entity_id", "timestamp", "created", "job_id")
 
 
+def align_schemas(
+    existing: DataFrame, batch: DataFrame
+) -> tuple[DataFrame, DataFrame, bool]:
+    """Schema evolution on the write path (reference ensure-trends +
+    alter-column-type, `trendstorepart.py:141-167`,
+    `commands/trend_store.py:436-465`).
+
+    Aligns two frames onto the union of their columns:
+
+    - a column present on one side only is added to the other as a typed
+      null (new trend column / removed trend column — history is kept,
+      never dropped);
+    - a column present on both sides with different types is cast to the
+      widened lattice type on BOTH sides.
+
+    Returns ``(existing', batch', widened)`` where ``widened`` is True
+    iff an *existing* column changed type — the caller must then rewrite
+    the whole part (the parquet analog of ALTER COLUMN TYPE; metadata-
+    only once on a Delta/Iceberg substrate).
+    """
+    from minerva_etl_spark.catalog.datatypes import widen_spark_type
+
+    ex_types = dict(existing.dtypes)
+    ba_types = dict(batch.dtypes)
+    all_cols = list(batch.columns) + [
+        c for c in existing.columns if c not in ba_types
+    ]
+    widened = False
+    ex_sel, ba_sel = [], []
+    for c in all_cols:
+        et, bt = ex_types.get(c), ba_types.get(c)
+        if et is None:
+            ex_sel.append(F.lit(None).cast(bt).alias(c))
+            ba_sel.append(F.col(c))
+        elif bt is None:
+            ex_sel.append(F.col(c))
+            ba_sel.append(F.lit(None).cast(et).alias(c))
+        elif et == bt:
+            ex_sel.append(F.col(c))
+            ba_sel.append(F.col(c))
+        else:
+            target = widen_spark_type(et, bt)
+            ex_sel.append(F.col(c).cast(target).alias(c))
+            ba_sel.append(F.col(c).cast(target).alias(c))
+            if target != et:
+                widened = True
+    return existing.select(*ex_sel), batch.select(*ba_sel), widened
+
+
 @dataclass
 class TrendStorePart:
     """One physical part (wide metric table) of a trend store."""
@@ -91,6 +140,22 @@ class TrendStore:
             self.granularity.partition_index_spark_sql(ts_col, self.partition_size)
         ).alias(PARTITION_COL)
 
+    # --------------------------------------------------------- catalog
+    def alter_trends(self, part_name: str, add: list[str]) -> list[str]:
+        """Declare new trend columns on an existing part (reference
+        ``trend-store alter-trends``, `commands/trend_store.py:436-465`).
+
+        Catalog-only: the data side aligns lazily on the next
+        :meth:`store` (new columns appear as nulls in history via
+        mergeSchema reads — no rewrite).  Returns the columns added.
+        """
+        for p in self.parts:
+            if p.name == part_name:
+                added = [c for c in add if c not in p.trend_columns]
+                p.trend_columns.extend(added)
+                return added
+        raise KeyError(f"no such part: {part_name!r}")
+
     # ----------------------------------------------------------- write
     def store(
         self,
@@ -122,15 +187,22 @@ class TrendStore:
             path = self.part_path(part.name)
             existing = self.read_part(spark, part.name, with_partition_col=True)
             if existing is not None:
-                touched = [
-                    r[PARTITION_COL]
-                    for r in batch.select(PARTITION_COL).distinct().collect()
-                ]
-                existing_touched = existing.filter(
-                    F.col(PARTITION_COL).isin(touched)
-                ).select(*batch.columns)
+                # schema evolution: align columns, widen drifted types
+                existing, batch, widened = align_schemas(existing, batch)
+                if widened:
+                    # ALTER COLUMN TYPE analog: one-time full-part rewrite
+                    # so every file agrees on the widened type (metadata-
+                    # only on Delta/Iceberg; rare admin-grade event here)
+                    scope = existing
+                else:
+                    # fast path: only the partitions the batch touches
+                    touched = [
+                        r[PARTITION_COL]
+                        for r in batch.select(PARTITION_COL).distinct().collect()
+                    ]
+                    scope = existing.filter(F.col(PARTITION_COL).isin(touched))
                 merged = upsert(
-                    existing_touched, batch,
+                    scope.select(*batch.columns), batch,
                     keys=["entity_id", "timestamp"],
                     greatest_cols=["created"],
                 )
@@ -138,10 +210,14 @@ class TrendStore:
                 merged = merged.localCheckpoint(eager=True)
             else:
                 merged = batch
-            # dynamic partition overwrite: only touched buckets rewritten
+            # dynamic partition overwrite: only buckets present in
+            # `merged` are rewritten.  The option is set per-write so the
+            # path is safe under ANY caller session (static-mode default
+            # would silently delete untouched partitions).
             (
                 merged.repartition(PARTITION_COL)
                 .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy(PARTITION_COL)
                 .parquet(path)
             )
@@ -173,7 +249,10 @@ class TrendStore:
     ) -> DataFrame | None:
         path = self.part_path(part)
         try:
-            df = spark.read.parquet(path)
+            # mergeSchema: after a column-add evolution, untouched
+            # partitions lack the new column — union the footers so it
+            # reads as null there (column-adds never rewrite history)
+            df = spark.read.option("mergeSchema", "true").parquet(path)
         except Exception:
             return None
         if not with_partition_col and PARTITION_COL in df.columns:

@@ -45,8 +45,17 @@ class Trigger:
     def evaluate(
         self, spark: SparkSession, timestamps: list[datetime]
     ) -> DataFrame:
-        """Notification rows for the given bucket timestamps."""
+        """Notification rows for the given bucket timestamps.
+
+        ``timestamps == []`` means *all* buckets; a non-empty list
+        restricts the evaluation to exactly those buckets (the
+        reference's ``create_notifications(name, ts)`` is
+        per-timestamp, `trigger/trigger.py:157-189`) — KPI closures
+        need not filter themselves.
+        """
         kpi = self.kpi(spark, timestamps)
+        if timestamps:
+            kpi = kpi.filter(F.col("timestamp").isin(list(timestamps)))
         thresholds = F.broadcast(
             spark.createDataFrame(
                 [tuple(self.thresholds.values())],
