@@ -88,6 +88,41 @@ class EngineContext:
             return
         df.createOrReplaceTempView(f"entity_{entity_type}".replace("-", "_"))
 
+    def trigger_factory(self, t: dict) -> Trigger:
+        """Compile one trigger definition dict (instance YAML shape) to
+        an executable Trigger — also the factory for the file-backed
+        admin registry (:meth:`trigger_set`)."""
+        kpi_sql = translate(t.get("kpi_query", "")) if t.get("kpi_query") else None
+
+        def make_kpi(kpi_sql=kpi_sql, sources=t.get("kpi_sources", [])):
+            def kpi(spark_, _timestamps):
+                for src in sources:
+                    self.register_part_view(src)
+                return spark_.sql(kpi_sql)
+
+            return kpi
+
+        thresholds = {
+            th["name"]: float(th["value"]) for th in t.get("thresholds", [])
+        }
+        return Trigger(
+            name=t["name"],
+            kpi=make_kpi(),
+            thresholds=thresholds,
+            condition=translate(t.get("condition", "true")),
+            weight=str(t.get("weight", "1")),
+            notification_message=translate(t.get("notification", "''")),
+            enabled=bool(t.get("enabled", True)),
+            tags=list(t.get("tags", [])),
+        )
+
+    def trigger_set(self):
+        """File-backed trigger admin registry over this context's data
+        dir (`trigger/lifecycle.py` — the `minerva trigger ...` surface)."""
+        from minerva_etl_spark.trigger.lifecycle import TriggerSet
+
+        return TriggerSet(self.data_dir, self.trigger_factory)
+
     def materialize_virtual_entities(
         self, defs: list[dict] | None = None
     ) -> list[str]:
@@ -258,28 +293,6 @@ def initialize(
 
     # 6. triggers
     for t in instance.triggers:
-        kpi_sql = translate(t.get("kpi_query", "")) if t.get("kpi_query") else None
-
-        def make_kpi(kpi_sql=kpi_sql, sources=t.get("kpi_sources", [])):
-            def kpi(spark_, _timestamps):
-                for src in sources:
-                    ctx.register_part_view(src)
-                return spark_.sql(kpi_sql)
-
-            return kpi
-
-        thresholds = {
-            th["name"]: float(th["value"]) for th in t.get("thresholds", [])
-        }
-        ctx.triggers[t["name"]] = Trigger(
-            name=t["name"],
-            kpi=make_kpi(),
-            thresholds=thresholds,
-            condition=translate(t.get("condition", "true")),
-            weight=str(t.get("weight", "1")),
-            notification_message=translate(
-                t.get("notification", "''")
-            ),
-        )
+        ctx.triggers[t["name"]] = ctx.trigger_factory(t)
 
     return ctx

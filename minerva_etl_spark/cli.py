@@ -3,12 +3,21 @@
 Spark engine.
 
 Subcommands (reference analog):
+  initialize        ← `minerva initialize`
+  structure         ← `minerva structure dump`
   load-data         ← `minerva load-data`
+  load-sample-data  ← `minerva load-sample-data`
   materialize       ← `minerva trend-store materialize`
+  deduce-config     ← `minerva trend-store deduce` (config deducer)
+  alter-trends      ← `minerva trend-store alter-trends`
   report            ← `minerva report`
   attribute compact / attribute curr ← `minerva attribute-store ...`
   retention         ← `minerva trend-store partition remove-old`
   live-monitor      ← `minerva live-monitor`
+  data-source / entity-type create|delete|list ← directory admin
+  alias create|delete|list ← `minerva alias`
+  trigger create|list|enable|disable|delete|update-weight|
+          set-thresholds|create-notifications ← `minerva trigger`
 
 Instance state (stores, materializations) comes from a YAML instance
 directory via ``catalog.instance``; table data lives under --data-dir.
@@ -152,7 +161,8 @@ def cmd_materialize(args) -> None:
 
     spark = _spark()
     ctx = initialize(spark, MinervaInstance.load(args.instance), args.data_dir)
-    done = ctx.materialize_stale(_utcnow(), max_num=args.max_num)
+    now = datetime.fromisoformat(args.now) if args.now else _utcnow()
+    done = ctx.materialize_stale(now, max_num=args.max_num)
     for name, ts in done:
         print(f"materialized {name} @ {ts}")
     print(f"{len(done)} chunk(s)")
@@ -200,6 +210,217 @@ def cmd_attribute(args) -> None:
         print(f"curr rows: {0 if curr is None else curr.count()}")
 
 
+def cmd_initialize(args) -> None:
+    """`minerva initialize`: compile the YAML instance into engine
+    objects, materialize relations and virtual entities."""
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    spark = _spark()
+    ctx = initialize(spark, MinervaInstance.load(args.instance), args.data_dir)
+    print(f"trend stores:        {len(ctx.trend_stores)}")
+    print(f"attribute stores:    {len(ctx.attribute_stores)}")
+    print(f"notification stores: {len(ctx.notification_stores)}")
+    print(f"materializations:    {len(ctx.engine.materializations)}")
+    print(f"triggers:            {len(ctx.triggers)}")
+
+
+def cmd_structure(args) -> None:
+    """`minerva structure dump`: the instance's declared structure."""
+    from minerva_etl_spark.catalog.granularity import Granularity
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    inst = MinervaInstance.load(args.instance)
+    for s in inst.trend_stores:
+        gran = Granularity.parse(s.granularity).name
+        print(f"trend store {s.data_source}/{s.entity_type}/{gran}")
+        for part in s.parts:
+            print(f"  part {part.name}")
+            for t in part.trends:
+                print(
+                    f"    {t.name}: {t.data_type} "
+                    f"[{t.time_aggregation}/{t.entity_aggregation}]"
+                )
+    for a in inst.attribute_stores:
+        print(
+            f"attribute store {a.get('data_source', '?')}/"
+            f"{a.get('entity_type', '?')}"
+        )
+    for n in inst.notification_stores:
+        print(f"notification store {n.get('data_source', n.get('name', '?'))}")
+    for m in inst.materializations:
+        print(f"materialization -> {m.target_trend_store_part}")
+    for t in inst.triggers:
+        print(f"trigger {t['name']}")
+
+
+def cmd_deduce_config(args) -> None:
+    """`minerva trend-store deduce`: emit a trend-store YAML skeleton
+    from a sample harvest file."""
+    import yaml
+
+    from minerva_etl_spark.sources.config_deducer import deduce_config
+    from minerva_etl_spark.sources.csv_harvest import CsvParserConfig
+
+    spark = _spark()
+    cfg = CsvParserConfig(
+        identifier_column=args.identifier_column,
+        timestamp_column=args.timestamp_column,
+        delimiter=args.delimiter,
+        granularity=args.granularity,
+    )
+    deduced = deduce_config(
+        spark, args.file, cfg,
+        data_source=args.data_source, entity_type=args.entity_type,
+        granularity=args.granularity, part_name=args.part_name,
+    )
+    text = yaml.safe_dump(deduced, sort_keys=False)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+        print(f"wrote {args.out}")
+    else:
+        print(text, end="")
+
+
+def cmd_alter_trends(args) -> None:
+    """`minerva trend-store alter-trends`: declare new trend columns."""
+    store = _build_store(args)
+    added = store.alter_trends(args.part, args.columns)
+    print(f"added {added} to {args.part}")
+
+
+def cmd_load_sample_data(args) -> None:
+    """`minerva load-sample-data`: generate a deterministic sample CSV
+    and load it through the normal harvest path."""
+    from minerva_etl_spark.sources.csv_harvest import CsvParserConfig
+    from minerva_etl_spark.sources.loader import JobLog, Loader
+    from minerva_etl_spark.sources.sample_data import (
+        generate_trend_sample,
+        write_sample_csv,
+    )
+
+    spark = _spark()
+    store = _build_store(args)
+    metrics = {
+        c: (0.0, 100.0) for p in store.parts for c in p.trend_columns
+    }
+    sample = generate_trend_sample(
+        spark, args.entity_type, args.entities, args.granularity,
+        datetime.fromisoformat(args.start), args.periods, metrics,
+    )
+    sample = sample.withColumn(
+        "timestamp", F.col("timestamp").cast("string")
+    )
+    path = f"{args.data_dir}/sample_csv"
+    write_sample_csv(sample, path)
+    cfg = CsvParserConfig(
+        identifier_column="entity_ref", timestamp_column="timestamp",
+        entity_type=args.entity_type, granularity=args.granularity,
+    )
+    loader = Loader(store=store, job_log=JobLog(args.data_dir))
+    job = loader.load_file(spark, "csv", path, cfg)
+    print(f"loaded sample as job {job}")
+
+
+def cmd_directory(args) -> None:
+    """data-source / entity-type create|delete|list."""
+    from minerva_etl_spark.catalog.admin import DirectoryCatalog
+
+    cat = DirectoryCatalog(args.data_dir)
+    kind = args.kind
+    if args.action == "create":
+        cat.create(kind, args.name)
+        print(f"created {kind} {args.name}")
+    elif args.action == "delete":
+        cat.delete(kind, args.name)
+        print(f"deleted {kind} {args.name}")
+    else:
+        for name in cat.list(kind):
+            print(name)
+
+
+def cmd_alias(args) -> None:
+    from minerva_etl_spark.catalog.admin import DirectoryCatalog
+
+    cat = DirectoryCatalog(args.data_dir)
+    spark = _spark()
+    if args.action == "create":
+        pairs = (
+            spark.read.option("header", True).csv(args.file)
+            .select("alias", "name")
+        )
+        cat.create_aliases(spark, args.entity_type, pairs, args.alias_type)
+        print("aliases loaded")
+    elif args.action == "delete":
+        cat.delete_aliases(spark, args.alias_type)
+        print(f"deleted aliases of type {args.alias_type}")
+    else:
+        df = cat.read_aliases(spark)
+        for r in (df.collect() if df is not None else []):
+            print(f"{r.alias}\t{r.entity_id}\t{r.type}")
+
+
+def _trigger_set(args):
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+    from minerva_etl_spark.trigger.lifecycle import TriggerSet
+
+    spark = _spark()
+    ctx = initialize(spark, MinervaInstance.load(args.instance), args.data_dir)
+    # rooted at the INSTANCE dir: admin edits the same YAML files
+    # `initialize` loads — the instance directory IS the catalog
+    return spark, ctx, TriggerSet(args.instance, ctx.trigger_factory)
+
+
+def cmd_trigger(args) -> None:
+    """`minerva trigger ...` lifecycle admin."""
+    import yaml
+
+    spark, ctx, tset = _trigger_set(args)
+    if args.action == "create":
+        with open(args.file) as f:
+            tset.create(yaml.safe_load(f))
+        print(f"created trigger from {args.file}")
+    elif args.action == "list":
+        for row in tset.list():
+            flags = "enabled" if row["enabled"] else "disabled"
+            print(
+                f"{row['name']}\tweight={row['weight']}\t{flags}\t"
+                f"thresholds={row['thresholds']}\ttags={row['tags']}"
+            )
+    elif args.action in ("enable", "disable"):
+        tset.set_enabled(args.name, args.action == "enable")
+        print(f"{args.action}d {args.name}")
+    elif args.action == "delete":
+        tset.delete(args.name)
+        print(f"deleted {args.name}")
+    elif args.action == "update-weight":
+        tset.update_weight(args.name, int(args.value))
+        print(f"weight({args.name}) = {args.value}")
+    elif args.action == "set-thresholds":
+        thresholds = dict(kv.split("=") for kv in args.value.split(","))
+        tset.set_thresholds(
+            args.name, {k: float(v) for k, v in thresholds.items()}
+        )
+        print(f"thresholds({args.name}) = {thresholds}")
+    elif args.action == "create-notifications":
+        sink = ctx.notification_stores.get(args.notification_store)
+        if sink is None:
+            from minerva_etl_spark.store.notification import NotificationStore
+
+            sink = NotificationStore(
+                args.notification_store or "trigger",
+                ["rule", "weight", "details", "data"],
+                args.data_dir,
+            )
+        timestamps = (
+            [datetime.fromisoformat(args.timestamp)] if args.timestamp else []
+        )
+        n = tset.execute(spark, args.name, sink, timestamps)
+        print(f"Notifications generated: {n}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="minerva-spark")
     p.add_argument("--instance", default="instance", help="instance YAML dir")
@@ -237,6 +458,8 @@ def main(argv: list[str] | None = None) -> None:
 
     mt = sub.add_parser("materialize")
     mt.add_argument("--max-num", type=int, default=None)
+    mt.add_argument("--now", default=None,
+                    help="ISO timestamp to schedule against (backfills)")
     mt.set_defaults(fn=cmd_materialize)
 
     lm = sub.add_parser("live-monitor")
@@ -251,6 +474,70 @@ def main(argv: list[str] | None = None) -> None:
     at.add_argument("--data-source", required=True)
     at.add_argument("--entity-type", required=True)
     at.set_defaults(fn=cmd_attribute)
+
+    ini = sub.add_parser("initialize")
+    ini.set_defaults(fn=cmd_initialize)
+
+    st = sub.add_parser("structure")
+    st.add_argument("action", choices=["dump"], nargs="?", default="dump")
+    st.set_defaults(fn=cmd_structure)
+
+    dc = sub.add_parser("deduce-config")
+    dc.add_argument("file")
+    dc.add_argument("--identifier-column", default="entity")
+    dc.add_argument("--timestamp-column", default="timestamp")
+    dc.add_argument("--delimiter", default=",")
+    dc.add_argument("--granularity", default="15m")
+    dc.add_argument("--data-source", default="DATASOURCE")
+    dc.add_argument("--entity-type", default="ENTITYTYPE")
+    dc.add_argument("--part-name", default="PART")
+    dc.add_argument("--out", default=None)
+    dc.set_defaults(fn=cmd_deduce_config)
+
+    alt = sub.add_parser("alter-trends")
+    alt.add_argument("--data-source", required=True)
+    alt.add_argument("--entity-type", required=True)
+    alt.add_argument("--granularity", required=True)
+    alt.add_argument("--part", required=True)
+    alt.add_argument("columns", nargs="+")
+    alt.set_defaults(fn=cmd_alter_trends)
+
+    ls = sub.add_parser("load-sample-data")
+    ls.add_argument("--data-source", required=True)
+    ls.add_argument("--entity-type", required=True)
+    ls.add_argument("--granularity", required=True)
+    ls.add_argument("--entities", type=int, default=10)
+    ls.add_argument("--periods", type=int, default=96)
+    ls.add_argument("--start", default="2023-01-01T00:15:00")
+    ls.set_defaults(fn=cmd_load_sample_data)
+
+    for kind in ("data-source", "entity-type"):
+        dp = sub.add_parser(kind)
+        dp.add_argument("action", choices=["create", "delete", "list"])
+        dp.add_argument("name", nargs="?")
+        dp.set_defaults(fn=cmd_directory, kind=kind)
+
+    al = sub.add_parser("alias")
+    al.add_argument("action", choices=["create", "delete", "list"])
+    al.add_argument("--file", help="CSV with (alias, name) columns")
+    al.add_argument("--entity-type", default="entity")
+    al.add_argument("--alias-type", default="name")
+    al.set_defaults(fn=cmd_alias)
+
+    tr = sub.add_parser("trigger")
+    tr.add_argument(
+        "action",
+        choices=[
+            "create", "list", "enable", "disable", "delete",
+            "update-weight", "set-thresholds", "create-notifications",
+        ],
+    )
+    tr.add_argument("name", nargs="?")
+    tr.add_argument("--file", help="trigger YAML (create)")
+    tr.add_argument("--value", help="weight / k=v,k=v thresholds")
+    tr.add_argument("--timestamp", default=None)
+    tr.add_argument("--notification-store", default=None)
+    tr.set_defaults(fn=cmd_trigger)
 
     args = p.parse_args(argv)
     args.fn(args)

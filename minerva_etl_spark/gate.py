@@ -825,9 +825,11 @@ SELECT query_id, vec_id, cosine FROM (
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (rows-only check: the decode is a
-    deterministic stub — see operators/multimodal.py): documents' text
-    bytes as opaque payloads → Arrow-batched mapInPandas features."""
+    """Multimodal plumbing: documents' text bytes as opaque payloads →
+    Arrow-batched mapInPandas feature extraction.  The decode is the
+    deterministic byte-histogram stand-in (real codecs aren't in this
+    image — operators/multimodal.py), which is exactly computable in
+    SQL, so the full rows/schema/hash oracle applies."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     media = docs.select(
@@ -841,6 +843,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("feature", 1), 6).alias("f0"),
         F.round(F.element_at("feature", 4), 6).alias("f3"),
     )
+
+
+# the fake decode is a plain byte-histogram, so it has an exact SQL
+# oracle: per-byte bucket = byte >> 5, normalized by payload length
+_ORACLE_MULTIMODAL = """
+WITH d AS (SELECT doc_id, encode(text) AS b FROM documents),
+bytes AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(hex(b), i * 2 + 1, 2)) AS INTEGER) // 32
+             AS bucket
+  FROM d, unnest(range(octet_length(b))) AS t(i)
+),
+hist AS (
+  SELECT doc_id,
+         count(*) FILTER (WHERE bucket = 0) AS c0,
+         count(*) FILTER (WHERE bucket = 3) AS c3,
+         count(*) AS n
+  FROM bytes GROUP BY doc_id
+)
+SELECT d.doc_id AS media_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_bytes,
+       round(coalesce(h.c0 / CAST(h.n AS DOUBLE), 0.0), 6) AS f0,
+       round(coalesce(h.c3 / CAST(h.n AS DOUBLE), 0.0), 6) AS f3
+FROM d LEFT JOIN hist h USING (doc_id)
+"""
 
 
 def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1399,45 +1426,17 @@ FROM events GROUP BY 1, 2
 """
 
 
-TREND_SLOPE_SCHEMA = (
-    "user_id bigint, n bigint, slope_per_hour double, intercept double"
-)
-
-
 def q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 non-SQL materialization: per-entity least-squares trend slope
-    of event values over time via applyInPandas (grouped Arrow batches;
-    the reference's plpgsql-function materializations map here).
-    Results rounded to 6 dp; OLS on a few hundred points per entity is
-    stable enough for cross-engine hash parity with the DuckDB
-    regr_slope oracle."""
+    """X2 materialization function: per-entity least-squares trend slope
+    via the NATIVE ``regr_slope``/``regr_intercept`` aggregates — JVM
+    codegen, map-side combine, no Python in the hot path.  The
+    applyInPandas mechanism demo lives in
+    ``operators/regression.trend_slope_pandas`` (pytest-covered)."""
     _prep(spark)
-    import pandas as pd
+    from minerva_etl_spark.operators.regression import trend_slope
 
     ev = load_table(spark, sf_dir, "events")
-
-    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        # pin the epoch unit: Arrow may hand us datetime64[ns] or [us]
-        x = pdf["ts"].astype("datetime64[ns]").astype("int64") / 3.6e12  # hours
-        y = pdf["value"]
-        n = len(pdf)
-        mx, my = x.mean(), y.mean()
-        sxx = ((x - mx) ** 2).sum()
-        slope = ((x - mx) * (y - my)).sum() / sxx if sxx else float("nan")
-        return pd.DataFrame(
-            {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n": [n],
-                "slope_per_hour": [round(slope, 6)],
-                "intercept": [round(my - slope * mx, 6)],
-            }
-        )
-
-    return (
-        ev.select("user_id", "ts", "value")
-        .groupBy("user_id")
-        .applyInPandas(fit, schema=TREND_SLOPE_SCHEMA)
-    )
+    return trend_slope(ev.select("user_id", "ts", "value"))
 
 
 _ORACLE_SLOPE = """
@@ -1614,7 +1613,7 @@ def build_oracles() -> dict[str, str]:
         "kpi_translated": _ORACLE_KPI_TRANSLATED,
         "type_deduction": _ORACLE_TYPE_DEDUCTION,
         "sim_ann_lsh": _oracle_sim_ann_lsh(),
-        # multimodal_features: rows-only (decode stubbed; no oracle)
+        "multimodal_features": _ORACLE_MULTIMODAL,
         "streaming_hourly": _oracle_streaming_hourly(),
         "asof_join": _ORACLE_ASOF,
         "sessionize": _ORACLE_SESSIONIZE,

@@ -26,7 +26,10 @@ MEDIA_SCHEMA = (
     "media_id bigint, payload binary, mime string, width int, height int"
 )
 
-FEATURE_SCHEMA = "media_id bigint, feature array<float>, n_bytes bigint"
+# feature as double: the extractor computes float64; declaring float32
+# here would silently truncate and break exact oracle comparison (cast
+# down at the sink if a float32 embedding column is the target)
+FEATURE_SCHEMA = "media_id bigint, feature array<double>, n_bytes bigint"
 
 
 def real_decode_stub(payload: bytes) -> "object":

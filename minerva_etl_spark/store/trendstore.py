@@ -113,6 +113,11 @@ class TrendStore:
     base_path: str
     partition_size: Granularity | None = None
     retention_period: Granularity | None = None
+    #: 'path' = plain partitioned parquet dirs; 'bucketed' = catalog
+    #: tables bucketed on the (entity_id, timestamp) key, so multi-part
+    #: reads and SCD windows are exchange-free (see store/bucketed.py)
+    layout: str = "path"
+    n_buckets: int = 64
 
     def __post_init__(self) -> None:
         self.granularity = Granularity.parse(self.granularity)
@@ -134,6 +139,20 @@ class TrendStore:
 
     def modified_log_path(self) -> str:
         return os.path.join(self.base_path, "modified_log")
+
+    def table_name(self, part: str) -> str:
+        """Catalog table name for a bucketed part — suffixed with a
+        base_path digest so independent stores never collide in a
+        shared catalog."""
+        import hashlib
+        import re
+
+        slug = re.sub(
+            r"[^0-9a-zA-Z_]", "_",
+            f"{self.data_source}_{self.entity_type}_{self.granularity.name}_{part}",
+        )
+        digest = hashlib.md5(self.base_path.encode()).hexdigest()[:8]
+        return f"trend_{slug}_{digest}"
 
     def partition_index_col(self, ts_col: str = "timestamp") -> F.Column:
         return F.expr(
@@ -184,7 +203,6 @@ class TrendStore:
                     PARTITION_COL, self.partition_index_col("timestamp")
                 )
             )
-            path = self.part_path(part.name)
             existing = self.read_part(spark, part.name, with_partition_col=True)
             if existing is not None:
                 # schema evolution: align columns, widen drifted types
@@ -210,18 +228,60 @@ class TrendStore:
                 merged = merged.localCheckpoint(eager=True)
             else:
                 merged = batch
-            # dynamic partition overwrite: only buckets present in
-            # `merged` are rewritten.  The option is set per-write so the
-            # path is safe under ANY caller session (static-mode default
-            # would silently delete untouched partitions).
-            (
-                merged.repartition(PARTITION_COL)
-                .write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(PARTITION_COL)
-                .parquet(path)
-            )
+            self._write_merged(spark, part.name, merged)
             self._mark_modified(spark, part.name, batch, created)
+
+    def _write_merged(
+        self, spark: SparkSession, part_name: str, merged: DataFrame
+    ) -> None:
+        if self.layout == "bucketed":
+            name = self.table_name(part_name)
+            exists = spark.catalog.tableExists(name)
+            schema_changed = exists and set(merged.columns) != set(
+                spark.table(name).columns
+            )
+            if not exists or schema_changed:
+                # create / evolve: (re)build the bucketed table — column
+                # adds and widens rewrite once (metadata-only on a real
+                # lakehouse catalog); steady-state loads take the
+                # insertInto partition-scoped path below
+                (
+                    merged.write.mode("overwrite")
+                    .partitionBy(PARTITION_COL)
+                    .bucketBy(self.n_buckets, "entity_id", "timestamp")
+                    .sortBy("entity_id", "timestamp")
+                    .option("path", self.part_path(part_name))
+                    .format("parquet")
+                    .saveAsTable(name)
+                )
+            else:
+                # insertInto maps columns BY POSITION: select in table
+                # order.  Dynamic overwrite = only touched partitions.
+                cols = spark.table(name).columns
+                prev = spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+                spark.conf.set(
+                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
+                )
+                try:
+                    merged.select(*cols).write.insertInto(name, overwrite=True)
+                finally:
+                    spark.conf.set(
+                        "spark.sql.sources.partitionOverwriteMode", prev
+                    )
+            return
+        # path layout: dynamic partition overwrite — only buckets present
+        # in `merged` are rewritten.  The option is set per-write so the
+        # path is safe under ANY caller session (static-mode default
+        # would silently delete untouched partitions).
+        (
+            merged.repartition(PARTITION_COL)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PARTITION_COL)
+            .parquet(self.part_path(part_name))
+        )
 
     def _mark_modified(
         self,
@@ -247,14 +307,21 @@ class TrendStore:
         part: str,
         with_partition_col: bool = False,
     ) -> DataFrame | None:
-        path = self.part_path(part)
-        try:
-            # mergeSchema: after a column-add evolution, untouched
-            # partitions lack the new column — union the footers so it
-            # reads as null there (column-adds never rewrite history)
-            df = spark.read.option("mergeSchema", "true").parquet(path)
-        except Exception:
-            return None
+        if self.layout == "bucketed" and spark.catalog.tableExists(
+            self.table_name(part)
+        ):
+            df = spark.table(self.table_name(part))
+        else:
+            try:
+                # mergeSchema: after a column-add evolution, untouched
+                # partitions lack the new column — union the footers so
+                # it reads as null there (column-adds never rewrite
+                # history)
+                df = spark.read.option("mergeSchema", "true").parquet(
+                    self.part_path(part)
+                )
+            except Exception:
+                return None
         if not with_partition_col and PARTITION_COL in df.columns:
             df = df.drop(PARTITION_COL)
         return df
@@ -263,9 +330,10 @@ class TrendStore:
         """U3 multi-part read: all parts of the store joined back into
         one wide frame on (entity_id, timestamp).
 
-        Parts share the same key distribution; at scale, writing parts
-        bucketed on entity_id would make this join shuffle-free — on the
-        parquet substrate it is one shuffle per part.
+        With ``layout='bucketed'`` every part is bucketed+sorted on the
+        join key, so the join plans as an exchange-free sort-merge join
+        (asserted by ``tests/test_trendstore.py``); on the path layout
+        it is one shuffle per part.
         """
         out: DataFrame | None = None
         for part in self.parts:
@@ -276,9 +344,16 @@ class TrendStore:
                 c for c in part.trend_columns if c in df.columns
             ]
             df = df.select(*cols)
-            out = df if out is None else out.join(
-                df, ["entity_id", "timestamp"], "full_outer"
-            )
+            if out is None:
+                out = df
+            elif self.layout == "bucketed":
+                # merge hint: keep the sort-merge plan so the bucket
+                # co-location is exercised instead of a broadcast
+                out = out.hint("merge").join(
+                    df, ["entity_id", "timestamp"], "full_outer"
+                )
+            else:
+                out = out.join(df, ["entity_id", "timestamp"], "full_outer")
         return out
 
     def read_modified_log(self, spark: SparkSession) -> DataFrame | None:
@@ -332,6 +407,13 @@ class TrendStore:
         expired = self.expired_partitions(spark, part, now)
         base = self.part_path(part)
         for idx in expired:
+            if self.layout == "bucketed" and spark.catalog.tableExists(
+                self.table_name(part)
+            ):
+                spark.sql(
+                    f"ALTER TABLE {self.table_name(part)} DROP IF EXISTS "
+                    f"PARTITION ({PARTITION_COL}={idx})"
+                )
             shutil.rmtree(
                 os.path.join(base, f"{PARTITION_COL}={idx}"), ignore_errors=True
             )

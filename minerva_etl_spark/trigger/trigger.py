@@ -21,7 +21,7 @@ evaluation for streaming (T5).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime
 from typing import Callable
 
@@ -41,6 +41,25 @@ class Trigger:
     notification_message: str = "''"
     notification_data: str | None = None  # SQL producing a JSON string
     fire_value: str | None = None
+    #: lifecycle state (reference `trigger.rule.enabled`, tags)
+    enabled: bool = True
+    tags: list[str] = field(default_factory=list)
+    #: cache the all-buckets KPI frame across evaluate() calls — right
+    #: for repeated per-timestamp evaluation (live monitor, execute over
+    #: a range); leave False when each evaluation should push the
+    #: timestamp filter into the source scan instead (huge history)
+    cache_kpi: bool = False
+    _kpi_df: DataFrame | None = field(
+        default=None, init=False, repr=False, compare=False
+    )
+
+    def invalidate_kpi_cache(self) -> None:
+        if self._kpi_df is not None:
+            try:
+                self._kpi_df.unpersist()
+            except Exception:
+                pass
+            self._kpi_df = None
 
     def evaluate(
         self, spark: SparkSession, timestamps: list[datetime]
@@ -53,7 +72,12 @@ class Trigger:
         per-timestamp, `trigger/trigger.py:157-189`) — KPI closures
         need not filter themselves.
         """
-        kpi = self.kpi(spark, timestamps)
+        if self.cache_kpi:
+            if self._kpi_df is None:
+                self._kpi_df = self.kpi(spark, []).cache()
+            kpi = self._kpi_df
+        else:
+            kpi = self.kpi(spark, timestamps)
         if timestamps:
             kpi = kpi.filter(F.col("timestamp").isin(list(timestamps)))
         thresholds = F.broadcast(

@@ -1,0 +1,168 @@
+"""CLI-driven lifecycle: the `minerva` subcommand surface end-to-end
+(reference `commands/minerva_cli.py:42-60`) against the tiny instance.
+
+Unlike test_full_lifecycle (library-driven), everything here goes
+through `cli.main(argv)` — parity with how an operator uses the tool.
+"""
+
+import shutil
+
+import pytest
+
+from minerva_etl_spark import cli
+
+TINY = "examples/tiny_instance"
+
+
+@pytest.fixture()
+def instance_dir(tmp_path):
+    dst = tmp_path / "instance"
+    shutil.copytree(TINY, dst)
+    return str(dst)
+
+
+@pytest.fixture()
+def data_dir(tmp_path):
+    return str(tmp_path / "data")
+
+
+def run(instance_dir, data_dir, *argv):
+    cli.main(["--instance", instance_dir, "--data-dir", data_dir, *argv])
+
+
+def test_cli_full_lifecycle(spark, instance_dir, data_dir, capsys):
+    # initialize: instance YAML -> engine objects
+    run(instance_dir, data_dir, "initialize")
+    out = capsys.readouterr().out
+    assert "trend stores:        2" in out
+    assert "triggers:            1" in out
+
+    # structure dump
+    run(instance_dir, data_dir, "structure", "dump")
+    out = capsys.readouterr().out
+    assert "trend store hub/node/15m" in out
+    assert "power_kwh: numeric" in out
+
+    # load the sample through the CLI
+    run(
+        instance_dir, data_dir, "load-data",
+        "--data-source", "hub", "--entity-type", "node",
+        "--granularity", "15m", "--identifier-column", "node",
+        f"{instance_dir}/sample-data/sample.csv",
+    )
+    assert "loaded" in capsys.readouterr().out
+
+    # materialize the KPI store (now pushed past the stability delay)
+    from datetime import datetime, timedelta, timezone
+
+    later = (
+        datetime.now(timezone.utc).replace(tzinfo=None) + timedelta(minutes=10)
+    ).isoformat()
+    run(instance_dir, data_dir, "materialize", "--now", later)
+    out = capsys.readouterr().out
+    assert "materialized hub-kpi_node_15m" in out
+
+    # report over the loaded store
+    run(
+        instance_dir, data_dir, "report",
+        "--data-source", "hub", "--entity-type", "node",
+        "--granularity", "15m",
+    )
+    assert "node_main_15m: rows=" in capsys.readouterr().out
+
+    # trigger admin: list / update / disable / execute
+    run(instance_dir, data_dir, "trigger", "list")
+    out = capsys.readouterr().out
+    assert "HighPowerUsage" in out and "weight=100" in out
+
+    run(
+        instance_dir, data_dir, "trigger", "update-weight",
+        "HighPowerUsage", "--value", "42",
+    )
+    capsys.readouterr()
+    run(instance_dir, data_dir, "trigger", "list")
+    assert "weight=42" in capsys.readouterr().out
+
+    run(
+        instance_dir, data_dir, "trigger", "create-notifications",
+        "HighPowerUsage", "--notification-store", "trigger-notification",
+    )
+    out = capsys.readouterr().out
+    assert "Notifications generated:" in out
+    n = int(out.strip().rsplit(" ", 1)[1])
+    assert n > 0
+
+    run(instance_dir, data_dir, "trigger", "disable", "HighPowerUsage")
+    capsys.readouterr()
+    run(
+        instance_dir, data_dir, "trigger", "create-notifications",
+        "HighPowerUsage",
+    )
+    assert "Notifications generated: 0" in capsys.readouterr().out
+
+
+def test_cli_directory_and_alias(spark, instance_dir, data_dir, tmp_path, capsys):
+    run(instance_dir, data_dir, "data-source", "create", "hub")
+    run(instance_dir, data_dir, "entity-type", "create", "node")
+    capsys.readouterr()
+    run(instance_dir, data_dir, "data-source", "list")
+    assert capsys.readouterr().out.strip() == "hub"
+
+    alias_csv = tmp_path / "aliases.csv"
+    alias_csv.write_text("alias,name\nh14,hillside14\nh15,hillside15\n")
+    run(
+        instance_dir, data_dir, "alias", "create",
+        "--file", str(alias_csv), "--entity-type", "node",
+    )
+    capsys.readouterr()
+    run(instance_dir, data_dir, "alias", "list")
+    out = capsys.readouterr().out
+    assert "h14" in out and "h15" in out
+
+    run(instance_dir, data_dir, "data-source", "delete", "hub")
+    capsys.readouterr()
+    run(instance_dir, data_dir, "data-source", "list")
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_cli_deduce_config_roundtrip(spark, instance_dir, data_dir, tmp_path, capsys):
+    """Deduced YAML loads through initialize and ingests the sample
+    (the VERDICT round-2 'done' criterion for the deducer)."""
+    out_yaml = tmp_path / "deduced.yaml"
+    run(
+        instance_dir, data_dir, "deduce-config",
+        f"{instance_dir}/sample-data/sample.csv",
+        "--identifier-column", "node", "--granularity", "15m",
+        "--data-source", "ded", "--entity-type", "node",
+        "--part-name", "ded_node_15m", "--out", str(out_yaml),
+    )
+    capsys.readouterr()
+    text = out_yaml.read_text()
+    assert "power_kwh" in text and "freq_power" in text
+    # install the deduced store into a fresh instance and load with it
+    fresh = tmp_path / "fresh_instance" / "trend"
+    fresh.mkdir(parents=True)
+    (fresh / "ded_node_15m.yaml").write_text(text)
+    run(
+        str(tmp_path / "fresh_instance"), data_dir, "load-data",
+        "--data-source", "ded", "--entity-type", "node",
+        "--granularity", "15m", "--identifier-column", "node",
+        f"{instance_dir}/sample-data/sample.csv",
+    )
+    assert "loaded" in capsys.readouterr().out
+    run(
+        str(tmp_path / "fresh_instance"), data_dir, "report",
+        "--data-source", "ded", "--entity-type", "node",
+        "--granularity", "15m",
+    )
+    assert "ded_node_15m: rows=4" in capsys.readouterr().out
+
+
+def test_cli_alter_trends(spark, instance_dir, data_dir, capsys):
+    run(
+        instance_dir, data_dir, "alter-trends",
+        "--data-source", "hub", "--entity-type", "node",
+        "--granularity", "15m", "--part", "node_main_15m", "volt", "amp",
+    )
+    out = capsys.readouterr().out
+    assert "['volt', 'amp']" in out

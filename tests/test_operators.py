@@ -113,3 +113,25 @@ def test_latest_per_entity(spark):
     out = latest_per_entity(df)
     got = {r.entity_id: r.state for r in out.collect()}
     assert got == {1: "b", 2: "c"}
+
+
+def test_trend_slope_native_matches_pandas_variant(spark):
+    """X2: the applyInPandas mechanism demo computes the same fit as the
+    production regr_slope/regr_intercept aggregates."""
+    from minerva_etl_spark.operators.regression import (
+        trend_slope,
+        trend_slope_pandas,
+    )
+    from minerva_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "value"
+    )
+    native = {r.user_id: r for r in trend_slope(ev).collect()}
+    pandas_ = {r.user_id: r for r in trend_slope_pandas(ev).collect()}
+    assert set(native) == set(pandas_)
+    for uid, a in native.items():
+        b = pandas_[uid]
+        assert a.n == b.n
+        assert abs(a.slope_per_hour - b.slope_per_hour) < 1e-4
+        assert abs(a.intercept - b.intercept) < 1e-2
