@@ -53,6 +53,11 @@ HEADLINE = [
     "trend_time_agg_1d_dst",
     "trend_slope",
     "series_fill_hours",
+    "dedup_simhash_hamming",
+    # engine write paths: CSV ingest -> upsert -> read-back, and the
+    # fingerprint materialization loop (sf-dependent ingest volume)
+    "lifecycle_load_store",
+    "lifecycle_materialize",
 ]
 
 

@@ -1371,6 +1371,19 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-radius search: 4×15-bit pigeonhole banding finds
+    EVERY pair within hamming ≤ 3 (oracle = brute-force all-pairs, so a
+    hash match proves perfect recall, not plausibility)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_banded_pairs(docs, bands=4, radius=3)
+
+
+def _oracle_simhash_hamming() -> str:
+    return D.simhash_banded_pairs_oracle_sql("documents", radius=3)
+
+
 def _oracle_simhash_pairs() -> str:
     sims = D.simhash_oracle_sql("documents")
     chunk_cols = ",\n    ".join(
@@ -1566,6 +1579,7 @@ def build_queries() -> dict:
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "dedup_simhash_hamming": q_dedup_simhash_hamming,
         **_lifecycle_queries(),
     }
 
@@ -1630,5 +1644,6 @@ def build_oracles() -> dict[str, str]:
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_pairs": _oracle_simhash_pairs(),
+        "dedup_simhash_hamming": _oracle_simhash_hamming(),
         **_lifecycle_oracles(),
     }

@@ -407,6 +407,93 @@ def simhash(
     )
 
 
+def simhash_banded_pairs(
+    df: DataFrame,
+    bands: int = 4,
+    radius: int | None = 3,
+    bits: int = 60,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Hamming-radius near-dup pairs via pigeonhole banding.
+
+    Split the ``bits``-bit fingerprint into ``bands`` equal chunks and
+    equi-join on any matching (band index, chunk value).  Pigeonhole: a
+    pair within hamming distance ``bands - 1`` differs in at most
+    ``bands - 1`` chunks, so at least one chunk matches — banding with
+    ``radius + 1`` bands has PERFECT recall at that radius (no
+    hamming-ball probing needed; this is the scalable generalization of
+    multi-probe).  The default 4×15-bit bands guarantee every pair with
+    hamming ≤ 3; the exact ``bit_count(a^b)`` verifier then drops
+    coincidental band collisions.
+
+    Scale shape: signatures are one long per doc; the join is an
+    equi-join on (band, chunk) — no O(n²) stage.  15-bit bands give 32k
+    buckets per band; for corpora where that skews, raise ``bits``/use
+    more, narrower bands the same way.
+    """
+    assert bits % bands == 0, "bits must divide evenly into bands"
+    width = bits // bands
+    sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
+    sh = sh.localCheckpoint(eager=True)  # tiny; don't recompute per side
+    melted = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.concat_ws(
+                    ":",
+                    F.lit(c),
+                    F.expr(
+                        f"(simhash div {1 << (width * c)}) % {1 << width}"
+                    ).cast("string"),
+                )
+                for c in range(bands)
+            ])
+        ).alias("band"),
+    )
+    left = melted.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band"
+    )
+    right = melted.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band"
+    )
+    pairs = (
+        left.join(right, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    out = pairs.select(
+        "id_a",
+        "id_b",
+        F.bit_count(F.expr("sh_a ^ sh_b")).cast("bigint").alias("hamming"),
+    )
+    if radius is not None:
+        out = out.filter(F.col("hamming") <= radius)
+    return out
+
+
+def simhash_banded_pairs_oracle_sql(
+    table: str,
+    radius: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 60,
+) -> str:
+    """Brute-force all-pairs oracle.  Equality against the banded join
+    proves PERFECT recall at the radius (pigeonhole), not merely that
+    the produced pairs are plausible."""
+    sims = simhash_oracle_sql(table, text_col, id_col, bits)
+    return f"""
+WITH sh AS ({sims})
+SELECT a.{id_col} AS id_a, b.{id_col} AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.{id_col} < b.{id_col}
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {radius}
+"""
+
+
 def simhash_oracle_sql(
     table: str, text_col: str = "text", id_col: str = "doc_id", bits: int = 60
 ) -> str:

@@ -35,6 +35,11 @@ _TYPE_MAP = {
     "timestamp with time zone": "timestamp",
     "boolean": "boolean",
     "bool": "boolean",
+    # PG json/jsonb/name have no Spark type — their textual form does
+    "json": "string",
+    "jsonb": "string",
+    "name": "string",
+    "date": "date",
 }
 
 _CAST_RE = re.compile(
@@ -57,6 +62,31 @@ def translate(pg_sql: str, table_resolver=None) -> str:
     Spark view names; default strips the schema and quotes.
     """
     out = pg_sql
+
+    # PG escape-string literals: E'\n' → '\n' (Spark single-quoted
+    # strings interpret backslash escapes by default)
+    out = re.sub(r"\bE'", "'", out)
+
+    # trigger-row references: `$1.col` → `col` (the reference passes the
+    # KPI row as a record argument; our trigger engine evaluates the
+    # expression directly over the KPI frame columns)
+    out = re.sub(r"\$\d+\.", "", out)
+
+    # `'<text>'::interval` → INTERVAL '<text>' (Spark interval literal
+    # accepts the PG multi-unit text form)
+    out = re.sub(
+        r"('[^']*')\s*::\s*interval\b", r"INTERVAL \1", out,
+        flags=re.IGNORECASE,
+    )
+
+    # date_part('epoch', x) → unix_timestamp(x); other fields map 1:1
+    # (Spark has date_part with the same field names)
+    out = re.sub(
+        r"\bdate_part\s*\(\s*'epoch'\s*,\s*([^()]+?)\)",
+        r"unix_timestamp(\1)",
+        out,
+        flags=re.IGNORECASE,
+    )
 
     # `expr::type` → CAST(expr AS type): handle simple operand forms
     # (identifier, literal, call, parenthesized) right-to-left.
