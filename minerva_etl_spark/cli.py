@@ -210,6 +210,36 @@ def cmd_attribute(args) -> None:
         print(f"curr rows: {0 if curr is None else curr.count()}")
 
 
+def cmd_attribute_store(args) -> None:
+    """`minerva attribute-store ...` admin over the initialized
+    instance: compact / materialize-curr-ptr (one store or --all) and
+    store deletion (`commands/attribute_store.py:523-579`)."""
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    spark = _spark()
+    ctx = initialize(spark, MinervaInstance.load(args.instance), args.data_dir)
+    if args.all:
+        targets = list(ctx.attribute_stores.values())
+    else:
+        key = args.store
+        if key not in ctx.attribute_stores:
+            sys.exit(f"no attribute store {key!r}; have "
+                     f"{sorted(ctx.attribute_stores)}")
+        targets = [ctx.attribute_stores[key]]
+    for st in targets:
+        label = f"{st.data_source}_{st.entity_type}"
+        if args.action == "compact":
+            st.compact(spark)
+            print(f"{label}: compacted")
+        elif args.action == "materialize-curr-ptr":
+            curr = st.materialize_curr(spark)
+            print(f"{label}: curr rows = {0 if curr is None else curr.count()}")
+        elif args.action == "delete":
+            st.delete()
+            print(f"{label}: deleted")
+
+
 def cmd_initialize(args) -> None:
     """`minerva initialize`: compile the YAML instance into engine
     objects, materialize relations and virtual entities."""
@@ -474,6 +504,17 @@ def main(argv: list[str] | None = None) -> None:
     at.add_argument("--data-source", required=True)
     at.add_argument("--entity-type", required=True)
     at.set_defaults(fn=cmd_attribute)
+
+    ats = sub.add_parser("attribute-store")
+    ats.add_argument(
+        "action",
+        choices=["compact", "materialize-curr-ptr", "delete"],
+    )
+    ats.add_argument("store", nargs="?",
+                     help="store key (data_source_entity_type)")
+    ats.add_argument("--all", action="store_true",
+                     help="apply to every attribute store of the instance")
+    ats.set_defaults(fn=cmd_attribute_store)
 
     ini = sub.add_parser("initialize")
     ini.set_defaults(fn=cmd_initialize)

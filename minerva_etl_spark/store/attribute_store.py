@@ -102,6 +102,20 @@ class AttributeStore:
             .parquet(self.history_path)
         )
 
+    def delete(self) -> None:
+        """Drop the store: history + curr removed (reference
+        ``attribute-store delete``, `commands/attribute_store.py:
+        560-579` — DROP TABLE cascade on the parquet substrate)."""
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(
+                self.base_path, "attribute",
+                f"{self.data_source}_{self.entity_type}",
+            ),
+            ignore_errors=True,
+        )
+
     def materialize_curr(self, spark: SparkSession) -> DataFrame | None:
         """Refresh the latest-row-per-entity pointer table (A9/W1)."""
         hist = self.read_history(spark)

@@ -166,3 +166,41 @@ def test_cli_alter_trends(spark, instance_dir, data_dir, capsys):
     )
     out = capsys.readouterr().out
     assert "['volt', 'amp']" in out
+
+
+def test_cli_attribute_store_admin(spark, instance_dir, data_dir, capsys):
+    """attribute-store compact / materialize-curr-ptr / delete (--all)."""
+    from datetime import datetime
+
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    ctx = initialize(
+        spark, MinervaInstance.load(instance_dir), data_dir
+    )
+    store = ctx.attribute_stores["hub_node"]
+    batch = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1), "rtu", "alpha"),
+            (1, datetime(2024, 1, 2), "rtu", "alpha"),  # run: compacts away
+            (1, datetime(2024, 1, 3), "bbu", "alpha"),
+            (2, datetime(2024, 1, 1), "rtu", "beta"),
+        ],
+        "entity_id bigint, timestamp timestamp_ntz, equipment_type string, "
+        "site string",
+    )
+    store.store_batch(spark, batch)
+
+    run(instance_dir, data_dir, "attribute-store", "compact", "--all")
+    assert "hub_node: compacted" in capsys.readouterr().out
+    assert store.read_history(spark).count() == 3  # middle run collapsed
+
+    run(
+        instance_dir, data_dir, "attribute-store", "materialize-curr-ptr",
+        "hub_node",
+    )
+    assert "curr rows = 2" in capsys.readouterr().out
+
+    run(instance_dir, data_dir, "attribute-store", "delete", "hub_node")
+    assert "hub_node: deleted" in capsys.readouterr().out
+    assert store.read_history(spark) is None
