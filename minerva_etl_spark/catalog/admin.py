@@ -82,7 +82,8 @@ class DirectoryCatalog:
         kept.write.mode("overwrite").parquet(self.alias_path())
 
     def read_aliases(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return spark.read.parquet(self.alias_path())
-        except Exception:
+        from minerva_etl_spark.fsutil import parquet_exists as path_exists
+
+        if not path_exists(spark, self.alias_path()):
             return None
+        return spark.read.parquet(self.alias_path())

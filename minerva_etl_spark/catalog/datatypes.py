@@ -187,7 +187,14 @@ def widen_spark_type(left: str, right: str) -> str:
         # e.g. timestamp vs timestamp_ntz, decimal(10,2) vs decimal(38,18)
         if base_l == base_r == "decimal":
             return "decimal(38,18)"
-        return "timestamp" if "timestamp" in (left, right) else left
+        # temporal family: prefer the timestamp types over date, so a
+        # date column meeting timestamp[_ntz] batches keeps time-of-day
+        # (date-widening would silently truncate and report no change)
+        if "timestamp" in (left, right):
+            return "timestamp"
+        if "timestamp_ntz" in (left, right):
+            return "timestamp_ntz"
+        return left
     return left if rank_l > rank_r else right
 
 

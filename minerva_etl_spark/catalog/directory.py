@@ -80,12 +80,14 @@ def register_entities(
         .withColumn("entity_type", F.lit(entity_type))
         .withColumn("created", F.current_timestamp().cast("timestamp_ntz"))
     )
-    try:
+    from minerva_etl_spark.fsutil import parquet_exists as path_exists
+
+    if path_exists(spark, dim_path):
         existing = spark.read.parquet(dim_path)
         fresh = incoming.join(
             existing.select("id").distinct(), "id", "left_anti"
         )
-    except Exception:
+    else:
         fresh = incoming
     fresh.write.mode("append").parquet(dim_path)
     return spark.read.parquet(dim_path)

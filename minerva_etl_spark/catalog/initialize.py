@@ -81,11 +81,12 @@ class EngineContext:
         (slugged), for relation/virtual-entity defining queries."""
         import os
 
+        from minerva_etl_spark.fsutil import parquet_exists as path_exists
+
         path = os.path.join(self.data_dir, "entity", entity_type)
-        try:
-            df = self.spark.read.parquet(path)
-        except Exception:
+        if not path_exists(self.spark, path):
             return
+        df = self.spark.read.parquet(path)
         df.createOrReplaceTempView(f"entity_{entity_type}".replace("-", "_"))
 
     def trigger_factory(self, t: dict) -> Trigger:

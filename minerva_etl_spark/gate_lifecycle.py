@@ -50,6 +50,19 @@ def _tmp(name: str) -> str:
     return tempfile.mkdtemp(prefix=f"minerva_gate_{name}_")
 
 
+def _finish(result: DataFrame, base: str) -> DataFrame:
+    """Detach the result from the throwaway working directory, then
+    delete it.  These queries run inside bench's HEADLINE — without
+    cleanup, repeated bench/gate runs accumulate sf-dependent temp data
+    on disk.  ``localCheckpoint`` pins the (small) result in block
+    storage so the lazy DataFrame survives the rmtree."""
+    import shutil
+
+    result = result.localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return result
+
+
 # =====================================================================
 # S1/S2/S4/S5/P6/P7/P8/T7/T9/U3/X1/X6/J2: full load → store → read
 # =====================================================================
@@ -132,9 +145,10 @@ def q_lifecycle_load_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     main = store.read_part(spark, "main_15m").select(
         "entity_id", "timestamp", "created", "job_id"
     )
-    return wide.join(main, ["entity_id", "timestamp"]).select(
+    out = wide.join(main, ["entity_id", "timestamp"]).select(
         "entity_id", "timestamp", "value", "score", "created", "job_id"
     )
+    return _finish(out, base)
 
 
 def _oracle_lifecycle_load_store() -> str:
@@ -195,7 +209,9 @@ def q_lifecycle_job_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         strict.load_file(spark, "csv", base + "/in", cfg, job_id=2003)
     except ValueError:
         pass  # expected: 'extra' is not a declared trend column
-    return log.read(spark).select("job_id", "description", "state")
+    return _finish(
+        log.read(spark).select("job_id", "description", "state"), base
+    )
 
 
 _ORACLE_JOB_LOG = """
@@ -284,10 +300,11 @@ def q_lifecycle_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = spark.read.parquet(base + "/state").select(
         "timestamp", "processed_fingerprint"
     )
-    return tgt.join(state, "timestamp").select(
+    out = tgt.join(state, "timestamp").select(
         "entity_id", "timestamp", "samples", "sum_value", "max_value",
         "processed_fingerprint",
     )
+    return _finish(out, base)
 
 
 def _oracle_lifecycle_materialize() -> str:
@@ -383,9 +400,10 @@ def q_lifecycle_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     loader.load_file(spark, "csv", base + "/day1", cfg1, job_id=3001, created=_E1)
     loader.load_file(spark, "csv", base + "/day2", cfg2, job_id=3002, created=_E2)
     assert store.parts[0].trend_columns == ["value", "score"]
-    return store.read_part(spark, "dev_1h").select(
+    out = store.read_part(spark, "dev_1h").select(
         "entity_id", "timestamp", "value", "score", "created", "job_id"
     )
+    return _finish(out, base)
 
 
 def _oracle_lifecycle_schema_evolution() -> str:
@@ -530,10 +548,11 @@ def q_lifecycle_attr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("entity_id", "timestamp")
         .withColumn("is_curr", F.lit(True))
     )
-    return hist.join(curr, ["entity_id", "timestamp"], "left").select(
+    out = hist.join(curr, ["entity_id", "timestamp"], "left").select(
         "entity_id", "timestamp", "segment", "acctbal",
         F.coalesce("is_curr", F.lit(False)).alias("is_curr"),
     )
+    return _finish(out, base)
 
 
 def _oracle_lifecycle_attr_store() -> str:
@@ -608,7 +627,7 @@ def q_lifecycle_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entity_id bigint, timestamp timestamp_ntz, rule string, "
             "weight int, details string, data string",
         )
-    return out
+    return _finish(out, base)
 
 
 def _oracle_lifecycle_notification() -> str:
@@ -669,10 +688,11 @@ def q_lifecycle_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = store.drop_expired(spark, "sensor_1h", _RET_NOW)
     assert dropped, "retention must drop at least one partition"
     out = store.read_part(spark, "sensor_1h", with_partition_col=True)
-    return out.select(
+    out = out.select(
         "entity_id", "timestamp", "value",
         F.col("__part_idx").cast("bigint").alias("part_idx"),
     )
+    return _finish(out, base)
 
 
 def _oracle_lifecycle_retention() -> str:
@@ -811,7 +831,7 @@ def q_entity_dim_register(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, dim_path, cust.select(F.col("c_name").alias("name")),
         "customer", method="md5",
     )
-    return dim.select("id", "name", "entity_type")
+    return _finish(dim.select("id", "name", "entity_type"), base)
 
 
 def _oracle_entity_dim_register() -> str:

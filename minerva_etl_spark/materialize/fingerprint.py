@@ -69,10 +69,11 @@ def compact_modified_log(spark: SparkSession, log_path: str) -> int:
     (reference ``process_modified_log`` keeps a separate state table;
     here the log IS the state, so compaction bounds its growth).
     Returns the compacted row count.  Run under the retention job."""
-    try:
-        log = spark.read.parquet(log_path)
-    except Exception:
+    from minerva_etl_spark.fsutil import parquet_exists as path_exists
+
+    if not path_exists(spark, log_path):
         return 0
+    log = spark.read.parquet(log_path)
     folded = fold_modified_state(log).select(
         "part", "timestamp", F.col("last_modified").alias("modified")
     ).localCheckpoint(eager=True)
@@ -130,14 +131,17 @@ class MaterializationEngine:
 
     # ------------------------------------------------------------ state
     def read_state(self) -> DataFrame:
-        try:
+        from minerva_etl_spark.fsutil import parquet_exists as path_exists
+
+        # silent FS probe (not a caught read error: that logs a JVM
+        # stack trace on every fresh state table)
+        if path_exists(self.spark, self.state_path):
             return self.spark.read.parquet(self.state_path)
-        except Exception:
-            return self.spark.createDataFrame(
-                [],
-                "materialization string, timestamp timestamp_ntz, "
-                "processed_fingerprint string",
-            )
+        return self.spark.createDataFrame(
+            [],
+            "materialization string, timestamp timestamp_ntz, "
+            "processed_fingerprint string",
+        )
 
     def _write_state(self, df: DataFrame) -> None:
         df = df.localCheckpoint(eager=True)

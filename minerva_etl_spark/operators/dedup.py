@@ -433,6 +433,13 @@ def simhash_banded_pairs(
     more, narrower bands the same way.
     """
     assert bits % bands == 0, "bits must divide evenly into bands"
+    # pigeonhole recall contract: a pair within hamming `radius` differs
+    # in at most `radius` chunks, so it needs radius+1 bands to be
+    # guaranteed one matching chunk — fewer bands silently lose pairs
+    assert radius is None or bands >= radius + 1, (
+        f"perfect recall at hamming radius {radius} requires "
+        f">= {radius + 1} bands (got {bands})"
+    )
     width = bits // bands
     sh = simhash(df, text_col=text_col, id_col=id_col, bits=bits)
     sh = sh.localCheckpoint(eager=True)  # tiny; don't recompute per side

@@ -47,10 +47,11 @@ class JobLog:
         ).write.mode("append").parquet(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return spark.read.parquet(self.path)
-        except Exception:
+        from minerva_etl_spark.fsutil import parquet_exists as path_exists
+
+        if not path_exists(spark, self.path):
             return None
+        return spark.read.parquet(self.path)
 
 
 @dataclass

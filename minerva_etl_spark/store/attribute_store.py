@@ -59,10 +59,11 @@ class AttributeStore:
         )
 
     def read_history(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return spark.read.parquet(self.history_path).drop("__bucket")
-        except Exception:
+        from minerva_etl_spark.fsutil import parquet_exists as path_exists
+
+        if not path_exists(spark, self.history_path):
             return None
+        return spark.read.parquet(self.history_path).drop("__bucket")
 
     def store_batch(self, spark: SparkSession, batch: DataFrame) -> None:
         """Staging→history transfer: upsert on (entity_id, timestamp)

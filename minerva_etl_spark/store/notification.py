@@ -32,10 +32,11 @@ class NotificationStore:
         out.write.mode("append").partitionBy("__day").parquet(self.path)
 
     def read(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return spark.read.parquet(self.path).drop("__day")
-        except Exception:
+        from minerva_etl_spark.fsutil import parquet_exists as path_exists
+
+        if not path_exists(spark, self.path):
             return None
+        return spark.read.parquet(self.path).drop("__day")
 
     def streaming_sink(self, notifications_stream, checkpoint: str):
         """Structured Streaming variant: append via foreachBatch."""

@@ -38,7 +38,8 @@ class RelationStore:
         return spark.read.parquet(self.path(name))
 
     def read(self, spark: SparkSession, name: str) -> DataFrame | None:
-        try:
-            return spark.read.parquet(self.path(name))
-        except Exception:
+        from minerva_etl_spark.fsutil import parquet_exists as path_exists
+
+        if not path_exists(spark, self.path(name)):
             return None
+        return spark.read.parquet(self.path(name))

@@ -38,10 +38,17 @@ from minerva_etl_spark.catalog.granularity import (
     DEFAULT_PARTITION_SIZE,
     Granularity,
 )
+from minerva_etl_spark.fsutil import parquet_exists as path_exists
 from minerva_etl_spark.operators.upsert import upsert
 
 PARTITION_COL = "__part_idx"
 SYSTEM_COLS = ("entity_id", "timestamp", "created", "job_id")
+
+
+def _same_schema(a, b) -> bool:
+    """Column name+type equality, order- and nullability-insensitive."""
+    key = lambda s: {(f.name, f.dataType.simpleString()) for f in s.fields}  # noqa: E731
+    return key(a) == key(b)
 
 
 def align_schemas(
@@ -207,7 +214,18 @@ class TrendStore:
             if existing is not None:
                 # schema evolution: align columns, widen drifted types
                 existing, batch, widened = align_schemas(existing, batch)
-                if widened:
+                rebuild = widened
+                if self.layout == "bucketed" and not rebuild:
+                    # a bucketed table is rebuilt via saveAsTable on ANY
+                    # schema change (column add too, not just widen) —
+                    # that rebuild replaces the whole table, so it must
+                    # carry the whole part, not just touched partitions
+                    name = self.table_name(part.name)
+                    if spark.catalog.tableExists(name):
+                        rebuild = not _same_schema(
+                            spark.table(name).schema, batch.schema
+                        )
+                if rebuild:
                     # ALTER COLUMN TYPE analog: one-time full-part rewrite
                     # so every file agrees on the widened type (metadata-
                     # only on Delta/Iceberg; rare admin-grade event here)
@@ -237,8 +255,12 @@ class TrendStore:
         if self.layout == "bucketed":
             name = self.table_name(part_name)
             exists = spark.catalog.tableExists(name)
-            schema_changed = exists and set(merged.columns) != set(
-                spark.table(name).columns
+            # names AND types (nullability ignored): a type widen keeps
+            # the column set identical but still requires a rebuild —
+            # the insertInto branch would silently cast the merged data
+            # back down to the table's old narrow type
+            schema_changed = exists and not _same_schema(
+                spark.table(name).schema, merged.schema
             )
             if not exists or schema_changed:
                 # create / evolve: (re)build the bucketed table — column
@@ -312,16 +334,18 @@ class TrendStore:
         ):
             df = spark.table(self.table_name(part))
         else:
-            try:
-                # mergeSchema: after a column-add evolution, untouched
-                # partitions lack the new column — union the footers so
-                # it reads as null there (column-adds never rewrite
-                # history)
-                df = spark.read.option("mergeSchema", "true").parquet(
-                    self.part_path(part)
-                )
-            except Exception:
+            # existence-check via the Hadoop FS API, NOT a caught read
+            # exception — the JVM logs a full stack trace per caught
+            # AnalysisException, polluting every clean first-load run
+            if not path_exists(spark, self.part_path(part)):
                 return None
+            # mergeSchema: after a column-add evolution, untouched
+            # partitions lack the new column — union the footers so
+            # it reads as null there (column-adds never rewrite
+            # history)
+            df = spark.read.option("mergeSchema", "true").parquet(
+                self.part_path(part)
+            )
         if not with_partition_col and PARTITION_COL in df.columns:
             df = df.drop(PARTITION_COL)
         return df
@@ -357,10 +381,9 @@ class TrendStore:
         return out
 
     def read_modified_log(self, spark: SparkSession) -> DataFrame | None:
-        try:
-            return spark.read.parquet(self.modified_log_path())
-        except Exception:
+        if not path_exists(spark, self.modified_log_path()):
             return None
+        return spark.read.parquet(self.modified_log_path())
 
     # ------------------------------------------------------- retention
     def expired_partitions(

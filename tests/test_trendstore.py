@@ -165,3 +165,55 @@ def test_bucketed_schema_evolution_rebuilds_table(spark, bucketed_store):
     main = bucketed_store.read_part(spark, "node_main_15m")
     got = {r.entity_id: r.volt for r in main.collect()}
     assert got == {1: None, 2: 5.5}
+
+
+def test_bucketed_type_widen_rebuilds_and_preserves_values(spark, tmp_path):
+    """ADVICE r2 (high): a type widen keeps the column NAME set identical,
+    so it must be detected by comparing types too — otherwise the
+    insertInto branch silently casts 7.5 back to the old int type."""
+    st = TrendStore(
+        data_source="hub", entity_type="node",
+        granularity=Granularity.parse("15m"),
+        parts=[TrendStorePart("m", ["val"])],
+        base_path=str(tmp_path), layout="bucketed", n_buckets=4,
+    )
+    t1, t2 = ts(2024, 1, 1, 0, 15), ts(2024, 1, 2, 0, 15)
+    st.store(spark, spark.createDataFrame(
+        [(1, t1, 7)],
+        "entity_id bigint, timestamp timestamp_ntz, val int"))
+    st.store(spark, spark.createDataFrame(
+        [(2, t2, 7.5)],
+        "entity_id bigint, timestamp timestamp_ntz, val double"))
+    main = st.read_part(spark, "m")
+    assert dict(main.dtypes)["val"] == "double"
+    got = {r.entity_id: r.val for r in main.collect()}
+    assert got == {1: 7.0, 2: 7.5}
+
+
+def test_bucketed_column_add_survives_static_overwrite_session(spark, tmp_path):
+    """ADVICE r2 (high): the bucketed rebuild-on-schema-change must carry
+    the FULL part — under a static partitionOverwriteMode session a
+    touched-partitions-only rebuild deletes every untouched partition."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        st = TrendStore(
+            data_source="hub", entity_type="node",
+            granularity=Granularity.parse("15m"),
+            parts=[TrendStorePart("m", ["power_kwh"])],
+            base_path=str(tmp_path), layout="bucketed", n_buckets=4,
+        )
+        t1, t2 = ts(2024, 1, 1, 0, 15), ts(2024, 1, 2, 0, 15)
+        st.store(spark, spark.createDataFrame(
+            [(1, t1, 1.0)],
+            "entity_id bigint, timestamp timestamp_ntz, power_kwh double"))
+        st.alter_trends("m", ["volt"])
+        st.store(spark, spark.createDataFrame(
+            [(2, t2, 2.0, 5.5)],
+            "entity_id bigint, timestamp timestamp_ntz, power_kwh double, "
+            "volt double"))
+        main = st.read_part(spark, "m")
+        got = {r.entity_id: (r.power_kwh, r.volt) for r in main.collect()}
+        assert got == {1: (1.0, None), 2: (2.0, 5.5)}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
