@@ -176,10 +176,14 @@ class Granularity:
             if self.months == 1:
                 trunc = f"date_trunc('month', {ts_col})"
             else:
-                raise NotImplementedError("multi-month bucket SQL not yet needed")
+                # N-month grid (3month/6month/1year...): floor the
+                # month index (year*12 + month-1) to the grid, rebuild
+                # the period-start timestamp (reference supports any
+                # relativedelta period, `granularity.py:97-152`)
+                trunc = self._month_grid_start_spark_sql(ts_col)
             return (
                 f"CASE WHEN {ts_col} = {trunc} THEN {ts_col} "
-                f"ELSE {trunc} + INTERVAL 1 MONTH END"
+                f"ELSE {trunc} + INTERVAL {self.months} MONTH END"
             )
         period_us = self.seconds * 1_000_000
         off_us = self._epoch_offset * 1_000_000
@@ -192,16 +196,30 @@ class Granularity:
             f" + {off_us})) as timestamp_ntz)"
         )
 
+    def _month_grid_start_spark_sql(self, ts_col: str) -> str:
+        n = self.months
+        mi = f"(year({ts_col}) * 12 + month({ts_col}) - 1)"
+        gs = f"(({mi} div {n}) * {n})"
+        return (
+            f"make_timestamp_ntz({gs} div 12, {gs} % 12 + 1, 1, 0, 0, 0)"
+        )
+
+    def _month_grid_start_ansi_sql(self, ts_col: str) -> str:
+        n = self.months
+        mi = f"(year({ts_col}) * 12 + month({ts_col}) - 1)"
+        gs = f"(({mi} // {n}) * {n})"
+        return f"make_timestamp({gs} // 12, {gs} % 12 + 1, 1, 0, 0, 0)"
+
     def bucket_end_ansi_sql(self, ts_col: str) -> str:
         """DuckDB-compatible oracle expression matching bucket_end_spark_sql."""
         if self.months:
             if self.months == 1:
                 trunc = f"date_trunc('month', {ts_col})"
             else:
-                raise NotImplementedError
+                trunc = self._month_grid_start_ansi_sql(ts_col)
             return (
                 f"CASE WHEN {ts_col} = {trunc} THEN {ts_col} "
-                f"ELSE {trunc} + INTERVAL 1 MONTH END"
+                f"ELSE {trunc} + INTERVAL {self.months} MONTH END"
             )
         period_us = self.seconds * 1_000_000
         off_us = self._epoch_offset * 1_000_000
@@ -248,7 +266,7 @@ class Granularity:
         if self.months:
             if self.months == 1:
                 return f"date_trunc('month', {ts_col})"
-            raise NotImplementedError
+            return self._month_grid_start_spark_sql(ts_col)
         period_us = self.seconds * 1_000_000
         off_us = self._epoch_offset * 1_000_000
         return (
@@ -275,4 +293,7 @@ DEFAULT_PARTITION_SIZE: dict[str, str] = {
     "1d": "3month",
     "1w": "1year",
     "1month": "5year",
+    "3month": "5year",
+    "6month": "10year",
+    "1year": "10year",
 }

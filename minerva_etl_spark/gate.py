@@ -118,6 +118,32 @@ def _oracle_time_agg_1month() -> str:
     )
 
 
+_ORD_SPECS_STAGE2 = [TrendAggSpec("sum_total", "sum", alias="sum_total")]
+
+
+def q_trend_time_agg_3month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4/W4 multi-month granularity: the 1month orders trend rolled
+    up to quarter-end labels — exercises the >1-month bucket grid SQL
+    (the reference accepts any relativedelta granularity,
+    `granularity.py:97-152`); samples columns sum up the ladder."""
+    _prep(spark)
+    monthly = q_trend_time_agg_1month(spark, sf_dir)
+    return time_aggregate(
+        monthly, "3month", _ORD_SPECS_STAGE2,
+        entity_col="o_custkey", timestamp_col="o_orderdate",
+    )
+
+
+def _oracle_time_agg_3month() -> str:
+    monthly = _oracle_time_agg_1month()
+    quarterly = time_aggregate_oracle_sql(
+        "monthly", "3month", _ORD_SPECS_STAGE2,
+        entity_col="o_custkey", timestamp_col="o_orderdate",
+        samples_mode="rollup",
+    )
+    return f"WITH monthly AS (\n{monthly}\n)\n{quarterly}"
+
+
 _LI_SPECS = [
     TrendAggSpec("l_quantity", "sum", "sum", alias="sum_qty"),
     TrendAggSpec("l_extendedprice", "sum", "sum", alias="sum_price"),
@@ -1536,6 +1562,7 @@ def build_queries() -> dict:
         "trend_time_agg_1h": q_trend_time_agg_1h,
         "trend_time_agg_1d_rollup": q_trend_time_agg_1d_rollup,
         "trend_time_agg_1month": q_trend_time_agg_1month,
+        "trend_time_agg_3month": q_trend_time_agg_3month,
         "entity_agg_nation_1month": q_entity_agg_nation_1month,
         "kpi_revenue": q_kpi_revenue,
         "upsert_last_wins": q_upsert_last_wins,
@@ -1601,6 +1628,7 @@ def build_oracles() -> dict[str, str]:
         "trend_time_agg_1h": _oracle_time_agg_1h(),
         "trend_time_agg_1d_rollup": _oracle_time_agg_1d_rollup(),
         "trend_time_agg_1month": _oracle_time_agg_1month(),
+        "trend_time_agg_3month": _oracle_time_agg_3month(),
         "entity_agg_nation_1month": _oracle_entity_agg_nation_1month(),
         "kpi_revenue": _ORACLE_KPI,
         "upsert_last_wins": _ORACLE_UPSERT,

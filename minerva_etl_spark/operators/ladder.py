@@ -28,6 +28,7 @@ STANDARD_LADDER: dict[str, list[str]] = {
     "30m": ["1h", "1d"],
     "1h": ["1d"],
     "1d": ["1w", "1month"],
+    "1month": ["3month"],
 }
 
 

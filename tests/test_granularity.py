@@ -106,3 +106,42 @@ def test_dst_local_day_bucket(spark):
         datetime(2024, 3, 31, 22, 0),  # Apr 1 00:00 CEST (23h day)
         datetime(2024, 4, 1, 22, 0),
     ]
+
+
+def test_multi_month_python_bucketing():
+    g = Granularity.parse("3month")
+    # grid: Jan/Apr/Jul/Oct starts; (start, end] labeling
+    assert g.truncate(datetime(2023, 5, 20, 7)) == datetime(2023, 4, 1)
+    assert g.bucket_end(datetime(2023, 5, 20, 7)) == datetime(2023, 7, 1)
+    assert g.bucket_end(datetime(2023, 4, 1)) == datetime(2023, 4, 1)
+    assert g.bucket_end(datetime(2023, 4, 1, 0, 0, 1)) == datetime(2023, 7, 1)
+    y = Granularity.parse("1year")
+    assert y.bucket_end(datetime(2023, 6, 1)) == datetime(2024, 1, 1)
+    assert y.bucket_end(datetime(2023, 1, 1)) == datetime(2023, 1, 1)
+
+
+def test_multi_month_sql_matches_python(spark):
+    import duckdb
+    import pandas as pd
+
+    probes = [
+        datetime(2023, 1, 1), datetime(2023, 2, 28, 13, 30),
+        datetime(2023, 4, 1), datetime(2023, 4, 1, 0, 0, 1),
+        datetime(2023, 7, 1), datetime(2023, 12, 31, 23, 59, 59),
+        datetime(2024, 1, 1), datetime(2024, 6, 15, 6),
+    ]
+    for spec in ["3month", "6month", "1year"]:
+        g = Granularity.parse(spec)
+        want = [g.bucket_end(t) for t in probes]
+        df = spark.createDataFrame(
+            [(t,) for t in probes], "ts timestamp_ntz"
+        ).selectExpr(f"{g.bucket_end_spark_sql('ts')} as e").orderBy("e")
+        got_spark = sorted(r.e for r in df.collect())
+        assert got_spark == sorted(want), f"spark {spec}"
+        probes_df = pd.DataFrame({"ts": probes})
+        got_duck = sorted(
+            duckdb.sql(
+                f"SELECT {g.bucket_end_ansi_sql('ts')} AS e FROM probes_df"
+            ).df()["e"].dt.to_pydatetime(),
+        )
+        assert got_duck == sorted(want), f"duckdb {spec}"
