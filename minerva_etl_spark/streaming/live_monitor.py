@@ -48,14 +48,17 @@ def run_loop(
     poll_seconds: float = 2.0,
     max_cycles: int | None = None,
     max_num: int = 50,
+    now: Callable[[], datetime] | None = None,
 ) -> int:
-    """Driver-side poll loop (reference cadence: 2 s)."""
+    """Driver-side poll loop (reference cadence: 2 s).  ``now`` is the
+    clock (injectable for deterministic replay/testing)."""
     cycles = 0
     total = 0
+    clock = now or _utcnow
     while max_cycles is None or cycles < max_cycles:
         log = read_log()
         if log is not None:
-            total += len(run_once(engine, log, sink, max_num=max_num))
+            total += len(run_once(engine, log, sink, max_num=max_num, now=clock()))
         cycles += 1
         if max_cycles is None or cycles < max_cycles:
             time.sleep(poll_seconds)
