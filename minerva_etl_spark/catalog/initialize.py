@@ -113,6 +113,9 @@ class EngineContext:
             condition=translate(t.get("condition", "true")),
             weight=str(t.get("weight", "1")),
             notification_message=translate(t.get("notification", "''")),
+            notification_data=(
+                translate(t["data"]) if t.get("data") else None
+            ),
             enabled=bool(t.get("enabled", True)),
             tags=list(t.get("tags", [])),
         )

@@ -17,7 +17,15 @@ Subcommands (reference analog):
   data-source / entity-type create|delete|list ← directory admin
   alias create|delete|list ← `minerva alias`
   trigger create|list|enable|disable|delete|update-weight|
-          set-thresholds|create-notifications ← `minerva trigger`
+          set-thresholds|create-notifications|update-kpi-function|
+          update-data-function ← `minerva trigger`
+  relation create|materialize|remove ← `minerva relation`
+  virtual-entity create|materialize ← `minerva virtual-entity`
+  notification-store create|delete|list ← `minerva notification-store`
+  partition create ← `minerva partition`
+  trend-materialization create|update|drop|list|enable|disable
+                    ← `minerva trend-materialization`
+  quick-start       ← `minerva quick-start`
 
 Instance state (stores, materializations) comes from a YAML instance
 directory via ``catalog.instance``; table data lives under --data-dir.
@@ -434,6 +442,19 @@ def cmd_trigger(args) -> None:
             args.name, {k: float(v) for k, v in thresholds.items()}
         )
         print(f"thresholds({args.name}) = {thresholds}")
+    elif args.action in ("update-kpi-function", "update-data-function"):
+        # reference shape: the yaml definition is the source of truth;
+        # the named function is re-created from it
+        # (`commands/trigger.py:166-200`)
+        with open(args.file) as f:
+            cfg = yaml.safe_load(f)
+        name = cfg["name"]
+        if args.action == "update-kpi-function":
+            tset.update_kpi_function(name, cfg.get("kpi_query", ""))
+            print(f"updated kpi function of {name}")
+        else:
+            tset.update_data_function(name, cfg.get("data", ""))
+            print(f"updated data function of {name}")
     elif args.action == "create-notifications":
         sink = ctx.notification_stores.get(args.notification_store)
         if sink is None:
@@ -449,6 +470,312 @@ def cmd_trigger(args) -> None:
         )
         n = tset.execute(spark, args.name, sink, timestamps)
         print(f"Notifications generated: {n}")
+
+
+def _instance_yaml_write(instance_dir: str, sub: str, name: str, d: dict) -> str:
+    """Write one YAML definition into the instance directory (the
+    instance dir IS the catalog — `minerva initialize` compiles it)."""
+    import yaml
+    from pathlib import Path
+
+    dest = Path(instance_dir) / sub
+    dest.mkdir(parents=True, exist_ok=True)
+    path = dest / f"{name}.yaml"
+    path.write_text(yaml.safe_dump(d, sort_keys=False))
+    return str(path)
+
+
+def cmd_relation(args) -> None:
+    """`minerva relation create|materialize|remove`
+    (`/root/reference/src/minerva/commands/relation.py:63-141`):
+    relations are YAML-defined edge tables; materialize rebuilds each
+    from its defining query (TRUNCATE+INSERT ≡ overwrite)."""
+    import shutil
+    import yaml
+    from pathlib import Path
+
+    if args.action == "create":
+        with open(args.file) as f:
+            d = yaml.safe_load(f)
+        path = _instance_yaml_write(args.instance, "relation", d["name"], d)
+        print(f"created relation {d['name']} ({path})")
+    elif args.action == "materialize":
+        from minerva_etl_spark.catalog.initialize import initialize
+        from minerva_etl_spark.catalog.instance import MinervaInstance
+
+        spark = _spark()
+        ctx = initialize(
+            spark, MinervaInstance.load(args.instance), args.data_dir
+        )
+        defs = ctx._relation_defs
+        if args.names:
+            defs = [r for r in defs if r.name in set(args.names)]
+        for name in ctx.materialize_relations(defs):
+            print(f"materialized relation {name}")
+    elif args.action == "remove":
+        p = Path(args.instance) / "relation" / f"{args.name}.yaml"
+        if p.exists():
+            p.unlink()
+        from minerva_etl_spark.store.relation import RelationStore
+
+        shutil.rmtree(
+            RelationStore(args.data_dir).path(args.name), ignore_errors=True
+        )
+        print(f"removed relation {args.name}")
+
+
+def cmd_virtual_entity(args) -> None:
+    """`minerva virtual-entity create|materialize`
+    (`/root/reference/src/minerva/commands/virtual_entity.py:9-57`):
+    each definition is a name-producing query; new names anti-insert
+    into the entity dimension."""
+    import yaml
+
+    if args.action == "create":
+        with open(args.file) as f:
+            d = yaml.safe_load(f)
+        path = _instance_yaml_write(
+            args.instance, "virtual-entity", d["name"], d
+        )
+        print(f"created virtual entity {d['name']} ({path})")
+    else:  # materialize
+        from minerva_etl_spark.catalog.initialize import initialize
+        from minerva_etl_spark.catalog.instance import MinervaInstance
+
+        spark = _spark()
+        ctx = initialize(
+            spark, MinervaInstance.load(args.instance), args.data_dir
+        )
+        defs = ctx._virtual_entity_defs
+        if args.names:
+            defs = [d for d in defs if d["name"] in set(args.names)]
+        for name in ctx.materialize_virtual_entities(defs):
+            print(f"materialized virtual entity {name}")
+
+
+def cmd_notification_store(args) -> None:
+    """`minerva notification-store create|delete|list`
+    (`/root/reference/src/minerva/commands/notification_store.py:21-100`)."""
+    import shutil
+    import yaml
+    from pathlib import Path
+
+    if args.action == "create":
+        with open(args.file) as f:
+            d = yaml.safe_load(f)
+        name = d.get("data_source") or d["name"]
+        path = _instance_yaml_write(args.instance, "notification", name, d)
+        print(f"created notification store {name} ({path})")
+    elif args.action == "delete":
+        p = Path(args.instance) / "notification" / f"{args.name}.yaml"
+        if p.exists():
+            p.unlink()
+        from minerva_etl_spark.store.notification import NotificationStore
+
+        shutil.rmtree(
+            NotificationStore(args.name, [], args.data_dir).path,
+            ignore_errors=True,
+        )
+        print(f"deleted notification store {args.name}")
+    else:  # list
+        from pathlib import Path
+
+        for p in sorted(
+            (Path(args.instance) / "notification").glob("*.yaml")
+        ):
+            print(p.stem)
+
+
+def cmd_partition(args) -> None:
+    """`minerva partition create`
+    (`/root/reference/src/minerva/commands/partition.py:50-151`):
+    pre-create partition directories for every trend store covering
+    (now - retention - partition_size, now + partition_size + ahead].
+    On the parquet substrate partition pre-creation is mkdir-only
+    (metadata), exactly as cheap as the reference's CREATE TABLE
+    partitions — writes land in them via dynamic partition overwrite."""
+    import os
+    from datetime import timedelta
+
+    from minerva_etl_spark.catalog.granularity import Granularity
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+    from minerva_etl_spark.store.trendstore import (
+        PARTITION_COL,
+        TrendStore,
+        TrendStorePart,
+    )
+
+    inst = MinervaInstance.load(args.instance)
+    now = datetime.fromisoformat(args.now) if args.now else _utcnow()
+    ahead = Granularity.parse(args.ahead_interval)
+    total = 0
+    for ts_def in inst.trend_stores:
+        store = TrendStore(
+            data_source=ts_def.data_source,
+            entity_type=ts_def.entity_type,
+            granularity=ts_def.granularity,
+            parts=[
+                TrendStorePart(p.name, [t.name for t in p.trends])
+                for p in ts_def.parts
+            ],
+            base_path=args.data_dir,
+            partition_size=ts_def.partition_size,
+            retention_period=ts_def.retention_period,
+        )
+        psize = store.partition_size
+        start = now
+        if store.retention_period is not None:
+            r = store.retention_period
+            start = (
+                r.decr(start) if r.months
+                else start - timedelta(seconds=r.seconds)
+            )
+        start = psize.decr(start)
+        end = psize.inc(
+            ahead.inc(now) if ahead.months
+            else now + timedelta(seconds=ahead.seconds)
+        )
+        indexes: set[int] = set()
+        cur = start
+        while cur <= end:
+            indexes.add(_partition_index(store, cur))
+            cur = psize.inc(cur)
+        for part in store.parts:
+            base = store.part_path(part.name)
+            for idx in sorted(indexes):
+                d = os.path.join(base, f"{PARTITION_COL}={idx}")
+                if not os.path.exists(d):
+                    os.makedirs(d, exist_ok=True)
+                    total += 1
+    print(f"created {total} partition(s)")
+
+
+def _partition_index(store, ts: datetime) -> int:
+    psize = store.partition_size
+    if psize.months:
+        return (ts.year * 12 + ts.month - 1) // psize.months
+    epoch = int((ts - datetime(1970, 1, 1)).total_seconds())
+    return epoch // psize.seconds
+
+
+def cmd_trend_materialization(args) -> None:
+    """`minerva trend-materialization create|update|drop|list|enable|
+    disable`
+    (`/root/reference/src/minerva/commands/trend_materialization.py`)."""
+    import yaml
+    from pathlib import Path
+
+    mat_dir = Path(args.instance) / "materialization"
+    if args.action in ("create", "update"):
+        with open(args.file) as f:
+            d = yaml.safe_load(f)
+        name = d["target_trend_store_part"]
+        path = _instance_yaml_write(args.instance, "materialization", name, d)
+        print(f"{args.action}d materialization {name} ({path})")
+    elif args.action == "drop":
+        p = mat_dir / f"{args.name}.yaml"
+        if p.exists():
+            p.unlink()
+            print(f"dropped materialization {args.name}")
+        else:
+            sys.exit(f"no materialization {args.name!r}")
+    elif args.action in ("enable", "disable"):
+        p = mat_dir / f"{args.name}.yaml"
+        if not p.exists():
+            sys.exit(f"no materialization {args.name!r}")
+        d = yaml.safe_load(p.read_text())
+        d["enabled"] = args.action == "enable"
+        p.write_text(yaml.safe_dump(d, sort_keys=False))
+        print(f"{args.action}d materialization {args.name}")
+    else:  # list
+        for p in sorted(mat_dir.glob("*.yaml")):
+            d = yaml.safe_load(p.read_text())
+            flag = "enabled" if d.get("enabled", True) else "disabled"
+            print(f"{p.stem}\t{flag}")
+
+
+_QUICKSTART_TREND = """\
+data_source: {name}
+entity_type: node
+granularity: 15m
+partition_size: 1d
+parts:
+  - name: node_main_15m
+    trends:
+      - name: power_kwh
+        data_type: double precision
+        time_aggregation: sum
+        entity_aggregation: sum
+      - name: temp
+        data_type: double precision
+        time_aggregation: avg
+        entity_aggregation: avg
+"""
+
+_QUICKSTART_TREND_1H = """\
+data_source: {name}
+entity_type: node
+granularity: 1h
+partition_size: 4d
+parts:
+  - name: node_main_1h
+    trends:
+      - name: samples
+        data_type: bigint
+        time_aggregation: sum
+        entity_aggregation: sum
+      - name: power_kwh
+        data_type: double precision
+        time_aggregation: sum
+        entity_aggregation: sum
+      - name: temp
+        data_type: double precision
+        time_aggregation: avg
+        entity_aggregation: avg
+"""
+
+_QUICKSTART_MAT = """\
+target_trend_store_part: node_main_1h
+enabled: true
+processing_delay: 30m
+stability_delay: 5m
+reprocessing_period: 3d
+sources:
+  - trend_store_part: node_main_15m
+    mapping_function: trend.mapping_15m->1h
+view: |
+  SELECT entity_id, timestamp, count(*) AS samples,
+         sum(power_kwh) AS power_kwh, avg(temp) AS temp
+  FROM trend."node_main_15m"
+  GROUP BY entity_id, timestamp
+"""
+
+
+def cmd_quick_start(args) -> None:
+    """`minerva quick-start`
+    (`/root/reference/src/minerva/commands/quick_start.py:14-57`):
+    lay down an instance skeleton a user can edit and `initialize`."""
+    import os
+
+    root = os.path.abspath(args.instance_root or args.instance)
+    for sub in (
+        "trend", "attribute", "notification", "relation",
+        "materialization", "trigger", "virtual-entity",
+    ):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    trend_path = os.path.join(root, "trend", f"{args.instance_name}.yaml")
+    if not os.path.exists(trend_path):
+        with open(trend_path, "w") as f:
+            f.write(_QUICKSTART_TREND.format(name=args.instance_name))
+    trend_1h = os.path.join(root, "trend", f"{args.instance_name}_1h.yaml")
+    if not os.path.exists(trend_1h):
+        with open(trend_1h, "w") as f:
+            f.write(_QUICKSTART_TREND_1H.format(name=args.instance_name))
+    mat_path = os.path.join(root, "materialization", "node_main_1h.yaml")
+    if not os.path.exists(mat_path):
+        with open(mat_path, "w") as f:
+            f.write(_QUICKSTART_MAT)
+    print(f"created Minerva instance skeleton in {root}")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -571,14 +898,55 @@ def main(argv: list[str] | None = None) -> None:
         choices=[
             "create", "list", "enable", "disable", "delete",
             "update-weight", "set-thresholds", "create-notifications",
+            "update-kpi-function", "update-data-function",
         ],
     )
     tr.add_argument("name", nargs="?")
-    tr.add_argument("--file", help="trigger YAML (create)")
+    tr.add_argument("--file", help="trigger YAML (create / update-*-function)")
     tr.add_argument("--value", help="weight / k=v,k=v thresholds")
     tr.add_argument("--timestamp", default=None)
     tr.add_argument("--notification-store", default=None)
     tr.set_defaults(fn=cmd_trigger)
+
+    rel = sub.add_parser("relation")
+    rel.add_argument("action", choices=["create", "materialize", "remove"])
+    rel.add_argument("name", nargs="?", help="relation name (remove)")
+    rel.add_argument("--file", help="relation YAML (create)")
+    rel.add_argument("--names", nargs="*", default=None,
+                     help="restrict materialize to these relations")
+    rel.set_defaults(fn=cmd_relation)
+
+    ve = sub.add_parser("virtual-entity")
+    ve.add_argument("action", choices=["create", "materialize"])
+    ve.add_argument("--file", help="virtual entity YAML (create)")
+    ve.add_argument("--names", nargs="*", default=None)
+    ve.set_defaults(fn=cmd_virtual_entity)
+
+    ns = sub.add_parser("notification-store")
+    ns.add_argument("action", choices=["create", "delete", "list"])
+    ns.add_argument("name", nargs="?")
+    ns.add_argument("--file", help="notification store YAML (create)")
+    ns.set_defaults(fn=cmd_notification_store)
+
+    pt = sub.add_parser("partition")
+    pt.add_argument("action", choices=["create"])
+    pt.add_argument("--ahead-interval", default="3d")
+    pt.add_argument("--now", default=None, help="pinned now (ISO)")
+    pt.set_defaults(fn=cmd_partition)
+
+    tm = sub.add_parser("trend-materialization")
+    tm.add_argument(
+        "action",
+        choices=["create", "update", "drop", "list", "enable", "disable"],
+    )
+    tm.add_argument("name", nargs="?")
+    tm.add_argument("--file", help="materialization YAML (create/update)")
+    tm.set_defaults(fn=cmd_trend_materialization)
+
+    qs = sub.add_parser("quick-start")
+    qs.add_argument("instance_root", nargs="?", default=None)
+    qs.add_argument("--instance-name", default="default")
+    qs.set_defaults(fn=cmd_quick_start)
 
     args = p.parse_args(argv)
     args.fn(args)

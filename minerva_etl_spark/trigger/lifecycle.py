@@ -127,6 +127,14 @@ class TriggerSet:
         config["kpi_query"] = kpi_query
         self._save(config)
 
+    def update_data_function(self, name: str, data_expr: str) -> None:
+        """`trigger update-data-function` (`commands/trigger.py:183-196`):
+        replace the expression producing the notification ``data``
+        payload."""
+        config = self.load_config(name)
+        config["data"] = data_expr
+        self._save(config)
+
     def add_tags(self, name: str, tags: list[str]) -> None:
         config = self.load_config(name)
         config["tags"] = sorted(set(config.get("tags", [])) | set(tags))

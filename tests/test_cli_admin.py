@@ -204,3 +204,154 @@ def test_cli_attribute_store_admin(spark, instance_dir, data_dir, capsys):
     run(instance_dir, data_dir, "attribute-store", "delete", "hub_node")
     assert "hub_node: deleted" in capsys.readouterr().out
     assert store.read_history(spark) is None
+
+
+def test_cli_quick_start_and_initialize(spark, tmp_path, capsys):
+    """quick-start lays down an instance skeleton that `initialize`
+    accepts as-is (`commands/quick_start.py:14-57`)."""
+    root = str(tmp_path / "fresh")
+    cli.main(["quick-start", "--instance-name", "demo", root])
+    assert "skeleton" in capsys.readouterr().out
+
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    inst = MinervaInstance.load(root)
+    assert len(inst.trend_stores) == 2
+    assert inst.trend_stores[0].data_source == "demo"
+    assert len(inst.materializations) == 1
+
+    run(root, str(tmp_path / "data"), "initialize")
+    out = capsys.readouterr().out
+    assert "trend stores:        2" in out
+    assert "materializations:    1" in out
+
+
+def test_cli_relation_and_virtual_entity(spark, instance_dir, data_dir, capsys):
+    """CLI-only relation/virtual-entity admin: load entities, materialize
+    the virtual entity + relation, remove the relation
+    (`commands/relation.py:63-141`, `commands/virtual_entity.py:9-57`)."""
+    run(
+        instance_dir, data_dir, "load-data",
+        "--data-source", "hub", "--entity-type", "node",
+        "--granularity", "15m", "--identifier-column", "node",
+        f"{instance_dir}/sample-data/sample.csv",
+    )
+    capsys.readouterr()
+    run(instance_dir, data_dir, "virtual-entity", "materialize")
+    assert "materialized virtual entity v-site" in capsys.readouterr().out
+    run(instance_dir, data_dir, "relation", "materialize")
+    assert "materialized relation node->v-site" in capsys.readouterr().out
+
+    from minerva_etl_spark.store.relation import RelationStore
+
+    rel = RelationStore(data_dir)
+    assert rel.read(spark, "node->v-site").count() > 0
+
+    run(instance_dir, data_dir, "relation", "remove", "node->v-site")
+    assert "removed" in capsys.readouterr().out
+    assert rel.read(spark, "node->v-site") is None
+    import os
+    assert not os.path.exists(f"{instance_dir}/relation/node->v-site.yaml")
+
+
+def test_cli_notification_store_admin(instance_dir, data_dir, tmp_path, capsys):
+    import yaml
+
+    f = tmp_path / "ns.yaml"
+    f.write_text(yaml.safe_dump({
+        "data_source": "ops-alerts",
+        "attributes": [{"name": "rule", "data_type": "text"}],
+    }))
+    run(instance_dir, data_dir, "notification-store", "create", "--file", str(f))
+    assert "created notification store ops-alerts" in capsys.readouterr().out
+    run(instance_dir, data_dir, "notification-store", "list")
+    out = capsys.readouterr().out
+    assert "ops-alerts" in out and "trigger-notification" in out
+    run(instance_dir, data_dir, "notification-store", "delete", "ops-alerts")
+    assert "deleted" in capsys.readouterr().out
+    run(instance_dir, data_dir, "notification-store", "list")
+    assert "ops-alerts" not in capsys.readouterr().out
+
+
+def test_cli_partition_create(instance_dir, data_dir, capsys):
+    """partition pre-creation (T9, `commands/partition.py:50-151`):
+    directories appear for the retention..ahead window; re-run is a
+    no-op."""
+    import os
+
+    run(
+        instance_dir, data_dir, "partition", "create",
+        "--now", "2024-03-10T12:00:00", "--ahead-interval", "3d",
+    )
+    out = capsys.readouterr().out
+    n = int(out.split()[1])
+    assert n > 0
+    base = (
+        f"{data_dir}/trend/hub_node_15m/node_main_15m"
+    )
+    made = [d for d in os.listdir(base) if d.startswith("__part_idx=")]
+    assert len(made) > 0
+    run(
+        instance_dir, data_dir, "partition", "create",
+        "--now", "2024-03-10T12:00:00", "--ahead-interval", "3d",
+    )
+    assert "created 0 partition(s)" in capsys.readouterr().out
+
+
+def test_cli_trend_materialization_admin(instance_dir, data_dir, tmp_path, capsys):
+    import yaml
+
+    run(instance_dir, data_dir, "trend-materialization", "list")
+    out = capsys.readouterr().out
+    assert "hub-kpi_node_15m\tenabled" in out
+
+    run(instance_dir, data_dir, "trend-materialization", "disable",
+        "hub-kpi_node_15m")
+    capsys.readouterr()
+    d = yaml.safe_load(
+        open(f"{instance_dir}/materialization/hub-kpi_node_15m.yaml")
+    )
+    assert d["enabled"] is False
+    run(instance_dir, data_dir, "trend-materialization", "enable",
+        "hub-kpi_node_15m")
+    capsys.readouterr()
+
+    newdef = dict(d, target_trend_store_part="extra_1d", enabled=True)
+    f = tmp_path / "extra.yaml"
+    f.write_text(yaml.safe_dump(newdef))
+    run(instance_dir, data_dir, "trend-materialization", "create",
+        "--file", str(f))
+    capsys.readouterr()
+    run(instance_dir, data_dir, "trend-materialization", "list")
+    assert "extra_1d" in capsys.readouterr().out
+    run(instance_dir, data_dir, "trend-materialization", "drop", "extra_1d")
+    capsys.readouterr()
+    run(instance_dir, data_dir, "trend-materialization", "list")
+    assert "extra_1d" not in capsys.readouterr().out
+
+
+def test_cli_trigger_update_data_function(instance_dir, data_dir, tmp_path, capsys):
+    import yaml
+
+    cfg = yaml.safe_load(
+        open(f"{instance_dir}/trigger/high-power-usage.yaml")
+    ) if __import__("os").path.exists(
+        f"{instance_dir}/trigger/high-power-usage.yaml"
+    ) else None
+    if cfg is None:
+        import glob
+        path = glob.glob(f"{instance_dir}/trigger/*.yaml")[0]
+        cfg = yaml.safe_load(open(path))
+    cfg["data"] = "cast(power_mwh as string)"
+    f = tmp_path / "trig.yaml"
+    f.write_text(yaml.safe_dump(cfg))
+    run(instance_dir, data_dir, "trigger", "update-data-function",
+        "--file", str(f))
+    assert "updated data function" in capsys.readouterr().out
+    import glob
+    stored = None
+    for p in glob.glob(f"{instance_dir}/trigger/*.yaml"):
+        d = yaml.safe_load(open(p))
+        if d.get("name") == cfg["name"]:
+            stored = d
+    assert stored["data"] == "cast(power_mwh as string)"

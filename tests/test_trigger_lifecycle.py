@@ -33,6 +33,7 @@ def trigger_set(spark, tmp_path):
             condition=config.get("condition", "true"),
             weight=str(config.get("weight", 1)),
             notification_message=config.get("notification", "'fired'"),
+            notification_data=config.get("data"),
             enabled=bool(config.get("enabled", True)),
             tags=list(config.get("tags", [])),
         )
@@ -117,3 +118,28 @@ def test_kpi_cache_reused_across_evaluations(spark):
     trig.invalidate_kpi_cache()
     trig.evaluate(spark, []).count()
     assert len(calls) == 2
+
+
+def test_update_data_function_changes_notification_data(
+    spark, trigger_set, tmp_path
+):
+    """`trigger update-data-function` (`commands/trigger.py:183-196`):
+    mutating the data expression changes the notification `data`
+    payload on the next execution."""
+    sink = NotificationStore(
+        "trig", ["rule", "weight", "details", "data"], str(tmp_path / "ns3")
+    )
+    trigger_set.execute(spark, "highload", sink)
+    before = {r.data for r in sink.read(spark).collect()}
+    assert all(d.startswith("{") for d in before)  # default: KPI JSON
+
+    trigger_set.update_data_function(
+        "highload", "concat('load=', cast(load as string))"
+    )
+    trigger_set._cache.clear()  # force re-compile from config
+    sink2 = NotificationStore(
+        "trig", ["rule", "weight", "details", "data"], str(tmp_path / "ns4")
+    )
+    trigger_set.execute(spark, "highload", sink2)
+    after = {r.data for r in sink2.read(spark).collect()}
+    assert after == {"load=99.0", "load=55.0"}
