@@ -22,6 +22,39 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+
+
+def fs_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath, _ = _fs(spark, path)
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
+def fs_rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Metadata-only move (local FS rename / HDFS rename; object stores
+    substitute their committer — the swap stays O(partitions), not
+    O(bytes), everywhere a real rename exists)."""
+    fs, hsrc, jvm = _fs(spark, src)
+    return bool(fs.rename(hsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def fs_mkdirs(spark: SparkSession, path: str) -> None:
+    fs, hpath, _ = _fs(spark, path)
+    fs.mkdirs(hpath)
+
+
+def fs_listdir(spark: SparkSession, path: str) -> list[str]:
+    """Child names (not full paths) of a directory; [] if absent."""
+    fs, hpath, _ = _fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
 def parquet_exists(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` holds at least one parquet data file.
 

@@ -122,11 +122,17 @@ class TrendStore:
     retention_period: Granularity | None = None
     #: 'path' = plain partitioned parquet dirs; 'bucketed' = catalog
     #: tables bucketed on the (entity_id, timestamp) key, so multi-part
-    #: reads and SCD windows are exchange-free (see store/bucketed.py)
-    layout: str = "path"
+    #: reads and SCD windows are exchange-free (see store/bucketed.py);
+    #: 'auto' (default) = bucketed when the store has >1 part (the wide
+    #: read-back joins parts on the key — bucketing makes that join
+    #: exchange-free), plain paths for single-part stores (no join to
+    #: co-locate; skip the catalog round-trip)
+    layout: str = "auto"
     n_buckets: int = 64
 
     def __post_init__(self) -> None:
+        if self.layout == "auto":
+            self.layout = "bucketed" if len(self.parts) > 1 else "path"
         self.granularity = Granularity.parse(self.granularity)
         if self.partition_size is None:
             spec = DEFAULT_PARTITION_SIZE.get(self.granularity.name, "1d")
@@ -242,8 +248,12 @@ class TrendStore:
                     keys=["entity_id", "timestamp"],
                     greatest_cols=["created"],
                 )
-                # break lineage from the files we're about to overwrite
-                merged = merged.localCheckpoint(eager=True)
+                if self.layout == "bucketed":
+                    # saveAsTable/insertInto overwrite the files merged
+                    # reads from: break lineage.  Bounded: steady-state
+                    # loads carry only touched partitions; rebuilds are
+                    # rare admin-grade events
+                    merged = merged.localCheckpoint(eager=True)
             else:
                 merged = batch
             self._write_merged(spark, part.name, merged)
@@ -293,17 +303,39 @@ class TrendStore:
                         "spark.sql.sources.partitionOverwriteMode", prev
                     )
             return
-        # path layout: dynamic partition overwrite — only buckets present
-        # in `merged` are rewritten.  The option is set per-write so the
-        # path is safe under ANY caller session (static-mode default
-        # would silently delete untouched partitions).
+        # path layout: temp-path write-and-swap.  `merged` still READS
+        # the files being replaced, so the write lands in a sibling tmp
+        # directory first; each partition directory present there then
+        # swaps in via metadata-only renames (exactly dynamic-partition-
+        # overwrite semantics: only buckets present in `merged` are
+        # replaced).  Unlike an eager localCheckpoint of `merged`, this
+        # keeps executor memory bounded at ANY batch size — a full-part
+        # widen/backfill streams through the shuffle to disk.
+        from minerva_etl_spark.fsutil import (
+            fs_delete,
+            fs_listdir,
+            fs_mkdirs,
+            fs_rename,
+        )
+
+        final = self.part_path(part_name)
+        tmp = final + "__tmp"
+        fs_delete(spark, tmp)
         (
             merged.repartition(PARTITION_COL)
             .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(PARTITION_COL)
-            .parquet(self.part_path(part_name))
+            .parquet(tmp)
         )
+        fs_mkdirs(spark, final)
+        for child in fs_listdir(spark, tmp):
+            if not child.startswith(f"{PARTITION_COL}="):
+                continue  # _SUCCESS and friends
+            fs_delete(spark, os.path.join(final, child))
+            fs_rename(
+                spark, os.path.join(tmp, child), os.path.join(final, child)
+            )
+        fs_delete(spark, tmp)
 
     def _mark_modified(
         self,

@@ -217,3 +217,99 @@ def test_bucketed_column_add_survives_static_overwrite_session(spark, tmp_path):
         assert got == {1: (1.0, None), 2: (2.0, 5.5)}
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_auto_layout_resolution(tmp_path):
+    multi = TrendStore(
+        data_source="a", entity_type="n", granularity=Granularity.parse("15m"),
+        parts=[TrendStorePart("p1", ["x"]), TrendStorePart("p2", ["y"])],
+        base_path=str(tmp_path),
+    )
+    single = TrendStore(
+        data_source="a", entity_type="n", granularity=Granularity.parse("15m"),
+        parts=[TrendStorePart("p1", ["x"])], base_path=str(tmp_path),
+    )
+    assert multi.layout == "bucketed"   # wide read-back joins: co-locate
+    assert single.layout == "path"      # nothing to join: skip catalog
+
+
+def test_default_multipart_read_store_is_exchange_free(spark, tmp_path):
+    """VERDICT r2 #4 done-criterion: the DEFAULT layout of a 2-part
+    store plans zero Exchange nodes on read_store."""
+    from minerva_etl_spark.store.bucketed import count_exchanges
+
+    st = TrendStore(
+        data_source="hub", entity_type="node",
+        granularity=Granularity.parse("15m"),
+        parts=[
+            TrendStorePart("node_main_15m", ["power_kwh", "temp"]),
+            TrendStorePart("node_module_15m", ["cpu_load"]),
+        ],
+        base_path=str(tmp_path), n_buckets=4,
+    )
+    rows = [
+        (i, ts(2024, 1, 1 + i % 3, 0, 15), float(i), 20.0, i / 10.0)
+        for i in range(1, 30)
+    ]
+    st.store(spark, pkg(spark, rows), job_id=1)
+    wide = st.read_store(spark)
+    assert wide.count() == 29
+    assert count_exchanges(wide) == 0
+
+
+def test_path_layout_swap_preserves_untouched_partitions(spark, tmp_path):
+    """The write-and-swap replaces ONLY partition dirs present in the
+    merged frame — untouched partitions survive regardless of session
+    partitionOverwriteMode (the swap never consults it)."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        st = TrendStore(
+            data_source="hub", entity_type="node",
+            granularity=Granularity.parse("15m"),
+            parts=[TrendStorePart("m", ["v"])],
+            base_path=str(tmp_path), layout="path",
+        )
+        t1, t2 = ts(2024, 1, 1, 0, 15), ts(2024, 1, 5, 0, 15)
+        st.store(spark, spark.createDataFrame(
+            [(1, t1, 1.0)],
+            "entity_id bigint, timestamp timestamp_ntz, v double"))
+        st.store(spark, spark.createDataFrame(
+            [(2, t2, 2.0)],
+            "entity_id bigint, timestamp timestamp_ntz, v double"))
+        got = {r.entity_id: r.v for r in st.read_part(spark, "m").collect()}
+        assert got == {1: 1.0, 2: 2.0}
+        # re-deliver partition 2 only: partition 1 untouched
+        st.store(spark, spark.createDataFrame(
+            [(2, t2, 9.0)],
+            "entity_id bigint, timestamp timestamp_ntz, v double"))
+        got = {r.entity_id: r.v for r in st.read_part(spark, "m").collect()}
+        assert got == {1: 1.0, 2: 9.0}
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_path_layout_widen_backfill_swap(spark, tmp_path):
+    """Full-part widen through the swap path: every partition rewritten
+    to the widened type with values intact, no lineage checkpoint (the
+    merged frame streams through the shuffle — bounded memory at any
+    part size)."""
+    st = TrendStore(
+        data_source="hub", entity_type="node",
+        granularity=Granularity.parse("15m"),
+        parts=[TrendStorePart("m", ["v"])],
+        base_path=str(tmp_path), layout="path",
+    )
+    days = [ts(2024, 1, 1 + d, 0, 15) for d in range(4)]
+    st.store(spark, spark.createDataFrame(
+        [(d + 1, t, 7 * (d + 1)) for d, t in enumerate(days)],
+        "entity_id bigint, timestamp timestamp_ntz, v int"))
+    st.store(spark, spark.createDataFrame(
+        [(99, ts(2024, 1, 10, 0, 15), 7.5)],
+        "entity_id bigint, timestamp timestamp_ntz, v double"))
+    main = st.read_part(spark, "m")
+    assert dict(main.dtypes)["v"] == "double"
+    got = {r.entity_id: r.v for r in main.collect()}
+    assert got == {1: 7.0, 2: 14.0, 3: 21.0, 4: 28.0, 99: 7.5}
+    import os
+    assert not os.path.exists(st.part_path("m") + "__tmp")
