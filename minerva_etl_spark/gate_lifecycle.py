@@ -615,7 +615,13 @@ _T2 = datetime(2023, 2, 1, 0, 0)
 def q_lifecycle_attr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8: two staged attribute batches through the store sink — batch 2
     re-stages some (entity, T1) rows (values replaced, reference update
-    test) and adds T2 rows — then the curr pointer is materialized."""
+    test) and adds T2 rows — then the curr pointer is materialized.
+
+    ``tags`` is a REAL ``array<string>`` attribute end-to-end (the
+    reference round-trips array attributes,
+    `integration_tests/storage/attribute/test_attributestore.py:21-415`);
+    only the final SELECT serializes it (``array_join``) because the
+    driver hash-compares scalar cells."""
     _prep(spark)
     base = _tmp("attr")
     cust = load_table(spark, sf_dir, "customer")
@@ -625,6 +631,7 @@ def q_lifecycle_attr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_T1).cast("timestamp_ntz").alias("timestamp"),
         F.col("c_mktsegment").alias("segment"),
         F.col("c_acctbal").alias("acctbal"),
+        F.array(F.concat(F.lit("seg:"), F.col("c_mktsegment"))).alias("tags"),
     )
     b2 = (
         ids.filter(F.col("c_custkey") % 7 == 0)
@@ -633,6 +640,9 @@ def q_lifecycle_attr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_T1).cast("timestamp_ntz").alias("timestamp"),
             F.col("c_mktsegment").alias("segment"),
             (F.col("c_acctbal") - 1000.0).alias("acctbal"),
+            F.array(
+                F.concat(F.lit("seg:"), F.col("c_mktsegment")), F.lit("adj")
+            ).alias("tags"),
         )
         .unionByName(
             ids.filter(F.col("c_custkey") % 3 == 0).select(
@@ -640,10 +650,13 @@ def q_lifecycle_attr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(_T2).cast("timestamp_ntz").alias("timestamp"),
                 F.lit("MOVED").alias("segment"),
                 (F.col("c_acctbal") + 500.0).alias("acctbal"),
+                F.array(F.lit("seg:MOVED"), F.lit("moved")).alias("tags"),
             )
         )
     )
-    store = AttributeStore("gate", "customer", ["segment", "acctbal"], base)
+    store = AttributeStore(
+        "gate", "customer", ["segment", "acctbal", "tags"], base
+    )
     store.store_batch(spark, b1)
     store.store_batch(spark, b2)
     store.materialize_curr(spark)
@@ -655,6 +668,7 @@ def q_lifecycle_attr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = hist.join(curr, ["entity_id", "timestamp"], "left").select(
         "entity_id", "timestamp", "segment", "acctbal",
+        F.array_join("tags", "|").alias("tags"),
         F.coalesce("is_curr", F.lit(False)).alias("is_curr"),
     )
     return _finish(out, base)
@@ -671,14 +685,16 @@ hist AS (
   SELECT entity_id, TIMESTAMP '{_T1:%Y-%m-%d %H:%M:%S}' AS timestamp,
          c_mktsegment AS segment,
          CASE WHEN c_custkey % 7 = 0 THEN c_acctbal - 1000.0
-              ELSE c_acctbal END AS acctbal
+              ELSE c_acctbal END AS acctbal,
+         CASE WHEN c_custkey % 7 = 0 THEN 'seg:' || c_mktsegment || '|adj'
+              ELSE 'seg:' || c_mktsegment END AS tags
   FROM base
   UNION ALL
   SELECT entity_id, TIMESTAMP '{_T2:%Y-%m-%d %H:%M:%S}', 'MOVED',
-         c_acctbal + 500.0
+         c_acctbal + 500.0, 'seg:MOVED|moved'
   FROM base WHERE c_custkey % 3 = 0
 )
-SELECT entity_id, timestamp, segment, acctbal,
+SELECT entity_id, timestamp, segment, acctbal, tags,
        timestamp = max(timestamp) OVER (PARTITION BY entity_id) AS is_curr
 FROM hist
 """

@@ -135,3 +135,50 @@ def test_trend_slope_native_matches_pandas_variant(spark):
         assert a.n == b.n
         assert abs(a.slope_per_hour - b.slope_per_hour) < 1e-4
         assert abs(a.intercept - b.intercept) < 1e-2
+
+
+def test_attribute_store_array_roundtrip(spark, tmp_path):
+    """Array-typed attributes round-trip staging -> history -> compact ->
+    curr (reference round-trips text[]/int[] attributes,
+    `integration_tests/storage/attribute/test_attributestore.py:21-415`):
+    re-staged identical arrays compact away (null-safe array equality in
+    the lag window), changed arrays survive as change points, and the
+    curr pointer carries the latest array."""
+    from datetime import datetime
+
+    from minerva_etl_spark.store.attribute_store import AttributeStore
+
+    st = AttributeStore("t", "node", ["kind", "tags", "weights"], str(tmp_path))
+    rows = [
+        (1, datetime(2024, 1, 1), "rtu", ["a", "b"], [1, 2]),
+        (2, datetime(2024, 1, 1), "rtu", ["x"], None),
+    ]
+    schema = (
+        "entity_id bigint, timestamp timestamp_ntz, kind string, "
+        "tags array<string>, weights array<int>"
+    )
+    st.store_batch(spark, spark.createDataFrame(rows, schema))
+    # day 2: entity 1 unchanged (same arrays), entity 2 changes its array
+    st.store_batch(spark, spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 2), "rtu", ["a", "b"], [1, 2]),
+            (2, datetime(2024, 1, 2), "rtu", ["x", "y"], None),
+        ],
+        schema,
+    ))
+    st.compact(spark)
+    hist = st.read_history(spark)
+    got = {
+        (r.entity_id, r.timestamp): (r.kind, tuple(r.tags), 
+                                     tuple(r.weights) if r.weights else None)
+        for r in hist.collect()
+    }
+    # entity 1's identical day-2 row compacted away; entity 2's survives
+    assert got == {
+        (1, datetime(2024, 1, 1)): ("rtu", ("a", "b"), (1, 2)),
+        (2, datetime(2024, 1, 1)): ("rtu", ("x",), None),
+        (2, datetime(2024, 1, 2)): ("rtu", ("x", "y"), None),
+    }
+    curr = st.materialize_curr(spark)
+    got_curr = {r.entity_id: tuple(r.tags) for r in curr.collect()}
+    assert got_curr == {1: ("a", "b"), 2: ("x", "y")}
