@@ -75,11 +75,17 @@ class DirectoryCatalog:
         rows.write.mode("append").parquet(self.alias_path())
 
     def delete_aliases(self, spark: SparkSession, alias_type: str) -> None:
+        from minerva_etl_spark.fsutil import swap_directory_write
+
         df = self.read_aliases(spark)
         if df is None:
             return
-        kept = df.filter(F.col("type") != alias_type).localCheckpoint(eager=True)
-        kept.write.mode("overwrite").parquet(self.alias_path())
+        kept = df.filter(F.col("type") != alias_type)
+        swap_directory_write(
+            spark,
+            lambda tmp: kept.write.mode("overwrite").parquet(tmp),
+            self.alias_path(),
+        )
 
     def read_aliases(self, spark: SparkSession) -> DataFrame | None:
         from minerva_etl_spark.fsutil import parquet_exists as path_exists

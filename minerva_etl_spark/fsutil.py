@@ -55,6 +55,26 @@ def fs_listdir(spark: SparkSession, path: str) -> list[str]:
     return [st.getPath().getName() for st in fs.listStatus(hpath)]
 
 
+def swap_directory_write(spark: SparkSession, write, final: str) -> None:
+    """Full-table overwrite via temp-path write-and-swap.
+
+    ``write(tmp_path)`` materializes the new table beside the old one,
+    then two metadata-only FS ops swap it in.  Unlike an eager
+    ``localCheckpoint`` + in-place overwrite (which must hold the whole
+    frame in executor storage to break lineage from the files being
+    replaced), the frame streams through the shuffle to disk — executor
+    memory stays bounded at any table size.  Crash window: between the
+    delete and the rename the table is only in the tmp directory —
+    single-writer recovery is a rename, the same guarantee class as the
+    reference's transactional TRUNCATE+INSERT.
+    """
+    tmp = final + "__tmp"
+    fs_delete(spark, tmp)
+    write(tmp)
+    fs_delete(spark, final)
+    fs_rename(spark, tmp, final)
+
+
 def parquet_exists(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` holds at least one parquet data file.
 

@@ -71,14 +71,20 @@ def compact_modified_log(spark: SparkSession, log_path: str) -> int:
     Returns the compacted row count.  Run under the retention job."""
     from minerva_etl_spark.fsutil import parquet_exists as path_exists
 
+    from minerva_etl_spark.fsutil import swap_directory_write
+
     if not path_exists(spark, log_path):
         return 0
     log = spark.read.parquet(log_path)
     folded = fold_modified_state(log).select(
         "part", "timestamp", F.col("last_modified").alias("modified")
-    ).localCheckpoint(eager=True)
-    folded.write.mode("overwrite").parquet(log_path)
-    return folded.count()
+    )
+    swap_directory_write(
+        spark,
+        lambda tmp: folded.write.mode("overwrite").parquet(tmp),
+        log_path,
+    )
+    return spark.read.parquet(log_path).count()
 
 
 def source_fingerprints(
@@ -144,8 +150,13 @@ class MaterializationEngine:
         )
 
     def _write_state(self, df: DataFrame) -> None:
-        df = df.localCheckpoint(eager=True)
-        df.write.mode("overwrite").parquet(self.state_path)
+        from minerva_etl_spark.fsutil import swap_directory_write
+
+        swap_directory_write(
+            self.spark,
+            lambda tmp: df.write.mode("overwrite").parquet(tmp),
+            self.state_path,
+        )
 
     # -------------------------------------------------------- schedule
     def stale_chunks(

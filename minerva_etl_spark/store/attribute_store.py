@@ -77,16 +77,10 @@ class AttributeStore:
         if existing is not None:
             merged = upsert(
                 existing.select(*cols), batch, keys=["entity_id", "timestamp"]
-            ).localCheckpoint(eager=True)
+            )
         else:
             merged = batch
-        (
-            self._bucketed(merged)
-            .repartition("__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(self.history_path)
-        )
+        self._swap_history(spark, merged)
 
     def compact(self, spark: SparkSession) -> None:
         """Run-length compress history in place (A8)."""
@@ -94,13 +88,23 @@ class AttributeStore:
         if hist is None:
             return
         value_cols = [c for c in hist.columns if c not in ("entity_id", "timestamp")]
-        compacted = compact_history(hist, value_cols).localCheckpoint(eager=True)
-        (
-            self._bucketed(compacted)
-            .repartition("__bucket")
-            .write.mode("overwrite")
-            .partitionBy("__bucket")
-            .parquet(self.history_path)
+        self._swap_history(spark, compact_history(hist, value_cols))
+
+    def _swap_history(self, spark: SparkSession, df: DataFrame) -> None:
+        """History rewrite via write-and-swap: bounded executor memory
+        at any history size (no lineage checkpoint)."""
+        from minerva_etl_spark.fsutil import swap_directory_write
+
+        swap_directory_write(
+            spark,
+            lambda tmp: (
+                self._bucketed(df)
+                .repartition("__bucket")
+                .write.mode("overwrite")
+                .partitionBy("__bucket")
+                .parquet(tmp)
+            ),
+            self.history_path,
         )
 
     def delete(self) -> None:
@@ -119,9 +123,15 @@ class AttributeStore:
 
     def materialize_curr(self, spark: SparkSession) -> DataFrame | None:
         """Refresh the latest-row-per-entity pointer table (A9/W1)."""
+        from minerva_etl_spark.fsutil import swap_directory_write
+
         hist = self.read_history(spark)
         if hist is None:
             return None
-        curr = latest_per_entity(hist).localCheckpoint(eager=True)
-        curr.write.mode("overwrite").parquet(self.curr_path)
+        curr = latest_per_entity(hist)
+        swap_directory_write(
+            spark,
+            lambda tmp: curr.write.mode("overwrite").parquet(tmp),
+            self.curr_path,
+        )
         return spark.read.parquet(self.curr_path)

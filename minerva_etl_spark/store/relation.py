@@ -31,9 +31,13 @@ class RelationStore:
     ) -> DataFrame:
         """TRUNCATE+INSERT ≡ overwrite from the defining query.  The
         frame must have (source_id, target_id) columns."""
+        from minerva_etl_spark.fsutil import swap_directory_write
+
         out = defining.select("source_id", "target_id").distinct()
-        out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            self.path(name)
+        swap_directory_write(
+            spark,
+            lambda tmp: out.write.mode("overwrite").parquet(tmp),
+            self.path(name),
         )
         return spark.read.parquet(self.path(name))
 
