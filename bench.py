@@ -27,9 +27,9 @@ HEADLINE = [
     "report_stats",
     "dedup_exact",
     "dedup_minhash_pairs",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
+    "text_profile",
+    "dedup_components",
+    "sample_stratified",
     "sim_topk",
     "sim_knn_join",
     "entity_resolution",

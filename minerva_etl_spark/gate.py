@@ -539,6 +539,140 @@ FROM documents
 """
 
 
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs → connected
+    components via iterative min-label propagation
+    (`operators/dedup.py::connected_components`) — the step that turns
+    pair lists into keep/drop decisions at corpus scale.  Oracle:
+    DuckDB recursive CTE computing min reachable id over the same pair
+    graph."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs)
+    return D.connected_components(pairs)
+
+
+def _oracle_dedup_components() -> str:
+    pairs = D.minhash_pairs_oracle_sql("documents")
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs}
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+FROM reach GROUP BY id
+"""
+
+
+#: per-language keep rates (percent) for the stratified-sampling demo:
+#: downsample the dominant languages, keep every rare-language doc
+_STRATA_RATES = {"en": 30, "de": 60, "fr": 60, "es": 60, "und": 100}
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation: keep each
+    doc iff ``md5_bucket(doc_id) < rate[lang]`` with per-language rates
+    (the standard knob for rebalancing language mix in a training set).
+    The md5 bucket is engine-independent and stable under reruns,
+    repartitioning, and restarts — the property a 100 TB curation job
+    needs (Bernoulli `sample()` is neither reproducible across plans
+    nor stratified)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    lang = X.with_language_id(docs)
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+        ).cast("bigint"),
+        F.lit(100),
+    )
+    rate = F.lit(None).cast("int")
+    for lg, r in _STRATA_RATES.items():
+        rate = F.when(F.col("lang_pred") == lg, F.lit(r)).otherwise(rate)
+    return (
+        lang.withColumn("__bucket", bucket)
+        .filter(F.col("__bucket") < F.coalesce(rate, F.lit(100)))
+        .select(
+            "doc_id", "lang_pred",
+            F.col("__bucket").cast("bigint").alias("sample_bucket"),
+        )
+    )
+
+
+def _oracle_sample_stratified() -> str:
+    langid = X.language_id_oracle_sql("documents")
+    rate = "CAST(NULL AS INTEGER)"
+    for lg, r in _STRATA_RATES.items():
+        rate = f"CASE WHEN lang_pred = '{lg}' THEN {r} ELSE {rate} END"
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " % 100"
+    )
+    return f"""
+WITH lang AS (
+{langid}
+)
+SELECT doc_id, lang_pred, CAST({bucket} AS BIGINT) AS sample_bucket
+FROM lang
+WHERE {bucket} < coalesce({rate}, 100)
+"""
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis as ONE documents scan: quality scoring, language
+    id, token/subword counts and the rolling-hash fingerprint computed
+    together — the shape a production pipeline runs them in (tokenize
+    once, derive everything).  Replaces four single-feature gate
+    queries; all expressions stay inside whole-stage codegen."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = X.with_quality_score(docs)
+    out = X.with_language_id(out)
+    out = X.with_token_count(out)
+    out = X.with_fingerprint(out)
+    return out.select(
+        "doc_id", "n_chars", "n_tokens", "alpha_ratio", "punct_ratio",
+        "stopword_ratio", "quality_score", "lang_pred", "n_subword_units",
+        "fingerprint",
+    )
+
+
+def _oracle_text_profile() -> str:
+    quality = X.quality_oracle_sql("documents")
+    langid = X.language_id_oracle_sql("documents")
+    return f"""
+WITH q AS (
+{quality}
+),
+l AS (
+{langid}
+),
+t AS (
+{_ORACLE_TOKENS}
+),
+f AS (
+SELECT doc_id, {X.fingerprint_duck_expr('text')} AS fingerprint
+FROM documents
+)
+SELECT q.doc_id, q.n_chars, q.n_tokens, q.alpha_ratio, q.punct_ratio,
+       q.stopword_ratio, q.quality_score, l.lang_pred, t.n_subword_units,
+       f.fingerprint
+FROM q
+JOIN l USING (doc_id)
+JOIN t USING (doc_id)
+JOIN f USING (doc_id)
+"""
+
+
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-20 against the vec_id=0 embedding."""
     _prep(spark)
@@ -1689,16 +1823,16 @@ _REGISTRY_ORDER = [
     "dedup_simhash",
     "dedup_simhash_hamming",
     "dedup_embedding",
+    "dedup_components",
     # -- LLM-pipeline: similarity -------------------------------------
     "sim_topk",
     "sim_knn_join",
     "sim_ann_lsh",
     "sim_ivf",
-    # -- LLM-pipeline: text -------------------------------------------
-    "text_quality",
-    "text_langid",
-    "text_tokens",
-    "text_fingerprint",
+    # -- LLM-pipeline: text / curation --------------------------------
+    "text_profile",
+    "sample_stratified",
+    "dn_parse",
     # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
     "live_monitor",
     "lifecycle_load_store",
@@ -1713,7 +1847,6 @@ _REGISTRY_ORDER = [
     "timestamp_mapping",
     "entity_dim_register",
     # ---------- entries past the driver's 50-row window --------------
-    "dn_parse",
     "kpi_revenue",
     "trend_time_agg_1month",
     "quantiles",
@@ -1746,10 +1879,9 @@ def build_queries() -> dict:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_tokens": q_text_tokens,
-        "text_fingerprint": q_text_fingerprint,
+        "dedup_components": q_dedup_components,
+        "text_profile": q_text_profile,
+        "sample_stratified": q_sample_stratified,
         "sim_topk": q_sim_topk,
         "sim_knn_join": q_sim_knn_join,
         "sim_ivf": q_sim_ivf,
@@ -1816,10 +1948,9 @@ def build_oracles() -> dict[str, str]:
         "dedup_minhash_pairs": D.minhash_pairs_oracle_sql("documents"),
         "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
         "dedup_simhash": D.simhash_oracle_sql("documents"),
-        "text_quality": X.quality_oracle_sql("documents"),
-        "text_langid": X.language_id_oracle_sql("documents"),
-        "text_tokens": _ORACLE_TOKENS,
-        "text_fingerprint": _ORACLE_FINGERPRINT,
+        "dedup_components": _oracle_dedup_components(),
+        "text_profile": _oracle_text_profile(),
+        "sample_stratified": _oracle_sample_stratified(),
         "sim_topk": _oracle_sim_topk(),
         "sim_knn_join": _oracle_sim_knn(),
         "sim_ivf": _oracle_sim_ivf(),

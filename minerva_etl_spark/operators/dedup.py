@@ -524,3 +524,74 @@ def simhash_oracle_sql(
         f"WITH h AS (SELECT {id_col}, {hashes} AS hashes FROM {table}) "
         f"SELECT {id_col}, CAST({total} AS BIGINT) AS simhash FROM h"
     )
+
+
+# ----------------------------------------------------- cluster assignment
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTERS from a verified pair list: every document in a
+    connected component is labeled with the smallest doc id reachable —
+    the canonical representative a dedup pass keeps (pipeline step after
+    MinHash/SimHash pair generation; the reference has no equivalent —
+    LLM-pipeline extension).
+
+    Iterative min-label propagation in DataFrame form: each round every
+    node takes ``min(own label, neighbors' labels)``; one shuffle per
+    round (the groupBy on the destination id), stopping as soon as a
+    round changes nothing.  Rounds = graph diameter — near-dup graphs
+    are clique-ish (banded LSH emits all intra-cluster pairs), so this
+    converges in 2-3 rounds; for adversarial long-chain graphs swap in
+    large-star/small-star (O(log n) rounds, same per-round plan).  The
+    per-round ``localCheckpoint`` truncates the iterative lineage —
+    mandatory for any driver-loop algorithm on Spark; state is one
+    (id, label) row per *paired* document, a vanishing fraction of the
+    corpus.
+
+    Returns ``(doc_id, component_id)`` for every document that appears
+    in at least one pair (unpaired docs are their own singleton and are
+    left out — at 100 TB that's the difference between shuffling the
+    pair graph and shuffling the corpus).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # reused every round
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("label")
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(msgs, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )

@@ -182,3 +182,30 @@ def test_attribute_store_array_roundtrip(spark, tmp_path):
     curr = st.materialize_curr(spark)
     got_curr = {r.entity_id: tuple(r.tags) for r in curr.collect()}
     assert got_curr == {1: ("a", "b"), 2: ("x", "y")}
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation: a 4-chain (worst diameter case), a
+    triangle, and an isolated pair each collapse to their min id."""
+    from minerva_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            # chain 10-11-12-13 (forces multiple propagation rounds)
+            (10, 11), (11, 12), (12, 13),
+            # triangle 20-21-22
+            (20, 21), (21, 22), (20, 22),
+            # pair 30-31
+            (30, 31),
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
