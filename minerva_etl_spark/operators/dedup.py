@@ -25,7 +25,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from minerva_etl_spark.operators.text import tokens_duck_sql, tokens_spark_sql
+from minerva_etl_spark.operators.text import (
+    tokens_duck_sql,
+    tokens_expr,
+    tokens_spark_sql,
+)
 
 # ------------------------------------------------------------------- exact
 def exact_dedup(
@@ -524,6 +528,93 @@ def simhash_oracle_sql(
         f"WITH h AS (SELECT {id_col}, {hashes} AS hashes FROM {table}) "
         f"SELECT {id_col}, CAST({total} AS BIGINT) AS simhash FROM h"
     )
+
+
+# ------------------------------------------------------- decontamination
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing word
+    ``n``-gram shingles with a benchmark/eval set (the pre-training
+    hygiene step that keeps eval questions out of the training corpus).
+
+    Returns ``(doc_id, n_hits, n_shingles, contaminated_frac)`` for
+    corpus docs with at least one overlapping shingle — ``n_hits`` is
+    the number of DISTINCT corpus-doc shingles found in the benchmark.
+
+    Scale shape: the benchmark's distinct shingle set is tiny relative
+    to the corpus (eval sets are MBs, corpora are TBs) and is
+    broadcast — the corpus side is one explode + broadcast-hash-join +
+    map-side-combined count, no shuffle of corpus text and no O(n²)
+    stage."""
+    staged = corpus.withColumn("__toks", tokens_expr(text_col)).withColumn(
+        "__shingles", F.expr(shingles_from_tokens_spark_sql("__toks", n))
+    )
+    # explode_outer, not explode: plain explode's pushed-down
+    # `size() > 0` filter re-inlines the tokenize+shingle expression
+    # (see minhash_signatures above).
+    exploded = staged.select(
+        F.col(id_col),
+        F.size("__shingles").alias("__n_shingles"),
+        F.explode_outer("__shingles").alias("__shingle"),
+    ).filter(F.col("__shingle").isNotNull())
+    bench = (
+        benchmark.withColumn("__toks", tokens_expr(text_col))
+        .withColumn(
+            "__shingles", F.expr(shingles_from_tokens_spark_sql("__toks", n))
+        )
+        .select(F.explode_outer("__shingles").alias("__shingle"))
+        .filter(F.col("__shingle").isNotNull())
+        .distinct()
+    )
+    return (
+        exploded.join(F.broadcast(bench), "__shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_hits"),
+            F.first("__n_shingles").cast("bigint").alias("n_shingles"),
+        )
+        .withColumn(
+            "contaminated_frac",
+            F.col("n_hits").cast("double") / F.col("n_shingles").cast("double"),
+        )
+    )
+
+
+def contamination_oracle_sql(
+    corpus_pred: str,
+    bench_pred: str,
+    table: str = "documents",
+    n: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of :func:`contamination_check` with corpus/benchmark
+    split by the given predicates over one table."""
+    sh = shingles_duck_sql(text_col, n)
+    return f"""
+WITH sh AS (
+  SELECT {id_col}, {sh} AS shingles FROM {table}
+),
+corpus AS (
+  SELECT {id_col}, len(shingles) AS n_shingles, unnest(shingles) AS s
+  FROM sh WHERE {corpus_pred}
+),
+bench AS (
+  SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE {bench_pred}
+)
+SELECT {id_col},
+       CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(any_value(n_shingles) AS BIGINT) AS n_shingles,
+       CAST(count(*) AS DOUBLE) / CAST(any_value(n_shingles) AS DOUBLE)
+         AS contaminated_frac
+FROM corpus JOIN bench USING (s)
+GROUP BY {id_col}
+"""
 
 
 # ----------------------------------------------------- cluster assignment

@@ -192,6 +192,108 @@ def language_id_oracle_sql(table: str, text_col: str = "text") -> str:
     return f"SELECT doc_id, {best} AS lang_pred FROM {table}"
 
 
+# ----------------------------------------------------------------- repetition
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style within-document repetition signals: the fraction of
+    duplicate tokens and duplicate word-2-grams (high values mark the
+    boilerplate / keyword-stuffed pages a curation pass drops).
+
+    Tokens are staged in a real column first — inlining the tokenizer
+    into a lambda re-evaluates it per array element (see
+    ``dedup.shingles_from_tokens_spark_sql``)."""
+    staged = df.withColumn("__rep_toks", tokens_expr(text_col))
+    n_tok = F.size("__rep_toks").cast("double")
+    dup_tok = F.when(
+        F.size("__rep_toks") > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct("__rep_toks")).cast("double") / n_tok,
+    ).otherwise(F.lit(0.0))
+    bigrams = F.expr(
+        "CASE WHEN size(__rep_toks) >= 2 THEN "
+        "transform(sequence(1, size(__rep_toks) - 1), "
+        "i -> concat(element_at(__rep_toks, i), ' ', "
+        "element_at(__rep_toks, i + 1))) "
+        "ELSE array() END"
+    )
+    staged = staged.withColumn("__rep_bi", bigrams)
+    dup_bi = F.when(
+        F.size("__rep_bi") > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct("__rep_bi")).cast("double")
+        / F.size("__rep_bi").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        staged.withColumn("dup_token_frac", dup_tok)
+        .withColumn("dup_2gram_frac", dup_bi)
+        .drop("__rep_toks", "__rep_bi")
+    )
+
+
+def repetition_duck_exprs(text_col: str = "text") -> dict[str, str]:
+    """DuckDB twins of :func:`with_repetition` (same names)."""
+    toks = tokens_duck_sql(text_col)
+    bi = (
+        f"CASE WHEN len({toks}) >= 2 THEN "
+        f"list_transform(generate_series(1, len({toks}) - 1), "
+        f"i -> ({toks})[i] || ' ' || ({toks})[i + 1]) "
+        f"ELSE [] END"
+    )
+    return {
+        "dup_token_frac": (
+            f"CASE WHEN len({toks}) > 0 THEN "
+            f"1.0 - CAST(len(list_distinct({toks})) AS DOUBLE)"
+            f" / CAST(len({toks}) AS DOUBLE) ELSE 0.0 END"
+        ),
+        "dup_2gram_frac": (
+            f"CASE WHEN len({bi}) > 0 THEN "
+            f"1.0 - CAST(len(list_distinct({bi})) AS DOUBLE)"
+            f" / CAST(len({bi}) AS DOUBLE) ELSE 0.0 END"
+        ),
+    }
+
+
+# ------------------------------------------------------------------------ PII
+#: engine-portable PII patterns: character classes + counted repeats
+#: only (no lookaround, no \d shorthand) so Java regex (Spark) and RE2
+#: (DuckDB) match identically.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    "phone": (r"\+[0-9][0-9 -]{7,}[0-9]", "<PHONE>"),
+}
+
+
+def with_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII detection + redaction: per-class match counts
+    (``n_email``/``n_ipv4``/``n_phone``) and a ``redacted`` text column
+    with each match replaced by its placeholder token.
+
+    Redaction order is email → ipv4 → phone (the phone pattern anchors
+    on ``+`` and the classes are disjoint, so the order only matters for
+    determinism).  All regex work is JVM-side / codegen'd."""
+    out = df
+    redacted = F.col(text_col)
+    for name, (pat, token) in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+        redacted = F.regexp_replace(redacted, pat, token)
+    return out.withColumn("redacted", redacted)
+
+
+def pii_duck_exprs(text_col: str = "text") -> dict[str, str]:
+    """DuckDB twins of :func:`with_pii` (same column names)."""
+    exprs: dict[str, str] = {}
+    redacted = text_col
+    for name, (pat, token) in PII_PATTERNS.items():
+        exprs[f"n_{name}"] = (
+            f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS INTEGER)"
+        )
+        redacted = f"regexp_replace({redacted}, '{pat}', '{token}', 'g')"
+    exprs["redacted"] = redacted
+    return exprs
+
+
 # -------------------------------------------------------------- fingerprinting
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit-ish content fingerprint: md5 of the normalized token stream
