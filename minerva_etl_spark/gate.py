@@ -573,6 +573,32 @@ FROM reach GROUP BY id
 """
 
 
+#: corpus/benchmark split predicates for the decontamination demo —
+#: every 10th doc plays the held-out eval set, the rest is the corpus
+_DECON_CORPUS_PRED = "doc_id % 10 <> 0"
+_DECON_BENCH_PRED = "doc_id % 10 = 0"
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (`operators/dedup.py::contamination_check`):
+    flag corpus documents sharing word 4-gram shingles with a held-out
+    benchmark slice — the pre-training hygiene step that keeps eval
+    questions out of the training set.  The benchmark's distinct shingle
+    set is broadcast (eval sets are MBs, corpora TBs); the corpus side is
+    one explode + broadcast-hash-join + map-side-combined count."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.expr(_DECON_CORPUS_PRED))
+    bench = docs.filter(F.expr(_DECON_BENCH_PRED))
+    return D.contamination_check(corpus, bench)
+
+
+def _oracle_decontamination() -> str:
+    return D.contamination_oracle_sql(
+        _DECON_CORPUS_PRED, _DECON_BENCH_PRED, "documents"
+    )
+
+
 #: per-language keep rates (percent) for the stratified-sampling demo:
 #: downsample the dominant languages, keep every rare-language doc
 _STRATA_RATES = {"en": 30, "de": 60, "fr": 60, "es": 60, "und": 100}
@@ -629,26 +655,34 @@ WHERE {bucket} < coalesce({rate}, 100)
 
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis as ONE documents scan: quality scoring, language
-    id, token/subword counts and the rolling-hash fingerprint computed
-    together — the shape a production pipeline runs them in (tokenize
-    once, derive everything).  Replaces four single-feature gate
-    queries; all expressions stay inside whole-stage codegen."""
+    id, token/subword counts, the rolling-hash fingerprint, Gopher-style
+    repetition signals, and PII counts + redaction computed together —
+    the shape a production pipeline runs them in (tokenize once, derive
+    everything).  Replaces six single-feature gate queries; all
+    expressions stay inside whole-stage codegen."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     out = X.with_quality_score(docs)
     out = X.with_language_id(out)
     out = X.with_token_count(out)
     out = X.with_fingerprint(out)
+    out = X.with_repetition(out)
+    out = X.with_pii(out)
     return out.select(
         "doc_id", "n_chars", "n_tokens", "alpha_ratio", "punct_ratio",
         "stopword_ratio", "quality_score", "lang_pred", "n_subword_units",
-        "fingerprint",
+        "fingerprint", "dup_token_frac", "dup_2gram_frac",
+        "n_email", "n_ipv4", "n_phone", "redacted",
     )
 
 
 def _oracle_text_profile() -> str:
     quality = X.quality_oracle_sql("documents")
     langid = X.language_id_oracle_sql("documents")
+    rep = X.repetition_duck_exprs("text")
+    pii = X.pii_duck_exprs("text")
+    rep_cols = ", ".join(f"{e} AS {n}" for n, e in rep.items())
+    pii_cols = ", ".join(f"{e} AS {n}" for n, e in pii.items())
     return f"""
 WITH q AS (
 {quality}
@@ -662,14 +696,23 @@ t AS (
 f AS (
 SELECT doc_id, {X.fingerprint_duck_expr('text')} AS fingerprint
 FROM documents
+),
+r AS (
+SELECT doc_id, {rep_cols} FROM documents
+),
+p AS (
+SELECT doc_id, {pii_cols} FROM documents
 )
 SELECT q.doc_id, q.n_chars, q.n_tokens, q.alpha_ratio, q.punct_ratio,
        q.stopword_ratio, q.quality_score, l.lang_pred, t.n_subword_units,
-       f.fingerprint
+       f.fingerprint, r.dup_token_frac, r.dup_2gram_frac,
+       p.n_email, p.n_ipv4, p.n_phone, p.redacted
 FROM q
 JOIN l USING (doc_id)
 JOIN t USING (doc_id)
 JOIN f USING (doc_id)
+JOIN r USING (doc_id)
+JOIN p USING (doc_id)
 """
 
 
@@ -1820,10 +1863,10 @@ _REGISTRY_ORDER = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_simhash_hamming",
     "dedup_embedding",
     "dedup_components",
+    "decontamination",
     # -- LLM-pipeline: similarity -------------------------------------
     "sim_topk",
     "sim_knn_join",
@@ -1847,6 +1890,10 @@ _REGISTRY_ORDER = [
     "timestamp_mapping",
     "entity_dim_register",
     # ---------- entries past the driver's 50-row window --------------
+    # dedup_simhash: the raw-signature query is subsumed by
+    # dedup_simhash_hamming (which recomputes signatures AND proves the
+    # pairing); still locally verified by tools/check_oracle.py.
+    "dedup_simhash",
     "kpi_revenue",
     "trend_time_agg_1month",
     "quantiles",
@@ -1880,6 +1927,7 @@ def build_queries() -> dict:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_components": q_dedup_components,
+        "decontamination": q_decontamination,
         "text_profile": q_text_profile,
         "sample_stratified": q_sample_stratified,
         "sim_topk": q_sim_topk,
@@ -1949,6 +1997,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_ngram_jaccard": _oracle_ngram_jaccard(),
         "dedup_simhash": D.simhash_oracle_sql("documents"),
         "dedup_components": _oracle_dedup_components(),
+        "decontamination": _oracle_decontamination(),
         "text_profile": _oracle_text_profile(),
         "sample_stratified": _oracle_sample_stratified(),
         "sim_topk": _oracle_sim_topk(),

@@ -209,3 +209,79 @@ def test_connected_components_chain_and_clique(spark):
         20: 20, 21: 20, 22: 20,
         30: 30, 31: 30,
     }
+
+
+def test_with_repetition_signals(spark):
+    """Gopher-style duplicate-token / duplicate-bigram fractions."""
+    from minerva_etl_spark.operators.text import with_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),        # 4 tokens, 1 distinct
+            (2, "all tokens here differ"),     # no repetition
+            (3, "a b a b a b"),                # bigrams: 5 total, 2 distinct
+            (4, ""),                           # empty -> 0.0 / 0.0
+            (5, "one"),                        # single token, no bigrams
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (round(r.dup_token_frac, 6), round(r.dup_2gram_frac, 6))
+        for r in with_repetition(df).collect()
+    }
+    assert got[1] == (0.75, round(1 - 1 / 3, 6))
+    assert got[2] == (0.0, 0.0)
+    assert got[3] == (round(1 - 2 / 6, 6), round(1 - 2 / 5, 6))
+    assert got[4] == (0.0, 0.0)
+    assert got[5] == (0.0, 0.0)
+
+
+def test_with_pii_counts_and_redaction(spark):
+    """PII detection counts + placeholder redaction."""
+    from minerva_etl_spark.operators.text import with_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob@example.com or alice@test.org today"),
+            (2, "server 192.168.0.1 and 10.0.0.255 are up"),
+            (3, "call +31 6 1234 5678 now"),
+            (4, "no pii here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in with_pii(df).collect()}
+    assert (rows[1].n_email, rows[1].n_ipv4, rows[1].n_phone) == (2, 0, 0)
+    assert rows[1].redacted == "mail me at <EMAIL> or <EMAIL> today"
+    assert (rows[2].n_email, rows[2].n_ipv4, rows[2].n_phone) == (0, 2, 0)
+    assert rows[2].redacted == "server <IP> and <IP> are up"
+    assert (rows[3].n_email, rows[3].n_ipv4, rows[3].n_phone) == (0, 0, 1)
+    assert rows[3].redacted == "call <PHONE> now"
+    assert rows[4].redacted == "no pii here"
+
+
+def test_contamination_check(spark):
+    """Corpus docs sharing word 4-grams with the benchmark are flagged
+    with exact distinct-shingle hit counts; clean docs are absent."""
+    from minerva_etl_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [
+            # doc 1 contains the benchmark question verbatim (5 tokens ->
+            # 2 4-gram shingles, both in the benchmark set)
+            (1, "prefix what is the capital city"),
+            # doc 2 shares no 4-gram with the benchmark
+            (2, "a completely unrelated training document body"),
+            # doc 3 too short for any 4-gram
+            (3, "too short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "what is the capital city")], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in contamination_check(corpus, bench).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    # "prefix what is the capital city" -> 3 shingles, 2 hit
+    assert (r.n_hits, r.n_shingles) == (2, 3)
+    assert abs(r.contaminated_frac - 2 / 3) < 1e-12
