@@ -1181,21 +1181,29 @@ def q_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_dir = f"/tmp/minerva_stream_{os.path.basename(sf_dir.rstrip('/'))}"
     os.makedirs(stage_dir, exist_ok=True)
     link = os.path.join(stage_dir, "events.parquet")
+    target = os.path.abspath(f"{sf_dir}/events.parquet")
+    if os.path.islink(link) and os.readlink(link) != target:
+        os.unlink(link)  # stale link from a prior fixture
     if not os.path.exists(link):
-        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), link)
+        os.symlink(target, link)
 
-    raw_schema = (
-        "event_id bigint, ts bigint, user_id bigint, event_type string, "
-        "value double, props string"
-    )
+    # Derive the stream read schema from the actual fixture (a batch
+    # read infers it); hardcoding it regressed once when the fixture
+    # switched ts from epoch-millis bigint to a parquet TIMESTAMP.
+    raw_schema = spark.read.parquet(stage_dir).schema
     stream = (
         spark.readStream.schema(raw_schema)
         .format("parquet")
         .load(stage_dir)
-        .withColumn(
-            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp)")
-        )
     )
+    ts_type = raw_schema["ts"].dataType.simpleString()
+    if ts_type in ("bigint", "long"):
+        # legacy fixtures: ts as epoch milliseconds
+        stream = stream.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts * 1000) as timestamp)")
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     agg = (
         stream.groupBy(F.window("ts", "1 hour"), F.col("user_id"))
         .agg(

@@ -167,35 +167,75 @@ class MaterializationEngine:
         newest_first: bool = True,
     ) -> list[tuple[str, datetime, str]]:
         """(materialization, bucket, source_fingerprint) needing work —
-        the J7 scheduling join over state/registry tables."""
-        state = self.read_state()
-        modified_state = fold_modified_state(modified_log)
-        out: list[tuple[str, datetime, str]] = []
-        for mat in self.materializations.values():
-            if not mat.enabled:
-                continue
-            fps = source_fingerprints(mat, modified_state)
-            st = state.filter(
-                F.col("materialization") == mat.name
-            ).select(
+        the J7 scheduling join over state/registry tables.
+
+        ONE Spark job per poll, regardless of how many materializations
+        are registered: per-materialization fingerprint branches (each
+        with its delays folded in as literals) are unioned, joined once
+        against the broadcast processed-state table, and collected once
+        — mirroring the reference's single scheduling query
+        (`commands/trend_store.py:1045-1094`).  The previous shape (one
+        job + ``collect()`` per registered materialization per poll) was
+        a driver-side bottleneck at a 2 s poll cadence with hundreds of
+        registered materializations.
+        """
+        from functools import reduce
+
+        mats = [m for m in self.materializations.values() if m.enabled]
+        if not mats:
+            return []
+        # persisted: every union branch scans it; without the persist the
+        # groupBy over the modified log would re-run once per branch
+        modified_state = fold_modified_state(modified_log).persist()
+        try:
+            branches = []
+            for mat in mats:
+                fps = source_fingerprints(mat, modified_state)
+                branches.append(
+                    fps.filter(
+                        (F.col("target_ts") <= F.lit(now - mat.processing_delay))
+                        & (
+                            F.col("max_source_modified")
+                            <= F.lit(now - mat.stability_delay)
+                        )
+                        & (
+                            F.col("target_ts")
+                            >= F.lit(now - mat.reprocessing_period)
+                        )
+                    ).select(
+                        F.lit(mat.name).alias("materialization"),
+                        "target_ts",
+                        "source_fingerprint",
+                    )
+                )
+            all_fps = reduce(DataFrame.unionByName, branches)
+            state = self.read_state().select(
+                "materialization",
                 F.col("timestamp").alias("target_ts"),
                 "processed_fingerprint",
             )
-            joined = fps.join(st, "target_ts", "left")
-            stale = joined.filter(
-                (
+            stale = (
+                all_fps.join(
+                    F.broadcast(state),
+                    ["materialization", "target_ts"],
+                    "left",
+                )
+                .filter(
                     F.col("processed_fingerprint").isNull()
-                    | (F.col("processed_fingerprint") != F.col("source_fingerprint"))
+                    | (
+                        F.col("processed_fingerprint")
+                        != F.col("source_fingerprint")
+                    )
                 )
-                & (F.col("target_ts") <= F.lit(now - mat.processing_delay))
-                & (
-                    F.col("max_source_modified")
-                    <= F.lit(now - mat.stability_delay)
-                )
-                & (F.col("target_ts") >= F.lit(now - mat.reprocessing_period))
+                .select("materialization", "target_ts", "source_fingerprint")
             )
-            rows = stale.select("target_ts", "source_fingerprint").collect()
-            out.extend((mat.name, r.target_ts, r.source_fingerprint) for r in rows)
+            rows = stale.collect()
+        finally:
+            modified_state.unpersist()
+        out = [
+            (r.materialization, r.target_ts, r.source_fingerprint)
+            for r in rows
+        ]
         out.sort(key=lambda t: t[1], reverse=newest_first)
         return out[:max_num] if max_num else out
 

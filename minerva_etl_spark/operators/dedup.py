@@ -618,11 +618,27 @@ GROUP BY {id_col}
 
 
 # ----------------------------------------------------- cluster assignment
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release the block-manager storage backing a ``localCheckpoint``'d
+    DataFrame.  Spark exposes no public API for this: the analyzed plan
+    of a checkpointed Dataset is a ``LogicalRDD`` whose ``rdd`` is the
+    persisted internal RDD — unpersist that.  Best-effort (a plain
+    un-checkpointed DataFrame has no ``rdd()`` on its analyzed plan and
+    falls through silently).  The DataFrame must not be used after."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    algorithm: str = "label-propagation",
+    check_every: int = 2,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-dup CLUSTERS from a verified pair list: every document in a
     connected component is labeled with the smallest doc id reachable —
@@ -630,17 +646,29 @@ def connected_components(
     MinHash/SimHash pair generation; the reference has no equivalent —
     LLM-pipeline extension).
 
-    Iterative min-label propagation in DataFrame form: each round every
-    node takes ``min(own label, neighbors' labels)``; one shuffle per
-    round (the groupBy on the destination id), stopping as soon as a
-    round changes nothing.  Rounds = graph diameter — near-dup graphs
-    are clique-ish (banded LSH emits all intra-cluster pairs), so this
-    converges in 2-3 rounds; for adversarial long-chain graphs swap in
-    large-star/small-star (O(log n) rounds, same per-round plan).  The
-    per-round ``localCheckpoint`` truncates the iterative lineage —
-    mandatory for any driver-loop algorithm on Spark; state is one
-    (id, label) row per *paired* document, a vanishing fraction of the
-    corpus.
+    Two algorithms, same output contract:
+
+    - ``label-propagation`` (default): each round every node takes
+      ``min(own label, neighbors' labels)``; one shuffle per round (the
+      groupBy on the destination id).  Rounds = graph diameter — near-dup
+      graphs are clique-ish (banded LSH emits all intra-cluster pairs),
+      so this converges in 2-3 rounds.
+    - ``star``: alternating large-star/small-star contraction (Kiveris
+      et al., "Connected Components in MapReduce and Beyond") — the edge
+      set itself is rewritten toward per-component stars, converging in
+      O(log n) alternations even on adversarial long-chain graphs where
+      label propagation needs diameter rounds.
+
+    Driver-loop hygiene (both variants): per-round ``localCheckpoint``
+    truncates the iterative lineage; the superseded round's checkpoint
+    blocks are freed as soon as the next round is materialized, so
+    executor storage stays flat at ~2 rounds of state regardless of
+    iteration count; convergence is counted only every ``check_every``
+    rounds (a converged extra round is cheaper than a count job per
+    round).  State is one (id, label) / (node, root) row per *paired*
+    document, a vanishing fraction of the corpus.
+
+    ``stats`` (optional dict) is filled with ``rounds`` actually run.
 
     Returns ``(doc_id, component_id)`` for every document that appears
     in at least one pair (unpaired docs are their own singleton and are
@@ -652,13 +680,19 @@ def connected_components(
         .unionByName(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)  # reused every round
     )
+    if algorithm == "star":
+        out = _star_components(edges, max_iter, check_every, stats)
+        _free_local_checkpoint(edges)
+        return out
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
-    for _ in range(max_iter):
+    rounds = 0
+    for i in range(max_iter):
         msgs = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -674,15 +708,108 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        rounds += 1
+        converged = False
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            converged = changed == 0
+        _free_local_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        if converged:
             break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["algorithm"] = "label-propagation"
+    _free_local_checkpoint(edges)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
     )
+
+
+def _star_components(
+    edges: DataFrame, max_iter: int, check_every: int, stats: dict | None
+) -> DataFrame:
+    """Alternating large-star/small-star over a canonical (src>dst) edge
+    set until it reaches its fixed point (per-component stars rooted at
+    the component minimum).  One alternation = two shuffles; O(log n)
+    alternations on any graph shape."""
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        m = (
+            nbrs.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        # connect every larger neighbor to the local minimum
+        return (
+            nbrs.join(m, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        m = e.groupBy("src").agg(F.min("dst").alias("m"))
+        rewired = (
+            e.join(m, "src")
+            .filter(F.col("dst") != F.col("m"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        direct = m.select("src", F.col("m").alias("dst"))
+        return rewired.unionByName(direct).distinct()
+
+    def signature(e: DataFrame) -> tuple:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                # decimal: a sum of 64-bit hashes overflows bigint (ANSI)
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    nodes = edges.select(F.col("src").alias("id")).distinct()
+    cur = (
+        edges.filter(F.col("src") > F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_sig = None
+    rounds = 0
+    for i in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        rounds += 1
+        converged = False
+        if (i + 1) % check_every == 0 or i == max_iter - 1:
+            sig = signature(nxt)
+            converged = sig == prev_sig
+            prev_sig = sig
+        _free_local_checkpoint(cur)
+        cur = nxt
+        if converged:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+        stats["algorithm"] = "star"
+    roots = cur.groupBy("src").agg(F.min("dst").alias("label"))
+    out = (
+        nodes.join(roots.withColumnRenamed("src", "id"), "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("label", "id").alias("component_id"),
+        )
+    )
+    # the star edge set must outlive this function's checkpoints: the
+    # caller consumes `out` lazily, so materialize before freeing
+    out = out.localCheckpoint(eager=True)
+    _free_local_checkpoint(cur)
+    return out
