@@ -2,6 +2,10 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
+
+Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 2) and the MIN is
+reported — single-run numbers at toy scale are dominated by JIT/codegen
+warmup and GC noise, which made round-over-round deltas unreadable.
 """
 
 from __future__ import annotations
@@ -76,13 +80,18 @@ def main() -> None:
     # warm the JVM + parquet footers with one tiny action
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution without driver collect
-        timings[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(runs):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # force full execution without driver collect
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)

@@ -177,6 +177,307 @@ def generate_entity_aggregation(
     return out
 
 
+# --------------------------------------------------- definition compiler
+def _load_store_by_name(root: Path, source: str) -> TrendStoreDef:
+    """Resolve an aggregation definition's ``source`` to a trend-store
+    YAML in the instance (the reference resolves by file basename:
+    `instance/__init__.py` ``load_trend_store_by_name``)."""
+    import yaml
+
+    name = Path(source).stem
+    path = root / "trend" / f"{name}.yaml"
+    if not path.exists():
+        raise FileNotFoundError(
+            f"aggregation source trend store not found: {path}"
+        )
+    return TrendStoreDef.from_dict(yaml.safe_load(path.read_text()))
+
+
+def _agg_sort_key(definition: dict) -> tuple:
+    """compile-all compiles time aggregations lowest granularity first
+    (reference `commands/aggregation.py:106` sorts by granularity), so a
+    1d rung that reads the 1h rung sees its source store file already
+    written."""
+    d = definition.get("time_aggregation")
+    if not d:
+        return (1, 0)  # entity aggregations after all time aggregations
+    g = Granularity.parse(str(d["granularity"]))
+    return (0, g.seconds + g.months * 2635200)
+
+
+def compile_aggregation_definition(
+    instance_dir: str | Path, definition: dict
+) -> list[str]:
+    """Compile ONE aggregation definition (the reference's
+    ``minerva aggregation compile``, `commands/aggregation.py:49-65` +
+    `instance/aggregation_compilation.py:562-660`): a dict holding either
+    ``time_aggregation`` or ``entity_aggregation`` is expanded into a
+    derived trend-store YAML (promoted types + samples column) and one
+    materialization YAML per part, written into the instance directory.
+    Returns written paths.
+
+    Definition shape (mirrors the reference)::
+
+        time_aggregation:
+          name: node_main_1d          # aggregate trend-store file name
+          source: node_main_1h        # source trend-store file basename
+          granularity: 1d
+          parts:
+            - name: node_kpi_1d       # target part / materialization
+              source: node_kpi_1h     # part of the source store
+
+        entity_aggregation:
+          name: nation_node_main_1h
+          source: node_main_1h
+          relation: node->nation
+          entity_type: nation
+          parts: [{name: ..., source: ...}]
+
+    ``mapping_function`` is accepted and ignored — Spark buckets
+    timestamps natively (`granularity.bucket_end_spark_sql`), where the
+    reference needs a plpgsql mapping function per rung.
+    """
+    import yaml
+
+    root = Path(instance_dir)
+    (root / "trend").mkdir(parents=True, exist_ok=True)
+    (root / "materialization").mkdir(parents=True, exist_ok=True)
+    written: list[str] = []
+
+    if "time_aggregation" in definition:
+        d = definition["time_aggregation"]
+        store = _load_store_by_name(root, d["source"])
+        target_gran = Granularity.parse(str(d["granularity"])).name
+        out_parts: list[dict] = []
+        for agg_part in d["parts"]:
+            src = next(
+                (p for p in store.parts if p.name == agg_part.get("source")),
+                None,
+            )
+            if src is None:
+                raise ValueError(
+                    f"no source part {agg_part.get('source')!r} in "
+                    f"{d['source']!r} for aggregation part "
+                    f"{agg_part.get('name')!r}"
+                )
+            specs = [
+                TrendAggSpec(
+                    t.name, t.time_aggregation, t.entity_aggregation,
+                    result_type=promoted_trend(t).data_type,
+                )
+                for t in src.trends
+            ]
+            view = time_aggregate_spark_sql(
+                f'trend."{src.name}"', target_gran, specs
+            )
+            mat_yaml = {
+                "target_trend_store_part": agg_part["name"],
+                "enabled": True,
+                # reference defaults; the authored definition may tune
+                "processing_delay": d.get("processing_delay", "30m"),
+                "stability_delay": d.get("stability_delay", "5m"),
+                "reprocessing_period": d.get("reprocessing_period", "3d"),
+                "sources": [{"trend_store_part": src.name}],
+                "view": view,
+            }
+            mp = root / "materialization" / f"{agg_part['name']}.yaml"
+            mp.write_text(yaml.safe_dump(mat_yaml, sort_keys=False))
+            written.append(str(mp))
+            out_parts.append(
+                {
+                    "name": agg_part["name"],
+                    "trends": (
+                        [{
+                            "name": "samples", "data_type": "bigint",
+                            "time_aggregation": "sum",
+                            "entity_aggregation": "sum",
+                        }]
+                        + [
+                            {
+                                "name": t.name,
+                                "data_type": promoted_trend(t).data_type,
+                                "time_aggregation": t.time_aggregation,
+                                "entity_aggregation": t.entity_aggregation,
+                            }
+                            for t in src.trends
+                        ]
+                    ),
+                }
+            )
+        store_yaml = {
+            "data_source": store.data_source,
+            "entity_type": store.entity_type,
+            "granularity": target_gran,
+            "partition_size": DEFAULT_PARTITION_SIZE.get(target_gran, "1d"),
+            "retention_period": store.retention_period,
+            "parts": out_parts,
+        }
+        sp = root / "trend" / f"{d['name']}.yaml"
+        sp.write_text(yaml.safe_dump(store_yaml, sort_keys=False))
+        written.append(str(sp))
+        return written
+
+    if "entity_aggregation" in definition:
+        from minerva_etl_spark.operators.aggregation import _spark_agg_sql
+
+        d = definition["entity_aggregation"]
+        store = _load_store_by_name(root, d["source"])
+        relation = d["relation"]
+        rel_slug = relation.replace("->", "__").replace("-", "_")
+        gran = Granularity.parse(store.granularity).name
+        out_parts = []
+        for agg_part in d["parts"]:
+            src = next(
+                (p for p in store.parts if p.name == agg_part.get("source")),
+                None,
+            )
+            if src is None:
+                raise ValueError(
+                    f"no source part {agg_part.get('source')!r} in "
+                    f"{d['source']!r}"
+                )
+            has_samples = any(t.name == "samples" for t in src.trends)
+            samples_sql = (
+                "CAST(SUM(samples) AS BIGINT) AS samples"
+                if has_samples
+                else "CAST(count(*) AS BIGINT) AS samples"
+            )
+            aggs = ",\n       ".join(
+                [samples_sql]
+                + [
+                    _spark_agg_sql(
+                        t.entity_aggregation, t.name, t.name,
+                        promoted_trend(t, which="entity").data_type,
+                    )
+                    for t in src.trends
+                    if t.name != "samples"
+                ]
+            )
+            view = (
+                f"SELECT r.target_id AS entity_id, t.timestamp,\n"
+                f"       {aggs}\n"
+                f'FROM trend."{src.name}" t\n'
+                f'JOIN relation."{rel_slug}" r ON t.entity_id = r.source_id\n'
+                f"GROUP BY t.timestamp, r.target_id"
+            )
+            mat_yaml = {
+                "target_trend_store_part": agg_part["name"],
+                "enabled": True,
+                "processing_delay": d.get("processing_delay", "30m"),
+                "stability_delay": d.get("stability_delay", "5m"),
+                "reprocessing_period": d.get("reprocessing_period", "3d"),
+                "sources": [
+                    {"trend_store_part": src.name},
+                    {"relation": relation},
+                ],
+                "view": view,
+            }
+            mp = root / "materialization" / f"{agg_part['name']}.yaml"
+            mp.write_text(yaml.safe_dump(mat_yaml, sort_keys=False))
+            written.append(str(mp))
+            out_parts.append(
+                {
+                    "name": agg_part["name"],
+                    "trends": (
+                        [{
+                            "name": "samples", "data_type": "bigint",
+                            "time_aggregation": "sum",
+                            "entity_aggregation": "sum",
+                        }]
+                        + [
+                            {
+                                "name": t.name,
+                                "data_type": promoted_trend(
+                                    t, which="entity"
+                                ).data_type,
+                                "time_aggregation": t.time_aggregation,
+                                "entity_aggregation": t.entity_aggregation,
+                            }
+                            for t in src.trends
+                            if t.name != "samples"
+                        ]
+                    ),
+                }
+            )
+        store_yaml = {
+            "data_source": store.data_source,
+            "entity_type": d["entity_type"],
+            "granularity": gran,
+            "partition_size": store.partition_size,
+            "parts": out_parts,
+        }
+        sp = root / "trend" / f"{d['name']}.yaml"
+        sp.write_text(yaml.safe_dump(store_yaml, sort_keys=False))
+        written.append(str(sp))
+        return written
+
+    raise ValueError(
+        "aggregation definition needs a time_aggregation or "
+        "entity_aggregation key"
+    )
+
+
+def compile_all_aggregations(instance_dir: str | Path) -> list[str]:
+    """``minerva aggregation compile-all``
+    (`commands/aggregation.py:84-117`): compile every
+    ``aggregation/*.yaml`` of the instance, time aggregations first in
+    granularity order, then entity aggregations."""
+    import yaml
+
+    root = Path(instance_dir)
+    defs = [
+        (p, yaml.safe_load(p.read_text()))
+        for p in sorted((root / "aggregation").glob("*.yaml"))
+    ]
+    defs = [(p, d) for p, d in defs if isinstance(d, dict)]
+    written: list[str] = []
+    for _, d in sorted(defs, key=lambda pd: _agg_sort_key(pd[1])):
+        written.extend(compile_aggregation_definition(root, d))
+    return written
+
+
+def write_generated_definitions(
+    instance_dir: str | Path, store: TrendStoreDef, source_file: str
+) -> list[str]:
+    """Emit aggregation DEFINITION files into ``aggregation/`` for the
+    standard ladder (the reference's two-step workflow:
+    ``aggregation generate`` writes definitions,
+    ``aggregation compile``/``compile-all`` expands them —
+    `aggregation_generation.py:27-123`).  ``source_file`` is the raw
+    store's YAML basename, which ``compile`` resolves back.
+    Compiling these yields byte-identical output to the fused
+    :func:`write_generated` path."""
+    import yaml
+
+    root = Path(instance_dir)
+    (root / "aggregation").mkdir(parents=True, exist_ok=True)
+    written: list[str] = []
+    src_gran = Granularity.parse(store.granularity).name
+    for target_gran in STANDARD_LADDER.get(src_gran, []):
+        name = f"{store.data_source}_{store.entity_type}_{target_gran}"
+        d = {
+            "time_aggregation": {
+                "name": name,
+                "source": Path(source_file).stem,
+                "granularity": target_gran,
+                # reference rungs need a plpgsql timestamp-mapping
+                # function; recorded for parity, unused on Spark
+                "mapping_function": f"mapping_{src_gran}_to_{target_gran}",
+                "parts": [
+                    {
+                        "name": f"{p.name.rsplit('_', 1)[0]}_{target_gran}",
+                        "source": p.name,
+                    }
+                    for p in store.parts
+                ],
+            }
+        }
+        ap = root / "aggregation" / f"{name}.yaml"
+        ap.write_text(yaml.safe_dump(d, sort_keys=False))
+        written.append(str(ap))
+    return written
+
+
 def write_generated(instance_dir: str | Path, store: TrendStoreDef) -> list[str]:
     """Write generated YAML files into the instance directory (what
     `minerva aggregation generate` does).  Returns written paths."""

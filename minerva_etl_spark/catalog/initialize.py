@@ -239,7 +239,8 @@ def initialize(
     for n in instance.notification_stores:
         st = NotificationStore(
             n["data_source"],
-            [attr["name"] for attr in n.get("attributes", [])],
+            # dicts carry the declared data_type (incl. json payloads)
+            n.get("attributes", []),
             data_dir,
         )
         ctx.notification_stores[st.data_source] = st

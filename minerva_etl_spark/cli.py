@@ -138,6 +138,25 @@ def cmd_aggregation_generate(args) -> None:
     from minerva_etl_spark.catalog.instance import MinervaInstance
 
     inst = MinervaInstance.load(args.instance)
+    if getattr(args, "definitions", False):
+        # two-step reference workflow: emit aggregation/*.yaml definition
+        # files; `aggregation-compile`/`-all` expands them
+        from minerva_etl_spark.catalog.instance import TrendStoreDef
+        from minerva_etl_spark.catalog.aggregation_compile import (
+            write_generated_definitions,
+        )
+
+        for p in sorted((Path(args.instance) / "trend").glob("*.yaml")):
+            store = TrendStoreDef.from_dict(
+                yaml.safe_load(p.read_text())
+            )
+            if args.raw_only and "raw" not in (store.title or "").lower():
+                continue
+            for path in write_generated_definitions(
+                args.instance, store, p.stem
+            ):
+                print(f"generated {path}")
+        return
     relations = [
         (r.name, getattr(r, "target_entity_type", None)) for r in inst.relations
     ]
@@ -160,6 +179,37 @@ def cmd_aggregation_generate(args) -> None:
                     mp.write_text(yaml.safe_dump(mat_yaml, sort_keys=False))
                     print(f"generated {sp}")
                     print(f"generated {mp}")
+
+
+def cmd_aggregation_compile(args) -> None:
+    """`minerva aggregation compile`: expand aggregation definition
+    file(s) into trend-store + materialization YAML (reference
+    `src/minerva/commands/aggregation.py:49-65`)."""
+    import json
+
+    import yaml
+
+    from minerva_etl_spark.catalog.aggregation_compile import (
+        compile_aggregation_definition,
+    )
+
+    for path in args.definition:
+        with open(path) as f:
+            d = json.load(f) if args.format == "json" else yaml.safe_load(f)
+        for p in compile_aggregation_definition(args.instance, d):
+            print(f"compiled {p}")
+
+
+def cmd_aggregation_compile_all(args) -> None:
+    """`minerva aggregation compile-all`: compile every
+    ``aggregation/*.yaml`` of the instance (reference
+    `src/minerva/commands/aggregation.py:84-117`)."""
+    from minerva_etl_spark.catalog.aggregation_compile import (
+        compile_all_aggregations,
+    )
+
+    for p in compile_all_aggregations(args.instance):
+        print(f"compiled {p}")
 
 
 def cmd_materialize(args) -> None:
@@ -811,7 +861,20 @@ def main(argv: list[str] | None = None) -> None:
     ag.add_argument("--raw-only", action="store_true")
     ag.add_argument("--with-relations", action="store_true",
                     help="also generate entity aggregations per relation")
+    ag.add_argument("--definitions", action="store_true",
+                    help="emit aggregation/*.yaml definition files "
+                         "instead of compiled trend/materialization "
+                         "files (two-step reference workflow)")
     ag.set_defaults(fn=cmd_aggregation_generate)
+
+    agc = sub.add_parser("aggregation-compile")
+    agc.add_argument("--format", choices=["yaml", "json"], default="yaml")
+    agc.add_argument("definition", nargs="+",
+                     help="aggregation definition file(s)")
+    agc.set_defaults(fn=cmd_aggregation_compile)
+
+    agca = sub.add_parser("aggregation-compile-all")
+    agca.set_defaults(fn=cmd_aggregation_compile_all)
 
     mt = sub.add_parser("materialize")
     mt.add_argument("--max-num", type=int, default=None)

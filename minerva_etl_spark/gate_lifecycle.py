@@ -727,17 +727,28 @@ def q_lifecycle_notification(spark: SparkSession, sf_dir: str) -> DataFrame:
         thresholds={"max_value": 400.0},
         condition="sum_value > max_value", weight="100",
         notification_message="concat('hourly value ', sum_value)",
-        notification_data="cast(round(sum_value, 6) as string)",
+        # structured payload: the typed store serializes it to JSON
+        notification_data="map('sum_value', cast(round(sum_value, 6)"
+                          " as string))",
     )
     busy = Trigger(
         name="BusyHour", kpi=kpi,
         thresholds={"max_samples": 4.0},
         condition="samples > max_samples", weight="10",
         notification_message="concat('samples ', samples)",
-        notification_data="cast(samples as string)",
+        notification_data="map('samples', cast(samples as string))",
     )
+    # typed attribute declarations incl. a json payload (reference
+    # notificationstore.py:17-97 + trigger-notification.yaml)
     sink = NotificationStore(
-        "gate", ["rule", "weight", "details", "data"], base
+        "gate",
+        [
+            {"name": "rule", "data_type": "text"},
+            {"name": "weight", "data_type": "integer"},
+            {"name": "details", "data_type": "text"},
+            {"name": "data", "data_type": "json"},
+        ],
+        base,
     )
     sink.store(high.evaluate(spark, []))
     sink.store(busy.evaluate(spark, []))
@@ -763,12 +774,13 @@ WITH kpi AS (
 SELECT entity_id, timestamp, 'HighHourlyValue' AS rule,
        CAST(100 AS INTEGER) AS weight,
        'hourly value ' || CAST(sum_value AS VARCHAR) AS details,
-       CAST(round(sum_value, 6) AS VARCHAR) AS data
+       '{{"sum_value":"' || CAST(round(sum_value, 6) AS VARCHAR) || '"}}'
+           AS data
 FROM kpi WHERE sum_value > 400.0
 UNION ALL
 SELECT entity_id, timestamp, 'BusyHour', CAST(10 AS INTEGER),
        'samples ' || CAST(samples AS VARCHAR),
-       CAST(samples AS VARCHAR)
+       '{{"samples":"' || CAST(samples AS VARCHAR) || '"}}'
 FROM kpi WHERE samples > 4.0
 """
 

@@ -93,6 +93,99 @@ def test_generated_ladder_runs(spark, tmp_path):
     assert hourly[datetime(2024, 1, 1, 2, 0)] == (1, 4.0, 24.0)
 
 
+def test_cli_compile_lifecycle_matches_library(spark, tmp_path, capsys):
+    """The full file-to-file workflow through the CLI —
+    ``aggregation-generate --definitions`` → (user tunes the definition)
+    → ``aggregation-compile-all`` → ``load-data`` → ``materialize`` —
+    read-back hash-matches the library-driven `write_generated` path
+    (reference `commands/aggregation.py:26-117`)."""
+    import hashlib
+
+    import yaml
+
+    from minerva_etl_spark import cli
+
+    csv_path = tmp_path / "sample.csv"
+    csv_path.write_text(
+        "entity,timestamp,power_kwh,inside_temp\n"
+        "n1,2024-01-01 00:15:00,1.0,20.0\n"
+        "n1,2024-01-01 00:30:00,2.0,22.0\n"
+        "n1,2024-01-01 01:15:00,4.0,24.0\n"
+        "n2,2024-01-01 00:45:00,8.0,18.0\n"
+    )
+
+    def read_back_hash(instance_dir, data_dir):
+        ctx = initialize(
+            spark, MinervaInstance.load(instance_dir), str(data_dir)
+        )
+        rows = sorted(
+            (r.entity_id, r.timestamp, r.samples, r.power_kwh, r.inside_temp)
+            for r in ctx.read_part("node_main_1h").collect()
+        )
+        assert rows, "materialization produced no hourly rows"
+        return hashlib.md5(repr(rows).encode()).hexdigest()
+
+    def loosen(instance_dir):
+        # 2024 demo data sits outside the generated 3d reprocessing
+        # window; widen it like the tiny instance does (260w)
+        mdir = instance_dir / "materialization"
+        for p in mdir.glob("*.yaml"):
+            d = yaml.safe_load(p.read_text())
+            d["reprocessing_period"] = "260w"
+            p.write_text(yaml.safe_dump(d, sort_keys=False))
+
+    def load_and_materialize(instance_dir, data_dir):
+        cli.main([
+            "--instance", str(instance_dir), "--data-dir", str(data_dir),
+            "load-data", "--data-source", "hub", "--entity-type", "node",
+            "--granularity", "15m", str(csv_path),
+        ])
+        from datetime import datetime, timedelta, timezone
+
+        later = (
+            datetime.now(timezone.utc).replace(tzinfo=None)
+            + timedelta(minutes=10)
+        ).isoformat()
+        cli.main([
+            "--instance", str(instance_dir), "--data-dir", str(data_dir),
+            "materialize", "--now", later,
+        ])
+
+    # --- CLI path: generate definitions, tune, compile-all
+    cli_inst, cli_data = tmp_path / "cli_inst", tmp_path / "cli_data"
+    (cli_inst / "trend").mkdir(parents=True)
+    (cli_inst / "trend" / "hub_node_15m.yaml").write_text(
+        yaml.safe_dump(RAW_YAML, sort_keys=False)
+    )
+    cli.main(["--instance", str(cli_inst), "--data-dir", str(cli_data),
+              "aggregation-generate", "--definitions"])
+    out = capsys.readouterr().out
+    assert "aggregation" in out
+    # user tune step on the authored definition: widen reprocessing
+    for p in (cli_inst / "aggregation").glob("*.yaml"):
+        d = yaml.safe_load(p.read_text())
+        d["time_aggregation"]["reprocessing_period"] = "260w"
+        p.write_text(yaml.safe_dump(d, sort_keys=False))
+    cli.main(["--instance", str(cli_inst), "--data-dir", str(cli_data),
+              "aggregation-compile-all"])
+    assert "compiled" in capsys.readouterr().out
+    load_and_materialize(cli_inst, cli_data)
+
+    # --- library path: fused write_generated
+    lib_inst, lib_data = tmp_path / "lib_inst", tmp_path / "lib_data"
+    (lib_inst / "trend").mkdir(parents=True)
+    (lib_inst / "trend" / "hub_node_15m.yaml").write_text(
+        yaml.safe_dump(RAW_YAML, sort_keys=False)
+    )
+    write_generated(lib_inst, TrendStoreDef.from_dict(RAW_YAML))
+    loosen(lib_inst)
+    load_and_materialize(lib_inst, lib_data)
+
+    assert read_back_hash(cli_inst, cli_data) == read_back_hash(
+        lib_inst, lib_data
+    )
+
+
 def test_generated_entity_aggregation_runs(spark, tmp_path):
     """Entity aggregation across a relation through the generated-YAML +
     initialize + fingerprint-engine path (A2/A4/J1)."""

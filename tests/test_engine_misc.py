@@ -156,6 +156,51 @@ def test_notification_append(spark, tmp_path):
     assert ns.read(spark).count() == 2  # append-only
 
 
+def test_notification_typed_attributes(spark, tmp_path):
+    """Declared attribute types are enforced on every append (reference
+    notificationstore.py:17-97): weight coerced to the declared integer,
+    a map payload canonicalized to a JSON string, missing declared
+    columns rejected, undeclared extras dropped."""
+    import pytest
+
+    ns = NotificationStore(
+        "typed",
+        [
+            {"name": "rule", "data_type": "text"},
+            {"name": "weight", "data_type": "integer"},
+            {"name": "data", "data_type": "json"},
+        ],
+        str(tmp_path),
+    )
+    batch = spark.createDataFrame(
+        [(1, ts(2024, 1, 1, 0, 15), "r", "100", {"k": "v"}, "extra")],
+        "entity_id bigint, timestamp timestamp_ntz, rule string, "
+        "weight string, data map<string,string>, junk string",
+    )
+    ns.store(batch)
+    # drift in a later append: weight arrives as bigint, data as string
+    ns.store(
+        spark.createDataFrame(
+            [(2, ts(2024, 1, 1, 0, 30), "r2", 7, '{"x":"y"}')],
+            "entity_id bigint, timestamp timestamp_ntz, rule string, "
+            "weight bigint, data string",
+        )
+    )
+    out = ns.read(spark)
+    assert dict(out.dtypes)["weight"] == "int"
+    assert "junk" not in out.columns
+    rows = {r.entity_id: r for r in out.collect()}
+    assert rows[1].weight == 100 and rows[1].data == '{"k":"v"}'
+    assert rows[2].data == '{"x":"y"}'
+    with pytest.raises(ValueError, match="missing declared attribute"):
+        ns.store(
+            spark.createDataFrame(
+                [(3, ts(2024, 1, 1, 1, 0), "r3")],
+                "entity_id bigint, timestamp timestamp_ntz, rule string",
+            )
+        )
+
+
 # ------------------------------------------------------------- multimodal
 def test_multimodal_feature_extract_and_frames(spark):
     media = spark.createDataFrame(
