@@ -1871,7 +1871,7 @@ _REGISTRY_ORDER = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_simhash_hamming",
+    "dedup_simhash",
     "dedup_embedding",
     "dedup_components",
     "decontamination",
@@ -1898,10 +1898,12 @@ _REGISTRY_ORDER = [
     "timestamp_mapping",
     "entity_dim_register",
     # ---------- entries past the driver's 50-row window --------------
-    # dedup_simhash: the raw-signature query is subsumed by
-    # dedup_simhash_hamming (which recomputes signatures AND proves the
-    # pairing); still locally verified by tools/check_oracle.py.
-    "dedup_simhash",
+    # Rotation policy: the simhash pair (raw signatures vs hamming
+    # pairing) shares one in-window slot, alternating per round so each
+    # regains a driver-recorded row over time (r3/r4 proved _hamming;
+    # r5 proves the raw signatures).  Everything here is still verified
+    # every session by tools/check_oracle.py.
+    "dedup_simhash_hamming",
     "kpi_revenue",
     "trend_time_agg_1month",
     "quantiles",

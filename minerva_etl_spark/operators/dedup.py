@@ -557,18 +557,22 @@ def contamination_check(
     # explode_outer, not explode: plain explode's pushed-down
     # `size() > 0` filter re-inlines the tokenize+shingle expression
     # (see minhash_signatures above).
+    # the != '' filter drops the empty pseudo-shingle an empty/whitespace
+    # doc produces (short-doc fallback in shingles_from_tokens_spark_sql)
+    # on BOTH sides — otherwise one empty benchmark doc would flag every
+    # empty corpus doc as 100% contaminated
     exploded = staged.select(
         F.col(id_col),
         F.size("__shingles").alias("__n_shingles"),
         F.explode_outer("__shingles").alias("__shingle"),
-    ).filter(F.col("__shingle").isNotNull())
+    ).filter(F.col("__shingle").isNotNull() & (F.col("__shingle") != ""))
     bench = (
         benchmark.withColumn("__toks", tokens_expr(text_col))
         .withColumn(
             "__shingles", F.expr(shingles_from_tokens_spark_sql("__toks", n))
         )
         .select(F.explode_outer("__shingles").alias("__shingle"))
-        .filter(F.col("__shingle").isNotNull())
+        .filter(F.col("__shingle").isNotNull() & (F.col("__shingle") != ""))
         .distinct()
     )
     return (
@@ -613,6 +617,7 @@ SELECT {id_col},
        CAST(count(*) AS DOUBLE) / CAST(any_value(n_shingles) AS DOUBLE)
          AS contaminated_frac
 FROM corpus JOIN bench USING (s)
+WHERE s <> ''
 GROUP BY {id_col}
 """
 

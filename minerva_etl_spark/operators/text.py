@@ -268,9 +268,13 @@ def with_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     (``n_email``/``n_ipv4``/``n_phone``) and a ``redacted`` text column
     with each match replaced by its placeholder token.
 
-    Redaction order is email → ipv4 → phone (the phone pattern anchors
-    on ``+`` and the classes are disjoint, so the order only matters for
-    determinism).  All regex work is JVM-side / codegen'd."""
+    Redaction applies email → ipv4 → phone in sequence over the same
+    text, so an earlier class's placeholder wins overlapping spans in
+    ``redacted``.  Counts, however, are computed independently per class
+    on the ORIGINAL text: a span matching two patterns (e.g.
+    ``+123456789@ab.co`` hits both email and phone) is counted by both
+    ``n_email`` and ``n_phone``.  All regex work is JVM-side /
+    codegen'd."""
     out = df
     redacted = F.col(text_col)
     for name, (pat, token) in PII_PATTERNS.items():

@@ -158,7 +158,10 @@ def test_spine(spark, tmp_path):
         notification_message="concat('power too high: ', power_mwh)",
     )
     notifications = trig.evaluate(spark, [])
-    ns = NotificationStore("trigger-notification", ["rule", "weight"], str(tmp_path))
+    ns = NotificationStore(
+        "trigger-notification", ["rule", "weight", "details", "data"],
+        str(tmp_path),
+    )
     ns.store(notifications)
     stored = ns.read(spark).collect()
     assert len(stored) == 1

@@ -285,3 +285,19 @@ def test_contamination_check(spark):
     # "prefix what is the capital city" -> 3 shingles, 2 hit
     assert (r.n_hits, r.n_shingles) == (2, 3)
     assert abs(r.contaminated_frac - 2 / 3) < 1e-12
+
+
+def test_contamination_ignores_empty_docs(spark):
+    """An empty/whitespace benchmark doc must not flag empty corpus docs
+    (the zero-token fallback shingle is excluded on both sides)."""
+    from minerva_etl_spark.operators.dedup import contamination_check
+
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real text that is clean")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, ""), (101, "entirely different benchmark question")],
+        "doc_id bigint, text string",
+    )
+    assert contamination_check(corpus, bench).count() == 0
