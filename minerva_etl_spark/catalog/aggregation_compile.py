@@ -20,72 +20,64 @@ from minerva_etl_spark.operators.aggregation import (
     TrendAggSpec,
     time_aggregate_spark_sql,
 )
-from minerva_etl_spark.operators.ladder import STANDARD_LADDER, promoted_trend
+from minerva_etl_spark.operators.ladder import promoted_trend
+
+
+def _trend_yaml(t) -> dict:
+    return {
+        "name": t.name,
+        "data_type": t.data_type,
+        "time_aggregation": t.time_aggregation,
+        "entity_aggregation": t.entity_aggregation,
+    }
 
 
 def generate_time_aggregations(
     store: TrendStoreDef,
 ) -> list[tuple[dict, dict]]:
     """Per ladder rung × part: (derived trend-store YAML dict,
-    materialization YAML dict)."""
+    materialization YAML dict).  Rung layout, chaining, type promotion
+    and samples handling come from
+    :func:`minerva_etl_spark.operators.ladder.generate_time_ladder` —
+    chained rungs (1d→1w/1month) read the generated 1d part and roll
+    ``samples`` up with SUM instead of re-counting raw rows."""
+    from minerva_etl_spark.operators.ladder import generate_time_ladder
+
     out: list[tuple[dict, dict]] = []
-    src_gran = Granularity.parse(store.granularity).name
-    for target_gran in STANDARD_LADDER.get(src_gran, []):
-        for part in store.parts:
-            target_part = f"{part.name.rsplit('_', 1)[0]}_{target_gran}"
-            specs = [
-                TrendAggSpec(
-                    t.name, t.time_aggregation, t.entity_aggregation,
-                    result_type=promoted_trend(t).data_type,
-                )
-                for t in part.trends
-            ]
-            view = time_aggregate_spark_sql(
-                f'trend."{part.name}"', target_gran, specs
-            )
-            store_yaml = {
-                "data_source": store.data_source,
-                "entity_type": store.entity_type,
-                "granularity": target_gran,
-                "partition_size": DEFAULT_PARTITION_SIZE.get(target_gran, "1d"),
-                "retention_period": store.retention_period,
-                "parts": [
-                    {
-                        "name": target_part,
-                        "trends": (
-                            [{
-                                # bigint: matches the CAST(... AS BIGINT)
-                                # the generated view actually writes
-                                "name": "samples",
-                                "data_type": "bigint",
-                                "time_aggregation": "sum",
-                                "entity_aggregation": "sum",
-                            }]
-                            + [
-                                {
-                                    "name": t.name,
-                                    "data_type": promoted_trend(t).data_type,
-                                    "time_aggregation": t.time_aggregation,
-                                    "entity_aggregation": t.entity_aggregation,
-                                }
-                                for t in part.trends
-                            ]
-                        ),
-                    }
-                ],
-            }
-            # delays per the reference's generated defaults
-            # (`aggregation_compilation.py:655-659`)
-            mat_yaml = {
-                "target_trend_store_part": target_part,
-                "enabled": True,
-                "processing_delay": "30m",
-                "stability_delay": "5m",
-                "reprocessing_period": "3d",
-                "sources": [{"trend_store_part": part.name}],
-                "view": view,
-            }
-            out.append((store_yaml, mat_yaml))
+    for plan, tstore in generate_time_ladder(store):
+        target_part = (
+            f"{plan.source_part.rsplit('_', 1)[0]}_{plan.target_granularity}"
+        )
+        pdef = next(p for p in tstore.parts if p.name == target_part)
+        view = time_aggregate_spark_sql(
+            f'trend."{plan.source_part}"',
+            plan.target_granularity,
+            plan.specs,
+            samples_mode=plan.samples_mode,
+        )
+        store_yaml = {
+            "data_source": tstore.data_source,
+            "entity_type": tstore.entity_type,
+            "granularity": tstore.granularity,
+            "partition_size": tstore.partition_size,
+            "retention_period": tstore.retention_period,
+            "parts": [
+                {"name": pdef.name,
+                 "trends": [_trend_yaml(t) for t in pdef.trends]}
+            ],
+        }
+        # delays per the reference's generated defaults
+        # (`aggregation_compilation.py:655-659`)
+        mat_yaml = {
+            "target_trend_store_part": target_part,
+            "enabled": True,
+            "processing_delay": "30m",
+            "stability_delay": "5m",
+            "reprocessing_period": "3d",
+            "sources": [{"trend_store_part": plan.source_part}],
+            "view": view,
+        }
+        out.append((store_yaml, mat_yaml))
     return out
 
 
@@ -260,15 +252,20 @@ def compile_aggregation_definition(
                     f"{d['source']!r} for aggregation part "
                     f"{agg_part.get('name')!r}"
                 )
+            # a chained source (a generated rung) already carries a
+            # samples column: roll it up with SUM instead of re-counting
+            chained = any(t.name == "samples" for t in src.trends)
             specs = [
                 TrendAggSpec(
                     t.name, t.time_aggregation, t.entity_aggregation,
                     result_type=promoted_trend(t).data_type,
                 )
                 for t in src.trends
+                if t.name != "samples"
             ]
             view = time_aggregate_spark_sql(
-                f'trend."{src.name}"', target_gran, specs
+                f'trend."{src.name}"', target_gran, specs,
+                samples_mode="rollup" if chained else "inject",
             )
             mat_yaml = {
                 "target_trend_store_part": agg_part["name"],
@@ -300,6 +297,7 @@ def compile_aggregation_definition(
                                 "entity_aggregation": t.entity_aggregation,
                             }
                             for t in src.trends
+                            if t.name != "samples"
                         ]
                     ),
                 }
@@ -449,29 +447,54 @@ def write_generated_definitions(
     :func:`write_generated` path."""
     import yaml
 
+    from minerva_etl_spark.operators.ladder import generate_time_ladder
+
     root = Path(instance_dir)
     (root / "aggregation").mkdir(parents=True, exist_ok=True)
-    written: list[str] = []
-    src_gran = Granularity.parse(store.granularity).name
-    for target_gran in STANDARD_LADDER.get(src_gran, []):
-        name = f"{store.data_source}_{store.entity_type}_{target_gran}"
-        d = {
-            "time_aggregation": {
-                "name": name,
-                "source": Path(source_file).stem,
-                "granularity": target_gran,
-                # reference rungs need a plpgsql timestamp-mapping
-                # function; recorded for parity, unused on Spark
-                "mapping_function": f"mapping_{src_gran}_to_{target_gran}",
-                "parts": [
-                    {
-                        "name": f"{p.name.rsplit('_', 1)[0]}_{target_gran}",
-                        "source": p.name,
-                    }
-                    for p in store.parts
-                ],
+    raw_gran = Granularity.parse(store.granularity).name
+    defs: dict[str, dict] = {}
+    for plan, tstore in generate_time_ladder(store):
+        name = (
+            f"{tstore.data_source}_{tstore.entity_type}_{tstore.granularity}"
+        )
+        # chained rungs point at the generated store file compile-all
+        # writes for the lower rung (compiled in granularity order)
+        source_name = (
+            Path(source_file).stem
+            if plan.source_granularity == raw_gran
+            else (
+                f"{store.data_source}_{store.entity_type}_"
+                f"{plan.source_granularity}"
+            )
+        )
+        d = defs.setdefault(
+            name,
+            {
+                "time_aggregation": {
+                    "name": name,
+                    "source": source_name,
+                    "granularity": tstore.granularity,
+                    # reference rungs need a plpgsql timestamp-mapping
+                    # function; recorded for parity, unused on Spark
+                    "mapping_function": (
+                        f"mapping_{plan.source_granularity}_to_"
+                        f"{tstore.granularity}"
+                    ),
+                    "parts": [],
+                }
+            },
+        )
+        d["time_aggregation"]["parts"].append(
+            {
+                "name": (
+                    f"{plan.source_part.rsplit('_', 1)[0]}_"
+                    f"{tstore.granularity}"
+                ),
+                "source": plan.source_part,
             }
-        }
+        )
+    written: list[str] = []
+    for name, d in defs.items():
         ap = root / "aggregation" / f"{name}.yaml"
         ap.write_text(yaml.safe_dump(d, sort_keys=False))
         written.append(str(ap))

@@ -599,7 +599,18 @@ SELECT * FROM (VALUES
   ('1d', 'node_1d', '3month', 'samples', 'bigint', 'sum'),
   ('1d', 'node_1d', '3month', 'power', 'bigint', 'sum'),
   ('1d', 'node_1d', '3month', 'temp', 'double precision', 'avg'),
-  ('1d', 'node_1d', '3month', 'cnt', 'numeric', 'sum')
+  ('1d', 'node_1d', '3month', 'cnt', 'numeric', 'sum'),
+  -- chained rungs source the generated 1d store (reference
+  -- STANDARD_AGGREGATIONS, aggregation_generation.py:27-44): types
+  -- promote a second hop (sum bigint -> numeric), samples rolls up
+  ('1w', 'node_1w', '1year', 'samples', 'bigint', 'sum'),
+  ('1w', 'node_1w', '1year', 'power', 'numeric', 'sum'),
+  ('1w', 'node_1w', '1year', 'temp', 'double precision', 'avg'),
+  ('1w', 'node_1w', '1year', 'cnt', 'numeric', 'sum'),
+  ('1month', 'node_1month', '5year', 'samples', 'bigint', 'sum'),
+  ('1month', 'node_1month', '5year', 'power', 'numeric', 'sum'),
+  ('1month', 'node_1month', '5year', 'temp', 'double precision', 'avg'),
+  ('1month', 'node_1month', '5year', 'cnt', 'numeric', 'sum')
 ) AS t(granularity, part, partition_size, trend, data_type,
        time_aggregation)
 """

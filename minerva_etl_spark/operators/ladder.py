@@ -22,13 +22,18 @@ from minerva_etl_spark.catalog.granularity import DEFAULT_PARTITION_SIZE, Granul
 from minerva_etl_spark.catalog.instance import TrendDef, TrendStoreDef, TrendStorePartDef
 from minerva_etl_spark.operators.aggregation import TrendAggSpec, entity_aggregate, time_aggregate
 
-#: the standard rung layout (`aggregation_generation.py:27-44`)
-STANDARD_LADDER: dict[str, list[str]] = {
-    "15m": ["1h", "1d"],
-    "30m": ["1h", "1d"],
-    "1h": ["1d"],
-    "1d": ["1w", "1month"],
-    "1month": ["3month"],
+#: the standard rung layout, CHAINED exactly like the reference
+#: (`aggregation_generation.py:27-44`): each rung is (source_gran,
+#: target_gran), and the 1w/1month rungs aggregate from the GENERATED
+#: 1d rung rather than from the raw store — at 100 TB that is the
+#: difference between scanning 1d pre-aggregates (24-96× smaller) and
+#: re-scanning the raw table for every coarse rung.
+STANDARD_LADDER: dict[str, list[tuple[str, str]]] = {
+    "15m": [("15m", "1h"), ("15m", "1d"), ("1d", "1w"), ("1d", "1month")],
+    "30m": [("30m", "1h"), ("30m", "1d"), ("1d", "1w"), ("1d", "1month")],
+    "1h": [("1h", "1d"), ("1d", "1w"), ("1d", "1month")],
+    "1d": [("1d", "1w"), ("1d", "1month")],
+    "1month": [("1month", "3month")],
 }
 
 
@@ -42,6 +47,12 @@ class AggregationPlan:
     kind: str  # "time" | "entity"
     specs: list[TrendAggSpec]
     relation: str | None = None  # entity aggregations only
+    #: granularity of the rung's SOURCE (raw gran for direct rungs, a
+    #: generated rung's gran for chained ones)
+    source_granularity: str | None = None
+    #: "inject" (count(*), raw source) or "rollup" (sum(samples),
+    #: chained source that already carries a samples column)
+    samples_mode: str = "inject"
 
     def apply(
         self, source: DataFrame, relation_df: DataFrame | None = None
@@ -67,20 +78,30 @@ def generate_time_ladder(
     store: TrendStoreDef,
 ) -> list[tuple[AggregationPlan, TrendStoreDef]]:
     """All standard time-aggregation rungs for a raw store, each with
-    its derived target store definition (samples column injected,
-    types promoted, partition size mapped)."""
-    rungs = STANDARD_LADDER.get(Granularity.parse(store.granularity).name, [])
+    its derived target store definition (samples column injected or
+    rolled up, types promoted per hop, partition size mapped).  Chained
+    rungs (e.g. 1d→1w) source the previously generated rung's store —
+    the reference's `STANDARD_AGGREGATIONS` shape."""
+    raw_gran = Granularity.parse(store.granularity).name
+    rungs = STANDARD_LADDER.get(raw_gran, [])
+    #: gran -> the store definition rungs at that gran read from
+    sources: dict[str, TrendStoreDef] = {raw_gran: store}
     out: list[tuple[AggregationPlan, TrendStoreDef]] = []
-    for target_gran in rungs:
+    for src_gran, target_gran in rungs:
+        src_store = sources.get(src_gran)
+        if src_store is None:  # defensive: chain rung without its source
+            continue
         parts: list[TrendStorePartDef] = []
         plans: list[AggregationPlan] = []
-        for part in store.parts:
+        for part in src_store.parts:
+            chained = any(t.name == "samples" for t in part.trends)
             specs = [
                 TrendAggSpec(
                     t.name, t.time_aggregation, t.entity_aggregation,
                     result_type=promoted_trend(t).data_type,
                 )
                 for t in part.trends
+                if t.name != "samples"
             ]
             target_part = f"{part.name.rsplit('_', 1)[0]}_{target_gran}"
             plans.append(
@@ -90,11 +111,15 @@ def generate_time_ladder(
                     target_granularity=target_gran,
                     kind="time",
                     specs=specs,
+                    source_granularity=src_gran,
+                    samples_mode="rollup" if chained else "inject",
                 )
             )
             target_trends = [
                 TrendDef("samples", "bigint", "sum", "sum")
-            ] + [promoted_trend(t) for t in part.trends]
+            ] + [
+                promoted_trend(t) for t in part.trends if t.name != "samples"
+            ]
             parts.append(TrendStorePartDef(target_part, target_trends))
         target_store = TrendStoreDef(
             data_source=store.data_source,
@@ -104,6 +129,7 @@ def generate_time_ladder(
             parts=parts,
             retention_period=store.retention_period,
         )
+        sources[target_gran] = target_store
         out.extend((plan, target_store) for plan in plans)
     return out
 

@@ -37,9 +37,12 @@ RAW_YAML = {
 def test_generate_shapes():
     store = TrendStoreDef.from_dict(RAW_YAML)
     gen = generate_time_aggregations(store)
-    # 15m -> {1h, 1d} for one part
+    # 15m -> 1h, 1d direct; 1w, 1month CHAINED from the generated 1d
+    # (reference STANDARD_AGGREGATIONS, aggregation_generation.py:27-44)
     targets = {m["target_trend_store_part"] for _, m in gen}
-    assert targets == {"node_main_1h", "node_main_1d"}
+    assert targets == {
+        "node_main_1h", "node_main_1d", "node_main_1w", "node_main_1month",
+    }
     store_1h = next(s for s, _ in gen if s["granularity"] == "1h")
     names = [t["name"] for t in store_1h["parts"][0]["trends"]]
     assert names == ["samples", "power_kwh", "inside_temp"]
@@ -47,6 +50,14 @@ def test_generate_shapes():
     mat_1h = next(m for _, m in gen if m["target_trend_store_part"] == "node_main_1h")
     assert 'trend."node_main_15m"' in mat_1h["view"]
     assert "GROUP BY" in mat_1h["view"]
+    assert "count(*)" in mat_1h["view"].lower()
+    # chained rung: reads the generated 1d part, rolls samples up with
+    # SUM, and no samples double-spec appears
+    mat_1w = next(m for _, m in gen if m["target_trend_store_part"] == "node_main_1w")
+    assert 'trend."node_main_1d"' in mat_1w["view"]
+    assert mat_1w["sources"] == [{"trend_store_part": "node_main_1d"}]
+    assert "SUM(samples)" in mat_1w["view"]
+    assert "count(*)" not in mat_1w["view"].lower()
 
 
 def test_generated_ladder_runs(spark, tmp_path):
@@ -61,8 +72,8 @@ def test_generated_ladder_runs(spark, tmp_path):
     write_generated(instance_dir, store)
 
     inst = MinervaInstance.load(instance_dir)
-    assert len(inst.trend_stores) == 3  # raw + 1h + 1d
-    assert len(inst.materializations) == 2
+    assert len(inst.trend_stores) == 5  # raw + 1h + 1d + 1w + 1month
+    assert len(inst.materializations) == 4
 
     ctx = initialize(spark, inst, str(tmp_path / "data"))
     raw = ctx.trend_stores["hub_node_15m"]
@@ -91,6 +102,17 @@ def test_generated_ladder_runs(spark, tmp_path):
     }
     assert hourly[datetime(2024, 1, 1, 1, 0)] == (2, 3.0, 21.0)
     assert hourly[datetime(2024, 1, 1, 2, 0)] == (1, 4.0, 24.0)
+
+    # chained rungs: materializing 1d marks node_main_1d modified, so a
+    # SECOND scheduling pass finds the 1w/1month rungs stale and rolls
+    # the 1d samples up (3 raw rows -> one weekly bucket, samples=3)
+    done2 = ctx.materialize_stale(datetime.utcnow() + timedelta(minutes=2))
+    assert {name for name, _ in done2} >= {"node_main_1w", "node_main_1month"}
+    weekly = {
+        r.timestamp: (r.samples, r.power_kwh, r.inside_temp)
+        for r in ctx.read_part("node_main_1w").collect()
+    }
+    assert list(weekly.values()) == [(3, 7.0, 22.0)]
 
 
 def test_cli_compile_lifecycle_matches_library(spark, tmp_path, capsys):
