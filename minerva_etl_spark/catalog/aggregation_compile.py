@@ -501,6 +501,45 @@ def write_generated_definitions(
     return written
 
 
+def write_generated_entity_definitions(
+    instance_dir: str | Path,
+    store: TrendStoreDef,
+    source_file: str,
+    relation: str,
+    target_entity_type: str,
+) -> list[str]:
+    """Emit an entity-aggregation DEFINITION file for one relation
+    (reference `aggregation_generation.py:125-220`): compiled by
+    ``aggregation compile``/``compile-all`` into the same trend-store +
+    materialization YAML the fused :func:`generate_entity_aggregation`
+    path writes."""
+    import yaml
+
+    root = Path(instance_dir)
+    (root / "aggregation").mkdir(parents=True, exist_ok=True)
+    rel_slug = relation.replace("->", "__").replace("-", "_")
+    gran = Granularity.parse(store.granularity).name
+    name = f"{rel_slug}_{store.data_source}_{store.entity_type}_{gran}"
+    d = {
+        "entity_aggregation": {
+            "name": name,
+            "source": Path(source_file).stem,
+            "relation": relation,
+            "entity_type": target_entity_type,
+            # reference records the materialization flavor here
+            # (aggregation_hints.yaml); VIEW is our only flavor
+            "aggregation_type": "VIEW",
+            "parts": [
+                {"name": f"{rel_slug}_{p.name}", "source": p.name}
+                for p in store.parts
+            ],
+        }
+    }
+    ap = root / "aggregation" / f"{name}.yaml"
+    ap.write_text(yaml.safe_dump(d, sort_keys=False))
+    return [str(ap)]
+
+
 def write_generated(instance_dir: str | Path, store: TrendStoreDef) -> list[str]:
     """Write generated YAML files into the instance directory (what
     `minerva aggregation generate` does).  Returns written paths."""

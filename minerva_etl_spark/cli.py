@@ -144,6 +144,7 @@ def cmd_aggregation_generate(args) -> None:
         from minerva_etl_spark.catalog.instance import TrendStoreDef
         from minerva_etl_spark.catalog.aggregation_compile import (
             write_generated_definitions,
+            write_generated_entity_definitions,
         )
 
         for p in sorted((Path(args.instance) / "trend").glob("*.yaml")):
@@ -156,6 +157,14 @@ def cmd_aggregation_generate(args) -> None:
                 args.instance, store, p.stem
             ):
                 print(f"generated {path}")
+            if args.with_relations:
+                for rel in inst.relations:
+                    for path in write_generated_entity_definitions(
+                        args.instance, store, p.stem, rel.name,
+                        rel.target_entity_type
+                        or rel.name.split("->")[-1],
+                    ):
+                        print(f"generated {path}")
         return
     relations = [
         (r.name, getattr(r, "target_entity_type", None)) for r in inst.relations

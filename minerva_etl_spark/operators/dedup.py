@@ -663,6 +663,10 @@ def connected_components(
       set itself is rewritten toward per-component stars, converging in
       O(log n) alternations even on adversarial long-chain graphs where
       label propagation needs diameter rounds.
+    - ``auto``: label propagation with a small round budget (right for
+      the common clique-ish case), escalating to ``star`` if it has not
+      converged — diameter-robust without paying star's extra shuffles
+      on easy graphs.
 
     Driver-loop hygiene (both variants): per-round ``localCheckpoint``
     truncates the iterative lineage; the superseded round's checkpoint
@@ -693,11 +697,15 @@ def connected_components(
         out = _star_components(edges, max_iter, check_every, stats)
         _free_local_checkpoint(edges)
         return out
+    # auto: give label propagation a small budget before escalating —
+    # clique-ish near-dup graphs converge well inside it
+    budget = min(max_iter, 3 * check_every) if algorithm == "auto" else max_iter
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
     rounds = 0
-    for i in range(max_iter):
+    converged = False
+    for i in range(budget):
         msgs = (
             edges.join(labels, edges.src == labels.id)
             .groupBy(F.col("dst").alias("id"))
@@ -715,7 +723,7 @@ def connected_components(
         )
         rounds += 1
         converged = False
-        if (i + 1) % check_every == 0 or i == max_iter - 1:
+        if (i + 1) % check_every == 0 or i == budget - 1:
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "id")
@@ -727,6 +735,15 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+    if not converged and algorithm == "auto":
+        # long-diameter graph: discard partial labels, finish with star
+        _free_local_checkpoint(labels)
+        out = _star_components(edges, max_iter, check_every, stats)
+        if stats is not None:
+            stats["rounds"] += rounds
+            stats["algorithm"] = "label-propagation+star"
+        _free_local_checkpoint(edges)
+        return out
     if stats is not None:
         stats["rounds"] = rounds
         stats["algorithm"] = "label-propagation"

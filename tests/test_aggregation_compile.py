@@ -208,6 +208,47 @@ def test_cli_compile_lifecycle_matches_library(spark, tmp_path, capsys):
     )
 
 
+def test_entity_definition_compile_matches_fused(tmp_path):
+    """An entity_aggregation definition compiled via
+    compile_aggregation_definition yields the same materialization view
+    and derived store content as the fused generate_entity_aggregation
+    path."""
+    import yaml
+
+    from minerva_etl_spark.catalog.aggregation_compile import (
+        compile_all_aggregations,
+        generate_entity_aggregation,
+        write_generated_entity_definitions,
+    )
+
+    root = tmp_path / "inst"
+    (root / "trend").mkdir(parents=True)
+    (root / "trend" / "hub_node_15m.yaml").write_text(
+        yaml.safe_dump(RAW_YAML, sort_keys=False)
+    )
+    store = TrendStoreDef.from_dict(RAW_YAML)
+    paths = write_generated_entity_definitions(
+        root, store, "hub_node_15m", "node->v-site", "v-site"
+    )
+    assert len(paths) == 1
+    written = compile_all_aggregations(root)
+    assert len(written) == 2  # one materialization + one store file
+
+    fused_store, fused_mat = generate_entity_aggregation(
+        store, "node->v-site", "v-site"
+    )[0]
+    compiled_mat = yaml.safe_load(
+        (root / "materialization" / "node__v_site_node_main_15m.yaml")
+        .read_text()
+    )
+    assert compiled_mat == fused_mat
+    compiled_store = yaml.safe_load(
+        (root / "trend" / "node__v_site_hub_node_15m.yaml").read_text()
+    )
+    assert compiled_store["parts"] == fused_store["parts"]
+    assert compiled_store["entity_type"] == fused_store["entity_type"]
+
+
 def test_generated_entity_aggregation_runs(spark, tmp_path):
     """Entity aggregation across a relation through the generated-YAML +
     initialize + fingerprint-engine path (A2/A4/J1)."""

@@ -62,7 +62,40 @@ def test_star_matches_label_propagation_on_random_graph(spark):
     assert len(lab) > 0
 
 
-@pytest.mark.parametrize("algorithm", ["label-propagation", "star"])
+def test_auto_escalates_on_long_diameter(spark):
+    """auto: a long path exhausts the label-propagation budget and
+    finishes with star — correct labels, O(log n) total rounds."""
+    n = 500
+    stats = {}
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(
+            _path_pairs(spark, n), max_iter=30, algorithm="auto",
+            stats=stats,
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    assert stats["algorithm"] == "label-propagation+star"
+    assert stats["rounds"] <= 25, stats
+
+
+def test_auto_stays_label_propagation_on_cliques(spark):
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a bigint, id_b bigint",
+    )
+    stats = {}
+    got = {
+        r.doc_id: r.component_id
+        for r in connected_components(
+            pairs, algorithm="auto", stats=stats
+        ).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    assert stats["algorithm"] == "label-propagation"
+
+
+@pytest.mark.parametrize("algorithm", ["label-propagation", "star", "auto"])
 def test_components_storage_stays_flat(spark, algorithm):
     """A long chain forces many rounds; after the call, at most the
     single returned-result checkpoint may remain persisted — superseded
