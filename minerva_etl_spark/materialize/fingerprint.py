@@ -165,79 +165,144 @@ class MaterializationEngine:
         now: datetime,
         max_num: int | None = None,
         newest_first: bool = True,
+        state: DataFrame | None = None,
     ) -> list[tuple[str, datetime, str]]:
         """(materialization, bucket, source_fingerprint) needing work —
         the J7 scheduling join over state/registry tables.
 
-        ONE Spark job per poll, regardless of how many materializations
-        are registered: per-materialization fingerprint branches (each
-        with its delays folded in as literals) are unioned, joined once
-        against the broadcast processed-state table, and collected once
-        — mirroring the reference's single scheduling query
-        (`commands/trend_store.py:1045-1094`).  The previous shape (one
-        job + ``collect()`` per registered materialization per poll) was
-        a driver-side bottleneck at a 2 s poll cadence with hundreds of
-        registered materializations.
-        """
-        from functools import reduce
+        ONE Spark job per poll, with a plan whose size is independent of
+        how many materializations are registered — mirroring the
+        reference's single scheduling query
+        (`commands/trend_store.py:1045-1094`): the registry becomes a
+        broadcast DataFrame of (materialization, source_part,
+        granularity, deadlines); the folded modified state joins it
+        once, the target bucket is computed per row by one CASE over the
+        registry's distinct granularities, and one groupBy builds every
+        fingerprint before a single broadcast join against processed
+        state and one bounded ``collect()``.
 
+        Two rejected shapes, both measured (see SCALE.md): one job +
+        ``collect()`` per registered materialization per poll
+        (driver-blocking at a 2 s cadence × hundreds of
+        materializations), and a union of per-materialization
+        fingerprint branches — one job, but Catalyst analysis cost
+        grows with branch count (~27 s/poll at 200 registered
+        materializations vs ~1.3 s for this shape, and the union is
+        slower even at 3 registrations).
+        """
         mats = [m for m in self.materializations.values() if m.enabled]
         if not mats:
             return []
-        # persisted: every union branch scans it; without the persist the
-        # groupBy over the modified log would re-run once per branch
-        modified_state = fold_modified_state(modified_log).persist()
-        try:
-            branches = []
-            for mat in mats:
-                fps = source_fingerprints(mat, modified_state)
-                branches.append(
-                    fps.filter(
-                        (F.col("target_ts") <= F.lit(now - mat.processing_delay))
-                        & (
-                            F.col("max_source_modified")
-                            <= F.lit(now - mat.stability_delay)
-                        )
-                        & (
-                            F.col("target_ts")
-                            >= F.lit(now - mat.reprocessing_period)
-                        )
-                    ).select(
-                        F.lit(mat.name).alias("materialization"),
-                        "target_ts",
-                        "source_fingerprint",
-                    )
-                )
-            all_fps = reduce(DataFrame.unionByName, branches)
-            state = self.read_state().select(
-                "materialization",
-                F.col("timestamp").alias("target_ts"),
-                "processed_fingerprint",
-            )
-            stale = (
-                all_fps.join(
-                    F.broadcast(state),
-                    ["materialization", "target_ts"],
-                    "left",
-                )
-                .filter(
-                    F.col("processed_fingerprint").isNull()
-                    | (
-                        F.col("processed_fingerprint")
-                        != F.col("source_fingerprint")
-                    )
-                )
-                .select("materialization", "target_ts", "source_fingerprint")
-            )
-            rows = stale.collect()
-        finally:
-            modified_state.unpersist()
+        rows = self._stale_registry_join(mats, modified_log, now, state)
         out = [
             (r.materialization, r.target_ts, r.source_fingerprint)
             for r in rows
         ]
         out.sort(key=lambda t: t[1], reverse=newest_first)
         return out[:max_num] if max_num else out
+
+    def _with_state_filter(
+        self, fps: DataFrame, state: DataFrame | None = None
+    ) -> DataFrame:
+        """Join fingerprints once against broadcast processed state and
+        keep never-processed / fingerprint-changed buckets.  ``state``
+        lets ``run()`` share one state read per cycle."""
+        state = (state if state is not None else self.read_state()).select(
+            "materialization",
+            F.col("timestamp").alias("target_ts"),
+            "processed_fingerprint",
+        )
+        return (
+            fps.join(
+                F.broadcast(state),
+                ["materialization", "target_ts"],
+                "left",
+            )
+            .filter(
+                F.col("processed_fingerprint").isNull()
+                | (
+                    F.col("processed_fingerprint")
+                    != F.col("source_fingerprint")
+                )
+            )
+            .select("materialization", "target_ts", "source_fingerprint")
+        )
+
+    def _stale_registry_join(
+        self,
+        mats: list,
+        modified_log: DataFrame,
+        now: datetime,
+        state: DataFrame | None = None,
+    ) -> list:
+        reg_rows = []
+        grans: dict[str, Granularity] = {}
+        for mat in mats:
+            gkey = mat.target_gran.name
+            grans[gkey] = mat.target_gran
+            for src in mat.sources:
+                reg_rows.append(
+                    (
+                        mat.name,
+                        src,
+                        gkey,
+                        now - mat.processing_delay,
+                        now - mat.stability_delay,
+                        now - mat.reprocessing_period,
+                    )
+                )
+        registry = self.spark.createDataFrame(
+            reg_rows,
+            "materialization string, source_part string, gran string, "
+            "processing_deadline timestamp_ntz, "
+            "stability_deadline timestamp_ntz, "
+            "reprocess_floor timestamp_ntz",
+        )
+        bucket_case = "CASE " + " ".join(
+            f"WHEN gran = '{k}' THEN ({g.bucket_end_spark_sql('timestamp')})"
+            for k, g in grans.items()
+        ) + " END"
+        modified_state = fold_modified_state(modified_log)
+        joined = modified_state.join(
+            F.broadcast(registry),
+            modified_state.part == registry.source_part,
+        )
+        # fingerprint string must stay byte-identical to
+        # source_fingerprints() — processed state compares across runs
+        fps = (
+            joined.withColumn("target_ts", F.expr(bucket_case))
+            .groupBy("materialization", "target_ts")
+            .agg(
+                F.to_json(
+                    F.map_from_entries(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.concat_ws(
+                                        "|",
+                                        F.col("part"),
+                                        F.col("timestamp").cast("string"),
+                                    ).alias("k"),
+                                    F.col("last_modified")
+                                    .cast("string")
+                                    .alias("v"),
+                                )
+                            )
+                        )
+                    )
+                ).alias("source_fingerprint"),
+                F.max("last_modified").alias("max_source_modified"),
+                F.first("processing_deadline").alias("processing_deadline"),
+                F.first("stability_deadline").alias("stability_deadline"),
+                F.first("reprocess_floor").alias("reprocess_floor"),
+            )
+            .filter(
+                (F.col("target_ts") <= F.col("processing_deadline"))
+                & (F.col("max_source_modified") <= F.col("stability_deadline"))
+                & (F.col("target_ts") >= F.col("reprocess_floor"))
+            )
+        )
+        return self._with_state_filter(fps, state).collect()
 
     # ---------------------------------------------------------- execute
     def run(
@@ -252,12 +317,14 @@ class MaterializationEngine:
         buckets — not one per bucket like the reference's per-chunk
         loop; at scale this is the difference between N tiny jobs and
         one partition-pruned job)."""
-        chunks = self.stale_chunks(modified_log, now, max_num=max_num)
+        state = self.read_state()
+        chunks = self.stale_chunks(
+            modified_log, now, max_num=max_num, state=state
+        )
         done: list[tuple[str, datetime]] = []
         by_mat: dict[str, list[tuple[datetime, str]]] = {}
         for name, ts, fp in chunks:
             by_mat.setdefault(name, []).append((ts, fp))
-        state = self.read_state()
         for name, pairs in by_mat.items():
             mat = self.materializations[name]
             timestamps = [ts for ts, _ in pairs]

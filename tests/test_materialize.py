@@ -116,3 +116,64 @@ def test_reprocessing_period_bounds_lateness(spark, engine):
         ("node_main_15m", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 16)),
     ])
     assert engine.run(log, now, lambda *a: None) == []
+
+
+def test_scheduler_matches_naive_reference(spark, tmp_path):
+    """Differential test: the single registry-join scheduling job must
+    schedule exactly the (mat, bucket, fingerprint) chunks a naive
+    per-materialization loop computes — exercised over two
+    granularities, multi-source materializations, and partially
+    processed state."""
+    eng = MaterializationEngine(spark, str(tmp_path / "state"))
+    for m in range(5):
+        eng.register(
+            Materialization(
+                name=f"mat_{m}",
+                target_gran=Granularity.parse("1h" if m % 2 else "1d"),
+                sources=[f"part_{m}", f"part_{(m + 1) % 5}"],
+                transform=lambda sp, t: sp.createDataFrame(
+                    [(x,) for x in t], "timestamp timestamp_ntz"
+                ),
+                processing_delay=timedelta(0),
+                stability_delay=timedelta(0),
+                reprocessing_period=timedelta(days=365),
+            )
+        )
+    log = make_log(
+        spark,
+        [
+            (f"part_{p}", ts(2024, 1, 1, h), ts(2024, 1, 1, h, 30))
+            for p in range(5)
+            for h in range(6)
+        ],
+    )
+    now = ts(2024, 1, 3)
+    # mark one bucket processed so the state filter is exercised too
+    first = eng.stale_chunks(log, now, max_num=1)
+    eng.run(log, now, lambda n, df, t: None, max_num=1)
+
+    got = eng.stale_chunks(log, now)
+
+    from minerva_etl_spark.materialize.fingerprint import (
+        source_fingerprints,
+    )
+
+    state = {
+        (r.materialization, r.timestamp): r.processed_fingerprint
+        for r in eng.read_state().collect()
+    }
+    folded = fold_modified_state(log)
+    expected = []
+    for mat in eng.materializations.values():
+        for r in source_fingerprints(mat, folded).collect():
+            if not (
+                r.target_ts <= now - mat.processing_delay
+                and r.max_source_modified <= now - mat.stability_delay
+                and r.target_ts >= now - mat.reprocessing_period
+            ):
+                continue
+            if state.get((mat.name, r.target_ts)) != r.source_fingerprint:
+                expected.append((mat.name, r.target_ts, r.source_fingerprint))
+    assert sorted(got) == sorted(expected)
+    assert first[0] not in got  # processed bucket filtered out
+    assert len(got) > 0
