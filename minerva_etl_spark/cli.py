@@ -11,6 +11,9 @@ Subcommands (reference analog):
   deduce-config     ← `minerva trend-store deduce` (config deducer)
   alter-trends      ← `minerva trend-store alter-trends`
   report            ← `minerva report`
+  aggregation-generate ← `minerva aggregation generate`
+  aggregation-compile / aggregation-compile-all
+                    ← `minerva aggregation compile` / `compile-all`
   attribute compact / attribute curr ← `minerva attribute-store ...`
   retention         ← `minerva trend-store partition remove-old`
   live-monitor      ← `minerva live-monitor`
