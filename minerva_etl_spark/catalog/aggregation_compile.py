@@ -427,7 +427,13 @@ def compile_all_aggregations(instance_dir: str | Path) -> list[str]:
         (p, yaml.safe_load(p.read_text()))
         for p in sorted((root / "aggregation").glob("*.yaml"))
     ]
-    defs = [(p, d) for p, d in defs if isinstance(d, dict)]
+    # skip non-definition files (e.g. aggregation_hints.yaml)
+    defs = [
+        (p, d)
+        for p, d in defs
+        if isinstance(d, dict)
+        and ("time_aggregation" in d or "entity_aggregation" in d)
+    ]
     written: list[str] = []
     for _, d in sorted(defs, key=lambda pd: _agg_sort_key(pd[1])):
         written.extend(compile_aggregation_definition(root, d))
@@ -501,12 +507,30 @@ def write_generated_definitions(
     return written
 
 
+def load_aggregation_hints(instance_dir: str | Path) -> dict[str, str]:
+    """``aggregation_hints.yaml`` at the instance root: relation name →
+    aggregation flavor (reference ``load_aggregation_hints``;
+    `examples/tiny_instance/aggregation/aggregation_hints.yaml`).  On
+    Spark both flavors persist to parquet and stay fresh through the
+    fingerprint engine, so the hint is recorded in the generated
+    definition for parity rather than changing the plan."""
+    import yaml
+
+    for sub in ("aggregation_hints.yaml", "aggregation/aggregation_hints.yaml"):
+        p = Path(instance_dir) / sub
+        if p.exists():
+            d = yaml.safe_load(p.read_text()) or {}
+            return {str(k): str(v) for k, v in d.items()}
+    return {}
+
+
 def write_generated_entity_definitions(
     instance_dir: str | Path,
     store: TrendStoreDef,
     source_file: str,
     relation: str,
     target_entity_type: str,
+    aggregation_type: str = "VIEW",
 ) -> list[str]:
     """Emit an entity-aggregation DEFINITION file for one relation
     (reference `aggregation_generation.py:125-220`): compiled by
@@ -526,9 +550,8 @@ def write_generated_entity_definitions(
             "source": Path(source_file).stem,
             "relation": relation,
             "entity_type": target_entity_type,
-            # reference records the materialization flavor here
-            # (aggregation_hints.yaml); VIEW is our only flavor
-            "aggregation_type": "VIEW",
+            # flavor from aggregation_hints.yaml when present
+            "aggregation_type": aggregation_type,
             "parts": [
                 {"name": f"{rel_slug}_{p.name}", "source": p.name}
                 for p in store.parts

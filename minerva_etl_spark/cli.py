@@ -146,10 +146,12 @@ def cmd_aggregation_generate(args) -> None:
         # files; `aggregation-compile`/`-all` expands them
         from minerva_etl_spark.catalog.instance import TrendStoreDef
         from minerva_etl_spark.catalog.aggregation_compile import (
+            load_aggregation_hints,
             write_generated_definitions,
             write_generated_entity_definitions,
         )
 
+        hints = load_aggregation_hints(args.instance)
         for p in sorted((Path(args.instance) / "trend").glob("*.yaml")):
             store = TrendStoreDef.from_dict(
                 yaml.safe_load(p.read_text())
@@ -166,6 +168,7 @@ def cmd_aggregation_generate(args) -> None:
                         args.instance, store, p.stem, rel.name,
                         rel.target_entity_type
                         or rel.name.split("->")[-1],
+                        aggregation_type=hints.get(rel.name, "VIEW"),
                     ):
                         print(f"generated {path}")
         return

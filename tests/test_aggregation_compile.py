@@ -306,3 +306,43 @@ def test_generated_entity_aggregation_runs(spark, tmp_path):
         for r in ctx.read_part("node__v_site_node_main_15m").collect()
     }
     assert got == {100: (2, 3.0, 15.0), 200: (1, 4.0, 40.0)}
+
+
+def test_aggregation_hints_select_flavor(tmp_path, capsys):
+    """aggregation-generate --definitions --with-relations records the
+    flavor from aggregation_hints.yaml in the generated entity
+    definition; compile-all skips the hints file itself."""
+    import yaml
+
+    from minerva_etl_spark import cli
+    from minerva_etl_spark.catalog.aggregation_compile import (
+        compile_all_aggregations,
+    )
+
+    inst = tmp_path / "inst"
+    (inst / "trend").mkdir(parents=True)
+    (inst / "relation").mkdir()
+    (inst / "aggregation").mkdir()
+    (inst / "trend" / "hub_node_15m.yaml").write_text(
+        yaml.safe_dump(RAW_YAML, sort_keys=False)
+    )
+    (inst / "relation" / "nv.yaml").write_text(yaml.safe_dump({
+        "name": "node->v-site",
+        "query": 'SELECT source_id, target_id FROM relation."node__v_site"',
+        "target_entity_type": "v-site",
+    }))
+    (inst / "aggregation" / "aggregation_hints.yaml").write_text(
+        "node->v-site: VIEW_MATERIALIZATION\n"
+    )
+    cli.main(["--instance", str(inst), "--data-dir", str(tmp_path / "d"),
+              "aggregation-generate", "--definitions", "--with-relations"])
+    capsys.readouterr()
+    ent = yaml.safe_load(
+        (inst / "aggregation" / "node__v_site_hub_node_15m.yaml").read_text()
+    )
+    assert ent["entity_aggregation"]["aggregation_type"] == "VIEW_MATERIALIZATION"
+    import os
+
+    written = compile_all_aggregations(inst)  # hints file not compiled
+    assert all("aggregation_hints" not in os.path.basename(w) for w in written)
+    assert any("node__v_site" in os.path.basename(w) for w in written)
