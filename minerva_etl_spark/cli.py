@@ -128,6 +128,18 @@ def cmd_retention(args) -> None:
         print(f"{part.name}: {len(expired)} expired partitions {expired}")
 
 
+def _is_generated_store(store) -> bool:
+    """Aggregation outputs are recognizable by the injected ``samples``
+    trend in every part — re-laddering them would generate
+    aggregations-of-aggregations on a second `generate` run (the
+    reference avoids this by only processing stores titled "raw",
+    `aggregation_generation.py:63-67`; the samples marker keeps
+    untitled raw stores working too)."""
+    return bool(store.parts) and all(
+        any(t.name == "samples" for t in p.trends) for p in store.parts
+    )
+
+
 def cmd_aggregation_generate(args) -> None:
     """`minerva aggregation generate`: emit the standard ladder YAML for
     every raw trend store of the instance."""
@@ -158,6 +170,8 @@ def cmd_aggregation_generate(args) -> None:
             )
             if args.raw_only and "raw" not in (store.title or "").lower():
                 continue
+            if _is_generated_store(store):
+                continue  # idempotent re-run: skip aggregation outputs
             for path in write_generated_definitions(
                 args.instance, store, p.stem
             ):
@@ -178,6 +192,8 @@ def cmd_aggregation_generate(args) -> None:
     for store in inst.trend_stores:
         if args.raw_only and "raw" not in (store.title or "").lower():
             continue
+        if _is_generated_store(store):
+            continue  # idempotent re-run: skip aggregation outputs
         for path in write_generated(args.instance, store):
             print(f"generated {path}")
         if args.with_relations:

@@ -346,3 +346,30 @@ def test_aggregation_hints_select_flavor(tmp_path, capsys):
     written = compile_all_aggregations(inst)  # hints file not compiled
     assert all("aggregation_hints" not in os.path.basename(w) for w in written)
     assert any("node__v_site" in os.path.basename(w) for w in written)
+
+
+def test_generate_is_idempotent_after_compile(tmp_path, capsys):
+    """Re-running `aggregation-generate --definitions` after compile-all
+    must not ladder the generated stores into
+    aggregations-of-aggregations (reference guards via the raw title;
+    we also recognize the injected samples trend)."""
+    import yaml
+
+    from minerva_etl_spark import cli
+
+    inst = tmp_path / "inst"
+    (inst / "trend").mkdir(parents=True)
+    (inst / "trend" / "hub_node_15m.yaml").write_text(
+        yaml.safe_dump(RAW_YAML, sort_keys=False)
+    )
+    argv = ["--instance", str(inst), "--data-dir", str(tmp_path / "d")]
+    cli.main(argv + ["aggregation-generate", "--definitions"])
+    cli.main(argv + ["aggregation-compile-all"])
+    before = sorted(p.name for p in (inst / "aggregation").iterdir())
+    # second generate: trend/ now holds the generated 1h/1d/1w/1month
+    # stores, which must be skipped
+    cli.main(argv + ["aggregation-generate", "--definitions"])
+    capsys.readouterr()
+    after = sorted(p.name for p in (inst / "aggregation").iterdir())
+    assert after == before
+    assert "hub_node_1h_1d.yaml" not in after
