@@ -63,9 +63,24 @@ class EngineContext:
         store = self.parts_index[part_name]
         return store.read_part(self.spark, part_name)
 
-    def register_part_view(self, part_name: str) -> None:
+    def register_part_view(
+        self, part_name: str, time_range: tuple | None = None
+    ) -> None:
+        """Register ``trend."part"`` as a temp view; ``time_range``
+        ``(lo_exclusive, hi_inclusive)`` restricts it with a PLAIN
+        timestamp predicate — unlike the bucket-expression IN-filter the
+        materialization applies on its target, a plain range reaches the
+        parquet scan (PushedFilters + row-group stats + partition
+        pruning), so a pass over k stale buckets scans ~k buckets of
+        source instead of the whole part."""
         df = self.read_part(part_name)
         if df is not None:
+            if time_range is not None:
+                lo, hi = time_range
+                df = df.filter(
+                    (F.col("timestamp") > F.lit(lo))
+                    & (F.col("timestamp") <= F.lit(hi))
+                )
             df.createOrReplaceTempView(part_name.replace("-", "_"))
 
     def register_relation_view(self, relation_name: str) -> None:
@@ -271,11 +286,26 @@ def initialize(
         view_sql = translate(m.view) if m.view else None
 
         def make_transform(
-            view_sql=view_sql, sources=sources, relations=relation_sources
+            view_sql=view_sql,
+            sources=sources,
+            relations=relation_sources,
+            gran=Granularity.parse(target_store.granularity.name),
         ):
             def transform(spark_, timestamps):
+                # source rows feeding end-labeled bucket T lie in
+                # (T - gran, T]; over the batch: (decr(min), max].  The
+                # plain range prunes the source scan (the reference's
+                # generated functions are likewise per-timestamp
+                # time-bounded, `aggregation_compilation.py:726-745`);
+                # views needing rows outside their target bucket must
+                # use the function escape hatch instead.
+                rng = (
+                    (gran.decr(min(timestamps)), max(timestamps))
+                    if timestamps
+                    else None
+                )
                 for src in sources:
-                    ctx.register_part_view(src)
+                    ctx.register_part_view(src, time_range=rng)
                 for rel in relations:
                     ctx.register_relation_view(rel)
                 df = spark_.sql(view_sql)

@@ -177,3 +177,52 @@ def test_scheduler_matches_naive_reference(spark, tmp_path):
     assert sorted(got) == sorted(expected)
     assert first[0] not in got  # processed bucket filtered out
     assert len(got) > 0
+
+
+def test_transform_source_scan_is_time_pruned(spark, tmp_path):
+    """The materialization transform must push a PLAIN timestamp range
+    down to the source parquet scan (PushedFilters) — the target-bucket
+    IN-filter alone is an expression of ts and prunes nothing, which at
+    scale means re-scanning the whole part per pass."""
+    import yaml
+
+    from minerva_etl_spark.catalog.aggregation_compile import write_generated
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import (
+        MinervaInstance,
+        TrendStoreDef,
+    )
+
+    raw_yaml = {
+        "data_source": "hub", "entity_type": "node", "granularity": "15m",
+        "partition_size": "1d", "title": "raw",
+        "parts": [{
+            "name": "node_main_15m",
+            "trends": [{"name": "power_kwh", "data_type": "double precision",
+                        "time_aggregation": "sum",
+                        "entity_aggregation": "sum"}],
+        }],
+    }
+    inst_dir = tmp_path / "inst"
+    (inst_dir / "trend").mkdir(parents=True)
+    (inst_dir / "trend" / "hub_node_15m.yaml").write_text(
+        yaml.safe_dump(raw_yaml)
+    )
+    write_generated(inst_dir, TrendStoreDef.from_dict(raw_yaml))
+    ctx = initialize(spark, MinervaInstance.load(inst_dir), str(tmp_path / "d"))
+    raw = ctx.trend_stores["hub_node_15m"]
+    raw.store(spark, spark.createDataFrame(
+        [(1, ts(2024, 1, 1 + d, 0, 15), 1.0) for d in range(5)],
+        "entity_id bigint, timestamp timestamp_ntz, power_kwh double",
+    ))
+    mat = ctx.engine.materializations["node_main_1h"]
+    plan = mat.transform(
+        spark, [ts(2024, 1, 3, 1, 0)]
+    )._sc._jvm.PythonSQLUtils.explainString(
+        mat.transform(spark, [ts(2024, 1, 3, 1, 0)])._jdf.queryExecution(),
+        "formatted",
+    )
+    assert "GreaterThan(timestamp" in plan and "LessThanOrEqual(timestamp" in plan
+    # and the result is still correct
+    got = mat.transform(spark, [ts(2024, 1, 3, 1, 0)]).collect()
+    assert len(got) == 1 and got[0].samples == 1
