@@ -109,11 +109,27 @@ class EngineContext:
         an executable Trigger — also the factory for the file-backed
         admin registry (:meth:`trigger_set`)."""
         kpi_sql = translate(t.get("kpi_query", "")) if t.get("kpi_query") else None
+        # declared KPI granularity bounds the source scan per evaluation
+        # (the reference's kpi_function is `WHERE t.timestamp = $1`
+        # time-bounded, tiny_instance trigger yaml); without it the
+        # output-timestamp filter only prunes 1:1 (non-aggregating) KPIs
+        gran = (
+            Granularity.parse(str(t["granularity"]))
+            if t.get("granularity")
+            else None
+        )
 
-        def make_kpi(kpi_sql=kpi_sql, sources=t.get("kpi_sources", [])):
-            def kpi(spark_, _timestamps):
+        def make_kpi(
+            kpi_sql=kpi_sql, sources=t.get("kpi_sources", []), gran=gran
+        ):
+            def kpi(spark_, timestamps):
+                rng = (
+                    (gran.decr(min(timestamps)), max(timestamps))
+                    if gran is not None and timestamps
+                    else None
+                )
                 for src in sources:
-                    self.register_part_view(src)
+                    self.register_part_view(src, time_range=rng)
                 return spark_.sql(kpi_sql)
 
             return kpi

@@ -143,3 +143,58 @@ def test_update_data_function_changes_notification_data(
     trigger_set.execute(spark, "highload", sink2)
     after = {r.data for r in sink2.read(spark).collect()}
     assert after == {"load=99.0", "load=55.0"}
+
+
+def test_trigger_kpi_source_scan_pruned(spark, tmp_path):
+    """A trigger with a declared granularity bounds its KPI source scan
+    to the evaluated buckets (PushedFilters range on timestamp) — the
+    reference's kpi_function is `WHERE t.timestamp = $1` time-bounded."""
+    import yaml
+    from datetime import datetime
+
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    inst = tmp_path / "inst"
+    (inst / "trend").mkdir(parents=True)
+    (inst / "trigger").mkdir()
+    (inst / "trend" / "kpi.yaml").write_text(yaml.safe_dump({
+        "data_source": "hub-kpi", "entity_type": "node",
+        "granularity": "15m", "partition_size": "1d",
+        "parts": [{"name": "hub-kpi_node_15m",
+                   "trends": [{"name": "power_mwh",
+                               "data_type": "double precision"}]}],
+    }))
+    # an AGGREGATING KPI: the post-agg timestamp filter lands on the
+    # bucket expression (unprunable); only the declared-granularity
+    # source range can reach the parquet scan
+    (inst / "trigger" / "t.yaml").write_text(yaml.safe_dump({
+        "name": "HighPowerUsage",
+        "granularity": "1h",
+        "kpi_sources": ["hub-kpi_node_15m"],
+        "kpi_query": (
+            "SELECT entity_id, cast(date_trunc('HOUR', timestamp) + "
+            "interval 1 hour as timestamp_ntz) AS timestamp, "
+            "sum(power_mwh) AS power_mwh "
+            'FROM trend."hub-kpi_node_15m" GROUP BY 1, 2'
+        ),
+        "thresholds": [{"name": "max_power", "value": 0.05}],
+        "condition": "power_mwh > max_power",
+        "weight": 100,
+        "notification": "'too high'",
+    }))
+    ctx = initialize(spark, MinervaInstance.load(inst), str(tmp_path / "d"))
+    store = ctx.trend_stores["hub-kpi_node_15m"]
+    store.store(spark, spark.createDataFrame(
+        [(1, datetime(2024, 1, 1 + d, 0, 15), 0.1) for d in range(5)],
+        "entity_id bigint, timestamp timestamp_ntz, power_mwh double",
+    ))
+    trig = ctx.triggers["HighPowerUsage"]
+    out = trig.evaluate(spark, [datetime(2024, 1, 3, 1, 0)])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "GreaterThan(timestamp" in plan
+    assert "LessThanOrEqual(timestamp" in plan
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].timestamp == datetime(2024, 1, 3, 1, 0)
