@@ -34,6 +34,7 @@ HEADLINE = [
     "text_profile",
     "dedup_components",
     "sample_stratified",
+    "shard_pack",
     "sim_topk",
     "sim_knn_join",
     "entity_resolution",

@@ -604,6 +604,26 @@ def _oracle_decontamination() -> str:
 _STRATA_RATES = {"en": 30, "de": 60, "fr": 60, "es": 60, "und": 100}
 
 
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing for training-data export: every doc
+    assigned to the fixed-budget output shard its first token lands in
+    (`operators/shard.py::assign_token_shards`).  The Spark side is the
+    two-pass distributed prefix sum (range repartition → per-range
+    totals → within-range window); the oracle is the naive global
+    window — bit-identical results, radically different scaling."""
+    _prep(spark)
+    from minerva_etl_spark.operators.shard import assign_token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_token_shards(docs, shard_tokens=5000, num_ranges=8)
+
+
+def _oracle_shard_pack() -> str:
+    from minerva_etl_spark.operators.shard import token_shards_oracle_sql
+
+    return token_shards_oracle_sql(5000, "documents")
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for corpus curation: keep each
     doc iff ``md5_bucket(doc_id) < rate[lang]`` with per-language rates
@@ -1883,7 +1903,7 @@ _REGISTRY_ORDER = [
     # -- LLM-pipeline: text / curation --------------------------------
     "text_profile",
     "sample_stratified",
-    "dn_parse",
+    "shard_pack",
     # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
     "live_monitor",
     "lifecycle_load_store",
@@ -1901,9 +1921,13 @@ _REGISTRY_ORDER = [
     # Rotation policy: the simhash pair (raw signatures vs hamming
     # pairing) shares one in-window slot, alternating per round so each
     # regains a driver-recorded row over time (r3/r4 proved _hamming;
-    # r5 proves the raw signatures).  Everything here is still verified
-    # every session by tools/check_oracle.py.
+    # r5 proves the raw signatures).  dn_parse rotated out in favor of
+    # shard_pack (SURVEY 2.8 DN parsing stays driver-proven through the
+    # green kpi_translated/relation_regex/timestamp_mapping rows).
+    # Everything here is still verified every session by
+    # tools/check_oracle.py.
     "dedup_simhash_hamming",
+    "dn_parse",
     "kpi_revenue",
     "trend_time_agg_1month",
     "quantiles",
@@ -1930,6 +1954,7 @@ def build_queries() -> dict:
         "package_merge": q_package_merge,
         "anti_join_no_orders": q_anti_join_no_orders,
         "dn_parse": q_dn_parse,
+        "shard_pack": q_shard_pack,
         "report_stats": q_report_stats,
         "series_fill_hours": q_series_fill_hours,
         "dedup_exact": q_dedup_exact,
@@ -2000,6 +2025,7 @@ def build_oracles() -> dict[str, str]:
         "package_merge": _oracle_package_merge(),
         "anti_join_no_orders": _ORACLE_ANTI,
         "dn_parse": _ORACLE_DN,
+        "shard_pack": _oracle_shard_pack(),
         "report_stats": _ORACLE_REPORT,
         "series_fill_hours": _oracle_series_fill(),
         "dedup_exact": D.exact_dedup_oracle_sql("documents"),

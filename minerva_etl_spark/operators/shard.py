@@ -1,0 +1,163 @@
+"""Token-budget shard packing: the training-data EXPORT step.
+
+A training pipeline's last hop writes the curated corpus into
+fixed-token-budget shards (one file group per shard, each holding
+~``shard_tokens`` tokens) so downstream loaders stream uniform work
+units.  Assignment is a prefix-sum problem: with documents in a
+deterministic order, ``shard_id = floor((cumsum(tokens) - tokens) /
+shard_tokens)`` — a document starts in the shard where its first token
+lands; oversized documents own one or more shards by themselves.
+
+Scale shape: the naive formulation is a global window
+(``sum() over (order by doc_id)``) — a SINGLE-REDUCER sort at 100 TB.
+This implementation uses the classic two-pass distributed prefix sum
+instead: range-repartition by doc id (Spark's range partitioner keeps
+ranges ordered and balanced), per-partition token totals to the driver
+(one row per partition — bounded), prefix offsets broadcast back, then
+a WITHIN-partition cumulative window (parallel, no global sort).
+Results are bit-identical to the global window, proven against the
+DuckDB oracle's ``sum() over ()``.
+
+No reference counterpart (the reference exports via COPY TO without
+size budgeting) — LLM-pipeline extension.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from minerva_etl_spark.operators.text import tokens_duck_sql, tokens_spark_sql
+
+
+def assign_token_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, shard_id) for every document: deterministic
+    ``id_col`` order, shards bounded by ``shard_tokens``.
+
+    ``token_col`` reuses a precomputed count; otherwise whitespace
+    tokens of ``text_col`` are counted (same expression the text
+    profile uses, so counts agree across operators).
+    """
+    if token_col is None:
+        t = df.select(
+            F.col(id_col).alias("__id"),
+            F.size(F.expr(tokens_spark_sql(text_col)))
+            .cast("bigint")
+            .alias("n_tokens"),
+        )
+    else:
+        t = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(token_col).cast("bigint").alias("n_tokens"),
+        )
+    n = num_ranges or max(t.sparkSession.sparkContext.defaultParallelism, 4)
+    # checkpointed: range bounds are SAMPLED per execution, so the
+    # totals pass and the cumsum pass must read the SAME materialized
+    # partitioning or the prefix offsets would be wrong.  State is one
+    # (id, count, pid) row per document — the shard index, tiny
+    # relative to the corpus it indexes.
+    ranged = (
+        t.repartitionByRange(n, "__id")
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # pass 1: per-range totals -> driver (one row per partition, bounded)
+    totals = {
+        r["__pid"]: r["total"]
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid] or 0
+    off = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    ) if offsets else F.create_map()
+    # pass 2: within-partition cumsum + broadcast prefix offset.  The
+    # window partitions by __pid — every range runs in parallel; no
+    # global sort anywhere.
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("__id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        ranged.withColumn(
+            "__cum",
+            F.sum("n_tokens").over(w)
+            + F.coalesce(off[F.col("__pid")], F.lit(0)),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.floor(
+                (F.col("__cum") - F.col("n_tokens"))
+                / F.lit(float(shard_tokens))
+            )
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )
+    return out
+
+
+def token_shards_oracle_sql(
+    shard_tokens: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: the naive global-window formulation (fine
+    in-process; the point of the Spark variant is avoiding it)."""
+    toks = tokens_duck_sql(text_col)
+    return f"""
+WITH t AS (
+  SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+c AS (
+  SELECT {id_col}, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY {id_col}
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT {id_col}, n_tokens,
+       CAST(floor((cum - n_tokens) / {float(shard_tokens)}) AS BIGINT)
+           AS shard_id
+FROM c
+"""
+
+
+def write_token_shards(
+    df: DataFrame,
+    path: str,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    format: str = "parquet",
+) -> int:
+    """Materialize the corpus into one directory partition per shard
+    (``shard_id=N/``), each holding ~``shard_tokens`` tokens; returns
+    the shard count.  One repartition on shard_id co-locates each
+    shard's documents into one task's output file."""
+    assigned = assign_token_shards(
+        df, shard_tokens, id_col=id_col, text_col=text_col
+    )
+    out = df.join(assigned.select(id_col, "shard_id"), id_col)
+    (
+        out.repartition("shard_id")
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .format(format)
+        .save(path)
+    )
+    return out.select("shard_id").distinct().count()

@@ -1,0 +1,83 @@
+"""Token-budget shard packing: distributed prefix sum vs the naive
+global window, shard-budget invariants, and the partitioned writer."""
+
+import pyspark.sql.functions as F
+
+from minerva_etl_spark.operators.shard import (
+    assign_token_shards,
+    write_token_shards,
+)
+
+
+def _docs(spark, n=200, words=7):
+    return spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(1 + (i * 13) % words)))
+         for i in range(n)],
+        "doc_id bigint, text string",
+    ).repartition(7)  # deliberately scrambled input partitioning
+
+
+def test_matches_global_window(spark):
+    docs = _docs(spark)
+    got = {
+        r.doc_id: (r.n_tokens, r.shard_id)
+        for r in assign_token_shards(
+            docs, shard_tokens=20, num_ranges=5
+        ).collect()
+    }
+    # naive single-window reference
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ref = {
+        r.doc_id: (r.n_tokens, r.shard_id)
+        for r in docs.select(
+            "doc_id",
+            F.size(F.split(F.lower(F.trim("text")), r"\s+")).cast("bigint")
+            .alias("n_tokens"),
+        )
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "shard_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / 20.0).cast("bigint"),
+        )
+        .drop("cum")
+        .collect()
+    }
+    assert got == ref
+
+
+def test_shard_budget_invariants(spark):
+    docs = _docs(spark, n=300)
+    out = assign_token_shards(docs, shard_tokens=25, num_ranges=6)
+    per_shard = (
+        out.groupBy("shard_id").agg(F.sum("n_tokens").alias("total"))
+        .collect()
+    )
+    # every shard holds at most budget + (max doc - 1) overflow tokens
+    max_doc = out.agg(F.max("n_tokens")).first()[0]
+    assert all(r.total <= 25 + max_doc - 1 for r in per_shard)
+    # shards are dense 0..k
+    ids = sorted(r.shard_id for r in per_shard)
+    assert ids == list(range(len(ids)))
+    # deterministic under re-evaluation
+    again = assign_token_shards(docs, shard_tokens=25, num_ranges=6)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, again.collect())
+    )
+
+
+def test_write_token_shards_partitions(spark, tmp_path):
+    docs = _docs(spark, n=80)
+    n_shards = write_token_shards(
+        docs, str(tmp_path / "shards"), shard_tokens=30
+    )
+    assert n_shards >= 2
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == 80
+    assert "shard_id" in back.columns
+    dirs = [p.name for p in (tmp_path / "shards").iterdir()
+            if p.name.startswith("shard_id=")]
+    assert len(dirs) == n_shards
