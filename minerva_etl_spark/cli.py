@@ -171,7 +171,10 @@ def cmd_aggregation_generate(args) -> None:
             if args.raw_only and "raw" not in (store.title or "").lower():
                 continue
             if _is_generated_store(store):
-                continue  # idempotent re-run: skip aggregation outputs
+                # visible so a false positive (raw store that really
+                # declares `samples` in every part) is noticeable
+                print(f"skipped {p.stem} (looks generated)")
+                continue
             for path in write_generated_definitions(
                 args.instance, store, p.stem
             ):
@@ -193,7 +196,11 @@ def cmd_aggregation_generate(args) -> None:
         if args.raw_only and "raw" not in (store.title or "").lower():
             continue
         if _is_generated_store(store):
-            continue  # idempotent re-run: skip aggregation outputs
+            print(
+                f"skipped {store.data_source}_{store.entity_type}_"
+                f"{store.granularity} (looks generated)"
+            )
+            continue
         for path in write_generated(args.instance, store):
             print(f"generated {path}")
         if args.with_relations:

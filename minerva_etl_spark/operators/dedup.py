@@ -680,10 +680,28 @@ def connected_components(
     ``stats`` (optional dict) is filled with ``rounds`` actually run.
 
     Returns ``(doc_id, component_id)`` for every document that appears
-    in at least one pair (unpaired docs are their own singleton and are
-    left out — at 100 TB that's the difference between shuffling the
-    pair graph and shuffling the corpus).
+    in at least one pair — including documents whose only pair is a
+    self-pair (``id_a == id_b``), which become their own singleton
+    component.  Docs appearing in no pair at all are left out — at
+    100 TB that's the difference between shuffling the pair graph and
+    shuffling the corpus.
     """
+    # docs whose ONLY appearance is a self-pair would vanish once
+    # self-loops are filtered from the edge set; keep them as singleton
+    # seeds (tiny/usually-empty set — only self-pairs shuffle here)
+    selfs = (
+        pairs.filter(F.col(id_a) == F.col(id_b))
+        .select(F.col(id_a).alias("doc_id"))
+        .distinct()
+    )
+
+    def _with_self_singletons(out: DataFrame) -> DataFrame:
+        return out.unionByName(
+            selfs.join(out, "doc_id", "left_anti").select(
+                "doc_id", F.col("doc_id").alias("component_id")
+            )
+        )
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -696,7 +714,7 @@ def connected_components(
     if algorithm == "star":
         out = _star_components(edges, max_iter, check_every, stats)
         _free_local_checkpoint(edges)
-        return out
+        return _with_self_singletons(out)
     # auto: give label propagation a small budget before escalating —
     # clique-ish near-dup graphs converge well inside it
     budget = min(max_iter, 3 * check_every) if algorithm == "auto" else max_iter
@@ -743,13 +761,15 @@ def connected_components(
             stats["rounds"] += rounds
             stats["algorithm"] = "label-propagation+star"
         _free_local_checkpoint(edges)
-        return out
+        return _with_self_singletons(out)
     if stats is not None:
         stats["rounds"] = rounds
         stats["algorithm"] = "label-propagation"
     _free_local_checkpoint(edges)
-    return labels.select(
-        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    return _with_self_singletons(
+        labels.select(
+            F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+        )
     )
 
 

@@ -90,6 +90,9 @@ def assign_token_shards(
         .orderBy("__id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # exact integer division (operands are non-negative bigints): double
+    # division would misplace boundary documents once the cumulative
+    # token count exceeds ~2^53 — well inside a 100 TB corpus.
     out = (
         ranged.withColumn(
             "__cum",
@@ -99,10 +102,7 @@ def assign_token_shards(
         .select(
             F.col("__id").alias(id_col),
             "n_tokens",
-            F.floor(
-                (F.col("__cum") - F.col("n_tokens"))
-                / F.lit(float(shard_tokens))
-            )
+            F.expr(f"(__cum - n_tokens) div {int(shard_tokens)}")
             .cast("bigint")
             .alias("shard_id"),
         )
@@ -131,8 +131,7 @@ c AS (
   FROM t
 )
 SELECT {id_col}, n_tokens,
-       CAST(floor((cum - n_tokens) / {float(shard_tokens)}) AS BIGINT)
-           AS shard_id
+       CAST((cum - n_tokens) // {int(shard_tokens)} AS BIGINT) AS shard_id
 FROM c
 """
 

@@ -107,3 +107,18 @@ def test_components_storage_stays_flat(spark, algorithm):
     assert out.count() == 64
     after = spark._jsc.getPersistentRDDs().size()
     assert after - before <= 1, (before, after)
+
+
+def test_self_pair_only_doc_is_singleton(spark):
+    """A doc whose only appearance is a self-pair keeps its contract
+    row (doc_id, component_id=itself); self-loops on otherwise-paired
+    docs change nothing."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 7), (1, 1)], "id_a bigint, id_b bigint"
+    )
+    for algo in ("label-propagation", "star", "auto"):
+        got = {
+            (r.doc_id, r.component_id)
+            for r in connected_components(pairs, algorithm=algo).collect()
+        }
+        assert got == {(1, 1), (2, 1), (3, 1), (7, 7)}, algo

@@ -81,3 +81,22 @@ def test_write_token_shards_partitions(spark, tmp_path):
     dirs = [p.name for p in (tmp_path / "shards").iterdir()
             if p.name.startswith("shard_id=")]
     assert len(dirs) == n_shards
+
+
+def test_exact_division_beyond_double_precision(spark):
+    # cumulative token counts past 2^53 must not be rounded through a
+    # double: documents near a shard boundary would land in the wrong
+    # shard.  Token counts are supplied via token_col so the cumsum
+    # crosses 2^53 with a handful of rows.
+    big = 1 << 53
+    rows = [(i, big // 4) for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, n_tokens bigint")
+    out = {
+        r.doc_id: r.shard_id
+        for r in assign_token_shards(
+            docs, shard_tokens=big + 1, token_col="n_tokens", num_ranges=3
+        ).collect()
+    }
+    # exact: doc i starts at i*big/4 tokens; shard = (i*big//4)//(big+1)
+    ref = {i: (i * (big // 4)) // (big + 1) for i in range(12)}
+    assert out == ref
