@@ -41,6 +41,21 @@ def _parse_delay(spec: str) -> timedelta:
     return timedelta(seconds=g.seconds)
 
 
+def _looks_lookback(view_sql: str) -> bool:
+    """Heuristic: does this view read source rows OUTSIDE its target
+    bucket?  Generated aggregation views are plain GROUP BYs over the
+    bucket; window functions (lag/lead/rolling frames) and interval
+    arithmetic reach backward, so range-pruning their sources would
+    silently truncate their input.  The reference filters the view's
+    OUTPUT per timestamp while its views see full source tables
+    (`aggregation_compilation.py:726-745` bounds only generated
+    functions), so unpruned is the parity-safe default for such views;
+    `unbounded_sources: false` forces pruning back on."""
+    import re
+
+    return bool(re.search(r"\bover\s*\(|\binterval\b", view_sql, re.I))
+
+
 @dataclass
 class EngineContext:
     spark: SparkSession
@@ -300,12 +315,26 @@ def initialize(
             if isinstance(s, dict) and "relation" in s
         ]
         view_sql = translate(m.view) if m.view else None
+        unbounded = m.unbounded_sources
+        if unbounded is None and m.view:
+            unbounded = _looks_lookback(m.view)
+            if unbounded:
+                import warnings
+
+                warnings.warn(
+                    f"materialization {target}: view looks lookback-style "
+                    "(window function / interval arithmetic) — source "
+                    "scans left unpruned; set unbounded_sources: false "
+                    "to force range pruning",
+                    stacklevel=2,
+                )
 
         def make_transform(
             view_sql=view_sql,
             sources=sources,
             relations=relation_sources,
             gran=Granularity.parse(target_store.granularity.name),
+            unbounded=bool(unbounded),
         ):
             def transform(spark_, timestamps):
                 # source rows feeding end-labeled bucket T lie in
@@ -313,11 +342,12 @@ def initialize(
                 # plain range prunes the source scan (the reference's
                 # generated functions are likewise per-timestamp
                 # time-bounded, `aggregation_compilation.py:726-745`);
-                # views needing rows outside their target bucket must
-                # use the function escape hatch instead.
+                # views reading rows outside their target bucket opt out
+                # via `unbounded_sources: true` (lookback shapes are
+                # also auto-detected, see _looks_lookback).
                 rng = (
                     (gran.decr(min(timestamps)), max(timestamps))
-                    if timestamps
+                    if timestamps and not unbounded
                     else None
                 )
                 for src in sources:

@@ -149,6 +149,10 @@ class MaterializationDef:
     view: str | None = None
     function: dict | None = None
     fingerprint_function: str | None = None
+    # None = auto-detect lookback views; True = source views always see
+    # the full part (views reading rows outside their target bucket);
+    # False = force range pruning even if the view looks lookback-style
+    unbounded_sources: bool | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "MaterializationDef":
@@ -162,6 +166,7 @@ class MaterializationDef:
             view=d.get("view"),
             function=d.get("function"),
             fingerprint_function=d.get("fingerprint_function"),
+            unbounded_sources=d.get("unbounded_sources"),
         )
 
 

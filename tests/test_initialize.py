@@ -168,3 +168,75 @@ def test_relation_from_yaml_definition(spark, tmp_path, instance_dir):
         rel.groupBy("target_id").count().collect()
     )
     assert sorted(r["count"] for r in counts) == [1, 2]
+
+
+LOOKBACK_MAT_YAML = """\
+target_trend_store_part: kpi_node_15m
+enabled: true
+processing_delay: 1s
+stability_delay: 1s
+reprocessing_period: 520w
+sources:
+  - trend_store_part: node_main_15m
+view: |
+  SELECT entity_id, timestamp,
+         sum(power_kwh) OVER (PARTITION BY entity_id ORDER BY timestamp
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS power_mwh
+  FROM trend."node_main_15m"
+"""
+
+
+def _run_lookback_case(spark, tmp_path, instance_dir, extra_yaml=""):
+    (instance_dir / "materialization" / "kpi.yaml").write_text(
+        LOOKBACK_MAT_YAML + extra_yaml
+    )
+    inst = MinervaInstance.load(instance_dir)
+    ctx = initialize(spark, inst, str(tmp_path / "data"))
+    raw = ctx.trend_stores["hub_node_15m"]
+    cfg = CsvParserConfig(
+        identifier_column="node", timestamp_column="timestamp",
+        entity_type="node",
+        column_types={"power_kwh": "double precision"},
+    )
+    first = tmp_path / "a.csv"
+    first.write_text(
+        "node,timestamp,power_kwh\n"
+        "n1,2024-01-01 00:15:00,1\n"
+        "n1,2024-01-01 00:30:00,2\n"
+    )
+    Loader(store=raw).load_file(spark, "csv", str(first), cfg)
+    ctx.materialize_stale(datetime.utcnow() + timedelta(minutes=1))
+    # second pass: ONLY the 00:45 bucket is stale — its rolling window
+    # reaches two buckets back, outside the stale range
+    second = tmp_path / "b.csv"
+    second.write_text(
+        "node,timestamp,power_kwh\nn1,2024-01-01 00:45:00,4\n"
+    )
+    Loader(store=raw).load_file(spark, "csv", str(second), cfg)
+    ctx.materialize_stale(datetime.utcnow() + timedelta(minutes=1))
+    kpi = ctx.read_part("kpi_node_15m")
+    return {
+        r.timestamp.strftime("%H:%M"): round(r.power_mwh, 6)
+        for r in kpi.collect()
+    }
+
+
+def test_lookback_view_sources_left_unpruned(spark, tmp_path, instance_dir):
+    """ADVICE r5 (medium): a window-function view auto-detects as
+    lookback — its sources see the full part, so the incremental
+    recompute of the newest bucket still reads two buckets back."""
+    with pytest.warns(UserWarning, match="lookback"):
+        vals = _run_lookback_case(spark, tmp_path, instance_dir)
+    assert vals == {"00:15": 1.0, "00:30": 3.0, "00:45": 7.0}
+
+
+def test_unbounded_sources_false_forces_pruning(spark, tmp_path, instance_dir):
+    """Explicit opt-back-in: unbounded_sources: false prunes even a
+    window-function view (the 00:45 recompute sees only its own
+    bucket's source rows)."""
+    vals = _run_lookback_case(
+        spark, tmp_path, instance_dir,
+        extra_yaml="unbounded_sources: false\n",
+    )
+    assert vals["00:45"] == 4.0
