@@ -136,6 +136,23 @@ class Granularity:
             return ts.replace(year=total // 12, month=total % 12 + 1)
         return ts - timedelta(seconds=self.seconds)
 
+    def before(self, ts: datetime) -> datetime:
+        """``ts`` minus this period as DELAY arithmetic: like
+        :meth:`decr`, months are calendar months, but the day-of-month
+        clamps to the target month's length (May 31 − 1month =
+        Apr 30) — PostgreSQL ``timestamp - interval`` semantics, since
+        delay anchors (``now``) land on arbitrary days while bucket
+        labels (decr's domain) are always month starts."""
+        if self.months:
+            import calendar
+
+            total = ts.year * 12 + (ts.month - 1) - self.months
+            y, m = total // 12, total % 12 + 1
+            return ts.replace(
+                year=y, month=m, day=min(ts.day, calendar.monthrange(y, m)[1])
+            )
+        return ts - timedelta(seconds=self.seconds)
+
     def bucket_end(self, ts: datetime) -> datetime:
         """End-label of the period covering ``ts`` ((start, end] semantics)."""
         start = self.truncate(ts)

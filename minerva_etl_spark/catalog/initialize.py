@@ -34,10 +34,14 @@ from minerva_etl_spark.store.trendstore import TrendStore, TrendStorePart
 from minerva_etl_spark.trigger.trigger import Trigger
 
 
-def _parse_delay(spec: str) -> timedelta:
+def _parse_delay(spec: str) -> "timedelta | Granularity":
+    """Delay specs with month units stay calendar-aware (the reference
+    passes intervals through to PostgreSQL; a 30-day approximation
+    drifts the deadline by up to 2 days per month hop) — the engine
+    applies them via ``Granularity.before``."""
     g = Granularity.parse(spec)
     if g.months:
-        return timedelta(days=30 * g.months)
+        return g
     return timedelta(seconds=g.seconds)
 
 

@@ -51,10 +51,21 @@ class Materialization:
     transform: Callable[[SparkSession, list[datetime]], DataFrame]
     #: a source bucket feeds the target bucket that covers it
     source_gran: Granularity | None = None
-    processing_delay: timedelta = timedelta(minutes=30)
-    stability_delay: timedelta = timedelta(minutes=5)
-    reprocessing_period: timedelta = timedelta(days=3)
+    #: month-unit delays are Granularity (calendar months, applied via
+    #: ``_before``); everything else plain timedelta
+    processing_delay: "timedelta | Granularity" = timedelta(minutes=30)
+    stability_delay: "timedelta | Granularity" = timedelta(minutes=5)
+    reprocessing_period: "timedelta | Granularity" = timedelta(days=3)
     enabled: bool = True
+
+
+def _before(now: datetime, delay: "timedelta | Granularity") -> datetime:
+    """Deadline anchor: ``now`` minus a delay.  Month-unit delays are
+    calendar months (PostgreSQL interval semantics via
+    ``Granularity.before``), not a 30-day approximation."""
+    if isinstance(delay, Granularity):
+        return delay.before(now)
+    return now - delay
 
 
 def fold_modified_state(modified_log: DataFrame) -> DataFrame:
@@ -246,9 +257,9 @@ class MaterializationEngine:
                         mat.name,
                         src,
                         gkey,
-                        now - mat.processing_delay,
-                        now - mat.stability_delay,
-                        now - mat.reprocessing_period,
+                        _before(now, mat.processing_delay),
+                        _before(now, mat.stability_delay),
+                        _before(now, mat.reprocessing_period),
                     )
                 )
         registry = self.spark.createDataFrame(
@@ -330,19 +341,25 @@ class MaterializationEngine:
             timestamps = [ts for ts, _ in pairs]
             result = mat.transform(self.spark, timestamps)
             sink(name, result, timestamps)
+            done.extend((name, ts) for ts in timestamps)
+        if done:
+            # ONE state update for the whole cycle: a per-materialization
+            # anti-join+union would chain an M-deep plan before the
+            # single write (pure Catalyst bloat at hundreds of
+            # registered materializations)
             new_rows = self.spark.createDataFrame(
-                [(name, ts, fp) for ts, fp in pairs],
+                [
+                    (name, ts, fp)
+                    for name, pairs in by_mat.items()
+                    for ts, fp in pairs
+                ],
                 "materialization string, timestamp timestamp_ntz, "
                 "processed_fingerprint string",
             )
-            state = (
-                state.join(
-                    new_rows.select("materialization", "timestamp"),
-                    ["materialization", "timestamp"],
-                    "left_anti",
-                ).unionByName(new_rows)
-            )
-            done.extend((name, ts) for ts in timestamps)
-        if done:
+            state = state.join(
+                new_rows.select("materialization", "timestamp"),
+                ["materialization", "timestamp"],
+                "left_anti",
+            ).unionByName(new_rows)
             self._write_state(state)
         return done

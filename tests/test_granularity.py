@@ -145,3 +145,13 @@ def test_multi_month_sql_matches_python(spark):
             ).df()["e"].dt.to_pydatetime(),
         )
         assert got_duck == sorted(want), f"duckdb {spec}"
+
+
+def test_before_clamps_month_ends():
+    g = Granularity.parse("1month")
+    assert g.before(datetime(2024, 5, 31)) == datetime(2024, 4, 30)
+    assert g.before(datetime(2024, 3, 31)) == datetime(2024, 2, 29)
+    assert g.before(datetime(2023, 3, 31)) == datetime(2023, 2, 28)
+    assert g.before(datetime(2024, 2, 5, 12, 30)) == datetime(2024, 1, 5, 12, 30)
+    assert Granularity.parse("3month").before(datetime(2024, 1, 15)) == datetime(2023, 10, 15)
+    assert Granularity.parse("1h").before(datetime(2024, 1, 1, 1)) == datetime(2024, 1, 1, 0)

@@ -226,3 +226,65 @@ def test_transform_source_scan_is_time_pruned(spark, tmp_path):
     # and the result is still correct
     got = mat.transform(spark, [ts(2024, 1, 3, 1, 0)]).collect()
     assert len(got) == 1 and got[0].samples == 1
+
+
+def test_month_processing_delay_uses_calendar_months(spark, tmp_path):
+    """A `1month` processing delay lands on the calendar month edge,
+    not now-30d: a 1d bucket labeled Jan 5 becomes eligible exactly at
+    Feb 5 (31 days later), where the old 30-day approximation would
+    have fired a day early."""
+    from minerva_etl_spark.catalog.initialize import _parse_delay
+
+    eng = MaterializationEngine(spark, str(tmp_path / "state"))
+    eng.register(
+        Materialization(
+            name="node_1d",
+            target_gran=Granularity.parse("1d"),
+            sources=["node_main_1h"],
+            transform=lambda s, t: s.createDataFrame(
+                [(x,) for x in t], "timestamp timestamp_ntz"
+            ),
+            processing_delay=_parse_delay("1month"),
+            stability_delay=timedelta(seconds=0),
+            reprocessing_period=_parse_delay("520w"),
+        )
+    )
+    log = make_log(spark, [
+        ("node_main_1h", ts(2024, 1, 4, 13, 0), ts(2024, 1, 4, 13, 1)),
+    ])  # -> 1d bucket end-labeled 2024-01-05
+    run = lambda now: eng.run(log, now, lambda *a: None)
+    assert run(ts(2024, 2, 4, 23, 59)) == []  # now-30d would fire here
+    assert run(ts(2024, 2, 5, 0, 0)) == [("node_1d", ts(2024, 1, 5))]
+
+
+def test_state_write_single_update_per_cycle(spark, tmp_path):
+    """One anti-join+union per run() cycle regardless of how many
+    materializations executed: the persisted state is exact."""
+    eng = MaterializationEngine(spark, str(tmp_path / "state"))
+    for i in range(5):
+        eng.register(
+            Materialization(
+                name=f"m{i}_1h",
+                target_gran=Granularity.parse("1h"),
+                sources=[f"src{i}_15m"],
+                transform=lambda s, t: s.createDataFrame(
+                    [(x,) for x in t], "timestamp timestamp_ntz"
+                ),
+                processing_delay=timedelta(seconds=1),
+                stability_delay=timedelta(seconds=0),
+                reprocessing_period=timedelta(days=3650),
+            )
+        )
+    log = make_log(spark, [
+        (f"src{i}_15m", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 16))
+        for i in range(5)
+    ])
+    done = eng.run(log, ts(2024, 1, 1, 6, 0), lambda *a: None)
+    assert sorted(done) == [
+        (f"m{i}_1h", ts(2024, 1, 1, 1, 0)) for i in range(5)
+    ]
+    state = eng.read_state().collect()
+    assert len(state) == 5
+    assert {r.materialization for r in state} == {f"m{i}_1h" for i in range(5)}
+    # idempotent second cycle: nothing stale, state unchanged
+    assert eng.run(log, ts(2024, 1, 1, 6, 0), lambda *a: None) == []
