@@ -73,6 +73,7 @@ class EngineContext:
     triggers: dict[str, Trigger] = field(default_factory=dict)
     _relation_defs: list = field(default_factory=list)
     _virtual_entity_defs: list = field(default_factory=list)
+    _attribute_materialization_defs: list = field(default_factory=list)
 
     def store_key(self, d: TrendStoreDef) -> str:
         return f"{d.data_source}_{d.entity_type}_{Granularity.parse(d.granularity).name}"
@@ -206,6 +207,54 @@ class EngineContext:
                 name,
             )
             done.append(name)
+        return done
+
+    def materialize_attributes(
+        self, defs: list[dict] | None = None, materialize_curr: bool = False
+    ) -> list[str]:
+        """Attribute materializations (``SampledViewMaterialization``,
+        reference `commands/attribute_store.py:352-391`, loaded by
+        `commands/initialize.py:343-361`): each definition registers a
+        view query over trend/entity tables whose output is SAMPLED
+        into the target attribute store — running one is the
+        ``attribute_directory.materialize(svm)`` call
+        (`commands/attribute_store.py:490-520`): insert the view's rows
+        into staging and transfer to history, here ``store_batch``.
+        The view must produce ``entity_id``, ``timestamp`` and the
+        attribute columns; ``materialize_curr`` mirrors the CLI's
+        ``--materialize-curr`` flag."""
+        import re
+
+        def resolver(schema: str, name: str) -> str:
+            slug = name.replace("->", "__").replace("-", "_")
+            return f"entity_{slug}" if schema == "entity" else slug
+
+        done: list[str] = []
+        for d in (
+            defs
+            if defs is not None
+            else self._attribute_materialization_defs
+        ):
+            spec = d["attribute_store"]
+            key = f"{spec['data_source']}_{spec['entity_type']}"
+            store = self.attribute_stores.get(key)
+            if store is None:
+                raise KeyError(
+                    f"attribute materialization target store unknown: {key}"
+                )
+            query = d["query"]
+            for part in re.findall(r'trend\."?([A-Za-z0-9_-]+)"?', query):
+                if part in self.parts_index:
+                    self.register_part_view(part)
+            for etype in re.findall(
+                r'entity\."?([A-Za-z0-9_><-]+)"?', query
+            ):
+                self.register_entity_view(etype)
+            df = self.spark.sql(translate(query, table_resolver=resolver))
+            store.store_batch(self.spark, df)
+            if materialize_curr:
+                store.materialize_curr(self.spark)
+            done.append(key)
         return done
 
     def materialize_relations(
@@ -375,6 +424,15 @@ def initialize(
                 enabled=m.enabled,
             )
         )
+
+    # 5b. attribute materializations (reference initialize step
+    #     "Initializing attribute materializations",
+    #     `commands/initialize.py:136-137` — run via
+    #     ctx.materialize_attributes, the `attribute-store
+    #     materialization run` surface)
+    ctx._attribute_materialization_defs = list(
+        instance.attribute_materializations
+    )
 
     # 6. triggers
     for t in instance.triggers:

@@ -183,6 +183,10 @@ class MinervaInstance:
     notification_stores: list[dict] = field(default_factory=list)
     triggers: list[dict] = field(default_factory=list)
     virtual_entities: list[dict] = field(default_factory=list)
+    #: SampledViewMaterialization defs from attribute/materialization/
+    #: (reference `commands/initialize.py:343-361`): dicts with
+    #: ``attribute_store: {data_source, entity_type}`` and ``query``
+    attribute_materializations: list[dict] = field(default_factory=list)
 
     @classmethod
     def load(cls, root: str | Path) -> "MinervaInstance":
@@ -205,6 +209,10 @@ class MinervaInstance:
         ):
             for p in sorted((root / sub).glob("*.yaml")):
                 bucket.append(_load_yaml(p))
+        for p in sorted(
+            (root / "attribute" / "materialization").glob("*.yaml")
+        ):
+            inst.attribute_materializations.append(_load_yaml(p))
         return inst
 
     def find_trend_store(

@@ -315,6 +315,31 @@ def cmd_attribute_store(args) -> None:
 
     spark = _spark()
     ctx = initialize(spark, MinervaInstance.load(args.instance), args.data_dir)
+    if args.action in ("materialization-list", "materialization-run"):
+        # `minerva attribute-store materialization list/run`
+        # (`commands/attribute_store.py:407-520`): sampled-view
+        # materializations over the initialized instance
+        defs = ctx._attribute_materialization_defs
+        if args.store:
+            defs = [
+                d for d in defs
+                if "{data_source}_{entity_type}".format(
+                    **d["attribute_store"]
+                ) == args.store
+            ]
+        if args.action == "materialization-list":
+            for d in defs:
+                spec = d["attribute_store"]
+                print(f"{spec['data_source']}_{spec['entity_type']}: "
+                      f"{' '.join(d['query'].split())}")
+        else:
+            for key in ctx.materialize_attributes(
+                defs, materialize_curr=args.materialize_curr
+            ):
+                st = ctx.attribute_stores[key]
+                hist = st.read_history(spark)
+                print(f"{key}: {0 if hist is None else hist.count()}")
+        return
     if args.all:
         targets = list(ctx.attribute_stores.values())
     else:
@@ -936,12 +961,18 @@ def main(argv: list[str] | None = None) -> None:
     ats = sub.add_parser("attribute-store")
     ats.add_argument(
         "action",
-        choices=["compact", "materialize-curr-ptr", "delete"],
+        choices=[
+            "compact", "materialize-curr-ptr", "delete",
+            "materialization-list", "materialization-run",
+        ],
     )
     ats.add_argument("store", nargs="?",
                      help="store key (data_source_entity_type)")
     ats.add_argument("--all", action="store_true",
                      help="apply to every attribute store of the instance")
+    ats.add_argument("--materialize-curr", action="store_true",
+                     help="refresh the curr pointer after sampling "
+                          "(materialization-run)")
     ats.set_defaults(fn=cmd_attribute_store)
 
     ini = sub.add_parser("initialize")

@@ -632,7 +632,13 @@ def q_lifecycle_attr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference round-trips array attributes,
     `integration_tests/storage/attribute/test_attributestore.py:21-415`);
     only the final SELECT serializes it (``array_join``) because the
-    driver hash-compares scalar cells."""
+    driver hash-compares scalar cells.
+
+    Round 6 adds the SampledViewMaterialization leg: a second attribute
+    store whose history is populated by sampling a view over a trend
+    part (initialize loads attribute/materialization defs; run =
+    ``ctx.materialize_attributes``) — its derived ``bal_class`` column
+    rides the same value hash."""
     _prep(spark)
     base = _tmp("attr")
     cust = load_table(spark, sf_dir, "customer")
@@ -671,16 +677,97 @@ def q_lifecycle_attr_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     store.store_batch(spark, b1)
     store.store_batch(spark, b2)
     store.materialize_curr(spark)
+
+    # SampledViewMaterialization leg (reference initialize step
+    # "Initializing attribute materializations",
+    # `commands/initialize.py:136-137,343-361` + view creation
+    # `commands/attribute_store.py:352-391`): a trend part holding the
+    # same balances is written through the store sink, then a view over
+    # it is SAMPLED into a second attribute store via the full
+    # initialize() + translate path; its derived attribute joins the
+    # output below.
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import (
+        MinervaInstance,
+        TrendStoreDef,
+    )
+
+    inst = MinervaInstance(
+        trend_stores=[
+            TrendStoreDef.from_dict(
+                {
+                    "data_source": "gate-bal",
+                    "entity_type": "customer",
+                    "granularity": "1month",
+                    "parts": [
+                        {
+                            "name": "cust_bal_1month",
+                            "trends": [
+                                {"name": "bal", "data_type": "double precision"}
+                            ],
+                        }
+                    ],
+                }
+            )
+        ],
+        attribute_stores=[
+            {
+                "data_source": "gate-sampled",
+                "entity_type": "customer",
+                "attributes": [{"name": "bal_class"}],
+            }
+        ],
+        attribute_materializations=[
+            {
+                "attribute_store": {
+                    "data_source": "gate-sampled",
+                    "entity_type": "customer",
+                },
+                "query": (
+                    'SELECT entity_id, timestamp, CASE WHEN bal >= 0 '
+                    "THEN 'pos' ELSE 'neg' END AS bal_class "
+                    'FROM trend."cust_bal_1month"'
+                ),
+            }
+        ],
+    )
+    ctx = initialize(spark, inst, base)
+    trend_rows = ids.select(
+        "entity_id",
+        F.lit(_T1).cast("timestamp_ntz").alias("timestamp"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.col("c_acctbal") - 1000.0
+        ).otherwise(F.col("c_acctbal")).alias("bal"),
+    ).unionByName(
+        ids.filter(F.col("c_custkey") % 3 == 0).select(
+            "entity_id",
+            F.lit(_T2).cast("timestamp_ntz").alias("timestamp"),
+            (F.col("c_acctbal") + 500.0).alias("bal"),
+        )
+    )
+    ctx.trend_stores["gate-bal_customer_1month"].store(
+        spark, trend_rows, job_id=3, created=_T2
+    )
+    assert ctx.materialize_attributes() == ["gate-sampled_customer"]
+    sampled = ctx.attribute_stores["gate-sampled_customer"].read_history(
+        spark
+    )
+
     hist = store.read_history(spark)
     curr = (
         spark.read.parquet(store.curr_path)
         .select("entity_id", "timestamp")
         .withColumn("is_curr", F.lit(True))
     )
-    out = hist.join(curr, ["entity_id", "timestamp"], "left").select(
-        "entity_id", "timestamp", "segment", "acctbal",
-        F.array_join("tags", "|").alias("tags"),
-        F.coalesce("is_curr", F.lit(False)).alias("is_curr"),
+    out = (
+        hist.join(curr, ["entity_id", "timestamp"], "left")
+        .join(sampled, ["entity_id", "timestamp"])
+        .select(
+            "entity_id", "timestamp", "segment", "acctbal",
+            F.array_join("tags", "|").alias("tags"),
+            F.coalesce("is_curr", F.lit(False)).alias("is_curr"),
+            "bal_class",
+        )
     )
     return _finish(out, base)
 
@@ -706,7 +793,8 @@ hist AS (
   FROM base WHERE c_custkey % 3 = 0
 )
 SELECT entity_id, timestamp, segment, acctbal, tags,
-       timestamp = max(timestamp) OVER (PARTITION BY entity_id) AS is_curr
+       timestamp = max(timestamp) OVER (PARTITION BY entity_id) AS is_curr,
+       CASE WHEN acctbal >= 0 THEN 'pos' ELSE 'neg' END AS bal_class
 FROM hist
 """
 

@@ -355,3 +355,50 @@ def test_cli_trigger_update_data_function(instance_dir, data_dir, tmp_path, caps
         if d.get("name") == cfg["name"]:
             stored = d
     assert stored["data"] == "cast(power_mwh as string)"
+
+
+def test_cli_attribute_materialization_run(
+    spark, instance_dir, data_dir, capsys
+):
+    """attribute-store materialization-list / materialization-run: the
+    tiny_instance sampled-view def populates hub-class_node's history
+    from the raw trend part."""
+    from datetime import datetime
+
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    ctx = initialize(spark, MinervaInstance.load(instance_dir), data_dir)
+    raw = ctx.trend_stores["hub_node_15m"]
+    rows = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 15), 0.02),
+            (1, datetime(2024, 1, 1, 0, 30), 0.07),
+            (2, datetime(2024, 1, 1, 0, 15), 0.09),
+        ],
+        "entity_id bigint, timestamp timestamp_ntz, power_kwh double",
+    )
+    raw.store(spark, rows, job_id=1)
+
+    run(instance_dir, data_dir, "attribute-store", "materialization-list")
+    assert "hub-class_node" in capsys.readouterr().out
+
+    run(
+        instance_dir, data_dir, "attribute-store", "materialization-run",
+        "--materialize-curr",
+    )
+    assert "hub-class_node: 3" in capsys.readouterr().out
+
+    store = ctx.attribute_stores["hub-class_node"]
+    hist = {
+        (r.entity_id, r.timestamp.strftime("%H:%M")): r.power_class
+        for r in store.read_history(spark).collect()
+    }
+    assert hist == {
+        (1, "00:15"): "low", (1, "00:30"): "high", (2, "00:15"): "high",
+    }
+    curr = {
+        r.entity_id: r.power_class
+        for r in spark.read.parquet(store.curr_path).collect()
+    }
+    assert curr == {1: "high", 2: "high"}

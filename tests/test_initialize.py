@@ -240,3 +240,69 @@ def test_unbounded_sources_false_forces_pruning(spark, tmp_path, instance_dir):
         extra_yaml="unbounded_sources: false\n",
     )
     assert vals["00:45"] == 4.0
+
+
+ATTRIBUTE_YAML = """\
+data_source: att
+entity_type: node
+attributes:
+  - name: power_class
+"""
+
+ATTR_MAT_YAML = """\
+attribute_store:
+  data_source: att
+  entity_type: node
+query: |
+  SELECT entity_id, timestamp,
+         CASE WHEN power_kwh >= 0.05 THEN 'high' ELSE 'low' END
+           AS power_class
+  FROM trend."node_main_15m"
+"""
+
+
+def test_attribute_materialization(spark, tmp_path, instance_dir):
+    """SampledViewMaterialization (reference initialize step
+    'Initializing attribute materializations'): a view over a trend
+    part sampled into an attribute store's history + curr pointer."""
+    (instance_dir / "attribute" / "node_attrs.yaml").write_text(
+        ATTRIBUTE_YAML
+    )
+    mat_dir = instance_dir / "attribute" / "materialization"
+    mat_dir.mkdir()
+    (mat_dir / "node_attrs.yaml").write_text(ATTR_MAT_YAML)
+
+    inst = MinervaInstance.load(instance_dir)
+    assert len(inst.attribute_materializations) == 1
+    ctx = initialize(spark, inst, str(tmp_path / "data"))
+    assert "att_node" in ctx.attribute_stores
+
+    csv = tmp_path / "s.csv"
+    csv.write_text(
+        "node,timestamp,power_kwh\n"
+        "n1,2024-01-01 00:15:00,0.02\n"
+        "n1,2024-01-01 00:30:00,0.07\n"
+    )
+    raw = ctx.trend_stores["hub_node_15m"]
+    Loader(store=raw).load_file(
+        spark, "csv", str(csv),
+        CsvParserConfig(
+            identifier_column="node", timestamp_column="timestamp",
+            entity_type="node",
+            column_types={"power_kwh": "double precision"},
+        ),
+    )
+    done = ctx.materialize_attributes(materialize_curr=True)
+    assert done == ["att_node"]
+
+    store = ctx.attribute_stores["att_node"]
+    hist = {
+        r.timestamp.strftime("%H:%M"): r.power_class
+        for r in store.read_history(spark).collect()
+    }
+    assert hist == {"00:15": "low", "00:30": "high"}
+    curr = spark.read.parquet(store.curr_path).collect()
+    assert len(curr) == 1 and curr[0].power_class == "high"
+    # re-run samples the same rows: history unchanged (upsert on key)
+    ctx.materialize_attributes()
+    assert store.read_history(spark).count() == 2
