@@ -20,6 +20,7 @@ from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from minerva_etl_spark.catalog.datatypes import spark_ddl
 from minerva_etl_spark.catalog.granularity import Granularity
 from minerva_etl_spark.catalog.instance import MinervaInstance, TrendStoreDef
 from minerva_etl_spark.materialize.fingerprint import (
@@ -74,6 +75,11 @@ class EngineContext:
     _relation_defs: list = field(default_factory=list)
     _virtual_entity_defs: list = field(default_factory=list)
     _attribute_materialization_defs: list = field(default_factory=list)
+    _custom_sql: dict = field(default_factory=dict)
+    #: part name → Spark DDL of the DECLARED schema, for empty-view
+    #: fallbacks before any data lands (PG tables exist-with-schema
+    #: from CREATE; parquet dirs only exist after the first write)
+    part_schemas: dict[str, str] = field(default_factory=dict)
 
     def store_key(self, d: TrendStoreDef) -> str:
         return f"{d.data_source}_{d.entity_type}_{Granularity.parse(d.granularity).name}"
@@ -84,7 +90,10 @@ class EngineContext:
         return store.read_part(self.spark, part_name)
 
     def register_part_view(
-        self, part_name: str, time_range: tuple | None = None
+        self,
+        part_name: str,
+        time_range: tuple | None = None,
+        empty_fallback: bool = False,
     ) -> None:
         """Register ``trend."part"`` as a temp view; ``time_range``
         ``(lo_exclusive, hi_inclusive)`` restricts it with a PLAIN
@@ -94,6 +103,10 @@ class EngineContext:
         pruning), so a pass over k stale buckets scans ~k buckets of
         source instead of the whole part."""
         df = self.read_part(part_name)
+        if df is None and empty_fallback:
+            schema = self.part_schemas.get(part_name)
+            if schema is not None:
+                df = self.spark.createDataFrame([], schema)
         if df is not None:
             if time_range is not None:
                 lo, hi = time_range
@@ -209,6 +222,61 @@ class EngineContext:
             done.append(name)
         return done
 
+    def run_custom_sql(
+        self, phase: str, scripts: list[str] | None = None
+    ) -> int:
+        """Custom init SQL hooks (reference `commands/initialize.py`
+        runs ``custom/{pre-init,pre-materialization-init,post-init}/
+        **/*.sql`` at three fixed points, `:201-211,284-303`): each
+        statement is translated and executed against the engine's
+        registered views.  ``CREATE [OR REPLACE] VIEW`` becomes a Spark
+        temp view (the session-lifetime equivalent of the reference's
+        database views); referenced ``trend.""/entity.""`` tables are
+        view-registered first.  Returns the statement count executed.
+
+        Divergence from the reference, by substrate: a PostgreSQL view
+        is live; a Spark temp view snapshots the source file listing at
+        creation.  After loading data, re-invoke the phase (e.g.
+        ``ctx.run_custom_sql("post-init")``) to refresh custom views —
+        statements are idempotent (``CREATE OR REPLACE``)."""
+        import re
+
+        def resolver(schema: str, name: str) -> str:
+            slug = name.replace("->", "__").replace("-", "_")
+            return f"entity_{slug}" if schema == "entity" else slug
+
+        n = 0
+        for text in (
+            scripts if scripts is not None
+            else self._custom_sql.get(phase, [])
+        ):
+            text = re.sub(r"--[^\n]*", "", text)  # line comments
+            for stmt in text.split(";"):
+                stmt = stmt.strip()
+                if not stmt:
+                    continue
+                for part in re.findall(
+                    r'trend\."?([A-Za-z0-9_-]+)"?', stmt
+                ):
+                    if part in self.parts_index:
+                        # declared-schema empty view before data lands:
+                        # pre-init scripts legitimately reference parts
+                        # that exist (as CREATEd tables) but hold no rows
+                        self.register_part_view(part, empty_fallback=True)
+                for etype in re.findall(
+                    r'entity\."?([A-Za-z0-9_><-]+)"?', stmt
+                ):
+                    self.register_entity_view(etype)
+                sql = translate(stmt, table_resolver=resolver)
+                sql = re.sub(
+                    r"(?is)^\s*create\s+(or\s+replace\s+)?view\b",
+                    "CREATE OR REPLACE TEMPORARY VIEW",
+                    sql,
+                )
+                self.spark.sql(sql)
+                n += 1
+        return n
+
     def materialize_attributes(
         self, defs: list[dict] | None = None, materialize_curr: bool = False
     ) -> list[str]:
@@ -306,6 +374,10 @@ def initialize(
     """The fixed-order initialize pass (reference
     `initialize.py:111-155`), minus DDL — objects instead of tables."""
     ctx = EngineContext(spark=spark, data_dir=data_dir)
+    ctx._custom_sql = dict(instance.custom_sql)
+
+    # 0. custom pre-init SQL (reference `initialize.py:112-113`)
+    ctx.run_custom_sql("pre-init")
 
     # 1. trend stores
     for d in instance.trend_stores:
@@ -324,6 +396,14 @@ def initialize(
         ctx.trend_stores[ctx.store_key(d)] = store
         for p in d.parts:
             ctx.parts_index[p.name] = store
+            ctx.part_schemas[p.name] = ", ".join(
+                ["entity_id bigint", "timestamp timestamp_ntz",
+                 "created timestamp_ntz", "job_id bigint"]
+                + [
+                    f"`{t.name}` {spark_ddl(t.data_type)}"
+                    for t in p.trends
+                ]
+            )
 
     # 2. attribute stores
     for a in instance.attribute_stores:
@@ -349,6 +429,10 @@ def initialize(
     ctx.relations = RelationStore(data_dir)
     ctx._relation_defs = list(instance.relations)
     ctx._virtual_entity_defs = list(instance.virtual_entities)
+
+    # 4b. custom pre-materialization-init SQL (reference
+    #     `initialize.py:130-131`)
+    ctx.run_custom_sql("pre-materialization-init")
 
     # 5. materializations (view SQL through the dialect translator)
     ctx.engine = MaterializationEngine(spark, f"{data_dir}/materialization_state")
@@ -437,5 +521,8 @@ def initialize(
     # 6. triggers
     for t in instance.triggers:
         ctx.triggers[t["name"]] = ctx.trigger_factory(t)
+
+    # 7. custom post-init SQL (reference `initialize.py:145-146`)
+    ctx.run_custom_sql("post-init")
 
     return ctx

@@ -187,6 +187,10 @@ class MinervaInstance:
     #: (reference `commands/initialize.py:343-361`): dicts with
     #: ``attribute_store: {data_source, entity_type}`` and ``query``
     attribute_materializations: list[dict] = field(default_factory=list)
+    #: custom init SQL scripts per phase (reference
+    #: `commands/initialize.py:201-211,284-303`): phase name →
+    #: file contents, path-sorted, from custom/<phase>/**/*.sql
+    custom_sql: dict = field(default_factory=dict)
 
     @classmethod
     def load(cls, root: str | Path) -> "MinervaInstance":
@@ -213,6 +217,10 @@ class MinervaInstance:
             (root / "attribute" / "materialization").glob("*.yaml")
         ):
             inst.attribute_materializations.append(_load_yaml(p))
+        for phase in ("pre-init", "pre-materialization-init", "post-init"):
+            files = sorted((root / "custom" / phase).rglob("*.sql"))
+            if files:
+                inst.custom_sql[phase] = [p.read_text() for p in files]
         return inst
 
     def find_trend_store(

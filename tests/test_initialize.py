@@ -306,3 +306,46 @@ def test_attribute_materialization(spark, tmp_path, instance_dir):
     # re-run samples the same rows: history unchanged (upsert on key)
     ctx.materialize_attributes()
     assert store.read_history(spark).count() == 2
+
+
+def test_custom_init_sql_hooks(spark, tmp_path, instance_dir):
+    """Custom pre-/post-init SQL (reference initialize runs
+    custom/{pre-init,pre-materialization-init,post-init}/**/*.sql):
+    a post-init view over a trend part is queryable right after
+    initialize (declared-schema empty fallback) and sees loaded data
+    after the hook re-runs."""
+    pre = instance_dir / "custom" / "pre-init"
+    post = instance_dir / "custom" / "post-init"
+    pre.mkdir(parents=True)
+    post.mkdir(parents=True)
+    (pre / "00_probe.sql").write_text("SELECT 1 AS probe;\n")
+    (post / "10_summary.sql").write_text(
+        "-- per-entity KPI roll-up over the materialized part\n"
+        'CREATE VIEW kpi_summary AS\n'
+        'SELECT entity_id, max(power_mwh) AS max_mwh\n'
+        'FROM trend."kpi_node_15m" GROUP BY entity_id;\n'
+    )
+    inst = MinervaInstance.load(instance_dir)
+    assert set(inst.custom_sql) == {"pre-init", "post-init"}
+    ctx = initialize(spark, inst, str(tmp_path / "data"))
+    # view exists immediately (empty: declared-schema fallback)
+    assert spark.sql("SELECT * FROM kpi_summary").count() == 0
+
+    csv = tmp_path / "s.csv"
+    csv.write_text(
+        "node,timestamp,power_kwh\n"
+        "n1,2024-01-01 00:15:00,0.02\n"
+        "n1,2024-01-01 00:30:00,0.07\n"
+    )
+    Loader(store=ctx.trend_stores["hub_node_15m"]).load_file(
+        spark, "csv", str(csv),
+        CsvParserConfig(
+            identifier_column="node", timestamp_column="timestamp",
+            entity_type="node",
+            column_types={"power_kwh": "double precision"},
+        ),
+    )
+    ctx.materialize_stale(datetime.utcnow() + timedelta(minutes=1))
+    assert ctx.run_custom_sql("post-init") == 1  # refresh the snapshot
+    rows = spark.sql("SELECT * FROM kpi_summary").collect()
+    assert len(rows) == 1 and round(rows[0].max_mwh, 6) == 70.0
