@@ -76,6 +76,10 @@ def generate_time_aggregations(
             "reprocessing_period": "3d",
             "sources": [{"trend_store_part": plan.source_part}],
             "view": view,
+            # generated views read only their target bucket: keep source
+            # range pruning on even though month-rung bucket expressions
+            # contain `interval` (the lookback auto-detect trigger)
+            "unbounded_sources": False,
         }
         out.append((store_yaml, mat_yaml))
     return out
@@ -164,6 +168,7 @@ def generate_entity_aggregation(
                 {"relation": relation},
             ],
             "view": view,
+            "unbounded_sources": False,
         }
         out.append((store_yaml, mat_yaml))
     return out
@@ -276,6 +281,7 @@ def compile_aggregation_definition(
                 "reprocessing_period": d.get("reprocessing_period", "3d"),
                 "sources": [{"trend_store_part": src.name}],
                 "view": view,
+                "unbounded_sources": False,
             }
             mp = root / "materialization" / f"{agg_part['name']}.yaml"
             mp.write_text(yaml.safe_dump(mat_yaml, sort_keys=False))
@@ -369,6 +375,7 @@ def compile_aggregation_definition(
                     {"relation": relation},
                 ],
                 "view": view,
+                "unbounded_sources": False,
             }
             mp = root / "materialization" / f"{agg_part['name']}.yaml"
             mp.write_text(yaml.safe_dump(mat_yaml, sort_keys=False))
@@ -441,7 +448,10 @@ def compile_all_aggregations(instance_dir: str | Path) -> list[str]:
 
 
 def write_generated_definitions(
-    instance_dir: str | Path, store: TrendStoreDef, source_file: str
+    instance_dir: str | Path,
+    store: TrendStoreDef,
+    source_file: str,
+    relations: list[tuple[str, str, str]] | None = None,
 ) -> list[str]:
     """Emit aggregation DEFINITION files into ``aggregation/`` for the
     standard ladder (the reference's two-step workflow:
@@ -450,7 +460,16 @@ def write_generated_definitions(
     `aggregation_generation.py:27-123`).  ``source_file`` is the raw
     store's YAML basename, which ``compile`` resolves back.
     Compiling these yields byte-identical output to the fused
-    :func:`write_generated` path."""
+    :func:`write_generated` path.
+
+    ``relations`` — ``(name, target_entity_type, aggregation_type)``
+    tuples — additionally emits one entity-aggregation definition per
+    relation PER RUNG, mirroring the reference's
+    ``generate_aggregations`` which entity-aggregates each
+    time-aggregated target store too (`aggregation_generation.py:
+    104-122`).  Rung entity definitions reference the rung store file
+    by name; ``compile-all`` orders time aggregations first so the
+    file exists by then."""
     import yaml
 
     from minerva_etl_spark.operators.ladder import generate_time_ladder
@@ -504,6 +523,27 @@ def write_generated_definitions(
         ap = root / "aggregation" / f"{name}.yaml"
         ap.write_text(yaml.safe_dump(d, sort_keys=False))
         written.append(str(ap))
+    for name, d in defs.items() if relations else ():
+        ta = d["time_aggregation"]
+        for rel_name, target_type, agg_type in relations:
+            rel_slug = rel_name.replace("->", "__").replace("-", "_")
+            edef = {
+                "entity_aggregation": {
+                    "name": f"{rel_slug}_{name}",
+                    "source": name,
+                    "relation": rel_name,
+                    "entity_type": target_type,
+                    "aggregation_type": agg_type,
+                    "parts": [
+                        {"name": f"{rel_slug}_{p['name']}",
+                         "source": p["name"]}
+                        for p in ta["parts"]
+                    ],
+                }
+            }
+            ap = root / "aggregation" / f"{rel_slug}_{name}.yaml"
+            ap.write_text(yaml.safe_dump(edef, sort_keys=False))
+            written.append(str(ap))
     return written
 
 

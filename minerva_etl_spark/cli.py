@@ -140,6 +140,23 @@ def _is_generated_store(store) -> bool:
     )
 
 
+def _relations_for(inst, entity_type: str, hints: dict) -> list[tuple]:
+    """Relations applicable to a store: the reference entity-aggregates
+    only relations whose source entity type matches the store's
+    (`aggregation_generation.py:92-97`); undeclared source types apply
+    to every store (repo YAML predates the field).  Returns
+    ``(name, target_entity_type, aggregation_type_hint)`` tuples."""
+    return [
+        (
+            r.name,
+            r.target_entity_type or r.name.split("->")[-1],
+            hints.get(r.name, "VIEW"),
+        )
+        for r in inst.relations
+        if r.source_entity_type in (None, entity_type)
+    ]
+
+
 def cmd_aggregation_generate(args) -> None:
     """`minerva aggregation generate`: emit the standard ladder YAML for
     every raw trend store of the instance."""
@@ -148,22 +165,18 @@ def cmd_aggregation_generate(args) -> None:
 
     from minerva_etl_spark.catalog.aggregation_compile import (
         generate_entity_aggregation,
+        load_aggregation_hints,
         write_generated,
+        write_generated_definitions,
+        write_generated_entity_definitions,
     )
-    from minerva_etl_spark.catalog.instance import MinervaInstance
+    from minerva_etl_spark.catalog.instance import MinervaInstance, TrendStoreDef
 
     inst = MinervaInstance.load(args.instance)
+    hints = load_aggregation_hints(args.instance)
     if getattr(args, "definitions", False):
         # two-step reference workflow: emit aggregation/*.yaml definition
         # files; `aggregation-compile`/`-all` expands them
-        from minerva_etl_spark.catalog.instance import TrendStoreDef
-        from minerva_etl_spark.catalog.aggregation_compile import (
-            load_aggregation_hints,
-            write_generated_definitions,
-            write_generated_entity_definitions,
-        )
-
-        hints = load_aggregation_hints(args.instance)
         for p in sorted((Path(args.instance) / "trend").glob("*.yaml")):
             store = TrendStoreDef.from_dict(
                 yaml.safe_load(p.read_text())
@@ -175,23 +188,24 @@ def cmd_aggregation_generate(args) -> None:
                 # declares `samples` in every part) is noticeable
                 print(f"skipped {p.stem} (looks generated)")
                 continue
+            rels = (
+                _relations_for(inst, store.entity_type, hints)
+                if args.with_relations
+                else None
+            )
             for path in write_generated_definitions(
-                args.instance, store, p.stem
+                args.instance, store, p.stem, relations=rels
             ):
                 print(f"generated {path}")
-            if args.with_relations:
-                for rel in inst.relations:
-                    for path in write_generated_entity_definitions(
-                        args.instance, store, p.stem, rel.name,
-                        rel.target_entity_type
-                        or rel.name.split("->")[-1],
-                        aggregation_type=hints.get(rel.name, "VIEW"),
-                    ):
-                        print(f"generated {path}")
+            for rel_name, target_type, agg_type in rels or []:
+                # raw-rung entity aggregation (the per-rung ones ride
+                # write_generated_definitions above)
+                for path in write_generated_entity_definitions(
+                    args.instance, store, p.stem, rel_name, target_type,
+                    aggregation_type=agg_type,
+                ):
+                    print(f"generated {path}")
         return
-    relations = [
-        (r.name, getattr(r, "target_entity_type", None)) for r in inst.relations
-    ]
     for store in inst.trend_stores:
         if args.raw_only and "raw" not in (store.title or "").lower():
             continue
@@ -201,22 +215,40 @@ def cmd_aggregation_generate(args) -> None:
                 f"{store.granularity} (looks generated)"
             )
             continue
-        for path in write_generated(args.instance, store):
+        written = list(write_generated(args.instance, store))
+        for path in written:
             print(f"generated {path}")
         if args.with_relations:
             root = Path(args.instance)
-            for rel_name, target_type in relations:
-                pairs = generate_entity_aggregation(
-                    store, rel_name, target_type or rel_name.split("->")[-1]
+            rels = _relations_for(inst, store.entity_type, hints)
+            # entity-aggregate the raw store AND every generated rung
+            # (reference generate_aggregations entity-aggregates each
+            # time-aggregated target too, aggregation_generation.py:
+            # 104-122)
+            src_stores = [store] + [
+                TrendStoreDef.from_dict(
+                    yaml.safe_load(Path(p).read_text())
                 )
-                for store_yaml, mat_yaml in pairs:
-                    part = mat_yaml["target_trend_store_part"]
-                    sp = root / "trend" / f"{part}_store.yaml"
-                    mp = root / "materialization" / f"{part}.yaml"
-                    sp.write_text(yaml.safe_dump(store_yaml, sort_keys=False))
-                    mp.write_text(yaml.safe_dump(mat_yaml, sort_keys=False))
-                    print(f"generated {sp}")
-                    print(f"generated {mp}")
+                for p in written
+                if Path(p).parent.name == "trend"
+            ]
+            for src in src_stores:
+                for rel_name, target_type, _agg_type in rels:
+                    pairs = generate_entity_aggregation(
+                        src, rel_name, target_type
+                    )
+                    for store_yaml, mat_yaml in pairs:
+                        part = mat_yaml["target_trend_store_part"]
+                        sp = root / "trend" / f"{part}_store.yaml"
+                        mp = root / "materialization" / f"{part}.yaml"
+                        sp.write_text(
+                            yaml.safe_dump(store_yaml, sort_keys=False)
+                        )
+                        mp.write_text(
+                            yaml.safe_dump(mat_yaml, sort_keys=False)
+                        )
+                        print(f"generated {sp}")
+                        print(f"generated {mp}")
 
 
 def cmd_aggregation_compile(args) -> None:

@@ -117,10 +117,14 @@ def test_generated_ladder_runs(spark, tmp_path):
 
 def test_cli_compile_lifecycle_matches_library(spark, tmp_path, capsys):
     """The full file-to-file workflow through the CLI —
-    ``aggregation-generate --definitions`` → (user tunes the definition)
-    → ``aggregation-compile-all`` → ``load-data`` → ``materialize`` —
-    read-back hash-matches the library-driven `write_generated` path
-    (reference `commands/aggregation.py:26-117`)."""
+    ``aggregation-generate --definitions --with-relations`` → (user
+    tunes the definition) → ``aggregation-compile-all`` →
+    ``load-data`` → ``relation materialize`` → ``materialize`` —
+    read-back hash-matches the fused generate path (reference
+    `commands/aggregation.py:26-117`).  Covers a relation: entity
+    aggregations are generated for the raw store AND each time rung
+    (reference `generate_aggregations`), and the raw + 1h-rung entity
+    parts ride the hash."""
     import hashlib
 
     import yaml
@@ -135,16 +139,33 @@ def test_cli_compile_lifecycle_matches_library(spark, tmp_path, capsys):
         "n1,2024-01-01 01:15:00,4.0,24.0\n"
         "n2,2024-01-01 00:45:00,8.0,18.0\n"
     )
+    relation_yaml = {
+        "name": "node->site",
+        "source_entity_type": "node",
+        "target_entity_type": "site",
+        "query": (
+            'SELECT n.id AS source_id, CAST(1 AS BIGINT) AS target_id '
+            'FROM entity."node" n'
+        ),
+    }
 
     def read_back_hash(instance_dir, data_dir):
         ctx = initialize(
             spark, MinervaInstance.load(instance_dir), str(data_dir)
         )
-        rows = sorted(
-            (r.entity_id, r.timestamp, r.samples, r.power_kwh, r.inside_temp)
-            for r in ctx.read_part("node_main_1h").collect()
-        )
-        assert rows, "materialization produced no hourly rows"
+        rows = []
+        for part in (
+            "node_main_1h",              # time rung
+            "node__site_node_main_15m",  # entity agg of the raw store
+            "node__site_node_main_1h",   # entity agg of the 1h rung
+        ):
+            part_rows = sorted(
+                (part, r.entity_id, r.timestamp, r.samples,
+                 r.power_kwh, r.inside_temp)
+                for r in ctx.read_part(part).collect()
+            )
+            assert part_rows, f"materialization produced no {part} rows"
+            rows.extend(part_rows)
         return hashlib.md5(repr(rows).encode()).hexdigest()
 
     def loosen(instance_dir):
@@ -162,44 +183,58 @@ def test_cli_compile_lifecycle_matches_library(spark, tmp_path, capsys):
             "load-data", "--data-source", "hub", "--entity-type", "node",
             "--granularity", "15m", str(csv_path),
         ])
+        cli.main([
+            "--instance", str(instance_dir), "--data-dir", str(data_dir),
+            "relation", "materialize",
+        ])
         from datetime import datetime, timedelta, timezone
 
         later = (
             datetime.now(timezone.utc).replace(tzinfo=None)
             + timedelta(minutes=10)
         ).isoformat()
-        cli.main([
-            "--instance", str(instance_dir), "--data-dir", str(data_dir),
-            "materialize", "--now", later,
-        ])
+        # two passes: rung-sourced entity aggregations become stale
+        # only once their rung part is written by the first pass
+        for _ in range(2):
+            cli.main([
+                "--instance", str(instance_dir), "--data-dir", str(data_dir),
+                "materialize", "--now", later,
+            ])
+
+    def seed_instance(root):
+        (root / "trend").mkdir(parents=True)
+        (root / "relation").mkdir()
+        (root / "trend" / "hub_node_15m.yaml").write_text(
+            yaml.safe_dump(RAW_YAML, sort_keys=False)
+        )
+        (root / "relation" / "node_site.yaml").write_text(
+            yaml.safe_dump(relation_yaml, sort_keys=False)
+        )
 
     # --- CLI path: generate definitions, tune, compile-all
     cli_inst, cli_data = tmp_path / "cli_inst", tmp_path / "cli_data"
-    (cli_inst / "trend").mkdir(parents=True)
-    (cli_inst / "trend" / "hub_node_15m.yaml").write_text(
-        yaml.safe_dump(RAW_YAML, sort_keys=False)
-    )
+    seed_instance(cli_inst)
     cli.main(["--instance", str(cli_inst), "--data-dir", str(cli_data),
-              "aggregation-generate", "--definitions"])
+              "aggregation-generate", "--definitions", "--with-relations"])
     out = capsys.readouterr().out
     assert "aggregation" in out
-    # user tune step on the authored definition: widen reprocessing
+    # user tune step on the authored definitions: widen reprocessing
+    # (time and entity flavors both carry the knob)
     for p in (cli_inst / "aggregation").glob("*.yaml"):
         d = yaml.safe_load(p.read_text())
-        d["time_aggregation"]["reprocessing_period"] = "260w"
+        inner = d.get("time_aggregation") or d.get("entity_aggregation")
+        inner["reprocessing_period"] = "260w"
         p.write_text(yaml.safe_dump(d, sort_keys=False))
     cli.main(["--instance", str(cli_inst), "--data-dir", str(cli_data),
               "aggregation-compile-all"])
     assert "compiled" in capsys.readouterr().out
     load_and_materialize(cli_inst, cli_data)
 
-    # --- library path: fused write_generated
+    # --- fused path: aggregation-generate --with-relations
     lib_inst, lib_data = tmp_path / "lib_inst", tmp_path / "lib_data"
-    (lib_inst / "trend").mkdir(parents=True)
-    (lib_inst / "trend" / "hub_node_15m.yaml").write_text(
-        yaml.safe_dump(RAW_YAML, sort_keys=False)
-    )
-    write_generated(lib_inst, TrendStoreDef.from_dict(RAW_YAML))
+    seed_instance(lib_inst)
+    cli.main(["--instance", str(lib_inst), "--data-dir", str(lib_data),
+              "aggregation-generate", "--with-relations"])
     loosen(lib_inst)
     load_and_materialize(lib_inst, lib_data)
 
