@@ -1891,7 +1891,7 @@ _REGISTRY_ORDER = [
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_simhash",
+    "dedup_simhash_hamming",
     "dedup_embedding",
     "dedup_components",
     "decontamination",
@@ -1921,12 +1921,12 @@ _REGISTRY_ORDER = [
     # Rotation policy: the simhash pair (raw signatures vs hamming
     # pairing) shares one in-window slot, alternating per round so each
     # regains a driver-recorded row over time (r3/r4 proved _hamming;
-    # r5 proves the raw signatures).  dn_parse rotated out in favor of
-    # shard_pack (SURVEY 2.8 DN parsing stays driver-proven through the
-    # green kpi_translated/relation_regex/timestamp_mapping rows).
-    # Everything here is still verified every session by
-    # tools/check_oracle.py.
-    "dedup_simhash_hamming",
+    # r5 the raw signatures; r6 rotates _hamming back in).  dn_parse
+    # rotated out in favor of shard_pack (SURVEY 2.8 DN parsing stays
+    # driver-proven through the green kpi_translated/relation_regex/
+    # timestamp_mapping rows).  Everything here is still verified every
+    # session by tools/check_oracle.py.
+    "dedup_simhash",
     "dn_parse",
     "kpi_revenue",
     "trend_time_agg_1month",
