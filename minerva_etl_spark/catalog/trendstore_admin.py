@@ -1,0 +1,203 @@
+"""Trend-store catalog administration: create / add-parts / add-trends /
+remove-trends / delete / show / list over the instance directory.
+
+Reference (`/root/reference/src/minerva/commands/trend_store.py`):
+
+- ``create`` (`:59-95`): register a trend store from a definition file;
+  duplicate is an error.
+- ``add-trends`` (`:98-126,381-404`): sync NEW trends from a definition
+  into the live store (columns present in the definition, missing in the
+  catalog).
+- ``add-parts`` (`:128-139,533-586`): add parts present in the
+  definition, missing in the catalog.
+- ``remove-trends`` (`:141-168,407-433`): drop catalog trends absent
+  from the definition (``remove_extra_trends``).
+- ``delete`` (`:589-612`), ``show`` (`:615-694`), ``list`` /
+  ``list-config`` (`:697-740`).
+
+The reference's live catalog is the ``trend_directory`` schema; here the
+instance YAML directory IS the catalog (initialize compiles it), so
+these commands edit the YAML at the dict level — extra keys an operator
+added by hand survive round-trips.  Data files align lazily on the next
+store/read (columns appear as nulls via mergeSchema; removed columns
+stop being selected), mirroring how the reference alters only catalog
+tables and lets partition tables follow.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from minerva_etl_spark.catalog.granularity import Granularity
+
+
+def _load_yaml(path: Path) -> dict:
+    import yaml
+
+    with open(path) as f:
+        return yaml.safe_load(f)
+
+
+def _dump_yaml(path: Path, data: dict) -> None:
+    import yaml
+
+    with open(path, "w") as f:
+        yaml.safe_dump(data, f, sort_keys=False)
+
+
+def _store_key(d: dict) -> tuple:
+    return (
+        d["data_source"],
+        d["entity_type"],
+        Granularity.parse(str(d["granularity"])).name,
+    )
+
+
+def find_store_file(root: str | Path, key: tuple) -> Path | None:
+    """Locate the instance YAML declaring the (data_source, entity_type,
+    granularity) triple."""
+    for p in sorted((Path(root) / "trend").glob("*.yaml")):
+        if _store_key(_load_yaml(p)) == key:
+            return p
+    return None
+
+
+def list_trend_stores(root: str | Path) -> list[tuple]:
+    """``trend-store list`` / ``list-config``: every declared store as
+    (file, data_source, entity_type, granularity)."""
+    out = []
+    for p in sorted((Path(root) / "trend").glob("*.yaml")):
+        d = _load_yaml(p)
+        out.append((p.name, *_store_key(d)))
+    return out
+
+
+def create_trend_store(root: str | Path, definition: str | Path) -> Path:
+    """``trend-store create``: register a definition file in the
+    instance; duplicate (same triple) is an error like the reference's
+    ``DuplicateTrendStore``."""
+    d = _load_yaml(Path(definition))
+    key = _store_key(d)
+    existing = find_store_file(root, key)
+    if existing is not None:
+        raise FileExistsError(
+            f"trend store {key} already defined in {existing.name}"
+        )
+    target_dir = Path(root) / "trend"
+    target_dir.mkdir(parents=True, exist_ok=True)
+    target = target_dir / Path(definition).name
+    _dump_yaml(target, d)
+    return target
+
+
+def delete_trend_store(root: str | Path, key: tuple) -> Path:
+    """``trend-store delete``: unregister (YAML removal; data files are
+    retention's business, like the reference keeps partitions until
+    cleanup)."""
+    p = find_store_file(root, key)
+    if p is None:
+        raise FileNotFoundError(f"no trend store {key}")
+    p.unlink()
+    return p
+
+
+def add_parts(root: str | Path, definition: str | Path) -> list[str]:
+    """``trend-store add-parts``: parts in the definition missing from
+    the registered store are appended."""
+    d = _load_yaml(Path(definition))
+    target = find_store_file(root, _store_key(d))
+    if target is None:
+        raise FileNotFoundError(f"no trend store {_store_key(d)}")
+    current = _load_yaml(target)
+    have = {p["name"] for p in current.get("parts", [])}
+    added = []
+    for part in d.get("parts", []):
+        if part["name"] not in have:
+            current.setdefault("parts", []).append(part)
+            added.append(part["name"])
+    if added:
+        _dump_yaml(target, current)
+    return added
+
+
+def add_trends(root: str | Path, definition: str | Path) -> list[str]:
+    """``trend-store add-trends``: per matching part, trends in the
+    definition missing from the registered store are appended.  Returns
+    ``part.trend`` names added."""
+    d = _load_yaml(Path(definition))
+    target = find_store_file(root, _store_key(d))
+    if target is None:
+        raise FileNotFoundError(f"no trend store {_store_key(d)}")
+    current = _load_yaml(target)
+    parts_by_name = {p["name"]: p for p in current.get("parts", [])}
+    added = []
+    for part in d.get("parts", []):
+        cur = parts_by_name.get(part["name"])
+        if cur is None:
+            continue  # add-parts is the command for new parts
+        have = {t["name"] for t in cur.get("trends", [])}
+        for trend in part.get("trends", []):
+            if trend["name"] not in have:
+                cur.setdefault("trends", []).append(trend)
+                added.append(f"{part['name']}.{trend['name']}")
+    if added:
+        _dump_yaml(target, current)
+    return added
+
+
+def remove_trends(root: str | Path, definition: str | Path) -> list[str]:
+    """``trend-store remove-trends`` (= reference
+    ``remove_extra_trends``): registered trends ABSENT from the
+    definition are dropped, per matching part."""
+    d = _load_yaml(Path(definition))
+    target = find_store_file(root, _store_key(d))
+    if target is None:
+        raise FileNotFoundError(f"no trend store {_store_key(d)}")
+    current = _load_yaml(target)
+    keep_by_part = {
+        p["name"]: {t["name"] for t in p.get("trends", [])}
+        for p in d.get("parts", [])
+    }
+    removed = []
+    for part in current.get("parts", []):
+        if part["name"] not in keep_by_part:
+            continue
+        keep = keep_by_part[part["name"]]
+        kept, dropped = [], []
+        for trend in part.get("trends", []):
+            (kept if trend["name"] in keep else dropped).append(trend)
+        part["trends"] = kept
+        removed.extend(f"{part['name']}.{t['name']}" for t in dropped)
+    if removed:
+        _dump_yaml(target, current)
+    return removed
+
+
+def show_trend_store(root: str | Path, key: tuple) -> str:
+    """``trend-store show``: human-readable dump mirroring the
+    reference's field list (`trend_store.py:627-694`)."""
+    p = find_store_file(root, key)
+    if p is None:
+        raise FileNotFoundError(f"no trend store {key}")
+    d = _load_yaml(p)
+    lines = [
+        "Trend Store",
+        "",
+        f"file:             {p.name}",
+        f"entity_type:      {d['entity_type']}",
+        f"data_source:      {d['data_source']}",
+        f"granularity:      {d['granularity']}",
+        f"partition_size:   {d.get('partition_size')}",
+        f"retention_period: {d.get('retention_period')}",
+        "parts:",
+    ]
+    for part in d.get("parts", []):
+        header = part["name"]
+        lines.append(f"                  {header}")
+        lines.append(f"                  {'=' * len(header)}")
+        for t in part.get("trends", []):
+            lines.append(
+                f"                  {t['name']}: "
+                f"{t.get('data_type', 'numeric')}"
+            )
+    return "\n".join(lines)

@@ -93,9 +93,19 @@ def cmd_load_data(args) -> None:
         delimiter=args.delimiter,
     )
     loader = Loader(store=store, job_log=JobLog(args.data_dir))
-    for path in args.files:
-        job = loader.load_file(spark, args.file_type, path, cfg)
-        print(f"loaded {path} as job {job}")
+    if len(args.files) > 1:
+        # fused batch load: one upsert cycle per part for the whole
+        # delivery instead of one per file (O(parts), not O(files*parts))
+        jobs = loader.load_files(
+            spark,
+            [(args.file_type, path, cfg, None, None) for path in args.files],
+        )
+        for path, job in zip(args.files, jobs):
+            print(f"loaded {path} as job {job}")
+    else:
+        for path in args.files:
+            job = loader.load_file(spark, args.file_type, path, cfg)
+            print(f"loaded {path} as job {job}")
 
 
 def cmd_report(args) -> None:
@@ -803,6 +813,67 @@ def _partition_index(store, ts: datetime) -> int:
     return epoch // psize.seconds
 
 
+def cmd_trend_store(args) -> None:
+    """`minerva trend-store create|add-parts|add-trends|remove-trends|
+    delete|show|list|list-config|process-modified-log`
+    (`/root/reference/src/minerva/commands/trend_store.py`).  The
+    instance YAML directory is the catalog; definition-file actions sync
+    it the way the reference syncs ``trend_directory``."""
+    from minerva_etl_spark.catalog import trendstore_admin as tsa
+
+    if args.action == "create":
+        try:
+            path = tsa.create_trend_store(args.instance, args.definition)
+        except FileExistsError as exc:
+            sys.exit(f"Could not create trend store: {exc}")
+        print(f"Creating trend store ... OK ({path})")
+    elif args.action == "add-parts":
+        added = tsa.add_parts(args.instance, args.definition)
+        print(
+            f"Added parts: {', '.join(added)}" if added
+            else "No parts to be added"
+        )
+    elif args.action == "add-trends":
+        added = tsa.add_trends(args.instance, args.definition)
+        print(
+            f"Added trends: {', '.join(added)}" if added
+            else "No trends to be added"
+        )
+    elif args.action == "remove-trends":
+        removed = tsa.remove_trends(args.instance, args.definition)
+        print(
+            f"Removed trends: {', '.join(removed)}" if removed
+            else "No trends to be removed."
+        )
+    elif args.action == "delete":
+        from minerva_etl_spark.catalog.granularity import Granularity
+
+        key = (args.data_source, args.entity_type,
+               Granularity.parse(args.granularity).name)
+        try:
+            path = tsa.delete_trend_store(args.instance, key)
+        except FileNotFoundError as exc:
+            sys.exit(str(exc))
+        print(f"deleted trend store ({path})")
+    elif args.action == "show":
+        from minerva_etl_spark.catalog.granularity import Granularity
+
+        key = (args.data_source, args.entity_type,
+               Granularity.parse(args.granularity).name)
+        try:
+            print(tsa.show_trend_store(args.instance, key))
+        except FileNotFoundError as exc:
+            sys.exit(str(exc))
+    elif args.action in ("list", "list-config"):
+        for fname, ds, et, gran in tsa.list_trend_stores(args.instance):
+            print(f"{fname}\t{ds}\t{et}\t{gran}")
+    elif args.action == "process-modified-log":
+        spark = _spark()
+        store = _build_store(args)
+        n = store.process_modified_log(spark)
+        print(f"Processed modified log into {n} state rows")
+
+
 def cmd_trend_materialization(args) -> None:
     """`minerva trend-materialization create|update|drop|list|enable|
     disable`
@@ -1097,6 +1168,21 @@ def main(argv: list[str] | None = None) -> None:
     pt.add_argument("--ahead-interval", default="3d")
     pt.add_argument("--now", default=None, help="pinned now (ISO)")
     pt.set_defaults(fn=cmd_partition)
+
+    tsg = sub.add_parser("trend-store")
+    tsg.add_argument(
+        "action",
+        choices=[
+            "create", "add-parts", "add-trends", "remove-trends",
+            "delete", "show", "list", "list-config", "process-modified-log",
+        ],
+    )
+    tsg.add_argument("definition", nargs="?",
+                     help="trend store definition YAML")
+    tsg.add_argument("--data-source")
+    tsg.add_argument("--entity-type")
+    tsg.add_argument("--granularity")
+    tsg.set_defaults(fn=cmd_trend_store)
 
     tm = sub.add_parser("trend-materialization")
     tm.add_argument(

@@ -139,8 +139,15 @@ def q_lifecycle_load_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         column_filter=r"^(value|score|junk)$",  # P8 column filter: drop noise
         id_method="md5",
     )
-    loader.load_file(spark, "csv", base + "/in1", cfg, job_id=1001, created=_C1)
-    loader.load_file(spark, "csv", base + "/in2", cfg, job_id=1002, created=_C2)
+    # fused batch load: ONE entity-dim registration + ONE upsert cycle
+    # per part for the whole delivery (vs one per file sequentially)
+    loader.load_files(
+        spark,
+        [
+            ("csv", base + "/in1", cfg, 1001, _C1),
+            ("csv", base + "/in2", cfg, 1002, _C2),
+        ],
+    )
     wide = store.read_store(spark)  # U3: parts joined back on the key
     main = store.read_part(spark, "main_15m").select(
         "entity_id", "timestamp", "created", "job_id"

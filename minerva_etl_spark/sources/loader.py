@@ -73,17 +73,11 @@ class Loader:
     #: entity-id hash method for the dimension table ('xxhash64' | 'md5')
     id_method: str = "xxhash64"
 
-    def load_file(
-        self,
-        spark: SparkSession,
-        file_type: str,
-        path: str,
-        parser_config,
-        job_id: int | None = None,
-        created: datetime | None = None,
-    ) -> int:
-        started = datetime.now(timezone.utc).replace(tzinfo=None)
-        job_id = job_id if job_id is not None else int(time.time() * 1000) % (2**62)
+    def _parse_one(
+        self, spark: SparkSession, file_type: str, path: str, parser_config
+    ) -> tuple[DataFrame, list[str]]:
+        """Parse + row/column filter one file; returns (frame, metric
+        columns).  Shared by the sequential and fused load paths."""
         reader = get_plugin(file_type)
         frame = reader(spark, path, parser_config)
         if self.entity_filter and "entity_ref" in frame.columns:
@@ -102,6 +96,20 @@ class Loader:
             passthrough = [c for c in ("entity_ref",) if c in frame.columns]
             frame = frame.select("entity_id", "timestamp", *passthrough, *keep)
             metric_cols = keep
+        return frame, metric_cols
+
+    def load_file(
+        self,
+        spark: SparkSession,
+        file_type: str,
+        path: str,
+        parser_config,
+        job_id: int | None = None,
+        created: datetime | None = None,
+    ) -> int:
+        started = datetime.now(timezone.utc).replace(tzinfo=None)
+        job_id = job_id if job_id is not None else int(time.time() * 1000) % (2**62)
+        frame, metric_cols = self._parse_one(spark, file_type, path, parser_config)
         if self.register_entity_dim and "entity_ref" in frame.columns:
             from minerva_etl_spark.catalog.directory import register_entities
 
@@ -145,3 +153,110 @@ class Loader:
                     spark, job_id, os.path.basename(path), started, ended, state
                 )
         return job_id
+
+    def load_files(
+        self,
+        spark: SparkSession,
+        files: list[tuple],
+        created: datetime | None = None,
+    ) -> list[int]:
+        """Fused multi-file load: ``files`` is a list of
+        ``(file_type, path, parser_config, job_id, created)`` tuples
+        (job_id/created may be None).  All files are parsed lazily,
+        unioned with per-row job columns, the entity dimension is
+        registered ONCE over the union, and each store part sees ONE
+        upsert cycle — O(parts) jobs for a whole harvest directory
+        instead of O(files x parts).  Within-batch key conflicts resolve
+        exactly as sequential loads in ``created`` order would
+        (last-write-wins, ``created = greatest``).
+
+        Reference parity: the reference CLI processes a directory file
+        by file inside one transaction each
+        (`/root/reference/src/minerva/commands/load_data.py:57-90`); on
+        Spark the batched union is the idiomatic equivalent — same final
+        table state, one distributed job per part.
+        """
+        started = datetime.now(timezone.utc).replace(tzinfo=None)
+        default_created = created or started
+        frames: list[DataFrame] = []
+        jobs: list[int] = []
+        names: list[str] = []
+        declared = {c for p in self.store.parts for c in p.trend_columns}
+        for i, (file_type, path, parser_config, job_id, file_created) in enumerate(
+            files
+        ):
+            job_id = (
+                job_id
+                if job_id is not None
+                else (int(time.time() * 1000) % (2**62)) + i
+            )
+            frame, metric_cols = self._parse_one(
+                spark, file_type, path, parser_config
+            )
+            unknown = [c for c in metric_cols if c not in declared]
+            if unknown and self.on_unknown_column == "stop":
+                if self.job_log is not None:
+                    ended = datetime.now(timezone.utc).replace(tzinfo=None)
+                    self.job_log.log(
+                        spark, job_id, os.path.basename(path),
+                        started, ended, "failed",
+                    )
+                raise ValueError(f"undeclared metric columns: {unknown}")
+            if unknown and self.on_unknown_column == "add":
+                self.store.alter_trends(self.store.parts[0].name, unknown)
+                declared |= set(unknown)
+            keep = [c for c in metric_cols if c in declared]
+            passthrough = [c for c in ("entity_ref",) if c in frame.columns]
+            carried = (
+                F.array(*[F.lit(c) for c in keep])
+                if keep
+                else F.array().cast("array<string>")
+            )
+            frames.append(
+                frame.select("entity_id", "timestamp", *passthrough, *keep)
+                .withColumn("job_id", F.lit(job_id).cast("bigint"))
+                .withColumn("created", F.lit(file_created or default_created))
+                # which metric columns THIS file actually carried — a
+                # union-null must not beat a real value from another file
+                # in a part the file never touched
+                .withColumn("__cols", carried)
+            )
+            jobs.append(job_id)
+            names.append(os.path.basename(path))
+        if not frames:
+            return []
+        from functools import reduce
+
+        package = reduce(
+            lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+        )
+        if self.register_entity_dim and "entity_ref" in package.columns:
+            from minerva_etl_spark.catalog.directory import register_entities
+
+            register_entities(
+                spark,
+                os.path.join(self.store.base_path, "entity", self.store.entity_type),
+                package.select(F.col("entity_ref").alias("name")),
+                self.store.entity_type,
+                method=self.id_method,
+            )
+            package = package.drop("entity_ref")
+        state = "finished"
+        try:
+            self.store.store_batch(spark, package)
+        except Exception:
+            state = "failed"
+            raise
+        finally:
+            if self.job_log is not None:
+                ended = datetime.now(timezone.utc).replace(tzinfo=None)
+                rows = [
+                    (job_id, name, started, ended, state)
+                    for job_id, name in zip(jobs, names)
+                ]
+                spark.createDataFrame(
+                    rows,
+                    "job_id bigint, description string, started timestamp_ntz, "
+                    "ended timestamp_ntz, state string",
+                ).write.mode("append").parquet(self.job_log.path)
+        return jobs

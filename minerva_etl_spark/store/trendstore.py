@@ -222,48 +222,90 @@ class TrendStore:
                     PARTITION_COL, self.partition_index_col("timestamp")
                 )
             )
-            existing = self.read_part(spark, part.name, with_partition_col=True)
-            if existing is not None:
-                # schema evolution: align columns, widen drifted types
-                existing, batch, widened = align_schemas(existing, batch)
-                rebuild = widened
-                if self.layout == "bucketed" and not rebuild:
-                    # a bucketed table is rebuilt via saveAsTable on ANY
-                    # schema change (column add too, not just widen) —
-                    # that rebuild replaces the whole table, so it must
-                    # carry the whole part, not just touched partitions
-                    name = self.table_name(part.name)
-                    if spark.catalog.tableExists(name):
-                        rebuild = not _same_schema(
-                            spark.table(name).schema, batch.schema
-                        )
-                if rebuild:
-                    # ALTER COLUMN TYPE analog: one-time full-part rewrite
-                    # so every file agrees on the widened type (metadata-
-                    # only on Delta/Iceberg; rare admin-grade event here)
-                    scope = existing
-                else:
-                    # fast path: only the partitions the batch touches
-                    touched = [
-                        r[PARTITION_COL]
-                        for r in batch.select(PARTITION_COL).distinct().collect()
-                    ]
-                    scope = existing.filter(F.col(PARTITION_COL).isin(touched))
-                merged = upsert(
-                    scope.select(*batch.columns), batch,
-                    keys=["entity_id", "timestamp"],
-                    greatest_cols=["created"],
+            self._store_part(spark, part, batch)
+
+    def store_batch(self, spark: SparkSession, package: DataFrame) -> None:
+        """Fused multi-package upsert: ``package`` already carries
+        per-row ``created`` and ``job_id`` columns (one unioned frame for
+        many harvest files).  Per part this is ONE read-modify-write
+        cycle instead of one per file — at a harvest directory of
+        hundreds of files the difference between O(parts) and
+        O(files x parts) jobs.  Within-batch key conflicts resolve
+        last-write-wins on (created, job_id), identical to storing the
+        packages sequentially in created order."""
+        from minerva_etl_spark.operators.upsert import dedup_last_wins
+
+        for part in self.parts:
+            cols = [c for c in part.trend_columns if c in package.columns]
+            if not cols:
+                continue
+            scoped = package
+            if "__cols" in package.columns:
+                # only rows from files that carried >=1 of this part's
+                # columns participate — matches the sequential path
+                # where such a file never touched this part
+                scoped = package.filter(
+                    F.arrays_overlap(
+                        F.col("__cols"), F.array(*[F.lit(c) for c in cols])
+                    )
                 )
-                if self.layout == "bucketed":
-                    # saveAsTable/insertInto overwrite the files merged
-                    # reads from: break lineage.  Bounded: steady-state
-                    # loads carry only touched partitions; rebuilds are
-                    # rare admin-grade events
-                    merged = merged.localCheckpoint(eager=True)
+            batch = scoped.select(
+                "entity_id", "timestamp", *cols, "created",
+                F.col("job_id").cast("bigint").alias("job_id"),
+            ).withColumn(PARTITION_COL, self.partition_index_col("timestamp"))
+            batch = dedup_last_wins(
+                batch, ["entity_id", "timestamp"], "created",
+                tiebreak_cols=["job_id"],
+            )
+            self._store_part(spark, part, batch)
+
+    def _store_part(
+        self, spark: SparkSession, part: "TrendStorePart", batch: DataFrame
+    ) -> None:
+        """Upsert one prepared batch (keys + metrics + created/job_id +
+        partition col, unique on the key) into a single part."""
+        existing = self.read_part(spark, part.name, with_partition_col=True)
+        if existing is not None:
+            # schema evolution: align columns, widen drifted types
+            existing, batch, widened = align_schemas(existing, batch)
+            rebuild = widened
+            if self.layout == "bucketed" and not rebuild:
+                # a bucketed table is rebuilt via saveAsTable on ANY
+                # schema change (column add too, not just widen) —
+                # that rebuild replaces the whole table, so it must
+                # carry the whole part, not just touched partitions
+                name = self.table_name(part.name)
+                if spark.catalog.tableExists(name):
+                    rebuild = not _same_schema(
+                        spark.table(name).schema, batch.schema
+                    )
+            if rebuild:
+                # ALTER COLUMN TYPE analog: one-time full-part rewrite
+                # so every file agrees on the widened type (metadata-
+                # only on Delta/Iceberg; rare admin-grade event here)
+                scope = existing
             else:
-                merged = batch
-            self._write_merged(spark, part.name, merged)
-            self._mark_modified(spark, part.name, batch, created)
+                # fast path: only the partitions the batch touches
+                touched = [
+                    r[PARTITION_COL]
+                    for r in batch.select(PARTITION_COL).distinct().collect()
+                ]
+                scope = existing.filter(F.col(PARTITION_COL).isin(touched))
+            merged = upsert(
+                scope.select(*batch.columns), batch,
+                keys=["entity_id", "timestamp"],
+                greatest_cols=["created"],
+            )
+            if self.layout == "bucketed":
+                # saveAsTable/insertInto overwrite the files merged
+                # reads from: break lineage.  Bounded: steady-state
+                # loads carry only touched partitions; rebuilds are
+                # rare admin-grade events
+                merged = merged.localCheckpoint(eager=True)
+        else:
+            merged = batch
+        self._write_merged(spark, part.name, merged)
+        self._mark_modified_batch(spark, part.name, batch)
 
     # one bucket per this many input bytes when n_buckets is unset
     BUCKET_TARGET_BYTES = 256 * 1024 * 1024
@@ -403,6 +445,20 @@ class TrendStore:
         )
         log.write.mode("append").parquet(self.modified_log_path())
 
+    def _mark_modified_batch(
+        self, spark: SparkSession, part: str, batch: DataFrame
+    ) -> None:
+        """Batch-aware mark_modified: one row per touched timestamp with
+        ``modified = max(created)`` of the rows that touched it — the
+        moment the sequential per-package marks would have left behind."""
+        log = (
+            batch.groupBy("timestamp")
+            .agg(F.max("created").alias("modified"))
+            .withColumn("part", F.lit(part))
+            .select("timestamp", "part", "modified")
+        )
+        log.write.mode("append").parquet(self.modified_log_path())
+
     # ------------------------------------------------------------ read
     def read_part(
         self,
@@ -465,6 +521,39 @@ class TrendStore:
         if not path_exists(spark, self.modified_log_path()):
             return None
         return spark.read.parquet(self.modified_log_path())
+
+    def process_modified_log(self, spark: SparkSession) -> int:
+        """Reference ``trend-store process-modified-log``
+        (`commands/trend_store.py:908-963`): fold the append-only
+        modified LOG into compact modified STATE — max(modified) per
+        (part, timestamp).
+
+        On Spark the log is a parquet directory growing one small file
+        per store call; unbounded it dominates the scheduler's
+        fingerprint scan at high load rates.  Compaction rewrites it via
+        write-and-swap to exactly one row per (part, timestamp) —
+        staleness fingerprints (max per key) are invariant under it.
+        Returns the number of state rows after compaction.
+        """
+        log = self.read_modified_log(spark)
+        if log is None:
+            return 0
+        from minerva_etl_spark.fsutil import swap_directory_write
+
+        state = (
+            log.groupBy("part", "timestamp")
+            .agg(F.max("modified").alias("modified"))
+            .select("timestamp", "part", "modified")
+        )
+        # break lineage: the swap deletes the files `state` reads from
+        state = state.localCheckpoint(eager=True)
+        n = state.count()
+        swap_directory_write(
+            spark,
+            lambda tmp: state.coalesce(1).write.mode("overwrite").parquet(tmp),
+            self.modified_log_path(),
+        )
+        return n
 
     # ------------------------------------------------------- retention
     def expired_partitions(

@@ -402,3 +402,103 @@ def test_cli_attribute_materialization_run(
         for r in spark.read.parquet(store.curr_path).collect()
     }
     assert curr == {1: "high", 2: "high"}
+
+
+def test_cli_trend_store_admin(spark, instance_dir, data_dir, capsys, tmp_path):
+    """trend-store create/add-parts/add-trends/remove-trends/show/list/
+    delete sync the instance YAML catalog (reference
+    `commands/trend_store.py` definition-file semantics)."""
+    import yaml
+
+    # list: the two tiny-instance stores
+    run(instance_dir, data_dir, "trend-store", "list")
+    out = capsys.readouterr().out
+    assert "hub\tnode\t15m" in out and "hub-kpi\tnode\t15m" in out
+
+    # create: new store from a definition file; duplicate is an error
+    newdef = tmp_path / "acme_node_1h.yaml"
+    newdef.write_text(yaml.safe_dump({
+        "data_source": "acme", "entity_type": "node", "granularity": "1h",
+        "partition_size": "4d",
+        "parts": [{"name": "acme_main_1h",
+                   "trends": [{"name": "kwh", "data_type": "double precision"}]}],
+    }))
+    run(instance_dir, data_dir, "trend-store", "create", str(newdef))
+    assert "OK" in capsys.readouterr().out
+    with __import__("pytest").raises(SystemExit):
+        run(instance_dir, data_dir, "trend-store", "create", str(newdef))
+    capsys.readouterr()
+
+    # add-parts + add-trends from an extended definition
+    extdef = tmp_path / "acme_ext.yaml"
+    extdef.write_text(yaml.safe_dump({
+        "data_source": "acme", "entity_type": "node", "granularity": "1h",
+        "parts": [
+            {"name": "acme_main_1h",
+             "trends": [{"name": "kwh", "data_type": "double precision"},
+                        {"name": "temp", "data_type": "double precision"}]},
+            {"name": "acme_aux_1h",
+             "trends": [{"name": "events", "data_type": "bigint"}]},
+        ],
+    }))
+    run(instance_dir, data_dir, "trend-store", "add-parts", str(extdef))
+    assert "Added parts: acme_aux_1h" in capsys.readouterr().out
+    run(instance_dir, data_dir, "trend-store", "add-trends", str(extdef))
+    assert "Added trends: acme_main_1h.temp" in capsys.readouterr().out
+
+    # show reflects the synced catalog
+    run(instance_dir, data_dir, "trend-store", "show",
+        "--data-source", "acme", "--entity-type", "node",
+        "--granularity", "1h")
+    out = capsys.readouterr().out
+    assert "acme_aux_1h" in out and "temp: double precision" in out
+
+    # remove-trends: definition without 'temp' drops it again
+    run(instance_dir, data_dir, "trend-store", "remove-trends", str(newdef))
+    assert "Removed trends: acme_main_1h.temp" in capsys.readouterr().out
+
+    # delete unregisters
+    run(instance_dir, data_dir, "trend-store", "delete",
+        "--data-source", "acme", "--entity-type", "node",
+        "--granularity", "1h")
+    capsys.readouterr()
+    run(instance_dir, data_dir, "trend-store", "list")
+    assert "acme" not in capsys.readouterr().out
+
+
+def test_cli_process_modified_log(spark, instance_dir, data_dir, capsys):
+    """process-modified-log compacts the append-only modified log to one
+    row per (part, timestamp) without changing max(modified)."""
+    from datetime import datetime
+
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    ctx = initialize(spark, MinervaInstance.load(instance_dir), data_dir)
+    raw = ctx.trend_stores["hub_node_15m"]
+    for job in (1, 2, 3):  # three loads -> three log appends per ts
+        raw.store(
+            spark,
+            spark.createDataFrame(
+                [(1, datetime(2024, 1, 1, 0, 15), float(job))],
+                "entity_id bigint, timestamp timestamp_ntz, power_kwh double",
+            ),
+            job_id=job,
+            created=datetime(2024, 1, 2, job),
+        )
+    before = raw.read_modified_log(spark)
+    keyed = before.groupBy("part", "timestamp").count().collect()
+    assert any(r["count"] >= 3 for r in keyed)
+    import pyspark.sql.functions as F
+
+    max_before = before.agg(F.max("modified")).collect()[0][0]
+
+    run(instance_dir, data_dir, "trend-store", "process-modified-log",
+        "--data-source", "hub", "--entity-type", "node",
+        "--granularity", "15m")
+    assert "state rows" in capsys.readouterr().out
+
+    after = raw.read_modified_log(spark)
+    assert after.groupBy("part", "timestamp").count().agg(
+        F.max("count")).collect()[0][0] == 1
+    assert after.agg(F.max("modified")).collect()[0][0] == max_before

@@ -79,6 +79,109 @@ def test_bad_rows_parse_to_null(spark, store, tmp_path):
     assert rows["bad-val"].power_kwh is None
 
 
+def _mk_store(base, parts=None):
+    return TrendStore(
+        data_source="hub", entity_type="node", granularity="15m",
+        parts=parts or [TrendStorePart("main", ["power_kwh"])],
+        base_path=str(base),
+    )
+
+
+def test_load_files_matches_sequential(spark, tmp_path):
+    """Fused batch load == sequential loads: same final rows, same
+    last-write-wins resolution, same job log, same modified marks."""
+    from datetime import datetime
+
+    from minerva_etl_spark.sources.loader import JobLog
+
+    f1 = tmp_path / "f1.csv"
+    f1.write_text(
+        "node,timestamp,power_kwh\n"
+        "a,2024-01-01 00:15:00,1.0\n"
+        "b,2024-01-01 00:15:00,2.0\n"
+    )
+    f2 = tmp_path / "f2.csv"  # re-delivery of 'a' with a new value
+    f2.write_text("node,timestamp,power_kwh\na,2024-01-01 00:15:00,9.0\n")
+    t1, t2 = datetime(2024, 1, 2, 10), datetime(2024, 1, 2, 11)
+
+    seq_store = _mk_store(tmp_path / "seq")
+    seq = Loader(store=seq_store, job_log=JobLog(str(tmp_path / "seq")))
+    seq.load_file(spark, "csv", str(f1), CFG, job_id=1, created=t1)
+    seq.load_file(spark, "csv", str(f2), CFG, job_id=2, created=t2)
+
+    bat_store = _mk_store(tmp_path / "bat")
+    bat = Loader(store=bat_store, job_log=JobLog(str(tmp_path / "bat")))
+    bat.load_files(
+        spark,
+        [("csv", str(f1), CFG, 1, t1), ("csv", str(f2), CFG, 2, t2)],
+    )
+
+    cols = ["entity_id", "timestamp", "power_kwh", "created", "job_id"]
+    s = sorted(map(tuple, seq_store.read_part(spark, "main").select(*cols).collect()))
+    b = sorted(map(tuple, bat_store.read_part(spark, "main").select(*cols).collect()))
+    assert s == b
+    # job log: one row per file, both finished
+    jl = spark.read.parquet(str(tmp_path / "bat" / "job_log"))
+    assert {(r.job_id, r.state) for r in jl.collect()} == {(1, "finished"), (2, "finished")}
+    # modified marks agree on max(modified) per timestamp
+    sm = spark.read.parquet(seq_store.modified_log_path())
+    bm = spark.read.parquet(bat_store.modified_log_path())
+    from pyspark.sql import functions as F
+
+    def agg(df):
+        return sorted(
+            (r.timestamp, r.mx)
+            for r in df.groupBy("timestamp")
+            .agg(F.max("modified").alias("mx"))
+            .collect()
+        )
+
+    assert agg(sm) == agg(bm)
+
+
+def test_load_files_disjoint_columns(spark, tmp_path):
+    """A file that never carried a part's column must not null out that
+    part's value for a shared key (union-null vs real value)."""
+    from datetime import datetime
+
+    parts = [TrendStorePart("p_kwh", ["power_kwh"]), TrendStorePart("p_tmp", ["temp_c"])]
+    f1 = tmp_path / "f1.csv"
+    f1.write_text("node,timestamp,power_kwh\na,2024-01-01 00:15:00,5.0\n")
+    f2 = tmp_path / "f2.csv"  # later file, same key, OTHER metric only
+    f2.write_text("node,timestamp,temp_c\na,2024-01-01 00:15:00,21.5\n")
+    t1, t2 = datetime(2024, 1, 2, 10), datetime(2024, 1, 2, 11)
+    cfg = CsvParserConfig(
+        identifier_column="node", timestamp_column="timestamp",
+        entity_type="node",
+        column_types={"power_kwh": "double precision", "temp_c": "double precision"},
+    )
+    store = _mk_store(tmp_path / "s", parts)
+    Loader(store=store).load_files(
+        spark, [("csv", str(f1), cfg, 1, t1), ("csv", str(f2), cfg, 2, t2)]
+    )
+    kwh = store.read_part(spark, "p_kwh").collect()
+    assert len(kwh) == 1 and kwh[0].power_kwh == 5.0 and kwh[0].job_id == 1
+    tmp = store.read_part(spark, "p_tmp").collect()
+    assert len(tmp) == 1 and tmp[0].temp_c == 21.5 and tmp[0].job_id == 2
+
+
+def test_load_files_stop_policy_logs_failed(spark, tmp_path):
+    """The fused path keeps the stop policy: undeclared metric -> raise,
+    with a failed job-log row for the offending file."""
+    from minerva_etl_spark.sources.loader import JobLog
+
+    f1 = tmp_path / "f1.csv"
+    f1.write_text("node,timestamp,power_kwh,rogue\na,2024-01-01 00:15:00,1.0,9\n")
+    store = _mk_store(tmp_path / "s")
+    loader = Loader(
+        store=store, job_log=JobLog(str(tmp_path / "s")), on_unknown_column="stop"
+    )
+    with pytest.raises(ValueError, match="rogue"):
+        loader.load_files(spark, [("csv", str(f1), CFG, 7, None)])
+    jl = spark.read.parquet(str(tmp_path / "s" / "job_log"))
+    assert [(r.job_id, r.state) for r in jl.collect()] == [(7, "failed")]
+
+
 def test_loader_registers_entity_dim(spark, store, csv_path):
     """The loader maintains the entity dimension create-on-miss, so
     virtual-entity/relation queries can run right after a load."""
