@@ -173,6 +173,58 @@ def remove_trends(root: str | Path, definition: str | Path) -> list[str]:
     return removed
 
 
+def check_config(
+    root: str | Path, definition: str | Path | None = None
+) -> dict[str, list[str]]:
+    """``trend-store check-config``
+    (`commands/trend_store/check_config.py:23-67`): validate trend-store
+    definitions.  The reference checks duplicate part names; we also
+    flag duplicate trend names within a part, unknown data types, and
+    unparsable granularity/partition_size — the config errors that
+    otherwise surface as job failures mid-load.  Returns
+    {file: [errors]} (empty lists = Ok)."""
+    from minerva_etl_spark.catalog import datatypes as dt
+
+    files = (
+        [Path(definition)]
+        if definition is not None
+        else sorted((Path(root) / "trend").glob("*.yaml"))
+    )
+    report: dict[str, list[str]] = {}
+    for p in files:
+        errors: list[str] = []
+        d = _load_yaml(p)
+        parts = d.get("parts", [])
+        names = [part["name"] for part in parts]
+        for name in sorted({n for n in names if names.count(n) > 1}):
+            errors.append(
+                f"There are {names.count(name)} parts named '{name}', "
+                "but part names must be unique"
+            )
+        for part in parts:
+            tnames = [t["name"] for t in part.get("trends", [])]
+            for name in sorted({n for n in tnames if tnames.count(n) > 1}):
+                errors.append(
+                    f"part '{part['name']}' declares trend '{name}' "
+                    f"{tnames.count(name)} times"
+                )
+            for t in part.get("trends", []):
+                if t.get("data_type", "numeric").lower() not in dt.REGISTRY:
+                    errors.append(
+                        f"part '{part['name']}' trend '{t['name']}': "
+                        f"unknown data type {t.get('data_type')!r}"
+                    )
+        for field_name in ("granularity", "partition_size"):
+            value = d.get(field_name)
+            if value is not None:
+                try:
+                    Granularity.parse(str(value))
+                except Exception:
+                    errors.append(f"unparsable {field_name}: {value!r}")
+        report[p.name] = errors
+    return report
+
+
 def show_trend_store(root: str | Path, key: tuple) -> str:
     """``trend-store show``: human-readable dump mirroring the
     reference's field list (`trend_store.py:627-694`)."""

@@ -15,6 +15,10 @@ Subcommands (reference analog):
   aggregation-compile / aggregation-compile-all
                     ← `minerva aggregation compile` / `compile-all`
   attribute compact / attribute curr ← `minerva attribute-store ...`
+  attribute-store create|add-attribute|remove-attribute|show|list|
+          list-config|compact|materialize-curr-ptr|delete|
+          materialization-list|materialization-run
+                    ← `minerva attribute-store ...`
   retention         ← `minerva trend-store partition remove-old`
   live-monitor      ← `minerva live-monitor`
   data-source / entity-type create|delete|list ← directory admin
@@ -26,6 +30,9 @@ Subcommands (reference analog):
   virtual-entity create|materialize ← `minerva virtual-entity`
   notification-store create|delete|list ← `minerva notification-store`
   partition create ← `minerva partition`
+  trend-store create|add-parts|add-trends|remove-trends|delete|show|
+          list|list-config|check-config|process-modified-log
+                    ← `minerva trend-store ...`
   trend-materialization create|update|drop|list|enable|disable
                     ← `minerva trend-materialization`
   quick-start       ← `minerva quick-start`
@@ -352,6 +359,71 @@ def cmd_attribute_store(args) -> None:
     """`minerva attribute-store ...` admin over the initialized
     instance: compact / materialize-curr-ptr (one store or --all) and
     store deletion (`commands/attribute_store.py:523-579`)."""
+    if args.action in (
+        "create", "add-attribute", "remove-attribute", "show",
+        "list", "list-config",
+    ):
+        # catalog-only actions: edit/inspect the instance YAML, no Spark
+        # (reference `commands/attribute_store.py:47-253` — the live
+        # catalog here IS the instance directory)
+        import yaml
+        from pathlib import Path
+
+        adir = Path(args.instance) / "attribute"
+        if args.action == "create":
+            with open(args.store) as f:  # store arg = definition file
+                d = yaml.safe_load(f)
+            adir.mkdir(parents=True, exist_ok=True)
+            name = f"{d['data_source']}_{d['entity_type']}"
+            target = adir / f"{name}.yaml"
+            if target.exists():
+                sys.exit(f"attribute store {name} already exists")
+            target.write_text(yaml.safe_dump(d, sort_keys=False))
+            print(f"created attribute store {name} ({target})")
+            return
+        if args.action in ("list", "list-config"):
+            for p in sorted(adir.glob("*.yaml")):
+                d = yaml.safe_load(p.read_text())
+                attrs = ", ".join(a["name"] for a in d.get("attributes", []))
+                print(f"{d['data_source']}_{d['entity_type']}\t[{attrs}]")
+            return
+        # remaining actions address one store by data_source_entity_type
+        target = None
+        for p in sorted(adir.glob("*.yaml")):
+            d = yaml.safe_load(p.read_text())
+            if f"{d['data_source']}_{d['entity_type']}" == args.store:
+                target = (p, d)
+        if target is None:
+            sys.exit(f"no attribute store {args.store!r}")
+        p, d = target
+        if args.action == "show":
+            print(f"data_source: {d['data_source']}")
+            print(f"entity_type: {d['entity_type']}")
+            print("attributes:")
+            for a in d.get("attributes", []):
+                print(f"  {a['name']}: {a.get('data_type', 'text')}")
+        elif args.action == "add-attribute":
+            if any(a["name"] == args.attribute_name
+                   for a in d.get("attributes", [])):
+                sys.exit(f"attribute {args.attribute_name!r} already exists")
+            attr = {"name": args.attribute_name}
+            if args.data_type:
+                attr["data_type"] = args.data_type
+            d.setdefault("attributes", []).append(attr)
+            p.write_text(yaml.safe_dump(d, sort_keys=False))
+            print(f"added attribute {args.attribute_name} to {args.store}")
+        elif args.action == "remove-attribute":
+            before = len(d.get("attributes", []))
+            d["attributes"] = [
+                a for a in d.get("attributes", [])
+                if a["name"] != args.attribute_name
+            ]
+            if len(d["attributes"]) == before:
+                sys.exit(f"no attribute {args.attribute_name!r}")
+            p.write_text(yaml.safe_dump(d, sort_keys=False))
+            print(f"removed attribute {args.attribute_name} from {args.store}")
+        return
+
     from minerva_etl_spark.catalog.initialize import initialize
     from minerva_etl_spark.catalog.instance import MinervaInstance
 
@@ -867,6 +939,20 @@ def cmd_trend_store(args) -> None:
     elif args.action in ("list", "list-config"):
         for fname, ds, et, gran in tsa.list_trend_stores(args.instance):
             print(f"{fname}\t{ds}\t{et}\t{gran}")
+    elif args.action == "check-config":
+        report = tsa.check_config(args.instance, args.definition)
+        bad = 0
+        for fname, errors in report.items():
+            for err in errors:
+                print(err)
+            print(f"{fname} - Ok" if not errors else
+                  f"{fname} - {len(errors)} errors")
+            bad += bool(errors)
+        if args.definition is None:
+            print("All trend stores Ok" if bad == 0 else
+                  f"{bad} trend stores with errors")
+        if bad:
+            sys.exit(1)
     elif args.action == "process-modified-log":
         spark = _spark()
         store = _build_store(args)
@@ -1067,10 +1153,16 @@ def main(argv: list[str] | None = None) -> None:
         choices=[
             "compact", "materialize-curr-ptr", "delete",
             "materialization-list", "materialization-run",
+            "create", "add-attribute", "remove-attribute", "show",
+            "list", "list-config",
         ],
     )
     ats.add_argument("store", nargs="?",
-                     help="store key (data_source_entity_type)")
+                     help="store key (data_source_entity_type), or the "
+                          "definition YAML for 'create'")
+    ats.add_argument("--attribute-name",
+                     help="attribute to add/remove")
+    ats.add_argument("--data-type", help="data type (add-attribute)")
     ats.add_argument("--all", action="store_true",
                      help="apply to every attribute store of the instance")
     ats.add_argument("--materialize-curr", action="store_true",
@@ -1174,7 +1266,8 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=[
             "create", "add-parts", "add-trends", "remove-trends",
-            "delete", "show", "list", "list-config", "process-modified-log",
+            "delete", "show", "list", "list-config", "check-config",
+            "process-modified-log",
         ],
     )
     tsg.add_argument("definition", nargs="?",

@@ -502,3 +502,71 @@ def test_cli_process_modified_log(spark, instance_dir, data_dir, capsys):
     assert after.groupBy("part", "timestamp").count().agg(
         F.max("count")).collect()[0][0] == 1
     assert after.agg(F.max("modified")).collect()[0][0] == max_before
+
+
+def test_cli_trend_store_check_config(
+    spark, instance_dir, data_dir, capsys, tmp_path
+):
+    """check-config: tiny instance is clean; a definition with duplicate
+    parts / bad types / bad granularity reports each error."""
+    import yaml
+
+    import pytest
+
+    run(instance_dir, data_dir, "trend-store", "check-config")
+    out = capsys.readouterr().out
+    assert "All trend stores Ok" in out
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(yaml.safe_dump({
+        "data_source": "x", "entity_type": "node", "granularity": "sometimes",
+        "parts": [
+            {"name": "dup", "trends": [{"name": "a", "data_type": "nope"}]},
+            {"name": "dup", "trends": []},
+        ],
+    }))
+    with pytest.raises(SystemExit):
+        run(instance_dir, data_dir, "trend-store", "check-config", str(bad))
+    out = capsys.readouterr().out
+    assert "2 parts named 'dup'" in out
+    assert "unknown data type 'nope'" in out
+    assert "unparsable granularity" in out
+
+
+def test_cli_attribute_store_catalog_admin(
+    spark, instance_dir, data_dir, capsys, tmp_path
+):
+    """attribute-store create/add-attribute/remove-attribute/show/list
+    sync the instance attribute YAML (reference
+    `commands/attribute_store.py:47-253`)."""
+    import yaml
+
+    import pytest
+
+    run(instance_dir, data_dir, "attribute-store", "list")
+    assert "hub-class_node" in capsys.readouterr().out
+
+    newdef = tmp_path / "geo_node.yaml"
+    newdef.write_text(yaml.safe_dump({
+        "data_source": "geo", "entity_type": "node",
+        "attributes": [{"name": "region", "data_type": "text"}],
+    }))
+    run(instance_dir, data_dir, "attribute-store", "create", str(newdef))
+    assert "created attribute store geo_node" in capsys.readouterr().out
+    with pytest.raises(SystemExit):
+        run(instance_dir, data_dir, "attribute-store", "create", str(newdef))
+    capsys.readouterr()
+
+    run(instance_dir, data_dir, "attribute-store", "add-attribute",
+        "geo_node", "--attribute-name", "zone", "--data-type", "smallint")
+    capsys.readouterr()
+    run(instance_dir, data_dir, "attribute-store", "show", "geo_node")
+    out = capsys.readouterr().out
+    assert "region: text" in out and "zone: smallint" in out
+
+    run(instance_dir, data_dir, "attribute-store", "remove-attribute",
+        "geo_node", "--attribute-name", "region")
+    capsys.readouterr()
+    run(instance_dir, data_dir, "attribute-store", "show", "geo_node")
+    out = capsys.readouterr().out
+    assert "zone" in out and "region" not in out
