@@ -673,6 +673,28 @@ WHERE {bucket} < coalesce({rate}, 100)
 """
 
 
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5 over the language
+    column): each doc gets a deterministic ``n_copies`` so the corpus
+    resamples toward ``p^alpha`` (`operators/mixing.py`).  One tiny
+    groupBy + a broadcast-back — no corpus shuffle; the fractional part
+    resolves per-doc via the md5 bucket, exactly as the oracle does."""
+    _prep(spark)
+    from minerva_etl_spark.operators.mixing import with_mix_copies
+
+    docs = load_table(spark, sf_dir, "documents")
+    return with_mix_copies(docs, alpha=0.5, source_col="lang").select(
+        "doc_id", F.col("lang").alias("mix_source"), "n_copies"
+    )
+
+
+def _oracle_source_mix() -> str:
+    from minerva_etl_spark.operators.mixing import mix_copies_oracle_sql
+
+    inner = mix_copies_oracle_sql("documents", 0.5, source_col="lang")
+    return f"SELECT doc_id, source AS mix_source, n_copies FROM ({inner}) t"
+
+
 def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis as ONE documents scan: quality scoring, language
     id, token/subword counts, the rolling-hash fingerprint, Gopher-style
@@ -1937,6 +1959,7 @@ _REGISTRY_ORDER = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
+    "source_mix",
 ]
 
 
@@ -1988,6 +2011,7 @@ def build_queries() -> dict:
         "pricing_summary": q_pricing_summary,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "source_mix": q_source_mix,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2059,6 +2083,7 @@ def build_oracles() -> dict[str, str]:
         "pricing_summary": _ORACLE_PRICING,
         "shipping_priority": _ORACLE_SHIPPING,
         "local_supplier_volume": _ORACLE_Q5,
+        "source_mix": _oracle_source_mix(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

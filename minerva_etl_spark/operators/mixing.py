@@ -1,0 +1,203 @@
+"""Temperature-based source mixing for training-data curation.
+
+The standard multilingual/multi-source rebalancing rule (cf. the
+sampling schemes described publicly for XLM-R / mT5 / LLaMA data
+mixtures): given per-source document shares ``p_s``, resample to the
+tempered distribution ``q_s ∝ p_s^alpha`` (``alpha < 1`` upweights rare
+sources, ``alpha = 1`` keeps the natural mix).  With a total budget of
+``B`` documents, source ``s`` receives ``B * q_s`` slots, i.e. each of
+its ``n_s`` docs is kept/repeated ``rate_s = B * q_s / n_s`` times in
+expectation.
+
+Determinism: fractional parts resolve per-document via an
+md5-derived bucket (engine-independent, stable under reruns and
+repartitioning — same device as the stratified sampler), so the output
+is a pure function of (corpus, alpha, budget): no RNG, no plan
+dependence.  Rate arithmetic runs in DECIMAL so the cross-source
+normalization sum is exact and order-independent — float summation
+order would otherwise make Spark and a SQL oracle disagree at keep
+boundaries.
+
+Scale: one map-side-combinable groupBy over the source column (the
+source dimension is tiny), the per-source rate table broadcast back,
+and a per-row hash comparison — no extra shuffle on the corpus.
+Upsampling explodes ``n_copies`` (bounded by ``ceil(max rate)``).
+
+This has no reference-engine counterpart (Minerva is a telemetry
+engine); it extends the LLM-pipeline operator family
+(SURVEY §2 "beyond the reference" charter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: bucket resolution for the fractional-part draw
+_BUCKETS = 1_000_000
+
+
+def _doc_bucket(id_col: str) -> F.Column:
+    """md5-derived bucket in [0, 1e6), reproducible in any engine."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+        ).cast("bigint"),
+        F.lit(_BUCKETS),
+    )
+
+
+def source_mix_rates(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source resampling rates for the tempered mix.
+
+    Returns one row per source: ``(source, n_docs, rate)`` where
+    ``rate = budget * n_docs^alpha / sum_t(n_t^alpha) / n_docs``,
+    computed in DECIMAL(38,12) and rounded half-up to 6 places.
+    ``budget`` defaults to the corpus size (pure remix).
+    """
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha))).cast(
+        "decimal(38,12)"
+    )
+    counts = counts.withColumn("__w", w)
+    total = counts.agg(
+        F.sum("__w").alias("__wsum"), F.sum("n_docs").alias("__n")
+    )
+    b = (
+        F.lit(int(budget)).cast("decimal(38,12)")
+        if budget is not None
+        else F.col("__n").cast("decimal(38,12)")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "rate",
+            F.round(
+                b * F.col("__w") / F.col("__wsum")
+                / F.col("n_docs").cast("decimal(38,12)"),
+                6,
+            ).cast("decimal(38,6)"),
+        )
+        .select("source", "n_docs", "rate")
+    )
+
+
+def with_mix_copies(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Attach ``n_copies`` to every document: ``floor(rate)`` plus one
+    more iff the doc's md5 bucket falls below the fractional part of its
+    source's rate.  Expected output size per source = ``n_s * rate_s``
+    exactly; realized size is deterministic."""
+    rates = source_mix_rates(docs, alpha, budget, source_col)
+    frac_buckets = F.floor(
+        (F.col("rate") - F.floor(F.col("rate")).cast("decimal(38,6)"))
+        * F.lit(_BUCKETS)
+    ).cast("bigint")
+    rates = rates.select(
+        "source",
+        F.floor("rate").cast("bigint").alias("__base"),
+        frac_buckets.alias("__frac_buckets"),
+        "rate",
+    )
+    return (
+        docs.join(
+            F.broadcast(rates),
+            docs[source_col] == rates["source"],
+        )
+        .drop(rates["source"])
+        .withColumn(
+            "n_copies",
+            F.col("__base")
+            + (_doc_bucket(id_col) < F.col("__frac_buckets")).cast("bigint"),
+        )
+        .drop("__base", "__frac_buckets")
+    )
+
+
+def resample_by_source(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The materialized remix: one output row per copy, with a
+    ``copy`` index (0-based) so downstream shuffling/sharding can
+    distinguish repeats.  Docs with ``n_copies = 0`` drop out."""
+    with_copies = with_mix_copies(docs, alpha, budget, source_col, id_col)
+    return (
+        with_copies.filter(F.col("n_copies") > 0)
+        .withColumn(
+            "copy",
+            F.explode(F.sequence(F.lit(0), F.col("n_copies") - 1)),
+        )
+        .drop("n_copies", "rate")
+    )
+
+
+def mix_rates_oracle_sql(
+    table: str, alpha: float = 0.5, budget: int | None = None,
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`source_mix_rates` (same DECIMAL pipeline)."""
+    b = (
+        f"CAST({int(budget)} AS DECIMAL(38,12))"
+        if budget is not None
+        else "CAST(n_total AS DECIMAL(38,12))"
+    )
+    return f"""
+SELECT source, n_docs,
+       CAST(round({b} * w / wsum / CAST(n_docs AS DECIMAL(38,12)), 6)
+            AS DECIMAL(38,6)) AS rate
+FROM (
+  SELECT source, n_docs,
+         CAST(pow(CAST(n_docs AS DOUBLE), {float(alpha)!r})
+              AS DECIMAL(38,12)) AS w
+  FROM (SELECT {source_col} AS source, count(*) AS n_docs
+        FROM {table} GROUP BY {source_col})
+) counts
+CROSS JOIN (
+  SELECT CAST(sum(w) AS DECIMAL(38,12)) AS wsum, sum(n_docs) AS n_total
+  FROM (
+    SELECT CAST(pow(CAST(count(*) AS DOUBLE), {float(alpha)!r})
+                AS DECIMAL(38,12)) AS w, count(*) AS n_docs
+    FROM {table} GROUP BY {source_col}
+  )
+) totals
+"""
+
+
+def mix_copies_oracle_sql(
+    table: str, alpha: float = 0.5, budget: int | None = None,
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`with_mix_copies` (doc_id, source,
+    n_copies)."""
+    rates = mix_rates_oracle_sql(table, alpha, budget, source_col)
+    bucket = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        f" % {_BUCKETS}"
+    )
+    return f"""
+WITH rates AS (
+{rates}
+)
+SELECT d.doc_id, d.{source_col} AS source,
+       CAST(floor(r.rate) AS BIGINT)
+       + CASE WHEN {bucket} <
+              CAST(floor((r.rate - CAST(floor(r.rate) AS DECIMAL(38,6)))
+                         * {_BUCKETS}) AS BIGINT)
+              THEN 1 ELSE 0 END AS n_copies
+FROM {table} d JOIN rates r ON d.{source_col} = r.source
+"""

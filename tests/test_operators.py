@@ -301,3 +301,63 @@ def test_contamination_ignores_empty_docs(spark):
         "doc_id bigint, text string",
     )
     assert contamination_check(corpus, bench).count() == 0
+
+
+def test_source_mix_resample(spark):
+    """Temperature mixing: alpha=0 equalizes source budgets, alpha=1 is
+    the identity mix; n_copies is deterministic under repartitioning and
+    resample explodes with 0-based copy indices."""
+    from minerva_etl_spark.operators.mixing import (
+        resample_by_source, source_mix_rates, with_mix_copies,
+    )
+
+    rows = [(i, "big" if i < 80 else "small") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string")
+
+    # alpha=1: natural mix, every rate exactly 1 -> n_copies all 1
+    r1 = {
+        r.source: float(r.rate)
+        for r in source_mix_rates(docs, alpha=1.0).collect()
+    }
+    assert r1 == {"big": 1.0, "small": 1.0}
+
+    # alpha=0: equal budgets (50/50) -> big rate 0.625, small 2.5
+    r0 = {
+        r.source: float(r.rate)
+        for r in source_mix_rates(docs, alpha=0.0).collect()
+    }
+    assert r0 == {"big": 0.625, "small": 2.5}
+
+    out = with_mix_copies(docs, alpha=0.0)
+    per_src = {
+        r.source: r.total
+        for r in out.groupBy("source")
+        .agg(F.sum("n_copies").alias("total"))
+        .collect()
+    }
+    # realized sizes are within one bucket-rounding of the 50/50 target
+    assert abs(per_src["big"] - 50) <= 8 and abs(per_src["small"] - 50) <= 8
+
+    # deterministic under partitioning
+    a = sorted(
+        (r.doc_id, r.n_copies) for r in out.select("doc_id", "n_copies").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.n_copies)
+        for r in with_mix_copies(docs.repartition(13), alpha=0.0)
+        .select("doc_id", "n_copies")
+        .collect()
+    )
+    assert a == b
+
+    # explode: one row per copy, 0-based copy index
+    res = resample_by_source(docs, alpha=0.0)
+    assert res.count() == sum(per_src.values())
+    small_copies = (
+        res.filter(F.col("source") == "small")
+        .groupBy("doc_id")
+        .agg(F.collect_list("copy").alias("copies"))
+        .collect()
+    )
+    for r in small_copies:
+        assert sorted(r.copies) == list(range(len(r.copies)))
