@@ -624,6 +624,27 @@ def _oracle_shard_pack() -> str:
     return token_shards_oracle_sql(5000, "documents")
 
 
+def q_shard_pack_shuffled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing in a seeded pseudo-random order: the md5(seed||id)
+    permutation decorrelates source/time before the token-budget prefix
+    sum (`operators/shard.py` with ``shuffle_seed``) — the shuffled
+    training-export variant.  Same two-pass distributed prefix sum; the
+    oracle runs the global window over the identical permutation."""
+    _prep(spark)
+    from minerva_etl_spark.operators.shard import assign_token_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_token_shards(
+        docs, shard_tokens=5000, num_ranges=8, shuffle_seed=42
+    )
+
+
+def _oracle_shard_pack_shuffled() -> str:
+    from minerva_etl_spark.operators.shard import token_shards_oracle_sql
+
+    return token_shards_oracle_sql(5000, "documents", shuffle_seed=42)
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for corpus curation: keep each
     doc iff ``md5_bucket(doc_id) < rate[lang]`` with per-language rates
@@ -1960,6 +1981,7 @@ _REGISTRY_ORDER = [
     "shipping_priority",
     "local_supplier_volume",
     "source_mix",
+    "shard_pack_shuffled",
 ]
 
 
@@ -2012,6 +2034,7 @@ def build_queries() -> dict:
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "source_mix": q_source_mix,
+        "shard_pack_shuffled": q_shard_pack_shuffled,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2084,6 +2107,7 @@ def build_oracles() -> dict[str, str]:
         "shipping_priority": _ORACLE_SHIPPING,
         "local_supplier_volume": _ORACLE_Q5,
         "source_mix": _oracle_source_mix(),
+        "shard_pack_shuffled": _oracle_shard_pack_shuffled(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

@@ -36,6 +36,7 @@ def assign_token_shards(
     text_col: str = "text",
     token_col: str | None = None,
     num_ranges: int | None = None,
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
     """(id, n_tokens, shard_id) for every document: deterministic
     ``id_col`` order, shards bounded by ``shard_tokens``.
@@ -43,6 +44,14 @@ def assign_token_shards(
     ``token_col`` reuses a precomputed count; otherwise whitespace
     tokens of ``text_col`` are counted (same expression the text
     profile uses, so counts agree across operators).
+
+    ``shuffle_seed``: pack in a deterministic PSEUDO-RANDOM order
+    instead of id order — the md5-derived permutation key
+    ``md5(seed || id)`` (ties broken by id).  Training exports want
+    source/time-decorrelated shards; a seeded hash permutation gives a
+    reproducible global shuffle with no RNG state, and the two-pass
+    prefix sum works unchanged because the range partitioner orders by
+    the permutation key.
     """
     if token_col is None:
         t = df.select(
@@ -56,6 +65,21 @@ def assign_token_shards(
             F.col(id_col).alias("__id"),
             F.col(token_col).cast("bigint").alias("n_tokens"),
         )
+    if shuffle_seed is not None:
+        t = t.withColumn(
+            "__ord",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(str(int(shuffle_seed)) + ":"),
+                                   F.col("__id").cast("string"))),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("bigint"),
+        )
+        order_cols = ["__ord", "__id"]
+    else:
+        order_cols = ["__id"]
     n = num_ranges or max(t.sparkSession.sparkContext.defaultParallelism, 4)
     # checkpointed: range bounds are SAMPLED per execution, so the
     # totals pass and the cumsum pass must read the SAME materialized
@@ -63,7 +87,7 @@ def assign_token_shards(
     # (id, count, pid) row per document — the shard index, tiny
     # relative to the corpus it indexes.
     ranged = (
-        t.repartitionByRange(n, "__id")
+        t.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -87,7 +111,7 @@ def assign_token_shards(
     # global sort anywhere.
     w = (
         Window.partitionBy("__pid")
-        .orderBy("__id")
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # exact integer division (operands are non-negative bigints): double
@@ -115,10 +139,19 @@ def token_shards_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    shuffle_seed: int | None = None,
 ) -> str:
     """DuckDB twin: the naive global-window formulation (fine
     in-process; the point of the Spark variant is avoiding it)."""
     toks = tokens_duck_sql(text_col)
+    if shuffle_seed is not None:
+        ordkey = (
+            f"CAST(('0x' || substr(md5('{int(shuffle_seed)}:' || "
+            f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        order_by = f"{ordkey}, {id_col}"
+    else:
+        order_by = id_col
     return f"""
 WITH t AS (
   SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens
@@ -126,7 +159,7 @@ WITH t AS (
 ),
 c AS (
   SELECT {id_col}, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY {id_col}
+         SUM(n_tokens) OVER (ORDER BY {order_by}
                              ROWS UNBOUNDED PRECEDING) AS cum
   FROM t
 )

@@ -100,3 +100,38 @@ def test_exact_division_beyond_double_precision(spark):
     # exact: doc i starts at i*big/4 tokens; shard = (i*big//4)//(big+1)
     ref = {i: (i * (big // 4)) // (big + 1) for i in range(12)}
     assert out == ref
+
+
+def test_shuffled_order_is_permutation_and_deterministic(spark):
+    """shuffle_seed packs in the md5 permutation order: same docs, same
+    totals, different arrangement; stable across runs/partitioning and
+    seed-sensitive."""
+    rows = [(i, "x" * (10 + i % 7)) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    plain = assign_token_shards(docs, shard_tokens=40, num_ranges=4)
+    shuf = assign_token_shards(
+        docs, shard_tokens=40, num_ranges=4, shuffle_seed=7
+    )
+    p = {r.doc_id: (r.n_tokens, r.shard_id) for r in plain.collect()}
+    s = {r.doc_id: (r.n_tokens, r.shard_id) for r in shuf.collect()}
+    assert set(p) == set(s)  # same documents
+    assert all(p[k][0] == s[k][0] for k in p)  # same token counts
+    assert any(p[k][1] != s[k][1] for k in p)  # genuinely reordered
+
+    # deterministic under different range counts
+    s2 = {
+        r.doc_id: (r.n_tokens, r.shard_id)
+        for r in assign_token_shards(
+            docs, shard_tokens=40, num_ranges=9, shuffle_seed=7
+        ).collect()
+    }
+    assert s == s2
+    # another seed gives another permutation
+    s3 = {
+        r.doc_id: r.shard_id
+        for r in assign_token_shards(
+            docs, shard_tokens=40, num_ranges=4, shuffle_seed=8
+        ).collect()
+    }
+    assert any(s[k][1] != s3[k] for k in s)
