@@ -361,3 +361,23 @@ def test_source_mix_resample(spark):
     )
     for r in small_copies:
         assert sorted(r.copies) == list(range(len(r.copies)))
+
+
+def test_source_mix_plan_broadcasts_rates(spark, tmp_path):
+    """The corpus side of the mix join must not shuffle: the per-source
+    rate table is broadcast (BroadcastHashJoin, no SortMergeJoin) — at
+    100 TB a sort-merge join here would shuffle the whole corpus to
+    attach a 5-row dimension."""
+    from minerva_etl_spark.operators.mixing import with_mix_copies
+
+    rows = [(i, ["en", "de", "fr"][i % 3], "t" * 5) for i in range(300)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, lang string, text string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    out = with_mix_copies(docs, alpha=0.5, source_col="lang")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
