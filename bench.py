@@ -60,6 +60,8 @@ HEADLINE = [
     "series_fill_hours",
     "dedup_simhash_hamming",
     "sim_ivf",
+    "source_mix",
+    "shard_pack_shuffled",
     "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
