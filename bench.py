@@ -62,6 +62,7 @@ HEADLINE = [
     "sim_ivf",
     "source_mix",
     "shard_pack_shuffled",
+    "curated_export",
     "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)

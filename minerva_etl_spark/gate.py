@@ -645,6 +645,32 @@ def _oracle_shard_pack_shuffled() -> str:
     return token_shards_oracle_sql(5000, "documents", shuffle_seed=42)
 
 
+def q_curated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-export pipeline — mix → shuffle → pack in
+    one call (`operators/mixing.py::curated_export`): temper the
+    language mix (alpha=0.5), scatter the resampled (doc, copy) units
+    by the seeded md5 permutation, pack into 5000-token shards with the
+    distributed prefix sum.  The oracle recomputes the identical
+    pipeline as one SQL expression (global window)."""
+    _prep(spark)
+    from minerva_etl_spark.operators.mixing import curated_export
+
+    docs = load_table(spark, sf_dir, "documents")
+    return curated_export(
+        docs, alpha=0.5, shard_tokens=5000, shuffle_seed=42,
+        source_col="lang",
+    )
+
+
+def _oracle_curated_export() -> str:
+    from minerva_etl_spark.operators.mixing import curated_export_oracle_sql
+
+    return curated_export_oracle_sql(
+        "documents", alpha=0.5, shard_tokens=5000, shuffle_seed=42,
+        source_col="lang",
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for corpus curation: keep each
     doc iff ``md5_bucket(doc_id) < rate[lang]`` with per-language rates
@@ -1982,6 +2008,7 @@ _REGISTRY_ORDER = [
     "local_supplier_volume",
     "source_mix",
     "shard_pack_shuffled",
+    "curated_export",
 ]
 
 
@@ -2035,6 +2062,7 @@ def build_queries() -> dict:
         "local_supplier_volume": q_local_supplier_volume,
         "source_mix": q_source_mix,
         "shard_pack_shuffled": q_shard_pack_shuffled,
+        "curated_export": q_curated_export,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2108,6 +2136,7 @@ def build_oracles() -> dict[str, str]:
         "local_supplier_volume": _ORACLE_Q5,
         "source_mix": _oracle_source_mix(),
         "shard_pack_shuffled": _oracle_shard_pack_shuffled(),
+        "curated_export": _oracle_curated_export(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

@@ -146,6 +146,97 @@ def resample_by_source(
     )
 
 
+def curated_export(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    shard_tokens: int = 100_000,
+    shuffle_seed: int = 0,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The full curated-export pipeline in one call:
+    **mix → shuffle → pack**.
+
+    1. :func:`resample_by_source` tempers the source mix (docs with
+       ``n_copies = 0`` drop; upsampled docs appear once per copy);
+    2. every (doc, copy) unit gets a stable ``unit_id``
+       (``"<id>#<copy>"``) so repeats are distinct units;
+    3. ``assign_token_shards(shuffle_seed=...)`` packs units into
+       fixed-token-budget shards in the md5(seed:unit_id) permutation
+       order — copies of one doc scatter across shards.
+
+    Output: ``(doc_id, copy, n_tokens, shard_id)``.  Deterministic end
+    to end (pure function of corpus + parameters); composes the same
+    three shuffles the stages cost individually — nothing extra.
+    """
+    from minerva_etl_spark.operators.shard import assign_token_shards
+
+    units = resample_by_source(
+        docs, alpha, budget, source_col, id_col
+    ).withColumn(
+        "unit_id",
+        F.concat(
+            F.col(id_col).cast("string"), F.lit("#"),
+            F.col("copy").cast("string"),
+        ),
+    )
+    assigned = assign_token_shards(
+        units, shard_tokens, id_col="unit_id", text_col=text_col,
+        shuffle_seed=shuffle_seed,
+    )
+    return (
+        units.select(id_col, "copy", "unit_id")
+        .join(assigned, "unit_id")
+        .select(id_col, "copy", "n_tokens", "shard_id")
+    )
+
+
+def curated_export_oracle_sql(
+    table: str,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    shard_tokens: int = 100_000,
+    shuffle_seed: int = 0,
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`curated_export`: mixing CTE → copy
+    expansion via generate_series → global token window over the same
+    md5 permutation."""
+    from minerva_etl_spark.operators.text import tokens_duck_sql
+
+    copies = mix_copies_oracle_sql(table, alpha, budget, source_col)
+    toks = tokens_duck_sql("text")
+    ordkey = (
+        "CAST(('0x' || substr(md5("
+        f"'{int(shuffle_seed)}:' || unit_id), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH copies AS (
+{copies}
+),
+units AS (
+  SELECT c.doc_id, u.copy,
+         CAST(c.doc_id AS VARCHAR) || '#' || CAST(u.copy AS VARCHAR)
+             AS unit_id,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM copies c
+  JOIN {table} d ON d.doc_id = c.doc_id
+  CROSS JOIN UNNEST(generate_series(0, c.n_copies - 1)) AS u(copy)
+),
+w AS (
+  SELECT doc_id, copy, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY {ordkey}, unit_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM units
+)
+SELECT doc_id, copy, n_tokens,
+       CAST((cum - n_tokens) // {int(shard_tokens)} AS BIGINT) AS shard_id
+FROM w
+"""
+
+
 def mix_rates_oracle_sql(
     table: str, alpha: float = 0.5, budget: int | None = None,
     source_col: str = "source",

@@ -135,3 +135,42 @@ def test_shuffled_order_is_permutation_and_deterministic(spark):
         ).collect()
     }
     assert any(s[k][1] != s3[k] for k in s)
+
+
+def test_curated_export_composition(spark):
+    """mix -> shuffle -> pack: output units equal the resampled corpus,
+    copies of an upsampled doc scatter (not necessarily adjacent), and
+    shard token budgets hold."""
+    from minerva_etl_spark.operators.mixing import (
+        curated_export, resample_by_source,
+    )
+
+    rows = [
+        (i, "big" if i < 80 else "small", "w " * (5 + i % 5))
+        for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, source string, text string")
+    out = curated_export(
+        docs, alpha=0.0, shard_tokens=30, shuffle_seed=3
+    ).collect()
+    res = resample_by_source(docs, alpha=0.0).select("doc_id", "copy").collect()
+    assert sorted((r.doc_id, r.copy) for r in out) == sorted(
+        (r.doc_id, r.copy) for r in res
+    )
+    # every unit has the doc's token count
+    toks = {r.doc_id: r.n_tokens for r in out}
+    for r in out:
+        assert r.n_tokens == toks[r.doc_id]
+    # shards are budget-bounded: each shard's tokens fit ~30 plus one
+    # straddling doc (a doc starts in the shard its first token lands in)
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r.shard_id, 0)
+        per_shard[r.shard_id] += r.n_tokens
+    max_tok = max(r.n_tokens for r in out)
+    assert all(v <= 30 + max_tok for v in per_shard.values())
+    # deterministic
+    again = curated_export(
+        docs, alpha=0.0, shard_tokens=30, shuffle_seed=3
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
