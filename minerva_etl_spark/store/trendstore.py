@@ -428,29 +428,15 @@ class TrendStore:
             )
         fs_delete(spark, tmp)
 
-    def _mark_modified(
-        self,
-        spark: SparkSession,
-        part: str,
-        batch: DataFrame,
-        modified: datetime,
-    ) -> None:
-        """Append (part, timestamp, modified) for each distinct bucket
-        (reference ``mark_modified``, `trendstorepart.py:342-349`)."""
-        log = (
-            batch.select("timestamp")
-            .distinct()
-            .withColumn("part", F.lit(part))
-            .withColumn("modified", F.lit(modified))
-        )
-        log.write.mode("append").parquet(self.modified_log_path())
-
     def _mark_modified_batch(
         self, spark: SparkSession, part: str, batch: DataFrame
     ) -> None:
-        """Batch-aware mark_modified: one row per touched timestamp with
-        ``modified = max(created)`` of the rows that touched it — the
-        moment the sequential per-package marks would have left behind."""
+        """Mark modified buckets (reference ``mark_modified``,
+        `trendstorepart.py:342-349`): one row per touched timestamp with
+        ``modified = max(created)`` of the rows that touched it — for a
+        single-package store this is the package's created; for a fused
+        batch it is the moment sequential per-package marks would have
+        left behind."""
         log = (
             batch.groupBy("timestamp")
             .agg(F.max("created").alias("modified"))
