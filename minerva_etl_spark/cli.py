@@ -88,17 +88,43 @@ def _build_store(args):
 
 def cmd_load_data(args) -> None:
     from minerva_etl_spark.sources.csv_harvest import CsvParserConfig
-    from minerva_etl_spark.sources.loader import JobLog, Loader
+    from minerva_etl_spark.sources.loader import (
+        AttributeLoader, JobLog, Loader,
+    )
 
     spark = _spark()
-    store = _build_store(args)
     cfg = CsvParserConfig(
         identifier_column=args.identifier_column,
         timestamp_column=args.timestamp_column,
         entity_type=args.entity_type,
-        granularity=args.granularity,
+        granularity=getattr(args, "granularity", None),
         delimiter=args.delimiter,
     )
+    if getattr(args, "target", "trend") == "attribute":
+        # attribute-flavor harvest (reference plugin_api_attribute):
+        # route into the attribute store's staging-merge path
+        from minerva_etl_spark.catalog.initialize import initialize
+        from minerva_etl_spark.catalog.instance import MinervaInstance
+
+        ctx = initialize(
+            spark, MinervaInstance.load(args.instance), args.data_dir
+        )
+        key = f"{args.data_source}_{args.entity_type}"
+        if key not in ctx.attribute_stores:
+            sys.exit(f"no attribute store {key!r}; have "
+                     f"{sorted(ctx.attribute_stores)}")
+        loader = AttributeLoader(
+            store=ctx.attribute_stores[key],
+            job_log=JobLog(args.data_dir),
+            base_path=args.data_dir,
+        )
+        for path in args.files:
+            job = loader.load_file(spark, args.file_type, path, cfg)
+            print(f"loaded {path} as job {job} (attribute)")
+        return
+    if not args.granularity:
+        sys.exit("--granularity is required for trend loads")
+    store = _build_store(args)
     loader = Loader(store=store, job_log=JobLog(args.data_dir))
     if len(args.files) > 1:
         # fused batch load: one upsert cycle per part for the whole
@@ -1089,7 +1115,12 @@ def main(argv: list[str] | None = None) -> None:
     ld = sub.add_parser("load-data")
     ld.add_argument("--data-source", required=True)
     ld.add_argument("--entity-type", required=True)
-    ld.add_argument("--granularity", required=True)
+    ld.add_argument("--granularity", default=None,
+                    help="required for trend loads")
+    ld.add_argument("--target", choices=["trend", "attribute"],
+                    default="trend",
+                    help="store flavor the harvest file feeds "
+                         "(reference: trend vs attribute plugin API)")
     ld.add_argument("--file-type", default="csv")
     ld.add_argument("--identifier-column", default="entity")
     ld.add_argument("--timestamp-column", default="timestamp")

@@ -260,3 +260,80 @@ class Loader:
                     "ended timestamp_ntz, state string",
                 ).write.mode("append").parquet(self.job_log.path)
         return jobs
+
+
+@dataclass
+class AttributeLoader:
+    """Attribute-flavor harvest loading (S2's second plugin API:
+    reference `harvest/plugin_api_attribute.py:1-31` — plugins may
+    yield ATTRIBUTE packages instead of trend packages; the loader
+    routes them into ``attribute_staging`` → ``transfer_staged``,
+    `storage/attribute/attributestore.py:271-316`).
+
+    Spark mapping: the same file parsers produce
+    ``(entity_id, entity_ref, timestamp, attribute columns...)``;
+    declared attributes go through ``AttributeStore.store_batch`` (the
+    staging-merge upsert), the entity dimension is maintained
+    create-on-miss, and every load is a logged job — symmetric with the
+    trend :class:`Loader`.
+    """
+
+    store: "object"  # AttributeStore (duck-typed: attributes/store_batch)
+    job_log: JobLog | None = None
+    entity_filter: str | None = None
+    #: 'warn' drops undeclared attribute columns; 'stop' raises
+    on_unknown_column: str = "warn"
+    register_entity_dim: bool = True
+    id_method: str = "xxhash64"
+    base_path: str | None = None
+
+    def load_file(
+        self,
+        spark: SparkSession,
+        file_type: str,
+        path: str,
+        parser_config,
+        job_id: int | None = None,
+    ) -> int:
+        started = datetime.now(timezone.utc).replace(tzinfo=None)
+        job_id = job_id if job_id is not None else int(time.time() * 1000) % (2**62)
+        reader = get_plugin(file_type)
+        frame = reader(spark, path, parser_config)
+        if self.entity_filter and "entity_ref" in frame.columns:
+            frame = frame.filter(F.col("entity_ref").rlike(self.entity_filter))
+        attr_cols = [
+            c
+            for c in frame.columns
+            if c not in ("entity_id", "entity_ref", "timestamp")
+        ]
+        declared = list(self.store.attributes)
+        unknown = [c for c in attr_cols if c not in declared]
+        state = "finished"
+        base = self.base_path or getattr(self.store, "base_path", None)
+        try:
+            if unknown and self.on_unknown_column == "stop":
+                raise ValueError(f"undeclared attribute columns: {unknown}")
+            if self.register_entity_dim and "entity_ref" in frame.columns and base:
+                from minerva_etl_spark.catalog.directory import register_entities
+
+                register_entities(
+                    spark,
+                    os.path.join(base, "entity", self.store.entity_type),
+                    frame.select(F.col("entity_ref").alias("name")),
+                    self.store.entity_type,
+                    method=self.id_method,
+                )
+            keep = [c for c in attr_cols if c in declared]
+            self.store.store_batch(
+                spark, frame.select("entity_id", "timestamp", *keep)
+            )
+        except Exception:
+            state = "failed"
+            raise
+        finally:
+            if self.job_log is not None:
+                ended = datetime.now(timezone.utc).replace(tzinfo=None)
+                self.job_log.log(
+                    spark, job_id, os.path.basename(path), started, ended, state
+                )
+        return job_id

@@ -570,3 +570,29 @@ def test_cli_attribute_store_catalog_admin(
     run(instance_dir, data_dir, "attribute-store", "show", "geo_node")
     out = capsys.readouterr().out
     assert "zone" in out and "region" not in out
+
+
+def test_cli_load_data_attribute_target(spark, instance_dir, data_dir, capsys, tmp_path):
+    """load-data --target attribute routes a harvest CSV into the
+    instance's attribute store (staging-merge + curr)."""
+    csv = tmp_path / "attrs.csv"
+    csv.write_text(
+        "node,timestamp,power_class\n"
+        "alpha,2024-01-01 00:00:00,low\n"
+        "beta,2024-01-01 00:00:00,high\n"
+    )
+    run(
+        instance_dir, data_dir, "load-data",
+        "--target", "attribute",
+        "--data-source", "hub-class", "--entity-type", "node",
+        "--identifier-column", "node",
+        str(csv),
+    )
+    out = capsys.readouterr().out
+    assert "(attribute)" in out
+
+    from minerva_etl_spark.store.attribute_store import AttributeStore
+
+    store = AttributeStore("hub-class", "node", ["power_class"], data_dir)
+    hist = {r.power_class for r in store.read_history(spark).collect()}
+    assert hist == {"low", "high"}

@@ -191,3 +191,51 @@ def test_loader_registers_entity_dim(spark, store, csv_path):
     # re-load: no duplicates
     Loader(store=store).load_file(spark, "csv", csv_path, CFG)
     assert spark.read.parquet(f"{store.base_path}/entity/node").count() == 2
+
+
+def test_attribute_loader_csv_to_history(spark, tmp_path):
+    """Attribute-flavor harvest (reference plugin_api_attribute): CSV ->
+    staging-merge -> SCD history + curr, entity dim maintained, job
+    logged."""
+    from minerva_etl_spark.sources.loader import AttributeLoader, JobLog
+    from minerva_etl_spark.store.attribute_store import AttributeStore
+
+    p1 = tmp_path / "a1.csv"
+    p1.write_text(
+        "node,timestamp,power_class\n"
+        "alpha,2024-01-01 00:00:00,low\n"
+        "beta,2024-01-01 00:00:00,high\n"
+    )
+    p2 = tmp_path / "a2.csv"  # later batch: alpha changes class
+    p2.write_text("node,timestamp,power_class\nalpha,2024-01-02 00:00:00,high\n")
+    store = AttributeStore("hub", "node", ["power_class"], str(tmp_path / "d"))
+    loader = AttributeLoader(
+        store=store, job_log=JobLog(str(tmp_path / "d")),
+        base_path=str(tmp_path / "d"),
+    )
+    cfg = CsvParserConfig(
+        identifier_column="node", timestamp_column="timestamp",
+        entity_type="node",
+    )
+    loader.load_file(spark, "csv", str(p1), cfg, job_id=1)
+    loader.load_file(spark, "csv", str(p2), cfg, job_id=2)
+
+    hist = store.read_history(spark)
+    assert hist.count() == 3
+    curr = {r.entity_id: r.power_class for r in store.materialize_curr(spark).collect()}
+    assert len(curr) == 2 and sorted(curr.values()) == ["high", "high"]
+    dim = spark.read.parquet(str(tmp_path / "d" / "entity" / "node"))
+    assert {r.name for r in dim.collect()} == {"alpha", "beta"}
+    jl = spark.read.parquet(str(tmp_path / "d" / "job_log"))
+    assert {(r.job_id, r.state) for r in jl.collect()} == {(1, "finished"), (2, "finished")}
+
+    # stop policy on undeclared attribute
+    bad = tmp_path / "bad.csv"
+    bad.write_text("node,timestamp,rogue\nx,2024-01-01 00:00:00,1\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rogue"):
+        AttributeLoader(
+            store=store, on_unknown_column="stop",
+            base_path=str(tmp_path / "d"),
+        ).load_file(spark, "csv", str(bad), cfg)
