@@ -142,24 +142,63 @@ def cmd_load_data(args) -> None:
 
 
 def cmd_report(args) -> None:
-    """A6 report aggregates per part."""
+    """A6 report aggregates.  With --data-source: per-part stats of one
+    store.  Without: the reference's instance-wide metrics report
+    (`commands/report.py:84-180` — entity counts, every trend store
+    part's record/trend counts, attribute store sizes)."""
     spark = _spark()
-    store = _build_store(args)
-    for part in store.parts:
-        df = store.read_part(spark, part.name)
-        if df is None:
-            print(f"{part.name}: (empty)")
-            continue
-        row = df.agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.countDistinct("entity_id").alias("entities"),
-            F.min("timestamp").alias("min_ts"),
-            F.max("timestamp").alias("max_ts"),
-        ).collect()[0]
-        print(
-            f"{part.name}: rows={row['rows']} entities={row['entities']} "
-            f"range=[{row['min_ts']} .. {row['max_ts']}]"
-        )
+    if args.data_source:
+        store = _build_store(args)
+        for part in store.parts:
+            df = store.read_part(spark, part.name)
+            if df is None:
+                print(f"{part.name}: (empty)")
+                continue
+            row = df.agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.countDistinct("entity_id").alias("entities"),
+                F.min("timestamp").alias("min_ts"),
+                F.max("timestamp").alias("max_ts"),
+            ).collect()[0]
+            print(
+                f"{part.name}: rows={row['rows']} entities={row['entities']} "
+                f"range=[{row['min_ts']} .. {row['max_ts']}]"
+            )
+        return
+
+    import glob
+    import os
+
+    from minerva_etl_spark.catalog.initialize import initialize
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+
+    ctx = initialize(spark, MinervaInstance.load(args.instance), args.data_dir)
+
+    print("## Entity Metrics")
+    dims = sorted(glob.glob(os.path.join(args.data_dir, "entity", "*")))
+    print(f"Number of entity types: {len(dims)}")
+    total = 0
+    for d in dims:
+        n = spark.read.parquet(d).count()
+        total += n
+        print(f"  {os.path.basename(d)}: {n}")
+    print(f"Total number of entities: {total}")
+
+    print("\n## Trend Store Metrics")
+    print(f"{'Data Source':<12} {'Entity Type':<12} {'Part Name':<20} "
+          f"{'Records':>8} {'Trends':>6}")
+    for store in ctx.trend_stores.values():
+        for part in store.parts:
+            df = store.read_part(spark, part.name)
+            n = 0 if df is None else df.count()
+            print(f"{store.data_source:<12} {store.entity_type:<12} "
+                  f"{part.name:<20} {n:>8} {len(part.trend_columns):>6}")
+
+    print("\n## Attribute Store Metrics")
+    for key, astore in sorted(ctx.attribute_stores.items()):
+        hist = astore.read_history(spark)
+        n = 0 if hist is None else hist.count()
+        print(f"{key}: history rows={n} attributes={len(astore.attributes)}")
 
 
 def cmd_retention(args) -> None:
@@ -1129,9 +1168,9 @@ def main(argv: list[str] | None = None) -> None:
     ld.set_defaults(fn=cmd_load_data)
 
     rp = sub.add_parser("report")
-    rp.add_argument("--data-source", required=True)
-    rp.add_argument("--entity-type", required=True)
-    rp.add_argument("--granularity", required=True)
+    rp.add_argument("--data-source", help="omit for the instance-wide report")
+    rp.add_argument("--entity-type")
+    rp.add_argument("--granularity")
     rp.set_defaults(fn=cmd_report)
 
     rt = sub.add_parser("retention")

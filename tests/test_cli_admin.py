@@ -596,3 +596,25 @@ def test_cli_load_data_attribute_target(spark, instance_dir, data_dir, capsys, t
     store = AttributeStore("hub-class", "node", ["power_class"], data_dir)
     hist = {r.power_class for r in store.read_history(spark).collect()}
     assert hist == {"low", "high"}
+
+
+def test_cli_instance_wide_report(spark, instance_dir, data_dir, capsys, tmp_path):
+    """report without --data-source: the reference's instance-wide
+    metrics (entity counts, trend-part records/trends, attribute
+    stores)."""
+    csv = tmp_path / "r.csv"
+    csv.write_text(
+        "node,timestamp,power_kwh\n"
+        "alpha,2024-01-01 00:15:00,1.5\n"
+        "beta,2024-01-01 00:15:00,2.5\n"
+    )
+    run(instance_dir, data_dir, "load-data",
+        "--data-source", "hub", "--entity-type", "node",
+        "--granularity", "15m", "--identifier-column", "node", str(csv))
+    capsys.readouterr()
+    run(instance_dir, data_dir, "report")
+    out = capsys.readouterr().out
+    assert "Number of entity types: 1" in out
+    assert "Total number of entities: 2" in out
+    assert "node_main_15m" in out and "Trend Store Metrics" in out
+    assert "hub-class_node: history rows=0 attributes=1" in out
