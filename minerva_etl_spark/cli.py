@@ -5,12 +5,14 @@ Spark engine.
 Subcommands (reference analog):
   initialize        ← `minerva initialize`
   structure         ← `minerva structure dump`
-  load-data         ← `minerva load-data`
+  load-data         ← `minerva load-data` (fused multi-file; --target
+                      trend|attribute routes to either plugin flavor)
   load-sample-data  ← `minerva load-sample-data`
   materialize       ← `minerva trend-store materialize`
   deduce-config     ← `minerva trend-store deduce` (config deducer)
   alter-trends      ← `minerva trend-store alter-trends`
-  report            ← `minerva report`
+  report            ← `minerva report` (instance-wide metrics; per-store
+                      part stats with --data-source)
   aggregation-generate ← `minerva aggregation generate`
   aggregation-compile / aggregation-compile-all
                     ← `minerva aggregation compile` / `compile-all`
