@@ -63,6 +63,7 @@ HEADLINE = [
     "source_mix",
     "shard_pack_shuffled",
     "curated_export",
+    "boilerplate_strip",
     "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)

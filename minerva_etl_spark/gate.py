@@ -720,6 +720,28 @@ WHERE {bucket} < coalesce({rate}, 100)
 """
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate removal (CCNet/RefinedWeb line-dedup
+    analog): strip 4-word segments occurring verbatim in >= 4 distinct
+    docs (`operators/text.py::remove_boilerplate_segments`).  One
+    corpus shuffle of (digest, doc) pairs; the boilerplate set
+    broadcasts back and the strip runs as a codegen'd higher-order
+    filter — no second shuffle."""
+    _prep(spark)
+    from minerva_etl_spark.operators.text import remove_boilerplate_segments
+
+    docs = load_table(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(docs, seg_words=4, max_docs=4)
+
+
+def _oracle_boilerplate_strip() -> str:
+    from minerva_etl_spark.operators.text import (
+        boilerplate_segments_oracle_sql,
+    )
+
+    return boilerplate_segments_oracle_sql("documents", 4, 4)
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (alpha = 0.5 over the language
     column): each doc gets a deterministic ``n_copies`` so the corpus
@@ -2009,6 +2031,7 @@ _REGISTRY_ORDER = [
     "source_mix",
     "shard_pack_shuffled",
     "curated_export",
+    "boilerplate_strip",
 ]
 
 
@@ -2063,6 +2086,7 @@ def build_queries() -> dict:
         "source_mix": q_source_mix,
         "shard_pack_shuffled": q_shard_pack_shuffled,
         "curated_export": q_curated_export,
+        "boilerplate_strip": q_boilerplate_strip,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2137,6 +2161,7 @@ def build_oracles() -> dict[str, str]:
         "source_mix": _oracle_source_mix(),
         "shard_pack_shuffled": _oracle_shard_pack_shuffled(),
         "curated_export": _oracle_curated_export(),
+        "boilerplate_strip": _oracle_boilerplate_strip(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

@@ -315,3 +315,112 @@ def fingerprint_duck_expr(text_col: str = "text") -> str:
         f"CAST(('0x' || substr(md5(array_to_string({toks}, ' ')), 1, 15))"
         f" AS BIGINT)"
     )
+
+
+# ------------------------------------------- segment boilerplate removal
+def remove_boilerplate_segments(
+    df: DataFrame,
+    seg_words: int = 4,
+    max_docs: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet/RefinedWeb-style intra-corpus boilerplate removal at the
+    SEGMENT level: split each document into fixed-size word segments,
+    count in how many distinct documents each exact segment occurs, and
+    strip segments occurring in ``>= max_docs`` docs (headers, footers,
+    navigation chrome — the lines that repeat verbatim across a crawl).
+
+    Returns ``(doc_id, n_segs, n_kept, n_dropped, new_text)``; documents
+    whose every segment is boilerplate survive with ``new_text = ''``
+    (the caller decides whether to drop empties).
+
+    Scale shape: ONE corpus shuffle — the (md5(segment), doc) pairs for
+    the frequency count (never the text).  The boilerplate digest set is
+    by construction small (only segments repeated across >= max_docs
+    docs), so it broadcasts back as a single collected array and the
+    strip + reconstruct runs entirely inside whole-stage codegen
+    (higher-order ``filter`` over the segment array) — no second
+    shuffle, no re-join of document payloads.
+    """
+    k = int(seg_words)
+    segs_arr = (
+        f"transform(sequence(1, cast(ceil(size(split({text_col}, ' '))"
+        f" / {k}.0) as int)),"
+        f" i -> array_join(slice(split({text_col}, ' '),"
+        f" (i-1)*{k}+1, {k}), ' '))"
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(F.expr(segs_arr)).alias("__seg")
+    )
+    boiler = (
+        exploded.groupBy(F.md5("__seg").alias("__digest"))
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= int(max_docs))
+        .agg(F.collect_set("__digest").alias("__bl"))
+    )
+    with_bl = df.crossJoin(F.broadcast(boiler)).withColumn(
+        "__bl", F.coalesce(F.col("__bl"), F.array().cast("array<string>"))
+    )
+    kept = f"filter({segs_arr}, s -> NOT array_contains(__bl, md5(s)))"
+    return (
+        with_bl.withColumn("__segs", F.expr(segs_arr))
+        .withColumn("__kept", F.expr(kept))
+        .select(
+            id_col,
+            F.size("__segs").cast("bigint").alias("n_segs"),
+            F.size("__kept").cast("bigint").alias("n_kept"),
+            (F.size("__segs") - F.size("__kept"))
+            .cast("bigint")
+            .alias("n_dropped"),
+            F.array_join("__kept", " ").alias("new_text"),
+        )
+    )
+
+
+def boilerplate_segments_oracle_sql(
+    table: str,
+    seg_words: int = 4,
+    max_docs: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`remove_boilerplate_segments` (naive
+    explode–join–reaggregate formulation)."""
+    k = int(seg_words)
+    return f"""
+WITH words AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}
+),
+segs AS (
+  SELECT {id_col}, i AS idx,
+         array_to_string(w[(i-1)*{k}+1:i*{k}], ' ') AS seg
+  FROM words
+  CROSS JOIN UNNEST(generate_series(
+      1, CAST(ceil(len(w) / {k}.0) AS BIGINT))) AS s(i)
+),
+freq AS (
+  SELECT md5(seg) AS digest, count(DISTINCT {id_col}) AS nd
+  FROM segs GROUP BY md5(seg)
+),
+kept AS (
+  SELECT s.{id_col}, s.idx, s.seg
+  FROM segs s JOIN freq f ON md5(s.seg) = f.digest
+  WHERE f.nd < {int(max_docs)}
+),
+rebuilt AS (
+  SELECT {id_col},
+         count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY idx) AS new_text
+  FROM kept GROUP BY {id_col}
+),
+totals AS (
+  SELECT {id_col}, count(*) AS n_segs FROM segs GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       CAST(t.n_segs AS BIGINT) AS n_segs,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_segs - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(r.new_text, '') AS new_text
+FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
+"""

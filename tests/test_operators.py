@@ -381,3 +381,34 @@ def test_source_mix_plan_broadcasts_rates(spark, tmp_path):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_remove_boilerplate_segments(spark):
+    """Segments shared by >= max_docs docs strip; unique content stays
+    in order; an all-boilerplate doc survives with empty text."""
+    from minerva_etl_spark.operators.text import remove_boilerplate_segments
+
+    spam = "visit our site now"     # 4-word boilerplate in every doc
+    docs = spark.createDataFrame(
+        [
+            (1, f"{spam} alpha beta gamma delta"),
+            (2, f"{spam} epsilon zeta eta theta"),
+            (3, f"{spam} iota kappa lambda mu"),
+            (4, spam),              # nothing but boilerplate
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_segments(
+            docs, seg_words=4, max_docs=3
+        ).collect()
+    }
+    assert len(out) == 4
+    assert out[1].new_text == "alpha beta gamma delta"
+    assert out[2].new_text == "epsilon zeta eta theta"
+    assert (out[1].n_segs, out[1].n_kept, out[1].n_dropped) == (2, 1, 1)
+    assert out[4].new_text == "" and out[4].n_kept == 0
+    # below threshold: nothing strips
+    loose = remove_boilerplate_segments(docs, seg_words=4, max_docs=5)
+    assert loose.filter("n_dropped > 0").count() == 0
