@@ -8,6 +8,8 @@ Subcommands (reference analog):
   load-data         ← `minerva load-data` (fused multi-file; --target
                       trend|attribute routes to either plugin flavor)
   load-sample-data  ← `minerva load-sample-data`
+  generate-sample-data ← `minerva generate-sample-data` (definition.yaml
+                      native generators, or per-store fallback)
   materialize       ← `minerva trend-store materialize`
   deduce-config     ← `minerva trend-store deduce` (config deducer)
   alter-trends      ← `minerva trend-store alter-trends`
@@ -655,6 +657,86 @@ def cmd_load_sample_data(args) -> None:
     print(f"loaded sample as job {job}")
 
 
+def cmd_generate_sample_data(args) -> None:
+    """`minerva generate-sample-data`
+    (`/root/reference/src/minerva/commands/generate_sample_data.py:
+    61-110`): run the instance's ``sample-data/definition.yaml``
+    generators, writing files to a target directory WITHOUT loading.
+    'native' definitions name a python module next to the definition
+    whose ``generate(target_dir, timestamp, granularity)`` yields file
+    paths.  Without a definition file, falls back to one deterministic
+    CSV per declared trend store."""
+    import os
+    import sys as _sys
+    from pathlib import Path
+
+    import yaml
+
+    from minerva_etl_spark.catalog.granularity import Granularity
+
+    target = Path(args.target_directory or (args.data_dir + "/sample-data"))
+    target.mkdir(parents=True, exist_ok=True)
+    definition = Path(args.instance) / "sample-data" / "definition.yaml"
+    if definition.is_file():
+        _sys.path.append(str(definition.parent))
+        ts = (
+            datetime.fromisoformat(args.timestamp)
+            if args.timestamp
+            else _utcnow()
+        )
+        for entry in yaml.safe_load(definition.read_text()) or []:
+            kind, config = next(iter(entry.items()))
+            if args.dataset and config.get("name") != args.dataset:
+                continue
+            if kind != "native":
+                print(f"skipping {config.get('name')} (unsupported "
+                      f"definition type {kind!r})")
+                continue
+            import importlib
+
+            module = importlib.import_module(config["name"])
+            gran = config.get("granularity")
+            label = (
+                Granularity.parse(gran).truncate(ts) if gran else ts
+            )
+            for path in module.generate(
+                target, label, gran
+            ):
+                print(f"Generated file '{path}'")
+        return
+    # fallback: deterministic per-store samples from the declared catalog
+    from minerva_etl_spark.catalog.instance import MinervaInstance
+    from minerva_etl_spark.sources.sample_data import (
+        generate_trend_sample, write_sample_csv,
+    )
+
+    spark = _spark()
+    inst = MinervaInstance.load(args.instance)
+    ts = (
+        datetime.fromisoformat(args.timestamp) if args.timestamp else _utcnow()
+    )
+    for ts_def in inst.trend_stores:
+        metrics = {
+            t.name: (0.0, 100.0)
+            for p in ts_def.parts
+            for t in p.trends
+            if t.name != "samples"
+        }
+        if not metrics:
+            continue
+        gran = Granularity.parse(ts_def.granularity)
+        sample = generate_trend_sample(
+            spark, ts_def.entity_type, 5, ts_def.granularity,
+            gran.truncate(ts), 4, metrics,
+        ).withColumn("timestamp", F.col("timestamp").cast("string"))
+        path = str(
+            target
+            / f"{ts_def.data_source}_{ts_def.entity_type}_{gran.name}.csv"
+        )
+        write_sample_csv(sample, path)
+        print(f"Generated file '{path}'")
+
+
 def cmd_directory(args) -> None:
     """data-source / entity-type create|delete|list."""
     from minerva_etl_spark.catalog.admin import DirectoryCatalog
@@ -1277,6 +1359,14 @@ def main(argv: list[str] | None = None) -> None:
     ls.add_argument("--periods", type=int, default=96)
     ls.add_argument("--start", default="2023-01-01T00:15:00")
     ls.set_defaults(fn=cmd_load_sample_data)
+
+    gs = sub.add_parser("generate-sample-data")
+    gs.add_argument("-t", "--target-directory", default=None)
+    gs.add_argument("--timestamp", default=None,
+                    help="ISO timestamp the generators anchor to")
+    gs.add_argument("dataset", nargs="?",
+                    help="only generate the named dataset")
+    gs.set_defaults(fn=cmd_generate_sample_data)
 
     for kind in ("data-source", "entity-type"):
         dp = sub.add_parser(kind)

@@ -618,3 +618,38 @@ def test_cli_instance_wide_report(spark, instance_dir, data_dir, capsys, tmp_pat
     assert "Total number of entities: 2" in out
     assert "node_main_15m" in out and "Trend Store Metrics" in out
     assert "hub-class_node: history rows=0 attributes=1" in out
+
+
+def test_cli_generate_sample_data(spark, instance_dir, data_dir, capsys, tmp_path):
+    """generate-sample-data: definition.yaml generators run without
+    loading; fallback emits one deterministic CSV per declared store."""
+    # fallback path (tiny instance has no definition.yaml)
+    tgt = tmp_path / "gen"
+    run(instance_dir, data_dir, "generate-sample-data",
+        "-t", str(tgt), "--timestamp", "2024-03-01T00:00:00")
+    out = capsys.readouterr().out
+    assert out.count("Generated file") == 2  # hub + hub-kpi stores
+    csvs = sorted(p.name for p in tgt.glob("*.csv"))
+    assert csvs == ["hub-kpi_node_15m.csv", "hub_node_15m.csv"]
+    part = next((tgt / "hub_node_15m.csv").glob("part-*.csv"))
+    header = part.read_text().splitlines()[0]
+    assert "entity_ref" in header and "power_kwh" in header
+
+    # definition.yaml path: a native generator module
+    sd = __import__("pathlib").Path(instance_dir) / "sample-data"
+    (sd / "definition.yaml").write_text(
+        "- native:\n    name: gen_demo\n    granularity: 1h\n"
+    )
+    (sd / "gen_demo.py").write_text(
+        "def generate(target_dir, timestamp, granularity):\n"
+        "    p = str(target_dir) + '/demo.csv'\n"
+        "    open(p, 'w').write(f'ts,{granularity}\\n{timestamp},1\\n')\n"
+        "    yield p\n"
+    )
+    tgt2 = tmp_path / "gen2"
+    run(instance_dir, data_dir, "generate-sample-data",
+        "-t", str(tgt2), "--timestamp", "2024-03-01T10:30:00")
+    out = capsys.readouterr().out
+    assert "demo.csv" in out
+    body = (tgt2 / "demo.csv").read_text()
+    assert "2024-03-01 10:00:00" in body  # truncated to the 1h label
