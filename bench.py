@@ -64,6 +64,7 @@ HEADLINE = [
     "shard_pack_shuffled",
     "curated_export",
     "boilerplate_strip",
+    "dedup_canonical",
     "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)

@@ -720,6 +720,45 @@ WHERE {bucket} < coalesce({rate}, 100)
 """
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full dedup pipeline END-STEP: MinHash-LSH pairs → connected
+    components → keep-best-per-cluster by quality score
+    (`operators/dedup.py::keep_best_per_component`) — the decision
+    table that actually drops near-duplicates while keeping the best
+    exemplar.  Oracle: the recursive-CTE components joined with the
+    quality expression and the same rank window."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs)
+    comps = D.connected_components(pairs)
+    scored = X.with_quality_score(docs).select("doc_id", "quality_score")
+    return D.keep_best_per_component(scored, comps)
+
+
+def _oracle_dedup_canonical() -> str:
+    comps = _oracle_dedup_components()
+    quality = X.quality_oracle_sql("documents")
+    return f"""
+WITH comps AS (
+{comps}
+),
+scored AS (
+  SELECT doc_id, quality_score FROM ({quality}) q
+),
+labeled AS (
+  SELECT s.doc_id, coalesce(c.component_id, s.doc_id) AS component_id,
+         s.quality_score
+  FROM scored s LEFT JOIN comps c ON s.doc_id = c.doc_id
+)
+SELECT doc_id, component_id,
+       CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT)
+           AS n_members,
+       row_number() OVER (PARTITION BY component_id
+                          ORDER BY quality_score DESC, doc_id) = 1 AS keep
+FROM labeled
+"""
+
+
 def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level boilerplate removal (CCNet/RefinedWeb line-dedup
     analog): strip 4-word segments occurring verbatim in >= 4 distinct
@@ -2032,6 +2071,7 @@ _REGISTRY_ORDER = [
     "shard_pack_shuffled",
     "curated_export",
     "boilerplate_strip",
+    "dedup_canonical",
 ]
 
 
@@ -2087,6 +2127,7 @@ def build_queries() -> dict:
         "shard_pack_shuffled": q_shard_pack_shuffled,
         "curated_export": q_curated_export,
         "boilerplate_strip": q_boilerplate_strip,
+        "dedup_canonical": q_dedup_canonical,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2162,6 +2203,7 @@ def build_oracles() -> dict[str, str]:
         "shard_pack_shuffled": _oracle_shard_pack_shuffled(),
         "curated_export": _oracle_curated_export(),
         "boilerplate_strip": _oracle_boilerplate_strip(),
+        "dedup_canonical": _oracle_dedup_canonical(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

@@ -23,7 +23,7 @@ murmur3 / library-specific hashing anywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from minerva_etl_spark.operators.text import (
     tokens_duck_sql,
@@ -855,3 +855,47 @@ def _star_components(
     out = out.localCheckpoint(eager=True)
     _free_local_checkpoint(cur)
     return out
+
+
+def keep_best_per_component(
+    docs: DataFrame,
+    components: DataFrame,
+    score_col: str = "quality_score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The dedup END-STEP: collapse each near-dup cluster to its best
+    member.  ``components`` is :func:`connected_components` output
+    (docs absent from it — never in any candidate pair — are their own
+    singleton cluster).  Per cluster the member with the highest
+    ``score_col`` survives (ties broken by lowest id — deterministic).
+
+    Returns one row per document: ``(doc_id, component_id, n_members,
+    keep)`` — the decision table a curation pipeline joins back to the
+    corpus to drop losers while keeping full audit lineage.
+
+    Scale: one hash join on the id (component membership is a tiny
+    projection of the pair graph, but NOT broadcastable at corpus scale
+    — near-dup clusters can cover a large corpus fraction) and one
+    window over component_id.  Cluster-size skew (a giant template
+    cluster) is bounded: the window computes rank + count only, no
+    payload aggregation, and AQE splits skewed partitions.
+    """
+    comp = components.select(
+        F.col(id_col).alias("__cid_key"), "component_id"
+    )
+    joined = docs.join(
+        comp, docs[id_col] == F.col("__cid_key"), "left"
+    ).drop("__cid_key")
+    joined = joined.withColumn(
+        "component_id", F.coalesce("component_id", F.col(id_col))
+    )
+    w = Window.partitionBy("component_id")
+    order = Window.partitionBy("component_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return joined.select(
+        id_col,
+        "component_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+        (F.row_number().over(order) == 1).alias("keep"),
+    )

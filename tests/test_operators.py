@@ -412,3 +412,42 @@ def test_remove_boilerplate_segments(spark):
     # below threshold: nothing strips
     loose = remove_boilerplate_segments(docs, seg_words=4, max_docs=5)
     assert loose.filter("n_dropped > 0").count() == 0
+
+
+def test_boilerplate_plan_no_payload_shuffle(spark, tmp_path):
+    """The boilerplate strip must not sort-merge-join document payloads:
+    the only joins are the 1-row broadcast of the collected boilerplate
+    set (BroadcastNestedLoopJoin); text shuffles nowhere."""
+    from minerva_etl_spark.operators.text import remove_boilerplate_segments
+
+    rows = [(i, "w " * 20) for i in range(200)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "docs"))
+    out = remove_boilerplate_segments(spark.read.parquet(str(tmp_path / "docs")))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_keep_best_per_component(spark):
+    """Per cluster: highest score survives, ties break by lowest id,
+    singletons (absent from components) keep themselves."""
+    from minerva_etl_spark.operators.dedup import keep_best_per_component
+
+    docs = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (4, 0.1), (9, 0.2)],
+        "doc_id bigint, quality_score double",
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)],  # {1,2,3} cluster, {4} alone
+        "doc_id bigint, component_id bigint",
+    )
+    out = {r.doc_id: r for r in keep_best_per_component(docs, comps).collect()}
+    assert out[2].keep and not out[3].keep  # 0.9 tie -> lowest id wins
+    assert not out[1].keep
+    assert out[1].n_members == 3 and out[2].component_id == 1
+    assert out[4].keep and out[4].n_members == 1
+    assert out[9].keep and out[9].component_id == 9  # singleton fallback
