@@ -781,6 +781,22 @@ def _oracle_boilerplate_strip() -> str:
     return boilerplate_segments_oracle_sql("documents", 4, 4)
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (`operators/text.py::
+    classify_quality`): a fixed linear classifier over the engineered
+    quality signals — the fasttext-style "wiki-reference" stage of a
+    curation pipeline.  Only exactly-rounded IEEE ops (+ * / sqrt) in a
+    fixed fold order, so the logit is bit-identical across engines; one
+    scan, no shuffle, fully codegen'd."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return X.classify_quality(docs).select("doc_id", "model_logit", "keep")
+
+
+def _oracle_quality_filter() -> str:
+    return X.quality_classifier_oracle_sql("documents")
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (alpha = 0.5 over the language
     column): each doc gets a deterministic ``n_copies`` so the corpus
@@ -2072,6 +2088,7 @@ _REGISTRY_ORDER = [
     "curated_export",
     "boilerplate_strip",
     "dedup_canonical",
+    "quality_filter",
 ]
 
 
@@ -2128,6 +2145,7 @@ def build_queries() -> dict:
         "curated_export": q_curated_export,
         "boilerplate_strip": q_boilerplate_strip,
         "dedup_canonical": q_dedup_canonical,
+        "quality_filter": q_quality_filter,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2204,6 +2222,7 @@ def build_oracles() -> dict[str, str]:
         "curated_export": _oracle_curated_export(),
         "boilerplate_strip": _oracle_boilerplate_strip(),
         "dedup_canonical": _oracle_dedup_canonical(),
+        "quality_filter": _oracle_quality_filter(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

@@ -317,6 +317,81 @@ def fingerprint_duck_expr(text_col: str = "text") -> str:
     )
 
 
+# ----------------------------------------------- model-based quality filter
+#: Fixed linear-classifier weights over the engineered text signals — the
+#: fasttext/"wiki-reference classifier" stage of a curation pipeline
+#: (score > 0 keeps the page).  The weights are deliberately constants:
+#: scoring a trained linear model IS a dot product, so the Spark plan for
+#: a real model is identical — swap the numbers, keep the plan.
+QUALITY_MODEL: list[tuple[str, float]] = [
+    ("alpha_ratio", 3.0),
+    ("stopword_ratio", 2.5),
+    ("punct_ratio", -4.0),
+    ("dup_token_frac", -3.5),
+    ("mean_word_len", -0.15),
+    ("sqrt_tokens", 0.05),
+]
+QUALITY_MODEL_BIAS = -1.8
+
+#: feature name → engine-portable SQL over the signal columns
+_QUALITY_FEATURE_SQL = {
+    "alpha_ratio": "alpha_ratio",
+    "stopword_ratio": "stopword_ratio",
+    "punct_ratio": "punct_ratio",
+    "dup_token_frac": "dup_token_frac",
+    "mean_word_len": (
+        "(CAST(n_chars AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE))"
+    ),
+    "sqrt_tokens": "sqrt(CAST(n_tokens AS DOUBLE))",
+}
+
+
+def quality_logit_sql() -> str:
+    """Engine-portable SQL for the classifier logit.
+
+    The same text parses in Spark SQL and DuckDB, and uses only
+    ``+ * / sqrt`` — all exactly-rounded IEEE-754 ops — in a fixed
+    left-associated order, so both engines produce bit-identical
+    doubles (no transcendentals: the raw logit is the score, not a
+    sigmoid, preserving cross-engine hash parity; the keep decision is
+    monotone in either).
+    """
+    expr = f"CAST({QUALITY_MODEL_BIAS!r} AS DOUBLE)"
+    for name, w in QUALITY_MODEL:
+        expr = f"({expr} + CAST({w!r} AS DOUBLE) * {_QUALITY_FEATURE_SQL[name]})"
+    return expr
+
+
+def classify_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality filter: linear classifier over the engineered
+    signals (length, alphabetic density, stopword/punctuation ratios,
+    Gopher repetition) → ``model_logit`` + boolean ``keep``
+    (``logit >= 0``).
+
+    This is the scoring half of a fasttext-style quality classifier
+    (reference surface has no analog — LLM-pipeline extension).  All
+    features and the dot product run inside whole-stage codegen; at
+    100 TB the stage is a single scan-project-filter with no shuffle.
+    """
+    out = with_quality_score(df, text_col)
+    out = with_repetition(out, text_col)
+    out = out.withColumn("model_logit", F.expr(quality_logit_sql()))
+    return out.withColumn("keep", F.col("model_logit") >= F.lit(0.0))
+
+
+def quality_classifier_oracle_sql(table: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`classify_quality` (doc_id, model_logit, keep)."""
+    rep = repetition_duck_exprs(text_col)["dup_token_frac"]
+    logit = quality_logit_sql()
+    return f"""
+WITH q AS ({quality_oracle_sql(table, text_col)}),
+r AS (SELECT doc_id, {rep} AS dup_token_frac FROM {table})
+SELECT q.doc_id, {logit} AS model_logit,
+       ({logit} >= 0.0) AS keep
+FROM q JOIN r USING (doc_id)
+"""
+
+
 # ------------------------------------------- segment boilerplate removal
 def remove_boilerplate_segments(
     df: DataFrame,

@@ -236,6 +236,47 @@ def test_with_repetition_signals(spark):
     assert got[5] == (0.0, 0.0)
 
 
+def test_classify_quality_linear_model(spark):
+    """Model-based quality filter: the logit is the fixed linear model
+    over the engineered signals, and keep == (logit >= 0)."""
+    import math
+
+    from minerva_etl_spark.operators.text import (
+        QUALITY_MODEL,
+        QUALITY_MODEL_BIAS,
+        classify_quality,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the dog barked for a while"),
+            (2, "!!! ??? ;;; ,,, ... !!!"),
+            (3, "spam spam spam spam spam spam spam spam"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in classify_quality(df).collect()}
+    feats1 = {
+        "alpha_ratio": rows[1].alpha_ratio,
+        "stopword_ratio": rows[1].stopword_ratio,
+        "punct_ratio": rows[1].punct_ratio,
+        "dup_token_frac": rows[1].dup_token_frac,
+        "mean_word_len": rows[1].n_chars / max(rows[1].n_tokens, 1),
+        "sqrt_tokens": math.sqrt(rows[1].n_tokens),
+    }
+    expected = QUALITY_MODEL_BIAS
+    for name, w in QUALITY_MODEL:
+        expected += w * feats1[name]
+    assert abs(rows[1].model_logit - expected) < 1e-9
+    # stopword-rich English prose passes; punctuation soup and
+    # repeated-token spam fail
+    assert rows[1].keep
+    assert not rows[2].keep
+    assert not rows[3].keep
+    for r in rows.values():
+        assert r.keep == (r.model_logit >= 0.0)
+
+
 def test_with_pii_counts_and_redaction(spark):
     """PII detection counts + placeholder redaction."""
     from minerva_etl_spark.operators.text import with_pii
