@@ -797,6 +797,28 @@ def _oracle_quality_filter() -> str:
     return X.quality_classifier_oracle_sql("documents")
 
 
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style n-gram LM scoring (`operators/lm.py`): a bigram LM
+    with add-one smoothing is estimated from the lang='en' slice and
+    every document is scored by bits/bigram (perplexity exponent) +
+    OOV rate.  Model estimation is two groupBy counts; scoring is
+    equi-joins against the model (AQE picks the strategy — a web-scale
+    vocab is NOT broadcast-sized); the per-doc log-prob sum folds in
+    position order on both engines so libm ulp drift cannot flip the
+    4-dp rounding."""
+    _prep(spark)
+    from minerva_etl_spark.operators.lm import ngram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_lm_score(docs, "lang = 'en'")
+
+
+def _oracle_lm_perplexity() -> str:
+    from minerva_etl_spark.operators.lm import ngram_lm_oracle_sql
+
+    return ngram_lm_oracle_sql("documents", "lang = 'en'")
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (alpha = 0.5 over the language
     column): each doc gets a deterministic ``n_copies`` so the corpus
@@ -2089,6 +2111,7 @@ _REGISTRY_ORDER = [
     "boilerplate_strip",
     "dedup_canonical",
     "quality_filter",
+    "lm_perplexity",
 ]
 
 
@@ -2146,6 +2169,7 @@ def build_queries() -> dict:
         "boilerplate_strip": q_boilerplate_strip,
         "dedup_canonical": q_dedup_canonical,
         "quality_filter": q_quality_filter,
+        "lm_perplexity": q_lm_perplexity,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2223,6 +2247,7 @@ def build_oracles() -> dict[str, str]:
         "boilerplate_strip": _oracle_boilerplate_strip(),
         "dedup_canonical": _oracle_dedup_canonical(),
         "quality_filter": _oracle_quality_filter(),
+        "lm_perplexity": _oracle_lm_perplexity(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

@@ -1,0 +1,194 @@
+"""N-gram language-model scoring for corpus curation (CCNet-style).
+
+A bigram LM with add-one smoothing is estimated from a *reference slice*
+of the corpus itself (e.g. ``lang = 'en'`` — the stand-in for CCNet's
+Wikipedia-trained KenLM); every document is then scored by its average
+negative log2 bigram probability (bits per token — the perplexity
+exponent, ``ppl = 2^nll_bits``) and its OOV-bigram rate.  Low-perplexity
+buckets are the "head" a curation pass keeps; high-perplexity ones are
+the tail it drops or downsamples.
+
+This is an LLM-pipeline extension beyond the reference's surface (no
+analog in minerva-etl); the plan shape is the one a real KenLM-scored
+pipeline has at 100 TB:
+
+* model estimation = two groupBy counts over the (exploded) reference
+  slice — ordinary shuffles, model size is vocabulary-bounded;
+* scoring = equi-joins of corpus bigrams against the model tables (NOT
+  broadcast by assumption: a web-scale vocabulary exceeds broadcast
+  limits, so the join strategy is left to AQE), plus one single-row
+  broadcast for the vocabulary size;
+* per-document reduction re-aggregates by doc id.
+
+Cross-engine parity: ``log2`` is the only non-exactly-rounded op, and
+last-ulp differences between libm implementations can survive a sum over
+hundreds of bigrams — so the per-document sum is folded **sequentially
+in bigram position order** on both engines (``aggregate`` over a
+position-sorted array / ``list_reduce`` over ``list(... ORDER BY idx)``)
+and the final bits/token value is rounded to 4 dp, leaving ~1e-9
+headroom over the worst-case accumulated ulp drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from minerva_etl_spark.operators.text import tokens_duck_sql, tokens_spark_sql
+
+#: in-row bigram-string array over the staged ``__toks`` column; both
+#: CASE branches are array<string> so no struct-array cast is needed
+_BIGRAMS_SQL = (
+    "CASE WHEN size(__toks) >= 2 THEN "
+    "transform(sequence(1, size(__toks) - 1), "
+    "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1))) "
+    "ELSE array() END"
+)
+
+
+def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, idx, w1, bg) bigram stream, built in-row (no shuffle): stage
+    the token array once, derive the bigram-string array, posexplode.
+    ``w1`` is recovered from the bigram text (tokens cannot contain
+    whitespace, so the first space is the boundary)."""
+    staged = df.withColumn("__toks", F.expr(tokens_spark_sql(text_col)))
+    return staged.select(
+        F.col(id_col),
+        F.posexplode(F.expr(_BIGRAMS_SQL)).alias("idx", "bg"),
+    ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+
+
+def ngram_lm_score(
+    docs: DataFrame,
+    ref_filter_sql: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Score every document against a bigram LM estimated from the rows
+    matching ``ref_filter_sql`` (a SQL predicate over ``docs``).
+
+    Model: add-one-smoothed bigram probabilities
+    ``p(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V)`` with ``V`` = reference
+    vocabulary size; unseen history backs off to ``1 / V`` naturally
+    (``c(w1) = 0``).
+
+    Returns ``(id, n_bigrams, oov_rate, nll_bits)`` for EVERY input
+    document; docs with fewer than two tokens get
+    ``(0, 0.0, 0.0)``.  ``nll_bits`` is bits/bigram (perplexity =
+    ``2^nll_bits``), rounded to ``round_dp``; ``oov_rate`` is the exact
+    fraction of bigrams absent from the reference counts.
+    """
+    ref = docs.filter(ref_filter_sql)
+    ref_bg = _bigrams(ref, id_col, text_col)
+    corpus_bg = _bigrams(docs, id_col, text_col)
+
+    uni = (
+        ref.withColumn("__toks", F.expr(tokens_spark_sql(text_col)))
+        .select(F.explode("__toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))  # one row
+    bi = ref_bg.groupBy("bg").agg(F.count("*").alias("c2"))
+
+    scored = (
+        corpus_bg.join(bi, "bg", "left")
+        .join(uni, corpus_bg["w1"] == uni["tok"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.col("idx"),
+            F.log2(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)).cast("double")
+                / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast(
+                    "double"
+                )
+            ).alias("__logp"),
+            F.when(F.col("c2").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("__oov"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("__n"),
+        F.sum("__oov").cast("bigint").alias("__n_oov"),
+        F.array_sort(F.collect_list(F.struct("idx", "__logp"))).alias("__ps"),
+    )
+    fold = (
+        "aggregate(__ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.__logp)"
+    )
+    out = docs.select(id_col).join(per_doc, id_col, "left")
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.when(F.col("__n").isNull(), F.lit(0.0))
+        .otherwise(
+            F.col("__n_oov").cast("double") / F.col("__n").cast("double")
+        )
+        .alias("oov_rate"),
+        F.when(F.col("__n").isNull(), F.lit(0.0))
+        .otherwise(
+            F.round(
+                (F.lit(0.0) - F.expr(fold)) / F.col("__n").cast("double"),
+                round_dp,
+            )
+        )
+        .alias("nll_bits"),
+    )
+
+
+def ngram_lm_oracle_sql(
+    table: str,
+    ref_where: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_dp: int = 4,
+) -> str:
+    """DuckDB twin of :func:`ngram_lm_score` — same smoothing, same
+    position-ordered sequential fold, same rounding."""
+    toks = tokens_duck_sql(text_col)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, {toks} AS w, ({ref_where}) AS is_ref FROM {table}
+),
+bigrams AS (
+  SELECT {id_col}, is_ref, i AS idx, w[i] AS w1,
+         w[i] || ' ' || w[i + 1] AS bg
+  FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS s(i)
+),
+uni AS (
+  SELECT tok, count(*) AS c1
+  FROM (SELECT unnest(w) AS tok FROM toks WHERE is_ref)
+  GROUP BY tok
+),
+vocab AS (SELECT count(*) AS v FROM uni),
+refbi AS (
+  SELECT bg, count(*) AS c2 FROM bigrams WHERE is_ref GROUP BY bg
+),
+scored AS (
+  SELECT b.{id_col}, b.idx,
+         log2(CAST(coalesce(r.c2, 0) + 1 AS DOUBLE)
+              / CAST(coalesce(u.c1, 0) + vb.v AS DOUBLE)) AS logp,
+         CASE WHEN r.bg IS NULL THEN 1 ELSE 0 END AS oov
+  FROM bigrams b
+  LEFT JOIN refbi r USING (bg)
+  LEFT JOIN uni u ON b.w1 = u.tok
+  CROSS JOIN vocab vb
+),
+per_doc AS (
+  SELECT {id_col}, count(*) AS n, sum(oov) AS n_oov,
+         list(logp ORDER BY idx) AS ps
+  FROM scored GROUP BY {id_col}
+)
+SELECT d.{id_col},
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_bigrams,
+       CASE WHEN p.n IS NULL THEN 0.0
+            ELSE CAST(p.n_oov AS DOUBLE) / CAST(p.n AS DOUBLE)
+       END AS oov_rate,
+       CASE WHEN p.n IS NULL THEN 0.0
+            ELSE round((0.0 - list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE), p.ps),
+                    (acc, x) -> acc + x)) / CAST(p.n AS DOUBLE), {round_dp})
+       END AS nll_bits
+FROM {table} d LEFT JOIN per_doc p USING ({id_col})
+"""

@@ -277,6 +277,46 @@ def test_classify_quality_linear_model(spark):
         assert r.keep == (r.model_logit >= 0.0)
 
 
+def test_ngram_lm_score_hand_computed(spark):
+    """Bigram-LM scoring: add-one smoothed probabilities against a
+    tiny reference slice, checked against hand-computed bits."""
+    import math
+
+    from minerva_etl_spark.operators.lm import ngram_lm_score
+
+    df = spark.createDataFrame(
+        [
+            # reference slice (is_ref = lang 'en')
+            (1, "a b a b", "en"),
+            (2, "a b c", "en"),
+            # scored-only docs
+            (3, "a b", "xx"),       # in-model bigram
+            (4, "z z", "xx"),       # fully OOV
+            (5, "solo", "xx"),      # no bigrams
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in ngram_lm_score(df, "lang = 'en'").collect()
+    }
+    # reference counts: tokens a:3 b:3 c:1 -> V=3
+    # bigrams: 'a b':3, 'b a':1, 'b c':1
+    v = 3
+    p_ab = (3 + 1) / (3 + v)      # c2('a b')=3, c1('a')=3
+    p_zz = (0 + 1) / (0 + v)      # unseen bigram, unseen history
+    assert rows[3].n_bigrams == 1
+    assert rows[3].oov_rate == 0.0
+    assert abs(rows[3].nll_bits - round(-math.log2(p_ab), 4)) < 1e-9
+    assert rows[4].n_bigrams == 1
+    assert rows[4].oov_rate == 1.0
+    assert abs(rows[4].nll_bits - round(-math.log2(p_zz), 4)) < 1e-9
+    assert rows[5].n_bigrams == 0
+    assert rows[5].oov_rate == 0.0 and rows[5].nll_bits == 0.0
+    # reference docs are scored too (model covers them)
+    assert rows[1].oov_rate == 0.0 and rows[1].n_bigrams == 3
+
+
 def test_with_pii_counts_and_redaction(spark):
     """PII detection counts + placeholder redaction."""
     from minerva_etl_spark.operators.text import with_pii
