@@ -1035,6 +1035,62 @@ LIMIT 10
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (`operators/similarity.py::
+    semantic_dedup`): nearest-centroid clustering (seeded from vec_id <
+    8, as sim_ivf) then within-cluster cosine ε-ball pruning keeping the
+    lowest-id representative.  Pairwise work is an equi-join on the
+    cluster id — quadratic within a cluster only, never across the
+    corpus."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("cvec"),
+    )
+    return S.semantic_dedup(emb, cent, threshold=0.3)
+
+
+def _oracle_semantic_dedup() -> str:
+    def cos(a: str, b: str) -> str:
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip(CAST({a} AS DOUBLE[]), "
+            f"CAST({b} AS DOUBLE[])), p -> p[1] * p[2])), (acc, v) -> acc + v)"
+        )
+        norm = lambda x: (  # noqa: E731
+            f"sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(CAST({x} AS DOUBLE[]), x -> x * x)), "
+            f"(acc, v) -> acc + v))"
+        )
+        return f"round({dot} / ({norm(a)} * {norm(b)}), 6)"
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS cvec
+  FROM embeddings WHERE vec_id < 8
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {cos('e.embedding', 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assigned a JOIN assigned b
+    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  WHERE {cos('a.embedding', 'b.embedding')} >= 0.3
+)
+SELECT s.vec_id, s.centroid_id, (d.vec_id IS NULL) AS kept
+FROM assigned s LEFT JOIN dup d ON s.vec_id = d.vec_id
+"""
+
+
 def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN join: top-5 neighbors for each query vector (vec_id < 5)."""
     _prep(spark)
@@ -2112,6 +2168,7 @@ _REGISTRY_ORDER = [
     "dedup_canonical",
     "quality_filter",
     "lm_perplexity",
+    "semantic_dedup",
 ]
 
 
@@ -2170,6 +2227,7 @@ def build_queries() -> dict:
         "dedup_canonical": q_dedup_canonical,
         "quality_filter": q_quality_filter,
         "lm_perplexity": q_lm_perplexity,
+        "semantic_dedup": q_semantic_dedup,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2248,6 +2306,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_canonical": _oracle_dedup_canonical(),
         "quality_filter": _oracle_quality_filter(),
         "lm_perplexity": _oracle_lm_perplexity(),
+        "semantic_dedup": _oracle_semantic_dedup(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

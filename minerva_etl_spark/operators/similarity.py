@@ -202,6 +202,93 @@ def ivf_search(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def assign_centroids(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (small) centroid table,
+    score every vector against every centroid, keep the argmax —
+    rounded-cosine order with centroid-id tie-break, exactly as the
+    oracle formulation.  One pass over the corpus, no corpus shuffle
+    beyond the row_number window by vector id."""
+    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        vec_col,
+        centroid_id_col,
+        cosine_expr(vec_col, centroid_vec_col).alias("__ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__ccos").desc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, vec_col, centroid_id_col)
+    )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the corpus by
+    nearest centroid, then WITHIN each cluster drop every vector whose
+    cosine to a lower-id cluster member is ``>= threshold`` (the
+    standard non-chained rule — the lowest-id member of each ε-ball
+    survives as the representative).
+
+    Returns ``(id, centroid_id, kept)`` for every input vector.
+
+    Scale shape: the expensive pairwise step is an equi-join on
+    ``centroid_id`` — quadratic only within a cluster, never across
+    the corpus.  At 100 TB the centroid count K grows with the corpus
+    (SemDeDup uses ~100k clusters for billions of embeddings) so
+    per-cluster membership stays bounded and the join stays balanced;
+    skewed clusters are AQE-splittable.  Cosines are rounded to 6 dp
+    before the threshold compare so the keep/drop boundary agrees
+    across engines.
+    """
+    assigned = assign_centroids(
+        embeddings, centroids, id_col, vec_col,
+        centroid_id_col, centroid_vec_col,
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__id_a"),
+        F.col(vec_col).alias("__vec_a"),
+        centroid_id_col,
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__id_b"),
+        F.col(vec_col).alias("__vec_b"),
+        centroid_id_col,
+    )
+    dup = (
+        a.join(b, centroid_id_col)
+        .filter(F.col("__id_a") < F.col("__id_b"))
+        .filter(cosine_expr("__vec_a", "__vec_b") >= threshold)
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.join(dup, id_col, "left")
+        .select(
+            id_col,
+            centroid_id_col,
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
 def lsh_sign_bucket(
     embeddings: DataFrame,
     dims: list[int],

@@ -277,6 +277,33 @@ def test_classify_quality_linear_model(spark):
         assert r.keep == (r.model_logit >= 0.0)
 
 
+def test_semantic_dedup_cluster_scoped(spark):
+    """SemDeDup rule: within a cluster the lowest-id member of an ε-ball
+    survives; cross-cluster near-dups are NOT compared."""
+    from minerva_etl_spark.operators.similarity import semantic_dedup
+
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.05]),    # cluster 0 representative
+            (11, [0.99, 0.06]),   # ~same direction -> dropped vs 10
+            (12, [0.6, 0.8]),     # cluster 1 (cos .8 vs c1 > .6 vs c0)
+            (13, [0.05, 0.9]),    # cluster 1, cos(12,13) ~ .83 < .95
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id bigint, cvec array<float>",
+    )
+    rows = {
+        r.vec_id: r for r in semantic_dedup(emb, cent, threshold=0.95).collect()
+    }
+    assert rows[10].centroid_id == 0 and rows[10].kept
+    assert rows[11].centroid_id == 0 and not rows[11].kept
+    assert rows[12].centroid_id == 1 and rows[12].kept
+    assert rows[13].centroid_id == 1 and rows[13].kept
+
+
 def test_ngram_lm_score_hand_computed(spark):
     """Bigram-LM scoring: add-one smoothed probabilities against a
     tiny reference slice, checked against hand-computed bits."""
