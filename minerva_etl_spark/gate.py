@@ -819,6 +819,25 @@ def _oracle_lm_perplexity() -> str:
     return ngram_lm_oracle_sql("documents", "lang = 'en'")
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (`operators/dsir.py`): hashed
+    unigram+bigram bucket counts, add-one-smoothed target-vs-raw
+    log-ratio weights (target = lang='en'), deterministic Gumbel top-100
+    selection.  The ratio table is n_buckets rows — broadcastable by
+    construction regardless of corpus size."""
+    _prep(spark)
+    from minerva_etl_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, "lang = 'en'", k=100)
+
+
+def _oracle_dsir_select() -> str:
+    from minerva_etl_spark.operators.dsir import dsir_oracle_sql
+
+    return dsir_oracle_sql("documents", "lang = 'en'", k=100)
+
+
 def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based source mixing (alpha = 0.5 over the language
     column): each doc gets a deterministic ``n_copies`` so the corpus
@@ -2169,6 +2188,7 @@ _REGISTRY_ORDER = [
     "quality_filter",
     "lm_perplexity",
     "semantic_dedup",
+    "dsir_select",
 ]
 
 
@@ -2228,6 +2248,7 @@ def build_queries() -> dict:
         "quality_filter": q_quality_filter,
         "lm_perplexity": q_lm_perplexity,
         "semantic_dedup": q_semantic_dedup,
+        "dsir_select": q_dsir_select,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2307,6 +2328,7 @@ def build_oracles() -> dict[str, str]:
         "quality_filter": _oracle_quality_filter(),
         "lm_perplexity": _oracle_lm_perplexity(),
         "semantic_dedup": _oracle_semantic_dedup(),
+        "dsir_select": _oracle_dsir_select(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

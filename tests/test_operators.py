@@ -304,6 +304,26 @@ def test_semantic_dedup_cluster_scoped(spark):
     assert rows[13].centroid_id == 1 and rows[13].kept
 
 
+def test_dsir_importance_selection(spark):
+    """DSIR weights favor target-like documents; exactly k are selected;
+    featureless docs carry weight 0.0 but still enter the draw."""
+    from minerva_etl_spark.operators.dsir import dsir_select
+
+    rows = [(i, "the quick brown fox jumps over the lazy dog", "en")
+            for i in range(8)]
+    rows += [(i, "zzz qqq xxx vvv kkk www jjj", "xx")
+             for i in range(8, 16)]
+    rows.append((16, "", "xx"))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r.doc_id: r for r in dsir_select(
+        df, "lang = 'en'", k=5, n_buckets=64).collect()}
+    assert len(out) == 17
+    assert sum(1 for r in out.values() if r.selected) == 5
+    # target-like docs outweigh off-target docs
+    assert out[0].log_weight > out[8].log_weight
+    assert out[16].log_weight == 0.0
+
+
 def test_ngram_lm_score_hand_computed(spark):
     """Bigram-LM scoring: add-one smoothed probabilities against a
     tiny reference slice, checked against hand-computed bits."""
