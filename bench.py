@@ -65,6 +65,10 @@ HEADLINE = [
     "curated_export",
     "boilerplate_strip",
     "dedup_canonical",
+    "quality_filter",
+    "lm_perplexity",
+    "semantic_dedup",
+    "dsir_select",
     "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)

@@ -96,9 +96,18 @@ def dsir_select(
     feature-less docs carry weight 0.0 and still enter the draw.
     """
     doc_counts = _bucket_counts(docs, n_buckets, id_col, text_col)
-    target_counts = _bucket_counts(
-        docs.filter(target_filter_sql), n_buckets, id_col, text_col
-    ).groupBy("bucket").agg(F.sum("cnt").alias("ct"))
+    # the target slice is a subset of the corpus, so both distributions
+    # derive from ONE explode: re-aggregate the per-doc counts, with the
+    # target side gated by a joined membership flag
+    flags = docs.select(
+        F.col(id_col), F.expr(f"({target_filter_sql})").alias("__t")
+    )
+    flagged = doc_counts.join(flags, id_col)
+    target_counts = (
+        flagged.filter(F.col("__t"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("ct"))
+    )
     raw_counts = doc_counts.groupBy("bucket").agg(
         F.sum("cnt").alias("cr")
     )
