@@ -69,6 +69,7 @@ HEADLINE = [
     "lm_perplexity",
     "semantic_dedup",
     "dsir_select",
+    "dedup_segments",
     "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)

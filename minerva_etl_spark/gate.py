@@ -781,6 +781,27 @@ def _oracle_boilerplate_strip() -> str:
     return boilerplate_segments_oracle_sql("documents", 4, 4)
 
 
+def q_dedup_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup, keep-first (`operators/text.py::
+    dedup_segments_keep_first`): every exact 4-word segment survives
+    only at its first corpus occurrence (doc id, then position) — the
+    scalable analog of suffix-array sequence dedup.  Two shuffles
+    (digest window + per-doc rebuild); segment text flows through the
+    shuffle because the winner set is corpus-sized (unlike
+    boilerplate_strip's broadcast-back)."""
+    _prep(spark)
+    from minerva_etl_spark.operators.text import dedup_segments_keep_first
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_segments_keep_first(docs, seg_words=4)
+
+
+def _oracle_dedup_segments() -> str:
+    from minerva_etl_spark.operators.text import dedup_segments_oracle_sql
+
+    return dedup_segments_oracle_sql("documents", 4)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (`operators/text.py::
     classify_quality`): a fixed linear classifier over the engineered
@@ -2189,6 +2210,7 @@ _REGISTRY_ORDER = [
     "lm_perplexity",
     "semantic_dedup",
     "dsir_select",
+    "dedup_segments",
 ]
 
 
@@ -2249,6 +2271,7 @@ def build_queries() -> dict:
         "lm_perplexity": q_lm_perplexity,
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
+        "dedup_segments": q_dedup_segments,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2329,6 +2352,7 @@ def build_oracles() -> dict[str, str]:
         "lm_perplexity": _oracle_lm_perplexity(),
         "semantic_dedup": _oracle_semantic_dedup(),
         "dsir_select": _oracle_dsir_select(),
+        "dedup_segments": _oracle_dedup_segments(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

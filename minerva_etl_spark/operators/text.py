@@ -392,6 +392,16 @@ FROM q JOIN r USING (doc_id)
 """
 
 
+def _segments_sql(text_col: str, k: int) -> str:
+    """In-row fixed-size (k-word) segment array of a document."""
+    return (
+        f"transform(sequence(1, cast(ceil(size(split({text_col}, ' '))"
+        f" / {k}.0) as int)),"
+        f" i -> array_join(slice(split({text_col}, ' '),"
+        f" (i-1)*{k}+1, {k}), ' '))"
+    )
+
+
 # ------------------------------------------- segment boilerplate removal
 def remove_boilerplate_segments(
     df: DataFrame,
@@ -419,12 +429,7 @@ def remove_boilerplate_segments(
     shuffle, no re-join of document payloads.
     """
     k = int(seg_words)
-    segs_arr = (
-        f"transform(sequence(1, cast(ceil(size(split({text_col}, ' '))"
-        f" / {k}.0) as int)),"
-        f" i -> array_join(slice(split({text_col}, ' '),"
-        f" (i-1)*{k}+1, {k}), ' '))"
-    )
+    segs_arr = _segments_sql(text_col, k)
     exploded = df.select(
         F.col(id_col), F.explode(F.expr(segs_arr)).alias("__seg")
     )
@@ -451,6 +456,118 @@ def remove_boilerplate_segments(
             F.array_join("__kept", " ").alias("new_text"),
         )
     )
+
+
+def dedup_segments_keep_first(
+    df: DataFrame,
+    seg_words: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-level dedup at fixed-size word-segment
+    granularity (the scalable analog of suffix-array sequence dedup,
+    Lee et al. 2021 "Deduplicating Training Data Makes Language Models
+    Better"): every exact k-word segment keeps only its FIRST occurrence
+    in corpus order (doc id, then position — intra-document repeats
+    dedup too); later occurrences are stripped and each document is
+    rebuilt from its surviving segments.
+
+    Returns ``(doc_id, n_segs, n_kept, n_dropped, new_text)``.
+
+    Scale shape: unlike boilerplate removal (whose strip set is small
+    and broadcasts back), the keep-first winner set is corpus-sized, so
+    segment TEXT must flow through one shuffle — a window over
+    ``md5(segment)`` picks first occurrences, and a per-document
+    re-aggregation rebuilds the text.  Two shuffles total, both on
+    (digest / doc id) keys; this is the honest cost of global
+    keep-first semantics (distributed suffix-array pipelines pay the
+    same sort).
+    """
+    k = int(seg_words)
+    from pyspark.sql import Window
+
+    segs = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(_segments_sql(text_col, k))).alias(
+            "__idx", "__seg"
+        ),
+    )
+    w = Window.partitionBy(F.md5("__seg")).orderBy(
+        F.col(id_col).asc(), F.col("__idx").asc()
+    )
+    kept = (
+        segs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.expr("transform(array_sort(collect_list("
+                   "struct(__idx, __seg))), p -> p.__seg)"),
+            " ",
+        ).alias("new_text"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.expr(_segments_sql(text_col, k)))
+        .cast("bigint")
+        .alias("n_segs"),
+    )
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        "n_segs",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        (F.col("n_segs") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_dropped"
+        ),
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+    )
+
+
+def dedup_segments_oracle_sql(
+    table: str,
+    seg_words: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`dedup_segments_keep_first`."""
+    k = int(seg_words)
+    return f"""
+WITH words AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}
+),
+segs AS (
+  SELECT {id_col}, i AS idx,
+         array_to_string(w[(i-1)*{k}+1:i*{k}], ' ') AS seg
+  FROM words
+  CROSS JOIN UNNEST(generate_series(
+      1, CAST(ceil(len(w) / {k}.0) AS BIGINT))) AS s(i)
+),
+kept AS (
+  SELECT {id_col}, idx, seg FROM (
+    SELECT {id_col}, idx, seg,
+           row_number() OVER (
+             PARTITION BY md5(seg)
+             ORDER BY {id_col} ASC, idx ASC) AS rn
+    FROM segs
+  ) WHERE rn = 1
+),
+rebuilt AS (
+  SELECT {id_col}, count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY idx) AS new_text
+  FROM kept GROUP BY {id_col}
+),
+totals AS (
+  SELECT {id_col}, count(*) AS n_segs FROM segs GROUP BY {id_col}
+)
+SELECT t.{id_col},
+       CAST(t.n_segs AS BIGINT) AS n_segs,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_segs - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(r.new_text, '') AS new_text
+FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
+"""
 
 
 def boilerplate_segments_oracle_sql(

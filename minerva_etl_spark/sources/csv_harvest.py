@@ -46,16 +46,13 @@ class CsvParserConfig:
     id_method: str = "xxhash64"
 
 
-def deduce_csv_schema(
-    spark: SparkSession, path: str, config: CsvParserConfig, sample_rows: int = 1000
+def deduce_frame_types(
+    raw: DataFrame, config: CsvParserConfig, sample_rows: int = 1000
 ) -> dict[str, dt.DataType]:
-    """Type deduction over a bounded sample (A10 / S1) using the
-    reference ladder — not Spark's inferSchema, whose rules differ."""
-    raw = (
-        spark.read.option("header", True)
-        .option("delimiter", config.delimiter)
-        .csv(path)
-    )
+    """Type deduction over a bounded sample of an all-strings frame
+    (A10 / S1) using the reference ladder — not Spark's inferSchema,
+    whose rules differ.  Shared by every harvest flavor that reads
+    values as strings (CSV, JSON-lines)."""
     metric_cols = [
         c
         for c in raw.columns
@@ -68,6 +65,17 @@ def deduce_csv_schema(
     for col, name in config.column_types.items():
         out[col] = dt.REGISTRY[name]
     return out
+
+
+def deduce_csv_schema(
+    spark: SparkSession, path: str, config: CsvParserConfig, sample_rows: int = 1000
+) -> dict[str, dt.DataType]:
+    raw = (
+        spark.read.option("header", True)
+        .option("delimiter", config.delimiter)
+        .csv(path)
+    )
+    return deduce_frame_types(raw, config, sample_rows)
 
 
 def normalize_frame(
@@ -90,6 +98,25 @@ def read_csv_packages(
         .csv(path)
     )
     types = deduce_csv_schema(spark, path, config)
+    return _project(raw, config, types)
+
+
+def read_jsonl_packages(
+    spark: SparkSession, path: str, config: CsvParserConfig
+) -> DataFrame:
+    """JSON-lines harvest flavor: one JSON object per line, same parser
+    config surface as CSV (identifier/timestamp columns, declared or
+    deduced types).  ``primitivesAsString`` forces an all-strings read
+    so the reference's type-ladder deduction applies identically — a
+    JSONL file and its CSV twin load to the same typed frame.  The
+    reference's plugin API makes formats pluggable
+    (`harvest/plugins.py`); this is the second built-in flavor."""
+    raw = (
+        spark.read.option("primitivesAsString", True)
+        .option("allowNonNumericNumbers", True)
+        .json(path)
+    )
+    types = deduce_frame_types(raw, config)
     return _project(raw, config, types)
 
 

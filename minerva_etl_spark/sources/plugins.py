@@ -68,5 +68,19 @@ def _parquet_reader(spark: SparkSession, path: str, config) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _jsonl_reader(spark: SparkSession, path: str, config) -> DataFrame:
+    from minerva_etl_spark.sources.csv_harvest import (
+        CsvParserConfig,
+        read_jsonl_packages,
+    )
+
+    if isinstance(config, dict):
+        config = {k: v for k, v in config.items() if k != "delimiter"}
+        config = CsvParserConfig(**config)
+    return read_jsonl_packages(spark, path, config)
+
+
 register_plugin("csv", _csv_reader)
 register_plugin("parquet", _parquet_reader)
+register_plugin("jsonl", _jsonl_reader)
+register_plugin("json", _jsonl_reader)

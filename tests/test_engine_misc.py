@@ -82,6 +82,41 @@ def test_csv_harvest_deduction_and_ids(spark, tmp_path):
     )
 
 
+def test_jsonl_harvest_matches_csv_twin(spark, tmp_path):
+    """The JSONL harvest flavor loads a file to the SAME typed frame as
+    its CSV twin: primitivesAsString + the shared deduction ladder."""
+    from minerva_etl_spark.sources.plugins import get_plugin
+
+    c = tmp_path / "sample.csv"
+    c.write_text(
+        "node,timestamp,power_kwh,state\n"
+        "hillside14,2024-01-01 00:15:00,1.5,up\n"
+        "hillside15,2024-01-01 00:15:00,7,down\n"
+    )
+    j = tmp_path / "sample.jsonl"
+    j.write_text(
+        '{"node": "hillside14", "timestamp": "2024-01-01 00:15:00",'
+        ' "power_kwh": 1.5, "state": "up"}\n'
+        '{"node": "hillside15", "timestamp": "2024-01-01 00:15:00",'
+        ' "power_kwh": 7, "state": "down"}\n'
+    )
+    cfg = dict(
+        identifier_column="node",
+        timestamp_column="timestamp",
+        entity_type="node",
+        granularity="15m",
+        id_method="md5",
+    )
+    a = get_plugin("csv")(spark, str(c), dict(cfg))
+    b = get_plugin("jsonl")(spark, str(j), dict(cfg))
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    assert dict(a.dtypes) == dict(b.dtypes)
+    ra = sorted(a.select(*cols).collect())
+    rb = sorted(b.select(*cols).collect())
+    assert ra == rb
+
+
 def test_register_entities_create_on_miss(spark, tmp_path):
     dim_path = str(tmp_path / "entity_node")
     names1 = spark.createDataFrame([("a",), ("b",)], "name string")

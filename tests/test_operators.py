@@ -560,6 +560,28 @@ def test_boilerplate_plan_no_payload_shuffle(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_dedup_segments_keep_first(spark):
+    """Keep-first exact segment dedup: later occurrences strip, first
+    (by doc id then position) survives; intra-doc repeats dedup too."""
+    from minerva_etl_spark.operators.text import dedup_segments_keep_first
+
+    rep = "alpha beta gamma delta"
+    docs = spark.createDataFrame(
+        [
+            (1, rep + " unique one two three"),
+            (2, rep + " other words here now"),   # rep seen in doc 1
+            (3, rep + " " + rep),                 # inter+intra dup
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r.doc_id: r for r in dedup_segments_keep_first(
+        docs, seg_words=4).collect()}
+    assert got[1].n_segs == 2 and got[1].n_kept == 2
+    assert got[1].new_text == rep + " unique one two three"
+    assert got[2].n_kept == 1 and got[2].new_text == "other words here now"
+    assert got[3].n_kept == 0 and got[3].new_text == ""
+
+
 def test_keep_best_per_component(spark):
     """Per cluster: highest score survives, ties break by lowest id,
     singletons (absent from components) keep themselves."""
