@@ -324,6 +324,43 @@ def test_dsir_importance_selection(spark):
     assert out[16].log_weight == 0.0
 
 
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_classify_quality_plan_no_shuffle(spark, tmp_path):
+    """The quality classifier is a pure scan-project-filter: no
+    Exchange anywhere in the plan — at 100 TB this stage must stream."""
+    from minerva_etl_spark.operators.text import classify_quality
+
+    rows = [(i, "some text here for doc %d" % i) for i in range(100)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "docs"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    plan = _plan_of(classify_quality(docs))
+    assert "Exchange" not in plan
+
+
+def test_dsir_plan_broadcasts_ratio(spark, tmp_path):
+    """The DSIR per-doc scoring join against the n_buckets-row ratio
+    table must broadcast — shuffling exploded corpus grams to meet a
+    1024-row dimension would be the 100 TB mistake."""
+    from minerva_etl_spark.operators.dsir import dsir_select
+
+    rows = [(i, "w%d common tokens here" % (i % 7), "en" if i % 2 else "xx")
+            for i in range(200)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "docs"))
+    docs = spark.read.parquet(str(tmp_path / "docs"))
+    plan = _plan_of(dsir_select(docs, "lang = 'en'", k=10, n_buckets=64))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_ngram_lm_score_hand_computed(spark):
     """Bigram-LM scoring: add-one smoothed probabilities against a
     tiny reference slice, checked against hand-computed bits."""
