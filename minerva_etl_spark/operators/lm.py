@@ -45,14 +45,18 @@ _BIGRAMS_SQL = (
 )
 
 
-def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, idx, w1, bg) bigram stream, built in-row (no shuffle): stage
-    the token array once, derive the bigram-string array, posexplode.
-    ``w1`` is recovered from the bigram text (tokens cannot contain
-    whitespace, so the first space is the boundary)."""
+def _bigrams(
+    df: DataFrame, id_col: str, text_col: str, extra_cols: tuple = ()
+) -> DataFrame:
+    """(id, [extra...], idx, w1, bg) bigram stream, built in-row (no
+    shuffle): stage the token array once, derive the bigram-string
+    array, posexplode.  ``w1`` is recovered from the bigram text
+    (tokens cannot contain whitespace, so the first space is the
+    boundary); ``extra_cols`` ride the explode row-locally."""
     staged = df.withColumn("__toks", F.expr(tokens_spark_sql(text_col)))
     return staged.select(
         F.col(id_col),
+        *[F.col(c) for c in extra_cols],
         F.posexplode(F.expr(_BIGRAMS_SQL)).alias("idx", "bg"),
     ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
 
@@ -78,18 +82,25 @@ def ngram_lm_score(
     ``2^nll_bits``), rounded to ``round_dp``; ``oov_rate`` is the exact
     fraction of bigrams absent from the reference counts.
     """
-    ref = docs.filter(ref_filter_sql)
-    ref_bg = _bigrams(ref, id_col, text_col)
-    corpus_bg = _bigrams(docs, id_col, text_col)
+    # the reference slice is a subset of the corpus: flag it once so
+    # bigram extraction happens in a single corpus pass (the bigram
+    # model re-aggregates the flagged subset instead of re-exploding it)
+    flagged = docs.withColumn("__ref", F.expr(f"({ref_filter_sql})"))
+    corpus_bg = _bigrams(flagged, id_col, text_col, ("__ref",))
 
     uni = (
-        ref.withColumn("__toks", F.expr(tokens_spark_sql(text_col)))
+        flagged.filter("__ref")
+        .withColumn("__toks", F.expr(tokens_spark_sql(text_col)))
         .select(F.explode("__toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c1"))
     )
     vocab = uni.agg(F.count("*").alias("v"))  # one row
-    bi = ref_bg.groupBy("bg").agg(F.count("*").alias("c2"))
+    bi = (
+        corpus_bg.filter("__ref")
+        .groupBy("bg")
+        .agg(F.count("*").alias("c2"))
+    )
 
     scored = (
         corpus_bg.join(bi, "bg", "left")

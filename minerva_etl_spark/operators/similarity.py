@@ -256,6 +256,13 @@ def semantic_dedup(
     skewed clusters are AQE-splittable.  Cosines are rounded to 6 dp
     before the threshold compare so the keep/drop boundary agrees
     across engines.
+
+    The assignment subtree feeds three plan branches (both self-join
+    sides + the output base), so Spark recomputes it 3× — a constant
+    factor kept deliberately: at deployment scale the assignment is
+    written to (or cached as) a table once and reused, exactly like
+    `ivf_index`'s persisted assignment; fusing that materialization
+    into this operator would hide the storage decision from the caller.
     """
     assigned = assign_centroids(
         embeddings, centroids, id_col, vec_col,
