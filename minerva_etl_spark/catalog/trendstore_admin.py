@@ -173,6 +173,74 @@ def remove_trends(root: str | Path, definition: str | Path) -> list[str]:
     return removed
 
 
+def change_trend_store(
+    root: str | Path, definition: str | Path, force: bool = False
+) -> list[tuple[str, tuple[list[str], list[str], list[str]]]]:
+    """``trend-store change``: one-shot sync of a definition onto the
+    registered store (reference `commands/trend_store.py:210-256` —
+    the composite of add-parts + add-trends + remove-trends +
+    alter-trends).  Per part, returns ``(part, (added, removed,
+    changed))`` where ``changed`` lists trends whose data type or
+    aggregation metadata moved to the definition's value.
+
+    Type NARROWING is refused unless ``force`` (the reference's
+    ``--force`` contract): without it, a definition declaring a less
+    powerful type than the registered one leaves the column untouched
+    and reports nothing — widening is always applied.  Data files align
+    lazily on the next store, exactly like the other catalog-only
+    ALTERs.
+    """
+    from minerva_etl_spark.catalog import datatypes as dt
+
+    d = _load_yaml(Path(definition))
+    target = find_store_file(root, _store_key(d))
+    if target is None:
+        raise FileNotFoundError(f"no trend store {_store_key(d)}")
+    current = _load_yaml(target)
+    parts_by_name = {p["name"]: p for p in current.get("parts", [])}
+    results: list[tuple[str, tuple[list, list, list]]] = []
+    for part in d.get("parts", []):
+        name = part["name"]
+        cur = parts_by_name.get(name)
+        if cur is None:
+            current.setdefault("parts", []).append(part)
+            results.append(
+                (name, ([t["name"] for t in part.get("trends", [])], [], []))
+            )
+            continue
+        want = {t["name"]: t for t in part.get("trends", [])}
+        have = {t["name"]: t for t in cur.get("trends", [])}
+        added = [n for n in want if n not in have]
+        removed = [n for n in have if n not in want]
+        changed: list[str] = []
+        for n, spec in want.items():
+            if n not in have:
+                continue
+            old = have[n]
+            delta = False
+            old_type = old.get("data_type", "text")
+            new_type = spec.get("data_type", "text")
+            if old_type != new_type:
+                old_t = dt.REGISTRY[str(old_type).lower()]
+                new_t = dt.REGISTRY[str(new_type).lower()]
+                if force or new_t.rank >= old_t.rank:
+                    old["data_type"] = new_type
+                    delta = True
+            for k in ("time_aggregation", "entity_aggregation"):
+                if k in spec and spec[k] != old.get(k):
+                    old[k] = spec[k]
+                    delta = True
+            if delta:
+                changed.append(n)
+        cur["trends"] = [have[n] for n in have if n not in removed] + [
+            want[n] for n in added
+        ]
+        results.append((name, (added, removed, changed)))
+    if any(a or r or c for _, (a, r, c) in results):
+        _dump_yaml(target, current)
+    return results
+
+
 def check_config(
     root: str | Path, definition: str | Path | None = None
 ) -> dict[str, list[str]]:

@@ -1036,7 +1036,7 @@ def _partition_index(store, ts: datetime) -> int:
 
 def cmd_trend_store(args) -> None:
     """`minerva trend-store create|add-parts|add-trends|remove-trends|
-    delete|show|list|list-config|process-modified-log`
+    change|delete|show|list|list-config|process-modified-log`
     (`/root/reference/src/minerva/commands/trend_store.py`).  The
     instance YAML directory is the catalog; definition-file actions sync
     it the way the reference syncs ``trend_directory``."""
@@ -1066,6 +1066,19 @@ def cmd_trend_store(args) -> None:
             f"Removed trends: {', '.join(removed)}" if removed
             else "No trends to be removed."
         )
+    elif args.action == "change":
+        results = tsa.change_trend_store(
+            args.instance, args.definition, force=args.force
+        )
+        any_change = False
+        for part, (added, removed, changed) in results:
+            if added or removed or changed:
+                any_change = True
+                print(f"added {added}")
+                print(f"removed {removed}")
+                print(f"changed {changed}")
+        if not any_change:
+            print("no changes were made")
     elif args.action == "delete":
         from minerva_etl_spark.catalog.granularity import Granularity
 
@@ -1428,8 +1441,8 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=[
             "create", "add-parts", "add-trends", "remove-trends",
-            "delete", "show", "list", "list-config", "check-config",
-            "process-modified-log",
+            "change", "delete", "show", "list", "list-config",
+            "check-config", "process-modified-log",
         ],
     )
     tsg.add_argument("definition", nargs="?",
@@ -1437,6 +1450,10 @@ def main(argv: list[str] | None = None) -> None:
     tsg.add_argument("--data-source")
     tsg.add_argument("--entity-type")
     tsg.add_argument("--granularity")
+    tsg.add_argument(
+        "--force", action="store_true",
+        help="change: apply data-type narrowing too",
+    )
     tsg.set_defaults(fn=cmd_trend_store)
 
     tm = sub.add_parser("trend-materialization")

@@ -466,6 +466,59 @@ def test_cli_trend_store_admin(spark, instance_dir, data_dir, capsys, tmp_path):
     assert "acme" not in capsys.readouterr().out
 
 
+def test_cli_trend_store_change(instance_dir, data_dir, capsys, tmp_path):
+    """trend-store change: one-shot definition sync (add + remove +
+    alter in one pass); narrowing needs --force, widening doesn't."""
+    import yaml
+
+    basedef = tmp_path / "acme_node_1h.yaml"
+    basedef.write_text(yaml.safe_dump({
+        "data_source": "acme", "entity_type": "node", "granularity": "1h",
+        "parts": [{"name": "acme_main_1h",
+                   "trends": [
+                       {"name": "kwh", "data_type": "integer"},
+                       {"name": "old_metric", "data_type": "bigint"},
+                   ]}],
+    }))
+    run(instance_dir, data_dir, "trend-store", "create", str(basedef))
+    capsys.readouterr()
+
+    newdef = tmp_path / "acme_changed.yaml"
+    newdef.write_text(yaml.safe_dump({
+        "data_source": "acme", "entity_type": "node", "granularity": "1h",
+        "parts": [{"name": "acme_main_1h",
+                   "trends": [
+                       {"name": "kwh", "data_type": "double precision"},
+                       {"name": "temp", "data_type": "real"},
+                   ]}],
+    }))
+    run(instance_dir, data_dir, "trend-store", "change", str(newdef))
+    out = capsys.readouterr().out
+    assert "added ['temp']" in out
+    assert "removed ['old_metric']" in out
+    assert "changed ['kwh']" in out  # integer -> double = widening
+
+    # idempotent second run
+    run(instance_dir, data_dir, "trend-store", "change", str(newdef))
+    assert "no changes were made" in capsys.readouterr().out
+
+    # narrowing (double -> smallint) refused without --force
+    narrow = tmp_path / "acme_narrow.yaml"
+    narrow.write_text(yaml.safe_dump({
+        "data_source": "acme", "entity_type": "node", "granularity": "1h",
+        "parts": [{"name": "acme_main_1h",
+                   "trends": [
+                       {"name": "kwh", "data_type": "smallint"},
+                       {"name": "temp", "data_type": "real"},
+                   ]}],
+    }))
+    run(instance_dir, data_dir, "trend-store", "change", str(narrow))
+    assert "no changes were made" in capsys.readouterr().out
+    run(instance_dir, data_dir, "trend-store", "change", str(narrow),
+        "--force")
+    assert "changed ['kwh']" in capsys.readouterr().out
+
+
 def test_cli_process_modified_log(spark, instance_dir, data_dir, capsys):
     """process-modified-log compacts the append-only modified log to one
     row per (part, timestamp) without changing max(modified)."""
