@@ -963,13 +963,15 @@ def cmd_notification_store(args) -> None:
 
 
 def cmd_partition(args) -> None:
-    """`minerva partition create`
+    """`minerva partition create|create-for-timestamp|remove-old`
     (`/root/reference/src/minerva/commands/partition.py:50-151`):
     pre-create partition directories for every trend store covering
-    (now - retention - partition_size, now + partition_size + ahead].
-    On the parquet substrate partition pre-creation is mkdir-only
-    (metadata), exactly as cheap as the reference's CREATE TABLE
-    partitions — writes land in them via dynamic partition overwrite."""
+    (now - retention - partition_size, now + partition_size + ahead],
+    or just the partitions covering one timestamp, or drop the
+    partitions past retention.  On the parquet substrate partition
+    pre-creation is mkdir-only (metadata), exactly as cheap as the
+    reference's CREATE TABLE partitions — writes land in them via
+    dynamic partition overwrite; removal is a directory drop (T8)."""
     import os
     from datetime import timedelta
 
@@ -998,6 +1000,27 @@ def cmd_partition(args) -> None:
             partition_size=ts_def.partition_size,
             retention_period=ts_def.retention_period,
         )
+        if args.action == "remove-old":
+            spark = _spark()
+            for part in store.parts:
+                dropped = store.drop_expired(spark, part.name, now)
+                if dropped:
+                    print(f"{part.name}: removed partitions {dropped}")
+                    total += len(dropped)
+            continue
+        if args.action == "create-for-timestamp":
+            if not args.timestamp:
+                sys.exit("create-for-timestamp needs a timestamp argument")
+            ts = datetime.fromisoformat(args.timestamp)
+            idx = _partition_index(store, ts)
+            for part in store.parts:
+                d = os.path.join(
+                    store.part_path(part.name), f"{PARTITION_COL}={idx}"
+                )
+                if not os.path.exists(d):
+                    os.makedirs(d, exist_ok=True)
+                    total += 1
+            continue
         psize = store.partition_size
         start = now
         if store.retention_period is not None:
@@ -1023,7 +1046,8 @@ def cmd_partition(args) -> None:
                 if not os.path.exists(d):
                     os.makedirs(d, exist_ok=True)
                     total += 1
-    print(f"created {total} partition(s)")
+    verb = "removed" if args.action == "remove-old" else "created"
+    print(f"{verb} {total} partition(s)")
 
 
 def _partition_index(store, ts: datetime) -> int:
@@ -1431,7 +1455,11 @@ def main(argv: list[str] | None = None) -> None:
     ns.set_defaults(fn=cmd_notification_store)
 
     pt = sub.add_parser("partition")
-    pt.add_argument("action", choices=["create"])
+    pt.add_argument(
+        "action", choices=["create", "create-for-timestamp", "remove-old"]
+    )
+    pt.add_argument("timestamp", nargs="?",
+                    help="target timestamp (create-for-timestamp)")
     pt.add_argument("--ahead-interval", default="3d")
     pt.add_argument("--now", default=None, help="pinned now (ISO)")
     pt.set_defaults(fn=cmd_partition)

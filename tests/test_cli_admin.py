@@ -297,6 +297,46 @@ def test_cli_partition_create(instance_dir, data_dir, capsys):
     )
     assert "created 0 partition(s)" in capsys.readouterr().out
 
+    # create-for-timestamp: one partition per part, far outside the
+    # window so it's genuinely new; re-run is a no-op
+    run(instance_dir, data_dir, "partition", "create-for-timestamp",
+        "2030-01-01T00:00:00")
+    out = capsys.readouterr().out
+    n2 = int(out.split()[1])
+    assert n2 > 0
+    run(instance_dir, data_dir, "partition", "create-for-timestamp",
+        "2030-01-01T00:00:00")
+    assert "created 0 partition(s)" in capsys.readouterr().out
+
+
+def test_cli_partition_remove_old(spark, instance_dir, data_dir, capsys):
+    """partition remove-old = retention enforcement through the CLI:
+    partitions wholly past retention drop; recent ones stay."""
+    import datetime
+    from types import SimpleNamespace
+
+    from minerva_etl_spark.cli import _build_store
+
+    store = _build_store(SimpleNamespace(
+        instance=instance_dir, data_dir=data_dir,
+        data_source="hub", entity_type="node", granularity="15m",
+    ))
+    # the tiny-instance store declares retention_period: 1month
+    old = datetime.datetime(2024, 1, 1, 0, 15)
+    new = datetime.datetime(2024, 3, 10, 0, 15)
+    frame = spark.createDataFrame(
+        [(1, old, 1.0), (1, new, 2.0)],
+        "entity_id bigint, timestamp timestamp_ntz, power_kwh double",
+    )
+    store.store(spark, frame, job_id=1)
+    run(instance_dir, data_dir, "partition", "remove-old",
+        "--now", "2024-03-10T12:00:00")
+    out = capsys.readouterr().out
+    assert "removed" in out
+    left = store.read_part(spark, store.parts[0].name)
+    rows = left.select("timestamp").collect()
+    assert all(r.timestamp >= datetime.datetime(2024, 3, 1) for r in rows)
+
 
 def test_cli_trend_materialization_admin(instance_dir, data_dir, tmp_path, capsys):
     import yaml

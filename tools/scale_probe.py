@@ -34,13 +34,20 @@ def build(spark, mult: int) -> str:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     copies = spark.range(mult).select(F.col("id").alias("copy"))
+    # shift each copy by its index × 1h: keys repeat, timestamps
+    # interleave (realistic bucket growth).  The fixture's ts column is
+    # raw int64 nanos under legacy nanosAsLong, a timestamp otherwise.
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        shifted = F.col("ts") + F.col("copy") * 3_600_000_000_000
+    else:
+        shifted = F.expr(
+            "ts + make_interval(0, 0, 0, 0, cast(copy as int), 0, 0)"
+        )
     big_ev = (
         ev.crossJoin(copies)
         .select(
             (F.col("event_id") + F.col("copy") * 10_000_000).alias("event_id"),
-            # shift each copy by its index × 1h of nanos: keys repeat,
-            # timestamps interleave (realistic bucket growth)
-            (F.col("ts") + F.col("copy") * 3_600_000_000_000).alias("ts"),
+            shifted.alias("ts"),
             (F.col("user_id") + (F.col("copy") % 4) * 10_000).alias("user_id"),
             "event_type",
             "value",
@@ -75,9 +82,13 @@ def probe(spark, data_dir: str, mult: int) -> dict:
     results: dict[str, dict[str, float]] = {}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    ev = spark.read.parquet(f"{data_dir}/events.parquet").withColumn(
-        "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
-    )
+    ev = spark.read.parquet(f"{data_dir}/events.parquet")
+    if dict(ev.dtypes)["ts"] in ("bigint", "long"):
+        ev = ev.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    else:
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     docs = spark.read.parquet(f"{data_dir}/documents.parquet")
 
     t0 = time.time()
@@ -92,6 +103,26 @@ def probe(spark, data_dir: str, mult: int) -> dict:
     n2 = D.minhash_candidate_pairs(docs).count()
     results["minhash_pairs"] = {"spark": round(time.time() - t0, 2), "rows": n2}
 
+    from minerva_etl_spark.operators.dsir import dsir_select
+    from minerva_etl_spark.operators.lm import ngram_lm_score
+    from minerva_etl_spark.operators.text import (
+        classify_quality,
+        dedup_segments_keep_first,
+    )
+
+    t0 = time.time()
+    n3 = dedup_segments_keep_first(docs).count()
+    results["dedup_segments"] = {"spark": round(time.time() - t0, 2), "rows": n3}
+    t0 = time.time()
+    n4 = dsir_select(docs, "lang = 'en'", k=100).count()
+    results["dsir_select"] = {"spark": round(time.time() - t0, 2), "rows": n4}
+    t0 = time.time()
+    n5 = ngram_lm_score(docs, "lang = 'en'").count()
+    results["lm_perplexity"] = {"spark": round(time.time() - t0, 2), "rows": n5}
+    t0 = time.time()
+    n6 = classify_quality(docs).count()
+    results["quality_filter"] = {"spark": round(time.time() - t0, 2), "rows": n6}
+
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{data_dir}/events.parquet/*.parquet'"
@@ -99,12 +130,22 @@ def probe(spark, data_dir: str, mult: int) -> dict:
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM '{data_dir}/documents.parquet/*.parquet'"
     )
+    ts_kind = con.execute("SELECT typeof(ts) FROM events LIMIT 1").fetchone()[0]
+    if ts_kind in ("BIGINT", "HUGEINT"):
+        bucket = (
+            "make_timestamp((((ts // 1000) + 3599999999)"
+            " // 3600000000) * 3600000000)"
+        )
+    else:
+        bucket = (
+            "time_bucket(INTERVAL 1 HOUR, ts)"
+            " + CASE WHEN date_trunc('hour', ts) = ts"
+            " THEN INTERVAL 0 HOUR ELSE INTERVAL 1 HOUR END"
+        )
     t0 = time.time()
     con.execute(
-        """
-        SELECT user_id,
-               -- ts column is raw int64 nanoseconds in the probe copies
-               make_timestamp((((ts // 1000) + 3599999999) // 3600000000) * 3600000000) AS b,
+        f"""
+        SELECT user_id, {bucket} AS b,
                CAST(SUM(CAST(value AS DECIMAL(32,6))) AS DOUBLE)
         FROM events GROUP BY 1, 2
         """
@@ -116,6 +157,16 @@ def probe(spark, data_dir: str, mult: int) -> dict:
     t0 = time.time()
     con.execute(minhash_pairs_oracle_sql("documents")).fetchall()
     results["minhash_pairs"]["duckdb"] = round(time.time() - t0, 2)
+
+    from minerva_etl_spark.operators.lm import ngram_lm_oracle_sql
+    from minerva_etl_spark.operators.text import dedup_segments_oracle_sql
+
+    t0 = time.time()
+    con.execute(dedup_segments_oracle_sql("documents")).fetchall()
+    results["dedup_segments"]["duckdb"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    con.execute(ngram_lm_oracle_sql("documents", "lang = 'en'")).fetchall()
+    results["lm_perplexity"]["duckdb"] = round(time.time() - t0, 2)
     con.close()
 
     return results
