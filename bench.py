@@ -95,13 +95,20 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        best, n = None, 0
+        best = None
         for _ in range(runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()  # force full execution without driver collect
+            # noop sink: forces FULL evaluation of every column and
+            # join.  A count() here lets Catalyst eliminate unique-key
+            # left joins and prune all projections — projection-heavy
+            # queries then time the parquet row count, not the operator
+            # (measured: lm_perplexity at x16 "ran" in 0.3 s via count
+            # while computing nothing).
+            df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+        n = fn(spark, sf_dir).count()  # rows reported, not timed
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
 

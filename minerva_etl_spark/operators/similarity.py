@@ -239,6 +239,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "cvec",
+    materialize: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the corpus by
     nearest centroid, then WITHIN each cluster drop every vector whose
@@ -258,16 +259,20 @@ def semantic_dedup(
     across engines.
 
     The assignment subtree feeds three plan branches (both self-join
-    sides + the output base), so Spark recomputes it 3× — a constant
-    factor kept deliberately: at deployment scale the assignment is
-    written to (or cached as) a table once and reused, exactly like
-    `ivf_index`'s persisted assignment; fusing that materialization
-    into this operator would hide the storage decision from the caller.
+    sides + the output base); without materialization Spark recomputes
+    the scan + K-way scoring + argmax window per branch (measured 3× =
+    +2.5 s on the 5 k-doc bench row alone).  ``materialize=True``
+    (default) localCheckpoints the assignment once — the same
+    break-and-reuse pattern as `connected_components`; pass False to
+    keep pure lineage (e.g. when the caller persists assignments to a
+    table anyway).
     """
     assigned = assign_centroids(
         embeddings, centroids, id_col, vec_col,
         centroid_id_col, centroid_vec_col,
     )
+    if materialize:
+        assigned = assigned.localCheckpoint(eager=False)
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__vec_a"),

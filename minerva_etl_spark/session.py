@@ -24,9 +24,17 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
 
+    # local-mode driver and executors share one JVM whose heap defaults
+    # to spark.driver.memory's 1g — far below what 32 concurrent tasks
+    # need (measured: scale_probe x16 OOMs at 1g, runs at 16g).  Only
+    # effective when this factory creates the JVM; an already-running
+    # session keeps its heap.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

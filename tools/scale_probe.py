@@ -110,18 +110,25 @@ def probe(spark, data_dir: str, mult: int) -> dict:
         dedup_segments_keep_first,
     )
 
-    t0 = time.time()
-    n3 = dedup_segments_keep_first(docs).count()
-    results["dedup_segments"] = {"spark": round(time.time() - t0, 2), "rows": n3}
-    t0 = time.time()
-    n4 = dsir_select(docs, "lang = 'en'", k=100).count()
-    results["dsir_select"] = {"spark": round(time.time() - t0, 2), "rows": n4}
-    t0 = time.time()
-    n5 = ngram_lm_score(docs, "lang = 'en'").count()
-    results["lm_perplexity"] = {"spark": round(time.time() - t0, 2), "rows": n5}
-    t0 = time.time()
-    n6 = classify_quality(docs).count()
-    results["quality_filter"] = {"spark": round(time.time() - t0, 2), "rows": n6}
+    def timed(fn):
+        # noop sink: count() would let Catalyst eliminate unique-key
+        # left joins / prune projections and time nothing (see bench.py)
+        t0 = time.time()
+        fn().write.format("noop").mode("overwrite").save()
+        return round(time.time() - t0, 2)
+
+    results["dedup_segments"] = {
+        "spark": timed(lambda: dedup_segments_keep_first(docs))
+    }
+    results["dsir_select"] = {
+        "spark": timed(lambda: dsir_select(docs, "lang = 'en'", k=100))
+    }
+    results["lm_perplexity"] = {
+        "spark": timed(lambda: ngram_lm_score(docs, "lang = 'en'"))
+    }
+    results["quality_filter"] = {
+        "spark": timed(lambda: classify_quality(docs))
+    }
 
     con = duckdb.connect()
     con.execute(
