@@ -14,8 +14,10 @@ def main() -> None:
     names = sys.argv[1:] or [
         "trend_time_agg_1h",
         "entity_agg_nation_1month",
-        "text_quality",
+        "text_profile",
         "dedup_minhash_pairs",
+        "dsir_select",
+        "semantic_dedup",
     ]
     import __spark_entry__ as entry_mod
     from minerva_etl_spark.session import get_spark
