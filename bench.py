@@ -70,6 +70,7 @@ HEADLINE = [
     "semantic_dedup",
     "dsir_select",
     "dedup_segments",
+    "chunk_sequences",
     "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)

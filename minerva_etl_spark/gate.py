@@ -802,6 +802,24 @@ def _oracle_dedup_segments() -> str:
     return dedup_segments_oracle_sql("documents", 4)
 
 
+def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-length training-sequence chunking (`operators/text.py::
+    chunk_sequences`): 64-token chunks every 48 tokens (16-token
+    overlap) — the LM pretraining window shape.  Entirely in-row
+    (stage → slice → posexplode), zero shuffles."""
+    _prep(spark)
+    from minerva_etl_spark.operators.text import chunk_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_sequences(docs, chunk_tokens=64, stride=48)
+
+
+def _oracle_chunk_sequences() -> str:
+    from minerva_etl_spark.operators.text import chunk_sequences_oracle_sql
+
+    return chunk_sequences_oracle_sql("documents", 64, 48)
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (`operators/text.py::
     classify_quality`): a fixed linear classifier over the engineered
@@ -2211,6 +2229,7 @@ _REGISTRY_ORDER = [
     "semantic_dedup",
     "dsir_select",
     "dedup_segments",
+    "chunk_sequences",
 ]
 
 
@@ -2272,6 +2291,7 @@ def build_queries() -> dict:
         "semantic_dedup": q_semantic_dedup,
         "dsir_select": q_dsir_select,
         "dedup_segments": q_dedup_segments,
+        "chunk_sequences": q_chunk_sequences,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2353,6 +2373,7 @@ def build_oracles() -> dict[str, str]:
         "semantic_dedup": _oracle_semantic_dedup(),
         "dsir_select": _oracle_dsir_select(),
         "dedup_segments": _oracle_dedup_segments(),
+        "chunk_sequences": _oracle_chunk_sequences(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

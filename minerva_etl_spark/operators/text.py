@@ -458,6 +458,80 @@ def remove_boilerplate_segments(
     )
 
 
+def chunk_sequences(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-length training sequences: chunks of
+    ``chunk_tokens`` whitespace tokens starting every ``stride`` tokens
+    (default ``stride = chunk_tokens`` → disjoint; smaller stride →
+    overlapping context windows, the standard LM pretraining shape).
+
+    Returns ``(id, chunk_id, n_tokens, chunk_text)``; the final chunk
+    of a document may be short, token-less documents produce no
+    chunks.  Everything is in-row (stage tokens → slice → posexplode)
+    — no shuffle at all; at 100 TB this stage streams.
+    """
+    k = int(chunk_tokens)
+    s = int(stride) if stride is not None else k
+    if s <= 0 or k <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    staged = df.withColumn("__toks", F.expr(tokens_spark_sql(text_col)))
+    chunks = (
+        "CASE WHEN size(__toks) >= 1 THEN "
+        f"transform(sequence(1, size(__toks), {s}), "
+        f"st -> array_join(slice(__toks, st, {k}), ' ')) "
+        "ELSE array() END"
+    )
+    out = staged.select(
+        F.col(id_col),
+        F.col("__toks"),
+        F.posexplode(F.expr(chunks)).alias("chunk_id", "chunk_text"),
+    )
+    n_tok = F.least(
+        F.lit(k),
+        F.size("__toks") - F.col("chunk_id") * F.lit(s),
+    ).cast("bigint")
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        n_tok.alias("n_tokens"),
+        "chunk_text",
+    )
+
+
+def chunk_sequences_oracle_sql(
+    table: str,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`chunk_sequences`."""
+    k = int(chunk_tokens)
+    s = int(stride) if stride is not None else k
+    toks = tokens_duck_sql(text_col)
+    return f"""
+WITH words AS (
+  SELECT {id_col}, {toks} AS w FROM {table}
+),
+starts AS (
+  SELECT {id_col}, w, st,
+         CAST((st - 1) / {s} AS BIGINT) AS chunk_id
+  FROM words
+  CROSS JOIN UNNEST(generate_series(1, len(w), {s})) AS g(st)
+  WHERE len(w) >= 1
+)
+SELECT {id_col}, chunk_id,
+       CAST(least({k}, len(w) - (st - 1)) AS BIGINT) AS n_tokens,
+       array_to_string(w[st:st + {k} - 1], ' ') AS chunk_text
+FROM starts
+"""
+
+
 def dedup_segments_keep_first(
     df: DataFrame,
     seg_words: int = 4,

@@ -597,6 +597,36 @@ def test_boilerplate_plan_no_payload_shuffle(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_chunk_sequences_windows(spark):
+    """Fixed-length chunking: disjoint stride reconstructs the token
+    stream; overlapping stride repeats the overlap; short tails and
+    empty docs behave."""
+    from minerva_etl_spark.operators.text import chunk_sequences
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id bigint, text string",
+    )
+    # disjoint: chunk=4, stride=4 -> 4+4+2 tokens, reconstruction holds
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_sequences(docs, 4, 4).collect()
+    )
+    d1 = [g for g in got if g[0] == 1]
+    assert [g[2] for g in d1] == [4, 4, 2]
+    assert " ".join(g[3] for g in d1) == " ".join(f"w{i}" for i in range(10))
+    assert [g for g in got if g[0] == 2] == [(2, 0, 2, "a b")]
+    assert not [g for g in got if g[0] == 3]  # empty doc -> no chunks
+    # overlapping: chunk=4, stride=2 -> starts at 0,2,4,6,8
+    over = [
+        r for r in chunk_sequences(docs, 4, 2).collect() if r.doc_id == 1
+    ]
+    assert len(over) == 5
+    by_id = {r.chunk_id: r for r in over}
+    assert by_id[1].chunk_text == "w2 w3 w4 w5"
+    assert by_id[4].n_tokens == 2 and by_id[4].chunk_text == "w8 w9"
+
+
 def test_dedup_segments_keep_first(spark):
     """Keep-first exact segment dedup: later occurrences strip, first
     (by doc id then position) survives; intra-doc repeats dedup too."""
