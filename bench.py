@@ -71,6 +71,7 @@ HEADLINE = [
     "dsir_select",
     "dedup_segments",
     "chunk_sequences",
+    "corpus_report",
     "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)

@@ -820,6 +820,24 @@ def _oracle_chunk_sequences() -> str:
     return chunk_sequences_oracle_sql("documents", 64, 48)
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition report (`operators/text.py::corpus_report`):
+    per (lang, source) doc counts + token/char totals — the numbers
+    mixing and sampling weights are tuned against.  One scan, one
+    map-side-combinable groupBy, dimension-sized output."""
+    _prep(spark)
+    from minerva_etl_spark.operators.text import corpus_report
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_report(docs)
+
+
+def _oracle_corpus_report() -> str:
+    from minerva_etl_spark.operators.text import corpus_report_oracle_sql
+
+    return corpus_report_oracle_sql("documents")
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (`operators/text.py::
     classify_quality`): a fixed linear classifier over the engineered
@@ -2230,6 +2248,7 @@ _REGISTRY_ORDER = [
     "dsir_select",
     "dedup_segments",
     "chunk_sequences",
+    "corpus_report",
 ]
 
 
@@ -2292,6 +2311,7 @@ def build_queries() -> dict:
         "dsir_select": q_dsir_select,
         "dedup_segments": q_dedup_segments,
         "chunk_sequences": q_chunk_sequences,
+        "corpus_report": q_corpus_report,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2374,6 +2394,7 @@ def build_oracles() -> dict[str, str]:
         "dsir_select": _oracle_dsir_select(),
         "dedup_segments": _oracle_dedup_segments(),
         "chunk_sequences": _oracle_chunk_sequences(),
+        "corpus_report": _oracle_corpus_report(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

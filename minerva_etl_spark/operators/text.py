@@ -458,6 +458,53 @@ def remove_boilerplate_segments(
     )
 
 
+def corpus_report(
+    df: DataFrame,
+    group_cols: tuple = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition report — the LLM twin of the reference's A6
+    store report (`commands/report.py`): per group (default language ×
+    source) document counts, token and character totals, and length
+    extremes.  ONE scan + one map-side-combinable groupBy; the output
+    is dimension-sized.  These totals are what mixing/sampling weights
+    (`operators/mixing.py`, `operators/dsir.py`) are tuned against.
+    """
+    n_tok = F.size(tokens_expr(text_col)).cast("bigint")
+    n_chars = F.length(text_col).cast("bigint")
+    return (
+        df.withColumn("__nt", n_tok)
+        .withColumn("__nc", n_chars)
+        .groupBy(*[F.col(c) for c in group_cols])
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("__nt").cast("bigint").alias("total_tokens"),
+            F.sum("__nc").cast("bigint").alias("total_chars"),
+            F.min("__nt").cast("bigint").alias("min_tokens"),
+            F.max("__nt").cast("bigint").alias("max_tokens"),
+        )
+    )
+
+
+def corpus_report_oracle_sql(
+    table: str,
+    group_cols: tuple = ("lang", "source"),
+    text_col: str = "text",
+) -> str:
+    toks = tokens_duck_sql(text_col)
+    groups = ", ".join(group_cols)
+    return f"""
+SELECT {groups},
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({toks})) AS BIGINT) AS total_tokens,
+       CAST(sum(length({text_col})) AS BIGINT) AS total_chars,
+       CAST(min(len({toks})) AS BIGINT) AS min_tokens,
+       CAST(max(len({toks})) AS BIGINT) AS max_tokens
+FROM {table} GROUP BY {groups}
+"""
+
+
 def chunk_sequences(
     df: DataFrame,
     chunk_tokens: int = 128,

@@ -597,6 +597,26 @@ def test_boilerplate_plan_no_payload_shuffle(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" in plan
 
 
+def test_corpus_report_totals(spark):
+    """Per-group doc counts and token/char totals, one scan."""
+    from minerva_etl_spark.operators.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three", "en", "web"),
+            (2, "four five", "en", "web"),
+            (3, "sechs", "de", "web"),
+        ],
+        "doc_id bigint, text string, lang string, source string",
+    )
+    rows = {(r.lang, r.source): r for r in corpus_report(docs).collect()}
+    en = rows[("en", "web")]
+    assert en.n_docs == 2 and en.total_tokens == 5
+    assert en.min_tokens == 2 and en.max_tokens == 3
+    assert en.total_chars == len("one two three") + len("four five")
+    assert rows[("de", "web")].total_tokens == 1
+
+
 def test_chunk_sequences_windows(spark):
     """Fixed-length chunking: disjoint stride reconstructs the token
     stream; overlapping stride repeats the overlap; short tails and
