@@ -72,6 +72,7 @@ HEADLINE = [
     "dedup_segments",
     "chunk_sequences",
     "corpus_report",
+    "pipeline_curate",
     "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)

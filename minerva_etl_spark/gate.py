@@ -671,6 +671,36 @@ def _oracle_curated_export() -> str:
     )
 
 
+def q_pipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL curation pipeline in one call
+    (`operators/pipeline.py::curate_corpus`): quality filter →
+    MinHash-LSH near-dup canonical dedup → benchmark decontamination
+    (held-out = doc_id % 10 = 0) → temperature mix → seeded shuffle →
+    token-budget shard pack.  The oracle recomputes every stage as one
+    chained-CTE SQL expression and the value hash pins the final shard
+    assignment — the strongest end-to-end correctness row in the
+    registry."""
+    _prep(spark)
+    from minerva_etl_spark.operators.pipeline import curate_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.expr(_DECON_CORPUS_PRED))
+    bench = docs.filter(F.expr(_DECON_BENCH_PRED))
+    return curate_corpus(
+        corpus, bench, alpha=0.5, shard_tokens=5000, shuffle_seed=42,
+        source_col="lang",
+    )
+
+
+def _oracle_pipeline_curate() -> str:
+    from minerva_etl_spark.operators.pipeline import curate_corpus_oracle_sql
+
+    return curate_corpus_oracle_sql(
+        "documents", _DECON_CORPUS_PRED, _DECON_BENCH_PRED,
+        alpha=0.5, shard_tokens=5000, shuffle_seed=42, source_col="lang",
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling for corpus curation: keep each
     doc iff ``md5_bucket(doc_id) < rate[lang]`` with per-language rates
@@ -2249,6 +2279,7 @@ _REGISTRY_ORDER = [
     "dedup_segments",
     "chunk_sequences",
     "corpus_report",
+    "pipeline_curate",
 ]
 
 
@@ -2312,6 +2343,7 @@ def build_queries() -> dict:
         "dedup_segments": q_dedup_segments,
         "chunk_sequences": q_chunk_sequences,
         "corpus_report": q_corpus_report,
+        "pipeline_curate": q_pipeline_curate,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2395,6 +2427,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_segments": _oracle_dedup_segments(),
         "chunk_sequences": _oracle_chunk_sequences(),
         "corpus_report": _oracle_corpus_report(),
+        "pipeline_curate": _oracle_pipeline_curate(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

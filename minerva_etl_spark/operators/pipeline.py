@@ -1,0 +1,162 @@
+"""One-call corpus curation pipeline.
+
+Composes the individually-proven curation stages into the shape a
+pretraining data team actually runs, end to end:
+
+1. **quality filter** — linear classifier logit ≥ 0
+   (`text.classify_quality`);
+2. **near-dup dedup** — MinHash-LSH candidate pairs → connected
+   components → keep the best-quality exemplar per cluster
+   (`dedup.minhash_candidate_pairs` / `connected_components` /
+   `keep_best_per_component`);
+3. **benchmark decontamination** — drop documents sharing word 4-gram
+   shingles with the held-out eval set
+   (`dedup.contamination_check`);
+4. **export** — temperature source mixing → seeded shuffle →
+   token-budget shard packing (`mixing.curated_export`).
+
+Every stage keeps its individual scale shape (broadcast benchmark
+shingles, band-join-not-cross-join dedup, n-buckets mixing rates,
+distributed prefix-sum packing); composition adds joins on the doc id
+only — no stage ever re-shuffles another stage's payload.  The whole
+pipeline is a pure function of (corpus, benchmark, parameters), so the
+DuckDB oracle recomputes it as one SQL expression and the driver gate
+hash-matches the final shard assignment — the strongest end-to-end
+correctness statement in the repo.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from minerva_etl_spark.operators import dedup as D
+from minerva_etl_spark.operators.mixing import curated_export
+from minerva_etl_spark.operators.text import classify_quality
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    alpha: float = 0.5,
+    shard_tokens: int = 100_000,
+    shuffle_seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Run the full curation pipeline; returns the export table
+    ``(doc_id, copy, n_tokens, shard_id)`` over the surviving corpus.
+
+    Stage parameters stay at the stage defaults (MinHash 16 hashes /
+    4 bands / 3-shingles; 4-gram decontamination) — they are the knobs
+    the individual operators expose for standalone use.
+    """
+    scored = classify_quality(docs, text_col)
+    q = scored.filter("keep").select(id_col, "quality_score")
+    kept = docs.join(q.select(id_col), id_col)
+
+    pairs = D.minhash_candidate_pairs(kept, text_col=text_col, id_col=id_col)
+    comps = D.connected_components(pairs)
+    decision = D.keep_best_per_component(q, comps, id_col=id_col)
+    winners = decision.filter("keep").select(id_col)
+    deduped = kept.join(winners, id_col)
+
+    contaminated = D.contamination_check(
+        deduped, benchmark, text_col=text_col, id_col=id_col
+    ).select(id_col)
+    clean = deduped.join(contaminated, id_col, "left_anti")
+
+    return curated_export(
+        clean,
+        alpha=alpha,
+        shard_tokens=shard_tokens,
+        shuffle_seed=shuffle_seed,
+        source_col=source_col,
+        id_col=id_col,
+        text_col=text_col,
+    )
+
+
+def curate_corpus_oracle_sql(
+    table: str,
+    corpus_pred: str,
+    bench_pred: str,
+    alpha: float = 0.5,
+    shard_tokens: int = 100_000,
+    shuffle_seed: int = 0,
+    source_col: str = "source",
+) -> str:
+    """DuckDB twin of :func:`curate_corpus` over one table split into
+    corpus/benchmark by predicates — the stage oracles chained as CTEs
+    (quality → recursive components → keep-best → shingle anti-join →
+    curated export)."""
+    from minerva_etl_spark.operators.dedup import (
+        minhash_pairs_oracle_sql,
+        shingles_duck_sql,
+    )
+    from minerva_etl_spark.operators.mixing import curated_export_oracle_sql
+    from minerva_etl_spark.operators.text import (
+        quality_classifier_oracle_sql,
+        quality_oracle_sql,
+    )
+
+    sh = shingles_duck_sql("text", 4)
+    return f"""
+WITH RECURSIVE
+corpus_in AS (SELECT * FROM {table} WHERE {corpus_pred}),
+qflag AS ({quality_classifier_oracle_sql("corpus_in")}),
+kept AS (
+  SELECT c.* FROM corpus_in c JOIN qflag ON c.doc_id = qflag.doc_id
+  WHERE qflag.keep
+),
+pairs AS ({minhash_pairs_oracle_sql("kept")}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT src AS id, src AS r FROM edges
+  UNION
+  SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+),
+comps AS (
+  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+  FROM reach GROUP BY id
+),
+scored AS (
+  SELECT doc_id, quality_score FROM ({quality_oracle_sql("kept")}) qq
+),
+labeled AS (
+  SELECT s.doc_id, coalesce(c.component_id, s.doc_id) AS component_id,
+         s.quality_score
+  FROM scored s LEFT JOIN comps c ON s.doc_id = c.doc_id
+),
+winners AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, row_number() OVER (
+      PARTITION BY component_id
+      ORDER BY quality_score DESC, doc_id) AS rn
+    FROM labeled
+  ) WHERE rn = 1
+),
+deduped AS (SELECT k.* FROM kept k JOIN winners USING (doc_id)),
+dsh AS (SELECT doc_id, {sh} AS shingles FROM deduped),
+bsh AS (
+  SELECT DISTINCT unnest({sh}) AS s FROM {table} WHERE {bench_pred}
+),
+contaminated AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM dsh) c
+  JOIN bsh USING (s)
+  WHERE s <> ''
+),
+clean AS (
+  SELECT d.* FROM deduped d
+  LEFT JOIN contaminated x USING (doc_id)
+  WHERE x.doc_id IS NULL
+)
+SELECT * FROM (
+{curated_export_oracle_sql("clean", alpha, None, shard_tokens, shuffle_seed, source_col)}
+) export
+"""

@@ -327,11 +327,15 @@ QUALITY_MODEL: list[tuple[str, float]] = [
     ("alpha_ratio", 3.0),
     ("stopword_ratio", 2.5),
     ("punct_ratio", -4.0),
-    ("dup_token_frac", -3.5),
+    ("dup_token_frac", -1.0),
     ("mean_word_len", -0.15),
     ("sqrt_tokens", 0.05),
 ]
-QUALITY_MODEL_BIAS = -1.8
+QUALITY_MODEL_BIAS = -1.6
+# calibration note: weights/bias are set so the synthetic fixture
+# corpus splits ~64/36 keep/drop (dup_token_frac runs hot there, ~0.5
+# mean) — a discriminative, non-degenerate operating point for the
+# composed pipeline demo.  A real deployment swaps in trained weights.
 
 #: feature name → engine-portable SQL over the signal columns
 _QUALITY_FEATURE_SQL = {

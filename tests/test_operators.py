@@ -597,7 +597,42 @@ def test_boilerplate_plan_no_payload_shuffle(spark, tmp_path):
     assert "BroadcastNestedLoopJoin" in plan
 
 
-def test_corpus_report_totals(spark):
+def test_curate_corpus_end_to_end(spark):
+    """The composed pipeline drops the right docs for the right
+    reasons: low-quality, near-dup loser, and contaminated docs are
+    out; survivors reach the shard export."""
+    from minerva_etl_spark.operators.pipeline import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then the "
+            "dog naps for a while near the old barn door")
+    near = good + " extra tail words here"
+    docs = spark.createDataFrame(
+        [
+            (1, good, "en"),
+            (2, near, "en"),                       # near-dup of 1
+            (3, "!!! ??? ;;; ,,, ... !!!", "en"),  # low quality
+            (4, "a completely different story is told in the town "
+                "square where the people gather for news and trade",
+             "en"),
+            (5, "the secret eval answer is forty two exactly as it "
+                "was written in the big book of answers", "en"),
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "the secret eval answer is forty two exactly", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    out = curate_corpus(
+        docs, bench, alpha=0.5, shard_tokens=50, shuffle_seed=1,
+        source_col="lang",
+    )
+    survivors = {r.doc_id for r in out.collect()}
+    assert 3 not in survivors          # quality filter
+    assert 5 not in survivors          # decontamination
+    assert not {1, 2} <= survivors     # near-dup pair collapsed to one
+    assert 4 in survivors
+    assert survivors & {1, 2}          # the cluster kept its exemplar
     """Per-group doc counts and token/char totals, one scan."""
     from minerva_etl_spark.operators.text import corpus_report
 
