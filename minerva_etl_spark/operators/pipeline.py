@@ -43,6 +43,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    materialize: bool = True,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the export table
     ``(doc_id, copy, n_tokens, shard_id)`` over the surviving corpus.
@@ -50,16 +51,29 @@ def curate_corpus(
     Stage parameters stay at the stage defaults (MinHash 16 hashes /
     4 bands / 3-shingles; 4-gram decontamination) — they are the knobs
     the individual operators expose for standalone use.
+
+    ``materialize`` (default True) localCheckpoints the two corpus
+    frames that feed multiple downstream branches (the quality-kept
+    corpus feeds pairing, scoring, and the dedup join; the deduped
+    corpus feeds decontamination and export) — without it each branch
+    re-runs the quality classifier over the raw scan.  Pass False to
+    keep pure lineage when the caller persists intermediates itself.
     """
     scored = classify_quality(docs, text_col)
     q = scored.filter("keep").select(id_col, "quality_score")
+    if materialize:
+        q = q.localCheckpoint(eager=False)
     kept = docs.join(q.select(id_col), id_col)
+    if materialize:
+        kept = kept.localCheckpoint(eager=False)
 
     pairs = D.minhash_candidate_pairs(kept, text_col=text_col, id_col=id_col)
     comps = D.connected_components(pairs)
     decision = D.keep_best_per_component(q, comps, id_col=id_col)
     winners = decision.filter("keep").select(id_col)
     deduped = kept.join(winners, id_col)
+    if materialize:
+        deduped = deduped.localCheckpoint(eager=False)
 
     contaminated = D.contamination_check(
         deduped, benchmark, text_col=text_col, id_col=id_col
