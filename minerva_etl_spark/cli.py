@@ -1266,6 +1266,37 @@ def cmd_quick_start(args) -> None:
     print(f"created Minerva instance skeleton in {root}")
 
 
+def cmd_curate(args) -> None:
+    """`minerva-spark curate`: run the full corpus-curation pipeline
+    (`operators/pipeline.py::curate_corpus` — quality filter → near-dup
+    canonical dedup → benchmark decontamination → mix/shuffle/pack) over
+    a documents parquet and write the shard-assignment table.  Extends
+    the reference surface: the LLM-corpus side of the engine, operable
+    like any other subcommand."""
+    from minerva_etl_spark.operators.pipeline import curate_corpus
+
+    spark = _spark()
+    docs = spark.read.parquet(args.documents)
+    bench = (
+        spark.read.parquet(args.benchmark)
+        if args.benchmark
+        else docs.limit(0)
+    )
+    out = curate_corpus(
+        docs,
+        bench,
+        alpha=args.alpha,
+        shard_tokens=args.shard_tokens,
+        shuffle_seed=args.seed,
+        source_col=args.source_col,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    summary = spark.read.parquet(args.output)
+    n_units = summary.count()
+    n_shards = summary.select("shard_id").distinct().count()
+    print(f"curated {n_units} units into {n_shards} shards -> {args.output}")
+
+
 def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="minerva-spark")
     p.add_argument("--instance", default="instance", help="instance YAML dir")
@@ -1492,6 +1523,19 @@ def main(argv: list[str] | None = None) -> None:
     tm.add_argument("name", nargs="?")
     tm.add_argument("--file", help="materialization YAML (create/update)")
     tm.set_defaults(fn=cmd_trend_materialization)
+
+    cu = sub.add_parser("curate")
+    cu.add_argument("--documents", required=True,
+                    help="input documents parquet (doc_id, text, <source>)")
+    cu.add_argument("--benchmark", default=None,
+                    help="held-out eval parquet for decontamination")
+    cu.add_argument("--output", required=True,
+                    help="output parquet for the shard assignment")
+    cu.add_argument("--alpha", type=float, default=0.5)
+    cu.add_argument("--shard-tokens", type=int, default=100_000)
+    cu.add_argument("--seed", type=int, default=0)
+    cu.add_argument("--source-col", default="source")
+    cu.set_defaults(fn=cmd_curate)
 
     qs = sub.add_parser("quick-start")
     qs.add_argument("instance_root", nargs="?", default=None)

@@ -559,6 +559,30 @@ def test_cli_trend_store_change(instance_dir, data_dir, capsys, tmp_path):
     assert "changed ['kwh']" in capsys.readouterr().out
 
 
+def test_cli_curate(spark, instance_dir, data_dir, tmp_path, capsys):
+    """curate: the full pipeline through the CLI writes a shard table."""
+    docs = spark.createDataFrame(
+        [
+            (i,
+             f"the quick brown fox number {i} jumps over the lazy dog "
+             f"and then walks to the old town square for some news",
+             "en")
+            for i in range(12)
+        ],
+        "doc_id bigint, text string, lang string",
+    )
+    dpath = str(tmp_path / "docs.parquet")
+    docs.write.mode("overwrite").parquet(dpath)
+    out = str(tmp_path / "shards.parquet")
+    run(instance_dir, data_dir, "curate", "--documents", dpath,
+        "--output", out, "--shard-tokens", "40", "--source-col", "lang")
+    msg = capsys.readouterr().out
+    assert "curated" in msg and "shards" in msg
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"doc_id", "copy", "n_tokens", "shard_id"}
+    assert got.count() > 0
+
+
 def test_cli_process_modified_log(spark, instance_dir, data_dir, capsys):
     """process-modified-log compacts the append-only modified log to one
     row per (part, timestamp) without changing max(modified)."""
