@@ -559,6 +559,26 @@ def test_cli_trend_store_change(instance_dir, data_dir, capsys, tmp_path):
     assert "changed ['kwh']" in capsys.readouterr().out
 
 
+def test_cli_help_surface():
+    """Every registered subcommand's argparse wiring parses --help
+    (guards against a broken add_parser edit taking out the whole
+    CLI)."""
+    subcommands = [
+        "load-data", "report", "retention", "aggregation-generate",
+        "aggregation-compile", "aggregation-compile-all", "materialize",
+        "live-monitor", "attribute", "attribute-store", "initialize",
+        "structure", "deduce-config", "alter-trends", "load-sample-data",
+        "generate-sample-data", "alias", "trigger", "relation",
+        "virtual-entity", "notification-store", "partition",
+        "trend-store", "trend-materialization", "curate", "quick-start",
+        "data-source", "entity-type",
+    ]
+    for name in subcommands:
+        with pytest.raises(SystemExit) as exc:
+            cli.main([name, "--help"])
+        assert exc.value.code == 0, name
+
+
 def test_cli_curate(spark, instance_dir, data_dir, tmp_path, capsys):
     """curate: the full pipeline through the CLI writes a shard table."""
     docs = spark.createDataFrame(
