@@ -73,6 +73,7 @@ HEADLINE = [
     "chunk_sequences",
     "corpus_report",
     "pipeline_curate",
+    "gopher_rules",
     "live_monitor",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)

@@ -868,6 +868,25 @@ def _oracle_corpus_report() -> str:
     return corpus_report_oracle_sql("documents")
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (`operators/text.py::gopher_rules`):
+    the named heuristic gauntlet — word-count / mean-word-length
+    bounds, symbol ratio, alphabetic-word fraction, stopword presence —
+    with one boolean per rule so attrition is reportable per rule.
+    Single scan, zero shuffles."""
+    _prep(spark)
+    from minerva_etl_spark.operators.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_rules(docs)
+
+
+def _oracle_gopher_rules() -> str:
+    from minerva_etl_spark.operators.text import gopher_rules_oracle_sql
+
+    return gopher_rules_oracle_sql("documents")
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality filtering (`operators/text.py::
     classify_quality`): a fixed linear classifier over the engineered
@@ -2280,6 +2299,7 @@ _REGISTRY_ORDER = [
     "chunk_sequences",
     "corpus_report",
     "pipeline_curate",
+    "gopher_rules",
 ]
 
 
@@ -2344,6 +2364,7 @@ def build_queries() -> dict:
         "chunk_sequences": q_chunk_sequences,
         "corpus_report": q_corpus_report,
         "pipeline_curate": q_pipeline_curate,
+        "gopher_rules": q_gopher_rules,
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
@@ -2428,6 +2449,7 @@ def build_oracles() -> dict[str, str]:
         "chunk_sequences": _oracle_chunk_sequences(),
         "corpus_report": _oracle_corpus_report(),
         "pipeline_curate": _oracle_pipeline_curate(),
+        "gopher_rules": _oracle_gopher_rules(),
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),

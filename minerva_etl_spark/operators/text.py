@@ -462,6 +462,126 @@ def remove_boilerplate_segments(
     )
 
 
+#: Gopher-style document-filter rule bounds (Rae et al. 2021, §A1.1
+#: adapted): the named rule set curation teams reach for first.  The
+#: stopword-presence rule uses this fixed mini-list.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style rule filter: the classic named heuristic gauntlet —
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, and distinct-stopword presence.  Returns
+    one boolean per rule plus ``keep`` (all rules pass) so a curation
+    run can report per-rule attrition, not just the survivor count.
+
+    Everything is engine-portable integer/ratio arithmetic over one
+    staged token array — a single scan-project, zero shuffles."""
+    staged = df.withColumn("__g_toks", tokens_expr(text_col))
+    n_words = F.size("__g_toks").cast("bigint")
+    safe_n = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_wl = (
+        F.expr(
+            "aggregate(__g_toks, CAST(0 AS BIGINT),"
+            " (acc, w) -> acc + length(w))"
+        ).cast("double")
+        / safe_n
+    )
+    n_symbols = (
+        F.length(F.regexp_replace(F.col(text_col), "[^#@]", "")).cast(
+            "double"
+        )
+        + F.lit(3.0)
+        * F.regexp_count(F.col(text_col), F.lit(r"\.\.\.")).cast("double")
+    )
+    alpha_words = F.size(
+        F.expr("filter(__g_toks, w -> w rlike '[a-z]')")
+    ).cast("double")
+    stop_arr = _sql_str_array(GOPHER_STOPWORDS)
+    stop_hits = F.size(
+        F.expr(
+            f"array_intersect(array_distinct(__g_toks), {stop_arr})"
+        )
+    )
+    out = staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (
+            (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+        ).alias("ok_word_count"),
+        (
+            (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+            & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        ).alias("ok_mean_word_len"),
+        ((n_symbols / safe_n) < GOPHER_MAX_SYMBOL_RATIO).alias(
+            "ok_symbol_ratio"
+        ),
+        ((alpha_words / safe_n) > GOPHER_MIN_ALPHA_WORD_FRAC).alias(
+            "ok_alpha_words"
+        ),
+        (stop_hits >= GOPHER_MIN_STOPWORD_HITS).alias("ok_stopwords"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio")
+        & F.col("ok_alpha_words")
+        & F.col("ok_stopwords"),
+    )
+
+
+def gopher_rules_oracle_sql(table: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`gopher_rules`."""
+    toks = tokens_duck_sql(text_col)
+    stop = _duck_str_array(GOPHER_STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, {text_col} AS txt, {toks} AS w FROM {table}),
+sig AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(greatest(len(w), 1) AS DOUBLE) AS safe_n,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+              list_transform(w, x -> CAST(length(x) AS BIGINT))),
+              (a, b) -> a + b) AS DOUBLE)
+           / CAST(greatest(len(w), 1) AS DOUBLE) AS mean_wl,
+         CAST(length(regexp_replace(txt, '[^#@]', '', 'g')) AS DOUBLE)
+           + 3.0 * CAST(len(regexp_extract_all(txt, '\\.\\.\\.'))
+                        AS DOUBLE) AS n_symbols,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-z]')))
+              AS DOUBLE) AS alpha_words,
+         len(list_intersect(list_distinct(w), {stop})) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words,
+       (n_words >= {GOPHER_MIN_WORDS}
+        AND n_words <= {GOPHER_MAX_WORDS}) AS ok_word_count,
+       (mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+        AND mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN!r}) AS ok_mean_word_len,
+       ((n_symbols / safe_n) < {GOPHER_MAX_SYMBOL_RATIO!r})
+         AS ok_symbol_ratio,
+       ((alpha_words / safe_n) > {GOPHER_MIN_ALPHA_WORD_FRAC!r})
+         AS ok_alpha_words,
+       (stop_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS ok_stopwords,
+       (n_words >= {GOPHER_MIN_WORDS}
+        AND n_words <= {GOPHER_MAX_WORDS}
+        AND mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+        AND mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN!r}
+        AND (n_symbols / safe_n) < {GOPHER_MAX_SYMBOL_RATIO!r}
+        AND (alpha_words / safe_n) > {GOPHER_MIN_ALPHA_WORD_FRAC!r}
+        AND stop_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS keep
+FROM sig
+"""
+
+
 def corpus_report(
     df: DataFrame,
     group_cols: tuple = ("lang", "source"),

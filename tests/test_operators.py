@@ -633,6 +633,36 @@ def test_curate_corpus_end_to_end(spark):
     assert not {1, 2} <= survivors     # near-dup pair collapsed to one
     assert 4 in survivors
     assert survivors & {1, 2}          # the cluster kept its exemplar
+
+
+def test_gopher_rules_per_rule_flags(spark):
+    """Each Gopher rule trips on its own violation; a clean long doc
+    passes all."""
+    from minerva_etl_spark.operators.text import gopher_rules
+
+    clean = ("the tale begins with a small house near the river and "
+             "every morning the people of the town walk to the market "
+             "to trade fresh bread and fish with their neighbours and "
+             "that habit has not changed over many long years of quiet "
+             "life in the valley where children play games until dusk")
+    docs = spark.createDataFrame(
+        [
+            (1, clean),
+            (2, "too short to pass"),
+            (3, clean + " " + " ".join(["#"] * 20)),
+            (4, ("zq " * 60).strip()),  # short words -> mean_wl < 3
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert rows[1].keep
+    assert not rows[2].ok_word_count and not rows[2].keep
+    assert not rows[3].ok_symbol_ratio and not rows[3].keep
+    assert not rows[4].ok_mean_word_len and not rows[4].keep
+    assert rows[4].ok_word_count  # 60 words: only the length rule trips
+
+
+def test_corpus_report_totals(spark):
     """Per-group doc counts and token/char totals, one scan."""
     from minerva_etl_spark.operators.text import corpus_report
 
