@@ -218,11 +218,21 @@ def change_trend_store(
                 continue
             old = have[n]
             delta = False
-            old_type = old.get("data_type", "text")
-            new_type = spec.get("data_type", "text")
+            # the catalog's default for an omitted data_type is numeric
+            # (instance.py trend default; check_config agrees) — NOT
+            # text, whose top-of-ladder rank would turn every omitted
+            # type into a silent widen-to-text
+            old_type = old.get("data_type", "numeric")
+            new_type = spec.get("data_type", "numeric")
             if old_type != new_type:
-                old_t = dt.REGISTRY[str(old_type).lower()]
-                new_t = dt.REGISTRY[str(new_type).lower()]
+                try:
+                    old_t = dt.REGISTRY[str(old_type).lower()]
+                    new_t = dt.REGISTRY[str(new_type).lower()]
+                except KeyError as exc:
+                    raise ValueError(
+                        f"unknown data type {exc.args[0]!r} for trend "
+                        f"{part['name']}.{n}"
+                    ) from None
                 if force or new_t.rank >= old_t.rank:
                     old["data_type"] = new_type
                     delta = True

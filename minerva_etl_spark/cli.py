@@ -983,6 +983,11 @@ def cmd_partition(args) -> None:
         TrendStorePart,
     )
 
+    if args.timestamp and args.action != "create-for-timestamp":
+        sys.exit(
+            f"the timestamp argument only applies to create-for-timestamp "
+            f"(got action {args.action!r})"
+        )
     inst = MinervaInstance.load(args.instance)
     now = datetime.fromisoformat(args.now) if args.now else _utcnow()
     ahead = Granularity.parse(args.ahead_interval)
@@ -1098,9 +1103,9 @@ def cmd_trend_store(args) -> None:
         for part, (added, removed, changed) in results:
             if added or removed or changed:
                 any_change = True
-                print(f"added {added}")
-                print(f"removed {removed}")
-                print(f"changed {changed}")
+                print(f"{part}: added {added}")
+                print(f"{part}: removed {removed}")
+                print(f"{part}: changed {changed}")
         if not any_change:
             print("no changes were made")
     elif args.action == "delete":
@@ -1291,10 +1296,15 @@ def cmd_curate(args) -> None:
         source_col=args.source_col,
     )
     out.write.mode("overwrite").parquet(args.output)
-    summary = spark.read.parquet(args.output)
-    n_units = summary.count()
-    n_shards = summary.select("shard_id").distinct().count()
-    print(f"curated {n_units} units into {n_shards} shards -> {args.output}")
+    row = (
+        spark.read.parquet(args.output)
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("shard_id").alias("s"),
+        )
+        .collect()[0]
+    )
+    print(f"curated {row['n']} units into {row['s']} shards -> {args.output}")
 
 
 def main(argv: list[str] | None = None) -> None:

@@ -561,31 +561,30 @@ sig AS (
          len(list_intersect(list_distinct(w), {stop})) AS stop_hits
   FROM t
 )
-SELECT doc_id, n_words,
-       (n_words >= {GOPHER_MIN_WORDS}
-        AND n_words <= {GOPHER_MAX_WORDS}) AS ok_word_count,
-       (mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN!r}
-        AND mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN!r}) AS ok_mean_word_len,
-       ((n_symbols / safe_n) < {GOPHER_MAX_SYMBOL_RATIO!r})
-         AS ok_symbol_ratio,
-       ((alpha_words / safe_n) > {GOPHER_MIN_ALPHA_WORD_FRAC!r})
-         AS ok_alpha_words,
-       (stop_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS ok_stopwords,
-       (n_words >= {GOPHER_MIN_WORDS}
-        AND n_words <= {GOPHER_MAX_WORDS}
-        AND mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN!r}
-        AND mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN!r}
-        AND (n_symbols / safe_n) < {GOPHER_MAX_SYMBOL_RATIO!r}
-        AND (alpha_words / safe_n) > {GOPHER_MIN_ALPHA_WORD_FRAC!r}
-        AND stop_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS keep
-FROM sig
+SELECT doc_id, n_words, ok_word_count, ok_mean_word_len,
+       ok_symbol_ratio, ok_alpha_words, ok_stopwords,
+       (ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+        AND ok_alpha_words AND ok_stopwords) AS keep
+FROM (
+  SELECT doc_id, n_words,
+         (n_words >= {GOPHER_MIN_WORDS}
+          AND n_words <= {GOPHER_MAX_WORDS}) AS ok_word_count,
+         (mean_wl >= {GOPHER_MIN_MEAN_WORD_LEN!r}
+          AND mean_wl <= {GOPHER_MAX_MEAN_WORD_LEN!r})
+           AS ok_mean_word_len,
+         ((n_symbols / safe_n) < {GOPHER_MAX_SYMBOL_RATIO!r})
+           AS ok_symbol_ratio,
+         ((alpha_words / safe_n) > {GOPHER_MIN_ALPHA_WORD_FRAC!r})
+           AS ok_alpha_words,
+         (stop_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS ok_stopwords
+  FROM sig
+) flags
 """
 
 
 def corpus_report(
     df: DataFrame,
     group_cols: tuple = ("lang", "source"),
-    id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Corpus composition report — the LLM twin of the reference's A6

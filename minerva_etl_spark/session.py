@@ -26,10 +26,13 @@ def get_spark(
 
     # local-mode driver and executors share one JVM whose heap defaults
     # to spark.driver.memory's 1g — far below what 32 concurrent tasks
-    # need (measured: scale_probe x16 OOMs at 1g, runs at 16g).  Only
-    # effective when this factory creates the JVM; an already-running
-    # session keeps its heap.
-    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # need (measured: scale_probe x16 OOMs at 1g).  Default 8g balances
+    # that against memory-capped containers embedding this library
+    # (an -Xmx above a cgroup limit gets the JVM OOM-killed instead of
+    # letting Spark spill); memory-hungry tools raise it via
+    # SPARK_GRAFT_DRIVER_MEM.  Only effective when this factory creates
+    # the JVM; an already-running session keeps its heap.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
     builder = (
         SparkSession.builder.master(master)

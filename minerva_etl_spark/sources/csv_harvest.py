@@ -21,6 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
 
 from minerva_etl_spark.catalog import datatypes as dt
 from minerva_etl_spark.catalog.directory import names_to_entity_ids
@@ -116,6 +117,21 @@ def read_jsonl_packages(
         .option("allowNonNumericNumbers", True)
         .json(path)
     )
+    # primitivesAsString stringifies only primitives: a nested object or
+    # array value still loads as a struct/array column, which the
+    # string-ladder deduction cannot type.  The trend model is flat
+    # (SURVEY §1.2: no maps/structs/nested arrays) — fail with the
+    # offending column names instead of an AttributeError mid-sample.
+    complex_cols = [
+        f.name
+        for f in raw.schema.fields
+        if not isinstance(f.dataType, T.StringType)
+    ]
+    if complex_cols:
+        raise ValueError(
+            "JSONL harvest requires flat records; non-scalar columns: "
+            + ", ".join(sorted(complex_cols))
+        )
     types = deduce_frame_types(raw, config)
     return _project(raw, config, types)
 

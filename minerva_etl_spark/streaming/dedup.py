@@ -40,9 +40,14 @@ def dedup_stream(
 
     ``stream`` is a streaming DataFrame with an event-time column; the
     result keeps one row per content digest within the watermark
-    horizon.  State is per-digest and expires ``watermark`` past the
-    event-time high mark — a late duplicate beyond the horizon is
-    re-admitted (the stream's honesty boundary; a periodic batch
+    horizon — the first in ARRIVAL (processing) order, which is how
+    `dropDuplicatesWithinWatermark` resolves a digest seen across
+    micro-batches.  The batch twin below orders by EVENT time, so for
+    out-of-order arrivals the two admit the same digest set but may
+    pick different representative rows; reconcile on ``content_key``,
+    not row identity.  State is per-digest and expires ``watermark``
+    past the event-time high mark — a late duplicate beyond the horizon
+    is re-admitted (the stream's honesty boundary; a periodic batch
     `exact_dedup` compaction closes it, same division of labor as the
     reference's staged/compact attribute path).
     """
@@ -59,8 +64,11 @@ def dedup_batch_first_arrival(
     text_col: str = "text",
 ) -> DataFrame:
     """Batch twin of :func:`dedup_stream` (verification shape): the
-    first row per content digest by (event time, id) order — what the
-    stream admits when every duplicate falls inside the watermark."""
+    first row per content digest by (event time, id) order.  Matches
+    the stream's admitted DIGEST SET whenever every duplicate falls
+    inside the watermark; the representative row also matches when
+    arrival order equals event order (out-of-order streams may admit a
+    later-timestamped representative — see :func:`dedup_stream`)."""
     from pyspark.sql import Window
 
     keyed = with_content_key(df, text_col)

@@ -117,6 +117,25 @@ def test_jsonl_harvest_matches_csv_twin(spark, tmp_path):
     assert ra == rb
 
 
+def test_jsonl_harvest_rejects_nested_records(spark, tmp_path):
+    """Nested objects/arrays survive primitivesAsString as structs the
+    type ladder cannot parse — the reader must fail cleanly, naming the
+    offending columns."""
+    import pytest
+
+    from minerva_etl_spark.sources.plugins import get_plugin
+
+    j = tmp_path / "nested.jsonl"
+    j.write_text(
+        '{"node": "a", "timestamp": "2024-01-01 00:15:00",'
+        ' "meta": {"x": 1}, "vals": [1, 2]}\n'
+    )
+    cfg = dict(identifier_column="node", timestamp_column="timestamp",
+               entity_type="node", id_method="md5")
+    with pytest.raises(ValueError, match="meta, vals"):
+        get_plugin("jsonl")(spark, str(j), dict(cfg))
+
+
 def test_register_entities_create_on_miss(spark, tmp_path):
     dim_path = str(tmp_path / "entity_node")
     names1 = spark.createDataFrame([("a",), ("b",)], "name string")

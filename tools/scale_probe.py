@@ -181,6 +181,9 @@ def probe(spark, data_dir: str, mult: int) -> dict:
 
 def main() -> None:
     mults = [int(x) for x in sys.argv[1:]] or [1, 4, 16]
+    # x16+ needs headroom beyond the library's 8g default (measured OOM
+    # at 1g; clean at 16g); respect an explicit caller override
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "16g")
     from minerva_etl_spark.session import get_spark
 
     spark = get_spark(app_name="scale_probe")
