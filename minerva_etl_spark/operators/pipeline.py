@@ -62,10 +62,10 @@ def curate_corpus(
     scored = classify_quality(docs, text_col)
     q = scored.filter("keep").select(id_col, "quality_score")
     if materialize:
-        q = q.localCheckpoint(eager=False)
+        q = q.localCheckpoint(eager=True)
     kept = docs.join(q.select(id_col), id_col)
     if materialize:
-        kept = kept.localCheckpoint(eager=False)
+        kept = kept.localCheckpoint(eager=True)
 
     pairs = D.minhash_candidate_pairs(kept, text_col=text_col, id_col=id_col)
     comps = D.connected_components(pairs)
@@ -73,7 +73,7 @@ def curate_corpus(
     winners = decision.filter("keep").select(id_col)
     deduped = kept.join(winners, id_col)
     if materialize:
-        deduped = deduped.localCheckpoint(eager=False)
+        deduped = deduped.localCheckpoint(eager=True)
 
     contaminated = D.contamination_check(
         deduped, benchmark, text_col=text_col, id_col=id_col

@@ -272,7 +272,7 @@ def semantic_dedup(
         centroid_id_col, centroid_vec_col,
     )
     if materialize:
-        assigned = assigned.localCheckpoint(eager=False)
+        assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__vec_a"),
