@@ -123,6 +123,21 @@ def dn_split_expr(dn_col: str) -> F.Column:
     return F.split(F.col(dn_col), ",")
 
 
+def dn_split_parts_expr(dn_col: str) -> F.Column:
+    """DN → parts, honoring backslash-escaped commas inside values
+    (reference ``split_parts``, `distinguishedname.py:23-27`: split on
+    ``(?<!\\\\),``).  ``Writer=qwerty\\,dvorak`` stays one part."""
+    return F.split(F.col(dn_col), r"(?<!\\),")
+
+
+def dn_escape_expr(col: "F.Column | str") -> F.Column:
+    """Escape reserved characters in a name part (reference ``escape``,
+    `distinguishedname.py:30-34`: ``,`` → ``\\,``) — literal replace,
+    no regex."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.replace(c, F.lit(","), F.lit("\\,"))
+
+
 def dn_entity_type_expr(dn_col: str) -> F.Column:
     """Entity type of a DN = key of the last component
     (`distinguishedname.py:44-56`)."""

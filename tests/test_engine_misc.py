@@ -311,6 +311,35 @@ def test_attribute_store_array_typed(spark, tmp_path):
     assert list(curr[0].tags) == ["c"]
 
 
+def test_dn_escaped_comma_split(spark):
+    """Reference split_parts/escape semantics: backslash-escaped commas
+    stay inside one part; escape round-trips through the splitter."""
+    from minerva_etl_spark.catalog.directory import (
+        dn_escape_expr,
+        dn_split_parts_expr,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("Word=asdf,Writer=qwerty\\,dvorak,Reader=Unicode",
+          "qwerty,dvorak")],
+        "dn string, raw string",
+    )
+    row = df.select(
+        dn_split_parts_expr("dn").alias("parts"),
+        dn_escape_expr("raw").alias("escaped"),
+    ).collect()[0]
+    assert row.parts == [
+        "Word=asdf", "Writer=qwerty\\,dvorak", "Reader=Unicode",
+    ]
+    assert row.escaped == "qwerty\\,dvorak"
+    # escape -> embed -> split round-trip keeps the value intact
+    rt = df.select(
+        dn_split_parts_expr("dn").alias("p")
+    ).select(F.element_at("p", 2).alias("mid")).collect()[0]
+    assert rt.mid == "Writer=qwerty\\,dvorak"
+
+
 def test_dn_implode_roundtrip(spark):
     from minerva_etl_spark.catalog.directory import dn_implode
 
