@@ -130,6 +130,21 @@ def probe(spark, data_dir: str, mult: int) -> dict:
         "spark": timed(lambda: classify_quality(docs))
     }
 
+    from pyspark.sql import functions as PF
+
+    from minerva_etl_spark.operators.pipeline import curate_corpus
+
+    corpus = docs.filter(PF.expr("doc_id % 10 <> 0"))
+    bench = docs.filter(PF.expr("doc_id % 10 = 0"))
+    results["pipeline_curate"] = {
+        "spark": timed(
+            lambda: curate_corpus(
+                corpus, bench, shard_tokens=5000, shuffle_seed=42,
+                source_col="lang",
+            )
+        )
+    }
+
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{data_dir}/events.parquet/*.parquet'"
