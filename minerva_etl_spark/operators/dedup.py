@@ -875,10 +875,14 @@ def keep_best_per_component(
 
     Scale: one hash join on the id (component membership is a tiny
     projection of the pair graph, but NOT broadcastable at corpus scale
-    — near-dup clusters can cover a large corpus fraction) and one
-    window over component_id.  Cluster-size skew (a giant template
-    cluster) is bounded: the window computes rank + count only, no
-    payload aggregation, and AQE splits skewed partitions.
+    — near-dup clusters can cover a large corpus fraction), one
+    map-side-combinable per-component aggregation picking the winner
+    (``min_by`` over a ``(-score, id)`` struct — a declarative aggregate
+    with partial aggregation, so a giant template cluster combines
+    map-side instead of sorting in one task the way a
+    ``row_number()`` window would; AQE skew mitigation applies to the
+    join back, which windows never get), and one equi-join of the
+    two-column winner table back onto the membership rows.
     """
     comp = components.select(
         F.col(id_col).alias("__cid_key"), "component_id"
@@ -889,13 +893,25 @@ def keep_best_per_component(
     joined = joined.withColumn(
         "component_id", F.coalesce("component_id", F.col(id_col))
     )
-    w = Window.partitionBy("component_id")
-    order = Window.partitionBy("component_id").orderBy(
-        F.col(score_col).desc(), F.col(id_col)
+    # winner per cluster: highest score, ties to lowest id == the
+    # minimum of the (-score, id) struct; NULL scores lose to any real
+    # score (desc-NULLS-LAST semantics) via the -inf sentinel
+    neg_score = -F.coalesce(
+        F.col(score_col).cast("double"), F.lit(float("-inf"))
     )
-    return joined.select(
-        id_col,
-        "component_id",
-        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
-        (F.row_number().over(order) == 1).alias("keep"),
+    winners = joined.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min_by(
+            F.col(id_col), F.struct(neg_score.alias("s"), F.col(id_col))
+        ).alias("__winner"),
+    )
+    return (
+        joined.select(id_col, "component_id")
+        .join(winners, "component_id")
+        .select(
+            id_col,
+            "component_id",
+            "n_members",
+            (F.col(id_col) == F.col("__winner")).alias("keep"),
+        )
     )

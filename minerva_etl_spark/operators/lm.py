@@ -22,11 +22,17 @@ pipeline has at 100 TB:
 
 Cross-engine parity: ``log2`` is the only non-exactly-rounded op, and
 last-ulp differences between libm implementations can survive a sum over
-hundreds of bigrams — so the per-document sum is folded **sequentially
-in bigram position order** on both engines (``aggregate`` over a
-position-sorted array / ``list_reduce`` over ``list(... ORDER BY idx)``)
-and the final bits/token value is rounded to 4 dp, leaving ~1e-9
-headroom over the worst-case accumulated ulp drift.
+hundreds of bigrams — so the per-document sum is folded **in a fixed
+two-level association** on both engines: bigrams group into
+``chunk = (position-1) // chunk_size`` blocks, each chunk folds
+sequentially in position order, then the chunk sums fold sequentially
+in chunk order (``aggregate`` over position-sorted arrays on Spark /
+``list_reduce`` over ``list(... ORDER BY ...)`` on DuckDB).  The final
+bits/token value is rounded to 4 dp, leaving ~1e-9 headroom over the
+worst-case accumulated ulp drift.  The chunking bounds every
+aggregation buffer at ``chunk_size`` structs — a book-length 10^6-token
+outlier builds ~250 four-KiB chunk arrays instead of one
+10^6-struct monolith.
 """
 
 from __future__ import annotations
@@ -61,12 +67,18 @@ def _bigrams(
     ).withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
 
 
+#: bigrams per fold chunk: bounds every per-doc aggregation buffer (a
+#: struct array) while keeping chunk counts tiny for web-scale docs
+FOLD_CHUNK = 4096
+
+
 def ngram_lm_score(
     docs: DataFrame,
     ref_filter_sql: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     round_dp: int = 4,
+    chunk_size: int = FOLD_CHUNK,
 ) -> DataFrame:
     """Score every document against a bigram LM estimated from the rows
     matching ``ref_filter_sql`` (a SQL predicate over ``docs``).
@@ -120,13 +132,36 @@ def ngram_lm_score(
             .alias("__oov"),
         )
     )
-    per_doc = scored.groupBy(id_col).agg(
-        F.count("*").alias("__n"),
-        F.sum("__oov").cast("bigint").alias("__n_oov"),
-        F.array_sort(F.collect_list(F.struct("idx", "__logp"))).alias("__ps"),
+    # two-level ordered fold: chunk-local sequential sums (bounded
+    # buffers), then a sequential fold over the ordered chunk sums —
+    # the SAME association on both engines (see module docstring)
+    c = int(chunk_size)
+    per_chunk = (
+        scored.groupBy(id_col, F.expr(f"idx div {c}").alias("__chunk"))
+        .agg(
+            F.count("*").alias("__n"),
+            F.sum("__oov").cast("bigint").alias("__n_oov"),
+            F.array_sort(
+                F.collect_list(F.struct("idx", "__logp"))
+            ).alias("__ps"),
+        )
+        .withColumn(
+            "__csum",
+            F.expr(
+                "aggregate(__ps, CAST(0.0 AS DOUBLE),"
+                " (acc, p) -> acc + p.__logp)"
+            ),
+        )
+    )
+    per_doc = per_chunk.groupBy(id_col).agg(
+        F.sum("__n").cast("bigint").alias("__n"),
+        F.sum("__n_oov").cast("bigint").alias("__n_oov"),
+        F.array_sort(
+            F.collect_list(F.struct("__chunk", "__csum"))
+        ).alias("__cs"),
     )
     fold = (
-        "aggregate(__ps, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.__logp)"
+        "aggregate(__cs, CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.__csum)"
     )
     out = docs.select(id_col).join(per_doc, id_col, "left")
     return out.select(
@@ -154,10 +189,16 @@ def ngram_lm_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_dp: int = 4,
+    chunk_size: int = FOLD_CHUNK,
 ) -> str:
     """DuckDB twin of :func:`ngram_lm_score` — same smoothing, same
-    position-ordered sequential fold, same rounding."""
+    two-level position-ordered fold (identical association, so the
+    doubles agree to the last ulp before rounding), same rounding.
+    Spark's bigram positions are 0-based (``posexplode``) and DuckDB's
+    are 1-based (``generate_series(1, ...)``); both map bigram *i*
+    (1-based) to chunk ``(i-1) // chunk_size``."""
     toks = tokens_duck_sql(text_col)
+    c = int(chunk_size)
     return f"""
 WITH toks AS (
   SELECT {id_col}, {toks} AS w, ({ref_where}) AS is_ref FROM {table}
@@ -186,10 +227,18 @@ scored AS (
   LEFT JOIN uni u ON b.w1 = u.tok
   CROSS JOIN vocab vb
 ),
+per_chunk AS (
+  SELECT {id_col}, (idx - 1) // {c} AS chunk,
+         count(*) AS n, sum(oov) AS n_oov,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(logp ORDER BY idx)),
+                     (acc, x) -> acc + x) AS csum
+  FROM scored GROUP BY {id_col}, (idx - 1) // {c}
+),
 per_doc AS (
-  SELECT {id_col}, count(*) AS n, sum(oov) AS n_oov,
-         list(logp ORDER BY idx) AS ps
-  FROM scored GROUP BY {id_col}
+  SELECT {id_col}, sum(n) AS n, sum(n_oov) AS n_oov,
+         list(csum ORDER BY chunk) AS ps
+  FROM per_chunk GROUP BY {id_col}
 )
 SELECT d.{id_col},
        CAST(coalesce(p.n, 0) AS BIGINT) AS n_bigrams,

@@ -413,6 +413,7 @@ def remove_boilerplate_segments(
     max_docs: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_threshold: int = 1_000_000,
 ) -> DataFrame:
     """CCNet/RefinedWeb-style intra-corpus boilerplate removal at the
     SEGMENT level: split each document into fixed-size word segments,
@@ -424,40 +425,98 @@ def remove_boilerplate_segments(
     whose every segment is boilerplate survive with ``new_text = ''``
     (the caller decides whether to drop empties).
 
-    Scale shape: ONE corpus shuffle — the (md5(segment), doc) pairs for
-    the frequency count (never the text).  The boilerplate digest set is
-    by construction small (only segments repeated across >= max_docs
-    docs), so it broadcasts back as a single collected array and the
-    strip + reconstruct runs entirely inside whole-stage codegen
-    (higher-order ``filter`` over the segment array) — no second
-    shuffle, no re-join of document payloads.
+    Scale shape, SIZE-GUARDED: the (md5(segment), doc) pairs shuffle
+    once for the frequency count (never the text); the resulting
+    boilerplate digest table is then counted BEFORE choosing the apply
+    strategy.  At or below ``broadcast_threshold`` digests it collects
+    into one broadcast array and the strip + reconstruct runs entirely
+    inside whole-stage codegen (higher-order ``filter`` over the segment
+    array — no second shuffle).  Above the threshold — a real crawl,
+    where the set of 4-word segments repeated across >=4 documents is
+    NOT small and a collected single-row array would hit the 2 GiB
+    row limit long before 100 TB — it falls back to the distributed
+    (digest, doc) shape :func:`dedup_segments_keep_first` uses: a
+    left join of exploded positions against the digest table and an
+    order-restoring per-doc re-aggregation.  Both paths are
+    hash-identical (pinned by ``tests/test_text_curation.py``).
     """
     k = int(seg_words)
     segs_arr = _segments_sql(text_col, k)
     exploded = df.select(
         F.col(id_col), F.explode(F.expr(segs_arr)).alias("__seg")
     )
-    boiler = (
+    boiler_digests = (
         exploded.groupBy(F.md5("__seg").alias("__digest"))
         .agg(F.countDistinct(id_col).alias("__nd"))
         .filter(F.col("__nd") >= int(max_docs))
-        .agg(F.collect_set("__digest").alias("__bl"))
+        .select("__digest")
     )
-    with_bl = df.crossJoin(F.broadcast(boiler)).withColumn(
-        "__bl", F.coalesce(F.col("__bl"), F.array().cast("array<string>"))
+    # count is cheap relative to the corpus scan (digest table only) and
+    # decides whether the collected array is safe to build at all
+    n_boiler = boiler_digests.count()
+    if n_boiler <= int(broadcast_threshold):
+        boiler = boiler_digests.agg(
+            F.collect_set("__digest").alias("__bl")
+        )
+        with_bl = df.crossJoin(F.broadcast(boiler)).withColumn(
+            "__bl",
+            F.coalesce(F.col("__bl"), F.array().cast("array<string>")),
+        )
+        kept = f"filter({segs_arr}, s -> NOT array_contains(__bl, md5(s)))"
+        return (
+            with_bl.withColumn("__segs", F.expr(segs_arr))
+            .withColumn("__kept", F.expr(kept))
+            .select(
+                id_col,
+                F.size("__segs").cast("bigint").alias("n_segs"),
+                F.size("__kept").cast("bigint").alias("n_kept"),
+                (F.size("__segs") - F.size("__kept"))
+                .cast("bigint")
+                .alias("n_dropped"),
+                F.array_join("__kept", " ").alias("new_text"),
+            )
+        )
+    # join path: segment text flows through one more shuffle (honest
+    # corpus-sized cost), but nothing is ever collected to one row
+    pos = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(segs_arr)).alias("__pos", "__seg"),
+    ).withColumn("__digest", F.md5("__seg"))
+    marked = pos.join(
+        boiler_digests.withColumn("__is_bl", F.lit(True)),
+        "__digest",
+        "left",
     )
-    kept = f"filter({segs_arr}, s -> NOT array_contains(__bl, md5(s)))"
     return (
-        with_bl.withColumn("__segs", F.expr(segs_arr))
-        .withColumn("__kept", F.expr(kept))
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.sum(
+                F.when(F.col("__is_bl").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__is_bl").isNull(),
+                                F.struct("__pos", "__seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("__seg"),
+                ),
+                " ",
+            ).alias("new_text"),
+        )
         .select(
             id_col,
-            F.size("__segs").cast("bigint").alias("n_segs"),
-            F.size("__kept").cast("bigint").alias("n_kept"),
-            (F.size("__segs") - F.size("__kept"))
+            "n_segs",
+            "n_kept",
+            (F.col("n_segs") - F.col("n_kept"))
             .cast("bigint")
             .alias("n_dropped"),
-            F.array_join("__kept", " ").alias("new_text"),
+            "new_text",
         )
     )
 

@@ -753,3 +753,131 @@ def test_keep_best_per_component(spark):
     assert out[1].n_members == 3 and out[2].component_id == 1
     assert out[4].keep and out[4].n_members == 1
     assert out[9].keep and out[9].component_id == 9  # singleton fallback
+
+
+def test_keep_best_differential_vs_window(spark):
+    """The aggregation-based winner (min_by over (-score, id)) must
+    equal the window formulation row for row — including NULL scores
+    (desc-NULLS-LAST: any real score beats NULL) — and the plan must
+    contain NO window exchange (a giant template cluster would land in
+    one task's sort under row_number; the aggregate combines
+    map-side)."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from minerva_etl_spark.operators.dedup import keep_best_per_component
+
+    rng = random.Random(7)
+    docs_rows = [
+        (i, rng.choice([None, round(rng.random(), 3)])) for i in range(300)
+    ]
+    comps_rows = [(i, i % 7) for i in range(0, 250)]  # 50 singletons
+    docs = spark.createDataFrame(
+        docs_rows, "doc_id bigint, quality_score double"
+    )
+    comps = spark.createDataFrame(
+        comps_rows, "doc_id bigint, component_id bigint"
+    )
+    out = keep_best_per_component(docs, comps)
+    # window reference formulation, computed inline
+    joined = (
+        docs.join(comps.withColumnRenamed("doc_id", "k"),
+                  docs.doc_id == F.col("k"), "left")
+        .drop("k")
+        .withColumn("component_id",
+                    F.coalesce("component_id", F.col("doc_id")))
+    )
+    w = Window.partitionBy("component_id")
+    o = Window.partitionBy("component_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id")
+    )
+    ref = joined.select(
+        "doc_id", "component_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_members"),
+        (F.row_number().over(o) == 1).alias("keep"),
+    )
+    got = {r.doc_id: (r.component_id, r.n_members, r.keep)
+           for r in out.collect()}
+    want = {r.doc_id: (r.component_id, r.n_members, r.keep)
+            for r in ref.collect()}
+    assert got == want
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "Window" not in plan
+    # struct-typed min_by buffers plan as SortAggregate; all three
+    # aggregate nodes do partial (map-side) aggregation, which is the
+    # property the window could never have
+    assert any(a in plan for a in
+               ("HashAggregate", "ObjectHashAggregate", "SortAggregate"))
+
+
+def test_boilerplate_join_path_matches_broadcast(spark):
+    """broadcast_threshold=0 forces the distributed (digest, doc) join
+    path; its output must match the broadcast fast path exactly —
+    including segment order in the reconstructed text and the
+    all-boilerplate empty-text doc."""
+    import random
+
+    from minerva_etl_spark.operators.text import remove_boilerplate_segments
+
+    rng = random.Random(11)
+    spam = "visit our site now"
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = []
+    for i in range(60):
+        body = " ".join(rng.choices(words, k=rng.randrange(0, 12)))
+        rows.append((i, f"{spam} {body}".strip()))
+    rows.append((1000, spam))  # boilerplate-only doc
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fast = remove_boilerplate_segments(docs, seg_words=4, max_docs=3)
+    slow = remove_boilerplate_segments(
+        docs, seg_words=4, max_docs=3, broadcast_threshold=0
+    )
+    key = lambda r: (r.doc_id, r.n_segs, r.n_kept, r.n_dropped, r.new_text)  # noqa: E731
+    assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+    assert slow.filter("doc_id = 1000").first().new_text == ""
+
+
+def test_boilerplate_join_path_plan(spark, tmp_path):
+    """Above the size guard nothing collects to one row: the join path
+    plans as equi-joins (SortMergeJoin/ShuffledHashJoin allowed), never
+    a BroadcastNestedLoopJoin of a collected array."""
+    from minerva_etl_spark.operators.text import remove_boilerplate_segments
+
+    rows = [(i, "w " * 20) for i in range(200)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "docs"))
+    out = remove_boilerplate_segments(
+        spark.read.parquet(str(tmp_path / "docs")), broadcast_threshold=0
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "collect_set" not in plan
+
+
+def test_ngram_lm_long_doc_chunked_fold(spark):
+    """A >=100k-token document scores without a single monolithic
+    collect_list buffer (chunk_size bounds it), and the chunked fold
+    agrees with the single-chunk association to rounding precision."""
+    from minerva_etl_spark.operators.lm import ngram_lm_score
+
+    long_text = " ".join(
+        f"w{i % 997}" for i in range(100_000)
+    )
+    df = spark.createDataFrame(
+        [(1, long_text, "en"), (2, "w1 w2 w3", "xx")],
+        "doc_id bigint, text string, lang string",
+    )
+    out = {r.doc_id: r for r in
+           ngram_lm_score(df, "lang = 'en'", chunk_size=1024).collect()}
+    assert out[1].n_bigrams == 99_999
+    assert out[1].oov_rate == 0.0
+    big = {r.doc_id: r for r in
+           ngram_lm_score(df, "lang = 'en'", chunk_size=10**9).collect()}
+    assert abs(out[1].nll_bits - big[1].nll_bits) <= 1e-4
+    assert out[2] == big[2]
