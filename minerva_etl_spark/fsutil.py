@@ -22,10 +22,24 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(hpath))
 
 
-def _fs(spark: SparkSession, path: str):
+def _fs(spark: SparkSession, path: str, raw: bool = False):
+    """(filesystem, path, jvm) for ``path``.  ``raw=True`` unwraps the
+    local ChecksumFileSystem: its ``.crc`` sidecars are NOT updated
+    atomically by a failing exclusive ``create`` — a concurrent
+    lease-acquire attempt can truncate the sidecar of the winner's
+    lease file and poison every subsequent checksummed read.  Lease
+    files carry a uuid token (self-validating), so they use the raw
+    stream; real filesystems (HDFS, object stores) have no client-side
+    checksum wrapper and pass through unchanged."""
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
-    return hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath, jvm
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if raw:
+        try:
+            fs = fs.getRawFileSystem()
+        except Exception:
+            pass
+    return fs, hpath, jvm
 
 
 def fs_delete(spark: SparkSession, path: str) -> None:
@@ -73,6 +87,136 @@ def swap_directory_write(spark: SparkSession, write, final: str) -> None:
     write(tmp)
     fs_delete(spark, final)
     fs_rename(spark, tmp, final)
+
+
+def fs_create_atomic(spark: SparkSession, path: str, content: str) -> bool:
+    """Atomically create ``path`` with ``content``; False if it already
+    exists — the test-and-set the store lease is built on.
+
+    On HDFS (and object stores with conditional PUT committers)
+    ``FileSystem.create(path, overwrite=false)`` is atomic server-side.
+    On the LOCAL filesystem it is a non-atomic exists-then-create
+    (``RawLocalFileSystem.create`` TOCTOU — two threads both pass the
+    exists check), so local paths take ``java.io.File.createNewFile``,
+    which the JDK guarantees atomic.  Content lands after the create
+    wins: the marker's EXISTENCE is the lock, the token only arbitrates
+    release/reclaim."""
+    fs, hpath, jvm = _fs(spark, path, raw=True)
+    if fs.getUri().getScheme() == "file":
+        local = hpath.toUri().getPath()
+        f = jvm.java.io.File(local)
+        parent = f.getParentFile()
+        if parent is not None:
+            parent.mkdirs()
+        if not f.createNewFile():
+            return False
+        with open(local, "w") as fh:
+            fh.write(content)
+        return True
+    try:
+        out = fs.create(hpath, False)
+    except Exception:
+        return False
+    try:
+        out.write(bytearray(content.encode()))
+    finally:
+        out.close()
+    return True
+
+
+def fs_read_small(spark: SparkSession, path: str) -> str | None:
+    """Contents of a small file (lease tokens); None if absent."""
+    fs, hpath, jvm = _fs(spark, path, raw=True)
+    if not fs.exists(hpath):
+        return None
+    stream = fs.open(hpath)
+    try:
+        # py4j passes byte[] buffers by value, so a read(buf) loop never
+        # fills the Python-side buffer — commons-io (on Spark's
+        # classpath) drains the stream JVM-side and returns the bytes
+        data = jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        return bytes(data).decode()
+    finally:
+        stream.close()
+
+
+def fs_mtime_ms(spark: SparkSession, path: str) -> int | None:
+    """Modification time of ``path`` in epoch ms; None if absent."""
+    fs, hpath, _ = _fs(spark, path, raw=True)
+    if not fs.exists(hpath):
+        return None
+    return int(fs.getFileStatus(hpath).getModificationTime())
+
+
+def _lease_delete(spark: SparkSession, path: str) -> None:
+    fs, hpath, _ = _fs(spark, path, raw=True)
+    if fs.exists(hpath):
+        fs.delete(hpath, False)
+
+
+class StoreLease:
+    """Single-writer lease over one store scope (a trend-store part, the
+    modified log, ...).
+
+    The reference inherits row-level write transactionality from
+    PostgreSQL and handles contention with a deadlock-retry loop
+    (`/root/reference/src/minerva/commands/trend_store.py:1191-1196`;
+    concurrency proven by
+    `integration_tests/storage/trend/test_store_concurrent.py:60-123`).
+    The parquet substrate's write-and-swap is only safe for one writer
+    per scope, so concurrent writers serialize on this lease: an atomic
+    marker-file create is the test-and-set, a TTL reclaims leases left
+    by crashed writers, and acquisition past ``timeout`` raises the
+    typed :class:`~minerva_etl_spark.errors.LockNotAvailable` (on a
+    Delta/Iceberg substrate the table format's optimistic commit
+    protocol replaces this file — see SCALE.md).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        timeout: float = 300.0,
+        ttl: float = 3600.0,
+        poll: float = 0.1,
+    ) -> None:
+        import uuid
+
+        self.spark = spark
+        self.path = path
+        self.timeout = timeout
+        self.ttl = ttl
+        self.poll = poll
+        self.token = uuid.uuid4().hex
+
+    def __enter__(self) -> "StoreLease":
+        import time as _time
+
+        from minerva_etl_spark.errors import LockNotAvailable
+
+        deadline = _time.monotonic() + self.timeout
+        while True:
+            if fs_create_atomic(self.spark, self.path, self.token):
+                return self
+            age = fs_mtime_ms(self.spark, self.path)
+            if age is not None and (
+                _time.time() * 1000 - age > self.ttl * 1000
+            ):
+                # expired lease from a crashed writer: reclaim and
+                # immediately contend for a fresh create
+                _lease_delete(self.spark, self.path)
+                continue
+            if _time.monotonic() >= deadline:
+                raise LockNotAvailable(
+                    f"store lease held by another writer: {self.path}"
+                )
+            _time.sleep(self.poll)
+
+    def __exit__(self, *exc) -> None:
+        # release only a lease we still own (a TTL reclaim may have
+        # handed it to someone else while we crashed-and-resumed)
+        if fs_read_small(self.spark, self.path) == self.token:
+            _lease_delete(self.spark, self.path)
 
 
 def parquet_exists(spark: SparkSession, path: str) -> bool:

@@ -16,6 +16,7 @@ from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from minerva_etl_spark.errors import NoSuchColumnError
 from minerva_etl_spark.sources.plugins import get_plugin
 from minerva_etl_spark.store.trendstore import TrendStore
 
@@ -127,7 +128,7 @@ class Loader:
             if unknown and self.on_unknown_column == "stop":
                 # inside the logged scope: a rejected load is a FAILED
                 # job in the log, like any other load error
-                raise ValueError(f"undeclared metric columns: {unknown}")
+                raise NoSuchColumnError(f"undeclared metric columns: {unknown}")
             if unknown and self.on_unknown_column == "add":
                 # schema evolution for drifting feeds: declare the new
                 # columns on the first part (reference parity is the
@@ -201,7 +202,7 @@ class Loader:
                         spark, job_id, os.path.basename(path),
                         started, ended, "failed",
                     )
-                raise ValueError(f"undeclared metric columns: {unknown}")
+                raise NoSuchColumnError(f"undeclared metric columns: {unknown}")
             if unknown and self.on_unknown_column == "add":
                 self.store.alter_trends(self.store.parts[0].name, unknown)
                 declared |= set(unknown)
@@ -312,7 +313,7 @@ class AttributeLoader:
         base = self.base_path or getattr(self.store, "base_path", None)
         try:
             if unknown and self.on_unknown_column == "stop":
-                raise ValueError(f"undeclared attribute columns: {unknown}")
+                raise NoSuchColumnError(f"undeclared attribute columns: {unknown}")
             if self.register_entity_dim and "entity_ref" in frame.columns and base:
                 from minerva_etl_spark.catalog.directory import register_entities
 

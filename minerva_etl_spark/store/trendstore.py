@@ -135,6 +135,14 @@ class TrendStore:
     #: with a wide sort (measured 4-6× on the sf0.1 ingest bench), while
     #: a fixed small count would under-parallelize a 100 TB part
     n_buckets: int | None = None
+    #: seconds to wait for a per-part write lease before raising
+    #: LockNotAvailable; the lease serializes concurrent writers on one
+    #: part (the substrate's read-merge-swap cycle is single-writer —
+    #: see fsutil.StoreLease and the reference concurrency test
+    #: `integration_tests/storage/trend/test_store_concurrent.py:60-123`)
+    lease_timeout: float = 300.0
+    #: stale-lease reclaim age (a crashed writer's lease expires)
+    lease_ttl: float = 3600.0
 
     def __post_init__(self) -> None:
         if self.layout == "auto":
@@ -187,12 +195,14 @@ class TrendStore:
         :meth:`store` (new columns appear as nulls in history via
         mergeSchema reads — no rewrite).  Returns the columns added.
         """
+        from minerva_etl_spark.errors import NoSuchTable
+
         for p in self.parts:
             if p.name == part_name:
                 added = [c for c in add if c not in p.trend_columns]
                 p.trend_columns.extend(added)
                 return added
-        raise KeyError(f"no such part: {part_name!r}")
+        raise NoSuchTable(f"no such part: {part_name!r}")
 
     # ----------------------------------------------------------- write
     def store(
@@ -259,11 +269,31 @@ class TrendStore:
             )
             self._store_part(spark, part, batch)
 
+    def _lease(self, spark: SparkSession, scope_path: str):
+        from minerva_etl_spark.fsutil import StoreLease
+
+        return StoreLease(
+            spark, scope_path + ".__lease",
+            timeout=self.lease_timeout, ttl=self.lease_ttl,
+        )
+
     def _store_part(
         self, spark: SparkSession, part: "TrendStorePart", batch: DataFrame
     ) -> None:
         """Upsert one prepared batch (keys + metrics + created/job_id +
-        partition col, unique on the key) into a single part."""
+        partition col, unique on the key) into a single part.
+
+        The whole read-merge-write cycle runs under the part's write
+        lease: two simultaneous stores to one part would otherwise
+        interleave their partition-directory swaps (or collide in the
+        shared tmp directory) and lose a batch — the failure class the
+        reference's transactional upserts rule out by construction."""
+        with self._lease(spark, self.part_path(part.name)):
+            self._store_part_locked(spark, part, batch)
+
+    def _store_part_locked(
+        self, spark: SparkSession, part: "TrendStorePart", batch: DataFrame
+    ) -> None:
         existing = self.read_part(spark, part.name, with_partition_col=True)
         if existing is not None:
             # schema evolution: align columns, widen drifted types
@@ -443,7 +473,12 @@ class TrendStore:
             .withColumn("part", F.lit(part))
             .select("timestamp", "part", "modified")
         )
-        log.write.mode("append").parquet(self.modified_log_path())
+        # appends use unique task files, so concurrent appends are safe
+        # with each other — the lease fences them against a concurrent
+        # process_modified_log compaction swap, which replaces the
+        # directory wholesale and would drop an in-flight append
+        with self._lease(spark, self.modified_log_path()):
+            log.write.mode("append").parquet(self.modified_log_path())
 
     # ------------------------------------------------------------ read
     def read_part(
@@ -521,24 +556,30 @@ class TrendStore:
         staleness fingerprints (max per key) are invariant under it.
         Returns the number of state rows after compaction.
         """
-        log = self.read_modified_log(spark)
-        if log is None:
-            return 0
         from minerva_etl_spark.fsutil import swap_directory_write
 
-        state = (
-            log.groupBy("part", "timestamp")
-            .agg(F.max("modified").alias("modified"))
-            .select("timestamp", "part", "modified")
-        )
-        # break lineage: the swap deletes the files `state` reads from
-        state = state.localCheckpoint(eager=True)
-        n = state.count()
-        swap_directory_write(
-            spark,
-            lambda tmp: state.coalesce(1).write.mode("overwrite").parquet(tmp),
-            self.modified_log_path(),
-        )
+        # the lease spans read→fold→swap so a store's log append can
+        # never land between the fold and the directory swap (where the
+        # compaction would silently drop it)
+        with self._lease(spark, self.modified_log_path()):
+            log = self.read_modified_log(spark)
+            if log is None:
+                return 0
+            state = (
+                log.groupBy("part", "timestamp")
+                .agg(F.max("modified").alias("modified"))
+                .select("timestamp", "part", "modified")
+            )
+            # break lineage: the swap deletes the files `state` reads from
+            state = state.localCheckpoint(eager=True)
+            n = state.count()
+            swap_directory_write(
+                spark,
+                lambda tmp: state.coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp),
+                self.modified_log_path(),
+            )
         return n
 
     # ------------------------------------------------------- retention

@@ -313,3 +313,122 @@ def test_path_layout_widen_backfill_swap(spark, tmp_path):
     assert got == {1: 7.0, 2: 14.0, 3: 21.0, 4: 28.0, 99: 7.5}
     import os
     assert not os.path.exists(st.part_path("m") + "__tmp")
+
+
+def test_store_concurrent_same_part(spark, tmp_path):
+    """Reference concurrency scenario
+    (`integration_tests/storage/trend/test_store_concurrent.py:60-123`):
+    four threads store the same dataset into one part simultaneously.
+    The per-part write lease serializes the read-merge-swap cycles, so
+    the final table equals the sequential result and no store's
+    modified-log mark is lost to an interleaved swap."""
+    from threading import Thread
+
+    st = TrendStore(
+        data_source="hub", entity_type="node",
+        granularity=Granularity.parse("15m"),
+        parts=[TrendStorePart("m", ["c1", "c2", "c3"])],
+        base_path=str(tmp_path), layout="path",
+        lease_timeout=120.0,
+    )
+    t = ts(2013, 8, 27, 18, 0)
+    rows = [(i, t, 1.0, 2.0, 3.0) for i in range(100)]
+    pkg_df = spark.createDataFrame(
+        rows,
+        "entity_id bigint, timestamp timestamp_ntz, c1 double, "
+        "c2 double, c3 double",
+    )
+    errors = []
+
+    def run(job_id):
+        try:
+            st.store(spark, pkg_df, job_id=job_id)
+        except Exception as e:  # noqa: BLE001 - surfaced via assert
+            errors.append(e)
+
+    threads = [Thread(target=run, args=(10 + i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    main = st.read_part(spark, "m")
+    got = {(r.entity_id, r.c1, r.c2, r.c3) for r in main.collect()}
+    assert got == {(i, 1.0, 2.0, 3.0) for i in range(100)}
+    assert main.count() == 100  # upsert key held: no duplicate keys
+    # all four stores marked modified (none lost to a swap collision)
+    log = st.read_modified_log(spark)
+    assert log.count() == 4
+    import os
+    assert not os.path.exists(st.part_path("m") + ".__lease")
+
+
+def test_store_lease_contention_raises_typed(spark, tmp_path):
+    """A held lease times out as the typed LockNotAvailable (reference
+    `db/error.py` LOCK_NOT_AVAILABLE), and a stale lease from a crashed
+    writer is reclaimed after its TTL."""
+    import pytest as _pytest
+
+    from minerva_etl_spark.errors import LockNotAvailable
+    from minerva_etl_spark.fsutil import StoreLease
+
+    st = TrendStore(
+        data_source="hub", entity_type="node",
+        granularity=Granularity.parse("15m"),
+        parts=[TrendStorePart("m", ["v"])],
+        base_path=str(tmp_path), layout="path",
+        lease_timeout=0.5, lease_ttl=3600.0,
+    )
+    batch = spark.createDataFrame(
+        [(1, ts(2024, 1, 1, 0, 15), 1.0)],
+        "entity_id bigint, timestamp timestamp_ntz, v double",
+    )
+    # simulate another writer's live lease
+    with StoreLease(spark, st.part_path("m") + ".__lease"):
+        with _pytest.raises(LockNotAvailable):
+            st.store(spark, batch)
+    # crashed writer: lease file exists but is past TTL -> reclaimed
+    st2 = TrendStore(
+        data_source="hub", entity_type="node",
+        granularity=Granularity.parse("15m"),
+        parts=[TrendStorePart("m", ["v"])],
+        base_path=str(tmp_path), layout="path",
+        lease_timeout=5.0, lease_ttl=0.0,
+    )
+    with open(st2.part_path("m") + ".__lease", "w") as fh:
+        fh.write("deadbeef")
+    st2.store(spark, batch)
+    assert st2.read_part(spark, "m").count() == 1
+
+
+def test_error_taxonomy_types(spark, tmp_path):
+    """Typed errors (reference `db/error.py:8-64`): undeclared columns
+    under 'stop' raise NoSuchColumnError (a ValueError for backward
+    compatibility), missing parts raise NoSuchTable (a KeyError)."""
+    import pytest as _pytest
+
+    from minerva_etl_spark.errors import NoSuchColumnError, NoSuchTable
+    from minerva_etl_spark.sources.loader import Loader
+
+    st = TrendStore(
+        data_source="hub", entity_type="node",
+        granularity=Granularity.parse("15m"),
+        parts=[TrendStorePart("m", ["v"])],
+        base_path=str(tmp_path), layout="path",
+    )
+    with _pytest.raises(NoSuchTable):
+        st.alter_trends("nope", ["x"])
+    assert issubclass(NoSuchTable, KeyError)
+    csv = tmp_path / "f.csv"
+    csv.write_text("entity,timestamp,rogue\nn=1,2024-01-01T00:15:00,1\n")
+    from minerva_etl_spark.sources.csv_harvest import CsvParserConfig
+
+    loader = Loader(store=st, on_unknown_column="stop")
+    with _pytest.raises(NoSuchColumnError, match="rogue"):
+        loader.load_file(
+            spark, "csv", str(csv),
+            CsvParserConfig(identifier_column="entity",
+                            timestamp_column="timestamp",
+                            entity_type="node"),
+        )
+    assert issubclass(NoSuchColumnError, ValueError)
