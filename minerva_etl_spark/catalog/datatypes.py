@@ -56,15 +56,32 @@ REGISTRY: dict[str, DataType] = {
         TIMESTAMP, TIMESTAMPTZ, TEXT,
     )
 }
+# array variants of every base type, as the reference registers them
+# (`datatype.py:889-898`: ArrayType(registry[...]) for each base; string
+# syntax `[a,b,c]`, `datatype.py:781-787`).  Arrays sit above every
+# scalar in the lattice (never deduced — reference
+# ``ArrayType.deduce_parser_config`` raises NotImplementedError; they
+# arrive via DECLARED parser-config / trend-store types only).
+REGISTRY.update(
+    {
+        f"{t.name}[]": DataType(f"{t.name}[]", 9, T.ArrayType(t.spark_type))
+        for t in (
+            BOOLEAN, SMALLINT, INTEGER, BIGINT, REAL, DOUBLE, NUMERIC,
+            TIMESTAMP, TIMESTAMPTZ, TEXT,
+        )
+    }
+)
 # aliases accepted by the YAML instance format
 REGISTRY.update(
     {
         "int": INTEGER,
-        "integer[]": DataType("integer[]", 9, T.ArrayType(T.IntegerType())),
-        "text[]": DataType("text[]", 9, T.ArrayType(T.StringType())),
         "double": DOUBLE,
         "float": REAL,
         "string": TEXT,
+        "int[]": REGISTRY["integer[]"],
+        "double[]": REGISTRY["double precision[]"],
+        "float[]": REGISTRY["real[]"],
+        "string[]": REGISTRY["text[]"],
     }
 )
 
@@ -177,6 +194,11 @@ def widen_spark_type(left: str, right: str) -> str:
     """
     if left == right:
         return left
+    if left.startswith("array<") and right.startswith("array<"):
+        # arrays widen element-wise (reference registers the array of
+        # every scalar; the scalar lattice lifts pointwise)
+        inner = widen_spark_type(left[6:-1], right[6:-1])
+        return f"array<{inner}>"
     base_l, base_r = left.split("(")[0], right.split("(")[0]
     rank_l = _SPARK_WIDEN_RANK.get(base_l)
     rank_r = _SPARK_WIDEN_RANK.get(base_r)

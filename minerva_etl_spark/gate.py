@@ -2228,9 +2228,6 @@ _REGISTRY_ORDER = [
     "trigger_eval",
     "type_deduction",
     "entity_resolution",
-    "array_predicates",
-    "topk_recent",
-    "trend_slope",
     # -- streaming / time ops (T4, as-of, sessionize) -----------------
     "streaming_hourly",
     "asof_join",
@@ -2243,6 +2240,7 @@ _REGISTRY_ORDER = [
     "dedup_simhash_hamming",
     "dedup_embedding",
     "dedup_components",
+    "dedup_canonical",
     "decontamination",
     # -- LLM-pipeline: similarity -------------------------------------
     "sim_topk",
@@ -2252,7 +2250,9 @@ _REGISTRY_ORDER = [
     # -- LLM-pipeline: text / curation --------------------------------
     "text_profile",
     "sample_stratified",
+    "source_mix",
     "shard_pack",
+    "pipeline_curate",
     # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
     "live_monitor",
     "lifecycle_load_store",
@@ -2267,14 +2267,24 @@ _REGISTRY_ORDER = [
     "timestamp_mapping",
     "entity_dim_register",
     # ---------- entries past the driver's 50-row window --------------
-    # Rotation policy: the simhash pair (raw signatures vs hamming
-    # pairing) shares one in-window slot, alternating per round so each
-    # regains a driver-recorded row over time (r3/r4 proved _hamming;
-    # r5 the raw signatures; r6 rotates _hamming back in).  dn_parse
-    # rotated out in favor of shard_pack (SURVEY 2.8 DN parsing stays
-    # driver-proven through the green kpi_translated/relation_regex/
-    # timestamp_mapping rows).  Everything here is still verified every
-    # session by tools/check_oracle.py.
+    # Rotation policy (r7, per the r6 verdict's ask 5): the strongest
+    # round-6 rows — pipeline_curate (chained-CTE full-pipeline oracle),
+    # dedup_canonical, source_mix — rotated IN; three redundant demos
+    # rotated out: topk_recent (O1/O2 LIMIT + ORDER BY stay driver-
+    # proven via sim_topk's TakeOrderedAndProject and report_stats's
+    # listing order), trend_slope (X2 non-SQL materialization stays
+    # proven via lifecycle_materialize + the regression pytest), and
+    # array_predicates (P4/P5 IN/ANY + array containment, pytest- and
+    # past-window-proven).  Earlier rotations: the simhash pair
+    # alternates one slot (r6 proved _hamming in-window); dn_parse
+    # stays proven through kpi_translated/relation_regex/
+    # timestamp_mapping.  Everything here is still verified every
+    # session by tools/check_oracle.py; COVERAGE.md maps each rotated
+    # surface to the green rows that vouch for it.
+    "array_predicates",
+    "topk_recent",
+    "trend_slope",
+    "lifecycle_array_trend",
     "dedup_simhash",
     "dn_parse",
     "kpi_revenue",
@@ -2286,11 +2296,9 @@ _REGISTRY_ORDER = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
-    "source_mix",
     "shard_pack_shuffled",
     "curated_export",
     "boilerplate_strip",
-    "dedup_canonical",
     "quality_filter",
     "lm_perplexity",
     "semantic_dedup",
@@ -2298,7 +2306,6 @@ _REGISTRY_ORDER = [
     "dedup_segments",
     "chunk_sequences",
     "corpus_report",
-    "pipeline_curate",
     "gopher_rules",
 ]
 

@@ -1082,6 +1082,122 @@ FROM customer
 
 
 # =====================================================================
+# array trend columns (reference datatype registry `T[]` variants,
+# `/root/reference/src/minerva/storage/datatype.py:889-898`; string
+# syntax `[a,b,c]`, `:781-787`)
+# =====================================================================
+def q_lifecycle_array_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array trend columns end to end: a declared ``bigint[]`` trend
+    parses from the reference's ``[a,b,c]`` CSV syntax, stores next to
+    a scalar trend, and a re-delivery REPLACES the whole array (upsert
+    on the key, ``created = greatest``) — including a length change,
+    which a positional merge would get wrong.  The read-back emits the
+    array both as a joined string and as a length so the hash pins
+    content and cardinality without depending on either engine's
+    list-to-CSV formatting."""
+    _prep(spark)
+    base = _tmp("arraytrend")
+    ev = load_table(spark, sf_dir, "events")
+    # floor() on both engines: Spark's double->bigint cast truncates
+    # while DuckDB's rounds, so the raw cast would diverge
+    agg = ev.groupBy("user_id", "ts").agg(
+        F.min(F.floor("value").cast("bigint")).alias("lo"),
+        F.max(F.floor("value").cast("bigint")).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    frame1 = agg.select(
+        F.concat(F.lit("node-"), F.col("user_id")).alias("node"),
+        F.col("ts").cast("string").alias("ts"),
+        F.concat(
+            F.lit("["), F.col("lo"), F.lit(","), F.col("hi"),
+            F.lit(","), F.col("n"), F.lit("]"),
+        ).alias("readings"),
+        F.col("n").alias("level"),
+    )
+    frame1.coalesce(1).write.mode("overwrite").option("header", True).csv(
+        base + "/in1"
+    )
+    # re-delivery: user_id%3==0 slice shrinks to a 2-element array
+    (
+        agg.filter(F.col("user_id") % 3 == 0)
+        .select(
+            F.concat(F.lit("node-"), F.col("user_id")).alias("node"),
+            F.col("ts").cast("string").alias("ts"),
+            F.concat(
+                F.lit("["), F.col("hi") * 2, F.lit(","), F.col("n"),
+                F.lit("]"),
+            ).alias("readings"),
+            F.col("n").alias("level"),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(base + "/in2")
+    )
+    store = TrendStore(
+        data_source="gate",
+        entity_type="node",
+        granularity="15m",
+        parts=[TrendStorePart("arr_15m", ["readings", "level"])],
+        base_path=base,
+    )
+    cfg = CsvParserConfig(
+        identifier_column="node",
+        timestamp_column="ts",
+        column_types={"readings": "bigint[]"},
+        entity_type="node",
+        id_method="md5",
+    )
+    loader = Loader(store, id_method="md5")
+    loader.load_files(
+        spark,
+        [
+            ("csv", base + "/in1", cfg, 3001, _C1),
+            ("csv", base + "/in2", cfg, 3002, _C2),
+        ],
+    )
+    part = store.read_part(spark, "arr_15m")
+    assert dict(part.dtypes)["readings"] == "array<bigint>"
+    out = part.select(
+        "entity_id",
+        "timestamp",
+        F.array_join("readings", ",").alias("readings_csv"),
+        F.size("readings").cast("bigint").alias("n_readings"),
+        F.col("level").cast("bigint").alias("level"),
+        "created",
+        "job_id",
+    )
+    return _finish(out, base)
+
+
+def _oracle_lifecycle_array_trend() -> str:
+    eid = entity_id_duck_sql("node", "'node-' || user_id")
+    return f"""
+WITH agg AS (
+  SELECT user_id, ts,
+         min(CAST(floor(value) AS BIGINT)) AS lo,
+         max(CAST(floor(value) AS BIGINT)) AS hi,
+         count(*) AS n
+  FROM events
+  GROUP BY user_id, ts
+)
+SELECT {eid} AS entity_id,
+       ts AS timestamp,
+       CASE WHEN user_id % 3 = 0
+            THEN (hi * 2) || ',' || n
+            ELSE lo || ',' || hi || ',' || n END AS readings_csv,
+       CAST(CASE WHEN user_id % 3 = 0 THEN 2 ELSE 3 END AS BIGINT)
+           AS n_readings,
+       CAST(n AS BIGINT) AS level,
+       CASE WHEN user_id % 3 = 0 THEN TIMESTAMP '{_C2:%Y-%m-%d %H:%M:%S}'
+            ELSE TIMESTAMP '{_C1:%Y-%m-%d %H:%M:%S}' END AS created,
+       CAST(CASE WHEN user_id % 3 = 0 THEN 3002 ELSE 3001 END AS BIGINT)
+           AS job_id
+FROM agg
+"""
+
+
+# =====================================================================
 # registry
 # =====================================================================
 def lifecycle_queries() -> dict:
@@ -1098,6 +1214,7 @@ def lifecycle_queries() -> dict:
         "timestamp_mapping": q_timestamp_mapping,
         "entity_dim_register": q_entity_dim_register,
         "live_monitor": q_live_monitor,
+        "lifecycle_array_trend": q_lifecycle_array_trend,
     }
 
 
@@ -1115,4 +1232,5 @@ def lifecycle_oracles() -> dict[str, str]:
         "timestamp_mapping": _oracle_timestamp_mapping(),
         "entity_dim_register": _oracle_entity_dim_register(),
         "live_monitor": _oracle_live_monitor(),
+        "lifecycle_array_trend": _oracle_lifecycle_array_trend(),
     }

@@ -58,13 +58,23 @@ def deduce_frame_types(
         c
         for c in raw.columns
         if c not in (config.identifier_column, config.timestamp_column)
+        # declared columns never sample: their type is given, and a
+        # declared-array JSONL column holds lists the string ladder
+        # cannot fold
+        and c not in config.column_types
     ]
-    sample = raw.select(metric_cols).limit(sample_rows).collect()
-    rows = [[row[c] for c in metric_cols] for row in sample]
-    types = dt.deduce_data_types(rows) if rows else [dt.TEXT] * len(metric_cols)
+    if metric_cols:
+        sample = raw.select(metric_cols).limit(sample_rows).collect()
+        rows = [[row[c] for c in metric_cols] for row in sample]
+        types = (
+            dt.deduce_data_types(rows) if rows else [dt.TEXT] * len(metric_cols)
+        )
+    else:
+        types = []
     out = dict(zip(metric_cols, types))
     for col, name in config.column_types.items():
-        out[col] = dt.REGISTRY[name]
+        if col in raw.columns:
+            out[col] = dt.REGISTRY[name]
     return out
 
 
@@ -122,10 +132,23 @@ def read_jsonl_packages(
     # string-ladder deduction cannot type.  The trend model is flat
     # (SURVEY §1.2: no maps/structs/nested arrays) — fail with the
     # offending column names instead of an AttributeError mid-sample.
+    declared_arrays = {
+        c
+        for c, name in config.column_types.items()
+        if isinstance(dt.REGISTRY[name].spark_type, T.ArrayType)
+    }
     complex_cols = [
         f.name
         for f in raw.schema.fields
         if not isinstance(f.dataType, T.StringType)
+        # a JSON array of primitives loads as array<string> under
+        # primitivesAsString; if the column is DECLARED as an array
+        # trend it casts element-wise in _project instead of failing
+        and not (
+            f.name in declared_arrays
+            and isinstance(f.dataType, T.ArrayType)
+            and isinstance(f.dataType.elementType, T.StringType)
+        )
     ]
     if complex_cols:
         raise ValueError(
@@ -134,6 +157,21 @@ def read_jsonl_packages(
         )
     types = deduce_frame_types(raw, config)
     return _project(raw, config, types)
+
+
+def _array_parse_sql(col: str, elem_ddl: str) -> str:
+    """Parse the reference's array string syntax ``[a,b,c]``
+    (`storage/datatype.py:781-787`: prefix ``[``, postfix ``]``,
+    separator ``,``) into a typed Spark array.  ``[]`` is the empty
+    array; unparseable elements become null (try_cast, matching the
+    scalar null-marker behavior)."""
+    body = f"btrim(`{col}`, '[]')"
+    return (
+        f"CASE WHEN `{col}` IS NULL THEN NULL "
+        f"WHEN {body} = '' THEN array() "
+        f"ELSE transform(split({body}, ','), "
+        f"x -> try_cast(trim(x) AS {elem_ddl})) END"
+    )
 
 
 def _project(
@@ -152,9 +190,18 @@ def _project(
         F.col(config.identifier_column).alias("entity_ref"),
         ts_parsed.cast("timestamp_ntz").alias("timestamp"),
         *[
-            F.expr(
-                f"try_cast(`{c}` AS {types[c].spark_type.simpleString()})"
-            ).alias(c)
+            (
+                F.expr(
+                    _array_parse_sql(
+                        c, types[c].spark_type.elementType.simpleString()
+                    )
+                ).alias(c)
+                if isinstance(types[c].spark_type, T.ArrayType)
+                and isinstance(raw.schema[c].dataType, T.StringType)
+                else F.expr(
+                    f"try_cast(`{c}` AS {types[c].spark_type.simpleString()})"
+                ).alias(c)
+            )
             for c in raw.columns
             if c not in (config.identifier_column, config.timestamp_column)
         ],

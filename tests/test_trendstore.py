@@ -432,3 +432,94 @@ def test_error_taxonomy_types(spark, tmp_path):
                             entity_type="node"),
         )
     assert issubclass(NoSuchColumnError, ValueError)
+
+
+def test_array_trend_column_load_upsert_read(spark, tmp_path):
+    """Array trend columns (reference registers `T[]` for every base
+    type, `storage/datatype.py:889-898`): a declared bigint[] trend
+    parses from the reference's `[a,b,c]` CSV syntax, survives the
+    load -> upsert -> read cycle, and widens element-wise
+    (array<int> meets array<bigint> -> array<bigint>)."""
+    from minerva_etl_spark.sources.csv_harvest import CsvParserConfig
+    from minerva_etl_spark.sources.loader import Loader
+
+    st = TrendStore(
+        data_source="hub", entity_type="node",
+        granularity=Granularity.parse("15m"),
+        parts=[TrendStorePart("m", ["readings", "level"])],
+        base_path=str(tmp_path), layout="path",
+    )
+    cfg = CsvParserConfig(
+        identifier_column="node", timestamp_column="timestamp",
+        entity_type="node",
+        column_types={"readings": "bigint[]", "level": "integer"},
+    )
+    f1 = tmp_path / "a.csv"
+    f1.write_text(
+        "node,timestamp,readings,level\n"
+        'n1,2024-01-01T00:15:00,"[1,2,3]",7\n'
+        'n2,2024-01-01T00:15:00,"[]",8\n'
+        "n3,2024-01-01T00:15:00,,9\n"
+    )
+    loader = Loader(store=st)
+    loader.load_file(spark, "csv", str(f1), cfg)
+    # re-load replaces n1's array (upsert on the key)
+    f2 = tmp_path / "b.csv"
+    f2.write_text(
+        "node,timestamp,readings,level\n"
+        'n1,2024-01-01T00:15:00,"[9,8]",7\n'
+    )
+    loader.load_file(spark, "csv", str(f2), cfg)
+    df = st.read_part(spark, "m")
+    assert dict(df.dtypes)["readings"] == "array<bigint>"
+    from minerva_etl_spark.catalog.directory import names_to_entity_ids
+
+    ids = {
+        r.entity_ref: r.entity_id
+        for r in names_to_entity_ids(
+            spark.createDataFrame(
+                [("n1",), ("n2",), ("n3",)], "entity_ref string"
+            ),
+            "node", "entity_ref",
+        ).collect()
+    }
+    got = {r.entity_id: r.readings for r in df.collect()}
+    assert got[ids["n1"]] == [9, 8]
+    assert got[ids["n2"]] == []
+    assert got[ids["n3"]] is None
+    # element-wise widening on the write path
+    from minerva_etl_spark.catalog.datatypes import widen_spark_type
+
+    assert widen_spark_type("array<int>", "array<bigint>") == "array<bigint>"
+    assert widen_spark_type("array<float>", "array<double>") == "array<double>"
+
+
+def test_array_trend_jsonl_equals_csv(spark, tmp_path):
+    """A declared-array JSONL harvest (real JSON arrays under
+    primitivesAsString) loads to the same typed frame as its CSV twin."""
+    from minerva_etl_spark.sources.csv_harvest import (
+        CsvParserConfig,
+        read_csv_packages,
+        read_jsonl_packages,
+    )
+
+    cfg = CsvParserConfig(
+        identifier_column="node", timestamp_column="timestamp",
+        entity_type="node", column_types={"readings": "double precision[]"},
+    )
+    csv = tmp_path / "t.csv"
+    csv.write_text(
+        "node,timestamp,readings,v\n"
+        'n1,2024-01-01T00:15:00,"[1.5,2.5]",3\n'
+        'n2,2024-01-01T00:15:00,"[]",4\n'
+    )
+    jsonl = tmp_path / "t.jsonl"
+    jsonl.write_text(
+        '{"node":"n1","timestamp":"2024-01-01T00:15:00","readings":[1.5,2.5],"v":3}\n'
+        '{"node":"n2","timestamp":"2024-01-01T00:15:00","readings":[],"v":4}\n'
+    )
+    a = read_csv_packages(spark, str(csv), cfg)
+    b = read_jsonl_packages(spark, str(jsonl), cfg)
+    assert dict(a.dtypes) == dict(b.dtypes)
+    key = lambda r: (r.entity_ref, tuple(r.readings), r.v)  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
