@@ -103,9 +103,14 @@ def assign_token_shards(
     for pid in sorted(totals):
         offsets[pid] = acc
         acc += totals[pid] or 0
-    off = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    ) if offsets else F.create_map()
+    # empty corpus: a bare create_map() is map<void,void> and fails
+    # analysis on the [__pid] lookup — a typed null map keeps the
+    # coalesce(off[__pid], 0) path valid and yields zero rows
+    off = (
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        if offsets
+        else F.lit(None).cast("map<int,bigint>")
+    )
     # pass 2: within-partition cumsum + broadcast prefix offset.  The
     # window partitions by __pid — every range runs in parallel; no
     # global sort anywhere.

@@ -881,3 +881,79 @@ def test_ngram_lm_long_doc_chunked_fold(spark):
            ngram_lm_score(df, "lang = 'en'", chunk_size=10**9).collect()}
     assert abs(out[1].nll_bits - big[1].nll_bits) <= 1e-4
     assert out[2] == big[2]
+
+
+def test_curate_corpus_composition_plan(spark):
+    """Regression-lock the composed pipeline's plan shape (SCALE.md
+    claims): stages compose by doc-id equi-joins only — never a
+    cartesian product — and the default (checkpointed) path's final
+    export segment stays within its measured shuffle budget.  The two
+    BroadcastNestedLoopJoins are the bounded one-row broadcasts
+    (mixing totals, shard offsets), not corpus joins."""
+    import re
+
+    from minerva_etl_spark.operators.pipeline import curate_corpus
+
+    rows = [
+        (i, ("the quick brown fox jumps over the lazy dog near the old "
+             f"barn and item {i} rests in the field while birds sing"),
+         "web" if i % 2 else "wiki")
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string"
+    )
+    bench = spark.createDataFrame(
+        [(1000, "benchmark eval text sample")], "doc_id bigint, text string"
+    )
+    out = curate_corpus(docs, bench)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert plan.count("CartesianProduct") == 0
+    assert len(re.findall(r"\bExchange\b", plan)) <= 30
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_boilerplate_shuffle_budget_both_paths(spark):
+    """Both boilerplate apply strategies stay within their measured
+    shuffle budgets: the broadcast fast path never shuffles document
+    payloads (no SortMergeJoin; Exchanges only under the digest
+    count), the join path never collects (no BroadcastNestedLoopJoin)
+    and adds exactly the documented (digest, doc) join + per-doc
+    rebuild shuffles."""
+    import re
+
+    from minerva_etl_spark.operators.text import remove_boilerplate_segments
+
+    rows = [(i, "alpha beta gamma delta " * 3) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def shape(df):
+        p = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        return (
+            len(re.findall(r"\bExchange\b", p)),
+            p.count("SortMergeJoin"),
+            p.count("BroadcastNestedLoopJoin"),
+        )
+
+    ex_f, smj_f, bnlj_f = shape(remove_boilerplate_segments(docs))
+    assert smj_f == 0 and bnlj_f >= 1 and ex_f <= 6
+    ex_j, smj_j, bnlj_j = shape(
+        remove_boilerplate_segments(docs, broadcast_threshold=0)
+    )
+    assert bnlj_j == 0 and ex_j <= 8
+
+
+def test_shard_pack_empty_corpus(spark):
+    """Empty input packs to an empty assignment instead of failing
+    analysis on an untyped offsets map (the curated pipeline can
+    legitimately filter a corpus to nothing)."""
+    from minerva_etl_spark.operators.shard import assign_token_shards
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    out = assign_token_shards(empty, 1000)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "n_tokens", "shard_id"]
