@@ -79,6 +79,7 @@ HEADLINE = [
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",
     "lifecycle_materialize",
+    "lifecycle_array_trend",
 ]
 
 

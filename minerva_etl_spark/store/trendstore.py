@@ -143,6 +143,12 @@ class TrendStore:
     lease_timeout: float = 300.0
     #: stale-lease reclaim age (a crashed writer's lease expires)
     lease_ttl: float = 3600.0
+    #: raise the typed UniqueViolation when a single package carries
+    #: duplicate (entity_id, timestamp) keys — the reference surfaces
+    #: this as a PG UNIQUE_VIOLATION (`db/error.py`).  Opt-in: the
+    #: check is one aggregation over the batch, and callers that
+    #: pre-dedup (store_batch's last-wins fold) don't need it
+    validate_keys: bool = False
 
     def __post_init__(self) -> None:
         if self.layout == "auto":
@@ -288,6 +294,22 @@ class TrendStore:
         interleave their partition-directory swaps (or collide in the
         shared tmp directory) and lose a batch — the failure class the
         reference's transactional upserts rule out by construction."""
+        if self.validate_keys:
+            from minerva_etl_spark.errors import UniqueViolation
+
+            dups = (
+                batch.groupBy("entity_id", "timestamp")
+                .count()
+                .filter("count > 1")
+                .limit(1)
+                .collect()
+            )
+            if dups:
+                r = dups[0]
+                raise UniqueViolation(
+                    "duplicate (entity_id, timestamp) keys in package: "
+                    f"({r.entity_id}, {r.timestamp})"
+                )
         with self._lease(spark, self.part_path(part.name)):
             self._store_part_locked(spark, part, batch)
 

@@ -523,3 +523,32 @@ def test_array_trend_jsonl_equals_csv(spark, tmp_path):
     assert dict(a.dtypes) == dict(b.dtypes)
     key = lambda r: (r.entity_ref, tuple(r.readings), r.v)  # noqa: E731
     assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+
+def test_unique_violation_on_duplicate_keys(spark, tmp_path):
+    """validate_keys surfaces in-package primary-key duplicates as the
+    typed UniqueViolation (reference PG UNIQUE_VIOLATION translation,
+    `db/error.py`); off by default (store_batch pre-dedups)."""
+    import pytest as _pytest
+
+    from minerva_etl_spark.errors import UniqueViolation
+
+    st = TrendStore(
+        data_source="hub", entity_type="node",
+        granularity=Granularity.parse("15m"),
+        parts=[TrendStorePart("m", ["v"])],
+        base_path=str(tmp_path), layout="path", validate_keys=True,
+    )
+    t = ts(2024, 1, 1, 0, 15)
+    dup = spark.createDataFrame(
+        [(1, t, 1.0), (1, t, 2.0)],
+        "entity_id bigint, timestamp timestamp_ntz, v double",
+    )
+    with _pytest.raises(UniqueViolation):
+        st.store(spark, dup)
+    ok = spark.createDataFrame(
+        [(1, t, 1.0), (2, t, 2.0)],
+        "entity_id bigint, timestamp timestamp_ntz, v double",
+    )
+    st.store(spark, ok)
+    assert st.read_part(spark, "m").count() == 2

@@ -130,6 +130,19 @@ def probe(spark, data_dir: str, mult: int) -> dict:
         "spark": timed(lambda: classify_quality(docs))
     }
 
+    from minerva_etl_spark.operators.text import remove_boilerplate_segments
+
+    # low max_docs on a replicated corpus = a LARGE boilerplate set
+    # (every segment repeats across copies): exercises the size guard's
+    # distributed join path — no collected single-row array anywhere
+    results["boilerplate_join_path"] = {
+        "spark": timed(
+            lambda: remove_boilerplate_segments(
+                docs, max_docs=2, broadcast_threshold=1000
+            )
+        )
+    }
+
     from pyspark.sql import functions as PF
 
     from minerva_etl_spark.operators.pipeline import curate_corpus
