@@ -60,6 +60,29 @@ class LockNotAvailable(MinervaError, RuntimeError):
     is the analogous contention handler)."""
 
 
+def translate_analysis_exceptions(f):
+    """Decorator twin of :func:`translate_analysis_exception` (the
+    reference decorates DB-touching functions the same way,
+    `db/error.py:83-92`): any AnalysisException escaping ``f`` is
+    re-raised as its typed equivalent."""
+    from functools import wraps
+
+    @wraps(f)
+    def wrapped(*args, **kwargs):
+        try:
+            return f(*args, **kwargs)
+        except Exception as exc:
+            if type(exc).__name__ == "AnalysisException" or hasattr(
+                exc, "getErrorClass"
+            ):
+                translated = translate_analysis_exception(exc)
+                if translated is not exc:
+                    raise translated from exc
+            raise
+
+    return wrapped
+
+
 def translate_analysis_exception(exc: Exception) -> Exception:
     """Map a Spark ``AnalysisException`` onto the taxonomy where its
     error class corresponds to one (the analog of the reference's

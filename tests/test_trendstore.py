@@ -552,3 +552,48 @@ def test_unique_violation_on_duplicate_keys(spark, tmp_path):
     )
     st.store(spark, ok)
     assert st.read_part(spark, "m").count() == 2
+
+
+def test_analysis_exception_translation(spark):
+    """Spark AnalysisException conditions map onto the typed taxonomy
+    (the analog of the reference's SQLSTATE mapping, `db/error.py:66-80`);
+    unrecognized errors pass through unchanged."""
+    from minerva_etl_spark.errors import (
+        NoSuchColumnError,
+        NoSuchTable,
+        translate_analysis_exception,
+    )
+
+    try:
+        spark.table("definitely_missing_table_xyz")
+        raise AssertionError("expected AnalysisException")
+    except Exception as e:
+        assert isinstance(translate_analysis_exception(e), NoSuchTable)
+    df = spark.createDataFrame([(1,)], "a int")
+    try:
+        df.select("nope").collect()
+        raise AssertionError("expected AnalysisException")
+    except Exception as e:
+        assert isinstance(translate_analysis_exception(e), NoSuchColumnError)
+    passthrough = ValueError("unrelated")
+    assert translate_analysis_exception(passthrough) is passthrough
+
+
+def test_analysis_exception_decorator(spark):
+    """The decorator twin re-raises typed errors from decorated
+    functions (reference `translate_postgresql_exceptions`,
+    `db/error.py:83-92`, exercised by
+    `integration_tests/storage/trend/test_error.py:33-47`)."""
+    import pytest as _pytest
+
+    from minerva_etl_spark.errors import (
+        NoSuchTable,
+        translate_analysis_exceptions,
+    )
+
+    @translate_analysis_exceptions
+    def f():
+        return spark.table("also_definitely_missing_xyz").collect()
+
+    with _pytest.raises(NoSuchTable):
+        f()
