@@ -78,9 +78,11 @@ def create_trend_store(root: str | Path, definition: str | Path) -> Path:
     ``DuplicateTrendStore``."""
     d = _load_yaml(Path(definition))
     key = _store_key(d)
+    from minerva_etl_spark.errors import ExistsError
+
     existing = find_store_file(root, key)
     if existing is not None:
-        raise FileExistsError(
+        raise ExistsError(
             f"trend store {key} already defined in {existing.name}"
         )
     target_dir = Path(root) / "trend"

@@ -47,9 +47,12 @@ class DataTypeMismatch(MinervaError, ValueError):
     (reference ``DATATYPE_MISMATCH`` / value-representation errors)."""
 
 
-class ExistsError(MinervaError, ValueError):
+class ExistsError(MinervaError, FileExistsError):
     """Creating something that already exists (reference
-    ``ExistsError`` / ``DuplicateTable``)."""
+    ``ExistsError`` / ``DuplicateTable``).  Subclasses
+    ``FileExistsError`` because the YAML-catalog admin paths already
+    raised that; existing ``except FileExistsError`` sites keep
+    working."""
 
 
 class LockNotAvailable(MinervaError, RuntimeError):
