@@ -75,6 +75,9 @@ HEADLINE = [
     "pipeline_curate",
     "gopher_rules",
     "live_monitor",
+    "kmeans_fit",
+    "domain_cap",
+    "tfidf_terms",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

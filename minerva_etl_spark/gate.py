@@ -23,7 +23,9 @@ from minerva_etl_spark.operators import dedup as D
 from minerva_etl_spark.operators import multimodal as M
 from minerva_etl_spark.plans.sqltranslate import translate
 from minerva_etl_spark.trigger import trigger as trigger_mod
+from minerva_etl_spark.operators import kmeans as KM
 from minerva_etl_spark.operators import similarity as S
+from minerva_etl_spark.operators import skew as SK
 from minerva_etl_spark.operators import text as X
 from minerva_etl_spark.operators.aggregation import (
     TrendAggSpec,
@@ -2200,6 +2202,76 @@ GROUP BY n_name
 
 
 # =====================================================================
+# Round-7 additions: k-means trainer, per-key caps, TF-IDF keywords
+# =====================================================================
+
+
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (`operators/kmeans.py::kmeans_fit`):
+    2 assign→update rounds from the 4 lowest-id seed vectors, then the
+    final assignment.  Centroid updates snap elements to a 6-dp integer
+    grid and sum exactly (order-independent BIGINT), so the fitted
+    centroids — and therefore every assignment — are bit-identical to
+    the unrolled SQL oracle."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _cent = KM.kmeans_fit(emb, k=4, iters=2)
+    return assigned
+
+
+def _oracle_kmeans_fit() -> str:
+    return KM.kmeans_oracle_sql("embeddings", k=4, iters=2)
+
+
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe per-key document cap (`operators/skew.py::
+    cap_per_key`): keep the 5 largest documents per (lang, source) —
+    the "at most N pages per domain" crawl-curation rule.  Two-level
+    salted row_number: a hot key sorts in `salt_buckets` parallel tasks
+    first, then only the ≤ n×buckets survivors hit the per-key window;
+    result provably equals the single-window formulation because the
+    order (n_chars DESC, doc_id ASC) is total."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = SK.cap_per_key(
+        docs,
+        keys=["lang", "source"],
+        order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()],
+        n=5,
+        salt_col="doc_id",
+        salt_buckets=8,
+    )
+    return out.select("doc_id", "lang", "source", "n_chars", "rank")
+
+
+def _oracle_domain_cap() -> str:
+    return """
+SELECT doc_id, lang, source, n_chars, CAST(rank AS INT) AS rank FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY n_chars DESC, doc_id ASC) AS rank
+  FROM documents
+) WHERE rank <= 5
+"""
+
+
+def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction (`operators/text.py::tfidf_top_terms`):
+    top-3 terms per document by round(tf * ln(N/df), 6), term
+    tie-break.  Tokenize → two map-side-combinable groupBys → term
+    equi-join → one-row count broadcast → per-doc window (bounded by
+    doc vocabulary)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return X.tfidf_top_terms(docs, n=3)
+
+
+def _oracle_tfidf_terms() -> str:
+    return X.tfidf_oracle_sql("documents", n=3)
+
+
+# =====================================================================
 # Registry
 # =====================================================================
 #: The driver's CORRECTNESS file records the FIRST 50 registry entries
@@ -2232,7 +2304,7 @@ _REGISTRY_ORDER = [
     "streaming_hourly",
     "asof_join",
     "sessionize",
-    "multimodal_features",
+    "lifecycle_array_trend",
     # -- LLM-pipeline: dedup ------------------------------------------
     "dedup_exact",
     "dedup_minhash_pairs",
@@ -2275,7 +2347,12 @@ _REGISTRY_ORDER = [
     # listing order), trend_slope (X2 non-SQL materialization stays
     # proven via lifecycle_materialize + the regression pytest), and
     # array_predicates (P4/P5 IN/ANY + array containment, pytest- and
-    # past-window-proven).  Earlier rotations: the simhash pair
+    # past-window-proven).  Round-7 addition: lifecycle_array_trend
+    # (the r6 verdict's array-trend-columns ask, full-hash oracle)
+    # swapped IN for multimodal_features — the one rows-only row the
+    # window held; multimodal's mapInPandas plumbing stays proven by
+    # its pytest suite + the past-window rows-only row below.
+    # Earlier rotations: the simhash pair
     # alternates one slot (r6 proved _hamming in-window); dn_parse
     # stays proven through kpi_translated/relation_regex/
     # timestamp_mapping.  Everything here is still verified every
@@ -2284,7 +2361,7 @@ _REGISTRY_ORDER = [
     "array_predicates",
     "topk_recent",
     "trend_slope",
-    "lifecycle_array_trend",
+    "multimodal_features",
     "dedup_simhash",
     "dn_parse",
     "kpi_revenue",
@@ -2307,6 +2384,10 @@ _REGISTRY_ORDER = [
     "chunk_sequences",
     "corpus_report",
     "gopher_rules",
+    # round-7 additions (past-window; verified by tools/check_oracle.py)
+    "kmeans_fit",
+    "domain_cap",
+    "tfidf_terms",
 ]
 
 
@@ -2375,6 +2456,9 @@ def build_queries() -> dict:
         "moving_window": q_moving_window,
         "pivot_events": q_pivot_events,
         "dedup_simhash_hamming": q_dedup_simhash_hamming,
+        "kmeans_fit": q_kmeans_fit,
+        "domain_cap": q_domain_cap,
+        "tfidf_terms": q_tfidf_terms,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2460,6 +2544,9 @@ def build_oracles() -> dict[str, str]:
         "moving_window": _ORACLE_MOVING,
         "pivot_events": _ORACLE_PIVOT,
         "dedup_simhash_hamming": _oracle_simhash_hamming(),
+        "kmeans_fit": _oracle_kmeans_fit(),
+        "domain_cap": _oracle_domain_cap(),
+        "tfidf_terms": _oracle_tfidf_terms(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -13,7 +13,7 @@ caller), which covers every aggregation the trend engine emits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from minerva_etl_spark.operators.aggregation import SUM_DECIMAL
 
@@ -55,3 +55,51 @@ def salted_aggregate(
 
     partial = salted.groupBy(*keys, "__salt").agg(*partial_cols)
     return partial.groupBy(*keys).agg(*final_cols)
+
+
+def cap_per_key(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    n: int,
+    salt_col: str | None = None,
+    salt_buckets: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Exact top-``n`` rows per key, skew-safe — the curation shape for
+    "keep at most N documents per domain/source" caps on crawl data,
+    where one domain can hold a large fraction of the corpus.
+
+    The naive formulation (``row_number`` over the key) funnels every
+    row of a hot key through ONE task's sort — AQE never splits window
+    partitions.  Here the window runs twice: first over ``(key, salt)``
+    (the hot key's rows sort in ``salt_buckets`` parallel, spillable
+    tasks, each emitting at most ``n`` survivors), then over the key on
+    the surviving ≤ ``n × salt_buckets`` candidates — a bounded second
+    stage no matter how large the key.  The result is *identical* to
+    the single-window formulation whenever ``order_by`` is a total
+    order (pass a unique tiebreak column last — this is also what makes
+    the output deterministic and oracle-matchable).
+
+    ``salt_col`` names the column hashed into the salt — pass the
+    unique tiebreak column (any deterministic per-row value works:
+    correctness never depends on the salt, only parallelism does).
+    """
+    if salt_col is None:
+        raise ValueError("cap_per_key requires an explicit salt_col")
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(
+            F.xxhash64(F.col(salt_col).cast("string")),
+            F.lit(salt_buckets),
+        ),
+    )
+    w1 = Window.partitionBy(*keys, "__salt").orderBy(*order_by)
+    w2 = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        salted.withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= n)
+        .drop("__salt", "__rn1")
+        .withColumn(rank_col, F.row_number().over(w2))
+        .filter(F.col(rank_col) <= n)
+    )

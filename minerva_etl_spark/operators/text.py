@@ -919,3 +919,103 @@ SELECT t.{id_col},
        coalesce(r.new_text, '') AS new_text
 FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
 """
+
+
+# ---------------------------------------------------------------------
+# TF-IDF keyword extraction
+# ---------------------------------------------------------------------
+
+def tfidf_top_terms(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``n`` TF-IDF terms per document — the classic corpus-level
+    keyword/topic signal (search relevance, cluster labeling, DSIR-style
+    domain features).
+
+    Shape: tokenize in-row (codegen'd ``split``+``explode``), one
+    map-side-combinable groupBy for per-doc term frequencies, one more
+    for document frequencies (|vocab| rows), an equi-join of the two on
+    the term (AQE handles hot stopword terms), a one-row document-count
+    broadcast, then a per-document ``row_number`` — bounded by each
+    document's vocabulary, so the window partitions stay small by
+    construction.  No Python anywhere.
+
+    Parity: score = ``round(tf * ln(N / df), 6)`` with every cast and
+    the operand order pinned; ranked on the *rounded* score with a term
+    tie-break so rank boundaries agree across engines.
+    """
+    tok = (
+        df.select(
+            id_col,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("__n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(
+                    F.col("__n_docs").cast("double")
+                    / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= n)
+    )
+
+
+def tfidf_oracle_sql(
+    table: str,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of ``tfidf_top_terms`` — identical tokenization,
+    pinned score expression, rounded-score ranking."""
+    return f"""
+WITH tok AS (
+  SELECT {id_col}, term FROM (
+    SELECT {id_col},
+           unnest(string_split_regex(lower({text_col}), '[^a-z]+')) AS term
+    FROM {table}
+  ) WHERE term <> ''
+),
+tf AS (SELECT {id_col}, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT count(*) AS n_docs FROM {table}),
+scored AS (
+  SELECT tf.{id_col}, tf.term,
+         round(CAST(tf.tf AS DOUBLE)
+               * ln(CAST(nd.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)),
+               6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+)
+SELECT {id_col}, term, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY {id_col}
+    ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {int(n)}
+"""

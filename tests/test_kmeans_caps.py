@@ -1,0 +1,125 @@
+"""Round-7 operators: distributed k-means, skew-safe per-key caps,
+TF-IDF keyword extraction."""
+
+import math
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from minerva_etl_spark.operators.kmeans import kmeans_fit
+from minerva_etl_spark.operators.skew import cap_per_key
+from minerva_etl_spark.operators.text import tfidf_top_terms
+
+
+def test_kmeans_separable_clusters(spark):
+    # two tight blobs on orthogonal axes; seeds 0 and 1 land one in each
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, [10.0 + (i % 3), 0.1, 0.0]))
+        else:
+            rows.append((i, [0.1, 10.0 + (i % 3), 0.0]))
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    )
+    assigned, cent = kmeans_fit(emb, k=2, iters=2)
+    got = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    # seed 0 is an x-blob member, seed 1 a y-blob member
+    for i in range(20):
+        assert got[i] == (0 if i % 2 == 0 else 1)
+    cvecs = {r.centroid_id: r.cvec for r in cent.collect()}
+    assert len(cvecs) == 2
+    # fitted centroids sit inside their blob (x-dominant vs y-dominant)
+    assert cvecs[0][0] > 5 and cvecs[0][1] < 1
+    assert cvecs[1][1] > 5 and cvecs[1][0] < 1
+
+
+def test_kmeans_centroids_deterministic_across_partitioning(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb1 = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).repartition(7)
+    emb2 = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).repartition(3)
+    _, c1 = kmeans_fit(emb1, k=3, iters=2)
+    _, c2 = kmeans_fit(emb2, k=3, iters=2)
+    v1 = {r.centroid_id: r.cvec for r in c1.collect()}
+    v2 = {r.centroid_id: r.cvec for r in c2.collect()}
+    # exact bit equality: the grid-snapped integer sums make the mean
+    # independent of partitioning / aggregation order
+    assert v1 == v2
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # seed 1 is strictly dominated: every vector (incl. the seed point)
+    # is closer to seed 0's direction after the first update, so the
+    # cluster can empty out; the centroid must survive via coalesce
+    rows = [(0, [1.0, 0.0]), (1, [0.9, 0.1])] + [
+        (i, [1.0, 0.01 * (i % 2)]) for i in range(2, 12)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    )
+    assigned, cent = kmeans_fit(emb, k=2, iters=3)
+    assert cent.count() == 2  # never loses a centroid row
+    assert assigned.count() == 12
+
+
+def test_cap_per_key_equals_single_window(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.choice(["a", "a", "a", "b", "c"]), rng.randint(0, 50))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id int, k string, v int").repartition(6)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    capped = cap_per_key(
+        df, keys=["k"], order_by=order, n=7, salt_col="id", salt_buckets=5
+    )
+    w = Window.partitionBy("k").orderBy(*order)
+    direct = (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+    )
+    got = {(r.k, r.rank): r.id for r in capped.collect()}
+    want = {(r.k, r.rank): r.id for r in direct.collect()}
+    assert got == want
+    assert len(got) == 21
+
+
+def test_cap_per_key_requires_salt(spark):
+    df = spark.createDataFrame([(1, "a")], "id int, k string")
+    with pytest.raises(ValueError):
+        cap_per_key(df, ["k"], [F.col("id").asc()], n=1)
+
+
+def test_tfidf_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry durian cherry durian"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(docs, n=2)
+    rows = {
+        (r.doc_id, r.rank): (r.term, r.tfidf) for r in out.collect()
+    }
+    ln = math.log
+    # doc 1: apple tf=2 df=1 -> 2*ln(3); banana tf=1 df=2 -> ln(1.5)
+    assert rows[(1, 1)] == ("apple", round(2 * ln(3.0), 6))
+    assert rows[(1, 2)] == ("banana", round(ln(3.0 / 2.0), 6))
+    # doc 3: cherry and durian both tf=2; cherry df=2, durian df=1
+    assert rows[(3, 1)] == ("durian", round(2 * ln(3.0), 6))
+    assert rows[(3, 2)] == ("cherry", round(2 * ln(3.0 / 2.0), 6))
+    # every doc contributes at most n rows
+    assert out.groupBy("doc_id").count().agg(F.max("count")).first()[0] <= 2
