@@ -1809,20 +1809,28 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-join shape as sim_ann_lsh (the 100 TB dedup path)."""
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    indexed = S.lsh_sign_bucket(emb, list(range(8)))
+    indexed = S.lsh_sign_bucket(emb, list(range(8))).withColumn(
+        "__norm", S.norm_expr("embedding")
+    )
     a = indexed.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("vec_a"),
+        F.col("__norm").alias("__na"),
         "bucket",
     )
     b = indexed.select(
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vec_b"),
+        F.col("__norm").alias("__nb"),
         "bucket",
     )
     pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
     scored = pairs.select(
-        "id_a", "id_b", S.cosine_expr("vec_a", "vec_b").alias("cosine")
+        "id_a",
+        "id_b",
+        S.cosine_from_norms_expr("vec_a", "vec_b", "__na", "__nb").alias(
+            "cosine"
+        ),
     )
     return scored.filter(F.col("cosine") >= 0.3)
 

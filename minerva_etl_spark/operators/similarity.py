@@ -39,6 +39,23 @@ def cosine_expr(a: str, b: str) -> F.Column:
     )
 
 
+def norm_expr(a: str) -> F.Column:
+    """The norm sub-expression of ``cosine_expr``, exposed so hot pair
+    loops can precompute it once per ROW instead of once per PAIR."""
+    return F.expr(_norm_fold_spark(a))
+
+
+def cosine_from_norms_expr(a: str, b: str, na: str, nb: str) -> F.Column:
+    """``cosine_expr`` with both norms read from precomputed columns.
+
+    Bit-identical to ``cosine_expr``: the norm columns hold the exact
+    same ``sqrt(fold)`` doubles, and the division/round sequence is
+    unchanged — so oracle parity is preserved while a K-way or pairwise
+    join stops re-folding each operand's norm per candidate (≈3× less
+    fold work: one dot instead of dot + two norms)."""
+    return F.expr(f"round({_dot_fold_spark(a, b)} / ({na} * {nb}), 6)")
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -114,11 +131,21 @@ def knn_join_topk(
     window top-k per query.  For large query sets use
     :func:`lsh_bucket_candidates` first.
     """
-    q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    scored = embeddings.crossJoin(q).select(
-        F.col(query_id_col),
-        F.col(id_col),
-        cosine_expr(vec_col, query_vec_col).alias("cosine"),
+    q = F.broadcast(
+        queries.select(query_id_col, query_vec_col).withColumn(
+            "__qnorm", norm_expr(query_vec_col)
+        )
+    )
+    scored = (
+        embeddings.withColumn("__enorm", norm_expr(vec_col))
+        .crossJoin(q)
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            cosine_from_norms_expr(
+                vec_col, query_vec_col, "__enorm", "__qnorm"
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
@@ -214,12 +241,26 @@ def assign_centroids(
     score every vector against every centroid, keep the argmax —
     rounded-cosine order with centroid-id tie-break, exactly as the
     oracle formulation.  One pass over the corpus, no corpus shuffle
-    beyond the row_number window by vector id."""
-    scored = embeddings.crossJoin(F.broadcast(centroids)).select(
-        id_col,
-        vec_col,
-        centroid_id_col,
-        cosine_expr(vec_col, centroid_vec_col).alias("__ccos"),
+    beyond the row_number window by vector id.  Norms are folded once
+    per vector and once per centroid (not once per pair) — same
+    doubles, K× less norm work."""
+    scored = (
+        embeddings.withColumn("__enorm", norm_expr(vec_col))
+        .crossJoin(
+            F.broadcast(
+                centroids.withColumn(
+                    "__cnorm", norm_expr(centroid_vec_col)
+                )
+            )
+        )
+        .select(
+            id_col,
+            vec_col,
+            centroid_id_col,
+            cosine_from_norms_expr(
+                vec_col, centroid_vec_col, "__enorm", "__cnorm"
+            ).alias("__ccos"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("__ccos").desc(), F.col(centroid_id_col).asc()
@@ -270,23 +311,30 @@ def semantic_dedup(
     assigned = assign_centroids(
         embeddings, centroids, id_col, vec_col,
         centroid_id_col, centroid_vec_col,
-    )
+    ).withColumn("__norm", norm_expr(vec_col))
+    # the norm rides into the checkpoint, so the pairwise filter below
+    # reads it instead of re-folding both operands per candidate pair
     if materialize:
         assigned = assigned.localCheckpoint(eager=True)
     a = assigned.select(
         F.col(id_col).alias("__id_a"),
         F.col(vec_col).alias("__vec_a"),
+        F.col("__norm").alias("__na"),
         centroid_id_col,
     )
     b = assigned.select(
         F.col(id_col).alias("__id_b"),
         F.col(vec_col).alias("__vec_b"),
+        F.col("__norm").alias("__nb"),
         centroid_id_col,
     )
     dup = (
         a.join(b, centroid_id_col)
         .filter(F.col("__id_a") < F.col("__id_b"))
-        .filter(cosine_expr("__vec_a", "__vec_b") >= threshold)
+        .filter(
+            cosine_from_norms_expr("__vec_a", "__vec_b", "__na", "__nb")
+            >= threshold
+        )
         .select(F.col("__id_b").alias(id_col))
         .distinct()
         .withColumn("__dup", F.lit(True))
