@@ -78,6 +78,7 @@ HEADLINE = [
     "kmeans_fit",
     "domain_cap",
     "tfidf_terms",
+    "leakage_split",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -26,6 +26,7 @@ from minerva_etl_spark.trigger import trigger as trigger_mod
 from minerva_etl_spark.operators import kmeans as KM
 from minerva_etl_spark.operators import similarity as S
 from minerva_etl_spark.operators import skew as SK
+from minerva_etl_spark.operators import split as SPL
 from minerva_etl_spark.operators import text as X
 from minerva_etl_spark.operators.aggregation import (
     TrendAggSpec,
@@ -2264,6 +2265,30 @@ SELECT doc_id, lang, source, n_chars, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (`operators/split.py::
+    leakage_safe_split`): near-dup components (same MinHash-LSH pair
+    graph as `dedup_components`) draw ONE md5 ticket per component rep,
+    so a template page and all its clones land on the same side of the
+    train/test fence.  90/5/5 at exact basis-point thresholds."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_candidate_pairs(docs)
+    comps = D.connected_components(pairs)
+    return SPL.leakage_safe_split(
+        docs, comps, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42
+    )
+
+
+def _oracle_leakage_split() -> str:
+    return SPL.leakage_split_oracle_sql(
+        _oracle_dedup_components(),
+        "documents",
+        {"train": 0.9, "val": 0.05, "test": 0.05},
+        seed=42,
+    )
+
+
 def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF keyword extraction (`operators/text.py::tfidf_top_terms`):
     top-3 terms per document by round(tf * ln(N/df), 6), term
@@ -2396,6 +2421,7 @@ _REGISTRY_ORDER = [
     "kmeans_fit",
     "domain_cap",
     "tfidf_terms",
+    "leakage_split",
 ]
 
 
@@ -2467,6 +2493,7 @@ def build_queries() -> dict:
         "kmeans_fit": q_kmeans_fit,
         "domain_cap": q_domain_cap,
         "tfidf_terms": q_tfidf_terms,
+        "leakage_split": q_leakage_split,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2555,6 +2582,7 @@ def build_oracles() -> dict[str, str]:
         "kmeans_fit": _oracle_kmeans_fit(),
         "domain_cap": _oracle_domain_cap(),
         "tfidf_terms": _oracle_tfidf_terms(),
+        "leakage_split": _oracle_leakage_split(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

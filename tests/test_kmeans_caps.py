@@ -123,3 +123,44 @@ def test_tfidf_hand_computed(spark):
     assert rows[(3, 2)] == ("cherry", round(2 * ln(3.0 / 2.0), 6))
     # every doc contributes at most n rows
     assert out.groupBy("doc_id").count().agg(F.max("count")).first()[0] <= 2
+
+
+def test_leakage_split_component_invariant(spark):
+    from minerva_etl_spark.operators.split import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id bigint"
+    )
+    comps = spark.createDataFrame(
+        # components 0 and 100, covering 40 docs each
+        [(i, 0) for i in range(40)] + [(100 + i, 100) for i in range(40)],
+        "doc_id bigint, component_id bigint",
+    )
+    out = leakage_safe_split(
+        docs, comps, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    rows = out.collect()
+    assert len(rows) == 200
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r.component_id, set()).add(r.split)
+    # every component draws exactly one split
+    assert all(len(s) == 1 for s in by_comp.values())
+    # cluster members share their rep's split
+    assert len(by_comp[0]) == 1 and len(by_comp[100]) == 1
+    # singletons still spread across all three splits
+    singles = {r.split for r in rows if r.component_id == r.doc_id}
+    assert singles == {"train", "val", "test"}
+
+
+def test_leakage_split_fraction_validation(spark):
+    import pytest as _pytest
+
+    from minerva_etl_spark.operators.split import leakage_safe_split
+
+    docs = spark.createDataFrame([(1,)], "doc_id bigint")
+    comps = spark.createDataFrame(
+        [], "doc_id bigint, component_id bigint"
+    )
+    with _pytest.raises(ValueError):
+        leakage_safe_split(docs, comps, {"train": 0.8, "val": 0.1})
