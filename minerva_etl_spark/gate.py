@@ -1064,7 +1064,7 @@ def _oracle_sim_topk() -> str:
         "(acc, v) -> acc + v))"
     )
     return f"""
-SELECT e.vec_id, round({dot} / ({norm_e} * {norm_q}), 6) AS cosine
+SELECT e.vec_id, round({dot} / nullif({norm_e} * {norm_q}, 0.0), 6) AS cosine
 FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
 WHERE e.vec_id <> 0
 ORDER BY cosine DESC, e.vec_id ASC
@@ -1129,7 +1129,7 @@ def _oracle_sim_ivf() -> str:
             f"list_transform(CAST({b} AS DOUBLE[]), x -> x * x)), "
             f"(acc, v) -> acc + v))"
         )
-        return f"({dot} / ({norm_a} * {norm_b}))"
+        return f"({dot} / nullif({norm_a} * {norm_b}, 0.0))"
 
     return f"""
 WITH cent AS (
@@ -1191,7 +1191,7 @@ def _oracle_semantic_dedup() -> str:
             f"list_transform(CAST({x} AS DOUBLE[]), x -> x * x)), "
             f"(acc, v) -> acc + v))"
         )
-        return f"round({dot} / ({norm(a)} * {norm(b)}), 6)"
+        return f"round({dot} / nullif({norm(a)} * {norm(b)}, 0.0), 6)"
 
     return f"""
 WITH cent AS (
@@ -1251,9 +1251,9 @@ def _oracle_sim_knn() -> str:
     return f"""
 SELECT query_id, vec_id, cosine FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         round({dot} / ({norm_e} * {norm_q}), 6) AS cosine,
+         round({dot} / nullif({norm_e} * {norm_q}, 0.0), 6) AS cosine,
          row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY round({dot} / ({norm_e} * {norm_q}), 6) DESC,
+                            ORDER BY round({dot} / nullif({norm_e} * {norm_q}, 0.0), 6) DESC,
                                      e.vec_id ASC) AS rn
   FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
   WHERE e.vec_id >= 5
@@ -1478,9 +1478,9 @@ def _oracle_sim_ann_lsh() -> str:
     return f"""
 SELECT query_id, vec_id, cosine FROM (
   SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
-         round({dot} / ({norm_e} * {norm_q}), 6) AS cosine,
+         round({dot} / nullif({norm_e} * {norm_q}, 0.0), 6) AS cosine,
          row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY round({dot} / ({norm_e} * {norm_q}), 6) DESC,
+                            ORDER BY round({dot} / nullif({norm_e} * {norm_q}, 0.0), 6) DESC,
                                      e.vec_id ASC) AS rn
   FROM embeddings e
   JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q
@@ -1856,10 +1856,10 @@ def _oracle_dedup_embedding() -> str:
     )
     return f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({dot} / ({norm('a')} * {norm('b')}), 6) AS cosine
+       round({dot} / nullif({norm('a')} * {norm('b')}, 0.0), 6) AS cosine
 FROM embeddings a JOIN embeddings b
   ON ({bucket_sql('a')}) = ({bucket_sql('b')}) AND a.vec_id < b.vec_id
-WHERE round({dot} / ({norm('a')} * {norm('b')}), 6) >= 0.3
+WHERE round({dot} / nullif({norm('a')} * {norm('b')}, 0.0), 6) >= 0.3
 """
 
 

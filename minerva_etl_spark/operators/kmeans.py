@@ -178,7 +178,7 @@ def _duck_cos(a: str, b: str) -> str:
             f"(acc, v) -> acc + v))"
         )
 
-    return f"round({dot} / ({norm(a)} * {norm(b)}), 6)"
+    return f"round({dot} / nullif({norm(a)} * {norm(b)}, 0.0), 6)"
 
 
 def kmeans_oracle_sql(

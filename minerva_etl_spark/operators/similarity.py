@@ -33,9 +33,12 @@ def _norm_fold_spark(a: str) -> str:
 
 
 def cosine_expr(a: str, b: str) -> F.Column:
+    # nullif: a zero-norm vector yields NULL cosine (ranks last under
+    # DESC in both engines, fails every >= threshold) instead of an
+    # ANSI DIVIDE_BY_ZERO crash — cosine is total over any corpus.
     return F.expr(
-        f"round({_dot_fold_spark(a, b)} / ({_norm_fold_spark(a)} * "
-        f"{_norm_fold_spark(b)}), 6)"
+        f"round({_dot_fold_spark(a, b)} / nullif({_norm_fold_spark(a)} * "
+        f"{_norm_fold_spark(b)}, 0.0), 6)"
     )
 
 
@@ -53,7 +56,7 @@ def cosine_from_norms_expr(a: str, b: str, na: str, nb: str) -> F.Column:
     unchanged — so oracle parity is preserved while a K-way or pairwise
     join stops re-folding each operand's norm per candidate (≈3× less
     fold work: one dot instead of dot + two norms)."""
-    return F.expr(f"round({_dot_fold_spark(a, b)} / ({na} * {nb}), 6)")
+    return F.expr(f"round({_dot_fold_spark(a, b)} / nullif({na} * {nb}, 0.0), 6)")
 
 
 def brute_force_topk(
@@ -108,7 +111,7 @@ def brute_force_topk_oracle_sql(
     )
     where = f"WHERE {id_col} <> {exclude_id}" if exclude_id is not None else ""
     return f"""
-SELECT {id_col}, round({dot} / ({norm_a} * {norm_q}), 6) AS cosine
+SELECT {id_col}, round({dot} / nullif({norm_a} * {norm_q}, 0.0), 6) AS cosine
 FROM {table}
 {where}
 ORDER BY cosine DESC, {id_col} ASC

@@ -164,3 +164,81 @@ def test_leakage_split_fraction_validation(spark):
     )
     with _pytest.raises(ValueError):
         leakage_safe_split(docs, comps, {"train": 0.8, "val": 0.1})
+
+
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_cap_per_key_plan_two_windows_no_cartesian(spark, tmp_path):
+    """The cap must stay two salted window passes — no cartesian, no
+    extra exchange beyond the two window shuffles + final read."""
+    rows = [(i, "k%d" % (i % 3), i * 7 % 101) for i in range(300)]
+    spark.createDataFrame(rows, "id int, k string, v int").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "t"))
+    df = spark.read.parquet(str(tmp_path / "t"))
+    plan = _plan_of(
+        cap_per_key(
+            df,
+            ["k"],
+            [F.col("v").desc(), F.col("id").asc()],
+            n=5,
+            salt_col="id",
+            salt_buckets=4,
+        )
+    )
+    assert "CartesianProduct" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window$", plan, re.M)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange$", plan, re.M)) <= 2
+    # Spark pushes a Partial WindowGroupLimit below each exchange: only
+    # the per-(key,salt) top-n survivors ever shuffle — lock that in.
+    assert "row_number(), 5, Partial" in plan
+
+
+def test_kmeans_plan_broadcasts_centroids(spark, tmp_path):
+    """Every Lloyd's round must broadcast the K-row centroid table into
+    the corpus scan — a shuffled corpus x centroid join would be the
+    100 TB mistake."""
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(100)]
+    spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "e"))
+    emb = spark.read.parquet(str(tmp_path / "e"))
+    assigned, _ = kmeans_fit(emb, k=3, iters=1)
+    plan = _plan_of(assigned)
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast, by hint
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_tfidf_plan_broadcasts_doc_count(spark, tmp_path):
+    """The one-row document-count side of TF-IDF must broadcast; the
+    tf x df equi-join may shuffle (AQE skew-splits hot terms)."""
+    rows = [(i, "alpha beta gamma delta word%d" % (i % 9)) for i in range(200)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "d"))
+    docs = spark.read.parquet(str(tmp_path / "d"))
+    plan = _plan_of(tfidf_top_terms(docs, n=3))
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row count
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_zero_vector_is_null_not_crash(spark):
+    """ANSI mode turns double/0 into a hard error — a single all-zero
+    embedding must not kill a 100 TB scoring job.  nullif makes the
+    cosine NULL: ranks last, fails every threshold, crashes nothing."""
+    from minerva_etl_spark.operators.similarity import brute_force_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.8, 0.2])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = brute_force_topk(emb, [1.0, 0.0], k=3).collect()
+    assert [r.vec_id for r in rows] == [1, 3, 2]
+    assert rows[-1].cosine is None
