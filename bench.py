@@ -79,6 +79,7 @@ HEADLINE = [
     "domain_cap",
     "tfidf_terms",
     "leakage_split",
+    "semantic_dedup_trained",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

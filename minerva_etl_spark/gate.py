@@ -2265,6 +2265,24 @@ SELECT doc_id, lang, source, n_chars, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL published SemDeDup recipe (`operators/kmeans.py::
+    semantic_dedup_trained`): Lloyd's k-means (6 clusters, 2 rounds)
+    trains the centroids, then within-cluster cosine ε-ball pruning
+    keeps the lowest-id representative — corpus in, keep/drop out,
+    every arithmetic step oracle-matched (the standalone
+    `semantic_dedup` row consumes fixed seed centroids instead)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return KM.semantic_dedup_trained(emb, k=6, iters=2, threshold=0.3)
+
+
+def _oracle_semantic_dedup_trained() -> str:
+    return KM.semantic_dedup_trained_oracle_sql(
+        "embeddings", k=6, iters=2, threshold=0.3
+    )
+
+
 def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split (`operators/split.py::
     leakage_safe_split`): near-dup components (same MinHash-LSH pair
@@ -2422,6 +2440,7 @@ _REGISTRY_ORDER = [
     "domain_cap",
     "tfidf_terms",
     "leakage_split",
+    "semantic_dedup_trained",
 ]
 
 
@@ -2494,6 +2513,7 @@ def build_queries() -> dict:
         "domain_cap": q_domain_cap,
         "tfidf_terms": q_tfidf_terms,
         "leakage_split": q_leakage_split,
+        "semantic_dedup_trained": q_semantic_dedup_trained,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2583,6 +2603,7 @@ def build_oracles() -> dict[str, str]:
         "domain_cap": _oracle_domain_cap(),
         "tfidf_terms": _oracle_tfidf_terms(),
         "leakage_split": _oracle_leakage_split(),
+        "semantic_dedup_trained": _oracle_semantic_dedup_trained(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -181,16 +181,16 @@ def _duck_cos(a: str, b: str) -> str:
     return f"round({dot} / nullif({norm(a)} * {norm(b)}, 0.0), 6)"
 
 
-def kmeans_oracle_sql(
+def kmeans_ctes(
     table: str,
     k: int,
     iters: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> str:
-    """DuckDB twin of ``kmeans_fit`` (seeded from the ``k`` lowest-id
-    vectors): unrolled assign/update CTE pair per iteration, identical
-    rounded-cosine assignment and grid-snapped exact mean."""
+) -> list[str]:
+    """The unrolled Lloyd's CTE chain (DuckDB); the fitted centroid
+    table is named ``cent{iters}``.  Shared by the standalone k-means
+    oracle and composed oracles (trained SemDeDup)."""
     ctes = [
         f"cent0 AS (SELECT {id_col} AS centroid_id, "
         f"CAST({vec_col} AS DOUBLE[]) AS cvec FROM {table} "
@@ -228,7 +228,20 @@ def kmeans_oracle_sql(
   ) f ON p.centroid_id = f.centroid_id
 )"""
         )
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def kmeans_oracle_sql(
+    table: str,
+    k: int,
+    iters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of ``kmeans_fit`` (seeded from the ``k`` lowest-id
+    vectors): unrolled assign/update CTE pair per iteration, identical
+    rounded-cosine assignment and grid-snapped exact mean."""
+    body = ",\n".join(kmeans_ctes(table, k, iters, id_col, vec_col))
     return f"""
 WITH {body}
 SELECT {id_col}, centroid_id FROM (
@@ -239,4 +252,75 @@ SELECT {id_col}, centroid_id FROM (
                     c.centroid_id ASC) AS rn
   FROM {table} e, cent{iters} c
 ) WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------
+# Trained SemDeDup: k-means fit + within-cluster ε-ball pruning
+# ---------------------------------------------------------------------
+
+def semantic_dedup_trained(
+    embeddings: DataFrame,
+    k: int,
+    iters: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full published SemDeDup recipe in one call (Abbas et al.
+    2023): k-means-cluster the embeddings, then within each cluster
+    drop every vector whose cosine to a lower-id member is ≥
+    ``threshold``.  Until now the engine's ``semantic_dedup`` consumed
+    *pre-computed* centroids; composing it with :func:`kmeans_fit`
+    closes the loop — corpus in, keep/drop decisions out, every step
+    oracle-verifiable."""
+    from minerva_etl_spark.operators.similarity import semantic_dedup
+
+    _, cent = kmeans_fit(
+        embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+    )
+    return semantic_dedup(
+        embeddings, cent, threshold=threshold,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+def semantic_dedup_trained_oracle_sql(
+    table: str,
+    k: int,
+    iters: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`semantic_dedup_trained`: the Lloyd's CTE
+    chain followed by the exact ε-ball pruning formulation of the
+    standalone semantic-dedup oracle."""
+    ctes = kmeans_ctes(table, k, iters, id_col, vec_col)
+    cos = _duck_cos
+    ctes.append(
+        f"""final_assigned AS (
+  SELECT {id_col}, {vec_col}, centroid_id FROM (
+    SELECT e.{id_col}, e.{vec_col}, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY {cos('e.' + vec_col, 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM {table} e, cent{iters} c
+  ) WHERE rn = 1
+)"""
+    )
+    ctes.append(
+        f"""dup AS (
+  SELECT DISTINCT b.{id_col}
+  FROM final_assigned a JOIN final_assigned b
+    ON a.centroid_id = b.centroid_id AND a.{id_col} < b.{id_col}
+  WHERE {cos('a.' + vec_col, 'b.' + vec_col)} >= {threshold}
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT s.{id_col}, s.centroid_id, (d.{id_col} IS NULL) AS kept
+FROM final_assigned s LEFT JOIN dup d ON s.{id_col} = d.{id_col}
 """

@@ -242,3 +242,26 @@ def test_cosine_zero_vector_is_null_not_crash(spark):
     rows = brute_force_topk(emb, [1.0, 0.0], k=3).collect()
     assert [r.vec_id for r in rows] == [1, 3, 2]
     assert rows[-1].cosine is None
+
+
+def test_semantic_dedup_trained_end_to_end(spark):
+    """Trained SemDeDup: two tight blobs, near-identical members inside
+    each blob — the composition must cluster, then keep exactly the
+    lowest-id member of each ε-ball."""
+    from minerva_etl_spark.operators.kmeans import semantic_dedup_trained
+
+    rows = []
+    for i in range(10):
+        base = [1.0, 0.001 * i] if i % 2 == 0 else [0.001 * i, 1.0]
+        rows.append((i, base))
+    emb = spark.createDataFrame(
+        rows, "vec_id int, embedding array<double>"
+    )
+    out = {r.vec_id: r for r in
+           semantic_dedup_trained(emb, k=2, iters=2, threshold=0.99).collect()}
+    assert len(out) == 10
+    # blob members share a cluster; only the lowest id of each survives
+    assert out[0].kept and out[1].kept
+    for i in range(2, 10):
+        assert not out[i].kept, i
+        assert out[i].centroid_id == out[i % 2].centroid_id

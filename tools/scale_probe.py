@@ -69,6 +69,18 @@ def build(spark, mult: int) -> str:
         )
     )
     big_docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    big_emb = emb.crossJoin(copies).select(
+        (F.col("vec_id") + F.col("copy") * 1_000_000).alias("vec_id"),
+        # deterministic per-copy nudge on the first element keeps the
+        # replicated vectors from being exact duplicates
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x AS DOUBLE) + "
+            "CASE WHEN i = 0 THEN (copy % 7) * 0.001 ELSE 0.0 END)"
+        ).alias("embedding"),
+        "label",
+    )
+    big_emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     open(f"{out}/_DONE", "w").write("ok")
     return out
 
@@ -139,6 +151,41 @@ def probe(spark, data_dir: str, mult: int) -> dict:
         "spark": timed(
             lambda: remove_boilerplate_segments(
                 docs, max_docs=2, broadcast_threshold=1000
+            )
+        )
+    }
+
+    from minerva_etl_spark.operators.kmeans import kmeans_fit
+    from minerva_etl_spark.operators.skew import cap_per_key
+    from minerva_etl_spark.operators.split import leakage_safe_split
+    from minerva_etl_spark.operators.text import tfidf_top_terms
+
+    emb = spark.read.parquet(f"{data_dir}/embeddings.parquet")
+    results["kmeans_fit"] = {
+        "spark": timed(lambda: kmeans_fit(emb, k=8, iters=2)[0])
+    }
+    results["domain_cap"] = {
+        "spark": timed(
+            lambda: cap_per_key(
+                docs,
+                ["lang", "source"],
+                [F.col("n_chars").desc(), F.col("doc_id").asc()],
+                n=5,
+                salt_col="doc_id",
+                salt_buckets=8,
+            )
+        )
+    }
+    results["tfidf_terms"] = {
+        "spark": timed(lambda: tfidf_top_terms(docs, n=3))
+    }
+    results["leakage_split"] = {
+        "spark": timed(
+            lambda: leakage_safe_split(
+                docs,
+                D.connected_components(D.minhash_candidate_pairs(docs)),
+                {"train": 0.9, "val": 0.05, "test": 0.05},
+                seed=42,
             )
         )
     }
