@@ -80,6 +80,7 @@ HEADLINE = [
     "tfidf_terms",
     "leakage_split",
     "semantic_dedup_trained",
+    "pipeline_curate_bp",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -1294,6 +1294,7 @@ def cmd_curate(args) -> None:
         shard_tokens=args.shard_tokens,
         shuffle_seed=args.seed,
         source_col=args.source_col,
+        boilerplate_max_docs=args.boilerplate_max_docs,
     )
     out.write.mode("overwrite").parquet(args.output)
     row = (
@@ -1545,6 +1546,9 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--shard-tokens", type=int, default=100_000)
     cu.add_argument("--seed", type=int, default=0)
     cu.add_argument("--source-col", default="source")
+    cu.add_argument("--boilerplate-max-docs", type=int, default=None,
+                    help="strip segments repeated across >= N docs "
+                         "before dedup (off when unset)")
     cu.set_defaults(fn=cmd_curate)
 
     qs = sub.add_parser("quick-start")

@@ -2265,6 +2265,35 @@ SELECT doc_id, lang, source, n_chars, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def q_pipeline_curate_bp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline WITH the boilerplate-strip stage
+    (`operators/pipeline.py::curate_corpus(boilerplate_max_docs=4)`):
+    quality filter → strip segments repeated across ≥4 docs (drop
+    stripped-empty docs) → near-dup dedup on the REWRITTEN text →
+    decontamination → mix/shuffle/pack.  The oracle recomputes every
+    stage including the rewrite in one chained-CTE SQL."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    from minerva_etl_spark.operators.pipeline import curate_corpus
+
+    corpus = docs.filter(F.expr(_DECON_CORPUS_PRED))
+    bench = docs.filter(F.expr(_DECON_BENCH_PRED))
+    return curate_corpus(
+        corpus, bench, shard_tokens=5000, shuffle_seed=42,
+        source_col="lang", boilerplate_max_docs=4,
+    )
+
+
+def _oracle_pipeline_curate_bp() -> str:
+    from minerva_etl_spark.operators.pipeline import curate_corpus_oracle_sql
+
+    return curate_corpus_oracle_sql(
+        "documents", _DECON_CORPUS_PRED, _DECON_BENCH_PRED,
+        alpha=0.5, shard_tokens=5000, shuffle_seed=42, source_col="lang",
+        boilerplate_max_docs=4,
+    )
+
+
 def q_semantic_dedup_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL published SemDeDup recipe (`operators/kmeans.py::
     semantic_dedup_trained`): Lloyd's k-means (6 clusters, 2 rounds)
@@ -2441,6 +2470,7 @@ _REGISTRY_ORDER = [
     "tfidf_terms",
     "leakage_split",
     "semantic_dedup_trained",
+    "pipeline_curate_bp",
 ]
 
 
@@ -2514,6 +2544,7 @@ def build_queries() -> dict:
         "tfidf_terms": q_tfidf_terms,
         "leakage_split": q_leakage_split,
         "semantic_dedup_trained": q_semantic_dedup_trained,
+        "pipeline_curate_bp": q_pipeline_curate_bp,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2604,6 +2635,7 @@ def build_oracles() -> dict[str, str]:
         "tfidf_terms": _oracle_tfidf_terms(),
         "leakage_split": _oracle_leakage_split(),
         "semantic_dedup_trained": _oracle_semantic_dedup_trained(),
+        "pipeline_curate_bp": _oracle_pipeline_curate_bp(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -43,6 +43,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     source_col: str = "source",
+    boilerplate_max_docs: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the export table
@@ -51,6 +52,16 @@ def curate_corpus(
     Stage parameters stay at the stage defaults (MinHash 16 hashes /
     4 bands / 3-shingles; 4-gram decontamination) — they are the knobs
     the individual operators expose for standalone use.
+
+    ``boilerplate_max_docs`` (optional) inserts a boilerplate-strip
+    stage between the quality filter and near-dup dedup: segments
+    repeated across ≥ that many documents are removed from every text
+    (`text.remove_boilerplate_segments`, inheriting its size guard),
+    documents stripped to nothing are dropped, and every downstream
+    stage — shingling, decontamination, token counts — sees the
+    rewritten text.  Quality scores stay assessed on the ORIGINAL text
+    (the filter already ran), restricted to the surviving documents so
+    a stripped-empty doc can never win its dedup cluster.
 
     ``materialize`` (default True) localCheckpoints the two corpus
     frames that feed multiple downstream branches (the quality-kept
@@ -66,6 +77,25 @@ def curate_corpus(
     kept = docs.join(q.select(id_col), id_col)
     if materialize:
         kept = kept.localCheckpoint(eager=True)
+
+    if boilerplate_max_docs is not None:
+        from minerva_etl_spark.operators.text import (
+            remove_boilerplate_segments,
+        )
+
+        bp = remove_boilerplate_segments(
+            kept, max_docs=boilerplate_max_docs,
+            id_col=id_col, text_col=text_col,
+        )
+        kept = kept.drop(text_col).join(
+            bp.filter(F.col("new_text") != "").select(
+                id_col, F.col("new_text").alias(text_col)
+            ),
+            id_col,
+        )
+        if materialize:
+            kept = kept.localCheckpoint(eager=True)
+        q = q.join(kept.select(id_col), id_col)
 
     pairs = D.minhash_candidate_pairs(kept, text_col=text_col, id_col=id_col)
     comps = D.connected_components(pairs)
@@ -99,31 +129,59 @@ def curate_corpus_oracle_sql(
     shard_tokens: int = 100_000,
     shuffle_seed: int = 0,
     source_col: str = "source",
+    boilerplate_max_docs: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`curate_corpus` over one table split into
     corpus/benchmark by predicates — the stage oracles chained as CTEs
-    (quality → recursive components → keep-best → shingle anti-join →
-    curated export)."""
+    (quality → [boilerplate rewrite] → recursive components →
+    keep-best → shingle anti-join → curated export)."""
     from minerva_etl_spark.operators.dedup import (
         minhash_pairs_oracle_sql,
         shingles_duck_sql,
     )
     from minerva_etl_spark.operators.mixing import curated_export_oracle_sql
     from minerva_etl_spark.operators.text import (
+        boilerplate_segments_ctes,
         quality_classifier_oracle_sql,
         quality_oracle_sql,
     )
 
     sh = shingles_duck_sql("text", 4)
+    if boilerplate_max_docs is not None:
+        bp_chain, bp_final = boilerplate_segments_ctes(
+            "kept", max_docs=boilerplate_max_docs, prefix="bp_"
+        )
+        # MATERIALIZED: DuckDB otherwise inlines these CTEs and re-runs
+        # the whole strip chain at every downstream reference (measured
+        # 177 s -> 16 s at 500 docs)
+        bp_ctes = f"""{bp_chain},
+bp AS MATERIALIZED (
+{bp_final}
+),
+corpus AS MATERIALIZED (
+  SELECT k.* EXCLUDE (text), bp.new_text AS text
+  FROM kept k JOIN bp ON k.doc_id = bp.doc_id
+  WHERE bp.new_text <> ''
+),"""
+        # scores stay computed on the ORIGINAL kept text, restricted to
+        # boilerplate survivors — mirrors the Spark stage exactly
+        scored_src = (
+            "SELECT qq.doc_id, qq.quality_score FROM ({q}) qq "
+            "JOIN corpus k2 ON qq.doc_id = k2.doc_id"
+        )
+    else:
+        bp_ctes = "corpus AS (SELECT * FROM kept),"
+        scored_src = "SELECT doc_id, quality_score FROM ({q}) qq"
     return f"""
 WITH RECURSIVE
 corpus_in AS (SELECT * FROM {table} WHERE {corpus_pred}),
 qflag AS ({quality_classifier_oracle_sql("corpus_in")}),
-kept AS (
+kept AS MATERIALIZED (
   SELECT c.* FROM corpus_in c JOIN qflag ON c.doc_id = qflag.doc_id
   WHERE qflag.keep
 ),
-pairs AS ({minhash_pairs_oracle_sql("kept")}),
+{bp_ctes}
+pairs AS ({minhash_pairs_oracle_sql("corpus")}),
 edges AS (
   SELECT id_a AS src, id_b AS dst FROM pairs
   UNION
@@ -139,7 +197,7 @@ comps AS (
   FROM reach GROUP BY id
 ),
 scored AS (
-  SELECT doc_id, quality_score FROM ({quality_oracle_sql("kept")}) qq
+  {scored_src.format(q=quality_oracle_sql("kept"))}
 ),
 labeled AS (
   SELECT s.doc_id, coalesce(c.component_id, s.doc_id) AS component_id,
@@ -154,7 +212,7 @@ winners AS (
     FROM labeled
   ) WHERE rn = 1
 ),
-deduped AS (SELECT k.* FROM kept k JOIN winners USING (doc_id)),
+deduped AS (SELECT k.* FROM corpus k JOIN winners USING (doc_id)),
 dsh AS (SELECT doc_id, {sh} AS shingles FROM deduped),
 bsh AS (
   SELECT DISTINCT unnest({sh}) AS s FROM {table} WHERE {bench_pred}

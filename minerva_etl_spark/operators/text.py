@@ -873,6 +873,57 @@ FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
 """
 
 
+def boilerplate_segments_ctes(
+    table: str,
+    seg_words: int = 4,
+    max_docs: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix: str = "bp_",
+) -> tuple[str, str]:
+    """The boilerplate-removal computation as a FLAT, prefixed CTE
+    chain ``(ctes_sql, final_select_sql)`` — composable into a larger
+    ``WITH`` chain (the curation-pipeline oracle) where a nested
+    ``WITH`` would clash with the outer recursive chain's name scope."""
+    k = int(seg_words)
+    p = prefix
+    ctes = f"""{p}words AS (
+  SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}
+),
+{p}segs AS (
+  SELECT {id_col}, i AS idx,
+         array_to_string(w[(i-1)*{k}+1:i*{k}], ' ') AS seg
+  FROM {p}words
+  CROSS JOIN UNNEST(generate_series(
+      1, CAST(ceil(len(w) / {k}.0) AS BIGINT))) AS s(i)
+),
+{p}freq AS (
+  SELECT md5(seg) AS digest, count(DISTINCT {id_col}) AS nd
+  FROM {p}segs GROUP BY md5(seg)
+),
+{p}kept AS (
+  SELECT s.{id_col}, s.idx, s.seg
+  FROM {p}segs s JOIN {p}freq f ON md5(s.seg) = f.digest
+  WHERE f.nd < {int(max_docs)}
+),
+{p}rebuilt AS (
+  SELECT {id_col},
+         count(*) AS n_kept,
+         string_agg(seg, ' ' ORDER BY idx) AS new_text
+  FROM {p}kept GROUP BY {id_col}
+),
+{p}totals AS (
+  SELECT {id_col}, count(*) AS n_segs FROM {p}segs GROUP BY {id_col}
+)"""
+    final = f"""SELECT t.{id_col},
+       CAST(t.n_segs AS BIGINT) AS n_segs,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_segs - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+       coalesce(r.new_text, '') AS new_text
+FROM {p}totals t LEFT JOIN {p}rebuilt r ON t.{id_col} = r.{id_col}"""
+    return ctes, final
+
+
 def boilerplate_segments_oracle_sql(
     table: str,
     seg_words: int = 4,
@@ -882,42 +933,12 @@ def boilerplate_segments_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`remove_boilerplate_segments` (naive
     explode–join–reaggregate formulation)."""
-    k = int(seg_words)
+    ctes, final = boilerplate_segments_ctes(
+        table, seg_words, max_docs, id_col, text_col, prefix=""
+    )
     return f"""
-WITH words AS (
-  SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}
-),
-segs AS (
-  SELECT {id_col}, i AS idx,
-         array_to_string(w[(i-1)*{k}+1:i*{k}], ' ') AS seg
-  FROM words
-  CROSS JOIN UNNEST(generate_series(
-      1, CAST(ceil(len(w) / {k}.0) AS BIGINT))) AS s(i)
-),
-freq AS (
-  SELECT md5(seg) AS digest, count(DISTINCT {id_col}) AS nd
-  FROM segs GROUP BY md5(seg)
-),
-kept AS (
-  SELECT s.{id_col}, s.idx, s.seg
-  FROM segs s JOIN freq f ON md5(s.seg) = f.digest
-  WHERE f.nd < {int(max_docs)}
-),
-rebuilt AS (
-  SELECT {id_col},
-         count(*) AS n_kept,
-         string_agg(seg, ' ' ORDER BY idx) AS new_text
-  FROM kept GROUP BY {id_col}
-),
-totals AS (
-  SELECT {id_col}, count(*) AS n_segs FROM segs GROUP BY {id_col}
-)
-SELECT t.{id_col},
-       CAST(t.n_segs AS BIGINT) AS n_segs,
-       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
-       CAST(t.n_segs - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
-       coalesce(r.new_text, '') AS new_text
-FROM totals t LEFT JOIN rebuilt r ON t.{id_col} = r.{id_col}
+WITH {ctes}
+{final}
 """
 
 

@@ -957,3 +957,34 @@ def test_shard_pack_empty_corpus(spark):
     out = assign_token_shards(empty, 1000)
     assert out.count() == 0
     assert out.columns == ["doc_id", "n_tokens", "shard_id"]
+
+
+def test_curate_corpus_boilerplate_stage(spark):
+    """With boilerplate_max_docs set, a header repeated verbatim across
+    the corpus is stripped from every text before dedup — and a doc
+    made ONLY of boilerplate is dropped entirely."""
+    from minerva_etl_spark.operators.pipeline import curate_corpus
+
+    header = "subscribe to our newsletter"  # exactly one 4-word segment
+    bodies = [
+        "the quick brown fox jumps over the lazy dog near the barn",
+        "a completely different story is told in the town square today",
+        "people gather for news and trade in the market every morning",
+    ]
+    rows = [(i + 1, f"{header} {b}", "en") for i, b in enumerate(bodies)]
+    rows.append((9, header, "en"))  # boilerplate-only doc
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    )
+    bench = docs.limit(0)
+    out = curate_corpus(
+        docs, bench, shard_tokens=50, shuffle_seed=1, source_col="lang",
+        boilerplate_max_docs=3,
+    )
+    survivors = {r.doc_id for r in out.collect()}
+    assert 9 not in survivors           # stripped to nothing -> dropped
+    assert {1, 2, 3} <= survivors       # bodies are all distinct
+    # the stage rewrote texts: token budget reflects the stripped body,
+    # not header+body (header is 5 words < every body's 11-12)
+    toks = {r.doc_id: r.n_tokens for r in out.collect()}
+    assert all(t <= 12 for t in toks.values())
