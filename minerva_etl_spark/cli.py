@@ -1271,6 +1271,57 @@ def cmd_quick_start(args) -> None:
     print(f"created Minerva instance skeleton in {root}")
 
 
+def cmd_corpus(args) -> None:
+    """`minerva-spark corpus <action>`: the standalone curation
+    operators as CLI verbs over parquet in/out — `split` (leakage-safe
+    train/val/test by near-dup component), `cap` (skew-safe per-key
+    document cap), `tfidf` (top-N keywords per doc), `kmeans`
+    (distributed Lloyd's fit over an embedding column).  Extends the
+    reference surface (its CLI has no corpus side)."""
+    from pyspark.sql import functions as F
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    if args.action == "split":
+        from minerva_etl_spark.operators.dedup import (
+            connected_components,
+            minhash_candidate_pairs,
+        )
+        from minerva_etl_spark.operators.split import leakage_safe_split
+
+        fracs = {}
+        for part in args.fractions.split(","):
+            name, _, frac = part.partition("=")
+            fracs[name.strip()] = float(frac)
+        comps = connected_components(minhash_candidate_pairs(df))
+        out = leakage_safe_split(df, comps, fracs, seed=args.seed)
+    elif args.action == "cap":
+        from minerva_etl_spark.operators.skew import cap_per_key
+
+        out = cap_per_key(
+            df,
+            keys=args.keys.split(","),
+            order_by=[F.col(args.order_col).desc(), F.col("doc_id").asc()],
+            n=args.n,
+            salt_col="doc_id",
+        )
+    elif args.action == "tfidf":
+        from minerva_etl_spark.operators.text import tfidf_top_terms
+
+        out = tfidf_top_terms(df, n=args.n)
+    elif args.action == "kmeans":
+        from minerva_etl_spark.operators.kmeans import kmeans_fit
+
+        assigned, cent = kmeans_fit(df, k=args.n, iters=args.iters)
+        cent.write.mode("overwrite").parquet(args.output + "_centroids")
+        out = assigned
+    else:  # pragma: no cover - argparse choices guard this
+        raise ValueError(args.action)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"corpus {args.action}: {n} rows -> {args.output}")
+
+
 def cmd_curate(args) -> None:
     """`minerva-spark curate`: run the full corpus-curation pipeline
     (`operators/pipeline.py::curate_corpus` — quality filter → near-dup
@@ -1550,6 +1601,23 @@ def main(argv: list[str] | None = None) -> None:
                     help="strip segments repeated across >= N docs "
                          "before dedup (off when unset)")
     cu.set_defaults(fn=cmd_curate)
+
+    co = sub.add_parser("corpus")
+    co.add_argument("action", choices=["split", "cap", "tfidf", "kmeans"])
+    co.add_argument("--input", required=True, help="input parquet")
+    co.add_argument("--output", required=True, help="output parquet")
+    co.add_argument("--fractions", default="train=0.9,val=0.05,test=0.05",
+                    help="split fractions, name=frac comma list")
+    co.add_argument("--seed", type=int, default=0)
+    co.add_argument("--keys", default="source",
+                    help="cap: comma-separated key columns")
+    co.add_argument("--order-col", default="n_chars",
+                    help="cap: keep the top-n by this column DESC")
+    co.add_argument("--n", type=int, default=5,
+                    help="cap/tfidf: per-key/per-doc N; kmeans: k")
+    co.add_argument("--iters", type=int, default=2,
+                    help="kmeans: Lloyd's rounds")
+    co.set_defaults(fn=cmd_corpus)
 
     qs = sub.add_parser("quick-start")
     qs.add_argument("instance_root", nargs="?", default=None)

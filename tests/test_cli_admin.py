@@ -570,7 +570,8 @@ def test_cli_help_surface():
         "structure", "deduce-config", "alter-trends", "load-sample-data",
         "generate-sample-data", "alias", "trigger", "relation",
         "virtual-entity", "notification-store", "partition",
-        "trend-store", "trend-materialization", "curate", "quick-start",
+        "trend-store", "trend-materialization", "curate", "corpus",
+        "quick-start",
         "data-source", "entity-type",
     ]
     for name in subcommands:
@@ -790,3 +791,32 @@ def test_cli_generate_sample_data(spark, instance_dir, data_dir, capsys, tmp_pat
     assert "demo.csv" in out
     body = (tgt2 / "demo.csv").read_text()
     assert "2024-03-01 10:00:00" in body  # truncated to the 1h label
+
+
+def test_cli_corpus_split_and_cap(tmp_path, spark):
+    """`minerva-spark corpus split|cap` round-trip over a small parquet."""
+    from minerva_etl_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [(i, f"some distinct body text number {i} with words", "en",
+          "web", 40 + i) for i in range(20)],
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out1 = str(tmp_path / "split")
+    main(["corpus", "split", "--input", src, "--output", out1,
+          "--fractions", "train=0.8,val=0.2", "--seed", "3"])
+    got = spark.read.parquet(out1)
+    assert got.count() == 20
+    assert set(got.columns) == {"doc_id", "component_id", "split_bucket",
+                                "split"}
+    assert {r.split for r in got.collect()} <= {"train", "val"}
+
+    out2 = str(tmp_path / "cap")
+    main(["corpus", "cap", "--input", src, "--output", out2,
+          "--keys", "source", "--order-col", "n_chars", "--n", "3"])
+    capped = spark.read.parquet(out2)
+    assert capped.count() == 3
+    assert {r.doc_id for r in capped.collect()} == {19, 18, 17}
