@@ -1346,6 +1346,7 @@ def cmd_curate(args) -> None:
         shuffle_seed=args.seed,
         source_col=args.source_col,
         boilerplate_max_docs=args.boilerplate_max_docs,
+        cap_per_source=args.cap_per_source,
     )
     out.write.mode("overwrite").parquet(args.output)
     row = (
@@ -1600,6 +1601,9 @@ def main(argv: list[str] | None = None) -> None:
     cu.add_argument("--boilerplate-max-docs", type=int, default=None,
                     help="strip segments repeated across >= N docs "
                          "before dedup (off when unset)")
+    cu.add_argument("--cap-per-source", type=int, default=None,
+                    help="keep at most N docs per source after "
+                         "cleaning, best quality first (off when unset)")
     cu.set_defaults(fn=cmd_curate)
 
     co = sub.add_parser("corpus")

@@ -2266,12 +2266,14 @@ SELECT doc_id, lang, source, n_chars, CAST(rank AS INT) AS rank FROM (
 
 
 def q_pipeline_curate_bp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full curation pipeline WITH the boilerplate-strip stage
-    (`operators/pipeline.py::curate_corpus(boilerplate_max_docs=4)`):
-    quality filter → strip segments repeated across ≥4 docs (drop
-    stripped-empty docs) → near-dup dedup on the REWRITTEN text →
-    decontamination → mix/shuffle/pack.  The oracle recomputes every
-    stage including the rewrite in one chained-CTE SQL."""
+    """The curation pipeline with EVERY optional stage engaged
+    (`operators/pipeline.py::curate_corpus(boilerplate_max_docs=4,
+    cap_per_source=30)`): quality filter → strip segments repeated
+    across ≥4 docs (drop stripped-empty docs) → near-dup dedup on the
+    REWRITTEN text → decontamination → skew-safe 30-docs-per-source
+    cap (best quality first) → mix/shuffle/pack.  The oracle recomputes
+    every stage including the rewrite and the cap in one chained-CTE
+    SQL."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     from minerva_etl_spark.operators.pipeline import curate_corpus
@@ -2280,7 +2282,7 @@ def q_pipeline_curate_bp(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.expr(_DECON_BENCH_PRED))
     return curate_corpus(
         corpus, bench, shard_tokens=5000, shuffle_seed=42,
-        source_col="lang", boilerplate_max_docs=4,
+        source_col="lang", boilerplate_max_docs=4, cap_per_source=30,
     )
 
 
@@ -2290,7 +2292,7 @@ def _oracle_pipeline_curate_bp() -> str:
     return curate_corpus_oracle_sql(
         "documents", _DECON_CORPUS_PRED, _DECON_BENCH_PRED,
         alpha=0.5, shard_tokens=5000, shuffle_seed=42, source_col="lang",
-        boilerplate_max_docs=4,
+        boilerplate_max_docs=4, cap_per_source=30,
     )
 
 

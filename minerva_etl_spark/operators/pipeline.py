@@ -44,6 +44,7 @@ def curate_corpus(
     text_col: str = "text",
     source_col: str = "source",
     boilerplate_max_docs: int | None = None,
+    cap_per_source: int | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Run the full curation pipeline; returns the export table
@@ -52,6 +53,12 @@ def curate_corpus(
     Stage parameters stay at the stage defaults (MinHash 16 hashes /
     4 bands / 3-shingles; 4-gram decontamination) — they are the knobs
     the individual operators expose for standalone use.
+
+    ``cap_per_source`` (optional) caps the post-decontamination corpus
+    at N documents per source — highest quality score (original-text
+    logit) first, doc-id tie-break — via the skew-safe two-level
+    salted cap (`skew.cap_per_key`), the "at most N pages per domain"
+    rule applied at its standard place: after cleaning, before mixing.
 
     ``boilerplate_max_docs`` (optional) inserts a boilerplate-strip
     stage between the quality filter and near-dup dedup: segments
@@ -110,6 +117,20 @@ def curate_corpus(
     ).select(id_col)
     clean = deduped.join(contaminated, id_col, "left_anti")
 
+    if cap_per_source is not None:
+        from minerva_etl_spark.operators.skew import cap_per_key
+
+        capped = cap_per_key(
+            clean.join(q, id_col),
+            keys=[source_col],
+            order_by=[
+                F.col("quality_score").desc(), F.col(id_col).asc()
+            ],
+            n=cap_per_source,
+            salt_col=id_col,
+        )
+        clean = capped.drop("quality_score", "rank")
+
     return curated_export(
         clean,
         alpha=alpha,
@@ -130,6 +151,7 @@ def curate_corpus_oracle_sql(
     shuffle_seed: int = 0,
     source_col: str = "source",
     boilerplate_max_docs: int | None = None,
+    cap_per_source: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`curate_corpus` over one table split into
     corpus/benchmark by predicates — the stage oracles chained as CTEs
@@ -172,6 +194,18 @@ corpus AS MATERIALIZED (
     else:
         bp_ctes = "corpus AS (SELECT * FROM kept),"
         scored_src = "SELECT doc_id, quality_score FROM ({q}) qq"
+    if cap_per_source is not None:
+        cap_cte = f"""final_corpus AS (
+  SELECT * EXCLUDE (quality_score, __rnk) FROM (
+    SELECT c.*, s.quality_score,
+           row_number() OVER (
+             PARTITION BY c.{source_col}
+             ORDER BY s.quality_score DESC, c.doc_id ASC) AS __rnk
+    FROM clean c JOIN scored s USING (doc_id)
+  ) WHERE __rnk <= {int(cap_per_source)}
+)"""
+    else:
+        cap_cte = "final_corpus AS (SELECT * FROM clean)"
     return f"""
 WITH RECURSIVE
 corpus_in AS (SELECT * FROM {table} WHERE {corpus_pred}),
@@ -227,8 +261,9 @@ clean AS (
   SELECT d.* FROM deduped d
   LEFT JOIN contaminated x USING (doc_id)
   WHERE x.doc_id IS NULL
-)
+),
+{cap_cte}
 SELECT * FROM (
-{curated_export_oracle_sql("clean", alpha, None, shard_tokens, shuffle_seed, source_col)}
+{curated_export_oracle_sql("final_corpus", alpha, None, shard_tokens, shuffle_seed, source_col)}
 ) export
 """

@@ -988,3 +988,46 @@ def test_curate_corpus_boilerplate_stage(spark):
     # not header+body (header is 5 words < every body's 11-12)
     toks = {r.doc_id: r.n_tokens for r in out.collect()}
     assert all(t <= 12 for t in toks.values())
+
+
+def test_curate_corpus_cap_per_source(spark):
+    """cap_per_source keeps the N best-quality docs per source after
+    cleaning; worse docs of an over-represented source are dropped."""
+    from minerva_etl_spark.operators.pipeline import curate_corpus
+    from minerva_etl_spark.operators.text import classify_quality
+
+    bodies = [
+        "the quick brown fox jumps over the lazy dog near the old barn "
+        "door while the farmer watches from the porch with his coffee",
+        "seven sailors navigate the narrow strait under a pale moon and "
+        "trade quiet stories about the harbors they have seen before",
+        "fresh bread cools on the window sill of the village bakery as "
+        "the first customers line up outside in the morning light",
+        "an old clock ticks in the empty hall long after midnight and "
+        "nobody in the house has wound it for many years now",
+        "children chase paper boats down the gutter after the rain and "
+        "argue cheerfully about whose boat will reach the corner first",
+        "the lighthouse keeper climbs the spiral stairs at dusk to "
+        "light the lamp that guides the fishing fleet safely home",
+    ]
+    rows = [(i + 1, b + " filler" * ((i + 1) % 3), "en")
+            for i, b in enumerate(bodies)]
+    rows += [(10, "a completely different tale is told in the town "
+              "square where the people gather for news and trade", "fr")]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string"
+    )
+    out = curate_corpus(
+        docs, docs.limit(0), alpha=1.0, shard_tokens=50, shuffle_seed=1,
+        source_col="lang", cap_per_source=2,
+    )
+    survivors = {r.doc_id for r in out.collect()}
+    en = {i for i in survivors if i < 10}
+    assert len(en) == 2           # capped from 6 to 2
+    assert 10 in survivors        # under-cap source untouched
+    # the survivors are the two highest-quality en docs (same ranking
+    # the pipeline used)
+    q = {r.doc_id: r.quality_score
+         for r in classify_quality(docs).collect() if r.doc_id < 10}
+    best2 = set(sorted(q, key=lambda d: (-q[d], d))[:2])
+    assert en == best2
