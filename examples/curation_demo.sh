@@ -1,0 +1,42 @@
+#!/usr/bin/env bash
+# End-to-end corpus curation from the CLI — the LLM-data side of the
+# engine, operable exactly like the trend-store verbs.
+#
+# Input: any parquet of documents (doc_id, text, lang, source, ...)
+# plus optionally a held-out benchmark parquet for decontamination.
+set -euo pipefail
+
+DOCS=${1:-/root/testdata/sf0.001/documents.parquet}
+OUT=${2:-/tmp/curation_demo}
+
+# installed entry point, or module form from a source checkout
+if ! command -v minerva-spark >/dev/null; then
+  minerva-spark() { python -m minerva_etl_spark.cli "$@"; }
+fi
+
+# 1. The one-call pipeline: quality filter -> boilerplate strip ->
+#    near-dup canonical dedup -> decontamination -> 50-docs-per-lang
+#    quality cap -> temperature mix -> seeded shuffle -> token shards.
+minerva-spark curate \
+  --documents "$DOCS" \
+  --output "$OUT/shards" \
+  --source-col lang \
+  --shard-tokens 5000 \
+  --seed 42 \
+  --boilerplate-max-docs 4 \
+  --cap-per-source 50
+
+# 2. Standalone operators over the same corpus:
+minerva-spark corpus split --input "$DOCS" --output "$OUT/split" \
+  --fractions train=0.9,val=0.05,test=0.05 --seed 42
+minerva-spark corpus cap --input "$DOCS" --output "$OUT/cap" \
+  --keys lang,source --order-col n_chars --n 5
+minerva-spark corpus tfidf --input "$DOCS" --output "$OUT/tfidf" --n 3
+
+# 3. Embedding-side: distributed Lloyd's k-means (writes assignments
+#    and the fitted centroid table next to it).
+minerva-spark corpus kmeans \
+  --input "${DOCS%documents.parquet}embeddings.parquet" \
+  --output "$OUT/clusters" --n 8 --iters 2
+
+echo "curation demo outputs under $OUT"

@@ -88,3 +88,31 @@ def test_integer_deduction_roundtrip(n):
 def test_float_deduction_never_text(x):
     t = dt.deduce_data_type(repr(x))
     assert t in (dt.REAL, dt.DOUBLE, dt.SMALLINT, dt.INTEGER, dt.BIGINT, dt.NUMERIC)
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=9999), min_size=1, max_size=6
+    )
+)
+def test_split_thresholds_partition_the_bucket_space(parts):
+    """Any basis-point composition that sums to 1 yields strictly
+    increasing cumulative thresholds ending exactly at the bucket
+    count — no gap or overlap in the split mapping."""
+    from minerva_etl_spark.operators.split import _BUCKETS, _thresholds
+
+    total = sum(parts)
+    fracs = {f"s{i}": p / _BUCKETS for i, p in enumerate(parts)}
+    if total != _BUCKETS:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            _thresholds(fracs)
+        return
+    th = _thresholds(fracs)
+    cums = [c for _, c in th]
+    assert cums == sorted(cums)
+    assert cums[-1] == _BUCKETS
+    # widths reproduce the inputs exactly
+    widths = [c - p for c, p in zip(cums, [0] + cums[:-1])]
+    assert widths == parts
