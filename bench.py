@@ -81,6 +81,7 @@ HEADLINE = [
     "leakage_split",
     "semantic_dedup_trained",
     "pipeline_curate_bp",
+    "pack_sequences",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

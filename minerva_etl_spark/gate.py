@@ -648,6 +648,29 @@ def _oracle_shard_pack_shuffled() -> str:
     return token_shards_oracle_sql(5000, "documents", shuffle_seed=42)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sequence packing (`operators/shard.py::
+    pack_sequences`): the corpus concatenated in the seeded md5
+    shuffle order and cut into fixed 512-token sequences, documents
+    spanning cuts split across neighbors — one row per
+    (sequence, document) intersection with exact token spans.  Same
+    two-pass distributed prefix sum as shard packing; the oracle runs
+    the global window over the identical order."""
+    _prep(spark)
+    from minerva_etl_spark.operators.shard import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, seq_len=512, num_ranges=8, shuffle_seed=42
+    )
+
+
+def _oracle_pack_sequences() -> str:
+    from minerva_etl_spark.operators.shard import pack_sequences_oracle_sql
+
+    return pack_sequences_oracle_sql(512, "documents", shuffle_seed=42)
+
+
 def q_curated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-export pipeline — mix → shuffle → pack in
     one call (`operators/mixing.py::curated_export`): temper the
@@ -2473,6 +2496,7 @@ _REGISTRY_ORDER = [
     "leakage_split",
     "semantic_dedup_trained",
     "pipeline_curate_bp",
+    "pack_sequences",
 ]
 
 
@@ -2547,6 +2571,7 @@ def build_queries() -> dict:
         "leakage_split": q_leakage_split,
         "semantic_dedup_trained": q_semantic_dedup_trained,
         "pipeline_curate_bp": q_pipeline_curate_bp,
+        "pack_sequences": q_pack_sequences,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2638,6 +2663,7 @@ def build_oracles() -> dict[str, str]:
         "leakage_split": _oracle_leakage_split(),
         "semantic_dedup_trained": _oracle_semantic_dedup_trained(),
         "pipeline_curate_bp": _oracle_pipeline_curate_bp(),
+        "pack_sequences": _oracle_pack_sequences(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -29,30 +29,20 @@ from pyspark.sql import DataFrame, Window, functions as F
 from minerva_etl_spark.operators.text import tokens_duck_sql, tokens_spark_sql
 
 
-def assign_token_shards(
+def _global_token_offsets(
     df: DataFrame,
-    shard_tokens: int,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    token_col: str | None = None,
-    num_ranges: int | None = None,
-    shuffle_seed: int | None = None,
+    id_col: str,
+    text_col: str,
+    token_col: str | None,
+    num_ranges: int | None,
+    shuffle_seed: int | None,
 ) -> DataFrame:
-    """(id, n_tokens, shard_id) for every document: deterministic
-    ``id_col`` order, shards bounded by ``shard_tokens``.
-
-    ``token_col`` reuses a precomputed count; otherwise whitespace
-    tokens of ``text_col`` are counted (same expression the text
-    profile uses, so counts agree across operators).
-
-    ``shuffle_seed``: pack in a deterministic PSEUDO-RANDOM order
-    instead of id order — the md5-derived permutation key
-    ``md5(seed || id)`` (ties broken by id).  Training exports want
-    source/time-decorrelated shards; a seeded hash permutation gives a
-    reproducible global shuffle with no RNG state, and the two-pass
-    prefix sum works unchanged because the range partitioner orders by
-    the permutation key.
-    """
+    """(__id, n_tokens, __off) for every document — ``__off`` is the
+    document's first token's position in the deterministic global
+    order (id order, or the md5 permutation under ``shuffle_seed``).
+    The two-pass distributed prefix sum shared by shard packing and
+    sequence packing; see :func:`assign_token_shards` for the shape
+    discussion."""
     if token_col is None:
         t = df.select(
             F.col(id_col).alias("__id"),
@@ -122,21 +112,165 @@ def assign_token_shards(
     # exact integer division (operands are non-negative bigints): double
     # division would misplace boundary documents once the cumulative
     # token count exceeds ~2^53 — well inside a 100 TB corpus.
-    out = (
+    return (
         ranged.withColumn(
             "__cum",
             F.sum("n_tokens").over(w)
             + F.coalesce(off[F.col("__pid")], F.lit(0)),
         )
         .select(
-            F.col("__id").alias(id_col),
+            "__id",
             "n_tokens",
-            F.expr(f"(__cum - n_tokens) div {int(shard_tokens)}")
-            .cast("bigint")
-            .alias("shard_id"),
+            (F.col("__cum") - F.col("n_tokens")).cast("bigint").alias(
+                "__off"
+            ),
         )
     )
-    return out
+
+
+def assign_token_shards(
+    df: DataFrame,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    num_ranges: int | None = None,
+    shuffle_seed: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, shard_id) for every document: deterministic
+    ``id_col`` order, shards bounded by ``shard_tokens``.
+
+    ``token_col`` reuses a precomputed count; otherwise whitespace
+    tokens of ``text_col`` are counted (same expression the text
+    profile uses, so counts agree across operators).
+
+    ``shuffle_seed``: pack in a deterministic PSEUDO-RANDOM order
+    instead of id order — the md5-derived permutation key
+    ``md5(seed || id)`` (ties broken by id).  Training exports want
+    source/time-decorrelated shards; a seeded hash permutation gives a
+    reproducible global shuffle with no RNG state, and the two-pass
+    prefix sum works unchanged because the range partitioner orders by
+    the permutation key.
+    """
+    offs = _global_token_offsets(
+        df, id_col, text_col, token_col, num_ranges, shuffle_seed
+    )
+    return offs.select(
+        F.col("__id").alias(id_col),
+        "n_tokens",
+        F.expr(f"__off div {int(shard_tokens)}")
+        .cast("bigint")
+        .alias("shard_id"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    num_ranges: int | None = None,
+    shuffle_seed: int | None = None,
+) -> DataFrame:
+    """Cross-document SEQUENCE packing — the canonical pretraining
+    shape: concatenate the corpus in a deterministic (optionally
+    md5-shuffled) order and cut it into fixed ``seq_len``-token
+    sequences, documents spanning cuts split across neighbors.
+
+    Returns one row per (sequence, document) intersection:
+    ``(seq_id, id, n_tokens, tok_start, tok_end, pos_start)`` —
+    the document's token half-open range [tok_start, tok_end) lands at
+    ``pos_start`` inside sequence ``seq_id``.  Every sequence's spans
+    sum to exactly ``seq_len`` (the last sequence may be short), which
+    is what a loader needs to materialize token buffers and attention
+    document-boundary masks.
+
+    Scale shape: the same two-pass distributed prefix sum as shard
+    packing (no global sort), then an in-row ``sequence()`` explode
+    bounded by ceil(n_tokens/seq_len)+1 rows per document.  All
+    arithmetic is exact integer ops — bit-identical to the oracle's
+    global-window formulation.
+
+    Complements :func:`text.chunk_sequences` (per-document windows,
+    no cross-document concatenation) and :func:`assign_token_shards`
+    (file-level budgets, no intra-document splitting).
+    """
+    L = int(seq_len)
+    offs = _global_token_offsets(
+        df, id_col, text_col, token_col, num_ranges, shuffle_seed
+    )
+    return (
+        offs.filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "seq_id",
+            F.explode(
+                F.expr(
+                    f"sequence(__off div {L}, "
+                    f"(__off + n_tokens - 1) div {L})"
+                )
+            ),
+        )
+        .select(
+            F.col("seq_id").cast("bigint").alias("seq_id"),
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.expr(f"greatest(__off, seq_id * {L}) - __off")
+            .cast("bigint")
+            .alias("tok_start"),
+            F.expr(f"least(__off + n_tokens, seq_id * {L} + {L}) - __off")
+            .cast("bigint")
+            .alias("tok_end"),
+            F.expr(f"greatest(__off, seq_id * {L}) - seq_id * {L}")
+            .cast("bigint")
+            .alias("pos_start"),
+        )
+    )
+
+
+def pack_sequences_oracle_sql(
+    seq_len: int,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shuffle_seed: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`pack_sequences` (global-window
+    formulation over the identical order)."""
+    L = int(seq_len)
+    toks = tokens_duck_sql(text_col)
+    if shuffle_seed is not None:
+        ordkey = (
+            f"CAST(('0x' || substr(md5('{int(shuffle_seed)}:' || "
+            f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        order_by = f"{ordkey}, {id_col}"
+    else:
+        order_by = id_col
+    return f"""
+WITH t AS (
+  SELECT {id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM {table}
+),
+o AS (
+  SELECT {id_col}, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY {order_by}
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS off
+  FROM t
+)
+SELECT CAST(s.k AS BIGINT) AS seq_id,
+       {id_col},
+       n_tokens,
+       CAST(greatest(off, s.k * {L}) - off AS BIGINT) AS tok_start,
+       CAST(least(off + n_tokens, s.k * {L} + {L}) - off AS BIGINT)
+         AS tok_end,
+       CAST(greatest(off, s.k * {L}) - s.k * {L} AS BIGINT) AS pos_start
+FROM o
+CROSS JOIN UNNEST(generate_series(off // {L},
+                                  (off + n_tokens - 1) // {L})) AS s(k)
+WHERE n_tokens > 0
+"""
 
 
 def token_shards_oracle_sql(

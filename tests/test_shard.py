@@ -174,3 +174,59 @@ def test_curated_export_composition(spark):
         docs, alpha=0.0, shard_tokens=30, shuffle_seed=3
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Docs of 3/4/2 tokens packed into 4-token sequences in id order:
+    spans split exactly at the cuts and tile each sequence."""
+    from minerva_etl_spark.operators.shard import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i")],
+        "doc_id bigint, text string",
+    )
+    rows = sorted(
+        (r.seq_id, r.doc_id, r.tok_start, r.tok_end, r.pos_start)
+        for r in pack_sequences(docs, seq_len=4, num_ranges=2).collect()
+    )
+    assert rows == [
+        (0, 1, 0, 3, 0),   # doc1 fully in seq0 at pos 0
+        (0, 2, 0, 1, 3),   # doc2's first token finishes seq0
+        (1, 2, 1, 4, 0),   # doc2's remainder opens seq1
+        (1, 3, 0, 1, 3),   # doc3 split across the seq1/seq2 cut
+        (2, 3, 1, 2, 0),
+    ]
+
+
+def test_pack_sequences_tiles_every_sequence(spark):
+    """Property over a larger corpus: every sequence's spans sum to
+    seq_len (last may be short), start at pos 0, and abut without
+    gaps; every document's spans reassemble [0, n_tokens)."""
+    from minerva_etl_spark.operators.shard import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(1 + (i * 7) % 23)))
+         for i in range(60)],
+        "doc_id bigint, text string",
+    )
+    out = pack_sequences(docs, seq_len=16, shuffle_seed=9).collect()
+    by_seq, by_doc = {}, {}
+    for r in out:
+        by_seq.setdefault(r.seq_id, []).append(r)
+        by_doc.setdefault(r.doc_id, []).append(r)
+    total = sum(1 + (i * 7) % 23 for i in range(60))
+    assert max(by_seq) == (total - 1) // 16
+    for sid, spans in by_seq.items():
+        spans.sort(key=lambda r: r.pos_start)
+        assert spans[0].pos_start == 0
+        pos = 0
+        for s in spans:
+            assert s.pos_start == pos
+            pos += s.tok_end - s.tok_start
+        assert pos == (16 if sid < max(by_seq) else total - 16 * sid)
+    for did, spans in by_doc.items():
+        spans.sort(key=lambda r: r.tok_start)
+        assert spans[0].tok_start == 0
+        assert spans[-1].tok_end == spans[-1].n_tokens
+        for a, b in zip(spans, spans[1:]):
+            assert a.tok_end == b.tok_start
