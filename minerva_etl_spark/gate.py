@@ -2389,7 +2389,6 @@ _REGISTRY_ORDER = [
     "trend_time_agg_1h",
     "trend_time_agg_1d_rollup",
     "trend_time_agg_1d_dst",
-    "trend_time_agg_3month",
     "entity_agg_nation_1month",
     # -- store/upsert/attribute operators (S6-S7, A7-A9, W1-W3, U1-U2)
     "upsert_last_wins",
@@ -2421,14 +2420,15 @@ _REGISTRY_ORDER = [
     "decontamination",
     # -- LLM-pipeline: similarity -------------------------------------
     "sim_topk",
-    "sim_knn_join",
     "sim_ann_lsh",
     "sim_ivf",
+    "kmeans_fit",
     # -- LLM-pipeline: text / curation --------------------------------
     "text_profile",
     "sample_stratified",
     "source_mix",
     "shard_pack",
+    "pack_sequences",
     "pipeline_curate",
     # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
     "live_monitor",
@@ -2452,11 +2452,19 @@ _REGISTRY_ORDER = [
     # listing order), trend_slope (X2 non-SQL materialization stays
     # proven via lifecycle_materialize + the regression pytest), and
     # array_predicates (P4/P5 IN/ANY + array containment, pytest- and
-    # past-window-proven).  Round-7 addition: lifecycle_array_trend
+    # past-window-proven).  Round-7 additions: lifecycle_array_trend
     # (the r6 verdict's array-trend-columns ask, full-hash oracle)
     # swapped IN for multimodal_features — the one rows-only row the
     # window held; multimodal's mapInPandas plumbing stays proven by
-    # its pytest suite + the past-window rows-only row below.
+    # its pytest suite + the past-window rows-only row below.  The two
+    # strongest new-capability rows — kmeans_fit (oracle-matched
+    # distributed Lloyd's) and pack_sequences (cross-doc sequence
+    # packing) — swapped IN for sim_knn_join (k-NN surface stays
+    # driver-proven via sim_topk's cosine ranking + sim_ann_lsh's
+    # bucket join; the row itself stays below, locally verified) and
+    # trend_time_agg_3month (multi-month W4 grids stay driver-proven
+    # via _1h/_1d_rollup/_1d_dst in-window; 1month + 3month rows stay
+    # below, locally verified).
     # Earlier rotations: the simhash pair
     # alternates one slot (r6 proved _hamming in-window); dn_parse
     # stays proven through kpi_translated/relation_regex/
@@ -2467,6 +2475,8 @@ _REGISTRY_ORDER = [
     "topk_recent",
     "trend_slope",
     "multimodal_features",
+    "sim_knn_join",
+    "trend_time_agg_3month",
     "dedup_simhash",
     "dn_parse",
     "kpi_revenue",
@@ -2489,14 +2499,14 @@ _REGISTRY_ORDER = [
     "chunk_sequences",
     "corpus_report",
     "gopher_rules",
-    # round-7 additions (past-window; verified by tools/check_oracle.py)
-    "kmeans_fit",
+    # round-7 additions (kmeans_fit + pack_sequences rotated into the
+    # window above; the rest past-window, verified every session by
+    # tools/check_oracle.py)
     "domain_cap",
     "tfidf_terms",
     "leakage_split",
     "semantic_dedup_trained",
     "pipeline_curate_bp",
-    "pack_sequences",
 ]
 
 

@@ -332,3 +332,56 @@ def write_token_shards(
         .save(path)
     )
     return out.select("shard_id").distinct().count()
+
+
+def write_packed_sequences(
+    df: DataFrame,
+    path: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seqs_per_file: int = 1024,
+    shuffle_seed: int | None = None,
+    format: str = "parquet",
+) -> int:
+    """Materialize :func:`pack_sequences` into actual packed rows:
+    one row per (sequence, document) span carrying the span's tokens
+    (``words``), written grouped into ``seqs_per_file``-sequence file
+    partitions (one directory per file group — NOT one file per
+    sequence, which would be millions of tiny files at scale).
+    Returns the sequence count.
+
+    A loader reconstructs sequence ``s`` by concatenating its rows in
+    ``pos_start`` order; ``(id, pos_start)`` pairs double as the
+    attention document-boundary mask.
+    """
+    spans = pack_sequences(
+        df, seq_len, id_col=id_col, text_col=text_col,
+        shuffle_seed=shuffle_seed,
+    )
+    out = (
+        df.select(
+            F.col(id_col),
+            F.expr(tokens_spark_sql(text_col)).alias("__toks"),
+        )
+        .join(spans, id_col)
+        .select(
+            "seq_id",
+            id_col,
+            "pos_start",
+            F.expr("slice(__toks, tok_start + 1, tok_end - tok_start)")
+            .alias("words"),
+            F.expr(f"seq_id div {int(seqs_per_file)}").alias("file_id"),
+        )
+    )
+    (
+        out.repartition("file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .format(format)
+        .save(path)
+    )
+    sess = df.sparkSession
+    return sess.read.format(format).load(path).select(
+        "seq_id"
+    ).distinct().count()

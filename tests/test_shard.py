@@ -230,3 +230,37 @@ def test_pack_sequences_tiles_every_sequence(spark):
         assert spans[-1].tok_end == spans[-1].n_tokens
         for a, b in zip(spans, spans[1:]):
             assert a.tok_end == b.tok_start
+
+
+def test_write_packed_sequences_roundtrip(spark, tmp_path):
+    """The materialized packed export reassembles every sequence
+    exactly as concatenating the corpus in pack order would."""
+    from minerva_etl_spark.operators.shard import write_packed_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{i}_{j}" for j in range((i % 5) + 2)))
+         for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    path = str(tmp_path / "packed")
+    n_seqs = write_packed_sequences(
+        docs, path, seq_len=8, seqs_per_file=4
+    )
+    back = spark.read.parquet(path).collect()
+    seqs = {}
+    for r in back:
+        seqs.setdefault(r.seq_id, []).append(r)
+    assert len(seqs) == n_seqs
+    # reassemble and compare with the direct concatenation (id order)
+    stream = []
+    for i in range(30):
+        stream.extend(f"t{i}_{j}" for j in range((i % 5) + 2))
+    for sid, rows in seqs.items():
+        rows.sort(key=lambda r: r.pos_start)
+        got = [w for r in rows for w in r.words]
+        assert got == stream[sid * 8:(sid + 1) * 8]
+    # file grouping: ceil(n_seqs / 4) directories
+    import os
+
+    groups = [d for d in os.listdir(path) if d.startswith("file_id=")]
+    assert len(groups) == (n_seqs + 3) // 4
