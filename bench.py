@@ -82,6 +82,7 @@ HEADLINE = [
     "semantic_dedup_trained",
     "pipeline_curate_bp",
     "pack_sequences",
+    "bpe_train",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -1315,6 +1315,11 @@ def cmd_corpus(args) -> None:
         assigned, cent = kmeans_fit(df, k=args.n, iters=args.iters)
         cent.write.mode("overwrite").parquet(args.output + "_centroids")
         out = assigned
+    elif args.action == "bpe":
+        from minerva_etl_spark.operators.bpe import bpe_train
+
+        merges, _vocab = bpe_train(df, n_merges=args.n)
+        out = merges
     else:  # pragma: no cover - argparse choices guard this
         raise ValueError(args.action)
     out.write.mode("overwrite").parquet(args.output)
@@ -1607,7 +1612,9 @@ def main(argv: list[str] | None = None) -> None:
     cu.set_defaults(fn=cmd_curate)
 
     co = sub.add_parser("corpus")
-    co.add_argument("action", choices=["split", "cap", "tfidf", "kmeans"])
+    co.add_argument(
+        "action", choices=["split", "cap", "tfidf", "kmeans", "bpe"]
+    )
     co.add_argument("--input", required=True, help="input parquet")
     co.add_argument("--output", required=True, help="output parquet")
     co.add_argument("--fractions", default="train=0.9,val=0.05,test=0.05",
@@ -1618,7 +1625,8 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--order-col", default="n_chars",
                     help="cap: keep the top-n by this column DESC")
     co.add_argument("--n", type=int, default=5,
-                    help="cap/tfidf: per-key/per-doc N; kmeans: k")
+                    help="cap/tfidf: per-key/per-doc N; kmeans: k; "
+                         "bpe: merge count")
     co.add_argument("--iters", type=int, default=2,
                     help="kmeans: Lloyd's rounds")
     co.set_defaults(fn=cmd_corpus)

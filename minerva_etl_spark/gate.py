@@ -648,6 +648,27 @@ def _oracle_shard_pack_shuffled() -> str:
     return token_shards_oracle_sql(5000, "documents", shuffle_seed=42)
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (`operators/bpe.py::
+    bpe_train`): 12 merge rounds over the corpus word-frequency table —
+    each round one map-side-combinable weighted pair count, a one-row
+    argmax to the driver, and a broadcast plain-string merge rewrite.
+    Returns the learned merge table (the artifact a tokenizer loads);
+    the oracle unrolls the identical rounds as MATERIALIZED CTEs."""
+    _prep(spark)
+    from minerva_etl_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(docs, n_merges=12, min_count=2)
+    return merges
+
+
+def _oracle_bpe_train() -> str:
+    from minerva_etl_spark.operators.bpe import bpe_oracle_sql
+
+    return bpe_oracle_sql("documents", n_merges=12, min_count=2)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document sequence packing (`operators/shard.py::
     pack_sequences`): the corpus concatenated in the seeded md5
@@ -2507,6 +2528,7 @@ _REGISTRY_ORDER = [
     "leakage_split",
     "semantic_dedup_trained",
     "pipeline_curate_bp",
+    "bpe_train",
 ]
 
 
@@ -2582,6 +2604,7 @@ def build_queries() -> dict:
         "semantic_dedup_trained": q_semantic_dedup_trained,
         "pipeline_curate_bp": q_pipeline_curate_bp,
         "pack_sequences": q_pack_sequences,
+        "bpe_train": q_bpe_train,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2674,6 +2697,7 @@ def build_oracles() -> dict[str, str]:
         "semantic_dedup_trained": _oracle_semantic_dedup_trained(),
         "pipeline_curate_bp": _oracle_pipeline_curate_bp(),
         "pack_sequences": _oracle_pack_sequences(),
+        "bpe_train": _oracle_bpe_train(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -1,0 +1,207 @@
+"""Distributed BPE tokenizer training (Sennrich et al. 2016).
+
+The one tokenizer-adjacent piece a training-data engine can genuinely
+own: learning the merge table itself from the corpus.  Training runs
+on the WORD-FREQUENCY table, not the raw corpus — the classic BPE
+formulation — so a 100 TB corpus first collapses to its (word, count)
+vocabulary (one map-side-combinable groupBy; still a DataFrame, the
+vocabulary of a web crawl does not fit a driver), and every merge
+round is two distributed passes over that table:
+
+1. **pair counting** — explode each word's adjacent symbol pairs,
+   weighted by word count; map-side-combinable groupBy; the argmax
+   pair comes back as ONE driver row (count desc, pair asc tie-break);
+2. **merge application** — plain ``replace()`` of the winning pair in
+   every word's symbol string (left-to-right non-overlapping — exactly
+   BPE's greedy application), broadcast as a one-row literal.
+
+Symbol strings are engineered so plain string replacement is exact,
+with no regex and no lookarounds (RE2/DuckDB has none): every symbol
+carries a ``_`` terminator and the string a leading space —
+``" c_ a_ t</w>_"`` — so the pattern ``" c_ a_"`` can only match at a
+symbol boundary (the leading space) and cannot match a symbol that
+merely ends with the same characters (the terminator pins the right
+edge).  Adjacent occurrences never share separator characters, so
+non-overlapping replacement merges them all.
+
+Everything is integer counts and string surgery — bit-identical in the
+DuckDB oracle, which unrolls the rounds as MATERIALIZED CTE pairs
+(without materialization each round's two references re-inline the
+whole prefix: exponential).
+
+Stopping: a round whose best pair count is below ``min_count`` stops
+training (the vocabulary is then a fixed point, so the oracle's
+filtered union drops every post-stop round deterministically).
+
+Reference: extension (the reference has no tokenizer surface); the
+algorithm is the published BPE recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: symbol terminator — cannot occur inside corpus tokens ([a-z]+ only)
+_T = "_"
+_EOW = "</w>"
+
+
+def _initial_vocab(
+    docs: DataFrame, text_col: str
+) -> DataFrame:
+    """(word, cnt, sym) — corpus word frequencies with each word
+    rendered as its initial character-symbol string."""
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym = (
+        "concat(' ', array_join(transform("
+        "  filter(split(word, ''), x -> x != ''),"
+        f"  (x, i) -> CASE WHEN i = length(word) - 1"
+        f"    THEN concat(x, '{_EOW}{_T}')"
+        f"    ELSE concat(x, '{_T}') END), ' '))"
+    )
+    return words.withColumn("sym", F.expr(sym))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    arr = "split(trim(sym), ' ')"
+    pairs = vocab.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                f"arrays_zip(slice({arr}, 1, size({arr}) - 1), "
+                f"slice({arr}, 2, size({arr}) - 1))"
+            )
+        ).alias("p"),
+    )
+    return pairs.select(
+        F.col("p")["0"].alias("left"),
+        F.col("p")["1"].alias("right"),
+        "cnt",
+    ).groupBy("left", "right").agg(F.sum("cnt").alias("pair_count"))
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Learn up to ``n_merges`` BPE merges from the corpus.
+
+    Returns ``(merges, vocab)``: merges as ``(rank, left, right,
+    pair_count)`` in application order — the artifact a tokenizer
+    loads — and the final symbolized vocabulary ``(word, cnt, sym)``.
+    """
+    spark = docs.sparkSession
+    vocab = _initial_vocab(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(int(n_merges)):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left").asc(),
+                F.col("right").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best or best[0]["pair_count"] < int(min_count):
+            break
+        left, right, cnt = (
+            best[0]["left"], best[0]["right"], best[0]["pair_count"]
+        )
+        # "c_" + "a_" -> "ca_": drop the left symbol's terminator
+        merged = left[: -len(_T)] + right
+        vocab = vocab.withColumn(
+            "sym",
+            F.expr(
+                "replace(sym, "
+                f"concat(' ', {_sq(left)}, ' ', {_sq(right)}), "
+                f"concat(' ', {_sq(merged)}))"
+            ),
+        ).localCheckpoint(eager=True)
+        merges.append((rank, left, right, int(cnt)))
+    mdf = spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_count bigint"
+    )
+    return mdf, vocab
+
+
+def _sq(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------
+# Oracle SQL (DuckDB) — rounds unrolled as MATERIALIZED CTE pairs
+# ---------------------------------------------------------------------
+
+def bpe_oracle_sql(
+    table: str,
+    n_merges: int,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`bpe_train` returning the merges table."""
+    sym = (
+        "' ' || array_to_string(list_transform("
+        "  generate_series(1, len(word)),"
+        f"  i -> substr(word, i, 1) || CASE WHEN i = len(word)"
+        f"    THEN '{_EOW}{_T}' ELSE '{_T}' END), ' ')"
+    )
+    arr = "string_split(trim(sym), ' ')"
+    pair_src = (
+        f"SELECT u.p[1] AS lft, u.p[2] AS rgt, cnt FROM v{{t}}, "
+        f"UNNEST(list_zip({arr}[1:len({arr}) - 1], "
+        f"{arr}[2:len({arr})])) AS u(p)"
+    )
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt, {sym} AS sym FROM (
+    SELECT unnest(string_split_regex(lower({text_col}), '[^a-z]+')) AS word
+    FROM {table}
+  ) WHERE word <> '' GROUP BY word
+)"""
+    ]
+    for t in range(int(n_merges)):
+        ctes.append(
+            f"""b{t} AS MATERIALIZED (
+  SELECT lft, rgt, CAST(sum(cnt) AS BIGINT) AS pair_count,
+         substr(lft, 1, len(lft) - {len(_T)}) || rgt AS merged
+  FROM ({pair_src.format(t=t)})
+  GROUP BY lft, rgt
+  ORDER BY pair_count DESC, lft ASC, rgt ASC
+  LIMIT 1
+)"""
+        )
+        ctes.append(
+            f"""v{t + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         CASE WHEN b.pair_count >= {int(min_count)}
+              THEN replace(sym, ' ' || b.lft || ' ' || b.rgt,
+                           ' ' || b.merged)
+              ELSE sym END AS sym
+  FROM v{t} LEFT JOIN b{t} b ON TRUE
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {t} AS rank, lft, rgt, pair_count FROM b{t} "
+        f"WHERE pair_count >= {int(min_count)}"
+        for t in range(int(n_merges))
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT CAST(rank AS INT) AS rank, lft AS "left", rgt AS "right",
+       pair_count
+FROM ({union})
+"""

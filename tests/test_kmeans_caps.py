@@ -265,3 +265,45 @@ def test_semantic_dedup_trained_end_to_end(spark):
     for i in range(2, 10):
         assert not out[i].kept, i
         assert out[i].centroid_id == out[i % 2].centroid_id
+
+
+def test_bpe_train_textbook_merges(spark):
+    """The classic low/lower/newest corpus: merges come out in the
+    textbook order and the vocabulary reaches whole-word symbols."""
+    from minerva_etl_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"),
+         (2, "new newer newest new"),
+         (3, "low new")],
+        "doc_id bigint, text string",
+    )
+    merges, vocab = bpe_train(docs, n_merges=6, min_count=2)
+    rows = [(r["rank"], r["left"], r["right"], r.pair_count)
+            for r in merges.collect()]
+    assert rows == [
+        (0, "l_", "o_", 6),
+        (1, "n_", "e_", 5),
+        (2, "lo_", "w</w>_", 4),
+        (3, "w_", "e_", 4),
+        (4, "ne_", "w</w>_", 3),
+        (5, "lo_", "we_", 2),
+    ]
+    syms = {r.word: r.sym for r in vocab.collect()}
+    assert syms["low"] == " low</w>_"          # fully merged word
+    assert syms["lowest"] == " lowe_ s_ t</w>_"
+
+
+def test_bpe_train_min_count_stops(spark):
+    """Training stops when the best pair drops below min_count — no
+    padding merges are emitted."""
+    from minerva_etl_spark.operators.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab xy")], "doc_id bigint, text string"
+    )
+    merges, _ = bpe_train(docs, n_merges=10, min_count=2)
+    rows = merges.collect()
+    # only 'a b</w>' repeats (2x); everything after is < min_count
+    assert len(rows) == 1
+    assert (rows[0]["left"], rows[0]["right"]) == ("a_", "b</w>_")
