@@ -83,6 +83,7 @@ HEADLINE = [
     "pipeline_curate_bp",
     "pack_sequences",
     "bpe_train",
+    "bpe_encode",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -669,6 +669,27 @@ def _oracle_bpe_train() -> str:
     return bpe_oracle_sql("documents", n_merges=12, min_count=2)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encoding (`operators/bpe.py::bpe_encode_counts`): train the
+    12-merge table, compile it into one in-row replace() fold applied
+    per DISTINCT word, and re-aggregate per-document subword counts —
+    the token budget a packer actually needs.  Oracle: the training
+    chain nested as the merge-list source, the same fold via
+    list_reduce."""
+    _prep(spark)
+    from minerva_etl_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=12, min_count=2)
+    return bpe_encode_counts(docs, merges)
+
+
+def _oracle_bpe_encode() -> str:
+    from minerva_etl_spark.operators.bpe import bpe_encode_oracle_sql
+
+    return bpe_encode_oracle_sql("documents", n_merges=12, min_count=2)
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document sequence packing (`operators/shard.py::
     pack_sequences`): the corpus concatenated in the seeded md5
@@ -2529,6 +2550,7 @@ _REGISTRY_ORDER = [
     "semantic_dedup_trained",
     "pipeline_curate_bp",
     "bpe_train",
+    "bpe_encode",
 ]
 
 
@@ -2605,6 +2627,7 @@ def build_queries() -> dict:
         "pipeline_curate_bp": q_pipeline_curate_bp,
         "pack_sequences": q_pack_sequences,
         "bpe_train": q_bpe_train,
+        "bpe_encode": q_bpe_encode,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2698,6 +2721,7 @@ def build_oracles() -> dict[str, str]:
         "pipeline_curate_bp": _oracle_pipeline_curate_bp(),
         "pack_sequences": _oracle_pack_sequences(),
         "bpe_train": _oracle_bpe_train(),
+        "bpe_encode": _oracle_bpe_encode(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

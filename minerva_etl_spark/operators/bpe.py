@@ -205,3 +205,125 @@ SELECT CAST(rank AS INT) AS rank, lft AS "left", rgt AS "right",
        pair_count
 FROM ({union})
 """
+
+
+# ---------------------------------------------------------------------
+# Encoding: apply a learned merge table
+# ---------------------------------------------------------------------
+
+def bpe_encode_counts(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table and count BPE tokens per document —
+    the budget a sequence packer or context-window planner actually
+    needs (whitespace counts under-estimate subword inflation).
+
+    The merge table is a small artifact (tens of thousands of rows for
+    real vocabularies) — it collects to the driver and compiles into a
+    single in-row ``aggregate`` fold of ``replace()`` steps in rank
+    order, applied once per DISTINCT word (the word-frequency table,
+    not the corpus); documents then join their words' subword counts
+    back through one explode + groupBy.  Returns
+    ``(id, n_words, n_bpe_tokens)``.
+    """
+    ms = [
+        (r["left"], r["right"], r["left"][: -len(_T)] + r["right"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    if ms:
+        pats = ", ".join(_sq(f" {l} {r}") for l, r, _ in ms)
+        reps = ", ".join(_sq(f" {m}") for _, _, m in ms)
+        fold = (
+            f"aggregate(arrays_zip(array({pats}), array({reps})), "
+            "sym, (acc, x) -> replace(acc, x['0'], x['1']))"
+        )
+    else:
+        fold = "sym"
+    vocab = _initial_vocab(docs, text_col).withColumn(
+        "__n_sym",
+        F.expr(f"size(split(trim({fold}), ' '))").cast("bigint"),
+    )
+    words = (
+        docs.select(
+            id_col,
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.join(vocab.select("word", "__n_sym"), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("__n_sym").cast("bigint").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def bpe_encode_oracle_sql(
+    table: str,
+    n_merges: int,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of training 12 merges then encoding the same corpus:
+    the training CTE chain, the merge list folded per distinct word,
+    and the per-document re-aggregation."""
+    train = bpe_oracle_sql(table, n_merges, min_count, text_col)
+    # reuse the training SQL's WITH chain by nesting it as a scalar
+    # merge-list source; v0 is recomputed here (flat chain, prefixed)
+    sym = (
+        "' ' || array_to_string(list_transform("
+        "  generate_series(1, len(word)),"
+        f"  i -> substr(word, i, 1) || CASE WHEN i = len(word)"
+        f"    THEN '{_EOW}{_T}' ELSE '{_T}' END), ' ')"
+    )
+    return f"""
+WITH m AS MATERIALIZED (
+  SELECT coalesce(list(' ' || "left" || ' ' || "right" ORDER BY rank),
+                  []) AS ps,
+         coalesce(list(' ' || substr("left", 1, len("left") - {len(_T)})
+                       || "right" ORDER BY rank), []) AS rs
+  FROM (
+{train}
+  )
+),
+v AS MATERIALIZED (
+  SELECT word, {sym} AS sym FROM (
+    SELECT DISTINCT unnest(string_split_regex(lower({text_col}),
+                                              '[^a-z]+')) AS word
+    FROM {table}
+  ) WHERE word <> ''
+),
+enc AS MATERIALIZED (
+  SELECT v.word,
+         CAST(len(string_split(trim(
+           list_reduce(
+             list_prepend(v.sym,
+               list_transform(generate_series(1, len(m.ps)),
+                              i -> CAST(i AS VARCHAR))),
+             (acc, x) -> replace(acc, m.ps[CAST(x AS INT)],
+                                 m.rs[CAST(x AS INT)]))), ' '))
+           AS BIGINT) AS n_sym
+  FROM v, m
+),
+w AS (
+  SELECT {id_col}, word FROM (
+    SELECT {id_col},
+           unnest(string_split_regex(lower({text_col}), '[^a-z]+'))
+             AS word
+    FROM {table}
+  ) WHERE word <> ''
+)
+SELECT w.{id_col},
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(e.n_sym) AS BIGINT) AS n_bpe_tokens
+FROM w JOIN enc e ON w.word = e.word
+GROUP BY w.{id_col}
+"""

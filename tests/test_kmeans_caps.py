@@ -307,3 +307,36 @@ def test_bpe_train_min_count_stops(spark):
     # only 'a b</w>' repeats (2x); everything after is < min_count
     assert len(rows) == 1
     assert (rows[0]["left"], rows[0]["right"]) == ("a_", "b</w>_")
+
+
+def test_bpe_encode_counts_hand_computed(spark):
+    """After the low/lower merges, 'low' is one token and 'lowest' is
+    three; per-doc totals follow."""
+    from minerva_etl_spark.operators.bpe import bpe_encode_counts, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"),
+         (2, "new newer newest new"),
+         (3, "low new")],
+        "doc_id bigint, text string",
+    )
+    merges, _ = bpe_train(docs, n_merges=6, min_count=2)
+    rows = {r.doc_id: r for r in bpe_encode_counts(docs, merges).collect()}
+    # doc1: low(1) lower(2: lowe_ r</w>) lowest(3) low(1) low(1) = 8
+    assert (rows[1].n_words, rows[1].n_bpe_tokens) == (5, 8)
+    # doc2: new(1) newer(3: ne_ we_ r</w>) newest(4) new(1) = 9
+    assert (rows[2].n_words, rows[2].n_bpe_tokens) == (4, 9)
+    assert (rows[3].n_words, rows[3].n_bpe_tokens) == (2, 2)
+
+
+def test_bpe_encode_no_merges_is_char_count(spark):
+    from minerva_etl_spark.operators.bpe import bpe_encode_counts
+
+    docs = spark.createDataFrame(
+        [(1, "ab xyz")], "doc_id bigint, text string"
+    )
+    empty = spark.createDataFrame(
+        [], "rank int, left string, right string, pair_count bigint"
+    )
+    r = bpe_encode_counts(docs, empty).collect()[0]
+    assert (r.n_words, r.n_bpe_tokens) == (2, 5)
