@@ -32,6 +32,7 @@ minerva-spark corpus split --input "$DOCS" --output "$OUT/split" \
 minerva-spark corpus cap --input "$DOCS" --output "$OUT/cap" \
   --keys lang,source --order-col n_chars --n 5
 minerva-spark corpus tfidf --input "$DOCS" --output "$OUT/tfidf" --n 3
+minerva-spark corpus bpe --input "$DOCS" --output "$OUT/bpe_merges" --n 16
 
 # 3. Embedding-side: distributed Lloyd's k-means (writes assignments
 #    and the fitted centroid table next to it).
