@@ -84,6 +84,7 @@ HEADLINE = [
     "pack_sequences",
     "bpe_train",
     "bpe_encode",
+    "logreg_train",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -669,6 +669,44 @@ def _oracle_bpe_train() -> str:
     return bpe_oracle_sql("documents", n_merges=12, min_count=2)
 
 
+_LR_LABEL = "CASE WHEN lang = 'en' THEN 1 ELSE 0 END"
+_LR_FEATS_SPARK = [
+    "CAST(least(n_chars, 1000) AS DOUBLE) / 1000.0",
+    "CAST(size(filter(split(lower(text), '[^a-z]+'), x -> x != ''))"
+    " AS DOUBLE) / 50.0",
+]
+_LR_FEATS_DUCK = [
+    "CAST(least(n_chars, 1000) AS DOUBLE) / 1000.0",
+    "CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),"
+    " x -> x <> '')) AS DOUBLE) / 50.0",
+]
+
+
+def q_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (`operators/logreg.py`):
+    4 full-batch GD rounds predicting lang='en' from length/word-count
+    features — per round ONE map-side-combinable aggregation of
+    grid-snapped exact BIGINT gradient sums (a single row to the
+    driver) and a literal-broadcast weight update whose IEEE operation
+    order matches the oracle's SQL exactly.  Trains the same linear
+    family `classify_quality` applies."""
+    _prep(spark)
+    from minerva_etl_spark.operators.logreg import logreg_weights_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    return logreg_weights_df(
+        docs, _LR_FEATS_SPARK, _LR_LABEL, iters=4, lr=0.5
+    )
+
+
+def _oracle_logreg_train() -> str:
+    from minerva_etl_spark.operators.logreg import logreg_oracle_sql
+
+    return logreg_oracle_sql(
+        "documents", _LR_FEATS_DUCK, _LR_LABEL, iters=4, lr=0.5
+    )
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encoding (`operators/bpe.py::bpe_encode_counts`): train the
     12-merge table, compile it into one in-row replace() fold applied
@@ -2551,6 +2589,7 @@ _REGISTRY_ORDER = [
     "pipeline_curate_bp",
     "bpe_train",
     "bpe_encode",
+    "logreg_train",
 ]
 
 
@@ -2628,6 +2667,7 @@ def build_queries() -> dict:
         "pack_sequences": q_pack_sequences,
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
+        "logreg_train": q_logreg_train,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2722,6 +2762,7 @@ def build_oracles() -> dict[str, str]:
         "pack_sequences": _oracle_pack_sequences(),
         "bpe_train": _oracle_bpe_train(),
         "bpe_encode": _oracle_bpe_encode(),
+        "logreg_train": _oracle_logreg_train(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -340,3 +340,23 @@ def test_bpe_encode_no_merges_is_char_count(spark):
     )
     r = bpe_encode_counts(docs, empty).collect()[0]
     assert (r.n_words, r.n_bpe_tokens) == (2, 5)
+
+
+def test_logreg_train_learns_separable_signal(spark):
+    """A perfectly separable 1-feature problem: GD pushes the feature
+    weight positive; the fit is deterministic under repartitioning."""
+    from minerva_etl_spark.operators.logreg import logreg_train
+
+    rows = [(i, float(i % 2), i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "id bigint, x double, y int")
+    w1 = logreg_train(df.repartition(7), ["x"], "y", iters=20, lr=1.0)
+    w2 = logreg_train(df.repartition(3), ["x"], "y", iters=20, lr=1.0)
+    assert w1 == w2                    # exact: grid-snapped BIGINT sums
+    assert w1[1] > 1.0                 # feature drives the label
+    # the fitted model separates the classes
+    import math
+
+    def p(x):
+        return 1 / (1 + math.exp(-(w1[0] + w1[1] * x)))
+
+    assert p(1.0) > 0.5 > p(0.0)
