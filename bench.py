@@ -85,6 +85,7 @@ HEADLINE = [
     "bpe_train",
     "bpe_encode",
     "logreg_train",
+    "logreg_eval",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

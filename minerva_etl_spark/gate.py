@@ -707,6 +707,28 @@ def _oracle_logreg_train() -> str:
     )
 
 
+def q_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → score → evaluate composed (`operators/logreg.py::
+    logreg_eval`): the fitted sigmoid scores every document and the
+    one-row metrics table reports EXACT AUC (Mann-Whitney with tie
+    correction over per-score integer tallies — the cumulative window
+    runs over distinct rounded scores, never the corpus) plus
+    accuracy@0.5."""
+    _prep(spark)
+    from minerva_etl_spark.operators.logreg import logreg_eval
+
+    docs = load_table(spark, sf_dir, "documents")
+    return logreg_eval(docs, _LR_FEATS_SPARK, _LR_LABEL, iters=4, lr=0.5)
+
+
+def _oracle_logreg_eval() -> str:
+    from minerva_etl_spark.operators.logreg import logreg_eval_oracle_sql
+
+    return logreg_eval_oracle_sql(
+        "documents", _LR_FEATS_DUCK, _LR_LABEL, iters=4, lr=0.5
+    )
+
+
 def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE encoding (`operators/bpe.py::bpe_encode_counts`): train the
     12-merge table, compile it into one in-row replace() fold applied
@@ -2590,6 +2612,7 @@ _REGISTRY_ORDER = [
     "bpe_train",
     "bpe_encode",
     "logreg_train",
+    "logreg_eval",
 ]
 
 
@@ -2668,6 +2691,7 @@ def build_queries() -> dict:
         "bpe_train": q_bpe_train,
         "bpe_encode": q_bpe_encode,
         "logreg_train": q_logreg_train,
+        "logreg_eval": q_logreg_eval,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2763,6 +2787,7 @@ def build_oracles() -> dict[str, str]:
         "bpe_train": _oracle_bpe_train(),
         "bpe_encode": _oracle_bpe_encode(),
         "logreg_train": _oracle_logreg_train(),
+        "logreg_eval": _oracle_logreg_eval(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

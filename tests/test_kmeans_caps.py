@@ -360,3 +360,22 @@ def test_logreg_train_learns_separable_signal(spark):
         return 1 / (1 + math.exp(-(w1[0] + w1[1] * x)))
 
     assert p(1.0) > 0.5 > p(0.0)
+
+
+def test_binary_metrics_hand_computed(spark):
+    """AUC/accuracy against hand-computed Mann-Whitney with ties."""
+    from minerva_etl_spark.operators.logreg import binary_metrics
+
+    # scores: pos at .9, .7, .5; neg at .7, .3  ->
+    # pairs: (.9 beats both)=2, (.7 ties .7 / beats .3)=1.5, (.5 loses
+    # .7 / beats .3)=1 -> U = 4.5 of 6 -> AUC .75
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.7, 1), (0.5, 1), (0.7, 0), (0.3, 0)],
+        "score double, y int",
+    )
+    r = binary_metrics(df, "score", "y").collect()[0]
+    assert r.auc == 0.75
+    # predictions at .5: pos .9/.7/.5 correct (3); neg .7 wrong, .3
+    # correct (1) -> 4/5
+    assert r.accuracy == 0.8
+    assert (r.n_pos, r.n_neg) == (3, 2)
