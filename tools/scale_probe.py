@@ -179,6 +179,21 @@ def probe(spark, data_dir: str, mult: int) -> dict:
     results["tfidf_terms"] = {
         "spark": timed(lambda: tfidf_top_terms(docs, n=3))
     }
+    from minerva_etl_spark.operators.bpe import bpe_train
+    from minerva_etl_spark.operators.logreg import logreg_train
+
+    t0 = time.time()
+    bpe_train(docs, n_merges=8, min_count=2)[0].collect()
+    results["bpe_train"] = {"spark": round(time.time() - t0, 2)}
+    t0 = time.time()
+    logreg_train(
+        docs,
+        ["CAST(least(n_chars, 1000) AS DOUBLE) / 1000.0"],
+        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END",
+        iters=2,
+    )
+    results["logreg_train"] = {"spark": round(time.time() - t0, 2)}
+
     results["leakage_split"] = {
         "spark": timed(
             lambda: leakage_safe_split(
