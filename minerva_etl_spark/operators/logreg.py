@@ -68,6 +68,8 @@ def logreg_train(
     k = len(feature_cols)
     w = list(init) if init is not None else [0.0] * (k + 1)
     n = df.count()
+    if n == 0:
+        return w
     for _ in range(int(iters)):
         z = _z_sql(feature_cols, w)
         sig = f"(1.0 / (1.0 + exp(-({z}))))"
@@ -226,8 +228,8 @@ def binary_metrics(
     )
     return stats.select(
         F.expr(
-            "round(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE) "
-            "* CAST(n_neg AS DOUBLE)), 6)"
+            "round(CAST(u2 AS DOUBLE) / nullif(2.0 * CAST(n_pos AS DOUBLE) "
+            "* CAST(n_neg AS DOUBLE), 0.0), 6)"
         ).alias("auc"),
         F.expr(
             "round(CAST(n_correct AS DOUBLE) / CAST(n_pos + n_neg "
@@ -245,8 +247,8 @@ def binary_metrics_oracle_sql(
 ) -> str:
     """DuckDB twin of :func:`binary_metrics`."""
     return f"""
-SELECT round(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
-             * CAST(n_neg AS DOUBLE)), 6) AS auc,
+SELECT round(CAST(u2 AS DOUBLE) / nullif(2.0 * CAST(n_pos AS DOUBLE)
+             * CAST(n_neg AS DOUBLE), 0.0), 6) AS auc,
        round(CAST(n_correct AS DOUBLE) / CAST(n_pos + n_neg
              AS DOUBLE), 6) AS accuracy,
        CAST(n_pos AS BIGINT) AS n_pos,
@@ -308,8 +310,8 @@ def logreg_eval_oracle_sql(
     body = ",\n".join(ctes)
     return f"""
 WITH {body}
-SELECT round(CAST(u2 AS DOUBLE) / (2.0 * CAST(n_pos AS DOUBLE)
-             * CAST(n_neg AS DOUBLE)), 6) AS auc,
+SELECT round(CAST(u2 AS DOUBLE) / nullif(2.0 * CAST(n_pos AS DOUBLE)
+             * CAST(n_neg AS DOUBLE), 0.0), 6) AS auc,
        round(CAST(n_correct AS DOUBLE) / CAST(n_pos + n_neg
              AS DOUBLE), 6) AS accuracy,
        CAST(n_pos AS BIGINT) AS n_pos,

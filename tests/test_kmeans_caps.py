@@ -379,3 +379,24 @@ def test_binary_metrics_hand_computed(spark):
     # correct (1) -> 4/5
     assert r.accuracy == 0.8
     assert (r.n_pos, r.n_neg) == (3, 2)
+
+
+def test_binary_metrics_single_class_no_crash(spark):
+    """All-positive input: AUC is undefined (NULL), not an ANSI
+    divide-by-zero crash; accuracy still reports."""
+    from minerva_etl_spark.operators.logreg import binary_metrics
+
+    df = spark.createDataFrame(
+        [(0.9, 1), (0.2, 1)], "score double, y int"
+    )
+    r = binary_metrics(df, "score", "y").collect()[0]
+    assert r.auc is None
+    assert r.accuracy == 0.5
+    assert (r.n_pos, r.n_neg) == (2, 0)
+
+
+def test_logreg_train_empty_corpus(spark):
+    from minerva_etl_spark.operators.logreg import logreg_train
+
+    df = spark.createDataFrame([], "x double, y int")
+    assert logreg_train(df, ["x"], "y", iters=3) == [0.0, 0.0]
