@@ -115,8 +115,12 @@ def fs_create_atomic(spark: SparkSession, path: str, content: str) -> bool:
         return True
     try:
         out = fs.create(hpath, False)
-    except Exception:
-        return False
+    except Exception as exc:  # contention only; real IO errors surface
+        java_exc = getattr(exc, "java_exception", None)
+        name = java_exc.getClass().getName() if java_exc else ""
+        if "AlreadyExists" in name or "FileAlreadyExists" in str(exc):
+            return False
+        raise
     try:
         out.write(bytearray(content.encode()))
     finally:
@@ -202,9 +206,38 @@ class StoreLease:
             if age is not None and (
                 _time.time() * 1000 - age > self.ttl * 1000
             ):
-                # expired lease from a crashed writer: reclaim and
-                # immediately contend for a fresh create
-                _lease_delete(self.spark, self.path)
+                # expired lease from a crashed writer.  A bare
+                # check-then-delete races: between observing staleness
+                # and deleting, another waiter may have reclaimed and
+                # created a FRESH lease, which we would then destroy —
+                # two writers inside the critical section.  Reclaim
+                # therefore runs under a short secondary mutex and
+                # re-verifies the OBSERVED token before deleting: a
+                # fresh lease always carries a new uuid, so the
+                # token-match guarantees we only ever delete the exact
+                # stale lease we saw.  (The reclaim mutex itself gets a
+                # crude 60 s mtime reclaim — second-order crash risk,
+                # bounded and documented.)
+                observed = fs_read_small(self.spark, self.path)
+                rl = self.path + ".reclaim"
+                rl_age = fs_mtime_ms(self.spark, rl)
+                if rl_age is not None and (
+                    _time.time() * 1000 - rl_age > 60_000
+                ):
+                    _lease_delete(self.spark, rl)
+                if observed is not None and fs_create_atomic(
+                    self.spark, rl, self.token
+                ):
+                    try:
+                        cur = fs_read_small(self.spark, self.path)
+                        cur_age = fs_mtime_ms(self.spark, self.path)
+                        if cur == observed and cur_age is not None and (
+                            _time.time() * 1000 - cur_age
+                            > self.ttl * 1000
+                        ):
+                            _lease_delete(self.spark, self.path)
+                    finally:
+                        _lease_delete(self.spark, rl)
                 continue
             if _time.monotonic() >= deadline:
                 raise LockNotAvailable(

@@ -97,9 +97,17 @@ def logreg_weights_df(
 ) -> DataFrame:
     """Gate-friendly wrapper: the fitted weights as rows
     ``(idx, name, weight)`` with the weight rounded to 6 dp."""
+    import math
+
     w = logreg_train(df, feature_cols, label_col, iters=iters, lr=lr)
     names = ["bias"] + [f"w_{j + 1}" for j in range(len(feature_cols))]
-    rows = [(i, names[i], round(w[i], 6)) for i in range(len(w))]
+    # half-up 6-dp grid, NOT Python round() (banker's rounding) — the
+    # same floor(x*1e6+0.5)/1e6 the oracle computes, so a weight on an
+    # exact .5 boundary cannot diverge between the three runtimes
+    rows = [
+        (i, names[i], math.floor(w[i] * 1_000_000.0 + 0.5) / 1_000_000.0)
+        for i in range(len(w))
+    ]
     return df.sparkSession.createDataFrame(
         rows, "idx int, name string, weight double"
     )
@@ -144,9 +152,13 @@ def _train_ctes(
   SELECT {', '.join(gsel)} FROM d, wt{t} w
 )"""
         )
+        # coalesce + nullif: an EMPTY table yields NULL gradient sums
+        # and n=0 — weights then stay at their current value, exactly
+        # matching the Spark side's early return (for non-empty input
+        # both wrappers are identity, so the doubles are unchanged)
         upd = ", ".join(
-            f"w.w{j} - {float(lr)!r} * ((CAST(g.g{j} AS DOUBLE) "
-            f"/ 1000000.0) / n.n) AS w{j}"
+            f"coalesce(w.w{j} - {float(lr)!r} * ((CAST(g.g{j} AS DOUBLE) "
+            f"/ 1000000.0) / nullif(n.n, 0.0)), w.w{j}) AS w{j}"
             for j in range(k + 1)
         )
         ctes.append(
@@ -169,7 +181,8 @@ def logreg_oracle_sql(
     names = ["bias"] + [f"w_{j + 1}" for j in range(k)]
     outs = "\nUNION ALL\n".join(
         f"SELECT {i} AS idx, '{names[i]}' AS name, "
-        f"round(w{i}, 6) AS weight FROM wt{int(iters)}"
+        f"floor(w{i} * 1000000.0 + 0.5) / 1000000.0 AS weight "
+        f"FROM wt{int(iters)}"
         for i in range(k + 1)
     )
     body = ",\n".join(ctes)

@@ -381,7 +381,8 @@ def write_packed_sequences(
         .format(format)
         .save(path)
     )
-    sess = df.sparkSession
-    return sess.read.format(format).load(path).select(
-        "seq_id"
-    ).distinct().count()
+    # sequences are contiguous 0..max (every sequence owns >= 1 span),
+    # so the count comes from the span index — never from re-scanning
+    # the freshly written corpus-sized output
+    mx = spans.agg(F.max("seq_id")).first()[0]
+    return 0 if mx is None else int(mx) + 1

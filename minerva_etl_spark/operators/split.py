@@ -114,9 +114,10 @@ def leakage_split_oracle_sql(
     """DuckDB twin: ``components_sql`` must yield (id, component_id)
     exactly as the Spark components frame does."""
     thresholds = _thresholds(fractions)
+    cc = component_id_col
     bucket = (
         f"CAST(('0x' || substr(md5('{seed}' || ':' || "
-        f"CAST(component_id AS VARCHAR)), 1, 15)) AS BIGINT) % {_BUCKETS}"
+        f"CAST({cc} AS VARCHAR)), 1, 15)) AS BIGINT) % {_BUCKETS}"
     )
     case = "CAST(NULL AS VARCHAR)"
     for name, cum in reversed(thresholds):
@@ -127,14 +128,14 @@ WITH comps AS (
 ),
 labeled AS (
   SELECT d.{id_col},
-         coalesce(c.{component_id_col}, d.{id_col}) AS component_id
+         coalesce(c.{component_id_col}, d.{id_col}) AS {cc}
   FROM {table} d LEFT JOIN comps c ON d.{id_col} = c.{id_col}
 ),
 bucketed AS (
-  SELECT {id_col}, component_id,
+  SELECT {id_col}, {cc},
          CAST({bucket} AS BIGINT) AS split_bucket
   FROM labeled
 )
-SELECT {id_col}, component_id, split_bucket, {case} AS split
+SELECT {id_col}, {cc}, split_bucket, {case} AS split
 FROM bucketed
 """

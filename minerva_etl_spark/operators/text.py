@@ -441,6 +441,13 @@ def remove_boilerplate_segments(
     hash-identical (pinned by ``tests/test_text_curation.py``).
     """
     k = int(seg_words)
+    # NULL text must behave as '' BEFORE the path split: the broadcast
+    # path's higher-order filter() drops NULL-condition elements while
+    # the join path's md5(NULL) never matches a digest — without this
+    # normalization the two strategies would disagree on NULL-text
+    # documents (caught in review; pinned by the NULL-text differential
+    # test)
+    df = df.withColumn(text_col, F.coalesce(F.col(text_col), F.lit("")))
     segs_arr = _segments_sql(text_col, k)
     exploded = df.select(
         F.col(id_col), F.explode(F.expr(segs_arr)).alias("__seg")
@@ -888,7 +895,8 @@ def boilerplate_segments_ctes(
     k = int(seg_words)
     p = prefix
     ctes = f"""{p}words AS (
-  SELECT {id_col}, string_split({text_col}, ' ') AS w FROM {table}
+  SELECT {id_col}, string_split(coalesce({text_col}, ''), ' ') AS w
+  FROM {table}
 ),
 {p}segs AS (
   SELECT {id_col}, i AS idx,

@@ -1031,3 +1031,32 @@ def test_curate_corpus_cap_per_source(spark):
          for r in classify_quality(docs).collect() if r.doc_id < 10}
     best2 = set(sorted(q, key=lambda d: (-q[d], d))[:2])
     assert en == best2
+
+
+def test_boilerplate_null_text_paths_agree(spark):
+    """NULL-text documents behave as empty on BOTH apply strategies
+    (the broadcast filter and the distributed join would otherwise
+    disagree — review finding)."""
+    from minerva_etl_spark.operators.text import remove_boilerplate_segments
+
+    docs = spark.createDataFrame(
+        [(1, "common header line here body one"),
+         (2, "common header line here body two"),
+         (3, None),
+         (4, "something else entirely different words")],
+        "doc_id bigint, text string",
+    )
+    broadcast = {
+        r.doc_id: (r.n_segs, r.n_kept, r.new_text)
+        for r in remove_boilerplate_segments(
+            docs, max_docs=2, broadcast_threshold=10**6
+        ).collect()
+    }
+    joined = {
+        r.doc_id: (r.n_segs, r.n_kept, r.new_text)
+        for r in remove_boilerplate_segments(
+            docs, max_docs=2, broadcast_threshold=0
+        ).collect()
+    }
+    assert broadcast == joined
+    assert broadcast[3][2] == ""  # NULL text behaves as empty
