@@ -1320,6 +1320,19 @@ def cmd_corpus(args) -> None:
 
         merges, _vocab = bpe_train(df, n_merges=args.n)
         out = merges
+    elif args.action == "pack-ids":
+        from minerva_etl_spark.operators.bpe import bpe_train
+        from minerva_etl_spark.operators.shard import (
+            write_packed_token_ids,
+        )
+
+        merges, _vocab = bpe_train(df, n_merges=args.n)
+        n_seqs = write_packed_token_ids(
+            df, merges, args.output, seq_len=args.seq_len,
+            shuffle_seed=args.seed,
+        )
+        print(f"corpus pack-ids: {n_seqs} sequences -> {args.output}")
+        return
     else:  # pragma: no cover - argparse choices guard this
         raise ValueError(args.action)
     out.write.mode("overwrite").parquet(args.output)
@@ -1613,7 +1626,8 @@ def main(argv: list[str] | None = None) -> None:
 
     co = sub.add_parser("corpus")
     co.add_argument(
-        "action", choices=["split", "cap", "tfidf", "kmeans", "bpe"]
+        "action",
+        choices=["split", "cap", "tfidf", "kmeans", "bpe", "pack-ids"],
     )
     co.add_argument("--input", required=True, help="input parquet")
     co.add_argument("--output", required=True, help="output parquet")
@@ -1629,6 +1643,8 @@ def main(argv: list[str] | None = None) -> None:
                          "bpe: merge count")
     co.add_argument("--iters", type=int, default=2,
                     help="kmeans: Lloyd's rounds")
+    co.add_argument("--seq-len", type=int, default=2048,
+                    help="pack-ids: tokens per packed sequence")
     co.set_defaults(fn=cmd_corpus)
 
     qs = sub.add_parser("quick-start")

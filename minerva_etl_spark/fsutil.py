@@ -89,6 +89,30 @@ def swap_directory_write(spark: SparkSession, write, final: str) -> None:
     fs_rename(spark, tmp, final)
 
 
+def _is_absent_exc(exc: Exception) -> bool:
+    """True iff a py4j-raised Java exception means "file not found".
+
+    The lease helpers probe files other writers delete concurrently —
+    ``exists()`` returning True gives no guarantee the follow-up
+    ``open``/``getFileStatus`` still finds the file.  That window is
+    benign (the file is simply absent now), so callers translate it to
+    the same ``None`` an absent file returns instead of crashing the
+    waiter (the reference gets the equivalent robustness from its
+    deadlock-retry loop,
+    `/root/reference/src/minerva/commands/trend_store.py:1191-1196`)."""
+    java_exc = getattr(exc, "java_exception", None)
+    seen = set()
+    while java_exc is not None and id(java_exc) not in seen:
+        seen.add(id(java_exc))
+        try:
+            if "FileNotFound" in java_exc.getClass().getName():
+                return True
+            java_exc = java_exc.getCause()
+        except Exception:
+            break
+    return "FileNotFound" in str(exc)
+
+
 def fs_create_atomic(spark: SparkSession, path: str, content: str) -> bool:
     """Atomically create ``path`` with ``content``; False if it already
     exists — the test-and-set the store lease is built on.
@@ -118,7 +142,11 @@ def fs_create_atomic(spark: SparkSession, path: str, content: str) -> bool:
     except Exception as exc:  # contention only; real IO errors surface
         java_exc = getattr(exc, "java_exception", None)
         name = java_exc.getClass().getName() if java_exc else ""
-        if "AlreadyExists" in name or "FileAlreadyExists" in str(exc):
+        # some Hadoop FS implementations signal an existing file with a
+        # plain IOException whose MESSAGE (not class) says so — treat a
+        # case-insensitive "already exists" as contention too, so benign
+        # create races never surface as job failures on those backends
+        if "AlreadyExists" in name or "already exists" in str(exc).lower():
             return False
         raise
     try:
@@ -129,11 +157,18 @@ def fs_create_atomic(spark: SparkSession, path: str, content: str) -> bool:
 
 
 def fs_read_small(spark: SparkSession, path: str) -> str | None:
-    """Contents of a small file (lease tokens); None if absent."""
+    """Contents of a small file (lease tokens); None if absent — even
+    when another writer deletes the file between the exists-probe and
+    the open (exists→open is inherently TOCTOU under contention)."""
     fs, hpath, jvm = _fs(spark, path, raw=True)
     if not fs.exists(hpath):
         return None
-    stream = fs.open(hpath)
+    try:
+        stream = fs.open(hpath)
+    except Exception as exc:
+        if _is_absent_exc(exc):
+            return None
+        raise
     try:
         # py4j passes byte[] buffers by value, so a read(buf) loop never
         # fills the Python-side buffer — commons-io (on Spark's
@@ -145,17 +180,29 @@ def fs_read_small(spark: SparkSession, path: str) -> str | None:
 
 
 def fs_mtime_ms(spark: SparkSession, path: str) -> int | None:
-    """Modification time of ``path`` in epoch ms; None if absent."""
+    """Modification time of ``path`` in epoch ms; None if absent — even
+    when the file vanishes between exists() and getFileStatus()."""
     fs, hpath, _ = _fs(spark, path, raw=True)
     if not fs.exists(hpath):
         return None
-    return int(fs.getFileStatus(hpath).getModificationTime())
+    try:
+        return int(fs.getFileStatus(hpath).getModificationTime())
+    except Exception as exc:
+        if _is_absent_exc(exc):
+            return None
+        raise
 
 
 def _lease_delete(spark: SparkSession, path: str) -> None:
+    """Delete a lease/marker file; concurrent-delete is success (the
+    desired postcondition — file absent — already holds)."""
     fs, hpath, _ = _fs(spark, path, raw=True)
-    if fs.exists(hpath):
-        fs.delete(hpath, False)
+    try:
+        if fs.exists(hpath):
+            fs.delete(hpath, False)
+    except Exception as exc:
+        if not _is_absent_exc(exc):
+            raise
 
 
 class StoreLease:
@@ -235,9 +282,27 @@ class StoreLease:
                             _time.time() * 1000 - cur_age
                             > self.ttl * 1000
                         ):
-                            _lease_delete(self.spark, self.path)
+                            # the mutex itself has a crude 60 s mtime
+                            # reclaim, so apply the same observed-token
+                            # rule one level down: only delete the
+                            # primary lease while the reclaim marker
+                            # still carries OUR token — if another
+                            # waiter reclaimed the mutex from us, it
+                            # owns the reclaim section now and we must
+                            # not delete a lease it may have just
+                            # re-acquired
+                            if (
+                                fs_read_small(self.spark, rl)
+                                == self.token
+                            ):
+                                _lease_delete(self.spark, self.path)
                     finally:
-                        _lease_delete(self.spark, rl)
+                        # release only a mutex still carrying our token
+                        # (the 60 s mtime reclaim may have handed it to
+                        # another waiter — deleting theirs would open
+                        # the reclaim section to a third)
+                        if fs_read_small(self.spark, rl) == self.token:
+                            _lease_delete(self.spark, rl)
                 continue
             if _time.monotonic() >= deadline:
                 raise LockNotAvailable(

@@ -773,6 +773,87 @@ def _oracle_pack_sequences() -> str:
     return pack_sequences_oracle_sql(512, "documents", shuffle_seed=42)
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (`operators/incremental.py::
+    ingest_increment`): two real deliveries through a persisted
+    signature store — delivery 1 bootstraps the state with 3/4 of the
+    corpus, delivery 2 dedups the remaining quarter against history
+    signature-to-signature (history text never rescanned), exact
+    digest + banded MinHash (est Jaccard ≥ 0.5), first-seen-wins.
+    Oracle: the FULL-RECOMPUTE formulation over history ∪ delta
+    restricted to delta rows — pinning incremental == recompute."""
+    _prep(spark)
+    import os
+    import tempfile
+
+    from minerva_etl_spark.operators.incremental import ingest_increment
+
+    docs = load_table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="minerva_gate_incdedup_")
+    state_path = os.path.join(root, "dedup_state")
+    ingest_increment(spark, docs.filter("doc_id % 4 < 3"), state_path)
+    return ingest_increment(
+        spark, docs.filter("doc_id % 4 = 3"), state_path
+    )
+
+
+def _oracle_incremental_dedup() -> str:
+    from minerva_etl_spark.operators.incremental import (
+        dedup_increment_oracle_sql,
+    )
+
+    return dedup_increment_oracle_sql(
+        "doc_id % 4 < 3", "doc_id % 4 = 3", "documents"
+    )
+
+
+def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-ID encoding (`operators/bpe.py::bpe_encode_ids`): train 12
+    merges, then emit each document's actual BPE token-id array —
+    base symbols take lexicographic ids 0..B-1, merge rank r takes
+    B+r (min id per surface token on collisions).  Vocab-bounded
+    equi-joins + order-restoring per-doc rebuild; the oracle replays
+    the identical id assignment in DuckDB."""
+    _prep(spark)
+    from minerva_etl_spark.operators.bpe import bpe_encode_ids, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=12, min_count=2)
+    return bpe_encode_ids(docs, merges)
+
+
+def _oracle_bpe_encode_ids() -> str:
+    from minerva_etl_spark.operators.bpe import bpe_encode_ids_oracle_sql
+
+    return bpe_encode_ids_oracle_sql("documents", n_merges=12, min_count=2)
+
+
+def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed token-id sequences (`operators/shard.py::
+    pack_token_ids`): the full pretraining export — BPE-encode with 12
+    learned merges, concatenate the id stream in the seeded md5
+    shuffle order, cut into 512-id sequences, slice each document's
+    array to its span.  Conservation (pytest): packed ids ==
+    encoded doc ids as multisets."""
+    _prep(spark)
+    from minerva_etl_spark.operators.bpe import bpe_train
+    from minerva_etl_spark.operators.shard import pack_token_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=12, min_count=2)
+    return pack_token_ids(
+        docs, merges, seq_len=512, num_ranges=8, shuffle_seed=42
+    )
+
+
+def _oracle_pack_token_ids() -> str:
+    from minerva_etl_spark.operators.shard import pack_token_ids_oracle_sql
+
+    return pack_token_ids_oracle_sql(
+        512, n_merges=12, min_count=2, shuffle_seed=42
+    )
+
+
 def q_curated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed training-export pipeline — mix → shuffle → pack in
     one call (`operators/mixing.py::curated_export`): temper the
@@ -2613,6 +2694,10 @@ _REGISTRY_ORDER = [
     "bpe_encode",
     "logreg_train",
     "logreg_eval",
+    # round-8 additions (token-id export arc + incremental curation)
+    "bpe_encode_ids",
+    "pack_token_ids",
+    "incremental_dedup",
 ]
 
 
@@ -2692,6 +2777,9 @@ def build_queries() -> dict:
         "bpe_encode": q_bpe_encode,
         "logreg_train": q_logreg_train,
         "logreg_eval": q_logreg_eval,
+        "bpe_encode_ids": q_bpe_encode_ids,
+        "pack_token_ids": q_pack_token_ids,
+        "incremental_dedup": q_incremental_dedup,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2788,6 +2876,9 @@ def build_oracles() -> dict[str, str]:
         "bpe_encode": _oracle_bpe_encode(),
         "logreg_train": _oracle_logreg_train(),
         "logreg_eval": _oracle_logreg_eval(),
+        "bpe_encode_ids": _oracle_bpe_encode_ids(),
+        "pack_token_ids": _oracle_pack_token_ids(),
+        "incremental_dedup": _oracle_incremental_dedup(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -265,6 +265,207 @@ def bpe_encode_counts(
     )
 
 
+def bpe_encode_ids(
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a learned merge table and emit the per-document **token-id
+    arrays** a pretraining loader actually consumes —
+    ``(id, n_bpe_tokens, token_ids array<int>)``.
+
+    Id scheme (deterministic, derived from the merge table + corpus
+    alphabet, the standard BPE vocabulary contract): base symbols (the
+    distinct initial character symbols, alphabet-bounded) take ids
+    ``0..B-1`` in lexicographic order; the merge of rank ``r`` takes id
+    ``B + r``.  Two different merges CAN produce the same surface token
+    (``a+bc`` and ``ab+c`` both yield ``abc``) — the vocabulary keeps
+    the lowest id per token string, as real BPE vocab files do.
+
+    Scale shape: the merge fold runs once per DISTINCT word (the
+    word-frequency table, not the corpus); symbol→id resolution is a
+    vocab-bounded equi-join (never a giant in-row map literal, which
+    would blow codegen at real vocabulary sizes); documents recover
+    ordered ids through posexplode + an AQE-skew-tolerant word join +
+    an order-restoring ``array_sort(collect_list(struct))`` rebuild —
+    the same per-doc rebuild shape as the boilerplate join path.
+    """
+    from pyspark.sql import Window
+
+    ms = [
+        (r["left"], r["right"], r["left"][: -len(_T)] + r["right"])
+        for r in merges.orderBy("rank").collect()
+    ]
+    if ms:
+        pats = ", ".join(_sq(f" {l} {r}") for l, r, _ in ms)
+        reps = ", ".join(_sq(f" {m}") for _, _, m in ms)
+        fold = (
+            f"aggregate(arrays_zip(array({pats}), array({reps})), "
+            "sym, (acc, x) -> replace(acc, x['0'], x['1']))"
+        )
+    else:
+        fold = "sym"
+    vocab0 = _initial_vocab(docs, text_col)
+    # base symbol ids: the distinct initial symbols are alphabet-bounded
+    # (tens of rows) — a single-task window over them is free
+    base = (
+        vocab0.select(
+            F.explode(F.split(F.trim(F.col("sym")), " ")).alias("tok")
+        )
+        .distinct()
+        .withColumn(
+            "tid", (F.row_number().over(Window.orderBy("tok")) - 1)
+        )
+    )
+    n_base = base.count()
+    spark = docs.sparkSession
+    mtoks = spark.createDataFrame(
+        [(m, n_base + r) for r, (_l, _r, m) in enumerate(ms)],
+        "tok string, tid int",
+    )
+    vocab_ids = (
+        base.select("tok", F.col("tid").cast("int"))
+        .unionByName(mtoks)
+        .groupBy("tok")
+        .agg(F.min("tid").alias("tid"))
+    )
+    wsym = vocab0.select(
+        "word",
+        F.posexplode(F.split(F.trim(F.expr(fold)), " ")).alias(
+            "spos", "tok"
+        ),
+    )
+    wids = (
+        wsym.join(vocab_ids, "tok")
+        .groupBy("word")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(spos, tid))),"
+                " x -> x.tid)"
+            ).alias("ids")
+        )
+    )
+    dwords = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("wpos", "word"),
+    ).filter(F.col("word") != "")
+    return (
+        dwords.join(wids, "word")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "flatten(transform("
+                "array_sort(collect_list(struct(wpos, ids))),"
+                " x -> x.ids))"
+            )
+            .cast("array<int>")
+            .alias("token_ids")
+        )
+        .select(
+            id_col,
+            F.size("token_ids").cast("bigint").alias("n_bpe_tokens"),
+            "token_ids",
+        )
+    )
+
+
+def bpe_encode_ids_oracle_sql(
+    table: str,
+    n_merges: int,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of training then :func:`bpe_encode_ids` on the same
+    corpus: the training CTE chain nested once, base-symbol ids by
+    lexicographic row_number, merged ids ``B + rank`` (min per surface
+    token), per-word id lists in symbol order, per-doc flatten in word
+    order."""
+    train = bpe_oracle_sql(table, n_merges, min_count, text_col)
+    sym = (
+        "' ' || array_to_string(list_transform("
+        "  generate_series(1, len(word)),"
+        f"  i -> substr(word, i, 1) || CASE WHEN i = len(word)"
+        f"    THEN '{_EOW}{_T}' ELSE '{_T}' END), ' ')"
+    )
+    return f"""
+WITH tr AS MATERIALIZED (
+  SELECT * FROM (
+{train}
+  )
+),
+m AS MATERIALIZED (
+  SELECT coalesce(list(' ' || "left" || ' ' || "right" ORDER BY rank),
+                  []) AS ps,
+         coalesce(list(' ' || substr("left", 1, len("left") - {len(_T)})
+                       || "right" ORDER BY rank), []) AS rs
+  FROM tr
+),
+v AS MATERIALIZED (
+  SELECT word, {sym} AS sym FROM (
+    SELECT DISTINCT unnest(string_split_regex(lower({text_col}),
+                                              '[^a-z]+')) AS word
+    FROM {table}
+  ) WHERE word <> ''
+),
+encw AS MATERIALIZED (
+  SELECT v.word,
+         string_split(trim(
+           list_reduce(
+             list_prepend(v.sym,
+               list_transform(generate_series(1, len(m.ps)),
+                              i -> CAST(i AS VARCHAR))),
+             (acc, x) -> replace(acc, m.ps[CAST(x AS INT)],
+                                 m.rs[CAST(x AS INT)]))), ' ') AS syms
+  FROM v, m
+),
+base AS MATERIALIZED (
+  SELECT sym AS tok,
+         CAST(row_number() OVER (ORDER BY sym) - 1 AS INT) AS tid
+  FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS sym
+        FROM v)
+),
+mt AS (
+  SELECT substr("left", 1, len("left") - {len(_T)}) || "right" AS tok,
+         CAST((SELECT count(*) FROM base) + rank AS INT) AS tid
+  FROM tr
+),
+voc AS MATERIALIZED (
+  SELECT tok, MIN(tid) AS tid
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM mt)
+  GROUP BY tok
+),
+ws AS (
+  SELECT word, unnest(syms) AS tok, generate_subscripts(syms, 1) AS ord
+  FROM encw
+),
+wid AS MATERIALIZED (
+  SELECT word, list(voc.tid ORDER BY ws.ord) AS ids
+  FROM ws JOIN voc USING (tok) GROUP BY word
+),
+dw AS (
+  SELECT {id_col}, unnest(wlist) AS word,
+         generate_subscripts(wlist, 1) AS ord
+  FROM (SELECT {id_col},
+               list_filter(string_split_regex(lower({text_col}),
+                                              '[^a-z]+'),
+                           x -> x <> '') AS wlist
+        FROM {table})
+),
+agg AS (
+  SELECT {id_col}, flatten(list(wid.ids ORDER BY dw.ord)) AS token_ids
+  FROM dw JOIN wid USING (word) GROUP BY {id_col}
+)
+SELECT {id_col},
+       CAST(len(token_ids) AS BIGINT) AS n_bpe_tokens,
+       CAST(token_ids AS INT[]) AS token_ids
+FROM agg
+"""
+
+
 def bpe_encode_oracle_sql(
     table: str,
     n_merges: int,

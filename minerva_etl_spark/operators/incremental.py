@@ -1,0 +1,330 @@
+"""Incremental corpus dedup: persisted signature state + delta dedup.
+
+The trend side of the engine has a full incremental protocol — modified
+log + fingerprint staleness (`materialize/fingerprint.py`, mirroring
+reference `src/minerva/commands/trend_store.py:908-963` and
+`aggregation_compilation.py:773-785`).  This module applies the same
+design to the LLM-curation side: ingesting a new crawl increment must
+not re-read 100 TB of historical text.  The **dedup state** is one row
+per ever-ingested document — a normalized content digest plus the
+16-hash MinHash signature (~150 bytes/doc, ~10⁻⁶ of the text it
+indexes) — enough to answer both exact- and near-dup questions against
+all of history signature-to-signature.
+
+The state keeps EVERY ingested doc's signature, kept and dropped alike.
+That is load-bearing for recompute-equivalence: if dropped docs left
+the state, a new doc C that collides only with dropped B (itself a dup
+of kept A) would sail through incrementally while a full recompute
+flags it — the same reason the reference's modified log records every
+modification, not just surviving ones.
+
+Scale shape: the history side of every decision is the state table
+(signatures, never text); history-vs-delta near-dup candidates come
+from a band equi-join (state melts to (band_key, id) — 4 rows/doc);
+delta-vs-delta runs the ordinary LSH self-join on the delta only.  The
+state append serializes under the same :class:`~minerva_etl_spark.
+fsutil.StoreLease` protocol as the trend stores' modified log.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from minerva_etl_spark.fsutil import StoreLease, parquet_exists
+from minerva_etl_spark.operators.dedup import (
+    MINHASH_COEFFS,
+    MINHASH_PRIME,
+    _base_hash_duck,
+    minhash_signatures,
+    shingles_duck_sql,
+)
+from minerva_etl_spark.operators.text import tokens_duck_sql, tokens_spark_sql
+
+
+def build_dedup_state(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(doc_id, content_key, mh_0..mh_{k-1}) for every document.
+
+    ``content_key`` is the normalized-token digest `exact_dedup` uses;
+    the signature columns are `minhash_signatures`'s.  Every doc has at
+    least one shingle (short docs shingle to their whole text), so the
+    join is total — one state row per input doc, always.
+    """
+    keys = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(
+            F.array_join(F.expr(tokens_spark_sql(text_col)), " ")
+        ).alias("content_key"),
+    )
+    sigs = minhash_signatures(
+        docs, text_col, id_col, num_hashes, shingle_size
+    ).withColumnRenamed(id_col, "doc_id")
+    return keys.join(sigs, "doc_id")
+
+
+def append_dedup_state(
+    spark: SparkSession, state: DataFrame, path: str
+) -> None:
+    """Append a delta's signatures to the persisted state under the
+    store-lease protocol (same single-writer rule as the trend stores'
+    modified-log append — two concurrent increments serialize here)."""
+    with StoreLease(spark, path.rstrip("/") + ".__lease"):
+        state.write.mode("append").parquet(path)
+
+
+def read_dedup_state(spark: SparkSession, path: str) -> DataFrame:
+    if not parquet_exists(spark, path):
+        raise FileNotFoundError(f"no dedup state at {path}")
+    return spark.read.parquet(path)
+
+
+def _band_cols(num_hashes: int, bands: int) -> list:
+    rows_per_band = num_hashes // bands
+    cols = []
+    for b in range(bands):
+        parts = [
+            f"mh_{i}"
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        cols.append(
+            F.md5(F.concat_ws(",", F.lit(b), *parts)).alias(f"band_{b}")
+        )
+    return cols
+
+
+def _melt_bands(state: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    banded = state.select(F.col("doc_id"), *_band_cols(num_hashes, bands))
+    return banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.col(f"band_{b}") for b in range(bands)])
+        ).alias("band_key"),
+    )
+
+
+def dedup_increment(
+    delta_state: DataFrame,
+    history_state: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup a delta against all of history WITHOUT reading history
+    text — both sides are signature-state frames from
+    :func:`build_dedup_state`.
+
+    Per delta doc: ``exact_dup_of`` = the lowest doc id (history or
+    lower-id delta) sharing its content digest, ``near_dup_of`` = the
+    lowest doc id among LSH band-mates with estimated Jaccard ≥
+    ``threshold``, ``keep`` = neither fired.  Decisions are exactly
+    what a full recompute over history ∪ delta would say about the
+    delta rows (pinned by the ``incremental_dedup`` oracle row and the
+    two-delivery pytest) — "first seen wins", the same canonical rule
+    as `keep_best_per_component`'s min-id default.
+
+    Plan: one union of the two signature frames (history text never
+    rescanned), an exact groupBy-min on the digest, a band equi-join
+    melt (4 rows/doc) against delta bands, and a map-side-combinable
+    min per delta doc.  No window, no cross join; AQE handles band
+    skew the same way `minhash_candidate_pairs` relies on it.
+    """
+    assert num_hashes % bands == 0
+    all_state = history_state.select(delta_state.columns).unionByName(
+        delta_state
+    )
+    # exact: lowest id per digest over history ∪ delta, joined back
+    min_per_key = all_state.groupBy("content_key").agg(
+        F.min("doc_id").alias("__min_id")
+    )
+    exact = (
+        delta_state.select("doc_id", "content_key")
+        .join(min_per_key, "content_key")
+        .select(
+            "doc_id",
+            "content_key",
+            F.when(F.col("__min_id") < F.col("doc_id"), F.col("__min_id"))
+            .cast("bigint")
+            .alias("exact_dup_of"),
+        )
+    )
+    # near: band-mates with lower id, signature-verified
+    melted_all = _melt_bands(all_state, num_hashes, bands)
+    melted_delta = _melt_bands(delta_state, num_hashes, bands)
+    cand = (
+        melted_delta.alias("d")
+        .join(melted_all.alias("h"), "band_key")
+        .filter(F.col("h.doc_id") < F.col("d.doc_id"))
+        .select(
+            F.col("d.doc_id").alias("doc_id"),
+            F.col("h.doc_id").alias("partner_id"),
+        )
+        .distinct()
+    )
+    sig_d = delta_state.select(
+        F.col("doc_id"),
+        *[F.col(f"mh_{i}").alias(f"d_mh_{i}") for i in range(num_hashes)],
+    )
+    sig_h = all_state.select(
+        F.col("doc_id").alias("partner_id"),
+        *[F.col(f"mh_{i}").alias(f"h_mh_{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"d_mh_{i}") == F.col(f"h_mh_{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    near = (
+        cand.join(sig_d, "doc_id")
+        .join(sig_h, "partner_id")
+        .filter(
+            matches.cast("double") / F.lit(float(num_hashes))
+            >= F.lit(float(threshold))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("partner_id").cast("bigint").alias("near_dup_of"))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            "content_key",
+            "exact_dup_of",
+            "near_dup_of",
+            (
+                F.col("exact_dup_of").isNull()
+                & F.col("near_dup_of").isNull()
+            ).alias("keep"),
+        )
+    )
+
+
+def ingest_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full delivery cycle: signature the delta, dedup it against
+    the persisted state, append the delta's signatures (under the store
+    lease), return the per-doc decisions.  First delivery bootstraps an
+    empty state.  The returned frame is computed BEFORE the append (a
+    doc is never compared against itself)."""
+    delta_state = build_dedup_state(
+        new_docs, text_col, id_col, num_hashes, shingle_size
+    ).localCheckpoint(eager=True)  # signatures computed once: reused by
+    # the decision join AND the append below
+    if parquet_exists(spark, state_path):
+        history = read_dedup_state(spark, state_path)
+    else:
+        history = spark.createDataFrame([], delta_state.schema)
+    out = dedup_increment(
+        delta_state, history, num_hashes, bands, threshold
+    ).localCheckpoint(eager=True)  # decisions pinned before state mutates
+    append_dedup_state(spark, delta_state, state_path)
+    return out
+
+
+def dedup_increment_oracle_sql(
+    history_pred: str,
+    delta_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_size: int = 3,
+) -> str:
+    """DuckDB twin: the FULL-RECOMPUTE formulation restricted to delta
+    rows — the equivalence the incremental path must reproduce.
+    ``history_pred``/``delta_pred`` partition ``table`` by a SQL
+    predicate over its columns."""
+    sh = shingles_duck_sql(text_col, shingle_size)
+    toks = tokens_duck_sql(text_col)
+    mh_cols = ",\n    ".join(
+        f"min(({a} * __h + {b}) % {MINHASH_PRIME}) AS mh_{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS[:num_hashes])
+    )
+    rows_per_band = num_hashes // bands
+    band_exprs = []
+    for b in range(bands):
+        parts = " || ',' || ".join(
+            f"CAST(mh_{i} AS VARCHAR)"
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        band_exprs.append(f"md5('{b}' || ',' || {parts}) AS band_{b}")
+    bands_sql = ",\n    ".join(band_exprs)
+    band_union = "\nUNION ALL\n".join(
+        f"SELECT {id_col}, band_{b} AS band_key FROM banded"
+        for b in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN d.mh_{i} = h.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+WITH scoped AS MATERIALIZED (
+  SELECT {id_col}, {text_col},
+         ({delta_pred}) AS is_delta
+  FROM {table}
+  WHERE ({history_pred}) OR ({delta_pred})
+),
+keys AS MATERIALIZED (
+  SELECT {id_col}, is_delta,
+         md5(array_to_string({toks}, ' ')) AS content_key
+  FROM scoped
+),
+exacts AS (
+  SELECT k.{id_col}, k.content_key,
+         CASE WHEN m.min_id < k.{id_col} THEN m.min_id END
+           AS exact_dup_of
+  FROM keys k
+  JOIN (SELECT content_key, CAST(min({id_col}) AS BIGINT) AS min_id
+        FROM keys GROUP BY content_key) m USING (content_key)
+  WHERE k.is_delta
+),
+exploded AS (
+  SELECT {id_col}, unnest({sh}) AS __shingle FROM scoped
+), hashed AS (
+  SELECT {id_col}, {_base_hash_duck('__shingle')} AS __h FROM exploded
+), sigs AS MATERIALIZED (
+  SELECT {id_col},
+    {mh_cols}
+  FROM hashed
+  GROUP BY {id_col}
+), banded AS (
+  SELECT {id_col},
+    {bands_sql}
+  FROM sigs
+), melted AS (
+{band_union}
+), near AS (
+  SELECT dd.{id_col},
+         CAST(min(p.partner) AS BIGINT) AS near_dup_of
+  FROM (
+    SELECT DISTINCT l.{id_col} AS partner, r.{id_col} AS {id_col}
+    FROM melted l JOIN melted r ON l.band_key = r.band_key
+    WHERE l.{id_col} < r.{id_col}
+  ) p
+  JOIN keys dd ON dd.{id_col} = p.{id_col} AND dd.is_delta
+  JOIN sigs h ON h.{id_col} = p.partner
+  JOIN sigs d ON d.{id_col} = p.{id_col}
+  WHERE CAST(({match_sum}) AS DOUBLE) / {float(num_hashes)}
+        >= {float(threshold)}
+  GROUP BY dd.{id_col}
+)
+SELECT e.{id_col} AS doc_id, e.content_key,
+       CAST(e.exact_dup_of AS BIGINT) AS exact_dup_of,
+       n.near_dup_of,
+       (e.exact_dup_of IS NULL AND n.near_dup_of IS NULL) AS keep
+FROM exacts e LEFT JOIN near n ON n.{id_col} = e.{id_col}
+"""

@@ -228,6 +228,114 @@ def pack_sequences(
     )
 
 
+def pack_token_ids(
+    docs: DataFrame,
+    merges: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_ranges: int | None = None,
+    shuffle_seed: int | None = None,
+) -> DataFrame:
+    """Packed **token-id** sequences — the final pretraining artifact:
+    BPE-encode every document with a learned merge table
+    (:func:`~minerva_etl_spark.operators.bpe.bpe_encode_ids`), then cut
+    the id-stream into fixed ``seq_len`` sequences with
+    :func:`pack_sequences` and slice each document's id array to its
+    span.  One row per (sequence, document) intersection:
+    ``(seq_id, id, pos_start, token_ids array<int>)`` — concatenating a
+    sequence's rows in ``pos_start`` order yields exactly ``seq_len``
+    ids (last sequence may be short), and the row boundaries double as
+    the attention document-boundary mask.
+
+    Scale shape: encoding is vocab-bounded joins (no corpus-sized
+    driver state), packing is the two-pass distributed prefix sum (no
+    global sort), and the slice is in-row — the id arrays themselves
+    never shuffle twice (the span join co-shuffles ids once on the doc
+    key).  Conservation law (tested): the multiset of packed ids ==
+    the multiset of encoded doc ids.
+    """
+    from minerva_etl_spark.operators.bpe import bpe_encode_ids
+
+    enc = bpe_encode_ids(
+        docs, merges, id_col=id_col, text_col=text_col
+    ).localCheckpoint(eager=True)  # encode once: spans + slices reread it
+    spans = pack_sequences(
+        enc,
+        seq_len,
+        id_col=id_col,
+        token_col="n_bpe_tokens",
+        num_ranges=num_ranges,
+        shuffle_seed=shuffle_seed,
+    )
+    return (
+        enc.select(id_col, "token_ids")
+        .join(spans, id_col)
+        .select(
+            "seq_id",
+            id_col,
+            "pos_start",
+            F.expr("slice(token_ids, tok_start + 1, tok_end - tok_start)")
+            .cast("array<int>")
+            .alias("token_ids"),
+        )
+    )
+
+
+def pack_token_ids_oracle_sql(
+    seq_len: int,
+    n_merges: int,
+    min_count: int = 2,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shuffle_seed: int | None = None,
+) -> str:
+    """DuckDB twin of :func:`pack_token_ids`: the encode-ids chain
+    nested once, the global-window prefix sum over the identical
+    order, and 1-based inclusive list slicing (DuckDB ``l[a:b]`` ==
+    Spark ``slice(l, a, b - a + 1)``)."""
+    from minerva_etl_spark.operators.bpe import bpe_encode_ids_oracle_sql
+
+    L = int(seq_len)
+    enc = bpe_encode_ids_oracle_sql(
+        table, n_merges, min_count, id_col, text_col
+    )
+    if shuffle_seed is not None:
+        ordkey = (
+            f"CAST(('0x' || substr(md5('{int(shuffle_seed)}:' || "
+            f"CAST({id_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+        )
+        order_by = f"{ordkey}, {id_col}"
+    else:
+        order_by = id_col
+    return f"""
+WITH encdoc AS MATERIALIZED (
+  SELECT * FROM (
+{enc}
+  )
+),
+o AS (
+  SELECT {id_col}, n_bpe_tokens AS n_tokens, token_ids,
+         CAST(SUM(n_bpe_tokens) OVER (ORDER BY {order_by}
+                                      ROWS UNBOUNDED PRECEDING)
+              - n_bpe_tokens AS BIGINT) AS off
+  FROM encdoc
+)
+SELECT CAST(s.k AS BIGINT) AS seq_id,
+       {id_col},
+       CAST(greatest(off, s.k * {L}) - s.k * {L} AS BIGINT) AS pos_start,
+       CAST(token_ids[CAST(greatest(off, s.k * {L}) - off + 1 AS INT) :
+                      CAST(least(off + n_tokens, s.k * {L} + {L}) - off
+                           AS INT)]
+            AS INT[]) AS token_ids
+FROM o
+CROSS JOIN UNNEST(generate_series(off // {L},
+                                  (off + n_tokens - 1) // {L})) AS s(k)
+WHERE n_tokens > 0
+"""
+
+
 def pack_sequences_oracle_sql(
     seq_len: int,
     table: str = "documents",
@@ -332,6 +440,39 @@ def write_token_shards(
         .save(path)
     )
     return out.select("shard_id").distinct().count()
+
+
+def write_packed_token_ids(
+    docs: DataFrame,
+    merges: DataFrame,
+    path: str,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seqs_per_file: int = 1024,
+    shuffle_seed: int | None = None,
+    format: str = "parquet",
+) -> int:
+    """Materialize :func:`pack_token_ids` grouped into
+    ``seqs_per_file``-sequence file partitions (same layout contract as
+    :func:`write_packed_sequences`, but carrying the actual token-id
+    arrays a loader memory-maps).  Returns the sequence count."""
+    spans = pack_token_ids(
+        docs, merges, seq_len, id_col=id_col, text_col=text_col,
+        shuffle_seed=shuffle_seed,
+    )
+    out = spans.withColumn(
+        "file_id", F.expr(f"seq_id div {int(seqs_per_file)}")
+    )
+    (
+        out.repartition("file_id")
+        .write.mode("overwrite")
+        .partitionBy("file_id")
+        .format(format)
+        .save(path)
+    )
+    mx = spans.agg(F.max("seq_id")).first()[0]
+    return 0 if mx is None else int(mx) + 1
 
 
 def write_packed_sequences(

@@ -1,0 +1,111 @@
+"""Incremental dedup: persisted signature state + delta deliveries.
+
+The curation twin of the trend side's modified-log/fingerprint
+protocol (`materialize/fingerprint.py`): decisions about a new
+delivery must equal a full recompute over history ∪ delta, without
+ever re-reading history text.
+"""
+
+import os
+
+import pytest
+
+
+@pytest.fixture()
+def corpus(spark):
+    base = " ".join(f"shared w{i} token" for i in range(12))
+    rows = [
+        (1, base + " ending today"),
+        (2, base + " ending today"),
+        (3, "completely different content about distributed query engines"),
+        (4, base + " ending tomorrow"),
+        (5, "an unrelated document describing parquet column encodings"),
+        # delivery 2
+        (6, base + " ending today"),
+        (7, "fresh unseen text that matches nothing else in the corpus"),
+        (8, "an unrelated document describing parquet column encodings"),
+        (9, "fresh unseen text that matches nothing else in the corpus"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_two_delivery_increment_equals_full_recompute(spark, corpus, tmp_path):
+    """Delivery 2's incremental decisions == what a single full-corpus
+    pass says about the same docs (exact digests AND banded near-dups),
+    including duplicate-of-a-DROPPED-doc resolution to the global min
+    id — the property that forces the state to keep dropped docs'
+    signatures."""
+    from minerva_etl_spark.operators.incremental import (
+        build_dedup_state,
+        dedup_increment,
+        ingest_increment,
+    )
+
+    state_path = str(tmp_path / "state")
+    d1 = corpus.filter("doc_id <= 5")
+    d2 = corpus.filter("doc_id > 5")
+    ingest_increment(spark, d1, state_path)
+    got = {
+        r.doc_id: (r.exact_dup_of, r.near_dup_of, r.keep)
+        for r in ingest_increment(spark, d2, state_path).collect()
+    }
+    # full recompute: everything as one delta against empty history
+    all_state = build_dedup_state(corpus)
+    empty = spark.createDataFrame([], all_state.schema)
+    full = {
+        r.doc_id: (r.exact_dup_of, r.near_dup_of, r.keep)
+        for r in dedup_increment(all_state, empty).collect()
+        if r.doc_id > 5
+    }
+    assert got == full
+    # spot-checks: 6 is an exact dup of 1 (not of dropped 2 — min id
+    # wins); 8 dups 5; 7 is new on arrival; 9 dups 7 within-delivery
+    assert got[6][0] == 1 and not got[6][2]
+    assert got[8][0] == 5 and not got[8][2]
+    assert got[7][2] is True
+    assert got[9][0] == 7 and not got[9][2]
+
+
+def test_bootstrap_delivery_dedups_within_itself(spark, corpus, tmp_path):
+    """Delivery 1 against an empty state still dedups inside the
+    delivery: doc 2 resolves to doc 1, near-dup 4 resolves to 1."""
+    from minerva_etl_spark.operators.incremental import ingest_increment
+
+    state_path = str(tmp_path / "state")
+    out = {
+        r.doc_id: r
+        for r in ingest_increment(
+            spark, corpus.filter("doc_id <= 5"), state_path
+        ).collect()
+    }
+    assert out[1].keep and out[3].keep and out[5].keep
+    assert out[2].exact_dup_of == 1
+    assert out[4].exact_dup_of is None  # one word differs
+    assert out[4].near_dup_of == 1      # ...but near-dups doc 1
+    assert not out[4].keep
+
+
+def test_state_grows_by_delivery_and_lease_released(spark, corpus, tmp_path):
+    """The state holds one signature row per EVER-ingested doc (kept
+    and dropped), appended per delivery; the append lease is released
+    afterwards."""
+    from minerva_etl_spark.operators.incremental import (
+        ingest_increment,
+        read_dedup_state,
+    )
+
+    state_path = str(tmp_path / "state")
+    ingest_increment(spark, corpus.filter("doc_id <= 5"), state_path)
+    assert read_dedup_state(spark, state_path).count() == 5
+    ingest_increment(spark, corpus.filter("doc_id > 5"), state_path)
+    state = read_dedup_state(spark, state_path)
+    assert state.count() == 9
+    assert state.select("doc_id").distinct().count() == 9
+    assert not os.path.exists(state_path + ".__lease")
+
+
+def test_missing_state_raises(spark, tmp_path):
+    from minerva_etl_spark.operators.incremental import read_dedup_state
+
+    with pytest.raises(FileNotFoundError):
+        read_dedup_state(spark, str(tmp_path / "nope"))

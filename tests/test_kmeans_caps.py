@@ -329,6 +329,31 @@ def test_bpe_encode_counts_hand_computed(spark):
     assert (rows[3].n_words, rows[3].n_bpe_tokens) == (2, 2)
 
 
+def test_bpe_encode_ids_hand_computed(spark):
+    """Token-id arrays under the deterministic id scheme: base symbols
+    0..B-1 lexicographic, merge rank r gets B+r.  For the textbook
+    corpus B=9 (e_ l_ n_ o_ r</w>_ s_ t</w>_ w</w>_ w_ — note
+    'w</w>_' < 'w_' because '<' < '_' in ASCII), so the 6 merges take
+    ids 9..14."""
+    from minerva_etl_spark.operators.bpe import bpe_encode_ids, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"),
+         (2, "new newer newest new"),
+         (3, "low new")],
+        "doc_id bigint, text string",
+    )
+    merges, _ = bpe_train(docs, n_merges=6, min_count=2)
+    rows = {r.doc_id: r for r in bpe_encode_ids(docs, merges).collect()}
+    # low=[11] lower=[14,4] lowest=[14,5,6] new=[13] newer=[10,12,4]
+    # newest=[10,12,5,6]
+    assert list(rows[1].token_ids) == [11, 14, 4, 14, 5, 6, 11, 11]
+    assert list(rows[2].token_ids) == [13, 10, 12, 4, 10, 12, 5, 6, 13]
+    assert list(rows[3].token_ids) == [11, 13]
+    for r in rows.values():
+        assert r.n_bpe_tokens == len(r.token_ids)
+
+
 def test_bpe_encode_no_merges_is_char_count(spark):
     from minerva_etl_spark.operators.bpe import bpe_encode_counts
 

@@ -264,3 +264,62 @@ def test_write_packed_sequences_roundtrip(spark, tmp_path):
 
     groups = [d for d in os.listdir(path) if d.startswith("file_id=")]
     assert len(groups) == (n_seqs + 3) // 4
+
+
+def test_pack_token_ids_conservation_and_reassembly(spark):
+    """The packed-id export conserves the encoded id stream exactly:
+    the multiset of packed ids equals the multiset of per-doc encoded
+    ids, and concatenating each sequence's spans in pos_start order
+    reproduces the document-order id stream tile by tile."""
+    from minerva_etl_spark.operators.bpe import bpe_encode_ids, bpe_train
+    from minerva_etl_spark.operators.shard import pack_token_ids
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"),
+         (2, "new newer newest new"),
+         (3, "low new")],
+        "doc_id bigint, text string",
+    )
+    merges, _ = bpe_train(docs, n_merges=6, min_count=2)
+    enc = {r.doc_id: list(r.token_ids)
+           for r in bpe_encode_ids(docs, merges).collect()}
+    spans = pack_token_ids(docs, merges, seq_len=4).collect()
+    # conservation: packed multiset == encoded multiset
+    from collections import Counter
+
+    packed = Counter(t for r in spans for t in r.token_ids)
+    source = Counter(t for ids in enc.values() for t in ids)
+    assert packed == source
+    # reassembly: doc-id-order stream cut into 4-id tiles
+    stream = [t for d in sorted(enc) for t in enc[d]]
+    seqs = {}
+    for r in spans:
+        seqs.setdefault(r.seq_id, []).append(r)
+    for sid, rows in seqs.items():
+        rows.sort(key=lambda r: r.pos_start)
+        got = [t for r in rows for t in r.token_ids]
+        assert got == stream[sid * 4:(sid + 1) * 4]
+    # every sequence except the last is exactly full
+    total = len(stream)
+    assert len(seqs) == (total + 3) // 4
+
+
+def test_write_packed_token_ids_roundtrip(spark, tmp_path):
+    from minerva_etl_spark.operators.bpe import bpe_train
+    from minerva_etl_spark.operators.shard import write_packed_token_ids
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"),
+         (2, "new newer newest new"),
+         (3, "low new")],
+        "doc_id bigint, text string",
+    )
+    merges, _ = bpe_train(docs, n_merges=6, min_count=2)
+    path = str(tmp_path / "packed_ids")
+    n_seqs = write_packed_token_ids(
+        docs, merges, path, seq_len=4, seqs_per_file=2
+    )
+    back = spark.read.parquet(path)
+    assert back.select("seq_id").distinct().count() == n_seqs
+    # 8 + 9 + 2 = 19 ids -> 5 sequences of 4 (last short)
+    assert n_seqs == 5

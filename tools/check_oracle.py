@@ -30,8 +30,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             except TypeError:
                 pass
             df[col] = s.astype("datetime64[us]")
-        elif s.dtype == object and len(s) and isinstance(s.dropna().iloc[0] if len(s.dropna()) else None, (list, tuple)):
-            df[col] = s.apply(lambda v: tuple(v) if v is not None else None)
+        elif s.dtype == object and len(s):
+            import numpy as np
+
+            first = s.dropna().iloc[0] if len(s.dropna()) else None
+            if isinstance(first, (list, tuple, np.ndarray)):
+                df[col] = s.apply(
+                    lambda v: tuple(v) if v is not None else None
+                )
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
