@@ -2438,6 +2438,40 @@ def _oracle_kmeans_fit() -> str:
     return KM.kmeans_oracle_sql("embeddings", k=4, iters=2)
 
 
+def q_sim_ivf_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF k-NN join (`operators/similarity.py::ivf_join`):
+    corpus-vs-corpus retrieval where both sides are DataFrames — train
+    centroids with the oracle-matched `kmeans_fit` (k=4, 2 rounds),
+    assign the corpus, take every 25th vector as the query set, probe
+    each query's 2 nearest centroids, equi-join candidates on
+    centroid_id (no cross join), rescore exact rounded cosine, and
+    keep the per-query top-5 through the skew-safe two-level cap.
+    Oracle: the single-window formulation over the identical chain."""
+    _prep(spark)
+    from minerva_etl_spark.operators.similarity import (
+        assign_centroids,
+        ivf_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _assigned, cent = KM.kmeans_fit(emb, k=4, iters=2)
+    assigned = assign_centroids(emb, cent)
+    queries = emb.filter("vec_id % 25 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_join(queries, assigned, cent, k=5, n_probe=2)
+
+
+def _oracle_sim_ivf_join() -> str:
+    from minerva_etl_spark.operators.similarity import ivf_join_oracle_sql
+
+    return ivf_join_oracle_sql(
+        kmeans_k=4, kmeans_iters=2, query_pred="vec_id % 25 = 0",
+        k=5, n_probe=2,
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-key document cap (`operators/skew.py::
     cap_per_key`): keep the 5 largest documents per (lang, source) —
@@ -2698,6 +2732,7 @@ _REGISTRY_ORDER = [
     "bpe_encode_ids",
     "pack_token_ids",
     "incremental_dedup",
+    "sim_ivf_join",
 ]
 
 
@@ -2780,6 +2815,7 @@ def build_queries() -> dict:
         "bpe_encode_ids": q_bpe_encode_ids,
         "pack_token_ids": q_pack_token_ids,
         "incremental_dedup": q_incremental_dedup,
+        "sim_ivf_join": q_sim_ivf_join,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2879,6 +2915,7 @@ def build_oracles() -> dict[str, str]:
         "bpe_encode_ids": _oracle_bpe_encode_ids(),
         "pack_token_ids": _oracle_pack_token_ids(),
         "incremental_dedup": _oracle_incremental_dedup(),
+        "sim_ivf_join": _oracle_sim_ivf_join(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

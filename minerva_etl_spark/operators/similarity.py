@@ -232,6 +232,150 @@ def ivf_search(
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_join(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cvec",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Batched IVF k-NN join — corpus-vs-corpus retrieval where BOTH
+    sides are DataFrames (the gap `knn_join_topk`'s broadcast query set
+    and `ivf_search`'s single literal query leave open).
+
+    Each query picks its ``n_probe`` nearest centroids (broadcast
+    centroid table, per-query window bounded by K rows), probe
+    assignments equi-join the corpus's cluster assignment on
+    ``centroid_id`` (never a cross join), candidates rescore with
+    exact rounded cosine, and the per-query top-``k`` runs through
+    `cap_per_key`'s two-level salted WindowGroupLimit shape — a query
+    probing a giant skewed cluster sorts its candidates in
+    ``salt_buckets`` parallel spillable tasks, not one.
+
+    ``assigned`` must carry ``(id, vec, centroid_id)`` (from
+    `assign_centroids`); each corpus vector has exactly ONE cluster, so
+    (query, doc) candidate pairs are unique by construction — no
+    dedup step.  Returns ``(query_id, id, cosine, rank)``.
+    """
+    from minerva_etl_spark.operators.skew import cap_per_key
+
+    probes = (
+        queries.select(query_id_col, query_vec_col)
+        .withColumn("__qnorm", norm_expr(query_vec_col))
+        .crossJoin(
+            F.broadcast(
+                centroids.select(centroid_id_col, centroid_vec_col)
+                .withColumn("__cnorm", norm_expr(centroid_vec_col))
+            )
+        )
+        .withColumn(
+            "__ccos",
+            cosine_from_norms_expr(
+                query_vec_col, centroid_vec_col, "__qnorm", "__cnorm"
+            ),
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("__ccos").desc(), F.col(centroid_id_col).asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id_col, query_vec_col, "__qnorm", centroid_id_col)
+    )
+    cand = probes.join(
+        assigned.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col(centroid_id_col),
+        ).withColumn("__enorm", norm_expr(vec_col)),
+        centroid_id_col,
+    ).select(
+        query_id_col,
+        F.col(id_col),
+        cosine_from_norms_expr(
+            vec_col, query_vec_col, "__enorm", "__qnorm"
+        ).alias("cosine"),
+    )
+    return cap_per_key(
+        cand,
+        keys=[query_id_col],
+        order_by=[F.col("cosine").desc(), F.col(id_col).asc()],
+        n=k,
+        salt_col=id_col,
+        salt_buckets=salt_buckets,
+    )
+
+
+def ivf_join_oracle_sql(
+    kmeans_k: int,
+    kmeans_iters: int,
+    query_pred: str,
+    k: int = 5,
+    n_probe: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of `kmeans_fit` + `assign_centroids` + `ivf_join`:
+    the unrolled Lloyd's CTE chain, the rounded-cosine cluster argmax,
+    per-query probe ranking, candidate equi-join, and the plain
+    single-window top-k that `cap_per_key` is provably equal to."""
+    from minerva_etl_spark.operators.kmeans import _duck_cos, kmeans_ctes
+
+    ctes = kmeans_ctes(table, kmeans_k, kmeans_iters, id_col, vec_col)
+    cent = f"cent{kmeans_iters}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+assigned AS MATERIALIZED (
+  SELECT {id_col}, {vec_col}, centroid_id FROM (
+    SELECT e.{id_col}, e.{vec_col}, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY {_duck_cos('e.' + vec_col, 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM {table} e, {cent} c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS query_vec
+  FROM {table} WHERE {query_pred}
+),
+probe AS (
+  SELECT query_id, query_vec, centroid_id FROM (
+    SELECT q.query_id, q.query_vec, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_duck_cos('q.query_vec', 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM q, {cent} c
+  ) WHERE rn <= {int(n_probe)}
+),
+cand AS (
+  SELECT p.query_id, a.{id_col},
+         {_duck_cos('a.' + vec_col, 'p.query_vec')} AS cosine
+  FROM probe p JOIN assigned a USING (centroid_id)
+)
+SELECT query_id, {id_col}, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, {id_col}, cosine,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cosine DESC, {id_col} ASC) AS rank
+  FROM cand
+) WHERE rank <= {int(k)}
+"""
+
+
 def assign_centroids(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -87,6 +87,13 @@ def cap_per_key(
     """
     if salt_col is None:
         raise ValueError("cap_per_key requires an explicit salt_col")
+    # enforce the total-order precondition instead of assuming it:
+    # salt_col is documented unique per row, so appending it as the
+    # final tiebreak makes any caller-supplied ordering total (a
+    # non-total order would silently yield nondeterministic survivors
+    # that can never hash-match an oracle).  For callers that already
+    # end with the unique column this is a no-op tiebreak.
+    order_by = list(order_by) + [F.col(salt_col).asc()]
     salted = df.withColumn(
         "__salt",
         F.pmod(

@@ -425,3 +425,24 @@ def test_logreg_train_empty_corpus(spark):
 
     df = spark.createDataFrame([], "x double, y int")
     assert logreg_train(df, ["x"], "y", iters=3) == [0.0, 0.0]
+
+
+def test_cap_per_key_non_total_order_is_made_deterministic(spark):
+    """A caller passing a NON-total ordering (no unique tiebreak) gets
+    deterministic survivors anyway: cap_per_key appends salt_col asc
+    as the final tiebreak, so the result equals the single-window
+    formulation under (order, salt_col)."""
+    rows = [(i, "a", i % 3) for i in range(60)]  # heavy ties in v
+    df = spark.createDataFrame(rows, "id int, k string, v int").repartition(5)
+    capped = cap_per_key(
+        df, keys=["k"], order_by=[F.col("v").desc()], n=4,
+        salt_col="id", salt_buckets=4,
+    )
+    w = Window.partitionBy("k").orderBy(F.col("v").desc(), F.col("id").asc())
+    direct = (
+        df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 4)
+    )
+    got = {(r.k, r.rank): r.id for r in capped.collect()}
+    want = {(r.k, r.rank): r.id for r in direct.collect()}
+    assert got == want

@@ -52,3 +52,44 @@ def test_compact_modified_log(spark, tmp_path):
         for r in spark.read.parquet(path).collect()
     }
     assert folded[("p", datetime(2024, 1, 1, 0, 15))] == datetime(2024, 1, 1, 0, 40)
+
+
+def test_ivf_join_recall_vs_brute_force(spark):
+    """Batched corpus-vs-corpus IVF join: each query's top-k at
+    n_probe=half-the-clusters catches most of the exact brute-force
+    neighbors, and ranks are dense 1..k."""
+    from minerva_etl_spark.operators.kmeans import kmeans_fit
+    from minerva_etl_spark.operators.similarity import (
+        assign_centroids,
+        ivf_join,
+        knn_join_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    _a, cent = kmeans_fit(emb, k=8, iters=2)
+    assigned = assign_centroids(emb, cent)
+    approx = ivf_join(queries, assigned, cent, k=10, n_probe=4)
+    exact = knn_join_topk(emb, queries, k=10)
+    approx_ids = {}
+    for r in approx.collect():
+        approx_ids.setdefault(r.query_id, set()).add(r.vec_id)
+    exact_ids = {}
+    for r in exact.collect():
+        exact_ids.setdefault(r.query_id, set()).add(r.vec_id)
+    assert set(approx_ids) == set(exact_ids)
+    recalls = [
+        len(approx_ids[q] & exact_ids[q]) / len(exact_ids[q])
+        for q in exact_ids
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.5, f"mean recall {mean_recall} too low"
+    # ranks dense 1..k per query
+    ranks = {}
+    for r in approx.collect():
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    for q, rs in ranks.items():
+        assert sorted(rs) == list(range(1, len(rs) + 1)), q
