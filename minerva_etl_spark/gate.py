@@ -2472,6 +2472,56 @@ def _oracle_sim_ivf_join() -> str:
     )
 
 
+def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (`operators/multimodal.py::wav_features`):
+    per-document PCM synthesized deterministically from doc_id
+    (n = 40 + doc_id % 23 samples of ((doc_id*31 + i*17) % 2003) -
+    1001 at 8 kHz), packed into actual RIFF/WAVE bytes
+    (`synthesize_wav`), then decoded back through the stdlib ``wave``
+    reader inside Arrow-batched tasks.  The oracle recomputes
+    duration/RMS straight from the generating formula — any byte-level
+    synthesis or parse error hash-mismatches."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.multimodal import synthesize_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 40 + d % 23
+                samples = [
+                    ((d * 31 + i * 17) % 2003) - 1001 for i in range(n)
+                ]
+                payloads.append(synthesize_wav(samples, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return M.wav_features(media)
+
+
+_ORACLE_WAV = """
+WITH s AS (
+  SELECT doc_id, ((doc_id * 31 + t.i * 17) % 2003) - 1001 AS v
+  FROM documents,
+       UNNEST(generate_series(0, 40 + doc_id % 23 - 1)) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST((count(*) * 1000) // 8000 AS BIGINT) AS duration_ms,
+       floor(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) * 1000000
+             + 0.5) / 1000000 AS rms
+FROM s GROUP BY doc_id
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-key document cap (`operators/skew.py::
     cap_per_key`): keep the 5 largest documents per (lang, source) —
@@ -2733,6 +2783,7 @@ _REGISTRY_ORDER = [
     "pack_token_ids",
     "incremental_dedup",
     "sim_ivf_join",
+    "wav_features",
 ]
 
 
@@ -2816,6 +2867,7 @@ def build_queries() -> dict:
         "pack_token_ids": q_pack_token_ids,
         "incremental_dedup": q_incremental_dedup,
         "sim_ivf_join": q_sim_ivf_join,
+        "wav_features": q_wav_features,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2916,6 +2968,7 @@ def build_oracles() -> dict[str, str]:
         "pack_token_ids": _oracle_pack_token_ids(),
         "incremental_dedup": _oracle_incremental_dedup(),
         "sim_ivf_join": _oracle_sim_ivf_join(),
+        "wav_features": _ORACLE_WAV,
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

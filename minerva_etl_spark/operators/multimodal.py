@@ -6,12 +6,15 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` operators so
 payload bytes never round-trip through the driver and each task touches
 only its partition's batches — the correct 100 TB shape.
 
-The actual codec calls are STUBBED (no PIL/ffmpeg in this image): the
-``decoder`` argument defaults to :func:`deterministic_fake_decode`,
-clearly marked; swap in a real decoder function with the same signature
-on a cluster with the libs installed.  Everything around the stub —
-schemas, batch iteration, partitioning, output contracts — is real and
-tested.
+Codec status: **audio is REAL** — :func:`wav_decode` parses RIFF/WAVE
+payloads with the stdlib ``wave`` module (no external libs needed) and
+:func:`wav_features` runs it Arrow-batched; fixtures come from
+:func:`synthesize_wav`.  Image/video decode remains STUBBED (no
+PIL/ffmpeg in this image): the generic ``decoder`` argument defaults
+to :func:`deterministic_fake_decode`, clearly marked; swap in a real
+decoder with the same signature on a cluster with the libs installed.
+Everything around the codecs — schemas, batch iteration, partitioning,
+output contracts — is real and tested either way.
 """
 
 from __future__ import annotations
@@ -77,6 +80,109 @@ def extract_features(
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def synthesize_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """A real RIFF/WAVE file (16-bit PCM mono) from integer samples —
+    pure stdlib (``struct``), used to build deterministic audio
+    fixtures inside this sandbox.  Output opens in any WAV reader."""
+    import struct
+
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * 2
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(body))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+def wav_decode(payload: bytes) -> dict:
+    """REAL audio decode, pure stdlib: parse a RIFF/WAVE payload with
+    the ``wave`` module and compute (sample_rate, n_frames,
+    duration_ms, rms) from the PCM frames.  16-bit mono is what the
+    pipeline's fixtures emit; multi-channel files fold all channels
+    into the RMS (frames are raw interleaved samples).
+
+    The RMS keeps the sum of squares in exact integer arithmetic and
+    rounds only the final double — the property that lets an oracle
+    recompute it bit-identically from the generating formula.
+    """
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n_frames = w.getnframes()
+        n_channels = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if width != 2:
+        raise NotImplementedError(f"only 16-bit PCM supported, got {width * 8}-bit")
+    vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+    n = len(vals)
+    sumsq = sum(v * v for v in vals)  # exact: int arithmetic
+    # half-up 6-dp grid, NOT round(): Python round() is banker's
+    # rounding — a third rule no SQL engine uses (same pin as the
+    # logreg weight grid); duration floors so integer division agrees
+    # everywhere (Python round() vs SQL round() disagree at .5 ties)
+    import math
+
+    rms = math.floor((sumsq / n) ** 0.5 * 1e6 + 0.5) / 1e6 if n else 0.0
+    return {
+        "sample_rate": rate,
+        "n_frames": n_frames * n_channels,
+        "duration_ms": (n_frames * 1000) // rate if rate else 0,
+        "rms": rms,
+    }
+
+
+WAV_FEATURE_SCHEMA = (
+    "media_id bigint, sample_rate int, n_frames bigint, "
+    "duration_ms bigint, rms double"
+)
+
+
+def wav_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-row REAL WAV decode via mapInPandas (Arrow batches) — the
+    non-stub audio path: payload bytes parse through the stdlib
+    ``wave`` reader inside each task; nothing visits the driver."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                d = wav_decode(bytes(p))
+                rows.append(
+                    (
+                        mid,
+                        d["sample_rate"],
+                        d["n_frames"],
+                        d["duration_ms"],
+                        d["rms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_frames",
+                    "duration_ms",
+                    "rms",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
 
 
 def sample_frames(

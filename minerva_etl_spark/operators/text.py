@@ -541,16 +541,12 @@ GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
 GOPHER_MIN_STOPWORD_HITS = 2
 
 
-def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Gopher-style rule filter: the classic named heuristic gauntlet —
-    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
-    alphabetic-word fraction, and distinct-stopword presence.  Returns
-    one boolean per rule plus ``keep`` (all rules pass) so a curation
-    run can report per-rule attrition, not just the survivor count.
-
-    Everything is engine-portable integer/ratio arithmetic over one
-    staged token array — a single scan-project, zero shuffles."""
-    staged = df.withColumn("__g_toks", tokens_expr(text_col))
+def _gopher_flags(text_col: str) -> dict[str, Column]:
+    """The five Gopher rule flags (+ n_words) as Columns over a frame
+    that staged ``__g_toks = tokens_expr(text_col)`` — shared by the
+    reporting shape (:func:`gopher_rules`) and the streaming filter
+    shape (:func:`with_gopher_keep`) so both apply the identical
+    expressions."""
     n_words = F.size("__g_toks").cast("bigint")
     safe_n = F.greatest(n_words, F.lit(1)).cast("double")
     mean_wl = (
@@ -576,24 +572,35 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
             f"array_intersect(array_distinct(__g_toks), {stop_arr})"
         )
     )
-    out = staged.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        (
-            (n_words >= GOPHER_MIN_WORDS)
-            & (n_words <= GOPHER_MAX_WORDS)
-        ).alias("ok_word_count"),
-        (
+    return {
+        "n_words": n_words,
+        "ok_word_count": (
+            (n_words >= GOPHER_MIN_WORDS) & (n_words <= GOPHER_MAX_WORDS)
+        ),
+        "ok_mean_word_len": (
             (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
             & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
-        ).alias("ok_mean_word_len"),
-        ((n_symbols / safe_n) < GOPHER_MAX_SYMBOL_RATIO).alias(
-            "ok_symbol_ratio"
         ),
-        ((alpha_words / safe_n) > GOPHER_MIN_ALPHA_WORD_FRAC).alias(
-            "ok_alpha_words"
-        ),
-        (stop_hits >= GOPHER_MIN_STOPWORD_HITS).alias("ok_stopwords"),
+        "ok_symbol_ratio": (n_symbols / safe_n) < GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha_words": (alpha_words / safe_n)
+        > GOPHER_MIN_ALPHA_WORD_FRAC,
+        "ok_stopwords": stop_hits >= GOPHER_MIN_STOPWORD_HITS,
+    }
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style rule filter: the classic named heuristic gauntlet —
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+    alphabetic-word fraction, and distinct-stopword presence.  Returns
+    one boolean per rule plus ``keep`` (all rules pass) so a curation
+    run can report per-rule attrition, not just the survivor count.
+
+    Everything is engine-portable integer/ratio arithmetic over one
+    staged token array — a single scan-project, zero shuffles."""
+    staged = df.withColumn("__g_toks", tokens_expr(text_col))
+    flags = _gopher_flags(text_col)
+    out = staged.select(
+        "doc_id", *[c.alias(name) for name, c in flags.items()]
     )
     return out.withColumn(
         "keep",
@@ -603,6 +610,24 @@ def gopher_rules(df: DataFrame, text_col: str = "text") -> DataFrame:
         & F.col("ok_alpha_words")
         & F.col("ok_stopwords"),
     )
+
+
+def with_gopher_keep(
+    df: DataFrame, text_col: str = "text", out_col: str = "gopher_keep"
+) -> DataFrame:
+    """All input columns + one boolean ``out_col`` (every Gopher rule
+    passes) — the stream-composable shape: stateless scan-project, so
+    it applies unchanged to a streaming DataFrame."""
+    staged = df.withColumn("__g_toks", tokens_expr(text_col))
+    flags = _gopher_flags(text_col)
+    keep = (
+        flags["ok_word_count"]
+        & flags["ok_mean_word_len"]
+        & flags["ok_symbol_ratio"]
+        & flags["ok_alpha_words"]
+        & flags["ok_stopwords"]
+    )
+    return staged.withColumn(out_col, keep).drop("__g_toks")
 
 
 def gopher_rules_oracle_sql(table: str, text_col: str = "text") -> str:

@@ -405,3 +405,62 @@ def test_translate_reference_example_corpus(spark):
     out = translate(notification)
     assert out.startswith("array_join(array(")
     assert "format_string(" in out
+
+
+def test_wav_synthesize_decode_roundtrip():
+    """synthesize_wav emits a real RIFF/WAVE file the stdlib wave
+    reader accepts, and wav_decode recovers exact rate/frames/duration
+    and the hand-computable RMS."""
+    import math
+
+    from minerva_etl_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_decode,
+    )
+
+    samples = [0, 100, -100, 1000, -1000, 32767, -32768, 7]
+    payload = synthesize_wav(samples, sample_rate=8000)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    d = wav_decode(payload)
+    assert d["sample_rate"] == 8000
+    assert d["n_frames"] == 8
+    assert d["duration_ms"] == (8 * 1000) // 8000
+    sumsq = sum(v * v for v in samples)
+    want = math.floor((sumsq / 8) ** 0.5 * 1e6 + 0.5) / 1e6
+    assert d["rms"] == want
+
+
+def test_wav_decode_rejects_non_16bit():
+    import io
+    import wave
+
+    import pytest as _pytest
+
+    from minerva_etl_spark.operators.multimodal import wav_decode
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x80\x80\x80")
+    with _pytest.raises(NotImplementedError):
+        wav_decode(buf.getvalue())
+
+
+def test_wav_features_distributed(spark):
+    """The mapInPandas path decodes per-task Arrow batches; empty audio
+    yields rms 0.0 without crashing."""
+    from minerva_etl_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_features,
+    )
+
+    rows = [
+        (1, synthesize_wav([10, -10, 20, -20], 16000)),
+        (2, synthesize_wav([], 8000)),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r.media_id: r for r in wav_features(media).collect()}
+    assert out[1].sample_rate == 16000 and out[1].n_frames == 4
+    assert out[2].n_frames == 0 and out[2].rms == 0.0
