@@ -86,6 +86,12 @@ HEADLINE = [
     "bpe_encode",
     "logreg_train",
     "logreg_eval",
+    # round-8 rows
+    "bpe_encode_ids",
+    "pack_token_ids",
+    "incremental_dedup",
+    "sim_ivf_join",
+    "wav_features",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

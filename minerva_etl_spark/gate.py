@@ -2654,7 +2654,6 @@ def _oracle_tfidf_terms() -> str:
 _REGISTRY_ORDER = [
     # -- trend aggregation (A1-A5, W4) --------------------------------
     "trend_time_agg_1h",
-    "trend_time_agg_1d_rollup",
     "trend_time_agg_1d_dst",
     "entity_agg_nation_1month",
     # -- store/upsert/attribute operators (S6-S7, A7-A9, W1-W3, U1-U2)
@@ -2679,24 +2678,25 @@ _REGISTRY_ORDER = [
     # -- LLM-pipeline: dedup ------------------------------------------
     "dedup_exact",
     "dedup_minhash_pairs",
-    "dedup_ngram_jaccard",
     "dedup_simhash_hamming",
-    "dedup_embedding",
     "dedup_components",
-    "dedup_canonical",
     "decontamination",
+    "incremental_dedup",
+    "leakage_split",
+    "semantic_dedup_trained",
     # -- LLM-pipeline: similarity -------------------------------------
-    "sim_topk",
     "sim_ann_lsh",
-    "sim_ivf",
-    "kmeans_fit",
-    # -- LLM-pipeline: text / curation --------------------------------
+    "sim_ivf_join",
+    # -- LLM-pipeline: text / curation / trainers ---------------------
     "text_profile",
-    "sample_stratified",
-    "source_mix",
-    "shard_pack",
-    "pack_sequences",
-    "pipeline_curate",
+    "domain_cap",
+    "bpe_train",
+    "bpe_encode_ids",
+    "pack_token_ids",
+    "logreg_train",
+    "logreg_eval",
+    "wav_features",
+    "pipeline_curate_bp",
     # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
     "live_monitor",
     "lifecycle_load_store",
@@ -2711,33 +2711,51 @@ _REGISTRY_ORDER = [
     "timestamp_mapping",
     "entity_dim_register",
     # ---------- entries past the driver's 50-row window --------------
-    # Rotation policy (r7, per the r6 verdict's ask 5): the strongest
-    # round-6 rows — pipeline_curate (chained-CTE full-pipeline oracle),
-    # dedup_canonical, source_mix — rotated IN; three redundant demos
-    # rotated out: topk_recent (O1/O2 LIMIT + ORDER BY stay driver-
-    # proven via sim_topk's TakeOrderedAndProject and report_stats's
-    # listing order), trend_slope (X2 non-SQL materialization stays
-    # proven via lifecycle_materialize + the regression pytest), and
-    # array_predicates (P4/P5 IN/ANY + array containment, pytest- and
-    # past-window-proven).  Round-7 additions: lifecycle_array_trend
-    # (the r6 verdict's array-trend-columns ask, full-hash oracle)
-    # swapped IN for multimodal_features — the one rows-only row the
-    # window held; multimodal's mapInPandas plumbing stays proven by
-    # its pytest suite + the past-window rows-only row below.  The two
-    # strongest new-capability rows — kmeans_fit (oracle-matched
-    # distributed Lloyd's) and pack_sequences (cross-doc sequence
-    # packing) — swapped IN for sim_knn_join (k-NN surface stays
-    # driver-proven via sim_topk's cosine ranking + sim_ann_lsh's
-    # bucket join; the row itself stays below, locally verified) and
-    # trend_time_agg_3month (multi-month W4 grids stay driver-proven
-    # via _1h/_1d_rollup/_1d_dst in-window; 1month + 3month rows stay
-    # below, locally verified).
-    # Earlier rotations: the simhash pair
-    # alternates one slot (r6 proved _hamming in-window); dn_parse
-    # stays proven through kpi_translated/relation_regex/
-    # timestamp_mapping.  Everything here is still verified every
-    # session by tools/check_oracle.py; COVERAGE.md maps each rotated
-    # surface to the green rows that vouch for it.
+    # Rotation policy (r8, per the r7 verdict's ask 5): twelve
+    # FIRST-TIME driver rows rotated IN — the seven strongest
+    # never-driver-checked r6/r7 rows (pipeline_curate_bp, bpe_train,
+    # logreg_train, logreg_eval, semantic_dedup_trained, leakage_split,
+    # domain_cap) plus all five round-8 rows (bpe_encode_ids,
+    # pack_token_ids, incremental_dedup, sim_ivf_join, wav_features).
+    # Twelve redundantly-vouched rows rotated OUT (each named green
+    # in-window voucher):
+    #   trend_time_agg_1d_rollup — A1/A3 samples roll-up vouched by
+    #     trend_time_agg_1h + _1d_dst (same ladder, DST-hardened);
+    #   pipeline_curate — strict subset of pipeline_curate_bp (which
+    #     adds boilerplate + per-source cap around the same stages);
+    #   dedup_canonical — keep_best_per_component runs inside
+    #     pipeline_curate_bp's canonical stage;
+    #   source_mix — the mixing stage of pipeline_curate_bp;
+    #   sample_stratified — md5 keep-rate mechanism shared with
+    #     leakage_split's ticket draw (in-window);
+    #   dedup_ngram_jaccard — exact shingle-set overlap vouched by
+    #     decontamination's shingle-intersect check;
+    #   dedup_embedding — embedding near-dup vouched by
+    #     semantic_dedup_trained (cluster + ε-ball) + sim_ann_lsh;
+    #   sim_topk / sim_ivf — cosine ranking + probe-pruned rescore
+    #     subsumed by sim_ivf_join (the batched generalization);
+    #   kmeans_fit — its full CTE chain is embedded verbatim in the
+    #     sim_ivf_join and semantic_dedup_trained oracles (in-window);
+    #   shard_pack / pack_sequences — the two-pass prefix sum is the
+    #     spine of pack_token_ids (in-window); both were driver-green
+    #     in r7 or earlier.
+    # Earlier rotations (r6/r7): topk_recent, trend_slope,
+    # array_predicates, multimodal_features, sim_knn_join,
+    # trend_time_agg_3month, dn_parse — vouchers unchanged, see
+    # COVERAGE.md.  Everything below is still verified every session by
+    # tools/check_oracle.py.
+    "trend_time_agg_1d_rollup",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "dedup_canonical",
+    "sim_topk",
+    "sim_ivf",
+    "kmeans_fit",
+    "sample_stratified",
+    "source_mix",
+    "shard_pack",
+    "pack_sequences",
+    "pipeline_curate",
     "array_predicates",
     "topk_recent",
     "trend_slope",
@@ -2766,24 +2784,10 @@ _REGISTRY_ORDER = [
     "chunk_sequences",
     "corpus_report",
     "gopher_rules",
-    # round-7 additions (kmeans_fit + pack_sequences rotated into the
-    # window above; the rest past-window, verified every session by
-    # tools/check_oracle.py)
-    "domain_cap",
     "tfidf_terms",
-    "leakage_split",
-    "semantic_dedup_trained",
-    "pipeline_curate_bp",
-    "bpe_train",
+    # bpe_encode (subword COUNTS) is subsumed by bpe_encode_ids
+    # in-window: counts are size(token_ids) by construction
     "bpe_encode",
-    "logreg_train",
-    "logreg_eval",
-    # round-8 additions (token-id export arc + incremental curation)
-    "bpe_encode_ids",
-    "pack_token_ids",
-    "incremental_dedup",
-    "sim_ivf_join",
-    "wav_features",
 ]
 
 

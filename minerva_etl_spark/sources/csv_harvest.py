@@ -108,7 +108,10 @@ def read_csv_packages(
         .option("nullValue", config.null_value)
         .csv(path)
     )
-    types = deduce_csv_schema(spark, path, config)
+    # deduce over the SAME reader frame — a separate deduce_csv_schema
+    # read would re-instantiate the CSV source and pay a second
+    # header/listing job per file (measured in the lifecycle job census)
+    types = deduce_frame_types(raw, config)
     return _project(raw, config, types)
 
 

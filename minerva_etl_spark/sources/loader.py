@@ -231,6 +231,14 @@ class Loader:
         package = reduce(
             lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
         )
+        # materialize the delivery ONCE: the union feeds the entity
+        # registration AND one upsert cycle per part, each of which
+        # would otherwise re-run the full parse+filter+union pipeline
+        # (measured as the dominant broadcast-job cost in the
+        # lifecycle_load_store job census).  A delivery batch is
+        # bounded by the harvest directory, not the corpus; blocks are
+        # freed after the store.
+        package = package.localCheckpoint(eager=True)
         if self.register_entity_dim and "entity_ref" in package.columns:
             from minerva_etl_spark.catalog.directory import register_entities
 
@@ -249,6 +257,14 @@ class Loader:
             state = "failed"
             raise
         finally:
+            # free the delivery's checkpoint blocks (no public API:
+            # unpersist the LogicalRDD behind the analyzed plan)
+            try:
+                package._jdf.queryExecution().analyzed().rdd().unpersist(
+                    False
+                )
+            except Exception:
+                pass
             if self.job_log is not None:
                 ended = datetime.now(timezone.utc).replace(tzinfo=None)
                 rows = [
