@@ -1276,8 +1276,11 @@ def cmd_corpus(args) -> None:
     operators as CLI verbs over parquet in/out — `split` (leakage-safe
     train/val/test by near-dup component), `cap` (skew-safe per-key
     document cap), `tfidf` (top-N keywords per doc), `kmeans`
-    (distributed Lloyd's fit over an embedding column).  Extends the
-    reference surface (its CLI has no corpus side)."""
+    (distributed Lloyd's fit over an embedding column), `bpe` (train a
+    merge table), `pack-ids` (train + encode + pack token-id
+    sequences), `increment` (dedup a delivery against the persisted
+    signature state).  Extends the reference surface (its CLI has no
+    corpus side)."""
     from pyspark.sql import functions as F
 
     spark = _spark()
@@ -1320,6 +1323,10 @@ def cmd_corpus(args) -> None:
 
         merges, _vocab = bpe_train(df, n_merges=args.n)
         out = merges
+    elif args.action == "increment":
+        from minerva_etl_spark.operators.incremental import ingest_increment
+
+        out = ingest_increment(spark, df, args.state)
     elif args.action == "pack-ids":
         from minerva_etl_spark.operators.bpe import bpe_train
         from minerva_etl_spark.operators.shard import (
@@ -1627,7 +1634,10 @@ def main(argv: list[str] | None = None) -> None:
     co = sub.add_parser("corpus")
     co.add_argument(
         "action",
-        choices=["split", "cap", "tfidf", "kmeans", "bpe", "pack-ids"],
+        choices=[
+            "split", "cap", "tfidf", "kmeans", "bpe", "pack-ids",
+            "increment",
+        ],
     )
     co.add_argument("--input", required=True, help="input parquet")
     co.add_argument("--output", required=True, help="output parquet")
@@ -1645,6 +1655,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="kmeans: Lloyd's rounds")
     co.add_argument("--seq-len", type=int, default=2048,
                     help="pack-ids: tokens per packed sequence")
+    co.add_argument("--state", default=None,
+                    help="increment: path of the persisted dedup "
+                         "signature state (created on first delivery)")
     co.set_defaults(fn=cmd_corpus)
 
     qs = sub.add_parser("quick-start")

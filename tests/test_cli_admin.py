@@ -820,3 +820,45 @@ def test_cli_corpus_split_and_cap(tmp_path, spark):
     capped = spark.read.parquet(out2)
     assert capped.count() == 3
     assert {r.doc_id for r in capped.collect()} == {19, 18, 17}
+
+
+def test_cli_corpus_increment_and_pack_ids(tmp_path, spark):
+    """`corpus increment` runs a two-delivery dedup through a persisted
+    state; `corpus pack-ids` writes packed token-id sequences."""
+    from minerva_etl_spark.cli import main
+
+    docs1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "totally different corpus body here")],
+        "doc_id bigint, text string",
+    )
+    docs2 = spark.createDataFrame(
+        [(4, "alpha beta gamma delta epsilon zeta"),
+         (5, "never seen before text body")],
+        "doc_id bigint, text string",
+    )
+    src1, src2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    docs1.write.parquet(src1)
+    docs2.write.parquet(src2)
+    state = str(tmp_path / "state")
+
+    out1 = str(tmp_path / "dec1")
+    main(["corpus", "increment", "--input", src1, "--output", out1,
+          "--state", state])
+    dec1 = {r.doc_id: r.keep for r in spark.read.parquet(out1).collect()}
+    assert dec1 == {1: True, 2: False, 3: True}
+
+    out2 = str(tmp_path / "dec2")
+    main(["corpus", "increment", "--input", src2, "--output", out2,
+          "--state", state])
+    dec2 = {r.doc_id: r for r in spark.read.parquet(out2).collect()}
+    assert dec2[4].exact_dup_of == 1 and not dec2[4].keep  # dups history
+    assert dec2[5].keep
+
+    packed = str(tmp_path / "packed")
+    main(["corpus", "pack-ids", "--input", src1, "--output", packed,
+          "--n", "4", "--seq-len", "8"])
+    back = spark.read.parquet(packed)
+    assert back.count() > 0
+    assert "token_ids" in back.columns

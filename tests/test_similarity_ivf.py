@@ -93,3 +93,35 @@ def test_ivf_join_recall_vs_brute_force(spark):
         ranks.setdefault(r.query_id, []).append(r.rank)
     for q, rs in ranks.items():
         assert sorted(rs) == list(range(1, len(rs) + 1)), q
+
+
+def test_ivf_join_plan_no_cartesian_bounded_exchanges(spark):
+    """ivf_join must stay: broadcast-centroid probe (BNLJ over the
+    K-row table is the DESIGNED bounded cross), candidate equi-join on
+    centroid_id, two-level salted top-k with Spark's Partial
+    WindowGroupLimit pushdown — and never a CartesianProduct or an
+    unbounded nested loop over the corpus."""
+    import re
+
+    from minerva_etl_spark.operators.kmeans import kmeans_fit
+    from minerva_etl_spark.operators.similarity import (
+        assign_centroids,
+        ivf_join,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    _a, cent = kmeans_fit(emb, k=4, iters=1)
+    out = ivf_join(queries, assign_centroids(emb, cent), cent, k=5, n_probe=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange$", plan, re.M)) <= 8
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    # every nested-loop is a BROADCAST nested loop (the K-row centroid
+    # table), never a shuffled corpus x corpus loop
+    assert "ShuffledNestedLoopJoin" not in plan

@@ -220,6 +220,58 @@ def probe(spark, data_dir: str, mult: int) -> dict:
         )
     }
 
+    # round-8 probes ------------------------------------------------
+    from minerva_etl_spark.operators.incremental import (
+        build_dedup_state,
+        dedup_increment,
+    )
+
+    # history signatures are PRE-PERSISTED state in real use — build
+    # them outside the timer; the timed section is one delivery:
+    # signature the delta + decide it against all of history
+    hist_state = build_dedup_state(
+        docs.filter(PF.expr("doc_id % 4 < 3"))
+    ).localCheckpoint(eager=True)
+
+    def _increment():
+        delta_state = build_dedup_state(
+            docs.filter(PF.expr("doc_id % 4 = 3"))
+        )
+        return dedup_increment(delta_state, hist_state)
+
+    results["incremental_dedup"] = {"spark": timed(_increment)}
+
+    from minerva_etl_spark.operators.similarity import (
+        assign_centroids,
+        ivf_join,
+    )
+
+    # index build (kmeans_fit) is probed above; this times the JOIN:
+    # probe ranking + candidate equi-join + rescore + capped top-k
+    _assigned8, cent8 = kmeans_fit(emb, k=8, iters=1)
+    assigned8 = assign_centroids(emb, cent8).localCheckpoint(eager=True)
+    queries8 = emb.filter(PF.expr("vec_id % 20 = 0")).select(
+        PF.col("vec_id").alias("query_id"),
+        PF.col("embedding").alias("query_vec"),
+    )
+    results["ivf_join"] = {
+        "spark": timed(
+            lambda: ivf_join(queries8, assigned8, cent8, k=10, n_probe=2)
+        )
+    }
+
+    from minerva_etl_spark.operators.shard import pack_token_ids
+
+    merges8, _v8 = bpe_train(docs, n_merges=8, min_count=2)
+    merges8 = merges8.localCheckpoint(eager=True)
+    results["pack_token_ids"] = {
+        "spark": timed(
+            lambda: pack_token_ids(
+                docs, merges8, seq_len=2048, shuffle_seed=42
+            )
+        )
+    }
+
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{data_dir}/events.parquet/*.parquet'"
