@@ -92,6 +92,7 @@ HEADLINE = [
     "incremental_dedup",
     "sim_ivf_join",
     "wav_features",
+    "png_features",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

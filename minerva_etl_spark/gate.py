@@ -2522,6 +2522,71 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (`operators/multimodal.py::png_features`):
+    per-document 8-bit RGB pixels synthesized deterministically from
+    doc_id (w = 6 + doc_id % 5, h = 4 + doc_id % 3, value(x, y, ch) =
+    (doc_id*7 + y*31 + x*13 + ch*101) % 256), encoded into actual PNG
+    bytes with per-row filter type (doc_id + y) % 5 — so ALL five
+    inverse filters (Sub/Up/Average/Paeth included) run in the decode
+    path — then parsed back chunk-by-chunk + inflated inside
+    Arrow-batched tasks.  The oracle recomputes the per-channel means
+    straight from the generating formula: any byte-level synthesis,
+    filter, or parse bug hash-mismatches."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.multimodal import synthesize_png
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 6 + d % 5, 4 + d % 3
+                px = bytes(
+                    (d * 7 + y * 31 + x * 13 + ch * 101) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for ch in range(3)
+                )
+                filters = [(d + y) % 5 for y in range(h)]
+                payloads.append(synthesize_png(px, w, h, 3, filters))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return M.png_features(media)
+
+
+_ORACLE_PNG = """
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 5 AS w, 4 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h, ch.c AS c,
+         (doc_id * 7 + y.y * 31 + x.x * 13 + ch.c * 101) % 256 AS v
+  FROM dims,
+       UNNEST(generate_series(0, w - 1)) AS x(x),
+       UNNEST(generate_series(0, h - 1)) AS y(y),
+       UNNEST(generate_series(0, 2)) AS ch(c)
+), chmean AS (
+  SELECT doc_id, w, h, c,
+         floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5)
+             / 1000000 AS m
+  FROM px GROUP BY doc_id, w, h, c
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       list(m ORDER BY c) AS channel_means
+FROM chmean GROUP BY doc_id, w, h
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-key document cap (`operators/skew.py::
     cap_per_key`): keep the 5 largest documents per (lang, source) —
@@ -2744,6 +2809,10 @@ _REGISTRY_ORDER = [
     # trend_time_agg_3month, dn_parse — vouchers unchanged, see
     # COVERAGE.md.  Everything below is still verified every session by
     # tools/check_oracle.py.
+    # png_features is NEW in round 8.5 (real stdlib PNG decode) — first
+    # out-of-window slot, candidate to rotate in next round alongside
+    # the r9 window refresh.
+    "png_features",
     "trend_time_agg_1d_rollup",
     "dedup_ngram_jaccard",
     "dedup_embedding",
@@ -2872,6 +2941,7 @@ def build_queries() -> dict:
         "incremental_dedup": q_incremental_dedup,
         "sim_ivf_join": q_sim_ivf_join,
         "wav_features": q_wav_features,
+        "png_features": q_png_features,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -2973,6 +3043,7 @@ def build_oracles() -> dict[str, str]:
         "incremental_dedup": _oracle_incremental_dedup(),
         "sim_ivf_join": _oracle_sim_ivf_join(),
         "wav_features": _ORACLE_WAV,
+        "png_features": _ORACLE_PNG,
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

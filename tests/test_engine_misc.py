@@ -464,3 +464,93 @@ def test_wav_features_distributed(spark):
     out = {r.media_id: r for r in wav_features(media).collect()}
     assert out[1].sample_rate == 16000 and out[1].n_frames == 4
     assert out[2].n_frames == 0 and out[2].rms == 0.0
+
+
+def test_png_synthesize_decode_roundtrip_all_filters():
+    """synthesize_png emits a real PNG (signature, chunked, zlib IDAT)
+    and png_decode inverts every scanline filter type — Sub, Up,
+    Average, Paeth — bit-exactly, for 1/2/3/4-channel images."""
+    import random
+
+    from minerva_etl_spark.operators.multimodal import (
+        png_decode,
+        synthesize_png,
+    )
+
+    rng = random.Random(7)
+    for channels in (1, 2, 3, 4):
+        for _ in range(8):
+            w, h = rng.randint(1, 13), rng.randint(1, 9)
+            px = bytes(rng.randrange(256) for _ in range(w * h * channels))
+            filters = [rng.randrange(5) for _ in range(h)]
+            payload = synthesize_png(px, w, h, channels, filters)
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+            d = png_decode(payload)
+            assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+            assert bytes(d["pixels"]) == px
+
+
+def test_png_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from minerva_etl_spark.operators.multimodal import png_decode
+
+    with _pytest.raises(ValueError):
+        png_decode(b"GIF89a not a png")
+
+
+def test_png_resize_nearest_neighbor_grid():
+    """png_resize_bytes re-encodes a valid PNG whose pixel (x, y) is the
+    source pixel at (x*W//new_w, y*H//new_h) — the floor-grid rule the
+    oracle can replay."""
+    from minerva_etl_spark.operators.multimodal import (
+        png_decode,
+        png_resize_bytes,
+        synthesize_png,
+    )
+
+    w, h, c = 9, 7, 3
+    px = bytes((y * 31 + x * 13 + ch * 101) % 256
+               for y in range(h) for x in range(w) for ch in range(c))
+    small = png_resize_bytes(synthesize_png(px, w, h, c), 4, 3)
+    d = png_decode(small)
+    assert (d["width"], d["height"]) == (4, 3)
+    for y in range(3):
+        for x in range(4):
+            sx, sy = x * w // 4, y * h // 3
+            for ch in range(c):
+                assert (
+                    d["pixels"][(y * 4 + x) * c + ch]
+                    == px[(sy * w + sx) * c + ch]
+                )
+
+
+def test_png_features_distributed(spark):
+    """The mapInPandas path decodes PNG Arrow batches per task and the
+    resize operator composes with it (decode → resize → features)."""
+    from minerva_etl_spark.operators.multimodal import (
+        png_features,
+        png_resize,
+        synthesize_png,
+    )
+
+    px1 = bytes(range(0, 48))          # 4x4 gray
+    px2 = bytes(v % 256 for v in range(0, 4 * 2 * 3))  # 4x2 rgb
+    rows = [
+        (1, synthesize_png(px1, 4, 4, 3, [0, 1, 2, 4])),
+        (2, synthesize_png(px2, 4, 2, 3, [3, 4])),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r.media_id: r for r in png_features(media).collect()}
+    assert out[1].width == 4 and out[1].height == 4 and out[1].n_channels == 3
+    exp = [sum(px1[ch::3]) / 16 for ch in range(3)]
+    import math
+
+    assert out[1].channel_means == [
+        math.floor(m * 1e6 + 0.5) / 1e6 for m in exp
+    ]
+    shrunk = {
+        r.media_id: r
+        for r in png_features(png_resize(media, 2, 2)).collect()
+    }
+    assert shrunk[1].width == 2 and shrunk[2].height == 2
