@@ -103,7 +103,10 @@ def q_lifecycle_load_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _prep(spark)
     base = _tmp("loadstore")
-    frame = _events_csv_frame(spark, sf_dir)
+    # checkpoint the fixture agg once: both CSV writes (full feed +
+    # re-delivery slice) read the same blocks instead of re-running the
+    # events aggregation
+    frame = _events_csv_frame(spark, sf_dir).localCheckpoint(eager=True)
     frame.coalesce(1).write.mode("overwrite").option("header", True).csv(
         base + "/in1"
     )

@@ -251,6 +251,14 @@ class TrendStore:
         packages sequentially in created order."""
         from minerva_etl_spark.operators.upsert import dedup_last_wins
 
+        # ONE aggregation job computes every part's modified-log marks
+        # up front (vs one groupBy job per part): max(created) over the
+        # pre-dedup package per timestamp equals max over the deduped
+        # survivors, because dedup keeps the greatest created per key.
+        # Marks are written per part right after that part's store, so
+        # crash consistency is unchanged (a stored part is always
+        # marked before the next part starts).
+        marks = self._collect_marks(package)
         for part in self.parts:
             cols = [c for c in part.trend_columns if c in package.columns]
             if not cols:
@@ -273,7 +281,14 @@ class TrendStore:
                 batch, ["entity_id", "timestamp"], "created",
                 tiebreak_cols=["job_id"],
             )
-            self._store_part(spark, part, batch)
+            # keys_unique: dedup_last_wins just made (entity_id,
+            # timestamp) unique by construction — re-validating would
+            # re-run the whole parse pipeline as one extra shuffle job
+            # per part
+            self._store_part(
+                spark, part, batch, keys_unique=True,
+                marks_rows=None if marks is None else marks.get(part.name, []),
+            )
 
     def _lease(self, spark: SparkSession, scope_path: str):
         from minerva_etl_spark.fsutil import StoreLease
@@ -283,18 +298,89 @@ class TrendStore:
             timeout=self.lease_timeout, ttl=self.lease_ttl,
         )
 
+    #: max modified-log rows collected to the driver per delivery; a
+    #: delivery's marks are one row per (timestamp, part) — bounded by
+    #: the delivery's time window, not entity count — so this is sized
+    #: for a years-long backfill, past which the distributed per-part
+    #: mark write takes over
+    MARKS_COLLECT_LIMIT = 100_000
+
+    def _collect_marks(
+        self, package: DataFrame
+    ) -> "dict[str, list[tuple]] | None":
+        """All parts' modified-log marks from ONE aggregation job over
+        the fused package: per timestamp, max(created) of the rows that
+        touched each part (files carrying >=1 of its columns).  Returns
+        None when the delivery exceeds MARKS_COLLECT_LIMIT timestamps —
+        callers then fall back to the distributed per-part mark."""
+        aggs, names = [], []
+        for part in self.parts:
+            cols = [c for c in part.trend_columns if c in package.columns]
+            if not cols:
+                continue
+            if "__cols" in package.columns:
+                cond = F.arrays_overlap(
+                    F.col("__cols"), F.array(*[F.lit(c) for c in cols])
+                )
+                aggs.append(
+                    F.max(F.when(cond, F.col("created"))).alias(part.name)
+                )
+            else:
+                aggs.append(F.max("created").alias(part.name))
+            names.append(part.name)
+        if not names:
+            return {}
+        agg = package.groupBy("timestamp").agg(*aggs)
+        rows = agg.limit(self.MARKS_COLLECT_LIMIT + 1).collect()
+        if len(rows) > self.MARKS_COLLECT_LIMIT:
+            return None
+        out: dict[str, list[tuple]] = {n: [] for n in names}
+        for r in rows:
+            for n in names:
+                m = r[n]
+                if m is not None:
+                    out[n].append((r["timestamp"], n, m))
+        return out
+
+    def _write_marks_rows(
+        self, spark: SparkSession, rows: list[tuple]
+    ) -> None:
+        """Driver-side modified-log append (one parquet file, no Spark
+        job) under the same lease as the distributed append."""
+        if not rows:
+            return
+        from minerva_etl_spark.fsutil import append_small_parquet
+
+        with self._lease(spark, self.modified_log_path()):
+            append_small_parquet(
+                spark, self.modified_log_path(), rows,
+                "timestamp timestamp_ntz, part string, "
+                "modified timestamp_ntz",
+            )
+
     def _store_part(
-        self, spark: SparkSession, part: "TrendStorePart", batch: DataFrame
+        self,
+        spark: SparkSession,
+        part: "TrendStorePart",
+        batch: DataFrame,
+        keys_unique: bool = False,
+        marks_rows: "list[tuple] | None" = None,
     ) -> None:
         """Upsert one prepared batch (keys + metrics + created/job_id +
         partition col, unique on the key) into a single part.
+
+        ``keys_unique``: the caller PROVES the batch is unique on the
+        key (e.g. it just ran dedup_last_wins), so the duplicate probe
+        job is skipped.  ``marks_rows``: precomputed modified-log rows
+        for this part (from ``_collect_marks``) — written driver-side
+        instead of running a per-part aggregation job.
 
         The whole read-merge-write cycle runs under the part's write
         lease: two simultaneous stores to one part would otherwise
         interleave their partition-directory swaps (or collide in the
         shared tmp directory) and lose a batch — the failure class the
         reference's transactional upserts rule out by construction."""
-        if self.validate_keys:
+        if self.validate_keys and not keys_unique:
             from minerva_etl_spark.errors import UniqueViolation
 
             dups = (
@@ -311,10 +397,14 @@ class TrendStore:
                     f"({r.entity_id}, {r.timestamp})"
                 )
         with self._lease(spark, self.part_path(part.name)):
-            self._store_part_locked(spark, part, batch)
+            self._store_part_locked(spark, part, batch, marks_rows)
 
     def _store_part_locked(
-        self, spark: SparkSession, part: "TrendStorePart", batch: DataFrame
+        self,
+        spark: SparkSession,
+        part: "TrendStorePart",
+        batch: DataFrame,
+        marks_rows: "list[tuple] | None" = None,
     ) -> None:
         existing = self.read_part(spark, part.name, with_partition_col=True)
         if existing is not None:
@@ -357,7 +447,10 @@ class TrendStore:
         else:
             merged = batch
         self._write_merged(spark, part.name, merged)
-        self._mark_modified_batch(spark, part.name, batch)
+        if marks_rows is not None:
+            self._write_marks_rows(spark, marks_rows)
+        else:
+            self._mark_modified_batch(spark, part.name, batch)
 
     # one bucket per this many input bytes when n_buckets is unset
     BUCKET_TARGET_BYTES = 256 * 1024 * 1024
@@ -489,11 +582,22 @@ class TrendStore:
         single-package store this is the package's created; for a fused
         batch it is the moment sequential per-package marks would have
         left behind."""
-        log = (
-            batch.groupBy("timestamp")
-            .agg(F.max("created").alias("modified"))
-            .withColumn("part", F.lit(part))
-            .select("timestamp", "part", "modified")
+        agg = batch.groupBy("timestamp").agg(
+            F.max("created").alias("modified")
+        )
+        # fast path: a delivery's marks are bounded by its time window
+        # — collect and append driver-side (one parquet file, no write
+        # job); oversized backfills fall through to the distributed
+        # append
+        rows = agg.limit(self.MARKS_COLLECT_LIMIT + 1).collect()
+        if len(rows) <= self.MARKS_COLLECT_LIMIT:
+            self._write_marks_rows(
+                spark,
+                [(r["timestamp"], part, r["modified"]) for r in rows],
+            )
+            return
+        log = agg.withColumn("part", F.lit(part)).select(
+            "timestamp", "part", "modified"
         )
         # appends use unique task files, so concurrent appends are safe
         # with each other — the lease fences them against a concurrent

@@ -647,3 +647,81 @@ def test_stale_lease_reclaim_is_exclusive(spark, tmp_path):
         assert overlaps == []                    # never concurrently
         assert not os.path.exists(lease_path)    # released cleanly
         assert not os.path.exists(lease_path + ".reclaim")
+
+
+def test_store_batch_marks_equal_sequential_stores(spark, tmp_path):
+    """The fused store_batch computes every part's modified-log marks
+    from ONE pre-dedup aggregation + driver-side appends; the folded
+    state must be identical to sequential per-package store() calls
+    (whose marks now also take the collect-and-append fast path)."""
+    from minerva_etl_spark.materialize.fingerprint import fold_modified_state
+
+    def mk(base):
+        return TrendStore(
+            data_source="hub", entity_type="node",
+            granularity=Granularity.parse("15m"),
+            parts=[
+                TrendStorePart("m15", ["power_kwh"]),
+                TrendStorePart("a15", ["temp"]),
+            ],
+            base_path=str(base),
+        )
+
+    c1, c2 = ts(2024, 5, 1, 10), ts(2024, 5, 1, 11)
+    rows1 = [(1, ts(2024, 5, 1, 0, 15), 1.0, 7.0),
+             (2, ts(2024, 5, 1, 0, 30), 2.0, 8.0)]
+    rows2 = [(1, ts(2024, 5, 1, 0, 15), 3.0, 9.0)]  # re-delivery, later
+    ddl = ("entity_id bigint, timestamp timestamp_ntz, "
+           "power_kwh double, temp double")
+
+    seq = mk(tmp_path / "seq")
+    seq.store(spark, spark.createDataFrame(rows1, ddl), job_id=1, created=c1)
+    seq.store(spark, spark.createDataFrame(rows2, ddl), job_id=2, created=c2)
+
+    fused = mk(tmp_path / "fused")
+    pk = spark.createDataFrame(
+        [r + (c1, 1) for r in rows1] + [r + (c2, 2) for r in rows2],
+        ddl + ", created timestamp_ntz, job_id bigint",
+    )
+    fused.store_batch(spark, pk)
+
+    f_seq = {
+        (r.part, r.timestamp): r.last_modified
+        for r in fold_modified_state(seq.read_modified_log(spark)).collect()
+    }
+    f_fused = {
+        (r.part, r.timestamp): r.last_modified
+        for r in fold_modified_state(fused.read_modified_log(spark)).collect()
+    }
+    assert f_seq == f_fused
+    # and the stored data agrees too (last-write-wins on the re-delivery)
+    a = sorted(map(tuple, seq.read_part(spark, "m15")
+                   .select("entity_id", "timestamp", "power_kwh").collect()))
+    b = sorted(map(tuple, fused.read_part(spark, "m15")
+                   .select("entity_id", "timestamp", "power_kwh").collect()))
+    assert a == b and a[0][2] == 3.0
+
+
+def test_job_log_mixed_append_flavors(spark, tmp_path):
+    """JobLog appends driver-side (pyarrow) on local paths; a directory
+    holding both Spark-written and pyarrow-written files reads back as
+    one table with TIMESTAMP_NTZ columns intact."""
+    from minerva_etl_spark.sources.loader import JobLog
+
+    log = JobLog(str(tmp_path))
+    # legacy Spark-written file
+    spark.createDataFrame(
+        [(1, "spark", ts(2024, 1, 1, 10), ts(2024, 1, 1, 11), "finished")],
+        JobLog.DDL,
+    ).write.mode("append").parquet(log.path)
+    log.log(spark, 2, "arrow", ts(2024, 1, 2, 10), ts(2024, 1, 2, 11),
+            "failed")
+    log.log_many(spark, [
+        (3, "arrow-batch", ts(2024, 1, 3, 10), ts(2024, 1, 3, 11),
+         "finished"),
+    ])
+    df = log.read(spark)
+    assert df.schema["started"].dataType.typeName() == "timestamp_ntz"
+    got = {r.job_id: (r.description, r.state) for r in df.collect()}
+    assert got == {1: ("spark", "finished"), 2: ("arrow", "failed"),
+                   3: ("arrow-batch", "finished")}
