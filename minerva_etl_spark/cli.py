@@ -1347,6 +1347,36 @@ def cmd_corpus(args) -> None:
     print(f"corpus {args.action}: {n} rows -> {args.output}")
 
 
+def cmd_media(args) -> None:
+    """`minerva-spark media <action>`: the multimodal operators as CLI
+    verbs over a parquet of ``(media_id, payload binary)`` rows —
+    `wav-features` (real RIFF/WAVE decode: rate, frames, duration,
+    RMS), `png-features` (real PNG decode: dimensions, channels,
+    per-channel means), `png-resize` (nearest-neighbor resize,
+    re-encoded PNG payloads out), `frames` (fixed-stride frame
+    sampling).  Extends the reference surface (media is opaque blobs
+    there; here decode runs Arrow-batched inside tasks)."""
+    import minerva_etl_spark.operators.multimodal as M
+
+    spark = _spark()
+    df = spark.read.parquet(args.input)
+    if args.action == "wav-features":
+        out = M.wav_features(df)
+    elif args.action == "png-features":
+        out = M.png_features(df)
+    elif args.action == "png-resize":
+        out = M.png_resize(df, args.width, args.height)
+    elif args.action == "frames":
+        out = M.sample_frames(
+            df, every_n_bytes=args.stride, max_frames=args.n
+        )
+    else:  # pragma: no cover - argparse choices guard this
+        raise ValueError(args.action)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"media {args.action}: {n} rows -> {args.output}")
+
+
 def cmd_curate(args) -> None:
     """`minerva-spark curate`: run the full corpus-curation pipeline
     (`operators/pipeline.py::curate_corpus` — quality filter → near-dup
@@ -1659,6 +1689,23 @@ def main(argv: list[str] | None = None) -> None:
                     help="increment: path of the persisted dedup "
                          "signature state (created on first delivery)")
     co.set_defaults(fn=cmd_corpus)
+
+    md = sub.add_parser("media")
+    md.add_argument(
+        "action",
+        choices=["wav-features", "png-features", "png-resize", "frames"],
+    )
+    md.add_argument("--input", required=True, help="input parquet")
+    md.add_argument("--output", required=True, help="output parquet")
+    md.add_argument("--width", type=int, default=64,
+                    help="png-resize: output width")
+    md.add_argument("--height", type=int, default=64,
+                    help="png-resize: output height")
+    md.add_argument("--stride", type=int, default=1024,
+                    help="frames: bytes per sampled frame")
+    md.add_argument("--n", type=int, default=8,
+                    help="frames: max frames per payload")
+    md.set_defaults(fn=cmd_media)
 
     qs = sub.add_parser("quick-start")
     qs.add_argument("instance_root", nargs="?", default=None)

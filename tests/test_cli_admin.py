@@ -862,3 +862,45 @@ def test_cli_corpus_increment_and_pack_ids(tmp_path, spark):
     back = spark.read.parquet(packed)
     assert back.count() > 0
     assert "token_ids" in back.columns
+
+
+def test_cli_media_verbs(tmp_path, spark):
+    """`media png-features` / `png-resize` / `wav-features` round-trip
+    real codec bytes through the CLI surface."""
+    from minerva_etl_spark.cli import main
+    from minerva_etl_spark.operators.multimodal import (
+        synthesize_png,
+        synthesize_wav,
+    )
+
+    px = bytes((y * 31 + x * 13 + c * 101) % 256
+               for y in range(6) for x in range(8) for c in range(3))
+    pngs = spark.createDataFrame(
+        [(1, synthesize_png(px, 8, 6, 3, [0, 1, 2, 3, 4, 1]))],
+        "media_id bigint, payload binary",
+    )
+    wavs = spark.createDataFrame(
+        [(7, synthesize_wav([100, -100, 50, -50], 8000))],
+        "media_id bigint, payload binary",
+    )
+    src_png, src_wav = str(tmp_path / "png"), str(tmp_path / "wav")
+    pngs.write.parquet(src_png)
+    wavs.write.parquet(src_wav)
+
+    out = str(tmp_path / "feat")
+    main(["media", "png-features", "--input", src_png, "--output", out])
+    r = spark.read.parquet(out).collect()[0]
+    assert (r.width, r.height, r.n_channels) == (8, 6, 3)
+
+    resized = str(tmp_path / "small")
+    main(["media", "png-resize", "--input", src_png, "--output", resized,
+          "--width", "4", "--height", "3"])
+    out2 = str(tmp_path / "feat2")
+    main(["media", "png-features", "--input", resized, "--output", out2])
+    r2 = spark.read.parquet(out2).collect()[0]
+    assert (r2.width, r2.height) == (4, 3)
+
+    out3 = str(tmp_path / "wfeat")
+    main(["media", "wav-features", "--input", src_wav, "--output", out3])
+    w = spark.read.parquet(out3).collect()[0]
+    assert w.sample_rate == 8000 and w.n_frames == 4

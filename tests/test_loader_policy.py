@@ -239,3 +239,49 @@ def test_attribute_loader_csv_to_history(spark, tmp_path):
             store=store, on_unknown_column="stop",
             base_path=str(tmp_path / "d"),
         ).load_file(spark, "csv", str(bad), cfg)
+
+
+def test_load_files_job_count_bounded(spark, tmp_path):
+    """Scale lock for the fused ingest path: a two-file delivery into a
+    two-part store must run a BOUNDED number of Spark jobs — the r8
+    regression guard for per-part duplicate probes, per-part mark jobs,
+    and Spark-side metadata appends that this path eliminated.  The
+    bound is loose (AQE job splitting varies) but far below the
+    pre-fix shape (~2x this count)."""
+    from datetime import datetime
+
+    from minerva_etl_spark.sources.loader import JobLog
+    from minerva_etl_spark.store.trendstore import TrendStore, TrendStorePart
+
+    f1 = tmp_path / "f1.csv"
+    f1.write_text(
+        "node,timestamp,power_kwh,temp_c\n"
+        "a,2024-01-01 00:15:00,1.0,20.0\n"
+        "b,2024-01-01 00:30:00,2.0,21.0\n"
+    )
+    f2 = tmp_path / "f2.csv"
+    f2.write_text(
+        "node,timestamp,power_kwh,temp_c\na,2024-01-01 00:15:00,9.0,22.0\n"
+    )
+    store = TrendStore(
+        data_source="hub", entity_type="node", granularity="15m",
+        parts=[
+            TrendStorePart("p_kwh", ["power_kwh"]),
+            TrendStorePart("p_tmp", ["temp_c"]),
+        ],
+        base_path=str(tmp_path / "store"),
+    )
+    loader = Loader(store=store, job_log=JobLog(str(tmp_path / "store")))
+    t1, t2 = datetime(2024, 1, 2, 10), datetime(2024, 1, 2, 11)
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    loader.load_files(
+        spark,
+        [("csv", str(f1), CFG, 1, t1), ("csv", str(f2), CFG, 2, t2)],
+    )
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    n_jobs = len(after - before)
+    # observed ~14 post-fix (parse/deduce x2, checkpoint, entity dim,
+    # marks agg, per-part merge writes); pre-fix shape was ~25+
+    assert n_jobs <= 20, f"fused delivery ran {n_jobs} Spark jobs"
