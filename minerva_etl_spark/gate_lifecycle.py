@@ -107,13 +107,16 @@ def q_lifecycle_load_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-delivery slice) read the same blocks instead of re-running the
     # events aggregation
     frame = _events_csv_frame(spark, sf_dir).localCheckpoint(eager=True)
-    frame.coalesce(1).write.mode("overwrite").option("header", True).csv(
-        base + "/in1"
-    )
+    # a harvest DELIVERY is a directory of files — write it as one
+    # (8-way, not coalesce(1): a single-task CSV serialization was the
+    # second-largest warm cost of this row)
+    frame.repartition(8).write.mode("overwrite").option(
+        "header", True
+    ).csv(base + "/in1")
     (
         frame.filter(F.expr("cast(substr(node, 6) as bigint) % 5 = 0"))
         .withColumn("value", F.col("value") * 2)
-        .coalesce(1)
+        .repartition(4)
         .write.mode("overwrite")
         .option("header", True)
         .csv(base + "/in2")
