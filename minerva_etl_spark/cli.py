@@ -1331,9 +1331,22 @@ def cmd_corpus(args) -> None:
         from minerva_etl_spark.operators.bpe import bpe_train
         from minerva_etl_spark.operators.shard import (
             write_packed_token_ids,
+            write_token_ids_binary,
         )
 
         merges, _vocab = bpe_train(df, n_merges=args.n)
+        if args.binary:
+            manifest = write_token_ids_binary(
+                df, merges, args.output, seq_len=args.seq_len,
+                shuffle_seed=args.seed,
+            )
+            rows = manifest.collect()
+            n_seqs = sum(r.n_seqs for r in rows)
+            print(
+                f"corpus pack-ids: {n_seqs} sequences in {len(rows)} "
+                f".bin/.idx shards -> {args.output}"
+            )
+            return
         n_seqs = write_packed_token_ids(
             df, merges, args.output, seq_len=args.seq_len,
             shuffle_seed=args.seed,
@@ -1688,6 +1701,9 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--state", default=None,
                     help="increment: path of the persisted dedup "
                          "signature state (created on first delivery)")
+    co.add_argument("--binary", action="store_true",
+                    help="pack-ids: write loader-ready .bin/.idx "
+                         "shards + manifest instead of parquet")
     co.set_defaults(fn=cmd_corpus)
 
     md = sub.add_parser("media")

@@ -904,3 +904,22 @@ def test_cli_media_verbs(tmp_path, spark):
     main(["media", "wav-features", "--input", src_wav, "--output", out3])
     w = spark.read.parquet(out3).collect()[0]
     assert w.sample_rate == 8000 and w.n_frames == 4
+
+
+def test_cli_corpus_pack_ids_binary(tmp_path, spark):
+    """`corpus pack-ids --binary` writes .bin/.idx shards + manifest."""
+    import glob
+
+    from minerva_etl_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new")],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "bin")
+    main(["corpus", "pack-ids", "--input", src, "--output", out,
+          "--n", "6", "--seq-len", "4", "--binary"])
+    assert glob.glob(out + "/shard-*.bin") and glob.glob(out + "/shard-*.idx")
+    assert spark.read.parquet(out + "/_manifest").count() >= 1

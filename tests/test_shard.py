@@ -323,3 +323,77 @@ def test_write_packed_token_ids_roundtrip(spark, tmp_path):
     assert back.select("seq_id").distinct().count() == n_seqs
     # 8 + 9 + 2 = 19 ids -> 5 sequences of 4 (last short)
     assert n_seqs == 5
+
+
+def test_write_token_ids_binary_roundtrip(spark, tmp_path):
+    """The .bin/.idx export reconstructs bit-exactly: every sequence
+    read back from the binary files equals the pack_token_ids assembly,
+    and the manifest digests match the bytes on disk."""
+    import hashlib
+
+    from minerva_etl_spark.operators.bpe import bpe_train
+    from minerva_etl_spark.operators.shard import (
+        pack_token_ids,
+        read_token_ids_binary,
+        write_token_ids_binary,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"),
+         (2, "new newer newest new"),
+         (3, "low new")],
+        "doc_id bigint, text string",
+    )
+    merges, _ = bpe_train(docs, n_merges=6, min_count=2)
+    path = str(tmp_path / "bin_export")
+    manifest = write_token_ids_binary(
+        docs, merges, path, seq_len=4, seqs_per_file=2
+    )
+    man = {r.file_id: r for r in manifest.collect()}
+    assert sum(r.n_seqs for r in man.values()) == 5  # 19 ids / 4
+
+    # expected sequences from the span table
+    spans = pack_token_ids(docs, merges, seq_len=4).collect()
+    expected: dict[int, list] = {}
+    for r in spans:
+        expected.setdefault(r.seq_id, []).append(
+            (r.pos_start, list(r.token_ids))
+        )
+    exp_seqs = {
+        sid: [t for _, chunk in sorted(parts) for t in chunk]
+        for sid, parts in expected.items()
+    }
+
+    got = {}
+    for fid in man:
+        for i, seq in enumerate(read_token_ids_binary(path, fid)):
+            got[fid * 2 + i] = seq
+    assert got == exp_seqs
+    # manifest digests match the actual bytes
+    for fid, r in man.items():
+        body = open(f"{path}/shard-{fid:05d}.bin", "rb").read()
+        assert hashlib.sha256(body).hexdigest() == r.sha256
+        assert r.n_tokens == len(body) // 2  # uint16
+    # manifest parquet persisted alongside the shards
+    pm = spark.read.parquet(f"{path}/_manifest")
+    assert pm.count() == len(man)
+
+
+def test_write_token_ids_binary_dtype_guard(spark, tmp_path):
+    """A vocabulary past the dtype limit fails loudly, not by
+    overflow."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from minerva_etl_spark.operators.bpe import bpe_train
+    from minerva_etl_spark.operators.shard import write_token_ids_binary
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa bb cc")], "doc_id bigint, text string"
+    )
+    merges, _ = bpe_train(docs, n_merges=2, min_count=1)
+    with _pytest.raises((ValueError, Py4JJavaError, Exception)) as ei:
+        write_token_ids_binary(
+            docs, merges, str(tmp_path / "x"), seq_len=4, dtype="uint8"
+        )
+    assert "uint16|uint32" in str(ei.value) or "dtype" in str(ei.value)
