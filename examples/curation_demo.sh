@@ -40,4 +40,15 @@ minerva-spark corpus kmeans \
   --input "${DOCS%documents.parquet}embeddings.parquet" \
   --output "$OUT/clusters" --n 8 --iters 2
 
+# 4. The tokenizer arc end-to-end: train BPE merges on the corpus,
+#    encode token ids, pack fixed-length sequences, and export the
+#    loader-ready binary shards (.bin/.idx + sha256 manifest).
+minerva-spark corpus pack-ids --input "$DOCS" --output "$OUT/token_bin" \
+  --n 64 --seq-len 512 --seed 42 --binary
+
+# 5. Incremental ops across deliveries: dedup a second "delivery"
+#    against the persisted signature state of the first.
+minerva-spark corpus increment --input "$DOCS" \
+  --output "$OUT/inc1" --state "$OUT/sig_state"
+
 echo "curation demo outputs under $OUT"
