@@ -272,6 +272,58 @@ def probe(spark, data_dir: str, mult: int) -> dict:
         )
     }
 
+    # round-8.5 probes ----------------------------------------------
+    # PNG decode is shuffle-free mapInPandas — expected linear in docs
+    from minerva_etl_spark.operators.multimodal import (
+        png_features,
+        synthesize_png,
+    )
+
+    def _png_media():
+        import pandas as pd
+
+        def synth(batches):
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    w, h = 8 + d % 9, 6 + d % 7
+                    px = bytes(
+                        (d * 7 + i) % 256 for i in range(w * h * 3)
+                    )
+                    payloads.append(
+                        synthesize_png(px, w, h, 3, [(d + y) % 5 for y in range(h)])
+                    )
+                yield pd.DataFrame(
+                    {"media_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        media = docs.select("doc_id").mapInPandas(
+            synth, "media_id bigint, payload binary"
+        )
+        return png_features(media)
+
+    results["png_features"] = {"spark": timed(_png_media)}
+
+    # binary token-id export: per-task file writes, expected linear
+    from minerva_etl_spark.operators.shard import write_token_ids_binary
+
+    def _bin_export():
+        import shutil
+        import tempfile
+
+        out = tempfile.mkdtemp(prefix="probe_bin_")
+        t0 = time.time()
+        write_token_ids_binary(
+            docs, merges8, out, seq_len=2048, seqs_per_file=256,
+            shuffle_seed=42, dtype="uint32",
+        )
+        dt = round(time.time() - t0, 2)
+        shutil.rmtree(out, ignore_errors=True)
+        return dt
+
+    results["token_ids_binary"] = {"spark": _bin_export()}
+
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{data_dir}/events.parquet/*.parquet'"
