@@ -93,6 +93,7 @@ HEADLINE = [
     "sim_ivf_join",
     "wav_features",
     "png_features",
+    "avi_features",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

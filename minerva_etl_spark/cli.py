@@ -1375,6 +1375,10 @@ def cmd_media(args) -> None:
     df = spark.read.parquet(args.input)
     if args.action == "wav-features":
         out = M.wav_features(df)
+    elif args.action == "avi-features":
+        out = M.avi_features(df)
+    elif args.action == "avi-frames":
+        out = M.avi_sample_frames(df, every_n=args.stride, max_frames=args.n)
     elif args.action == "png-features":
         out = M.png_features(df)
     elif args.action == "png-resize":
@@ -1709,7 +1713,8 @@ def main(argv: list[str] | None = None) -> None:
     md = sub.add_parser("media")
     md.add_argument(
         "action",
-        choices=["wav-features", "png-features", "png-resize", "frames"],
+        choices=["wav-features", "png-features", "png-resize",
+                 "frames", "avi-features", "avi-frames"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")
@@ -1718,7 +1723,8 @@ def main(argv: list[str] | None = None) -> None:
     md.add_argument("--height", type=int, default=64,
                     help="png-resize: output height")
     md.add_argument("--stride", type=int, default=1024,
-                    help="frames: bytes per sampled frame")
+                    help="frames: bytes per sampled frame; avi-frames: "
+                         "keep every Nth frame")
     md.add_argument("--n", type=int, default=8,
                     help="frames: max frames per payload")
     md.set_defaults(fn=cmd_media)

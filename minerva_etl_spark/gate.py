@@ -2587,6 +2587,78 @@ FROM chmean GROUP BY doc_id, w, h
 """
 
 
+def q_avi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode (`operators/multimodal.py::avi_features`):
+    per-document uncompressed AVI synthesized deterministically from
+    doc_id (w = 4 + doc_id % 3, h = 3 + doc_id % 2, n_frames =
+    2 + doc_id % 3, pixel(f, x, y, ch) = (doc_id*11 + f*53 + y*31 +
+    x*13 + ch*101) % 256, 12 fps), packed into actual RIFF 'AVI '
+    bytes (bottom-up BGR DIB frames, padded rows), then decoded back
+    through the container walk inside Arrow-batched tasks.  The oracle
+    recomputes the all-frames per-channel means from the generating
+    formula — any byte-level container, row-order, or BGR/RGB bug
+    hash-mismatches."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.multimodal import synthesize_avi
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h, nf = 4 + d % 3, 3 + d % 2, 2 + d % 3
+                frames = [
+                    bytes(
+                        (d * 11 + f * 53 + y * 31 + x * 13 + ch * 101) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for ch in range(3)
+                    )
+                    for f in range(nf)
+                ]
+                payloads.append(synthesize_avi(frames, w, h, fps=12))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return M.avi_features(media)
+
+
+_ORACLE_AVI = """
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 3 AS w, 3 + doc_id % 2 AS h,
+         2 + doc_id % 3 AS nf
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, nf, ch.c AS c,
+         (doc_id * 11 + f.f * 53 + y.y * 31 + x.x * 13 + ch.c * 101)
+             % 256 AS v
+  FROM dims,
+       UNNEST(generate_series(0, nf - 1)) AS f(f),
+       UNNEST(generate_series(0, h - 1)) AS y(y),
+       UNNEST(generate_series(0, w - 1)) AS x(x),
+       UNNEST(generate_series(0, 2)) AS ch(c)
+), chmean AS (
+  SELECT doc_id, w, h, nf, c,
+         floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5)
+             / 1000000 AS m
+  FROM px GROUP BY doc_id, w, h, nf, c
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(12 AS INT) AS fps,
+       CAST(nf AS INT) AS n_frames,
+       list(m ORDER BY c) AS channel_means
+FROM chmean GROUP BY doc_id, w, h, nf
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-key document cap (`operators/skew.py::
     cap_per_key`): keep the 5 largest documents per (lang, source) —
@@ -2813,6 +2885,7 @@ _REGISTRY_ORDER = [
     # out-of-window slot, candidate to rotate in next round alongside
     # the r9 window refresh.
     "png_features",
+    "avi_features",
     "trend_time_agg_1d_rollup",
     "dedup_ngram_jaccard",
     "dedup_embedding",
@@ -2942,6 +3015,7 @@ def build_queries() -> dict:
         "sim_ivf_join": q_sim_ivf_join,
         "wav_features": q_wav_features,
         "png_features": q_png_features,
+        "avi_features": q_avi_features,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -3044,6 +3118,7 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_join": _oracle_sim_ivf_join(),
         "wav_features": _ORACLE_WAV,
         "png_features": _ORACLE_PNG,
+        "avi_features": _ORACLE_AVI,
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -6,18 +6,21 @@ resize / frame-sample run as Arrow-batched ``mapInPandas`` operators so
 payload bytes never round-trip through the driver and each task touches
 only its partition's batches — the correct 100 TB shape.
 
-Codec status: **audio and image are REAL** — :func:`wav_decode` parses
-RIFF/WAVE payloads with the stdlib ``wave`` module and
-:func:`png_decode` is a full PNG reader built on stdlib ``zlib`` +
-``struct`` (chunk walk, IDAT inflate, all five scanline filters
-including Paeth; 8-bit gray / gray+alpha / RGB / RGBA).  Both run
-Arrow-batched (:func:`wav_features`, :func:`png_features`), and
-:func:`png_resize` re-encodes a nearest-neighbor downsample through
-:func:`synthesize_png` — decode → transform → encode without leaving
-the task.  Only *video* decode remains a stub (no ffmpeg in this
-image): the generic ``decoder`` argument of :func:`extract_features`
-defaults to :func:`deterministic_fake_decode`, clearly marked; swap in
-a real codec with the same signature on a cluster with the libs.
+Codec status: **audio, image, and video are REAL** —
+:func:`wav_decode` parses RIFF/WAVE payloads with the stdlib ``wave``
+module; :func:`png_decode` is a full PNG reader built on stdlib
+``zlib`` + ``struct`` (chunk walk, IDAT inflate, all five scanline
+filters including Paeth; 8-bit gray / gray+alpha / RGB / RGBA);
+:func:`avi_decode` walks the RIFF tree of an uncompressed AVI (one
+'vids' stream, BI_RGB 24-bit DIB frames — a spec-conformant format any
+player opens) and decodes every frame.  All run Arrow-batched
+(:func:`wav_features`, :func:`png_features`, :func:`avi_features`);
+:func:`png_resize` re-encodes a nearest-neighbor downsample and
+:func:`avi_sample_frames` re-encodes sampled video frames as PNGs —
+decode → transform → encode without leaving the task.  COMPRESSED
+video codecs (MJPG/H.264) are the one remaining out-of-scope surface
+(no ffmpeg in this image): the generic ``decoder`` argument of
+:func:`extract_features` stays as the documented swap-in point.
 Everything around the codecs — schemas, batch iteration, partitioning,
 output contracts — is real and tested either way.
 """
@@ -487,4 +490,208 @@ def sample_frames(
                 every_n_bytes,
             ).alias("frame_bytes"),
         )
+    )
+
+
+# ---------------------------------------------------------------------
+# REAL video codec: uncompressed AVI (RIFF + BI_RGB 24-bit frames) via
+# stdlib struct — the same container family as WAV.  Any AVI player
+# opens the output; any uncompressed AVI in this shape parses here.
+# Compressed codecs (MJPG/H.264) remain out of scope in this sandbox.
+# ---------------------------------------------------------------------
+
+
+def synthesize_avi(
+    frames: "list[bytes]", width: int, height: int, fps: int = 10
+) -> bytes:
+    """A real AVI file (RIFF 'AVI ', one 'vids' stream, BI_RGB 24-bit
+    DIB frames) from raw row-major RGB frame buffers — pure stdlib.
+    Frames are stored as AVI requires: bottom-up rows, BGR byte order,
+    rows padded to 4 bytes."""
+    import struct
+
+    stride = width * 3
+    pad = (-stride) % 4
+    blobs = []
+    for f in frames:
+        if len(f) != stride * height:
+            raise ValueError(
+                f"frame is {len(f)} bytes, expected {stride * height}"
+            )
+        rows = []
+        for y in range(height - 1, -1, -1):  # bottom-up
+            row = bytearray(f[y * stride : (y + 1) * stride])
+            row[0::3], row[2::3] = row[2::3], row[0::3]  # RGB -> BGR
+            rows.append(bytes(row) + b"\x00" * pad)
+        blobs.append(b"".join(rows))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + struct.pack("<I", len(data)) + data
+        return body + (b"\x00" if len(data) % 2 else b"")
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    frame_bytes = (stride + pad) * height
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # HASINDEX-free, 0x10=was-captured flagless; dwFlags
+        len(frames), 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1, fps, 0,
+                                        len(frames), frame_bytes, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes,
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", b) for b in blobs))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def avi_decode(payload: bytes) -> dict:
+    """REAL video decode, pure stdlib: walk the RIFF tree, read stream
+    geometry from the BITMAPINFOHEADER, and decode every uncompressed
+    '00db' DIB frame (bottom-up BGR, 4-byte row padding) back to
+    row-major RGB.  Returns ``{width, height, fps, n_frames,
+    frames: list[bytearray]}``."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+
+    width = height = None
+    bitcount = compression = None
+    rate = scale = None
+    frames_raw: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal width, height, bitcount, compression, rate, scale
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            data_start = pos + 8
+            if tag == b"LIST":
+                walk(buf, data_start + 4, data_start + size)
+            elif tag == b"strh":
+                d = buf[data_start : data_start + size]
+                if d[:4] == b"vids":
+                    scale, rate = struct.unpack("<II", d[20:28])
+            elif tag == b"strf" and width is None:
+                d = buf[data_start : data_start + size]
+                (_, width, height, _, bitcount, compression) = struct.unpack(
+                    "<IiiHHI", d[:20]
+                )
+            elif tag in (b"00db", b"00dc"):
+                frames_raw.append(buf[data_start : data_start + size])
+            pos = data_start + size + (size % 2)
+
+    walk(payload, 12, len(payload))
+    if width is None:
+        raise ValueError("AVI has no video stream header")
+    if compression != 0 or bitcount != 24:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit DIB supported "
+            f"(biCompression={compression}, biBitCount={bitcount})"
+        )
+    stride = width * 3
+    pad = (-stride) % 4
+    frames = []
+    for raw in frames_raw:
+        out = bytearray(stride * height)
+        for y in range(height):
+            src = (height - 1 - y) * (stride + pad)
+            row = bytearray(raw[src : src + stride])
+            row[0::3], row[2::3] = row[2::3], row[0::3]  # BGR -> RGB
+            out[y * stride : (y + 1) * stride] = row
+        frames.append(out)
+    fps = rate // scale if rate and scale else 0
+    return {
+        "width": width,
+        "height": height,
+        "fps": fps,
+        "n_frames": len(frames),
+        "frames": frames,
+    }
+
+
+AVI_FEATURE_SCHEMA = (
+    "media_id bigint, width int, height int, fps int, n_frames int, "
+    "channel_means array<double>"
+)
+
+
+def avi_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-row REAL AVI decode via mapInPandas: container walk + DIB
+    frame decode inside each task; per-channel means are over ALL
+    frames' pixels on the same half-up 6-dp grid as the PNG/WAV
+    features (exact integer sums, one final rounding)."""
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                d = avi_decode(bytes(p))
+                sums = [0, 0, 0]
+                n = 0
+                for f in d["frames"]:
+                    for c in range(3):
+                        sums[c] += sum(f[c::3])
+                    n += len(f) // 3
+                means = [
+                    math.floor(s / n * 1e6 + 0.5) / 1e6 if n else 0.0
+                    for s in sums
+                ]
+                rows.append(
+                    (mid, d["width"], d["height"], d["fps"],
+                     d["n_frames"], means)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "fps",
+                         "n_frames", "channel_means"],
+            )
+
+    return media.mapInPandas(run, schema=AVI_FEATURE_SCHEMA)
+
+
+def avi_sample_frames(
+    media: DataFrame,
+    every_n: int = 1,
+    max_frames: int = 8,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL video frame sampling: decode the container, keep every
+    ``every_n``-th frame up to ``max_frames``, and re-encode each kept
+    frame as a standalone PNG — the decode → frame-sample → image
+    hand-off of a multimodal ingest pipeline, all inside the task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame_png": []}
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                d = avi_decode(bytes(p))
+                kept = d["frames"][::every_n][:max_frames]
+                for i, f in enumerate(kept):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i * every_n)
+                    out["frame_png"].append(
+                        synthesize_png(bytes(f), d["width"], d["height"], 3)
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        run, schema="media_id bigint, frame_idx int, frame_png binary"
     )

@@ -923,3 +923,25 @@ def test_cli_corpus_pack_ids_binary(tmp_path, spark):
           "--n", "6", "--seq-len", "4", "--binary"])
     assert glob.glob(out + "/shard-*.bin") and glob.glob(out + "/shard-*.idx")
     assert spark.read.parquet(out + "/_manifest").count() >= 1
+
+
+def test_cli_media_avi_verbs(tmp_path, spark):
+    from minerva_etl_spark.cli import main
+    from minerva_etl_spark.operators.multimodal import synthesize_avi
+
+    frames = [bytes((f * 40 + i) % 256 for i in range(4 * 3 * 3))
+              for f in range(4)]
+    media = spark.createDataFrame(
+        [(1, synthesize_avi(frames, 4, 3, fps=10))],
+        "media_id bigint, payload binary",
+    )
+    src = str(tmp_path / "avi")
+    media.write.parquet(src)
+    out = str(tmp_path / "feat")
+    main(["media", "avi-features", "--input", src, "--output", out])
+    r = spark.read.parquet(out).collect()[0]
+    assert (r.width, r.height, r.fps, r.n_frames) == (4, 3, 10, 4)
+    out2 = str(tmp_path / "frames")
+    main(["media", "avi-frames", "--input", src, "--output", out2,
+          "--stride", "2", "--n", "2"])
+    assert spark.read.parquet(out2).count() == 2

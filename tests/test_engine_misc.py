@@ -554,3 +554,67 @@ def test_png_features_distributed(spark):
         for r in png_features(png_resize(media, 2, 2)).collect()
     }
     assert shrunk[1].width == 2 and shrunk[2].height == 2
+
+
+def test_avi_synthesize_decode_roundtrip():
+    """synthesize_avi emits a real RIFF 'AVI ' container (uncompressed
+    24-bit DIB frames) and avi_decode recovers geometry, fps, and every
+    frame's RGB pixels bit-exactly (bottom-up + BGR + padding undone)."""
+    import random
+
+    from minerva_etl_spark.operators.multimodal import (
+        avi_decode,
+        synthesize_avi,
+    )
+
+    rng = random.Random(11)
+    for _ in range(10):
+        w, h = rng.randint(1, 11), rng.randint(1, 7)
+        nf = rng.randint(1, 6)
+        frames = [
+            bytes(rng.randrange(256) for _ in range(w * h * 3))
+            for _ in range(nf)
+        ]
+        payload = synthesize_avi(frames, w, h, fps=24)
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+        d = avi_decode(payload)
+        assert (d["width"], d["height"], d["fps"], d["n_frames"]) == (
+            w, h, 24, nf,
+        )
+        for got, exp in zip(d["frames"], frames):
+            assert bytes(got) == exp
+
+
+def test_avi_decode_rejects_garbage():
+    import pytest as _pytest
+
+    from minerva_etl_spark.operators.multimodal import avi_decode
+
+    with _pytest.raises(ValueError):
+        avi_decode(b"RIFF....WAVE not a video")
+
+
+def test_avi_frame_sampling_emits_valid_pngs(spark):
+    """avi_sample_frames decodes the container per task and re-encodes
+    sampled frames as standalone PNGs — the video → image hand-off."""
+    from minerva_etl_spark.operators.multimodal import (
+        avi_sample_frames,
+        png_decode,
+        synthesize_avi,
+    )
+
+    w, h = 4, 3
+    frames = [
+        bytes((f * 50 + i) % 256 for i in range(w * h * 3))
+        for f in range(5)
+    ]
+    media = spark.createDataFrame(
+        [(1, synthesize_avi(frames, w, h, fps=10))],
+        "media_id bigint, payload binary",
+    )
+    out = avi_sample_frames(media, every_n=2, max_frames=2).collect()
+    assert [(r.media_id, r.frame_idx) for r in out] == [(1, 0), (1, 2)]
+    for r in out:
+        d = png_decode(bytes(r.frame_png))
+        assert (d["width"], d["height"]) == (w, h)
+        assert bytes(d["pixels"]) == frames[r.frame_idx]
