@@ -94,6 +94,7 @@ HEADLINE = [
     "wav_features",
     "png_features",
     "avi_features",
+    "incremental_embedding",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -1278,8 +1278,8 @@ def cmd_corpus(args) -> None:
     document cap), `tfidf` (top-N keywords per doc), `kmeans`
     (distributed Lloyd's fit over an embedding column), `bpe` (train a
     merge table), `pack-ids` (train + encode + pack token-id
-    sequences), `increment` (dedup a delivery against the persisted
-    signature state).  Extends the reference surface (its CLI has no
+    sequences), `increment` / `increment-emb` (dedup a text or embedding
+    delivery against the persisted signature/vector state).  Extends the reference surface (its CLI has no
     corpus side)."""
     from pyspark.sql import functions as F
 
@@ -1327,6 +1327,12 @@ def cmd_corpus(args) -> None:
         from minerva_etl_spark.operators.incremental import ingest_increment
 
         out = ingest_increment(spark, df, args.state)
+    elif args.action == "increment-emb":
+        from minerva_etl_spark.operators.incremental import (
+            ingest_embedding_increment,
+        )
+
+        out = ingest_embedding_increment(spark, df, args.state)
     elif args.action == "pack-ids":
         from minerva_etl_spark.operators.bpe import bpe_train
         from minerva_etl_spark.operators.shard import (
@@ -1683,7 +1689,7 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=[
             "split", "cap", "tfidf", "kmeans", "bpe", "pack-ids",
-            "increment",
+            "increment", "increment-emb",
         ],
     )
     co.add_argument("--input", required=True, help="input parquet")

@@ -807,6 +807,46 @@ def _oracle_incremental_dedup() -> str:
     )
 
 
+def q_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EMBEDDING near-dup (`operators/incremental.py::
+    ingest_embedding_increment`): the text protocol's vector twin —
+    two real deliveries through a persisted (bucket, norm, vector)
+    state; delivery 2 decides the last quarter against history via an
+    LSH bucket equi-join + hoisted-norm cosine rescore (history is
+    never re-scored against itself).  Oracle: full recompute over
+    history ∪ delta restricted to delta rows."""
+    _prep(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.incremental import (
+        ingest_embedding_increment,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="minerva_gate_incemb_")
+    state_path = os.path.join(root, "emb_state")
+    ingest_embedding_increment(
+        spark, emb.filter("vec_id % 4 < 3"), state_path
+    )
+    out = ingest_embedding_increment(
+        spark, emb.filter("vec_id % 4 = 3"), state_path
+    )
+    shutil.rmtree(root, ignore_errors=True)  # decisions are checkpointed
+    return out
+
+
+def _oracle_incremental_embedding() -> str:
+    from minerva_etl_spark.operators.incremental import (
+        embedding_increment_oracle_sql,
+    )
+
+    return embedding_increment_oracle_sql(
+        "vec_id % 4 < 3", "vec_id % 4 = 3", "embeddings"
+    )
+
+
 def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-ID encoding (`operators/bpe.py::bpe_encode_ids`): train 12
     merges, then emit each document's actual BPE token-id array —
@@ -2886,6 +2926,7 @@ _REGISTRY_ORDER = [
     # the r9 window refresh.
     "png_features",
     "avi_features",
+    "incremental_embedding",
     "trend_time_agg_1d_rollup",
     "dedup_ngram_jaccard",
     "dedup_embedding",
@@ -3016,6 +3057,7 @@ def build_queries() -> dict:
         "wav_features": q_wav_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
+        "incremental_embedding": q_incremental_embedding,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -3119,6 +3161,7 @@ def build_oracles() -> dict[str, str]:
         "wav_features": _ORACLE_WAV,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
+        "incremental_embedding": _oracle_incremental_embedding(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -328,3 +328,183 @@ SELECT e.{id_col} AS doc_id, e.content_key,
        (e.exact_dup_of IS NULL AND n.near_dup_of IS NULL) AS keep
 FROM exacts e LEFT JOIN near n ON n.{id_col} = e.{id_col}
 """
+
+
+# ---------------------------------------------------------------------
+# Embedding-space increments: the same protocol for vector near-dup.
+# ---------------------------------------------------------------------
+
+
+def build_embedding_state(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_dims: "list[int] | None" = None,
+) -> DataFrame:
+    """(vec_id, bucket, norm, embedding) for every vector — the
+    persisted state for :func:`embedding_increment`.
+
+    Unlike the text state (where MinHash signatures suffice), vector
+    near-dup needs the vectors themselves for the exact rescore; the
+    state is still ~10³ × smaller than the media/text the embeddings
+    index, and the LSH bucket + precomputed norm keep every later
+    increment a bucket equi-join + one dot product per candidate."""
+    from minerva_etl_spark.operators.similarity import (
+        lsh_sign_bucket,
+        norm_expr,
+    )
+
+    return lsh_sign_bucket(
+        embeddings, list(bucket_dims or range(8)), id_col, vec_col
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        "bucket",
+        norm_expr(vec_col).alias("norm"),
+        F.col(vec_col).alias("embedding"),
+    )
+
+
+def embedding_increment(
+    delta_state: DataFrame,
+    history_state: DataFrame,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Near-dup decisions for a delta of vectors against all history
+    WITHOUT re-scoring history-vs-history — both sides are state frames
+    from :func:`build_embedding_state`.
+
+    Per delta vector: ``near_dup_of`` = the lowest id among LSH
+    bucket-mates (history or lower-id delta) with exact cosine ≥
+    ``threshold``; ``keep`` = no such neighbor.  Decisions equal a full
+    recompute over history ∪ delta restricted to the delta rows
+    ("first seen wins") — pinned by the ``incremental_embedding``
+    oracle row and the two-delivery pytest.
+
+    Plan: one union of the state frames, a bucket equi-join (never a
+    cross join), a hoisted-norm rescore (one dot per candidate), and a
+    map-side-combinable min per delta vector."""
+    from minerva_etl_spark.operators.similarity import (
+        cosine_from_norms_expr,
+    )
+
+    cols = ["vec_id", "bucket", "norm", "embedding"]
+    all_state = history_state.select(cols).unionByName(
+        delta_state.select(cols)
+    )
+    d = delta_state.select(
+        F.col("vec_id"),
+        "bucket",
+        F.col("norm").alias("__nd"),
+        F.col("embedding").alias("__vd"),
+    )
+    h = all_state.select(
+        F.col("vec_id").alias("partner_id"),
+        "bucket",
+        F.col("norm").alias("__nh"),
+        F.col("embedding").alias("__vh"),
+    )
+    near = (
+        d.join(h, "bucket")
+        .filter(F.col("partner_id") < F.col("vec_id"))
+        .filter(
+            cosine_from_norms_expr("__vd", "__vh", "__nd", "__nh")
+            >= F.lit(float(threshold))
+        )
+        .groupBy("vec_id")
+        .agg(F.min("partner_id").cast("bigint").alias("near_dup_of"))
+    )
+    return (
+        delta_state.select("vec_id")
+        .join(near, "vec_id", "left")
+        .select(
+            "vec_id",
+            "near_dup_of",
+            F.col("near_dup_of").isNull().alias("keep"),
+        )
+    )
+
+
+def ingest_embedding_increment(
+    spark: SparkSession,
+    new_embeddings: DataFrame,
+    state_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """One embedding-delivery cycle: state the delta, decide it against
+    persisted history (bootstrap: everything kept), append the delta's
+    state rows under the store lease.  Returns the decisions."""
+    delta_state = build_embedding_state(
+        new_embeddings, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    if parquet_exists(spark, state_path):
+        history = spark.read.parquet(state_path)
+        decisions = embedding_increment(delta_state, history, threshold)
+    else:
+        decisions = delta_state.select(
+            "vec_id",
+            F.lit(None).cast("bigint").alias("near_dup_of"),
+        ).withColumn("keep", F.lit(True))
+    decisions = decisions.localCheckpoint(eager=True)
+    append_dedup_state(spark, delta_state, state_path)
+    return decisions
+
+
+def embedding_increment_oracle_sql(
+    history_pred: str,
+    delta_pred: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bucket_dims: int = 8,
+    threshold: float = 0.3,
+) -> str:
+    """DuckDB twin of :func:`embedding_increment` as a FULL recompute
+    over history ∪ delta restricted to delta rows: lowest bucket-mate
+    id (history or lower-id delta) with exact cosine ≥ threshold —
+    pinning incremental == recompute."""
+
+    def bucket_sql(alias: str) -> str:
+        bits = [
+            f"CASE WHEN {alias}.{vec_col}[{d + 1}] >= 0 "
+            "THEN '1' ELSE '0' END"
+            for d in range(n_bucket_dims)
+        ]
+        return " || ".join(bits)
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip(CAST(a.{vec_col} AS DOUBLE[]), "
+        f"CAST(b.{vec_col} AS DOUBLE[])), p -> p[1] * p[2])), "
+        "(acc, v) -> acc + v)"
+    )
+
+    def norm(al: str) -> str:
+        return (
+            "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(CAST({al}.{vec_col} AS DOUBLE[]), "
+            "x -> x * x)), (acc, v) -> acc + v))"
+        )
+
+    cos = f"round({dot} / nullif({norm('a')} * {norm('b')}, 0.0), 6)"
+    return f"""
+WITH pool AS (
+  SELECT * FROM {table} WHERE ({history_pred}) OR ({delta_pred})
+),
+near AS (
+  SELECT a.{id_col} AS vec_id,
+         CAST(min(b.{id_col}) AS BIGINT) AS near_dup_of
+  FROM pool a JOIN pool b
+    ON ({bucket_sql('a')}) = ({bucket_sql('b')})
+   AND b.{id_col} < a.{id_col}
+  WHERE ({delta_pred.replace(id_col, 'a.' + id_col)})
+    AND {cos} >= {threshold}
+  GROUP BY a.{id_col}
+)
+SELECT d.{id_col} AS vec_id,
+       near.near_dup_of,
+       near.near_dup_of IS NULL AS keep
+FROM (SELECT {id_col} FROM {table} WHERE {delta_pred}) d
+LEFT JOIN near ON d.{id_col} = near.vec_id
+"""

@@ -109,3 +109,52 @@ def test_missing_state_raises(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_dedup_state(spark, str(tmp_path / "nope"))
+
+
+def test_embedding_increment_two_deliveries(spark, tmp_path):
+    """The vector twin of the text protocol: delivery 2 is decided
+    against persisted history state only (bucket + norm + vector, no
+    re-scoring of history-vs-history), and a delta vector whose ONLY
+    near neighbor was DROPPED in delivery 1 still resolves — the state
+    keeps every ingested vector, kept and dropped alike."""
+    from minerva_etl_spark.operators.incremental import (
+        ingest_embedding_increment,
+    )
+
+    pad = [0.0] * 6
+    a = [1.0, 0.0] + pad          # kept (first seen)
+    b = [0.95, 0.31] + pad        # cos(a,b) ~ 0.95 -> dropped, dup of a
+    c = [0.81, 0.59] + pad        # cos(b,c) ~ 0.95, cos(a,c) ~ 0.81
+    d = [0.0, 1.0] + pad          # cos vs a/b/c <= 0.59 -> kept
+    state = str(tmp_path / "emb_state")
+
+    ddl = "vec_id bigint, embedding array<double>"
+    dec1 = {
+        r.vec_id: r
+        for r in ingest_embedding_increment(
+            spark, spark.createDataFrame([(1, a)], ddl), state,
+            threshold=0.9,
+        ).collect()
+    }
+    assert dec1[1].keep and dec1[1].near_dup_of is None  # bootstrap
+
+    dec2 = {
+        r.vec_id: r
+        for r in ingest_embedding_increment(
+            spark, spark.createDataFrame([(2, b)], ddl), state,
+            threshold=0.9,
+        ).collect()
+    }
+    assert not dec2[2].keep and dec2[2].near_dup_of == 1  # b dropped
+
+    dec3 = {
+        r.vec_id: r
+        for r in ingest_embedding_increment(
+            spark, spark.createDataFrame([(3, c), (4, d)], ddl), state,
+            threshold=0.9,
+        ).collect()
+    }
+    # c's ONLY >=0.9 neighbor is b, which was DROPPED in delivery 2 —
+    # it must still resolve, because the state keeps dropped vectors
+    assert not dec3[3].keep and dec3[3].near_dup_of == 2
+    assert dec3[4].keep and dec3[4].near_dup_of is None
