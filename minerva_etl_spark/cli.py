@@ -1327,6 +1327,12 @@ def cmd_corpus(args) -> None:
         from minerva_etl_spark.operators.incremental import ingest_increment
 
         out = ingest_increment(spark, df, args.state)
+    elif args.action == "decontaminate":
+        from minerva_etl_spark.operators.dedup import contamination_check
+
+        bench = spark.read.parquet(args.benchmark)
+        hits = contamination_check(df, bench).select("doc_id")
+        out = df.join(hits, "doc_id", "left_anti")
     elif args.action == "increment-emb":
         from minerva_etl_spark.operators.incremental import (
             ingest_embedding_increment,
@@ -1689,7 +1695,7 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=[
             "split", "cap", "tfidf", "kmeans", "bpe", "pack-ids",
-            "increment", "increment-emb",
+            "increment", "increment-emb", "decontaminate",
         ],
     )
     co.add_argument("--input", required=True, help="input parquet")
@@ -1711,6 +1717,9 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--state", default=None,
                     help="increment: path of the persisted dedup "
                          "signature state (created on first delivery)")
+    co.add_argument("--benchmark", default=None,
+                    help="decontaminate: held-out eval parquet whose "
+                         "4-gram shingle matches are dropped")
     co.add_argument("--binary", action="store_true",
                     help="pack-ids: write loader-ready .bin/.idx "
                          "shards + manifest instead of parquet")

@@ -945,3 +945,25 @@ def test_cli_media_avi_verbs(tmp_path, spark):
     main(["media", "avi-frames", "--input", src, "--output", out2,
           "--stride", "2", "--n", "2"])
     assert spark.read.parquet(out2).count() == 2
+
+
+def test_cli_corpus_decontaminate(tmp_path, spark):
+    from minerva_etl_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated corpus text body with no overlap")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox jumps over the lazy")],
+        "doc_id bigint, text string",
+    )
+    src, bsrc = str(tmp_path / "docs"), str(tmp_path / "bench")
+    docs.write.parquet(src)
+    bench.write.parquet(bsrc)
+    out = str(tmp_path / "clean")
+    main(["corpus", "decontaminate", "--input", src, "--output", out,
+          "--benchmark", bsrc])
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {2}
