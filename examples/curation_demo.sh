@@ -47,8 +47,19 @@ minerva-spark corpus pack-ids --input "$DOCS" --output "$OUT/token_bin" \
   --n 64 --seq-len 512 --seed 42 --binary
 
 # 5. Incremental ops across deliveries: dedup a second "delivery"
-#    against the persisted signature state of the first.
+#    against the persisted signature state of the first — text
+#    (digest + MinHash signatures) and embeddings (LSH bucket +
+#    vector state) flavors.
 minerva-spark corpus increment --input "$DOCS" \
   --output "$OUT/inc1" --state "$OUT/sig_state"
+minerva-spark corpus increment-emb \
+  --input "${DOCS%documents.parquet}embeddings.parquet" \
+  --output "$OUT/inc_emb" --state "$OUT/emb_state"
+
+# 6. Standalone decontamination: drop docs sharing 4-gram shingles
+#    with a held-out benchmark (here: the corpus itself as a smoke
+#    stand-in — everything collides, output is empty).
+minerva-spark corpus decontaminate --input "$DOCS" \
+  --output "$OUT/clean" --benchmark "$DOCS"
 
 echo "curation demo outputs under $OUT"

@@ -2921,9 +2921,10 @@ _REGISTRY_ORDER = [
     # trend_time_agg_3month, dn_parse — vouchers unchanged, see
     # COVERAGE.md.  Everything below is still verified every session by
     # tools/check_oracle.py.
-    # png_features is NEW in round 8.5 (real stdlib PNG decode) — first
-    # out-of-window slot, candidate to rotate in next round alongside
-    # the r9 window refresh.
+    # Rows 51-53 are NEW in round 8.5 (real stdlib PNG decode, real
+    # uncompressed-AVI video decode, incremental embedding dedup) —
+    # first out-of-window slots, rotate-in candidates for the r9
+    # window refresh.
     "png_features",
     "avi_features",
     "incremental_embedding",
