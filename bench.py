@@ -95,6 +95,7 @@ HEADLINE = [
     "png_features",
     "avi_features",
     "incremental_embedding",
+    "semantic_decontamination",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -807,6 +807,28 @@ def _oracle_incremental_dedup() -> str:
     )
 
 
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level decontamination (`operators/similarity.py::
+    semantic_decontamination`): corpus vectors (vec_id % 10 != 0) with
+    exact cosine ≥ 0.1 against any benchmark vector (vec_id % 10 = 0)
+    — the paraphrase-leakage complement of the shingle-based
+    `decontamination` row.  LSH bucket equi-join + broadcast benchmark
+    + hoisted-norm rescore; never a cross join."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_decontamination(
+        emb.filter("vec_id % 10 != 0"),
+        emb.filter("vec_id % 10 = 0"),
+        threshold=0.1,
+    )
+
+
+def _oracle_semantic_decontamination() -> str:
+    return S.semantic_decontamination_oracle_sql(
+        "vec_id % 10 != 0", "vec_id % 10 = 0", threshold=0.1
+    )
+
+
 def q_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental EMBEDDING near-dup (`operators/incremental.py::
     ingest_embedding_increment`): the text protocol's vector twin —
@@ -2928,6 +2950,7 @@ _REGISTRY_ORDER = [
     "png_features",
     "avi_features",
     "incremental_embedding",
+    "semantic_decontamination",
     "trend_time_agg_1d_rollup",
     "dedup_ngram_jaccard",
     "dedup_embedding",
@@ -3059,6 +3082,7 @@ def build_queries() -> dict:
         "png_features": q_png_features,
         "avi_features": q_avi_features,
         "incremental_embedding": q_incremental_embedding,
+        "semantic_decontamination": q_semantic_decontamination,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -3163,6 +3187,7 @@ def build_oracles() -> dict[str, str]:
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
         "incremental_embedding": _oracle_incremental_embedding(),
+        "semantic_decontamination": _oracle_semantic_decontamination(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

@@ -517,3 +517,102 @@ def lsh_sign_bucket(
         F.col(vec_col),
         F.concat(*bits).alias("bucket"),
     )
+
+
+def semantic_decontamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_dims: "list[int] | None" = None,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the vector
+    complement of the shingle-based `dedup.contamination_check`: flag
+    every corpus vector whose exact cosine against ANY benchmark
+    vector reaches ``threshold`` (paraphrased eval leakage that 4-gram
+    shingles miss).
+
+    Returns ``(vec_id, contaminated_by, max_cosine)`` — one row per
+    corpus vector with a hit, carrying the lowest matching benchmark
+    id and the best score (callers anti-join corpus against it).
+
+    Scale shape: candidates come from the LSH sign-bucket equi-join —
+    never a cross join; norms are hoisted per row; the benchmark side
+    is broadcast by default (eval sets are small by nature — the same
+    posture as the shingle path), pass ``broadcast_benchmark=False``
+    for an unusually large benchmark and AQE plans the shuffle join.
+    """
+    dims = list(bucket_dims or range(8))
+    c = lsh_sign_bucket(corpus, dims, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        "bucket",
+        norm_expr(vec_col).alias("__nc"),
+        F.col(vec_col).alias("__vc"),
+    )
+    b = lsh_sign_bucket(benchmark, dims, id_col, vec_col).select(
+        F.col(id_col).alias("bench_id"),
+        "bucket",
+        norm_expr(vec_col).alias("__nb"),
+        F.col(vec_col).alias("__vb"),
+    )
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    cos = cosine_from_norms_expr("__vc", "__vb", "__nc", "__nb")
+    return (
+        c.join(b, "bucket")
+        .filter(cos >= F.lit(float(threshold)))
+        .groupBy("vec_id")
+        .agg(
+            F.min("bench_id").cast("bigint").alias("contaminated_by"),
+            F.max(cos).alias("max_cosine"),
+        )
+    )
+
+
+def semantic_decontamination_oracle_sql(
+    corpus_pred: str,
+    bench_pred: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bucket_dims: int = 8,
+    threshold: float = 0.9,
+) -> str:
+    """DuckDB twin of :func:`semantic_decontamination` over one table
+    split into corpus/benchmark by predicates."""
+
+    def bucket_sql(alias: str) -> str:
+        bits = [
+            f"CASE WHEN {alias}.{vec_col}[{d + 1}] >= 0 "
+            "THEN '1' ELSE '0' END"
+            for d in range(n_bucket_dims)
+        ]
+        return " || ".join(bits)
+
+    dot = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(list_zip(CAST(c.{vec_col} AS DOUBLE[]), "
+        f"CAST(b.{vec_col} AS DOUBLE[])), p -> p[1] * p[2])), "
+        "(acc, v) -> acc + v)"
+    )
+
+    def norm(al: str) -> str:
+        return (
+            "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(CAST({al}.{vec_col} AS DOUBLE[]), "
+            "x -> x * x)), (acc, v) -> acc + v))"
+        )
+
+    cos = f"round({dot} / nullif({norm('c')} * {norm('b')}, 0.0), 6)"
+    return f"""
+SELECT c.{id_col} AS vec_id,
+       CAST(min(b.{id_col}) AS BIGINT) AS contaminated_by,
+       max({cos}) AS max_cosine
+FROM (SELECT * FROM {table} WHERE {corpus_pred}) c
+JOIN (SELECT * FROM {table} WHERE {bench_pred}) b
+  ON ({bucket_sql('c')}) = ({bucket_sql('b')})
+WHERE {cos} >= {threshold}
+GROUP BY c.{id_col}
+"""

@@ -1060,3 +1060,35 @@ def test_boilerplate_null_text_paths_agree(spark):
     }
     assert broadcast == joined
     assert broadcast[3][2] == ""  # NULL text behaves as empty
+
+
+def test_semantic_decontamination_bucket_scoped(spark):
+    """Embedding decontamination flags corpus vectors with a
+    benchmark cosine >= threshold among LSH bucket-mates; a near
+    vector in a DIFFERENT sign bucket is (by design) not a candidate —
+    the documented ANN recall trade-off, same as sim_ann_lsh."""
+    from minerva_etl_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    pad = [0.0] * 6
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.5] + pad)],
+        "vec_id bigint, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.9, 0.6] + pad),    # same bucket, cos ~ 0.99 -> hit
+            (2, [0.0, 1.0] + pad),    # same bucket, cos ~ 0.45 -> miss
+            (3, [1.0, -0.5] + pad),   # different bucket (dim2 < 0)
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {
+        r.vec_id: r
+        for r in semantic_decontamination(
+            corpus, bench, threshold=0.9, bucket_dims=list(range(8))
+        ).collect()
+    }
+    assert set(out) == {1}
+    assert out[1].contaminated_by == 100 and out[1].max_cosine >= 0.99
