@@ -446,3 +446,50 @@ def test_cap_per_key_non_total_order_is_made_deterministic(spark):
     got = {(r.k, r.rank): r.id for r in capped.collect()}
     want = {(r.k, r.rank): r.id for r in direct.collect()}
     assert got == want
+
+
+def test_semantic_decontamination_plan_broadcasts_benchmark(spark, tmp_path):
+    """The benchmark side must broadcast into the corpus bucket join —
+    a shuffled or cross corpus x benchmark join would be the 100 TB
+    mistake; the bucket key keeps it an equi-join."""
+    from minerva_etl_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    rows = [(i, [float((i % 7) - 3), float(i % 5)] + [0.0] * 6)
+            for i in range(120)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "e"))
+    emb = spark.read.parquet(str(tmp_path / "e"))
+    plan = _plan_of(
+        semantic_decontamination(
+            emb.filter("vec_id % 10 != 0"),
+            emb.filter("vec_id % 10 = 0"),
+            threshold=0.5,
+        )
+    )
+    assert "BroadcastHashJoin" in plan  # bucket equi-join, bench side
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_increment_plan_no_cross_join(spark, tmp_path):
+    """The delta-vs-history rescore must stay a bucket equi-join —
+    never a cross join, never a nested loop."""
+    from minerva_etl_spark.operators.incremental import (
+        build_embedding_state,
+        embedding_increment,
+    )
+
+    rows = [(i, [float((i % 7) - 3), float(i % 5)] + [0.0] * 6)
+            for i in range(120)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    ).write.mode("overwrite").parquet(str(tmp_path / "e"))
+    emb = spark.read.parquet(str(tmp_path / "e"))
+    hist = build_embedding_state(emb.filter("vec_id % 4 < 3"))
+    delta = build_embedding_state(emb.filter("vec_id % 4 = 3"))
+    plan = _plan_of(embedding_increment(delta, hist, threshold=0.5))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
