@@ -156,20 +156,45 @@ WAV_FEATURE_SCHEMA = (
 )
 
 
+class MediaDecodeError(ValueError):
+    """A payload failed to decode; carries the offending media id so a
+    one-in-ten-billion corrupt row is identifiable from the job log."""
+
+
+def _decode_or_policy(decode, mid, payload, on_error: str):
+    """Run ``decode(payload)`` under the extractor error policy:
+    ``'fail'`` re-raises with the media id attached (the default — a
+    corrupt row should be LOUD and identifiable); ``'skip'`` returns
+    None and the row is dropped from the output (the 100 TB crawl
+    posture: one rotten payload must not kill a million-task job —
+    count the skips by anti-joining output against input)."""
+    try:
+        return decode(bytes(payload))
+    except Exception as exc:
+        if on_error == "skip":
+            return None
+        raise MediaDecodeError(f"media_id={mid}: {exc}") from exc
+
+
 def wav_features(
     media: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Per-row REAL WAV decode via mapInPandas (Arrow batches) — the
     non-stub audio path: payload bytes parse through the stdlib
-    ``wave`` reader inside each task; nothing visits the driver."""
+    ``wave`` reader inside each task; nothing visits the driver.
+    ``on_error='skip'`` drops undecodable payloads instead of failing
+    the job (see :func:`_decode_or_policy`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                d = wav_decode(bytes(p))
+                d = _decode_or_policy(wav_decode, mid, p, on_error)
+                if d is None:
+                    continue
                 rows.append(
                     (
                         mid,
@@ -383,16 +408,20 @@ def png_features(
     media: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Per-row REAL PNG decode via mapInPandas (Arrow batches): chunk
     walk + inflate + un-filter inside each task; payload bytes never
-    visit the driver."""
+    visit the driver.  ``on_error='skip'`` drops undecodable payloads
+    instead of failing the job (see :func:`_decode_or_policy`)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                d = png_decode(bytes(p))
+                d = _decode_or_policy(png_decode, mid, p, on_error)
+                if d is None:
+                    continue
                 rows.append(
                     (
                         mid,
@@ -631,18 +660,23 @@ def avi_features(
     media: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    on_error: str = "fail",
 ) -> DataFrame:
     """Per-row REAL AVI decode via mapInPandas: container walk + DIB
     frame decode inside each task; per-channel means are over ALL
     frames' pixels on the same half-up 6-dp grid as the PNG/WAV
-    features (exact integer sums, one final rounding)."""
+    features (exact integer sums, one final rounding).
+    ``on_error='skip'`` drops undecodable payloads instead of failing
+    the job (see :func:`_decode_or_policy`)."""
     import math
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, p in zip(pdf[id_col], pdf[payload_col]):
-                d = avi_decode(bytes(p))
+                d = _decode_or_policy(avi_decode, mid, p, on_error)
+                if d is None:
+                    continue
                 sums = [0, 0, 0]
                 n = 0
                 for f in d["frames"]:

@@ -618,3 +618,38 @@ def test_avi_frame_sampling_emits_valid_pngs(spark):
         d = png_decode(bytes(r.frame_png))
         assert (d["width"], d["height"]) == (w, h)
         assert bytes(d["pixels"]) == frames[r.frame_idx]
+
+
+def test_media_features_on_error_policy(spark):
+    """A corrupt payload in a batch: on_error='fail' (default) raises a
+    MediaDecodeError naming the media id; on_error='skip' drops the row
+    and decodes the rest — a rotten payload in a 100 TB corpus must be
+    either loud-and-identifiable or droppable, never a silent wrong
+    answer."""
+    import pytest as _pytest
+
+    from minerva_etl_spark.operators.multimodal import (
+        png_features,
+        synthesize_png,
+        wav_features,
+        synthesize_wav,
+    )
+
+    good = synthesize_png(bytes(range(12)), 2, 2, 3)
+    media = spark.createDataFrame(
+        [(1, good), (2, b"not a png at all")],
+        "media_id bigint, payload binary",
+    )
+    # pyspark surfaces the worker's MediaDecodeError as PythonException
+    with _pytest.raises(Exception, match="media_id=2"):
+        png_features(media).collect()
+
+    out = png_features(media, on_error="skip").collect()
+    assert [r.media_id for r in out] == [1]
+
+    wavs = spark.createDataFrame(
+        [(7, synthesize_wav([5, -5], 8000)), (8, b"RIFFjunk")],
+        "media_id bigint, payload binary",
+    )
+    ok = wav_features(wavs, on_error="skip").collect()
+    assert [r.media_id for r in ok] == [7]
