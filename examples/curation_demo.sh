@@ -62,4 +62,26 @@ minerva-spark corpus increment-emb \
 minerva-spark corpus decontaminate --input "$DOCS" \
   --output "$OUT/clean" --benchmark "$DOCS"
 
+# 7. Multimodal: synthesize a tiny media parquet (real PNG bytes) with
+#    pyspark, then decode + resize through the media verbs.
+python - "$OUT" <<'PY'
+import sys
+from pyspark.sql import SparkSession
+sys.path.insert(0, "/root/repo")
+from minerva_etl_spark.operators.multimodal import synthesize_png
+spark = SparkSession.builder.master("local[4]").getOrCreate()
+rows = [
+    (i, synthesize_png(bytes((i * 7 + j) % 256 for j in range(8 * 6 * 3)),
+                       8, 6, 3, [i % 5]))
+    for i in range(16)
+]
+spark.createDataFrame(rows, "media_id bigint, payload binary") \
+    .write.mode("overwrite").parquet(sys.argv[1] + "/media")
+spark.stop()
+PY
+minerva-spark media png-features --input "$OUT/media" \
+  --output "$OUT/media_features"
+minerva-spark media png-resize --input "$OUT/media" \
+  --output "$OUT/media_small" --width 4 --height 3
+
 echo "curation demo outputs under $OUT"
