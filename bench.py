@@ -96,6 +96,7 @@ HEADLINE = [
     "avi_features",
     "incremental_embedding",
     "semantic_decontamination",
+    "embed_text_hashed",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -807,6 +807,23 @@ def _oracle_incremental_dedup() -> str:
     )
 
 
+def q_embed_text_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free text embeddings (`operators/text.py::
+    embed_text_hashed`): signed feature hashing (md5 bucket + sign
+    bit, exact integer bucket sums, half-up 6-dp normalize) — the
+    GPU-free vector path that lets semantic dedup / retrieval /
+    decontamination run end-to-end from raw text.  One shuffle keyed
+    by doc id; the oracle replays the identical hash/sign/round
+    arithmetic."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return X.embed_text_hashed(docs, dim=16)
+
+
+def _oracle_embed_text_hashed() -> str:
+    return X.embed_text_hashed_oracle_sql("documents", dim=16)
+
+
 def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-level decontamination (`operators/similarity.py::
     semantic_decontamination`): corpus vectors (vec_id % 10 != 0) with
@@ -2951,6 +2968,7 @@ _REGISTRY_ORDER = [
     "avi_features",
     "incremental_embedding",
     "semantic_decontamination",
+    "embed_text_hashed",
     "trend_time_agg_1d_rollup",
     "dedup_ngram_jaccard",
     "dedup_embedding",
@@ -3083,6 +3101,7 @@ def build_queries() -> dict:
         "avi_features": q_avi_features,
         "incremental_embedding": q_incremental_embedding,
         "semantic_decontamination": q_semantic_decontamination,
+        "embed_text_hashed": q_embed_text_hashed,
         **_lifecycle_queries(),
     }
     assert set(base) == set(_REGISTRY_ORDER), (
@@ -3188,6 +3207,7 @@ def build_oracles() -> dict[str, str]:
         "avi_features": _ORACLE_AVI,
         "incremental_embedding": _oracle_incremental_embedding(),
         "semantic_decontamination": _oracle_semantic_decontamination(),
+        "embed_text_hashed": _oracle_embed_text_hashed(),
         **_lifecycle_oracles(),
     }
     return {name: base[name] for name in _REGISTRY_ORDER if name in base}

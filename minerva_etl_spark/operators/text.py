@@ -1073,3 +1073,127 @@ SELECT {id_col}, term, tfidf, CAST(rank AS INT) AS rank FROM (
   FROM scored
 ) WHERE rank <= {int(n)}
 """
+
+
+# ------------------------------------------------------- hashed embeddings
+def embed_text_hashed(
+    docs: DataFrame,
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic text → vector embedding WITHOUT a model: the
+    classic hashing trick (signed feature hashing, Weinberger et al.).
+    Each token hashes to a bucket ``md5 % dim`` with sign from the
+    next hash bit; the doc vector is the per-bucket signed token count,
+    L2-normalized.  Output ``(id, embedding array<double>)`` composes
+    with EVERY vector operator in the repo — `semantic_dedup`,
+    `kmeans_fit`, `ivf_join`, `semantic_decontamination`,
+    `embedding_increment` — so a cluster with no GPU still gets
+    semantic-shaped dedup/retrieval end-to-end from raw text.
+
+    Scale shape: one explode + one (id, bucket) groupBy + one per-doc
+    rebuild — a single shuffle keyed by doc id; the dense vector is
+    assembled in-row from the sparse bucket map.  Components round on
+    the half-up 6-dp grid AFTER the exact integer bucket sums, the
+    same cross-engine pin as the codec features."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(tokens_spark_sql(text_col))).alias("__tok"),
+    )
+    h = "CAST(conv(substring(md5(__tok), 1, 15), 16, 10) AS BIGINT)"
+    buckets = (
+        toks.select(
+            id_col,
+            F.expr(f"pmod({h}, {int(dim)})").alias("__b"),
+            F.expr(
+                f"CASE WHEN pmod({h} div {int(dim)}, 2) = 0 "
+                "THEN 1 ELSE -1 END"
+            ).alias("__s"),
+        )
+        .groupBy(id_col, "__b")
+        .agg(F.sum("__s").alias("__v"))
+    )
+    dense = (
+        buckets.groupBy(id_col)
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("__b", "__v")))
+            ).alias("__m")
+        )
+        .select(
+            id_col,
+            F.expr(
+                f"transform(sequence(0, {int(dim) - 1}), "
+                "i -> CAST(coalesce(__m[i], 0) AS DOUBLE))"
+            ).alias("__raw"),
+        )
+    )
+    norm = (
+        "sqrt(aggregate(__raw, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x * x))"
+    )
+    return dense.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN {norm} = 0.0 THEN __raw ELSE "
+            f"transform(__raw, x -> floor(x / {norm} * 1000000 + 0.5) "
+            "/ 1000000) END"
+        ).alias("embedding"),
+    )
+
+
+def embed_text_hashed_oracle_sql(
+    table: str = "documents",
+    dim: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`embed_text_hashed` — identical md5 bucket
+    and sign derivation, exact integer sums, one final half-up 6-dp
+    rounding of each normalized component."""
+    toks = tokens_duck_sql(text_col)
+    h = (
+        "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, t.tok AS tok
+  FROM {table}, UNNEST({toks}) AS t(tok)
+),
+b AS (
+  SELECT {id_col},
+         {h} % {int(dim)} AS bkt,
+         CASE WHEN (({h} // {int(dim)}) % 2) = 0 THEN 1 ELSE -1 END AS s
+  FROM toks
+),
+sums AS (
+  SELECT {id_col}, bkt, CAST(sum(s) AS DOUBLE) AS v
+  FROM b GROUP BY {id_col}, bkt
+),
+pairs AS (
+  SELECT {id_col}, list(struct_pack(bkt := bkt, v := v)) AS ps
+  FROM sums GROUP BY {id_col}
+),
+dense AS (
+  SELECT {id_col},
+         list_transform(generate_series(0, {int(dim) - 1}),
+           i -> coalesce(list_sum(list_transform(
+                  list_filter(ps, p -> p.bkt = i), p -> p.v)),
+                0.0)) AS raw
+  FROM pairs
+),
+n AS (
+  SELECT {id_col}, raw,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list_transform(raw, x -> x * x)),
+              (acc, x) -> acc + x)) AS nrm
+  FROM dense
+)
+SELECT {id_col},
+       CASE WHEN nrm = 0.0 THEN raw
+            ELSE list_transform(raw,
+                 x -> floor(x / nrm * 1000000 + 0.5) / 1000000)
+       END AS embedding
+FROM n
+"""

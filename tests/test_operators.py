@@ -1092,3 +1092,34 @@ def test_semantic_decontamination_bucket_scoped(spark):
     }
     assert set(out) == {1}
     assert out[1].contaminated_by == 100 and out[1].max_cosine >= 0.99
+
+
+def test_embed_text_hashed_composes_with_vector_ops(spark):
+    """The hashing-trick embedding is unit-normalized, deterministic,
+    and composes with the vector operators — semantic dedup over
+    hashed vectors flags the duplicated text end-to-end from raw
+    docs, no model anywhere."""
+    from minerva_etl_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+    from minerva_etl_spark.operators.text import embed_text_hashed
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"),
+         (2, "alpha beta gamma delta epsilon"),   # exact dup of 1
+         (3, "totally different words entirely here")],
+        "doc_id bigint, text string",
+    )
+    emb = embed_text_hashed(docs, dim=16)
+    rows = {r.doc_id: list(r.embedding) for r in emb.collect()}
+    assert rows[1] == rows[2] and rows[1] != rows[3]
+    # unit norm on the 6-dp grid
+    n = sum(x * x for x in rows[1]) ** 0.5
+    assert abs(n - 1.0) < 1e-5
+    # compose: docs 1/2 'contaminate' each other at cosine 1.0
+    hits = semantic_decontamination(
+        emb.filter("doc_id = 2").withColumnRenamed("doc_id", "vec_id"),
+        emb.filter("doc_id = 1").withColumnRenamed("doc_id", "vec_id"),
+        threshold=0.99,
+    ).collect()
+    assert [(r.vec_id, r.contaminated_by) for r in hits] == [(2, 1)]
