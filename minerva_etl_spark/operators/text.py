@@ -1092,9 +1092,11 @@ def embed_text_hashed(
     `embedding_increment` — so a cluster with no GPU still gets
     semantic-shaped dedup/retrieval end-to-end from raw text.
 
-    Scale shape: one explode + one (id, bucket) groupBy + one per-doc
-    rebuild — a single shuffle keyed by doc id; the dense vector is
-    assembled in-row from the sparse bucket map.  Components round on
+    Scale shape: one explode + a map-side-combinable (id, bucket)
+    groupBy (token stream collapses to ≤ dim rows per doc BEFORE the
+    second, tiny per-doc rebuild shuffle — the right trade vs one fat
+    collect_list shuffle); the dense vector is assembled in-row from
+    the sparse bucket map.  Components round on
     the half-up 6-dp grid AFTER the exact integer bucket sums, the
     same cross-engine pin as the codec features."""
     toks = docs.select(
