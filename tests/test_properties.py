@@ -116,3 +116,92 @@ def test_split_thresholds_partition_the_bucket_space(parts):
     # widths reproduce the inputs exactly
     widths = [c - p for c, p in zip(cums, [0] + cums[:-1])]
     assert widths == parts
+
+
+# ------------------------------------------------------------- media codecs
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 16),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, channels, data):
+    """decode(encode(px, filters)) == px for ANY pixel buffer and ANY
+    per-row filter choice — the inverse-filter algebra (Sub/Up/Average/
+    Paeth) holds over the whole input space, not just fixtures."""
+    from minerva_etl_spark.operators.multimodal import (
+        png_decode,
+        synthesize_png,
+    )
+
+    n = w * h * channels
+    px = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    d = png_decode(synthesize_png(px, w, h, channels, filters))
+    assert bytes(d["pixels"]) == px
+    assert (d["width"], d["height"], d["channels"]) == (w, h, channels)
+
+
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 9),
+    nf=st.integers(1, 5),
+    fps=st.integers(1, 60),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_roundtrip_property(w, h, nf, fps, data):
+    """decode(encode(frames)) recovers every frame bit-exactly for any
+    geometry — bottom-up row order, BGR swap, and 4-byte padding are
+    exact inverses at every width (incl. stride % 4 == 0 and != 0)."""
+    from minerva_etl_spark.operators.multimodal import (
+        avi_decode,
+        synthesize_avi,
+    )
+
+    n = w * h * 3
+    frames = [
+        bytes(
+            data.draw(
+                st.lists(st.integers(0, 255), min_size=n, max_size=n)
+            )
+        )
+        for _ in range(nf)
+    ]
+    d = avi_decode(synthesize_avi(frames, w, h, fps=fps))
+    assert (d["width"], d["height"], d["fps"], d["n_frames"]) == (
+        w, h, fps, nf,
+    )
+    for got, exp in zip(d["frames"], frames):
+        assert bytes(got) == exp
+
+
+@given(
+    samples=st.lists(st.integers(-32768, 32767), max_size=200),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_property(samples, rate):
+    """wav_decode recovers rate/frame-count for any 16-bit sample list
+    (incl. empty), and the RMS equals the exact integer-sum formula."""
+    import math
+
+    from minerva_etl_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_decode,
+    )
+
+    d = wav_decode(synthesize_wav(samples, rate))
+    assert d["sample_rate"] == rate and d["n_frames"] == len(samples)
+    if samples:
+        exp = math.floor(
+            (sum(v * v for v in samples) / len(samples)) ** 0.5 * 1e6 + 0.5
+        ) / 1e6
+        assert d["rms"] == exp
+    else:
+        assert d["rms"] == 0.0
