@@ -1,7 +1,12 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+COMPACT JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"sf": ..., "n_queries": N, "queries": {<worst 3>}, "detail": path}.
+
+The FULL per-query map goes to BENCH_DETAIL.json next to this file —
+the stdout line must stay small enough to survive the driver's tail
+window (round 8 lesson: an 80-row inline map outgrew it and the round
+recorded "parsed": null).
 
 Each query runs $SPARK_GRAFT_BENCH_RUNS times (default 2) and the MIN is
 reported — single-run numbers at toy scale are dominated by JIT/codegen
@@ -94,6 +99,8 @@ HEADLINE = [
     "wav_features",
     "png_features",
     "avi_features",
+    # round-9 rows
+    "jpeg_features",
     "incremental_embedding",
     "semantic_decontamination",
     "embed_text_hashed",
@@ -140,14 +147,35 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s rows={n}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "runs": runs,
+            },
+            fh,
+            indent=1,
+        )
+    worst3 = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:3]
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": worst3,
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -1283,6 +1283,18 @@ def cmd_corpus(args) -> None:
     corpus side)."""
     from pyspark.sql import functions as F
 
+    # argument sanity BEFORE a SparkSession spins up: a missing flag
+    # should be a one-line usage error, not an AttributeError mid-job
+    if args.action in ("increment", "increment-emb") and not args.state:
+        raise SystemExit(
+            f"minerva-spark corpus {args.action}: --state is required "
+            "(path of the persisted dedup state)"
+        )
+    if args.action == "decontaminate" and not args.benchmark:
+        raise SystemExit(
+            "minerva-spark corpus decontaminate: --benchmark is "
+            "required (held-out eval parquet)"
+        )
     spark = _spark()
     df = spark.read.parquet(args.input)
     if args.action == "split":
@@ -1376,21 +1388,42 @@ def cmd_media(args) -> None:
     """`minerva-spark media <action>`: the multimodal operators as CLI
     verbs over a parquet of ``(media_id, payload binary)`` rows —
     `wav-features` (real RIFF/WAVE decode: rate, frames, duration,
-    RMS), `png-features` (real PNG decode: dimensions, channels,
-    per-channel means), `png-resize` (nearest-neighbor resize,
-    re-encoded PNG payloads out), `frames` (fixed-stride frame
-    sampling).  Extends the reference surface (media is opaque blobs
-    there; here decode runs Arrow-batched inside tasks)."""
+    RMS), `png-features` / `jpeg-features` (real image decode:
+    dimensions, channels, per-channel means), `png-resize`
+    (nearest-neighbor resize, re-encoded PNG payloads out), `frames`
+    (fixed-stride frame sampling), `features` (generic extractor —
+    `--decoder pkg.mod:fn` injects a real decoder, e.g. a PIL or
+    ffmpeg wrapper, on clusters that have one installed).  Extends the
+    reference surface (media is opaque blobs there; here decode runs
+    Arrow-batched inside tasks)."""
     import minerva_etl_spark.operators.multimodal as M
 
     spark = _spark()
     df = spark.read.parquet(args.input)
     if args.action == "wav-features":
         out = M.wav_features(df)
+    elif args.action == "features":
+        if args.decoder:
+            import importlib
+
+            mod_name, _, fn_name = args.decoder.partition(":")
+            if not fn_name:
+                raise SystemExit(
+                    "minerva-spark media features: --decoder must be "
+                    "'pkg.mod:callable'"
+                )
+            decoder = getattr(importlib.import_module(mod_name), fn_name)
+        else:
+            decoder = M.deterministic_fake_decode
+        out = M.extract_features(df, decoder=decoder)
+    elif args.action == "jpeg-features":
+        out = M.jpeg_features(df)
     elif args.action == "avi-features":
         out = M.avi_features(df)
     elif args.action == "avi-frames":
-        out = M.avi_sample_frames(df, every_n=args.stride, max_frames=args.n)
+        out = M.avi_sample_frames(
+            df, every_n=args.frame_stride, max_frames=args.n
+        )
     elif args.action == "png-features":
         out = M.png_features(df)
     elif args.action == "png-resize":
@@ -1728,18 +1761,26 @@ def main(argv: list[str] | None = None) -> None:
     md = sub.add_parser("media")
     md.add_argument(
         "action",
-        choices=["wav-features", "png-features", "png-resize",
-                 "frames", "avi-features", "avi-frames"],
+        choices=["wav-features", "png-features", "jpeg-features",
+                 "png-resize", "frames", "avi-features", "avi-frames",
+                 "features"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")
+    md.add_argument("--decoder", default=None,
+                    help="features: inject a decoder as 'pkg.mod:fn' "
+                         "(e.g. a PIL/ffmpeg wrapper on a real "
+                         "cluster); default is the deterministic "
+                         "byte-histogram fake")
     md.add_argument("--width", type=int, default=64,
                     help="png-resize: output width")
     md.add_argument("--height", type=int, default=64,
                     help="png-resize: output height")
     md.add_argument("--stride", type=int, default=1024,
-                    help="frames: bytes per sampled frame; avi-frames: "
-                         "keep every Nth frame")
+                    help="frames: bytes per sampled frame")
+    md.add_argument("--frame-stride", type=int, default=1,
+                    help="avi-frames: keep every Nth frame (1 = all; "
+                         "its own flag — --stride is a BYTE count)")
     md.add_argument("--n", type=int, default=8,
                     help="frames: max frames per payload")
     md.set_defaults(fn=cmd_media)

@@ -784,6 +784,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to delta rows — pinning incremental == recompute."""
     _prep(spark)
     import os
+    import shutil
     import tempfile
 
     from minerva_etl_spark.operators.incremental import ingest_increment
@@ -792,9 +793,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="minerva_gate_incdedup_")
     state_path = os.path.join(root, "dedup_state")
     ingest_increment(spark, docs.filter("doc_id % 4 < 3"), state_path)
-    return ingest_increment(
+    out = ingest_increment(
         spark, docs.filter("doc_id % 4 = 3"), state_path
     )
+    shutil.rmtree(root, ignore_errors=True)  # decisions are checkpointed
+    return out
 
 
 def _oracle_incremental_dedup() -> str:
@@ -814,14 +817,27 @@ def q_embed_text_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     GPU-free vector path that lets semantic dedup / retrieval /
     decontamination run end-to-end from raw text.  One shuffle keyed
     by doc id; the oracle replays the identical hash/sign/round
-    arithmetic."""
+    arithmetic.
+
+    Gate projection: the dim-16 vector is pivoted into scalar double
+    columns e00..e15 — the driver's pandas canonicalizer cannot sort
+    raw array cells (the `lifecycle_array_trend` rule).  The
+    operator's own API stays array-typed."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
-    return X.embed_text_hashed(docs, dim=16)
+    return X.embed_text_hashed(docs, dim=16).select(
+        "doc_id",
+        *[F.col("embedding")[i].alias(f"e{i:02d}") for i in range(16)],
+    )
 
 
 def _oracle_embed_text_hashed() -> str:
-    return X.embed_text_hashed_oracle_sql("documents", dim=16)
+    inner = X.embed_text_hashed_oracle_sql("documents", dim=16)
+    # DuckDB lists are 1-indexed
+    cols = ",\n       ".join(
+        f"embedding[{i + 1}] AS e{i:02d}" for i in range(16)
+    )
+    return f"SELECT doc_id,\n       {cols}\nFROM (\n{inner}\n)"
 
 
 def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -892,19 +908,35 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     base symbols take lexicographic ids 0..B-1, merge rank r takes
     B+r (min id per surface token on collisions).  Vocab-bounded
     equi-joins + order-restoring per-doc rebuild; the oracle replays
-    the identical id assignment in DuckDB."""
+    the identical id assignment in DuckDB.
+
+    Gate projection: the array is emitted as a joined string plus its
+    length (the `lifecycle_array_trend` convention) — the driver's
+    pandas canonicalizer cannot sort raw array cells.  The operator's
+    own API stays array-typed."""
     _prep(spark)
     from minerva_etl_spark.operators.bpe import bpe_encode_ids, bpe_train
 
     docs = load_table(spark, sf_dir, "documents")
     merges, _ = bpe_train(docs, n_merges=12, min_count=2)
-    return bpe_encode_ids(docs, merges)
+    return bpe_encode_ids(docs, merges).select(
+        "doc_id",
+        "n_bpe_tokens",
+        F.array_join("token_ids", " ").alias("token_ids_str"),
+    )
 
 
 def _oracle_bpe_encode_ids() -> str:
     from minerva_etl_spark.operators.bpe import bpe_encode_ids_oracle_sql
 
-    return bpe_encode_ids_oracle_sql("documents", n_merges=12, min_count=2)
+    inner = bpe_encode_ids_oracle_sql("documents", n_merges=12, min_count=2)
+    return f"""
+SELECT doc_id, n_bpe_tokens,
+       array_to_string(token_ids, ' ') AS token_ids_str
+FROM (
+{inner}
+)
+"""
 
 
 def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -922,15 +954,31 @@ def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges, _ = bpe_train(docs, n_merges=12, min_count=2)
     return pack_token_ids(
         docs, merges, seq_len=512, num_ranges=8, shuffle_seed=42
+    ).select(
+        "seq_id",
+        "doc_id",
+        "pos_start",
+        # array serialized as string + length (lifecycle_array_trend
+        # convention) — the driver canonicalizer cannot sort raw arrays
+        F.size("token_ids").cast("bigint").alias("n_ids"),
+        F.array_join("token_ids", " ").alias("token_ids_str"),
     )
 
 
 def _oracle_pack_token_ids() -> str:
     from minerva_etl_spark.operators.shard import pack_token_ids_oracle_sql
 
-    return pack_token_ids_oracle_sql(
+    inner = pack_token_ids_oracle_sql(
         512, n_merges=12, min_count=2, shuffle_seed=42
     )
+    return f"""
+SELECT seq_id, doc_id, pos_start,
+       CAST(len(token_ids) AS BIGINT) AS n_ids,
+       array_to_string(token_ids, ' ') AS token_ids_str
+FROM (
+{inner}
+)
+"""
 
 
 def q_curated_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2594,6 +2642,7 @@ WITH s AS (
 SELECT doc_id AS media_id,
        CAST(8000 AS INT) AS sample_rate,
        CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(1 AS INT) AS n_channels,
        CAST((count(*) * 1000) // 8000 AS BIGINT) AS duration_ms,
        floor(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) * 1000000
              + 0.5) / 1000000 AS rms
@@ -2638,7 +2687,18 @@ def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(synth, "media_id bigint, payload binary")
-    return M.png_features(media)
+    # gate projection: the 3-element channel_means array is pivoted
+    # into scalar double columns (driver canonicalizer cannot sort
+    # raw array cells — the lifecycle_array_trend rule)
+    return M.png_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.col("channel_means")[0].alias("mean_c0"),
+        F.col("channel_means")[1].alias("mean_c1"),
+        F.col("channel_means")[2].alias("mean_c2"),
+    )
 
 
 _ORACLE_PNG = """
@@ -2661,7 +2721,9 @@ SELECT doc_id AS media_id,
        CAST(w AS INT) AS width,
        CAST(h AS INT) AS height,
        CAST(3 AS INT) AS n_channels,
-       list(m ORDER BY c) AS channel_means
+       max(CASE WHEN c = 0 THEN m END) AS mean_c0,
+       max(CASE WHEN c = 1 THEN m END) AS mean_c1,
+       max(CASE WHEN c = 2 THEN m END) AS mean_c2
 FROM chmean GROUP BY doc_id, w, h
 """
 
@@ -2705,7 +2767,18 @@ def q_avi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     media = docs.mapInPandas(synth, "media_id bigint, payload binary")
-    return M.avi_features(media)
+    # gate projection: channel_means pivoted to scalar doubles
+    # (driver canonicalizer cannot sort raw array cells)
+    return M.avi_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        "fps",
+        "n_frames",
+        F.col("channel_means")[0].alias("mean_c0"),
+        F.col("channel_means")[1].alias("mean_c1"),
+        F.col("channel_means")[2].alias("mean_c2"),
+    )
 
 
 _ORACLE_AVI = """
@@ -2733,8 +2806,129 @@ SELECT doc_id AS media_id,
        CAST(h AS INT) AS height,
        CAST(12 AS INT) AS fps,
        CAST(nf AS INT) AS n_frames,
-       list(m ORDER BY c) AS channel_means
+       max(CASE WHEN c = 0 THEN m END) AS mean_c0,
+       max(CASE WHEN c = 1 THEN m END) AS mean_c1,
+       max(CASE WHEN c = 2 THEN m END) AS mean_c2
 FROM chmean GROUP BY doc_id, w, h, nf
+"""
+
+
+def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy image decode (`operators/jpeg.py::jpeg_decode` via
+    `multimodal.jpeg_features`): per-document solid-colour RGB
+    (r = doc_id*37 % 256, g = doc_id*59+11 % 256, b = doc_id*83+29
+    % 256; w = 6 + doc_id % 5, h = 4 + doc_id % 3) encoded into actual
+    baseline JPEG bytes at quality 75 with 4:2:0 subsampling — SOI/
+    DQT/SOF0/DHT/SOS markers, Huffman entropy coding, DCT + quant —
+    then decoded back through the full marker walk + Huffman + dequant
+    + IDCT + chroma upsample + YCbCr→RGB inside Arrow-batched tasks.
+
+    A solid colour makes the LOSSY chain exactly recomputable: every
+    8×8 block is constant, so only the DC coefficient survives
+    (DC = 8·(c-128)), and the oracle replays YCbCr forward transform →
+    half-up DC quantise/dequantise at the quality-75 Annex-K step →
+    IDCT (dequant/8) → inverse YCbCr, all in closed form.  Any marker,
+    Huffman-table, quant-table, subsample, or colour-transform bug
+    hash-mismatches.  Padding/MCU-crop is exercised because w, h are
+    not multiples of 16."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.jpeg import synthesize_jpeg
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 6 + d % 5, 4 + d % 3
+                px = bytes(
+                    [(d * 37) % 256, (d * 59 + 11) % 256,
+                     (d * 83 + 29) % 256] * (w * h)
+                )
+                payloads.append(
+                    synthesize_jpeg(px, w, h, quality=75,
+                                    subsampling="4:2:0")
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    # gate projection: channel_means pivoted to scalar doubles
+    # (driver canonicalizer cannot sort raw array cells)
+    return M.jpeg_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        F.col("channel_means")[0].alias("mean_c0"),
+        F.col("channel_means")[1].alias("mean_c1"),
+        F.col("channel_means")[2].alias("mean_c2"),
+    )
+
+
+# The exact decoded value of a solid-colour baseline JPEG: forward
+# YCbCr (half-up), per-component DC quantise → dequantise at the
+# quality-scaled Annex-K DC step (16 luma / 17 chroma, libjpeg scale
+# formula), IDCT of a DC-only block (= dequant/8), inverse YCbCr —
+# every float expression written with the same literals and
+# associativity as the codec so the doubles agree bit-for-bit; the
+# +1e-7 half-up nudges mirror jpeg.py (see its module docstring).
+_ORACLE_JPEG = """
+WITH qt AS (
+  SELECT GREATEST(1, LEAST(255, (16 * (200 - 2 * 75) + 50) // 100)) AS ql,
+         GREATEST(1, LEAST(255, (17 * (200 - 2 * 75) + 50) // 100)) AS qc
+), src AS (
+  SELECT doc_id,
+         (doc_id * 37) % 256 AS r,
+         (doc_id * 59 + 11) % 256 AS g,
+         (doc_id * 83 + 29) % 256 AS b,
+         6 + doc_id % 5 AS w,
+         4 + doc_id % 3 AS h
+  FROM documents
+), ycc AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0,
+      floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+    LEAST(255, GREATEST(0,
+      floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+    LEAST(255, GREATEST(0,
+      floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+  FROM src
+), rec AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0 * (y - 128)) / ql + 0.5 + 1e-7) * ql / 8.0
+      + 128 + 0.5 + 1e-7))) AS yq,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0 * (cb - 128)) / qc + 0.5 + 1e-7) * qc / 8.0
+      + 128 + 0.5 + 1e-7))) AS cbq,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0 * (cr - 128)) / qc + 0.5 + 1e-7) * qc / 8.0
+      + 128 + 0.5 + 1e-7))) AS crq
+  FROM ycc, qt
+), rgb AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0,
+      floor(yq + 1.402 * (crq - 128) + 0.5))) AS r2,
+    LEAST(255, GREATEST(0,
+      floor(yq - 0.344136 * (cbq - 128) - 0.714136 * (crq - 128)
+            + 0.5))) AS g2,
+    LEAST(255, GREATEST(0,
+      floor(yq + 1.772 * (cbq - 128) + 0.5))) AS b2
+  FROM rec
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CAST(r2 AS DOUBLE) AS mean_c0,
+       CAST(g2 AS DOUBLE) AS mean_c1,
+       CAST(b2 AS DOUBLE) AS mean_c2
+FROM rgb
 """
 
 
@@ -2869,18 +3063,15 @@ def _oracle_tfidf_terms() -> str:
 #: (TPC-H showpieces, a duplicate granularity rung, extra window ops).
 _REGISTRY_ORDER = [
     # -- trend aggregation (A1-A5, W4) --------------------------------
-    "trend_time_agg_1h",
     "trend_time_agg_1d_dst",
     "entity_agg_nation_1month",
     # -- store/upsert/attribute operators (S6-S7, A7-A9, W1-W3, U1-U2)
     "upsert_last_wins",
     "attr_compact",
-    "attr_curr",
     "package_merge",
     "anti_join_no_orders",
     # -- reporting / series / translation (A6, O1-O3, W5, P9, §2.8) ---
     "report_stats",
-    "series_fill_hours",
     "kpi_translated",
     "relation_regex",
     "trigger_eval",
@@ -2892,26 +3083,29 @@ _REGISTRY_ORDER = [
     "sessionize",
     "lifecycle_array_trend",
     # -- LLM-pipeline: dedup ------------------------------------------
-    "dedup_exact",
-    "dedup_minhash_pairs",
     "dedup_simhash_hamming",
     "dedup_components",
     "decontamination",
     "incremental_dedup",
+    "incremental_embedding",
+    "semantic_decontamination",
     "leakage_split",
     "semantic_dedup_trained",
     # -- LLM-pipeline: similarity -------------------------------------
-    "sim_ann_lsh",
     "sim_ivf_join",
     # -- LLM-pipeline: text / curation / trainers ---------------------
     "text_profile",
     "domain_cap",
+    "embed_text_hashed",
     "bpe_train",
     "bpe_encode_ids",
     "pack_token_ids",
     "logreg_train",
     "logreg_eval",
     "wav_features",
+    "png_features",
+    "avi_features",
+    "jpeg_features",
     "pipeline_curate_bp",
     # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
     "live_monitor",
@@ -2955,20 +3149,38 @@ _REGISTRY_ORDER = [
     #   shard_pack / pack_sequences — the two-pass prefix sum is the
     #     spine of pack_token_ids (in-window); both were driver-green
     #     in r7 or earlier.
-    # Earlier rotations (r6/r7): topk_recent, trend_slope,
-    # array_predicates, multimodal_features, sim_knn_join,
-    # trend_time_agg_3month, dn_parse — vouchers unchanged, see
+    # r9 rotation (per the r8 verdict's asks 3 & 8): the five
+    # round-8.5 rows (png_features, avi_features,
+    # incremental_embedding, semantic_decontamination,
+    # embed_text_hashed) rotated IN — all first-time driver rows.
+    # Five redundantly-vouched rows rotated OUT (named in-window
+    # vouchers, see COVERAGE.md):
+    #   attr_curr — latest_per_entity (W1/A9) runs inside
+    #     lifecycle_attr_store's SCD cycle (in-window);
+    #   series_fill_hours — the generate_series/bucket spine (W5) is
+    #     the fingerprint series inside lifecycle_materialize;
+    #   dedup_exact — the exact content-digest groupBy is stage 1 of
+    #     incremental_dedup AND the dedup stage of pipeline_curate_bp;
+    #   dedup_minhash_pairs — dedup_components consumes the identical
+    #     pair generator (a pairs bug changes its hash);
+    #     incremental_dedup re-proves the banded-MinHash join;
+    #   sim_ann_lsh — semantic_decontamination (now in-window) is the
+    #     same LSH sign-bucket + exact-rescore shape with real hits.
+    # Earlier rotations (r6/r7/r8): vouchers unchanged, see
     # COVERAGE.md.  Everything below is still verified every session by
     # tools/check_oracle.py.
-    # Rows 51-53 are NEW in round 8.5 (real stdlib PNG decode, real
-    # uncompressed-AVI video decode, incremental embedding dedup) —
-    # first out-of-window slots, rotate-in candidates for the r9
-    # window refresh.
-    "png_features",
-    "avi_features",
-    "incremental_embedding",
-    "semantic_decontamination",
-    "embed_text_hashed",
+    # trend_time_agg_1h — rotated out to make room for the NEW
+    # jpeg_features row (straight into the window so it is driver-
+    # checked in its first round); A1 1h aggregation is vouched by
+    # trend_time_agg_1d_dst (same ladder, DST-hardened) and
+    # streaming_hourly (identical tumbling-window arithmetic), both
+    # in-window; multi-round driver-green (r1-r8).
+    "trend_time_agg_1h",
+    "attr_curr",
+    "series_fill_hours",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "sim_ann_lsh",
     "trend_time_agg_1d_rollup",
     "dedup_ngram_jaccard",
     "dedup_embedding",
@@ -3099,6 +3311,7 @@ def build_queries() -> dict:
         "wav_features": q_wav_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
+        "jpeg_features": q_jpeg_features,
         "incremental_embedding": q_incremental_embedding,
         "semantic_decontamination": q_semantic_decontamination,
         "embed_text_hashed": q_embed_text_hashed,
@@ -3205,6 +3418,7 @@ def build_oracles() -> dict[str, str]:
         "wav_features": _ORACLE_WAV,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
+        "jpeg_features": _ORACLE_JPEG,
         "incremental_embedding": _oracle_incremental_embedding(),
         "semantic_decontamination": _oracle_semantic_decontamination(),
         "embed_text_hashed": _oracle_embed_text_hashed(),

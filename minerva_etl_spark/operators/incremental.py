@@ -72,9 +72,20 @@ def append_dedup_state(
 ) -> None:
     """Append a delta's signatures to the persisted state under the
     store-lease protocol (same single-writer rule as the trend stores'
-    modified-log append — two concurrent increments serialize here)."""
-    with StoreLease(spark, path.rstrip("/") + ".__lease"):
+    modified-log append — two concurrent appends serialize here).
+
+    NOTE: callers composing read-state -> decide -> append (the ingest
+    cycle) must hold the lease across ALL THREE steps, not just the
+    append — otherwise two concurrent deliveries can each read state
+    lacking the other's delta and neither dedups against the other.
+    :func:`ingest_increment` / :func:`ingest_embedding_increment` do
+    exactly that via :func:`_state_lease`."""
+    with _state_lease(spark, path):
         state.write.mode("append").parquet(path)
+
+
+def _state_lease(spark: SparkSession, path: str) -> StoreLease:
+    return StoreLease(spark, path.rstrip("/") + ".__lease")
 
 
 def read_dedup_state(spark: SparkSession, path: str) -> DataFrame:
@@ -214,22 +225,30 @@ def ingest_increment(
     threshold: float = 0.5,
 ) -> DataFrame:
     """The full delivery cycle: signature the delta, dedup it against
-    the persisted state, append the delta's signatures (under the store
-    lease), return the per-doc decisions.  First delivery bootstraps an
-    empty state.  The returned frame is computed BEFORE the append (a
-    doc is never compared against itself)."""
+    the persisted state, append the delta's signatures, return the
+    per-doc decisions.  First delivery bootstraps an empty state.  The
+    returned frame is computed BEFORE the append (a doc is never
+    compared against itself).
+
+    The store lease is held across read-state -> decide -> append, so
+    two concurrent deliveries fully serialize: the second sees the
+    first's signatures and dedups against them (signature work for the
+    delta itself is computed before the lease is taken — only the
+    history-dependent steps run under it)."""
     delta_state = build_dedup_state(
         new_docs, text_col, id_col, num_hashes, shingle_size
-    ).localCheckpoint(eager=True)  # signatures computed once: reused by
-    # the decision join AND the append below
-    if parquet_exists(spark, state_path):
-        history = read_dedup_state(spark, state_path)
-    else:
-        history = spark.createDataFrame([], delta_state.schema)
-    out = dedup_increment(
-        delta_state, history, num_hashes, bands, threshold
-    ).localCheckpoint(eager=True)  # decisions pinned before state mutates
-    append_dedup_state(spark, delta_state, state_path)
+    ).localCheckpoint(eager=True)  # signatures computed once (outside
+    # the lease): reused by the decision join AND the append below
+    with _state_lease(spark, state_path):
+        if parquet_exists(spark, state_path):
+            history = read_dedup_state(spark, state_path)
+        else:
+            history = spark.createDataFrame([], delta_state.schema)
+        out = dedup_increment(
+            delta_state, history, num_hashes, bands, threshold
+        ).localCheckpoint(eager=True)  # decisions pinned before state
+        # mutates, still under the lease
+        delta_state.write.mode("append").parquet(state_path)
     return out
 
 
@@ -434,20 +453,25 @@ def ingest_embedding_increment(
 ) -> DataFrame:
     """One embedding-delivery cycle: state the delta, decide it against
     persisted history (bootstrap: everything kept), append the delta's
-    state rows under the store lease.  Returns the decisions."""
+    state rows.  Returns the decisions.  As in :func:`ingest_increment`
+    the store lease is held across read-state -> decide -> append, so
+    concurrent deliveries fully serialize."""
     delta_state = build_embedding_state(
         new_embeddings, id_col, vec_col
     ).localCheckpoint(eager=True)
-    if parquet_exists(spark, state_path):
-        history = spark.read.parquet(state_path)
-        decisions = embedding_increment(delta_state, history, threshold)
-    else:
-        decisions = delta_state.select(
-            "vec_id",
-            F.lit(None).cast("bigint").alias("near_dup_of"),
-        ).withColumn("keep", F.lit(True))
-    decisions = decisions.localCheckpoint(eager=True)
-    append_dedup_state(spark, delta_state, state_path)
+    with _state_lease(spark, state_path):
+        if parquet_exists(spark, state_path):
+            history = spark.read.parquet(state_path)
+            decisions = embedding_increment(
+                delta_state, history, threshold
+            )
+        else:
+            decisions = delta_state.select(
+                "vec_id",
+                F.lit(None).cast("bigint").alias("near_dup_of"),
+            ).withColumn("keep", F.lit(True))
+        decisions = decisions.localCheckpoint(eager=True)
+        delta_state.write.mode("append").parquet(state_path)
     return decisions
 
 

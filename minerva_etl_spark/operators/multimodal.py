@@ -17,12 +17,15 @@ player opens) and decodes every frame.  All run Arrow-batched
 (:func:`wav_features`, :func:`png_features`, :func:`avi_features`);
 :func:`png_resize` re-encodes a nearest-neighbor downsample and
 :func:`avi_sample_frames` re-encodes sampled video frames as PNGs —
-decode → transform → encode without leaving the task.  COMPRESSED
-video codecs (MJPG/H.264) are the one remaining out-of-scope surface
-(no ffmpeg in this image): the generic ``decoder`` argument of
-:func:`extract_features` stays as the documented swap-in point.
-Everything around the codecs — schemas, batch iteration, partitioning,
-output contracts — is real and tested either way.
+decode → transform → encode without leaving the task.  JPEG stills
+(:func:`jpeg_features`, via the baseline codec in
+:mod:`operators.jpeg`) and MJPG AVIs (each frame a baseline JPEG,
+decoded inside :func:`avi_decode`) are REAL too.  H.264 and other
+inter-frame codecs remain out of scope (no ffmpeg in this image): the
+generic ``decoder`` argument of :func:`extract_features` stays as the
+documented swap-in point.  Everything around the codecs — schemas,
+batch iteration, partitioning, output contracts — is real and tested
+either way.
 """
 
 from __future__ import annotations
@@ -144,7 +147,11 @@ def wav_decode(payload: bytes) -> dict:
     rms = math.floor((sumsq / n) ** 0.5 * 1e6 + 0.5) / 1e6 if n else 0.0
     return {
         "sample_rate": rate,
-        "n_frames": n_frames * n_channels,
+        # TRUE frame count (per-channel sample periods), not samples —
+        # n_frames / sample_rate agrees with duration for any channel
+        # count; the interleaved sample total is n_frames * n_channels
+        "n_frames": n_frames,
+        "n_channels": n_channels,
         "duration_ms": (n_frames * 1000) // rate if rate else 0,
         "rms": rms,
     }
@@ -152,7 +159,7 @@ def wav_decode(payload: bytes) -> dict:
 
 WAV_FEATURE_SCHEMA = (
     "media_id bigint, sample_rate int, n_frames bigint, "
-    "duration_ms bigint, rms double"
+    "n_channels int, duration_ms bigint, rms double"
 )
 
 
@@ -200,6 +207,7 @@ def wav_features(
                         mid,
                         d["sample_rate"],
                         d["n_frames"],
+                        d["n_channels"],
                         d["duration_ms"],
                         d["rms"],
                     )
@@ -210,6 +218,7 @@ def wav_features(
                     "media_id",
                     "sample_rate",
                     "n_frames",
+                    "n_channels",
                     "duration_ms",
                     "rms",
                 ],
@@ -442,6 +451,52 @@ def png_features(
     return media.mapInPandas(run, schema=PNG_FEATURE_SCHEMA)
 
 
+JPEG_FEATURE_SCHEMA = (
+    "media_id bigint, width int, height int, n_channels int, "
+    "channel_means array<double>"
+)
+
+
+def jpeg_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Per-row REAL baseline-JPEG decode via mapInPandas (Arrow
+    batches): marker walk + Huffman + dequant + IDCT + YCbCr→RGB
+    (:func:`operators.jpeg.jpeg_decode`) inside each task; payload
+    bytes never visit the driver.  Same shape and error policy as
+    :func:`png_features`."""
+    from minerva_etl_spark.operators.jpeg import jpeg_decode
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                d = _decode_or_policy(jpeg_decode, mid, p, on_error)
+                if d is None:
+                    continue
+                rows.append(
+                    (
+                        mid,
+                        d["width"],
+                        d["height"],
+                        d["channels"],
+                        _png_channel_means(d),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_channels",
+                    "channel_means",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=JPEG_FEATURE_SCHEMA)
+
+
 def png_resize_bytes(payload: bytes, new_w: int, new_h: int) -> bytes:
     """Nearest-neighbor resize of a PNG payload: decode → sample →
     re-encode.  Source pixel for output (x, y) is
@@ -531,14 +586,23 @@ def sample_frames(
 
 
 def synthesize_avi(
-    frames: "list[bytes]", width: int, height: int, fps: int = 10
+    frames: "list[bytes]",
+    width: int,
+    height: int,
+    fps: int = 10,
+    codec: str = "DIB",
+    quality: int = 90,
 ) -> bytes:
-    """A real AVI file (RIFF 'AVI ', one 'vids' stream, BI_RGB 24-bit
-    DIB frames) from raw row-major RGB frame buffers — pure stdlib.
-    Frames are stored as AVI requires: bottom-up rows, BGR byte order,
-    rows padded to 4 bytes."""
+    """A real AVI file (RIFF 'AVI ', one 'vids' stream) from raw
+    row-major RGB frame buffers — pure stdlib.  ``codec='DIB'``
+    stores BI_RGB 24-bit DIB frames (bottom-up rows, BGR byte order,
+    rows padded to 4 bytes); ``codec='MJPG'`` stores each frame as a
+    baseline JPEG (see :mod:`operators.jpeg`), the most common real
+    capture format."""
     import struct
 
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError(f"unsupported AVI codec {codec!r}")
     stride = width * 3
     pad = (-stride) % 4
     blobs = []
@@ -547,6 +611,11 @@ def synthesize_avi(
             raise ValueError(
                 f"frame is {len(f)} bytes, expected {stride * height}"
             )
+        if codec == "MJPG":
+            from minerva_etl_spark.operators.jpeg import synthesize_jpeg
+
+            blobs.append(synthesize_jpeg(bytes(f), width, height, quality))
+            continue
         rows = []
         for y in range(height - 1, -1, -1):  # bottom-up
             row = bytearray(f[y * stride : (y + 1) * stride])
@@ -561,35 +630,46 @@ def synthesize_avi(
     def lst(kind: bytes, data: bytes) -> bytes:
         return chunk(b"LIST", kind + data)
 
-    frame_bytes = (stride + pad) * height
+    if codec == "MJPG":
+        frame_bytes = max((len(b) for b in blobs), default=0)
+        fcc = b"MJPG"
+        bi_compression = int.from_bytes(b"MJPG", "little")
+        chunk_id = b"00dc"  # compressed frames
+    else:
+        frame_bytes = (stride + pad) * height
+        fcc = b"DIB "
+        bi_compression = 0
+        chunk_id = b"00db"
     avih = struct.pack(
         "<14I",
         1_000_000 // fps, frame_bytes * fps, 0, 0x10,  # HASINDEX-free, 0x10=was-captured flagless; dwFlags
         len(frames), 0, 1, frame_bytes, width, height, 0, 0, 0, 0,
     )
     strh = (
-        b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1, fps, 0,
-                                        len(frames), frame_bytes, 0, 0)
+        b"vids" + fcc + struct.pack("<10I", 0, 0, 0, 1, fps, 0,
+                                    len(frames), frame_bytes, 0, 0)
         + struct.pack("<4H", 0, 0, width, height)
     )
     strf = struct.pack(
-        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes,
-        0, 0, 0, 0,
+        "<IiiHHIIiiII", 40, width, height, 1, 24, bi_compression,
+        frame_bytes, 0, 0, 0, 0,
     )
     hdrl = lst(
         b"hdrl",
         chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", b) for b in blobs))
+    movi = lst(b"movi", b"".join(chunk(chunk_id, b) for b in blobs))
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
 def avi_decode(payload: bytes) -> dict:
-    """REAL video decode, pure stdlib: walk the RIFF tree, read stream
-    geometry from the BITMAPINFOHEADER, and decode every uncompressed
-    '00db' DIB frame (bottom-up BGR, 4-byte row padding) back to
-    row-major RGB.  Returns ``{width, height, fps, n_frames,
-    frames: list[bytearray]}``."""
+    """REAL video decode, pure Python: walk the RIFF tree, read stream
+    geometry from the BITMAPINFOHEADER, and decode every frame back to
+    row-major RGB — uncompressed '00db' DIB frames (bottom-up BGR,
+    4-byte row padding) and MJPG '00dc' frames (each a baseline JPEG,
+    decoded by :func:`operators.jpeg.jpeg_decode`).  Other codecs
+    (H.264 etc.) raise ``NotImplementedError``.  Returns ``{width,
+    height, fps, n_frames, frames: list[bytearray]}``."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -624,9 +704,29 @@ def avi_decode(payload: bytes) -> dict:
     walk(payload, 12, len(payload))
     if width is None:
         raise ValueError("AVI has no video stream header")
+    fps = rate // scale if rate and scale else 0
+    if compression == int.from_bytes(b"MJPG", "little"):
+        from minerva_etl_spark.operators.jpeg import jpeg_decode
+
+        frames = []
+        for raw in frames_raw:
+            d = jpeg_decode(raw)
+            if (d["width"], d["height"]) != (width, height):
+                raise ValueError(
+                    f"MJPG frame is {d['width']}x{d['height']}, "
+                    f"stream header says {width}x{height}"
+                )
+            frames.append(bytearray(d["pixels"]))  # already top-down RGB
+        return {
+            "width": width,
+            "height": height,
+            "fps": fps,
+            "n_frames": len(frames),
+            "frames": frames,
+        }
     if compression != 0 or bitcount != 24:
         raise NotImplementedError(
-            f"only uncompressed 24-bit DIB supported "
+            f"only uncompressed 24-bit DIB and MJPG supported "
             f"(biCompression={compression}, biBitCount={bitcount})"
         )
     stride = width * 3
@@ -640,7 +740,6 @@ def avi_decode(payload: bytes) -> dict:
             row[0::3], row[2::3] = row[2::3], row[0::3]  # BGR -> RGB
             out[y * stride : (y + 1) * stride] = row
         frames.append(out)
-    fps = rate // scale if rate and scale else 0
     return {
         "width": width,
         "height": height,

@@ -943,8 +943,9 @@ def test_cli_media_avi_verbs(tmp_path, spark):
     assert (r.width, r.height, r.fps, r.n_frames) == (4, 3, 10, 4)
     out2 = str(tmp_path / "frames")
     main(["media", "avi-frames", "--input", src, "--output", out2,
-          "--stride", "2", "--n", "2"])
-    assert spark.read.parquet(out2).count() == 2
+          "--frame-stride", "2", "--n", "2"])
+    kept = spark.read.parquet(out2).select("frame_idx").collect()
+    assert sorted(r.frame_idx for r in kept) == [0, 2]
 
 
 def test_cli_corpus_decontaminate(tmp_path, spark):

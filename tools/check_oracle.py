@@ -30,14 +30,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             except TypeError:
                 pass
             df[col] = s.astype("datetime64[us]")
-        elif s.dtype == object and len(s):
-            import numpy as np
-
-            first = s.dropna().iloc[0] if len(s.dropna()) else None
-            if isinstance(first, (list, tuple, np.ndarray)):
-                df[col] = s.apply(
-                    lambda v: tuple(v) if v is not None else None
-                )
+        # NO list/array special-casing: the driver's canonicalizer
+        # crashes on unhashable array cells, so a gate row emitting a
+        # raw array column must FAIL here too (serialize arrays as a
+        # joined string + length — the lifecycle_array_trend rule).
     df = df[sorted(df.columns)]
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
@@ -90,7 +86,14 @@ def main() -> int:
             failures.append(name)
             continue
         t_duck = time.time() - t0
-        s, d = normalize(sdf), normalize(ddf)
+        try:
+            s, d = normalize(sdf), normalize(ddf)
+        except TypeError as e:
+            # the driver's canonicalizer dies the same way on raw
+            # array cells — record the row RED, keep sweeping
+            print(f"FAIL {name}: canonicalize error: {e}")
+            failures.append(name)
+            continue
         problems = []
         if len(s) != len(d):
             problems.append(f"rows {len(s)} vs {len(d)}")
