@@ -1279,16 +1279,20 @@ def cmd_corpus(args) -> None:
     (distributed Lloyd's fit over an embedding column), `bpe` (train a
     merge table), `pack-ids` (train + encode + pack token-id
     sequences), `increment` / `increment-emb` (dedup a text or embedding
-    delivery against the persisted signature/vector state).  Extends the reference surface (its CLI has no
-    corpus side)."""
+    delivery against the persisted signature/vector state),
+    `ivf-build` / `ivf-increment` / `ivf-query` (persisted-centroid
+    ANN retrieval: fit once, assign deltas against the frozen
+    centroids, query the state).  Extends the reference surface (its
+    CLI has no corpus side)."""
     from pyspark.sql import functions as F
 
     # argument sanity BEFORE a SparkSession spins up: a missing flag
     # should be a one-line usage error, not an AttributeError mid-job
-    if args.action in ("increment", "increment-emb") and not args.state:
+    if args.action in ("increment", "increment-emb", "ivf-build",
+                       "ivf-increment", "ivf-query") and not args.state:
         raise SystemExit(
             f"minerva-spark corpus {args.action}: --state is required "
-            "(path of the persisted dedup state)"
+            "(path of the persisted state)"
         )
     if args.action == "decontaminate" and not args.benchmark:
         raise SystemExit(
@@ -1351,6 +1355,38 @@ def cmd_corpus(args) -> None:
         )
 
         out = ingest_embedding_increment(spark, df, args.state)
+    elif args.action == "ivf-build":
+        from minerva_etl_spark.operators.incremental import build_ivf_state
+
+        out = build_ivf_state(
+            spark, df, args.state, k=args.n, iters=args.iters
+        )
+    elif args.action == "ivf-increment":
+        from minerva_etl_spark.operators.incremental import (
+            ivf_increment,
+            ivf_needs_recluster,
+        )
+
+        out = ivf_increment(spark, df, args.state)
+        if ivf_needs_recluster(spark, args.state):
+            print(
+                "corpus ivf-increment: corpus grew past the recluster "
+                "factor — refit with ivf-build at k ~ sqrt(N)"
+            )
+    elif args.action == "ivf-query":
+        from pyspark.sql import functions as FF
+
+        from minerva_etl_spark.operators.incremental import ivf_state_query
+
+        out = ivf_state_query(
+            spark,
+            df.select(
+                FF.col("vec_id").alias("query_id"),
+                FF.col("embedding").alias("query_vec"),
+            ),
+            args.state,
+            k=args.n,
+        )
     elif args.action == "pack-ids":
         from minerva_etl_spark.operators.bpe import bpe_train
         from minerva_etl_spark.operators.shard import (
@@ -1729,6 +1765,7 @@ def main(argv: list[str] | None = None) -> None:
         choices=[
             "split", "cap", "tfidf", "kmeans", "bpe", "pack-ids",
             "increment", "increment-emb", "decontaminate",
+            "ivf-build", "ivf-increment", "ivf-query",
         ],
     )
     co.add_argument("--input", required=True, help="input parquet")

@@ -2599,6 +2599,61 @@ def _oracle_sim_ivf_join() -> str:
     )
 
 
+def q_sim_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF retrieval (`operators/incremental.py::
+    build_ivf_state` / `ivf_increment` / `ivf_state_query`): fit
+    centroids on the first three quarters of the corpus (oracle-matched
+    Lloyd's, k=4, 2 rounds), persist (centroids, assignment), deliver
+    the last quarter as an increment — assigned against the FROZEN
+    centroids via one broadcast join over the delta only — then answer
+    every 25th vector's top-5 against the persisted state through the
+    plan-locked `ivf_join`.  Oracle: train on the history predicate,
+    assign the FULL corpus at those fixed centroids, identical
+    probe/equi-join/top-k — proving delta-assign == full-refit
+    retrieval at fixed centroids (the daily-crawl shape: history
+    vectors are never re-scored when an increment lands)."""
+    _prep(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.incremental import (
+        build_ivf_state,
+        ivf_increment,
+        ivf_state_query,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="minerva_gate_ivfinc_")
+    path = os.path.join(root, "ivf_state")
+    build_ivf_state(spark, emb.filter("vec_id % 4 < 3"), path, k=4, iters=2)
+    ivf_increment(spark, emb.filter("vec_id % 4 = 3"), path)
+    queries = emb.filter("vec_id % 25 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_state_query(
+        spark, queries, path, k=5, n_probe=2
+    ).localCheckpoint(eager=True)  # pinned before the state dir goes
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_sim_ivf_incremental() -> str:
+    from minerva_etl_spark.operators.incremental import (
+        ivf_incremental_oracle_sql,
+    )
+
+    return ivf_incremental_oracle_sql(
+        train_pred="vec_id % 4 < 3",
+        query_pred="vec_id % 25 = 0",
+        kmeans_k=4,
+        kmeans_iters=2,
+        k=5,
+        n_probe=2,
+    )
+
+
 def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (`operators/multimodal.py::wav_features`):
     per-document PCM synthesized deterministically from doc_id
@@ -3080,7 +3135,6 @@ _REGISTRY_ORDER = [
     # -- streaming / time ops (T4, as-of, sessionize) -----------------
     "streaming_hourly",
     "asof_join",
-    "sessionize",
     "lifecycle_array_trend",
     # -- LLM-pipeline: dedup ------------------------------------------
     "dedup_simhash_hamming",
@@ -3093,6 +3147,7 @@ _REGISTRY_ORDER = [
     "semantic_dedup_trained",
     # -- LLM-pipeline: similarity -------------------------------------
     "sim_ivf_join",
+    "sim_ivf_incremental",
     # -- LLM-pipeline: text / curation / trainers ---------------------
     "text_profile",
     "domain_cap",
@@ -3169,6 +3224,13 @@ _REGISTRY_ORDER = [
     # Earlier rotations (r6/r7/r8): vouchers unchanged, see
     # COVERAGE.md.  Everything below is still verified every session by
     # tools/check_oracle.py.
+    # sessionize — rotated out to make room for the NEW
+    # sim_ivf_incremental row (straight into the window, like
+    # jpeg_features below); the session-gap window shape is pinned by
+    # pytest (tests/test_operators.py) and the adjacent in-window
+    # asof_join row shares the time-ordered per-entity merge plan;
+    # multi-round driver-green (r1-r8).
+    "sessionize",
     # trend_time_agg_1h — rotated out to make room for the NEW
     # jpeg_features row (straight into the window so it is driver-
     # checked in its first round); A1 1h aggregation is vouched by
@@ -3308,6 +3370,7 @@ def build_queries() -> dict:
         "pack_token_ids": q_pack_token_ids,
         "incremental_dedup": q_incremental_dedup,
         "sim_ivf_join": q_sim_ivf_join,
+        "sim_ivf_incremental": q_sim_ivf_incremental,
         "wav_features": q_wav_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -3415,6 +3478,7 @@ def build_oracles() -> dict[str, str]:
         "pack_token_ids": _oracle_pack_token_ids(),
         "incremental_dedup": _oracle_incremental_dedup(),
         "sim_ivf_join": _oracle_sim_ivf_join(),
+        "sim_ivf_incremental": _oracle_sim_ivf_incremental(),
         "wav_features": _ORACLE_WAV,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

@@ -532,3 +532,197 @@ SELECT d.{id_col} AS vec_id,
 FROM (SELECT {id_col} FROM {table} WHERE {delta_pred}) d
 LEFT JOIN near ON d.{id_col} = near.vec_id
 """
+
+
+# ---------------------------------------------------------------------
+# Incremental IVF retrieval: persisted centroids + assignments
+# ---------------------------------------------------------------------
+#
+# `similarity.ivf_join` refits k-means on every call — right for a
+# one-shot batch, wrong for the daily-increment shape this module
+# exists for.  The IVF state applies the same protocol as the dedup
+# states above: fit once, persist (centroids, per-vector assignment),
+# and let each delivery assign ONLY its delta against the frozen
+# centroids (one broadcast join over the delta — history vectors are
+# never re-scored).  Queries run `ivf_join` against the persisted
+# assignment.  Delta-assignment against frozen centroids is exactly
+# what a full `assign_centroids` over history ∪ delta would produce,
+# so incremental == recompute at fixed centroids — pinned by the
+# `sim_ivf_incremental` oracle row and the three-delivery pytest.
+#
+# Recluster trigger: the SCALE.md IVF probe established the k ~ √N
+# sizing discipline (fixed k degrades toward all-pairs as N grows).
+# Frozen centroids inherit that: when the corpus has grown
+# `recluster_factor`× past the fit-time size, per-cluster candidate
+# lists have grown the same factor while k should have grown √factor —
+# `ivf_needs_recluster` flips and the operator should be re-fit with
+# k ~ √N_total (a full `build_ivf_state`; the default 4× matches the
+# probe's measured degradation knee).
+
+
+def _ivf_paths(state_path: str) -> tuple[str, str, str]:
+    root = state_path.rstrip("/")
+    return root + "/centroids", root + "/assigned", root + "/meta"
+
+
+def build_ivf_state(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    state_path: str,
+    k: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit + persist the IVF state: oracle-matched Lloyd's centroids
+    (`kmeans.kmeans_fit` — deterministic seed, SQL-replayable), full
+    corpus assignment, and fit-time size for the recluster trigger.
+    Returns the persisted assignment."""
+    from minerva_etl_spark.operators.kmeans import kmeans_fit
+    from minerva_etl_spark.operators.similarity import assign_centroids
+
+    cent_p, asg_p, meta_p = _ivf_paths(state_path)
+    with _state_lease(spark, state_path):
+        _seed_assigned, cent = kmeans_fit(
+            embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
+        )
+        assigned = assign_centroids(
+            embeddings, cent, id_col=id_col, vec_col=vec_col
+        )
+        cent.write.mode("overwrite").parquet(cent_p)
+        assigned.write.mode("overwrite").parquet(asg_p)
+        n = spark.read.parquet(asg_p).count()  # count the persisted copy
+        spark.createDataFrame(
+            [(n, n)], "n_at_fit bigint, n_total bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    return spark.read.parquet(asg_p)
+
+
+def ivf_increment(
+    spark: SparkSession,
+    new_embeddings: DataFrame,
+    state_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One delivery: assign ONLY the delta against the frozen persisted
+    centroids (broadcast join over the delta — history untouched),
+    append to the assignment state, bump the corpus size.  The lease
+    spans read-state → assign → append, as in :func:`ingest_increment`.
+    Returns the delta's assignment rows."""
+    from minerva_etl_spark.operators.similarity import assign_centroids
+
+    cent_p, asg_p, meta_p = _ivf_paths(state_path)
+    with _state_lease(spark, state_path):
+        cent = spark.read.parquet(cent_p)
+        delta_assigned = assign_centroids(
+            new_embeddings, cent, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)  # pinned before state mutates
+        n_delta = delta_assigned.count()
+        delta_assigned.write.mode("append").parquet(asg_p)
+        meta = spark.read.parquet(meta_p).collect()[0]  # one row
+        spark.createDataFrame(
+            [(meta.n_at_fit, meta.n_total + n_delta)],
+            "n_at_fit bigint, n_total bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    return delta_assigned
+
+
+def ivf_needs_recluster(
+    spark: SparkSession, state_path: str, recluster_factor: float = 4.0
+) -> bool:
+    """True once the corpus has grown ``recluster_factor``× past the
+    fit-time size — the documented refit point (k ~ √N, SCALE.md)."""
+    _, _, meta_p = _ivf_paths(state_path)
+    meta = spark.read.parquet(meta_p).collect()[0]
+    return meta.n_total >= recluster_factor * meta.n_at_fit
+
+
+def ivf_state_query(
+    spark: SparkSession,
+    queries: DataFrame,
+    state_path: str,
+    k: int = 5,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Answer a query batch against the persisted state — the same
+    plan-locked `ivf_join` (broadcast centroids, centroid_id equi-join,
+    salted per-query top-k), reading assignment and centroids from
+    parquet instead of refitting."""
+    from minerva_etl_spark.operators.similarity import ivf_join
+
+    cent_p, asg_p, _ = _ivf_paths(state_path)
+    return ivf_join(
+        queries,
+        spark.read.parquet(asg_p),
+        spark.read.parquet(cent_p),
+        k=k,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
+def ivf_incremental_oracle_sql(
+    train_pred: str,
+    query_pred: str,
+    kmeans_k: int,
+    kmeans_iters: int,
+    k: int = 5,
+    n_probe: int = 3,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of build_ivf_state(train_pred) + ivf_increment(rest)
+    + ivf_state_query: Lloyd's trains on the HISTORY subset only, the
+    FULL corpus assigns against those frozen centroids, retrieval runs
+    the identical probe/equi-join/top-k chain — proving delta-assign ==
+    full-refit retrieval at fixed centroids."""
+    from minerva_etl_spark.operators.kmeans import _duck_cos, kmeans_ctes
+
+    train = f"(SELECT * FROM {table} WHERE {train_pred})"
+    ctes = kmeans_ctes(train, kmeans_k, kmeans_iters, id_col, vec_col)
+    cent = f"cent{kmeans_iters}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+assigned AS MATERIALIZED (
+  SELECT {id_col}, {vec_col}, centroid_id FROM (
+    SELECT e.{id_col}, e.{vec_col}, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY {_duck_cos('e.' + vec_col, 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM {table} e, {cent} c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT {id_col} AS query_id, {vec_col} AS query_vec
+  FROM {table} WHERE {query_pred}
+),
+probe AS (
+  SELECT query_id, query_vec, centroid_id FROM (
+    SELECT q.query_id, q.query_vec, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_duck_cos('q.query_vec', 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM q, {cent} c
+  ) WHERE rn <= {int(n_probe)}
+),
+cand AS (
+  SELECT p.query_id, a.{id_col},
+         {_duck_cos('a.' + vec_col, 'p.query_vec')} AS cosine
+  FROM probe p JOIN assigned a USING (centroid_id)
+)
+SELECT query_id, {id_col}, cosine, CAST(rank AS INT) AS rank FROM (
+  SELECT query_id, {id_col}, cosine,
+         row_number() OVER (
+           PARTITION BY query_id
+           ORDER BY cosine DESC, {id_col} ASC) AS rank
+  FROM cand
+) WHERE rank <= {int(k)}
+"""

@@ -968,3 +968,48 @@ def test_cli_corpus_decontaminate(tmp_path, spark):
           "--benchmark", bsrc])
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {2}
+
+
+def test_cli_corpus_ivf_verbs(tmp_path, spark):
+    """`corpus ivf-build` / `ivf-increment` / `ivf-query`: the
+    persisted-centroid retrieval protocol end-to-end from the CLI —
+    build on delivery 1, assign delivery 2 against the frozen
+    centroids, query across both."""
+    from minerva_etl_spark.cli import main
+
+    def vec(i):
+        base = [[1.0, 0.0], [0.0, 1.0]][i % 2]
+        return base + [0.001 * i] * 2
+
+    ddl = "vec_id bigint, embedding array<double>"
+    d1 = spark.createDataFrame([(i, vec(i)) for i in range(8)], ddl)
+    d2 = spark.createDataFrame([(i, vec(i)) for i in range(8, 12)], ddl)
+    src1, src2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    d1.write.parquet(src1)
+    d2.write.parquet(src2)
+    state = str(tmp_path / "ivf")
+
+    out1 = str(tmp_path / "a1")
+    main(["corpus", "ivf-build", "--input", src1, "--output", out1,
+          "--state", state, "--n", "2"])
+    assert spark.read.parquet(out1).count() == 8
+
+    out2 = str(tmp_path / "a2")
+    main(["corpus", "ivf-increment", "--input", src2, "--output", out2,
+          "--state", state])
+    assert spark.read.parquet(out2).count() == 4
+    assert spark.read.parquet(state + "/assigned").count() == 12
+
+    qsrc = str(tmp_path / "q")
+    spark.createDataFrame([(100, vec(10))], ddl).write.parquet(qsrc)
+    out3 = str(tmp_path / "hits")
+    main(["corpus", "ivf-query", "--input", qsrc, "--output", out3,
+          "--state", state, "--n", "12"])
+    hits = {r.vec_id for r in spark.read.parquet(out3).collect()}
+    # even ids share vector-10's direction, across BOTH deliveries
+    assert hits & {0, 2, 4, 6} and hits & {8, 10}
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["corpus", "ivf-query", "--input", qsrc, "--output", out3])

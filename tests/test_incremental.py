@@ -158,3 +158,72 @@ def test_embedding_increment_two_deliveries(spark, tmp_path):
     # it must still resolve, because the state keeps dropped vectors
     assert not dec3[3].keep and dec3[3].near_dup_of == 2
     assert dec3[4].keep and dec3[4].near_dup_of is None
+
+
+def test_ivf_incremental_three_deliveries(spark, tmp_path):
+    """Incremental IVF: two increments land against the frozen
+    centroids, the persisted assignment equals a fresh full
+    assign_centroids at those centroids (delta-assign == recompute at
+    fixed centroids), state queries retrieve across ALL deliveries,
+    and the recluster trigger flips once the corpus has grown past the
+    factor."""
+    from minerva_etl_spark.operators.incremental import (
+        build_ivf_state,
+        ivf_increment,
+        ivf_needs_recluster,
+        ivf_state_query,
+    )
+    from minerva_etl_spark.operators.similarity import assign_centroids
+
+    ddl = "vec_id bigint, embedding array<double>"
+
+    def vec(i: int) -> list:
+        # three well-separated directions + a per-id wiggle
+        base = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]][i % 3]
+        return [v + 0.01 * ((i * 7) % 5) for v in base] + [0.0] * 5
+
+    all_rows = [(i, vec(i)) for i in range(24)]
+    d1 = spark.createDataFrame(all_rows[:12], ddl)
+    d2 = spark.createDataFrame(all_rows[12:18], ddl)
+    d3 = spark.createDataFrame(all_rows[18:], ddl)
+    state = str(tmp_path / "ivf_state")
+
+    build_ivf_state(spark, d1, state, k=3, iters=2)
+    a2 = ivf_increment(spark, d2, state)
+    assert a2.count() == 6
+    a3 = ivf_increment(spark, d3, state)
+    assert a3.count() == 6
+
+    # persisted assignment == fresh full assignment at the frozen
+    # centroids, for every delivery's rows
+    cent = spark.read.parquet(state + "/centroids")
+    full = spark.createDataFrame(all_rows, ddl)
+    want = {
+        (r.vec_id, r.centroid_id)
+        for r in assign_centroids(full, cent).collect()
+    }
+    got = {
+        (r.vec_id, r.centroid_id)
+        for r in spark.read.parquet(state + "/assigned").collect()
+    }
+    assert got == want
+
+    # retrieval sees all three deliveries: vector 23's direction-mates
+    # include ids from every delivery
+    q = spark.createDataFrame(
+        [(99, vec(23))], "query_id bigint, query_vec array<double>"
+    )
+    hits = {
+        r.vec_id
+        for r in ivf_state_query(spark, q, state, k=24, n_probe=1)
+        .collect()
+    }
+    assert hits & {2, 5, 8, 11} and hits & {14, 17} and hits & {20, 23}
+
+    # recluster trigger: 24 vectors vs 12 at fit = 2.0x
+    assert not ivf_needs_recluster(spark, state, recluster_factor=4.0)
+    assert ivf_needs_recluster(spark, state, recluster_factor=2.0)
+    # no lease left behind
+    import os
+
+    assert not os.path.exists(state + ".__lease")
