@@ -1424,9 +1424,12 @@ def cmd_media(args) -> None:
     """`minerva-spark media <action>`: the multimodal operators as CLI
     verbs over a parquet of ``(media_id, payload binary)`` rows —
     `wav-features` (real RIFF/WAVE decode: rate, frames, duration,
-    RMS), `png-features` / `jpeg-features` (real image decode:
-    dimensions, channels, per-channel means), `png-resize`
-    (nearest-neighbor resize, re-encoded PNG payloads out), `frames`
+    RMS), `png-features` / `jpeg-features` / `image-features` (real
+    image decode — `image-features` sniffs magic bytes and routes each
+    payload to the right codec: dimensions, channels, per-channel
+    means), `png-resize` / `image-resize` (nearest-neighbor resize,
+    re-encoded PNG payloads out; `image-resize` accepts a mixed
+    PNG/JPEG column and normalizes to PNG), `frames`
     (fixed-stride frame sampling), `features` (generic extractor —
     `--decoder pkg.mod:fn` injects a real decoder, e.g. a PIL or
     ffmpeg wrapper, on clusters that have one installed).  Extends the
@@ -1454,6 +1457,10 @@ def cmd_media(args) -> None:
         out = M.extract_features(df, decoder=decoder)
     elif args.action == "jpeg-features":
         out = M.jpeg_features(df)
+    elif args.action == "image-features":
+        out = M.image_features(df)
+    elif args.action == "image-resize":
+        out = M.image_resize(df, args.width, args.height)
     elif args.action == "avi-features":
         out = M.avi_features(df)
     elif args.action == "avi-frames":
@@ -1799,8 +1806,8 @@ def main(argv: list[str] | None = None) -> None:
     md.add_argument(
         "action",
         choices=["wav-features", "png-features", "jpeg-features",
-                 "png-resize", "frames", "avi-features", "avi-frames",
-                 "features"],
+                 "image-features", "png-resize", "image-resize",
+                 "frames", "avi-features", "avi-frames", "features"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")

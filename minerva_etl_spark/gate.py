@@ -2987,6 +2987,144 @@ FROM rgb
 """
 
 
+def q_image_features_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format image column (`operators/multimodal.py::
+    image_features`): even doc_ids carry the formula-patterned PNG
+    fixture (same generator as `png_features`), odd doc_ids a
+    solid-colour JPEG (same generator as `jpeg_features`) — ONE binary
+    column, per-payload magic-byte dispatch inside the Arrow batch,
+    the realistic crawl shape.  The oracle unions the two closed-form
+    recomputations keyed by parity, so a sniffing bug, a cross-codec
+    mixup, or either codec regressing hash-mismatches."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.jpeg import synthesize_jpeg
+        from minerva_etl_spark.operators.multimodal import synthesize_png
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 6 + d % 5, 4 + d % 3
+                if d % 2 == 0:
+                    px = bytes(
+                        (d * 7 + y * 31 + x * 13 + ch * 101) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for ch in range(3)
+                    )
+                    filters = [(d + y) % 5 for y in range(h)]
+                    payloads.append(synthesize_png(px, w, h, 3, filters))
+                else:
+                    px = bytes(
+                        [(d * 37) % 256, (d * 59 + 11) % 256,
+                         (d * 83 + 29) % 256] * (w * h)
+                    )
+                    payloads.append(
+                        synthesize_jpeg(px, w, h, quality=75,
+                                        subsampling="4:2:0")
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return M.image_features(media).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_channels",
+        F.col("channel_means")[0].alias("mean_c0"),
+        F.col("channel_means")[1].alias("mean_c1"),
+        F.col("channel_means")[2].alias("mean_c2"),
+    )
+
+
+# even docs: the PNG generating-formula means; odd docs: the JPEG
+# solid-colour closed form (same chains as _ORACLE_PNG / _ORACLE_JPEG,
+# restricted by parity and unioned)
+_ORACLE_IMAGE_MIXED = """
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+  FROM documents WHERE doc_id % 2 = 0
+), px AS (
+  SELECT doc_id, w, h, ch.c AS c,
+         (doc_id * 7 + y.y * 31 + x.x * 13 + ch.c * 101) % 256 AS v
+  FROM dims,
+       UNNEST(generate_series(0, w - 1)) AS x(x),
+       UNNEST(generate_series(0, h - 1)) AS y(y),
+       UNNEST(generate_series(0, 2)) AS ch(c)
+), chmean AS (
+  SELECT doc_id, w, h, c,
+         floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5)
+             / 1000000 AS m
+  FROM px GROUP BY doc_id, w, h, c
+), png_rows AS (
+  SELECT doc_id AS media_id,
+         'png' AS format,
+         CAST(w AS INT) AS width,
+         CAST(h AS INT) AS height,
+         CAST(3 AS INT) AS n_channels,
+         max(CASE WHEN c = 0 THEN m END) AS mean_c0,
+         max(CASE WHEN c = 1 THEN m END) AS mean_c1,
+         max(CASE WHEN c = 2 THEN m END) AS mean_c2
+  FROM chmean GROUP BY doc_id, w, h
+), qt AS (
+  SELECT GREATEST(1, LEAST(255, (16 * (200 - 2 * 75) + 50) // 100)) AS ql,
+         GREATEST(1, LEAST(255, (17 * (200 - 2 * 75) + 50) // 100)) AS qc
+), src AS (
+  SELECT doc_id,
+         (doc_id * 37) % 256 AS r,
+         (doc_id * 59 + 11) % 256 AS g,
+         (doc_id * 83 + 29) % 256 AS b,
+         6 + doc_id % 5 AS w,
+         4 + doc_id % 3 AS h
+  FROM documents WHERE doc_id % 2 = 1
+), ycc AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0,
+      floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+    LEAST(255, GREATEST(0,
+      floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+    LEAST(255, GREATEST(0,
+      floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+  FROM src
+), rec AS (
+  SELECT doc_id, w, h,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0 * (y - 128)) / ql + 0.5 + 1e-7) * ql / 8.0
+      + 128 + 0.5 + 1e-7))) AS yq,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0 * (cb - 128)) / qc + 0.5 + 1e-7) * qc / 8.0
+      + 128 + 0.5 + 1e-7))) AS cbq,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0 * (cr - 128)) / qc + 0.5 + 1e-7) * qc / 8.0
+      + 128 + 0.5 + 1e-7))) AS crq
+  FROM ycc, qt
+), jpeg_rows AS (
+  SELECT doc_id AS media_id,
+         'jpeg' AS format,
+         CAST(w AS INT) AS width,
+         CAST(h AS INT) AS height,
+         CAST(3 AS INT) AS n_channels,
+         CAST(LEAST(255, GREATEST(0,
+           floor(yq + 1.402 * (crq - 128) + 0.5))) AS DOUBLE) AS mean_c0,
+         CAST(LEAST(255, GREATEST(0,
+           floor(yq - 0.344136 * (cbq - 128) - 0.714136 * (crq - 128)
+                 + 0.5))) AS DOUBLE) AS mean_c1,
+         CAST(LEAST(255, GREATEST(0,
+           floor(yq + 1.772 * (cbq - 128) + 0.5))) AS DOUBLE) AS mean_c2
+  FROM rec
+)
+SELECT * FROM png_rows UNION ALL SELECT * FROM jpeg_rows
+"""
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-safe per-key document cap (`operators/skew.py::
     cap_per_key`): keep the 5 largest documents per (lang, source) —
@@ -3231,6 +3369,10 @@ _REGISTRY_ORDER = [
     # asof_join row shares the time-ordered per-entity merge plan;
     # multi-round driver-green (r1-r8).
     "sessionize",
+    # image_features_mixed — NEW in r9, born out-of-window (the window
+    # already took this round's two new rows); scheduled into the r10
+    # rotation with the 13 never-driver-checked rows (COVERAGE.md).
+    "image_features_mixed",
     # trend_time_agg_1h — rotated out to make room for the NEW
     # jpeg_features row (straight into the window so it is driver-
     # checked in its first round); A1 1h aggregation is vouched by
@@ -3375,6 +3517,7 @@ def build_queries() -> dict:
         "png_features": q_png_features,
         "avi_features": q_avi_features,
         "jpeg_features": q_jpeg_features,
+        "image_features_mixed": q_image_features_mixed,
         "incremental_embedding": q_incremental_embedding,
         "semantic_decontamination": q_semantic_decontamination,
         "embed_text_hashed": q_embed_text_hashed,
@@ -3483,6 +3626,7 @@ def build_oracles() -> dict[str, str]:
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
         "jpeg_features": _ORACLE_JPEG,
+        "image_features_mixed": _ORACLE_IMAGE_MIXED,
         "incremental_embedding": _oracle_incremental_embedding(),
         "semantic_decontamination": _oracle_semantic_decontamination(),
         "embed_text_hashed": _oracle_embed_text_hashed(),

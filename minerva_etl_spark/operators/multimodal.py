@@ -456,6 +456,76 @@ JPEG_FEATURE_SCHEMA = (
     "channel_means array<double>"
 )
 
+IMAGE_FEATURE_SCHEMA = (
+    "media_id bigint, format string, width int, height int, "
+    "n_channels int, channel_means array<double>"
+)
+
+
+def sniff_image_format(payload: bytes) -> str:
+    """Identify an image payload by magic bytes — the dispatch a real
+    crawl column needs, because nobody's `image binary` column is one
+    homogeneous format."""
+    if payload[:8] == _PNG_SIG:
+        return "png"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    raise ValueError(
+        f"unrecognized image payload (leading bytes {payload[:4]!r})"
+    )
+
+
+def image_decode(payload: bytes) -> dict:
+    """Format-dispatching image decode: sniff the magic bytes, route to
+    the PNG or JPEG codec.  Returns the shared ``{width, height,
+    channels, pixels}`` dict plus ``format``."""
+    fmt = sniff_image_format(bytes(payload))
+    d = png_decode(payload) if fmt == "png" else __import__(
+        "minerva_etl_spark.operators.jpeg", fromlist=["jpeg_decode"]
+    ).jpeg_decode(payload)
+    d["format"] = fmt
+    return d
+
+
+def image_features(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Per-row REAL image decode over a MIXED-format binary column:
+    each payload is sniffed (PNG signature / JPEG SOI) and routed to
+    the matching codec inside the Arrow batch — the realistic crawl
+    shape where one `image` column holds whatever the web served.
+    Same error policy as the single-format extractors."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                d = _decode_or_policy(image_decode, mid, p, on_error)
+                if d is None:
+                    continue
+                rows.append(
+                    (
+                        mid,
+                        d["format"],
+                        d["width"],
+                        d["height"],
+                        d["channels"],
+                        _png_channel_means(d),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "format", "width", "height",
+                    "n_channels", "channel_means",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
+
 
 def jpeg_features(
     media: DataFrame,
@@ -536,6 +606,46 @@ def png_resize(
                         png_resize_bytes(bytes(p), new_w, new_h)
                         for p in pdf[payload_col]
                     ],
+                }
+            )
+
+    return media.mapInPandas(run, schema="media_id bigint, payload binary")
+
+
+def image_resize(
+    media: DataFrame,
+    new_w: int,
+    new_h: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Mixed-format image NORMALIZATION: sniff each payload (PNG or
+    JPEG), decode with the matching codec, nearest-neighbor resize on
+    the same floor-grid rule as :func:`png_resize_bytes`, and re-encode
+    everything as PNG — the canonicalize step of a multimodal training
+    pipeline (one size, one lossless format out, whatever the crawl
+    served in).  All inside the task, Arrow-batched."""
+
+    def one(p: bytes) -> bytes:
+        d = image_decode(bytes(p))
+        w, h, c = d["width"], d["height"], d["channels"]
+        src = d["pixels"]
+        out = bytearray(new_w * new_h * c)
+        for y in range(new_h):
+            sy = y * h // new_h
+            for x in range(new_w):
+                sx = x * w // new_w
+                si = (sy * w + sx) * c
+                di = (y * new_w + x) * c
+                out[di : di + c] = src[si : si + c]
+        return synthesize_png(bytes(out), new_w, new_h, c)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "payload": [one(p) for p in pdf[payload_col]],
                 }
             )
 

@@ -257,3 +257,84 @@ def test_cli_media_decoder_injection(tmp_path, spark, monkeypatch):
     with pytest.raises(SystemExit):
         main(["media", "features", "--input", src, "--output", out,
               "--decoder", "no_colon_here"])
+
+
+def test_image_features_mixed_formats(spark):
+    """One binary column holding BOTH formats: per-payload magic-byte
+    sniffing routes each to the right codec inside the batch."""
+    from minerva_etl_spark.operators.multimodal import (
+        image_features,
+        synthesize_png,
+    )
+
+    png = synthesize_png(bytes([10, 20, 30] * 12), 4, 3, 3)
+    jpg = synthesize_jpeg(bytes([120, 200, 33] * 24), 6, 4, quality=75)
+    media = spark.createDataFrame(
+        [(1, png), (2, jpg), (3, b"GIF89a...")],
+        "media_id bigint, payload binary",
+    )
+    out = {
+        r.media_id: r
+        for r in image_features(media, on_error="skip").collect()
+    }
+    assert set(out) == {1, 2}  # the GIF is skipped under the policy
+    assert out[1].format == "png" and (out[1].width, out[1].height) == (4, 3)
+    assert tuple(int(m) for m in out[1].channel_means) == (10, 20, 30)
+    assert out[2].format == "jpeg"
+    assert tuple(int(m) for m in out[2].channel_means) == _expected_solid(
+        120, 200, 33, 75
+    )
+
+
+def test_image_resize_normalizes_mixed_to_png(spark):
+    """image_resize accepts a mixed PNG/JPEG column and emits uniform
+    PNG payloads at the target size — the canonicalize step."""
+    from minerva_etl_spark.operators.multimodal import (
+        image_resize,
+        png_decode,
+        synthesize_png,
+    )
+
+    solid = _expected_solid(200, 10, 60, 75)
+    png = synthesize_png(bytes([7, 8, 9] * 64), 8, 8, 3)
+    jpg = synthesize_jpeg(bytes([200, 10, 60] * 64), 8, 8, quality=75)
+    media = spark.createDataFrame(
+        [(1, png), (2, jpg)], "media_id bigint, payload binary"
+    )
+    out = {
+        r.media_id: bytes(r.payload)
+        for r in image_resize(media, 4, 4).collect()
+    }
+    for mid, payload in out.items():
+        d = png_decode(payload)  # every output is a valid PNG
+        assert (d["width"], d["height"]) == (4, 4)
+        if mid == 1:
+            assert set(d["pixels"]) == {7, 8, 9}
+        else:
+            got = {
+                tuple(d["pixels"][i : i + 3])
+                for i in range(0, len(d["pixels"]), 3)
+            }
+            assert got == {solid}
+
+
+def test_cli_media_image_verbs(tmp_path, spark):
+    from minerva_etl_spark.cli import main
+    from minerva_etl_spark.operators.multimodal import synthesize_png
+
+    media = spark.createDataFrame(
+        [(1, synthesize_png(bytes([1, 2, 3] * 12), 4, 3, 3)),
+         (2, synthesize_jpeg(bytes([50, 60, 70] * 24), 6, 4))],
+        "media_id bigint, payload binary",
+    )
+    src = str(tmp_path / "imgs")
+    media.write.parquet(src)
+    out = str(tmp_path / "feat")
+    main(["media", "image-features", "--input", src, "--output", out])
+    rows = {r.media_id: r.format
+            for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "png", 2: "jpeg"}
+    out2 = str(tmp_path / "norm")
+    main(["media", "image-resize", "--input", src, "--output", out2,
+          "--width", "2", "--height", "2"])
+    assert spark.read.parquet(out2).count() == 2

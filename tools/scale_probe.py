@@ -332,6 +332,74 @@ def probe(spark, data_dir: str, mult: int) -> dict:
 
     results["token_ids_binary"] = {"spark": _bin_export()}
 
+    # round-9 probes ------------------------------------------------
+    # JPEG decode: Huffman + IDCT per payload, shuffle-free
+    # mapInPandas — expected linear in docs like PNG, with a higher
+    # per-byte constant (entropy decode is bit-serial Python)
+    from minerva_etl_spark.operators.jpeg import synthesize_jpeg
+    from minerva_etl_spark.operators.multimodal import jpeg_features
+
+    def _jpeg_media():
+        import pandas as pd
+
+        def synth(batches):
+            for pdf in batches:
+                payloads = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    w, h = 8 + (d % 2) * 8, 8
+                    px = bytes(
+                        (d * 7 + i) % 256 for i in range(w * h * 3)
+                    )
+                    payloads.append(synthesize_jpeg(px, w, h, quality=75))
+                yield pd.DataFrame(
+                    {"media_id": pdf["doc_id"], "payload": payloads}
+                )
+
+        media = docs.select("doc_id").mapInPandas(
+            synth, "media_id bigint, payload binary"
+        )
+        return jpeg_features(media)
+
+    results["jpeg_features"] = {"spark": timed(_jpeg_media)}
+
+    # Incremental IVF: the headline claim is that one delivery's cost
+    # is INDEPENDENT of history size (fixed delta assigned against
+    # frozen broadcast centroids + one append) — so the timed section
+    # is a FIXED ~2k-vector delta against the mult-scaled history
+    # state, built outside the timer.  Flat wall across mults proves
+    # the daily-crawl posture.
+    import shutil as _sh
+    import tempfile as _tmp
+
+    from minerva_etl_spark.operators.incremental import (
+        build_ivf_state,
+        ivf_increment,
+    )
+
+    ivf_root = _tmp.mkdtemp(prefix="probe_ivfinc_")
+    ivf_state = ivf_root + "/state"
+    build_ivf_state(spark, emb, ivf_state, k=ivf_k, iters=1)
+    delta_fixed = (
+        emb.limit(2048)
+        .select(
+            (PF.col("vec_id") + PF.lit(10**12)).alias("vec_id"),
+            "embedding",
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    def _ivf_inc():
+        t0 = time.time()
+        ivf_increment(spark, delta_fixed, ivf_state)
+        return round(time.time() - t0, 2)
+
+    results["ivf_increment_fixed_delta"] = {
+        "spark": _ivf_inc(),
+        "history_n": emb.count(),
+    }
+    _sh.rmtree(ivf_root, ignore_errors=True)
+
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW events AS SELECT * FROM '{data_dir}/events.parquet/*.parquet'"
