@@ -62,26 +62,54 @@ minerva-spark corpus increment-emb \
 minerva-spark corpus decontaminate --input "$DOCS" \
   --output "$OUT/clean" --benchmark "$DOCS"
 
-# 7. Multimodal: synthesize a tiny media parquet (real PNG bytes) with
-#    pyspark, then decode + resize through the media verbs.
+# 7. Multimodal: synthesize a tiny MIXED-format media parquet (real
+#    PNG and JPEG bytes in one column, plus a mu-law WAV table), then
+#    decode / normalize through the media verbs.
 python - "$OUT" <<'PY'
 import sys
 from pyspark.sql import SparkSession
 sys.path.insert(0, "/root/repo")
-from minerva_etl_spark.operators.multimodal import synthesize_png
+from minerva_etl_spark.operators.jpeg import synthesize_jpeg
+from minerva_etl_spark.operators.multimodal import (
+    synthesize_png,
+    synthesize_wav_mulaw,
+)
 spark = SparkSession.builder.master("local[4]").getOrCreate()
-rows = [
-    (i, synthesize_png(bytes((i * 7 + j) % 256 for j in range(8 * 6 * 3)),
-                       8, 6, 3, [i % 5]))
-    for i in range(16)
-]
+rows = []
+for i in range(16):
+    px = bytes((i * 7 + j) % 256 for j in range(8 * 6 * 3))
+    if i % 2 == 0:
+        payload = synthesize_png(px, 8, 6, 3, [i % 5])
+    else:
+        payload = synthesize_jpeg(px, 8, 6, quality=85)
+    rows.append((i, payload))
 spark.createDataFrame(rows, "media_id bigint, payload binary") \
     .write.mode("overwrite").parquet(sys.argv[1] + "/media")
+audio = [
+    (i, synthesize_wav_mulaw(bytes((i * 13 + j * 7) % 256
+                                   for j in range(64)), 8000))
+    for i in range(8)
+]
+spark.createDataFrame(audio, "media_id bigint, payload binary") \
+    .write.mode("overwrite").parquet(sys.argv[1] + "/audio")
 spark.stop()
 PY
-minerva-spark media png-features --input "$OUT/media" \
+# per-payload magic-byte dispatch: PNG and JPEG in ONE column
+minerva-spark media image-features --input "$OUT/media" \
   --output "$OUT/media_features"
-minerva-spark media png-resize --input "$OUT/media" \
+# canonicalize: everything to 4x3 lossless PNG, whatever came in
+minerva-spark media image-resize --input "$OUT/media" \
   --output "$OUT/media_small" --width 4 --height 3
+# telephony audio (G.711 mu-law, format code 7)
+minerva-spark media wav-features --input "$OUT/audio" \
+  --output "$OUT/audio_features"
+
+# 8. Incremental IVF retrieval: build the persisted centroid index on
+#    the corpus embeddings, deliver an increment, query the state.
+EMB="${DOCS%documents.parquet}embeddings.parquet"
+minerva-spark corpus ivf-build --input "$EMB" \
+  --output "$OUT/ivf_assigned" --state "$OUT/ivf_state" --n 4
+minerva-spark corpus ivf-query --input "$EMB" \
+  --output "$OUT/ivf_hits" --state "$OUT/ivf_state" --n 5
 
 echo "curation demo outputs under $OUT"

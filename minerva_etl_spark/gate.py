@@ -2705,6 +2705,69 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_wav_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL telephony-audio decode (`operators/multimodal.py::
+    ulaw_expand` via the `_wav_decode_manual` RIFF fallback): per-doc
+    G.711 μ-law WAVs (format code 7 — which the stdlib ``wave``
+    reader REJECTS, so the manual chunk walk is the only path) with
+    n = 40 + doc_id % 23 bytes of (doc_id*13 + i*7) % 256 at 8 kHz
+    mono, decoded through the standard CCITT expansion inside
+    Arrow-batched tasks.  The oracle replays the exact integer
+    expansion (complement → sign/exponent/mantissa → re-bias) and the
+    RMS on the shared half-up grid — a single wrong bit in the
+    expansion shifts a sample and hash-mismatches."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.multimodal import (
+            synthesize_wav_mulaw,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 40 + d % 23
+                raw = bytes((d * 13 + i * 7) % 256 for i in range(n))
+                payloads.append(synthesize_wav_mulaw(raw, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return M.wav_features(media)
+
+
+# G.711 μ-law expansion in pure integer SQL: u = ~b = 255 - b,
+# t = ((mant*8 + 132) << exp) - 132, negative when the sign bit is set
+_ORACLE_WAV_MULAW = """
+WITH b AS (
+  SELECT doc_id, 255 - ((doc_id * 13 + t.i * 7) % 256) AS u
+  FROM documents,
+       UNNEST(generate_series(0, 40 + doc_id % 23 - 1)) AS t(i)
+), s AS (
+  SELECT doc_id,
+         CASE WHEN u >= 128 THEN
+           -((((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132)
+         ELSE
+           (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+         END AS v
+  FROM b
+)
+SELECT doc_id AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(1 AS INT) AS n_channels,
+       CAST((count(*) * 1000) // 8000 AS BIGINT) AS duration_ms,
+       floor(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) * 1000000
+             + 0.5) / 1000000 AS rms
+FROM s GROUP BY doc_id
+"""
+
+
 def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (`operators/multimodal.py::png_features`):
     per-document 8-bit RGB pixels synthesized deterministically from
@@ -3369,10 +3432,12 @@ _REGISTRY_ORDER = [
     # asof_join row shares the time-ordered per-entity merge plan;
     # multi-round driver-green (r1-r8).
     "sessionize",
-    # image_features_mixed — NEW in r9, born out-of-window (the window
-    # already took this round's two new rows); scheduled into the r10
-    # rotation with the 13 never-driver-checked rows (COVERAGE.md).
+    # image_features_mixed / wav_mulaw_features — NEW in r9, born
+    # out-of-window (the window already took this round's two new
+    # rows); scheduled into the r10 rotation with the 13
+    # never-driver-checked rows (COVERAGE.md).
     "image_features_mixed",
+    "wav_mulaw_features",
     # trend_time_agg_1h — rotated out to make room for the NEW
     # jpeg_features row (straight into the window so it is driver-
     # checked in its first round); A1 1h aggregation is vouched by
@@ -3514,6 +3579,7 @@ def build_queries() -> dict:
         "sim_ivf_join": q_sim_ivf_join,
         "sim_ivf_incremental": q_sim_ivf_incremental,
         "wav_features": q_wav_features,
+        "wav_mulaw_features": q_wav_mulaw_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
         "jpeg_features": q_jpeg_features,
@@ -3623,6 +3689,7 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_join": _oracle_sim_ivf_join(),
         "sim_ivf_incremental": _oracle_sim_ivf_incremental(),
         "wav_features": _ORACLE_WAV,
+        "wav_mulaw_features": _ORACLE_WAV_MULAW,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
         "jpeg_features": _ORACLE_JPEG,

@@ -112,12 +112,95 @@ def synthesize_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
     )
 
 
+def ulaw_expand(b: int) -> int:
+    """G.711 μ-law byte → linear 16-bit sample (the standard CCITT
+    expansion: complement, unpack sign/exponent/mantissa, re-bias).
+    Pure integer arithmetic — an oracle replays it exactly."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+    t -= 0x84
+    return -t if u & 0x80 else t
+
+
+def synthesize_wav_mulaw(
+    ulaw_bytes: bytes, sample_rate: int = 8000
+) -> bytes:
+    """A real RIFF/WAVE file with format code 7 (G.711 μ-law, mono) —
+    the telephony capture format; one byte per frame."""
+    import struct
+
+    body = bytes(ulaw_bytes)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 38 + len(body))
+        + b"WAVEfmt "
+        # format 7, mono, 1 byte/frame, 8 bits, + required cbSize=0
+        + struct.pack("<IHHIIHHH", 18, 7, 1, sample_rate, sample_rate,
+                      1, 8, 0)
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
+def _wav_decode_manual(payload: bytes) -> dict:
+    """Fallback RIFF walk for formats the stdlib ``wave`` reader
+    rejects — currently G.711 μ-law (format 7).  A-law (6) and the
+    rest stay honest NotImplementedErrors."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = None
+    raw = b""
+    pos = 12
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            raw = body
+        pos += 8 + size + (size % 2)
+    if fmt is None:
+        raise ValueError("WAVE payload has no fmt chunk")
+    audio_format, n_channels, rate, _br, _ba, bits = fmt
+    if audio_format != 7:
+        raise NotImplementedError(
+            f"unsupported WAVE format code {audio_format} "
+            "(PCM=1 via the stdlib path, mu-law=7 here; A-law=6 and "
+            "compressed formats are out of scope)"
+        )
+    vals = [ulaw_expand(b) for b in raw]
+    return _wav_stats(vals, rate, n_channels)
+
+
+def _wav_stats(vals, rate: int, n_channels: int) -> dict:
+    import math
+
+    n = len(vals)
+    n_frames = n // n_channels if n_channels else 0
+    sumsq = sum(v * v for v in vals)  # exact: int arithmetic
+    rms = math.floor((sumsq / n) ** 0.5 * 1e6 + 0.5) / 1e6 if n else 0.0
+    return {
+        "sample_rate": rate,
+        "n_frames": n_frames,
+        "n_channels": n_channels,
+        "duration_ms": (n_frames * 1000) // rate if rate else 0,
+        "rms": rms,
+    }
+
+
 def wav_decode(payload: bytes) -> dict:
     """REAL audio decode, pure stdlib: parse a RIFF/WAVE payload with
     the ``wave`` module and compute (sample_rate, n_frames,
     duration_ms, rms) from the PCM frames.  16-bit mono is what the
-    pipeline's fixtures emit; multi-channel files fold all channels
-    into the RMS (frames are raw interleaved samples).
+    pipeline's fixtures emit; 8-bit unsigned PCM decodes centered
+    (v - 128, RMS on the 8-bit scale); G.711 μ-law (format 7, which
+    the stdlib reader rejects) expands through :func:`ulaw_expand` to
+    the 16-bit scale; multi-channel files fold all channels into the
+    RMS (frames are raw interleaved samples).
 
     The RMS keeps the sum of squares in exact integer arithmetic and
     rounds only the final double — the property that lets an oracle
@@ -127,15 +210,23 @@ def wav_decode(payload: bytes) -> dict:
     import struct
     import wave
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        rate = w.getframerate()
-        n_frames = w.getnframes()
-        n_channels = w.getnchannels()
-        width = w.getsampwidth()
-        raw = w.readframes(n_frames)
-    if width != 2:
-        raise NotImplementedError(f"only 16-bit PCM supported, got {width * 8}-bit")
-    vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            n_frames = w.getnframes()
+            n_channels = w.getnchannels()
+            width = w.getsampwidth()
+            raw = w.readframes(n_frames)
+    except wave.Error:
+        return _wav_decode_manual(payload)
+    if width == 1:  # 8-bit PCM is unsigned, centered at 128
+        vals = tuple(b - 128 for b in raw)
+    elif width == 2:
+        vals = struct.unpack(f"<{len(raw) // 2}h", raw)
+    else:
+        raise NotImplementedError(
+            f"only 8/16-bit PCM supported, got {width * 8}-bit"
+        )
     n = len(vals)
     sumsq = sum(v * v for v in vals)  # exact: int arithmetic
     # half-up 6-dp grid, NOT round(): Python round() is banker's

@@ -653,3 +653,86 @@ def test_media_features_on_error_policy(spark):
     )
     ok = wav_features(wavs, on_error="skip").collect()
     assert [r.media_id for r in ok] == [7]
+
+
+def test_ulaw_expand_standard_table():
+    """The G.711 expansion hits the standard anchor values and the
+    pure-integer formula the oracle replays (all 256 codes)."""
+    from minerva_etl_spark.operators.multimodal import ulaw_expand
+
+    assert ulaw_expand(0xFF) == 0 and ulaw_expand(0x7F) == 0
+    assert ulaw_expand(0x00) == -32124 and ulaw_expand(0x80) == 32124
+    for b in range(256):
+        u = 255 - b
+        t = (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+        assert ulaw_expand(b) == (-t if u >= 128 else t)
+
+
+def test_wav_mulaw_decode():
+    """A format-7 RIFF (stdlib wave REJECTS it) decodes through the
+    manual chunk walk to the exact recomputable stats."""
+    import math
+    import io
+    import wave as wave_mod
+
+    import pytest as _pytest
+
+    from minerva_etl_spark.operators.multimodal import (
+        synthesize_wav_mulaw,
+        ulaw_expand,
+        wav_decode,
+    )
+
+    raw = bytes((9 * 13 + i * 7) % 256 for i in range(50))
+    payload = synthesize_wav_mulaw(raw, 8000)
+    with _pytest.raises(wave_mod.Error):
+        wave_mod.open(io.BytesIO(payload), "rb")  # proves the fallback is needed
+    d = wav_decode(payload)
+    vals = [ulaw_expand(b) for b in raw]
+    want = math.floor(
+        (sum(v * v for v in vals) / len(vals)) ** 0.5 * 1e6 + 0.5
+    ) / 1e6
+    assert d["sample_rate"] == 8000 and d["n_frames"] == 50
+    assert d["n_channels"] == 1 and d["rms"] == want
+
+
+def test_wav_8bit_pcm_decode():
+    """8-bit unsigned PCM decodes centered at 128 (RMS on the 8-bit
+    scale), instead of the old NotImplementedError."""
+    import io
+    import math
+    import wave as wave_mod
+
+    from minerva_etl_spark.operators.multimodal import wav_decode
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(bytes([128, 130, 126, 255, 0]))
+    d = wav_decode(buf.getvalue())
+    vals = [0, 2, -2, 127, -128]
+    want = math.floor(
+        (sum(v * v for v in vals) / 5) ** 0.5 * 1e6 + 0.5
+    ) / 1e6
+    assert d["n_frames"] == 5 and d["rms"] == want
+
+
+def test_wav_alaw_rejected():
+    """Format 6 (A-law) stays an honest NotImplementedError naming the
+    format code."""
+    import struct
+
+    import pytest as _pytest
+
+    from minerva_etl_spark.operators.multimodal import wav_decode
+
+    body = bytes([1, 2, 3, 4])
+    payload = (
+        b"RIFF" + struct.pack("<I", 38 + len(body)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHHH", 18, 6, 1, 8000, 8000, 1, 8, 0)
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    with _pytest.raises(NotImplementedError, match="6"):
+        wav_decode(payload)
