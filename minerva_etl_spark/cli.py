@@ -1482,6 +1482,57 @@ def cmd_media(args) -> None:
     print(f"media {args.action}: {n} rows -> {args.output}")
 
 
+def cmd_crawl(args) -> None:
+    """`minerva-spark crawl <action>`: the web-crawl ingest edge of
+    the pipeline — `warc-read` parses WARC files (plain or Common
+    Crawl record-gzipped) into a records parquet; `warc-export` writes
+    (warc_file, record_id, target_uri, warc_date, body) rows back out
+    as real WARC files (one per group, written by the owning task);
+    `html-extract` turns an (doc_id, html) parquet into (doc_id,
+    title, text, n_links); `warc-to-text` is the fused end-to-end
+    harvest: WARC dir → HTTP response records → HTML extraction → a
+    documents-shaped parquet ready for every text operator."""
+    from minerva_etl_spark.operators.html import html_extract
+    from minerva_etl_spark.sources.warc import read_warc, write_warc_files
+
+    spark = _spark()
+    if args.action == "warc-read":
+        out = read_warc(spark, args.input)
+        if args.types:
+            out = out.where(
+                F.col("warc_type").isin(args.types.split(","))
+            )
+    elif args.action == "warc-export":
+        df = spark.read.parquet(args.input)
+        out = write_warc_files(df, args.output_dir or args.output)
+        n = out.agg(F.sum("n_records")).collect()[0][0]
+        print(f"crawl warc-export: {n} records -> "
+              f"{args.output_dir or args.output}")
+        return
+    elif args.action == "html-extract":
+        out = html_extract(
+            spark.read.parquet(args.input), html_col=args.html_col
+        )
+    elif args.action == "warc-to-text":
+        records = read_warc(spark, args.input).where(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        docs = records.select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.col("target_uri"),
+            F.col("body").alias("html"),
+        )
+        out = html_extract(docs).join(
+            docs.select("doc_id", "target_uri"), "doc_id"
+        )
+    else:  # pragma: no cover - argparse choices guard this
+        raise ValueError(args.action)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"crawl {args.action}: {n} rows -> {args.output}")
+
+
 def cmd_curate(args) -> None:
     """`minerva-spark curate`: run the full corpus-curation pipeline
     (`operators/pipeline.py::curate_corpus` — quality filter → near-dup
@@ -1828,6 +1879,26 @@ def main(argv: list[str] | None = None) -> None:
     md.add_argument("--n", type=int, default=8,
                     help="frames: max frames per payload")
     md.set_defaults(fn=cmd_media)
+
+    cw = sub.add_parser("crawl")
+    cw.add_argument(
+        "action",
+        choices=["warc-read", "warc-export", "html-extract",
+                 "warc-to-text"],
+    )
+    cw.add_argument("--input", required=True,
+                    help="WARC dir/glob, or input parquet")
+    cw.add_argument("--output", required=True,
+                    help="output parquet (warc-export: ignored if "
+                         "--output-dir given)")
+    cw.add_argument("--output-dir", default=None,
+                    help="warc-export: directory for the WARC files")
+    cw.add_argument("--types", default=None,
+                    help="warc-read: comma-separated WARC-Type filter "
+                         "(e.g. response,warcinfo)")
+    cw.add_argument("--html-col", default="html",
+                    help="html-extract: column holding the HTML")
+    cw.set_defaults(fn=cmd_crawl)
 
     qs = sub.add_parser("quick-start")
     qs.add_argument("instance_root", nargs="?", default=None)

@@ -2768,6 +2768,129 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_warc_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC crawl-archive round-trip (`sources/warc.py`): every doc
+    becomes an HTTP response record (status 404 when doc_id % 7 = 0,
+    else 200; body = the raw doc text), grouped into 8 files by
+    doc_id % 8 and written as REAL record-gzipped WARC files by the
+    task owning each group (`write_warc_files`), then read back
+    through `read_warc` (one task per file — the Common Crawl scale
+    unit, see the module docstring).  The projection pins the gzip
+    member walk, WARC header parse, Content-Length body slicing, and
+    HTTP unwrap: `http_bytes` is the WARC-level Content-Length, which
+    the oracle recomputes closed-form from the synthesized HTTP
+    message (status-line length + fixed headers + digits of the body
+    length + body), and `text` is the HTTP body decoded — equality
+    with `documents.text` proves the offsets byte-exact."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.sources.warc import (
+        read_warc,
+        write_warc_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.select(
+        F.concat(
+            F.lit("part-"), (F.col("doc_id") % 8).cast("string"),
+            F.lit(".warc.gz"),
+        ).alias("warc_file"),
+        F.format_string("doc-%09d", "doc_id").alias("record_id"),
+        F.concat(
+            F.lit("https://corpus.test/d/"), F.col("doc_id").cast("string")
+        ).alias("target_uri"),
+        F.lit("2026-02-03T04:05:06Z").alias("warc_date"),
+        F.encode("text", "UTF-8").alias("body"),
+        F.when(F.col("doc_id") % 7 == 0, 404).otherwise(200)
+        .alias("http_status"),
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_warc_")
+    write_warc_files(staged, root).collect()  # 8 rows of file stats
+    out = read_warc(spark, root).select(
+        F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("bigint")
+        .alias("doc_id"),
+        F.regexp_extract("warc_file", r"([^/]+)$", 1).alias("warc_file"),
+        "record_id",
+        "warc_type",
+        "warc_date",
+        "http_status",
+        F.col("content_length").alias("http_bytes"),
+        F.decode("body", "UTF-8").alias("text"),
+    ).localCheckpoint(eager=True)  # pinned before the dir goes
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+# HTTP message size, closed-form: status line (17 for "HTTP/1.1 200
+# OK\r\n", 24 for "HTTP/1.1 404 Not Found\r\n") + "Content-Type:
+# text/html\r\n" (25) + "Content-Length: <n>\r\n" (18 + digits) +
+# blank line (2) + body (n); text is ASCII so chars == bytes
+_ORACLE_WARC_HARVEST = """
+SELECT doc_id,
+       'part-' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz' AS warc_file,
+       'urn:uuid:doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+         AS record_id,
+       'response' AS warc_type,
+       '2026-02-03T04:05:06Z' AS warc_date,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT)
+         AS http_status,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 69 ELSE 62 END
+            + length(CAST(length(text) AS VARCHAR))
+            + length(text) AS BIGINT) AS http_bytes,
+       text
+FROM documents
+"""
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-text extraction (`operators/html.py::html_extract`,
+    stdlib HTMLParser, Arrow-batched): each doc is wrapped in-task in
+    a fixed page template exercising every extraction rule — a
+    <title> captured separately, a <script> whose body contains fake
+    tags (must be dropped), a <nav> with an `&amp;` entity AND a
+    double space (unescape + whitespace collapse), the doc text in a
+    <p>, and two <a href> anchors separated by inline text.  The
+    oracle rebuilds the exact extracted text by concatenation —
+    'menu & more' \\n text \\n 'next top' — so a parser bug in
+    skipping, block boundaries, entity decoding, or collapsing
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.html import html_extract
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            pages = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                pages.append(
+                    f"<html><head><title>Doc {d}</title>"
+                    "<script>var x = \"<p>boiler</p>\";</script></head>"
+                    "<body><nav>menu &amp;  more</nav>"
+                    f"<p>{t}</p>"
+                    f'<a href="/d/{d + 1}">next</a> '
+                    '<a href="#top">top</a></body></html>'
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "html": pages})
+
+    pages = docs.mapInPandas(synth, "doc_id bigint, html string")
+    return html_extract(pages)
+
+
+_ORACLE_HTML_EXTRACT = """
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'menu & more' || chr(10) || text || chr(10) || 'next top' AS text,
+       CAST(2 AS INT) AS n_links
+FROM documents
+"""
+
+
 def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (`operators/multimodal.py::png_features`):
     per-document 8-bit RGB pixels synthesized deterministically from
@@ -3432,12 +3555,14 @@ _REGISTRY_ORDER = [
     # asof_join row shares the time-ordered per-entity merge plan;
     # multi-round driver-green (r1-r8).
     "sessionize",
-    # image_features_mixed / wav_mulaw_features — NEW in r9, born
-    # out-of-window (the window already took this round's two new
-    # rows); scheduled into the r10 rotation with the 13
-    # never-driver-checked rows (COVERAGE.md).
+    # image_features_mixed / wav_mulaw_features / warc_harvest /
+    # html_extract — NEW in r9, born out-of-window (the window already
+    # took this round's two new rows); scheduled into the r10 rotation
+    # with the 13 never-driver-checked rows (COVERAGE.md).
     "image_features_mixed",
     "wav_mulaw_features",
+    "warc_harvest",
+    "html_extract",
     # trend_time_agg_1h — rotated out to make room for the NEW
     # jpeg_features row (straight into the window so it is driver-
     # checked in its first round); A1 1h aggregation is vouched by
@@ -3580,6 +3705,8 @@ def build_queries() -> dict:
         "sim_ivf_incremental": q_sim_ivf_incremental,
         "wav_features": q_wav_features,
         "wav_mulaw_features": q_wav_mulaw_features,
+        "warc_harvest": q_warc_harvest,
+        "html_extract": q_html_extract,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
         "jpeg_features": q_jpeg_features,
@@ -3690,6 +3817,8 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_incremental": _oracle_sim_ivf_incremental(),
         "wav_features": _ORACLE_WAV,
         "wav_mulaw_features": _ORACLE_WAV_MULAW,
+        "warc_harvest": _ORACLE_WARC_HARVEST,
+        "html_extract": _ORACLE_HTML_EXTRACT,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
         "jpeg_features": _ORACLE_JPEG,
