@@ -1457,6 +1457,10 @@ def cmd_media(args) -> None:
         out = M.extract_features(df, decoder=decoder)
     elif args.action == "jpeg-features":
         out = M.jpeg_features(df)
+    elif args.action == "gif-features":
+        from minerva_etl_spark.operators.gif import gif_features
+
+        out = gif_features(df)
     elif args.action == "image-features":
         out = M.image_features(df)
     elif args.action == "image-resize":
@@ -1857,8 +1861,9 @@ def main(argv: list[str] | None = None) -> None:
     md.add_argument(
         "action",
         choices=["wav-features", "png-features", "jpeg-features",
-                 "image-features", "png-resize", "image-resize",
-                 "frames", "avi-features", "avi-frames", "features"],
+                 "gif-features", "image-features", "png-resize",
+                 "image-resize", "frames", "avi-features", "avi-frames",
+                 "features"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")

@@ -2891,6 +2891,92 @@ FROM documents
 """
 
 
+def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode (`operators/gif.py::gif_features`): per-doc
+    animated GIFs synthesized deterministically — w = 5 + doc_id % 4,
+    h = 4 + doc_id % 3, an 8-colour palette (i*41, i*59, i*83) % 256,
+    first-frame index(x, y) = (doc_id*7 + y*31 + x*13) % 8, stored
+    INTERLACED when doc_id is odd, 1 + doc_id % 3 frames (later
+    frames shift the formula by f*17, proving the frame walk skips
+    them for features but counts them) — then decoded back through
+    the real LZW + deinterlace + palette path inside Arrow-batched
+    tasks.  The oracle recomputes first-frame per-channel means from
+    the generating formula: a bit-packing, width-growth, interlace,
+    or palette bug hash-mismatches."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.gif import synthesize_gif
+
+        palette = [
+            ((i * 41) % 256, (i * 59) % 256, (i * 83) % 256)
+            for i in range(8)
+        ]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 5 + d % 4, 4 + d % 3
+                frames = [
+                    [
+                        (d * 7 + f * 17 + y * 31 + x * 13) % 8
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    for f in range(1 + d % 3)
+                ]
+                payloads.append(
+                    synthesize_gif(
+                        frames, palette, w, h, interlace=(d % 2 == 1)
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    from minerva_etl_spark.operators.gif import gif_features
+
+    return gif_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        "n_frames",
+        "n_channels",
+        F.col("channel_means")[0].alias("mean_c0"),
+        F.col("channel_means")[1].alias("mean_c1"),
+        F.col("channel_means")[2].alias("mean_c2"),
+    )
+
+
+_ORACLE_GIF = """
+WITH dims AS (
+  SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h FROM documents
+), px AS (
+  SELECT doc_id, w, h,
+         (doc_id * 7 + y.y * 31 + x.x * 13) % 8 AS idx
+  FROM dims,
+       UNNEST(generate_series(0, w - 1)) AS x(x),
+       UNNEST(generate_series(0, h - 1)) AS y(y)
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(1 + doc_id % 3 AS INT) AS n_frames,
+       CAST(3 AS INT) AS n_channels,
+       floor(CAST(sum((idx * 41) % 256) AS DOUBLE) / count(*)
+             * 1000000 + 0.5) / 1000000 AS mean_c0,
+       floor(CAST(sum((idx * 59) % 256) AS DOUBLE) / count(*)
+             * 1000000 + 0.5) / 1000000 AS mean_c1,
+       floor(CAST(sum((idx * 83) % 256) AS DOUBLE) / count(*)
+             * 1000000 + 0.5) / 1000000 AS mean_c2
+FROM px GROUP BY doc_id, w, h
+"""
+
+
 def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (`operators/multimodal.py::png_features`):
     per-document 8-bit RGB pixels synthesized deterministically from
@@ -3556,13 +3642,15 @@ _REGISTRY_ORDER = [
     # multi-round driver-green (r1-r8).
     "sessionize",
     # image_features_mixed / wav_mulaw_features / warc_harvest /
-    # html_extract — NEW in r9, born out-of-window (the window already
-    # took this round's two new rows); scheduled into the r10 rotation
-    # with the 13 never-driver-checked rows (COVERAGE.md).
+    # html_extract / gif_features — NEW in r9, born out-of-window (the
+    # window already took this round's two new rows); scheduled into
+    # the r10 rotation with the 13 never-driver-checked rows
+    # (COVERAGE.md).
     "image_features_mixed",
     "wav_mulaw_features",
     "warc_harvest",
     "html_extract",
+    "gif_features",
     # trend_time_agg_1h — rotated out to make room for the NEW
     # jpeg_features row (straight into the window so it is driver-
     # checked in its first round); A1 1h aggregation is vouched by
@@ -3707,6 +3795,7 @@ def build_queries() -> dict:
         "wav_mulaw_features": q_wav_mulaw_features,
         "warc_harvest": q_warc_harvest,
         "html_extract": q_html_extract,
+        "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
         "jpeg_features": q_jpeg_features,
@@ -3819,6 +3908,7 @@ def build_oracles() -> dict[str, str]:
         "wav_mulaw_features": _ORACLE_WAV_MULAW,
         "warc_harvest": _ORACLE_WARC_HARVEST,
         "html_extract": _ORACLE_HTML_EXTRACT,
+        "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
         "jpeg_features": _ORACLE_JPEG,

@@ -561,6 +561,8 @@ def sniff_image_format(payload: bytes) -> str:
         return "png"
     if payload[:2] == b"\xff\xd8":
         return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     raise ValueError(
         f"unrecognized image payload (leading bytes {payload[:4]!r})"
     )
@@ -571,9 +573,16 @@ def image_decode(payload: bytes) -> dict:
     the PNG or JPEG codec.  Returns the shared ``{width, height,
     channels, pixels}`` dict plus ``format``."""
     fmt = sniff_image_format(bytes(payload))
-    d = png_decode(payload) if fmt == "png" else __import__(
-        "minerva_etl_spark.operators.jpeg", fromlist=["jpeg_decode"]
-    ).jpeg_decode(payload)
+    if fmt == "png":
+        d = png_decode(payload)
+    elif fmt == "jpeg":
+        from minerva_etl_spark.operators.jpeg import jpeg_decode
+
+        d = jpeg_decode(payload)
+    else:
+        from minerva_etl_spark.operators.gif import gif_decode
+
+        d = gif_decode(payload)
     d["format"] = fmt
     return d
 
@@ -710,8 +719,9 @@ def image_resize(
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Mixed-format image NORMALIZATION: sniff each payload (PNG or
-    JPEG), decode with the matching codec, nearest-neighbor resize on
+    """Mixed-format image NORMALIZATION: sniff each payload (PNG,
+    JPEG, or GIF), decode with the matching codec, nearest-neighbor
+    resize on
     the same floor-grid rule as :func:`png_resize_bytes`, and re-encode
     everything as PNG — the canonicalize step of a multimodal training
     pipeline (one size, one lossless format out, whatever the crawl
