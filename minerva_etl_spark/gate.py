@@ -2705,17 +2705,20 @@ FROM s GROUP BY doc_id
 """
 
 
-def q_wav_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_wav_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL telephony-audio decode (`operators/multimodal.py::
-    ulaw_expand` via the `_wav_decode_manual` RIFF fallback): per-doc
-    G.711 μ-law WAVs (format code 7 — which the stdlib ``wave``
-    reader REJECTS, so the manual chunk walk is the only path) with
+    ulaw_expand` / `alaw_expand` via the `_wav_decode_manual` RIFF
+    fallback): per-doc G.711 WAVs — EVEN doc_ids μ-law (format code
+    7), ODD doc_ids A-law (format code 6); the stdlib ``wave`` reader
+    REJECTS both, so the manual chunk walk is the only path — with
     n = 40 + doc_id % 23 bytes of (doc_id*13 + i*7) % 256 at 8 kHz
-    mono, decoded through the standard CCITT expansion inside
-    Arrow-batched tasks.  The oracle replays the exact integer
-    expansion (complement → sign/exponent/mantissa → re-bias) and the
-    RMS on the shared half-up grid — a single wrong bit in the
-    expansion shifts a sample and hash-mismatches."""
+    mono, decoded through the standard CCITT expansions inside
+    Arrow-batched tasks.  The oracle replays BOTH exact integer
+    expansions (μ: complement → sign/exp/mantissa → re-bias; A: XOR
+    0x55 → segment/mantissa, inverted sign convention) and the RMS on
+    the shared half-up grid — a single wrong bit in either expansion,
+    or a format-code dispatch mixup, shifts samples and
+    hash-mismatches."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -2723,6 +2726,7 @@ def q_wav_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from minerva_etl_spark.operators.multimodal import (
+            synthesize_wav_alaw,
             synthesize_wav_mulaw,
         )
 
@@ -2732,7 +2736,9 @@ def q_wav_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(did)
                 n = 40 + d % 23
                 raw = bytes((d * 13 + i * 7) % 256 for i in range(n))
-                payloads.append(synthesize_wav_mulaw(raw, 8000))
+                mk = synthesize_wav_mulaw if d % 2 == 0 \
+                    else synthesize_wav_alaw
+                payloads.append(mk(raw, 8000))
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
@@ -2741,21 +2747,31 @@ def q_wav_mulaw_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.wav_features(media)
 
 
-# G.711 μ-law expansion in pure integer SQL: u = ~b = 255 - b,
-# t = ((mant*8 + 132) << exp) - 132, negative when the sign bit is set
-_ORACLE_WAV_MULAW = """
+# G.711 expansions in pure integer SQL.  μ-law: u = ~b = 255 - b,
+# t = ((mant*8 + 132) << exp) - 132, negative when the sign bit is
+# set.  A-law: a = b XOR 85; segment 0 is linear (mant*16 + 8), else
+# ((mant*16 + 264) << (seg-1)); sign bit SET means POSITIVE.
+_ORACLE_WAV_G711 = """
 WITH b AS (
-  SELECT doc_id, 255 - ((doc_id * 13 + t.i * 7) % 256) AS u
+  SELECT doc_id,
+         255 - ((doc_id * 13 + t.i * 7) % 256) AS u,
+         xor((doc_id * 13 + t.i * 7) % 256, 85) AS a
   FROM documents,
        UNNEST(generate_series(0, 40 + doc_id % 23 - 1)) AS t(i)
+), m AS (
+  SELECT doc_id, u, a,
+         (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132 AS mu_mag,
+         CASE WHEN (a // 16) % 8 = 0 THEN (a % 16) * 16 + 8
+              ELSE ((a % 16) * 16 + 264) << ((a // 16) % 8 - 1)
+         END AS al_mag
+  FROM b
 ), s AS (
   SELECT doc_id,
-         CASE WHEN u >= 128 THEN
-           -((((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132)
-         ELSE
-           (((u % 16) * 8 + 132) << ((u // 16) % 8)) - 132
+         CASE WHEN doc_id % 2 = 0
+              THEN CASE WHEN u >= 128 THEN -mu_mag ELSE mu_mag END
+              ELSE CASE WHEN a >= 128 THEN al_mag ELSE -al_mag END
          END AS v
-  FROM b
+  FROM m
 )
 SELECT doc_id AS media_id,
        CAST(8000 AS INT) AS sample_rate,
@@ -3641,13 +3657,13 @@ _REGISTRY_ORDER = [
     # asof_join row shares the time-ordered per-entity merge plan;
     # multi-round driver-green (r1-r8).
     "sessionize",
-    # image_features_mixed / wav_mulaw_features / warc_harvest /
+    # image_features_mixed / wav_g711_features / warc_harvest /
     # html_extract / gif_features — NEW in r9, born out-of-window (the
     # window already took this round's two new rows); scheduled into
     # the r10 rotation with the 13 never-driver-checked rows
     # (COVERAGE.md).
     "image_features_mixed",
-    "wav_mulaw_features",
+    "wav_g711_features",
     "warc_harvest",
     "html_extract",
     "gif_features",
@@ -3792,7 +3808,7 @@ def build_queries() -> dict:
         "sim_ivf_join": q_sim_ivf_join,
         "sim_ivf_incremental": q_sim_ivf_incremental,
         "wav_features": q_wav_features,
-        "wav_mulaw_features": q_wav_mulaw_features,
+        "wav_g711_features": q_wav_g711_features,
         "warc_harvest": q_warc_harvest,
         "html_extract": q_html_extract,
         "gif_features": q_gif_features,
@@ -3905,7 +3921,7 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_join": _oracle_sim_ivf_join(),
         "sim_ivf_incremental": _oracle_sim_ivf_incremental(),
         "wav_features": _ORACLE_WAV,
-        "wav_mulaw_features": _ORACLE_WAV_MULAW,
+        "wav_g711_features": _ORACLE_WAV_G711,
         "warc_harvest": _ORACLE_WARC_HARVEST,
         "html_extract": _ORACLE_HTML_EXTRACT,
         "gif_features": _ORACLE_GIF,

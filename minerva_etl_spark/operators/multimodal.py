@@ -143,10 +143,42 @@ def synthesize_wav_mulaw(
     )
 
 
+def alaw_expand(b: int) -> int:
+    """G.711 A-law byte → linear 16-bit sample (the standard CCITT
+    expansion: XOR 0x55, unpack segment/mantissa; segment 0 is the
+    linear run, higher segments shift; sign bit SET means positive —
+    the A-law convention, opposite of μ-law's complement).  Pure
+    integer arithmetic — an oracle replays it exactly."""
+    a = b ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = t + 8 if seg == 0 else (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+def synthesize_wav_alaw(
+    alaw_bytes: bytes, sample_rate: int = 8000
+) -> bytes:
+    """A real RIFF/WAVE file with format code 6 (G.711 A-law, mono)."""
+    import struct
+
+    body = bytes(alaw_bytes)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 38 + len(body))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHHH", 18, 6, 1, sample_rate, sample_rate,
+                      1, 8, 0)
+        + b"data"
+        + struct.pack("<I", len(body))
+        + body
+    )
+
+
 def _wav_decode_manual(payload: bytes) -> dict:
     """Fallback RIFF walk for formats the stdlib ``wave`` reader
-    rejects — currently G.711 μ-law (format 7).  A-law (6) and the
-    rest stay honest NotImplementedErrors."""
+    rejects — G.711 μ-law (format 7) and A-law (format 6); compressed
+    formats stay honest NotImplementedErrors."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -166,13 +198,16 @@ def _wav_decode_manual(payload: bytes) -> dict:
     if fmt is None:
         raise ValueError("WAVE payload has no fmt chunk")
     audio_format, n_channels, rate, _br, _ba, bits = fmt
-    if audio_format != 7:
+    if audio_format == 7:
+        vals = [ulaw_expand(b) for b in raw]
+    elif audio_format == 6:
+        vals = [alaw_expand(b) for b in raw]
+    else:
         raise NotImplementedError(
             f"unsupported WAVE format code {audio_format} "
-            "(PCM=1 via the stdlib path, mu-law=7 here; A-law=6 and "
+            "(PCM=1 via the stdlib path, mu-law=7 and A-law=6 here; "
             "compressed formats are out of scope)"
         )
-    vals = [ulaw_expand(b) for b in raw]
     return _wav_stats(vals, rate, n_channels)
 
 
@@ -197,10 +232,11 @@ def wav_decode(payload: bytes) -> dict:
     the ``wave`` module and compute (sample_rate, n_frames,
     duration_ms, rms) from the PCM frames.  16-bit mono is what the
     pipeline's fixtures emit; 8-bit unsigned PCM decodes centered
-    (v - 128, RMS on the 8-bit scale); G.711 μ-law (format 7, which
-    the stdlib reader rejects) expands through :func:`ulaw_expand` to
-    the 16-bit scale; multi-channel files fold all channels into the
-    RMS (frames are raw interleaved samples).
+    (v - 128, RMS on the 8-bit scale); G.711 μ-law (format 7) and
+    A-law (format 6), which the stdlib reader rejects, expand through
+    :func:`ulaw_expand` / :func:`alaw_expand` to the 16-bit scale;
+    multi-channel files fold all channels into the RMS (frames are
+    raw interleaved samples).
 
     The RMS keeps the sum of squares in exact integer arithmetic and
     rounds only the final double — the property that lets an oracle

@@ -719,9 +719,46 @@ def test_wav_8bit_pcm_decode():
     assert d["n_frames"] == 5 and d["rms"] == want
 
 
-def test_wav_alaw_rejected():
-    """Format 6 (A-law) stays an honest NotImplementedError naming the
-    format code."""
+def test_alaw_expand_standard_table():
+    """The G.711 A-law expansion hits the standard anchors (±32256,
+    ±8) and the pure-integer formula the oracle replays (all 256
+    codes; sign bit SET means positive — opposite of μ-law)."""
+    from minerva_etl_spark.operators.multimodal import alaw_expand
+
+    assert alaw_expand(0xAA) == 32256 and alaw_expand(0x2A) == -32256
+    assert alaw_expand(0xD5) == 8 and alaw_expand(0x55) == -8
+    for b in range(256):
+        a = b ^ 0x55
+        seg = (a // 16) % 8
+        t = (a % 16) * 16
+        t = t + 8 if seg == 0 else (t + 264) << (seg - 1)
+        assert alaw_expand(b) == (t if a >= 128 else -t)
+
+
+def test_wav_alaw_decode():
+    """A format-6 RIFF decodes through the manual chunk walk with the
+    A-law expansion."""
+    import math
+
+    from minerva_etl_spark.operators.multimodal import (
+        alaw_expand,
+        synthesize_wav_alaw,
+        wav_decode,
+    )
+
+    raw = bytes((5 * 13 + i * 11) % 256 for i in range(48))
+    d = wav_decode(synthesize_wav_alaw(raw, 8000))
+    vals = [alaw_expand(b) for b in raw]
+    want = math.floor(
+        (sum(v * v for v in vals) / len(vals)) ** 0.5 * 1e6 + 0.5
+    ) / 1e6
+    assert d["sample_rate"] == 8000 and d["n_frames"] == 48
+    assert d["rms"] == want
+
+
+def test_wav_adpcm_rejected():
+    """Compressed formats (e.g. 2 = MS ADPCM) stay an honest
+    NotImplementedError naming the format code."""
     import struct
 
     import pytest as _pytest
@@ -731,8 +768,8 @@ def test_wav_alaw_rejected():
     body = bytes([1, 2, 3, 4])
     payload = (
         b"RIFF" + struct.pack("<I", 38 + len(body)) + b"WAVEfmt "
-        + struct.pack("<IHHIIHHH", 18, 6, 1, 8000, 8000, 1, 8, 0)
+        + struct.pack("<IHHIIHHH", 18, 2, 1, 8000, 8000, 1, 8, 0)
         + b"data" + struct.pack("<I", len(body)) + body
     )
-    with _pytest.raises(NotImplementedError, match="6"):
+    with _pytest.raises(NotImplementedError, match="2"):
         wav_decode(payload)
