@@ -1441,6 +1441,8 @@ def cmd_media(args) -> None:
     df = spark.read.parquet(args.input)
     if args.action == "wav-features":
         out = M.wav_features(df)
+    elif args.action == "wav-spectral":
+        out = M.wav_spectral(df)
     elif args.action == "features":
         if args.decoder:
             import importlib
@@ -1860,10 +1862,10 @@ def main(argv: list[str] | None = None) -> None:
     md = sub.add_parser("media")
     md.add_argument(
         "action",
-        choices=["wav-features", "png-features", "jpeg-features",
-                 "gif-features", "image-features", "png-resize",
-                 "image-resize", "frames", "avi-features", "avi-frames",
-                 "features"],
+        choices=["wav-features", "wav-spectral", "png-features",
+                 "jpeg-features", "gif-features", "image-features",
+                 "png-resize", "image-resize", "frames", "avi-features",
+                 "avi-frames", "features"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")

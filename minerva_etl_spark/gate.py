@@ -2707,7 +2707,7 @@ FROM s GROUP BY doc_id
 
 def q_wav_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL telephony-audio decode (`operators/multimodal.py::
-    ulaw_expand` / `alaw_expand` via the `_wav_decode_manual` RIFF
+    ulaw_expand` / `alaw_expand` via the `_wav_parse_manual` RIFF
     fallback): per-doc G.711 WAVs — EVEN doc_ids μ-law (format code
     7), ODD doc_ids A-law (format code 6); the stdlib ``wave`` reader
     REJECTS both, so the manual chunk walk is the only path — with
@@ -2781,6 +2781,66 @@ SELECT doc_id AS media_id,
        floor(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) * 1000000
              + 0.5) / 1000000 AS rms
 FROM s GROUP BY doc_id
+"""
+
+
+def q_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features (`operators/multimodal.py::
+    wav_spectral`, numpy rfft inside Arrow-batched tasks): per-doc
+    16-bit PCM WAVs carrying a two-tone fixture with an INTEGER number
+    of cycles per tone — n = 64 + (doc_id%3)*16 samples, tone 1 at
+    bin k1 = 3 + doc_id % 11 (amplitude 12000), tone 2 at bin
+    k2 = k1 + 2 + doc_id % 7 (amplitude 4000) — so the DFT
+    concentrates each tone exactly in its bin (quantization noise is
+    ~3 orders of magnitude below either peak) and the oracle predicts
+    the two strongest bins and their frequencies (bin * rate / n)
+    closed-form.  A bin-indexing, rate-mapping, or rfft-layout bug
+    hash-mismatches."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import math
+
+        import pandas as pd
+
+        from minerva_etl_spark.operators.multimodal import synthesize_wav
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n = 64 + (d % 3) * 16
+                k1 = 3 + d % 11
+                k2 = k1 + 2 + d % 7
+                samples = [
+                    math.floor(
+                        12000 * math.sin(2 * math.pi * k1 * i / n)
+                        + 4000 * math.sin(2 * math.pi * k2 * i / n)
+                        + 0.5
+                    )
+                    for i in range(n)
+                ]
+                payloads.append(synthesize_wav(samples, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return M.wav_spectral(media)
+
+
+_ORACLE_WAV_SPECTRAL = """
+SELECT doc_id AS media_id,
+       CAST(64 + (doc_id % 3) * 16 AS BIGINT) AS n_samples,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(3 + doc_id % 11 AS INT) AS dominant_bin,
+       CAST((3 + doc_id % 11) * 8000 AS DOUBLE)
+         / (64 + (doc_id % 3) * 16) AS dominant_freq,
+       CAST(5 + doc_id % 11 + doc_id % 7 AS INT) AS second_bin,
+       CAST((5 + doc_id % 11 + doc_id % 7) * 8000 AS DOUBLE)
+         / (64 + (doc_id % 3) * 16) AS second_freq
+FROM documents
 """
 
 
@@ -3657,13 +3717,15 @@ _REGISTRY_ORDER = [
     # asof_join row shares the time-ordered per-entity merge plan;
     # multi-round driver-green (r1-r8).
     "sessionize",
-    # image_features_mixed / wav_g711_features / warc_harvest /
-    # html_extract / gif_features — NEW in r9, born out-of-window (the
+    # image_features_mixed / wav_g711_features / wav_spectral /
+    # warc_harvest / html_extract / gif_features — NEW in r9, born
+    # out-of-window (the
     # window already took this round's two new rows); scheduled into
     # the r10 rotation with the 13 never-driver-checked rows
     # (COVERAGE.md).
     "image_features_mixed",
     "wav_g711_features",
+    "wav_spectral",
     "warc_harvest",
     "html_extract",
     "gif_features",
@@ -3809,6 +3871,7 @@ def build_queries() -> dict:
         "sim_ivf_incremental": q_sim_ivf_incremental,
         "wav_features": q_wav_features,
         "wav_g711_features": q_wav_g711_features,
+        "wav_spectral": q_wav_spectral,
         "warc_harvest": q_warc_harvest,
         "html_extract": q_html_extract,
         "gif_features": q_gif_features,
@@ -3922,6 +3985,7 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_incremental": _oracle_sim_ivf_incremental(),
         "wav_features": _ORACLE_WAV,
         "wav_g711_features": _ORACLE_WAV_G711,
+        "wav_spectral": _ORACLE_WAV_SPECTRAL,
         "warc_harvest": _ORACLE_WARC_HARVEST,
         "html_extract": _ORACLE_HTML_EXTRACT,
         "gif_features": _ORACLE_GIF,

@@ -175,10 +175,11 @@ def synthesize_wav_alaw(
     )
 
 
-def _wav_decode_manual(payload: bytes) -> dict:
+def _wav_parse_manual(payload: bytes) -> tuple[tuple, int, int]:
     """Fallback RIFF walk for formats the stdlib ``wave`` reader
     rejects — G.711 μ-law (format 7) and A-law (format 6); compressed
-    formats stay honest NotImplementedErrors."""
+    formats stay honest NotImplementedErrors.  Returns
+    ``(samples, rate, n_channels)``."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -199,16 +200,16 @@ def _wav_decode_manual(payload: bytes) -> dict:
         raise ValueError("WAVE payload has no fmt chunk")
     audio_format, n_channels, rate, _br, _ba, bits = fmt
     if audio_format == 7:
-        vals = [ulaw_expand(b) for b in raw]
+        vals = tuple(ulaw_expand(b) for b in raw)
     elif audio_format == 6:
-        vals = [alaw_expand(b) for b in raw]
+        vals = tuple(alaw_expand(b) for b in raw)
     else:
         raise NotImplementedError(
             f"unsupported WAVE format code {audio_format} "
             "(PCM=1 via the stdlib path, mu-law=7 and A-law=6 here; "
             "compressed formats are out of scope)"
         )
-    return _wav_stats(vals, rate, n_channels)
+    return vals, rate, n_channels
 
 
 def _wav_stats(vals, rate: int, n_channels: int) -> dict:
@@ -243,6 +244,20 @@ def wav_decode(payload: bytes) -> dict:
     recompute it bit-identically from the generating formula.
     """
     import io
+    # half-up 6-dp grid inside _wav_stats, NOT round(): Python round()
+    # is banker's rounding — a third rule no SQL engine uses (same pin
+    # as the logreg weight grid); duration floors so integer division
+    # agrees everywhere
+    return _wav_stats(*wav_samples(payload))
+
+
+def wav_samples(payload: bytes) -> tuple[tuple, int, int]:
+    """Decode a RIFF/WAVE payload to ``(samples, rate, n_channels)``
+    — interleaved linear integer samples on the format's native scale
+    (16-bit for PCM-16 and both G.711 laws, 8-bit centered for
+    PCM-8).  The shared front end of :func:`wav_decode` and
+    :func:`wav_spectral`."""
+    import io
     import struct
     import wave
 
@@ -254,7 +269,8 @@ def wav_decode(payload: bytes) -> dict:
             width = w.getsampwidth()
             raw = w.readframes(n_frames)
     except wave.Error:
-        return _wav_decode_manual(payload)
+        d = _wav_parse_manual(payload)
+        return d
     if width == 1:  # 8-bit PCM is unsigned, centered at 128
         vals = tuple(b - 128 for b in raw)
     elif width == 2:
@@ -263,25 +279,7 @@ def wav_decode(payload: bytes) -> dict:
         raise NotImplementedError(
             f"only 8/16-bit PCM supported, got {width * 8}-bit"
         )
-    n = len(vals)
-    sumsq = sum(v * v for v in vals)  # exact: int arithmetic
-    # half-up 6-dp grid, NOT round(): Python round() is banker's
-    # rounding — a third rule no SQL engine uses (same pin as the
-    # logreg weight grid); duration floors so integer division agrees
-    # everywhere (Python round() vs SQL round() disagree at .5 ties)
-    import math
-
-    rms = math.floor((sumsq / n) ** 0.5 * 1e6 + 0.5) / 1e6 if n else 0.0
-    return {
-        "sample_rate": rate,
-        # TRUE frame count (per-channel sample periods), not samples —
-        # n_frames / sample_rate agrees with duration for any channel
-        # count; the interleaved sample total is n_frames * n_channels
-        "n_frames": n_frames,
-        "n_channels": n_channels,
-        "duration_ms": (n_frames * 1000) // rate if rate else 0,
-        "rms": rms,
-    }
+    return vals, rate, n_channels
 
 
 WAV_FEATURE_SCHEMA = (
@@ -352,6 +350,90 @@ def wav_features(
             )
 
     return media.mapInPandas(run, schema=WAV_FEATURE_SCHEMA)
+
+
+SPECTRAL_SCHEMA = (
+    "media_id bigint, n_samples bigint, sample_rate int, "
+    "dominant_bin int, dominant_freq double, second_bin int, "
+    "second_freq double"
+)
+
+
+def wav_spectral_decode(payload: bytes) -> dict:
+    """Frequency-domain features for one WAV payload: full-length
+    real FFT (numpy, no windowing — deterministic bin mapping), the
+    two strongest non-DC bins and their frequencies.  Multi-channel
+    audio folds to mono by averaging channels per frame before the
+    transform.  ``dominant_freq = bin * rate / n`` — closed-form for
+    a fixture with an integer number of cycles, which is what lets an
+    oracle pin the whole transform chain."""
+    import numpy as np
+
+    vals, rate, n_channels = wav_samples(payload)
+    x = np.asarray(vals, dtype=np.float64)
+    if n_channels > 1:
+        n_frames = len(x) // n_channels
+        x = x[: n_frames * n_channels].reshape(n_frames, n_channels)
+        x = x.mean(axis=1)
+    n = len(x)
+    if n < 4:
+        raise ValueError(f"payload too short for spectral features ({n})")
+    mag = np.abs(np.fft.rfft(x))
+    mag[0] = 0.0  # exclude DC
+    dom = int(np.argmax(mag))
+    mag2 = mag.copy()
+    mag2[dom] = 0.0
+    sec = int(np.argmax(mag2))
+    return {
+        "n_samples": n,
+        "sample_rate": rate,
+        "dominant_bin": dom,
+        "dominant_freq": float(dom) * rate / n,
+        "second_bin": sec,
+        "second_freq": float(sec) * rate / n,
+    }
+
+
+def wav_spectral(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Per-row frequency analysis via mapInPandas (Arrow batches):
+    decode + FFT inside each task — the audio analogue of the image
+    feature extractors, the front end of any audio dedup / content
+    classification stage.  numpy's vectorized rfft keeps the per-task
+    cost O(n log n) native code, not Python loops."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, p in zip(pdf[id_col], pdf[payload_col]):
+                d = _decode_or_policy(wav_spectral_decode, mid, p, on_error)
+                if d is None:
+                    continue
+                rows.append(
+                    (
+                        mid,
+                        d["n_samples"],
+                        d["sample_rate"],
+                        d["dominant_bin"],
+                        d["dominant_freq"],
+                        d["second_bin"],
+                        d["second_freq"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "sample_rate",
+                    "dominant_bin", "dominant_freq", "second_bin",
+                    "second_freq",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=SPECTRAL_SCHEMA)
 
 
 # ---------------------------------------------------------------------

@@ -773,3 +773,85 @@ def test_wav_adpcm_rejected():
     )
     with _pytest.raises(NotImplementedError, match="2"):
         wav_decode(payload)
+
+
+def test_wav_spectral_two_tone():
+    """A two-tone integer-cycle fixture lands exactly in its bins."""
+    import math
+
+    from minerva_etl_spark.operators.multimodal import (
+        synthesize_wav,
+        wav_spectral_decode,
+    )
+
+    n, k1, k2 = 96, 7, 13
+    samples = [
+        math.floor(10000 * math.sin(2 * math.pi * k1 * i / n)
+                   + 3000 * math.sin(2 * math.pi * k2 * i / n) + 0.5)
+        for i in range(n)
+    ]
+    d = wav_spectral_decode(synthesize_wav(samples, 8000))
+    assert d["dominant_bin"] == k1 and d["second_bin"] == k2
+    assert d["dominant_freq"] == k1 * 8000 / n
+    assert d["n_samples"] == n
+
+
+def test_wav_spectral_g711_and_short_reject():
+    """Spectral features run on G.711 payloads too (shared sample
+    front end); too-short payloads fail loudly."""
+    import math
+
+    import pytest as _pytest
+
+    from minerva_etl_spark.operators.multimodal import (
+        synthesize_wav_mulaw,
+        wav_samples,
+        wav_spectral_decode,
+    )
+
+    # mu-law byte 0xFF decodes to 0 -> silence has an FFT but a sine
+    # through the compander still peaks at its bin: encode a coarse
+    # square-ish wave at bin 4 (sign flips every n/8 samples)
+    n, k = 64, 4
+    raw = bytes(0x00 if math.sin(2 * math.pi * k * i / n) < 0 else 0x80
+                for i in range(n))
+    payload = synthesize_wav_mulaw(raw, 8000)
+    vals, rate, ch = wav_samples(payload)
+    assert set(vals) <= {32124, -32124}
+    d = wav_spectral_decode(payload)
+    assert d["dominant_bin"] == k  # square wave fundamental
+    with _pytest.raises(ValueError, match="too short"):
+        wav_spectral_decode(synthesize_wav_mulaw(b"\x00\x01", 8000))
+
+
+def test_wav_spectral_spark_multichannel(spark):
+    """Stereo folds to mono before the transform."""
+    import math
+    import struct
+
+    from minerva_etl_spark.operators.multimodal import wav_spectral
+
+    n, k = 64, 5
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        frames = b"".join(
+            struct.pack(
+                "<hh",
+                math.floor(9000 * math.sin(2 * math.pi * k * i / n) + 0.5),
+                math.floor(9000 * math.sin(2 * math.pi * k * i / n) + 0.5),
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    df = spark.createDataFrame(
+        [(1, buf.getvalue())], "media_id bigint, payload binary"
+    )
+    row = wav_spectral(df).collect()[0]
+    assert row.n_samples == n  # frames, not interleaved samples
+    assert row.dominant_bin == k
