@@ -104,6 +104,13 @@ HEADLINE = [
     "incremental_embedding",
     "semantic_decontamination",
     "embed_text_hashed",
+    "gif_features",
+    "wav_g711_features",
+    "wav_spectral",
+    "image_features_mixed",
+    "warc_harvest",
+    "html_extract",
+    "url_profile",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -1519,6 +1519,18 @@ def cmd_crawl(args) -> None:
         out = html_extract(
             spark.read.parquet(args.input), html_col=args.html_col
         )
+    elif args.action == "url-profile":
+        from minerva_etl_spark.operators.urlops import with_url_parts
+
+        out = with_url_parts(
+            spark.read.parquet(args.input), url_col=args.url_col
+        )
+    elif args.action == "domain-report":
+        from minerva_etl_spark.operators.urlops import domain_report
+
+        out = domain_report(
+            spark.read.parquet(args.input), url_col=args.url_col
+        )
     elif args.action == "warc-to-text":
         records = read_warc(spark, args.input).where(
             (F.col("warc_type") == "response")
@@ -1891,7 +1903,7 @@ def main(argv: list[str] | None = None) -> None:
     cw.add_argument(
         "action",
         choices=["warc-read", "warc-export", "html-extract",
-                 "warc-to-text"],
+                 "warc-to-text", "url-profile", "domain-report"],
     )
     cw.add_argument("--input", required=True,
                     help="WARC dir/glob, or input parquet")
@@ -1905,6 +1917,8 @@ def main(argv: list[str] | None = None) -> None:
                          "(e.g. response,warcinfo)")
     cw.add_argument("--html-col", default="html",
                     help="html-extract: column holding the HTML")
+    cw.add_argument("--url-col", default="url",
+                    help="url-profile/domain-report: URL column")
     cw.set_defaults(fn=cmd_crawl)
 
     qs = sub.add_parser("quick-start")

@@ -2784,6 +2784,93 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL analysis (`operators/urlops.py::with_url_parts`): per-doc
+    synthetic crawl URLs spanning four host shapes (plain .com,
+    shared-suffix .co.uk, .io, bare .org), three path depths (0/2/3)
+    and a 1-in-5 query string, parsed with Spark's BUILT-IN
+    `parse_url` + array expressions — no UDF, whole-stage codegen end
+    to end (the deliberate contrast to the codec operators).  The
+    oracle rebuilds every derived column with regexps: scheme/host
+    split, path-depth count, TLD, and the registrable-domain rule
+    (last two labels, three under a shared second-level suffix like
+    co.uk)."""
+    _prep(spark)
+    from minerva_etl_spark.operators.urlops import with_url_parts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            concat('https://',
+              CASE doc_id % 4
+                WHEN 0 THEN concat('www.site',
+                                   cast(doc_id % 7 as string), '.com')
+                WHEN 1 THEN concat('blog.site',
+                                   cast(doc_id % 5 as string), '.co.uk')
+                WHEN 2 THEN concat('cdn.site',
+                                   cast(doc_id % 3 as string), '.io')
+                ELSE concat('site', cast(doc_id % 11 as string), '.org')
+              END,
+              CASE doc_id % 3
+                WHEN 0 THEN ''
+                WHEN 1 THEN concat('/a/', cast(doc_id as string))
+                ELSE concat('/a/b/', cast(doc_id as string))
+              END,
+              CASE WHEN doc_id % 5 = 0
+                   THEN concat('?q=', cast(doc_id as string))
+                   ELSE '' END)
+            """
+        ).alias("url"),
+    )
+    return with_url_parts(urls, "url").select(
+        "doc_id",
+        "url",
+        "scheme",
+        "host",
+        "path_depth",
+        "tld",
+        "registrable_domain",
+        F.coalesce("query", F.lit("")).alias("query"),
+    )
+
+
+_ORACLE_URL_PROFILE = r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      WHEN 1 THEN 'blog.site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+      WHEN 2 THEN 'cdn.site' || CAST(doc_id % 3 AS VARCHAR) || '.io'
+      ELSE 'site' || CAST(doc_id % 11 AS VARCHAR) || '.org'
+    END AS host,
+    CASE doc_id % 3
+      WHEN 0 THEN ''
+      WHEN 1 THEN '/a/' || CAST(doc_id AS VARCHAR)
+      ELSE '/a/b/' || CAST(doc_id AS VARCHAR)
+    END AS path,
+    CASE WHEN doc_id % 5 = 0 THEN 'q=' || CAST(doc_id AS VARCHAR)
+         ELSE '' END AS q
+  FROM documents
+)
+SELECT doc_id,
+  'https://' || host || path
+    || CASE WHEN q = '' THEN '' ELSE '?' || q END AS url,
+  'https' AS scheme,
+  host,
+  CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 3 END AS INT)
+    AS path_depth,
+  regexp_extract(host, '([^.]+)$', 1) AS tld,
+  CASE WHEN doc_id % 4 = 1
+       THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+       ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+  END AS registrable_domain,
+  q AS query
+FROM u
+"""
+
+
 def q_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-domain audio features (`operators/multimodal.py::
     wav_spectral`, numpy rfft inside Arrow-batched tasks): per-doc
@@ -3718,14 +3805,15 @@ _REGISTRY_ORDER = [
     # multi-round driver-green (r1-r8).
     "sessionize",
     # image_features_mixed / wav_g711_features / wav_spectral /
-    # warc_harvest / html_extract / gif_features — NEW in r9, born
-    # out-of-window (the
+    # url_profile / warc_harvest / html_extract / gif_features — NEW
+    # in r9, born out-of-window (the
     # window already took this round's two new rows); scheduled into
     # the r10 rotation with the 13 never-driver-checked rows
     # (COVERAGE.md).
     "image_features_mixed",
     "wav_g711_features",
     "wav_spectral",
+    "url_profile",
     "warc_harvest",
     "html_extract",
     "gif_features",
@@ -3872,6 +3960,7 @@ def build_queries() -> dict:
         "wav_features": q_wav_features,
         "wav_g711_features": q_wav_g711_features,
         "wav_spectral": q_wav_spectral,
+        "url_profile": q_url_profile,
         "warc_harvest": q_warc_harvest,
         "html_extract": q_html_extract,
         "gif_features": q_gif_features,
@@ -3986,6 +4075,7 @@ def build_oracles() -> dict[str, str]:
         "wav_features": _ORACLE_WAV,
         "wav_g711_features": _ORACLE_WAV_G711,
         "wav_spectral": _ORACLE_WAV_SPECTRAL,
+        "url_profile": _ORACLE_URL_PROFILE,
         "warc_harvest": _ORACLE_WARC_HARVEST,
         "html_extract": _ORACLE_HTML_EXTRACT,
         "gif_features": _ORACLE_GIF,
