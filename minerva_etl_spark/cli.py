@@ -1497,7 +1497,10 @@ def cmd_crawl(args) -> None:
     `html-extract` turns an (doc_id, html) parquet into (doc_id,
     title, text, n_links); `warc-to-text` is the fused end-to-end
     harvest: WARC dir → HTTP response records → HTML extraction → a
-    documents-shaped parquet ready for every text operator."""
+    documents-shaped parquet ready for every text operator;
+    `url-profile` / `domain-report` add the parse_url-based URL parts
+    (scheme/host/depth/TLD/registrable domain) and the per-domain
+    crawl report — pure Catalyst expressions, no UDF."""
     from minerva_etl_spark.operators.html import html_extract
     from minerva_etl_spark.sources.warc import read_warc, write_warc_files
 
