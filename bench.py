@@ -111,6 +111,7 @@ HEADLINE = [
     "warc_harvest",
     "html_extract",
     "url_profile",
+    "charset_decode",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

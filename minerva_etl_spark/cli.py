@@ -1535,18 +1535,31 @@ def cmd_crawl(args) -> None:
             spark.read.parquet(args.input), url_col=args.url_col
         )
     elif args.action == "warc-to-text":
+        from minerva_etl_spark.operators.charset import decode_text
+
         records = read_warc(spark, args.input).where(
             (F.col("warc_type") == "response")
             & (F.col("http_status") == 200)
         )
+        # deterministic ids: a re-run over the same WARCs yields the
+        # same doc_ids regardless of partition layout
         docs = records.select(
-            F.monotonically_increasing_id().alias("doc_id"),
+            F.xxhash64("record_id", "target_uri").alias("doc_id"),
             F.col("target_uri"),
-            F.col("body").alias("html"),
+            F.col("http_content_type"),
+            F.col("body"),
         )
-        out = html_extract(docs).join(
-            docs.select("doc_id", "target_uri"), "doc_id"
+        # browser charset resolution (BOM > header > meta > utf-8)
+        # before parsing — a real crawl's bodies are a charset mess
+        decoded = decode_text(
+            docs, body_col="body", content_type_col="http_content_type"
         )
+        out = html_extract(
+            decoded.withColumnRenamed("text", "html")
+        ).join(
+            decoded.select("doc_id", "charset", "charset_source"),
+            "doc_id",
+        ).join(docs.select("doc_id", "target_uri"), "doc_id")
     else:  # pragma: no cover - argparse choices guard this
         raise ValueError(args.action)
     out.write.mode("overwrite").parquet(args.output)

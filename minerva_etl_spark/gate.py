@@ -2784,6 +2784,77 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset detection + decode (`operators/charset.py::
+    decode_text`, the browser resolution order: BOM > HTTP header >
+    meta pre-scan > utf-8 default): per-doc payloads cycle five
+    real-crawl scenarios — UTF-8 BOM; an ISO-8859-1 HTTP header
+    (decoded as windows-1252 per the WHATWG aliasing, with a non-ASCII
+    0xE9 byte appended to prove actual transcoding); a <meta charset>
+    pre-scan; a UTF-16-LE BOM (stripped from the decoded stream); and
+    no hints at all.  The oracle rebuilds the decoded text, the
+    resolved charset label, and the resolution source closed-form —
+    a priority-order or aliasing bug hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.charset import decode_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            bodies, cts = [], []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                k = d % 5
+                if k == 0:
+                    bodies.append(b"\xef\xbb\xbf" + t.encode())
+                    cts.append("text/html")
+                elif k == 1:
+                    bodies.append(t.encode("latin-1") + b"\xe9")
+                    cts.append("text/html; charset=ISO-8859-1")
+                elif k == 2:
+                    bodies.append(
+                        b'<meta charset="utf-8"><p>' + t.encode()
+                    )
+                    cts.append("text/html")
+                elif k == 3:
+                    bodies.append(b"\xff\xfe" + t.encode("utf-16-le"))
+                    cts.append(None)
+                else:
+                    bodies.append(t.encode())
+                    cts.append("text/html")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "body": bodies,
+                    "content_type": cts,
+                }
+            )
+
+    payloads = docs.mapInPandas(
+        synth, "doc_id bigint, body binary, content_type string"
+    )
+    return decode_text(payloads)
+
+
+_ORACLE_CHARSET = """
+SELECT doc_id,
+  CASE doc_id % 5
+    WHEN 1 THEN text || chr(233)
+    WHEN 2 THEN '<meta charset="utf-8"><p>' || text
+    ELSE text END AS text,
+  CASE doc_id % 5 WHEN 0 THEN 'utf-8-sig' WHEN 1 THEN 'windows-1252'
+    WHEN 2 THEN 'utf-8' WHEN 3 THEN 'utf-16-le'
+    ELSE 'utf-8' END AS charset,
+  CASE doc_id % 5 WHEN 0 THEN 'bom' WHEN 1 THEN 'header'
+    WHEN 2 THEN 'meta' WHEN 3 THEN 'bom'
+    ELSE 'default' END AS charset_source
+FROM documents
+"""
+
+
 def q_url_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL analysis (`operators/urlops.py::with_url_parts`): per-doc
     synthetic crawl URLs spanning four host shapes (plain .com,
@@ -2979,6 +3050,7 @@ def q_warc_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "warc_type",
         "warc_date",
         "http_status",
+        "http_content_type",
         F.col("content_length").alias("http_bytes"),
         F.decode("body", "UTF-8").alias("text"),
     ).localCheckpoint(eager=True)  # pinned before the dir goes
@@ -2999,6 +3071,7 @@ SELECT doc_id,
        '2026-02-03T04:05:06Z' AS warc_date,
        CAST(CASE WHEN doc_id % 7 = 0 THEN 404 ELSE 200 END AS INT)
          AS http_status,
+       'text/html' AS http_content_type,
        CAST(CASE WHEN doc_id % 7 = 0 THEN 69 ELSE 62 END
             + length(CAST(length(text) AS VARCHAR))
             + length(text) AS BIGINT) AS http_bytes,
@@ -3805,8 +3878,8 @@ _REGISTRY_ORDER = [
     # multi-round driver-green (r1-r8).
     "sessionize",
     # image_features_mixed / wav_g711_features / wav_spectral /
-    # url_profile / warc_harvest / html_extract / gif_features — NEW
-    # in r9, born out-of-window (the
+    # url_profile / charset_decode / warc_harvest / html_extract /
+    # gif_features — NEW in r9, born out-of-window (the
     # window already took this round's two new rows); scheduled into
     # the r10 rotation with the 13 never-driver-checked rows
     # (COVERAGE.md).
@@ -3814,6 +3887,7 @@ _REGISTRY_ORDER = [
     "wav_g711_features",
     "wav_spectral",
     "url_profile",
+    "charset_decode",
     "warc_harvest",
     "html_extract",
     "gif_features",
@@ -3961,6 +4035,7 @@ def build_queries() -> dict:
         "wav_g711_features": q_wav_g711_features,
         "wav_spectral": q_wav_spectral,
         "url_profile": q_url_profile,
+        "charset_decode": q_charset_decode,
         "warc_harvest": q_warc_harvest,
         "html_extract": q_html_extract,
         "gif_features": q_gif_features,
@@ -4076,6 +4151,7 @@ def build_oracles() -> dict[str, str]:
         "wav_g711_features": _ORACLE_WAV_G711,
         "wav_spectral": _ORACLE_WAV_SPECTRAL,
         "url_profile": _ORACLE_URL_PROFILE,
+        "charset_decode": _ORACLE_CHARSET,
         "warc_harvest": _ORACLE_WARC_HARVEST,
         "html_extract": _ORACLE_HTML_EXTRACT,
         "gif_features": _ORACLE_GIF,

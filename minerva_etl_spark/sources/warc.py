@@ -38,7 +38,8 @@ from pyspark.sql import DataFrame, SparkSession
 WARC_SCHEMA = (
     "warc_file string, record_id string, warc_type string, "
     "target_uri string, warc_date string, content_type string, "
-    "content_length bigint, http_status int, body binary"
+    "content_length bigint, http_status int, "
+    "http_content_type string, body binary"
 )
 
 _CRLF = b"\r\n"
@@ -160,17 +161,22 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
             "content_type": fields.get("content-type"),
             "content_length": clen,
             "http_status": None,
+            "http_content_type": None,
             "body": body,
         }
         if rec["warc_type"] == "response" and body[:5] == b"HTTP/":
             http_end = body.find(_CRLF * 2)
             if http_end >= 0:
-                status_line = body[: body.find(_CRLF)].decode(
-                    "ascii", "replace"
-                )
-                parts = status_line.split(None, 2)
+                head = body[:http_end].decode("ascii", "replace")
+                http_lines = head.split("\r\n")
+                parts = http_lines[0].split(None, 2)
                 if len(parts) >= 2 and parts[1].isdigit():
                     rec["http_status"] = int(parts[1])
+                for ln in http_lines[1:]:
+                    k, _, v = ln.partition(":")
+                    if k.strip().lower() == "content-type":
+                        rec["http_content_type"] = v.strip()
+                        break
                 rec["body"] = body[http_end + 4 :]
         yield rec
 
@@ -203,7 +209,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 columns=[
                     "warc_file", "record_id", "warc_type", "target_uri",
                     "warc_date", "content_type", "content_length",
-                    "http_status", "body",
+                    "http_status", "http_content_type", "body",
                 ],
             )
 

@@ -51,6 +51,7 @@ def test_iter_warc_records_roundtrip(gz):
     assert out[0]["record_id"] == "urn:uuid:info-1"
     # the response record is HTTP-unwrapped: status parsed, body sliced
     assert out[1]["http_status"] == 200
+    assert out[1]["http_content_type"] == "text/html"
     assert out[1]["body"] == html
     assert out[1]["target_uri"] == "https://corpus.test/d/2"
     assert out[1]["warc_date"] == "2026-02-03T04:05:06Z"
