@@ -112,6 +112,7 @@ HEADLINE = [
     "html_extract",
     "url_profile",
     "charset_decode",
+    "robots_filter",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -1534,6 +1534,25 @@ def cmd_crawl(args) -> None:
         out = domain_report(
             spark.read.parquet(args.input), url_col=args.url_col
         )
+    elif args.action == "robots-filter":
+        from minerva_etl_spark.operators.robots import filter_allowed
+        from minerva_etl_spark.operators.urlops import with_url_parts
+
+        if not args.robots:
+            raise SystemExit(
+                "minerva-spark crawl robots-filter requires --robots"
+            )
+        urls = spark.read.parquet(args.input)
+        if "host" not in urls.columns:
+            urls = with_url_parts(urls, url_col=args.url_col).select(
+                *urls.columns, "host"
+            )
+        out = filter_allowed(
+            urls,
+            spark.read.parquet(args.robots),
+            agent=args.agent,
+            url_col=args.url_col,
+        )
     elif args.action == "warc-to-text":
         from minerva_etl_spark.operators.charset import decode_text
 
@@ -1919,7 +1938,8 @@ def main(argv: list[str] | None = None) -> None:
     cw.add_argument(
         "action",
         choices=["warc-read", "warc-export", "html-extract",
-                 "warc-to-text", "url-profile", "domain-report"],
+                 "warc-to-text", "url-profile", "domain-report",
+                 "robots-filter"],
     )
     cw.add_argument("--input", required=True,
                     help="WARC dir/glob, or input parquet")
@@ -1935,6 +1955,10 @@ def main(argv: list[str] | None = None) -> None:
                     help="html-extract: column holding the HTML")
     cw.add_argument("--url-col", default="url",
                     help="url-profile/domain-report: URL column")
+    cw.add_argument("--robots", default=None,
+                    help="robots-filter: parquet of (host, robots_txt)")
+    cw.add_argument("--agent", default="*",
+                    help="robots-filter: user-agent to evaluate")
     cw.set_defaults(fn=cmd_crawl)
 
     qs = sub.add_parser("quick-start")

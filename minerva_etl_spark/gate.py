@@ -2784,6 +2784,93 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt politeness (`operators/robots.py::robots_allowed`,
+    stdlib robotparser parsed ONCE per host group): per-doc URLs over
+    the four url_profile host shapes with a 1-in-3 '/private/' path;
+    every non-.org host carries a 'Disallow: /private/' robots.txt,
+    .org hosts have NO robots row (left-join miss → the web's
+    default-allow).  The oracle computes fetchability closed-form —
+    a parser, grouping, or join-miss bug flips `allowed` bits and
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.robots import robots_allowed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.expr(
+            """
+            CASE doc_id % 4
+              WHEN 0 THEN concat('www.site',
+                                 cast(doc_id % 7 as string), '.com')
+              WHEN 1 THEN concat('blog.site',
+                                 cast(doc_id % 5 as string), '.co.uk')
+              WHEN 2 THEN concat('cdn.site',
+                                 cast(doc_id % 3 as string), '.io')
+              ELSE concat('site', cast(doc_id % 11 as string), '.org')
+            END
+            """
+        ).alias("host"),
+        F.expr(
+            """
+            CASE doc_id % 3
+              WHEN 0 THEN ''
+              WHEN 1 THEN concat('/a/', cast(doc_id as string))
+              ELSE concat('/private/', cast(doc_id as string))
+            END
+            """
+        ).alias("path"),
+    ).select(
+        "doc_id",
+        "host",
+        F.concat(F.lit("https://"), "host", "path").alias("url"),
+    )
+    robots = (
+        urls.select("host")
+        .distinct()
+        .where(~F.col("host").endswith(".org"))
+        .select(
+            "host",
+            F.lit("User-agent: *\nDisallow: /private/").alias(
+                "robots_txt"
+            ),
+        )
+    )
+    out = robots_allowed(urls, robots, agent="minerva-spark")
+    return out.select(
+        "doc_id",
+        "url",
+        "host",
+        F.col("allowed").cast("int").alias("allowed"),
+    )
+
+
+_ORACLE_ROBOTS = """
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      WHEN 1 THEN 'blog.site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+      WHEN 2 THEN 'cdn.site' || CAST(doc_id % 3 AS VARCHAR) || '.io'
+      ELSE 'site' || CAST(doc_id % 11 AS VARCHAR) || '.org'
+    END AS host,
+    CASE doc_id % 3
+      WHEN 0 THEN ''
+      WHEN 1 THEN '/a/' || CAST(doc_id AS VARCHAR)
+      ELSE '/private/' || CAST(doc_id AS VARCHAR)
+    END AS path
+  FROM documents
+)
+SELECT doc_id,
+       'https://' || host || path AS url,
+       host,
+       CAST(CASE WHEN doc_id % 4 = 3 OR doc_id % 3 <> 2
+                 THEN 1 ELSE 0 END AS INT) AS allowed
+FROM u
+"""
+
+
 def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Charset detection + decode (`operators/charset.py::
     decode_text`, the browser resolution order: BOM > HTTP header >
@@ -3878,8 +3965,9 @@ _REGISTRY_ORDER = [
     # multi-round driver-green (r1-r8).
     "sessionize",
     # image_features_mixed / wav_g711_features / wav_spectral /
-    # url_profile / charset_decode / warc_harvest / html_extract /
-    # gif_features — NEW in r9, born out-of-window (the
+    # url_profile / charset_decode / robots_filter / warc_harvest /
+    # html_extract / gif_features — NEW in r9, born out-of-window
+    # (the
     # window already took this round's two new rows); scheduled into
     # the r10 rotation with the 13 never-driver-checked rows
     # (COVERAGE.md).
@@ -3888,6 +3976,7 @@ _REGISTRY_ORDER = [
     "wav_spectral",
     "url_profile",
     "charset_decode",
+    "robots_filter",
     "warc_harvest",
     "html_extract",
     "gif_features",
@@ -4036,6 +4125,7 @@ def build_queries() -> dict:
         "wav_spectral": q_wav_spectral,
         "url_profile": q_url_profile,
         "charset_decode": q_charset_decode,
+        "robots_filter": q_robots_filter,
         "warc_harvest": q_warc_harvest,
         "html_extract": q_html_extract,
         "gif_features": q_gif_features,
@@ -4152,6 +4242,7 @@ def build_oracles() -> dict[str, str]:
         "wav_spectral": _ORACLE_WAV_SPECTRAL,
         "url_profile": _ORACLE_URL_PROFILE,
         "charset_decode": _ORACLE_CHARSET,
+        "robots_filter": _ORACLE_ROBOTS,
         "warc_harvest": _ORACLE_WARC_HARVEST,
         "html_extract": _ORACLE_HTML_EXTRACT,
         "gif_features": _ORACLE_GIF,
