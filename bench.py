@@ -113,6 +113,7 @@ HEADLINE = [
     "url_profile",
     "charset_decode",
     "robots_filter",
+    "sitemap_urls",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

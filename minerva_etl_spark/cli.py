@@ -1534,6 +1534,12 @@ def cmd_crawl(args) -> None:
         out = domain_report(
             spark.read.parquet(args.input), url_col=args.url_col
         )
+    elif args.action == "sitemap-urls":
+        from minerva_etl_spark.operators.sitemap import sitemap_urls
+
+        out = sitemap_urls(
+            spark.read.parquet(args.input), xml_col=args.xml_col
+        )
     elif args.action == "robots-filter":
         from minerva_etl_spark.operators.robots import filter_allowed
         from minerva_etl_spark.operators.urlops import with_url_parts
@@ -1939,7 +1945,7 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=["warc-read", "warc-export", "html-extract",
                  "warc-to-text", "url-profile", "domain-report",
-                 "robots-filter"],
+                 "robots-filter", "sitemap-urls"],
     )
     cw.add_argument("--input", required=True,
                     help="WARC dir/glob, or input parquet")
@@ -1959,6 +1965,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="robots-filter: parquet of (host, robots_txt)")
     cw.add_argument("--agent", default="*",
                     help="robots-filter: user-agent to evaluate")
+    cw.add_argument("--xml-col", default="xml",
+                    help="sitemap-urls: column holding the XML")
     cw.set_defaults(fn=cmd_crawl)
 
     qs = sub.add_parser("quick-start")

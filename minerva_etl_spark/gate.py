@@ -2784,6 +2784,66 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap parsing (`operators/sitemap.py::sitemap_urls`, stdlib
+    ElementTree in Arrow-batched tasks): per-doc urlset XML with
+    1 + doc_id % 4 entries — loc/lastmod/changefreq/priority all
+    formula-derived — where ODD docs carry the real sitemaps.org
+    namespace and EVEN docs carry none (both must parse: local-name
+    matching).  The oracle regenerates every exploded row with
+    UNNEST; a namespace, explode, or field-mapping bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.sitemap import sitemap_urls
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            xmls = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                ns = (
+                    ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+                    if d % 2 else ""
+                )
+                entries = []
+                for i in range(1 + d % 4):
+                    cf = ["daily", "weekly", "monthly"][(d + i) % 3]
+                    entries.append(
+                        f"<url><loc>https://s{d}.com/p/{i}</loc>"
+                        f"<lastmod>2026-0{1 + (d + i) % 9}-01</lastmod>"
+                        f"<changefreq>{cf}</changefreq>"
+                        f"<priority>0.{(d + i) % 10}</priority></url>"
+                    )
+                xmls.append(
+                    f"<urlset{ns}>" + "".join(entries) + "</urlset>"
+                )
+            yield pd.DataFrame(
+                {"sitemap_id": pdf["doc_id"], "xml": xmls}
+            )
+
+    maps = docs.mapInPandas(synth, "sitemap_id bigint, xml string")
+    return sitemap_urls(maps)
+
+
+_ORACLE_SITEMAP = """
+SELECT doc_id AS sitemap_id,
+       'url' AS kind,
+       'https://s' || CAST(doc_id AS VARCHAR) || '.com/p/'
+         || CAST(t.i AS VARCHAR) AS loc,
+       '2026-0' || CAST(1 + (doc_id + t.i) % 9 AS VARCHAR) || '-01'
+         AS lastmod,
+       CASE (doc_id + t.i) % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+            ELSE 'monthly' END AS changefreq,
+       CAST((doc_id + t.i) % 10 AS DOUBLE) / 10 AS priority
+FROM documents,
+     UNNEST(generate_series(0, doc_id % 4)) AS t(i)
+"""
+
+
 def q_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt politeness (`operators/robots.py::robots_allowed`,
     stdlib robotparser parsed ONCE per host group): per-doc URLs over
@@ -3965,9 +4025,9 @@ _REGISTRY_ORDER = [
     # multi-round driver-green (r1-r8).
     "sessionize",
     # image_features_mixed / wav_g711_features / wav_spectral /
-    # url_profile / charset_decode / robots_filter / warc_harvest /
-    # html_extract / gif_features — NEW in r9, born out-of-window
-    # (the
+    # url_profile / charset_decode / robots_filter / sitemap_urls /
+    # warc_harvest / html_extract / gif_features — NEW in r9, born
+    # out-of-window (the
     # window already took this round's two new rows); scheduled into
     # the r10 rotation with the 13 never-driver-checked rows
     # (COVERAGE.md).
@@ -3977,6 +4037,7 @@ _REGISTRY_ORDER = [
     "url_profile",
     "charset_decode",
     "robots_filter",
+    "sitemap_urls",
     "warc_harvest",
     "html_extract",
     "gif_features",
@@ -4126,6 +4187,7 @@ def build_queries() -> dict:
         "url_profile": q_url_profile,
         "charset_decode": q_charset_decode,
         "robots_filter": q_robots_filter,
+        "sitemap_urls": q_sitemap_urls,
         "warc_harvest": q_warc_harvest,
         "html_extract": q_html_extract,
         "gif_features": q_gif_features,
@@ -4243,6 +4305,7 @@ def build_oracles() -> dict[str, str]:
         "url_profile": _ORACLE_URL_PROFILE,
         "charset_decode": _ORACLE_CHARSET,
         "robots_filter": _ORACLE_ROBOTS,
+        "sitemap_urls": _ORACLE_SITEMAP,
         "warc_harvest": _ORACLE_WARC_HARVEST,
         "html_extract": _ORACLE_HTML_EXTRACT,
         "gif_features": _ORACLE_GIF,
