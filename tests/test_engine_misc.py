@@ -430,7 +430,9 @@ def test_wav_synthesize_decode_roundtrip():
     assert d["rms"] == want
 
 
-def test_wav_decode_rejects_non_16bit():
+def test_wav_decode_rejects_unsupported_width():
+    """8- and 16-bit PCM decode; 24-bit stays an honest
+    NotImplementedError."""
     import io
     import wave
 
@@ -441,10 +443,10 @@ def test_wav_decode_rejects_non_16bit():
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(1)
-        w.setsampwidth(1)  # 8-bit
+        w.setsampwidth(3)  # 24-bit
         w.setframerate(8000)
-        w.writeframes(b"\x80\x80\x80")
-    with _pytest.raises(NotImplementedError):
+        w.writeframes(b"\x80\x80\x80" * 2)
+    with _pytest.raises(NotImplementedError, match="24-bit"):
         wav_decode(buf.getvalue())
 
 
