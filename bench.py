@@ -114,6 +114,7 @@ HEADLINE = [
     "charset_decode",
     "robots_filter",
     "sitemap_urls",
+    "pipeline_crawl",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -2784,6 +2784,122 @@ FROM s GROUP BY doc_id
 """
 
 
+def q_pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused crawl-harvest pipeline, end to end: documents become
+    HTML pages (the html_extract template), encoded per a charset
+    scenario (even docs UTF-8 with a BOM, odd docs latin-1 with an
+    ISO-8859-1 HTTP header), wrapped in HTTP responses (404 when
+    doc_id % 7 = 0), written as REAL record-gzipped WARC files by the
+    owning tasks, then harvested back: `read_warc` → status filter →
+    `decode_text` (browser charset order; the BOM must be stripped) →
+    `html_extract` → `with_token_count` → keep docs with ≥ 50 tokens.
+    Five operators composed; the oracle replays the surviving rows
+    closed-form (title, exact text, token count) — ANY stage breaking
+    (offsets, charset, extraction, counting, filtering) shifts the
+    hash."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.charset import decode_text
+    from minerva_etl_spark.operators.html import html_extract
+    from minerva_etl_spark.operators.text import with_token_count
+    from minerva_etl_spark.sources.warc import (
+        read_warc,
+        write_warc_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                html = (
+                    f"<html><head><title>Doc {d}</title></head>"
+                    f"<body><p>{t}</p></body></html>"
+                )
+                if d % 2 == 0:
+                    body = b"\xef\xbb\xbf" + html.encode()
+                    ct = "text/html"
+                else:
+                    body = html.encode("latin-1")
+                    ct = "text/html; charset=iso-8859-1"
+                rows.append(
+                    (
+                        f"part-{d % 8}.warc.gz",
+                        f"doc-{d:09d}",
+                        f"https://corpus.test/d/{d}",
+                        "2026-02-03T04:05:06Z",
+                        body,
+                        404 if d % 7 == 0 else 200,
+                        ct,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_file", "record_id", "target_uri", "warc_date",
+                    "body", "http_status", "http_content_type",
+                ],
+            )
+
+    staged = docs.mapInPandas(
+        synth,
+        "warc_file string, record_id string, target_uri string, "
+        "warc_date string, body binary, http_status int, "
+        "http_content_type string",
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_crawl_")
+    write_warc_files(staged, root).collect()
+    recs = (
+        read_warc(spark, root)
+        .where(
+            (F.col("warc_type") == "response")
+            & (F.col("http_status") == 200)
+        )
+        .select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("bigint")
+            .alias("doc_id"),
+            "http_content_type",
+            "body",
+        )
+    )
+    decoded = decode_text(
+        recs, body_col="body", content_type_col="http_content_type"
+    )
+    pages = html_extract(decoded.withColumnRenamed("text", "html"))
+    out = (
+        with_token_count(pages)
+        .where(F.col("n_tokens") >= 50)
+        .select("doc_id", "title", "text", "n_tokens")
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_pipeline_crawl() -> str:
+    from minerva_etl_spark.operators.text import tokens_duck_sql
+
+    toks = tokens_duck_sql("text")
+    return f"""
+WITH kept AS (
+  SELECT doc_id, text,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM documents WHERE doc_id % 7 <> 0
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       text,
+       n_tokens
+FROM kept WHERE n_tokens >= 50
+"""
+
+
 def q_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sitemap parsing (`operators/sitemap.py::sitemap_urls`, stdlib
     ElementTree in Arrow-batched tasks): per-doc urlset XML with
@@ -4026,8 +4142,8 @@ _REGISTRY_ORDER = [
     "sessionize",
     # image_features_mixed / wav_g711_features / wav_spectral /
     # url_profile / charset_decode / robots_filter / sitemap_urls /
-    # warc_harvest / html_extract / gif_features — NEW in r9, born
-    # out-of-window (the
+    # pipeline_crawl / warc_harvest / html_extract / gif_features —
+    # NEW in r9, born out-of-window (the
     # window already took this round's two new rows); scheduled into
     # the r10 rotation with the 13 never-driver-checked rows
     # (COVERAGE.md).
@@ -4038,6 +4154,7 @@ _REGISTRY_ORDER = [
     "charset_decode",
     "robots_filter",
     "sitemap_urls",
+    "pipeline_crawl",
     "warc_harvest",
     "html_extract",
     "gif_features",
@@ -4188,6 +4305,7 @@ def build_queries() -> dict:
         "charset_decode": q_charset_decode,
         "robots_filter": q_robots_filter,
         "sitemap_urls": q_sitemap_urls,
+        "pipeline_crawl": q_pipeline_crawl,
         "warc_harvest": q_warc_harvest,
         "html_extract": q_html_extract,
         "gif_features": q_gif_features,
@@ -4306,6 +4424,7 @@ def build_oracles() -> dict[str, str]:
         "charset_decode": _ORACLE_CHARSET,
         "robots_filter": _ORACLE_ROBOTS,
         "sitemap_urls": _ORACLE_SITEMAP,
+        "pipeline_crawl": _oracle_pipeline_crawl(),
         "warc_harvest": _ORACLE_WARC_HARVEST,
         "html_extract": _ORACLE_HTML_EXTRACT,
         "gif_features": _ORACLE_GIF,

@@ -223,10 +223,11 @@ def write_warc_files(
     gzip_members: bool = True,
 ) -> DataFrame:
     """Export (``file_col``, ``target_uri``, ``warc_date``,
-    ``record_id``, ``body``[, ``http_status``]) rows as one WARC file
-    per distinct ``file_col`` value, each record an HTTP response.
-    The task owning a group writes its file — no driver round-trip;
-    returns (warc_file, n_records, n_bytes) per file written.
+    ``record_id``, ``body``[, ``http_status``, ``http_content_type``])
+    rows as one WARC file per distinct ``file_col`` value, each record
+    an HTTP response.  The task owning a group writes its file — no
+    driver round-trip; returns (warc_file, n_records, n_bytes) per
+    file written.
     """
     import os
 
@@ -241,7 +242,10 @@ def write_warc_files(
         recs = []
         for r in pdf.itertuples():
             status = int(getattr(r, "http_status", 200))
-            http = synthesize_http_response(bytes(r.body), status=status)
+            ct = getattr(r, "http_content_type", None) or "text/html"
+            http = synthesize_http_response(
+                bytes(r.body), status=status, content_type=str(ct)
+            )
             recs.append(
                 synthesize_warc_record(
                     "response",
