@@ -55,6 +55,45 @@ def _prep(spark: SparkSession) -> None:
         pass
 
 
+def _ascii_sanitize(t: str) -> str:
+    """Printable-ASCII, single-space, markup-free projection of doc
+    text used by the crawl-arc fixtures (mirrored in SQL by
+    :func:`_ascii_sanitize_sql`) so their byte-exact oracles hold for
+    ANY test-data text: non-ASCII chars (which latin-1 encodes can't
+    carry and char-count != byte-count breaks) are dropped, ``<>&``
+    (which HTML-embedding would mangle) become spaces, and whitespace
+    runs (which HTML extraction collapses) are collapsed up front."""
+    import re
+
+    s = re.sub(r"[^ -~]", "", t)
+    s = re.sub(r"[<>&]", " ", s)
+    return re.sub(r" +", " ", s).strip()
+
+
+def _ascii_sanitize_sql(col: str) -> str:
+    """The DuckDB twin of :func:`_ascii_sanitize` (identical regex
+    sequence; RE2 and Python agree on these patterns)."""
+    return (
+        "trim(regexp_replace(regexp_replace(regexp_replace("
+        f"{col}, '[^ -~]', '', 'g'), '[<>&]', ' ', 'g'),"
+        " ' +', ' ', 'g'))"
+    )
+
+
+def _ascii_sanitize_col(col: str):
+    """The Spark-side twin, for fixtures synthesized in pure Catalyst
+    (same regex sequence, JVM-side)."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(col), "[^ -~]", ""),
+                "[<>&]", " ",
+            ),
+            " +", " ",
+        )
+    )
+
+
 # =====================================================================
 # Trend-store aggregation queries (SURVEY A1-A5, W4)
 # =====================================================================
@@ -2818,6 +2857,7 @@ def q_pipeline_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 d = int(d)
+                t = _ascii_sanitize(str(t))
                 html = (
                     f"<html><head><title>Doc {d}</title></head>"
                     f"<body><p>{t}</p></body></html>"
@@ -2887,10 +2927,13 @@ def _oracle_pipeline_crawl() -> str:
 
     toks = tokens_duck_sql("text")
     return f"""
-WITH kept AS (
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text
+  FROM documents
+), kept AS (
   SELECT doc_id, text,
          CAST(len({toks}) AS BIGINT) AS n_tokens
-  FROM documents WHERE doc_id % 7 <> 0
+  FROM san WHERE doc_id % 7 <> 0
 )
 SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
@@ -3070,6 +3113,7 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             bodies, cts = [], []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 d = int(d)
+                t = _ascii_sanitize(str(t))
                 k = d % 5
                 if k == 0:
                     bodies.append(b"\xef\xbb\xbf" + t.encode())
@@ -3102,7 +3146,10 @@ def q_charset_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_text(payloads)
 
 
-_ORACLE_CHARSET = """
+_ORACLE_CHARSET = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
 SELECT doc_id,
   CASE doc_id % 5
     WHEN 1 THEN text || chr(233)
@@ -3114,7 +3161,7 @@ SELECT doc_id,
   CASE doc_id % 5 WHEN 0 THEN 'bom' WHEN 1 THEN 'header'
     WHEN 2 THEN 'meta' WHEN 3 THEN 'bom'
     ELSE 'default' END AS charset_source
-FROM documents
+FROM san
 """
 
 
@@ -3299,7 +3346,7 @@ def q_warc_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("https://corpus.test/d/"), F.col("doc_id").cast("string")
         ).alias("target_uri"),
         F.lit("2026-02-03T04:05:06Z").alias("warc_date"),
-        F.encode("text", "UTF-8").alias("body"),
+        F.encode(_ascii_sanitize_col("text"), "UTF-8").alias("body"),
         F.when(F.col("doc_id") % 7 == 0, 404).otherwise(200)
         .alias("http_status"),
     )
@@ -3325,7 +3372,10 @@ def q_warc_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # OK\r\n", 24 for "HTTP/1.1 404 Not Found\r\n") + "Content-Type:
 # text/html\r\n" (25) + "Content-Length: <n>\r\n" (18 + digits) +
 # blank line (2) + body (n); text is ASCII so chars == bytes
-_ORACLE_WARC_HARVEST = """
+_ORACLE_WARC_HARVEST = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
 SELECT doc_id,
        'part-' || CAST(doc_id % 8 AS VARCHAR) || '.warc.gz' AS warc_file,
        'urn:uuid:doc-' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
@@ -3339,7 +3389,7 @@ SELECT doc_id,
             + length(CAST(length(text) AS VARCHAR))
             + length(text) AS BIGINT) AS http_bytes,
        text
-FROM documents
+FROM san
 """
 
 
@@ -3367,6 +3417,7 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             pages = []
             for d, t in zip(pdf["doc_id"], pdf["text"]):
                 d = int(d)
+                t = _ascii_sanitize(str(t))
                 pages.append(
                     f"<html><head><title>Doc {d}</title>"
                     "<script>var x = \"<p>boiler</p>\";</script></head>"
@@ -3381,12 +3432,15 @@ def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return html_extract(pages)
 
 
-_ORACLE_HTML_EXTRACT = """
+_ORACLE_HTML_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
 SELECT doc_id,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        'menu & more' || chr(10) || text || chr(10) || 'next top' AS text,
        CAST(2 AS INT) AS n_links
-FROM documents
+FROM san
 """
 
 

@@ -2,17 +2,27 @@
 
 Given a URL table and a per-host robots.txt table, keep the URLs a
 polite crawler may fetch.  Parsing is stdlib
-``urllib.robotparser`` — but parsed ONCE PER HOST GROUP, not per URL:
-the URLs join their host's robots text (one equi-join; AQE broadcasts
-the robots side when it is small) and ``applyInPandas`` over the host
-group builds a single parser and evaluates every URL in the group.
-At 100 TB that is the right shape — the expensive text parse
-amortizes over a domain's whole URL set, and the grouping exchange
-doubles as the per-domain locality a politeness pipeline wants
-anyway (per-domain caps, rate buckets, dedup keys all share it).
+``urllib.robotparser`` — but parsed once per host *run*, not per URL.
+
+Scale shape (the r9 verdict's skew fix): the robots table is deduped
+to one row per host, equi-joined onto the URLs (AQE broadcasts the
+robots side when it is small), and the decision is evaluated by a
+``mapInPandas`` SCAN over the join output with an LRU parser cache
+keyed by host.  Unlike the earlier per-host ``applyInPandas``, no
+host's URL set is ever materialized as one pandas group: a mega-host
+(millions of frontier URLs) stays spread across however many
+partitions the join produces, and because ``mapInPandas`` needs no
+co-grouping, AQE's skew-join splitting is free to carve up a hot
+host partition.  The parse still amortizes — within an Arrow batch
+the rows are grouped by host before evaluation, and the parser cache
+carries across batches — so the per-URL cost is one dict hit plus
+``can_fetch``.  Bounded memory: the cache holds at most
+``_PARSER_CACHE_MAX`` parsers (robots texts are KB-sized).
 
 A host with no robots row (left join miss) allows everything — the
-web's default.
+web's default.  Duplicate robots rows for one host are collapsed to
+the lexicographically smallest text (deterministic) before the join,
+so they can never fan out the URL rows.
 """
 
 from __future__ import annotations
@@ -21,6 +31,15 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, StructField, StructType
+
+#: Max distinct hosts whose parsed robots live in one task's cache.
+_PARSER_CACHE_MAX = 4096
+
+
+def _is_blank(txt) -> bool:
+    return txt is None or (isinstance(txt, float) and pd.isna(txt)) or txt == ""
 
 
 def robots_allowed(
@@ -39,28 +58,53 @@ def robots_allowed(
     """
     from urllib import robotparser
 
-    joined = urls.join(robots, host_col, "left")
-    out_cols = [f for f in joined.schema.fields if f.name != robots_col]
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in out_cols
-    ) + ", allowed boolean"
-    names = [f.name for f in out_cols]
+    robots_one = robots.groupBy(host_col).agg(
+        F.min(robots_col).alias(robots_col)
+    )
+    joined = urls.join(robots_one, host_col, "left")
+    out_fields = [f for f in joined.schema.fields if f.name != robots_col]
+    schema = StructType(
+        list(out_fields) + [StructField("allowed", BooleanType(), False)]
+    )
+    names = [f.name for f in out_fields]
 
-    def eval_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        txt = pdf[robots_col].iloc[0]
-        if txt is None or (isinstance(txt, float)) or txt == "":
+    def eval_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        # host -> RobotFileParser | None (None = allow-all), LRU-capped
+        cache: dict = {}
+
+        def parser_for(host, txt):
+            key = host
+            if key in cache:
+                rp = cache.pop(key)
+            elif _is_blank(txt):
+                rp = None
+            else:
+                rp = robotparser.RobotFileParser()
+                rp.parse(str(txt).splitlines())
+            cache[key] = rp  # re-insert = move to MRU end
+            if len(cache) > _PARSER_CACHE_MAX:
+                cache.pop(next(iter(cache)))
+            return rp
+
+        for pdf in batches:
             allowed = [True] * len(pdf)
-        else:
-            rp = robotparser.RobotFileParser()
-            rp.parse(str(txt).splitlines())
-            allowed = [
-                rp.can_fetch(agent, str(u)) for u in pdf[url_col]
-            ]
-        out = pdf[names].copy()
-        out["allowed"] = allowed
-        return out
+            groups = pdf.groupby(
+                host_col, sort=False, dropna=False
+            ).indices
+            for host, idx in groups.items():
+                rp = parser_for(host, pdf[robots_col].iloc[idx[0]])
+                if rp is None:
+                    continue
+                col = pdf[url_col]
+                for i in idx:
+                    allowed[i] = rp.can_fetch(agent, str(col.iloc[i]))
+            out = pdf[names].copy()
+            out["allowed"] = allowed
+            yield out
 
-    return joined.groupBy(host_col).applyInPandas(eval_group, schema)
+    return joined.mapInPandas(eval_batches, schema)
 
 
 def filter_allowed(

@@ -150,7 +150,13 @@ def iter_warc_records(blob: bytes) -> Iterator[dict]:
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
             fields[k.strip().lower()] = v.strip()
-        clen = int(fields.get("content-length", "0"))
+        if "content-length" not in fields:
+            rid = fields.get("warc-record-id", "<unknown>")
+            raise ValueError(
+                f"WARC record {rid} at offset {pos} is missing its "
+                "mandatory Content-Length header"
+            )
+        clen = int(fields["content-length"])
         body = blob[head_end + 4 : head_end + 4 + clen]
         pos = head_end + 4 + clen
         rec = {
@@ -241,8 +247,14 @@ def write_warc_files(
         pdf = pdf.sort_values("record_id", kind="mergesort")
         recs = []
         for r in pdf.itertuples():
-            status = int(getattr(r, "http_status", 200))
-            ct = getattr(r, "http_content_type", None) or "text/html"
+            # warc-read output carries null http_status /
+            # http_content_type for non-response records (warcinfo,
+            # request); pandas surfaces those as NaN, so int()/`or`
+            # alone would crash / emit a literal "nan" header.
+            status = getattr(r, "http_status", None)
+            status = 200 if status is None or pd.isna(status) else int(status)
+            ct = getattr(r, "http_content_type", None)
+            ct = "text/html" if ct is None or pd.isna(ct) else str(ct)
             http = synthesize_http_response(
                 bytes(r.body), status=status, content_type=str(ct)
             )

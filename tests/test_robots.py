@@ -42,6 +42,75 @@ def test_filter_allowed_drops_blocked(spark):
     assert kept == [1, 3, 4, 5]
 
 
+def test_duplicate_robots_rows_do_not_fan_out(spark):
+    """Two robots rows for one host must not duplicate URL rows; the
+    lexicographically smallest text wins (deterministic dedupe)."""
+    urls = spark.createDataFrame(
+        [(1, "a.com", "https://a.com/private/x"),
+         (2, "a.com", "https://a.com/public/x")],
+        "doc_id bigint, host string, url string",
+    )
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private/"),
+            ("a.com", "User-agent: *\nDisallow: /public/"),
+        ],
+        "host string, robots_txt string",
+    )
+    rows = robots_allowed(urls, robots).collect()
+    assert len(rows) == 2
+    got = {r.doc_id: r.allowed for r in rows}
+    # min() picks "Disallow: /private/" (p < u in "public")
+    assert got == {1: False, 2: True}
+
+
+def test_scan_matches_grouped_reference(spark):
+    """Differential: the skew-safe mapInPandas scan must equal the
+    naive one-group-per-host evaluation on a many-host fixture with a
+    deliberately hot host."""
+    from urllib import robotparser
+
+    urls_rows = []
+    robots_rows = []
+    doc = 0
+    for h in range(12):
+        host = f"h{h}.example"
+        if h % 3 == 0:
+            robots_rows.append(
+                (host, "User-agent: *\nDisallow: /no/")
+            )
+        elif h % 3 == 1:
+            robots_rows.append((host, ""))
+        # h % 3 == 2: no robots row
+        n = 200 if h == 0 else 5  # h0 = the hot host
+        for i in range(n):
+            path = "/no/x" if i % 2 else "/yes/x"
+            urls_rows.append((doc, host, f"https://{host}{path}"))
+            doc += 1
+    urls = spark.createDataFrame(
+        urls_rows, "doc_id bigint, host string, url string"
+    ).repartition(8)
+    robots = spark.createDataFrame(
+        robots_rows, "host string, robots_txt string"
+    )
+
+    got = {r.doc_id: r.allowed
+           for r in robots_allowed(urls, robots).collect()}
+
+    txt_by_host = dict(robots_rows)
+    want = {}
+    for d, host, url in urls_rows:
+        txt = txt_by_host.get(host)
+        if not txt:
+            want[d] = True
+        else:
+            rp = robotparser.RobotFileParser()
+            rp.parse(txt.splitlines())
+            want[d] = rp.can_fetch("*", url)
+    assert got == want
+    assert sum(1 for v in want.values() if not v) > 0
+
+
 def test_agent_specific_section(spark):
     urls = spark.createDataFrame(
         [(1, "a.com", "https://a.com/x")],

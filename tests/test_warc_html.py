@@ -4,6 +4,7 @@ import gzip
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from minerva_etl_spark.operators.html import extract_html, html_extract
 from minerva_etl_spark.sources.warc import (
@@ -124,6 +125,44 @@ def test_write_warc_files_roundtrip(spark, tmp_path):
         f"payload {i}" for i in range(6)
     )
     assert all(r.http_status == 200 for r in back)
+
+
+def test_warc_read_to_export_roundtrip_with_nulls(spark, tmp_path):
+    """The advertised warc-read -> warc-export loop: read output
+    carries null http_status / http_content_type on warcinfo and
+    request records (pandas NaN), which the writer must default to
+    200 / text/html instead of crashing on int(nan) or emitting a
+    literal 'nan' header."""
+    recs, html = _sample_records()
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.warc.gz").write_bytes(synthesize_warc(recs))
+    df = read_warc(spark, str(src)).withColumn(
+        "warc_file", F.lit("out.warc.gz")
+    )
+    out = str(tmp_path / "export")
+    stats = write_warc_files(df, out).collect()
+    assert stats[0].n_records == 3
+    back = read_warc(spark, out).collect()
+    assert len(back) == 3
+    # every exported record is a response with defaulted headers
+    assert all(r.http_status == 200 for r in back)
+    assert all(r.http_content_type == "text/html" for r in back)
+    assert not any("nan" in (r.http_content_type or "") for r in back)
+    bodies = {bytes(r.body) for r in back}
+    assert html in bodies
+
+
+def test_missing_content_length_raises_specific_error():
+    rec = (
+        b"WARC/1.1\r\n"
+        b"WARC-Type: resource\r\n"
+        b"WARC-Record-ID: <urn:uuid:x-1>\r\n"
+        b"\r\n"
+        b"body bytes\r\n\r\n"
+    )
+    with pytest.raises(ValueError, match="missing.*Content-Length"):
+        list(iter_warc_records(rec))
 
 
 def test_extract_html_semantics():
