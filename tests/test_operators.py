@@ -73,6 +73,71 @@ def test_upsert_existing_vs_incoming(spark):
     assert got == {1: (10.0, 100), 2: (99.0, 100), 3: (30.0, 100)}
 
 
+def _upsert_table_cycle(spark, tmp_path, substrate):
+    """Two delivery cycles through the upsert_table sink; returns the
+    final table contents keyed by k."""
+    from minerva_etl_spark.operators.upsert import (
+        _delta_available,
+        upsert_table,
+    )
+
+    if substrate is None:  # mirror upsert_table's auto-dispatch
+        substrate = "delta" if _delta_available(spark) else "parquet"
+    target = str(tmp_path / f"tbl_{substrate}")
+    batch1 = spark.createDataFrame(
+        [(1, 10.0, 100, 1), (2, 20.0, 100, 1), (2, 21.0, 100, 2)],
+        "k int, v double, m int, seq int",
+    )
+    upsert_table(
+        spark, target, batch1, ["k"], order_col="seq",
+        greatest_cols=["m"], substrate=substrate,
+    )
+    batch2 = spark.createDataFrame(
+        [(2, 99.0, 50, 3), (3, 30.0, 100, 1)],
+        "k int, v double, m int, seq int",
+    )
+    upsert_table(
+        spark, target, batch2, ["k"], order_col="seq",
+        greatest_cols=["m"], substrate=substrate,
+    )
+    fmt = "delta" if substrate == "delta" else "parquet"
+    rows = spark.read.format(fmt).load(target).collect()
+    return {r.k: (r.v, r.m) for r in rows}
+
+
+_UPSERT_TABLE_WANT = {
+    # k=2: in-batch dedup keeps seq 2 (21.0) in cycle 1, then batch2's
+    # 99.0 wins but m keeps greatest(100, 50)
+    1: (10.0, 100),
+    2: (99.0, 100),
+    3: (30.0, 100),
+}
+
+
+def test_upsert_table_parquet_substrate(spark, tmp_path):
+    assert _upsert_table_cycle(spark, tmp_path, "parquet") == \
+        _UPSERT_TABLE_WANT
+
+
+def test_upsert_table_delta_substrate(spark, tmp_path):
+    """Same semantics through Delta MERGE INTO — runs only where
+    delta-spark is installed (not in this image); the parquet twin
+    above always runs."""
+    from minerva_etl_spark.operators.upsert import _delta_available
+
+    if not _delta_available(spark):
+        pytest.skip("delta-spark not installed")
+    assert _upsert_table_cycle(spark, tmp_path, "delta") == \
+        _UPSERT_TABLE_WANT
+
+
+def test_upsert_table_auto_substrate(spark, tmp_path):
+    """The auto-dispatched substrate (whichever is available) produces
+    the identical table."""
+    assert _upsert_table_cycle(spark, tmp_path, None) == \
+        _UPSERT_TABLE_WANT
+
+
 def test_insert_missing(spark):
     existing = spark.createDataFrame([(1,), (2,)], "k int")
     incoming = spark.createDataFrame([(2, "x"), (3, "y")], "k int, name string")

@@ -51,6 +51,68 @@ def test_domain_report(spark):
     assert rep["example.co.uk"].query_share == 1.0
 
 
+def _psl(spark):
+    return spark.createDataFrame(
+        [("co.uk",), ("com.au",), ("blogspot.com",), ("uk",),
+         ("au",), ("com",), ("org",), ("io",)],
+        "suffix string",
+    )
+
+
+def test_psl_registrable_domain(spark):
+    """User-supplied public-suffix table: com.au / blogspot.com style
+    suffixes resolve exactly (the two-label heuristic groups these
+    wrong), longest suffix wins, non-matches fall back."""
+    urls = spark.createDataFrame(
+        [
+            (1, "https://shop.books.com.au/x"),        # com.au suffix
+            (2, "https://alice.blogspot.com/post"),    # private suffix
+            (3, "https://a.b.blogspot.com/post"),      # deeper sub
+            (4, "https://www.example.co.uk/y"),
+            (5, "https://plain.example.org/z"),
+            (6, "https://blogspot.com/"),              # host IS suffix
+            (7, "https://no-psl-match.test/x"),        # fallback
+        ],
+        "doc_id bigint, url string",
+    )
+    rows = {
+        r.doc_id: r.registrable_domain
+        for r in with_url_parts(urls, suffix_table=_psl(spark)).collect()
+    }
+    assert rows[1] == "books.com.au"
+    assert rows[2] == "alice.blogspot.com"
+    assert rows[3] == "b.blogspot.com"
+    assert rows[4] == "example.co.uk"
+    assert rows[5] == "example.org"
+    assert rows[6] == "blogspot.com"  # bare suffix returned whole
+    assert rows[7] == "no-psl-match.test"  # heuristic fallback
+
+
+def test_psl_plan_is_broadcast_and_udf_free(spark):
+    """PSL resolution is map-side: broadcast hash joins only — no
+    Python eval nodes, no shuffle exchange introduced by the suffix
+    joins."""
+    urls = _urls(spark)
+    df = with_url_parts(urls, suffix_table=_psl(spark))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_psl_matches_heuristic_on_simple_hosts(spark):
+    """On hosts the heuristic already handles, PSL output agrees (the
+    fallback + the exact path produce the same grouping)."""
+    urls = _urls(spark)
+    heur = {r.doc_id: r.registrable_domain
+            for r in with_url_parts(urls).collect()}
+    psl = {r.doc_id: r.registrable_domain
+           for r in with_url_parts(urls, suffix_table=_psl(spark))
+           .collect()}
+    assert heur == psl
+
+
 def test_url_parts_plan_is_udf_free(spark):
     """The whole chain stays JVM-side: no Python/Arrow eval nodes in
     the physical plan (the 100 TB scan-speed claim)."""
