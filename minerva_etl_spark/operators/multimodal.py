@@ -1056,7 +1056,10 @@ def avi_decode(payload: bytes) -> dict:
     if compression != 0 or bitcount != 24:
         raise NotImplementedError(
             f"only uncompressed 24-bit DIB and MJPG supported "
-            f"(biCompression={compression}, biBitCount={bitcount})"
+            f"(biCompression={compression}, biBitCount={bitcount}); "
+            "for inter-frame codecs (H.264/VP9/...) inject an external "
+            "decoder via extract_features(..., decoder=...) — see "
+            "examples/ffmpeg_decoder.py for the ffmpeg recipe"
         )
     stride = width * 3
     pad = (-stride) % 4
