@@ -366,7 +366,16 @@ def wav_spectral_decode(payload: bytes) -> dict:
     audio folds to mono by averaging channels per frame before the
     transform.  ``dominant_freq = bin * rate / n`` — closed-form for
     a fixture with an integer number of cycles, which is what lets an
-    oracle pin the whole transform chain."""
+    oracle pin the whole transform chain.
+
+    Cost bound: one O(n log n) rfft per payload inside its task —
+    right for clip-scale audio (seconds to minutes; a 10-min 48 kHz
+    clip is a ~29 M-point transform, ~1 s of numpy).  Hour-long
+    recordings should be framed first (fixed-length windows via
+    ``avi_sample_frames``-style slicing or an upstream splitter) so
+    each transform stays clip-sized; framing also restores locality
+    for per-window features.  Not a rewrite — the full-length
+    transform is the deterministic-oracle variant by design."""
     import numpy as np
 
     vals, rate, n_channels = wav_samples(payload)
