@@ -1430,9 +1430,12 @@ def cmd_media(args) -> None:
     means), `png-resize` / `image-resize` (nearest-neighbor resize,
     re-encoded PNG payloads out; `image-resize` accepts a mixed
     PNG/JPEG column and normalizes to PNG), `frames`
-    (fixed-stride frame sampling), `features` (generic extractor —
-    `--decoder pkg.mod:fn` injects a real decoder, e.g. a PIL or
-    ffmpeg wrapper, on clusters that have one installed).  Extends the
+    (fixed-stride frame sampling), `pdf-text` (real PDF text
+    extraction: object scan, FlateDecode, Tj/TJ operators —
+    `--on-error skip` for dirty corpora), `features` (generic
+    extractor — `--decoder pkg.mod:fn` injects a real decoder, e.g. a
+    PIL or ffmpeg wrapper, on clusters that have one installed).
+    Extends the
     reference surface (media is opaque blobs there; here decode runs
     Arrow-batched inside tasks)."""
     import minerva_etl_spark.operators.multimodal as M
@@ -1481,6 +1484,10 @@ def cmd_media(args) -> None:
         out = M.sample_frames(
             df, every_n_bytes=args.stride, max_frames=args.n
         )
+    elif args.action == "pdf-text":
+        from minerva_etl_spark.operators.pdf import pdf_extract
+
+        out = pdf_extract(df, id_col="media_id", on_error=args.on_error)
     else:  # pragma: no cover - argparse choices guard this
         raise ValueError(args.action)
     out.write.mode("overwrite").parquet(args.output)
@@ -1918,7 +1925,7 @@ def main(argv: list[str] | None = None) -> None:
         choices=["wav-features", "wav-spectral", "png-features",
                  "jpeg-features", "gif-features", "image-features",
                  "png-resize", "image-resize", "frames", "avi-features",
-                 "avi-frames", "features"],
+                 "avi-frames", "features", "pdf-text"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")
@@ -1938,6 +1945,10 @@ def main(argv: list[str] | None = None) -> None:
                          "its own flag — --stride is a BYTE count)")
     md.add_argument("--n", type=int, default=8,
                     help="frames: max frames per payload")
+    md.add_argument("--on-error", default="fail",
+                    choices=["fail", "skip"], dest="on_error",
+                    help="pdf-text: skip undecodable payloads instead "
+                         "of failing the job (dirty-corpus mode)")
     md.set_defaults(fn=cmd_media)
 
     cw = sub.add_parser("crawl")

@@ -3655,6 +3655,65 @@ FROM san
 """
 
 
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction (`operators/pdf.py::pdf_extract`):
+    each doc becomes a real two-page PDF 1.4 file synthesized in-task
+    — page 1 a fixed header line, page 2 the sanitized doc text,
+    /Title in the Info dict, content streams FlateDecode-compressed
+    for even doc_ids and stored plain for odd ones (both filter paths
+    in one column) — then parsed back through the full chain: binary-
+    safe object scan, page-tree walk, zlib inflate, Tj tokenizing
+    with literal-string unescaping.  The oracle rebuilds title, page
+    join, and char count closed-form; a bug in ANY stage (xref/object
+    boundaries, Flate dispatch, string escapes, page order)
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.pdf import (
+        pdf_extract,
+        synthesize_pdf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                rows.append(
+                    (
+                        d,
+                        synthesize_pdf(
+                            [f"Doc {d} report", t],
+                            title=f"Doc {d}",
+                            compress=(d % 2 == 0),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return pdf_extract(payloads)
+
+
+_ORACLE_PDF_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(2 AS INT) AS n_pages,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || chr(10) || chr(10) || text AS text,
+       CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || ' report')
+            + 2 + length(text) AS INT) AS n_chars
+FROM san
+"""
+
+
 def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF decode (`operators/gif.py::gif_features`): per-doc
     animated GIFs synthesized deterministically — w = 5 + doc_id % 4,
@@ -4308,7 +4367,6 @@ _REGISTRY_ORDER = [
     "incremental_embedding",
     "semantic_decontamination",
     "leakage_split",
-    "semantic_dedup_trained",
     "semantic_dedup",
     "boilerplate_strip",
     "dedup_segments",
@@ -4347,6 +4405,9 @@ _REGISTRY_ORDER = [
     "sitemap_urls",
     "pipeline_crawl",
     "frontier_build",
+    # NEW r10 row, straight into the window (jpeg_features precedent):
+    # real PDF 1.4 both directions — the document-corpus ingest edge.
+    "pdf_extract",
     # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
     "live_monitor",
     "lifecycle_load_store",
@@ -4419,6 +4480,12 @@ _REGISTRY_ORDER = [
     #     pytest-pinned (test_incremental);
     #   logreg_eval — logreg_train (in-window) produces the very model
     #     logreg_eval scores; the AUC window is pytest-pinned.
+    #   semantic_dedup_trained — driver-green r7 + r9; semantic_dedup
+    #     (in-window) exercises the identical within-cluster ε-ball
+    #     pair join, and the trained-centroid path (Lloyd's rounds)
+    #     is pinned by test_kmeans_caps; rotated out to make room for the
+    #     NEW pdf_extract row.
+    "semantic_dedup_trained",
     "upsert_last_wins",
     "attr_compact",
     "package_merge",
@@ -4578,6 +4645,7 @@ def build_queries() -> dict:
         "pipeline_crawl": q_pipeline_crawl,
         "warc_harvest": q_warc_harvest,
         "html_extract": q_html_extract,
+        "pdf_extract": q_pdf_extract,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -4699,6 +4767,7 @@ def build_oracles() -> dict[str, str]:
         "pipeline_crawl": _oracle_pipeline_crawl(),
         "warc_harvest": _ORACLE_WARC_HARVEST,
         "html_extract": _ORACLE_HTML_EXTRACT,
+        "pdf_extract": _ORACLE_PDF_EXTRACT,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

@@ -1,0 +1,161 @@
+"""PDF text extraction: synthesize/extract round trip, content-stream
+operator semantics, binary-safety of the object scan, honest-reject
+boundaries, the Spark operator, and the CLI verb."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from minerva_etl_spark.operators.pdf import (
+    _content_text,
+    pdf_extract,
+    pdf_extract_text,
+    synthesize_pdf,
+)
+
+
+def test_round_trip_compressed_multipage():
+    p = synthesize_pdf(
+        ["Hello (world) \\ test\nline two", "page 2 text"],
+        title="My Doc (v1)",
+    )
+    assert p.startswith(b"%PDF-1.4")
+    d = pdf_extract_text(p)
+    assert d["n_pages"] == 2
+    assert d["title"] == "My Doc (v1)"
+    assert d["text"] == "Hello (world) \\ test\nline two\n\npage 2 text"
+    assert d["n_chars"] == len(d["text"])
+
+
+def test_round_trip_uncompressed_and_no_title():
+    d = pdf_extract_text(synthesize_pdf(["plain"], compress=False))
+    assert (d["text"], d["n_pages"], d["title"]) == ("plain", 1, None)
+
+
+def test_xref_offsets_are_byte_accurate():
+    """The synthesizer writes a REAL xref table: every offset points
+    at its object header and startxref points at 'xref'."""
+    p = synthesize_pdf(["x", "y"], title="t")
+    xref_at = int(re.search(rb"startxref\n(\d+)", p).group(1))
+    assert p[xref_at : xref_at + 4] == b"xref"
+    for i, off in enumerate(re.findall(rb"(\d{10}) 00000 n", p), start=1):
+        head = f"{i} 0 obj".encode()
+        assert p[int(off) : int(off) + len(head)] == head
+
+
+def test_content_stream_operators():
+    """TJ arrays drop kerning numbers; ' moves to the next line before
+    showing; hex strings decode; Td/T* between showings emit
+    newlines."""
+    s = b"BT /F1 11 Tf 72 720 Td [(ab) -120 (cd)] TJ 0 -14 Td (ee) Tj (next)' ET"
+    assert _content_text(s) == "abcd\nee\nnext"
+    assert _content_text(b"BT <48656C6C6F> Tj ET") == "Hello"
+    assert _content_text(b"BT (a) Tj T* (b) Tj ET") == "a\nb"
+
+
+def test_literal_string_escapes():
+    s = rb"BT (oct \101\102 nl \n paren \( back \\ cont\
+inued) Tj ET"
+    assert _content_text(s) == "oct AB nl \n paren ( back \\ continued"
+
+
+def test_object_scan_is_binary_safe():
+    """Stream bytes spelling 'N 0 obj' / 'endobj' must neither
+    register phantom objects nor truncate parsing — the scanner skips
+    stream bodies via /Length."""
+    text = "before 99 0 obj endobj endstream after"
+    d = pdf_extract_text(synthesize_pdf([text], compress=False))
+    assert d["text"] == text
+    # and with compression, arbitrary zlib bytes round-trip too
+    import random
+
+    rng = random.Random(7)
+    for _ in range(50):
+        t = "".join(
+            rng.choice(" abcdefgh(\\)ijklmnop") for _ in range(800)
+        )
+        assert pdf_extract_text(synthesize_pdf([t]))["text"] == t
+
+
+def test_page_tree_order_not_object_order():
+    """/Kids order wins: build a PDF, then swap the Kids array so page
+    2 comes first — extraction must follow the tree."""
+    p = synthesize_pdf(["first", "second"])
+    swapped = p.replace(b"/Kids [5 0 R 7 0 R]", b"/Kids [7 0 R 5 0 R]")
+    assert swapped != p
+    assert pdf_extract_text(swapped)["text"] == "second\n\nfirst"
+
+
+def test_honest_rejects():
+    with pytest.raises(ValueError, match="not a PDF"):
+        pdf_extract_text(b"GIF89a not a pdf")
+    enc = synthesize_pdf(["x"]).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
+    )
+    with pytest.raises(NotImplementedError, match="encrypted"):
+        pdf_extract_text(enc)
+    dct = synthesize_pdf(["x"], compress=False).replace(
+        b"<< /Length", b"<< /Filter /DCTDecode /Length"
+    )
+    with pytest.raises(NotImplementedError, match="FlateDecode"):
+        pdf_extract_text(dct)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=120,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_hypothesis_round_trip(pages):
+    d = pdf_extract_text(synthesize_pdf(pages, title="T"))
+    assert d["text"] == "\n\n".join(pages)
+    assert d["n_pages"] == len(pages)
+
+
+def test_spark_pdf_extract_and_skip_policy(spark):
+    rows = [
+        (1, synthesize_pdf(["alpha one", "alpha two"], title="A")),
+        (2, b"not a pdf at all"),
+        (3, synthesize_pdf(["gamma"], compress=False)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r.doc_id: r
+        for r in pdf_extract(df, on_error="skip").collect()
+    }
+    assert set(got) == {1, 3}
+    assert got[1].text == "alpha one\n\nalpha two"
+    assert got[1].n_pages == 2 and got[1].title == "A"
+    assert got[3].text == "gamma" and got[3].title is None
+    with pytest.raises(Exception, match="not a PDF"):
+        pdf_extract(df, on_error="fail").collect()
+
+
+def test_cli_media_pdf_text(tmp_path, spark):
+    from minerva_etl_spark.cli import main
+
+    media = spark.createDataFrame(
+        [
+            (1, synthesize_pdf(["cli page"], title="C")),
+            (2, b"junk"),
+        ],
+        "media_id bigint, payload binary",
+    )
+    src = str(tmp_path / "media")
+    media.write.parquet(src)
+    out = str(tmp_path / "txt")
+    main(["media", "pdf-text", "--input", src, "--output", out,
+          "--on-error", "skip"])
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].text == "cli page"
