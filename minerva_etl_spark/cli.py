@@ -1495,6 +1495,34 @@ def cmd_media(args) -> None:
     print(f"media {args.action}: {n} rows -> {args.output}")
 
 
+def cmd_archive(args) -> None:
+    """`minerva-spark archive <action>`: tar/zip corpus ingest —
+    `read` explodes archives into one row per member (archive,
+    member, size, content, text), one task per archive (the WARC
+    scale unit; see `sources/archive.py`); `export` writes
+    (archive, member, content) rows back out as one archive per
+    distinct name, written by the owning task.  Archives also load
+    through the harvest-plugin path (`load-data --file-type tar|zip`)."""
+    from minerva_etl_spark.sources.archive import (
+        read_archives,
+        write_archives,
+    )
+
+    spark = _spark()
+    if args.action == "read":
+        out = read_archives(
+            spark, args.input,
+            members_glob=args.members, on_error=args.on_error,
+        )
+    else:
+        df = spark.read.parquet(args.input)
+        out_dir = args.output_dir or (args.output + ".archives")
+        out = write_archives(df, out_dir)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(f"archive {args.action}: {n} rows -> {args.output}")
+
+
 def cmd_crawl(args) -> None:
     """`minerva-spark crawl <action>`: the web-crawl ingest edge of
     the pipeline — `warc-read` parses WARC files (plain or Common
@@ -1979,6 +2007,25 @@ def main(argv: list[str] | None = None) -> None:
     cw.add_argument("--xml-col", default="xml",
                     help="sitemap-urls: column holding the XML")
     cw.set_defaults(fn=cmd_crawl)
+
+    ar = sub.add_parser("archive")
+    ar.add_argument("action", choices=["read", "export"])
+    ar.add_argument("--input", required=True,
+                    help="read: archive dir/glob (tar/tgz/tar.gz/"
+                         "tar.bz2/tar.xz/zip); export: input parquet "
+                         "of (archive, member, content) rows")
+    ar.add_argument("--output", required=True,
+                    help="read: output parquet; export: report "
+                         "parquet (archives land in --output-dir)")
+    ar.add_argument("--output-dir", default=None,
+                    help="export: directory for the archive files")
+    ar.add_argument("--members", default=None,
+                    help="read: member-name glob filter (e.g. "
+                         "'*.txt'), applied inside the task")
+    ar.add_argument("--on-error", default="fail",
+                    choices=["fail", "skip"], dest="on_error",
+                    help="read: skip unreadable archives")
+    ar.set_defaults(fn=cmd_archive)
 
     qs = sub.add_parser("quick-start")
     qs.add_argument("instance_root", nargs="?", default=None)

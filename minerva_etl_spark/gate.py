@@ -3699,6 +3699,86 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_extract(payloads)
 
 
+def q_archive_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive corpus ingest (`sources/archive.py`): documents are
+    packed in-task into REAL archives — shard by doc_id % 6, even
+    shards zip, odd shards tar.gz, so BOTH formats live in one
+    delivery directory — via `write_archives` (one archive per group,
+    written by the owning task), then harvested back with
+    `read_archives` (one task per archive, member explode, utf-8
+    text twin) and the doc_id recovered from the member name.  The
+    oracle rebuilds shard name, member name, byte size, and text
+    closed-form; a bug in either direction of either format
+    hash-mismatches."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.sources.archive import (
+        read_archives,
+        write_archives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                shard = d % 6
+                ext = "zip" if shard % 2 == 0 else "tar.gz"
+                rows.append(
+                    (
+                        f"shard-{shard}.{ext}",
+                        f"doc_{d:06d}.txt",
+                        _ascii_sanitize(str(t)).encode(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["archive", "member", "content"]
+            )
+
+    staged = docs.mapInPandas(
+        synth, "archive string, member string, content binary"
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_archive_")
+    write_archives(staged, root).collect()
+    out = (
+        read_archives(spark, root)
+        .select(
+            F.regexp_extract("member", r"doc_(\d+)\.txt", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "archive",
+            "member",
+            "size",
+            "text",
+        )
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ORACLE_ARCHIVE_HARVEST = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id,
+       'shard-' || CAST(doc_id % 6 AS VARCHAR)
+           || CASE WHEN (doc_id % 6) % 2 = 0
+                   THEN '.zip' ELSE '.tar.gz' END AS archive,
+       'doc_' || lpad(CAST(doc_id AS VARCHAR), 6, '0') || '.txt'
+           AS member,
+       CAST(length(text) AS BIGINT) AS size,
+       text
+FROM san
+"""
+
+
 _ORACLE_PDF_EXTRACT = f"""
 WITH san AS (
   SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
@@ -4378,7 +4458,6 @@ _REGISTRY_ORDER = [
     "sim_ivf_query",
     # -- LLM-pipeline: text / tokens / curation / trainers ------------
     "text_profile",
-    "domain_cap",
     "embed_text_hashed",
     "tfidf_terms",
     "bpe_encode",
@@ -4405,9 +4484,11 @@ _REGISTRY_ORDER = [
     "sitemap_urls",
     "pipeline_crawl",
     "frontier_build",
-    # NEW r10 row, straight into the window (jpeg_features precedent):
-    # real PDF 1.4 both directions — the document-corpus ingest edge.
+    # NEW r10 rows, straight into the window (jpeg_features
+    # precedent): real PDF 1.4 both directions, and tar/zip archive
+    # harvest — the document-corpus ingest edges.
     "pdf_extract",
+    "archive_harvest",
     # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
     "live_monitor",
     "lifecycle_load_store",
@@ -4485,7 +4566,13 @@ _REGISTRY_ORDER = [
     #     pair join, and the trained-centroid path (Lloyd's rounds)
     #     is pinned by test_kmeans_caps; rotated out to make room for the
     #     NEW pdf_extract row.
+    #   domain_cap — driver-green r8 + r9; frontier_build (in-window)
+    #     runs the identical two-level salted per-domain cap as its
+    #     final stage (a cap bug changes its hash), and the skew
+    #     machinery is pinned by test_streaming_skew/test_operators;
+    #     rotated out to make room for the NEW archive_harvest row.
     "semantic_dedup_trained",
+    "domain_cap",
     "upsert_last_wins",
     "attr_compact",
     "package_merge",
@@ -4646,6 +4733,7 @@ def build_queries() -> dict:
         "warc_harvest": q_warc_harvest,
         "html_extract": q_html_extract,
         "pdf_extract": q_pdf_extract,
+        "archive_harvest": q_archive_harvest,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -4768,6 +4856,7 @@ def build_oracles() -> dict[str, str]:
         "warc_harvest": _ORACLE_WARC_HARVEST,
         "html_extract": _ORACLE_HTML_EXTRACT,
         "pdf_extract": _ORACLE_PDF_EXTRACT,
+        "archive_harvest": _ORACLE_ARCHIVE_HARVEST,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
