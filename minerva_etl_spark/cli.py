@@ -1530,7 +1530,9 @@ def cmd_crawl(args) -> None:
     (warc_file, record_id, target_uri, warc_date, body) rows back out
     as real WARC files (one per group, written by the owning task);
     `html-extract` turns an (doc_id, html) parquet into (doc_id,
-    title, text, n_links); `warc-to-text` is the fused end-to-end
+    title, text, n_links); `feed-entries` parses RSS 2.0/RSS 1.0/Atom feeds into one row
+    per entry (title, link, published, guid — the incremental
+    frontier signal beside `sitemap-urls`); `warc-to-text` is the fused end-to-end
     harvest: WARC dir → HTTP response records → HTML extraction → a
     documents-shaped parquet ready for every text operator;
     `url-profile` / `domain-report` add the parse_url-based URL parts
@@ -1573,6 +1575,12 @@ def cmd_crawl(args) -> None:
         from minerva_etl_spark.operators.sitemap import sitemap_urls
 
         out = sitemap_urls(
+            spark.read.parquet(args.input), xml_col=args.xml_col
+        )
+    elif args.action == "feed-entries":
+        from minerva_etl_spark.operators.feeds import feed_entries
+
+        out = feed_entries(
             spark.read.parquet(args.input), xml_col=args.xml_col
         )
     elif args.action == "robots-filter":
@@ -1984,7 +1992,7 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=["warc-read", "warc-export", "html-extract",
                  "warc-to-text", "url-profile", "domain-report",
-                 "robots-filter", "sitemap-urls"],
+                 "robots-filter", "sitemap-urls", "feed-entries"],
     )
     cw.add_argument("--input", required=True,
                     help="WARC dir/glob, or input parquet")

@@ -3699,6 +3699,94 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_extract(payloads)
 
 
+def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
+    each doc becomes a real feed synthesized in-task — even doc_ids
+    RSS 2.0 (plain tags), odd Atom (namespaced), 1 + doc_id % 3
+    entries each.  Entries alternate the fallback paths: even entry
+    indexes carry an explicit guid/id, odd ones fall back to the
+    link; Atom entries carry a rel="self" decoy link BEFORE the
+    alternate so the resolution order is exercised on every row.
+    The oracle regenerates every exploded row closed-form with
+    generate_series — a bug in either format's item walk, the link
+    rel rules, or the guid/published fallbacks hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.feeds import feed_entries
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 1 + d % 3
+                items = []
+                for i in range(n):
+                    link = f"https://corpus.test/d/{d}/{i}"
+                    pub = f"2026-02-03T04:05:0{i}Z"
+                    gid = f"guid:{d}:{i}" if i % 2 == 0 else None
+                    if d % 2 == 0:
+                        guid_el = f"<guid>{gid}</guid>" if gid else ""
+                        items.append(
+                            f"<item><title>Doc {d} item {i}</title>"
+                            f"<link>{link}</link>"
+                            f"<pubDate>{pub}</pubDate>{guid_el}</item>"
+                        )
+                    else:
+                        id_el = f"<id>{gid}</id>" if gid else ""
+                        items.append(
+                            f"<entry><title>Doc {d} item {i}</title>"
+                            f'<link rel="self" href="{link}.xml"/>'
+                            f'<link rel="alternate" href="{link}"/>'
+                            f"{id_el}<published>{pub}</published>"
+                            "</entry>"
+                        )
+                if d % 2 == 0:
+                    xml = (
+                        '<rss version="2.0"><channel>'
+                        f"<title>Feed {d}</title>"
+                        + "".join(items)
+                        + "</channel></rss>"
+                    )
+                else:
+                    xml = (
+                        '<feed xmlns="http://www.w3.org/2005/Atom">'
+                        f"<title>Feed {d}</title>"
+                        + "".join(items)
+                        + "</feed>"
+                    )
+                rows.append((d, xml))
+            yield pd.DataFrame(rows, columns=["feed_id", "xml"])
+
+    feeds = docs.mapInPandas(synth, "feed_id bigint, xml string")
+    return feed_entries(feeds)
+
+
+_ORACLE_FEED_ENTRIES = """
+WITH e AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i
+  FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS t(i)
+)
+SELECT doc_id AS feed_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS format,
+       'Feed ' || CAST(doc_id AS VARCHAR) AS feed_title,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' item '
+           || CAST(i AS VARCHAR) AS title,
+       'https://corpus.test/d/' || CAST(doc_id AS VARCHAR) || '/'
+           || CAST(i AS VARCHAR) AS link,
+       '2026-02-03T04:05:0' || CAST(i AS VARCHAR) || 'Z' AS published,
+       CASE WHEN i % 2 = 0
+            THEN 'guid:' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(i AS VARCHAR)
+            ELSE 'https://corpus.test/d/' || CAST(doc_id AS VARCHAR)
+                 || '/' || CAST(i AS VARCHAR) END AS guid
+FROM e
+"""
+
+
 def q_archive_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive corpus ingest (`sources/archive.py`): documents are
     packed in-task into REAL archives — shard by doc_id % 6, even
@@ -4446,7 +4534,6 @@ _REGISTRY_ORDER = [
     "dedup_components",
     "incremental_embedding",
     "semantic_decontamination",
-    "leakage_split",
     "semantic_dedup",
     "boilerplate_strip",
     "dedup_segments",
@@ -4482,6 +4569,7 @@ _REGISTRY_ORDER = [
     "url_profile",
     "robots_filter",
     "sitemap_urls",
+    "feed_entries",
     "pipeline_crawl",
     "frontier_build",
     # NEW r10 rows, straight into the window (jpeg_features
@@ -4571,8 +4659,15 @@ _REGISTRY_ORDER = [
     #     final stage (a cap bug changes its hash), and the skew
     #     machinery is pinned by test_streaming_skew/test_operators;
     #     rotated out to make room for the NEW archive_harvest row.
+    #   leakage_split — driver-green r8 + r9; dedup_components
+    #     (in-window) consumes the identical MinHash-LSH pair graph +
+    #     connected components, and the one-md5-ticket-per-component
+    #     draw is pinned by test_kmeans_caps.py::
+    #     test_leakage_split_component_invariant; rotated out to make
+    #     room for the NEW feed_entries row.
     "semantic_dedup_trained",
     "domain_cap",
+    "leakage_split",
     "upsert_last_wins",
     "attr_compact",
     "package_merge",
@@ -4734,6 +4829,7 @@ def build_queries() -> dict:
         "html_extract": q_html_extract,
         "pdf_extract": q_pdf_extract,
         "archive_harvest": q_archive_harvest,
+        "feed_entries": q_feed_entries,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -4857,6 +4953,7 @@ def build_oracles() -> dict[str, str]:
         "html_extract": _ORACLE_HTML_EXTRACT,
         "pdf_extract": _ORACLE_PDF_EXTRACT,
         "archive_harvest": _ORACLE_ARCHIVE_HARVEST,
+        "feed_entries": _ORACLE_FEED_ENTRIES,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
