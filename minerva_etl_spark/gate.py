@@ -3765,6 +3765,101 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds)
 
 
+def q_pipeline_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused DOCUMENT-delivery pipeline — the archive/PDF twin of
+    `pipeline_crawl`'s harvest edge: documents become real two-page
+    PDFs (even ids Flate-compressed), packed as members of real
+    archives (even shards zip, odd tar.gz), written by owning tasks,
+    then harvested back: `read_archives` → member-name doc_id →
+    `pdf_extract` → `with_token_count` → keep docs with ≥ 30 tokens.
+    Three r10 operators composed in one lineage with zero driver
+    round-trips between stages; the oracle replays the survivors
+    closed-form (title, exact text, token count), so ANY stage
+    breaking — archive member bytes, PDF object boundaries, Flate
+    dispatch, text-op tokenizing, filtering — shifts the hash."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.pdf import (
+        pdf_extract,
+        synthesize_pdf,
+    )
+    from minerva_etl_spark.operators.text import with_token_count
+    from minerva_etl_spark.sources.archive import (
+        read_archives,
+        write_archives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                shard = d % 6
+                ext = "zip" if shard % 2 == 0 else "tar.gz"
+                payload = synthesize_pdf(
+                    [f"Doc {d} report", _ascii_sanitize(str(t))],
+                    title=f"Doc {d}",
+                    compress=(d % 2 == 0),
+                )
+                rows.append(
+                    (f"shard-{shard}.{ext}", f"doc_{d:06d}.pdf", payload)
+                )
+            yield pd.DataFrame(
+                rows, columns=["archive", "member", "content"]
+            )
+
+    staged = docs.mapInPandas(
+        synth, "archive string, member string, content binary"
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_docpipe_")
+    write_archives(staged, root).collect()
+    members = read_archives(spark, root).select(
+        F.regexp_extract("member", r"doc_(\d+)\.pdf", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    out = (
+        with_token_count(pdf_extract(members))
+        .where(F.col("n_tokens") >= 30)
+        .select("doc_id", "n_pages", "title", "text", "n_tokens")
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_pipeline_document() -> str:
+    from minerva_etl_spark.operators.text import tokens_duck_sql
+
+    toks = tokens_duck_sql("text")
+    return f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS s FROM documents
+), built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+             || chr(10) || chr(10) || s AS text
+  FROM san
+), counted AS (
+  SELECT doc_id, text, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM built
+)
+SELECT doc_id,
+       CAST(2 AS INT) AS n_pages,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       text,
+       n_tokens
+FROM counted WHERE n_tokens >= 30
+"""
+
+
 _ORACLE_FEED_ENTRIES = """
 WITH e AS (
   SELECT doc_id, CAST(i AS BIGINT) AS i
@@ -4694,6 +4789,12 @@ _REGISTRY_ORDER = [
     "bpe_train",
     "sim_ivf_incremental",
     "logreg_eval",
+    # NEW r10 row born out-of-window — the ONE scheduled r11
+    # rotate-in candidate (r8.5 precedent): it composes three
+    # in-window r10 rows (archive_harvest + pdf_extract + the token
+    # ops of pipeline_crawl), so its surfaces are all driver-checked
+    # this round; locally hash-verified at sf0.001 + sf0.01.
+    "pipeline_document",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -4830,6 +4931,7 @@ def build_queries() -> dict:
         "pdf_extract": q_pdf_extract,
         "archive_harvest": q_archive_harvest,
         "feed_entries": q_feed_entries,
+        "pipeline_document": q_pipeline_document,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -4954,6 +5056,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract": _ORACLE_PDF_EXTRACT,
         "archive_harvest": _ORACLE_ARCHIVE_HARVEST,
         "feed_entries": _ORACLE_FEED_ENTRIES,
+        "pipeline_document": _oracle_pipeline_document(),
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
