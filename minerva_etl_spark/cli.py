@@ -1583,6 +1583,19 @@ def cmd_crawl(args) -> None:
         out = feed_entries(
             spark.read.parquet(args.input), xml_col=args.xml_col
         )
+    elif args.action == "frontier-ingest":
+        from minerva_etl_spark.operators.frontier import (
+            ingest_frontier_increment,
+        )
+
+        if not args.state:
+            raise SystemExit(
+                "minerva-spark crawl frontier-ingest: --state required"
+            )
+        out = ingest_frontier_increment(
+            spark, spark.read.parquet(args.input), args.state,
+            url_col=args.url_col,
+        )
     elif args.action == "robots-filter":
         from minerva_etl_spark.operators.robots import filter_allowed
         from minerva_etl_spark.operators.urlops import with_url_parts
@@ -1992,7 +2005,8 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=["warc-read", "warc-export", "html-extract",
                  "warc-to-text", "url-profile", "domain-report",
-                 "robots-filter", "sitemap-urls", "feed-entries"],
+                 "robots-filter", "sitemap-urls", "feed-entries",
+                 "frontier-ingest"],
     )
     cw.add_argument("--input", required=True,
                     help="WARC dir/glob, or input parquet")
@@ -2008,6 +2022,9 @@ def main(argv: list[str] | None = None) -> None:
                     help="html-extract: column holding the HTML")
     cw.add_argument("--url-col", default="url",
                     help="url-profile/domain-report: URL column")
+    cw.add_argument("--state", default=None,
+                    help="frontier-ingest: persisted seen-URL state "
+                         "directory (created on first poll)")
     cw.add_argument("--robots", default=None,
                     help="robots-filter: parquet of (host, robots_txt)")
     cw.add_argument("--agent", default="*",

@@ -3765,6 +3765,71 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds)
 
 
+def q_frontier_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental crawl-frontier state (`operators/frontier.py::
+    ingest_frontier_increment`): two polls through a persisted
+    seen-URL set — poll 1 bootstraps the state with one URL per doc,
+    poll 2 mixes noisy re-spellings of seen URLs (uppercase scheme +
+    host, a fragment — every doc_id % 3 == 0) with genuinely new
+    paths, and the decision must mark exactly the re-spellings as
+    seen, proving the Catalyst URL normalization IS the state key.
+    Oracle: the closed-form recompute (a poll-2 URL is new iff its
+    doc is not a re-spelling), with DuckDB's md5 recomputing the
+    key."""
+    _prep(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.frontier import (
+        ingest_frontier_increment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    root = tempfile.mkdtemp(prefix="minerva_gate_frontier_")
+    state_path = os.path.join(root, "frontier_state")
+
+    def poll(n: int):
+        def synth(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+                    if n == 1:
+                        rows.append((f"https://s{d % 40}.test/p/{d}",))
+                    elif d % 3 == 0:
+                        rows.append(
+                            (f"HTTPS://S{d % 40}.TEST/p/{d}#frag",)
+                        )
+                    else:
+                        rows.append((f"https://s{d % 40}.test/q/{d}",))
+                yield pd.DataFrame(rows, columns=["url"])
+
+        return docs.mapInPandas(synth, "url string")
+
+    ingest_frontier_increment(spark, poll(1), state_path)
+    out = ingest_frontier_increment(spark, poll(2), state_path)
+    shutil.rmtree(root, ignore_errors=True)  # decisions checkpointed
+    return out
+
+
+_ORACLE_FRONTIER_INCREMENT = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'https://s' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.test/p/' || CAST(doc_id AS VARCHAR)
+              ELSE 'https://s' || CAST(doc_id % 40 AS VARCHAR)
+                   || '.test/q/' || CAST(doc_id AS VARCHAR) END AS url,
+         doc_id % 3 <> 0 AS is_new
+  FROM documents
+)
+SELECT url, md5(url) AS url_key, is_new FROM u
+"""
+
+
 def q_pipeline_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused DOCUMENT-delivery pipeline — the archive/PDF twin of
     `pipeline_crawl`'s harvest edge: documents become real two-page
@@ -4789,12 +4854,17 @@ _REGISTRY_ORDER = [
     "bpe_train",
     "sim_ivf_incremental",
     "logreg_eval",
-    # NEW r10 row born out-of-window — the ONE scheduled r11
-    # rotate-in candidate (r8.5 precedent): it composes three
-    # in-window r10 rows (archive_harvest + pdf_extract + the token
-    # ops of pipeline_crawl), so its surfaces are all driver-checked
-    # this round; locally hash-verified at sf0.001 + sf0.01.
+    # NEW r10 rows born out-of-window — the TWO scheduled r11
+    # rotate-in candidates (r8.5 precedent), locally hash-verified at
+    # sf0.001 + sf0.01:
+    #   pipeline_document composes three in-window r10 rows
+    #     (archive_harvest + pdf_extract + pipeline_crawl's token
+    #     ops), so its surfaces are all driver-checked this round;
+    #   frontier_increment reuses the lease/anti-join state cycle of
+    #     in-window incremental_embedding and the parse_url Catalyst
+    #     family of in-window url_profile.
     "pipeline_document",
+    "frontier_increment",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -4932,6 +5002,7 @@ def build_queries() -> dict:
         "archive_harvest": q_archive_harvest,
         "feed_entries": q_feed_entries,
         "pipeline_document": q_pipeline_document,
+        "frontier_increment": q_frontier_increment,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5057,6 +5128,7 @@ def build_oracles() -> dict[str, str]:
         "archive_harvest": _ORACLE_ARCHIVE_HARVEST,
         "feed_entries": _ORACLE_FEED_ENTRIES,
         "pipeline_document": _oracle_pipeline_document(),
+        "frontier_increment": _ORACLE_FRONTIER_INCREMENT,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
