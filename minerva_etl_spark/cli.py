@@ -1583,6 +1583,12 @@ def cmd_crawl(args) -> None:
         out = feed_entries(
             spark.read.parquet(args.input), xml_col=args.xml_col
         )
+    elif args.action == "robots-sitemaps":
+        from minerva_etl_spark.operators.robots import (
+            sitemaps_from_robots,
+        )
+
+        out = sitemaps_from_robots(spark.read.parquet(args.input))
     elif args.action == "frontier-ingest":
         from minerva_etl_spark.operators.frontier import (
             ingest_frontier_increment,
@@ -2005,8 +2011,8 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=["warc-read", "warc-export", "html-extract",
                  "warc-to-text", "url-profile", "domain-report",
-                 "robots-filter", "sitemap-urls", "feed-entries",
-                 "frontier-ingest"],
+                 "robots-filter", "robots-sitemaps", "sitemap-urls",
+                 "feed-entries", "frontier-ingest"],
     )
     cw.add_argument("--input", required=True,
                     help="WARC dir/glob, or input parquet")

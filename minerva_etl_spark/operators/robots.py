@@ -117,3 +117,28 @@ def filter_allowed(
     dropped."""
     out = robots_allowed(urls, robots, agent, **kw)
     return out.where("allowed").drop("allowed")
+
+
+def sitemaps_from_robots(
+    robots: DataFrame,
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Extract ``Sitemap:`` directives from robots.txt rows — the
+    discovery edge that closes the frontier loop (robots → sitemap →
+    `operators/sitemap.py` → `operators/frontier.py`).
+
+    Per RFC 9309 §2.3 the directive is case-insensitive, takes a full
+    URL, may appear multiple times, and lives outside any user-agent
+    group.  Pure Catalyst: split lines, regexp-match the directive,
+    explode — one row per (host, sitemap_url), no UDF, no shuffle.
+    """
+    line = F.explode(F.split(F.col(robots_col), "\r?\n")).alias("line")
+    url = F.regexp_extract(
+        F.col("line"), r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$", 1
+    )
+    return (
+        robots.select(F.col(host_col), line)
+        .select(host_col, url.alias("sitemap_url"))
+        .where(F.col("sitemap_url") != "")
+    )

@@ -125,3 +125,28 @@ def test_agent_specific_section(spark):
         .collect()[0].allowed is False
     assert robots_allowed(urls, robots, agent="politebot") \
         .collect()[0].allowed is True
+
+
+def test_sitemaps_from_robots(spark):
+    from minerva_etl_spark.operators.robots import sitemaps_from_robots
+
+    robots = spark.createDataFrame(
+        [
+            ("a.test",
+             "User-agent: *\nDisallow: /x\n"
+             "Sitemap: https://a.test/s1.xml\n"
+             "SITEMAP:https://a.test/s2.xml\n"
+             "  sitemap : not-extracted-has-space-in-url? no\n"),
+            ("b.test", "User-agent: *\nAllow: /"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {(r.host, r.sitemap_url)
+           for r in sitemaps_from_robots(robots).collect()}
+    assert got == {
+        ("a.test", "https://a.test/s1.xml"),
+        ("a.test", "https://a.test/s2.xml"),
+    }
+    # plan stays Python-free (scan + generate, no BatchEvalPython)
+    plan = sitemaps_from_robots(robots)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
