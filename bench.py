@@ -158,6 +158,15 @@ HEADLINE = [
     # round-10 rows
     "frontier_build",
     "sim_ivf_query",
+    # r10 document-ingest edge: PDF codec, archive round trip, feeds,
+    # the fused archives->PDF->filter pipeline, and the two-poll
+    # frontier state cycle (state build is part of the story here —
+    # each poll is one delivery, unlike sim_ivf's amortized fit)
+    "pdf_extract",
+    "archive_harvest",
+    "feed_entries",
+    "pipeline_document",
+    "frontier_increment",
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",
