@@ -82,6 +82,23 @@ def read_frontier_state(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _decide(delta: DataFrame, history: DataFrame) -> DataFrame:
+    """(url, url_key, is_new) for a normalized delta vs a history of
+    ``url_key`` rows — one left join, pinned before the state
+    mutates."""
+    seen = history.select("url_key").distinct().withColumn(
+        "__seen", F.lit(True)
+    )
+    return (
+        delta.join(seen, "url_key", "left")
+        .select(
+            "url", "url_key",
+            F.col("__seen").isNull().alias("is_new"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def ingest_frontier_increment(
     spark: SparkSession,
     new_urls: DataFrame,
@@ -106,18 +123,51 @@ def ingest_frontier_increment(
             history = spark.read.parquet(state_path)
         else:
             history = spark.createDataFrame([], "url_key string")
-        seen = history.select("url_key").distinct().withColumn(
-            "__seen", F.lit(True)
-        )
-        out = (
-            delta.join(seen, "url_key", "left")
-            .select(
-                "url", "url_key",
-                F.col("__seen").isNull().alias("is_new"),
-            )
-            .localCheckpoint(eager=True)
-        )  # decisions pinned before the state mutates, under the lease
+        out = _decide(delta, history)
         out.where("is_new").select("url_key", "url").write.mode(
             "append"
         ).parquet(state_path)
+    return out
+
+
+def ingest_frontier_increment_bucketed(
+    spark: SparkSession,
+    new_urls: DataFrame,
+    table_name: str,
+    url_col: str = "url",
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> DataFrame:
+    """The catalog-backed variant of :func:`ingest_frontier_increment`
+    for 100 TB-of-history scale: the state lives as a table
+    ``bucketBy(n_buckets, url_key)`` (`store/bucketed.py` strategy),
+    so each poll's decision join reads history WITHOUT an exchange —
+    only the (small) delta shuffles to the bucket layout.  Appends
+    preserve the bucketing spec; same lease discipline, same
+    decisions, proven equal to the parquet-path variant by test.
+    """
+    delta = frontier_delta(new_urls, url_col).localCheckpoint(
+        eager=True
+    )
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    lease_scope = (path or f"{warehouse}/{table_name}") + ".__lease"
+    with StoreLease(spark, lease_scope):
+        if spark.catalog.tableExists(table_name):
+            history = spark.table(table_name)
+        else:
+            history = spark.createDataFrame([], "url_key string")
+        out = _decide(delta, history)
+        writer = (
+            out.where("is_new")
+            .select("url_key", "url")
+            .write.mode("append")
+            .bucketBy(n_buckets, "url_key")
+            .sortBy("url_key")
+            .format("parquet")
+        )
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
     return out

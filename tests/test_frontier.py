@@ -114,3 +114,64 @@ def test_cli_crawl_frontier_ingest(tmp_path, spark):
     rows = {r.url: r.is_new
             for r in spark.read.parquet(str(tmp_path / "dec1")).collect()}
     assert rows == {"https://c.test/1": False, "https://c.test/2": True}
+
+
+def test_bucketed_state_matches_and_join_is_exchange_free(
+    tmp_path, spark
+):
+    """The catalog-backed state: decisions equal the parquet-path
+    variant, and the history side of the decision join is a bucketed
+    scan with NO exchange (only the small delta shuffles)."""
+    from minerva_etl_spark.operators.frontier import (
+        _decide,
+        frontier_delta,
+        ingest_frontier_increment_bucketed,
+    )
+
+    tbl = "frontier_bkt_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    p1 = [f"https://b.test/p/{i}" for i in range(30)]
+    p2 = [f"https://b.test/p/{i}" for i in range(15, 45)]
+    ingest_frontier_increment_bucketed(spark, _urls(spark, p1), tbl)
+    got = {
+        r.url: r.is_new
+        for r in ingest_frontier_increment_bucketed(
+            spark, _urls(spark, p2), tbl
+        ).collect()
+    }
+    assert got == {u: u not in set(p1) for u in p2}
+    # state stays dedup'd and appends preserved the bucket spec
+    st = spark.table(tbl)
+    assert st.count() == 45
+
+    # plan check: force SMJ so bucketing (not broadcast) carries the
+    # join.  Differential: the SAME decision join against the SAME
+    # rows read as plain parquet needs one MORE exchange — the one
+    # bucketing removes from the history side (the delta side's two,
+    # its distinct + conforming to the bucket layout, remain).
+    from pyspark.sql import functions as F
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        delta = frontier_delta(_urls(spark, p2))
+
+        def join_plan(history):
+            seen = history.select("url_key").distinct().withColumn(
+                "__seen", F.lit(True)
+            )
+            return (
+                delta.hint("merge").join(seen, "url_key", "left")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+
+        bucketed = join_plan(spark.table(tbl))
+        assert "Bucketed: true" in bucketed
+        plain_dir = str(tmp_path / "plain_state")
+        spark.table(tbl).write.parquet(plain_dir)
+        plain = join_plan(spark.read.parquet(plain_dir))
+        assert bucketed.count("Exchange") == 2  # both delta-side
+        assert plain.count("Exchange") == 3  # + history shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
