@@ -413,9 +413,11 @@ def pdf_extract(
     on_error: str = "fail",
 ) -> DataFrame:
     """PDF → text over a binary column: shuffle-free Arrow
-    ``mapInPandas``, one in-task parse per payload.
-    ``on_error='skip'`` drops undecodable payloads (dirty-corpus
-    mode) instead of failing the job."""
+    ``mapInPandas``, one in-task parse per payload.  The id column
+    keeps its input name in the output (``media_id`` in,
+    ``media_id`` out).  ``on_error='skip'`` drops undecodable
+    payloads (dirty-corpus mode) instead of failing the job."""
+    schema = PDF_EXTRACT_SCHEMA.replace("doc_id", id_col, 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -433,8 +435,8 @@ def pdf_extract(
                 )
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "n_pages", "title", "text",
+                columns=[id_col, "n_pages", "title", "text",
                          "n_chars"],
             )
 
-    return docs.mapInPandas(run, schema=PDF_EXTRACT_SCHEMA)
+    return docs.mapInPandas(run, schema=schema)

@@ -159,3 +159,12 @@ def test_cli_media_pdf_text(tmp_path, spark):
           "--on-error", "skip"])
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1 and rows[0].text == "cli page"
+
+
+def test_id_column_keeps_its_name(spark):
+    df = spark.createDataFrame(
+        [(7, synthesize_pdf(["x"]))], "media_id bigint, payload binary"
+    )
+    out = pdf_extract(df, id_col="media_id")
+    assert out.columns[0] == "media_id"
+    assert out.collect()[0].media_id == 7
