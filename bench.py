@@ -167,6 +167,10 @@ HEADLINE = [
     "feed_entries",
     "pipeline_document",
     "frontier_increment",
+    # bpe_roundtrip is deliberately NOT here (the sim_ivf_incremental
+    # rule): its gate row retrains 12 merges in-row, so benching it
+    # times the training harness a third time — encode is already
+    # timed by bpe_encode_ids, and decode is two joins + array_join.
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",

@@ -3765,6 +3765,41 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds)
 
 
+def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round trip (`operators/bpe.py::bpe_decode_ids`):
+    train 12 merges (the `bpe_encode_ids` configuration), encode
+    every document to token-id arrays, decode the arrays back through
+    the SAME deterministic vocabulary — the serialized merge table is
+    the only shared artifact, exactly a real tokenizer's vocab-file
+    contract.  decode(encode(t)) must equal the normalized word
+    sequence of t; the oracle computes that normalization directly,
+    so an id-assignment, ordering, or terminator bug on EITHER side
+    of the round trip hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, n_merges=12, min_count=2)
+    enc = bpe_encode_ids(docs, merges)
+    return bpe_decode_ids(enc, docs, merges)
+
+
+_ORACLE_BPE_ROUNDTRIP = """
+WITH n AS (
+  SELECT doc_id,
+         trim(array_to_string(
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       w -> w <> ''), ' ')) AS decoded_text
+  FROM documents
+)
+SELECT doc_id, decoded_text FROM n WHERE decoded_text <> ''
+"""
+
+
 def q_frontier_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl-frontier state (`operators/frontier.py::
     ingest_frontier_increment`): two polls through a persisted
@@ -4854,7 +4889,7 @@ _REGISTRY_ORDER = [
     "bpe_train",
     "sim_ivf_incremental",
     "logreg_eval",
-    # NEW r10 rows born out-of-window — the TWO scheduled r11
+    # NEW r10 rows born out-of-window — the THREE scheduled r11
     # rotate-in candidates (r8.5 precedent), locally hash-verified at
     # sf0.001 + sf0.01:
     #   pipeline_document composes three in-window r10 rows
@@ -4862,9 +4897,12 @@ _REGISTRY_ORDER = [
     #     ops), so its surfaces are all driver-checked this round;
     #   frontier_increment reuses the lease/anti-join state cycle of
     #     in-window incremental_embedding and the parse_url Catalyst
-    #     family of in-window url_profile.
+    #     family of in-window url_profile;
+    #   bpe_roundtrip inverts in-window bpe_encode_ids through the
+    #     same vocabulary (an encode bug breaks BOTH rows).
     "pipeline_document",
     "frontier_increment",
+    "bpe_roundtrip",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5003,6 +5041,7 @@ def build_queries() -> dict:
         "feed_entries": q_feed_entries,
         "pipeline_document": q_pipeline_document,
         "frontier_increment": q_frontier_increment,
+        "bpe_roundtrip": q_bpe_roundtrip,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5129,6 +5168,7 @@ def build_oracles() -> dict[str, str]:
         "feed_entries": _ORACLE_FEED_ENTRIES,
         "pipeline_document": _oracle_pipeline_document(),
         "frontier_increment": _ORACLE_FRONTIER_INCREMENT,
+        "bpe_roundtrip": _ORACLE_BPE_ROUNDTRIP,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

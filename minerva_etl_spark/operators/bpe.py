@@ -265,6 +265,45 @@ def bpe_encode_counts(
     )
 
 
+def _merge_list(merges: DataFrame) -> list[tuple[str, str, str]]:
+    return [
+        (r["left"], r["right"], r["left"][: -len(_T)] + r["right"])
+        for r in merges.orderBy("rank").collect()
+    ]
+
+
+def _vocab_ids(vocab0: DataFrame, ms: list) -> DataFrame:
+    """The deterministic token→id table shared by encode and decode:
+    base symbols (the distinct initial character symbols,
+    alphabet-bounded) take lexicographic ids 0..B-1, merge rank r
+    takes B+r, lowest id wins per surface token."""
+    from pyspark.sql import Window
+
+    # base symbol ids: the distinct initial symbols are alphabet-bounded
+    # (tens of rows) — a single-task window over them is free
+    base = (
+        vocab0.select(
+            F.explode(F.split(F.trim(F.col("sym")), " ")).alias("tok")
+        )
+        .distinct()
+        .withColumn(
+            "tid", (F.row_number().over(Window.orderBy("tok")) - 1)
+        )
+    )
+    n_base = base.count()
+    spark = vocab0.sparkSession
+    mtoks = spark.createDataFrame(
+        [(m, n_base + r) for r, (_l, _r, m) in enumerate(ms)],
+        "tok string, tid int",
+    )
+    return (
+        base.select("tok", F.col("tid").cast("int"))
+        .unionByName(mtoks)
+        .groupBy("tok")
+        .agg(F.min("tid").alias("tid"))
+    )
+
+
 def bpe_encode_ids(
     docs: DataFrame,
     merges: DataFrame,
@@ -291,12 +330,7 @@ def bpe_encode_ids(
     an order-restoring ``array_sort(collect_list(struct))`` rebuild —
     the same per-doc rebuild shape as the boilerplate join path.
     """
-    from pyspark.sql import Window
-
-    ms = [
-        (r["left"], r["right"], r["left"][: -len(_T)] + r["right"])
-        for r in merges.orderBy("rank").collect()
-    ]
+    ms = _merge_list(merges)
     if ms:
         pats = ", ".join(_sq(f" {l} {r}") for l, r, _ in ms)
         reps = ", ".join(_sq(f" {m}") for _, _, m in ms)
@@ -307,29 +341,7 @@ def bpe_encode_ids(
     else:
         fold = "sym"
     vocab0 = _initial_vocab(docs, text_col)
-    # base symbol ids: the distinct initial symbols are alphabet-bounded
-    # (tens of rows) — a single-task window over them is free
-    base = (
-        vocab0.select(
-            F.explode(F.split(F.trim(F.col("sym")), " ")).alias("tok")
-        )
-        .distinct()
-        .withColumn(
-            "tid", (F.row_number().over(Window.orderBy("tok")) - 1)
-        )
-    )
-    n_base = base.count()
-    spark = docs.sparkSession
-    mtoks = spark.createDataFrame(
-        [(m, n_base + r) for r, (_l, _r, m) in enumerate(ms)],
-        "tok string, tid int",
-    )
-    vocab_ids = (
-        base.select("tok", F.col("tid").cast("int"))
-        .unionByName(mtoks)
-        .groupBy("tok")
-        .agg(F.min("tid").alias("tid"))
-    )
+    vocab_ids = _vocab_ids(vocab0, ms)
     wsym = vocab0.select(
         "word",
         F.posexplode(F.split(F.trim(F.expr(fold)), " ")).alias(
@@ -528,3 +540,57 @@ SELECT w.{id_col},
 FROM w JOIN enc e ON w.word = e.word
 GROUP BY w.{id_col}
 """
+
+
+def bpe_decode_ids(
+    encoded: DataFrame,
+    docs: DataFrame,
+    merges: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+    text_col: str = "text",
+) -> DataFrame:
+    """Invert :func:`bpe_encode_ids`: token-id arrays back to text —
+    the loader-side decode that makes the tokenizer surface a real
+    round trip (``decode(encode(t))`` equals the normalized word
+    sequence of ``t``, pinned by test and oracle row).
+
+    The id→token table is the SAME deterministic vocabulary
+    :func:`bpe_encode_ids` derives (base symbols + merges, lowest id
+    per surface token), so a serialized merge table is the only
+    artifact the two sides share — exactly the vocab-file contract of
+    a real tokenizer.  Decoding is pure string mechanics: every token
+    ends with the ``_`` terminator and word-final tokens carry
+    ``</w>``, so per doc: concatenate tokens in order, drop the
+    terminators, turn ``</w>`` into spaces.
+
+    Scale shape: one posexplode + a vocab-bounded equi-join + the
+    order-restoring per-doc rebuild — the same joins as encode; the
+    concatenation is one in-row ``array_join``.
+    """
+    ms = _merge_list(merges)
+    vocab_ids = _vocab_ids(_initial_vocab(docs, text_col), ms)
+    toks = encoded.select(
+        F.col(id_col),
+        F.posexplode(F.col(ids_col)).alias("tpos", "tid"),
+    )
+    return (
+        toks.join(vocab_ids, "tid")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "array_join(transform("
+                "array_sort(collect_list(struct(tpos, tok))),"
+                " x -> x.tok), '')"
+            ).alias("__joined")
+        )
+        .select(
+            id_col,
+            F.trim(
+                F.expr(
+                    f"replace(replace(__joined, {_sq(_EOW)}, ' '), "
+                    f"{_sq(_T)}, '')"
+                )
+            ).alias("decoded_text"),
+        )
+    )

@@ -141,3 +141,36 @@ def test_interval_and_date_part(spark):
 
 def test_condition_passthrough(spark):
     assert translate("power_mwh > max_power") == "power_mwh > max_power"
+
+
+def test_bpe_decode_round_trip(spark):
+    """decode(encode(t)) == the normalized word sequence of t, with
+    the merge table as the only shared artifact."""
+    from minerva_etl_spark.operators.bpe import (
+        bpe_decode_ids,
+        bpe_encode_ids,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "A cat AND a hat!"),
+            (3, "cats, cats & more cats"),
+            (4, "unseen zebra words"),
+        ],
+        "doc_id bigint, text string",
+    )
+    merges, _ = bpe_train(docs, n_merges=8, min_count=2)
+    dec = {
+        r.doc_id: r.decoded_text
+        for r in bpe_decode_ids(
+            bpe_encode_ids(docs, merges), docs, merges
+        ).collect()
+    }
+    assert dec == {
+        1: "the cat sat on the mat",
+        2: "a cat and a hat",
+        3: "cats cats more cats",
+        4: "unseen zebra words",
+    }
