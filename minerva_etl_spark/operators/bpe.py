@@ -542,13 +542,29 @@ GROUP BY w.{id_col}
 """
 
 
-def bpe_decode_ids(
-    encoded: DataFrame,
+def bpe_vocab(
     docs: DataFrame,
     merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """The deterministic (tok, tid) vocabulary table
+    :func:`bpe_encode_ids` derives from a corpus + merge table — the
+    artifact to PERSIST next to the merges (a real tokenizer's vocab
+    file).  Decode on another machine / a different corpus must use
+    this table, not re-derive it: the base-symbol ids are
+    lexicographic over THIS corpus's alphabet, so re-deriving from a
+    corpus with even one new character shifts every id."""
+    return _vocab_ids(_initial_vocab(docs, text_col), _merge_list(merges))
+
+
+def bpe_decode_ids(
+    encoded: DataFrame,
+    docs: DataFrame | None = None,
+    merges: DataFrame | None = None,
     id_col: str = "doc_id",
     ids_col: str = "token_ids",
     text_col: str = "text",
+    vocab_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Invert :func:`bpe_encode_ids`: token-id arrays back to text —
     the loader-side decode that makes the tokenizer surface a real
@@ -556,20 +572,29 @@ def bpe_decode_ids(
     sequence of ``t``, pinned by test and oracle row).
 
     The id→token table is the SAME deterministic vocabulary
-    :func:`bpe_encode_ids` derives (base symbols + merges, lowest id
-    per surface token), so a serialized merge table is the only
-    artifact the two sides share — exactly the vocab-file contract of
-    a real tokenizer.  Decoding is pure string mechanics: every token
-    ends with the ``_`` terminator and word-final tokens carry
-    ``</w>``, so per doc: concatenate tokens in order, drop the
-    terminators, turn ``</w>`` into spaces.
+    :func:`bpe_encode_ids` derives.  Pass it explicitly via
+    ``vocab_ids`` (from :func:`bpe_vocab`, persisted next to the
+    merges — the vocab-file contract); passing ``docs`` + ``merges``
+    instead re-derives it and is ONLY correct when ``docs`` is the
+    encode-time corpus (base-symbol ids depend on its alphabet — a
+    different corpus silently shifts ids, hence the explicit-table
+    path).  Decoding is pure string mechanics: every token ends with
+    the ``_`` terminator and word-final tokens carry ``</w>``, so per
+    doc: concatenate tokens in order, drop the terminators, turn
+    ``</w>`` into spaces.
 
     Scale shape: one posexplode + a vocab-bounded equi-join + the
     order-restoring per-doc rebuild — the same joins as encode; the
     concatenation is one in-row ``array_join``.
     """
-    ms = _merge_list(merges)
-    vocab_ids = _vocab_ids(_initial_vocab(docs, text_col), ms)
+    if vocab_ids is None:
+        if docs is None or merges is None:
+            raise ValueError(
+                "bpe_decode_ids needs either vocab_ids (the persisted "
+                "table from bpe_vocab) or the encode-time docs+merges "
+                "to re-derive it"
+            )
+        vocab_ids = bpe_vocab(docs, merges, text_col)
     toks = encoded.select(
         F.col(id_col),
         F.posexplode(F.col(ids_col)).alias("tpos", "tid"),

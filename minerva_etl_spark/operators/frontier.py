@@ -44,7 +44,15 @@ def normalize_url_expr(url_col: str) -> Column:
     expression (whole-stage codegen, no Python)."""
     proto = F.lower(F.expr(f"parse_url({url_col}, 'PROTOCOL')"))
     host = F.lower(F.expr(f"parse_url({url_col}, 'HOST')"))
-    port = F.regexp_extract(F.col(url_col), r"://[^/?#]*:(\d+)", 1)
+    # anchored to THIS url's authority (scheme at string start, port
+    # as the authority's last colon-digits before path/query/end) — an
+    # unanchored '://.*:(\d+)' would steal a port from a URL embedded
+    # in the query string
+    port = F.regexp_extract(
+        F.col(url_col),
+        r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)(?=[/?#]|$)",
+        1,
+    )
     path = F.expr(f"parse_url({url_col}, 'PATH')")
     query = F.expr(f"parse_url({url_col}, 'QUERY')")
     keep_port = (port != "") & ~(

@@ -30,11 +30,19 @@ What is REAL here:
 
 Honest boundaries (raise, never guess): encrypted PDFs
 (``/Encrypt``), non-Flate stream filters on page content
-(DCT/LZW/ASCII85), and CID/Type0 composite fonts whose hex strings
-are multi-byte code points — the simple-font byte==char mapping this
-implements covers the synthesizable subset and standard-encoding
-western text.  Real-cluster escape hatch: inject pdfminer/PyMuPDF
-through the same ``--decoder``-style seam as the media codecs.
+(DCT/LZW/ASCII85), PDF 1.5+ compressed object streams (``/ObjStm``
+— page objects the plain object scan cannot see raise rather than
+yield a silently empty document), corrupt Flate data (ValueError,
+the skippable dirty-payload class), and CID/Type0 composite fonts
+whose hex strings are multi-byte code points — the simple-font
+byte==char mapping this implements covers the synthesizable subset
+and standard-encoding western text.  Known softness: an object
+whose ``/Length`` is an indirect reference falls back to an
+``endstream`` keyword search, which a compressed stream could
+theoretically spoof — the corruption then surfaces as the
+ValueError above, never as silent wrong text.  Real-cluster escape
+hatch: inject pdfminer/PyMuPDF through the same ``--decoder``-style
+seam as the media codecs.
 
 Scale shape: one shuffle-free Arrow ``mapInPandas`` scan, parsing
 each payload inside its owning task — identical posture to
@@ -220,7 +228,12 @@ def _stream_data(body: bytes) -> bytes:
                 "(inject a full-featured extractor for "
                 "DCT/LZW/ASCII85 — see module docstring)"
             )
-        data = zlib.decompress(data)
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as e:  # corrupt/truncated stream: surface
+            raise ValueError(  # as the skippable dirty-payload class
+                f"corrupt FlateDecode stream: {e}"
+            ) from e
     return data
 
 
@@ -324,19 +337,24 @@ def _name_value(d: bytes, key: bytes) -> bytes | None:
 
 
 def _page_order(objs: dict[int, bytes]) -> list[int]:
-    """Page object numbers in page-tree order (BFS over /Kids),
-    falling back to ascending object order when no tree resolves."""
+    """Page object numbers in page-tree order — the DEPTH-FIRST
+    traversal of /Kids (the PDF spec's page order; a BFS would
+    scramble multi-level trees, e.g. root [A, p3] with A = [p1, p2]
+    must yield p1 p2 p3, not p3 p1 p2) — falling back to ascending
+    object order when no tree resolves."""
     pages_in_tree: list[int] = []
 
     def is_type(body: bytes, t: bytes) -> bool:
         return re.search(rb"/Type\s*/" + t + rb"\b", _dict_of(body)) is not None
 
-    roots = [num for num, b in objs.items() if is_type(b, b"Pages")
-             and b"/Parent" not in _dict_of(b)]
-    queue = list(roots)
+    roots = sorted(
+        num for num, b in objs.items()
+        if is_type(b, b"Pages") and b"/Parent" not in _dict_of(b)
+    )
+    stack = list(reversed(roots))
     seen = set()
-    while queue:
-        num = queue.pop(0)
+    while stack:
+        num = stack.pop()
         if num in seen or num not in objs:
             continue
         seen.add(num)
@@ -347,9 +365,9 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
         kids = _name_value(d, b"/Kids")
         if kids is not None:
             arr_end = kids.find(b"]")
-            queue.extend(
-                int(g) for g in _REF_RE.findall(kids[: arr_end + 1])
-            )
+            stack.extend(reversed(
+                [int(g) for g in _REF_RE.findall(kids[: arr_end + 1])]
+            ))
     if pages_in_tree:
         return pages_in_tree
     return sorted(n for n, b in objs.items() if is_type(b, b"Page"))
@@ -370,15 +388,30 @@ def pdf_extract_text(payload: bytes) -> dict:
             "full-featured extractor (pdfminer/PyMuPDF) for these"
         )
     objs = _scan_objects(payload)
+    # title comes from the trailer's /Info dictionary (LAST trailer
+    # wins — incremental updates append), never from the first object
+    # that happens to carry a /Title: outline items and annotations
+    # carry /Title too and routinely precede the Info dict
     title = None
-    for body in objs.values():
-        d = _dict_of(body)
+    info_refs = re.findall(rb"/Info\s+(\d+)\s+\d+\s+R", payload)
+    if info_refs and int(info_refs[-1]) in objs:
+        d = _dict_of(objs[int(info_refs[-1])])
         tm = re.search(rb"/Title\s*\(", d)
         if tm:
             title, _ = _read_literal(d, tm.end())
-            break
+    order = _page_order(objs)
+    if not order:
+        # honest reject, not a silent empty document: modern PDFs
+        # (1.5+) pack page objects into compressed /ObjStm object
+        # streams the plain object scan cannot see
+        if re.search(rb"/ObjStm\b", payload):
+            raise NotImplementedError(
+                "PDF 1.5+ compressed object streams (/ObjStm) — "
+                "inject a full-featured extractor (pdfminer/PyMuPDF)"
+            )
+        raise ValueError("PDF has no page objects")
     page_texts: list[str] = []
-    for num in _page_order(objs):
+    for num in order:
         d = _dict_of(objs[num])
         cont = _name_value(d, b"/Contents")
         if cont is None:

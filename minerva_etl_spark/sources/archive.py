@@ -71,6 +71,14 @@ def iter_members(path: str, blob: bytes) -> Iterator[tuple[str, bytes]]:
     kind = _kind(path)
     if kind == "" and blob[:4] == b"PK\x03\x04":
         kind = "zip"  # extension lies; magic doesn't
+    # member-data corruption raises zlib.error (zip deflate) or
+    # EOFError/OSError (truncated gzip/bz2/xz), NOT BadZipFile/
+    # TarError — all must land in the same ValueError class or
+    # read_archives' on_error='skip' cannot skip the dirty archive
+    import lzma
+    import zlib
+
+    _corrupt = (zlib.error, lzma.LZMAError, EOFError, OSError)
     if kind == "zip":
         try:
             with zipfile.ZipFile(io.BytesIO(blob)) as zf:
@@ -78,7 +86,7 @@ def iter_members(path: str, blob: bytes) -> Iterator[tuple[str, bytes]]:
                     if info.is_dir():
                         continue
                     yield info.filename, zf.read(info)
-        except zipfile.BadZipFile as e:
+        except (zipfile.BadZipFile, *_corrupt) as e:
             raise ValueError(f"corrupt zip archive {path}: {e}") from e
         return
     try:
@@ -88,7 +96,7 @@ def iter_members(path: str, blob: bytes) -> Iterator[tuple[str, bytes]]:
                     continue
                 f = tf.extractfile(info)
                 yield info.name, f.read() if f is not None else b""
-    except tarfile.TarError as e:
+    except (tarfile.TarError, *_corrupt) as e:
         raise ValueError(f"not a tar/zip archive {path}: {e}") from e
 
 

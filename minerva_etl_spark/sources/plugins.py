@@ -43,6 +43,20 @@ def list_plugins() -> list[str]:
 
 
 def _load_entry_points() -> None:
+    # built-in self-registering sources (warc, tar/zip archives) are
+    # imported lazily here so `get_plugin('warc'|'tar'|'zip')` works on
+    # EVERY code path (load-data CLI included), not only ones that
+    # happen to import those modules first
+    import importlib
+
+    for mod in (
+        "minerva_etl_spark.sources.warc",
+        "minerva_etl_spark.sources.archive",
+    ):
+        try:
+            importlib.import_module(mod)
+        except Exception:
+            pass
     try:  # entry-point discovery, as in the reference
         from importlib.metadata import entry_points
 

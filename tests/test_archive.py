@@ -130,3 +130,48 @@ def test_cli_archive_read_and_export(tmp_path, spark):
           "--output-dir", out_dir])
     back = read_archives(spark, out_dir).collect()
     assert len(back) == 1 and back[0].member == "m.txt"
+
+
+def test_corrupt_member_data_is_skippable(tmp_path, spark):
+    """zlib/EOF-class corruption inside member data must surface as
+    the same ValueError on_error='skip' can skip."""
+    import io
+    import zipfile as _zf
+
+    buf = io.BytesIO()
+    with _zf.ZipFile(buf, "w", _zf.ZIP_DEFLATED) as zf:
+        zf.writestr("a.txt", b"x" * 400)
+    blob = bytearray(buf.getvalue())
+    at = blob.find(b"a.txt") + 10  # flip bytes inside the deflate data
+    blob[at] ^= 0xFF
+    blob[at + 1] ^= 0xFF
+    with pytest.raises(ValueError, match="corrupt zip"):
+        list(iter_members("s.zip", bytes(blob)))
+    # truncated gzip tar: EOFError class -> ValueError too
+    whole = _tar_bytes({"b.txt": b"y" * 400})
+    with pytest.raises(ValueError, match="not a tar/zip"):
+        list(iter_members("s.tar.gz", whole[: len(whole) // 2]))
+    (tmp_path / "bad.zip").write_bytes(bytes(blob))
+    (tmp_path / "ok.zip").write_bytes(_zip_bytes({"c.txt": b"ok"}))
+    got = read_archives(spark, str(tmp_path), on_error="skip").collect()
+    assert [(r.archive, r.member) for r in got] == [("ok.zip", "c.txt")]
+
+
+def test_plugins_resolve_without_prior_import(tmp_path):
+    """get_plugin('tar'|'zip'|'warc') must work on a code path that
+    never imported the source modules (the load-data CLI path) — the
+    registry imports built-ins lazily."""
+    import subprocess
+    import sys
+
+    code = (
+        "from minerva_etl_spark.sources.plugins import get_plugin\n"
+        "assert callable(get_plugin('tar'))\n"
+        "assert callable(get_plugin('zip'))\n"
+        "assert callable(get_plugin('warc'))\n"
+        "print('plugins-ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True
+    )
+    assert "plugins-ok" in out.stdout, out.stderr[-500:]

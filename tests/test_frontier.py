@@ -175,3 +175,22 @@ def test_bucketed_state_matches_and_join_is_exchange_free(
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_port_in_query_string_is_not_stolen(spark):
+    """The port regex is anchored to THIS url's authority — a URL
+    embedded in the query string must not contribute a port."""
+    got = {
+        r.url
+        for r in frontier_delta(
+            _urls(
+                spark,
+                [
+                    "https://ex.test/r?to=http://a.b:8080/x",
+                    "https://u:p@ex.test:8443/a",  # real port kept
+                ],
+            )
+        ).collect()
+    }
+    assert "https://ex.test/r?to=http://a.b:8080/x" in got
+    assert not any(u.startswith("https://ex.test:8080") for u in got)

@@ -168,3 +168,55 @@ def test_id_column_keeps_its_name(spark):
     out = pdf_extract(df, id_col="media_id")
     assert out.columns[0] == "media_id"
     assert out.collect()[0].media_id == 7
+
+
+def test_multilevel_page_tree_is_depth_first():
+    """Root /Kids [A, p3] with A = /Pages [p1, p2] must extract
+    p1 p2 p3 (DFS), not p3 p1 p2 (BFS)."""
+    p = synthesize_pdf(["one", "two", "three"], compress=False)
+    # pages are objects 5, 7, 9; rewire: new Pages node A reuses the
+    # font object slot convention — append A as object 10 and point
+    # the root tree at [A, 9] with A = [5, 7]
+    a = b"12 0 obj\n<< /Type /Pages /Parent 2 0 R /Kids [5 0 R 7 0 R] /Count 2 >>\nendobj\n"
+    rewired = p.replace(
+        b"/Kids [5 0 R 7 0 R 9 0 R]", b"/Kids [12 0 R 9 0 R]"
+    )
+    assert rewired != p
+    # append the new object before the xref (object scan tolerates it)
+    at = rewired.find(b"xref")
+    rewired = rewired[:at] + a + rewired[at:]
+    assert pdf_extract_text(rewired)["text"] == "one\n\ntwo\n\nthree"
+
+
+def test_corrupt_flate_is_skippable_valueerror(spark):
+    p = bytearray(synthesize_pdf(["will corrupt"]))
+    at = p.find(b"stream\n") + 10
+    p[at] ^= 0xFF  # flip a byte inside the deflate data
+    with pytest.raises(ValueError, match="corrupt FlateDecode"):
+        pdf_extract_text(bytes(p))
+    df = spark.createDataFrame(
+        [(1, bytes(p)), (2, synthesize_pdf(["fine"]))],
+        "doc_id bigint, payload binary",
+    )
+    rows = pdf_extract(df, on_error="skip").collect()
+    assert [r.doc_id for r in rows] == [2]
+
+
+def test_title_comes_from_info_not_first_title_object():
+    """An outline-ish object carrying /Title earlier in the file must
+    not beat the trailer-resolved /Info dict."""
+    p = synthesize_pdf(["body"], title="Real Title", compress=False)
+    outline = b"10 0 obj\n<< /Title (Chapter 1) /Type /Outlines >>\nendobj\n"
+    at = p.find(b"1 0 obj")
+    spoofed = p[:at] + outline + p[at:]
+    assert pdf_extract_text(spoofed)["title"] == "Real Title"
+
+
+def test_objstm_and_pageless_are_honest_rejects():
+    p = synthesize_pdf(["x"], compress=False)
+    no_pages = p.replace(b"/Type /Page ", b"/Type /Other ")
+    with pytest.raises(ValueError, match="no page objects"):
+        pdf_extract_text(no_pages)
+    objstm = no_pages.replace(b"%PDF-1.4", b"%PDF-1.5") + b"\n11 0 obj\n<< /Type /ObjStm >>\nendobj\n"
+    with pytest.raises(NotImplementedError, match="ObjStm"):
+        pdf_extract_text(objstm)

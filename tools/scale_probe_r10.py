@@ -24,7 +24,9 @@ import shutil
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(_HERE))  # repo root
+sys.path.insert(0, _HERE)  # sibling scale_probe
 
 from scale_probe import WORK, build  # noqa: E402
 
