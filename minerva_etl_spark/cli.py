@@ -1583,6 +1583,22 @@ def cmd_crawl(args) -> None:
         out = feed_entries(
             spark.read.parquet(args.input), xml_col=args.xml_col
         )
+    elif args.action == "fetch-schedule":
+        from minerva_etl_spark.operators.robots import (
+            crawl_delays,
+            schedule_fetches,
+        )
+
+        if not args.robots:
+            raise SystemExit(
+                "minerva-spark crawl fetch-schedule: --robots required"
+            )
+        out = schedule_fetches(
+            spark.read.parquet(args.input),
+            crawl_delays(spark.read.parquet(args.robots),
+                         agent=args.agent),
+            url_col=args.url_col,
+        )
     elif args.action == "robots-sitemaps":
         from minerva_etl_spark.operators.robots import (
             sitemaps_from_robots,
@@ -2012,7 +2028,7 @@ def main(argv: list[str] | None = None) -> None:
         choices=["warc-read", "warc-export", "html-extract",
                  "warc-to-text", "url-profile", "domain-report",
                  "robots-filter", "robots-sitemaps", "sitemap-urls",
-                 "feed-entries", "frontier-ingest"],
+                 "feed-entries", "frontier-ingest", "fetch-schedule"],
     )
     cw.add_argument("--input", required=True,
                     help="WARC dir/glob, or input parquet")

@@ -3765,6 +3765,67 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds)
 
 
+def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling (`operators/robots.py::crawl_delays` +
+    `schedule_fetches`): 20 hosts, even hosts state a fractional
+    Crawl-delay (0.5·(1 + h%4) — fractional BECAUSE the stdlib
+    parser drops non-integer delays and this implementation must
+    not), odd hosts state none and fall to the 1.0 default; every
+    URL gets its per-host slot (deterministic: ordered by URL) and
+    ``fetch_offset_s = slot × delay``.  The oracle replays the
+    section parse closed-form and the slots with a partitioned
+    row_number — a delay-parse, grouping, or ordering bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.robots import (
+        crawl_delays,
+        schedule_fetches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    urls = docs.select(
+        F.expr(
+            "concat('https://h', doc_id % 20, '.test/p/', doc_id)"
+        ).alias("url"),
+        F.expr("concat('h', doc_id % 20, '.test')").alias("host"),
+    )
+    hosts = spark.range(20).select(
+        F.expr("concat('h', id, '.test')").alias("host"),
+        F.expr(
+            "CASE WHEN id % 2 = 0 THEN concat("
+            "  'User-agent: probe\\nCrawl-delay: 60\\n\\n',"
+            "  'User-agent: *\\nCrawl-delay: ',"
+            "  format_number(0.5 * (1 + id % 4), 1),"
+            "  '\\nDisallow: /private/')"
+            " ELSE 'User-agent: *\\nAllow: /' END"
+        ).alias("robots_txt"),
+    )
+    out = schedule_fetches(urls, crawl_delays(hosts))
+    return out.select(
+        "url", "host",
+        F.col("slot").cast("int").alias("slot"),
+        F.col("fetch_offset_s").cast("double").alias("fetch_offset_s"),
+    )
+
+
+_ORACLE_FETCH_SCHEDULE = """
+WITH u AS (
+  SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.test/p/'
+             || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 20 AS VARCHAR) || '.test' AS host,
+         doc_id % 20 AS h
+  FROM documents
+)
+SELECT url, host,
+       CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1
+            AS INT) AS slot,
+       CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1)
+            * (CASE WHEN h % 2 = 0 THEN 0.5 * (1 + h % 4)
+                    ELSE 1.0 END) AS DOUBLE) AS fetch_offset_s
+FROM u
+"""
+
+
 def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer round trip (`operators/bpe.py::bpe_decode_ids`):
     train 12 merges (the `bpe_encode_ids` configuration), encode
@@ -4899,10 +4960,13 @@ _REGISTRY_ORDER = [
     #     in-window incremental_embedding and the parse_url Catalyst
     #     family of in-window url_profile;
     #   bpe_roundtrip inverts in-window bpe_encode_ids through the
-    #     same vocabulary (an encode bug breaks BOTH rows).
+    #     same vocabulary (an encode bug breaks BOTH rows);
+    #   fetch_schedule builds on in-window robots_filter's parser
+    #     machinery + a partitioned (never global) rank window.
     "pipeline_document",
     "frontier_increment",
     "bpe_roundtrip",
+    "fetch_schedule",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5042,6 +5106,7 @@ def build_queries() -> dict:
         "pipeline_document": q_pipeline_document,
         "frontier_increment": q_frontier_increment,
         "bpe_roundtrip": q_bpe_roundtrip,
+        "fetch_schedule": q_fetch_schedule,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5169,6 +5234,7 @@ def build_oracles() -> dict[str, str]:
         "pipeline_document": _oracle_pipeline_document(),
         "frontier_increment": _ORACLE_FRONTIER_INCREMENT,
         "bpe_roundtrip": _ORACLE_BPE_ROUNDTRIP,
+        "fetch_schedule": _ORACLE_FETCH_SCHEDULE,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

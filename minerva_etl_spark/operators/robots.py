@@ -142,3 +142,124 @@ def sitemaps_from_robots(
         .select(host_col, url.alias("sitemap_url"))
         .where(F.col("sitemap_url") != "")
     )
+
+
+def crawl_delays(
+    robots: DataFrame,
+    agent: str = "*",
+    host_col: str = "host",
+    robots_col: str = "robots_txt",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` (seconds, double; null = none stated)
+    for ``agent``, honoring user-agent sections via the same stdlib
+    parser as :func:`robots_allowed` — one row per host, a
+    dimension-sized politeness table for `schedule_fetches`.
+
+    The robots table is host-deduped first (min robots_txt, the
+    :func:`robots_allowed` rule) so output is one row per host."""
+    robots_one = robots.groupBy(host_col).agg(
+        F.min(robots_col).alias(robots_col)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            delays = [
+                None if _is_blank(txt)
+                else _crawl_delay_from_text(str(txt), agent)
+                for txt in pdf[robots_col]
+            ]
+            yield pd.DataFrame(
+                {host_col: pdf[host_col], "crawl_delay": delays}
+            )
+
+    return robots_one.mapInPandas(
+        run, f"{host_col} string, crawl_delay double"
+    )
+
+
+def _crawl_delay_from_text(txt: str, agent: str) -> float | None:
+    """Section-aware ``Crawl-delay`` lookup.  NOT
+    ``robotparser.crawl_delay`` because the stdlib silently drops
+    non-integer delays (``isdigit()`` gate) and real robots.txt use
+    decimals.  Grouping per RFC 9309: adjacent User-agent lines share
+    a group until a non-UA directive; matching per the stdlib's rule
+    (entry agent ``*`` matches all, otherwise substring of the
+    agent's product token); a specific-agent group beats ``*``,
+    longer agent matches beat shorter."""
+    product = agent.split("/")[0].lower()
+    groups: list[tuple[list[str], float]] = []
+    cur_agents: list[str] = []
+    cur_delay: float | None = None
+    in_directives = False
+
+    def flush():
+        if cur_agents and cur_delay is not None:
+            groups.append((list(cur_agents), cur_delay))
+
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_directives:
+                flush()
+                cur_agents, cur_delay, in_directives = [], None, False
+            cur_agents.append(val.split("/")[0].lower())
+        else:
+            in_directives = True
+            if key == "crawl-delay":
+                try:
+                    cur_delay = float(val)
+                except ValueError:
+                    pass
+    flush()
+    best: tuple[int, float] | None = None  # (match specificity, delay)
+    for agents, delay in groups:
+        for a in agents:
+            if a == "*":
+                spec = 0
+            elif a and a in product:
+                spec = len(a)
+            else:
+                continue
+            if best is None or spec > best[0]:
+                best = (spec, delay)
+    return best[1] if best else None
+
+
+def schedule_fetches(
+    urls: DataFrame,
+    delays: DataFrame,
+    default_delay: float = 1.0,
+    url_col: str = "url",
+    host_col: str = "host",
+) -> DataFrame:
+    """Assign each URL a per-host fetch slot and a start offset that
+    honors the host's crawl delay: slot = dense position of the URL
+    within its host (deterministic: ordered by the URL string),
+    ``fetch_offset_s = slot * coalesce(crawl_delay, default)``.
+
+    The downstream contract: a fetcher partitioned by host replays
+    each host's URLs in slot order, sleeping to its offset — hosts
+    proceed in parallel, each politely serial.
+
+    Scale shape: one shuffle on ``host`` for the window plus a
+    broadcast-sized join of the delay table.  The per-host window is
+    a SORT-based streaming rank — unlike a pandas co-group, a
+    mega-host never materializes in memory, it just sorts (spillable)
+    — so hot hosts degrade to disk, not OOM."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(host_col).orderBy(F.col(url_col))
+    return (
+        urls.join(F.broadcast(delays), host_col, "left")
+        .withColumn("slot", F.row_number().over(w) - F.lit(1))
+        .withColumn(
+            "fetch_offset_s",
+            F.col("slot")
+            * F.coalesce(F.col("crawl_delay"), F.lit(float(default_delay))),
+        )
+    )

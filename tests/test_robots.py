@@ -150,3 +150,53 @@ def test_sitemaps_from_robots(spark):
     # plan stays Python-free (scan + generate, no BatchEvalPython)
     plan = sitemaps_from_robots(robots)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crawl_delay_sections_and_decimals():
+    from minerva_etl_spark.operators.robots import _crawl_delay_from_text
+
+    # decimals parse (the stdlib's isdigit() gate drops these)
+    assert _crawl_delay_from_text(
+        "User-agent: *\nCrawl-delay: 2.5\nDisallow: /x", "*"
+    ) == 2.5
+    # specific-agent section beats *, and matching is by product token
+    txt = ("User-agent: bot\nCrawl-delay: 9\n\n"
+           "User-agent: *\nCrawl-delay: 1")
+    assert _crawl_delay_from_text(txt, "MegaBot/2.0") == 9
+    assert _crawl_delay_from_text(txt, "other") == 1
+    # adjacent UA lines share one group (RFC 9309)
+    assert _crawl_delay_from_text(
+        "User-agent: a\nUser-agent: b\nCrawl-delay: 4", "b"
+    ) == 4
+    # no delay stated / unparseable value -> None
+    assert _crawl_delay_from_text("User-agent: *\nAllow: /", "*") is None
+    assert _crawl_delay_from_text(
+        "User-agent: *\nCrawl-delay: soon", "*"
+    ) is None
+
+
+def test_schedule_fetches_slots_and_offsets(spark):
+    from minerva_etl_spark.operators.robots import (
+        crawl_delays,
+        schedule_fetches,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.test", "User-agent: *\nCrawl-delay: 2.5"),
+         ("b.test", "User-agent: *\nAllow: /")],
+        "host string, robots_txt string",
+    )
+    urls = spark.createDataFrame(
+        [("https://a.test/2", "a.test"),
+         ("https://a.test/1", "a.test"),
+         ("https://b.test/9", "b.test")],
+        "url string, host string",
+    )
+    out = schedule_fetches(
+        urls, crawl_delays(robots), default_delay=1.0
+    ).orderBy("host", "slot").collect()
+    assert [(r.url, r.slot, r.fetch_offset_s) for r in out] == [
+        ("https://a.test/1", 0, 0.0),
+        ("https://a.test/2", 1, 2.5),
+        ("https://b.test/9", 0, 0.0),
+    ]
