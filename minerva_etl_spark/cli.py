@@ -1282,8 +1282,11 @@ def cmd_corpus(args) -> None:
     delivery against the persisted signature/vector state),
     `ivf-build` / `ivf-increment` / `ivf-query` (persisted-centroid
     ANN retrieval: fit once, assign deltas against the frozen
-    centroids, query the state).  Extends the reference surface (its
-    CLI has no corpus side)."""
+    centroids, query the state), `chat-curate` (SFT conversation
+    prep: parse JSONL chat records, validate structure, bound turns,
+    render the ChatML training string — all Catalyst, dirty records
+    filtered).  Extends the reference surface (its CLI has no corpus
+    side)."""
     from pyspark.sql import functions as F
 
     # argument sanity BEFORE a SparkSession spins up: a missing flag
@@ -1387,6 +1390,12 @@ def cmd_corpus(args) -> None:
             args.state,
             k=args.n,
         )
+    elif args.action == "chat-curate":
+        from minerva_etl_spark.operators.chat import curate_conversations
+
+        out = curate_conversations(
+            df, min_turns=args.min_turns, max_turns=args.max_turns
+        ).drop("messages")
     elif args.action == "pack-ids":
         from minerva_etl_spark.operators.bpe import bpe_train
         from minerva_etl_spark.operators.shard import (
@@ -1961,6 +1970,7 @@ def main(argv: list[str] | None = None) -> None:
             "split", "cap", "tfidf", "kmeans", "bpe", "pack-ids",
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
+            "chat-curate",
         ],
     )
     co.add_argument("--input", required=True, help="input parquet")
@@ -1988,6 +1998,12 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--binary", action="store_true",
                     help="pack-ids: write loader-ready .bin/.idx "
                          "shards + manifest instead of parquet")
+    co.add_argument("--min-turns", type=int, default=2,
+                    dest="min_turns",
+                    help="chat-curate: minimum non-system turns")
+    co.add_argument("--max-turns", type=int, default=64,
+                    dest="max_turns",
+                    help="chat-curate: maximum non-system turns")
     co.set_defaults(fn=cmd_corpus)
 
     md = sub.add_parser("media")

@@ -3765,6 +3765,100 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds)
 
 
+def q_chat_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT conversation prep (`operators/chat.py::
+    curate_conversations`): per-doc JSONL chat records — even docs
+    carry a system turn, 1 + doc_id % 3 user/assistant pairs — with
+    dirty records mixed in exactly as a real delivery has them:
+    doc_id % 7 == 0 carries an unknown 'tool' role, doc_id % 11 == 0
+    is malformed JSON; both must be FILTERED, not job-failing.  The
+    pipeline is pure Catalyst (from_json + higher-order array
+    functions, no UDF): parse → structural validation (roles,
+    single-leading-system, strict user/assistant alternation) →
+    stats → ChatML render.  The oracle rebuilds the survivors
+    closed-form: rendered string, turn counts, char and whitespace
+    token totals."""
+    _prep(spark)
+    from minerva_etl_spark.operators.chat import curate_conversations
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                if d % 11 == 0:
+                    rows.append((d, '{"messages": not json'))
+                    continue
+                msgs = []
+                if d % 2 == 0:
+                    msgs.append(
+                        {"role": "system", "content": f"sys {d}"}
+                    )
+                for i in range(1 + d % 3):
+                    msgs.append(
+                        {"role": "user", "content": f"ask {d} {i}"}
+                    )
+                    msgs.append(
+                        {
+                            "role": "tool" if d % 7 == 0 else "assistant",
+                            "content": f"reply {d} {i}",
+                        }
+                    )
+                rows.append((d, _json.dumps(msgs)))
+            yield pd.DataFrame(rows, columns=["conv_id", "messages_json"])
+
+    convs = docs.mapInPandas(
+        synth, "conv_id bigint, messages_json string"
+    )
+    return curate_conversations(convs).select(
+        "conv_id", "n_turns", "has_system", "n_chars", "n_tokens",
+        "text",
+    )
+
+
+_ORACLE_CHAT_CURATE = """
+WITH base AS (
+  SELECT doc_id AS conv_id,
+         CAST(doc_id % 3 + 1 AS BIGINT) AS pairs,
+         doc_id % 2 = 0 AS has_system
+  FROM documents
+  WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
+)
+SELECT conv_id,
+       CAST(pairs * 2 AS INT) AS n_turns,
+       has_system,
+       CAST((CASE WHEN has_system
+                  THEN length('sys ' || CAST(conv_id AS VARCHAR))
+                  ELSE 0 END)
+            + list_sum(list_transform(generate_series(0, pairs - 1),
+                i -> length('ask ' || CAST(conv_id AS VARCHAR) || ' '
+                            || CAST(i AS VARCHAR))
+                   + length('reply ' || CAST(conv_id AS VARCHAR) || ' '
+                            || CAST(i AS VARCHAR))))
+            AS BIGINT) AS n_chars,
+       CAST((CASE WHEN has_system THEN 2 ELSE 0 END) + pairs * 6
+            AS BIGINT) AS n_tokens,
+       (CASE WHEN has_system
+             THEN '<|im_start|>system' || chr(10) || 'sys '
+                  || CAST(conv_id AS VARCHAR) || '<|im_end|>' || chr(10)
+             ELSE '' END)
+       || array_to_string(list_transform(generate_series(0, pairs - 1),
+            i -> '<|im_start|>user' || chr(10) || 'ask '
+                 || CAST(conv_id AS VARCHAR) || ' ' || CAST(i AS VARCHAR)
+                 || '<|im_end|>' || chr(10)
+                 || '<|im_start|>assistant' || chr(10) || 'reply '
+                 || CAST(conv_id AS VARCHAR) || ' ' || CAST(i AS VARCHAR)
+                 || '<|im_end|>' || chr(10)), '') AS text
+FROM base
+"""
+
+
 def q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness scheduling (`operators/robots.py::crawl_delays` +
     `schedule_fetches`): 20 hosts, even hosts state a fractional
@@ -4962,11 +5056,14 @@ _REGISTRY_ORDER = [
     #   bpe_roundtrip inverts in-window bpe_encode_ids through the
     #     same vocabulary (an encode bug breaks BOTH rows);
     #   fetch_schedule builds on in-window robots_filter's parser
-    #     machinery + a partitioned (never global) rank window.
+    #     machinery + a partitioned (never global) rank window;
+    #   chat_curate is pure Catalyst (from_json + higher-order array
+    #     functions) with pytest + a closed-form oracle.
     "pipeline_document",
     "frontier_increment",
     "bpe_roundtrip",
     "fetch_schedule",
+    "chat_curate",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5107,6 +5204,7 @@ def build_queries() -> dict:
         "frontier_increment": q_frontier_increment,
         "bpe_roundtrip": q_bpe_roundtrip,
         "fetch_schedule": q_fetch_schedule,
+        "chat_curate": q_chat_curate,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5235,6 +5333,7 @@ def build_oracles() -> dict[str, str]:
         "frontier_increment": _ORACLE_FRONTIER_INCREMENT,
         "bpe_roundtrip": _ORACLE_BPE_ROUNDTRIP,
         "fetch_schedule": _ORACLE_FETCH_SCHEDULE,
+        "chat_curate": _ORACLE_CHAT_CURATE,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

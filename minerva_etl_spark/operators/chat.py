@@ -1,0 +1,162 @@
+"""Chat / SFT conversation operators — the instruction-tuning side of
+a training-data pipeline.
+
+Post-training corpora are conversations, not documents: JSONL records
+with a ``messages`` array of ``{role, content}`` turns.  The pipeline
+needs to (1) parse them out of raw JSON, (2) validate structure (known
+roles, strict user/assistant alternation, optional leading system
+turn), (3) render each conversation into the single training string a
+tokenizer consumes (a chat template), and (4) measure it (turns,
+chars, tokens) for mixing/packing budgets.
+
+Everything here is pure Catalyst — ``from_json`` for parsing and
+higher-order array functions (``transform`` / ``filter`` /
+``aggregate``) for validation and rendering — so conversations never
+leave the JVM: one shuffle-free whole-stage-codegen scan, the same
+posture as the text-quality operators (`operators/text.py`).
+
+Template: ChatML-style by default —
+``<|im_start|>role\\ncontent<|im_end|>\\n`` per turn — with the
+markers parameterized so any ``prefix role \\n content suffix``
+template family renders without code changes.
+
+Reference: extension (the reference has no conversation surface); the
+record shape is the de-facto public JSONL chat format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+MESSAGE_SCHEMA = "array<struct<role:string, content:string>>"
+
+#: roles a well-formed conversation may contain
+KNOWN_ROLES = ("system", "user", "assistant")
+
+
+def parse_conversations(
+    df: DataFrame,
+    json_col: str = "messages_json",
+    out_col: str = "messages",
+) -> DataFrame:
+    """Parse a JSON string column into the typed ``messages`` array.
+    Malformed JSON yields null (Spark's ``from_json`` contract) —
+    filter with ``is_valid_conversation`` rather than failing the
+    scan."""
+    return df.withColumn(out_col, F.from_json(F.col(json_col), MESSAGE_SCHEMA))
+
+
+def is_valid_conversation(
+    messages_col: str = "messages",
+    require_alternation: bool = True,
+) -> Column:
+    """Structural validity as ONE boolean expression: parseable,
+    non-empty, every role known and every content non-null/non-empty,
+    at most one system turn and only at position 0, and (optionally)
+    the non-system turns strictly alternate user/assistant starting
+    with user."""
+    m = F.col(messages_col)
+    body = F.expr(
+        f"filter({messages_col}, x -> x.role != 'system')"
+    )
+    roles_ok = F.expr(
+        f"forall({messages_col}, x -> x.role IN "
+        f"{KNOWN_ROLES!r} AND x.content IS NOT NULL "
+        "AND length(x.content) > 0)"
+    )
+    system_ok = F.expr(
+        f"size(filter({messages_col}, x -> x.role = 'system')) = 0 "
+        f"OR ({messages_col}[0].role = 'system' AND "
+        f"size(filter({messages_col}, x -> x.role = 'system')) = 1)"
+    )
+    base = m.isNotNull() & (F.size(m) > 0) & roles_ok & system_ok
+    if not require_alternation:
+        return base
+    # non-system turns: even indexes user, odd indexes assistant
+    alternates = F.expr(
+        "forall(transform({b}, (x, i) -> "
+        "CASE WHEN i % 2 = 0 THEN x.role = 'user' "
+        "ELSE x.role = 'assistant' END), p -> p)".format(
+            b=f"filter({messages_col}, x -> x.role != 'system')"
+        )
+    ) & (F.size(body) > 0)
+    return base & alternates
+
+
+def render_chat(
+    df: DataFrame,
+    messages_col: str = "messages",
+    out_col: str = "text",
+    prefix: str = "<|im_start|>",
+    suffix: str = "<|im_end|>\n",
+) -> DataFrame:
+    """Render each conversation into its training string:
+    ``prefix + role + '\\n' + content + suffix`` per turn,
+    concatenated in order — pure Catalyst ``aggregate`` fold, one
+    in-row pass, no UDF."""
+    pfx = prefix.replace("'", "\\'")
+    sfx = suffix.replace("'", "\\'").replace("\n", "\\n")
+    rendered = F.expr(
+        f"aggregate({messages_col}, CAST('' AS STRING), "
+        f"(acc, x) -> concat(acc, '{pfx}', x.role, '\\n', "
+        f"x.content, '{sfx}'))"
+    )
+    return df.withColumn(out_col, rendered)
+
+
+def chat_stats(
+    df: DataFrame,
+    messages_col: str = "messages",
+) -> DataFrame:
+    """Per-conversation size columns for mixing/packing budgets:
+    ``n_turns`` (non-system), ``has_system``, ``n_chars`` (content
+    only), ``n_tokens`` (whitespace tokens over all content) — one
+    scan, all Catalyst."""
+    body = f"filter({messages_col}, x -> x.role != 'system')"
+    return (
+        df.withColumn(
+            "n_turns", F.expr(f"size({body})").cast("int")
+        )
+        .withColumn(
+            "has_system",
+            F.expr(
+                f"size(filter({messages_col}, "
+                "x -> x.role = 'system')) > 0"
+            ),
+        )
+        .withColumn(
+            "n_chars",
+            F.expr(
+                f"aggregate({messages_col}, 0L, "
+                "(acc, x) -> acc + length(x.content))"
+            ).cast("bigint"),
+        )
+        .withColumn(
+            "n_tokens",
+            F.expr(
+                f"aggregate({messages_col}, 0L, (acc, x) -> acc + "
+                "size(filter(split(x.content, '\\\\s+'), "
+                "t -> t != '')))"
+            ).cast("bigint"),
+        )
+    )
+
+
+def curate_conversations(
+    df: DataFrame,
+    json_col: str = "messages_json",
+    min_turns: int = 2,
+    max_turns: int = 64,
+    require_alternation: bool = True,
+) -> DataFrame:
+    """The composed SFT-prep pass: parse → validate → stats → turn
+    bounds → render.  Invalid/malformed records are FILTERED (the
+    dirty-corpus default), never job-failing."""
+    parsed = parse_conversations(df, json_col)
+    valid = parsed.where(
+        is_valid_conversation("messages", require_alternation)
+    )
+    sized = chat_stats(valid).where(
+        (F.col("n_turns") >= min_turns) & (F.col("n_turns") <= max_turns)
+    )
+    return render_chat(sized)
