@@ -3819,6 +3819,11 @@ def q_chat_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate_conversations(convs).select(
         "conv_id", "n_turns", "has_system", "n_chars", "n_tokens",
         "text",
+        # loss-mask spans, serialized per the array convention
+        F.expr(
+            "array_join(transform(assistant_spans, "
+            "s -> concat(s.start, '-', s.end)), ' ')"
+        ).alias("spans_str"),
     )
 
 
@@ -3854,7 +3859,27 @@ SELECT conv_id,
                  || '<|im_end|>' || chr(10)
                  || '<|im_start|>assistant' || chr(10) || 'reply '
                  || CAST(conv_id AS VARCHAR) || ' ' || CAST(i AS VARCHAR)
-                 || '<|im_end|>' || chr(10)), '') AS text
+                 || '<|im_end|>' || chr(10)), '') AS text,
+       -- assistant loss-mask spans, closed-form: per-turn rendered
+       -- lengths are constant given len(conv_id) because the pair
+       -- index is a single digit (pairs <= 3)
+       array_to_string(list_transform(generate_series(0, pairs - 1),
+            i -> CAST((CASE WHEN has_system
+                            THEN 34 + length(CAST(conv_id AS VARCHAR))
+                            ELSE 0 END)
+                      + i * (61 + (6 + length(CAST(conv_id AS VARCHAR)))
+                              + (8 + length(CAST(conv_id AS VARCHAR))))
+                      + 51 + (6 + length(CAST(conv_id AS VARCHAR)))
+                      AS VARCHAR)
+                 || '-'
+                 || CAST((CASE WHEN has_system
+                               THEN 34 + length(CAST(conv_id AS VARCHAR))
+                               ELSE 0 END)
+                         + i * (61 + (6 + length(CAST(conv_id AS VARCHAR)))
+                                 + (8 + length(CAST(conv_id AS VARCHAR))))
+                         + 51 + (6 + length(CAST(conv_id AS VARCHAR)))
+                         + (8 + length(CAST(conv_id AS VARCHAR))) - 1
+                         AS VARCHAR)), ' ') AS spans_str
 FROM base
 """
 

@@ -104,6 +104,51 @@ def render_chat(
     return df.withColumn(out_col, rendered)
 
 
+def render_chat_with_spans(
+    df: DataFrame,
+    messages_col: str = "messages",
+    out_col: str = "text",
+    spans_col: str = "assistant_spans",
+    prefix: str = "<|im_start|>",
+    suffix: str = "<|im_end|>\n",
+) -> DataFrame:
+    """:func:`render_chat` plus the SFT loss mask: 1-based inclusive
+    character ranges of the rendered string that are ASSISTANT
+    content — exactly the spans a trainer computes loss on (prompt
+    and control tokens masked out).  One in-row ``aggregate`` fold
+    carrying a ``(text, spans)`` struct accumulator; still pure
+    Catalyst, still no UDF.
+
+    Contract pinned by test: for every span,
+    ``substring(text, start, end - start + 1)`` equals that assistant
+    turn's content verbatim.
+    """
+    pfx = prefix.replace("'", "\\'")
+    sfx = suffix.replace("'", "\\'").replace("\n", "\\n")
+    acc0 = (
+        "named_struct('txt', CAST('' AS STRING), 'spans', "
+        "CAST(array() AS array<struct<start:int, end:int>>))"
+    )
+    step = (
+        "(acc, x) -> named_struct("
+        f"'txt', concat(acc.txt, '{pfx}', x.role, '\\n', x.content, "
+        f"'{sfx}'), "
+        "'spans', CASE WHEN x.role = 'assistant' THEN concat(acc.spans,"
+        " array(named_struct("
+        f"'start', CAST(length(acc.txt) + length('{pfx}') + "
+        "length(x.role) + 2 AS INT), "
+        f"'end', CAST(length(acc.txt) + length('{pfx}') + "
+        "length(x.role) + 1 + length(x.content) AS INT)))) "
+        "ELSE acc.spans END)"
+    )
+    folded = F.expr(f"aggregate({messages_col}, {acc0}, {step})")
+    return df.withColumn("__f", folded).select(
+        "*",
+        F.col("__f.txt").alias(out_col),
+        F.col("__f.spans").alias(spans_col),
+    ).drop("__f")
+
+
 def chat_stats(
     df: DataFrame,
     messages_col: str = "messages",
@@ -150,8 +195,9 @@ def curate_conversations(
     require_alternation: bool = True,
 ) -> DataFrame:
     """The composed SFT-prep pass: parse → validate → stats → turn
-    bounds → render.  Invalid/malformed records are FILTERED (the
-    dirty-corpus default), never job-failing."""
+    bounds → render with the assistant loss-mask spans.  Invalid/
+    malformed records are FILTERED (the dirty-corpus default), never
+    job-failing."""
     parsed = parse_conversations(df, json_col)
     valid = parsed.where(
         is_valid_conversation("messages", require_alternation)
@@ -159,4 +205,4 @@ def curate_conversations(
     sized = chat_stats(valid).where(
         (F.col("n_turns") >= min_turns) & (F.col("n_turns") <= max_turns)
     )
-    return render_chat(sized)
+    return render_chat_with_spans(sized)

@@ -85,3 +85,20 @@ def test_whole_pipeline_is_python_free(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_assistant_spans_slice_verbatim(spark):
+    """Every span slices the rendered string to exactly that
+    assistant turn's content (1-based inclusive, the SFT loss mask)."""
+    from minerva_etl_spark.operators.chat import render_chat_with_spans
+
+    rows = [(1, _msgs(("hi there", "hello friend"), ("more?", "sure thing"),
+                      system="be nice"))]
+    r = render_chat_with_spans(
+        parse_conversations(_df(spark, rows))
+    ).collect()[0]
+    got = [r.text[s.start - 1 : s.end] for s in r.assistant_spans]
+    assert got == ["hello friend", "sure thing"]
+    # curate carries the spans through
+    c = curate_conversations(_df(spark, rows)).collect()[0]
+    assert [c.text[s.start - 1 : s.end] for s in c.assistant_spans] == got
