@@ -1393,9 +1393,12 @@ def cmd_corpus(args) -> None:
     elif args.action == "chat-curate":
         from minerva_etl_spark.operators.chat import curate_conversations
 
+        # drop both the parsed array AND the raw JSON: keeping the
+        # source string beside the rendered text would double the
+        # output parquet of a large SFT delivery
         out = curate_conversations(
             df, min_turns=args.min_turns, max_turns=args.max_turns
-        ).drop("messages")
+        ).drop("messages", "messages_json")
     elif args.action == "pack-ids":
         from minerva_etl_spark.operators.bpe import bpe_train
         from minerva_etl_spark.operators.shard import (

@@ -40,10 +40,21 @@ def parse_conversations(
     out_col: str = "messages",
 ) -> DataFrame:
     """Parse a JSON string column into the typed ``messages`` array.
-    Malformed JSON yields null (Spark's ``from_json`` contract) —
-    filter with ``is_valid_conversation`` rather than failing the
-    scan."""
-    return df.withColumn(out_col, F.from_json(F.col(json_col), MESSAGE_SCHEMA))
+    BOTH public record shapes parse: a bare turn array
+    ``[{role, content}, ...]`` and the object wrapper
+    ``{"messages": [...]}`` (the de-facto OpenAI/HF JSONL format) —
+    whichever matches wins.  Malformed JSON yields null (Spark's
+    ``from_json`` contract) — filter with ``is_valid_conversation``
+    rather than failing the scan."""
+    bare = F.from_json(F.col(json_col), MESSAGE_SCHEMA)
+    wrapped = F.from_json(
+        F.col(json_col), f"struct<messages:{MESSAGE_SCHEMA}>"
+    )["messages"]
+    # wrapped FIRST: PERMISSIVE from_json parses an object under the
+    # array schema as [struct(null, null)] rather than null, so the
+    # bare branch can never be trusted to reject the object shape —
+    # while an actual bare array IS null under the struct schema
+    return df.withColumn(out_col, F.coalesce(wrapped, bare))
 
 
 def is_valid_conversation(
@@ -54,11 +65,12 @@ def is_valid_conversation(
     non-empty, every role known and every content non-null/non-empty,
     at most one system turn and only at position 0, and (optionally)
     the non-system turns strictly alternate user/assistant starting
-    with user."""
+    with user AND ending with assistant — a body ending on a dangling
+    unanswered user turn would train on dead prompt tokens with no
+    loss span, so SFT curation rejects it."""
     m = F.col(messages_col)
-    body = F.expr(
-        f"filter({messages_col}, x -> x.role != 'system')"
-    )
+    body_sql = f"filter({messages_col}, x -> x.role != 'system')"
+    body = F.expr(body_sql)
     roles_ok = F.expr(
         f"forall({messages_col}, x -> x.role IN "
         f"{KNOWN_ROLES!r} AND x.content IS NOT NULL "
@@ -72,15 +84,32 @@ def is_valid_conversation(
     base = m.isNotNull() & (F.size(m) > 0) & roles_ok & system_ok
     if not require_alternation:
         return base
-    # non-system turns: even indexes user, odd indexes assistant
-    alternates = F.expr(
-        "forall(transform({b}, (x, i) -> "
-        "CASE WHEN i % 2 = 0 THEN x.role = 'user' "
-        "ELSE x.role = 'assistant' END), p -> p)".format(
-            b=f"filter({messages_col}, x -> x.role != 'system')"
+    # non-system turns: even indexes user, odd indexes assistant,
+    # last turn assistant (even body length)
+    alternates = (
+        F.expr(
+            f"forall(transform({body_sql}, (x, i) -> "
+            "CASE WHEN i % 2 = 0 THEN x.role = 'user' "
+            "ELSE x.role = 'assistant' END), p -> p)"
         )
-    ) & (F.size(body) > 0)
+        & (F.size(body) > 0)
+        & (F.size(body) % 2 == 0)
+    )
     return base & alternates
+
+
+def _sql_str(s: str) -> str:
+    """A template marker as a Spark SQL single-quoted literal body:
+    backslashes first (or they re-escape what follows), then quotes,
+    then control chars — an unescaped trailing backslash would
+    swallow the closing quote and fail at plan time."""
+    return (
+        s.replace("\\", "\\\\")
+        .replace("'", "\\'")
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
 
 
 def render_chat(
@@ -94,8 +123,8 @@ def render_chat(
     ``prefix + role + '\\n' + content + suffix`` per turn,
     concatenated in order — pure Catalyst ``aggregate`` fold, one
     in-row pass, no UDF."""
-    pfx = prefix.replace("'", "\\'")
-    sfx = suffix.replace("'", "\\'").replace("\n", "\\n")
+    pfx = _sql_str(prefix)
+    sfx = _sql_str(suffix)
     rendered = F.expr(
         f"aggregate({messages_col}, CAST('' AS STRING), "
         f"(acc, x) -> concat(acc, '{pfx}', x.role, '\\n', "
@@ -123,8 +152,8 @@ def render_chat_with_spans(
     ``substring(text, start, end - start + 1)`` equals that assistant
     turn's content verbatim.
     """
-    pfx = prefix.replace("'", "\\'")
-    sfx = suffix.replace("'", "\\'").replace("\n", "\\n")
+    pfx = _sql_str(prefix)
+    sfx = _sql_str(suffix)
     acc0 = (
         "named_struct('txt', CAST('' AS STRING), 'spans', "
         "CAST(array() AS array<struct<start:int, end:int>>))"

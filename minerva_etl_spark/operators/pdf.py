@@ -153,7 +153,17 @@ def _scan_objects(payload: bytes) -> dict[int, bytes]:
     bytes that happen to spell ``N 0 obj`` / ``endobj`` can neither
     register phantom objects nor truncate real ones (zlib output is
     arbitrary bytes — this WILL happen on a large corpus)."""
+    objs, _ = _scan(payload)
+    return objs
+
+
+def _scan(payload: bytes) -> tuple[dict[int, bytes], bytes]:
+    """The walk behind :func:`_scan_objects`, also returning a copy
+    of the payload with every stream body zeroed — the safe haystack
+    for whole-file greps like the trailer's ``/Info`` reference
+    (grepping raw bytes would let compressed data spoof them)."""
     objs: dict[int, bytes] = {}
+    masked = bytearray(payload)
     pos = 0
     n = len(payload)
     while True:
@@ -177,10 +187,14 @@ def _scan_objects(payload: bytes) -> dict[int, bytes]:
             else:  # no direct /Length: fall back to the next keyword
                 es = payload.find(b"endstream", data_start)
             em = payload.find(b"endobj", es if es >= 0 else data_start)
+            stream_end = es if es >= 0 else (em if em >= 0 else n)
+            masked[data_start:stream_end] = b"\x00" * (
+                stream_end - data_start
+            )
         body = payload[m.end(): em if em >= 0 else n]
         objs[int(m.group(1))] = body.strip()
         pos = em + len(b"endobj") if em >= 0 else n
-    return objs
+    return objs, bytes(masked)
 
 
 def _dict_of(body: bytes) -> bytes:
@@ -382,18 +396,22 @@ def pdf_extract_text(payload: bytes) -> dict:
     """
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload (missing %PDF- header)")
-    if re.search(rb"/Encrypt\b", payload):
+    objs, masked = _scan(payload)
+    # ALL whole-file greps run over the stream-masked bytes —
+    # compressed data spelling '/Encrypt' must not reject a valid PDF
+    if re.search(rb"/Encrypt\b", masked):
         raise NotImplementedError(
             "encrypted PDF — decryption is out of scope; inject a "
             "full-featured extractor (pdfminer/PyMuPDF) for these"
         )
-    objs = _scan_objects(payload)
     # title comes from the trailer's /Info dictionary (LAST trailer
     # wins — incremental updates append), never from the first object
     # that happens to carry a /Title: outline items and annotations
-    # carry /Title too and routinely precede the Info dict
+    # carry /Title too and routinely precede the Info dict.  The grep
+    # runs over the STREAM-MASKED payload so compressed bytes cannot
+    # spoof an /Info reference (the _scan_objects corruption class).
     title = None
-    info_refs = re.findall(rb"/Info\s+(\d+)\s+\d+\s+R", payload)
+    info_refs = re.findall(rb"/Info\s+(\d+)\s+\d+\s+R", masked)
     if info_refs and int(info_refs[-1]) in objs:
         d = _dict_of(objs[int(info_refs[-1])])
         tm = re.search(rb"/Title\s*\(", d)
@@ -404,7 +422,7 @@ def pdf_extract_text(payload: bytes) -> dict:
         # honest reject, not a silent empty document: modern PDFs
         # (1.5+) pack page objects into compressed /ObjStm object
         # streams the plain object scan cannot see
-        if re.search(rb"/ObjStm\b", payload):
+        if re.search(rb"/ObjStm\b", masked):
             raise NotImplementedError(
                 "PDF 1.5+ compressed object streams (/ObjStm) — "
                 "inject a full-featured extractor (pdfminer/PyMuPDF)"
@@ -447,10 +465,12 @@ def pdf_extract(
 ) -> DataFrame:
     """PDF → text over a binary column: shuffle-free Arrow
     ``mapInPandas``, one in-task parse per payload.  The id column
-    keeps its input name in the output (``media_id`` in,
-    ``media_id`` out).  ``on_error='skip'`` drops undecodable
-    payloads (dirty-corpus mode) instead of failing the job."""
-    schema = PDF_EXTRACT_SCHEMA.replace("doc_id", id_col, 1)
+    keeps its input NAME AND TYPE in the output (``member string``
+    in → ``member string`` out — archive member names are natural
+    string keys).  ``on_error='skip'`` drops undecodable payloads
+    (dirty-corpus mode) instead of failing the job."""
+    id_type = dict(docs.dtypes).get(id_col, "bigint")
+    schema = PDF_EXTRACT_SCHEMA.replace("doc_id bigint", f"{id_col} {id_type}", 1)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -37,6 +37,10 @@ from pyspark.sql.types import BooleanType, StructField, StructType
 #: Max distinct hosts whose parsed robots live in one task's cache.
 _PARSER_CACHE_MAX = 4096
 
+#: Crawl-delay ceiling (seconds): stated delays above an hour are
+#: treated as an hour, the convention large crawlers use.
+_MAX_CRAWL_DELAY = 3600.0
+
 
 def _is_blank(txt) -> bool:
     return txt is None or (isinstance(txt, float) and pd.isna(txt)) or txt == ""
@@ -211,10 +215,18 @@ def _crawl_delay_from_text(txt: str, agent: str) -> float | None:
         else:
             in_directives = True
             if key == "crawl-delay":
+                import math
+
                 try:
-                    cur_delay = float(val)
+                    v = float(val)
                 except ValueError:
-                    pass
+                    continue
+                # the stdlib's isdigit() gate bounded this implicitly;
+                # accepting floats must not admit nan/inf/negatives
+                # ('Crawl-delay: -1' exists in the wild) — clamp to
+                # the sane band real crawlers use
+                if math.isfinite(v) and v >= 0:
+                    cur_delay = min(v, _MAX_CRAWL_DELAY)
     flush()
     best: tuple[int, float] | None = None  # (match specificity, delay)
     for agents, delay in groups:

@@ -55,8 +55,15 @@ def _load_entry_points() -> None:
     ):
         try:
             importlib.import_module(mod)
-        except Exception:
-            pass
+        except Exception:  # surface the root cause: a swallowed
+            import logging  # ImportError here turns into a baffling
+            # "no harvest plugin for 'tar'" KeyError downstream
+
+            logging.getLogger(__name__).warning(
+                "built-in harvest plugin module %s failed to import",
+                mod,
+                exc_info=True,
+            )
     try:  # entry-point discovery, as in the reference
         from importlib.metadata import entry_points
 

@@ -44,6 +44,9 @@ def test_validation_matrix(spark):
         (8, json.dumps([{"role": "system", "content": "only"}])),  # no body turns
         (9, json.dumps([{"role": "user", "content": "u"},
                         {"role": "user", "content": "u2"}])),      # no alternation
+        (10, json.dumps([{"role": "user", "content": "q"},
+                         {"role": "assistant", "content": "a"},
+                         {"role": "user", "content": "dangling"}])),  # trailing user
     ]
     parsed = parse_conversations(_df(spark, rows))
     ok = {r.conv_id for r in
@@ -52,7 +55,7 @@ def test_validation_matrix(spark):
     # alternation optional: user-user now passes, role rules still hold
     loose = {r.conv_id for r in parsed.where(
         is_valid_conversation(require_alternation=False)).collect()}
-    assert loose == {1, 2, 3, 8, 9}
+    assert loose == {1, 2, 3, 8, 9, 10}
 
 
 def test_render_and_stats(spark):
@@ -102,3 +105,35 @@ def test_assistant_spans_slice_verbatim(spark):
     # curate carries the spans through
     c = curate_conversations(_df(spark, rows)).collect()[0]
     assert [c.text[s.start - 1 : s.end] for s in c.assistant_spans] == got
+
+
+def test_wrapped_messages_object_shape_parses(spark):
+    """The de-facto {"messages": [...]} JSONL wrapper must parse, not
+    silently vanish."""
+    wrapped = json.dumps(
+        {"messages": [{"role": "user", "content": "q"},
+                      {"role": "assistant", "content": "a"}]}
+    )
+    out = curate_conversations(_df(spark, [(1, wrapped)])).collect()
+    assert len(out) == 1 and out[0].n_turns == 2
+
+
+def test_dangling_user_turn_rejected(spark):
+    rows = [(1, json.dumps([{"role": "user", "content": "q"},
+                            {"role": "assistant", "content": "a"},
+                            {"role": "user", "content": "dangling"}]))]
+    assert curate_conversations(_df(spark, rows)).count() == 0
+
+
+def test_template_markers_with_backslashes(spark):
+    """Markers containing backslashes/quotes must survive the SQL
+    literal round trip (escaping order: backslash first)."""
+    from minerva_etl_spark.operators.chat import render_chat_with_spans
+
+    rows = [(1, _msgs(("q", "a")))]
+    r = render_chat_with_spans(
+        parse_conversations(_df(spark, rows)),
+        prefix="<<\\'", suffix="\\end\n",
+    ).collect()[0]
+    assert r.text == "<<\\'user\nq\\end\n<<\\'assistant\na\\end\n".replace("\\", chr(92)).replace("\n", chr(10))
+    assert [r.text[s.start - 1 : s.end] for s in r.assistant_spans] == ["a"]

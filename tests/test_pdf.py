@@ -220,3 +220,26 @@ def test_objstm_and_pageless_are_honest_rejects():
     objstm = no_pages.replace(b"%PDF-1.4", b"%PDF-1.5") + b"\n11 0 obj\n<< /Type /ObjStm >>\nendobj\n"
     with pytest.raises(NotImplementedError, match="ObjStm"):
         pdf_extract_text(objstm)
+
+
+def test_string_id_column_type_preserved(spark):
+    df = spark.createDataFrame(
+        [("doc_a.pdf", synthesize_pdf(["x"]))],
+        "member string, payload binary",
+    )
+    out = pdf_extract(df, id_col="member")
+    assert dict(out.dtypes)["member"] == "string"
+    assert out.collect()[0].member == "doc_a.pdf"
+
+
+def test_info_and_encrypt_greps_are_stream_masked():
+    """Compressed bytes spelling '/Encrypt' or '/Info N 0 R' must
+    not reject a valid PDF or redirect its title lookup."""
+    # craft text whose DEFLATE output is irrelevant — instead plant
+    # the markers in an UNCOMPRESSED stream body, the same masked
+    # region class
+    p = synthesize_pdf(["/Encrypt 9 0 R and /Info 4 0 R planted"],
+                       title="Real", compress=False)
+    d = pdf_extract_text(p)
+    assert d["title"] == "Real"
+    assert "/Encrypt" in d["text"]  # parsed as content, not directive

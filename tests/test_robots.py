@@ -200,3 +200,16 @@ def test_schedule_fetches_slots_and_offsets(spark):
         ("https://a.test/2", 1, 2.5),
         ("https://b.test/9", 0, 0.0),
     ]
+
+
+def test_crawl_delay_rejects_nonfinite_and_negative():
+    from minerva_etl_spark.operators.robots import _crawl_delay_from_text
+
+    for bad in ("-1", "nan", "inf", "-inf"):
+        assert _crawl_delay_from_text(
+            f"User-agent: *\nCrawl-delay: {bad}", "*"
+        ) is None
+    # absurd-but-finite clamps to the hour ceiling
+    assert _crawl_delay_from_text(
+        "User-agent: *\nCrawl-delay: 1e99", "*"
+    ) == 3600.0
