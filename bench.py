@@ -169,6 +169,7 @@ HEADLINE = [
     "frontier_increment",
     "fetch_schedule",
     "chat_curate",
+    "markup_extract",
     # bpe_roundtrip is deliberately NOT here (the sim_ivf_incremental
     # rule): its gate row retrains 12 merges in-row, so benching it
     # times the training harness a third time — encode is already

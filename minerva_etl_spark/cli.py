@@ -1589,6 +1589,10 @@ def cmd_crawl(args) -> None:
         out = sitemap_urls(
             spark.read.parquet(args.input), xml_col=args.xml_col
         )
+    elif args.action == "markup-extract":
+        from minerva_etl_spark.operators.markup import markup_to_text
+
+        out = markup_to_text(spark.read.parquet(args.input))
     elif args.action == "feed-entries":
         from minerva_etl_spark.operators.feeds import feed_entries
 
@@ -2047,7 +2051,8 @@ def main(argv: list[str] | None = None) -> None:
         choices=["warc-read", "warc-export", "html-extract",
                  "warc-to-text", "url-profile", "domain-report",
                  "robots-filter", "robots-sitemaps", "sitemap-urls",
-                 "feed-entries", "frontier-ingest", "fetch-schedule"],
+                 "feed-entries", "frontier-ingest", "fetch-schedule",
+                 "markup-extract"],
     )
     cw.add_argument("--input", required=True,
                     help="WARC dir/glob, or input parquet")

@@ -3765,6 +3765,95 @@ def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed_entries(feeds)
 
 
+def _markup_sanitize(t: str) -> str:
+    """Markup-inert projection of doc text for the markup fixtures:
+    only chars that no Markdown/LaTeX stripping rule can touch
+    survive (SQL twin :func:`_markup_sanitize_sql`)."""
+    import re
+
+    s = re.sub(r"[^A-Za-z0-9 .,;:!?'()]", "", t)
+    return re.sub(r" +", " ", s).strip()
+
+
+def _markup_sanitize_sql(col: str) -> str:
+    return (
+        "trim(regexp_replace(regexp_replace("
+        f"{col}, '[^A-Za-z0-9 .,;:!?''()]+', '', 'g'), ' +', ' ', 'g'))"
+    )
+
+
+def q_markup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping (`operators/markup.py::markup_to_text`, pure
+    Catalyst regexp chains — no UDF): even docs become Markdown pages
+    (header, blockquote with bold/italic/inline code, body line,
+    linked list item, hrule), odd docs LaTeX pages (``\\section``,
+    a ``%`` comment, body line, ``\\textbf`` + ``\\cite`` +
+    inline-math tail) — every covered rule fires on every row; the
+    body text is markup-sanitized so the oracle can rebuild the
+    stripped output closed-form.  A rule mis-firing (eating body
+    text, leaving markers) hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.markup import markup_to_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t2 = _markup_sanitize(str(t))
+                if d % 2 == 0:
+                    raw = (
+                        f"# Doc {d}\n\n"
+                        f"> **intro** for *doc* `{d}`\n\n"
+                        f"Doc {d} body: {t2}\n\n"
+                        f"- [tail](https://x.test/{d})\n\n---\n"
+                    )
+                    kind = "markdown"
+                else:
+                    raw = (
+                        f"\\section{{Doc {d}}}\n% meta\n"
+                        f"Doc {d} body: {t2}\n"
+                        f"\\textbf{{closing}} remark "
+                        f"\\cite{{x{d}}} $e=mc^2$\n"
+                    )
+                    kind = "latex"
+                rows.append((d, kind, raw))
+            yield pd.DataFrame(rows, columns=["doc_id", "kind", "raw"])
+
+    pages = docs.mapInPandas(
+        synth, "doc_id bigint, kind string, raw string"
+    )
+    return markup_to_text(pages).select("doc_id", "kind", "text")
+
+
+_ORACLE_MARKUP_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_markup_sanitize_sql('text')} AS t FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'markdown' ELSE 'latex' END
+           AS kind,
+       CASE WHEN doc_id % 2 = 0 THEN
+         'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+         || 'intro for doc ' || CAST(doc_id AS VARCHAR)
+         || chr(10) || chr(10)
+         || 'Doc ' || CAST(doc_id AS VARCHAR) || ' body:'
+         || CASE WHEN t = '' THEN '' ELSE ' ' || t END
+         || chr(10) || chr(10) || 'tail'
+       ELSE
+         'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) || chr(10)
+         || 'Doc ' || CAST(doc_id AS VARCHAR) || ' body:'
+         || CASE WHEN t = '' THEN '' ELSE ' ' || t END
+         || chr(10) || 'closing remark'
+       END AS text
+FROM san
+"""
+
+
 def q_chat_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT conversation prep (`operators/chat.py::
     curate_conversations`): per-doc JSONL chat records — even docs
@@ -5089,6 +5178,9 @@ _REGISTRY_ORDER = [
     "bpe_roundtrip",
     "fetch_schedule",
     "chat_curate",
+    # markup_extract: pure-Catalyst regexp chains (the urlops family),
+    # plan-asserted Python-free; pytest rule matrix.
+    "markup_extract",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5230,6 +5322,7 @@ def build_queries() -> dict:
         "bpe_roundtrip": q_bpe_roundtrip,
         "fetch_schedule": q_fetch_schedule,
         "chat_curate": q_chat_curate,
+        "markup_extract": q_markup_extract,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5359,6 +5452,7 @@ def build_oracles() -> dict[str, str]:
         "bpe_roundtrip": _ORACLE_BPE_ROUNDTRIP,
         "fetch_schedule": _ORACLE_FETCH_SCHEDULE,
         "chat_curate": _ORACLE_CHAT_CURATE,
+        "markup_extract": _ORACLE_MARKUP_EXTRACT,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
