@@ -170,6 +170,7 @@ HEADLINE = [
     "fetch_schedule",
     "chat_curate",
     "markup_extract",
+    "preference_pairs",
     # bpe_roundtrip is deliberately NOT here (the sim_ivf_incremental
     # rule): its gate row retrains 12 merges in-row, so benching it
     # times the training harness a third time — encode is already

@@ -1285,8 +1285,9 @@ def cmd_corpus(args) -> None:
     centroids, query the state), `chat-curate` (SFT conversation
     prep: parse JSONL chat records, validate structure, bound turns,
     render the ChatML training string — all Catalyst, dirty records
-    filtered).  Extends the reference surface (its CLI has no corpus
-    side)."""
+    filtered), `preference-pairs` (DPO pair prep from scored
+    candidates: deterministic chosen/rejected per prompt).  Extends
+    the reference surface (its CLI has no corpus side)."""
     from pyspark.sql import functions as F
 
     # argument sanity BEFORE a SparkSession spins up: a missing flag
@@ -1399,6 +1400,10 @@ def cmd_corpus(args) -> None:
         out = curate_conversations(
             df, min_turns=args.min_turns, max_turns=args.max_turns
         ).drop("messages", "messages_json")
+    elif args.action == "preference-pairs":
+        from minerva_etl_spark.operators.preference import preference_pairs
+
+        out = preference_pairs(df, min_margin=args.min_margin)
     elif args.action == "pack-ids":
         from minerva_etl_spark.operators.bpe import bpe_train
         from minerva_etl_spark.operators.shard import (
@@ -1977,7 +1982,7 @@ def main(argv: list[str] | None = None) -> None:
             "split", "cap", "tfidf", "kmeans", "bpe", "pack-ids",
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
-            "chat-curate",
+            "chat-curate", "preference-pairs",
         ],
     )
     co.add_argument("--input", required=True, help="input parquet")
@@ -2011,6 +2016,10 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--max-turns", type=int, default=64,
                     dest="max_turns",
                     help="chat-curate: maximum non-system turns")
+    co.add_argument("--min-margin", type=float, default=0.0,
+                    dest="min_margin",
+                    help="preference-pairs: minimum strict "
+                         "chosen-rejected score margin")
     co.set_defaults(fn=cmd_corpus)
 
     md = sub.add_parser("media")

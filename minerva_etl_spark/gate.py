@@ -3854,6 +3854,46 @@ FROM san
 """
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO preference-pair prep (`operators/preference.py::
+    preference_pairs`): every doc becomes a scored candidate response
+    (prompt = doc_id % 97, score = (doc_id*37) % 101, docs at
+    doc_id % 13 = 0 carry a NULL score to exercise the null-drop),
+    paired per prompt as (chosen, rejected) with lowest-cand-id
+    tiebreaks and a min_margin = 5 strict filter.  ~51 candidates per
+    prompt at sf0.01 with scores in 0..100 guarantees top-score ties,
+    so the deterministic tiebreak is load-bearing for the hash."""
+    _prep(spark)
+    from minerva_etl_spark.operators.preference import preference_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cands = docs.select(
+        (F.col("doc_id") % 97).alias("prompt_id"),
+        F.col("doc_id").alias("cand_id"),
+        F.substring("text", 1, 64).alias("response"),
+        F.when(F.col("doc_id") % 13 == 0, F.lit(None).cast("double"))
+        .otherwise(((F.col("doc_id") * 37) % 101).cast("double"))
+        .alias("score"),
+    )
+    return preference_pairs(cands, min_margin=5.0)
+
+
+def _oracle_preference_pairs() -> str:
+    from minerva_etl_spark.operators.preference import (
+        preference_pairs_oracle_sql,
+    )
+
+    cands = """
+  SELECT doc_id % 97 AS prompt_id,
+         doc_id AS cand_id,
+         substring(text, 1, 64) AS response,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              ELSE CAST((doc_id * 37) % 101 AS DOUBLE) END AS score
+  FROM documents
+"""
+    return preference_pairs_oracle_sql(cands, min_margin=5.0)
+
+
 def q_chat_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT conversation prep (`operators/chat.py::
     curate_conversations`): per-doc JSONL chat records — even docs
@@ -5181,6 +5221,10 @@ _REGISTRY_ORDER = [
     # markup_extract: pure-Catalyst regexp chains (the urlops family),
     # plan-asserted Python-free; pytest rule matrix.
     "markup_extract",
+    # preference_pairs: DPO pair prep — one map-side-combinable
+    # max_by/min_by groupBy (no window), deterministic tiebreaks;
+    # pytest matrix + closed-form window oracle.
+    "preference_pairs",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5323,6 +5367,7 @@ def build_queries() -> dict:
         "fetch_schedule": q_fetch_schedule,
         "chat_curate": q_chat_curate,
         "markup_extract": q_markup_extract,
+        "preference_pairs": q_preference_pairs,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5453,6 +5498,7 @@ def build_oracles() -> dict[str, str]:
         "fetch_schedule": _ORACLE_FETCH_SCHEDULE,
         "chat_curate": _ORACLE_CHAT_CURATE,
         "markup_extract": _ORACLE_MARKUP_EXTRACT,
+        "preference_pairs": _oracle_preference_pairs(),
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

@@ -822,6 +822,27 @@ def test_cli_corpus_split_and_cap(tmp_path, spark):
     assert {r.doc_id for r in capped.collect()} == {19, 18, 17}
 
 
+def test_cli_corpus_preference_pairs(tmp_path, spark):
+    """`corpus preference-pairs` builds DPO pairs with the margin flag."""
+    from minerva_etl_spark.cli import main
+
+    cands = spark.createDataFrame(
+        [(1, 1, "good", 9.0), (1, 2, "bad", 1.0),
+         (2, 1, "meh", 5.0), (2, 2, "meh2", 4.5)],
+        "prompt_id bigint, cand_id bigint, response string, score double",
+    )
+    src = str(tmp_path / "cands")
+    cands.write.parquet(src)
+
+    out = str(tmp_path / "pairs")
+    main(["corpus", "preference-pairs", "--input", src, "--output", out,
+          "--min-margin", "2.0"])
+    got = spark.read.parquet(out)
+    rows = got.collect()
+    assert len(rows) == 1 and rows[0].prompt_id == 1
+    assert rows[0].chosen == "good" and rows[0].rejected == "bad"
+
+
 def test_cli_corpus_increment_and_pack_ids(tmp_path, spark):
     """`corpus increment` runs a two-delivery dedup through a persisted
     state; `corpus pack-ids` writes packed token-id sequences."""
