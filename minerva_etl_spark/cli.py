@@ -1348,10 +1348,23 @@ def cmd_corpus(args) -> None:
 
         out = ingest_increment(spark, df, args.state)
     elif args.action == "decontaminate":
-        from minerva_etl_spark.operators.dedup import contamination_check
-
         bench = spark.read.parquet(args.benchmark)
-        hits = contamination_check(df, bench).select("doc_id")
+        if args.bloom_bits:
+            # scale path: bloom prefilter + exact confirm — same
+            # answer, benchmark never broadcast as strings
+            from minerva_etl_spark.operators.bloom import (
+                contamination_check_bloom,
+            )
+
+            hits = contamination_check_bloom(
+                df, bench, num_bits=args.bloom_bits
+            ).select("doc_id")
+        else:
+            from minerva_etl_spark.operators.dedup import (
+                contamination_check,
+            )
+
+            hits = contamination_check(df, bench).select("doc_id")
         out = df.join(hits, "doc_id", "left_anti")
     elif args.action == "increment-emb":
         from minerva_etl_spark.operators.incremental import (
@@ -2020,6 +2033,11 @@ def main(argv: list[str] | None = None) -> None:
                     dest="min_margin",
                     help="preference-pairs: minimum strict "
                          "chosen-rejected score margin")
+    co.add_argument("--bloom-bits", type=int, default=0,
+                    dest="bloom_bits",
+                    help="decontaminate: route through the Bloom "
+                         "prefilter with this bitmap size in bits "
+                         "(0 = exact broadcast path)")
     co.set_defaults(fn=cmd_corpus)
 
     md = sub.add_parser("media")

@@ -641,6 +641,29 @@ def _oracle_decontamination() -> str:
     )
 
 
+def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (`operators/bloom.py::
+    contamination_check_bloom`): the SAME answer as `decontamination`
+    through the 100 TB plan — benchmark shingles folded into a
+    broadcast Bloom bitmap (xxhash64 double hashing, JVM-side on both
+    build and probe), corpus shingles prefiltered map-side, survivors
+    exact-confirmed by a non-broadcast shuffle join.  The oracle IS
+    the exact operator's oracle: no false negatives by construction,
+    false positives removed by the confirm join — a hash mismatch
+    here means the bloom path changed the semantics."""
+    _prep(spark)
+    from minerva_etl_spark.operators.bloom import contamination_check_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.expr(_DECON_CORPUS_PRED))
+    bench = docs.filter(F.expr(_DECON_BENCH_PRED))
+    # 2^16 bits for a few thousand benchmark shingles: realistic load
+    # factor, nonzero fpp — the confirm join is load-bearing
+    return contamination_check_bloom(
+        corpus, bench, num_bits=1 << 16, num_hashes=5
+    )
+
+
 #: per-language keep rates (percent) for the stratified-sampling demo:
 #: downsample the dominant languages, keep every rare-language doc
 _STRATA_RATES = {"en": 30, "de": 60, "fr": 60, "es": 60, "und": 100}
@@ -5225,6 +5248,10 @@ _REGISTRY_ORDER = [
     # max_by/min_by groupBy (no window), deterministic tiebreaks;
     # pytest matrix + closed-form window oracle.
     "preference_pairs",
+    # decontamination_bloom: the bloom scale path MUST equal the exact
+    # operator (same oracle SQL); in-window decontamination coverage
+    # via pipeline_curate_bp's shingle-intersect stage.
+    "decontamination_bloom",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5368,6 +5395,7 @@ def build_queries() -> dict:
         "chat_curate": q_chat_curate,
         "markup_extract": q_markup_extract,
         "preference_pairs": q_preference_pairs,
+        "decontamination_bloom": q_decontamination_bloom,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5499,6 +5527,7 @@ def build_oracles() -> dict[str, str]:
         "chat_curate": _ORACLE_CHAT_CURATE,
         "markup_extract": _ORACLE_MARKUP_EXTRACT,
         "preference_pairs": _oracle_preference_pairs(),
+        "decontamination_bloom": _oracle_decontamination(),
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

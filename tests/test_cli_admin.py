@@ -990,6 +990,13 @@ def test_cli_corpus_decontaminate(tmp_path, spark):
     kept = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert kept == {2}
 
+    # the bloom scale path must keep the same documents
+    out2 = str(tmp_path / "clean_bloom")
+    main(["corpus", "decontaminate", "--input", src, "--output", out2,
+          "--benchmark", bsrc, "--bloom-bits", "8192"])
+    kept2 = {r.doc_id for r in spark.read.parquet(out2).collect()}
+    assert kept2 == {2}
+
 
 def test_cli_corpus_ivf_verbs(tmp_path, spark):
     """`corpus ivf-build` / `ivf-increment` / `ivf-query`: the
