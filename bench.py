@@ -172,6 +172,7 @@ HEADLINE = [
     "markup_extract",
     "preference_pairs",
     "decontamination_bloom",
+    "code_profile",
     # bpe_roundtrip is deliberately NOT here (the sim_ivf_incremental
     # rule): its gate row retrains 12 merges in-row, so benching it
     # times the training harness a third time — encode is already

@@ -1286,7 +1286,9 @@ def cmd_corpus(args) -> None:
     prep: parse JSONL chat records, validate structure, bound turns,
     render the ChatML training string — all Catalyst, dirty records
     filtered), `preference-pairs` (DPO pair prep from scored
-    candidates: deterministic chosen/rejected per prompt).  Extends
+    candidates: deterministic chosen/rejected per prompt),
+    `code-profile` (code-corpus stats: language, line shape, comment
+    and alnum fractions, license sniff — one codegen scan).  Extends
     the reference surface (its CLI has no corpus side)."""
     from pyspark.sql import functions as F
 
@@ -1417,6 +1419,14 @@ def cmd_corpus(args) -> None:
         from minerva_etl_spark.operators.preference import preference_pairs
 
         out = preference_pairs(df, min_margin=args.min_margin)
+    elif args.action == "code-profile":
+        from minerva_etl_spark.operators.code import with_code_profile
+
+        out = with_code_profile(
+            df,
+            text_col=args.text_col,
+            path_col=args.path_col if args.path_col else None,
+        )
     elif args.action == "pack-ids":
         from minerva_etl_spark.operators.bpe import bpe_train
         from minerva_etl_spark.operators.shard import (
@@ -1995,7 +2005,7 @@ def main(argv: list[str] | None = None) -> None:
             "split", "cap", "tfidf", "kmeans", "bpe", "pack-ids",
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
-            "chat-curate", "preference-pairs",
+            "chat-curate", "preference-pairs", "code-profile",
         ],
     )
     co.add_argument("--input", required=True, help="input parquet")
@@ -2033,6 +2043,11 @@ def main(argv: list[str] | None = None) -> None:
                     dest="min_margin",
                     help="preference-pairs: minimum strict "
                          "chosen-rejected score margin")
+    co.add_argument("--text-col", default="content", dest="text_col",
+                    help="code-profile: source-text column")
+    co.add_argument("--path-col", default="path", dest="path_col",
+                    help="code-profile: file-path column for the "
+                         "extension language map ('' = no path)")
     co.add_argument("--bloom-bits", type=int, default=0,
                     dest="bloom_bits",
                     help="decontaminate: route through the Bloom "

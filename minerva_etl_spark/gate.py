@@ -664,6 +664,96 @@ def q_decontamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_synth_exprs(spark_side: bool) -> tuple[str, str, str, str]:
+    """Shared code-file synthesis for the `code_profile` row — the
+    SAME SQL text runs on Spark (selectExpr) and DuckDB (oracle CTE),
+    parameterized only where the dialects force it (regexp_replace's
+    'g' flag, the cast type name).  Returns (t, lic, path, content)
+    expression strings; path/content reference columns ``t``/``lic``."""
+    rr = (
+        "regexp_replace(lower(text), '[^a-z0-9 ]', '')"
+        if spark_side
+        else "regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')"
+    )
+    d = (
+        "CAST(doc_id AS STRING)"
+        if spark_side
+        else "CAST(doc_id AS VARCHAR)"
+    )
+    t = f"trim({rr})"
+    lic = (
+        "CASE WHEN doc_id % 5 = 0 THEN chr(10) || "
+        "'# Copyright (c) 2020 Example' ELSE '' END"
+    )
+    path = f"""CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'src/mod_' || {d} || '.py'
+      WHEN 1 THEN 'web/app_' || {d} || '.js'
+      WHEN 2 THEN 'lib/mod_' || {d} || '.rs'
+      ELSE 'scripts/run_' || {d} END"""
+    content = f"""CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '# doc ' || {d} || chr(10) || 'def f():' || chr(10)
+        || '    return "' || t || '"' || lic || chr(10)
+      WHEN 1 THEN '// doc ' || {d} || chr(10) || 'const x = "' || t
+        || '";' || chr(10) || '/* tail */' || lic
+      WHEN 2 THEN '// doc ' || {d} || chr(10) || 'let x = "' || t
+        || '"; // inline' || lic
+      ELSE '#!' || '/bin/bash' || chr(10) || '# doc ' || {d} || chr(10)
+        || 'echo "' || t || '"' || lic || chr(10) END"""
+    return t, lic, path, content
+
+
+def q_code_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-corpus profiling (`operators/code.py::with_code_profile`,
+    ONE codegen scan, no UDF): every doc becomes a synthetic source
+    file cycling python/javascript/rust/shell-shebang shapes (docs at
+    doc_id % 5 = 0 gain a Copyright comment line), then language,
+    line stats, comment fraction, alnum fraction and the license
+    sniff are profiled.  The synthesis SQL is SHARED with the oracle
+    (dialect-parameterized), so any drift in the profile expressions
+    themselves hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.code import with_code_profile
+
+    t, lic, path, content = _code_synth_exprs(spark_side=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    files = docs.selectExpr(
+        "doc_id", f"{t} AS t", f"{lic} AS lic"
+    ).selectExpr("doc_id", f"{path} AS path", f"{content} AS content")
+    prof = with_code_profile(files, "content", "path")
+    return prof.select(
+        "doc_id",
+        "language",
+        "n_lines",
+        "max_line_len",
+        "avg_line_len",
+        "comment_line_frac",
+        "alnum_frac",
+        F.col("has_license").cast("int").alias("has_license"),
+    )
+
+
+def _oracle_code_profile() -> str:
+    from minerva_etl_spark.operators.code import code_profile_duck_exprs
+
+    t, lic, path, content = _code_synth_exprs(spark_side=False)
+    exprs = code_profile_duck_exprs("content", "path")
+    sel = ", ".join(
+        f"CAST({sql} AS INTEGER) AS {name}"
+        if name == "has_license"
+        else f"{sql} AS {name}"
+        for name, sql in exprs.items()
+    )
+    return f"""
+WITH san AS (
+  SELECT doc_id, {t} AS t, {lic} AS lic FROM documents
+),
+files AS (
+  SELECT doc_id, {path} AS path, {content} AS content FROM san
+)
+SELECT doc_id, {sel} FROM files
+"""
+
+
 #: per-language keep rates (percent) for the stratified-sampling demo:
 #: downsample the dominant languages, keep every rare-language doc
 _STRATA_RATES = {"en": 30, "de": 60, "fr": 60, "es": 60, "und": 100}
@@ -5252,6 +5342,10 @@ _REGISTRY_ORDER = [
     # operator (same oracle SQL); in-window decontamination coverage
     # via pipeline_curate_bp's shingle-intersect stage.
     "decontamination_bloom",
+    # code_profile: code-corpus curation stats (language/line/comment/
+    # alnum/license) in ONE codegen scan — the text_profile family;
+    # pytest twin test pins every column against DuckDB.
+    "code_profile",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5396,6 +5490,7 @@ def build_queries() -> dict:
         "markup_extract": q_markup_extract,
         "preference_pairs": q_preference_pairs,
         "decontamination_bloom": q_decontamination_bloom,
+        "code_profile": q_code_profile,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5528,6 +5623,7 @@ def build_oracles() -> dict[str, str]:
         "markup_extract": _ORACLE_MARKUP_EXTRACT,
         "preference_pairs": _oracle_preference_pairs(),
         "decontamination_bloom": _oracle_decontamination(),
+        "code_profile": _oracle_code_profile(),
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

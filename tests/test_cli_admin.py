@@ -843,6 +843,33 @@ def test_cli_corpus_preference_pairs(tmp_path, spark):
     assert rows[0].chosen == "good" and rows[0].rejected == "bad"
 
 
+def test_cli_corpus_code_profile(tmp_path, spark):
+    """`corpus code-profile` profiles a code parquet — language from
+    shebang/extension, line stats, license sniff."""
+    from minerva_etl_spark.cli import main
+
+    files = spark.createDataFrame(
+        [(1, "a.py", "# Copyright 2020\nx = 1\n"),
+         (2, "run", "#!/bin/bash\necho hi\n")],
+        "file_id bigint, path string, content string",
+    )
+    src = str(tmp_path / "code")
+    files.write.parquet(src)
+
+    out = str(tmp_path / "prof")
+    main(["corpus", "code-profile", "--input", src, "--output", out])
+    got = {r.file_id: r for r in spark.read.parquet(out).collect()}
+    assert got[1].language == "python" and got[1].has_license
+    assert got[2].language == "shell" and not got[2].has_license
+
+    # --path-col '' drops the extension map: only the shebang resolves
+    out2 = str(tmp_path / "prof2")
+    main(["corpus", "code-profile", "--input", src, "--output", out2,
+          "--path-col", ""])
+    got2 = {r.file_id: r for r in spark.read.parquet(out2).collect()}
+    assert got2[1].language == "unknown" and got2[2].language == "shell"
+
+
 def test_cli_corpus_increment_and_pack_ids(tmp_path, spark):
     """`corpus increment` runs a two-delivery dedup through a persisted
     state; `corpus pack-ids` writes packed token-id sequences."""
