@@ -1288,8 +1288,10 @@ def cmd_corpus(args) -> None:
     filtered), `preference-pairs` (DPO pair prep from scored
     candidates: deterministic chosen/rejected per prompt),
     `code-profile` (code-corpus stats: language, line shape, comment
-    and alnum fractions, license sniff — one codegen scan).  Extends
-    the reference surface (its CLI has no corpus side)."""
+    and alnum fractions, license sniff — one codegen scan),
+    `code-dedup` (comment/whitespace-invariant exact dedup groups),
+    `fim` (char-level fill-in-the-middle prep with seeded cuts).
+    Extends the reference surface (its CLI has no corpus side)."""
     from pyspark.sql import functions as F
 
     # argument sanity BEFORE a SparkSession spins up: a missing flag
@@ -1426,6 +1428,19 @@ def cmd_corpus(args) -> None:
             df,
             text_col=args.text_col,
             path_col=args.path_col if args.path_col else None,
+        )
+    elif args.action == "code-dedup":
+        from minerva_etl_spark.operators.code import dedup_code_groups
+
+        out = dedup_code_groups(
+            df, id_col=args.id_col, text_col=args.text_col
+        )
+    elif args.action == "fim":
+        from minerva_etl_spark.operators.code import fim_transform
+
+        out = fim_transform(
+            df, text_col=args.text_col, id_col=args.id_col,
+            seed=args.seed, rate=args.rate, spm=args.spm,
         )
     elif args.action == "pack-ids":
         from minerva_etl_spark.operators.bpe import bpe_train
@@ -2006,6 +2021,7 @@ def main(argv: list[str] | None = None) -> None:
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
             "chat-curate", "preference-pairs", "code-profile",
+            "code-dedup", "fim",
         ],
     )
     co.add_argument("--input", required=True, help="input parquet")
@@ -2048,6 +2064,13 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--path-col", default="path", dest="path_col",
                     help="code-profile: file-path column for the "
                          "extension language map ('' = no path)")
+    co.add_argument("--id-col", default="file_id", dest="id_col",
+                    help="code-dedup/fim: id column (canonical pick / "
+                         "seeded cut draws)")
+    co.add_argument("--rate", type=float, default=0.5,
+                    help="fim: fraction of docs to transform")
+    co.add_argument("--spm", action="store_true",
+                    help="fim: render suffix-before-prefix order")
     co.add_argument("--bloom-bits", type=int, default=0,
                     dest="bloom_bits",
                     help="decontaminate: route through the Bloom "

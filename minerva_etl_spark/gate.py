@@ -754,6 +754,110 @@ SELECT doc_id, {sel} FROM files
 """
 
 
+def q_code_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment/whitespace-invariant code dedup
+    (`operators/code.py::dedup_code_groups`, one map-side groupBy on
+    md5(normalized)): every doc becomes a synthetic source file (the
+    `code_profile` synthesis); docs at doc_id % 3 = 0 additionally
+    contribute a REFORMATTED twin (id + 100000: extra license
+    comment, doubled blank lines, trailing tabs) that must collapse
+    onto the original's normalized digest."""
+    _prep(spark)
+    from minerva_etl_spark.operators.code import dedup_code_groups
+
+    t, lic, path, content = _code_synth_exprs(spark_side=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    files = docs.selectExpr(
+        "doc_id", f"{t} AS t", f"{lic} AS lic"
+    ).selectExpr("doc_id", f"{path} AS path", f"{content} AS content")
+    twins = files.where("doc_id % 3 = 0").selectExpr(
+        "doc_id + 100000 AS doc_id",
+        "path",
+        "'// SPDX-License-Identifier: MIT' || chr(10) || "
+        "regexp_replace(content, '\\n', '\\t\\n\\n') AS content",
+    )
+    groups = dedup_code_groups(
+        files.unionByName(twins), id_col="doc_id", text_col="content"
+    )
+    return groups.select("norm_digest", "canonical_id", "n_files")
+
+
+def _oracle_code_dedup() -> str:
+    from minerva_etl_spark.operators.code import normalize_code_duck_expr
+
+    t, lic, path, content = _code_synth_exprs(spark_side=False)
+    norm = normalize_code_duck_expr("content")
+    return f"""
+WITH san AS (
+  SELECT doc_id, {t} AS t, {lic} AS lic FROM documents
+),
+files AS (
+  SELECT doc_id, {path} AS path, {content} AS content FROM san
+),
+twins AS (
+  SELECT doc_id + 100000 AS doc_id, path,
+         '// SPDX-License-Identifier: MIT' || chr(10) ||
+         regexp_replace(content, chr(10), chr(9) || chr(10) || chr(10),
+                        'g') AS content
+  FROM files WHERE doc_id % 3 = 0
+),
+allfiles AS (
+  SELECT * FROM files UNION ALL SELECT * FROM twins
+),
+normed AS (
+  SELECT doc_id, md5({norm}) AS norm_digest FROM allfiles
+)
+SELECT norm_digest, CAST(min(doc_id) AS BIGINT) AS canonical_id,
+       count(*) AS n_files
+FROM normed GROUP BY norm_digest
+"""
+
+
+def q_code_fim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-level fill-in-the-middle prep
+    (`operators/code.py::fim_transform`, pure Catalyst, seeded-md5
+    cut points): the synthetic code files at rate 0.6, seed 7 — the
+    rendered sentinel string, the applied flag and both cut offsets
+    are all hash-pinned against the dialect-twin oracle."""
+    _prep(spark)
+    from minerva_etl_spark.operators.code import fim_transform
+
+    t, lic, path, content = _code_synth_exprs(spark_side=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    files = docs.selectExpr(
+        "doc_id", f"{t} AS t", f"{lic} AS lic"
+    ).selectExpr("doc_id", f"{path} AS path", f"{content} AS content")
+    out = fim_transform(files, "content", "doc_id", seed=7, rate=0.6)
+    return out.select(
+        "doc_id",
+        "fim_applied",
+        "cut_lo",
+        "cut_hi",
+        "fim_text",
+        F.length("fim_text").cast("int").alias("fim_len"),
+    )
+
+
+def _oracle_code_fim() -> str:
+    from minerva_etl_spark.operators.code import fim_exprs
+
+    t, lic, path, content = _code_synth_exprs(spark_side=False)
+    exprs = fim_exprs("content", "doc_id", seed=7, rate=0.6,
+                      spark_side=False)
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in exprs.items())
+    return f"""
+WITH san AS (
+  SELECT doc_id, {t} AS t, {lic} AS lic FROM documents
+),
+files AS (
+  SELECT doc_id, {path} AS path, {content} AS content FROM san
+)
+SELECT doc_id, {sel},
+       CAST(length({exprs['fim_text']}) AS INTEGER) AS fim_len
+FROM files
+"""
+
+
 #: per-language keep rates (percent) for the stratified-sampling demo:
 #: downsample the dominant languages, keep every rare-language doc
 _STRATA_RATES = {"en": 30, "de": 60, "fr": 60, "es": 60, "und": 100}
@@ -5346,6 +5450,13 @@ _REGISTRY_ORDER = [
     # alnum/license) in ONE codegen scan — the text_profile family;
     # pytest twin test pins every column against DuckDB.
     "code_profile",
+    # code_dedup: comment/whitespace-invariant normalization + exact
+    # digest groupBy (the code near-dup class); reformatted twins must
+    # collapse — pytest invariance matrix + dialect-twin oracle.
+    "code_dedup",
+    # code_fim: char-level fill-in-the-middle prep (seeded md5 cuts,
+    # PSM sentinels) — pytest reassembly property + dialect twin.
+    "code_fim",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5491,6 +5602,8 @@ def build_queries() -> dict:
         "preference_pairs": q_preference_pairs,
         "decontamination_bloom": q_decontamination_bloom,
         "code_profile": q_code_profile,
+        "code_dedup": q_code_dedup,
+        "code_fim": q_code_fim,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5624,6 +5737,8 @@ def build_oracles() -> dict[str, str]:
         "preference_pairs": _oracle_preference_pairs(),
         "decontamination_bloom": _oracle_decontamination(),
         "code_profile": _oracle_code_profile(),
+        "code_dedup": _oracle_code_dedup(),
+        "code_fim": _oracle_code_fim(),
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

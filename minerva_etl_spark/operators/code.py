@@ -165,6 +165,171 @@ def with_code_profile(
     return out.drop("__lines")
 
 
+def normalize_code(
+    df: DataFrame, text_col: str = "content", out_col: str = "normalized"
+) -> DataFrame:
+    """Comment/whitespace-invariant code normalization — the key for
+    near-dedup of source files (reformatting and license-header churn
+    are the dominant duplicate classes in code corpora).
+
+    One codegen scan: strip ``/* */`` block comments (dotall, lazy),
+    then per-line strip ``//``/``#``/``--`` tail comments, collapse
+    runs of spaces/tabs, trim, drop blank lines, re-join.  The comment
+    strip is deliberately heuristic (a ``#`` inside a string literal
+    is treated as a comment) — for DEDUP KEYS that only makes the
+    normalization slightly more aggressive; the original text is
+    never modified.  Same expressions in :func:`normalize_code_duck_expr`.
+    """
+    body = f"regexp_replace({text_col}, '(?s)/\\\\*.*?\\\\*/', ' ')"
+    line = (
+        "trim(regexp_replace(regexp_replace(l, '(//|#|--).*', ''), "
+        "'[ \\t]+', ' '))"
+    )
+    expr = (
+        f"array_join(filter(transform(split({body}, '\\n'), "
+        f"l -> {line}), l -> l != ''), '\\n')"
+    )
+    return df.withColumn(out_col, F.expr(expr))
+
+
+def normalize_code_duck_expr(text_col: str = "content") -> str:
+    """DuckDB twin of :func:`normalize_code`'s expression."""
+    body = f"regexp_replace({text_col}, '(?s)/\\*.*?\\*/', ' ', 'g')"
+    line = (
+        "trim(regexp_replace(regexp_replace(l, '(//|#|--).*', '', 'g'), "
+        "'[ \t]+', ' ', 'g'))"
+    )
+    # coalesce: DuckDB's array_to_string([]) is NULL where Spark's
+    # array_join([]) is '' — an all-comment file must normalize to ''
+    return (
+        f"coalesce(array_to_string(list_filter(list_transform("
+        f"string_split({body}, chr(10)), l -> {line}), "
+        f"l -> l != ''), chr(10)), '')"
+    )
+
+
+def dedup_code_groups(
+    df: DataFrame, id_col: str = "file_id", text_col: str = "content"
+) -> DataFrame:
+    """Exact dedup over the normalized form: one map-side-combinable
+    groupBy on ``md5(normalized)`` — no window, no sort.  Returns one
+    row per distinct normalized body: ``(norm_digest, canonical_id,
+    n_files)`` with the smallest id as canonical (the
+    `operators/dedup.py::dedup_exact` convention, rescoped to the
+    comment/whitespace-invariant key)."""
+    norm = normalize_code(df, text_col, "__norm")
+    return (
+        norm.withColumn("norm_digest", F.md5(F.col("__norm")))
+        .groupBy("norm_digest")
+        .agg(
+            F.min(id_col).cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_files"),
+        )
+    )
+
+
+# -------------------------------------------------------------------- FIM
+#: sentinel tokens of the fill-in-the-middle rendering (the public
+#: FIM convention: prefix/suffix/middle markers, middle always last
+#: so the trainer learns to generate it)
+FIM_PREFIX, FIM_SUFFIX, FIM_MIDDLE = (
+    "<|fim_prefix|>", "<|fim_suffix|>", "<|fim_middle|>"
+)
+_FIM_BUCKETS = 10_000
+
+
+def _md5_bucket(expr: str, spark_side: bool, mod: str) -> str:
+    """The engine's standard seeded md5 draw (gate.py convention):
+    first 15 hex chars → BIGINT → pmod."""
+    if spark_side:
+        return f"pmod(conv(substr(md5({expr}), 1, 15), 16, 10), {mod})"
+    return (
+        f"((CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)) % {mod})"
+    )
+
+
+def fim_exprs(
+    text_col: str,
+    id_col: str,
+    *,
+    seed: int = 0,
+    rate: float = 0.5,
+    spm: bool = False,
+    spark_side: bool = True,
+) -> dict[str, str]:
+    """Shared Spark/DuckDB SQL for :func:`fim_transform` — char-level
+    fill-in-the-middle: two deterministic cut points from seeded md5
+    draws split the doc into prefix/middle/suffix; a third draw
+    selects ``rate`` of the docs.  PSM order by default; ``spm=True``
+    renders suffix-before-prefix (both public FIM orders).  Docs not
+    selected (or shorter than 2 chars) pass through verbatim with
+    ``fim_applied = 0``."""
+    sid = (
+        f"CAST({id_col} AS STRING)" if spark_side
+        else f"CAST({id_col} AS VARCHAR)"
+    )
+    n = f"length({text_col})"
+    rate_i = int(round(rate * _FIM_BUCKETS))
+    rate_key = f"'{seed}:r:' || {sid}"
+    pick = (
+        f"({_md5_bucket(rate_key, spark_side, str(_FIM_BUCKETS))}"
+        f" < {rate_i}) AND {n} >= 2"
+    )
+    c1 = _md5_bucket(f"'{seed}:a:' || {sid}", spark_side, f"({n} + 1)")
+    c2 = _md5_bucket(f"'{seed}:b:' || {sid}", spark_side, f"({n} + 1)")
+    lo = f"least({c1}, {c2})"
+    hi = f"greatest({c1}, {c2})"
+    lo_i, hi_i = (
+        (f"CAST({lo} AS INT)", f"CAST({hi} AS INT)") if spark_side
+        else (f"CAST({lo} AS INTEGER)", f"CAST({hi} AS INTEGER)")
+    )
+    pre = f"substr({text_col}, 1, {lo_i})"
+    mid = f"substr({text_col}, {lo_i} + 1, {hi_i} - {lo_i})"
+    suf = f"substr({text_col}, {hi_i} + 1)"
+    if spm:
+        rendered = (
+            f"'{FIM_PREFIX}' || '{FIM_SUFFIX}' || {suf} || "
+            f"'{FIM_MIDDLE}' || {pre} || {mid}"
+        )
+    else:
+        rendered = (
+            f"'{FIM_PREFIX}' || {pre} || '{FIM_SUFFIX}' || {suf} || "
+            f"'{FIM_MIDDLE}' || {mid}"
+        )
+    applied_cast = "INT" if spark_side else "INTEGER"
+    return {
+        "fim_applied": f"CAST({pick} AS {applied_cast})",
+        "fim_text": (
+            f"CASE WHEN {pick} THEN {rendered} ELSE {text_col} END"
+        ),
+        "cut_lo": f"CASE WHEN {pick} THEN {lo_i} ELSE NULL END",
+        "cut_hi": f"CASE WHEN {pick} THEN {hi_i} ELSE NULL END",
+    }
+
+
+def fim_transform(
+    df: DataFrame,
+    text_col: str = "content",
+    id_col: str = "file_id",
+    *,
+    seed: int = 0,
+    rate: float = 0.5,
+    spm: bool = False,
+) -> DataFrame:
+    """Attach ``fim_text``/``fim_applied``/``cut_lo``/``cut_hi`` —
+    char-level FIM prep for code pretraining, pure Catalyst (the
+    sentinel insertion happens BEFORE tokenization, the standard
+    pipeline order).  Deterministic under reruns and partitioning:
+    every draw is a seeded md5 of the id."""
+    exprs = fim_exprs(
+        text_col, id_col, seed=seed, rate=rate, spm=spm, spark_side=True
+    )
+    out = df
+    for name, sql in exprs.items():
+        out = out.withColumn(name, F.expr(sql))
+    return out
+
+
 def code_profile_duck_exprs(
     text_col: str = "content", path_col: str | None = "path"
 ) -> dict[str, str]:

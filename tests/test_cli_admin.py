@@ -870,6 +870,34 @@ def test_cli_corpus_code_profile(tmp_path, spark):
     assert got2[1].language == "unknown" and got2[2].language == "shell"
 
 
+def test_cli_corpus_code_dedup_and_fim(tmp_path, spark):
+    """`corpus code-dedup` collapses reformatted twins; `corpus fim`
+    renders the sentinel string at the given rate."""
+    from minerva_etl_spark.cli import main
+
+    files = spark.createDataFrame(
+        [(1, "a.c", "int f() {\n  return 1;\n}"),
+         (2, "b.c", "// mirror\nint f() {\n\n  return 1;\n}"),
+         (3, "c.c", "int g() { return 2; }")],
+        "file_id bigint, path string, content string",
+    )
+    src = str(tmp_path / "code")
+    files.write.parquet(src)
+
+    out = str(tmp_path / "groups")
+    main(["corpus", "code-dedup", "--input", src, "--output", out])
+    groups = {r.canonical_id: r.n_files
+              for r in spark.read.parquet(out).collect()}
+    assert groups == {1: 2, 3: 1}
+
+    out2 = str(tmp_path / "fim")
+    main(["corpus", "fim", "--input", src, "--output", out2,
+          "--rate", "1.0", "--seed", "3"])
+    rows = spark.read.parquet(out2).collect()
+    assert all(r.fim_applied == 1 for r in rows)
+    assert all(r.fim_text.startswith("<|fim_prefix|>") for r in rows)
+
+
 def test_cli_corpus_increment_and_pack_ids(tmp_path, spark):
     """`corpus increment` runs a two-delivery dedup through a persisted
     state; `corpus pack-ids` writes packed token-id sequences."""

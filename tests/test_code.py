@@ -63,6 +63,126 @@ def test_alnum_license_empty(spark):
     assert 0.0 < p[1]["alnum_frac"] < 1.0
 
 
+def test_normalize_code_invariance(spark):
+    """Reformatting, comment churn, and blank lines all normalize to
+    the same body — the near-dup classes code corpora actually have."""
+    from minerva_etl_spark.operators.code import dedup_code_groups
+
+    variants = [
+        (1, "a.c", "int f() {\n  return 1; /* one */\n}\n"),
+        (2, "b.c", "// Copyright 2024\nint f() {\n\n  return 1;\n}"),
+        (3, "c.c", "int  f()   {\n\treturn 1;\t\n}\n\n"),
+        (4, "d.c", "int f() {\n  return 2;\n}"),  # genuinely different
+    ]
+    groups = dedup_code_groups(
+        spark.createDataFrame(variants, SCHEMA), "file_id", "content"
+    ).collect()
+    by_canon = {r.canonical_id: r.n_files for r in groups}
+    assert by_canon == {1: 3, 4: 1}
+
+
+def test_normalize_code_block_comment_multiline(spark):
+    """A block comment spanning lines is removed (dotall lazy match),
+    and two block comments don't swallow the code between them."""
+    from minerva_etl_spark.operators.code import normalize_code
+
+    df = spark.createDataFrame(
+        [(1, "x.c", "/* a\n b */ x = 1; /* c */ y = 2;")], SCHEMA
+    )
+    got = normalize_code(df, "content").collect()[0].normalized
+    assert got == "x = 1; y = 2;"
+
+
+def test_normalize_duck_twin(spark):
+    """normalize_code == its DuckDB twin expression byte-for-byte."""
+    from minerva_etl_spark.operators.code import (
+        normalize_code,
+        normalize_code_duck_expr,
+    )
+
+    rows = [
+        (1, "a.py", "# top\nx = 1  #tail\n\n  y =\t2\n"),
+        (2, "b.c", "/* x\ny */ a; // t\n--sql\nb;"),
+        (3, "c", ""),
+    ]
+    sdf = normalize_code(spark.createDataFrame(rows, SCHEMA), "content")
+    got = {r.file_id: r.normalized for r in sdf.collect()}
+    con = duckdb.connect()
+    con.register(
+        "files", pd.DataFrame(rows, columns=["file_id", "path", "content"])
+    )
+    duck = con.execute(
+        f"SELECT file_id, {normalize_code_duck_expr('content')} AS n "
+        "FROM files"
+    ).fetchall()
+    for fid, n in duck:
+        assert n == got[fid], (fid, n, got[fid])
+
+
+def test_fim_transform_semantics(spark):
+    """FIM cuts reassemble to the original text; unselected and short
+    docs pass through; PSM and SPM orders both render."""
+    from minerva_etl_spark.operators.code import (
+        FIM_MIDDLE, FIM_PREFIX, FIM_SUFFIX, fim_transform,
+    )
+
+    rows = [(i, f"f{i}.py", f"line one {i}\nline two {i}\n") for i in
+            range(20)] + [(99, "tiny", "x")]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r.file_id: r for r in
+           fim_transform(df, "content", "file_id", rate=0.5).collect()}
+    texts = dict((i, t) for i, _, t in rows)
+    applied = [r for r in out.values() if r.fim_applied]
+    passthrough = [r for r in out.values() if not r.fim_applied]
+    assert applied and passthrough  # rate=0.5 hits both at n=21
+    assert out[99].fim_applied == 0 and out[99].fim_text == "x"
+    for r in passthrough:
+        assert r.fim_text == texts[r.file_id]
+        assert r.cut_lo is None and r.cut_hi is None
+    for r in applied:
+        t = texts[r.file_id]
+        pre, rest = r.fim_text.removeprefix(FIM_PREFIX).split(FIM_SUFFIX)
+        suf, mid = rest.split(FIM_MIDDLE)
+        assert pre + mid + suf == t
+        assert len(pre) == r.cut_lo and len(pre) + len(mid) == r.cut_hi
+    # SPM order: suffix rendered before the prefix segment
+    spm = {r.file_id: r for r in
+           fim_transform(df, "content", "file_id", rate=0.5,
+                         spm=True).collect()}
+    for fid, r in spm.items():
+        assert r.fim_applied == out[fid].fim_applied
+        if r.fim_applied:
+            assert r.fim_text.startswith(FIM_PREFIX + FIM_SUFFIX)
+            body = r.fim_text.removeprefix(FIM_PREFIX + FIM_SUFFIX)
+            suf, pm = body.split(FIM_MIDDLE)
+            assert pm + suf == texts[fid]
+
+
+def test_fim_duck_twin(spark):
+    """fim_exprs(spark_side=False) reproduces the Spark columns."""
+    from minerva_etl_spark.operators.code import fim_exprs, fim_transform
+
+    rows = [(i, f"f{i}", "abcdefghij" * (1 + i % 3)) for i in range(12)]
+    sdf = fim_transform(
+        spark.createDataFrame(rows, SCHEMA), "content", "file_id",
+        seed=7, rate=0.6,
+    )
+    got = {r.file_id: r.asDict() for r in sdf.collect()}
+    con = duckdb.connect()
+    con.register(
+        "files", pd.DataFrame(rows, columns=["file_id", "path", "content"])
+    )
+    exprs = fim_exprs("content", "file_id", seed=7, rate=0.6,
+                      spark_side=False)
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in exprs.items())
+    for row in con.execute(
+        f"SELECT file_id, {sel} FROM files"
+    ).fetchdf().to_dict("records"):
+        srow = got[row["file_id"]]
+        assert row["fim_text"] == srow["fim_text"]
+        assert bool(row["fim_applied"]) == bool(srow["fim_applied"])
+
+
 def test_duckdb_twin_agrees(spark):
     """Every profile column must hash-match its DuckDB twin on the
     same input — the property the oracle row depends on."""
