@@ -1487,7 +1487,9 @@ def cmd_media(args) -> None:
     PNG/JPEG column and normalizes to PNG), `frames`
     (fixed-stride frame sampling), `pdf-text` (real PDF text
     extraction: object scan, FlateDecode, Tj/TJ operators —
-    `--on-error skip` for dirty corpora), `features` (generic
+    `--on-error skip` for dirty corpora), `image-dhash` /
+    `image-dedup` (perceptual near-dup hashing over decoded pixels
+    and the pigeonhole hamming pair join), `features` (generic
     extractor — `--decoder pkg.mod:fn` injects a real decoder, e.g. a
     PIL or ffmpeg wrapper, on clusters that have one installed).
     Extends the
@@ -1543,6 +1545,19 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.pdf import pdf_extract
 
         out = pdf_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "image-dhash":
+        from minerva_etl_spark.operators.imagehash import image_dhash
+
+        out = image_dhash(df, on_error=args.on_error)
+    elif args.action == "image-dedup":
+        from minerva_etl_spark.operators.imagehash import (
+            dhash_pairs,
+            image_dhash,
+        )
+
+        out = dhash_pairs(
+            image_dhash(df, on_error=args.on_error), radius=args.radius
+        )
     else:  # pragma: no cover - argparse choices guard this
         raise ValueError(args.action)
     out.write.mode("overwrite").parquet(args.output)
@@ -2084,7 +2099,8 @@ def main(argv: list[str] | None = None) -> None:
         choices=["wav-features", "wav-spectral", "png-features",
                  "jpeg-features", "gif-features", "image-features",
                  "png-resize", "image-resize", "frames", "avi-features",
-                 "avi-frames", "features", "pdf-text"],
+                 "avi-frames", "features", "pdf-text", "image-dhash",
+                 "image-dedup"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")
@@ -2106,8 +2122,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="frames: max frames per payload")
     md.add_argument("--on-error", default="fail",
                     choices=["fail", "skip"], dest="on_error",
-                    help="pdf-text: skip undecodable payloads instead "
-                         "of failing the job (dirty-corpus mode)")
+                    help="pdf-text/image-dhash/image-dedup: skip "
+                         "undecodable payloads instead of failing the "
+                         "job (dirty-corpus mode)")
+    md.add_argument("--radius", type=int, default=3,
+                    help="image-dedup: max hamming distance (<= 3 "
+                         "for guaranteed recall with 4 bands)")
     md.set_defaults(fn=cmd_media)
 
     cw = sub.add_parser("crawl")

@@ -858,6 +858,108 @@ FROM files
 """
 
 
+def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup (`operators/imagehash.py`): every doc
+    becomes a 9x8 RGB PNG (pixel(x, y, c) = (doc_id*7 + y*31 +
+    x*x*(3 + doc_id % 23) + x*13 + c*101) % 256 — the quadratic-in-x
+    term gives each doc a distinctive adjacent-difference sign
+    pattern, so distinct docs rarely collide and the pair count stays
+    O(n) as the corpus grows); docs at doc_id % 4 = 0 gain a brightness twin
+    (media_id + 100000, every sample ``min(v + 3, 255)``) — a uniform
+    shift preserves every dHash comparison except where the 255 clamp
+    breaks uniformity, so twins land within small hamming.  The REAL
+    PNG codec decodes the payloads back, dHash bands are banded-joined
+    (radius 3), and the oracle recomputes every bit from the
+    generating formula and brute-forces all pairs — proving perfect
+    pigeonhole recall AND the codec round trip at once."""
+    _prep(spark)
+    from minerva_etl_spark.operators.imagehash import (
+        dhash_pairs,
+        image_dhash,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.multimodal import synthesize_png
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                base = [
+                    (d * 7 + y * 31 + x * x * (3 + d % 23)
+                     + x * 13 + c * 101) % 256
+                    for y in range(8)
+                    for x in range(9)
+                    for c in range(3)
+                ]
+                rows.append((d, synthesize_png(base, 9, 8, 3)))
+                if d % 4 == 0:
+                    pert = [min(v + 3, 255) for v in base]
+                    rows.append(
+                        (d + 100000, synthesize_png(pert, 9, 8, 3))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    hashes = image_dhash(media, on_error="fail")
+    return dhash_pairs(hashes, radius=3)
+
+
+_ORACLE_IMAGE_DHASH = """
+WITH imgs AS (
+  SELECT doc_id AS media_id, doc_id AS d, 0 AS pert FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, doc_id, 3 FROM documents WHERE doc_id % 4 = 0
+),
+g AS (
+  SELECT media_id, x.x AS x, y.y AS y,
+         (299 * least((d*7 + y.y*31 + x.x*x.x*(3 + d % 23)
+                       + x.x*13) % 256 + pert, 255)
+        + 587 * least((d*7 + y.y*31 + x.x*x.x*(3 + d % 23)
+                       + x.x*13 + 101) % 256 + pert, 255)
+        + 114 * least((d*7 + y.y*31 + x.x*x.x*(3 + d % 23)
+                       + x.x*13 + 202) % 256 + pert, 255))
+         // 1000 AS gray
+  FROM imgs,
+       UNNEST(generate_series(0, 8)) AS x(x),
+       UNNEST(generate_series(0, 7)) AS y(y)
+),
+bits AS (
+  SELECT a.media_id, (a.y * 8 + a.x) AS i,
+         CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.media_id = b.media_id AND a.y = b.y
+                    AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+bands AS (
+  SELECT media_id, i // 16 AS band,
+         CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
+  FROM bits GROUP BY media_id, i // 16
+),
+hashes AS (
+  SELECT media_id,
+         max(CASE WHEN band = 0 THEN v END) AS d0,
+         max(CASE WHEN band = 1 THEN v END) AS d1,
+         max(CASE WHEN band = 2 THEN v END) AS d2,
+         max(CASE WHEN band = 3 THEN v END) AS d3
+  FROM bands GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+          + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+         AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+    + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3
+"""
+
+
 #: per-language keep rates (percent) for the stratified-sampling demo:
 #: downsample the dominant languages, keep every rare-language doc
 _STRATA_RATES = {"en": 30, "de": 60, "fr": 60, "es": 60, "und": 100}
@@ -5457,6 +5559,10 @@ _REGISTRY_ORDER = [
     # code_fim: char-level fill-in-the-middle prep (seeded md5 cuts,
     # PSM sentinels) — pytest reassembly property + dialect twin.
     "code_fim",
+    # image_dedup_dhash: perceptual near-dup images — REAL PNG decode
+    # -> integer dHash bands -> pigeonhole hamming join; brute-force
+    # closed-form oracle proves perfect radius-3 recall.
+    "image_dedup_dhash",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5604,6 +5710,7 @@ def build_queries() -> dict:
         "code_profile": q_code_profile,
         "code_dedup": q_code_dedup,
         "code_fim": q_code_fim,
+        "image_dedup_dhash": q_image_dedup_dhash,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5739,6 +5846,7 @@ def build_oracles() -> dict[str, str]:
         "code_profile": _oracle_code_profile(),
         "code_dedup": _oracle_code_dedup(),
         "code_fim": _oracle_code_fim(),
+        "image_dedup_dhash": _ORACLE_IMAGE_DHASH,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

@@ -1,0 +1,159 @@
+"""Perceptual image dedup — dHash over REAL decoded pixels.
+
+Near-duplicate images (re-encodes, brightness tweaks, metadata churn)
+survive byte-level dedup; a difference hash collapses them: grayscale
+the image, nearest-resize to a 9x8 grid, and emit one bit per
+horizontally adjacent pixel pair (``gray[y][x] > gray[y][x+1]``) — 64
+bits that are stable under re-encoding and mild photometric edits.
+
+Engine-portable layout: the 64 bits are stored as FOUR 16-bit band
+integers (``d0..d3``, bit ``i = y*8 + x`` lands in band ``i // 16`` at
+position ``i % 16``).  That sidesteps 64-bit sign pitfalls across
+engines AND is exactly the shape the pigeonhole band join needs — the
+same recall contract as `operators/dedup.py::simhash_banded_pairs`:
+with 4 bands, every pair within hamming radius 3 shares at least one
+band, so the equi-join has PERFECT recall at radius <= 3 and the
+exact ``bit_count`` verifier drops coincidental collisions.
+
+Scale shape: decode is Arrow-batched ``mapInPandas`` (embarrassingly
+parallel, zero shuffle); the candidate join is an equi-join on
+(band index, band value) — never all-pairs.  Grayscale uses exact
+integer arithmetic (``(299R + 587G + 114B) // 1000``) and the resize
+is nearest-neighbor (``src = dst * size // 9``), so an oracle can
+recompute every bit from a closed-form pixel formula.
+
+Reference: extension (the reference engine treats media as opaque
+blobs); SURVEY §2 "beyond the reference" charter.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+DHASH_W, DHASH_H = 9, 8  # grid: 8 comparisons per row x 8 rows = 64 bits
+_BANDS, _BAND_BITS = 4, 16
+
+DHASH_SCHEMA = (
+    "media_id bigint, width int, height int, "
+    "d0 int, d1 int, d2 int, d3 int"
+)
+
+
+def dhash_bands(width: int, height: int, channels: int, pixels) -> list[int]:
+    """The 4x16-bit dHash bands of a decoded image (row-major
+    interleaved samples) — pure integer arithmetic, no float anywhere,
+    so any two engines agree bit-for-bit."""
+    if width < 1 or height < 1:
+        raise ValueError("empty image")
+
+    def gray_at(sx: int, sy: int) -> int:
+        base = (sy * width + sx) * channels
+        if channels >= 3:
+            r, g, b = pixels[base], pixels[base + 1], pixels[base + 2]
+            return (299 * r + 587 * g + 114 * b) // 1000
+        return pixels[base]  # gray / gray+alpha: first sample
+
+    grid = [
+        [
+            gray_at(x * width // DHASH_W, y * height // DHASH_H)
+            for x in range(DHASH_W)
+        ]
+        for y in range(DHASH_H)
+    ]
+    bands = [0] * _BANDS
+    for y in range(DHASH_H):
+        for x in range(DHASH_W - 1):
+            if grid[y][x] > grid[y][x + 1]:
+                i = y * (DHASH_W - 1) + x
+                bands[i // _BAND_BITS] |= 1 << (i % _BAND_BITS)
+    return bands
+
+
+def image_dhash(
+    media: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Per-row REAL decode (magic-byte sniff -> PNG/JPEG/GIF codec)
+    then dHash, Arrow-batched.  ``on_error='skip'`` drops undecodable
+    payloads (the dirty-corpus contract of the media operators)."""
+    from minerva_etl_spark.operators.multimodal import (
+        _decode_or_policy,
+        image_decode,
+    )
+
+    def run(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = _decode_or_policy(
+                    image_decode, int(mid), bytes(payload), on_error
+                )
+                if d is None:
+                    continue
+                bands = dhash_bands(
+                    d["width"], d["height"], d["channels"], d["pixels"]
+                )
+                rows.append(
+                    (int(mid), d["width"], d["height"], *bands)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "d0", "d1", "d2", "d3"
+                ],
+            )
+
+    cols = media.select(
+        F.col(id_col).cast("long").alias(id_col), payload_col
+    )
+    return cols.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def dhash_pairs(hashes: DataFrame, radius: int = 3) -> DataFrame:
+    """Near-dup image pairs within hamming ``radius`` — pigeonhole
+    band equi-join (PERFECT recall for radius <= 3 with the 4-band
+    layout, the `simhash_banded_pairs` contract) + exact
+    ``bit_count`` verification.  Input is :func:`image_dhash` output;
+    result is ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    assert radius <= _BANDS - 1, (
+        f"4-band dHash guarantees recall only to hamming {_BANDS - 1}"
+    )
+    h = hashes.localCheckpoint(eager=True)  # tiny; reused on both sides
+    melted = h.select(
+        "media_id", "d0", "d1", "d2", "d3",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(c), F.col(f"d{c}").cast("string"))
+                for c in range(_BANDS)
+            ])
+        ).alias("band"),
+    )
+    left = melted.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"d{c}").alias(f"a{c}") for c in range(_BANDS)],
+        "band",
+    )
+    right = melted.select(
+        F.col("media_id").alias("id_b"),
+        *[F.col(f"d{c}").alias(f"b{c}") for c in range(_BANDS)],
+        "band",
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{c} ^ b{c}")) for c in range(_BANDS)
+    )
+    return (
+        left.join(right, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .drop("band")
+        .distinct()
+        .select(
+            "id_a", "id_b", hamming.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= radius)
+    )

@@ -982,6 +982,37 @@ def test_cli_media_verbs(tmp_path, spark):
     assert w.sample_rate == 8000 and w.n_frames == 4
 
 
+def test_cli_media_image_dedup(tmp_path, spark):
+    """`media image-dhash` hashes decoded pixels; `image-dedup` pairs
+    a brightness twin at the hamming radius."""
+    from minerva_etl_spark.cli import main
+    from minerva_etl_spark.operators.multimodal import synthesize_png
+
+    base = bytes((17 * i + (i % 7) * 11) % 200
+                 for i in range(9 * 8 * 3))
+    twin = bytes(v + 3 for v in base)
+    grad = bytes(v for x in range(9) for _ in range(8)
+                 for v in (x * 28, x * 28, x * 28))
+    imgs = spark.createDataFrame(
+        [(1, synthesize_png(base, 9, 8, 3)),
+         (2, synthesize_png(twin, 9, 8, 3)),
+         (3, synthesize_png(grad, 9, 8, 3))],
+        "media_id bigint, payload binary",
+    )
+    src = str(tmp_path / "imgs")
+    imgs.write.parquet(src)
+
+    out = str(tmp_path / "hashes")
+    main(["media", "image-dhash", "--input", src, "--output", out])
+    assert spark.read.parquet(out).count() == 3
+
+    out2 = str(tmp_path / "pairs")
+    main(["media", "image-dedup", "--input", src, "--output", out2,
+          "--radius", "2"])
+    pairs = spark.read.parquet(out2).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
 def test_cli_corpus_pack_ids_binary(tmp_path, spark):
     """`corpus pack-ids --binary` writes .bin/.idx shards + manifest."""
     import glob

@@ -1,0 +1,82 @@
+"""Perceptual image dedup: dHash bands over real decoded pixels and
+the pigeonhole hamming pair join."""
+
+from __future__ import annotations
+
+import pytest
+
+from minerva_etl_spark.operators.imagehash import (
+    dhash_bands,
+    dhash_pairs,
+    image_dhash,
+)
+from minerva_etl_spark.operators.multimodal import synthesize_png
+
+
+def _gradient_pixels(w: int, h: int, descending: bool = False) -> bytes:
+    """RGB rows whose grayscale strictly changes left-to-right."""
+    px = bytearray()
+    for _y in range(h):
+        for x in range(w):
+            v = (w - 1 - x if descending else x) * 255 // (w - 1)
+            px += bytes((v, v, v))
+    return bytes(px)
+
+
+def test_dhash_bands_gradients():
+    """Ascending rows compare False everywhere (0 bands); descending
+    rows set every bit (0xFFFF per 16-bit band)."""
+    asc = dhash_bands(9, 8, 3, _gradient_pixels(9, 8))
+    desc = dhash_bands(9, 8, 3, _gradient_pixels(9, 8, descending=True))
+    assert asc == [0, 0, 0, 0]
+    assert desc == [0xFFFF] * 4
+
+
+def test_dhash_resize_invariance():
+    """A 2x nearest-neighbor upscale decodes to the same dHash —
+    the property that makes it a re-encode/resize dedup key."""
+    small = dhash_bands(9, 8, 3, _gradient_pixels(9, 8))
+    big = dhash_bands(18, 16, 3, _gradient_pixels(18, 16))
+    assert small == big
+
+
+def test_image_dhash_and_pairs(spark):
+    """Real PNG decode feeds the hash; a brightness-shifted twin
+    (uniform +3, no clamping) has hamming 0 and pairs at radius 3;
+    the gradient outlier does not pair."""
+    base = _gradient_pixels(9, 8)
+    textured = bytes(
+        (17 * i + (i % 7) * 11) % 200 for i in range(9 * 8 * 3)
+    )  # < 200: +3 never clamps
+    shifted = bytes(v + 3 for v in textured)
+    rows = [
+        (1, synthesize_png(textured, 9, 8, 3)),
+        (2, synthesize_png(shifted, 9, 8, 3, filters=[1, 2, 3, 4])),
+        (3, synthesize_png(base, 9, 8, 3)),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    hashes = image_dhash(df)
+    got = {r.media_id: (r.d0, r.d1, r.d2, r.d3) for r in hashes.collect()}
+    assert got[1] == got[2]  # +3 on every channel: every gray shifts +3
+    assert got[1] != got[3]
+    pairs = dhash_pairs(hashes, radius=3).collect()
+    assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
+
+
+def test_image_dhash_skip_policy(spark):
+    """on_error='skip' drops undecodable payloads; 'fail' raises."""
+    rows = [
+        (1, synthesize_png(_gradient_pixels(9, 8), 9, 8, 3)),
+        (2, b"not an image at all"),
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    ok = image_dhash(df, on_error="skip").collect()
+    assert [r.media_id for r in ok] == [1]
+    with pytest.raises(Exception):
+        image_dhash(df, on_error="fail").collect()
+
+
+def test_dhash_pairs_radius_contract():
+    """The 4-band layout cannot promise recall past hamming 3."""
+    with pytest.raises(AssertionError):
+        dhash_pairs(None, radius=4)
