@@ -1290,7 +1290,8 @@ def cmd_corpus(args) -> None:
     `code-profile` (code-corpus stats: language, line shape, comment
     and alnum fractions, license sniff — one codegen scan),
     `code-dedup` (comment/whitespace-invariant exact dedup groups),
-    `fim` (char-level fill-in-the-middle prep with seeded cuts).
+    `fim` (char-level fill-in-the-middle prep with seeded cuts),
+    `budget-select` (greedy per-source selection under TOKEN budgets).
     Extends the reference surface (its CLI has no corpus side)."""
     from pyspark.sql import functions as F
 
@@ -1441,6 +1442,21 @@ def cmd_corpus(args) -> None:
         out = fim_transform(
             df, text_col=args.text_col, id_col=args.id_col,
             seed=args.seed, rate=args.rate, spm=args.spm,
+        )
+    elif args.action == "budget-select":
+        from minerva_etl_spark.operators.mixing import select_token_budget
+
+        if "=" in args.budget:
+            budgets: "dict[str, int] | int" = {}
+            for part in args.budget.split(","):
+                name, _, b = part.partition("=")
+                budgets[name.strip()] = int(b)
+        else:
+            budgets = int(args.budget)
+        out = select_token_budget(
+            df, budgets,
+            token_col=args.token_col,
+            priority_col=args.priority_col or None,
         )
     elif args.action == "pack-ids":
         from minerva_etl_spark.operators.bpe import bpe_train
@@ -2036,7 +2052,7 @@ def main(argv: list[str] | None = None) -> None:
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
             "chat-curate", "preference-pairs", "code-profile",
-            "code-dedup", "fim",
+            "code-dedup", "fim", "budget-select",
         ],
     )
     co.add_argument("--input", required=True, help="input parquet")
@@ -2086,6 +2102,15 @@ def main(argv: list[str] | None = None) -> None:
                     help="fim: fraction of docs to transform")
     co.add_argument("--spm", action="store_true",
                     help="fim: render suffix-before-prefix order")
+    co.add_argument("--budget", default="1000000",
+                    help="budget-select: tokens per source — one int, "
+                         "or per-source 'name=tokens' comma list "
+                         "(absent sources drop)")
+    co.add_argument("--priority-col", default="", dest="priority_col",
+                    help="budget-select: rank column (default: the "
+                         "deterministic md5 doc draw)")
+    co.add_argument("--token-col", default="n_tokens", dest="token_col",
+                    help="budget-select: per-doc token-count column")
     co.add_argument("--bloom-bits", type=int, default=0,
                     dest="bloom_bits",
                     help="decontaminate: route through the Bloom "

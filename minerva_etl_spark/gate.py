@@ -960,6 +960,51 @@ WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
 """
 
 
+#: per-source TOKEN budgets for the budget-selection row: 15 of the 20
+#: sources get a budget (the rest must drop out entirely)
+_TOKEN_BUDGETS = {f"src{i}": 300 + 37 * i for i in range(15)}
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture selection
+    (`operators/mixing.py::select_token_budget`): per-source greedy
+    selection in the engine's md5-draw order until each source's
+    TOKEN budget is exhausted — the budget table is a broadcast join
+    and the running sum is a streaming-frame window per source.
+    Sources without a budget (src15-src19) drop out entirely."""
+    _prep(spark)
+    from minerva_etl_spark.operators.mixing import select_token_budget
+    from minerva_etl_spark.operators.text import with_token_count
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    out = select_token_budget(
+        with_token_count(docs), _TOKEN_BUDGETS
+    )
+    return out.select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+def _oracle_token_budget_select() -> str:
+    from minerva_etl_spark.operators.mixing import (
+        select_token_budget_oracle_sql,
+    )
+    from minerva_etl_spark.operators.text import tokens_duck_sql
+
+    inner = select_token_budget_oracle_sql(
+        "docs", _TOKEN_BUDGETS,
+        select_cols="doc_id, source, n_tokens",
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len({tokens_duck_sql('text')}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+{inner}
+"""
+
+
 #: per-language keep rates (percent) for the stratified-sampling demo:
 #: downsample the dominant languages, keep every rare-language doc
 _STRATA_RATES = {"en": 30, "de": 60, "fr": 60, "es": 60, "und": 100}
@@ -5563,6 +5608,10 @@ _REGISTRY_ORDER = [
     # -> integer dHash bands -> pigeonhole hamming join; brute-force
     # closed-form oracle proves perfect radius-3 recall.
     "image_dedup_dhash",
+    # token_budget_select: per-source greedy selection under TOKEN
+    # budgets (broadcast budget join + streaming-frame running sum);
+    # exact SQL-window oracle.
+    "token_budget_select",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5711,6 +5760,7 @@ def build_queries() -> dict:
         "code_dedup": q_code_dedup,
         "code_fim": q_code_fim,
         "image_dedup_dhash": q_image_dedup_dhash,
+        "token_budget_select": q_token_budget_select,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5847,6 +5897,7 @@ def build_oracles() -> dict[str, str]:
         "code_dedup": _oracle_code_dedup(),
         "code_fim": _oracle_code_fim(),
         "image_dedup_dhash": _ORACLE_IMAGE_DHASH,
+        "token_budget_select": _oracle_token_budget_select(),
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

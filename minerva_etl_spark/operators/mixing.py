@@ -146,6 +146,109 @@ def resample_by_source(
     )
 
 
+def select_token_budget(
+    docs: DataFrame,
+    budgets: "dict[str, int] | int",
+    token_col: str = "n_tokens",
+    priority_col: str | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy per-source token-budget selection: within each source,
+    take docs in priority order until the source's token budget is
+    exhausted (a doc is kept iff its own tokens still FIT — the
+    running total INCLUDING the doc stays within budget).  This is
+    the mixture-construction primitive when the training budget is
+    fixed in TOKENS, not documents: pair it with
+    :func:`source_mix_rates` to derive per-source budgets from a
+    tempered distribution.
+
+    ``budgets`` is either one int (same budget per source) or a
+    per-source dict (sources absent from the dict are dropped).
+    Priority defaults to the engine's md5 doc draw (a uniform
+    shuffle, so the selection is an exact-budget random sample);
+    pass ``priority_col`` to rank by quality instead.  Ties and
+    reruns are deterministic: the order is (priority DESC, id ASC).
+
+    Scale shape: ONE running-sum window per source partition with a
+    streaming frame (rows unbounded preceding — rank/sum windows
+    with this frame never materialize the partition, the
+    `robots.py::schedule_fetches` posture); the budget table is a
+    broadcast join.  Returns the kept rows plus ``cum_tokens``.
+    """
+    from pyspark.sql import Window
+
+    if isinstance(budgets, int):
+        budget_col = F.lit(budgets)
+        joined = docs
+    else:
+        spark = docs.sparkSession
+        btab = spark.createDataFrame(
+            list(budgets.items()), f"{source_col} string, __budget long"
+        )
+        joined = docs.join(F.broadcast(btab), source_col)
+        budget_col = F.col("__budget")
+    prio = (
+        F.col(priority_col)
+        if priority_col is not None
+        else _doc_bucket(id_col)
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(prio.desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        joined.withColumn(
+            "cum_tokens", F.sum(F.col(token_col).cast("long")).over(w)
+        )
+        .filter(F.col("cum_tokens") <= budget_col)
+    )
+    return out.drop("__budget") if not isinstance(budgets, int) else out
+
+
+def select_token_budget_oracle_sql(
+    table: str,
+    budgets: "dict[str, int] | int",
+    token_col: str = "n_tokens",
+    priority_col: str | None = None,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`select_token_budget` (same md5 draw,
+    same streaming-frame running sum)."""
+    prio = (
+        priority_col
+        if priority_col is not None
+        else (
+            f"CAST(('0x' || substr(md5(CAST({id_col} AS VARCHAR)), 1, 15))"
+            f" AS BIGINT) % {_BUCKETS}"
+        )
+    )
+    if isinstance(budgets, int):
+        budget = str(budgets)
+        src = table
+    else:
+        vals = ", ".join(
+            f"('{s}', {b})" for s, b in sorted(budgets.items())
+        )
+        src = (
+            f"(SELECT t.*, b.__budget FROM {table} t JOIN (VALUES {vals})"
+            f" AS b({source_col}, __budget) USING ({source_col}))"
+        )
+        budget = "__budget"
+    return f"""
+SELECT {select_cols}, cum_tokens FROM (
+  SELECT t.*, sum(CAST({token_col} AS BIGINT)) OVER (
+      PARTITION BY {source_col}
+      ORDER BY ({prio}) DESC, {id_col} ASC
+      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+  FROM {src} t
+) WHERE cum_tokens <= {budget}
+"""
+
+
 def curated_export(
     docs: DataFrame,
     alpha: float = 0.5,

@@ -1013,6 +1013,26 @@ def test_cli_media_image_dedup(tmp_path, spark):
     assert [(p.id_a, p.id_b, p.hamming) for p in pairs] == [(1, 2, 0)]
 
 
+def test_cli_corpus_budget_select(tmp_path, spark):
+    """`corpus budget-select` keeps top-priority docs per source until
+    the token budget fills; sources without a budget drop."""
+    from minerva_etl_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [(1, "web", 40, 9.0), (2, "web", 40, 8.0), (3, "web", 40, 7.0),
+         (4, "books", 5, 1.0)],
+        "doc_id bigint, source string, n_tokens int, quality double",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "kept")
+    main(["corpus", "budget-select", "--input", src, "--output", out,
+          "--budget", "web=90", "--priority-col", "quality"])
+    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2]
+
+
 def test_cli_corpus_pack_ids_binary(tmp_path, spark):
     """`corpus pack-ids --binary` writes .bin/.idx shards + manifest."""
     import glob

@@ -593,6 +593,56 @@ def test_source_mix_resample(spark):
         assert sorted(r.copies) == list(range(len(r.copies)))
 
 
+def test_select_token_budget(spark):
+    """Per-source token-budget selection: greedy by priority, a doc is
+    kept iff its running total fits; dict budgets drop absent sources;
+    DuckDB twin agrees; deterministic under repartitioning."""
+    import duckdb
+    import pandas as pd
+
+    from minerva_etl_spark.operators.mixing import (
+        select_token_budget,
+        select_token_budget_oracle_sql,
+    )
+
+    rows = [
+        (1, "web", 40, 9.0), (2, "web", 40, 8.0), (3, "web", 40, 7.0),
+        (4, "code", 10, 5.0), (5, "code", 100, 4.0), (6, "code", 10, 3.0),
+        (7, "other", 1, 1.0),
+    ]
+    schema = "doc_id bigint, source string, n_tokens int, quality double"
+    docs = spark.createDataFrame(rows, schema)
+    budgets = {"web": 90, "code": 25}
+
+    got = select_token_budget(
+        docs, budgets, priority_col="quality"
+    ).collect()
+    kept = {r.doc_id: r.cum_tokens for r in got}
+    # web: 40+40 fit, third 40 would hit 120 > 90; code: doc 4 fits,
+    # doc 5 (100) overshoots AND blocks doc 6 (greedy running total —
+    # the cumulative rule, not knapsack); other: no budget -> dropped
+    assert kept == {1: 40, 2: 80, 4: 10}
+
+    oracle = select_token_budget_oracle_sql(
+        "docs", budgets, priority_col="quality",
+        select_cols="doc_id, source, n_tokens, quality",
+    )
+    con = duckdb.connect()
+    con.register("docs", pd.DataFrame(
+        rows, columns=["doc_id", "source", "n_tokens", "quality"]
+    ))
+    duck = {r[0]: r[4] for r in con.execute(oracle).fetchall()}
+    assert duck == kept
+
+    # md5-priority default: same answer regardless of partitioning
+    a = sorted(r.doc_id for r in select_token_budget(docs, 50).collect())
+    b = sorted(
+        r.doc_id
+        for r in select_token_budget(docs.repartition(7), 50).collect()
+    )
+    assert a == b
+
+
 def test_source_mix_plan_broadcasts_rates(spark, tmp_path):
     """The corpus side of the mix join must not shuffle: the per-source
     rate table is broadcast (BroadcastHashJoin, no SortMergeJoin) — at
