@@ -177,6 +177,7 @@ HEADLINE = [
     "code_fim",
     "image_dedup_dhash",
     "token_budget_select",
+    "audio_dedup_fingerprint",
     # bpe_roundtrip is deliberately NOT here (the sim_ivf_incremental
     # rule): its gate row retrains 12 merges in-row, so benching it
     # times the training harness a third time — encode is already

@@ -1505,7 +1505,9 @@ def cmd_media(args) -> None:
     extraction: object scan, FlateDecode, Tj/TJ operators —
     `--on-error skip` for dirty corpora), `image-dhash` /
     `image-dedup` (perceptual near-dup hashing over decoded pixels
-    and the pigeonhole hamming pair join), `features` (generic
+    and the pigeonhole hamming pair join), `audio-fingerprint` /
+    `audio-dedup` (frame-energy envelope hash over decoded WAV,
+    same pair machinery), `features` (generic
     extractor — `--decoder pkg.mod:fn` injects a real decoder, e.g. a
     PIL or ffmpeg wrapper, on clusters that have one installed).
     Extends the
@@ -1573,6 +1575,19 @@ def cmd_media(args) -> None:
 
         out = dhash_pairs(
             image_dhash(df, on_error=args.on_error), radius=args.radius
+        )
+    elif args.action == "audio-fingerprint":
+        from minerva_etl_spark.operators.audiohash import audio_fingerprint
+
+        out = audio_fingerprint(df, on_error=args.on_error)
+    elif args.action == "audio-dedup":
+        from minerva_etl_spark.operators.audiohash import audio_fingerprint
+        from minerva_etl_spark.operators.imagehash import dhash_pairs
+
+        hashes = audio_fingerprint(df, on_error=args.on_error)
+        out = dhash_pairs(
+            hashes.select("media_id", "d0", "d1", "d2", "d3"),
+            radius=args.radius,
         )
     else:  # pragma: no cover - argparse choices guard this
         raise ValueError(args.action)
@@ -2125,7 +2140,7 @@ def main(argv: list[str] | None = None) -> None:
                  "jpeg-features", "gif-features", "image-features",
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "image-dhash",
-                 "image-dedup"],
+                 "image-dedup", "audio-fingerprint", "audio-dedup"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")

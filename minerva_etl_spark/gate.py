@@ -960,6 +960,105 @@ WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
 """
 
 
+def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup (`operators/audiohash.py` +
+    `imagehash.dhash_pairs` — one pigeonhole machine for every 64-bit
+    perceptual hash): every doc becomes a 4160-sample PCM-16 WAV —
+    sample(i) = base(i) * gain(i//64) with base(i) = ((doc_id*13 +
+    i*7) % 97) - 48 and gain(f) = 1 + ((doc_id+1)*(f+1)*7919) % 9973
+    % 13 (the multiplicative envelope gives each doc a distinctive
+    frame-energy shape; an additive one would make all docs
+    rotations of one pattern and blow the pair count up).  Docs at
+    doc_id % 4 = 0 gain a +2-DC twin (media_id + 100000) whose
+    envelope SHAPE survives, so twins pair within radius 3.  The
+    REAL stdlib WAV codec round-trips the samples; the oracle
+    recomputes every frame energy from the formula and brute-forces
+    all pairs."""
+    _prep(spark)
+    from minerva_etl_spark.operators.audiohash import audio_fingerprint
+    from minerva_etl_spark.operators.imagehash import dhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.multimodal import synthesize_wav
+
+        import numpy as np
+
+        i = np.arange(65 * 64, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                base = ((d * 13 + i * 7) % 97) - 48
+                gain = 1 + (d + 1) * (i // 64 + 1) * 7919 % 9973 % 13
+                s = base * gain
+
+                rows.append((d, synthesize_wav(s.tolist(), 8000)))
+                if d % 4 == 0:
+                    rows.append(
+                        (d + 100000,
+                         synthesize_wav((s + 2).tolist(), 8000))
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    hashes = audio_fingerprint(media, on_error="fail")
+    return dhash_pairs(
+        hashes.select("media_id", "d0", "d1", "d2", "d3"), radius=3
+    )
+
+
+_ORACLE_AUDIO_FINGERPRINT = """
+WITH clips AS (
+  SELECT doc_id AS media_id, doc_id AS d, 0 AS dc FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, doc_id, 2 FROM documents WHERE doc_id % 4 = 0
+),
+smp AS (
+  SELECT media_id, i.i AS i,
+         (((d*13 + i.i*7) % 97) - 48)
+           * (1 + ((d+1) * ((i.i // 64) + 1) * 7919) % 9973 % 13)
+           + dc AS s
+  FROM clips, UNNEST(generate_series(0, 65*64 - 1)) AS i(i)
+),
+fe AS (
+  SELECT media_id, i // 64 AS f, sum(s * s) AS e
+  FROM smp GROUP BY media_id, i // 64
+),
+bits AS (
+  SELECT a.media_id, a.f AS i,
+         CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM fe a JOIN fe b ON a.media_id = b.media_id AND b.f = a.f + 1
+  WHERE a.f < 64
+),
+bands AS (
+  SELECT media_id, i // 16 AS band,
+         CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
+  FROM bits GROUP BY media_id, i // 16
+),
+hashes AS (
+  SELECT media_id,
+         max(CASE WHEN band = 0 THEN v END) AS d0,
+         max(CASE WHEN band = 1 THEN v END) AS d1,
+         max(CASE WHEN band = 2 THEN v END) AS d2,
+         max(CASE WHEN band = 3 THEN v END) AS d3
+  FROM bands GROUP BY media_id
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b,
+       CAST(bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+          + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+         AS INTEGER) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+    + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3
+"""
+
+
 #: per-source TOKEN budgets for the budget-selection row: 15 of the 20
 #: sources get a budget (the rest must drop out entirely)
 _TOKEN_BUDGETS = {f"src{i}": 300 + 37 * i for i in range(15)}
@@ -5612,6 +5711,10 @@ _REGISTRY_ORDER = [
     # budgets (broadcast budget join + streaming-frame running sum);
     # exact SQL-window oracle.
     "token_budget_select",
+    # audio_dedup_fingerprint: frame-energy dHash over REAL WAV
+    # decode, paired through the shared pigeonhole band join;
+    # brute-force closed-form oracle.
+    "audio_dedup_fingerprint",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5761,6 +5864,7 @@ def build_queries() -> dict:
         "code_fim": q_code_fim,
         "image_dedup_dhash": q_image_dedup_dhash,
         "token_budget_select": q_token_budget_select,
+        "audio_dedup_fingerprint": q_audio_dedup_fingerprint,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -5898,6 +6002,7 @@ def build_oracles() -> dict[str, str]:
         "code_fim": _oracle_code_fim(),
         "image_dedup_dhash": _ORACLE_IMAGE_DHASH,
         "token_budget_select": _oracle_token_budget_select(),
+        "audio_dedup_fingerprint": _ORACLE_AUDIO_FINGERPRINT,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

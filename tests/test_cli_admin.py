@@ -1033,6 +1033,30 @@ def test_cli_corpus_budget_select(tmp_path, spark):
     assert kept == [1, 2]
 
 
+def test_cli_media_audio_dedup(tmp_path, spark):
+    """`media audio-dedup` pairs a DC-shifted clip via the shared
+    band join."""
+    from minerva_etl_spark.cli import main
+    from minerva_etl_spark.operators.multimodal import synthesize_wav
+
+    n = 65 * 64
+    base = [((i * 7) % 97) - 48 + (150 if (i // 64) % 5 < 2 else 0)
+            for i in range(n)]
+    clips = spark.createDataFrame(
+        [(1, synthesize_wav(base, 8000)),
+         (2, synthesize_wav([v + 2 for v in base], 8000)),
+         (3, synthesize_wav(base[::-1], 8000))],
+        "media_id bigint, payload binary",
+    )
+    src = str(tmp_path / "clips")
+    clips.write.parquet(src)
+
+    out = str(tmp_path / "pairs")
+    main(["media", "audio-dedup", "--input", src, "--output", out])
+    pairs = spark.read.parquet(out).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+
+
 def test_cli_corpus_pack_ids_binary(tmp_path, spark):
     """`corpus pack-ids --binary` writes .bin/.idx shards + manifest."""
     import glob
