@@ -178,6 +178,7 @@ HEADLINE = [
     "image_dedup_dhash",
     "token_budget_select",
     "audio_dedup_fingerprint",
+    "video_dedup_dhash",
     # bpe_roundtrip is deliberately NOT here (the sim_ivf_incremental
     # rule): its gate row retrains 12 merges in-row, so benching it
     # times the training harness a third time — encode is already

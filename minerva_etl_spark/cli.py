@@ -1507,7 +1507,9 @@ def cmd_media(args) -> None:
     `image-dedup` (perceptual near-dup hashing over decoded pixels
     and the pigeonhole hamming pair join), `audio-fingerprint` /
     `audio-dedup` (frame-energy envelope hash over decoded WAV,
-    same pair machinery), `features` (generic
+    same pair machinery), `video-dhash` / `video-dedup`
+    (frame-sampled dHash over decoded AVI; clips pair on ANY
+    matching frame), `features` (generic
     extractor — `--decoder pkg.mod:fn` injects a real decoder, e.g. a
     PIL or ffmpeg wrapper, on clusters that have one installed).
     Extends the
@@ -1587,6 +1589,26 @@ def cmd_media(args) -> None:
         hashes = audio_fingerprint(df, on_error=args.on_error)
         out = dhash_pairs(
             hashes.select("media_id", "d0", "d1", "d2", "d3"),
+            radius=args.radius,
+        )
+    elif args.action == "video-dhash":
+        from minerva_etl_spark.operators.imagehash import video_frame_hashes
+
+        out = video_frame_hashes(
+            df, every_n=args.frame_stride, max_frames=args.n,
+            on_error=args.on_error,
+        )
+    elif args.action == "video-dedup":
+        from minerva_etl_spark.operators.imagehash import (
+            video_dedup_pairs,
+            video_frame_hashes,
+        )
+
+        out = video_dedup_pairs(
+            video_frame_hashes(
+                df, every_n=args.frame_stride, max_frames=args.n,
+                on_error=args.on_error,
+            ),
             radius=args.radius,
         )
     else:  # pragma: no cover - argparse choices guard this
@@ -2140,7 +2162,8 @@ def main(argv: list[str] | None = None) -> None:
                  "jpeg-features", "gif-features", "image-features",
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "image-dhash",
-                 "image-dedup", "audio-fingerprint", "audio-dedup"],
+                 "image-dedup", "audio-fingerprint", "audio-dedup",
+                 "video-dhash", "video-dedup"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")

@@ -960,6 +960,125 @@ WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
 """
 
 
+def q_video_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video dedup
+    (`operators/imagehash.py::video_frame_hashes`/`video_dedup_pairs`):
+    every doc becomes a 3-frame 9x8 BI_RGB AVI — pixel(f, x, y, c) =
+    (doc_id*7 + f*53 + y*r + x*x*q + x*13 + c*101) % 256 with TWO
+    per-(doc, frame) coefficients q = 3 + ((doc_id*31 + f*17) % 211)
+    and r = 31 + ((doc_id*13 + f*7) % 199): frames of different docs
+    are additive shifts of each other (which dHash largely ignores)
+    only when BOTH draws coincide (~42k classes), so the coincidental
+    pair count stays flat through bench scale — one varying
+    coefficient still left 20k collision pairs at sf0.1.  Docs at
+    doc_id % 4 = 0 gain a +3-brightness twin clip (media_id +
+    100000).  The REAL AVI container decode feeds per-frame dHash;
+    clips pair when ANY frame pair lands within hamming 3; the
+    oracle recomputes every frame bit closed-form and brute-forces
+    all frame pairs."""
+    _prep(spark)
+    from minerva_etl_spark.operators.imagehash import (
+        video_dedup_pairs,
+        video_frame_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.multimodal import synthesize_avi
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+
+                def clip(pert: int) -> bytes:
+                    frames = []
+                    for f in range(3):
+                        q = 3 + ((d * 31 + f * 17) % 211)
+                        r = 31 + ((d * 13 + f * 7) % 199)
+                        frames.append(bytes(
+                            min((d * 7 + f * 53 + y * r + x * x * q
+                                 + x * 13 + c * 101) % 256 + pert, 255)
+                            for y in range(8)
+                            for x in range(9)
+                            for c in range(3)
+                        ))
+                    return synthesize_avi(frames, 9, 8)
+
+                rows.append((d, clip(0)))
+                if d % 4 == 0:
+                    rows.append((d + 100000, clip(3)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    media = docs.mapInPandas(
+        synth, schema="media_id bigint, payload binary"
+    )
+    hashes = video_frame_hashes(media, on_error="fail")
+    return video_dedup_pairs(hashes, radius=3)
+
+
+_ORACLE_VIDEO_DHASH = """
+WITH clips AS (
+  SELECT doc_id AS media_id, doc_id AS d, 0 AS pert FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, doc_id, 3 FROM documents WHERE doc_id % 4 = 0
+),
+g AS (
+  SELECT media_id, fr.f AS f, x.x AS x, y.y AS y,
+         (299 * least((d*7 + fr.f*53
+               + y.y*(31 + ((d*13 + fr.f*7) % 199))
+               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
+               + x.x*13) % 256 + pert, 255)
+        + 587 * least((d*7 + fr.f*53
+               + y.y*(31 + ((d*13 + fr.f*7) % 199))
+               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
+               + x.x*13 + 101) % 256 + pert, 255)
+        + 114 * least((d*7 + fr.f*53
+               + y.y*(31 + ((d*13 + fr.f*7) % 199))
+               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
+               + x.x*13 + 202) % 256 + pert, 255))
+         // 1000 AS gray
+  FROM clips,
+       UNNEST(generate_series(0, 2)) AS fr(f),
+       UNNEST(generate_series(0, 8)) AS x(x),
+       UNNEST(generate_series(0, 7)) AS y(y)
+),
+bits AS (
+  SELECT a.media_id, a.f, (a.y * 8 + a.x) AS i,
+         CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.media_id = b.media_id AND a.f = b.f
+                    AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+bands AS (
+  SELECT media_id, f, i // 16 AS band,
+         CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
+  FROM bits GROUP BY media_id, f, i // 16
+),
+hashes AS (
+  SELECT media_id, f,
+         max(CASE WHEN band = 0 THEN v END) AS d0,
+         max(CASE WHEN band = 1 THEN v END) AS d1,
+         max(CASE WHEN band = 2 THEN v END) AS d2,
+         max(CASE WHEN band = 3 THEN v END) AS d3
+  FROM bands GROUP BY media_id, f
+),
+fp AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+       + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3))
+         AS hamming
+  FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+)
+SELECT id_a, id_b, CAST(min(hamming) AS INTEGER) AS min_hamming,
+       count(*) AS n_frame_matches
+FROM fp WHERE hamming <= 3 GROUP BY id_a, id_b
+"""
+
+
 def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio dedup (`operators/audiohash.py` +
     `imagehash.dhash_pairs` — one pigeonhole machine for every 64-bit
@@ -5715,6 +5834,10 @@ _REGISTRY_ORDER = [
     # decode, paired through the shared pigeonhole band join;
     # brute-force closed-form oracle.
     "audio_dedup_fingerprint",
+    # video_dedup_dhash: frame-sampled dHash over REAL AVI decode;
+    # clips pair on ANY matching frame (shared-footage rule);
+    # brute-force closed-form oracle.
+    "video_dedup_dhash",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -5865,6 +5988,7 @@ def build_queries() -> dict:
         "image_dedup_dhash": q_image_dedup_dhash,
         "token_budget_select": q_token_budget_select,
         "audio_dedup_fingerprint": q_audio_dedup_fingerprint,
+        "video_dedup_dhash": q_video_dedup_dhash,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -6003,6 +6127,7 @@ def build_oracles() -> dict[str, str]:
         "image_dedup_dhash": _ORACLE_IMAGE_DHASH,
         "token_budget_select": _oracle_token_budget_select(),
         "audio_dedup_fingerprint": _ORACLE_AUDIO_FINGERPRINT,
+        "video_dedup_dhash": _ORACLE_VIDEO_DHASH,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

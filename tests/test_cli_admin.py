@@ -1057,6 +1057,33 @@ def test_cli_media_audio_dedup(tmp_path, spark):
     assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
 
 
+def test_cli_media_video_dedup(tmp_path, spark):
+    """`media video-dedup` pairs clips sharing a frame."""
+    from minerva_etl_spark.cli import main
+    from minerva_etl_spark.operators.multimodal import synthesize_avi
+
+    def frame(seed: int) -> bytes:
+        return bytes((seed * 29 + 17 * i + (i % 7) * 11) % 200
+                     for i in range(9 * 8 * 3))
+
+    clips = spark.createDataFrame(
+        [(1, synthesize_avi([frame(1), frame(2)], 9, 8)),
+         (2, synthesize_avi([frame(2), frame(3)], 9, 8)),
+         (3, synthesize_avi([frame(4)], 9, 8))],
+        "media_id bigint, payload binary",
+    )
+    src = str(tmp_path / "clips")
+    clips.write.parquet(src)
+
+    out = str(tmp_path / "pairs")
+    main(["media", "video-dedup", "--input", src, "--output", out,
+          "--radius", "0"])
+    pairs = spark.read.parquet(out).collect()
+    assert [(p.id_a, p.id_b, p.n_frame_matches) for p in pairs] == [
+        (1, 2, 1)
+    ]
+
+
 def test_cli_corpus_pack_ids_binary(tmp_path, spark):
     """`corpus pack-ids --binary` writes .bin/.idx shards + manifest."""
     import glob

@@ -76,6 +76,40 @@ def test_image_dhash_skip_policy(spark):
         image_dhash(df, on_error="fail").collect()
 
 
+def test_video_frame_hashes_and_pairs(spark):
+    """Clips pair when ANY sampled frame matches: clip 2 shares only
+    its middle frame with clip 1; clip 3 shares none.  Frame stride
+    and max_frames bound the sampled set."""
+    from minerva_etl_spark.operators.imagehash import (
+        video_dedup_pairs,
+        video_frame_hashes,
+    )
+    from minerva_etl_spark.operators.multimodal import synthesize_avi
+
+    def frame(seed: int) -> bytes:
+        return bytes(
+            (seed * 29 + 17 * i + (i % 7) * 11) % 200
+            for i in range(9 * 8 * 3)
+        )
+
+    clips = [
+        (1, synthesize_avi([frame(1), frame(2), frame(3)], 9, 8)),
+        (2, synthesize_avi([frame(4), frame(2), frame(5)], 9, 8)),
+        (3, synthesize_avi([frame(6), frame(7)], 9, 8)),
+    ]
+    df = spark.createDataFrame(clips, "media_id bigint, payload binary")
+    hashes = video_frame_hashes(df)
+    assert hashes.count() == 8  # 3 + 3 + 2 sampled frames
+    pairs = video_dedup_pairs(hashes, radius=0).collect()
+    assert [(p.id_a, p.id_b, p.min_hamming, p.n_frame_matches)
+            for p in pairs] == [(1, 2, 0, 1)]
+
+    sampled = video_frame_hashes(df, every_n=2, max_frames=1)
+    assert {(r.media_id, r.frame_idx) for r in sampled.collect()} == {
+        (1, 0), (2, 0), (3, 0)
+    }
+
+
 def test_dhash_pairs_radius_contract():
     """The 4-band layout cannot promise recall past hamming 3."""
     with pytest.raises(AssertionError):
