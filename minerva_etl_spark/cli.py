@@ -1457,6 +1457,7 @@ def cmd_corpus(args) -> None:
             df, budgets,
             token_col=args.token_col,
             priority_col=args.priority_col or None,
+            id_col=args.id_col,
         )
     elif args.action == "pack-ids":
         from minerva_etl_spark.operators.bpe import bpe_train
@@ -2133,8 +2134,8 @@ def main(argv: list[str] | None = None) -> None:
                     help="code-profile: file-path column for the "
                          "extension language map ('' = no path)")
     co.add_argument("--id-col", default="file_id", dest="id_col",
-                    help="code-dedup/fim: id column (canonical pick / "
-                         "seeded cut draws)")
+                    help="code-dedup/fim/budget-select: id column "
+                         "(canonical pick / seeded draws / tiebreak)")
     co.add_argument("--rate", type=float, default=0.5,
                     help="fim: fraction of docs to transform")
     co.add_argument("--spm", action="store_true",

@@ -1021,7 +1021,7 @@ def test_cli_corpus_budget_select(tmp_path, spark):
     docs = spark.createDataFrame(
         [(1, "web", 40, 9.0), (2, "web", 40, 8.0), (3, "web", 40, 7.0),
          (4, "books", 5, 1.0)],
-        "doc_id bigint, source string, n_tokens int, quality double",
+        "file_id bigint, source string, n_tokens int, quality double",
     )
     src = str(tmp_path / "docs")
     docs.write.parquet(src)
@@ -1029,7 +1029,7 @@ def test_cli_corpus_budget_select(tmp_path, spark):
     out = str(tmp_path / "kept")
     main(["corpus", "budget-select", "--input", src, "--output", out,
           "--budget", "web=90", "--priority-col", "quality"])
-    kept = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    kept = sorted(r.file_id for r in spark.read.parquet(out).collect())
     assert kept == [1, 2]
 
 
