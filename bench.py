@@ -179,6 +179,7 @@ HEADLINE = [
     "token_budget_select",
     "audio_dedup_fingerprint",
     "video_dedup_dhash",
+    "code_secrets",
     # bpe_roundtrip is deliberately NOT here (the sim_ivf_incremental
     # rule): its gate row retrains 12 merges in-row, so benching it
     # times the training harness a third time — encode is already

@@ -1291,7 +1291,9 @@ def cmd_corpus(args) -> None:
     and alnum fractions, license sniff — one codegen scan),
     `code-dedup` (comment/whitespace-invariant exact dedup groups),
     `fim` (char-level fill-in-the-middle prep with seeded cuts),
-    `budget-select` (greedy per-source selection under TOKEN budgets).
+    `budget-select` (greedy per-source selection under TOKEN budgets),
+    `secrets` (anchored secret detection + redaction: AWS keys,
+    GitHub/Slack tokens, PEM private keys, JWTs).
     Extends the reference surface (its CLI has no corpus side)."""
     from pyspark.sql import functions as F
 
@@ -1442,6 +1444,15 @@ def cmd_corpus(args) -> None:
         out = fim_transform(
             df, text_col=args.text_col, id_col=args.id_col,
             seed=args.seed, rate=args.rate, spm=args.spm,
+        )
+    elif args.action == "secrets":
+        from minerva_etl_spark.operators.code import (
+            redact_secrets,
+            with_secret_scan,
+        )
+
+        out = redact_secrets(
+            with_secret_scan(df, args.text_col), args.text_col
         )
     elif args.action == "budget-select":
         from minerva_etl_spark.operators.mixing import select_token_budget
@@ -2090,7 +2101,7 @@ def main(argv: list[str] | None = None) -> None:
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
             "chat-curate", "preference-pairs", "code-profile",
-            "code-dedup", "fim", "budget-select",
+            "code-dedup", "fim", "budget-select", "secrets",
         ],
     )
     co.add_argument("--input", required=True, help="input parquet")

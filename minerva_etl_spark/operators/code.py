@@ -228,6 +228,74 @@ def dedup_code_groups(
     )
 
 
+# ---------------------------------------------------------------- secrets
+#: secret classes scanned before training on code — each pattern is
+#: deliberately anchored to a vendor prefix or PEM armor (high
+#:  precision; entropy-based detectors are a policy layer above this).
+#: Every pattern parses identically under Java regex (Spark) and RE2
+#: (DuckDB): char classes + counted repeats only.
+SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("aws_key", "AKIA[0-9A-Z]{16}"),
+    ("github_token", "gh[pousr]_[A-Za-z0-9]{36}"),
+    ("slack_token", "xox[baprs]-[0-9A-Za-z-]{10,48}"),
+    ("private_key", "-----BEGIN [A-Z ]{0,20}PRIVATE KEY-----"),
+    (
+        "jwt",
+        "eyJ[A-Za-z0-9_-]{8,}[.][A-Za-z0-9_-]{8,}[.][A-Za-z0-9_-]{8,}",
+    ),
+)
+
+
+def with_secret_scan(
+    df: DataFrame, text_col: str = "content"
+) -> DataFrame:
+    """Per-class secret match counts plus ``n_secrets`` — one
+    projection (``regexp_extract_all`` + ``size`` per class), no UDF,
+    no shuffle."""
+    out = df
+    total = F.lit(0).cast("long")
+    for name, pat in SECRET_PATTERNS:
+        cnt = F.expr(
+            f"size(regexp_extract_all({text_col}, '{pat}', 0))"
+        ).cast("long")
+        out = out.withColumn(f"n_{name}", cnt)
+        total = total + cnt
+    return out.withColumn("n_secrets", total)
+
+
+def redact_secrets(
+    df: DataFrame,
+    text_col: str = "content",
+    out_col: str = "redacted",
+) -> DataFrame:
+    """Replace every match with ``<SECRET:class>`` — the chained
+    regexp_replace runs in one projection.  Order matters only in
+    that redaction markers contain no pattern-matchable text, so the
+    chain is confluent."""
+    expr = F.col(text_col)
+    for name, pat in SECRET_PATTERNS:
+        expr = F.regexp_replace(expr, pat, f"<SECRET:{name}>")
+    return df.withColumn(out_col, expr)
+
+
+def secret_scan_duck_exprs(text_col: str = "content") -> dict[str, str]:
+    """DuckDB twins of :func:`with_secret_scan` +
+    :func:`redact_secrets` (same names; ``redacted`` included)."""
+    exprs: dict[str, str] = {}
+    total = []
+    for name, pat in SECRET_PATTERNS:
+        exprs[f"n_{name}"] = (
+            f"CAST(len(regexp_extract_all({text_col}, '{pat}')) AS BIGINT)"
+        )
+        total.append(exprs[f"n_{name}"])
+    exprs["n_secrets"] = " + ".join(total)
+    red = text_col
+    for name, pat in SECRET_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '<SECRET:{name}>', 'g')"
+    exprs["redacted"] = red
+    return exprs
+
+
 # -------------------------------------------------------------------- FIM
 #: sentinel tokens of the fill-in-the-middle rendering (the public
 #: FIM convention: prefix/suffix/middle markers, middle always last

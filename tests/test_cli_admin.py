@@ -1084,6 +1084,26 @@ def test_cli_media_video_dedup(tmp_path, spark):
     ]
 
 
+def test_cli_corpus_secrets(tmp_path, spark):
+    """`corpus secrets` counts and redacts planted tokens in place."""
+    from minerva_etl_spark.cli import main
+
+    aws = "AKIA" + "A1B2C3D4E5F6G7H8"
+    files = spark.createDataFrame(
+        [(1, "a.py", f'k = "{aws}"'), (2, "b.py", "x = 1")],
+        "file_id bigint, path string, content string",
+    )
+    src = str(tmp_path / "code")
+    files.write.parquet(src)
+
+    out = str(tmp_path / "scan")
+    main(["corpus", "secrets", "--input", src, "--output", out])
+    got = {r.file_id: r for r in spark.read.parquet(out).collect()}
+    assert got[1].n_secrets == 1 and "<SECRET:aws_key>" in got[1].redacted
+    assert aws not in got[1].redacted
+    assert got[2].n_secrets == 0 and got[2].redacted == "x = 1"
+
+
 def test_cli_corpus_pack_ids_binary(tmp_path, spark):
     """`corpus pack-ids --binary` writes .bin/.idx shards + manifest."""
     import glob
