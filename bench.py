@@ -180,6 +180,10 @@ HEADLINE = [
     "audio_dedup_fingerprint",
     "video_dedup_dhash",
     "code_secrets",
+    # incremental_image_dedup IS benched (the frontier_increment rule:
+    # each poll is one delivery — state build is the operator, unlike
+    # sim_ivf where the fit amortizes outside the clock)
+    "incremental_image_dedup",
     # bpe_roundtrip is deliberately NOT here (the sim_ivf_incremental
     # rule): its gate row retrains 12 merges in-row, so benching it
     # times the training harness a third time — encode is already

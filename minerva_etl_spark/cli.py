@@ -1521,7 +1521,9 @@ def cmd_media(args) -> None:
     `audio-dedup` (frame-energy envelope hash over decoded WAV,
     same pair machinery), `video-dhash` / `video-dedup`
     (frame-sampled dHash over decoded AVI; clips pair on ANY
-    matching frame), `features` (generic
+    matching frame), `image-increment` (dedup a new image delivery
+    against the persisted dHash state — history pixels never
+    re-decoded), `features` (generic
     extractor — `--decoder pkg.mod:fn` injects a real decoder, e.g. a
     PIL or ffmpeg wrapper, on clusters that have one installed).
     Extends the
@@ -1608,6 +1610,20 @@ def cmd_media(args) -> None:
 
         out = video_frame_hashes(
             df, every_n=args.frame_stride, max_frames=args.n,
+            on_error=args.on_error,
+        )
+    elif args.action == "image-increment":
+        from minerva_etl_spark.operators.imagehash import (
+            ingest_image_increment,
+        )
+
+        if not args.state:
+            raise SystemExit(
+                "minerva-spark media image-increment: --state is "
+                "required (path of the persisted hash state)"
+            )
+        out = ingest_image_increment(
+            spark, df, args.state, radius=args.radius,
             on_error=args.on_error,
         )
     elif args.action == "video-dedup":
@@ -2175,7 +2191,7 @@ def main(argv: list[str] | None = None) -> None:
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
-                 "video-dhash", "video-dedup"],
+                 "video-dhash", "video-dedup", "image-increment"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")
@@ -2201,8 +2217,12 @@ def main(argv: list[str] | None = None) -> None:
                          "undecodable payloads instead of failing the "
                          "job (dirty-corpus mode)")
     md.add_argument("--radius", type=int, default=3,
-                    help="image-dedup: max hamming distance (<= 3 "
-                         "for guaranteed recall with 4 bands)")
+                    help="image/audio/video-dedup, image-increment: "
+                         "max hamming distance (<= 3 for guaranteed "
+                         "recall with 4 bands)")
+    md.add_argument("--state", default=None,
+                    help="image-increment: path of the persisted "
+                         "dHash state (created on first delivery)")
     md.set_defaults(fn=cmd_media)
 
     cw = sub.add_parser("crawl")

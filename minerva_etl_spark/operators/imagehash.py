@@ -268,3 +268,108 @@ def dhash_pairs(hashes: DataFrame, radius: int = 3) -> DataFrame:
         )
         .filter(F.col("hamming") <= radius)
     )
+
+
+# ------------------------------------------------------- incremental state
+def image_hash_increment(
+    delta_hashes: DataFrame,
+    history_hashes: DataFrame,
+    radius: int = 3,
+) -> DataFrame:
+    """Near-dup decisions for a DELTA of image hashes against all
+    history WITHOUT rehashing (or re-pairing) history — the media twin
+    of `operators/incremental.py::embedding_increment`, and the same
+    recompute-equivalence rule: per delta image, ``near_dup_of`` is
+    the LOWEST id among band-mates (history or lower-id delta) within
+    hamming ``radius``; ``keep`` = no such neighbor.  First seen
+    wins; decisions equal a full recompute over history ∪ delta
+    restricted to the delta rows.
+
+    Plan: both sides are (id, d0..d3) hash states — ~20 bytes per
+    image, never pixels; candidates come from the pigeonhole band
+    equi-join (perfect recall at radius <= 3); one
+    map-side-combinable min per delta image."""
+    assert radius <= _BANDS - 1, (
+        f"4-band dHash guarantees recall only to hamming {_BANDS - 1}"
+    )
+    cols = ["media_id", "d0", "d1", "d2", "d3"]
+
+    def melt(df: DataFrame, idn: str) -> DataFrame:
+        return df.select(*cols).select(
+            F.col("media_id").alias(idn),
+            *[F.col(f"d{c}").alias(f"{idn[-1]}{c}") for c in range(_BANDS)],
+            F.explode(
+                F.array(*[
+                    F.concat_ws(
+                        ":", F.lit(c), F.col(f"d{c}").cast("string")
+                    )
+                    for c in range(_BANDS)
+                ])
+            ).alias("band"),
+        )
+
+    pool = history_hashes.select(*cols).unionByName(
+        delta_hashes.select(*cols)
+    )
+    d = melt(delta_hashes, "id_a")
+    h = melt(pool, "id_b")
+    hamming = sum(
+        F.bit_count(F.expr(f"a{c} ^ b{c}")) for c in range(_BANDS)
+    )
+    near = (
+        d.join(h, "band")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .drop("band")
+        .distinct()
+        .filter(hamming <= F.lit(int(radius)))
+        .groupBy("id_a")
+        .agg(F.min("id_b").cast("bigint").alias("near_dup_of"))
+        .withColumnRenamed("id_a", "media_id")
+    )
+    return (
+        delta_hashes.select("media_id")
+        .join(near, "media_id", "left")
+        .select(
+            "media_id",
+            "near_dup_of",
+            F.col("near_dup_of").isNull().alias("keep"),
+        )
+    )
+
+
+def ingest_image_increment(
+    spark,
+    media: DataFrame,
+    state_path: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    radius: int = 3,
+    on_error: str = "fail",
+) -> DataFrame:
+    """One image-delivery cycle: hash the delta (REAL decode), decide
+    it against the persisted hash state (bootstrap: everything kept),
+    append the delta's hashes.  The store lease spans
+    read-state -> decide -> append (the `ingest_increment` rule), so
+    concurrent deliveries fully serialize.  The state keeps EVERY
+    ingested image's hash, kept and dropped alike — dropping dups
+    from the state would break recompute-equivalence for later
+    deliveries that collide only with a dropped image."""
+    from minerva_etl_spark.fsutil import StoreLease, parquet_exists
+
+    delta = image_dhash(
+        media, payload_col=payload_col, id_col=id_col, on_error=on_error
+    ).select("media_id", "d0", "d1", "d2", "d3").localCheckpoint(
+        eager=True
+    )
+    with StoreLease(spark, state_path.rstrip("/") + ".__lease"):
+        if parquet_exists(spark, state_path):
+            history = spark.read.parquet(state_path)
+            decisions = image_hash_increment(delta, history, radius)
+        else:
+            decisions = delta.select(
+                "media_id",
+                F.lit(None).cast("bigint").alias("near_dup_of"),
+            ).withColumn("keep", F.lit(True))
+        decisions = decisions.localCheckpoint(eager=True)
+        delta.write.mode("append").parquet(state_path)
+    return decisions

@@ -1104,6 +1104,50 @@ def test_cli_corpus_secrets(tmp_path, spark):
     assert got[2].n_secrets == 0 and got[2].redacted == "x = 1"
 
 
+def test_cli_media_image_increment(tmp_path, spark):
+    """`media image-increment` runs a two-delivery dedup through a
+    persisted dHash state; --state is required."""
+    import pytest
+
+    from minerva_etl_spark.cli import main
+    from minerva_etl_spark.operators.multimodal import synthesize_png
+
+    def img(seed, dc=0):
+        return synthesize_png(
+            bytes((seed * 29 + i * (13 + seed * 2) + (i % 7) * 11)
+                  % 200 + dc for i in range(9 * 8 * 3)),
+            9, 8, 3,
+        )
+
+    state = str(tmp_path / "state")
+    p1 = spark.createDataFrame(
+        [(1, img(1))], "media_id bigint, payload binary"
+    )
+    p2 = spark.createDataFrame(
+        [(2, img(1, dc=3)), (3, img(5))],
+        "media_id bigint, payload binary",
+    )
+    src1, src2 = str(tmp_path / "p1"), str(tmp_path / "p2")
+    p1.write.parquet(src1)
+    p2.write.parquet(src2)
+
+    out1 = str(tmp_path / "d1")
+    main(["media", "image-increment", "--input", src1, "--output", out1,
+          "--state", state])
+    assert spark.read.parquet(out1).collect()[0].keep
+
+    out2 = str(tmp_path / "d2")
+    main(["media", "image-increment", "--input", src2, "--output", out2,
+          "--state", state])
+    d2 = {r.media_id: r for r in spark.read.parquet(out2).collect()}
+    assert d2[2].near_dup_of == 1 and not d2[2].keep
+    assert d2[3].keep
+
+    with pytest.raises(SystemExit):
+        main(["media", "image-increment", "--input", src1,
+              "--output", out1])
+
+
 def test_cli_corpus_pack_ids_binary(tmp_path, spark):
     """`corpus pack-ids --binary` writes .bin/.idx shards + manifest."""
     import glob

@@ -110,6 +110,65 @@ def test_video_frame_hashes_and_pairs(spark):
     }
 
 
+def test_ingest_image_increment(spark, tmp_path):
+    """Two image deliveries through a persisted hash state: history
+    never rehashes; a twin of a history image dups to it, a
+    delta-vs-delta twin dups to the LOWER delta id; incremental
+    decisions equal a full recompute restricted to the delta."""
+    from minerva_etl_spark.operators.imagehash import (
+        dhash_pairs,
+        image_dhash,
+        ingest_image_increment,
+    )
+    from minerva_etl_spark.operators.multimodal import synthesize_png
+
+    def img(seed: int, dc: int = 0) -> bytes:
+        # seed-dependent STRIDE, not just offset: a pure additive
+        # shift is invisible to dHash, so shifted fixtures would all
+        # collide (hamming 1-2 / 1-9 / 2-9 here: 26 / 31 / 37)
+        return synthesize_png(
+            bytes((seed * 29 + i * (13 + seed * 2) + (i % 7) * 11)
+                  % 200 + dc
+                  for i in range(9 * 8 * 3)),
+            9, 8, 3,
+        )
+
+    state = str(tmp_path / "img_state")
+    poll1 = spark.createDataFrame(
+        [(1, img(1)), (2, img(2))], "media_id bigint, payload binary"
+    )
+    d1 = {r.media_id: r for r in
+          ingest_image_increment(spark, poll1, state).collect()}
+    assert all(r.keep and r.near_dup_of is None for r in d1.values())
+
+    poll2 = spark.createDataFrame(
+        [(10, img(1, dc=3)),   # twin of history image 1
+         (11, img(9)),         # genuinely new
+         (12, img(9, dc=3))],  # twin of DELTA image 11
+        "media_id bigint, payload binary",
+    )
+    d2 = {r.media_id: r for r in
+          ingest_image_increment(spark, poll2, state).collect()}
+    assert d2[10].near_dup_of == 1 and not d2[10].keep
+    assert d2[11].keep and d2[11].near_dup_of is None
+    assert d2[12].near_dup_of == 11 and not d2[12].keep
+
+    # incremental == recompute: the full pair set restricted to delta
+    both = poll1.unionByName(poll2)
+    pairs = dhash_pairs(image_dhash(both), radius=3)
+    full = {
+        r.id_b: r.id_a
+        for r in pairs.collect()
+        if r.id_b >= 10  # delta rows (ids chosen above history range)
+    }
+    got = {m: r.near_dup_of for m, r in d2.items()
+           if r.near_dup_of is not None}
+    assert got == full
+
+    # state retains every hash, kept and dropped alike
+    assert spark.read.parquet(state).count() == 5
+
+
 def test_dhash_pairs_radius_contract():
     """The 4-band layout cannot promise recall past hamming 3."""
     with pytest.raises(AssertionError):
