@@ -1521,9 +1521,9 @@ def cmd_media(args) -> None:
     `audio-dedup` (frame-energy envelope hash over decoded WAV,
     same pair machinery), `video-dhash` / `video-dedup`
     (frame-sampled dHash over decoded AVI; clips pair on ANY
-    matching frame), `image-increment` (dedup a new image delivery
-    against the persisted dHash state — history pixels never
-    re-decoded), `features` (generic
+    matching frame), `image-increment` / `audio-increment` (dedup a
+    new media delivery against the persisted hash state — history
+    payloads never re-decoded), `features` (generic
     extractor — `--decoder pkg.mod:fn` injects a real decoder, e.g. a
     PIL or ffmpeg wrapper, on clusters that have one installed).
     Extends the
@@ -1623,6 +1623,20 @@ def cmd_media(args) -> None:
                 "required (path of the persisted hash state)"
             )
         out = ingest_image_increment(
+            spark, df, args.state, radius=args.radius,
+            on_error=args.on_error,
+        )
+    elif args.action == "audio-increment":
+        from minerva_etl_spark.operators.audiohash import (
+            ingest_audio_increment,
+        )
+
+        if not args.state:
+            raise SystemExit(
+                "minerva-spark media audio-increment: --state is "
+                "required (path of the persisted hash state)"
+            )
+        out = ingest_audio_increment(
             spark, df, args.state, radius=args.radius,
             on_error=args.on_error,
         )
@@ -2191,7 +2205,8 @@ def main(argv: list[str] | None = None) -> None:
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
-                 "video-dhash", "video-dedup", "image-increment"],
+                 "video-dhash", "video-dedup", "image-increment",
+                 "audio-increment"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")
@@ -2221,8 +2236,9 @@ def main(argv: list[str] | None = None) -> None:
                          "max hamming distance (<= 3 for guaranteed "
                          "recall with 4 bands)")
     md.add_argument("--state", default=None,
-                    help="image-increment: path of the persisted "
-                         "dHash state (created on first delivery)")
+                    help="image/audio-increment: path of the "
+                         "persisted hash state (created on first "
+                         "delivery)")
     md.set_defaults(fn=cmd_media)
 
     cw = sub.add_parser("crawl")

@@ -114,3 +114,33 @@ def audio_fingerprint(
         F.col(id_col).cast("long").alias(id_col), payload_col
     )
     return cols.mapInPandas(run, schema=AUDIO_HASH_SCHEMA)
+
+
+def ingest_audio_increment(
+    spark,
+    media: DataFrame,
+    state_path: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    radius: int = 3,
+    on_error: str = "fail",
+) -> DataFrame:
+    """One audio-delivery cycle through the shared persisted-hash
+    protocol (`imagehash.ingest_hash_increment`): fingerprint the
+    delta (REAL WAV decode), decide it against the state, append —
+    history clips are never re-decoded.  Keep audio and image states
+    in SEPARATE paths: the band layout is identical, so a shared
+    state would happily cross-match an image against a clip."""
+    from minerva_etl_spark.operators.imagehash import (
+        ingest_hash_increment,
+    )
+
+    return ingest_hash_increment(
+        spark,
+        audio_fingerprint(
+            media, payload_col=payload_col, id_col=id_col,
+            on_error=on_error,
+        ),
+        state_path,
+        radius,
+    )

@@ -337,30 +337,27 @@ def image_hash_increment(
     )
 
 
-def ingest_image_increment(
+def ingest_hash_increment(
     spark,
-    media: DataFrame,
+    delta_hashes: DataFrame,
     state_path: str,
-    payload_col: str = "payload",
-    id_col: str = "media_id",
     radius: int = 3,
-    on_error: str = "fail",
 ) -> DataFrame:
-    """One image-delivery cycle: hash the delta (REAL decode), decide
-    it against the persisted hash state (bootstrap: everything kept),
-    append the delta's hashes.  The store lease spans
-    read-state -> decide -> append (the `ingest_increment` rule), so
-    concurrent deliveries fully serialize.  The state keeps EVERY
-    ingested image's hash, kept and dropped alike — dropping dups
-    from the state would break recompute-equivalence for later
-    deliveries that collide only with a dropped image."""
+    """One delivery cycle over ANY 64-bit band-hash frame
+    (``media_id, d0..d3`` — image dHash, audio fingerprint, video
+    frame hashes): decide the delta against the persisted hash state
+    (bootstrap: everything kept), append the delta's hashes.  The
+    store lease spans read-state -> decide -> append (the
+    `ingest_increment` rule), so concurrent deliveries fully
+    serialize.  The state keeps EVERY ingested hash, kept and dropped
+    alike — dropping dups from the state would break
+    recompute-equivalence for later deliveries that collide only with
+    a dropped item."""
     from minerva_etl_spark.fsutil import StoreLease, parquet_exists
 
-    delta = image_dhash(
-        media, payload_col=payload_col, id_col=id_col, on_error=on_error
-    ).select("media_id", "d0", "d1", "d2", "d3").localCheckpoint(
-        eager=True
-    )
+    delta = delta_hashes.select(
+        "media_id", "d0", "d1", "d2", "d3"
+    ).localCheckpoint(eager=True)
     with StoreLease(spark, state_path.rstrip("/") + ".__lease"):
         if parquet_exists(spark, state_path):
             history = spark.read.parquet(state_path)
@@ -373,3 +370,26 @@ def ingest_image_increment(
         decisions = decisions.localCheckpoint(eager=True)
         delta.write.mode("append").parquet(state_path)
     return decisions
+
+
+def ingest_image_increment(
+    spark,
+    media: DataFrame,
+    state_path: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    radius: int = 3,
+    on_error: str = "fail",
+) -> DataFrame:
+    """One image-delivery cycle: hash the delta (REAL decode) and run
+    :func:`ingest_hash_increment` — history pixels are never
+    re-decoded."""
+    return ingest_hash_increment(
+        spark,
+        image_dhash(
+            media, payload_col=payload_col, id_col=id_col,
+            on_error=on_error,
+        ),
+        state_path,
+        radius,
+    )

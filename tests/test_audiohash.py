@@ -42,6 +42,36 @@ def test_energy_bands_stereo_fold_and_short():
         energy_bands([1] * FRAMES)  # FRAMES samples = one short
 
 
+def test_ingest_audio_increment(spark, tmp_path):
+    """Two audio deliveries through the shared persisted-hash
+    protocol: a DC-offset twin of a history clip dups to it."""
+    from minerva_etl_spark.operators.audiohash import (
+        ingest_audio_increment,
+    )
+
+    n = FRAMES * 64
+    base = [((i * 7) % 97) - 48 + (150 if (i // 64) % 5 < 2 else 0)
+            for i in range(n)]
+    state = str(tmp_path / "wav_state")
+    p1 = spark.createDataFrame(
+        [(1, synthesize_wav(base, 8000))],
+        "media_id bigint, payload binary",
+    )
+    d1 = ingest_audio_increment(spark, p1, state).collect()
+    assert d1[0].keep
+
+    p2 = spark.createDataFrame(
+        [(2, synthesize_wav([v + 2 for v in base], 8000)),
+         (3, synthesize_wav(base[::-1], 8000))],
+        "media_id bigint, payload binary",
+    )
+    d2 = {r.media_id: r for r in
+          ingest_audio_increment(spark, p2, state).collect()}
+    assert d2[2].near_dup_of == 1 and not d2[2].keep
+    assert d2[3].keep
+    assert spark.read.parquet(state).count() == 3
+
+
 def test_audio_fingerprint_and_pairs(spark):
     """Real PCM-16 decode feeds the hash; a small-DC-offset twin lands
     within radius 3 of the original; a reversed-envelope clip does
