@@ -184,6 +184,7 @@ HEADLINE = [
     # each poll is one delivery — state build is the operator, unlike
     # sim_ivf where the fit amortizes outside the clock)
     "incremental_image_dedup",
+    "incremental_video_dedup",
     # bpe_roundtrip is deliberately NOT here (the sim_ivf_incremental
     # rule): its gate row retrains 12 merges in-row, so benching it
     # times the training harness a third time — encode is already

@@ -1521,9 +1521,10 @@ def cmd_media(args) -> None:
     `audio-dedup` (frame-energy envelope hash over decoded WAV,
     same pair machinery), `video-dhash` / `video-dedup`
     (frame-sampled dHash over decoded AVI; clips pair on ANY
-    matching frame), `image-increment` / `audio-increment` (dedup a
-    new media delivery against the persisted hash state — history
-    payloads never re-decoded), `features` (generic
+    matching frame), `image-increment` / `audio-increment` /
+    `video-increment` (dedup a new media delivery against the
+    persisted hash state — history payloads never re-decoded),
+    `features` (generic
     extractor — `--decoder pkg.mod:fn` injects a real decoder, e.g. a
     PIL or ffmpeg wrapper, on clusters that have one installed).
     Extends the
@@ -1638,6 +1639,21 @@ def cmd_media(args) -> None:
             )
         out = ingest_audio_increment(
             spark, df, args.state, radius=args.radius,
+            on_error=args.on_error,
+        )
+    elif args.action == "video-increment":
+        from minerva_etl_spark.operators.imagehash import (
+            ingest_video_increment,
+        )
+
+        if not args.state:
+            raise SystemExit(
+                "minerva-spark media video-increment: --state is "
+                "required (path of the persisted hash state)"
+            )
+        out = ingest_video_increment(
+            spark, df, args.state, every_n=args.frame_stride,
+            max_frames=args.n, radius=args.radius,
             on_error=args.on_error,
         )
     elif args.action == "video-dedup":
@@ -2206,7 +2222,7 @@ def main(argv: list[str] | None = None) -> None:
                  "avi-frames", "features", "pdf-text", "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",
-                 "audio-increment"],
+                 "audio-increment", "video-increment"],
     )
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")
@@ -2236,7 +2252,7 @@ def main(argv: list[str] | None = None) -> None:
                          "max hamming distance (<= 3 for guaranteed "
                          "recall with 4 bands)")
     md.add_argument("--state", default=None,
-                    help="image/audio-increment: path of the "
+                    help="image/audio/video-increment: path of the "
                          "persisted hash state (created on first "
                          "delivery)")
     md.set_defaults(fn=cmd_media)

@@ -1277,6 +1277,142 @@ WHERE h.is_delta = 1
 """
 
 
+def q_incremental_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental VIDEO near-dup
+    (`operators/imagehash.py::ingest_video_increment`): two clip
+    deliveries through the persisted per-frame hash state — delivery
+    1 ingests the even docs' 3-frame AVIs (the `video_dedup_dhash`
+    two-coefficient formula), delivery 2 brings the odd docs plus
+    +3-brightness twin clips of the doc_id % 4 = 0 members; a delta
+    clip dups to the lowest clip sharing ANY frame within hamming 3.
+    History footage is never re-decoded.  Oracle: full recompute over
+    history ∪ delta restricted to delta clips."""
+    _prep(spark)
+    import os
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.imagehash import (
+        ingest_video_increment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(delta: bool):
+        def run(batches):
+            import pandas as pd
+
+            from minerva_etl_spark.operators.multimodal import (
+                synthesize_avi,
+            )
+
+            for pdf in batches:
+                rows = []
+                for did in pdf["doc_id"]:
+                    d = int(did)
+
+                    def clip(pert: int) -> bytes:
+                        frames = []
+                        for f in range(3):
+                            q = 3 + ((d * 31 + f * 17) % 211)
+                            r = 31 + ((d * 13 + f * 7) % 199)
+                            frames.append(bytes(
+                                min((d * 7 + f * 53 + y * r + x * x * q
+                                     + x * 13 + c * 101) % 256 + pert,
+                                    255)
+                                for y in range(8)
+                                for x in range(9)
+                                for c in range(3)
+                            ))
+                        return synthesize_avi(frames, 9, 8)
+
+                    if not delta and d % 2 == 0:
+                        rows.append((d, clip(0)))
+                    if delta and d % 2 == 1:
+                        rows.append((d, clip(0)))
+                    if delta and d % 4 == 0:
+                        rows.append((d + 100000, clip(3)))
+                yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+        return run
+
+    schema = "media_id bigint, payload binary"
+    root = tempfile.mkdtemp(prefix="minerva_gate_incvid_")
+    state_path = os.path.join(root, "vid_state")
+    ingest_video_increment(
+        spark, docs.mapInPandas(synth(False), schema=schema), state_path
+    )
+    out = ingest_video_increment(
+        spark, docs.mapInPandas(synth(True), schema=schema), state_path
+    )
+    shutil.rmtree(root, ignore_errors=True)  # decisions are checkpointed
+    return out
+
+
+_ORACLE_INCREMENTAL_VIDEO = """
+WITH clips AS (
+  SELECT doc_id AS media_id, doc_id AS d, 0 AS pert,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS is_delta
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, doc_id, 3, 1 FROM documents
+  WHERE doc_id % 4 = 0
+),
+g AS (
+  SELECT media_id, is_delta, fr.f AS f, x.x AS x, y.y AS y,
+         (299 * least((d*7 + fr.f*53
+               + y.y*(31 + ((d*13 + fr.f*7) % 199))
+               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
+               + x.x*13) % 256 + pert, 255)
+        + 587 * least((d*7 + fr.f*53
+               + y.y*(31 + ((d*13 + fr.f*7) % 199))
+               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
+               + x.x*13 + 101) % 256 + pert, 255)
+        + 114 * least((d*7 + fr.f*53
+               + y.y*(31 + ((d*13 + fr.f*7) % 199))
+               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
+               + x.x*13 + 202) % 256 + pert, 255))
+         // 1000 AS gray
+  FROM clips,
+       UNNEST(generate_series(0, 2)) AS fr(f),
+       UNNEST(generate_series(0, 8)) AS x(x),
+       UNNEST(generate_series(0, 7)) AS y(y)
+),
+bits AS (
+  SELECT a.media_id, a.is_delta, a.f, (a.y * 8 + a.x) AS i,
+         CASE WHEN a.gray > b.gray THEN 1 ELSE 0 END AS bit
+  FROM g a JOIN g b ON a.media_id = b.media_id AND a.f = b.f
+                    AND a.y = b.y AND b.x = a.x + 1
+  WHERE a.x < 8
+),
+bands AS (
+  SELECT media_id, is_delta, f, i // 16 AS band,
+         CAST(sum(bit * (1 << (i % 16))) AS INTEGER) AS v
+  FROM bits GROUP BY media_id, is_delta, f, i // 16
+),
+hashes AS (
+  SELECT media_id, is_delta, f,
+         max(CASE WHEN band = 0 THEN v END) AS d0,
+         max(CASE WHEN band = 1 THEN v END) AS d1,
+         max(CASE WHEN band = 2 THEN v END) AS d2,
+         max(CASE WHEN band = 3 THEN v END) AS d3
+  FROM bands GROUP BY media_id, is_delta, f
+),
+near AS (
+  SELECT a.media_id, CAST(min(b.media_id) AS BIGINT) AS near_dup_of
+  FROM hashes a JOIN hashes b ON b.media_id < a.media_id
+  WHERE a.is_delta = 1
+    AND bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
+      + bit_count(xor(a.d2, b.d2)) + bit_count(xor(a.d3, b.d3)) <= 3
+  GROUP BY a.media_id
+)
+SELECT c.media_id, n.near_dup_of,
+       (n.near_dup_of IS NULL) AS keep
+FROM (SELECT DISTINCT media_id FROM hashes WHERE is_delta = 1) c
+LEFT JOIN near n USING (media_id)
+"""
+
+
 def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio dedup (`operators/audiohash.py` +
     `imagehash.dhash_pairs` — one pigeonhole machine for every 64-bit
@@ -6043,6 +6179,9 @@ _REGISTRY_ORDER = [
     # cycle, history pixels never re-decoded; recompute-equivalence
     # oracle over history ∪ delta.
     "incremental_image_dedup",
+    # incremental_video_dedup: the per-frame-state variant — delta
+    # clips dup on ANY shared frame; recompute-equivalence oracle.
+    "incremental_video_dedup",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
@@ -6196,6 +6335,7 @@ def build_queries() -> dict:
         "video_dedup_dhash": q_video_dedup_dhash,
         "code_secrets": q_code_secrets,
         "incremental_image_dedup": q_incremental_image_dedup,
+        "incremental_video_dedup": q_incremental_video_dedup,
         "gif_features": q_gif_features,
         "png_features": q_png_features,
         "avi_features": q_avi_features,
@@ -6337,6 +6477,7 @@ def build_oracles() -> dict[str, str]:
         "video_dedup_dhash": _ORACLE_VIDEO_DHASH,
         "code_secrets": _oracle_code_secrets(),
         "incremental_image_dedup": _ORACLE_INCREMENTAL_IMAGE,
+        "incremental_video_dedup": _ORACLE_INCREMENTAL_VIDEO,
         "gif_features": _ORACLE_GIF,
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,

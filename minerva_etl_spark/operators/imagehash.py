@@ -393,3 +393,100 @@ def ingest_image_increment(
         state_path,
         radius,
     )
+
+
+def video_hash_increment(
+    delta_frames: DataFrame,
+    history_frames: DataFrame,
+    radius: int = 3,
+) -> DataFrame:
+    """CLIP-level near-dup decisions for a delta of per-frame hashes
+    against all history: a delta clip dups to the LOWEST clip id
+    (history or lower-id delta) sharing ANY frame within hamming
+    ``radius`` — :func:`video_dedup_pairs`'s shared-footage rule on
+    the incremental protocol.  Both sides are (media_id, frame_idx,
+    d0..d3) frames; history footage is never re-decoded."""
+    assert radius <= _BANDS - 1, (
+        f"4-band dHash guarantees recall only to hamming {_BANDS - 1}"
+    )
+    cols = ["media_id", "frame_idx", "d0", "d1", "d2", "d3"]
+
+    def melt(df: DataFrame, idn: str) -> DataFrame:
+        return df.select(*cols).select(
+            F.col("media_id").alias(idn),
+            *[F.col(f"d{c}").alias(f"{idn[-1]}{c}") for c in range(_BANDS)],
+            F.explode(
+                F.array(*[
+                    F.concat_ws(
+                        ":", F.lit(c), F.col(f"d{c}").cast("string")
+                    )
+                    for c in range(_BANDS)
+                ])
+            ).alias("band"),
+        )
+
+    pool = history_frames.select(*cols).unionByName(
+        delta_frames.select(*cols)
+    )
+    d = melt(delta_frames, "id_a")
+    h = melt(pool, "id_b")
+    hamming = sum(
+        F.bit_count(F.expr(f"a{c} ^ b{c}")) for c in range(_BANDS)
+    )
+    near = (
+        d.join(h, "band")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .drop("band")
+        .distinct()
+        .filter(hamming <= F.lit(int(radius)))
+        .groupBy("id_a")
+        .agg(F.min("id_b").cast("bigint").alias("near_dup_of"))
+        .withColumnRenamed("id_a", "media_id")
+    )
+    return (
+        delta_frames.select("media_id").distinct()
+        .join(near, "media_id", "left")
+        .select(
+            "media_id",
+            "near_dup_of",
+            F.col("near_dup_of").isNull().alias("keep"),
+        )
+    )
+
+
+def ingest_video_increment(
+    spark,
+    media: DataFrame,
+    state_path: str,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 1,
+    max_frames: int = 8,
+    radius: int = 3,
+    on_error: str = "fail",
+) -> DataFrame:
+    """One video-delivery cycle: frame-hash the delta (REAL container
+    decode, sampled), decide clips against the persisted per-frame
+    state, append the delta's frame hashes — the same lease/retention
+    contract as :func:`ingest_hash_increment`, with a per-frame state
+    (~20 bytes x sampled frames per ever-ingested clip)."""
+    from minerva_etl_spark.fsutil import StoreLease, parquet_exists
+
+    delta = video_frame_hashes(
+        media, payload_col=payload_col, id_col=id_col,
+        every_n=every_n, max_frames=max_frames, on_error=on_error,
+    ).select(
+        "media_id", "frame_idx", "d0", "d1", "d2", "d3"
+    ).localCheckpoint(eager=True)
+    with StoreLease(spark, state_path.rstrip("/") + ".__lease"):
+        if parquet_exists(spark, state_path):
+            history = spark.read.parquet(state_path)
+            decisions = video_hash_increment(delta, history, radius)
+        else:
+            decisions = delta.select("media_id").distinct().select(
+                "media_id",
+                F.lit(None).cast("bigint").alias("near_dup_of"),
+            ).withColumn("keep", F.lit(True))
+        decisions = decisions.localCheckpoint(eager=True)
+        delta.write.mode("append").parquet(state_path)
+    return decisions

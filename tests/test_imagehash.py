@@ -169,6 +169,39 @@ def test_ingest_image_increment(spark, tmp_path):
     assert spark.read.parquet(state).count() == 5
 
 
+def test_ingest_video_increment(spark, tmp_path):
+    """Two clip deliveries through the per-frame hash state: a delta
+    clip sharing ONE frame with a history clip dups to it; a clip of
+    all-new footage keeps; the state holds every sampled frame."""
+    from minerva_etl_spark.operators.imagehash import (
+        ingest_video_increment,
+    )
+    from minerva_etl_spark.operators.multimodal import synthesize_avi
+
+    def frame(seed: int) -> bytes:
+        return bytes((seed * 29 + i * (13 + seed * 2) + (i % 7) * 11)
+                     % 200 for i in range(9 * 8 * 3))
+
+    state = str(tmp_path / "vid_state")
+    p1 = spark.createDataFrame(
+        [(1, synthesize_avi([frame(1), frame(2)], 9, 8))],
+        "media_id bigint, payload binary",
+    )
+    d1 = ingest_video_increment(spark, p1, state).collect()
+    assert d1[0].keep
+
+    p2 = spark.createDataFrame(
+        [(2, synthesize_avi([frame(7), frame(2)], 9, 8)),  # shares f2
+         (3, synthesize_avi([frame(8), frame(9)], 9, 8))],
+        "media_id bigint, payload binary",
+    )
+    d2 = {r.media_id: r for r in
+          ingest_video_increment(spark, p2, state).collect()}
+    assert d2[2].near_dup_of == 1 and not d2[2].keep
+    assert d2[3].keep
+    assert spark.read.parquet(state).count() == 6  # 2 + 2 + 2 frames
+
+
 def test_dhash_pairs_radius_contract():
     """The 4-band layout cannot promise recall past hamming 3."""
     with pytest.raises(AssertionError):

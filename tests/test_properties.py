@@ -205,3 +205,68 @@ def test_wav_roundtrip_property(samples, rate):
         assert d["rms"] == exp
     else:
         assert d["rms"] == 0.0
+
+
+# --------------------------------------------------------- code operators
+_code_chars = st.text(
+    alphabet=list("ab \t\n#/*-\"'=.1"), min_size=0, max_size=120
+)
+
+
+@given(text=_code_chars)
+@settings(max_examples=200, deadline=None)
+def test_normalize_code_idempotent(text):
+    """normalize(normalize(x)) == normalize(x) — the dedup key is a
+    fixed point, so re-normalizing stored keys can never split a
+    group (checked via the DuckDB twin expression; the Spark/DuckDB
+    byte-equality is pinned separately in test_code.py)."""
+    import pandas as pd
+
+    from minerva_etl_spark.operators.code import normalize_code_duck_expr
+
+    con = duckdb.connect()
+    expr = normalize_code_duck_expr("content")
+    con.register("t1", pd.DataFrame({"content": [text]}))
+    (n1,) = con.execute(f"SELECT {expr} FROM t1").fetchone()
+    con.register("t2", pd.DataFrame({"content": [n1]}))
+    (n2,) = con.execute(f"SELECT {expr} FROM t2").fetchone()
+    assert n2 == n1
+
+
+@given(
+    text=st.text(min_size=0, max_size=200),
+    fid=st.integers(min_value=0, max_value=10**9),
+    seed=st.integers(min_value=0, max_value=99),
+)
+@settings(max_examples=200, deadline=None)
+def test_fim_cuts_reassemble(text, fid, seed):
+    """For ANY unicode text and id: if FIM applies, the rendered
+    string is exactly prefix+SUF+suffix+MID+middle of the original at
+    the emitted cut offsets; if not, the text passes through
+    verbatim (DuckDB twin expressions — character semantics match
+    Spark's)."""
+    import pandas as pd
+
+    from minerva_etl_spark.operators.code import (
+        FIM_MIDDLE, FIM_PREFIX, FIM_SUFFIX, fim_exprs,
+    )
+
+    exprs = fim_exprs(
+        "content", "file_id", seed=seed, rate=0.7, spark_side=False
+    )
+    sel = ", ".join(f"{sql} AS {name}" for name, sql in exprs.items())
+    con = duckdb.connect()
+    con.register(
+        "t", pd.DataFrame({"file_id": [fid], "content": [text]})
+    )
+    row = con.execute(f"SELECT {sel} FROM t").fetchdf().iloc[0]
+    if row["fim_applied"]:
+        lo, hi = int(row["cut_lo"]), int(row["cut_hi"])
+        assert 0 <= lo <= hi <= len(text)
+        expected = (
+            FIM_PREFIX + text[:lo] + FIM_SUFFIX + text[hi:]
+            + FIM_MIDDLE + text[lo:hi]
+        )
+        assert row["fim_text"] == expected
+    else:
+        assert row["fim_text"] == text
