@@ -490,3 +490,106 @@ def ingest_video_increment(
         decisions = decisions.localCheckpoint(eager=True)
         delta.write.mode("append").parquet(state_path)
     return decisions
+
+
+def _melt_bands(df: DataFrame, id_out: str = "media_id") -> DataFrame:
+    """(media_id, d0..d3) -> 4 rows (band, media_id, d0..d3) — the
+    stored shape of the bucketed hash state."""
+    return df.select(
+        F.col("media_id").alias(id_out), "d0", "d1", "d2", "d3",
+        F.explode(
+            F.array(*[
+                F.concat_ws(":", F.lit(c), F.col(f"d{c}").cast("string"))
+                for c in range(_BANDS)
+            ])
+        ).alias("band"),
+    )
+
+
+def ingest_hash_increment_bucketed(
+    spark,
+    delta_hashes: DataFrame,
+    table_name: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+    radius: int = 3,
+) -> DataFrame:
+    """The catalog-backed variant of :func:`ingest_hash_increment`
+    for 100 TB-of-history scale (the
+    `frontier.ingest_frontier_increment_bucketed` strategy): the
+    state lives PRE-MELTED as a table ``bucketBy(n_buckets, band)``,
+    so each delivery's candidate join reads history WITHOUT an
+    exchange — only the (small) delta shuffles to the bucket layout.
+    Delta-vs-delta candidates come from a separate small self-join,
+    so the union of sides never breaks the bucket advantage.  Same
+    lease discipline, same decisions as the parquet-path variant
+    (proven equal by test)."""
+    from minerva_etl_spark.fsutil import StoreLease
+
+    assert radius <= _BANDS - 1, (
+        f"4-band dHash guarantees recall only to hamming {_BANDS - 1}"
+    )
+    delta = delta_hashes.select(
+        "media_id", "d0", "d1", "d2", "d3"
+    ).localCheckpoint(eager=True)
+    dm = _melt_bands(delta)
+    d_side = dm.select(
+        F.col("media_id").alias("id_a"),
+        *[F.col(f"d{c}").alias(f"a{c}") for c in range(_BANDS)],
+        "band",
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{c} ^ b{c}")) for c in range(_BANDS)
+    )
+
+    def near_from(pool: DataFrame) -> DataFrame:
+        h_side = pool.select(
+            F.col("media_id").alias("id_b"),
+            *[F.col(f"d{c}").alias(f"b{c}") for c in range(_BANDS)],
+            "band",
+        )
+        return (
+            d_side.join(h_side, "band")
+            .filter(F.col("id_b") < F.col("id_a"))
+            .drop("band")
+            .distinct()
+            .filter(hamming <= F.lit(int(radius)))
+            .select("id_a", "id_b")
+        )
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    lease_scope = (path or f"{warehouse}/{table_name}") + ".__lease"
+    with StoreLease(spark, lease_scope):
+        cands = near_from(dm)  # delta-vs-delta (small self-join)
+        if spark.catalog.tableExists(table_name):
+            # history side: bucketed scan satisfies the band join
+            # with ZERO exchanges on the big side
+            cands = cands.unionByName(near_from(spark.table(table_name)))
+        near = (
+            cands.groupBy("id_a")
+            .agg(F.min("id_b").cast("bigint").alias("near_dup_of"))
+            .withColumnRenamed("id_a", "media_id")
+        )
+        decisions = (
+            delta.select("media_id")
+            .join(near, "media_id", "left")
+            .select(
+                "media_id",
+                "near_dup_of",
+                F.col("near_dup_of").isNull().alias("keep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        writer = (
+            dm.select("band", "media_id", "d0", "d1", "d2", "d3")
+            .write.mode("append")
+            .bucketBy(n_buckets, "band")
+            .sortBy("band")
+            .format("parquet")
+        )
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
+    return decisions

@@ -202,6 +202,79 @@ def test_ingest_video_increment(spark, tmp_path):
     assert spark.read.parquet(state).count() == 6  # 2 + 2 + 2 frames
 
 
+def test_bucketed_hash_state_matches_and_exchange_free(tmp_path, spark):
+    """The catalog-backed hash state: decisions equal the parquet-path
+    variant on the same two deliveries, and the history side of the
+    band join is a bucketed scan with NO exchange."""
+    from pyspark.sql import functions as F
+
+    from minerva_etl_spark.operators.imagehash import (
+        _melt_bands,
+        image_dhash,
+        ingest_hash_increment,
+        ingest_hash_increment_bucketed,
+    )
+    from minerva_etl_spark.operators.multimodal import synthesize_png
+
+    def img(seed, dc=0):
+        return synthesize_png(
+            bytes((seed * 29 + i * (13 + seed * 2) + (i % 7) * 11)
+                  % 200 + dc for i in range(9 * 8 * 3)),
+            9, 8, 3,
+        )
+
+    p1 = spark.createDataFrame(
+        [(i, img(i)) for i in range(1, 6)],
+        "media_id bigint, payload binary",
+    )
+    p2 = spark.createDataFrame(
+        [(10, img(2, dc=3)), (11, img(30)), (12, img(30, dc=3))],
+        "media_id bigint, payload binary",
+    )
+    h1, h2 = image_dhash(p1), image_dhash(p2)
+
+    tbl = "media_hash_bkt_test"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    ingest_hash_increment_bucketed(spark, h1, tbl)
+    got_b = {r.media_id: (r.near_dup_of, r.keep) for r in
+             ingest_hash_increment_bucketed(spark, h2, tbl).collect()}
+
+    plain_state = str(tmp_path / "plain_state")
+    ingest_hash_increment(spark, h1, plain_state)
+    got_p = {r.media_id: (r.near_dup_of, r.keep) for r in
+             ingest_hash_increment(spark, h2, plain_state).collect()}
+    assert got_b == got_p
+    assert got_b[10] == (2, False) and got_b[12] == (11, False)
+    assert got_b[11] == (None, True)
+    assert spark.table(tbl).count() == 8 * 4  # 4 band rows per hash
+
+    # differential plan: the same band join against the same rows as
+    # plain parquet needs one MORE exchange than the bucketed scan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probe = _melt_bands(h2.localCheckpoint(eager=True)).select(
+            F.col("media_id").alias("id_a"), "band"
+        )
+
+        def join_plan(history):
+            return (
+                probe.hint("merge")
+                .join(history.select("band", "media_id"), "band")
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+
+        bucketed = join_plan(spark.table(tbl))
+        assert "Bucketed: true" in bucketed
+        plain_dir = str(tmp_path / "plain_melt")
+        spark.table(tbl).write.parquet(plain_dir)
+        plain = join_plan(spark.read.parquet(plain_dir))
+        assert plain.count("Exchange") == bucketed.count("Exchange") + 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_dhash_pairs_radius_contract():
     """The 4-band layout cannot promise recall past hamming 3."""
     with pytest.raises(AssertionError):
