@@ -930,18 +930,21 @@ FROM files
 
 def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (`operators/imagehash.py`): every doc
-    becomes a 9x8 RGB PNG (pixel(x, y, c) = (doc_id*7 + y*31 +
-    x*x*(3 + doc_id % 23) + x*13 + c*101) % 256 — the quadratic-in-x
-    term gives each doc a distinctive adjacent-difference sign
-    pattern, so distinct docs rarely collide and the pair count stays
-    O(n) as the corpus grows); docs at doc_id % 4 = 0 gain a brightness twin
-    (media_id + 100000, every sample ``min(v + 3, 255)``) — a uniform
-    shift preserves every dHash comparison except where the 255 clamp
-    breaks uniformity, so twins land within small hamming.  The REAL
-    PNG codec decodes the payloads back, dHash bands are banded-joined
-    (radius 3), and the oracle recomputes every bit from the
-    generating formula and brute-forces all pairs — proving perfect
-    pigeonhole recall AND the codec round trip at once."""
+    becomes a 9x8 GRAYSCALE PNG whose pixel(x, y) is one md5 byte —
+    ``int(md5(f"{doc_id}:{x}:{y}")[:2], 16)`` — so every image is
+    full-entropy and the pair output is EXACTLY the planted twins at
+    ANY corpus size (the earlier mod-arithmetic formula left
+    additive-shift classes whose coincidental pairs grew
+    quadratically with n — measured at 7M pairs for a x16 corpus by
+    `tools/scale_probe_r10b.py`).  Docs at doc_id % 4 = 0 gain a
+    brightness twin (media_id + 100000, every sample ``min(v + 3,
+    255)``) — a uniform shift preserves every dHash comparison
+    except where the 255 clamp breaks uniformity.  The REAL PNG
+    codec decodes the payloads back (gray color type exercises the
+    1-channel dHash path), dHash bands are banded-joined (radius 3),
+    and the oracle recomputes every bit via DuckDB's own md5 and
+    brute-forces all pairs — proving perfect pigeonhole recall AND
+    the codec round trip at once."""
     _prep(spark)
     from minerva_etl_spark.operators.imagehash import (
         dhash_pairs,
@@ -951,26 +954,29 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
+        import hashlib
+
         import pandas as pd
 
         from minerva_etl_spark.operators.multimodal import synthesize_png
+
+        def px(d: int, x: int, y: int) -> int:
+            return int(
+                hashlib.md5(f"{d}:{x}:{y}".encode()).hexdigest()[:2], 16
+            )
 
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 d = int(did)
                 base = [
-                    (d * 7 + y * 31 + x * x * (3 + d % 23)
-                     + x * 13 + c * 101) % 256
-                    for y in range(8)
-                    for x in range(9)
-                    for c in range(3)
+                    px(d, x, y) for y in range(8) for x in range(9)
                 ]
-                rows.append((d, synthesize_png(base, 9, 8, 3)))
+                rows.append((d, synthesize_png(base, 9, 8, 1)))
                 if d % 4 == 0:
                     pert = [min(v + 3, 255) for v in base]
                     rows.append(
-                        (d + 100000, synthesize_png(pert, 9, 8, 3))
+                        (d + 100000, synthesize_png(pert, 9, 8, 1))
                     )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
@@ -989,13 +995,10 @@ WITH imgs AS (
 ),
 g AS (
   SELECT media_id, x.x AS x, y.y AS y,
-         (299 * least((d*7 + y.y*31 + x.x*x.x*(3 + d % 23)
-                       + x.x*13) % 256 + pert, 255)
-        + 587 * least((d*7 + y.y*31 + x.x*x.x*(3 + d % 23)
-                       + x.x*13 + 101) % 256 + pert, 255)
-        + 114 * least((d*7 + y.y*31 + x.x*x.x*(3 + d % 23)
-                       + x.x*13 + 202) % 256 + pert, 255))
-         // 1000 AS gray
+         least(CAST(('0x' || substr(md5(
+             CAST(d AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)
+             || ':' || CAST(y.y AS VARCHAR)), 1, 2)) AS INTEGER)
+               + pert, 255) AS gray
   FROM imgs,
        UNNEST(generate_series(0, 8)) AS x(x),
        UNNEST(generate_series(0, 7)) AS y(y)
@@ -1033,19 +1036,19 @@ WHERE bit_count(xor(a.d0, b.d0)) + bit_count(xor(a.d1, b.d1))
 def q_video_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual video dedup
     (`operators/imagehash.py::video_frame_hashes`/`video_dedup_pairs`):
-    every doc becomes a 3-frame 9x8 BI_RGB AVI — pixel(f, x, y, c) =
-    (doc_id*7 + f*53 + y*r + x*x*q + x*13 + c*101) % 256 with TWO
-    per-(doc, frame) coefficients q = 3 + ((doc_id*31 + f*17) % 211)
-    and r = 31 + ((doc_id*13 + f*7) % 199): frames of different docs
-    are additive shifts of each other (which dHash largely ignores)
-    only when BOTH draws coincide (~42k classes), so the coincidental
-    pair count stays flat through bench scale — one varying
-    coefficient still left 20k collision pairs at sf0.1.  Docs at
-    doc_id % 4 = 0 gain a +3-brightness twin clip (media_id +
-    100000).  The REAL AVI container decode feeds per-frame dHash;
-    clips pair when ANY frame pair lands within hamming 3; the
-    oracle recomputes every frame bit closed-form and brute-forces
-    all frame pairs."""
+    every doc becomes a 3-frame 9x8 BI_RGB AVI with full-entropy
+    frames — all three channels of pixel(f, x, y) equal the md5 byte
+    ``int(md5(f"{doc_id}:{f}:{x}:{y}")[:2], 16)`` (equal channels
+    make the integer grayscale exactly that byte), so the pair
+    output is EXACTLY the planted twins at any corpus size (two
+    earlier arithmetic formulas left additive-shift classes — 20k
+    collision pairs at sf0.1 with one varying coefficient; see the
+    image row's rationale).  Docs at doc_id % 4 = 0 gain a
+    +3-brightness twin clip (media_id + 100000).  The REAL AVI
+    container decode feeds per-frame dHash; clips pair when ANY
+    frame pair lands within hamming 3; the oracle recomputes every
+    frame bit via DuckDB's own md5 and brute-forces all frame
+    pairs."""
     _prep(spark)
     from minerva_etl_spark.operators.imagehash import (
         video_dedup_pairs,
@@ -1055,9 +1058,16 @@ def q_video_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
+        import hashlib
+
         import pandas as pd
 
         from minerva_etl_spark.operators.multimodal import synthesize_avi
+
+        def gray(d: int, f: int, x: int, y: int) -> int:
+            return int(hashlib.md5(
+                f"{d}:{f}:{x}:{y}".encode()
+            ).hexdigest()[:2], 16)
 
         for pdf in batches:
             rows = []
@@ -1067,14 +1077,13 @@ def q_video_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 def clip(pert: int) -> bytes:
                     frames = []
                     for f in range(3):
-                        q = 3 + ((d * 31 + f * 17) % 211)
-                        r = 31 + ((d * 13 + f * 7) % 199)
                         frames.append(bytes(
-                            min((d * 7 + f * 53 + y * r + x * x * q
-                                 + x * 13 + c * 101) % 256 + pert, 255)
+                            v
                             for y in range(8)
                             for x in range(9)
-                            for c in range(3)
+                            for v in (
+                                min(gray(d, f, x, y) + pert, 255),
+                            ) * 3
                         ))
                     return synthesize_avi(frames, 9, 8)
 
@@ -1098,19 +1107,11 @@ WITH clips AS (
 ),
 g AS (
   SELECT media_id, fr.f AS f, x.x AS x, y.y AS y,
-         (299 * least((d*7 + fr.f*53
-               + y.y*(31 + ((d*13 + fr.f*7) % 199))
-               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
-               + x.x*13) % 256 + pert, 255)
-        + 587 * least((d*7 + fr.f*53
-               + y.y*(31 + ((d*13 + fr.f*7) % 199))
-               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
-               + x.x*13 + 101) % 256 + pert, 255)
-        + 114 * least((d*7 + fr.f*53
-               + y.y*(31 + ((d*13 + fr.f*7) % 199))
-               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
-               + x.x*13 + 202) % 256 + pert, 255))
-         // 1000 AS gray
+         least(CAST(('0x' || substr(md5(
+             CAST(d AS VARCHAR) || ':' || CAST(fr.f AS VARCHAR)
+             || ':' || CAST(x.x AS VARCHAR)
+             || ':' || CAST(y.y AS VARCHAR)), 1, 2)) AS INTEGER)
+               + pert, 255) AS gray
   FROM clips,
        UNNEST(generate_series(0, 2)) AS fr(f),
        UNNEST(generate_series(0, 8)) AS x(x),
@@ -1154,7 +1155,7 @@ def q_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/imagehash.py::ingest_image_increment`): the media twin
     of the text/embedding incremental protocol — two real deliveries
     through a persisted (id, d0..d3) hash state.  Delivery 1 ingests
-    the even docs' PNGs (the `image_dedup_dhash` quadratic formula);
+    the even docs' PNGs (the `image_dedup_dhash` md5-pixel fixture);
     delivery 2 brings the odd docs plus +3-brightness twins of the
     doc_id % 4 = 0 images (history members) and decides them via the
     pigeonhole band join against the state — history pixels are never
@@ -1173,6 +1174,8 @@ def q_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(delta: bool):
         def run(batches):
+            import hashlib
+
             import pandas as pd
 
             from minerva_etl_spark.operators.multimodal import (
@@ -1187,14 +1190,12 @@ def q_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     def png(pert: int) -> bytes:
                         return synthesize_png(
                             [
-                                min((d * 7 + y * 31
-                                     + x * x * (3 + d % 23)
-                                     + x * 13 + c * 101) % 256 + pert,
-                                    255)
+                                min(int(hashlib.md5(
+                                    f"{d}:{x}:{y}".encode()
+                                ).hexdigest()[:2], 16) + pert, 255)
                                 for y in range(8)
                                 for x in range(9)
-                                for c in range(3)
-                            ], 9, 8, 3,
+                            ], 9, 8, 1,
                         )
 
                     if not delta and d % 2 == 0:
@@ -1231,13 +1232,10 @@ WITH imgs AS (
 ),
 g AS (
   SELECT media_id, is_delta, x.x AS x, y.y AS y,
-         (299 * least((d*7 + y.y*31 + x.x*x.x*(3 + d % 23)
-                       + x.x*13) % 256 + pert, 255)
-        + 587 * least((d*7 + y.y*31 + x.x*x.x*(3 + d % 23)
-                       + x.x*13 + 101) % 256 + pert, 255)
-        + 114 * least((d*7 + y.y*31 + x.x*x.x*(3 + d % 23)
-                       + x.x*13 + 202) % 256 + pert, 255))
-         // 1000 AS gray
+         least(CAST(('0x' || substr(md5(
+             CAST(d AS VARCHAR) || ':' || CAST(x.x AS VARCHAR)
+             || ':' || CAST(y.y AS VARCHAR)), 1, 2)) AS INTEGER)
+               + pert, 255) AS gray
   FROM imgs,
        UNNEST(generate_series(0, 8)) AS x(x),
        UNNEST(generate_series(0, 7)) AS y(y)
@@ -1282,7 +1280,7 @@ def q_incremental_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`operators/imagehash.py::ingest_video_increment`): two clip
     deliveries through the persisted per-frame hash state — delivery
     1 ingests the even docs' 3-frame AVIs (the `video_dedup_dhash`
-    two-coefficient formula), delivery 2 brings the odd docs plus
+    md5-pixel fixture), delivery 2 brings the odd docs plus
     +3-brightness twin clips of the doc_id % 4 = 0 members; a delta
     clip dups to the lowest clip sharing ANY frame within hamming 3.
     History footage is never re-decoded.  Oracle: full recompute over
@@ -1300,11 +1298,18 @@ def q_incremental_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def synth(delta: bool):
         def run(batches):
+            import hashlib
+
             import pandas as pd
 
             from minerva_etl_spark.operators.multimodal import (
                 synthesize_avi,
             )
+
+            def gray(d: int, f: int, x: int, y: int) -> int:
+                return int(hashlib.md5(
+                    f"{d}:{f}:{x}:{y}".encode()
+                ).hexdigest()[:2], 16)
 
             for pdf in batches:
                 rows = []
@@ -1314,15 +1319,13 @@ def q_incremental_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     def clip(pert: int) -> bytes:
                         frames = []
                         for f in range(3):
-                            q = 3 + ((d * 31 + f * 17) % 211)
-                            r = 31 + ((d * 13 + f * 7) % 199)
                             frames.append(bytes(
-                                min((d * 7 + f * 53 + y * r + x * x * q
-                                     + x * 13 + c * 101) % 256 + pert,
-                                    255)
+                                v
                                 for y in range(8)
                                 for x in range(9)
-                                for c in range(3)
+                                for v in (
+                                    min(gray(d, f, x, y) + pert, 255),
+                                ) * 3
                             ))
                         return synthesize_avi(frames, 9, 8)
 
@@ -1360,19 +1363,11 @@ WITH clips AS (
 ),
 g AS (
   SELECT media_id, is_delta, fr.f AS f, x.x AS x, y.y AS y,
-         (299 * least((d*7 + fr.f*53
-               + y.y*(31 + ((d*13 + fr.f*7) % 199))
-               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
-               + x.x*13) % 256 + pert, 255)
-        + 587 * least((d*7 + fr.f*53
-               + y.y*(31 + ((d*13 + fr.f*7) % 199))
-               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
-               + x.x*13 + 101) % 256 + pert, 255)
-        + 114 * least((d*7 + fr.f*53
-               + y.y*(31 + ((d*13 + fr.f*7) % 199))
-               + x.x*x.x*(3 + ((d*31 + fr.f*17) % 211))
-               + x.x*13 + 202) % 256 + pert, 255))
-         // 1000 AS gray
+         least(CAST(('0x' || substr(md5(
+             CAST(d AS VARCHAR) || ':' || CAST(fr.f AS VARCHAR)
+             || ':' || CAST(x.x AS VARCHAR)
+             || ':' || CAST(y.y AS VARCHAR)), 1, 2)) AS INTEGER)
+               + pert, 255) AS gray
   FROM clips,
        UNNEST(generate_series(0, 2)) AS fr(f),
        UNNEST(generate_series(0, 8)) AS x(x),
@@ -1416,17 +1411,17 @@ LEFT JOIN near n USING (media_id)
 def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio dedup (`operators/audiohash.py` +
     `imagehash.dhash_pairs` — one pigeonhole machine for every 64-bit
-    perceptual hash): every doc becomes a 4160-sample PCM-16 WAV —
-    sample(i) = base(i) * gain(i//64) with base(i) = ((doc_id*13 +
-    i*7) % 97) - 48 and gain(f) = 1 + ((doc_id+1)*(f+1)*7919) % 9973
-    % 13 (the multiplicative envelope gives each doc a distinctive
-    frame-energy shape; an additive one would make all docs
-    rotations of one pattern and blow the pair count up).  Docs at
-    doc_id % 4 = 0 gain a +2-DC twin (media_id + 100000) whose
-    envelope SHAPE survives, so twins pair within radius 3.  The
-    REAL stdlib WAV codec round-trips the samples; the oracle
-    recomputes every frame energy from the formula and brute-forces
-    all pairs."""
+    perceptual hash): every doc becomes a 4160-sample PCM-16 WAV
+    with full-entropy samples — eight samples per md5 block:
+    sample(i) = (int(md5(f"{doc_id}:a:{i//8}")[(i%8)*4:(i%8)*4+4],
+    16) % 997) - 498 — so the pair output is EXACTLY the planted
+    twins at any corpus size (the earlier arithmetic envelope left
+    residual structure; see the image row's rationale).
+    Docs at doc_id % 4 = 0 gain a +2-DC twin (media_id + 100000)
+    whose envelope SHAPE survives, so twins pair within radius 3.
+    The REAL stdlib WAV codec round-trips the samples; the oracle
+    recomputes every frame energy via DuckDB's own md5 and
+    brute-forces all pairs."""
     _prep(spark)
     from minerva_etl_spark.operators.audiohash import audio_fingerprint
     from minerva_etl_spark.operators.imagehash import dhash_pairs
@@ -1434,26 +1429,31 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
+        import hashlib
+
         import pandas as pd
 
         from minerva_etl_spark.operators.multimodal import synthesize_wav
 
         import numpy as np
 
-        i = np.arange(65 * 64, dtype=np.int64)
         for pdf in batches:
             rows = []
             for did in pdf["doc_id"]:
                 d = int(did)
-                base = ((d * 13 + i * 7) % 97) - 48
-                gain = 1 + (d + 1) * (i // 64 + 1) * 7919 % 9973 % 13
-                s = base * gain
-
-                rows.append((d, synthesize_wav(s.tolist(), 8000)))
+                # 8 samples per digest: '0x'+4-hex == big-endian u16
+                # of digest bytes [2k, 2k+2) — one numpy pass per clip
+                buf = b"".join(
+                    hashlib.md5(f"{d}:a:{blk}".encode()).digest()
+                    for blk in range(65 * 64 // 8)
+                )
+                u16 = np.frombuffer(buf, dtype=">u2").astype(np.int64)
+                s = ((u16 % 997) - 498).tolist()
+                rows.append((d, synthesize_wav(s, 8000)))
                 if d % 4 == 0:
                     rows.append(
                         (d + 100000,
-                         synthesize_wav((s + 2).tolist(), 8000))
+                         synthesize_wav([v + 2 for v in s], 8000))
                     )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
@@ -1474,9 +1474,9 @@ WITH clips AS (
 ),
 smp AS (
   SELECT media_id, i.i AS i,
-         (((d*13 + i.i*7) % 97) - 48)
-           * (1 + ((d+1) * ((i.i // 64) + 1) * 7919) % 9973 % 13)
-           + dc AS s
+         ((CAST(('0x' || substr(md5(
+             CAST(d AS VARCHAR) || ':a:' || CAST(i.i // 8 AS VARCHAR)),
+             (i.i % 8) * 4 + 1, 4)) AS INTEGER)) % 997) - 498 + dc AS s
   FROM clips, UNNEST(generate_series(0, 65*64 - 1)) AS i(i)
 ),
 fe AS (
