@@ -226,12 +226,23 @@ def video_dedup_pairs(
     )
 
 
-def dhash_pairs(hashes: DataFrame, radius: int = 3) -> DataFrame:
+def dhash_pairs(
+    hashes: DataFrame, radius: int = 3, max_bucket: int | None = None
+) -> DataFrame:
     """Near-dup image pairs within hamming ``radius`` — pigeonhole
     band equi-join (PERFECT recall for radius <= 3 with the 4-band
     layout, the `simhash_banded_pairs` contract) + exact
     ``bit_count`` verification.  Input is :func:`image_dhash` output;
-    result is ``(id_a, id_b, hamming)`` with ``id_a < id_b``."""
+    result is ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    ``max_bucket`` is the pathological-bucket guard for degenerate
+    corpora (millions of solid-color banners hash identically, making
+    one band bucket quadratic): band values shared by more than
+    ``max_bucket`` hashes are dropped from the CANDIDATE stage.  A
+    pair loses recall only if ALL FOUR of its bands are over-popular
+    — i.e. both members sit in a mega-cluster, which exact dedup on
+    the full 64-bit hash (a groupBy, not a join) identifies first.
+    Default ``None`` keeps perfect recall."""
     assert radius <= _BANDS - 1, (
         f"4-band dHash guarantees recall only to hamming {_BANDS - 1}"
     )
@@ -245,6 +256,16 @@ def dhash_pairs(hashes: DataFrame, radius: int = 3) -> DataFrame:
             ])
         ).alias("band"),
     )
+    if max_bucket is not None:
+        # one map-side-combinable count; the over-popular band list is
+        # tiny by construction and broadcast into the anti join
+        hot = (
+            melted.groupBy("band")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_bucket))
+            .select("band")
+        )
+        melted = melted.join(F.broadcast(hot), "band", "left_anti")
     left = melted.select(
         F.col("media_id").alias("id_a"),
         *[F.col(f"d{c}").alias(f"a{c}") for c in range(_BANDS)],

@@ -275,6 +275,27 @@ def test_bucketed_hash_state_matches_and_exchange_free(tmp_path, spark):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_dhash_pairs_max_bucket_guard(spark):
+    """A mega-cluster of identical hashes is excluded from the
+    candidate join by max_bucket, while a normal twin pair still
+    pairs — the pathological-bucket mitigation as code."""
+    from minerva_etl_spark.operators.imagehash import dhash_pairs
+
+    rows = (
+        # 20 identical hashes: every band bucket holds 20 members
+        [(i, 7, 8, 9, 10) for i in range(100, 120)]
+        # one genuine twin pair in small buckets
+        + [(1, 111, 222, 333, 444), (2, 111, 222, 333, 445)]
+    )
+    hashes = spark.createDataFrame(
+        rows, "media_id bigint, d0 int, d1 int, d2 int, d3 int"
+    )
+    full = dhash_pairs(hashes, radius=3).count()
+    assert full == 190 + 1  # C(20,2) mega-cluster pairs + the twin
+    capped = dhash_pairs(hashes, radius=3, max_bucket=10).collect()
+    assert [(p.id_a, p.id_b) for p in capped] == [(1, 2)]
+
+
 def test_dhash_pairs_radius_contract():
     """The 4-band layout cannot promise recall past hamming 3."""
     with pytest.raises(AssertionError):
