@@ -4573,16 +4573,18 @@ FROM san
 
 def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text extraction (`operators/pdf.py::pdf_extract`):
-    each doc becomes a real two-page PDF 1.4 file synthesized in-task
-    — page 1 a fixed header line, page 2 the sanitized doc text,
-    /Title in the Info dict, content streams FlateDecode-compressed
-    for even doc_ids and stored plain for odd ones (both filter paths
-    in one column) — then parsed back through the full chain: binary-
-    safe object scan, page-tree walk, zlib inflate, Tj tokenizing
-    with literal-string unescaping.  The oracle rebuilds title, page
-    join, and char count closed-form; a bug in ANY stage (xref/object
-    boundaries, Flate dispatch, string escapes, page order)
-    hash-mismatches."""
+    each doc becomes a real two-page PDF synthesized in-task — page 1
+    a fixed header line, page 2 the sanitized doc text, /Title in the
+    Info dict — with the CONTAINER cycling doc_id % 3 over the three
+    real-world layouts: 0 → PDF 1.5 ObjStm + cross-reference stream
+    (the post-2005 majority shape, r11), 1 → PDF 1.4 plain streams,
+    2 → PDF 1.4 FlateDecode streams — then parsed back through the
+    full chain: binary-safe object scan, /ObjStm expansion, page-tree
+    walk, zlib inflate, Tj tokenizing with literal-string unescaping.
+    The oracle rebuilds title, page join, and char count closed-form
+    and is container-blind by design; a bug in ANY stage (xref/object
+    boundaries, ObjStm offset table, Flate dispatch, string escapes,
+    page order) hash-mismatches."""
     _prep(spark)
     from minerva_etl_spark.operators.pdf import (
         pdf_extract,
@@ -4605,7 +4607,8 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                         synthesize_pdf(
                             [f"Doc {d} report", t],
                             title=f"Doc {d}",
-                            compress=(d % 2 == 0),
+                            compress=(d % 3 == 2),
+                            objstm=(d % 3 == 0),
                         ),
                     )
                 )
@@ -5131,6 +5134,9 @@ def q_pipeline_document(spark: SparkSession, sf_dir: str) -> DataFrame:
                     [f"Doc {d} report", _ascii_sanitize(str(t))],
                     title=f"Doc {d}",
                     compress=(d % 2 == 0),
+                    # r11: a third of the corpus ships as PDF 1.5
+                    # ObjStm (container-blind oracle, same text)
+                    objstm=(d % 3 == 0),
                 )
                 rows.append(
                     (f"shard-{shard}.{ext}", f"doc_{d:06d}.pdf", payload)
@@ -5938,22 +5944,13 @@ def _oracle_tfidf_terms() -> str:
 #: are redundant demos whose operators are already proven in-window
 #: (TPC-H showpieces, a duplicate granularity rung, extra window ops).
 _REGISTRY_ORDER = [
-    # ---------------- r10 driver window (first 50) -------------------
-    # r10 rotation (the r9 verdict's ask 1 + COVERAGE.md plan): ALL 24
-    # remaining never-driver-checked rows rotate IN, draining the
-    # driver-window debt to zero — every registry row has a driver
-    # CORRECTNESS row by end of r10.  Two NEW r10 rows
-    # (frontier_build, sim_ivf_query) go straight into the window per
-    # the jpeg_features precedent.  26 multi-round-green rows rotate
-    # OUT with named in-window vouchers (see the comment block after
-    # the window, and COVERAGE.md).
-    # -- trend aggregation / time ops (A1-A5, W4, T4) -----------------
-    "trend_time_agg_1d_dst",
-    # -- LLM-pipeline: dedup / decontamination ------------------------
-    "dedup_simhash_hamming",
-    "dedup_components",
-    "incremental_embedding",
-    "semantic_decontamination",
+    # ---------------- r11 driver window (first 50) -------------------
+    # r11 rotation (the r10 verdict's ask 1): all 18 never-driver-
+    # checked r10-born rows (the media/code/chat arc) rotate IN,
+    # draining the never-checked debt to zero again.  18 multi-round
+    # driver-green rows rotate OUT with named in-window vouchers (see
+    # the comment block after the window, and COVERAGE.md r11 section).
+    # -- LLM-pipeline: dedup / decontamination / quality --------------
     "semantic_dedup",
     "boilerplate_strip",
     "dedup_segments",
@@ -5963,26 +5960,20 @@ _REGISTRY_ORDER = [
     "dsir_select",
     # -- LLM-pipeline: similarity -------------------------------------
     "sim_ivf_query",
-    # -- LLM-pipeline: text / tokens / curation / trainers ------------
-    "text_profile",
-    "embed_text_hashed",
+    # -- LLM-pipeline: text / tokens / curation ------------------------
     "tfidf_terms",
     "bpe_encode",
-    "bpe_encode_ids",
-    "pack_token_ids",
     "chunk_sequences",
     "shard_pack_shuffled",
     "curated_export",
     "corpus_report",
-    "logreg_train",
     "pipeline_curate_bp",
-    # -- LLM-pipeline: multimodal codecs ------------------------------
-    "jpeg_features",
+    # -- LLM-pipeline: multimodal codecs -------------------------------
     "gif_features",
     "image_features_mixed",
     "wav_g711_features",
     "wav_spectral",
-    # -- crawl arc (WARC / charset / HTML / URL / robots / sitemap) ---
+    # -- crawl arc ------------------------------------------------------
     "warc_harvest",
     "charset_decode",
     "html_extract",
@@ -5992,99 +5983,113 @@ _REGISTRY_ORDER = [
     "feed_entries",
     "pipeline_crawl",
     "frontier_build",
-    # NEW r10 rows, straight into the window (jpeg_features
-    # precedent): real PDF 1.4 both directions, and tar/zip archive
-    # harvest — the document-corpus ingest edges.
+    # -- document-corpus ingest edges -----------------------------------
     "pdf_extract",
     "archive_harvest",
-    # -- engine lifecycle (S1-S11, T1-T9, P1-P8, J-rows, X-rows) ------
-    "live_monitor",
+    # -- engine lifecycle anchors (fused ingest + materialization) -------
     "lifecycle_load_store",
-    "lifecycle_job_log",
     "lifecycle_materialize",
+    # -- r11 rotate-ins: the 18 r10-born rows getting their FIRST driver
+    #    CORRECTNESS row (judge sweep r10: 18/18 hash-green at sf0.01) --
+    "pipeline_document",
+    "frontier_increment",
+    "bpe_roundtrip",
+    "fetch_schedule",
+    "chat_curate",
+    "markup_extract",
+    "preference_pairs",
+    "decontamination_bloom",
+    "code_profile",
+    "code_dedup",
+    "code_fim",
+    "code_secrets",
+    "image_dedup_dhash",
+    "token_budget_select",
+    "audio_dedup_fingerprint",
+    "video_dedup_dhash",
+    "incremental_image_dedup",
+    "incremental_video_dedup",
+    # ---------- entries past the driver's 50-row window --------------
+    # r11 rotated-OUT rows (18, every one ≥2-round driver-green; named
+    # in-window voucher for each — tools/check_oracle.py still verifies
+    # all of them every session):
+    #   trend_time_agg_1d_dst — 10 consecutive driver-green rounds
+    #     (r1-r10); the DST/granularity bucketing stays in-window via
+    #     lifecycle_materialize's fingerprint timestamp series, and the
+    #     ladder arithmetic is pytest-pinned (test_granularity,
+    #     test_aggregation_compile).
+    #   dedup_simhash_hamming — 8 driver-green rounds; the shared
+    #     64-bit pigeonhole band-join machine is in-window THREE times
+    #     over via image_dedup_dhash / audio_dedup_fingerprint /
+    #     video_dedup_dhash (operators/imagehash.py band join), and the
+    #     simhash signature fold is pytest-pinned.
+    #   dedup_components — 8 driver-green rounds; the pair-graph →
+    #     connected-components → canonical stage runs inside in-window
+    #     pipeline_curate_bp (keep_best_per_component), and label-prop
+    #     convergence is pytest-pinned (test_dedup_components).
+    #   incremental_embedding — the persisted-state lease/append cycle
+    #     is in-window via incremental_image_dedup AND
+    #     incremental_video_dedup (same state machinery), and the
+    #     embedding state feeds in-window sim_ivf_query's prebuilt
+    #     index.
+    #   semantic_decontamination — semantic_dedup (in-window) runs the
+    #     identical per-cluster ε-ball pair join; the decontamination
+    #     surface is in-window via decontamination_bloom.
+    #   text_profile — 8 driver-green rounds; code_profile (in-window)
+    #     is the same one-scan profile family, and the text-stats scan
+    #     is shared with in-window quality_filter / gopher_rules.
+    #   embed_text_hashed — the hashing-trick projection is pytest-
+    #     pinned (test_text_embed) and its downstream consumers
+    #     (semantic_dedup, sim_ivf_query) are in-window.
+    #   bpe_encode_ids — bpe_roundtrip (in-window) decodes the very ids
+    #     bpe_encode_ids produces through the same vocab (an encode bug
+    #     breaks BOTH rows); bpe_encode stays in-window.
+    #   pack_token_ids — shard_pack_shuffled (in-window) runs the same
+    #     two-pass partitioned prefix-sum pack; the token-id payload
+    #     path is vouched by bpe_roundtrip (in-window).
+    #   logreg_train — driver-green r8/r9/r10; the exact-AUC eval twin
+    #     is pytest-pinned (test_logreg), and the feature scan it
+    #     consumes is in-window via quality_filter.
+    #   jpeg_features — image_features_mixed (in-window) decodes JPEG
+    #     payloads through the same baseline-JPEG codec dispatch.
+    #   live_monitor — 8 driver-green rounds; the availableNow
+    #     streaming orchestration is pytest-pinned (test_streaming,
+    #     test_live_monitor) and the staleness decision it polls is
+    #     in-window via lifecycle_materialize.
+    #   lifecycle_job_log — lifecycle_load_store (in-window) runs the
+    #     same fused loader, which writes the job log it reads.
+    #   lifecycle_schema_evolution — the trendstore ALTER/part-schema
+    #     machinery is exercised by in-window lifecycle_load_store's
+    #     multi-part store cycle + pytest test_trendstore.
+    #   lifecycle_attr_store — 8 driver-green rounds; attribute
+    #     compact/curr-ptr pytest-pinned (test_attribute_store).
+    #   lifecycle_notification — 8 driver-green rounds; the trigger →
+    #     notification path is pytest-pinned (test_trigger).
+    #   lifecycle_retention — 8 driver-green rounds; retention windows
+    #     are pytest-pinned (test_trendstore retention tests).
+    #   entity_dim_register — 8 driver-green rounds; the directory
+    #     create-on-miss join runs on every in-window
+    #     lifecycle_load_store ingest.
+    "trend_time_agg_1d_dst",
+    "dedup_simhash_hamming",
+    "dedup_components",
+    "incremental_embedding",
+    "semantic_decontamination",
+    "text_profile",
+    "embed_text_hashed",
+    "bpe_encode_ids",
+    "pack_token_ids",
+    "logreg_train",
+    "jpeg_features",
+    "live_monitor",
+    "lifecycle_job_log",
     "lifecycle_schema_evolution",
     "lifecycle_attr_store",
     "lifecycle_notification",
     "lifecycle_retention",
     "entity_dim_register",
-    # ---------- entries past the driver's 50-row window --------------
-    # r10 rotated-OUT rows (26, every one multi-round driver-green;
-    # named in-window voucher for each — tools/check_oracle.py still
-    # verifies all of them every session):
-    #   upsert_last_wins — the upsert cycle IS the store step of
-    #     lifecycle_load_store (in-window, fused ingest);
-    #   attr_compact — compaction runs inside lifecycle_attr_store's
-    #     SCD cycle (in-window);
-    #   package_merge — the outer-union part merge of
-    #     lifecycle_load_store's multi-part ingest + pytest
-    #     test_trendstore;
-    #   anti_join_no_orders — the left-anti staged insert inside
-    #     lifecycle_load_store's upsert cycle;
-    #   report_stats — CLI catalog listing pinned by pytest
-    #     test_cli_admin; aggregates shared with in-window lifecycles;
-    #   kpi_translated — the SQL translator corpus pytest
-    #     (test_translator_corpus) pins every function it uses;
-    #   relation_regex — pytest + driver-green r1-r9;
-    #   trigger_eval — lifecycle_notification (in-window) consumes the
-    #     trigger->notification path end to end;
-    #   type_deduction — lifecycle_load_store's CSV ingest runs the
-    #     same deduction ladder on every load;
-    #   entity_resolution — entity_dim_register (in-window) is the
-    #     same directory create-on-miss join;
-    #   streaming_hourly — live_monitor (in-window) drives the same
-    #     availableNow streaming orchestration; tumbling arithmetic
-    #     pinned by trend_time_agg_1d_dst (in-window);
-    #   asof_join — pytest test_operators + driver-green r1-r9;
-    #   lifecycle_array_trend — array round-trip vouched by
-    #     lifecycle_attr_store's array attributes (in-window) and the
-    #     array-serialization convention of bpe_encode_ids /
-    #     pack_token_ids (in-window);
-    #   decontamination — the shingle-intersect stage runs inside
-    #     pipeline_curate_bp (in-window);
-    #   entity_agg_nation_1month — shares the TrendAggSpec compile
-    #     with trend_time_agg_1d_dst (in-window) + pytest
-    #     test_aggregation_compile;
-    #   timestamp_mapping — the granularity maps run inside
-    #     trend_time_agg_1d_dst (DST bucketing) and
-    #     lifecycle_materialize's fingerprint series (both in-window);
-    #   select_builder — pytest test_builder + driver-green r1-r9;
-    #   ladder_compile — pytest test_aggregation_compile + the ladder
-    #     rungs in-window via trend_time_agg_1d_dst;
-    #   sim_ivf_join — sim_ivf_query (NEW, in-window) exercises the
-    #     identical probe/equi-join/top-k retrieval plan;
-    #   wav_features — wav_g711_features + wav_spectral (in-window)
-    #     share the RIFF/WAVE parser;
-    #   png_features — image_features_mixed (in-window) decodes PNG
-    #     payloads through the same codec;
-    #   avi_features — jpeg_features (in-window) is the MJPG frame
-    #     decoder; the RIFF/AVI container walk is pytest-pinned;
-    #   incremental_dedup — incremental_embedding (in-window) shares
-    #     the persisted-state lease/append machinery; the dedup stage
-    #     is in-window via pipeline_curate_bp;
-    #   bpe_train — bpe_encode_ids (in-window) consumes the trained
-    #     merge table (a train bug changes the encode ids);
-    #   sim_ivf_incremental — split into sim_ivf_query (in-window),
-    #     which queries the IDENTICAL prebuilt state (build+increment
-    #     run inside its state builder); delta-assign == full-refit is
-    #     pytest-pinned (test_incremental);
-    #   logreg_eval — logreg_train (in-window) produces the very model
-    #     logreg_eval scores; the AUC window is pytest-pinned.
-    #   semantic_dedup_trained — driver-green r7 + r9; semantic_dedup
-    #     (in-window) exercises the identical within-cluster ε-ball
-    #     pair join, and the trained-centroid path (Lloyd's rounds)
-    #     is pinned by test_kmeans_caps; rotated out to make room for the
-    #     NEW pdf_extract row.
-    #   domain_cap — driver-green r8 + r9; frontier_build (in-window)
-    #     runs the identical two-level salted per-domain cap as its
-    #     final stage (a cap bug changes its hash), and the skew
-    #     machinery is pinned by test_streaming_skew/test_operators;
-    #     rotated out to make room for the NEW archive_harvest row.
-    #   leakage_split — driver-green r8 + r9; dedup_components
-    #     (in-window) consumes the identical MinHash-LSH pair graph +
-    #     connected components, and the one-md5-ticket-per-component
-    #     draw is pinned by test_kmeans_caps.py::
-    #     test_leakage_split_component_invariant; rotated out to make
-    #     room for the NEW feed_entries row.
+    # r10 rotated-OUT rows (vouchers unchanged, see the r10 block in
+    # COVERAGE.md):
     "semantic_dedup_trained",
     "domain_cap",
     "leakage_split",
@@ -6114,74 +6119,6 @@ _REGISTRY_ORDER = [
     "bpe_train",
     "sim_ivf_incremental",
     "logreg_eval",
-    # NEW r10 rows born out-of-window — the THREE scheduled r11
-    # rotate-in candidates (r8.5 precedent), locally hash-verified at
-    # sf0.001 + sf0.01:
-    #   pipeline_document composes three in-window r10 rows
-    #     (archive_harvest + pdf_extract + pipeline_crawl's token
-    #     ops), so its surfaces are all driver-checked this round;
-    #   frontier_increment reuses the lease/anti-join state cycle of
-    #     in-window incremental_embedding and the parse_url Catalyst
-    #     family of in-window url_profile;
-    #   bpe_roundtrip inverts in-window bpe_encode_ids through the
-    #     same vocabulary (an encode bug breaks BOTH rows);
-    #   fetch_schedule builds on in-window robots_filter's parser
-    #     machinery + a partitioned (never global) rank window;
-    #   chat_curate is pure Catalyst (from_json + higher-order array
-    #     functions) with pytest + a closed-form oracle.
-    "pipeline_document",
-    "frontier_increment",
-    "bpe_roundtrip",
-    "fetch_schedule",
-    "chat_curate",
-    # markup_extract: pure-Catalyst regexp chains (the urlops family),
-    # plan-asserted Python-free; pytest rule matrix.
-    "markup_extract",
-    # preference_pairs: DPO pair prep — one map-side-combinable
-    # max_by/min_by groupBy (no window), deterministic tiebreaks;
-    # pytest matrix + closed-form window oracle.
-    "preference_pairs",
-    # decontamination_bloom: the bloom scale path MUST equal the exact
-    # operator (same oracle SQL); in-window decontamination coverage
-    # via pipeline_curate_bp's shingle-intersect stage.
-    "decontamination_bloom",
-    # code_profile: code-corpus curation stats (language/line/comment/
-    # alnum/license) in ONE codegen scan — the text_profile family;
-    # pytest twin test pins every column against DuckDB.
-    "code_profile",
-    # code_dedup: comment/whitespace-invariant normalization + exact
-    # digest groupBy (the code near-dup class); reformatted twins must
-    # collapse — pytest invariance matrix + dialect-twin oracle.
-    "code_dedup",
-    # code_fim: char-level fill-in-the-middle prep (seeded md5 cuts,
-    # PSM sentinels) — pytest reassembly property + dialect twin.
-    "code_fim",
-    # image_dedup_dhash: perceptual near-dup images — REAL PNG decode
-    # -> integer dHash bands -> pigeonhole hamming join; brute-force
-    # closed-form oracle proves perfect radius-3 recall.
-    "image_dedup_dhash",
-    # token_budget_select: per-source greedy selection under TOKEN
-    # budgets (broadcast budget join + streaming-frame running sum);
-    # exact SQL-window oracle.
-    "token_budget_select",
-    # audio_dedup_fingerprint: frame-energy dHash over REAL WAV
-    # decode, paired through the shared pigeonhole band join;
-    # brute-force closed-form oracle.
-    "audio_dedup_fingerprint",
-    # video_dedup_dhash: frame-sampled dHash over REAL AVI decode;
-    # clips pair on ANY matching frame (shared-footage rule);
-    # brute-force closed-form oracle.
-    "video_dedup_dhash",
-    # code_secrets: anchored secret detection + redaction (one
-    # projection, no UDF); planted md5-derived tokens, dialect twin.
-    "code_secrets",
-    # incremental_image_dedup: persisted dHash state, two-delivery
-    # cycle, history pixels never re-decoded; recompute-equivalence
-    # oracle over history ∪ delta.
-    "incremental_image_dedup",
-    # incremental_video_dedup: the per-frame-state variant — delta
-    # clips dup on ANY shared frame; recompute-equivalence oracle.
-    "incremental_video_dedup",
     # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",

@@ -28,11 +28,18 @@ What is REAL here:
   octal) and hex strings.  ``Td/TD/T*`` line moves between showings
   emit newlines; pages join with ``\\n\\n``.
 
+PDF 1.5+ compressed object streams (``/ObjStm``) ARE supported in
+both directions (round 11): ``synthesize_pdf(objstm=True)`` packs
+non-stream objects into a Flate ObjStm indexed by a cross-reference
+stream, and the reader unpacks every ObjStm the tolerant scan finds
+(``_expand_objstms`` — xref-free, so ``/Extends`` chains and lying
+xrefs cost nothing), with top-level definitions superseding embedded
+ones (incremental-update semantics).
+
 Honest boundaries (raise, never guess): encrypted PDFs
-(``/Encrypt``), non-Flate stream filters on page content
-(DCT/LZW/ASCII85), PDF 1.5+ compressed object streams (``/ObjStm``
-— page objects the plain object scan cannot see raise rather than
-yield a silently empty document), corrupt Flate data (ValueError,
+(``/Encrypt``), non-Flate stream filters on page content or object
+streams (DCT/LZW/ASCII85),
+corrupt Flate data (ValueError,
 the skippable dirty-payload class), and CID/Type0 composite fonts
 whose hex strings are multi-byte code points — the simple-font
 byte==char mapping this implements covers the synthesizable subset
@@ -69,13 +76,21 @@ def synthesize_pdf(
     pages: list[str],
     title: str | None = None,
     compress: bool = True,
+    objstm: bool = False,
 ) -> bytes:
-    """A real PDF 1.4 file with one page per entry of ``pages``.
+    """A real PDF file with one page per entry of ``pages``.
 
     Each page's text is laid out one line per ``\\n``-separated
     segment (``Td`` line moves), Helvetica 11.  ``compress`` wraps
-    every content stream in ``FlateDecode``.  Deterministic bytes for
-    a given input (fixture requirement shared with
+    every content stream in ``FlateDecode``.  ``objstm=True`` emits
+    PDF 1.5: every non-stream object (catalog, page tree, Info, font,
+    page dicts) is packed into ONE FlateDecode ``/ObjStm`` object
+    stream and the file is indexed by a cross-reference STREAM
+    (``/Type /XRef``, ``/W [1 4 2]``) instead of a plain ``xref``
+    table — the layout virtually all post-2005 PDF producers emit
+    (streams themselves may not live inside an ObjStm per spec
+    §7.5.7, so content streams stay top-level).  Deterministic bytes
+    for a given input (fixture requirement shared with
     ``synthesize_png``/``synthesize_warc``).
     """
     objs: list[bytes] = []  # 1-indexed body of object i+1
@@ -117,6 +132,8 @@ def synthesize_pdf(
             head = f"<< /Length {len(stream)} >>".encode()
         objs.append(head + b"\nstream\n" + stream + b"\nendstream")
 
+    if objstm:
+        return _assemble_objstm(objs)
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objs, start=1):
@@ -131,6 +148,73 @@ def synthesize_pdf(
         f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R /Info 3 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def _assemble_objstm(objs: list[bytes]) -> bytes:
+    """PDF 1.5 assembly: non-stream objects → one ``/ObjStm``; index →
+    a cross-reference stream.  ``objs`` is the 1-indexed body list of
+    :func:`synthesize_pdf` (object i+1 = objs[i]); stream objects are
+    detected by their ``stream`` keyword and stay top-level."""
+    n_total = len(objs)
+    stm_num = n_total + 1  # the ObjStm object
+    xref_num = n_total + 2  # the cross-reference stream object
+    packed = [
+        (i + 1, body) for i, body in enumerate(objs)
+        if b"\nstream\n" not in body
+    ]
+    # ObjStm payload: header of "num offset" pairs, then the bodies
+    # (offsets relative to /First, i.e. to the end of the header)
+    bodies = bytearray()
+    pairs = []
+    inner_pos: dict[int, int] = {}  # obj num -> index within the ObjStm
+    for idx, (num, body) in enumerate(packed):
+        pairs.append(f"{num} {len(bodies)}")
+        inner_pos[num] = idx
+        bodies += body + b"\n"
+    header = (" ".join(pairs) + "\n").encode()
+    stm_data = zlib.compress(bytes(header + bodies), 9)
+    stm_obj = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Length {len(stm_data)} /Filter /FlateDecode >>"
+    ).encode() + b"\nstream\n" + stm_data + b"\nendstream"
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num, body in enumerate(objs, start=1):
+        if num in inner_pos:
+            continue  # lives inside the ObjStm
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+    offsets[stm_num] = len(out)
+    out += f"{stm_num} 0 obj\n".encode() + stm_obj + b"\nendobj\n"
+
+    # cross-reference stream: /W [1 4 2] — (type, a, b) per object:
+    # type 0 free, type 1 -> byte offset, type 2 -> (objstm, index).
+    # 4-byte offsets so the index stays valid past 64 KiB payloads.
+    xref_at = len(out)
+    rows = bytearray()
+
+    def xrow(t: int, a: int, b: int) -> None:
+        rows.extend(
+            bytes([t]) + a.to_bytes(4, "big") + b.to_bytes(2, "big")
+        )
+
+    xrow(0, 0, 0xFFFF)  # object 0: the free-list head
+    for num in range(1, n_total + 1):
+        if num in inner_pos:
+            xrow(2, stm_num, inner_pos[num])
+        else:
+            xrow(1, offsets[num], 0)
+    xrow(1, offsets[stm_num], 0)
+    xrow(1, xref_at, 0)
+    xref_data = zlib.compress(bytes(rows), 9)
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {xref_num + 1} "
+        f"/W [1 4 2] /Index [0 {xref_num + 1}] /Root 1 0 R /Info 3 0 R "
+        f"/Length {len(xref_data)} /Filter /FlateDecode >>"
+    ).encode() + b"\nstream\n" + xref_data + b"\nendstream\nendobj\n"
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -195,6 +279,43 @@ def _scan(payload: bytes) -> tuple[dict[int, bytes], bytes]:
         objs[int(m.group(1))] = body.strip()
         pos = em + len(b"endobj") if em >= 0 else n
     return objs, bytes(masked)
+
+
+def _expand_objstms(objs: dict[int, bytes]) -> dict[int, bytes]:
+    """Unpack every ``/Type /ObjStm`` object stream (PDF 1.5+) found
+    by the tolerant scan into its embedded objects.
+
+    The xref stream is deliberately NOT consulted: the sequential scan
+    already found every top-level object, and every ObjStm regardless
+    of ``/Extends`` chains — unpacking them all is a superset of what
+    any xref slice would select.  Precedence: a top-level definition
+    of the same object number WINS over an ObjStm-embedded one
+    (incremental updates append uncompressed objects to supersede
+    compressed originals; the reverse — an appended ObjStm shadowing
+    a top-level object — requires rewriting the whole file, at which
+    point the old top-level object is gone anyway)."""
+    out = dict(objs)
+    for num in sorted(objs):
+        body = objs[num]
+        d = _dict_of(body)
+        if not re.search(rb"/Type\s*/ObjStm\b", d):
+            continue
+        nm = re.search(rb"/N\s+(\d+)\b", d)
+        fm = re.search(rb"/First\s+(\d+)\b", d)
+        if not (nm and fm):  # spec 7.5.7: /N and /First are direct
+            raise ValueError(f"ObjStm {num} lacks direct /N or /First")
+        data = _stream_data(body)
+        first = int(fm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * int(nm.group(1)):
+            raise ValueError(f"ObjStm {num} header shorter than /N")
+        nums = [int(x) for x in header[0 : 2 * int(nm.group(1)) : 2]]
+        offs = [int(x) for x in header[1 : 2 * int(nm.group(1)) : 2]]
+        bounds = offs[1:] + [len(data) - first]
+        for onum, start, end in zip(nums, offs, bounds):
+            if onum not in objs:  # top-level scan wins (see above)
+                out[onum] = data[first + start : first + end].strip()
+    return out
 
 
 def _dict_of(body: bytes) -> bytes:
@@ -404,6 +525,10 @@ def pdf_extract_text(payload: bytes) -> dict:
             "encrypted PDF — decryption is out of scope; inject a "
             "full-featured extractor (pdfminer/PyMuPDF) for these"
         )
+    # PDF 1.5+: unpack /ObjStm object streams so compressed catalog/
+    # page/Info objects are visible to the page-tree walk below (the
+    # layout virtually all post-2005 producers emit)
+    objs = _expand_objstms(objs)
     # title comes from the trailer's /Info dictionary (LAST trailer
     # wins — incremental updates append), never from the first object
     # that happens to carry a /Title: outline items and annotations
@@ -419,14 +544,9 @@ def pdf_extract_text(payload: bytes) -> dict:
             title, _ = _read_literal(d, tm.end())
     order = _page_order(objs)
     if not order:
-        # honest reject, not a silent empty document: modern PDFs
-        # (1.5+) pack page objects into compressed /ObjStm object
-        # streams the plain object scan cannot see
-        if re.search(rb"/ObjStm\b", masked):
-            raise NotImplementedError(
-                "PDF 1.5+ compressed object streams (/ObjStm) — "
-                "inject a full-featured extractor (pdfminer/PyMuPDF)"
-            )
+        # honest reject, not a silent empty document (ObjStm streams
+        # are expanded above, so reaching here means the file really
+        # carries no resolvable page objects)
         raise ValueError("PDF has no page objects")
     page_texts: list[str] = []
     for num in order:

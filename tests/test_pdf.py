@@ -212,14 +212,106 @@ def test_title_comes_from_info_not_first_title_object():
     assert pdf_extract_text(spoofed)["title"] == "Real Title"
 
 
-def test_objstm_and_pageless_are_honest_rejects():
+def test_pageless_and_malformed_objstm_are_honest_rejects():
     p = synthesize_pdf(["x"], compress=False)
     no_pages = p.replace(b"/Type /Page ", b"/Type /Other ")
     with pytest.raises(ValueError, match="no page objects"):
         pdf_extract_text(no_pages)
-    objstm = no_pages.replace(b"%PDF-1.4", b"%PDF-1.5") + b"\n11 0 obj\n<< /Type /ObjStm >>\nendobj\n"
-    with pytest.raises(NotImplementedError, match="ObjStm"):
-        pdf_extract_text(objstm)
+    # an ObjStm without direct /N and /First violates spec 7.5.7 —
+    # honest ValueError, never a silent skip
+    bad = no_pages.replace(b"%PDF-1.4", b"%PDF-1.5") + (
+        b"\n11 0 obj\n<< /Type /ObjStm /Length 2 >>\nstream\nxx\n"
+        b"endstream\nendobj\n"
+    )
+    with pytest.raises(ValueError, match="/N or /First"):
+        pdf_extract_text(bad)
+
+
+# ------------------------------------------------- PDF 1.5 / ObjStm
+
+
+def test_objstm_round_trip_multipage():
+    """PDF 1.5 (ObjStm + XRef stream) extracts identically to the
+    same document in PDF 1.4 — container packaging must be invisible
+    to every output column."""
+    pages = [f"page {i} line one\nline (two) of {i}" for i in range(5)]
+    a = pdf_extract_text(synthesize_pdf(pages, title="T"))
+    b = pdf_extract_text(synthesize_pdf(pages, title="T", objstm=True))
+    assert a == b
+    assert b["n_pages"] == 5 and b["title"] == "T"
+
+
+def test_objstm_file_structure_is_real_pdf15():
+    """The synthesized 1.5 file has the real structure: ObjStm packs
+    the non-stream objects, a cross-reference STREAM (not a plain
+    xref table) indexes the file, and its type-1/type-2 entries
+    resolve byte-accurately — the viewer-grade check."""
+    import re as _re
+    import zlib as _zlib
+
+    p = synthesize_pdf(["alpha", "beta"], title="T", objstm=True)
+    assert p.startswith(b"%PDF-1.5")
+    assert b"\ntrailer\n" not in p and b"\nxref\n" not in p
+    # startxref points at the XRef stream object
+    sx = int(_re.search(rb"startxref\n(\d+)\n%%EOF", p).group(1))
+    m = _re.match(rb"(\d+) 0 obj\n", p[sx:])
+    assert m, "startxref must land on the XRef stream object"
+    head_at = sx + m.end()
+    head = p[head_at : p.index(b"stream", head_at)]
+    assert b"/Type /XRef" in head and b"/W [1 4 2]" in head
+    data_at = p.index(b"stream\n", head_at) + len(b"stream\n")
+    n = int(_re.search(rb"/Length (\d+)", head).group(1))
+    rows = _zlib.decompress(p[data_at : data_at + n])
+    assert len(rows) % 7 == 0
+    entries = [
+        (rows[i], int.from_bytes(rows[i + 1 : i + 5], "big"),
+         int.from_bytes(rows[i + 5 : i + 7], "big"))
+        for i in range(0, len(rows), 7)
+    ]
+    assert entries[0][0] == 0  # free-list head
+    stm_entries = [e for e in entries if e[0] == 2]
+    assert stm_entries, "compressed objects must exist"
+    for t, off, _ in entries[1:]:
+        if t == 1:  # top-level: offset lands exactly on 'N 0 obj'
+            assert _re.match(rb"\d+ 0 obj", p[off:])
+    # every type-2 entry names the same (single) ObjStm, and the
+    # entries are object-number-indexed (/Index [0 Size])
+    stm_num = {e[1] for e in stm_entries}
+    assert len(stm_num) == 1
+    sn = next(iter(stm_num))
+    t, stm_off, _ = entries[sn]
+    assert t == 1 and p[stm_off:].startswith(b"%d 0 obj" % sn)
+    assert b"/Type /ObjStm" in p[stm_off : stm_off + 200]
+
+
+def test_objstm_top_level_definition_supersedes_embedded():
+    """Incremental-update semantics: a top-level object appended
+    after the ObjStm wins over the embedded definition of the same
+    number (the reader's documented precedence)."""
+    base = synthesize_pdf(["old text"], objstm=True)
+    # object 5 is the (embedded) page dict; append a replacement that
+    # points at content stream 6 — same layout, new top-level copy
+    upd = base + (
+        b"5 0 obj\n<< /Type /Page /Parent 2 0 R /Resources "
+        b"<< /Font << /F1 4 0 R >> >> /MediaBox [0 0 612 792] "
+        b"/Contents 6 0 R >>\nendobj\n"
+    )
+    assert pdf_extract_text(upd)["text"] == "old text"
+
+
+def test_objstm_spark_mixed_container_column(spark):
+    """One binary column mixing 1.4-plain / 1.4-Flate / 1.5-ObjStm —
+    the real shape of a crawled PDF corpus."""
+    rows = [
+        (1, synthesize_pdf(["alpha one"], title="A")),
+        (2, synthesize_pdf(["beta two"], compress=False)),
+        (3, synthesize_pdf(["gamma three"], title="C", objstm=True)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r for r in pdf_extract(df).collect()}
+    assert got[1].text == "alpha one" and got[1].title == "A"
+    assert got[2].text == "beta two"
+    assert got[3].text == "gamma three" and got[3].title == "C"
 
 
 def test_string_id_column_type_preserved(spark):
