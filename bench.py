@@ -158,6 +158,10 @@ HEADLINE = [
     # round-10 rows
     "frontier_build",
     "sim_ivf_query",
+    # round-11: quantized-state retrieval (state prebuilt outside the
+    # clock like sim_ivf_query — the row times integer-qcos candidate
+    # rank + exact rescore)
+    "sim_ivf_pq",
     # r10 document-ingest edge: PDF codec, archive round trip, feeds,
     # the fused archives->PDF->filter pipeline, and the two-poll
     # frontier state cycle (state build is part of the story here —
@@ -244,6 +248,26 @@ def main() -> None:
     from minerva_etl_spark import gate as _gate
 
     _gate._ivf_prebuilt_state(spark, sf_dir)
+    _gate._ivf_pq_prebuilt_state(spark, sf_dir)
+
+    # media fixtures staged outside the clock too (r10 verdict ask 3):
+    # constructing each query once triggers _media_fixture_staged's
+    # one-time synthesis->parquet write, so the timed runs below see
+    # only the operator (decode + band join), never fixture synthesis.
+    for _row in ("audio_dedup_fingerprint", "video_dedup_dhash",
+                 "jpeg_features"):
+        qs[_row](spark, sf_dir)
+
+    # Known-bounded window note (r10 verdict ask 8): any
+    # 'WindowExec: No Partition Defined' warnings in this log come
+    # from binary_metrics' cumulative AUC window (operators/
+    # logreg.py, DISTINCT rounded scores <= 2e6 rows) and the BPE
+    # base-vocab ranking (operators/bpe.py, alphabet-sized input) —
+    # both single-partition over DOMAIN-BOUNDED inputs by design;
+    # not a scale risk, do not re-investigate.
+    print("# note: WindowExec 'No Partition Defined' = bounded-domain"
+          " windows (logreg AUC / BPE base vocab) — known, by design",
+          file=sys.stderr)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1282,7 +1282,10 @@ def cmd_corpus(args) -> None:
     delivery against the persisted signature/vector state),
     `ivf-build` / `ivf-increment` / `ivf-query` (persisted-centroid
     ANN retrieval: fit once, assign deltas against the frozen
-    centroids, query the state), `chat-curate` (SFT conversation
+    centroids, query the state), `ivf-build-q` / `ivf-query-pq`
+    (the int8-quantized state variant: ~4× smaller payload, integer
+    qcos candidate rank + exact rescore against the full-precision
+    source — pass it via --benchmark, default the query parquet), `chat-curate` (SFT conversation
     prep: parse JSONL chat records, validate structure, bound turns,
     render the ChatML training string — all Catalyst, dirty records
     filtered), `preference-pairs` (DPO pair prep from scored
@@ -1300,7 +1303,8 @@ def cmd_corpus(args) -> None:
     # argument sanity BEFORE a SparkSession spins up: a missing flag
     # should be a one-line usage error, not an AttributeError mid-job
     if args.action in ("increment", "increment-emb", "ivf-build",
-                       "ivf-increment", "ivf-query") and not args.state:
+                       "ivf-increment", "ivf-query", "ivf-build-q",
+                       "ivf-query-pq") and not args.state:
         raise SystemExit(
             f"minerva-spark corpus {args.action}: --state is required "
             "(path of the persisted state)"
@@ -1409,6 +1413,33 @@ def cmd_corpus(args) -> None:
                 FF.col("embedding").alias("query_vec"),
             ),
             args.state,
+            k=args.n,
+        )
+    elif args.action == "ivf-build-q":
+        from minerva_etl_spark.operators.quantize import build_ivf_state_q
+
+        out = build_ivf_state_q(
+            spark, df, args.state, k=args.n, iters=args.iters
+        )
+    elif args.action == "ivf-query-pq":
+        from pyspark.sql import functions as FF
+
+        from minerva_etl_spark.operators.quantize import ivf_state_query_q
+
+        # --benchmark doubles as the full-precision SOURCE for the
+        # exact rescore (defaults to the query parquet itself when the
+        # queries are drawn from the indexed corpus)
+        source = (
+            spark.read.parquet(args.benchmark) if args.benchmark else df
+        )
+        out = ivf_state_query_q(
+            spark,
+            df.select(
+                FF.col("vec_id").alias("query_id"),
+                FF.col("embedding").alias("query_vec"),
+            ),
+            args.state,
+            source=source,
             k=args.n,
         )
     elif args.action == "chat-curate":
@@ -2146,6 +2177,7 @@ def main(argv: list[str] | None = None) -> None:
             "split", "cap", "tfidf", "kmeans", "bpe", "pack-ids",
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
+            "ivf-build-q", "ivf-query-pq",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",
         ],

@@ -928,6 +928,47 @@ FROM files
 """
 
 
+#: bump when ANY staged fixture's generating formula changes — the
+#: stage cache key includes it, so stale payloads can never leak
+#: across formula revisions.
+_MEDIA_STAGE_VERSION = "r11a"
+
+
+def _media_fixture_staged(spark, sf_dir, kind, build):
+    """Synthesize a deterministic media fixture ONCE per machine per
+    (sf_dir, kind, version) and reuse the staged parquet — the
+    `_ivf_prebuilt_state` precedent applied to fixtures (the r10
+    verdict's ask 3): media bench rows must time the OPERATOR
+    (decode + band join), not in-task fixture synthesis, which was
+    dominating `audio_dedup_fingerprint` / `video_dedup_dhash` wall
+    time and polluting round-over-round comparability.  Payloads are
+    md5-derived and deterministic, so reuse == rebuild — and the
+    correctness oracle recomputes them in DuckDB from the formula
+    either way, so a stale-stage bug would hash-mismatch, never pass
+    silently.  The write is atomic (tmp dir + rename) so concurrent
+    builders (pytest vs bench) cannot expose a half-written stage."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(
+        f"{_MEDIA_STAGE_VERSION}:{kind}:{os.path.abspath(sf_dir)}"
+        .encode()
+    ).hexdigest()[:10]
+    path = os.path.join(
+        tempfile.gettempdir(), f"minerva_media_stage_{kind}_{tag}"
+    )
+    if not os.path.isdir(path):
+        tmp = f"{path}.tmp.{os.getpid()}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)
+        except OSError:  # lost the build race: the winner's stage is
+            shutil.rmtree(tmp, ignore_errors=True)  # identical bytes
+    return spark.read.parquet(path)
+
+
 def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image dedup (`operators/imagehash.py`): every doc
     becomes a 9x8 GRAYSCALE PNG whose pixel(x, y) is one md5 byte —
@@ -1092,8 +1133,11 @@ def q_video_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rows.append((d + 100000, clip(3)))
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(
-        synth, schema="media_id bigint, payload binary"
+    media = _media_fixture_staged(
+        spark, sf_dir, "videodh",
+        lambda: docs.mapInPandas(
+            synth, schema="media_id bigint, payload binary"
+        ),
     )
     hashes = video_frame_hashes(media, on_error="fail")
     return video_dedup_pairs(hashes, radius=3)
@@ -1457,8 +1501,11 @@ def q_audio_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(
-        synth, schema="media_id bigint, payload binary"
+    media = _media_fixture_staged(
+        spark, sf_dir, "audiofp",
+        lambda: docs.mapInPandas(
+            synth, schema="media_id bigint, payload binary"
+        ),
     )
     hashes = audio_fingerprint(media, on_error="fail")
     return dhash_pairs(
@@ -3693,6 +3740,79 @@ def _oracle_sim_ivf_query() -> str:
     )
 
 
+_IVF_PQ_STATE_VERSION = "r11b"
+
+
+def _ivf_pq_prebuilt_state(spark: SparkSession, sf_dir: str) -> str:
+    """Disk-cached QUANTIZED IVF state for `q_sim_ivf_pq` — the
+    `_ivf_prebuilt_state` pattern: built at most once per machine per
+    (sf_dir, version), so the gate/bench row times the retrieval
+    (integer-dot candidate rank + exact rescore), not the fit.
+    Deterministic contents (seeded Lloyd's + floor-half-up int8), so
+    reuse == rebuild."""
+    import hashlib
+    import os
+    import tempfile
+
+    from minerva_etl_spark.operators.quantize import build_ivf_state_q
+
+    tag = hashlib.md5(
+        f"{_IVF_PQ_STATE_VERSION}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"minerva_ivf_pq_state_{tag}"
+    )
+    path = os.path.join(root, "ivf_pq_state")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ivf_state_q(spark, emb, path, k=4, iters=2)
+        with open(marker, "w") as fh:
+            fh.write(_IVF_PQ_STATE_VERSION)
+    return path
+
+
+def q_sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-state ANN retrieval (`operators/quantize.py::
+    ivf_state_query_q` — the r10 verdict's ask 5): the persisted IVF
+    assignment stores int8 payloads ONLY (~4× smaller than the float
+    state; SCALE.md "Quantized ANN state"), candidates rank by the
+    scale-cancelling integer-dot qcos, the top k·overfetch winners
+    join BACK to the full-precision corpus by id, and the exact
+    rescore emits the final top-k.  The oracle replays the identical
+    quantized pipeline in DuckDB — integer arithmetic makes the
+    candidate ranking bit-reproducible, so this is a full value-hash
+    row, not a recall bound."""
+    _prep(spark)
+    from minerva_etl_spark.operators.quantize import ivf_state_query_q
+
+    path = _ivf_pq_prebuilt_state(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 10 = 5").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_state_query_q(
+        spark, queries, path, source=emb, k=3, n_probe=2, overfetch=4
+    )
+
+
+def _oracle_sim_ivf_pq() -> str:
+    from minerva_etl_spark.operators.quantize import ivf_pq_oracle_sql
+
+    return ivf_pq_oracle_sql(
+        kmeans_k=4,
+        kmeans_iters=2,
+        query_pred="vec_id % 10 = 5",
+        k=3,
+        n_probe=2,
+        overfetch=4,
+    )
+
+
 def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (`operators/multimodal.py::wav_features`):
     per-document PCM synthesized deterministically from doc_id
@@ -5600,7 +5720,12 @@ def q_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "jpeg",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     # gate projection: channel_means pivoted to scalar doubles
     # (driver canonicalizer cannot sort raw array cells)
     return M.jpeg_features(media).select(
@@ -5960,6 +6085,10 @@ _REGISTRY_ORDER = [
     "dsir_select",
     # -- LLM-pipeline: similarity -------------------------------------
     "sim_ivf_query",
+    # NEW r11 row, straight into the window (jpeg_features precedent):
+    # int8-quantized ANN state + exact rescore (r10 verdict ask 5).
+    # Makes room by rotating wav_spectral out (see the voucher block).
+    "sim_ivf_pq",
     # -- LLM-pipeline: text / tokens / curation ------------------------
     "tfidf_terms",
     "bpe_encode",
@@ -5972,7 +6101,6 @@ _REGISTRY_ORDER = [
     "gif_features",
     "image_features_mixed",
     "wav_g711_features",
-    "wav_spectral",
     # -- crawl arc ------------------------------------------------------
     "warc_harvest",
     "charset_decode",
@@ -6070,6 +6198,12 @@ _REGISTRY_ORDER = [
     #   entity_dim_register — 8 driver-green rounds; the directory
     #     create-on-miss join runs on every in-window
     #     lifecycle_load_store ingest.
+    #   wav_spectral — rotated out mid-r11 to make room for the NEW
+    #     sim_ivf_pq row (jpeg_features precedent); the full RIFF/WAVE
+    #     decode stays in-window TWICE via wav_g711_features and
+    #     audio_dedup_fingerprint, and the spectral energies are
+    #     pytest-pinned (test_audiohash / test_operators WAV rows).
+    "wav_spectral",
     "trend_time_agg_1d_dst",
     "dedup_simhash_hamming",
     "dedup_components",
@@ -6241,6 +6375,7 @@ def build_queries() -> dict:
         "sim_ivf_join": q_sim_ivf_join,
         "sim_ivf_incremental": q_sim_ivf_incremental,
         "sim_ivf_query": q_sim_ivf_query,
+        "sim_ivf_pq": q_sim_ivf_pq,
         "frontier_build": q_frontier_build,
         "wav_features": q_wav_features,
         "wav_g711_features": q_wav_g711_features,
@@ -6383,6 +6518,7 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_join": _oracle_sim_ivf_join(),
         "sim_ivf_incremental": _oracle_sim_ivf_incremental(),
         "sim_ivf_query": _oracle_sim_ivf_query(),
+        "sim_ivf_pq": _oracle_sim_ivf_pq(),
         "frontier_build": _ORACLE_FRONTIER,
         "wav_features": _ORACLE_WAV,
         "wav_g711_features": _ORACLE_WAV_G711,
