@@ -160,8 +160,17 @@ HEADLINE = [
     "sim_ivf_query",
     # round-11: quantized-state retrieval (state prebuilt outside the
     # clock like sim_ivf_query — the row times integer-qcos candidate
-    # rank + exact rescore)
+    # rank + exact rescore).  sim_ivf_pq_increment is deliberately
+    # NOT here (the sim_ivf_incremental rule: it refits Lloyd's
+    # in-row; the increment path's join shape is timed by sim_ivf_pq
+    # and the append by incremental_embedding).
     "sim_ivf_pq",
+    # round-11: ratio-margin bitext mining (pure Catalyst: broadcast
+    # product -> decimal top-k sums -> margin windows)
+    "bitext_mine",
+    # round-11: WebDataset shard export/import round trip (one task
+    # per tar shard, both directions — the multimodal hand-off edge)
+    "wds_roundtrip",
     # r10 document-ingest edge: PDF codec, archive round trip, feeds,
     # the fused archives->PDF->filter pipeline, and the two-poll
     # frontier state cycle (state build is part of the story here —

@@ -1304,7 +1304,7 @@ def cmd_corpus(args) -> None:
     # should be a one-line usage error, not an AttributeError mid-job
     if args.action in ("increment", "increment-emb", "ivf-build",
                        "ivf-increment", "ivf-query", "ivf-build-q",
-                       "ivf-query-pq") and not args.state:
+                       "ivf-increment-q", "ivf-query-pq") and not args.state:
         raise SystemExit(
             f"minerva-spark corpus {args.action}: --state is required "
             "(path of the persisted state)"
@@ -1421,6 +1421,19 @@ def cmd_corpus(args) -> None:
         out = build_ivf_state_q(
             spark, df, args.state, k=args.n, iters=args.iters
         )
+    elif args.action == "ivf-increment-q":
+        from minerva_etl_spark.operators.incremental import (
+            ivf_needs_recluster,
+        )
+        from minerva_etl_spark.operators.quantize import ivf_increment_q
+
+        out = ivf_increment_q(spark, df, args.state)
+        if ivf_needs_recluster(spark, args.state):
+            print(
+                "corpus ivf-increment-q: corpus grew past the "
+                "recluster factor — refit with ivf-build-q at "
+                "k ~ sqrt(N)"
+            )
     elif args.action == "ivf-query-pq":
         from pyspark.sql import functions as FF
 
@@ -1441,6 +1454,30 @@ def cmd_corpus(args) -> None:
             args.state,
             source=source,
             k=args.n,
+        )
+    elif args.action == "bitext":
+        from pyspark.sql import functions as FF
+
+        from minerva_etl_spark.operators.bitext import (
+            bitext_candidates,
+            mine_bitext,
+        )
+
+        if not args.benchmark:
+            raise SystemExit(
+                "minerva-spark corpus bitext: --benchmark is required "
+                "(target-side embedding parquet)"
+            )
+        src = df.select(
+            FF.col("vec_id").alias("src_id"), "embedding"
+        )
+        tgt = spark.read.parquet(args.benchmark).select(
+            FF.col("vec_id").alias("tgt_id"), "embedding"
+        )
+        out = mine_bitext(
+            bitext_candidates(src, tgt),
+            k=args.n,
+            threshold=args.min_margin or 1.05,
         )
     elif args.action == "chat-curate":
         from minerva_etl_spark.operators.chat import curate_conversations
@@ -1564,7 +1601,11 @@ def cmd_media(args) -> None:
     import minerva_etl_spark.operators.multimodal as M
 
     spark = _spark()
-    df = spark.read.parquet(args.input)
+    # wds-import's --input is a shard DIRECTORY, not parquet
+    df = (
+        spark.read.parquet(args.input)
+        if args.action != "wds-import" else None
+    )
     if args.action == "wav-features":
         out = M.wav_features(df)
     elif args.action == "wav-spectral":
@@ -1700,6 +1741,27 @@ def cmd_media(args) -> None:
             ),
             radius=args.radius,
         )
+    elif args.action == "wds-export":
+        from minerva_etl_spark.operators.wds import wds_export
+
+        if not args.exts:
+            raise SystemExit(
+                "minerva-spark media wds-export: --exts is required "
+                "(column=extension comma list, e.g. "
+                "payload=jpg,caption=txt)"
+            )
+        exts = {}
+        for part in args.exts.split(","):
+            col, _, ext = part.partition("=")
+            exts[col.strip()] = ext.strip()
+        out = wds_export(
+            df, args.wds_dir or args.output + "_shards", exts,
+            key_col=args.id_col, n_shards=args.n_shards,
+        )
+    elif args.action == "wds-import":
+        from minerva_etl_spark.operators.wds import wds_import
+
+        out = wds_import(spark, args.input)
     else:  # pragma: no cover - argparse choices guard this
         raise ValueError(args.action)
     out.write.mode("overwrite").parquet(args.output)
@@ -2177,7 +2239,8 @@ def main(argv: list[str] | None = None) -> None:
             "split", "cap", "tfidf", "kmeans", "bpe", "pack-ids",
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
-            "ivf-build-q", "ivf-query-pq",
+            "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
+            "bitext",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",
         ],
@@ -2254,8 +2317,20 @@ def main(argv: list[str] | None = None) -> None:
                  "avi-frames", "features", "pdf-text", "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",
-                 "audio-increment", "video-increment"],
+                 "audio-increment", "video-increment",
+                 "wds-export", "wds-import"],
     )
+    md.add_argument("--exts", default=None,
+                    help="wds-export: column=extension comma list "
+                         "(one member per column per sample)")
+    md.add_argument("--wds-dir", default=None, dest="wds_dir",
+                    help="wds-export: shard output directory "
+                         "(default <output>_shards)")
+    md.add_argument("--n-shards", type=int, default=8, dest="n_shards",
+                    help="wds-export: tar shard count (md5-draw "
+                         "assignment; size shards 100MB-1GB)")
+    md.add_argument("--id-col", default="media_id", dest="id_col",
+                    help="wds-export: sample key column")
     md.add_argument("--input", required=True, help="input parquet")
     md.add_argument("--output", required=True, help="output parquet")
     md.add_argument("--decoder", default=None,

@@ -3813,6 +3813,159 @@ def _oracle_sim_ivf_pq() -> str:
     )
 
 
+def q_sim_ivf_pq_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-state DELIVERY cycle (`operators/quantize.py::
+    ivf_increment_q`): build the int8 state on 3/4 of the corpus,
+    ingest the remaining quarter as one delivery (frozen-centroid
+    assign + quantize + append — history payloads never rescanned),
+    then query — proving build→increment→query composes and that
+    delta-assign at frozen centroids == the full recompute the oracle
+    replays (`ivf_pq_oracle_sql` with ``train_pred``).  The float
+    state's protocol (`sim_ivf_incremental`), inherited by the
+    compressed payload."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.quantize import (
+        build_ivf_state_q,
+        ivf_increment_q,
+        ivf_state_query_q,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="minerva_gate_ivfpq_inc_")
+    path = root + "/state"
+    build_ivf_state_q(spark, emb.filter("vec_id % 4 < 3"), path, k=4, iters=2)
+    ivf_increment_q(spark, emb.filter("vec_id % 4 = 3"), path)
+    queries = emb.filter("vec_id % 10 = 5").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_state_query_q(
+        spark, queries, path, source=emb, k=3, n_probe=2, overfetch=4
+    ).localCheckpoint(eager=True)  # pinned before the state dir goes
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_sim_ivf_pq_increment() -> str:
+    from minerva_etl_spark.operators.quantize import ivf_pq_oracle_sql
+
+    return ivf_pq_oracle_sql(
+        kmeans_k=4,
+        kmeans_iters=2,
+        query_pred="vec_id % 10 = 5",
+        k=3,
+        n_probe=2,
+        overfetch=4,
+        train_pred="vec_id % 4 < 3",
+    )
+
+
+def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (`operators/bitext.py::mine_bitext`
+    — the Artetxe & Schwenk ratio margin behind CCMatrix): even
+    vec_ids play the source language, odd the target; every pair's
+    rounded cosine feeds DECIMAL-exact top-4 neighborhood averages,
+    the fixed-association margin normalizes hubs away, and each
+    source keeps its best-margin target above 1.05.  The oracle
+    replays the identical product/window/margin chain — a
+    neighborhood-average, association-order, or tiebreak bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.bitext import (
+        bitext_candidates,
+        mine_bitext,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter("vec_id % 2 = 0").select(
+        F.col("vec_id").alias("src_id"), "embedding"
+    )
+    tgt = emb.filter("vec_id % 2 = 1").select(
+        F.col("vec_id").alias("tgt_id"), "embedding"
+    )
+    return mine_bitext(
+        bitext_candidates(src, tgt), k=4, threshold=1.05
+    )
+
+
+def _oracle_bitext_mine() -> str:
+    from minerva_etl_spark.operators.bitext import bitext_mine_oracle_sql
+
+    return bitext_mine_oracle_sql(
+        "vec_id % 2 = 0", "vec_id % 2 = 1", k=4, threshold=1.05
+    )
+
+
+def q_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset shard export/import (`operators/wds.py`): every doc
+    becomes a two-member SAMPLE (``{key}.txt`` sanitized text,
+    ``{key}.met`` a source tag) in md5-draw-assigned tar shards —
+    written by `wds_export` (one task per shard), read back by
+    `wds_import`, and re-aggregated per sample.  The oracle rebuilds
+    shard name (the engine-wide md5 draw), member count, and both
+    member byte sizes closed-form from `documents` — a melt, shard
+    draw, tar write, member walk, or key-split bug hash-mismatches."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.wds import wds_export, wds_import
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    staged = docs.select(
+        "doc_id",
+        _ascii_sanitize_col("text").alias("text"),
+        F.concat(F.lit("source="), F.col("source")).alias("meta"),
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_wds_")
+    wds_export(
+        staged, root, {"text": "txt", "meta": "met"},
+        key_col="doc_id", n_shards=8,
+    ).collect()  # the report action performs the shard writes
+    out = (
+        wds_import(spark, root)
+        .groupBy(F.col("key").cast("bigint").alias("doc_id"))
+        .agg(
+            F.max("shard").alias("shard"),  # constant within a key
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum(
+                F.when(F.col("ext") == "txt", F.octet_length("content"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("txt_bytes"),
+            F.sum(
+                F.when(F.col("ext") == "met", F.octet_length("content"))
+                .otherwise(F.lit(0))
+            ).cast("bigint").alias("met_bytes"),
+        )
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ORACLE_WDS_ROUNDTRIP = f"""
+WITH san AS (
+  SELECT doc_id,
+         {_ascii_sanitize_sql('text')} AS text,
+         'source=' || source AS meta
+  FROM documents
+)
+SELECT doc_id,
+       'shard-' || lpad(CAST(
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                AS BIGINT) % 8 AS VARCHAR), 6, '0') || '.tar' AS shard,
+       CAST(2 AS BIGINT) AS n_members,
+       CAST(length(text) AS BIGINT) AS txt_bytes,  -- ascii: ch==bytes
+       CAST(length(meta) AS BIGINT) AS met_bytes
+FROM san
+"""
+
+
 def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (`operators/multimodal.py::wav_features`):
     per-document PCM synthesized deterministically from doc_id
@@ -6222,6 +6375,21 @@ _REGISTRY_ORDER = [
     "lifecycle_notification",
     "lifecycle_retention",
     "entity_dim_register",
+    # NEW r11 rows born out-of-window — labeled r12 rotate-in
+    # candidates (r8.5/r10 precedent), locally hash-verified at
+    # sf0.001 + sf0.01:
+    #   sim_ivf_pq_increment extends in-window sim_ivf_pq's quantized
+    #     state with the delivery cycle (frozen-centroid delta assign
+    #     + quantize + append == full recompute, oracle-replayed);
+    #   bitext_mine is pure Catalyst over the embeddings fixture
+    #     (ratio-margin mining; DECIMAL-exact neighborhood sums), its
+    #     cosine/window machinery in-window via sim_ivf_pq;
+    #   wds_roundtrip composes in-window archive_harvest's tar
+    #     machinery (write_archives/read_archives) with the md5-draw
+    #     shard assignment every in-window sampler pins;
+    "sim_ivf_pq_increment",
+    "bitext_mine",
+    "wds_roundtrip",
     # r10 rotated-OUT rows (vouchers unchanged, see the r10 block in
     # COVERAGE.md):
     "semantic_dedup_trained",
@@ -6376,6 +6544,9 @@ def build_queries() -> dict:
         "sim_ivf_incremental": q_sim_ivf_incremental,
         "sim_ivf_query": q_sim_ivf_query,
         "sim_ivf_pq": q_sim_ivf_pq,
+        "sim_ivf_pq_increment": q_sim_ivf_pq_increment,
+        "bitext_mine": q_bitext_mine,
+        "wds_roundtrip": q_wds_roundtrip,
         "frontier_build": q_frontier_build,
         "wav_features": q_wav_features,
         "wav_g711_features": q_wav_g711_features,
@@ -6519,6 +6690,9 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_incremental": _oracle_sim_ivf_incremental(),
         "sim_ivf_query": _oracle_sim_ivf_query(),
         "sim_ivf_pq": _oracle_sim_ivf_pq(),
+        "sim_ivf_pq_increment": _oracle_sim_ivf_pq_increment(),
+        "bitext_mine": _oracle_bitext_mine(),
+        "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "frontier_build": _ORACLE_FRONTIER,
         "wav_features": _ORACLE_WAV,
         "wav_g711_features": _ORACLE_WAV_G711,

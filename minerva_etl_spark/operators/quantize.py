@@ -63,6 +63,7 @@ from minerva_etl_spark.operators.similarity import (
 __all__ = [
     "quantize_vectors",
     "build_ivf_state_q",
+    "ivf_increment_q",
     "ivf_state_query_q",
     "ivf_pq_oracle_sql",
 ]
@@ -128,9 +129,13 @@ def quantize_vectors(
     ).drop(vec_col)
 
 
-def _paths(state_path: str) -> tuple[str, str]:
+def _paths(state_path: str) -> tuple[str, str, str]:
+    # meta lives at the SAME relative spot as the float state's
+    # (`incremental._ivf_paths`), so `incremental.ivf_needs_recluster`
+    # reads quantized states unchanged (k ~ √N refit discipline,
+    # SCALE.md).
     root = state_path.rstrip("/")
-    return root + "/centroids", root + "/assigned_q"
+    return root + "/centroids", root + "/assigned_q", root + "/meta"
 
 
 def build_ivf_state_q(
@@ -152,7 +157,7 @@ def build_ivf_state_q(
     from minerva_etl_spark.operators.kmeans import kmeans_fit
     from minerva_etl_spark.operators.similarity import assign_centroids
 
-    cent_p, asg_p = _paths(state_path)
+    cent_p, asg_p, meta_p = _paths(state_path)
     with _state_lease(spark, state_path):
         _seed, cent = kmeans_fit(
             embeddings, k=k, iters=iters, id_col=id_col, vec_col=vec_col
@@ -164,7 +169,50 @@ def build_ivf_state_q(
         quantize_vectors(assigned, vec_col).write.mode(
             "overwrite"
         ).parquet(asg_p)
+        n = spark.read.parquet(asg_p).count()  # the persisted copy
+        spark.createDataFrame(
+            [(n, n)], "n_at_fit bigint, n_total bigint"
+        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
     return spark.read.parquet(asg_p)
+
+
+def ivf_increment_q(
+    spark: SparkSession,
+    new_embeddings: DataFrame,
+    state_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One delivery against the quantized state: assign ONLY the
+    delta at the frozen persisted centroids (broadcast — history
+    untouched), quantize it with the same floor-half-up rule, append.
+    History payloads are never dequantized or rescanned, so a
+    delivery's cost is O(delta) regardless of state size — the same
+    protocol as `incremental.ivf_increment`, with the 4× smaller
+    append.  The lease spans read-centroids → assign → append.
+    Delta-assign at frozen centroids == full recompute at those
+    centroids, so the `sim_ivf_pq_increment` oracle can replay the
+    whole cycle closed-form.  Returns the delta's quantized state
+    rows."""
+    from minerva_etl_spark.operators.similarity import assign_centroids
+
+    cent_p, asg_p, meta_p = _paths(state_path)
+    with _state_lease(spark, state_path):
+        cent = spark.read.parquet(cent_p)
+        delta_q = quantize_vectors(
+            assign_centroids(
+                new_embeddings, cent, id_col=id_col, vec_col=vec_col
+            ),
+            vec_col,
+        ).localCheckpoint(eager=True)  # pinned before state mutates
+        n_delta = delta_q.count()
+        delta_q.write.mode("append").parquet(asg_p)
+        meta = spark.read.parquet(meta_p).collect()[0]  # one row
+        spark.createDataFrame(
+            [(meta.n_at_fit, meta.n_total + n_delta)],
+            "n_at_fit bigint, n_total bigint",
+        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    return delta_q
 
 
 def ivf_state_query_q(
@@ -196,7 +244,7 @@ def ivf_state_query_q(
     """
     from minerva_etl_spark.operators.skew import cap_per_key
 
-    cent_p, asg_p = _paths(state_path)
+    cent_p, asg_p, _meta_p = _paths(state_path)
     centroids = spark.read.parquet(cent_p)
     assigned_q = spark.read.parquet(asg_p)
 
@@ -318,8 +366,12 @@ def ivf_pq_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_pred: str | None = None,
 ) -> str:
-    """DuckDB twin of `build_ivf_state_q` + `ivf_state_query_q`: the
+    """DuckDB twin of `build_ivf_state_q` (+ `ivf_increment_q` when
+    ``train_pred`` is given: Lloyd's trains on the history subset
+    ONLY, the full corpus assigns at those frozen centroids — exactly
+    what build-then-increment produces) + `ivf_state_query_q`: the
     unrolled Lloyd's chain, full-precision cluster argmax, the SAME
     floor-half-up int8 quantization of state and queries, the
     integer-dot qcos candidate ranking with ``k·overfetch``
@@ -329,7 +381,11 @@ def ivf_pq_oracle_sql(
     hash-mismatches."""
     from minerva_etl_spark.operators.kmeans import _duck_cos, kmeans_ctes
 
-    ctes = kmeans_ctes(table, kmeans_k, kmeans_iters, id_col, vec_col)
+    train = (
+        f"(SELECT * FROM {table} WHERE {train_pred})"
+        if train_pred else table
+    )
+    ctes = kmeans_ctes(train, kmeans_k, kmeans_iters, id_col, vec_col)
     cent = f"cent{kmeans_iters}"
     body = ",\n".join(ctes)
     qdot_ss = _duck_qdot("qa.qvec", "s.qvec")

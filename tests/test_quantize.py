@@ -107,6 +107,45 @@ def test_quantize_drops_float_payload(spark):
     assert dict(q.dtypes)["qvec"] == "array<tinyint>"
 
 
+def test_increment_equals_full_rebuild_at_frozen_centroids(
+    spark, tmp_path
+):
+    """build(3/4) + increment(1/4) must hold EXACTLY the state a full
+    assignment at the frozen centroids would: same rows, same int8
+    payloads — and the recluster trigger reads the quantized meta
+    (shared layout with the float state)."""
+    from minerva_etl_spark.operators.incremental import (
+        ivf_needs_recluster,
+    )
+    from minerva_etl_spark.operators.quantize import ivf_increment_q
+    from minerva_etl_spark.operators.similarity import assign_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    p = str(tmp_path / "inc")
+    build_ivf_state_q(spark, emb.filter("vec_id % 4 < 3"), p, k=4, iters=2)
+    delta = ivf_increment_q(spark, emb.filter("vec_id % 4 = 3"), p)
+    assert delta.count() == emb.filter("vec_id % 4 = 3").count()
+
+    state = spark.read.parquet(p + "/assigned_q")
+    assert state.count() == emb.count()
+    # full recompute at the SAME frozen centroids == the state
+    cent = spark.read.parquet(p + "/centroids")
+    expect = quantize_vectors(
+        assign_centroids(emb, cent), "embedding"
+    )
+    got = {
+        r.vec_id: (r.centroid_id, tuple(r.qvec))
+        for r in state.collect()
+    }
+    want = {
+        r.vec_id: (r.centroid_id, tuple(r.qvec))
+        for r in expect.collect()
+    }
+    assert got == want
+    # 500 rows vs 375 at fit: 1.33x < the 4x refit knee
+    assert not ivf_needs_recluster(spark, p)
+
+
 def test_query_plan_has_no_python_udf(spark, tmp_path):
     """The whole retrieval chain (quantize, qcos rank, rescore) is
     Catalyst expressions — no BatchEvalPython / ArrowEvalPython node
