@@ -4851,13 +4851,18 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Info dict — with the CONTAINER cycling doc_id % 3 over the three
     real-world layouts: 0 → PDF 1.5 ObjStm + cross-reference stream
     (the post-2005 majority shape, r11), 1 → PDF 1.4 plain streams,
-    2 → PDF 1.4 FlateDecode streams — then parsed back through the
-    full chain: binary-safe object scan, /ObjStm expansion, page-tree
-    walk, zlib inflate, Tj tokenizing with literal-string unescaping.
+    2 → PDF 1.4 FlateDecode streams — and every fifth non-ObjStm doc
+    additionally RC4-ENCRYPTED under the standard security handler
+    with an empty user password (revision 2/3 alternating by parity —
+    the "owner-restricted" crawl class, r11) — then parsed back
+    through the full chain: binary-safe object scan, key derivation +
+    /U verify + per-object RC4, /ObjStm expansion, page-tree walk,
+    zlib inflate, Tj tokenizing with literal-string unescaping.
     The oracle rebuilds title, page join, and char count closed-form
-    and is container-blind by design; a bug in ANY stage (xref/object
-    boundaries, ObjStm offset table, Flate dispatch, string escapes,
-    page order) hash-mismatches."""
+    and is container- and encryption-blind by design; a bug in ANY
+    stage (xref/object boundaries, ObjStm offset table, key
+    derivation, Flate dispatch, string escapes, page order)
+    hash-mismatches."""
     _prep(spark)
     from minerva_etl_spark.operators.pdf import (
         pdf_extract,
@@ -4882,6 +4887,8 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             title=f"Doc {d}",
                             compress=(d % 3 == 2),
                             objstm=(d % 3 == 0),
+                            encrypt=(d % 3 != 0 and d % 5 == 0),
+                            encrypt_r=2 if d % 2 == 0 else 3,
                         ),
                     )
                 )

@@ -36,8 +36,16 @@ stream, and the reader unpacks every ObjStm the tolerant scan finds
 xrefs cost nothing), with top-level definitions superseding embedded
 ones (incremental-update semantics).
 
-Honest boundaries (raise, never guess): encrypted PDFs
-(``/Encrypt``), non-Flate stream filters on page content or object
+RC4 standard-security encryption is ALSO supported both ways (round
+11): ``synthesize_pdf(encrypt=True)`` emits revision-2 (40-bit) or
+revision-3 (128-bit) files under an empty user password, and the
+reader derives the file key, verifies /U, and decrypts strings and
+streams per object — covering the ubiquitous "owner-restricted"
+crawl class (opens everywhere, copy/print bits only).
+
+Honest boundaries (raise, never guess): AES encryption (``/V`` ≥ 4),
+custom security handlers, REAL (non-empty) user passwords,
+non-Flate stream filters on page content or object
 streams (DCT/LZW/ASCII85),
 corrupt Flate data (ValueError,
 the skippable dirty-payload class), and CID/Type0 composite fonts
@@ -58,12 +66,106 @@ each payload inside its owning task — identical posture to
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+# ------------------------------------------------- standard security
+# The PDF standard security handler (spec §7.6.3): RC4 file
+# encryption keyed off the user password.  The overwhelmingly common
+# crawl case is "owner-restricted" files — encrypted with an EMPTY
+# user password so any reader can open them (print/copy restrictions
+# only) — and those ARE decryptable by construction.  This implements
+# revisions 2 (40-bit, PDF 1.1+) and 3 (128-bit, Acrobat 5+) in both
+# directions; AES (/V 4+) and real user passwords stay honest
+# NotImplementedErrors.
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (KSA + PRGA).  Payloads here are KB-scale page
+    streams inside Arrow tasks, so the bytearray loop is fine; it is
+    its own inverse, so one function serves both directions."""
+    S = list(range(256))
+    j = 0
+    kl = len(key)
+    for i in range(256):
+        j = (j + S[i] + key[i % kl]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(
+    o_entry: bytes, p: int, id0: bytes, r: int, key_len: int,
+    user_pw: bytes = b"",
+) -> bytes:
+    """Algorithm 2: the file encryption key from the (padded) user
+    password, /O, /P (4-byte little-endian SIGNED), and /ID[0]."""
+    padded = (user_pw + _PAD)[:32]
+    h = hashlib.md5(
+        padded + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little")
+        + id0
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:key_len]).digest()
+    return h[:key_len]
+
+
+def _std_o_entry(
+    owner_pw: bytes, user_pw: bytes, r: int, key_len: int
+) -> bytes:
+    """Algorithm 3: the /O entry (owner-password hash over the user
+    password)."""
+    h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:key_len]
+    o = _rc4(key, (user_pw + _PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_u_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (r2) / 5 (r3): the /U entry used to verify the
+    user password."""
+    if r == 2:
+        return _rc4(file_key, _PAD)
+    u = _rc4(file_key, hashlib.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16  # arbitrary 16-byte pad per spec
+
+
+def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: the per-object RC4 key."""
+    h = hashlib.md5(
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
 
 # ---------------------------------------------------------------- write
 
@@ -77,6 +179,8 @@ def synthesize_pdf(
     title: str | None = None,
     compress: bool = True,
     objstm: bool = False,
+    encrypt: bool = False,
+    encrypt_r: int = 3,
 ) -> bytes:
     """A real PDF file with one page per entry of ``pages``.
 
@@ -89,10 +193,20 @@ def synthesize_pdf(
     (``/Type /XRef``, ``/W [1 4 2]``) instead of a plain ``xref``
     table — the layout virtually all post-2005 PDF producers emit
     (streams themselves may not live inside an ObjStm per spec
-    §7.5.7, so content streams stay top-level).  Deterministic bytes
-    for a given input (fixture requirement shared with
-    ``synthesize_png``/``synthesize_warc``).
+    §7.5.7, so content streams stay top-level).  ``encrypt=True``
+    emits an RC4-encrypted file under the standard security handler
+    with an EMPTY user password (the ubiquitous "owner-restricted"
+    crawl class — opens in any reader): revision ``encrypt_r`` (2 =
+    40-bit, 3 = 128-bit), strings re-encoded as encrypted hex, every
+    stream RC4'd with its per-object key, deterministic /ID.
+    Deterministic bytes for a given input (fixture requirement shared
+    with ``synthesize_png``/``synthesize_warc``).
     """
+    if encrypt and objstm:
+        raise ValueError(
+            "encrypt + objstm in one synthesized file is not "
+            "supported (the reader handles both, independently)"
+        )
     objs: list[bytes] = []  # 1-indexed body of object i+1
 
     n_pages = len(pages)
@@ -134,6 +248,9 @@ def synthesize_pdf(
 
     if objstm:
         return _assemble_objstm(objs)
+    trailer_extra = b""
+    if encrypt:
+        objs, trailer_extra = _encrypt_objs(objs, encrypt_r)
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objs, start=1):
@@ -145,10 +262,70 @@ def synthesize_pdf(
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R /Info 3 0 R >>\n"
-        f"startxref\n{xref_at}\n%%EOF\n"
-    ).encode()
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R /Info 3 0 R "
+        .encode() + trailer_extra + b">>\n"
+        + f"startxref\n{xref_at}\n%%EOF\n".encode()
+    )
     return bytes(out)
+
+
+def _encrypt_strings(body: bytes, okey: bytes) -> bytes:
+    """Re-encode every literal string of an object body as the HEX
+    spelling of its RC4 ciphertext (hex is binary-safe; spec §7.6.2
+    encrypts strings and streams alike)."""
+    out = bytearray()
+    i = 0
+    while True:
+        p = body.find(b"(", i)
+        if p < 0:
+            out += body[i:]
+            return bytes(out)
+        s, after = _read_literal(body, p + 1)
+        out += body[i:p]
+        out += b"<" + _rc4(okey, s.encode("latin-1")).hex().encode() + b">"
+        i = after
+
+
+def _encrypt_objs(
+    objs: list[bytes], r: int
+) -> tuple[list[bytes], bytes]:
+    """Standard-security-handler assembly step: encrypt every object's
+    strings and stream data in place, append the (unencrypted)
+    /Encrypt dictionary object, and return the trailer additions
+    (/Encrypt ref + deterministic /ID)."""
+    key_len = 5 if r == 2 else 16
+    p_flags = -4  # all content permissions, reserved bits per spec
+    id0 = hashlib.md5(b"minerva-pdf-id:" + b"|".join(objs)).digest()
+    o = _std_o_entry(b"owner", b"", r, key_len)
+    key = _std_file_key(o, p_flags, id0, r, key_len)
+    u = _std_u_entry(key, id0, r)
+    enc_objs = []
+    for num, body in enumerate(objs, start=1):
+        okey = _obj_key(key, num, 0)
+        s = body.find(b"\nstream\n")
+        if s >= 0:
+            head, rest = body[:s], body[s + len(b"\nstream\n"):]
+            data = rest[: -len(b"\nendstream")]
+            enc_objs.append(
+                head + b"\nstream\n" + _rc4(okey, data) + b"\nendstream"
+            )  # RC4 preserves length: /Length stays correct
+        else:
+            enc_objs.append(_encrypt_strings(body, okey))
+    v = 1 if r == 2 else 2
+    enc_objs.append(
+        (
+            f"<< /Filter /Standard /V {v} /R {r} "
+            f"/Length {key_len * 8} /P {p_flags} "
+        ).encode()
+        + b"/O <" + o.hex().encode() + b"> "
+        + b"/U <" + u.hex().encode() + b"> >>"
+    )
+    trailer_extra = (
+        f"/Encrypt {len(enc_objs)} 0 R ".encode()
+        + b"/ID [<" + id0.hex().encode() + b"> <"
+        + id0.hex().encode() + b">] "
+    )
+    return enc_objs, trailer_extra
 
 
 def _assemble_objstm(objs: list[bytes]) -> bytes:
@@ -281,9 +458,87 @@ def _scan(payload: bytes) -> tuple[dict[int, bytes], bytes]:
     return objs, bytes(masked)
 
 
-def _expand_objstms(objs: dict[int, bytes]) -> dict[int, bytes]:
+def _string_value(d: bytes, key: bytes) -> bytes | None:
+    """The raw BYTES of a name's string value — literal ``(..)`` with
+    escapes decoded, or hex ``<..>`` — e.g. the /O and /U entries of
+    an encryption dictionary."""
+    m = re.search(re.escape(key) + rb"\s*(\(|<)", d)
+    if not m:
+        return None
+    if m.group(1) == b"(":
+        s, _ = _read_literal(d, m.end())
+        return s.encode("latin-1")
+    h = d[m.end(): d.find(b">", m.end())]
+    h = re.sub(rb"\s", b"", h)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode())
+
+
+def _resolve_crypt(objs: dict[int, bytes], masked: bytes):
+    """Resolve the standard security handler from the trailer's
+    /Encrypt reference: verify the EMPTY user password against /U and
+    return ``crypt(num, data)``.
+
+    Honest boundaries: custom security handlers, /V >= 4 (AES), and
+    files whose /U check rejects the empty user password (a REAL user
+    password) raise NotImplementedError — inject a full-featured
+    extractor for those.  Object generation numbers are assumed 0
+    (the tolerant scan does not track them; a nonzero gen yields a
+    wrong per-object key whose output fails Flate — the skippable
+    ValueError class, never silent wrong text)."""
+    refs = re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", masked)
+    if not refs:
+        raise NotImplementedError(
+            "encrypted PDF with unresolvable /Encrypt dictionary"
+        )
+    d = _dict_of(objs.get(int(refs[-1]), b""))
+    if not re.search(rb"/Filter\s*/Standard\b", d):
+        raise NotImplementedError(
+            "non-standard PDF security handler — inject a "
+            "full-featured extractor (pdfminer/PyMuPDF)"
+        )
+    vm = re.search(rb"/V\s+(\d+)", d)
+    rm = re.search(rb"/R\s+(\d+)", d)
+    v = int(vm.group(1)) if vm else 0
+    r = int(rm.group(1)) if rm else 2
+    if v not in (1, 2) or r not in (2, 3):
+        raise NotImplementedError(
+            f"PDF encryption V={v} R={r} (AES / revision 4+) — "
+            "inject a full-featured extractor"
+        )
+    lm = re.search(rb"/Length\s+(\d+)", d)
+    key_len = (int(lm.group(1)) // 8) if lm else 5
+    o = _string_value(d, b"/O")
+    u = _string_value(d, b"/U")
+    pm = re.search(rb"/P\s+(-?\d+)", d)
+    im = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", masked)
+    if o is None or u is None or pm is None or im is None:
+        raise ValueError("malformed encryption dictionary")
+    id0 = bytes.fromhex(re.sub(rb"\s", b"", im.group(1)).decode())
+    key = _std_file_key(o, int(pm.group(1)), id0, r, key_len)
+    expect = _std_u_entry(key, id0, r)
+    n_check = 16 if r >= 3 else 32
+    if u[:n_check] != expect[:n_check]:
+        raise NotImplementedError(
+            "PDF has a real (non-empty) user password — decryption "
+            "without it is out of scope"
+        )
+
+    def crypt(num: int, data: bytes) -> bytes:
+        return _rc4(_obj_key(key, num, 0), data)
+
+    return crypt
+
+
+def _expand_objstms(
+    objs: dict[int, bytes], crypt=None
+) -> tuple[dict[int, bytes], set[int]]:
     """Unpack every ``/Type /ObjStm`` object stream (PDF 1.5+) found
-    by the tolerant scan into its embedded objects.
+    by the tolerant scan into its embedded objects.  Also returns the
+    set of object numbers that came FROM an ObjStm: their strings are
+    covered by the stream's encryption and must not be decrypted
+    again (spec §7.5.7).
 
     The xref stream is deliberately NOT consulted: the sequential scan
     already found every top-level object, and every ObjStm regardless
@@ -295,6 +550,7 @@ def _expand_objstms(objs: dict[int, bytes]) -> dict[int, bytes]:
     a top-level object — requires rewriting the whole file, at which
     point the old top-level object is gone anyway)."""
     out = dict(objs)
+    expanded: set[int] = set()
     for num in sorted(objs):
         body = objs[num]
         d = _dict_of(body)
@@ -304,7 +560,7 @@ def _expand_objstms(objs: dict[int, bytes]) -> dict[int, bytes]:
         fm = re.search(rb"/First\s+(\d+)\b", d)
         if not (nm and fm):  # spec 7.5.7: /N and /First are direct
             raise ValueError(f"ObjStm {num} lacks direct /N or /First")
-        data = _stream_data(body)
+        data = _stream_data(body, num=num, crypt=crypt)
         first = int(fm.group(1))
         header = data[:first].split()
         if len(header) < 2 * int(nm.group(1)):
@@ -315,7 +571,8 @@ def _expand_objstms(objs: dict[int, bytes]) -> dict[int, bytes]:
         for onum, start, end in zip(nums, offs, bounds):
             if onum not in objs:  # top-level scan wins (see above)
                 out[onum] = data[first + start : first + end].strip()
-    return out
+                expanded.add(onum)
+    return out, expanded
 
 
 def _dict_of(body: bytes) -> bytes:
@@ -339,7 +596,7 @@ def _dict_of(body: bytes) -> bytes:
     return body[start:]
 
 
-def _stream_data(body: bytes) -> bytes:
+def _stream_data(body: bytes, num: int = 0, crypt=None) -> bytes:
     d = _dict_of(body)
     s = body.find(b"stream")
     if s < 0:
@@ -356,6 +613,10 @@ def _stream_data(body: bytes) -> bytes:
         data = body[s: body.rfind(b"endstream")]
         if data.endswith(b"\n"):
             data = data[:-1]
+    if crypt is not None:
+        # decrypt BEFORE any filter (spec §7.6.2 order); a wrong key
+        # surfaces as corrupt-Flate ValueError, never silent text
+        data = crypt(num, data)
     if b"/Filter" in d:
         if b"/FlateDecode" not in d:
             raise NotImplementedError(
@@ -519,16 +780,18 @@ def pdf_extract_text(payload: bytes) -> dict:
         raise ValueError("not a PDF payload (missing %PDF- header)")
     objs, masked = _scan(payload)
     # ALL whole-file greps run over the stream-masked bytes —
-    # compressed data spelling '/Encrypt' must not reject a valid PDF
+    # compressed data spelling '/Encrypt' must not reject a valid PDF.
+    # RC4 standard-security files with an EMPTY user password (the
+    # "owner-restricted" crawl class) decrypt here; AES / real
+    # passwords / custom handlers raise inside _resolve_crypt.
+    crypt = None
     if re.search(rb"/Encrypt\b", masked):
-        raise NotImplementedError(
-            "encrypted PDF — decryption is out of scope; inject a "
-            "full-featured extractor (pdfminer/PyMuPDF) for these"
-        )
+        crypt = _resolve_crypt(objs, masked)
     # PDF 1.5+: unpack /ObjStm object streams so compressed catalog/
     # page/Info objects are visible to the page-tree walk below (the
-    # layout virtually all post-2005 producers emit)
-    objs = _expand_objstms(objs)
+    # layout virtually all post-2005 producers emit); their strings
+    # are covered by the stream decryption, never re-decrypted
+    objs, from_objstm = _expand_objstms(objs, crypt)
     # title comes from the trailer's /Info dictionary (LAST trailer
     # wins — incremental updates append), never from the first object
     # that happens to carry a /Title: outline items and annotations
@@ -538,10 +801,12 @@ def pdf_extract_text(payload: bytes) -> dict:
     title = None
     info_refs = re.findall(rb"/Info\s+(\d+)\s+\d+\s+R", masked)
     if info_refs and int(info_refs[-1]) in objs:
-        d = _dict_of(objs[int(info_refs[-1])])
-        tm = re.search(rb"/Title\s*\(", d)
-        if tm:
-            title, _ = _read_literal(d, tm.end())
+        inum = int(info_refs[-1])
+        raw = _string_value(_dict_of(objs[inum]), b"/Title")
+        if raw is not None:
+            if crypt is not None and inum not in from_objstm:
+                raw = crypt(inum, raw)  # strings encrypt like streams
+            title = raw.decode("latin-1")
     order = _page_order(objs)
     if not order:
         # honest reject, not a silent empty document (ObjStm streams
@@ -561,7 +826,11 @@ def pdf_extract_text(payload: bytes) -> dict:
         else:
             m = _REF_RE.match(cont.lstrip())
             refs = [int(m.group(1))] if m else []
-        data = b"\n".join(_stream_data(objs[r]) for r in refs if r in objs)
+        data = b"\n".join(
+            _stream_data(objs[r], num=r, crypt=crypt)
+            for r in refs
+            if r in objs
+        )
         page_texts.append(_content_text(data))
     text = "\n\n".join(page_texts)
     return {

@@ -93,16 +93,72 @@ def test_page_tree_order_not_object_order():
 def test_honest_rejects():
     with pytest.raises(ValueError, match="not a PDF"):
         pdf_extract_text(b"GIF89a not a pdf")
+    # an /Encrypt ref whose dict is unresolvable / not /Standard
     enc = synthesize_pdf(["x"]).replace(
         b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R"
     )
-    with pytest.raises(NotImplementedError, match="encrypted"):
+    with pytest.raises(NotImplementedError, match="security handler"):
         pdf_extract_text(enc)
     dct = synthesize_pdf(["x"], compress=False).replace(
         b"<< /Length", b"<< /Filter /DCTDecode /Length"
     )
     with pytest.raises(NotImplementedError, match="FlateDecode"):
         pdf_extract_text(dct)
+
+
+# ------------------------------------------------- RC4 encryption
+
+
+def test_rc4_round_trip_both_revisions():
+    """R2 (40-bit) and R3 (128-bit) standard-security files with an
+    empty user password extract identically to the plain file, and
+    neither body text nor title appears in the encrypted bytes."""
+    pages = ["alpha page", "beta (two) \\ three"]
+    plain = pdf_extract_text(synthesize_pdf(pages, title="Secret T"))
+    for r in (2, 3):
+        p = synthesize_pdf(
+            pages, title="Secret T", encrypt=True, encrypt_r=r
+        )
+        assert b"alpha page" not in p and b"Secret T" not in p
+        assert pdf_extract_text(p) == plain
+
+
+def test_rc4_rejects_aes_and_real_passwords():
+    import re as _re
+
+    from minerva_etl_spark.operators.pdf import (
+        _std_file_key,
+        _std_o_entry,
+        _std_u_entry,
+    )
+
+    base = synthesize_pdf(["x"], encrypt=True, encrypt_r=3)
+    aes = base.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with pytest.raises(NotImplementedError, match="AES"):
+        pdf_extract_text(aes)
+    # swap in a /U derived from a REAL user password: the empty-
+    # password check must fail closed
+    o = _std_o_entry(b"owner", b"realpw", 3, 16)
+    im = _re.search(rb"/ID \[<([0-9a-f]+)>", base)
+    id0 = bytes.fromhex(im.group(1).decode())
+    key = _std_file_key(o, -4, id0, 3, 16, user_pw=b"realpw")
+    u = _std_u_entry(key, id0, 3)
+    locked = _re.sub(
+        rb"/U <[0-9a-f]+>", b"/U <" + u.hex().encode() + b">", base
+    )
+    with pytest.raises(NotImplementedError, match="user password"):
+        pdf_extract_text(locked)
+
+
+def test_rc4_spark_mixed_with_plain(spark):
+    rows = [
+        (1, synthesize_pdf(["one"], title="A")),
+        (2, synthesize_pdf(["two"], encrypt=True, encrypt_r=2)),
+        (3, synthesize_pdf(["three"], encrypt=True, encrypt_r=3)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.doc_id: r.text for r in pdf_extract(df).collect()}
+    assert got == {1: "one", 2: "two", 3: "three"}
 
 
 @settings(max_examples=40, deadline=None)
