@@ -3865,14 +3865,16 @@ def _oracle_sim_ivf_pq_increment() -> str:
 
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (`operators/bitext.py::mine_bitext`
-    — the Artetxe & Schwenk ratio margin behind CCMatrix): even
-    vec_ids play the source language, odd the target; every pair's
-    rounded cosine feeds DECIMAL-exact top-4 neighborhood averages,
-    the fixed-association margin normalizes hubs away, and each
-    source keeps its best-margin target above 1.05.  The oracle
-    replays the identical product/window/margin chain — a
-    neighborhood-average, association-order, or tiebreak bug
-    hash-mismatches."""
+    — the Artetxe & Schwenk ratio margin behind CCMatrix): vec_id
+    quarter 0 plays the source language, quarter 1 the target
+    (quarters, not halves, so the bench row's bipartite product stays
+    ~1.5M pairs at sf0.1 — the quadratic bounded-side path is the
+    point, the suite clock is not); every pair's rounded cosine feeds
+    DECIMAL-exact top-4 neighborhood averages, the fixed-association
+    margin normalizes hubs away, and each source keeps its
+    best-margin target above 1.05.  The oracle replays the identical
+    product/window/margin chain — a neighborhood-average,
+    association-order, or tiebreak bug hash-mismatches."""
     _prep(spark)
     from minerva_etl_spark.operators.bitext import (
         bitext_candidates,
@@ -3880,10 +3882,10 @@ def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    src = emb.filter("vec_id % 2 = 0").select(
+    src = emb.filter("vec_id % 4 = 0").select(
         F.col("vec_id").alias("src_id"), "embedding"
     )
-    tgt = emb.filter("vec_id % 2 = 1").select(
+    tgt = emb.filter("vec_id % 4 = 1").select(
         F.col("vec_id").alias("tgt_id"), "embedding"
     )
     return mine_bitext(
@@ -3895,7 +3897,7 @@ def _oracle_bitext_mine() -> str:
     from minerva_etl_spark.operators.bitext import bitext_mine_oracle_sql
 
     return bitext_mine_oracle_sql(
-        "vec_id % 2 = 0", "vec_id % 2 = 1", k=4, threshold=1.05
+        "vec_id % 4 = 0", "vec_id % 4 = 1", k=4, threshold=1.05
     )
 
 

@@ -596,6 +596,80 @@ def _dict_of(body: bytes) -> bytes:
     return body[start:]
 
 
+def _png_unpredict(
+    data: bytes, columns: int, colors: int = 1, bpc: int = 8
+) -> bytes:
+    """Invert PNG predictors 10-15 over a decoded PDF stream (spec
+    §7.4.4.4: one filter-type byte per row of ``columns`` samples) —
+    the /DecodeParms layout real producers apply to ObjStm and XRef
+    streams.  Shares the Paeth predictor with the real PNG codec."""
+    from minerva_etl_spark.operators.multimodal import _paeth
+
+    bpp = max(1, (colors * bpc) // 8)
+    stride = (columns * colors * bpc + 7) // 8
+    out = bytearray()
+    prev = bytes(stride)
+    i = 0
+    n = len(data)
+    while i < n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + stride])
+        i += 1 + stride
+        for x in range(len(row)):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prev[x]
+            ul = prev[x - bpp] if x >= bpp else 0
+            if ft == 0:
+                continue_v = row[x]
+            elif ft == 1:
+                continue_v = row[x] + left
+            elif ft == 2:
+                continue_v = row[x] + up
+            elif ft == 3:
+                continue_v = row[x] + (left + up) // 2
+            elif ft == 4:
+                continue_v = row[x] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad PNG predictor filter {ft}")
+            row[x] = continue_v & 0xFF
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+_DECODEPARMS_RE = re.compile(
+    rb"/(?:DecodeParms|DP)\s*<<(.*?)>>", re.S
+)
+
+
+def _apply_predictor(d: bytes, data: bytes) -> bytes:
+    """Apply the /DecodeParms predictor of a stream dictionary to its
+    POST-Flate bytes.  Predictor 1 / absent = identity; 2 (TIFF) is
+    an honest reject; >= 10 = the PNG family above."""
+    pm = _DECODEPARMS_RE.search(d)
+    if not pm:
+        return data
+    parms = pm.group(1)
+    pred = re.search(rb"/Predictor\s+(\d+)", parms)
+    if not pred or int(pred.group(1)) <= 1:
+        return data
+    p = int(pred.group(1))
+    if p < 10:
+        raise NotImplementedError(
+            f"TIFF predictor {p} — PNG predictors (10-15) and "
+            "identity are supported"
+        )
+    cm = re.search(rb"/Columns\s+(\d+)", parms)
+    km = re.search(rb"/Colors\s+(\d+)", parms)
+    bm = re.search(rb"/BitsPerComponent\s+(\d+)", parms)
+    return _png_unpredict(
+        data,
+        int(cm.group(1)) if cm else 1,
+        int(km.group(1)) if km else 1,
+        int(bm.group(1)) if bm else 8,
+    )
+
+
 def _stream_data(body: bytes, num: int = 0, crypt=None) -> bytes:
     d = _dict_of(body)
     s = body.find(b"stream")
@@ -630,6 +704,7 @@ def _stream_data(body: bytes, num: int = 0, crypt=None) -> bytes:
             raise ValueError(  # as the skippable dirty-payload class
                 f"corrupt FlateDecode stream: {e}"
             ) from e
+        data = _apply_predictor(d, data)
     return data
 
 

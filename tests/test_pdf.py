@@ -106,6 +106,68 @@ def test_honest_rejects():
         pdf_extract_text(dct)
 
 
+def _predictor_encode(data: bytes, columns: int, ft: int = 2) -> bytes:
+    """PNG-predictor-12-style row encoding (filter byte + filtered
+    row), the test-side twin of `_png_unpredict`."""
+    out = bytearray()
+    prev = bytes(columns)
+    rows = [data[i : i + columns] for i in range(0, len(data), columns)]
+    for row in rows:
+        out.append(ft)
+        for x, v in enumerate(row):
+            left = row[x - 1] if x >= 1 else 0
+            up = prev[x] if x < len(prev) else 0
+            if ft == 1:
+                out.append((v - left) & 0xFF)
+            elif ft == 2:
+                out.append((v - up) & 0xFF)
+            else:
+                raise ValueError(ft)
+        prev = row
+    return bytes(out)
+
+
+def test_png_predictor_streams_decode():
+    """A Flate + /DecodeParms /Predictor 12 content stream (the
+    layout real producers apply to ObjStm/XRef streams) must inflate
+    AND un-predict to the same text as the plain file."""
+    import re as _re
+    import zlib as _zlib
+
+    plain = synthesize_pdf(["predicted text", "page (two)"],
+                           compress=False)
+    want = pdf_extract_text(plain)
+    # re-encode every content stream with predictor-12 rows
+    out = plain
+    for m in list(_re.finditer(
+        rb"<< /Length (\d+) >>\nstream\n", out
+    ))[::-1]:
+        ln = int(m.group(1))
+        start = m.end()
+        raw = out[start : start + ln]
+        cols = 7
+        enc = _zlib.compress(_predictor_encode(raw, cols), 9)
+        head = (
+            b"<< /Length %d /Filter /FlateDecode /DecodeParms "
+            b"<< /Predictor 12 /Columns %d >> >>\nstream\n"
+            % (len(enc), cols)
+        )
+        out = out[: m.start()] + head + enc + out[start + ln :]
+    got = pdf_extract_text(out)
+    assert got["text"] == want["text"]
+    assert got["n_pages"] == want["n_pages"]
+
+
+def test_tiff_predictor_is_honest_reject():
+    plain = synthesize_pdf(["x"], compress=True)
+    bad = plain.replace(
+        b"/Filter /FlateDecode >>",
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 2 >> >>",
+    )
+    with pytest.raises(NotImplementedError, match="TIFF predictor"):
+        pdf_extract_text(bad)
+
+
 # ------------------------------------------------- RC4 encryption
 
 
