@@ -931,7 +931,7 @@ FROM files
 #: bump when ANY staged fixture's generating formula changes — the
 #: stage cache key includes it, so stale payloads can never leak
 #: across formula revisions.
-_MEDIA_STAGE_VERSION = "r11a"
+_MEDIA_STAGE_VERSION = "r11b"
 
 
 def _media_fixture_staged(spark, sf_dir, kind, build):
@@ -961,7 +961,13 @@ def _media_fixture_staged(spark, sf_dir, kind, build):
     )
     if not os.path.isdir(path):
         tmp = f"{path}.tmp.{os.getpid()}"
-        build().write.mode("overwrite").parquet(tmp)
+        # repartition to core count at WRITE time: the fixture source
+        # is a 1-2-file parquet, and a 1-2-file stage would serialize
+        # the downstream decode into 1-2 tasks (measured: the audio
+        # row's Arrow decode ran single-task off a 1-partition stage)
+        build().repartition(
+            spark.sparkContext.defaultParallelism
+        ).write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, path)
         except OSError:  # lost the build race: the winner's stage is
@@ -4854,12 +4860,14 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     real-world layouts: 0 → PDF 1.5 ObjStm + cross-reference stream
     (the post-2005 majority shape, r11), 1 → PDF 1.4 plain streams,
     2 → PDF 1.4 FlateDecode streams — and every fifth non-ObjStm doc
-    additionally RC4-ENCRYPTED under the standard security handler
-    with an empty user password (revision 2/3 alternating by parity —
-    the "owner-restricted" crawl class, r11) — then parsed back
-    through the full chain: binary-safe object scan, key derivation +
-    /U verify + per-object RC4, /ObjStm expansion, page-tree walk,
-    zlib inflate, Tj tokenizing with literal-string unescaping.
+    additionally ENCRYPTED under the standard security handler with
+    an empty user password, cycling ALL FOUR supported revisions
+    (RC4-40 / RC4-128 / AESV2 / AES-256-R6 — the "owner-restricted"
+    crawl class, r11) — then parsed back through the full chain:
+    binary-safe object scan, key derivation (md5 ladder or the 2.B
+    SHA-2 KDF) + password verify + per-object RC4/AES-CBC, /ObjStm
+    expansion, page-tree walk, zlib inflate, Tj tokenizing with
+    literal-string unescaping.
     The oracle rebuilds title, page join, and char count closed-form
     and is container- and encryption-blind by design; a bug in ANY
     stage (xref/object boundaries, ObjStm offset table, key
@@ -4890,7 +4898,7 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             compress=(d % 3 == 2),
                             objstm=(d % 3 == 0),
                             encrypt=(d % 3 != 0 and d % 5 == 0),
-                            encrypt_r=2 if d % 2 == 0 else 3,
+                            encrypt_r=(2, 3, 4, 6)[(d // 5) % 4],
                         ),
                     )
                 )

@@ -36,14 +36,19 @@ stream, and the reader unpacks every ObjStm the tolerant scan finds
 xrefs cost nothing), with top-level definitions superseding embedded
 ones (incremental-update semantics).
 
-RC4 standard-security encryption is ALSO supported both ways (round
-11): ``synthesize_pdf(encrypt=True)`` emits revision-2 (40-bit) or
-revision-3 (128-bit) files under an empty user password, and the
-reader derives the file key, verifies /U, and decrypts strings and
-streams per object — covering the ubiquitous "owner-restricted"
-crawl class (opens everywhere, copy/print bits only).
+Standard-security ENCRYPTION is supported both ways across all four
+deployed revisions (round 11): RC4-40 (R2), RC4-128 (R3), AES-128
+AESV2 (/V 4 /R 4, incl. the /CFM /V2 RC4-in-V4 spelling), and
+AES-256 AESV3 (/V 5 /R 6 under the Algorithm 2.B SHA-2 KDF) — all
+with an EMPTY user password, the ubiquitous "owner-restricted" crawl
+class (opens everywhere, copy/print bits only).
+``synthesize_pdf(encrypt=True, encrypt_r=2|3|4|6)`` emits real
+encrypted files; the reader derives/unwraps the file key, verifies
+the password entries, and decrypts strings and streams before
+filters.  AES runs on OpenSSL (`cryptography`) when present, else
+the FIPS-verified pure-stdlib fallback (`operators/aes.py`).
 
-Honest boundaries (raise, never guess): AES encryption (``/V`` ≥ 4),
+Honest boundaries (raise, never guess):
 custom security handlers, REAL (non-empty) user passwords,
 non-Flate stream filters on page content or object
 streams (DCT/LZW/ASCII85),
@@ -167,6 +172,36 @@ def _obj_key(file_key: bytes, num: int, gen: int) -> bytes:
     return h[: min(len(file_key) + 5, 16)]
 
 
+def _obj_key_aesv2(file_key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1, AESV2 flavor: the per-object key gains the
+    ``sAlT`` suffix and is always 16 bytes."""
+    return hashlib.md5(
+        file_key
+        + (num & 0xFFFFFF).to_bytes(3, "little")
+        + (gen & 0xFFFF).to_bytes(2, "little")
+        + b"sAlT"
+    ).digest()[: min(len(file_key) + 5, 16)]
+
+
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B (PDF 2.0 / extension level 3): the hardened
+    SHA-2 KDF behind AES-256 revision 6 password validation and key
+    wrapping."""
+    from minerva_etl_spark.operators.aes import aes_cbc_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 # ---------------------------------------------------------------- write
 
 
@@ -269,10 +304,11 @@ def synthesize_pdf(
     return bytes(out)
 
 
-def _encrypt_strings(body: bytes, okey: bytes) -> bytes:
+def _encrypt_strings(body: bytes, enc) -> bytes:
     """Re-encode every literal string of an object body as the HEX
-    spelling of its RC4 ciphertext (hex is binary-safe; spec §7.6.2
-    encrypts strings and streams alike)."""
+    spelling of its ciphertext (hex is binary-safe; spec §7.6.2
+    encrypts strings and streams alike).  ``enc`` is the per-object
+    transform (RC4 or IV-prefixed AES-CBC)."""
     out = bytearray()
     i = 0
     while True:
@@ -282,7 +318,7 @@ def _encrypt_strings(body: bytes, okey: bytes) -> bytes:
             return bytes(out)
         s, after = _read_literal(body, p + 1)
         out += body[i:p]
-        out += b"<" + _rc4(okey, s.encode("latin-1")).hex().encode() + b">"
+        out += b"<" + enc(s.encode("latin-1")).hex().encode() + b">"
         i = after
 
 
@@ -292,34 +328,102 @@ def _encrypt_objs(
     """Standard-security-handler assembly step: encrypt every object's
     strings and stream data in place, append the (unencrypted)
     /Encrypt dictionary object, and return the trailer additions
-    (/Encrypt ref + deterministic /ID)."""
-    key_len = 5 if r == 2 else 16
+    (/Encrypt ref + deterministic /ID).  ``r`` selects the handler
+    revision: 2 = RC4-40, 3 = RC4-128, 4 = AESV2 (AES-128-CBC),
+    6 = AESV3 (AES-256-CBC, the 2.B KDF)."""
+    from minerva_etl_spark.operators.aes import (
+        aes_cbc_encrypt,
+        aes_ecb_encrypt_block,
+    )
+
     p_flags = -4  # all content permissions, reserved bits per spec
     id0 = hashlib.md5(b"minerva-pdf-id:" + b"|".join(objs)).digest()
-    o = _std_o_entry(b"owner", b"", r, key_len)
-    key = _std_file_key(o, p_flags, id0, r, key_len)
-    u = _std_u_entry(key, id0, r)
+    p_le = (p_flags & 0xFFFFFFFF).to_bytes(4, "little")
+
+    if r == 6:
+        # AES-256: the file key is random in the wild; deterministic
+        # here (fixture requirement), wrapped via Algorithm 8/9
+        file_key = hashlib.sha256(b"minerva-aes256-key:" + id0).digest()
+        vs = hashlib.md5(b"uv:" + id0).digest()[:8]
+        ks = hashlib.md5(b"uk:" + id0).digest()[:8]
+        u = _hash_2b(b"", vs) + vs + ks
+        ue = aes_cbc_encrypt(
+            _hash_2b(b"", ks), b"\x00" * 16, file_key, pad=False
+        )
+        ovs = hashlib.md5(b"ov:" + id0).digest()[:8]
+        oks = hashlib.md5(b"ok:" + id0).digest()[:8]
+        o = _hash_2b(b"owner", ovs, u) + ovs + oks
+        oe = aes_cbc_encrypt(
+            _hash_2b(b"owner", oks, u), b"\x00" * 16, file_key,
+            pad=False,
+        )
+        perms_blob = (
+            p_le + b"\xff\xff\xff\xffTadb"
+            + hashlib.md5(b"pr:" + id0).digest()[:4]
+        )
+        perms = aes_ecb_encrypt_block(file_key, perms_blob)
+
+        def enc(num: int, data: bytes) -> bytes:
+            iv = hashlib.md5(b"iv:%d:" % num + id0).digest()
+            return iv + aes_cbc_encrypt(file_key, iv, data)
+
+        enc_dict = (
+            f"<< /Filter /Standard /V 5 /R 6 /Length 256 /P {p_flags} "
+            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            "/StmF /StdCF /StrF /StdCF ".encode()
+            + b"/O <" + o.hex().encode() + b"> "
+            + b"/U <" + u.hex().encode() + b"> "
+            + b"/OE <" + oe.hex().encode() + b"> "
+            + b"/UE <" + ue.hex().encode() + b"> "
+            + b"/Perms <" + perms.hex().encode() + b"> >>"
+        )
+    else:
+        key_len = 5 if r == 2 else 16
+        o = _std_o_entry(b"owner", b"", min(r, 3), key_len)
+        key = _std_file_key(o, p_flags, id0, min(r, 3), key_len)
+        u = _std_u_entry(key, id0, min(r, 3))
+        if r == 4:
+
+            def enc(num: int, data: bytes) -> bytes:
+                iv = hashlib.md5(b"iv:%d:" % num + id0).digest()
+                return iv + aes_cbc_encrypt(
+                    _obj_key_aesv2(key, num, 0), iv, data
+                )
+
+            enc_dict = (
+                f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                f"/P {p_flags} "
+                "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                "/StmF /StdCF /StrF /StdCF ".encode()
+                + b"/O <" + o.hex().encode() + b"> "
+                + b"/U <" + u.hex().encode() + b"> >>"
+            )
+        else:
+
+            def enc(num: int, data: bytes) -> bytes:
+                return _rc4(_obj_key(key, num, 0), data)
+
+            v = 1 if r == 2 else 2
+            enc_dict = (
+                f"<< /Filter /Standard /V {v} /R {r} "
+                f"/Length {key_len * 8} /P {p_flags} "
+            ).encode() + b"/O <" + o.hex().encode() + b"> " \
+                + b"/U <" + u.hex().encode() + b"> >>"
+
     enc_objs = []
     for num, body in enumerate(objs, start=1):
-        okey = _obj_key(key, num, 0)
         s = body.find(b"\nstream\n")
         if s >= 0:
             head, rest = body[:s], body[s + len(b"\nstream\n"):]
-            data = rest[: -len(b"\nendstream")]
-            enc_objs.append(
-                head + b"\nstream\n" + _rc4(okey, data) + b"\nendstream"
-            )  # RC4 preserves length: /Length stays correct
+            data = enc(num, rest[: -len(b"\nendstream")])
+            # AES grows the payload (IV + PKCS#7): rewrite /Length
+            head = re.sub(
+                rb"/Length \d+", b"/Length %d" % len(data), head, 1
+            )
+            enc_objs.append(head + b"\nstream\n" + data + b"\nendstream")
         else:
-            enc_objs.append(_encrypt_strings(body, okey))
-    v = 1 if r == 2 else 2
-    enc_objs.append(
-        (
-            f"<< /Filter /Standard /V {v} /R {r} "
-            f"/Length {key_len * 8} /P {p_flags} "
-        ).encode()
-        + b"/O <" + o.hex().encode() + b"> "
-        + b"/U <" + u.hex().encode() + b"> >>"
-    )
+            enc_objs.append(_encrypt_strings(body, lambda d: enc(num, d)))
+    enc_objs.append(enc_dict)
     trailer_extra = (
         f"/Encrypt {len(enc_objs)} 0 R ".encode()
         + b"/ID [<" + id0.hex().encode() + b"> <"
@@ -477,16 +581,23 @@ def _string_value(d: bytes, key: bytes) -> bytes | None:
 
 def _resolve_crypt(objs: dict[int, bytes], masked: bytes):
     """Resolve the standard security handler from the trailer's
-    /Encrypt reference: verify the EMPTY user password against /U and
-    return ``crypt(num, data)``.
+    /Encrypt reference: verify the EMPTY user password and return
+    ``crypt(num, data)``.
 
-    Honest boundaries: custom security handlers, /V >= 4 (AES), and
-    files whose /U check rejects the empty user password (a REAL user
-    password) raise NotImplementedError — inject a full-featured
-    extractor for those.  Object generation numbers are assumed 0
-    (the tolerant scan does not track them; a nonzero gen yields a
-    wrong per-object key whose output fails Flate — the skippable
-    ValueError class, never silent wrong text)."""
+    Supported: RC4 revisions 2/3 (/V 1-2), AESV2 (/V 4 /R 4,
+    AES-128-CBC with the ``sAlT`` object keys), the /V 4 /CFM /V2
+    RC4 spelling, and AESV3 (/V 5 /R 6, AES-256-CBC under the
+    Algorithm 2.B KDF).  Honest boundaries: custom security
+    handlers, crypt filters other than StdCF/Identity semantics, and
+    files whose password check rejects the empty user password (a
+    REAL password) raise NotImplementedError — inject a
+    full-featured extractor for those.  Object generation numbers
+    are assumed 0 (the tolerant scan does not track them; a nonzero
+    gen yields a wrong per-object key whose output fails Flate/
+    padding — the skippable ValueError class, never silent wrong
+    text)."""
+    from minerva_etl_spark.operators.aes import aes_cbc_decrypt
+
     refs = re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", masked)
     if not refs:
         raise NotImplementedError(
@@ -502,33 +613,79 @@ def _resolve_crypt(objs: dict[int, bytes], masked: bytes):
     rm = re.search(rb"/R\s+(\d+)", d)
     v = int(vm.group(1)) if vm else 0
     r = int(rm.group(1)) if rm else 2
-    if v not in (1, 2) or r not in (2, 3):
-        raise NotImplementedError(
-            f"PDF encryption V={v} R={r} (AES / revision 4+) — "
-            "inject a full-featured extractor"
-        )
-    lm = re.search(rb"/Length\s+(\d+)", d)
-    key_len = (int(lm.group(1)) // 8) if lm else 5
     o = _string_value(d, b"/O")
     u = _string_value(d, b"/U")
     pm = re.search(rb"/P\s+(-?\d+)", d)
-    im = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", masked)
-    if o is None or u is None or pm is None or im is None:
+    if o is None or u is None or pm is None:
         raise ValueError("malformed encryption dictionary")
-    id0 = bytes.fromhex(re.sub(rb"\s", b"", im.group(1)).decode())
-    key = _std_file_key(o, int(pm.group(1)), id0, r, key_len)
-    expect = _std_u_entry(key, id0, r)
-    n_check = 16 if r >= 3 else 32
-    if u[:n_check] != expect[:n_check]:
-        raise NotImplementedError(
-            "PDF has a real (non-empty) user password — decryption "
-            "without it is out of scope"
+
+    if v == 5 and r == 6:  # ---------------- AESV3 (AES-256)
+        ue = _string_value(d, b"/UE")
+        if ue is None or len(u) < 48:
+            raise ValueError("malformed AESV3 encryption dictionary")
+        vsalt, ksalt = u[32:40], u[40:48]
+        if _hash_2b(b"", vsalt) != u[:32]:
+            raise NotImplementedError(
+                "PDF has a real (non-empty) user password — "
+                "decryption without it is out of scope"
+            )
+        file_key = aes_cbc_decrypt(
+            _hash_2b(b"", ksalt), b"\x00" * 16, ue[:32], unpad=False
         )
 
-    def crypt(num: int, data: bytes) -> bytes:
-        return _rc4(_obj_key(key, num, 0), data)
+        def crypt(num: int, data: bytes) -> bytes:
+            if len(data) < 16:
+                raise ValueError("AES payload shorter than its IV")
+            return aes_cbc_decrypt(file_key, data[:16], data[16:])
 
-    return crypt
+        return crypt
+
+    if v in (1, 2, 4) and r in (2, 3, 4):  # ------ RC4 / AESV2
+        aes_mode = False
+        if v == 4:
+            if re.search(rb"/AESV2\b", d):
+                aes_mode = True
+            elif not re.search(rb"/CFM\s*/V2\b", d):
+                raise NotImplementedError(
+                    "unsupported /V 4 crypt filter (not AESV2/V2)"
+                )
+        lm = re.search(rb"/Length\s+(\d+)", d)
+        key_len = (int(lm.group(1)) // 8) if lm else 5
+        if v == 4:
+            key_len = 16
+        im = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>", masked)
+        if im is None:
+            raise ValueError("missing /ID for RC4/AESV2 decryption")
+        id0 = bytes.fromhex(re.sub(rb"\s", b"", im.group(1)).decode())
+        rr = min(r, 3)  # R4 derives keys exactly like R3
+        key = _std_file_key(o, int(pm.group(1)), id0, rr, key_len)
+        expect = _std_u_entry(key, id0, rr)
+        n_check = 16 if rr >= 3 else 32
+        if u[:n_check] != expect[:n_check]:
+            raise NotImplementedError(
+                "PDF has a real (non-empty) user password — "
+                "decryption without it is out of scope"
+            )
+        if aes_mode:
+
+            def crypt(num: int, data: bytes) -> bytes:
+                if len(data) < 16:
+                    raise ValueError("AES payload shorter than its IV")
+                return aes_cbc_decrypt(
+                    _obj_key_aesv2(key, num, 0), data[:16], data[16:]
+                )
+
+        else:
+
+            def crypt(num: int, data: bytes) -> bytes:
+                return _rc4(_obj_key(key, num, 0), data)
+
+        return crypt
+
+    raise NotImplementedError(
+        f"PDF encryption V={v} R={r} — inject a full-featured "
+        "extractor"
+    )
 
 
 def _expand_objstms(

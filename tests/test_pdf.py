@@ -212,6 +212,95 @@ def test_rc4_rejects_aes_and_real_passwords():
         pdf_extract_text(locked)
 
 
+def test_aes_round_trip_v4_and_v5():
+    """AESV2 (/V 4 /R 4, AES-128-CBC + sAlT object keys) and AESV3
+    (/V 5 /R 6, AES-256 under the 2.B KDF) both extract identically
+    to the plain file with the empty user password."""
+    pages = ["AES alpha", "beta (two) \\ three\nfour"]
+    plain = pdf_extract_text(synthesize_pdf(pages, title="TA"))
+    for r in (4, 6):
+        for comp in (True, False):
+            p = synthesize_pdf(
+                pages, title="TA", compress=comp,
+                encrypt=True, encrypt_r=r,
+            )
+            assert b"AES alpha" not in p
+            assert pdf_extract_text(p) == plain
+
+
+def test_aes_fips_known_answers():
+    """The AES core matches FIPS-197 Appendix C for 128/192/256-bit
+    keys, and CBC round-trips with PKCS#7."""
+    from minerva_etl_spark.operators.aes import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        aes_ecb_encrypt_block,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    vectors = {
+        "000102030405060708090a0b0c0d0e0f":
+            "69c4e0d86a7b0430d8cdb78070b4c55a",
+        "000102030405060708090a0b0c0d0e0f1011121314151617":
+            "dda97ca4864cdfe06eaf70a0ec0d7191",
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f":
+            "8ea2b7ca516745bfeafc49904b496089",
+    }
+    for k_hex, ct_hex in vectors.items():
+        assert (
+            aes_ecb_encrypt_block(bytes.fromhex(k_hex), pt).hex()
+            == ct_hex
+        )
+    key, iv = bytes(32), bytes(range(16))
+    msg = b"odd-length message exercising PKCS#7!"
+    assert aes_cbc_decrypt(key, iv, aes_cbc_encrypt(key, iv, msg)) == msg
+
+
+def test_aes_openssl_and_pure_python_agree():
+    """When the OpenSSL fast path is present, it must produce the
+    SAME bytes as the pure-Python fallback on every key size — a
+    swap can never change output."""
+    import hashlib
+
+    import minerva_etl_spark.operators.aes as A
+
+    if not A._HAVE_OPENSSL:
+        pytest.skip("cryptography not installed — fallback only")
+    for klen in (16, 24, 32):
+        for seed in range(8):
+            k = hashlib.sha256(b"k%d" % seed).digest()[:klen]
+            b = hashlib.sha256(b"b%d" % seed).digest()[:16]
+            assert A.aes_ecb_encrypt_block(k, b) == A._py_encrypt_block(k, b)
+            assert A.aes_ecb_decrypt_block(k, b) == A._py_decrypt_block(k, b)
+
+
+def test_v4_rc4_crypt_filter_spelling():
+    """/V 4 with /CFM /V2 is RC4 in a V4 wrapper (a layout Acrobat 6
+    emits); the R4 key ladder matches R3's, so rewrapping an R3 file
+    must still decrypt."""
+    pages = ["wrapped rc4"]
+    p3 = synthesize_pdf(pages, encrypt=True, encrypt_r=3)
+    p4 = p3.replace(
+        b"/V 2 /R 3 /Length 128",
+        b"/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /V2 "
+        b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF",
+    )
+    assert pdf_extract_text(p4)["text"] == "wrapped rc4"
+
+
+def test_aes256_real_password_rejects():
+    import re as _re
+
+    base = synthesize_pdf(["x"], encrypt=True, encrypt_r=6)
+    # corrupt the /U validation hash -> empty-password check fails
+    um = _re.search(rb"/U <([0-9a-f]{96})>", base)
+    bad_u = b"ff" * 32 + um.group(1)[64:]  # clobber the 32-byte hash
+    locked = base.replace(um.group(1), bad_u)
+    with pytest.raises(NotImplementedError, match="user password"):
+        pdf_extract_text(locked)
+
+
 def test_rc4_spark_mixed_with_plain(spark):
     rows = [
         (1, synthesize_pdf(["one"], title="A")),
