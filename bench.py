@@ -171,6 +171,10 @@ HEADLINE = [
     # round-11: WebDataset shard export/import round trip (one task
     # per tar shard, both directions — the multimodal hand-off edge)
     "wds_roundtrip",
+    # round-11: semantic (in-context) packing — kmeans fit + affinity
+    # order + the prefix-sum pack (the fit is the story, as with
+    # semantic_dedup_trained)
+    "pack_semantic",
     # r10 document-ingest edge: PDF codec, archive round trip, feeds,
     # the fused archives->PDF->filter pipeline, and the two-poll
     # frontier state cycle (state build is part of the story here —
@@ -264,7 +268,7 @@ def main() -> None:
     # one-time synthesis->parquet write, so the timed runs below see
     # only the operator (decode + band join), never fixture synthesis.
     for _row in ("audio_dedup_fingerprint", "video_dedup_dhash",
-                 "jpeg_features"):
+                 "jpeg_features", "pdf_extract"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

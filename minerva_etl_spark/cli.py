@@ -1455,6 +1455,21 @@ def cmd_corpus(args) -> None:
             source=source,
             k=args.n,
         )
+    elif args.action == "pack-semantic":
+        from minerva_etl_spark.operators.shard import pack_semantic
+
+        if not args.benchmark:
+            raise SystemExit(
+                "minerva-spark corpus pack-semantic: --benchmark is "
+                "required (embeddings parquet keyed like the corpus)"
+            )
+        out = pack_semantic(
+            df,
+            spark.read.parquet(args.benchmark),
+            seq_len=args.seq_len,
+            k=args.n,
+            iters=args.iters,
+        )
     elif args.action == "bitext":
         from pyspark.sql import functions as FF
 
@@ -2240,7 +2255,7 @@ def main(argv: list[str] | None = None) -> None:
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
             "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
-            "bitext",
+            "bitext", "pack-semantic",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",
         ],

@@ -3974,6 +3974,32 @@ FROM san
 """
 
 
+def q_pack_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (in-context) packing (`operators/shard.py::
+    pack_semantic` — the ICLM recipe): k-means over the embeddings,
+    then the token stream orders by (cluster, affinity-to-centroid
+    DESC, id) so related documents become sequence NEIGHBORS; the
+    spans come from the same two-pass prefix sum as every other pack
+    row.  The oracle replays Lloyd's, the rounded-cosine argmax WITH
+    affinity, the identical integer order key, and the global-window
+    cumsum — a clustering, ordering, or prefix-sum bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.shard import pack_semantic
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pack_semantic(docs, emb, seq_len=512, k=4, iters=2)
+
+
+def _oracle_pack_semantic() -> str:
+    from minerva_etl_spark.operators.shard import pack_semantic_oracle_sql
+
+    return pack_semantic_oracle_sql(512, kmeans_k=4, kmeans_iters=2)
+
+
 def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode (`operators/multimodal.py::wav_features`):
     per-document PCM synthesized deterministically from doc_id
@@ -4904,7 +4930,10 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    payloads = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "pdf",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )  # staged like the media fixtures: the row times EXTRACTION
     return pdf_extract(payloads)
 
 
@@ -6404,9 +6433,13 @@ _REGISTRY_ORDER = [
     #   wds_roundtrip composes in-window archive_harvest's tar
     #     machinery (write_archives/read_archives) with the md5-draw
     #     shard assignment every in-window sampler pins;
+    #   pack_semantic reuses in-window machinery end to end: the
+    #     kmeans/assignment chain of sim_ivf_pq and the prefix-sum
+    #     pack spine of shard_pack_shuffled / pack_token_ids;
     "sim_ivf_pq_increment",
     "bitext_mine",
     "wds_roundtrip",
+    "pack_semantic",
     # r10 rotated-OUT rows (vouchers unchanged, see the r10 block in
     # COVERAGE.md):
     "semantic_dedup_trained",
@@ -6564,6 +6597,7 @@ def build_queries() -> dict:
         "sim_ivf_pq_increment": q_sim_ivf_pq_increment,
         "bitext_mine": q_bitext_mine,
         "wds_roundtrip": q_wds_roundtrip,
+        "pack_semantic": q_pack_semantic,
         "frontier_build": q_frontier_build,
         "wav_features": q_wav_features,
         "wav_g711_features": q_wav_g711_features,
@@ -6710,6 +6744,7 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_pq_increment": _oracle_sim_ivf_pq_increment(),
         "bitext_mine": _oracle_bitext_mine(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
+        "pack_semantic": _oracle_pack_semantic(),
         "frontier_build": _ORACLE_FRONTIER,
         "wav_features": _ORACLE_WAV,
         "wav_g711_features": _ORACLE_WAV_G711,

@@ -36,26 +36,29 @@ def _global_token_offsets(
     token_col: str | None,
     num_ranges: int | None,
     shuffle_seed: int | None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """(__id, n_tokens, __off) for every document — ``__off`` is the
     document's first token's position in the deterministic global
-    order (id order, or the md5 permutation under ``shuffle_seed``).
-    The two-pass distributed prefix sum shared by shard packing and
-    sequence packing; see :func:`assign_token_shards` for the shape
-    discussion."""
-    if token_col is None:
-        t = df.select(
-            F.col(id_col).alias("__id"),
-            F.size(F.expr(tokens_spark_sql(text_col)))
-            .cast("bigint")
-            .alias("n_tokens"),
-        )
-    else:
-        t = df.select(
-            F.col(id_col).alias("__id"),
-            F.col(token_col).cast("bigint").alias("n_tokens"),
-        )
-    if shuffle_seed is not None:
+    order (id order, the md5 permutation under ``shuffle_seed``, or a
+    caller-supplied numeric ``order_col`` — semantic packing's
+    cluster/affinity key).  The two-pass distributed prefix sum
+    shared by shard packing and sequence packing; see
+    :func:`assign_token_shards` for the shape discussion."""
+    if shuffle_seed is not None and order_col is not None:
+        raise ValueError("pass shuffle_seed OR order_col, not both")
+    n_expr = (
+        F.size(F.expr(tokens_spark_sql(text_col))).cast("bigint")
+        if token_col is None
+        else F.col(token_col).cast("bigint")
+    )
+    sel = [F.col(id_col).alias("__id"), n_expr.alias("n_tokens")]
+    if order_col is not None:
+        sel.append(F.col(order_col).cast("bigint").alias("__ord"))
+    t = df.select(*sel)
+    if order_col is not None:
+        order_cols = ["__ord", "__id"]
+    elif shuffle_seed is not None:
         t = t.withColumn(
             "__ord",
             F.conv(
@@ -172,6 +175,7 @@ def pack_sequences(
     token_col: str | None = None,
     num_ranges: int | None = None,
     shuffle_seed: int | None = None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Cross-document SEQUENCE packing — the canonical pretraining
     shape: concatenate the corpus in a deterministic (optionally
@@ -198,7 +202,8 @@ def pack_sequences(
     """
     L = int(seq_len)
     offs = _global_token_offsets(
-        df, id_col, text_col, token_col, num_ranges, shuffle_seed
+        df, id_col, text_col, token_col, num_ranges, shuffle_seed,
+        order_col,
     )
     return (
         offs.filter(F.col("n_tokens") > 0)
@@ -329,6 +334,143 @@ SELECT CAST(s.k AS BIGINT) AS seq_id,
                       CAST(least(off + n_tokens, s.k * {L} + {L}) - off
                            AS INT)]
             AS INT[]) AS token_ids
+FROM o
+CROSS JOIN UNNEST(generate_series(off // {L},
+                                  (off + n_tokens - 1) // {L})) AS s(k)
+WHERE n_tokens > 0
+"""
+
+
+def pack_semantic(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    seq_len: int,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """Semantic (in-context) packing — related documents become
+    NEIGHBORS in the token stream instead of random ones, the
+    in-context-pretraining recipe (Shi et al. 2023, "In-Context
+    Pretraining: Language Modeling Beyond Document Boundaries"; their
+    traveling-salesman doc ordering is approximated here by the
+    scalable two-level key: k-means cluster, then affinity-to-
+    centroid within the cluster).
+
+    Order: ``(cluster ASC, affinity DESC, id ASC)`` encoded as ONE
+    integer key (affinity is the repo's rounded-6dp cosine, so
+    ``round((1 - affinity) · 1e6)`` is exact in both engines), fed to
+    `pack_sequences`' two-pass prefix sum — no global sort, same
+    spans contract.  Returns the pack_sequences schema plus
+    ``cluster_id``.
+
+    Scale shape: one k-means fit (k ~ √N discipline), one broadcast
+    centroid assignment, then the documented packing machinery; the
+    embedding table joins the corpus once on the id."""
+    from minerva_etl_spark.operators.kmeans import kmeans_fit
+    from minerva_etl_spark.operators.similarity import assign_centroids
+
+    _seed, cent = kmeans_fit(
+        embeddings, k=k, iters=iters, id_col=emb_id_col, vec_col=vec_col
+    )
+    assigned = assign_centroids(
+        embeddings, cent, id_col=emb_id_col, vec_col=vec_col,
+        keep_score=True,
+    ).select(
+        F.col(emb_id_col).alias(id_col),
+        "centroid_id",
+        "affinity",
+    )
+    keyed = docs.join(assigned, id_col).withColumn(
+        "__sem_ord",
+        F.col("centroid_id").cast("bigint") * F.lit(4_000_000)
+        + F.expr(
+            "CAST(round((1.0d - coalesce(affinity, -1.0d)) "
+            "* 1000000.0d, 0) AS BIGINT)"
+        ),
+    )
+    spans = pack_sequences(
+        keyed,
+        seq_len,
+        id_col=id_col,
+        text_col=text_col,
+        num_ranges=num_ranges,
+        order_col="__sem_ord",
+    )
+    return spans.join(
+        assigned.select(id_col, F.col("centroid_id").alias("cluster_id")),
+        id_col,
+    ).select(
+        "seq_id", id_col, "n_tokens", "tok_start", "tok_end",
+        "pos_start", "cluster_id",
+    )
+
+
+def pack_semantic_oracle_sql(
+    seq_len: int,
+    kmeans_k: int,
+    kmeans_iters: int,
+    table: str = "documents",
+    emb_table: str = "embeddings",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pack_semantic`: the Lloyd's CTE chain,
+    rounded-cosine argmax WITH its affinity, the identical integer
+    order key, and the global-window cumsum the two-pass prefix sum
+    is provably equal to."""
+    from minerva_etl_spark.operators.kmeans import _duck_cos, kmeans_ctes
+
+    L = int(seq_len)
+    toks = tokens_duck_sql(text_col)
+    ctes = kmeans_ctes(
+        emb_table, kmeans_k, kmeans_iters, emb_id_col, vec_col
+    )
+    cent = f"cent{kmeans_iters}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body},
+assigned AS MATERIALIZED (
+  SELECT {emb_id_col} AS {id_col}, centroid_id, affinity FROM (
+    SELECT e.{emb_id_col}, c.centroid_id,
+           {_duck_cos('e.' + vec_col, 'c.cvec')} AS affinity,
+           row_number() OVER (
+             PARTITION BY e.{emb_id_col}
+             ORDER BY {_duck_cos('e.' + vec_col, 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM {emb_table} e, {cent} c
+  ) WHERE rn = 1
+),
+t AS (
+  SELECT d.{id_col}, CAST(len({toks}) AS BIGINT) AS n_tokens,
+         a.centroid_id,
+         CAST(a.centroid_id AS BIGINT) * 4000000
+           + CAST(round((1.0 - coalesce(a.affinity, -1.0))
+                        * 1000000.0, 0) AS BIGINT) AS sem_ord
+  FROM {table} d JOIN assigned a USING ({id_col})
+),
+o AS (
+  SELECT {id_col}, n_tokens, centroid_id,
+         CAST(SUM(n_tokens) OVER (ORDER BY sem_ord, {id_col}
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS off
+  FROM t
+)
+SELECT CAST(s.k AS BIGINT) AS seq_id,
+       {id_col},
+       n_tokens,
+       CAST(greatest(off, s.k * {L}) - off AS BIGINT) AS tok_start,
+       CAST(least(off + n_tokens, s.k * {L} + {L}) - off AS BIGINT)
+         AS tok_end,
+       CAST(greatest(off, s.k * {L}) - s.k * {L} AS BIGINT)
+         AS pos_start,
+       centroid_id AS cluster_id
 FROM o
 CROSS JOIN UNNEST(generate_series(off // {L},
                                   (off + n_tokens - 1) // {L})) AS s(k)

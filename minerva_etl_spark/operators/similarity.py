@@ -383,6 +383,7 @@ def assign_centroids(
     vec_col: str = "embedding",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "cvec",
+    keep_score: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (small) centroid table,
     score every vector against every centroid, keep the argmax —
@@ -412,10 +413,15 @@ def assign_centroids(
     w = Window.partitionBy(id_col).orderBy(
         F.col("__ccos").desc(), F.col(centroid_id_col).asc()
     )
+    out_cols = [id_col, vec_col, centroid_id_col]
+    if keep_score:  # the rounded cosine to the ASSIGNED centroid —
+        out_cols.append(  # semantic packing orders within-cluster by it
+            F.col("__ccos").alias("affinity")
+        )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, centroid_id_col)
+        .select(*out_cols)
     )
 
 
