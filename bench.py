@@ -175,6 +175,8 @@ HEADLINE = [
     # order + the prefix-sum pack (the fit is the story, as with
     # semantic_dedup_trained)
     "pack_semantic",
+    # round-11: CCNet head/middle/tail via the skew-safe exact NTILE
+    "ccnet_buckets",
     # r10 document-ingest edge: PDF codec, archive round trip, feeds,
     # the fused archives->PDF->filter pipeline, and the two-poll
     # frontier state cycle (state build is part of the story here —

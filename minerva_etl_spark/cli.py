@@ -1455,6 +1455,16 @@ def cmd_corpus(args) -> None:
             source=source,
             k=args.n,
         )
+    elif args.action == "ppl-buckets":
+        from minerva_etl_spark.operators.lm import (
+            ngram_lm_score,
+            perplexity_buckets,
+        )
+
+        scored = ngram_lm_score(
+            df, args.ref_filter or "lang = 'en'"
+        ).join(df.select("doc_id", "lang"), "doc_id")
+        out = perplexity_buckets(scored, n_buckets=args.n)
     elif args.action == "pack-semantic":
         from minerva_etl_spark.operators.shard import pack_semantic
 
@@ -2255,7 +2265,7 @@ def main(argv: list[str] | None = None) -> None:
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
             "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
-            "bitext", "pack-semantic",
+            "bitext", "pack-semantic", "ppl-buckets",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",
         ],
@@ -2279,6 +2289,9 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--state", default=None,
                     help="increment: path of the persisted dedup "
                          "signature state (created on first delivery)")
+    co.add_argument("--ref-filter", default=None, dest="ref_filter",
+                    help="ppl-buckets: SQL predicate selecting the LM "
+                         "reference slice (default lang = 'en')")
     co.add_argument("--benchmark", default=None,
                     help="decontaminate: held-out eval parquet whose "
                          "4-gram shingle matches are dropped")

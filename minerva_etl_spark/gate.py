@@ -2269,6 +2269,43 @@ def _oracle_lm_perplexity() -> str:
     return ngram_lm_oracle_sql("documents", "lang = 'en'")
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity split (`operators/lm.py::
+    perplexity_buckets`): every doc scores against the lang='en'
+    bigram reference (the lm_perplexity machinery), then each
+    LANGUAGE tiles into three by bits/token ascending — via the
+    skew-safe exact-NTILE (range partition + per-(partition,lang)
+    prefix counts + closed-form bucket), never a giant-language
+    window sort.  The oracle is the plain NTILE window the two-pass
+    form is provably equal to; the differential pytest pins them
+    equal on Spark too."""
+    _prep(spark)
+    from minerva_etl_spark.operators.lm import (
+        ngram_lm_score,
+        perplexity_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ngram_lm_score(docs, "lang = 'en'").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return perplexity_buckets(scored)
+
+
+def _oracle_ccnet_buckets() -> str:
+    from minerva_etl_spark.operators.lm import (
+        ngram_lm_oracle_sql,
+        perplexity_buckets_oracle_sql,
+    )
+
+    inner = (
+        "SELECT s.doc_id, d.lang, s.nll_bits FROM ("
+        + ngram_lm_oracle_sql("documents", "lang = 'en'")
+        + ") s JOIN documents d USING (doc_id)"
+    )
+    return perplexity_buckets_oracle_sql(inner)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (`operators/dsir.py`): hashed
     unigram+bigram bucket counts, add-one-smoothed target-vs-raw
@@ -6436,10 +6473,14 @@ _REGISTRY_ORDER = [
     #   pack_semantic reuses in-window machinery end to end: the
     #     kmeans/assignment chain of sim_ivf_pq and the prefix-sum
     #     pack spine of shard_pack_shuffled / pack_token_ids;
+    #   ccnet_buckets composes in-window lm_perplexity's scorer with
+    #     the skew-safe exact NTILE (differential-pytest-pinned equal
+    #     to the window form);
     "sim_ivf_pq_increment",
     "bitext_mine",
     "wds_roundtrip",
     "pack_semantic",
+    "ccnet_buckets",
     # r10 rotated-OUT rows (vouchers unchanged, see the r10 block in
     # COVERAGE.md):
     "semantic_dedup_trained",
@@ -6598,6 +6639,7 @@ def build_queries() -> dict:
         "bitext_mine": q_bitext_mine,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
+        "ccnet_buckets": q_ccnet_buckets,
         "frontier_build": q_frontier_build,
         "wav_features": q_wav_features,
         "wav_g711_features": q_wav_g711_features,
@@ -6745,6 +6787,7 @@ def build_oracles() -> dict[str, str]:
         "bitext_mine": _oracle_bitext_mine(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),
+        "ccnet_buckets": _oracle_ccnet_buckets(),
         "frontier_build": _ORACLE_FRONTIER,
         "wav_features": _ORACLE_WAV,
         "wav_g711_features": _ORACLE_WAV_G711,

@@ -252,3 +252,163 @@ SELECT d.{id_col},
        END AS nll_bits
 FROM {table} d LEFT JOIN per_doc p USING ({id_col})
 """
+
+
+# ---------------------------------------------------------------------
+# CCNet perplexity buckets — skew-safe exact NTILE (round 11)
+# ---------------------------------------------------------------------
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    by: str = "lang",
+    score_col: str = "nll_bits",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+    num_ranges: int | None = None,
+) -> DataFrame:
+    """CCNet's quality split (Wenzek et al., "CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data"): per language,
+    rank documents by LM score ascending (lower bits/token = closer
+    to the reference corpus) and cut into ``n_buckets`` equal tiles —
+    head / middle / tail for the canonical 3.
+
+    Returns the input's ``(id, by, score)`` plus ``bucket`` (1-based)
+    and ``tier`` ('head'/'middle'/'tail' when ``n_buckets == 3``,
+    'b<k>' otherwise).  Bucket boundaries follow SQL ``NTILE``
+    exactly: the first ``N mod n`` buckets get the extra row.
+
+    Scale shape — the reason this is NOT one ``ntile() OVER
+    (PARTITION BY lang ...)`` window: a web corpus is one giant
+    language plus a tail, and window partitions never split, so the
+    naive form funnels the giant language through ONE task's sort.
+    Here the corpus range-partitions on ``(lang, score, id)``, each
+    partition computes local row numbers, per-(partition, language)
+    counts go to the driver (ranges × languages rows — tiny), and
+    each row's exact global rank within its language is local rank +
+    broadcast prefix.  The bucket is then closed-form from (rank,
+    N_lang) — the same two-pass prefix discipline as the packing
+    operators, applied to row counts.
+    """
+    from pyspark.sql.window import Window
+
+    n = int(n_buckets)
+    spark = scored.sparkSession
+    t = scored.select(
+        F.col(id_col), F.col(by), F.col(score_col)
+    )
+    ranges = num_ranges or max(
+        spark.sparkContext.defaultParallelism, 4
+    )
+    ranged = (
+        t.repartitionByRange(ranges, F.col(by), F.col(score_col),
+                             F.col(id_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # totals + rank must see the
+    )  # same sampled range bounds (the packing-operator rule)
+    counts = (
+        ranged.groupBy("__pid", by)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    totals: dict = {}
+    for r in counts:
+        totals[r[by]] = totals.get(r[by], 0) + r["c"]
+    prefix: dict = {}
+    acc: dict = {}
+    for r in sorted(counts, key=lambda r: r["__pid"]):
+        key = (r["__pid"], r[by])
+        prefix[key] = acc.get(r[by], 0)
+        acc[r[by]] = acc.get(r[by], 0) + r["c"]
+    pmap = (
+        F.create_map(*[
+            x
+            for (pid, lang), off in prefix.items()
+            for x in (
+                F.concat_ws("\x00", F.lit(str(pid)), F.lit(str(lang))),
+                F.lit(off),
+            )
+        ])
+        if prefix
+        else F.lit(None).cast("map<string,bigint>")
+    )
+    tmap = (
+        F.create_map(*[
+            x
+            for lang, tot in totals.items()
+            for x in (F.lit(str(lang)), F.lit(tot))
+        ])
+        if totals
+        else F.lit(None).cast("map<string,bigint>")
+    )
+    w = Window.partitionBy("__pid", by).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    ranked = (
+        ranged.withColumn("__lr", F.row_number().over(w))
+        .withColumn(
+            "__rank",  # 0-based exact rank within the language
+            F.col("__lr") - 1 + F.coalesce(
+                pmap[
+                    F.concat_ws(
+                        "\x00",
+                        F.col("__pid").cast("string"),
+                        F.col(by).cast("string"),
+                    )
+                ],
+                F.lit(0),
+            ),
+        )
+        .withColumn("__n", tmap[F.col(by).cast("string")])
+    )
+    # SQL NTILE closed-form: size = N div n, extra = N mod n; the
+    # first `extra` buckets hold size+1 rows
+    bucket = F.expr(
+        f"CAST(CASE WHEN __rank < (__n % {n}) * (__n div {n} + 1) "
+        f"THEN __rank div (__n div {n} + 1) "
+        f"ELSE (__n % {n}) + (__rank - (__n % {n}) * (__n div {n} + 1)) "
+        f"div greatest(__n div {n}, 1) END + 1 AS INT)"
+    )
+    tiers = (
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            F.col("bucket"),
+        )
+        if n == 3
+        else F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    )
+    return (
+        ranked.withColumn("bucket", bucket)
+        .withColumn("tier", tiers)
+        .select(id_col, by, score_col, "bucket", "tier")
+    )
+
+
+def perplexity_buckets_oracle_sql(
+    inner_sql: str,
+    by: str = "lang",
+    score_col: str = "nll_bits",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> str:
+    """DuckDB twin: the plain NTILE window the skew-safe form is
+    provably equal to.  ``inner_sql`` yields (id, by, score)."""
+    n = int(n_buckets)
+    tier = (
+        f"CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' "
+        f"ELSE 'tail' END"
+        if n == 3
+        else "'b' || CAST(bucket AS VARCHAR)"
+    )
+    return f"""
+WITH scored AS ({inner_sql}),
+tiled AS (
+  SELECT {id_col}, {by}, {score_col},
+         CAST(ntile({n}) OVER (
+           PARTITION BY {by}
+           ORDER BY {score_col} ASC, {id_col} ASC) AS INT) AS bucket
+  FROM scored
+)
+SELECT {id_col}, {by}, {score_col}, bucket, {tier} AS tier
+FROM tiled
+"""
