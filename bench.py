@@ -177,6 +177,8 @@ HEADLINE = [
     "pack_semantic",
     # round-11: CCNet head/middle/tail via the skew-safe exact NTILE
     "ccnet_buckets",
+    # round-11: unicode script histogram — one codegen projection
+    "script_profile",
     # r10 document-ingest edge: PDF codec, archive round trip, feeds,
     # the fused archives->PDF->filter pipeline, and the two-poll
     # frontier state cycle (state build is part of the story here —

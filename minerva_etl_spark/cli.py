@@ -1455,6 +1455,10 @@ def cmd_corpus(args) -> None:
             source=source,
             k=args.n,
         )
+    elif args.action == "script-profile":
+        from minerva_etl_spark.operators.text import with_script_profile
+
+        out = with_script_profile(df, text_col=args.text_col)
     elif args.action == "ppl-buckets":
         from minerva_etl_spark.operators.lm import (
             ngram_lm_score,
@@ -2265,7 +2269,7 @@ def main(argv: list[str] | None = None) -> None:
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
             "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
-            "bitext", "pack-semantic", "ppl-buckets",
+            "bitext", "pack-semantic", "ppl-buckets", "script-profile",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",
         ],

@@ -2306,6 +2306,55 @@ def _oracle_ccnet_buckets() -> str:
     return perplexity_buckets_oracle_sql(inner)
 
 
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script histogram (`operators/text.py::
+    with_script_profile` — the mixed-script / wrong-language spam
+    signal): each doc's sanitized Latin text gains PLANTED runs of
+    Cyrillic (doc_id % 7), CJK (% 5), Hebrew (% 3), and Greek (% 2)
+    code points, then one codegen projection counts every major
+    script block and picks the dominant one (alphabetical
+    tie-break).  Counts are exact integers; the oracle applies the
+    byte-identical character classes in DuckDB over the same
+    synthesized column — a range boundary, tie-break, or codepoint-
+    counting bug hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.text import with_script_profile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            _ascii_sanitize_col("text"),
+            F.expr("repeat('Я', pmod(doc_id, 7))"),
+            F.expr("repeat('中', pmod(doc_id, 5))"),
+            F.expr("repeat('א', pmod(doc_id, 3))"),
+            F.expr("repeat('α', pmod(doc_id, 2))"),
+        ).alias("text"),
+    )
+    return with_script_profile(synth).drop("text")
+
+
+def _oracle_script_profile() -> str:
+    from minerva_etl_spark.operators.text import script_profile_duck_sql
+
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         {_ascii_sanitize_sql('text')}
+           || repeat('Я', doc_id % 7)
+           || repeat('中', doc_id % 5)
+           || repeat('א', doc_id % 3)
+           || repeat('α', doc_id % 2) AS text
+  FROM documents
+)
+SELECT doc_id,
+       {script_profile_duck_sql('text')}
+FROM s
+"""
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (`operators/dsir.py`): hashed
     unigram+bigram bucket counts, add-one-smoothed target-vs-raw
@@ -6479,8 +6528,11 @@ _REGISTRY_ORDER = [
     "sim_ivf_pq_increment",
     "bitext_mine",
     "wds_roundtrip",
+    #   script_profile is one codegen projection (the text_profile
+    #     family), integer-only outputs, planted multi-script runs;
     "pack_semantic",
     "ccnet_buckets",
+    "script_profile",
     # r10 rotated-OUT rows (vouchers unchanged, see the r10 block in
     # COVERAGE.md):
     "semantic_dedup_trained",
@@ -6640,6 +6692,7 @@ def build_queries() -> dict:
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
         "ccnet_buckets": q_ccnet_buckets,
+        "script_profile": q_script_profile,
         "frontier_build": q_frontier_build,
         "wav_features": q_wav_features,
         "wav_g711_features": q_wav_g711_features,
@@ -6788,6 +6841,7 @@ def build_oracles() -> dict[str, str]:
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),
         "ccnet_buckets": _oracle_ccnet_buckets(),
+        "script_profile": _oracle_script_profile(),
         "frontier_build": _ORACLE_FRONTIER,
         "wav_features": _ORACLE_WAV,
         "wav_g711_features": _ORACLE_WAV_G711,

@@ -1199,3 +1199,78 @@ SELECT {id_col},
        END AS embedding
 FROM n
 """
+
+
+# ---------------------------------------------------------------------
+# Unicode script profile — multilingual curation (round 11)
+# ---------------------------------------------------------------------
+#: script -> character-class body (actual code points, identical
+#: bytes in the Spark (Java regex) and DuckDB (RE2) patterns).  Kept
+#: to the majors a curation pipeline filters on; extend freely.
+SCRIPT_CLASSES: "dict[str, str]" = {
+    "arabic": "؀-ۿ",
+    "cjk": "一-鿿",
+    "cyrillic": "Ѐ-ӿ",
+    "devanagari": "ऀ-ॿ",
+    "greek": "Ͱ-Ͽ",
+    "hangul": "가-힯",
+    "hebrew": "֐-׿",
+    "latin": "A-Za-z",
+}
+
+
+def with_script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode SCRIPT histogram — the wrong-language /
+    mixed-script spam signal multilingual curation filters on (a doc
+    labeled 'de' that is 40% Cyrillic is mislabeled or spam; CJK
+    inside a Latin crawl segment is boilerplate leakage).
+
+    Adds ``n_<script>`` code-point counts for the eight major script
+    blocks plus ``n_digit``, and ``dominant_script`` (argmax with
+    alphabetical tie-break; 'none' when no script chars at all).  All
+    outputs are exact integers + one label — zero float-parity
+    surface.  One whole-stage-codegen projection: each count is
+    ``length(regexp_replace(text, '[^class]', ''))``, no UDF, no
+    shuffle."""
+    out = df
+    names = sorted(SCRIPT_CLASSES)
+    for name in names:
+        cls = SCRIPT_CLASSES[name]
+        out = out.withColumn(
+            f"n_{name}",
+            F.length(
+                F.regexp_replace(F.col(text_col), f"[^{cls}]", "")
+            ).cast("bigint"),
+        )
+    out = out.withColumn(
+        "n_digit",
+        F.length(
+            F.regexp_replace(F.col(text_col), "[^0-9]", "")
+        ).cast("bigint"),
+    )
+    mx = F.greatest(*[F.col(f"n_{n}") for n in names])
+    dom = F.when(mx == 0, F.lit("none"))
+    for name in names:  # alphabetical order IS the tie-break
+        dom = dom.when(F.col(f"n_{name}") == mx, F.lit(name))
+    return out.withColumn("dominant_script", dom)
+
+
+def script_profile_duck_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`with_script_profile`'s added columns, as
+    a SELECT fragment over ``text_expr``."""
+    names = sorted(SCRIPT_CLASSES)
+    cols = [
+        f"CAST(length(regexp_replace({text_expr}, "
+        f"'[^{SCRIPT_CLASSES[n]}]', '', 'g')) AS BIGINT) AS n_{n}"
+        for n in names
+    ]
+    cols.append(
+        f"CAST(length(regexp_replace({text_expr}, '[^0-9]', '', 'g'))"
+        " AS BIGINT) AS n_digit"
+    )
+    mx = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    case = "CASE WHEN " + mx + " = 0 THEN 'none' "
+    for n in names:
+        case += f"WHEN n_{n} = {mx} THEN '{n}' "
+    case += "END"
+    return ",\n       ".join(cols) + f",\n       {case} AS dominant_script"
