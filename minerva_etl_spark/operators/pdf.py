@@ -15,15 +15,18 @@ What is REAL here:
   escaping, optional ``FlateDecode`` (stdlib zlib) stream compression,
   an Info dict with ``/Title``, and a byte-accurate xref table —
   output opens in any PDF viewer.
-- ``pdf_extract`` walks every ``N 0 obj .. endobj`` object (tolerant
-  object scan — real-world extractors do this because real-world xref
+- ``pdf_extract`` walks every ``N G obj .. endobj`` object (tolerant
+  object scan tracking generation numbers — real-world extractors do
+  this because real-world xref
   tables lie; ours are correct and the scan is verified against them
   in tests), resolves ``/Type /Page`` objects IN PAGE-TREE ORDER
   (``/Kids`` walk, falling back to object order when the tree is
   absent), follows direct and array ``/Contents`` references,
-  inflates ``FlateDecode`` streams, and tokenizes the content stream
+  inflates ``FlateDecode`` streams (PNG predictors 10-15 included),
+  and tokenizes the content stream
   for the text-showing operators: ``Tj``, quote/double-quote
-  (next-line show), and ``TJ`` arrays (kerning numbers dropped),
+  (next-line show), and ``TJ`` arrays (kerning adjustments beyond
+  the word-gap magnitude become spaces),
   decoding literal-string escapes (``\\( \\) \\\\ \\n \\t \\r`` and
   octal) and hex strings.  ``Td/TD/T*`` line moves between showings
   emit newlines; pages join with ``\\n\\n``.
@@ -501,7 +504,7 @@ def _assemble_objstm(objs: list[bytes]) -> bytes:
 
 # ----------------------------------------------------------------- read
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b", re.S)
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b", re.S)
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 
 
@@ -518,16 +521,22 @@ def _scan_objects(payload: bytes) -> dict[int, bytes]:
     bytes that happen to spell ``N 0 obj`` / ``endobj`` can neither
     register phantom objects nor truncate real ones (zlib output is
     arbitrary bytes — this WILL happen on a large corpus)."""
-    objs, _ = _scan(payload)
+    objs, _, _ = _scan(payload)
     return objs
 
 
-def _scan(payload: bytes) -> tuple[dict[int, bytes], bytes]:
+def _scan(
+    payload: bytes,
+) -> tuple[dict[int, bytes], bytes, dict[int, int]]:
     """The walk behind :func:`_scan_objects`, also returning a copy
     of the payload with every stream body zeroed — the safe haystack
     for whole-file greps like the trailer's ``/Info`` reference
-    (grepping raw bytes would let compressed data spoof them)."""
+    (grepping raw bytes would let compressed data spoof them) — and
+    the GENERATION number of each surviving definition (encryption's
+    per-object keys mix the gen in; revised real-world objects carry
+    gen > 0)."""
     objs: dict[int, bytes] = {}
+    gens: dict[int, int] = {}
     masked = bytearray(payload)
     pos = 0
     n = len(payload)
@@ -558,8 +567,9 @@ def _scan(payload: bytes) -> tuple[dict[int, bytes], bytes]:
             )
         body = payload[m.end(): em if em >= 0 else n]
         objs[int(m.group(1))] = body.strip()
+        gens[int(m.group(1))] = int(m.group(2))
         pos = em + len(b"endobj") if em >= 0 else n
-    return objs, bytes(masked)
+    return objs, bytes(masked), gens
 
 
 def _string_value(d: bytes, key: bytes) -> bytes | None:
@@ -579,7 +589,9 @@ def _string_value(d: bytes, key: bytes) -> bytes | None:
     return bytes.fromhex(h.decode())
 
 
-def _resolve_crypt(objs: dict[int, bytes], masked: bytes):
+def _resolve_crypt(
+    objs: dict[int, bytes], masked: bytes, gens: dict[int, int]
+):
     """Resolve the standard security handler from the trailer's
     /Encrypt reference: verify the EMPTY user password and return
     ``crypt(num, data)``.
@@ -591,11 +603,10 @@ def _resolve_crypt(objs: dict[int, bytes], masked: bytes):
     handlers, crypt filters other than StdCF/Identity semantics, and
     files whose password check rejects the empty user password (a
     REAL password) raise NotImplementedError — inject a
-    full-featured extractor for those.  Object generation numbers
-    are assumed 0 (the tolerant scan does not track them; a nonzero
-    gen yields a wrong per-object key whose output fails Flate/
-    padding — the skippable ValueError class, never silent wrong
-    text)."""
+    full-featured extractor for those.  Per-object keys mix in each
+    object's GENERATION number from the scan (``gens``), so revised
+    real-world objects (gen > 0, appended by incremental updates)
+    decrypt correctly."""
     from minerva_etl_spark.operators.aes import aes_cbc_decrypt
 
     refs = re.findall(rb"/Encrypt\s+(\d+)\s+\d+\s+R", masked)
@@ -672,13 +683,17 @@ def _resolve_crypt(objs: dict[int, bytes], masked: bytes):
                 if len(data) < 16:
                     raise ValueError("AES payload shorter than its IV")
                 return aes_cbc_decrypt(
-                    _obj_key_aesv2(key, num, 0), data[:16], data[16:]
+                    _obj_key_aesv2(key, num, gens.get(num, 0)),
+                    data[:16],
+                    data[16:],
                 )
 
         else:
 
             def crypt(num: int, data: bytes) -> bytes:
-                return _rc4(_obj_key(key, num, 0), data)
+                return _rc4(
+                    _obj_key(key, num, gens.get(num, 0)), data
+                )
 
         return crypt
 
@@ -866,7 +881,15 @@ def _stream_data(body: bytes, num: int = 0, crypt=None) -> bytes:
 
 
 _STR_TOKEN = re.compile(rb"\(|<[0-9A-Fa-f\s]*>|\bTj\b|\bTJ\b|\bTd\b|"
-                        rb"\bTD\b|\bT\*|'|\"|\bBT\b|\bET\b")
+                        rb"\bTD\b|\bT\*|'|\"|\bBT\b|\bET\b|\[|\]|"
+                        rb"-?\d+(?:\.\d+)?")
+
+#: TJ adjustments are in thousandths of an em, NEGATIVE moving the
+#: next glyph right-ward gap; beyond this magnitude real extractors
+#: read a word break (pdfminer/pdftotext use the same order of
+#: magnitude).  Numbers outside a TJ array (Td coords, font sizes)
+#: are ignored by the in-array gate below.
+_TJ_SPACE_GAP = -180.0
 
 _OCTAL = re.compile(rb"^[0-7]{1,3}")
 
@@ -913,10 +936,15 @@ def _read_literal(data: bytes, i: int) -> tuple[str, int]:
 
 def _content_text(data: bytes) -> str:
     """Text-showing operators of one content stream, newline per line
-    move."""
+    move.  Inside a ``TJ`` array, adjustment numbers beyond
+    ``_TJ_SPACE_GAP`` emit a space — kerning-packed PDFs (a very
+    common producer layout: one TJ per line, words separated only by
+    negative adjustments) would otherwise extract with every word
+    concatenated."""
     pending: list[str] = []  # strings shown since the last Tj/TJ flush
     line: list[str] = []
     lines: list[str] = []
+    in_array = False
     i = 0
     n = len(data)
 
@@ -940,6 +968,10 @@ def _content_text(data: bytes) -> str:
             if len(hexs) % 2:
                 hexs += b"0"
             pending.append(bytes.fromhex(hexs.decode()).decode("latin-1"))
+        elif tok == b"[":
+            in_array = True
+        elif tok == b"]":
+            in_array = False
         elif tok in (b"Tj", b"TJ"):
             line.extend(pending)
             pending.clear()
@@ -953,6 +985,15 @@ def _content_text(data: bytes) -> str:
         elif tok == b"ET":
             end_line()
             pending.clear()
+        elif in_array:  # a TJ adjustment number
+            try:
+                adj = float(tok)
+            except ValueError:  # pragma: no cover - regex-guarded
+                continue
+            if adj <= _TJ_SPACE_GAP and pending and not (
+                pending[-1].endswith(" ")
+            ):
+                pending.append(" ")
     end_line()
     return "\n".join(lines)
 
@@ -1010,7 +1051,7 @@ def pdf_extract_text(payload: bytes) -> dict:
     """
     if not payload.startswith(b"%PDF-"):
         raise ValueError("not a PDF payload (missing %PDF- header)")
-    objs, masked = _scan(payload)
+    objs, masked, gens = _scan(payload)
     # ALL whole-file greps run over the stream-masked bytes —
     # compressed data spelling '/Encrypt' must not reject a valid PDF.
     # RC4 standard-security files with an EMPTY user password (the
@@ -1018,7 +1059,7 @@ def pdf_extract_text(payload: bytes) -> dict:
     # passwords / custom handlers raise inside _resolve_crypt.
     crypt = None
     if re.search(rb"/Encrypt\b", masked):
-        crypt = _resolve_crypt(objs, masked)
+        crypt = _resolve_crypt(objs, masked, gens)
     # PDF 1.5+: unpack /ObjStm object streams so compressed catalog/
     # page/Info objects are visible to the page-tree walk below (the
     # layout virtually all post-2005 producers emit); their strings

@@ -168,6 +168,58 @@ def test_tiff_predictor_is_honest_reject():
         pdf_extract_text(bad)
 
 
+def test_tj_kerning_gaps_become_spaces():
+    """Kerning-packed TJ arrays (words separated only by negative
+    adjustments — a very common producer layout) must extract with
+    word boundaries; small kerning must NOT split."""
+    from minerva_etl_spark.operators.pdf import _content_text
+
+    packed = (
+        b"BT /F1 11 Tf 72 720 Td "
+        b"[(Hel)5(lo)-250(kerned)-300(world)] TJ ET"
+    )
+    assert _content_text(packed) == "Hello kerned world"
+    assert _content_text(b"BT [(inte)-50(rnal)] TJ ET") == "internal"
+    # numbers OUTSIDE arrays (Td coords, font sizes) never inject
+    assert (
+        _content_text(b"BT /F1 11 Tf 72 -720 Td (plain) Tj ET")
+        == "plain"
+    )
+
+
+def test_generation_numbers_feed_the_object_keys():
+    """A revised object appended with gen 1 (incremental update) is
+    encrypted under the gen-1 per-object key — the scan tracks gens
+    so it decrypts; assuming gen 0 would yield RC4 garbage."""
+    import re as _re
+
+    from minerva_etl_spark.operators.pdf import (
+        _dict_of,
+        _obj_key,
+        _rc4,
+        _scan,
+        _std_file_key,
+        _string_value,
+    )
+
+    base = synthesize_pdf(["old text"], encrypt=True, encrypt_r=3)
+    objs, masked, _g = _scan(base)
+    enc_num = int(_re.search(rb"/Encrypt (\d+)", base).group(1))
+    d = _dict_of(objs[enc_num])
+    o = _string_value(d, b"/O")
+    p = int(_re.search(rb"/P (-?\d+)", d).group(1))
+    id0 = bytes.fromhex(
+        _re.search(rb"/ID \[<([0-9a-f]+)>", base).group(1).decode()
+    )
+    key = _std_file_key(o, p, id0, 3, 16)
+    new_stream = b"BT /F1 11 Tf 72 720 Td (revised text) Tj ET"
+    enc = _rc4(_obj_key(key, 6, 1), new_stream)
+    upd = base + (
+        b"6 1 obj\n<< /Length %d >>\nstream\n" % len(enc)
+    ) + enc + b"\nendstream\nendobj\n"
+    assert pdf_extract_text(upd)["text"] == "revised text"
+
+
 # ------------------------------------------------- RC4 encryption
 
 
