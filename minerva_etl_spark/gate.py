@@ -6354,12 +6354,15 @@ def _oracle_tfidf_terms() -> str:
 #: are redundant demos whose operators are already proven in-window
 #: (TPC-H showpieces, a duplicate granularity rung, extra window ops).
 _REGISTRY_ORDER = [
-    # ---------------- r11 driver window (first 50) -------------------
-    # r11 rotation (the r10 verdict's ask 1): all 18 never-driver-
-    # checked r10-born rows (the media/code/chat arc) rotate IN,
-    # draining the never-checked debt to zero again.  18 multi-round
-    # driver-green rows rotate OUT with named in-window vouchers (see
-    # the comment block after the window, and COVERAGE.md r11 section).
+    # ---------------- r12 driver window (first 50) -------------------
+    # r12 rotation (the r11 verdict's ask 2): the six r11-born rows
+    # with no driver CORRECTNESS row rotate IN (sim_ivf_pq_increment,
+    # bitext_mine, wds_roundtrip, pack_semantic, ccnet_buckets,
+    # script_profile — never-checked debt back to zero).  Six
+    # multi-round driver-green rows rotate OUT with named in-window
+    # vouchers (comment block after the window + COVERAGE.md r12).
+    # token_budget_select STAYS in-window per the r11 verdict's ask 1
+    # (the oracle HUGEINT fix needs a green driver row to close).
     # -- LLM-pipeline: dedup / decontamination / quality --------------
     "semantic_dedup",
     "boilerplate_strip",
@@ -6367,20 +6370,29 @@ _REGISTRY_ORDER = [
     "quality_filter",
     "gopher_rules",
     "lm_perplexity",
-    "dsir_select",
     # -- LLM-pipeline: similarity -------------------------------------
-    "sim_ivf_query",
-    # NEW r11 row, straight into the window (jpeg_features precedent):
-    # int8-quantized ANN state + exact rescore (r10 verdict ask 5).
-    # Makes room by rotating wav_spectral out (see the voucher block).
     "sim_ivf_pq",
+    # r12 rotate-in: extends in-window sim_ivf_pq's quantized state
+    # with the frozen-centroid delta-assign delivery cycle.
+    "sim_ivf_pq_increment",
+    # r12 rotate-in: ratio-margin bitext mining (DECIMAL-exact
+    # neighborhood sums), cosine/window machinery shared with
+    # sim_ivf_pq.
+    "bitext_mine",
     # -- LLM-pipeline: text / tokens / curation ------------------------
     "tfidf_terms",
     "bpe_encode",
     "chunk_sequences",
-    "shard_pack_shuffled",
+    # r12 rotate-in: the same two-pass prefix-sum packer spine as
+    # shard_pack_shuffled, driven by the cluster+affinity order key.
+    "pack_semantic",
+    # r12 rotate-in: lm_perplexity's scorer composed with the
+    # skew-safe exact NTILE.
+    "ccnet_buckets",
+    # r12 rotate-in: one-codegen-projection Unicode script histogram
+    # (the text_profile family).
+    "script_profile",
     "curated_export",
-    "corpus_report",
     "pipeline_curate_bp",
     # -- LLM-pipeline: multimodal codecs -------------------------------
     "gif_features",
@@ -6388,7 +6400,6 @@ _REGISTRY_ORDER = [
     "wav_g711_features",
     # -- crawl arc ------------------------------------------------------
     "warc_harvest",
-    "charset_decode",
     "html_extract",
     "url_profile",
     "robots_filter",
@@ -6398,7 +6409,9 @@ _REGISTRY_ORDER = [
     "frontier_build",
     # -- document-corpus ingest edges -----------------------------------
     "pdf_extract",
-    "archive_harvest",
+    # r12 rotate-in: tar shard export/import through the same
+    # write_archives/read_archives machinery archive_harvest pinned.
+    "wds_roundtrip",
     # -- engine lifecycle anchors (fused ingest + materialization) -------
     "lifecycle_load_store",
     "lifecycle_materialize",
@@ -6423,6 +6436,45 @@ _REGISTRY_ORDER = [
     "incremental_image_dedup",
     "incremental_video_dedup",
     # ---------- entries past the driver's 50-row window --------------
+    # r12 rotated-OUT rows (6, every one ≥2-round driver-green — green
+    # in BOTH CORRECTNESS_r10.json and CORRECTNESS_r11.json — with a
+    # named in-window voucher; tools/check_oracle.py still verifies
+    # all of them every session):
+    #   sim_ivf_query — driver-green r10+r11; sim_ivf_pq (in-window)
+    #     executes the identical probe-pruned candidate equi-join +
+    #     salted top-k over the same prebuilt IVF state, and
+    #     sim_ivf_pq_increment (in-window) replays the state build;
+    #     full-precision recall EQUALITY with the quantized path is
+    #     pytest-pinned (test_quantize).
+    #   dsir_select — driver-green r10+r11; the hashed-n-gram
+    #     importance scorer rides lm_perplexity's LM machinery
+    #     (in-window, and composed again by in-window ccnet_buckets);
+    #     the broadcast ratio table + md5-draw selection frame is
+    #     in-window via token_budget_select and curated_export.
+    #   shard_pack_shuffled — driver-green r10+r11; pack_semantic
+    #     (in-window) runs the SAME two-pass partitioned prefix-sum
+    #     packer through the order_col hook, chunk_sequences
+    #     (in-window) pins the chunker, and the md5 shuffle draw is
+    #     pinned engine-wide (curated_export, wds_roundtrip).
+    #   archive_harvest — driver-green r10+r11; wds_roundtrip
+    #     (in-window) round-trips tar members through the same
+    #     write_archives/read_archives machinery, and pipeline_document
+    #     (in-window) harvests a tar/zip archive corpus end to end.
+    #   corpus_report — driver-green r10+r11; the per-(lang,source)
+    #     one-scan stats share the scan family with in-window
+    #     quality_filter / gopher_rules, and the token totals ride the
+    #     same tokenizer token_budget_select (in-window) pins.
+    #   charset_decode — driver-green r10+r11; pipeline_crawl
+    #     (in-window) runs decode_text end to end inside the fused
+    #     WARC harvest (BOM strip + header/meta resolution on the
+    #     surviving rows shifts its hash), pytest test_charset covers
+    #     the full scenario matrix.
+    "sim_ivf_query",
+    "dsir_select",
+    "shard_pack_shuffled",
+    "archive_harvest",
+    "corpus_report",
+    "charset_decode",
     # r11 rotated-OUT rows (18, every one ≥2-round driver-green; named
     # in-window voucher for each — tools/check_oracle.py still verifies
     # all of them every session):
@@ -6507,32 +6559,8 @@ _REGISTRY_ORDER = [
     "lifecycle_notification",
     "lifecycle_retention",
     "entity_dim_register",
-    # NEW r11 rows born out-of-window — labeled r12 rotate-in
-    # candidates (r8.5/r10 precedent), locally hash-verified at
-    # sf0.001 + sf0.01:
-    #   sim_ivf_pq_increment extends in-window sim_ivf_pq's quantized
-    #     state with the delivery cycle (frozen-centroid delta assign
-    #     + quantize + append == full recompute, oracle-replayed);
-    #   bitext_mine is pure Catalyst over the embeddings fixture
-    #     (ratio-margin mining; DECIMAL-exact neighborhood sums), its
-    #     cosine/window machinery in-window via sim_ivf_pq;
-    #   wds_roundtrip composes in-window archive_harvest's tar
-    #     machinery (write_archives/read_archives) with the md5-draw
-    #     shard assignment every in-window sampler pins;
-    #   pack_semantic reuses in-window machinery end to end: the
-    #     kmeans/assignment chain of sim_ivf_pq and the prefix-sum
-    #     pack spine of shard_pack_shuffled / pack_token_ids;
-    #   ccnet_buckets composes in-window lm_perplexity's scorer with
-    #     the skew-safe exact NTILE (differential-pytest-pinned equal
-    #     to the window form);
-    "sim_ivf_pq_increment",
-    "bitext_mine",
-    "wds_roundtrip",
-    #   script_profile is one codegen projection (the text_profile
-    #     family), integer-only outputs, planted multi-script runs;
-    "pack_semantic",
-    "ccnet_buckets",
-    "script_profile",
+    # (the six r11-born rows formerly listed here rotated INTO the
+    # window above in r12)
     # r10 rotated-OUT rows (vouchers unchanged, see the r10 block in
     # COVERAGE.md):
     "semantic_dedup_trained",

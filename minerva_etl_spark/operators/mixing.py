@@ -238,12 +238,17 @@ def select_token_budget_oracle_sql(
             f" AS b({source_col}, __budget) USING ({source_col}))"
         )
         budget = "__budget"
+    # The window sum MUST be cast back to BIGINT: DuckDB's SUM(BIGINT)
+    # yields HUGEINT, whose pandas conversion is engine-version
+    # dependent (float64 on 1.0, object ints elsewhere) — the r11
+    # driver-red on this row was exactly that float64 leaking into the
+    # canonicalized CSV as "301.0" vs Spark's "301".
     return f"""
 SELECT {select_cols}, cum_tokens FROM (
-  SELECT t.*, sum(CAST({token_col} AS BIGINT)) OVER (
+  SELECT t.*, CAST(sum(CAST({token_col} AS BIGINT)) OVER (
       PARTITION BY {source_col}
       ORDER BY ({prio}) DESC, {id_col} ASC
-      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
   FROM {src} t
 ) WHERE cum_tokens <= {budget}
 """

@@ -44,6 +44,57 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(body).hexdigest()
 
 
+def dtype_kind_mismatch(s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
+    """Columns whose pandas dtype KIND differs between the Spark and
+    DuckDB frames (int vs float vs object ...).  The local
+    ``%.10g``-formatted hash renders ``301.0`` and ``301``
+    identically, so a kind divergence can be green here yet red under
+    the driver's canonicalizer — the r11 ``token_budget_select``
+    failure class (DuckDB HUGEINT window sum -> float64).  Treat any
+    hit as a cross-environment reproducibility bug."""
+    out = []
+    for c in s.columns:
+        ks, kd = s[c].dtype.kind, d[c].dtype.kind
+        if ks == kd:
+            continue
+        # int-vs-object(int) is rendered identically by to_csv; only
+        # flag when a FLOAT faces a non-float (the lossy rendering).
+        if "f" in (ks, kd):
+            out.append(f"{c}({ks} vs {kd})")
+    return out
+
+
+def dump_mismatch(name: str, s: pd.DataFrame, d: pd.DataFrame) -> str:
+    """On a hash mismatch, persist both normalized frames and their
+    row-level diff so a divergence seen only in another environment
+    (e.g. the driver's) is diagnosable from artifacts alone."""
+    import os
+
+    outdir = f"/tmp/oracle_diff/{name}"
+    os.makedirs(outdir, exist_ok=True)
+    s.to_csv(f"{outdir}/spark.csv", index=False)
+    d.to_csv(f"{outdir}/duck.csv", index=False)
+    with open(f"{outdir}/diff.txt", "w") as fh:
+        fh.write(f"dtypes spark: {dict(s.dtypes.astype(str))}\n")
+        fh.write(f"dtypes duck:  {dict(d.dtypes.astype(str))}\n")
+        if len(s) == len(d):
+            for c in s.columns:
+                neq = ~(
+                    (s[c] == d[c])
+                    | (s[c].isna() & d[c].isna())
+                )
+                if neq.any():
+                    idx = neq[neq].index
+                    fh.write(f"column {c}: {len(idx)} differing rows\n")
+                    for i in idx[:20]:
+                        fh.write(
+                            f"  [{i}] spark={s[c][i]!r} duck={d[c][i]!r}\n"
+                        )
+        else:
+            fh.write(f"row counts differ: {len(s)} vs {len(d)}\n")
+    return outdir
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -99,12 +150,23 @@ def main() -> int:
             problems.append(f"rows {len(s)} vs {len(d)}")
         if list(s.columns) != list(d.columns):
             problems.append(f"cols {list(s.columns)} vs {list(d.columns)}")
+        if not problems:
+            kinds = dtype_kind_mismatch(s, d)
+            if kinds:
+                # green under %.10g but red under a verbatim-float
+                # canonicalizer — fail it HERE so the divergence never
+                # ships to the driver
+                problems.append(f"dtype-kind mismatch {kinds}")
+                dumped = dump_mismatch(name, s, d)
+                print(f"    dumped frames to {dumped}")
         if not problems and value_hash(s) != value_hash(d):
             diff_cols = []
             for c in s.columns:
                 if not s[c].equals(d[c]):
                     diff_cols.append(c)
             problems.append(f"hash mismatch in cols {diff_cols}")
+            dumped = dump_mismatch(name, s, d)
+            print(f"    dumped frames to {dumped}")
             for c in diff_cols[:2]:
                 neq = s[c] != d[c]
                 idx = neq[neq].index[:3]
