@@ -931,7 +931,7 @@ FROM files
 #: bump when ANY staged fixture's generating formula changes — the
 #: stage cache key includes it, so stale payloads can never leak
 #: across formula revisions.
-_MEDIA_STAGE_VERSION = "r11b"
+_MEDIA_STAGE_VERSION = "r12a"
 
 
 def _media_fixture_staged(spark, sf_dir, kind, build):
@@ -947,14 +947,25 @@ def _media_fixture_staged(spark, sf_dir, kind, build):
     either way, so a stale-stage bug would hash-mismatch, never pass
     silently.  The write is atomic (tmp dir + rename) so concurrent
     builders (pytest vs bench) cannot expose a half-written stage."""
+    import glob
     import hashlib
     import os
     import shutil
     import tempfile
 
+    # the stage key folds in a fingerprint of the SOURCE parquet
+    # files (name, size, mtime): regenerated fixture data at the same
+    # sf_dir path must invalidate the stage — the oracle would catch
+    # a stale stage, but the bench path would otherwise silently time
+    # against stale payloads (r11 advice)
+    src_sig = ";".join(
+        f"{os.path.basename(p)}:{os.path.getsize(p)}"
+        f":{os.stat(p).st_mtime_ns}"
+        for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+    )
     tag = hashlib.md5(
         f"{_MEDIA_STAGE_VERSION}:{kind}:{os.path.abspath(sf_dir)}"
-        .encode()
+        f":{src_sig}".encode()
     ).hexdigest()[:10]
     path = os.path.join(
         tempfile.gettempdir(), f"minerva_media_stage_{kind}_{tag}"
@@ -4975,11 +4986,15 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     additionally ENCRYPTED under the standard security handler with
     an empty user password, cycling ALL FOUR supported revisions
     (RC4-40 / RC4-128 / AESV2 / AES-256-R6 — the "owner-restricted"
-    crawl class, r11) — then parsed back through the full chain:
-    binary-safe object scan, key derivation (md5 ladder or the 2.B
-    SHA-2 KDF) + password verify + per-object RC4/AES-CBC, /ObjStm
-    expansion, page-tree walk, zlib inflate, Tj tokenizing with
-    literal-string unescaping.
+    crawl class, r11), and every seventh doc written in the
+    CID/Type0 COMPOSITE-FONT layout (Identity-H, 2-byte code show
+    strings, a real /ToUnicode CMap with bfchar + bfrange entries —
+    the CJK/modern-generator shape, r12) — then parsed back through
+    the full chain: binary-safe object scan, key derivation (md5
+    ladder or the 2.B SHA-2 KDF) + password verify + per-object
+    RC4/AES-CBC, /ObjStm expansion, page-tree walk, zlib inflate,
+    font resolution + CMap decode, Tj tokenizing with literal-string
+    unescaping.
     The oracle rebuilds title, page join, and char count closed-form
     and is container- and encryption-blind by design; a bug in ANY
     stage (xref/object boundaries, ObjStm offset table, key
@@ -5011,6 +5026,12 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                             objstm=(d % 3 == 0),
                             encrypt=(d % 3 != 0 and d % 5 == 0),
                             encrypt_r=(2, 3, 4, 6)[(d // 5) % 4],
+                            # every 7th doc uses the CID/Type0
+                            # composite-font layout (r12) — across
+                            # ObjStm, plain, Flate, and encrypted
+                            # containers; same text, so the oracle
+                            # stays container- and font-blind
+                            type0=(d % 7 == 0),
                         ),
                     )
                 )

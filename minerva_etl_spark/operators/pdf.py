@@ -51,15 +51,28 @@ the password entries, and decrypts strings and streams before
 filters.  AES runs on OpenSSL (`cryptography`) when present, else
 the FIPS-verified pure-stdlib fallback (`operators/aes.py`).
 
+CID/Type0 composite fonts extract (round 12): the page's
+``/Resources /Font`` dictionary is resolved (inline or indirect),
+``/Type0`` fonts get their ``/ToUnicode`` CMap parsed (``bfchar`` +
+both ``bfrange`` destination forms, code width from
+``begincodespacerange``), and the content-stream walker tracks the
+active font through ``Tf`` so multi-byte show strings decode through
+the CMap — the layout CJK documents and most modern generators
+(Word, LaTeX with fontspec) emit.  ``synthesize_pdf(type0=True)``
+writes the same layout with codes that are deliberately NOT Unicode
+ordinals.  A Type0 font WITHOUT a usable ToUnicode decodes to
+U+FFFD (its codes are font-internal glyph ids): explicit unknown,
+never silently wrong text.
+
 Honest boundaries (raise, never guess):
 custom security handlers, REAL (non-empty) user passwords,
 non-Flate stream filters on page content or object
 streams (DCT/LZW/ASCII85),
 corrupt Flate data (ValueError,
-the skippable dirty-payload class), and CID/Type0 composite fonts
-whose hex strings are multi-byte code points — the simple-font
-byte==char mapping this implements covers the synthesizable subset
-and standard-encoding western text.  Known softness: an object
+the skippable dirty-payload class).  Simple fonts keep the latin-1
+byte==char mapping (standard-encoding western text); custom
+simple-font /Differences encodings are approximated by that same
+mapping.  Known softness: an object
 whose ``/Length`` is an indirect reference falls back to an
 ``endstream`` keyword search, which a compressed stream could
 theoretically spoof — the corruption then surfaces as the
@@ -123,13 +136,19 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 def _std_file_key(
     o_entry: bytes, p: int, id0: bytes, r: int, key_len: int,
     user_pw: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key from the (padded) user
-    password, /O, /P (4-byte little-endian SIGNED), and /ID[0]."""
+    password, /O, /P (4-byte little-endian SIGNED), and /ID[0].
+    When R >= 4 and the encryption dictionary carries
+    ``/EncryptMetadata false``, the spec appends 0xFFFFFFFF to the
+    hash input — real-world R4 files with unencrypted XMP metadata
+    fail the /U check without this step."""
     padded = (user_pw + _PAD)[:32]
     h = hashlib.md5(
         padded + o_entry[:32] + (p & 0xFFFFFFFF).to_bytes(4, "little")
         + id0
+        + (b"" if encrypt_metadata else b"\xff\xff\xff\xff")
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -212,6 +231,67 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
+def _tounicode_cmap(code2char: dict[int, str]) -> bytes:
+    """A real /ToUnicode CMap stream body for a code→char assignment:
+    maximal runs where code and Unicode ordinal advance together (BMP
+    only, never crossing the high-byte boundary per spec §9.10.3)
+    become ``bfrange`` entries; the rest become ``bfchar`` (dst =
+    UTF-16BE hex, surrogate pairs for non-BMP) — so ordinary text
+    exercises BOTH CMap entry forms.  Blocks chunk at the spec's 100
+    entries."""
+    items = sorted(code2char.items())
+    runs: list[list[int]] = []  # [code_lo, code_hi, ord_lo]
+    for code, ch in items:
+        o = ord(ch)
+        if (
+            runs
+            and o <= 0xFFFF
+            and code == runs[-1][1] + 1
+            and o == runs[-1][2] + (code - runs[-1][0])
+            and (code >> 8) == (runs[-1][0] >> 8)
+            and runs[-1][2] <= 0xFFFF
+        ):
+            runs[-1][1] = code
+        else:
+            runs.append([code, code, o])
+    chars = [
+        (lo, code2char[lo]) for lo, hi, _ in runs if lo == hi
+    ]
+    ranges = [(lo, hi, olo) for lo, hi, olo in runs if lo != hi]
+    out = [
+        b"/CIDInit /ProcSet findresource begin",
+        b"12 dict begin",
+        b"begincmap",
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) "
+        b"/Supplement 0 >> def",
+        b"/CMapName /Adobe-Identity-UCS def",
+        b"/CMapType 2 def",
+        b"1 begincodespacerange",
+        b"<0000> <FFFF>",
+        b"endcodespacerange",
+    ]
+    for j in range(0, len(chars), 100):
+        chunk = chars[j: j + 100]
+        out.append(b"%d beginbfchar" % len(chunk))
+        for code, ch in chunk:
+            dst = ch.encode("utf-16-be").hex().encode()
+            out.append(b"<%04x> <%s>" % (code, dst))
+        out.append(b"endbfchar")
+    for j in range(0, len(ranges), 100):
+        chunk = ranges[j: j + 100]
+        out.append(b"%d beginbfrange" % len(chunk))
+        for lo, hi, olo in chunk:
+            out.append(b"<%04x> <%04x> <%04x>" % (lo, hi, olo))
+        out.append(b"endbfrange")
+    out += [
+        b"endcmap",
+        b"CMapName currentdict /CMap defineresource pop",
+        b"end",
+        b"end",
+    ]
+    return b"\n".join(out)
+
+
 def synthesize_pdf(
     pages: list[str],
     title: str | None = None,
@@ -219,6 +299,8 @@ def synthesize_pdf(
     objstm: bool = False,
     encrypt: bool = False,
     encrypt_r: int = 3,
+    encrypt_metadata: bool = True,
+    type0: bool = False,
 ) -> bytes:
     """A real PDF file with one page per entry of ``pages``.
 
@@ -237,8 +319,16 @@ def synthesize_pdf(
     crawl class — opens in any reader): revision ``encrypt_r`` (2 =
     40-bit, 3 = 128-bit), strings re-encoded as encrypted hex, every
     stream RC4'd with its per-object key, deterministic /ID.
-    Deterministic bytes for a given input (fixture requirement shared
-    with ``synthesize_png``/``synthesize_warc``).
+    ``type0=True`` emits the composite-font layout CJK documents and
+    most modern generators (Word, LaTeX with fontspec) produce: /F1
+    becomes a ``/Type0`` font (``/Encoding /Identity-H``, a
+    ``/CIDFontType2`` descendant) whose content streams show 2-byte
+    hex code strings, mapped back to text by a real ``/ToUnicode``
+    CMap (``bfchar`` + ``bfrange`` entries; codes are assignment
+    indexes, deliberately NOT Unicode ordinals, so extraction must
+    actually run the CMap).  Deterministic bytes for a given input
+    (fixture requirement shared with
+    ``synthesize_png``/``synthesize_warc``).
     """
     if encrypt and objstm:
         raise ValueError(
@@ -248,31 +338,72 @@ def synthesize_pdf(
     objs: list[bytes] = []  # 1-indexed body of object i+1
 
     n_pages = len(pages)
-    # object layout: 1 catalog, 2 pages-tree, 3 info, 4 font,
-    # then per page i: (5+2i) page, (6+2i) content stream
-    kids = " ".join(f"{5 + 2 * i} 0 R" for i in range(n_pages))
+    # object layout: 1 catalog, 2 pages-tree, 3 info, then the font
+    # block (simple: 4 font | type0: 4 font, 5 descendant, 6
+    # ToUnicode), then per page i: page dict + content stream
+    base = 7 if type0 else 5
+    kids = " ".join(f"{base + 2 * i} 0 R" for i in range(n_pages))
     objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
     objs.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     t = f"/Title ({_esc(title)}) " if title is not None else ""
     objs.append(f"<< {t}/Producer (minerva-spark) >>".encode())
-    objs.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    char2code: dict[str, int] = {}
+    if type0:
+        # codes are 1-based assignment indexes over the sorted char
+        # set — consecutive chars get consecutive codes, so ordinary
+        # text produces real bfrange runs (plus bfchar singletons)
+        for k, ch in enumerate(
+            sorted(set("".join(pages).replace("\n", "")))
+        ):
+            char2code[ch] = k + 1
+        objs.append(
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /MinervaCID "
+            b"/Encoding /Identity-H /DescendantFonts [5 0 R] "
+            b"/ToUnicode 6 0 R >>"
+        )
+        objs.append(
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont "
+            b"/MinervaCID /CIDSystemInfo << /Registry (Adobe) "
+            b"/Ordering (Identity) /Supplement 0 >> /DW 500 "
+            b"/CIDToGIDMap /Identity >>"
+        )
+        cmap = _tounicode_cmap(
+            {c: ch for ch, c in char2code.items()}
+        )
+        if compress:
+            cmap = zlib.compress(cmap, 9)
+            chead = (
+                f"<< /Length {len(cmap)} /Filter /FlateDecode >>"
+            ).encode()
+        else:
+            chead = f"<< /Length {len(cmap)} >>".encode()
+        objs.append(chead + b"\nstream\n" + cmap + b"\nendstream")
+    else:
+        objs.append(
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+        )
     for i, text in enumerate(pages):
         objs.append(
             (
                 f"<< /Type /Page /Parent 2 0 R /Resources "
                 f"<< /Font << /F1 4 0 R >> >> "
-                f"/MediaBox [0 0 612 792] /Contents {6 + 2 * i} 0 R >>"
+                f"/MediaBox [0 0 612 792] /Contents "
+                f"{base + 1 + 2 * i} 0 R >>"
             ).encode()
         )
         ops = ["BT", "/F1 11 Tf", "72 720 Td"]
         for j, line in enumerate(text.split("\n")):
             if j:
                 ops.append("0 -14 Td")
-            ops.append(f"({_esc(line)}) Tj")
+            if type0:
+                hexs = "".join(
+                    f"{char2code[ch]:04x}" for ch in line
+                )
+                ops.append(f"<{hexs}> Tj")
+            else:
+                ops.append(f"({_esc(line)}) Tj")
         ops.append("ET")
         stream = "\n".join(ops).encode("latin-1", errors="replace")
         if compress:
@@ -288,7 +419,9 @@ def synthesize_pdf(
         return _assemble_objstm(objs)
     trailer_extra = b""
     if encrypt:
-        objs, trailer_extra = _encrypt_objs(objs, encrypt_r)
+        objs, trailer_extra = _encrypt_objs(
+            objs, encrypt_r, encrypt_metadata=encrypt_metadata
+        )
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = [0]
     for num, body in enumerate(objs, start=1):
@@ -326,7 +459,7 @@ def _encrypt_strings(body: bytes, enc) -> bytes:
 
 
 def _encrypt_objs(
-    objs: list[bytes], r: int
+    objs: list[bytes], r: int, encrypt_metadata: bool = True
 ) -> tuple[list[bytes], bytes]:
     """Standard-security-handler assembly step: encrypt every object's
     strings and stream data in place, append the (unencrypted)
@@ -383,7 +516,10 @@ def _encrypt_objs(
     else:
         key_len = 5 if r == 2 else 16
         o = _std_o_entry(b"owner", b"", min(r, 3), key_len)
-        key = _std_file_key(o, p_flags, id0, min(r, 3), key_len)
+        key = _std_file_key(
+            o, p_flags, id0, min(r, 3), key_len,
+            encrypt_metadata=encrypt_metadata or r < 4,
+        )
         u = _std_u_entry(key, id0, min(r, 3))
         if r == 4:
 
@@ -393,9 +529,12 @@ def _encrypt_objs(
                     _obj_key_aesv2(key, num, 0), iv, data
                 )
 
+            em = (
+                "" if encrypt_metadata else "/EncryptMetadata false "
+            )
             enc_dict = (
                 f"<< /Filter /Standard /V 4 /R 4 /Length 128 "
-                f"/P {p_flags} "
+                f"/P {p_flags} {em}"
                 "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
                 "/StmF /StdCF /StrF /StdCF ".encode()
                 + b"/O <" + o.hex().encode() + b"> "
@@ -668,8 +807,16 @@ def _resolve_crypt(
         if im is None:
             raise ValueError("missing /ID for RC4/AESV2 decryption")
         id0 = bytes.fromhex(re.sub(rb"\s", b"", im.group(1)).decode())
-        rr = min(r, 3)  # R4 derives keys exactly like R3
-        key = _std_file_key(o, int(pm.group(1)), id0, rr, key_len)
+        rr = min(r, 3)  # R4 derives keys exactly like R3 ...
+        # ... except /EncryptMetadata false (R4 only) appends
+        # 0xFFFFFFFF to the key hash; the flag only applies at R >= 4
+        enc_meta = r < 4 or not re.search(
+            rb"/EncryptMetadata\s+false\b", d
+        )
+        key = _std_file_key(
+            o, int(pm.group(1)), id0, rr, key_len,
+            encrypt_metadata=enc_meta,
+        )
         expect = _std_u_entry(key, id0, rr)
         n_check = 16 if rr >= 3 else 32
         if u[:n_check] != expect[:n_check]:
@@ -881,8 +1028,8 @@ def _stream_data(body: bytes, num: int = 0, crypt=None) -> bytes:
 
 
 _STR_TOKEN = re.compile(rb"\(|<[0-9A-Fa-f\s]*>|\bTj\b|\bTJ\b|\bTd\b|"
-                        rb"\bTD\b|\bT\*|'|\"|\bBT\b|\bET\b|\[|\]|"
-                        rb"-?\d+(?:\.\d+)?")
+                        rb"\bTD\b|\bT\*|'|\"|\bBT\b|\bET\b|\bTf\b|\[|\]|"
+                        rb"/[^\s/<>\[\]()]+|-?\d+(?:\.\d+)?")
 
 #: TJ adjustments are in thousandths of an em, NEGATIVE moving the
 #: next glyph right-ward gap; beyond this magnitude real extractors
@@ -934,24 +1081,120 @@ def _read_literal(data: bytes, i: int) -> tuple[str, int]:
     raise ValueError("unterminated PDF literal string")
 
 
-def _content_text(data: bytes) -> str:
+_CMAP_HEX = re.compile(rb"<([0-9A-Fa-f]+)>")
+
+
+def _utf16_hex(h: bytes) -> str:
+    """A CMap destination hex token (UTF-16BE code units, surrogate
+    pairs for non-BMP) to str."""
+    if len(h) % 4:
+        h = h.rjust((len(h) + 3) // 4 * 4, b"0")
+    return bytes.fromhex(h.decode()).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(data: bytes) -> dict:
+    """Parse a /ToUnicode CMap stream (spec §9.10.3) into
+    ``{"width": code-byte-width, "map": {code: str}}``.
+
+    Covers ``bfchar`` entries, both ``bfrange`` destination forms
+    (``<lo> <hi> <dstStart>`` increments the destination per spec;
+    ``<lo> <hi> [<d1> <d2> ...]`` enumerates), and reads the code
+    width off ``begincodespacerange`` (2 bytes for the ubiquitous
+    Identity-H encoding)."""
+    width = 2
+    m = re.search(
+        rb"begincodespacerange(.*?)endcodespacerange", data, re.S
+    )
+    if m:
+        h = _CMAP_HEX.search(m.group(1))
+        if h:
+            width = max(1, (len(h.group(1)) + 1) // 2)
+    cmap: dict[int, str] = {}
+    for seg in re.finditer(rb"beginbfchar(.*?)endbfchar", data, re.S):
+        toks = _CMAP_HEX.findall(seg.group(1))
+        for j in range(0, len(toks) - 1, 2):
+            cmap[int(toks[j], 16)] = _utf16_hex(toks[j + 1])
+    ent = re.compile(
+        rb"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+        rb"(<[0-9A-Fa-f]+>|\[[^\]]*\])"
+    )
+    for seg in re.finditer(rb"beginbfrange(.*?)endbfrange", data, re.S):
+        for e in ent.finditer(seg.group(1)):
+            lo, hi = int(e.group(1), 16), int(e.group(2), 16)
+            dst = e.group(3)
+            if dst.startswith(b"["):
+                for k, dh in enumerate(_CMAP_HEX.findall(dst)):
+                    if lo + k > hi:
+                        break
+                    cmap[lo + k] = _utf16_hex(dh)
+            else:
+                dh = dst[1:-1]
+                base = int(dh, 16)
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = _utf16_hex(
+                        b"%0*x" % (len(dh), base + k)
+                    )
+    return {"width": width, "map": cmap}
+
+
+def _decode_cid(raw: bytes, font: dict) -> str:
+    """Decode a composite-font show string: fixed-width big-endian
+    codes through the font's ToUnicode map.  Unmapped codes become
+    U+FFFD — an EXPLICIT unknown, never silently wrong text."""
+    w, m = font["width"], font["map"]
+    return "".join(
+        m.get(int.from_bytes(raw[i: i + w], "big"), "�")
+        for i in range(0, len(raw) - w + 1, w)
+    )
+
+
+def _content_text(
+    data: bytes, fonts: "dict[str, dict | None] | None" = None
+) -> str:
     """Text-showing operators of one content stream, newline per line
     move.  Inside a ``TJ`` array, adjustment numbers beyond
     ``_TJ_SPACE_GAP`` emit a space — kerning-packed PDFs (a very
     common producer layout: one TJ per line, words separated only by
     negative adjustments) would otherwise extract with every word
-    concatenated."""
-    pending: list[str] = []  # strings shown since the last Tj/TJ flush
+    concatenated.  Gap positions are buffered and only become spaces
+    when the array is actually terminated by a ``TJ`` operator — a
+    negative number inside a non-TJ array (dash patterns, inline-image
+    Decode arrays) must not inject phantom spaces.
+
+    ``fonts`` maps resource font names (sans slash) to a CMap spec
+    from :func:`_parse_tounicode` for /Type0 composite fonts, or
+    ``None`` for simple fonts (latin-1 byte passthrough); the active
+    font follows the ``Tf`` operator."""
+    fonts = fonts or {}
+    pending: list = []  # shown strings; None marks a TJ kerning gap
     line: list[str] = []
     lines: list[str] = []
     in_array = False
+    cur: dict | None = None  # active composite-font CMap
+    last_name: str | None = None
     i = 0
     n = len(data)
+
+    def resolve(keep_gaps: bool) -> list[str]:
+        out: list[str] = []
+        for p in pending:
+            if p is None:
+                if keep_gaps and out and not out[-1].endswith(" "):
+                    out.append(" ")
+                continue
+            out.append(p)
+        return out
 
     def end_line():
         if line:
             lines.append("".join(line))
             line.clear()
+
+    def push(raw: str):
+        if cur is not None:
+            pending.append(_decode_cid(raw.encode("latin-1"), cur))
+        else:
+            pending.append(raw)
 
     while i < n:
         m = _STR_TOKEN.search(data, i)
@@ -960,24 +1203,31 @@ def _content_text(data: bytes) -> str:
         tok = m.group(0)
         if tok == b"(":
             s, i = _read_literal(data, m.end())
-            pending.append(s)
+            push(s)
             continue
         i = m.end()
         if tok.startswith(b"<"):
             hexs = re.sub(rb"\s", b"", tok[1:-1])
             if len(hexs) % 2:
                 hexs += b"0"
-            pending.append(bytes.fromhex(hexs.decode()).decode("latin-1"))
+            push(bytes.fromhex(hexs.decode()).decode("latin-1"))
+        elif tok.startswith(b"/"):
+            last_name = tok[1:].decode("latin-1")
+        elif tok == b"Tf":
+            cur = fonts.get(last_name)
         elif tok == b"[":
             in_array = True
         elif tok == b"]":
             in_array = False
-        elif tok in (b"Tj", b"TJ"):
-            line.extend(pending)
+        elif tok == b"Tj":
+            line.extend(resolve(False))
+            pending.clear()
+        elif tok == b"TJ":
+            line.extend(resolve(True))
             pending.clear()
         elif tok in (b"'", b'"'):
             end_line()
-            line.extend(pending)
+            line.extend(resolve(False))
             pending.clear()
         elif tok in (b"Td", b"TD", b"T*"):
             end_line()
@@ -985,15 +1235,15 @@ def _content_text(data: bytes) -> str:
         elif tok == b"ET":
             end_line()
             pending.clear()
-        elif in_array:  # a TJ adjustment number
+        elif in_array:  # a candidate TJ adjustment number
             try:
                 adj = float(tok)
             except ValueError:  # pragma: no cover - regex-guarded
                 continue
-            if adj <= _TJ_SPACE_GAP and pending and not (
-                pending[-1].endswith(" ")
+            if adj <= _TJ_SPACE_GAP and pending and (
+                pending[-1] is not None
             ):
-                pending.append(" ")
+                pending.append(None)
     end_line()
     return "\n".join(lines)
 
@@ -1003,6 +1253,76 @@ def _name_value(d: bytes, key: bytes) -> bytes | None:
     if not m:
         return None
     return d[m.end():]
+
+
+def _dict_value(
+    objs: dict[int, bytes], container: bytes, key: bytes
+) -> bytes | None:
+    """The DICTIONARY value of ``key`` inside ``container`` — either
+    inline ``<< ... >>`` (balanced extraction) or an indirect
+    reference resolved through ``objs``."""
+    rest = _name_value(container, key)
+    if rest is None:
+        return None
+    if rest.startswith(b"<<"):
+        return _dict_of(rest)
+    r = _REF_RE.match(rest)
+    if r and int(r.group(1)) in objs:
+        return _dict_of(objs[int(r.group(1))])
+    return None
+
+
+_FONT_REF = re.compile(rb"/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R")
+
+
+def _font_spec(objs: dict[int, bytes], num: int, crypt) -> dict | None:
+    """``None`` for simple fonts (latin-1 byte passthrough); a CMap
+    spec (:func:`_parse_tounicode`) for /Type0 composite fonts — the
+    layout CJK documents and most modern generators (Word, LaTeX
+    with fontspec) emit.  A Type0 font WITHOUT a usable /ToUnicode
+    CMap decodes every code to U+FFFD: its codes are font-internal
+    glyph ids, so replacement characters are the honest reading
+    (explicit unknown, never silently wrong text)."""
+    d = _dict_of(objs[num])
+    if not re.search(rb"/Subtype\s*/Type0\b", d):
+        return None
+    tu = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", d)
+    if tu is None or int(tu.group(1)) not in objs:
+        return {"width": 2, "map": {}}
+    tnum = int(tu.group(1))
+    try:
+        data = _stream_data(objs[tnum], num=tnum, crypt=crypt)
+    except Exception:
+        return {"width": 2, "map": {}}
+    return _parse_tounicode(data)
+
+
+def _page_fonts(
+    objs: dict[int, bytes],
+    page_dict: bytes,
+    crypt,
+    cache: dict[int, dict | None],
+) -> dict[str, dict | None]:
+    """Resolve a page's ``/Resources /Font`` dictionary (inline or
+    indirect, either level) to ``{font_name: cmap_spec_or_None}`` for
+    :func:`_content_text`.  Font entries must be indirect references
+    (the universal producer layout); inline font dicts fall back to
+    the simple-font path."""
+    res = _dict_value(objs, page_dict, b"/Resources")
+    if res is None:
+        return {}
+    fdict = _dict_value(objs, res, b"/Font")
+    if fdict is None:
+        return {}
+    out: dict[str, dict | None] = {}
+    for m in _FONT_REF.finditer(fdict):
+        name, num = m.group(1).decode("latin-1"), int(m.group(2))
+        if num not in objs:
+            continue
+        if num not in cache:
+            cache[num] = _font_spec(objs, num, crypt)
+        out[name] = cache[num]
+    return out
 
 
 def _page_order(objs: dict[int, bytes]) -> list[int]:
@@ -1087,6 +1407,7 @@ def pdf_extract_text(payload: bytes) -> dict:
         # carries no resolvable page objects)
         raise ValueError("PDF has no page objects")
     page_texts: list[str] = []
+    font_cache: dict[int, dict | None] = {}
     for num in order:
         d = _dict_of(objs[num])
         cont = _name_value(d, b"/Contents")
@@ -1104,7 +1425,8 @@ def pdf_extract_text(payload: bytes) -> dict:
             for r in refs
             if r in objs
         )
-        page_texts.append(_content_text(data))
+        fonts = _page_fonts(objs, d, crypt, font_cache)
+        page_texts.append(_content_text(data, fonts))
     text = "\n\n".join(page_texts)
     return {
         "n_pages": len(page_texts),

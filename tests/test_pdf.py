@@ -594,3 +594,127 @@ def test_info_and_encrypt_greps_are_stream_masked():
     d = pdf_extract_text(p)
     assert d["title"] == "Real"
     assert "/Encrypt" in d["text"]  # parsed as content, not directive
+
+
+# ------------------------------------------------ Type0 / ToUnicode
+
+
+def test_type0_round_trip_all_containers():
+    """CID/Type0 composite fonts (Identity-H + ToUnicode CMap) must
+    extract across every container: plain 1.4, uncompressed, ObjStm
+    1.5, and all four encryption revisions."""
+    pages = [
+        "Hello CID world\nabcdef ghij",
+        "Второй лист 中文测试\nmixed ASCII + кирилица",
+    ]
+    want = "\n\n".join(pages)
+    for kw in (
+        {},
+        {"compress": False},
+        {"objstm": True},
+        {"encrypt": True, "encrypt_r": 2},
+        {"encrypt": True, "encrypt_r": 3},
+        {"encrypt": True, "encrypt_r": 4},
+        {"encrypt": True, "encrypt_r": 6},
+    ):
+        out = pdf_extract_text(
+            synthesize_pdf(pages, title="T0", type0=True, **kw)
+        )
+        assert out["text"] == want, kw
+        assert out["title"] == "T0"
+
+
+def test_type0_codes_are_not_unicode_ordinals():
+    """The synthesized code assignment is an index permutation, so a
+    reader that skips the CMap and treats codes as chars CANNOT pass
+    — prove it by checking the raw content bytes differ from any
+    UTF-16 spelling of the text."""
+    pdf = synthesize_pdf(["zyx"], type0=True, compress=False)
+    # codes for sorted chars x,y,z = 1,2,3 → "zyx" shows <000300020001>
+    assert b"<000300020001> Tj" in pdf
+    assert pdf_extract_text(pdf)["text"] == "zyx"
+
+
+def test_tounicode_bfrange_array_form_and_width():
+    """The <lo> <hi> [<d1> <d2> ...] destination form and a 1-byte
+    codespace must both parse."""
+    from minerva_etl_spark.operators.pdf import _parse_tounicode
+
+    cm = (
+        b"/CIDInit /ProcSet findresource begin begincmap\n"
+        b"1 begincodespacerange\n<00> <FF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<41> <43> [<0058> <0059005A> <005A>]\n"
+        b"endbfrange\nendcmap"
+    )
+    spec = _parse_tounicode(cm)
+    assert spec["width"] == 1
+    assert spec["map"] == {0x41: "X", 0x42: "YZ", 0x43: "Z"}
+
+
+def test_type0_two_byte_tj_array_with_kerning():
+    """2-byte hex code strings inside a TJ array, word gaps from
+    kerning adjustments — the composite-font analog of the
+    kerning-packed layout."""
+    fonts = {
+        "F7": {
+            "width": 2,
+            "map": {1: "H", 2: "i", 3: "y", 4: "o", 5: "u"},
+        }
+    }
+    data = (
+        b"BT /F7 12 Tf 72 720 Td "
+        b"[<00010002> -300 <000300040005>] TJ ET"
+    )
+    assert _content_text(data, fonts) == "Hi you"
+    # the same bytes WITHOUT the font mapping read as latin-1 gibberish
+    assert _content_text(data) != "Hi you"
+
+
+def test_type0_without_tounicode_reads_replacement_chars():
+    """Identity-H with no ToUnicode: codes are font-internal glyph
+    ids — the honest read is U+FFFD, never silently wrong text."""
+    pdf = synthesize_pdf(["ab"], type0=True, compress=False)
+    # drop the /ToUnicode reference from the font dictionary
+    broken = pdf.replace(b"/ToUnicode 6 0 R ", b"")
+    out = pdf_extract_text(broken)
+    assert out["text"] == "��"
+
+
+def test_font_switch_mid_stream():
+    """Tf switches between a composite and a simple font inside one
+    content stream; each show string decodes under the font active
+    at its position."""
+    fonts = {"F1": None, "F2": {"width": 2, "map": {7: "Q"}}}
+    data = (
+        b"BT /F2 10 Tf <0007> Tj /F1 10 Tf (plain) Tj ET"
+    )
+    assert _content_text(data, fonts) == "Qplain"
+
+
+def test_non_tj_array_numbers_never_inject_spaces():
+    """A negative number inside a NON-TJ array (dash pattern, Decode
+    array) between shows must not become a phantom space."""
+    data = (
+        b"BT /F1 11 Tf 72 720 Td (before) Tj "
+        b"[-400 3] 0 d (after) Tj ET"
+    )
+    assert _content_text(data) == "beforeafter"
+    # while a genuine TJ gap in the SAME stream still lands
+    data2 = (
+        b"BT (x) Tj [-400 3] 0 d [(a)-400(b)] TJ ET"
+    )
+    assert _content_text(data2) == "xa b"
+
+
+def test_r4_encrypt_metadata_false_round_trips():
+    """R4 files with /EncryptMetadata false derive the file key with
+    the 0xFFFFFFFF suffix (Algorithm 2) — without it the /U check
+    fails and a decryptable file is misreported as real-password."""
+    pdf = synthesize_pdf(
+        ["metadata stays plain"], title="EM",
+        encrypt=True, encrypt_r=4, encrypt_metadata=False,
+    )
+    assert b"/EncryptMetadata false" in pdf
+    out = pdf_extract_text(pdf)
+    assert out["text"] == "metadata stays plain"
+    assert out["title"] == "EM"
