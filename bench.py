@@ -168,6 +168,10 @@ HEADLINE = [
     # round-11: ratio-margin bitext mining (pure Catalyst: broadcast
     # product -> decimal top-k sums -> margin windows)
     "bitext_mine",
+    # round-12: the corpus×corpus hand-off — ivf_join candidates
+    # feeding the same margin engine (candidate graph, never the
+    # bipartite product; kmeans fit is part of the story)
+    "bitext_mine_ann",
     # round-11: WebDataset shard export/import round trip (one task
     # per tar shard, both directions — the multimodal hand-off edge)
     "wds_roundtrip",

@@ -1497,14 +1497,41 @@ def cmd_corpus(args) -> None:
                 "minerva-spark corpus bitext: --benchmark is required "
                 "(target-side embedding parquet)"
             )
-        src = df.select(
-            FF.col("vec_id").alias("src_id"), "embedding"
-        )
-        tgt = spark.read.parquet(args.benchmark).select(
-            FF.col("vec_id").alias("tgt_id"), "embedding"
-        )
+        tgt_raw = spark.read.parquet(args.benchmark)
+        if args.ann:
+            # corpus×corpus: probe-pruned IVF candidates instead of
+            # the quadratic broadcast product (the CCMatrix shape)
+            from minerva_etl_spark.operators.kmeans import kmeans_fit
+            from minerva_etl_spark.operators.similarity import (
+                assign_centroids,
+                ivf_join,
+            )
+
+            src = df.select(
+                FF.col("vec_id").alias("query_id"),
+                FF.col("embedding").alias("query_vec"),
+            )
+            _a, cent = kmeans_fit(
+                tgt_raw, k=args.ann_clusters, iters=args.iters
+            )
+            cand = ivf_join(
+                src, assign_centroids(tgt_raw, cent), cent,
+                k=max(args.n * 2, 8), n_probe=args.n_probe,
+            ).select(
+                FF.col("query_id").alias("src_id"),
+                FF.col("vec_id").alias("tgt_id"),
+                "cosine",
+            )
+        else:
+            src = df.select(
+                FF.col("vec_id").alias("src_id"), "embedding"
+            )
+            tgt = tgt_raw.select(
+                FF.col("vec_id").alias("tgt_id"), "embedding"
+            )
+            cand = bitext_candidates(src, tgt)
         out = mine_bitext(
-            bitext_candidates(src, tgt),
+            cand,
             k=args.n,
             threshold=args.min_margin or 1.05,
         )
@@ -2312,6 +2339,16 @@ def main(argv: list[str] | None = None) -> None:
                     dest="min_margin",
                     help="preference-pairs: minimum strict "
                          "chosen-rejected score margin")
+    co.add_argument("--ann", action="store_true",
+                    help="bitext: corpus×corpus mode — probe-pruned "
+                         "IVF candidates instead of broadcasting the "
+                         "target side")
+    co.add_argument("--n-probe", type=int, default=2, dest="n_probe",
+                    help="bitext --ann: probed centroids per source")
+    co.add_argument("--ann-clusters", type=int, default=16,
+                    dest="ann_clusters",
+                    help="bitext --ann: IVF centroid count for the "
+                         "target side (√N at scale)")
     co.add_argument("--text-col", default="content", dest="text_col",
                     help="code-profile: source-text column")
     co.add_argument("--path-col", default="path", dest="path_col",

@@ -4004,6 +4004,54 @@ def _oracle_bitext_mine() -> str:
     )
 
 
+def q_bitext_mine_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus×corpus bitext mining over ANN candidates — the
+    documented hand-off path (`operators/bitext.py::mine_bitext` fed
+    by `similarity.ivf_join` candidates instead of the full bipartite
+    product, the CCMatrix/FAISS-shard shape): centroids train on the
+    TARGET quarter (oracle-matched `kmeans_fit`, k=4, 2 rounds), each
+    source vector probes its 2 nearest centroids, candidates
+    equi-join on centroid_id and keep the per-source top-8 rounded
+    cosines, and the SAME DECIMAL-exact margin chain mines each
+    source's best pair above threshold.  At 100 TB both sides are
+    unbounded — this row pins that the quadratic `bitext_candidates`
+    product is replaceable by the probe-pruned candidate graph with
+    zero changes to the margin engine."""
+    _prep(spark)
+    from minerva_etl_spark.operators.bitext import mine_bitext
+    from minerva_etl_spark.operators.similarity import (
+        assign_centroids,
+        ivf_join,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    src = emb.filter("vec_id % 4 = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    tgt = emb.filter("vec_id % 4 = 1")
+    _assigned, cent = KM.kmeans_fit(tgt, k=4, iters=2)
+    assigned = assign_centroids(tgt, cent)
+    cand = ivf_join(src, assigned, cent, k=8, n_probe=2).select(
+        F.col("query_id").alias("src_id"),
+        F.col("vec_id").alias("tgt_id"),
+        "cosine",
+    )
+    return mine_bitext(cand, k=4, threshold=1.02)
+
+
+def _oracle_bitext_mine_ann() -> str:
+    from minerva_etl_spark.operators.bitext import (
+        bitext_mine_ann_oracle_sql,
+    )
+
+    return bitext_mine_ann_oracle_sql(
+        "vec_id % 4 = 0", "vec_id % 4 = 1",
+        kmeans_k=4, kmeans_iters=2, cand_k=8, n_probe=2,
+        k=4, threshold=1.02,
+    )
+
+
 def q_wds_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WebDataset shard export/import (`operators/wds.py`): every doc
     becomes a two-member SAMPLE (``{key}.txt`` sanitized text,
@@ -6582,6 +6630,14 @@ _REGISTRY_ORDER = [
     "entity_dim_register",
     # (the six r11-born rows formerly listed here rotated INTO the
     # window above in r12)
+    # NEW r12 rows born out-of-window — labeled r13 rotate-in
+    # candidates (r8.5/r10/r11 precedent), locally hash-verified at
+    # sf0.001 + sf0.01:
+    #   bitext_mine_ann pins the corpus×corpus hand-off (ivf_join
+    #     candidates → the same margin engine) the r11 verdict asked
+    #     to oracle-pin; its components are in-window via bitext_mine
+    #     and sim_ivf_pq/sim_ivf_pq_increment.
+    "bitext_mine_ann",
     # r10 rotated-OUT rows (vouchers unchanged, see the r10 block in
     # COVERAGE.md):
     "semantic_dedup_trained",
@@ -6738,6 +6794,7 @@ def build_queries() -> dict:
         "sim_ivf_pq": q_sim_ivf_pq,
         "sim_ivf_pq_increment": q_sim_ivf_pq_increment,
         "bitext_mine": q_bitext_mine,
+        "bitext_mine_ann": q_bitext_mine_ann,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
         "ccnet_buckets": q_ccnet_buckets,
@@ -6887,6 +6944,7 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_pq": _oracle_sim_ivf_pq(),
         "sim_ivf_pq_increment": _oracle_sim_ivf_pq_increment(),
         "bitext_mine": _oracle_bitext_mine(),
+        "bitext_mine_ann": _oracle_bitext_mine_ann(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),
         "ccnet_buckets": _oracle_ccnet_buckets(),

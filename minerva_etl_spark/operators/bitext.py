@@ -54,7 +54,12 @@ from minerva_etl_spark.operators.similarity import (
     norm_expr,
 )
 
-__all__ = ["bitext_candidates", "mine_bitext", "bitext_mine_oracle_sql"]
+__all__ = [
+    "bitext_candidates",
+    "mine_bitext",
+    "bitext_mine_oracle_sql",
+    "bitext_mine_ann_oracle_sql",
+]
 
 
 def bitext_candidates(
@@ -198,7 +203,17 @@ allp AS MATERIALIZED (
          CAST({_duck_cos('s.v', 't.v')} AS DECIMAL(10,6)) AS c
   FROM srcv s, tgtv t
 ),
-fwd AS (
+{_margin_tail_sql(k, threshold)}
+"""
+
+
+def _margin_tail_sql(k: int, threshold: float) -> str:
+    """The shared margin chain over a candidate CTE
+    ``allp(src_id, tgt_id, c DECIMAL(10,6))`` — DECIMAL-exact top-k
+    neighborhood sums, fixed-association margin, threshold, per-source
+    best pair.  Used by both the full-product and the ANN-candidate
+    oracle."""
+    return f"""fwd AS (
   SELECT src_id, sum(c) AS sf, count(*) AS nf FROM (
     SELECT src_id, c,
            row_number() OVER (
@@ -231,5 +246,75 @@ SELECT src_id, tgt_id, cosine, margin FROM (
            PARTITION BY src_id
            ORDER BY margin DESC, tgt_id ASC) AS rn
   FROM scored WHERE margin >= {float(threshold)}
-) WHERE rn = 1
+) WHERE rn = 1"""
+
+
+def bitext_mine_ann_oracle_sql(
+    src_pred: str,
+    tgt_pred: str,
+    kmeans_k: int,
+    kmeans_iters: int,
+    cand_k: int,
+    n_probe: int,
+    k: int = 4,
+    threshold: float = 1.05,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of the corpus×corpus hand-off path: IVF candidates
+    (`kmeans_fit` on the target side + `assign_centroids` +
+    `ivf_join`: probe ranking, candidate equi-join, per-source
+    top-``cand_k``) feeding the SAME margin chain as
+    :func:`bitext_mine_oracle_sql` — proving the documented
+    candidate-injection route end to end, not just the full product."""
+    from minerva_etl_spark.operators.kmeans import _duck_cos, kmeans_ctes
+
+    ctes = kmeans_ctes("tgtv", kmeans_k, kmeans_iters, id_col, vec_col)
+    cent = f"cent{kmeans_iters}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH tgtv AS MATERIALIZED (
+  SELECT {id_col}, {vec_col} FROM {table} WHERE {tgt_pred}
+),
+{body},
+assigned AS MATERIALIZED (
+  SELECT {id_col}, {vec_col}, centroid_id FROM (
+    SELECT e.{id_col}, e.{vec_col}, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.{id_col}
+             ORDER BY {_duck_cos('e.' + vec_col, 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM tgtv e, {cent} c
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT {id_col} AS src_id, {vec_col} AS qv
+  FROM {table} WHERE {src_pred}
+),
+probe AS (
+  SELECT src_id, qv, centroid_id FROM (
+    SELECT q.src_id, q.qv, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY q.src_id
+             ORDER BY {_duck_cos('q.qv', 'c.cvec')} DESC,
+                      c.centroid_id ASC) AS rn
+    FROM q, {cent} c
+  ) WHERE rn <= {int(n_probe)}
+),
+cand0 AS (
+  SELECT p.src_id, a.{id_col} AS tgt_id,
+         {_duck_cos('a.' + vec_col, 'p.qv')} AS cosine
+  FROM probe p JOIN assigned a USING (centroid_id)
+),
+allp AS MATERIALIZED (
+  SELECT src_id, tgt_id, CAST(cosine AS DECIMAL(10,6)) AS c FROM (
+    SELECT src_id, tgt_id, cosine,
+           row_number() OVER (
+             PARTITION BY src_id
+             ORDER BY cosine DESC, tgt_id ASC) AS rnk
+    FROM cand0
+  ) WHERE rnk <= {int(cand_k)}
+),
+{_margin_tail_sql(k, threshold)}
 """

@@ -127,3 +127,51 @@ def test_candidate_injection_matches_full_product_on_covering_graph(
         for r in mine_bitext(injected, k=2, threshold=1.0).collect()
     )
     assert a == b and len(a) == 2
+
+
+def test_ann_candidates_recover_planted_translations(spark):
+    """The REAL corpus×corpus path: ivf_join candidates (kmeans on
+    the target side, probe-pruned equi-join) feeding mine_bitext must
+    recover every planted translation — and the candidate graph must
+    be strictly smaller than the bipartite product."""
+    from minerva_etl_spark.operators.kmeans import kmeans_fit
+    from minerva_etl_spark.operators.similarity import (
+        assign_centroids,
+        ivf_join,
+    )
+
+    # two well-separated direction families so k-means has real
+    # structure; each source has an exact-direction twin
+    src_rows = [(i, [1.0 + 0.01 * i, 0.02 * i, 0.0]) for i in range(4)]
+    src_rows += [(i, [0.0, 0.02 * i, 1.0 + 0.01 * i]) for i in range(4, 8)]
+    tgt_rows = [
+        (100 + i, [2.0 * v for v in vec]) for i, vec in src_rows
+    ]
+    tgt_rows += [(200, [0.5, 0.5, 0.5]), (201, [-1.0, 0.1, 0.1])]
+    src = _df(spark, [
+        (i, [float(x) for x in v]) for i, v in src_rows
+    ], "src_id")
+    tgt = _df(spark, [
+        (i, [float(x) for x in v]) for i, v in tgt_rows
+    ], "vec_id")
+
+    queries = src.select(
+        F.col("src_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    _a, cent = kmeans_fit(tgt, k=2, iters=2)
+    cand = ivf_join(
+        queries, assign_centroids(tgt, cent), cent, k=4, n_probe=1
+    ).select(
+        F.col("query_id").alias("src_id"),
+        F.col("vec_id").alias("tgt_id"),
+        "cosine",
+    )
+    n_cand = cand.count()
+    assert n_cand < src.count() * tgt.count()  # pruned, not product
+    mined = {
+        r.src_id: r.tgt_id
+        for r in mine_bitext(cand, k=2, threshold=1.0).collect()
+    }
+    for i, _ in src_rows:
+        assert mined.get(i) == 100 + i, (i, mined)
