@@ -30,7 +30,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from minerva_etl_spark.fsutil import StoreLease, parquet_exists
+from minerva_etl_spark.fsutil import (
+    StoreLease,
+    fs_create_atomic,
+    parquet_exists,
+    path_exists,
+)
 from minerva_etl_spark.operators.dedup import (
     MINHASH_COEFFS,
     MINHASH_PRIME,
@@ -450,16 +455,36 @@ def ingest_embedding_increment(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.3,
-) -> DataFrame:
+    epoch: int | None = None,
+) -> DataFrame | None:
     """One embedding-delivery cycle: state the delta, decide it against
     persisted history (bootstrap: everything kept), append the delta's
     state rows.  Returns the decisions.  As in :func:`ingest_increment`
     the store lease is held across read-state -> decide -> append, so
-    concurrent deliveries fully serialize."""
+    concurrent deliveries fully serialize.
+
+    ``epoch`` makes the cycle IDEMPOTENT for at-least-once callers
+    (the streaming ``foreachBatch`` path, which may retry a
+    micro-batch after a crash): each committed epoch drops an
+    append-only marker file under ``<state>.__epochs/`` right after
+    the state append, inside the same lease, and a cycle whose epoch
+    marker already exists returns ``None`` without touching the state
+    — a retried batch cannot append its vectors twice.  (The
+    remaining window — a crash BETWEEN the state append and the
+    marker create — re-admits that one delivery on retry; closing it
+    needs a transactional substrate like Delta, the same boundary as
+    `operators/upsert.py`'s MERGE path.)"""
     delta_state = build_embedding_state(
         new_embeddings, id_col, vec_col
     ).localCheckpoint(eager=True)
+    marker = (
+        f"{state_path.rstrip('/')}.__epochs/{int(epoch)}"
+        if epoch is not None
+        else None
+    )
     with _state_lease(spark, state_path):
+        if marker is not None and path_exists(spark, marker):
+            return None  # retried, already-committed micro-batch
         if parquet_exists(spark, state_path):
             history = spark.read.parquet(state_path)
             decisions = embedding_increment(
@@ -472,6 +497,8 @@ def ingest_embedding_increment(
             ).withColumn("keep", F.lit(True))
         decisions = decisions.localCheckpoint(eager=True)
         delta_state.write.mode("append").parquet(state_path)
+        if marker is not None:
+            fs_create_atomic(spark, marker, "committed")
     return decisions
 
 

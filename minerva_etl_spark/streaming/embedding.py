@@ -9,9 +9,21 @@ contract: a delivery must dedup against ALL history (the
 kept and dropped alike, so decisions equal a full recompute).  A
 watermarked state store cannot express that, so the streaming shape
 is ``foreachBatch`` driving `ingest_embedding_increment` per
-micro-batch: the checkpoint gives exactly-once file tracking, the
-store lease serializes concurrent writers, and each batch's
-decisions append to a decision log next to the state.
+micro-batch: the checkpoint gives exactly-once SOURCE-side file
+tracking, the store lease serializes concurrent writers, and each
+batch's decisions land in a per-epoch partition of the decision log.
+
+Sink-side semantics (honest accounting — foreachBatch itself is
+at-least-once): the state append is idempotent against batch
+RETRIES through the per-epoch marker `ingest_embedding_increment`
+commits inside the lease (a retried epoch is a no-op; the one
+remaining window is a crash between the append and the marker —
+closing it needs a transactional substrate, see the Delta MERGE
+boundary).  The decision log writes each epoch into its own
+``batch_id=<epoch>`` partition with dynamic overwrite, so a retry
+that DID re-run the cycle replaces rather than duplicates its rows;
+a retry that hit the epoch marker leaves the already-written
+partition alone.
 
 Stream == batch: N micro-batches through this wrapper produce the
 same decisions as N calls to `ingest_embedding_increment` with the
@@ -61,10 +73,21 @@ def embedding_dedup_stream(
         decisions = ingest_embedding_increment(
             spark, batch_df, state_path,
             id_col=id_col, vec_col=vec_col, threshold=threshold,
+            epoch=int(epoch),
         )
-        decisions.withColumn(
-            "batch_id", F.lit(int(epoch)).cast("bigint")
-        ).write.mode("append").parquet(decisions_path)
+        if decisions is None:  # retried, already-committed epoch
+            return
+        # per-epoch partition + dynamic overwrite: a re-run epoch
+        # replaces its own rows, never duplicates them
+        (
+            decisions.withColumn(
+                "batch_id", F.lit(int(epoch)).cast("bigint")
+            )
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(decisions_path)
+        )
 
     return (
         stream.writeStream.outputMode("append")

@@ -92,3 +92,43 @@ def test_stream_equals_sequential_batch_ingest(spark, tmp_path):
     }
     assert bids[0] == bids[3] and bids[10] == bids[11]
     assert bids[0] != bids[10]
+
+
+def test_retried_epoch_is_a_noop(spark, tmp_path):
+    """foreachBatch is at-least-once: a micro-batch retried AFTER its
+    state append must not re-append its vectors or flip decisions —
+    the per-epoch marker committed inside the lease makes the retry a
+    no-op (returns None)."""
+    from minerva_etl_spark.operators.incremental import (
+        ingest_embedding_increment,
+    )
+
+    state = str(tmp_path / "state")
+    batch = spark.createDataFrame(
+        [(0, [1.0] * 8), (1, [-1.0] * 8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    first = ingest_embedding_increment(
+        spark, batch, state, epoch=7
+    )
+    assert first is not None and first.count() == 2
+    assert spark.read.parquet(state).count() == 2
+
+    # the retry: same epoch, same payload — must be rejected
+    retry = ingest_embedding_increment(
+        spark, batch, state, epoch=7
+    )
+    assert retry is None
+    assert spark.read.parquet(state).count() == 2  # NOT 4
+
+    # the next epoch proceeds normally
+    nxt = ingest_embedding_increment(
+        spark,
+        spark.createDataFrame(
+            [(2, [1.0] * 8)], "vec_id bigint, embedding array<double>"
+        ),
+        state,
+        epoch=8,
+    )
+    assert nxt is not None
+    assert spark.read.parquet(state).count() == 3
