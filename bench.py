@@ -165,6 +165,13 @@ HEADLINE = [
     # in-row; the increment path's join shape is timed by sim_ivf_pq
     # and the append by incremental_embedding).
     "sim_ivf_pq",
+    # round-12: trained-PQ retrieval (state prebuilt outside the clock
+    # like sim_ivf_pq — the row times the ADC LUT fold over m-byte
+    # codes + exact rescore, the IVFADC serving path)
+    "sim_ivf_tpq",
+    # round-12: corpus-scale exact substring dedup (sorted-shingle
+    # digest groupBy + per-doc coverage rebuild — the Lee et al. rule)
+    "dedup_substring",
     # round-11: ratio-margin bitext mining (pure Catalyst: broadcast
     # product -> decimal top-k sums -> margin windows)
     "bitext_mine",

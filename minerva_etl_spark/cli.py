@@ -1285,7 +1285,14 @@ def cmd_corpus(args) -> None:
     centroids, query the state), `ivf-build-q` / `ivf-query-pq`
     (the int8-quantized state variant: ~4× smaller payload, integer
     qcos candidate rank + exact rescore against the full-precision
-    source — pass it via --benchmark, default the query parquet), `chat-curate` (SFT conversation
+    source — pass it via --benchmark, default the query parquet),
+    `pq-build` / `pq-query` (TRAINED product quantization: per-subspace
+    L2 codebooks, m-byte codes — the 10–50× compression step — with
+    exact-BIGINT ADC candidate rank + exact rescore;
+    --pq-m/--pq-k size the codebooks), `substring-dedup` (corpus-scale
+    exact substring dedup — the Lee et al. ≥w-token overlap rule as a
+    sorted-shingle digest groupBy + per-token coverage rebuild;
+    --window sets w), `chat-curate` (SFT conversation
     prep: parse JSONL chat records, validate structure, bound turns,
     render the ChatML training string — all Catalyst, dirty records
     filtered), `preference-pairs` (DPO pair prep from scored
@@ -1304,7 +1311,8 @@ def cmd_corpus(args) -> None:
     # should be a one-line usage error, not an AttributeError mid-job
     if args.action in ("increment", "increment-emb", "ivf-build",
                        "ivf-increment", "ivf-query", "ivf-build-q",
-                       "ivf-increment-q", "ivf-query-pq") and not args.state:
+                       "ivf-increment-q", "ivf-query-pq",
+                       "pq-build", "pq-query") and not args.state:
         raise SystemExit(
             f"minerva-spark corpus {args.action}: --state is required "
             "(path of the persisted state)"
@@ -1454,6 +1462,39 @@ def cmd_corpus(args) -> None:
             args.state,
             source=source,
             k=args.n,
+        )
+    elif args.action == "pq-build":
+        from minerva_etl_spark.operators.pq import build_ivf_pq_state
+
+        out = build_ivf_pq_state(
+            spark, df, args.state, coarse_k=args.n, coarse_iters=args.iters,
+            m=args.pq_m, pq_k=args.pq_k, pq_iters=args.iters,
+        )
+    elif args.action == "pq-query":
+        from pyspark.sql import functions as FF
+
+        from minerva_etl_spark.operators.pq import ivf_pq_state_query
+
+        # --benchmark doubles as the full-precision rescore source
+        # (the ivf-query-pq convention)
+        source = (
+            spark.read.parquet(args.benchmark) if args.benchmark else df
+        )
+        out = ivf_pq_state_query(
+            spark,
+            df.select(
+                FF.col("vec_id").alias("query_id"),
+                FF.col("embedding").alias("query_vec"),
+            ),
+            args.state,
+            source=source,
+            k=args.n,
+        )
+    elif args.action == "substring-dedup":
+        from minerva_etl_spark.operators.substring import substring_dedup
+
+        out = substring_dedup(
+            df, w=args.window, text_col=args.text_col
         )
     elif args.action == "script-profile":
         from minerva_etl_spark.operators.text import with_script_profile
@@ -2296,6 +2337,7 @@ def main(argv: list[str] | None = None) -> None:
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
             "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
+            "pq-build", "pq-query", "substring-dedup",
             "bitext", "pack-semantic", "ppl-buckets", "script-profile",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",
@@ -2320,6 +2362,10 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--state", default=None,
                     help="increment: path of the persisted dedup "
                          "signature state (created on first delivery)")
+    co.add_argument("--pq-m", type=int, default=4, dest="pq_m",
+                    help="pq-build: subspace count (dim must divide)")
+    co.add_argument("--pq-k", type=int, default=8, dest="pq_k",
+                    help="pq-build: codewords per subspace")
     co.add_argument("--ref-filter", default=None, dest="ref_filter",
                     help="ppl-buckets: SQL predicate selecting the LM "
                          "reference slice (default lang = 'en')")
@@ -2351,6 +2397,9 @@ def main(argv: list[str] | None = None) -> None:
                          "target side (√N at scale)")
     co.add_argument("--text-col", default="content", dest="text_col",
                     help="code-profile: source-text column")
+    co.add_argument("--window", type=int, default=50,
+                    help="substring-dedup: duplicated-span token "
+                         "window w (50 per Lee et al.)")
     co.add_argument("--path-col", default="path", dest="path_col",
                     help="code-profile: file-path column for the "
                          "extension language map ('' = no path)")

@@ -2187,6 +2187,71 @@ def _oracle_dedup_segments() -> str:
     return dedup_segments_oracle_sql("documents", 4)
 
 
+#: shared by the Spark row and its oracle: the planted-duplicate
+#: corpus for `dedup_substring` — the first 24 tokens of doc 0 become
+#: a "boilerplate template" APPENDED to docs ≡1 (mod 7) and PREPENDED
+#: to docs ≡4 (mod 7), so duplicated ≥w spans exist at different
+#: positions, overlap document content, and merge across consecutive
+#: shingles (the Lee et al. failure mode paragraph digests miss).
+_SUBSTR_W = 8
+
+
+def _substr_corpus_spark(docs: DataFrame) -> DataFrame:
+    tmpl = docs.filter("doc_id = 0").select(
+        F.expr(
+            "concat_ws(' ', slice(split(text, ' '), 1, 24))"
+        ).alias("__tmpl")
+    )
+    return docs.crossJoin(F.broadcast(tmpl)).select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 7 = 1 THEN concat(text, ' ', __tmpl) "
+            "WHEN doc_id % 7 = 4 THEN concat(__tmpl, ' ', text) "
+            "ELSE text END"
+        ).alias("text"),
+    )
+
+
+_SUBSTR_CORPUS_SQL = """(
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % 7 = 1 THEN d.text || ' ' || t.__tmpl
+              WHEN d.doc_id % 7 = 4 THEN t.__tmpl || ' ' || d.text
+              ELSE d.text END AS text
+  FROM documents d CROSS JOIN (
+    SELECT array_to_string(
+             list_slice(string_split(text, ' '), 1, 24), ' ') AS __tmpl
+    FROM documents WHERE doc_id = 0) t
+)"""
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-SCALE exact substring dedup (`operators/substring.py::
+    substring_dedup` — the r11 verdict's ask 6, the sorted-shingle
+    formulation of Lee et al.'s suffix-array overlap rule): every
+    duplicated ≥8-token span is removed at all but its first
+    ``(doc, pos)`` occurrence, evaluated per TOKEN so overlapping and
+    boundary-crossing duplicates merge — strictly stronger than
+    `dedup_segments`' paragraph digests.  The corpus plants a 24-token
+    template into 2/7 of docs at opposite ends (see
+    `_substr_corpus_spark`) so span merging, keep-first tie-breaks,
+    and coverage rebuild are all exercised.  One combinable digest
+    groupBy (the suffix-sort stand-in) + one per-doc rebuild
+    shuffle — never all-pairs."""
+    _prep(spark)
+    from minerva_etl_spark.operators.substring import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(_substr_corpus_spark(docs), w=_SUBSTR_W)
+
+
+def _oracle_dedup_substring() -> str:
+    from minerva_etl_spark.operators.substring import (
+        substring_dedup_oracle_sql,
+    )
+
+    return substring_dedup_oracle_sql(_SUBSTR_CORPUS_SQL, w=_SUBSTR_W)
+
+
 def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length training-sequence chunking (`operators/text.py::
     chunk_sequences`): 64-token chunks every 48 tokens (16-token
@@ -3963,6 +4028,86 @@ def _oracle_sim_ivf_pq_increment() -> str:
         n_probe=2,
         overfetch=4,
         train_pred="vec_id % 4 < 3",
+    )
+
+
+_IVF_TPQ_STATE_VERSION = "r12b"
+
+
+def _ivf_tpq_prebuilt_state(spark: SparkSession, sf_dir: str) -> str:
+    """Disk-cached TRAINED-PQ state for `q_sim_ivf_tpq` — the
+    `_ivf_pq_prebuilt_state` pattern (built at most once per machine
+    per (sf_dir, version); deterministic seeded Lloyd's ⇒ reuse ==
+    rebuild), so the gate/bench row times retrieval (ADC LUT fold +
+    exact rescore), not the two k-means fits."""
+    import hashlib
+    import os
+    import tempfile
+
+    from minerva_etl_spark.operators.pq import build_ivf_pq_state
+
+    tag = hashlib.md5(
+        f"{_IVF_TPQ_STATE_VERSION}:{os.path.abspath(sf_dir)}".encode()
+    ).hexdigest()[:10]
+    root = os.path.join(
+        tempfile.gettempdir(), f"minerva_ivf_tpq_state_{tag}"
+    )
+    path = os.path.join(root, "ivf_tpq_state")
+    marker = os.path.join(root, "_BUILT")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        emb = load_table(spark, sf_dir, "embeddings")
+        build_ivf_pq_state(
+            spark, emb, path, coarse_k=4, coarse_iters=2,
+            m=16, pq_k=16, pq_iters=2, dim=64,
+        )
+        with open(marker, "w") as fh:
+            fh.write(_IVF_TPQ_STATE_VERSION)
+    return path
+
+
+def q_sim_ivf_tpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED product quantization retrieval (`operators/pq.py` — the
+    r11 verdict's ask 5, the compression step past int8): per-subspace
+    L2-Lloyd's codebooks (m=16 × pq_k=16 over 64 dims — 4 dims per
+    subspace, the classic PQ shape), an m-BYTE code word + one integer
+    reconstruction norm as the entire per-vector payload (64 bytes of
+    int8 vector data → 16 — SCALE.md "Trained PQ"),
+    IVFADC serving: coarse probe → candidate equi-join moving only
+    codes → exact-BIGINT ADC LUT fold → k·overfetch → exact rescore
+    by id.  The oracle replays fit→encode→LUT→rank closed-form; every
+    ranking input is integer-derived or a pinned IEEE fold, so this is
+    a full value-hash row, not a recall bound."""
+    _prep(spark)
+    from minerva_etl_spark.operators.pq import ivf_pq_state_query
+
+    path = _ivf_tpq_prebuilt_state(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id % 10 = 5").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_pq_state_query(
+        spark, queries, path, source=emb, k=3, n_probe=2, overfetch=10
+    )
+
+
+def _oracle_sim_ivf_tpq() -> str:
+    from minerva_etl_spark.operators.pq import ivf_tpq_oracle_sql
+
+    return ivf_tpq_oracle_sql(
+        coarse_k=4,
+        coarse_iters=2,
+        m=16,
+        d_sub=4,
+        pq_k=16,
+        pq_iters=2,
+        query_pred="vec_id % 10 = 5",
+        k=3,
+        n_probe=2,
+        overfetch=10,
     )
 
 
@@ -6638,6 +6783,19 @@ _REGISTRY_ORDER = [
     #     to oracle-pin; its components are in-window via bitext_mine
     #     and sim_ivf_pq/sim_ivf_pq_increment.
     "bitext_mine_ann",
+    #   sim_ivf_tpq pins trained product quantization (operators/
+    #     pq.py — per-subspace L2 codebooks, m-byte codes, exact-BIGINT
+    #     ADC scoring): the serving join shape is in-window via
+    #     sim_ivf_pq; recall parity at the documented over-fetch is
+    #     pytest-pinned (tests/test_pq.py).
+    "sim_ivf_tpq",
+    #   dedup_substring pins the corpus-scale Lee-et-al substring rule
+    #     (operators/substring.py — sorted-shingle groupBy, per-token
+    #     coverage rebuild, planted overlapping spans): the segment-
+    #     digest family is in-window via dedup_segments, and the
+    #     planted-span mechanics are pytest-pinned (tests/
+    #     test_substring.py).
+    "dedup_substring",
     # r10 rotated-OUT rows (vouchers unchanged, see the r10 block in
     # COVERAGE.md):
     "semantic_dedup_trained",
@@ -6795,6 +6953,8 @@ def build_queries() -> dict:
         "sim_ivf_pq_increment": q_sim_ivf_pq_increment,
         "bitext_mine": q_bitext_mine,
         "bitext_mine_ann": q_bitext_mine_ann,
+        "sim_ivf_tpq": q_sim_ivf_tpq,
+        "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
         "ccnet_buckets": q_ccnet_buckets,
@@ -6945,6 +7105,8 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_pq_increment": _oracle_sim_ivf_pq_increment(),
         "bitext_mine": _oracle_bitext_mine(),
         "bitext_mine_ann": _oracle_bitext_mine_ann(),
+        "sim_ivf_tpq": _oracle_sim_ivf_tpq(),
+        "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),
         "ccnet_buckets": _oracle_ccnet_buckets(),

@@ -1,0 +1,110 @@
+"""Corpus-scale exact substring dedup (`operators/substring.py`):
+planted-span removal semantics, keep-first policy, span merging,
+short-doc passthrough, and the CLI verb."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from minerva_etl_spark.operators.substring import substring_dedup
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_planted_duplicate_removed_keep_first(spark):
+    """A verbatim ≥w-token span shared by two docs survives only in
+    the lower doc_id; the other doc loses exactly the span."""
+    span = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"zero {span} one two three four five six"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in substring_dedup(_df(spark, rows), w=8).collect()
+    }
+    assert out[1].n_removed == 0
+    assert out[1].kept_text == rows[0][1]
+    # doc 2 loses the 10 span tokens (w=8 shingles cover exactly them)
+    assert out[2].n_removed == 10
+    assert "s0" not in out[2].kept_text
+    assert out[2].kept_text.startswith("zero ")
+    assert out[2].kept_text.endswith("six")
+
+
+def test_overlapping_windows_merge_into_one_span(spark):
+    """Consecutive duplicated shingles merge: a 16-token duplicated
+    region removes all 16 tokens in the later doc, not 8."""
+    span = " ".join(f"m{i}" for i in range(16))
+    rows = [
+        (1, f"{span} tail0 tail1"),
+        (2, f"head0 head1 {span}"),
+    ]
+    out = {
+        r.doc_id: r
+        for r in substring_dedup(_df(spark, rows), w=8).collect()
+    }
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 16
+    assert out[2].kept_text == "head0 head1"
+
+
+def test_within_doc_repeat_keeps_first_occurrence(spark):
+    """The rule also fires WITHIN one document: the second verbatim
+    occurrence of a ≥w-token run is removed, the first kept."""
+    span = " ".join(f"r{i}" for i in range(8))
+    rows = [(7, f"{span} middle {span}")]
+    out = substring_dedup(_df(spark, rows), w=8).collect()[0]
+    assert out.n_removed == 8
+    assert out.kept_text == f"{span} middle"
+
+
+def test_short_docs_pass_through(spark):
+    rows = [(1, "just a few tokens"), (2, "just a few tokens")]
+    out = substring_dedup(_df(spark, rows), w=8).collect()
+    assert all(r.n_removed == 0 for r in out)
+    assert all(r.kept_text == "just a few tokens" for r in out)
+
+
+def test_unique_corpus_untouched(spark):
+    rows = [
+        (1, " ".join(f"a{i}" for i in range(30))),
+        (2, " ".join(f"b{i}" for i in range(30))),
+    ]
+    out = substring_dedup(_df(spark, rows), w=8).collect()
+    assert all(r.n_removed == 0 for r in out)
+    assert all(r.n_tokens == 30 for r in out)
+
+
+def test_w_bound(spark):
+    with pytest.raises(ValueError, match="w must be"):
+        substring_dedup(_df(spark, [(1, "x y")]), w=1)
+
+
+def test_cli_substring_dedup(spark, tmp_path):
+    from minerva_etl_spark.cli import cmd_corpus
+
+    span = " ".join(f"c{i}" for i in range(12))
+    inp = str(tmp_path / "docs")
+    _df(
+        spark,
+        [(1, f"{span} unique1 unique2"), (2, f"pre1 pre2 {span}")],
+    ).write.parquet(inp)
+
+    class A:
+        pass
+
+    a = A()
+    a.action = "substring-dedup"
+    a.input = inp
+    a.output = str(tmp_path / "out")
+    a.window = 8
+    a.text_col = "text"
+    cmd_corpus(a)
+    out = {
+        r.doc_id: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert out[1].n_removed == 0
+    assert out[2].n_removed == 12
