@@ -195,6 +195,10 @@ HEADLINE = [
     # frontier state cycle (state build is part of the story here —
     # each poll is one delivery, unlike sim_ivf's amortized fit)
     "pdf_extract",
+    # round-12: OOXML office-document extraction (stdlib zip +
+    # WordprocessingML walk inside Arrow mapInPandas; fixture staged
+    # outside the clock like the other media rows)
+    "docx_extract",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",
@@ -283,7 +287,7 @@ def main() -> None:
     # one-time synthesis->parquet write, so the timed runs below see
     # only the operator (decode + band join), never fixture synthesis.
     for _row in ("audio_dedup_fingerprint", "video_dedup_dhash",
-                 "jpeg_features", "pdf_extract"):
+                 "jpeg_features", "pdf_extract", "docx_extract"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

@@ -1312,7 +1312,8 @@ def cmd_corpus(args) -> None:
     if args.action in ("increment", "increment-emb", "ivf-build",
                        "ivf-increment", "ivf-query", "ivf-build-q",
                        "ivf-increment-q", "ivf-query-pq",
-                       "pq-build", "pq-query") and not args.state:
+                       "pq-build", "pq-increment",
+                       "pq-query") and not args.state:
         raise SystemExit(
             f"minerva-spark corpus {args.action}: --state is required "
             "(path of the persisted state)"
@@ -1470,6 +1471,18 @@ def cmd_corpus(args) -> None:
             spark, df, args.state, coarse_k=args.n, coarse_iters=args.iters,
             m=args.pq_m, pq_k=args.pq_k, pq_iters=args.iters,
         )
+    elif args.action == "pq-increment":
+        from minerva_etl_spark.operators.incremental import (
+            ivf_needs_recluster,
+        )
+        from minerva_etl_spark.operators.pq import ivf_pq_increment
+
+        out = ivf_pq_increment(spark, df, args.state)
+        if ivf_needs_recluster(spark, args.state):
+            print(
+                "corpus pq-increment: corpus grew past the recluster "
+                "factor — refit with pq-build at coarse k ~ sqrt(N)"
+            )
     elif args.action == "pq-query":
         from pyspark.sql import functions as FF
 
@@ -1680,7 +1693,9 @@ def cmd_media(args) -> None:
     PNG/JPEG column and normalizes to PNG), `frames`
     (fixed-stride frame sampling), `pdf-text` (real PDF text
     extraction: object scan, FlateDecode, Tj/TJ operators —
-    `--on-error skip` for dirty corpora), `image-dhash` /
+    `--on-error skip` for dirty corpora), `docx-text` (OOXML
+    WordprocessingML extraction: stdlib zip + run/tab/br/table walk,
+    dc:title metadata, same --on-error contract), `image-dhash` /
     `image-dedup` (perceptual near-dup hashing over decoded pixels
     and the pigeonhole hamming pair join), `audio-fingerprint` /
     `audio-dedup` (frame-energy envelope hash over decoded WAV,
@@ -1749,6 +1764,10 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.pdf import pdf_extract
 
         out = pdf_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "docx-text":
+        from minerva_etl_spark.operators.docx import docx_extract
+
+        out = docx_extract(df, id_col="media_id", on_error=args.on_error)
     elif args.action == "image-dhash":
         from minerva_etl_spark.operators.imagehash import image_dhash
 
@@ -2337,7 +2356,7 @@ def main(argv: list[str] | None = None) -> None:
             "increment", "increment-emb", "decontaminate",
             "ivf-build", "ivf-increment", "ivf-query",
             "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
-            "pq-build", "pq-query", "substring-dedup",
+            "pq-build", "pq-increment", "pq-query", "substring-dedup",
             "bitext", "pack-semantic", "ppl-buckets", "script-profile",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",
@@ -2432,7 +2451,8 @@ def main(argv: list[str] | None = None) -> None:
         choices=["wav-features", "wav-spectral", "png-features",
                  "jpeg-features", "gif-features", "image-features",
                  "png-resize", "image-resize", "frames", "avi-features",
-                 "avi-frames", "features", "pdf-text", "image-dhash",
+                 "avi-frames", "features", "pdf-text", "docx-text",
+                 "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",
                  "audio-increment", "video-increment",

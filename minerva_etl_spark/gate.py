@@ -4111,6 +4111,63 @@ def _oracle_sim_ivf_tpq() -> str:
     )
 
 
+def q_sim_ivf_tpq_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-PQ DELIVERY cycle (`operators/pq.py::ivf_pq_increment`):
+    fit coarse centroids + codebooks on 3/4 of the corpus, ingest the
+    remaining quarter as one delivery (frozen-parameter coarse-assign
+    + PQ-encode + append — history payloads never rescanned), then
+    query — proving build→increment→query composes and that frozen-
+    parameter delta-encode == the full recompute the oracle replays
+    (`ivf_tpq_oracle_sql` with ``train_pred``).  The int8 state's
+    protocol (`sim_ivf_pq_increment`), inherited by the m-byte
+    payload."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.pq import (
+        build_ivf_pq_state,
+        ivf_pq_increment,
+        ivf_pq_state_query,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="minerva_gate_tpq_inc_")
+    path = root + "/state"
+    build_ivf_pq_state(
+        spark, emb.filter("vec_id % 4 < 3"), path,
+        coarse_k=4, coarse_iters=2, m=16, pq_k=16, pq_iters=2, dim=64,
+    )
+    ivf_pq_increment(spark, emb.filter("vec_id % 4 = 3"), path)
+    queries = emb.filter("vec_id % 10 = 5").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ivf_pq_state_query(
+        spark, queries, path, source=emb, k=3, n_probe=2, overfetch=10
+    ).localCheckpoint(eager=True)  # pinned before the state dir goes
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_sim_ivf_tpq_increment() -> str:
+    from minerva_etl_spark.operators.pq import ivf_tpq_oracle_sql
+
+    return ivf_tpq_oracle_sql(
+        coarse_k=4,
+        coarse_iters=2,
+        m=16,
+        d_sub=4,
+        pq_k=16,
+        pq_iters=2,
+        query_pred="vec_id % 10 = 5",
+        k=3,
+        n_probe=2,
+        overfetch=10,
+        train_pred="vec_id % 4 < 3",
+    )
+
+
 def q_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based bitext mining (`operators/bitext.py::mine_bitext`
     — the Artetxe & Schwenk ratio margin behind CCMatrix): vec_id
@@ -5235,6 +5292,101 @@ def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
     )  # staged like the media fixtures: the row times EXTRACTION
     return pdf_extract(payloads)
+
+
+def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DOCX text extraction (`operators/docx.py::docx_extract` —
+    the office-corpus ingest edge, r12): each doc becomes a conformant
+    OOXML package synthesized in-task — paragraph 1 a fixed header,
+    paragraph 2 the sanitized doc text split across ``1 + d % 4`` runs
+    (extraction must be run-split-invariant), every 5th doc a third
+    paragraph carrying a structural ``w:tab``, every 3rd doc a 2×2
+    ``w:tbl`` (cells TAB-joined, rows NEWLINE-joined), ``dc:title`` in
+    core.xml, zip entries stored (even ids) or deflated (odd) — then
+    parsed back through the stdlib zip + WordprocessingML walk.  The
+    oracle rebuilds title, block joins and char count closed-form; a
+    bug in the run/tab/br walk, table traversal, body ordering, or
+    core-properties read hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.docx import (
+        docx_extract,
+        synthesize_docx,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                paras = [f"Doc {d} report", t]
+                if d % 5 == 0:
+                    paras.append(f"tab{d}\tcol")
+                rows.append(
+                    (
+                        d,
+                        synthesize_docx(
+                            paras,
+                            title=f"Doc {d}",
+                            table=(
+                                [
+                                    [f"T{d} r0c0", f"T{d} r0c1"],
+                                    [f"T{d} r1c0", f"T{d} r1c1"],
+                                ]
+                                if d % 3 == 0 else None
+                            ),
+                            runs_per_para=1 + d % 4,
+                            compress=(d % 2 == 1),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "docx",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return docx_extract(payloads)
+
+
+_ORACLE_DOCX_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+),
+built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || chr(10) || text
+           || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'tab' || CAST(doc_id AS VARCHAR)
+                     || chr(9) || 'col'
+                ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                THEN chr(10)
+                     || 'T' || CAST(doc_id AS VARCHAR) || ' r0c0'
+                     || chr(9)
+                     || 'T' || CAST(doc_id AS VARCHAR) || ' r0c1'
+                     || chr(10)
+                     || 'T' || CAST(doc_id AS VARCHAR) || ' r1c0'
+                     || chr(9)
+                     || 'T' || CAST(doc_id AS VARCHAR) || ' r1c1'
+                ELSE '' END AS text
+  FROM san
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_paragraphs,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_tables,
+       text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
 
 
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6789,6 +6941,16 @@ _REGISTRY_ORDER = [
     #     sim_ivf_pq; recall parity at the documented over-fetch is
     #     pytest-pinned (tests/test_pq.py).
     "sim_ivf_tpq",
+    #   sim_ivf_tpq_increment replays the trained-PQ state's delivery
+    #     protocol (frozen-parameter delta-encode + append) — the
+    #     sim_ivf_pq_increment shape over the m-byte payload.
+    "sim_ivf_tpq_increment",
+    #   docx_extract pins the OOXML office-document ingest edge
+    #     (operators/docx.py — stdlib zip + WordprocessingML walk,
+    #     run/tab/br/table semantics): the Arrow mapInPandas codec
+    #     shape is in-window via pdf_extract; the writer/reader round
+    #     trip is pytest-pinned (tests/test_docx.py).
+    "docx_extract",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -6954,6 +7116,8 @@ def build_queries() -> dict:
         "bitext_mine": q_bitext_mine,
         "bitext_mine_ann": q_bitext_mine_ann,
         "sim_ivf_tpq": q_sim_ivf_tpq,
+        "sim_ivf_tpq_increment": q_sim_ivf_tpq_increment,
+        "docx_extract": q_docx_extract,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -7106,6 +7270,8 @@ def build_oracles() -> dict[str, str]:
         "bitext_mine": _oracle_bitext_mine(),
         "bitext_mine_ann": _oracle_bitext_mine_ann(),
         "sim_ivf_tpq": _oracle_sim_ivf_tpq(),
+        "sim_ivf_tpq_increment": _oracle_sim_ivf_tpq_increment(),
+        "docx_extract": _ORACLE_DOCX_EXTRACT,
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),

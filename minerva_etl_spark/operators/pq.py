@@ -68,6 +68,7 @@ __all__ = [
     "pq_fit",
     "pq_encode",
     "build_ivf_pq_state",
+    "ivf_pq_increment",
     "ivf_pq_state_query",
     "ivf_tpq_oracle_sql",
 ]
@@ -319,6 +320,49 @@ def build_ivf_pq_state(
             "n_at_fit bigint, n_total bigint, m int, d_sub int",
         ).coalesce(1).write.mode("overwrite").parquet(meta_p)
     return spark.read.parquet(asg_p)
+
+
+def ivf_pq_increment(
+    spark: SparkSession,
+    new_embeddings: DataFrame,
+    state_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One delivery against the trained-PQ state: coarse-assign ONLY
+    the delta at the frozen persisted centroids and PQ-encode it at
+    the frozen persisted codebooks — history payloads never rescanned,
+    so a delivery costs O(delta) regardless of state size (the
+    `incremental.ivf_increment` protocol, inherited by the m-byte
+    payload).  Delta-assign + delta-encode at frozen parameters == the
+    full recompute at those parameters, so the oracle replays the
+    whole build→increment cycle closed-form (`ivf_tpq_oracle_sql` with
+    ``train_pred``).  The lease spans read-state → assign/encode →
+    append.  Returns the delta's state rows."""
+    from minerva_etl_spark.operators.similarity import assign_centroids
+
+    cent_p, cb_p, asg_p, meta_p = _paths(state_path)
+    with _state_lease(spark, state_path):
+        cent = spark.read.parquet(cent_p)
+        cb = spark.read.parquet(cb_p)
+        meta = spark.read.parquet(meta_p).collect()[0]  # one row
+        m, d_sub = int(meta.m), int(meta.d_sub)
+        coarse = assign_centroids(
+            new_embeddings, cent, id_col=id_col, vec_col=vec_col
+        ).select(id_col, "centroid_id")
+        codes = pq_encode(
+            new_embeddings, cb, m, d_sub, id_col=id_col, vec_col=vec_col
+        )
+        delta = coarse.join(codes, id_col).localCheckpoint(
+            eager=True
+        )  # pinned before state mutates
+        n_delta = delta.count()
+        delta.write.mode("append").parquet(asg_p)
+        spark.createDataFrame(
+            [(meta.n_at_fit, meta.n_total + n_delta, m, d_sub)],
+            "n_at_fit bigint, n_total bigint, m int, d_sub int",
+        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+    return delta
 
 
 def _query_lut(

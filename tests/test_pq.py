@@ -129,6 +129,50 @@ def test_encode_shape_and_norm(spark):
         )
 
 
+def test_increment_is_frozen_parameter_encode(spark, tmp_path):
+    """build(3/4) + increment(1/4) leaves the state identical to
+    encoding the FULL corpus at the subset-trained frozen parameters —
+    the property the `sim_ivf_tpq_increment` oracle replays — and the
+    delivery never rewrites history rows."""
+    from minerva_etl_spark.operators.pq import ivf_pq_increment
+    from minerva_etl_spark.operators.similarity import assign_centroids
+
+    emb = load_table(spark, SF, "embeddings")
+    p = str(tmp_path / "state")
+    build_ivf_pq_state(
+        spark, emb.filter("vec_id % 4 < 3"), p,
+        coarse_k=4, coarse_iters=2, m=16, pq_k=16, pq_iters=2,
+    )
+    before = {
+        r.vec_id: (r.centroid_id, tuple(r.codes), r.rnorm_grid)
+        for r in spark.read.parquet(p + "/assigned_pq").collect()
+    }
+    ivf_pq_increment(spark, emb.filter("vec_id % 4 = 3"), p)
+    after = {
+        r.vec_id: (r.centroid_id, tuple(r.codes), r.rnorm_grid)
+        for r in spark.read.parquet(p + "/assigned_pq").collect()
+    }
+    # history untouched, delta appended
+    assert all(after[k] == v for k, v in before.items())
+    assert len(after) == emb.count()
+    # delta rows == frozen-parameter recompute
+    cent = spark.read.parquet(p + "/centroids")
+    cb = spark.read.parquet(p + "/codebooks")
+    delta = emb.filter("vec_id % 4 = 3")
+    expect_coarse = {
+        r.vec_id: r.centroid_id
+        for r in assign_centroids(delta, cent).collect()
+    }
+    expect_codes = {
+        r.vec_id: (tuple(int(c) for c in r.codes), r.rnorm_grid)
+        for r in pq_encode(delta, cb, m=16, d_sub=4).collect()
+    }
+    for vid, want_cid in expect_coarse.items():
+        got_cid, got_codes, got_rn = after[vid]
+        assert got_cid == want_cid
+        assert (got_codes, got_rn) == expect_codes[vid]
+
+
 def test_dim_not_divisible_raises(spark):
     emb = load_table(spark, SF, "embeddings")
     with pytest.raises(ValueError, match="not divisible"):
