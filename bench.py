@@ -199,6 +199,11 @@ HEADLINE = [
     # WordprocessingML walk inside Arrow mapInPandas; fixture staged
     # outside the clock like the other media rows)
     "docx_extract",
+    # round-12: EPUB container walk (spine-ordered XHTML chapters
+    # through the one HTML extractor; fixture staged outside the clock)
+    "epub_extract",
+    # round-12: mixed-format dispatch over all three document codecs
+    "office_extract",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",
@@ -287,7 +292,8 @@ def main() -> None:
     # one-time synthesis->parquet write, so the timed runs below see
     # only the operator (decode + band join), never fixture synthesis.
     for _row in ("audio_dedup_fingerprint", "video_dedup_dhash",
-                 "jpeg_features", "pdf_extract", "docx_extract"):
+                 "jpeg_features", "pdf_extract", "docx_extract",
+                 "epub_extract", "office_extract"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

@@ -1695,7 +1695,11 @@ def cmd_media(args) -> None:
     extraction: object scan, FlateDecode, Tj/TJ operators —
     `--on-error skip` for dirty corpora), `docx-text` (OOXML
     WordprocessingML extraction: stdlib zip + run/tab/br/table walk,
-    dc:title metadata, same --on-error contract), `image-dhash` /
+    dc:title metadata, same --on-error contract), `epub-text` (EPUB
+    container walk: container.xml -> OPF spine -> XHTML chapters
+    through the engine's one HTML extractor), `office-text`
+    (mixed-format dispatch: magic-byte sniff routes one binary column
+    across the PDF/DOCX/EPUB codecs, unified schema out), `image-dhash` /
     `image-dedup` (perceptual near-dup hashing over decoded pixels
     and the pigeonhole hamming pair join), `audio-fingerprint` /
     `audio-dedup` (frame-energy envelope hash over decoded WAV,
@@ -1768,6 +1772,14 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.docx import docx_extract
 
         out = docx_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "epub-text":
+        from minerva_etl_spark.operators.epub import epub_extract
+
+        out = epub_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "office-text":
+        from minerva_etl_spark.operators.office import office_extract
+
+        out = office_extract(df, id_col="media_id", on_error=args.on_error)
     elif args.action == "image-dhash":
         from minerva_etl_spark.operators.imagehash import image_dhash
 
@@ -2452,7 +2464,7 @@ def main(argv: list[str] | None = None) -> None:
                  "jpeg-features", "gif-features", "image-features",
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "docx-text",
-                 "image-dhash",
+                 "epub-text", "office-text", "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",
                  "audio-increment", "video-increment",

@@ -5389,6 +5389,158 @@ FROM built
 """
 
 
+def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EPUB text extraction (`operators/epub.py::epub_extract` —
+    the e-book corpus ingest edge, r12): each doc becomes a conformant
+    EPUB synthesized in-task — OCF stored-mimetype-first zip,
+    container.xml → OPF, a header chapter + the sanitized doc text
+    chapter (+ a trailer chapter on even ids), ``dc:title`` and the
+    doc's OWN ``lang`` column as ``dc:language``, the MANIFEST written
+    in reverse chapter order so only a correct SPINE walk extracts in
+    reading order, entries stored (ids ≡ 0 mod 3) or deflated — then
+    parsed back through the stdlib container→OPF→spine→XHTML chain
+    with chapter bodies through the engine's one HTML extractor.  The
+    oracle rebuilds title, language, chapter joins and char count
+    closed-form; a spine-order, manifest-resolution, metadata, or
+    HTML-walk bug hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.epub import (
+        epub_extract,
+        synthesize_epub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                chapters = [
+                    f"<p>Doc {d} report</p>",
+                    f"<p>{t}</p>",
+                ]
+                if d % 2 == 0:
+                    chapters.append(f"<p>end {d}</p>")
+                rows.append(
+                    (
+                        d,
+                        synthesize_epub(
+                            chapters,
+                            title=f"Doc {d}",
+                            language=str(lang),
+                            compress=(d % 3 != 0),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "epub",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return epub_extract(payloads)
+
+
+_ORACLE_EPUB_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, lang, {_ascii_sanitize_sql('text')} AS text
+  FROM documents
+),
+built AS (
+  SELECT doc_id, lang,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || chr(10) || text
+           || CASE WHEN doc_id % 2 = 0
+                THEN chr(10) || 'end ' || CAST(doc_id AS VARCHAR)
+                ELSE '' END AS text
+  FROM san
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       lang AS language,
+       CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_chapters,
+       text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-FORMAT document extraction (`operators/office.py::
+    office_extract` — the dispatch edge over the three document
+    codecs, r12): one binary column cycles doc_id % 3 over a real PDF
+    (plain 1.4), a real DOCX (deflated OOXML), and a real EPUB
+    (spine-walked OCF) carrying the same header + sanitized-text
+    content; magic-byte sniffing routes each payload in-task and the
+    unified ``(format, title, text, n_chars)`` schema comes back.
+    The oracle rebuilds all three formats' text closed-form (they
+    differ only in the codec-specific page/paragraph/chapter join), so
+    a sniffing, routing, or any-codec regression hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.epub import synthesize_epub
+    from minerva_etl_spark.operators.office import office_extract
+    from minerva_etl_spark.operators.pdf import synthesize_pdf
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                if d % 3 == 0:
+                    payload = synthesize_pdf(
+                        [f"Doc {d} report", t], title=f"Doc {d}"
+                    )
+                elif d % 3 == 1:
+                    payload = synthesize_docx(
+                        [f"Doc {d} report", t], title=f"Doc {d}"
+                    )
+                else:
+                    payload = synthesize_epub(
+                        [f"<p>Doc {d} report</p>", f"<p>{t}</p>"],
+                        title=f"Doc {d}",
+                    )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "office",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return office_extract(payloads)
+
+
+_ORACLE_OFFICE_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+            ELSE 'epub' END AS format,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+         || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10)
+                 ELSE chr(10) END
+         || text AS text,
+       CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || ' report')
+            + CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END
+            + length(text) AS INT) AS n_chars
+FROM san
+"""
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
     each doc becomes a real feed synthesized in-task — even doc_ids
@@ -6951,6 +7103,17 @@ _REGISTRY_ORDER = [
     #     shape is in-window via pdf_extract; the writer/reader round
     #     trip is pytest-pinned (tests/test_docx.py).
     "docx_extract",
+    #   epub_extract pins the e-book container edge (operators/
+    #     epub.py — OCF zip → container.xml → OPF spine walk, chapter
+    #     bodies through the engine's one HTML extractor); pytest-
+    #     pinned round trip incl. the reverse-manifest spine decoy
+    #     (tests/test_epub.py).
+    "epub_extract",
+    #   office_extract pins the mixed-format dispatch edge
+    #     (operators/office.py — magic-byte sniff routing one binary
+    #     column across all three document codecs, the
+    #     image_features_mixed pattern).
+    "office_extract",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -7118,6 +7281,8 @@ def build_queries() -> dict:
         "sim_ivf_tpq": q_sim_ivf_tpq,
         "sim_ivf_tpq_increment": q_sim_ivf_tpq_increment,
         "docx_extract": q_docx_extract,
+        "epub_extract": q_epub_extract,
+        "office_extract": q_office_extract,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -7272,6 +7437,8 @@ def build_oracles() -> dict[str, str]:
         "sim_ivf_tpq": _oracle_sim_ivf_tpq(),
         "sim_ivf_tpq_increment": _oracle_sim_ivf_tpq_increment(),
         "docx_extract": _ORACLE_DOCX_EXTRACT,
+        "epub_extract": _ORACLE_EPUB_EXTRACT,
+        "office_extract": _ORACLE_OFFICE_EXTRACT,
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),

@@ -1,0 +1,106 @@
+"""Mixed-format dispatch (`operators/office.py`): magic-byte sniff
+accuracy, unified extraction across all three codecs, skip mode, and
+the CLI verb."""
+
+import pytest
+
+from minerva_etl_spark.operators.docx import synthesize_docx
+from minerva_etl_spark.operators.epub import synthesize_epub
+from minerva_etl_spark.operators.office import (
+    office_extract,
+    sniff_document_format,
+)
+from minerva_etl_spark.operators.pdf import synthesize_pdf
+
+
+def test_sniff_routes_correctly():
+    assert sniff_document_format(synthesize_pdf(["p"])) == "pdf"
+    assert sniff_document_format(synthesize_docx(["p"])) == "docx"
+    assert sniff_document_format(synthesize_epub(["<p>p</p>"])) == "epub"
+    assert sniff_document_format(b"random bytes") == "unknown"
+    # a ZIP that's neither DOCX nor EPUB
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("data.txt", "hi")
+    assert sniff_document_format(buf.getvalue()) == "unknown"
+
+
+def test_epub_sniff_via_mimetype_without_container():
+    """An EPUB-ish zip whose container.xml is missing but whose OCF
+    mimetype entry is present still sniffs as epub (and then fails
+    extraction honestly)."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("x.xhtml", "<p>x</p>")
+    assert sniff_document_format(buf.getvalue()) == "epub"
+
+
+def test_mixed_column_unified_output(spark):
+    rows = [
+        (0, synthesize_pdf(["Doc 0 report", "pdf body"], title="Doc 0")),
+        (1, synthesize_docx(["Doc 1 report", "docx body"], title="Doc 1")),
+        (
+            2,
+            synthesize_epub(
+                ["<p>Doc 2 report</p>", "<p>epub body</p>"], title="Doc 2"
+            ),
+        ),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r.doc_id: r for r in office_extract(df).collect()}
+    assert out[0].format == "pdf"
+    assert out[0].text == "Doc 0 report\n\npdf body"
+    assert out[1].format == "docx"
+    assert out[1].text == "Doc 1 report\ndocx body"
+    assert out[2].format == "epub"
+    assert out[2].text == "Doc 2 report\nepub body"
+    assert all(out[i].title == f"Doc {i}" for i in range(3))
+    assert all(out[i].n_chars == len(out[i].text) for i in range(3))
+
+
+def test_skip_mode_drops_unknown(spark):
+    rows = [
+        (1, synthesize_docx(["keep me"])),
+        (2, b"garbage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = office_extract(df, on_error="skip").collect()
+    assert [r.doc_id for r in out] == [1]
+    with pytest.raises(Exception):
+        office_extract(df, on_error="fail").collect()
+
+
+def test_cli_office_text(spark, tmp_path):
+    from minerva_etl_spark.cli import cmd_media
+
+    inp = str(tmp_path / "in")
+    spark.createDataFrame(
+        [
+            (1, synthesize_pdf(["pdf here"])),
+            (2, synthesize_epub(["<p>epub here</p>"])),
+        ],
+        "media_id bigint, payload binary",
+    ).write.parquet(inp)
+
+    class A:
+        pass
+
+    a = A()
+    a.action = "office-text"
+    a.input = inp
+    a.output = str(tmp_path / "out")
+    a.on_error = "fail"
+    cmd_media(a)
+    out = {
+        r.media_id: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert out[1].format == "pdf" and out[1].text == "pdf here"
+    assert out[2].format == "epub" and out[2].text == "epub here"
