@@ -119,6 +119,8 @@ HEADLINE = [
     "corpus_report",
     "pipeline_curate",
     "gopher_rules",
+    # round-12: C4 line/page cleaning (one codegen scan-project)
+    "c4_rules",
     "live_monitor",
     "kmeans_fit",
     "domain_cap",

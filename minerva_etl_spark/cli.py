@@ -1292,7 +1292,8 @@ def cmd_corpus(args) -> None:
     --pq-m/--pq-k size the codebooks), `substring-dedup` (corpus-scale
     exact substring dedup — the Lee et al. ≥w-token overlap rule as a
     sorted-shingle digest groupBy + per-token coverage rebuild;
-    --window sets w), `chat-curate` (SFT conversation
+    --window sets w), `c4-rules` (the C4 line/page cleaning ruleset:
+    per-rule attrition + cleaned text), `chat-curate` (SFT conversation
     prep: parse JSONL chat records, validate structure, bound turns,
     render the ChatML training string — all Catalyst, dirty records
     filtered), `preference-pairs` (DPO pair prep from scored
@@ -1503,6 +1504,10 @@ def cmd_corpus(args) -> None:
             source=source,
             k=args.n,
         )
+    elif args.action == "c4-rules":
+        from minerva_etl_spark.operators.text import c4_rules
+
+        out = c4_rules(df, text_col=args.text_col)
     elif args.action == "substring-dedup":
         from minerva_etl_spark.operators.substring import substring_dedup
 
@@ -2369,6 +2374,7 @@ def main(argv: list[str] | None = None) -> None:
             "ivf-build", "ivf-increment", "ivf-query",
             "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
             "pq-build", "pq-increment", "pq-query", "substring-dedup",
+            "c4-rules",
             "bitext", "pack-semantic", "ppl-buckets", "script-profile",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",

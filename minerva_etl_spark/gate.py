@@ -2270,6 +2270,79 @@ def _oracle_chunk_sequences() -> str:
     return chunk_sequences_oracle_sql("documents", 64, 48)
 
 
+#: shared by the Spark row and its oracle: the multi-line corpus for
+#: `c4_rules` — the fixture's single-line texts are re-lined into
+#: width-(4 + d%4) word lines whose terminal punctuation cycles
+#: '.', '!', '?', NONE by line index (so ~1/4 of lines fail the
+#: terminal-punct rule and the narrow widths fail the min-words
+#: rule), plus planted violations: a javascript line (d ≡ 0 mod 11),
+#: a "lorem ipsum" page-kill (d ≡ 0 mod 13), a curly-brace page-kill
+#: (d ≡ 0 mod 17).
+def _c4_corpus_spark(docs: DataFrame) -> DataFrame:
+    lineify = (
+        "array_join(transform(sequence(0, CAST(floor((size(split(text,"
+        " ' ')) + __w - 1) / __w) AS INT) - 1, 1), i -> concat("
+        "concat_ws(' ', slice(split(text, ' '), i * __w + 1, __w)), "
+        "element_at(array('.', '!', '?', ''), (i % 4) + 1))), chr(10))"
+    )
+    return docs.withColumn(
+        "__w", (F.lit(4) + F.col("doc_id") % 4).cast("int")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"concat({lineify}, "
+            "CASE WHEN doc_id % 11 = 0 THEN chr(10) || "
+            "'javascript alert line here today.' ELSE '' END, "
+            "CASE WHEN doc_id % 13 = 0 THEN chr(10) || "
+            "'lorem ipsum dolor sit amet today.' ELSE '' END, "
+            "CASE WHEN doc_id % 17 = 0 THEN chr(10) || "
+            "'brace { line end here now.' ELSE '' END)"
+        ).alias("text"),
+    )
+
+
+_C4_CORPUS_SQL = """(
+  SELECT doc_id,
+         array_to_string(list_transform(
+           range(0, CAST(floor((len(string_split(text, ' '))
+                                + w - 1) / w) AS BIGINT)),
+           i -> array_to_string(
+                  list_slice(string_split(text, ' '),
+                             i * w + 1, i * w + w), ' ')
+                || (['.', '!', '?', ''])[(i % 4) + 1]), chr(10))
+         || CASE WHEN doc_id % 11 = 0 THEN chr(10) ||
+              'javascript alert line here today.' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN chr(10) ||
+              'lorem ipsum dolor sit amet today.' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN chr(10) ||
+              'brace { line end here now.' ELSE '' END AS text
+  FROM (SELECT doc_id, text, 4 + doc_id % 4 AS w FROM documents)
+)"""
+
+
+def q_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line/page cleaning (`operators/text.py::c4_rules` —
+    Raffel et al. 2020 §2.2, the other canonical named ruleset next to
+    in-window `gopher_rules`): terminal-punctuation + min-words +
+    javascript line filters, then the ≥3-sentence / lorem-ipsum /
+    curly-brace page gates, emitting per-rule attrition counts AND the
+    cleaned rejoined text.  The corpus re-lines the fixture docs with
+    cycling punctuation and plants each violation class (see
+    `_c4_corpus_spark`); the oracle replays construction + rules
+    expression-for-expression.  One scan-project, zero shuffles."""
+    _prep(spark)
+    from minerva_etl_spark.operators.text import c4_rules
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return c4_rules(_c4_corpus_spark(docs))
+
+
+def _oracle_c4_rules() -> str:
+    from minerva_etl_spark.operators.text import c4_rules_oracle_sql
+
+    return c4_rules_oracle_sql(_C4_CORPUS_SQL)
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition report (`operators/text.py::corpus_report`):
     per (lang, source) doc counts + token/char totals — the numbers
@@ -7114,6 +7187,10 @@ _REGISTRY_ORDER = [
     #     column across all three document codecs, the
     #     image_features_mixed pattern).
     "office_extract",
+    #   c4_rules pins the C4 (Raffel et al. 2020) line/page cleaning
+    #     ruleset (operators/text.py::c4_rules — the gopher_rules
+    #     family; planted violations per rule class).
+    "c4_rules",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -7283,6 +7360,7 @@ def build_queries() -> dict:
         "docx_extract": q_docx_extract,
         "epub_extract": q_epub_extract,
         "office_extract": q_office_extract,
+        "c4_rules": q_c4_rules,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -7439,6 +7517,7 @@ def build_oracles() -> dict[str, str]:
         "docx_extract": _ORACLE_DOCX_EXTRACT,
         "epub_extract": _ORACLE_EPUB_EXTRACT,
         "office_extract": _ORACLE_OFFICE_EXTRACT,
+        "c4_rules": _oracle_c4_rules(),
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),

@@ -673,6 +673,103 @@ FROM (
 """
 
 
+#: C4 (Raffel et al. 2020, §2.2) line/page heuristics
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+#: terminal punctuation a retained line must end with (period,
+#: exclamation, question mark, end quotation)
+_C4_TERMINAL_RE = '[.!?"]$'
+
+
+def c4_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style cleaning (Raffel et al. 2020 — the "Colossal Clean
+    Crawled Corpus" heuristics, the OTHER canonical named ruleset next
+    to :func:`gopher_rules`): LINE-level filtering — keep only lines
+    that end in terminal punctuation, carry ≥ 5 words, and don't
+    mention "javascript" — then PAGE-level gates — ≥ 3 sentences in
+    the cleaned text, no "lorem ipsum", no curly brace.  Returns one
+    row per doc: per-rule counts/booleans (per-rule attrition is
+    reportable, the `gopher_rules` shape), ``keep``, and the CLEANED
+    ``text`` (kept lines rejoined) — C4 rewrites pages, it doesn't
+    just drop them.
+
+    One scan-project over the line array, zero shuffles, zero UDFs —
+    every predicate is engine-portable (the oracle runs the identical
+    expressions).
+    """
+    lines = f"split({text_col}, chr(10))"
+    kept = (
+        f"filter({lines}, l -> l RLIKE '{_C4_TERMINAL_RE}' "
+        f"AND size(filter(split(l, ' '), w -> w <> '')) "
+        f">= {C4_MIN_WORDS_PER_LINE} "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    staged = df.select(
+        id_col,
+        F.col(text_col).alias("__raw"),
+        F.expr(f"size({lines})").cast("bigint").alias("n_lines"),
+        F.expr(f"array_join({kept}, chr(10))").alias("__clean"),
+        F.expr(f"size({kept})").cast("bigint").alias("n_lines_kept"),
+    )
+    n_sent = F.length(
+        F.regexp_replace(F.col("__clean"), "[^.!?]", "")
+    ).cast("bigint")
+    out = staged.select(
+        id_col,
+        "n_lines",
+        "n_lines_kept",
+        n_sent.alias("n_sentences"),
+        (n_sent >= C4_MIN_SENTENCES).alias("ok_sentences"),
+        (~F.expr("contains(lower(__raw), 'lorem ipsum')")).alias(
+            "ok_lorem"
+        ),
+        (~F.expr("contains(__raw, '{')")).alias("ok_brace"),
+        F.col("__clean").alias("text"),
+    )
+    return out.withColumn(
+        "keep",
+        F.col("ok_sentences") & F.col("ok_lorem") & F.col("ok_brace"),
+    )
+
+
+def c4_rules_oracle_sql(table: str, text_col: str = "text") -> str:
+    """DuckDB twin of :func:`c4_rules` (identical predicates; the
+    ``table`` operand may be an inline ``(SELECT ...)`` corpus)."""
+    kept = (
+        f"list_filter(string_split({text_col}, chr(10)), l -> "
+        f"regexp_matches(l, '{_C4_TERMINAL_RE}') "
+        f"AND len(list_filter(string_split(l, ' '), w -> w <> '')) "
+        f">= {C4_MIN_WORDS_PER_LINE} "
+        f"AND NOT contains(lower(l), 'javascript'))"
+    )
+    return f"""
+WITH staged AS (
+  SELECT doc_id, {text_col} AS raw,
+         CAST(len(string_split({text_col}, chr(10))) AS BIGINT)
+           AS n_lines,
+         coalesce(array_to_string({kept}, chr(10)), '') AS clean,
+         CAST(len({kept}) AS BIGINT) AS n_lines_kept
+  FROM {table}
+)
+SELECT doc_id, n_lines, n_lines_kept, n_sentences, ok_sentences,
+       ok_lorem, ok_brace, text,
+       (ok_sentences AND ok_lorem AND ok_brace) AS keep
+FROM (
+  SELECT doc_id, n_lines, n_lines_kept,
+         CAST(length(regexp_replace(clean, '[^.!?]', '', 'g'))
+              AS BIGINT) AS n_sentences,
+         (length(regexp_replace(clean, '[^.!?]', '', 'g'))
+          >= {C4_MIN_SENTENCES}) AS ok_sentences,
+         (NOT contains(lower(raw), 'lorem ipsum')) AS ok_lorem,
+         (NOT contains(raw, '{{')) AS ok_brace,
+         clean AS text
+  FROM staged
+)
+"""
+
+
 def corpus_report(
     df: DataFrame,
     group_cols: tuple = ("lang", "source"),

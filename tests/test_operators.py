@@ -777,6 +777,45 @@ def test_gopher_rules_per_rule_flags(spark):
     assert rows[4].ok_word_count  # 60 words: only the length rule trips
 
 
+def test_c4_rules_line_and_page_gates(spark):
+    """Each C4 rule trips on its own violation; cleaned text keeps
+    only surviving lines."""
+    from minerva_etl_spark.operators.text import c4_rules
+
+    good = "this line has enough words to pass easily."
+    docs = spark.createDataFrame(
+        [
+            # three good lines -> >= 3 sentences, kept verbatim
+            (1, f"{good}\n{good}\n{good}"),
+            # line without terminal punctuation is dropped
+            (2, f"{good}\nno terminal punctuation on this line\n"
+                f"{good}\n{good}"),
+            # short line dropped (min 5 words)
+            (3, f"{good}\ntiny line.\n{good}\n{good}"),
+            # javascript line dropped regardless of shape
+            (4, f"{good}\nplease enable JavaScript to view this page."
+                f"\n{good}\n{good}"),
+            # page kills: lorem ipsum / curly brace
+            (5, f"{good}\n{good}\nlorem ipsum dolor sit amet today."),
+            (6, f"{good}\n{good}\nfunction() {{ return 1; }}\n{good}"),
+            # too few sentences after cleaning
+            (7, f"{good}\nno punct here at all on this line"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {r.doc_id: r for r in c4_rules(docs).collect()}
+    assert rows[1].keep and rows[1].text == f"{good}\n{good}\n{good}"
+    assert rows[1].n_sentences == 3
+    assert rows[2].keep and rows[2].n_lines_kept == 3
+    assert "no terminal" not in rows[2].text
+    assert rows[3].keep and "tiny" not in rows[3].text
+    assert rows[4].keep and "JavaScript" not in rows[4].text
+    assert not rows[5].ok_lorem and not rows[5].keep
+    assert not rows[6].ok_brace and not rows[6].keep
+    assert not rows[7].ok_sentences and not rows[7].keep
+    assert rows[7].n_lines_kept == 1  # the good line survives cleaning
+
+
 def test_corpus_report_totals(spark):
     """Per-group doc counts and token/char totals, one scan."""
     from minerva_etl_spark.operators.text import corpus_report
