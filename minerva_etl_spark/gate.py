@@ -2343,6 +2343,42 @@ def _oracle_c4_rules() -> str:
     return c4_rules_oracle_sql(_C4_CORPUS_SQL)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC lake-format round trip (`sources/plugins.py::_orc_reader`,
+    the S2 harvest-plugin family): the documents table is written as
+    ORC in-row (Spark's native writer — no extra package) and read
+    back through the registered ``orc`` harvest plugin, proving the
+    second-most-common columnar lake format flows through the same
+    `get_plugin` dispatch the CSV/JSONL/parquet/WARC/archive sources
+    use.  Values must survive the format conversion bit-exactly — the
+    oracle reads the ORIGINAL parquet, so any ORC writer/reader value
+    or type drift hash-mismatches."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.sources.plugins import get_plugin
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_orc_")
+    path = root + "/documents_orc"
+    docs.write.mode("overwrite").orc(path)
+    out = (
+        get_plugin("orc")(spark, path, None)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ORACLE_ORC_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition report (`operators/text.py::corpus_report`):
     per (lang, source) doc counts + token/char totals — the numbers
@@ -7191,6 +7227,10 @@ _REGISTRY_ORDER = [
     #     ruleset (operators/text.py::c4_rules — the gopher_rules
     #     family; planted violations per rule class).
     "c4_rules",
+    #   orc_roundtrip pins the ORC harvest plugin (S2 family — the
+    #     plugin dispatch itself is in-window via lifecycle_load_store
+    #     and archive/warc rows).
+    "orc_roundtrip",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -7361,6 +7401,7 @@ def build_queries() -> dict:
         "epub_extract": q_epub_extract,
         "office_extract": q_office_extract,
         "c4_rules": q_c4_rules,
+        "orc_roundtrip": q_orc_roundtrip,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -7518,6 +7559,7 @@ def build_oracles() -> dict[str, str]:
         "epub_extract": _ORACLE_EPUB_EXTRACT,
         "office_extract": _ORACLE_OFFICE_EXTRACT,
         "c4_rules": _oracle_c4_rules(),
+        "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),

@@ -101,7 +101,16 @@ def _jsonl_reader(spark: SparkSession, path: str, config) -> DataFrame:
     return read_jsonl_packages(spark, path, config)
 
 
+def _orc_reader(spark: SparkSession, path: str, config) -> DataFrame:
+    # ORC is Spark-native (no extra package) and the second-most
+    # common columnar lake format after parquet — a harvest source,
+    # not just an export target.  Predicate pushdown / column pruning
+    # reach the ORC scan exactly as they do for parquet.
+    return spark.read.orc(path)
+
+
 register_plugin("csv", _csv_reader)
 register_plugin("parquet", _parquet_reader)
 register_plugin("jsonl", _jsonl_reader)
 register_plugin("json", _jsonl_reader)
+register_plugin("orc", _orc_reader)

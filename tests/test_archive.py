@@ -175,3 +175,19 @@ def test_plugins_resolve_without_prior_import(tmp_path):
         [sys.executable, "-c", code], capture_output=True, text=True
     )
     assert "plugins-ok" in out.stdout, out.stderr[-500:]
+
+
+def test_orc_plugin_roundtrip(spark, tmp_path):
+    """The ORC harvest plugin (S2 family) reads back a Spark-written
+    ORC dataset value-exactly through the same get_plugin dispatch."""
+    from minerva_etl_spark.sources.plugins import get_plugin, list_plugins
+
+    assert "orc" in list_plugins()
+    src = spark.createDataFrame(
+        [(1, "alpha", 3.5), (2, "beta", -1.25)],
+        "id bigint, name string, score double",
+    )
+    path = str(tmp_path / "data_orc")
+    src.write.orc(path)
+    back = get_plugin("orc")(spark, path, None)
+    assert sorted(back.collect()) == sorted(src.collect())
