@@ -131,6 +131,10 @@ HEADLINE = [
     "pack_sequences",
     "bpe_train",
     "bpe_encode",
+    # round-12: unigram-LM tokenizer (hard-EM Viterbi train + encode
+    # over the distinct-word table — the train IS the story, as with
+    # bpe_train)
+    "unigram_encode",
     "logreg_train",
     "logreg_eval",
     # round-8 rows

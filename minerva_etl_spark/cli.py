@@ -1293,7 +1293,11 @@ def cmd_corpus(args) -> None:
     exact substring dedup — the Lee et al. ≥w-token overlap rule as a
     sorted-shingle digest groupBy + per-token coverage rebuild;
     --window sets w), `c4-rules` (the C4 line/page cleaning ruleset:
-    per-rule attrition + cleaned text), `chat-curate` (SFT conversation
+    per-rule attrition + cleaned text), `unigram` (SentencePiece-style
+    unigram-LM tokenizer: hard-EM Viterbi train over the distinct-word
+    table, vocab sidecar at <output>_vocab, encoded pieces out; --n
+    vocab size, --window max piece length, --iters EM rounds),
+    `chat-curate` (SFT conversation
     prep: parse JSONL chat records, validate structure, bound turns,
     render the ChatML training string — all Catalyst, dirty records
     filtered), `preference-pairs` (DPO pair prep from scored
@@ -1503,6 +1507,20 @@ def cmd_corpus(args) -> None:
             args.state,
             source=source,
             k=args.n,
+        )
+    elif args.action == "unigram":
+        from minerva_etl_spark.operators.unigram import (
+            unigram_encode,
+            unigram_train,
+        )
+
+        vocab = unigram_train(
+            df, max_vocab=args.n, max_len=args.window,
+            iters=args.iters, text_col=args.text_col,
+        )
+        vocab.write.mode("overwrite").parquet(args.output + "_vocab")
+        out = unigram_encode(
+            df, vocab, max_len=args.window, text_col=args.text_col
         )
     elif args.action == "c4-rules":
         from minerva_etl_spark.operators.text import c4_rules
@@ -2374,7 +2392,7 @@ def main(argv: list[str] | None = None) -> None:
             "ivf-build", "ivf-increment", "ivf-query",
             "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
             "pq-build", "pq-increment", "pq-query", "substring-dedup",
-            "c4-rules",
+            "c4-rules", "unigram",
             "bitext", "pack-semantic", "ppl-buckets", "script-profile",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",

@@ -2379,6 +2379,40 @@ SELECT doc_id, text, lang, source, n_chars FROM documents
 """
 
 
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer train + encode (`operators/unigram.py` —
+    Kudo 2018's SentencePiece unigram model as hard-EM Viterbi, the
+    second canonical subword algorithm next to in-window
+    `bpe_encode`): seed chars + top substrings, two EM rounds of
+    packed-BIGINT Viterbi segmentation over the DISTINCT word table,
+    grid-snapped ln costs, then encode the corpus and reassemble
+    per-doc piece streams.  The oracle replays the ENTIRE chain —
+    seeding, both EM rounds' DP folds, the hard-EM refresh, the final
+    encode — closed-form in DuckDB; a cost, tie-break, pruning, or
+    reassembly bug hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = unigram_train(
+        docs, max_vocab=256, max_len=5, iters=2, min_count=2
+    )
+    return unigram_encode(docs, vocab, max_len=5)
+
+
+def _oracle_unigram_encode() -> str:
+    from minerva_etl_spark.operators.unigram import (
+        unigram_encode_oracle_sql,
+    )
+
+    return unigram_encode_oracle_sql(
+        "documents", max_vocab=256, max_len=5, iters=2, min_count=2
+    )
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition report (`operators/text.py::corpus_report`):
     per (lang, source) doc counts + token/char totals — the numbers
@@ -7231,6 +7265,10 @@ _REGISTRY_ORDER = [
     #     plugin dispatch itself is in-window via lifecycle_load_store
     #     and archive/warc rows).
     "orc_roundtrip",
+    #   unigram_encode pins the SentencePiece-unigram tokenizer
+    #     (operators/unigram.py — hard-EM Viterbi over packed-BIGINT
+    #     lattices; the bpe_encode family's second algorithm).
+    "unigram_encode",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -7402,6 +7440,7 @@ def build_queries() -> dict:
         "office_extract": q_office_extract,
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
+        "unigram_encode": q_unigram_encode,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -7560,6 +7599,7 @@ def build_oracles() -> dict[str, str]:
         "office_extract": _ORACLE_OFFICE_EXTRACT,
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
+        "unigram_encode": _oracle_unigram_encode(),
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),

@@ -1,0 +1,459 @@
+"""Distributed unigram-LM tokenizer (Kudo 2018, the SentencePiece
+unigram model) — hard-EM Viterbi training + encoding, fully
+oracle-verifiable (round 12).
+
+`operators/bpe.py` owns the merge-table tokenizer family; this module
+is the OTHER canonical subword algorithm: a unigram language model
+over a candidate-piece vocabulary, trained by EM where the E-step
+segments every word with Viterbi under the current piece costs and
+the M-step re-estimates piece frequencies from the chosen
+segmentations (hard EM — the deterministic variant of Kudo's
+forward-backward EM; unused pieces prune to zero, single characters
+are floored so coverage never breaks).
+
+Like BPE, training runs on the distinct WORD-FREQUENCY table — the
+100 TB corpus collapses to its (word, count) vocabulary first (one
+map-side-combinable groupBy), and every EM round is: one broadcast
+join of word-substrings against the (bounded) piece vocabulary, one
+per-word DP, one combinable count groupBy.  Corpus size enters only
+through word counts.
+
+Cross-engine determinism (the part that makes `unigram_encode` a full
+value-hash gate row):
+
+* Piece costs are ``round(ln(total) − ln(freq), 6)`` snapped to a
+  6-dp integer grid BEFORE the DP — so the DP itself is exact BIGINT
+  arithmetic; ``ln`` is the only libm touch and the rounding absorbs
+  last-ulp drift (the `lm.py` discipline).
+* The Viterbi lattice folds left-to-right with every cell packed as
+  ONE BIGINT — ``best_cost · 1024 + parent_j`` — because DuckDB
+  1.0.0's ``list_reduce`` mis-evaluates struct accumulators but is
+  sound for ``BIGINT[]`` states.  Minimizing the packed value IS the
+  tie-break: lowest total cost, then smallest parent (= longest last
+  piece), bit-identically in both engines.
+* The backtrace is a second BIGINT[] fold following packed parents;
+  pieces come from ``substring(word, ...)`` on boundary pairs.
+
+Words are ``[a-z]+`` runs of the lowercased text (the `bpe.py`
+tokenization), so word length < 1024 and the packing never collides.
+
+Reference: extension (the reference has no tokenizer surface); the
+algorithm is the published unigram-LM recipe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "unigram_train",
+    "unigram_encode",
+    "unigram_encode_oracle_sql",
+]
+
+#: parent-pointer packing base (word length < 1024 by construction)
+_ENC = 1024
+#: unreachable-cell cost on the 6-dp grid (far above any real path)
+_INF = 4_000_000_000_000
+#: cost grid
+_GRID = 1_000_000.0
+
+
+def _words(docs: DataFrame, text_col: str) -> DataFrame:
+    """Distinct ``(word, cnt)`` — lowercased ``[a-z]+`` runs, the
+    `bpe.py` word model."""
+    return (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _subs(words: DataFrame, max_len: int) -> DataFrame:
+    """All substring occurrences ``(word, cnt, j, i, sub)`` with
+    ``1 ≤ i−j ≤ max_len`` — one flatten-explode projection, reused by
+    candidate counting and edge generation."""
+    gen = (
+        f"flatten(transform(sequence(0, length(word) - 1), j -> "
+        f"transform(sequence(j + 1, least(j + {int(max_len)}, "
+        f"length(word))), i -> struct(j AS j, i AS i, "
+        f"substring(word, j + 1, i - j) AS sub))))"
+    )
+    return words.select(
+        "word", "cnt", F.explode(F.expr(gen)).alias("__s")
+    ).select(
+        "word", "cnt",
+        F.col("__s.j").alias("j"),
+        F.col("__s.i").alias("i"),
+        F.col("__s.sub").alias("sub"),
+    )
+
+
+def _with_costs(vocab: DataFrame) -> DataFrame:
+    """Add the grid-snapped cost column: ``round(ln(total) − ln(freq),
+    6) · 1e6`` as BIGINT (total folded in by a one-row broadcast)."""
+    total = vocab.agg(F.sum("freq").alias("__tot"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        "freq",
+        F.expr(
+            f"CAST(floor(round(ln(CAST(__tot AS DOUBLE)) - "
+            f"ln(CAST(freq AS DOUBLE)), 6) * {_GRID} + 0.5d) AS BIGINT)"
+        ).alias("cost"),
+    )
+
+
+#: the packed Viterbi forward fold — per-word, over the sorted edge
+#: array ``__edges: array<struct<i,j,cost>>``; cell = best·1024 + parent
+_DP_VALS = f"""
+aggregate(
+  sequence(1, length(word)),
+  array(CAST(0 AS BIGINT)),
+  (acc, i) -> array_append(acc,
+    coalesce(
+      array_min(transform(
+        filter(__edges, e -> e.i = i),
+        e -> ((element_at(acc, e.j + 1) div {_ENC}) + e.cost)
+             * {_ENC} + e.j)),
+      CAST({_INF} AS BIGINT) * {_ENC})))
+"""
+
+#: the backtrace fold: follow packed parents from position n to 0
+_DP_CHAIN = f"""
+aggregate(
+  sequence(1, length(word)),
+  array(CAST(length(word) AS BIGINT)),
+  (acc, s) -> array_append(acc,
+    IF(element_at(acc, size(acc)) > 0,
+       element_at(__vals,
+                  CAST(element_at(acc, size(acc)) AS INT) + 1)
+         % {_ENC},
+       CAST(0 AS BIGINT))))
+"""
+
+#: boundary pairs (descending) → pieces in reading order
+_DP_TOKENS = """
+reverse(filter(
+  transform(sequence(1, size(__chain) - 1), k ->
+    IF(element_at(__chain, k) > element_at(__chain, k + 1),
+       substring(word,
+                 CAST(element_at(__chain, k + 1) AS INT) + 1,
+                 CAST(element_at(__chain, k)
+                      - element_at(__chain, k + 1) AS INT)),
+       NULL)),
+  x -> x IS NOT NULL))
+"""
+
+
+def _segment(
+    words: DataFrame, vocab_costs: DataFrame, max_len: int
+) -> DataFrame:
+    """Viterbi-segment every distinct word under the current costs →
+    ``(word, cnt, pieces array<string>)``.  One broadcast join of the
+    substring explode against the bounded vocabulary, one combinable
+    edge collect, one codegen DP projection — no per-word Python, no
+    iterative driver loop."""
+    edges = (
+        _subs(words, max_len)
+        .join(
+            F.broadcast(vocab_costs.select("token", "cost")),
+            F.col("sub") == F.col("token"),
+        )
+        .groupBy("word")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("i", "j", "cost"))
+            ).alias("__edges")
+        )
+    )
+    return (
+        words.join(edges, "word")
+        .withColumn("__vals", F.expr(_DP_VALS))
+        .withColumn("__chain", F.expr(_DP_CHAIN))
+        .select(
+            "word", "cnt", F.expr(_DP_TOKENS).alias("pieces")
+        )
+    )
+
+
+def unigram_train(
+    docs: DataFrame,
+    max_vocab: int = 512,
+    max_len: int = 5,
+    iters: int = 2,
+    min_count: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Train the unigram vocabulary: seed with every single character
+    plus the top multi-char substrings by weighted occurrence count
+    (freq desc, token asc, occurrence count ≥ ``min_count``), then run
+    ``iters`` hard-EM rounds — Viterbi-segment all distinct words,
+    re-count piece usage, drop unused multi-char pieces, floor
+    character frequencies at 1.  Returns ``(token, freq, cost)``."""
+    words = _words(docs, text_col).localCheckpoint(eager=True)
+    cand = _subs(words, max_len).groupBy(
+        F.col("sub").alias("token")
+    ).agg(F.sum("cnt").alias("freq"))
+    chars = cand.filter(F.length("token") == 1)
+    multi = (
+        cand.filter(
+            (F.length("token") > 1) & (F.col("freq") >= min_count)
+        )
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("freq").desc(), F.col("token").asc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= max_vocab)
+        .drop("__rn")
+    )
+    vocab = _with_costs(chars.unionByName(multi)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(int(iters)):
+        seg = _segment(words, vocab, max_len)
+        used = (
+            seg.select(
+                "cnt", F.explode("pieces").alias("token")
+            )
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("freq"))
+        )
+        # chars floor at 1 (coverage); unused multi-char pieces drop
+        refreshed = (
+            vocab.select("token")
+            .filter(F.length("token") == 1)
+            .join(used, "token", "left")
+            .select(
+                "token",
+                F.coalesce("freq", F.lit(1)).alias("freq"),
+            )
+            .unionByName(used.filter(F.length("token") > 1))
+        )
+        vocab = _with_costs(refreshed).localCheckpoint(eager=True)
+    return vocab
+
+
+def unigram_encode(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Encode documents at a trained vocabulary: Viterbi runs once per
+    DISTINCT word (the corpus joins back by word — encoding cost
+    follows the word table, not the corpus), then per-doc reassembly
+    in word order.  Returns ``(id, n_words, n_tokens, pieces string)``
+    with pieces space-joined in reading order."""
+    doc_words = (
+        docs.select(
+            id_col,
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("pos", "word"),
+        )
+        .filter(F.col("word") != "")
+    )
+    distinct_words = (
+        doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    seg = _segment(distinct_words, vocab, max_len).select(
+        "word", "pieces"
+    )
+    return (
+        doc_words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.expr(
+                "flatten(transform("
+                "array_sort(collect_list(struct(pos, pieces))), "
+                "s -> s.pieces))"
+            ).alias("__pieces"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.size("__pieces").cast("bigint").alias("n_tokens"),
+            F.array_join("__pieces", " ").alias("pieces"),
+        )
+    )
+
+
+# ------------------------------------------------------------- oracle
+
+
+def _duck_dp_ctes(
+    words_cte: str, vocab_cte: str, max_len: int, tag: str
+) -> list[str]:
+    """The DuckDB Viterbi chain over ``words_cte (word, cnt)`` at
+    ``vocab_cte (token, cost)`` → ``seg{tag} (word, cnt, pieces)`` —
+    the exact packed-BIGINT folds of the Spark `_segment`."""
+    vals = f"""
+list_reduce(
+  list_prepend(CAST([0] AS BIGINT[]),
+    list_transform(range(1, length(word) + 1),
+                   i -> CAST([i] AS BIGINT[]))),
+  (acc, x) -> list_append(acc,
+    coalesce(
+      list_min(list_transform(
+        list_filter(edges, e -> e.i = x[1]),
+        e -> ((acc[e.j + 1] // {_ENC}) + e.cost) * {_ENC} + e.j)),
+      CAST({_INF} AS BIGINT) * {_ENC})))
+"""
+    chain = f"""
+list_reduce(
+  list_prepend(CAST([length(word)] AS BIGINT[]),
+    list_transform(range(1, length(word) + 1),
+                   i -> CAST([0] AS BIGINT[]))),
+  (acc, x) -> list_append(acc,
+    CASE WHEN acc[len(acc)] > 0
+         THEN vals[CAST(acc[len(acc)] AS INT) + 1] % {_ENC}
+         ELSE CAST(0 AS BIGINT) END))
+"""
+    toks = """
+list_reverse(list_filter(
+  list_transform(range(1, len(chain)),
+    k -> CASE WHEN chain[k] > chain[k + 1]
+              THEN substring(word, CAST(chain[k + 1] AS INT) + 1,
+                             CAST(chain[k] - chain[k + 1] AS INT))
+              ELSE NULL END),
+  x -> x IS NOT NULL))
+"""
+    return [
+        f"""edges{tag} AS MATERIALIZED (
+  SELECT s.word, list({{'i': s.i, 'j': s.j, 'cost': v.cost}}
+                      ORDER BY s.i, s.j) AS edges
+  FROM subs s JOIN {vocab_cte} v ON s.sub = v.token
+  GROUP BY s.word
+)""",
+        f"""dp{tag} AS MATERIALIZED (
+  SELECT word, cnt, chain FROM (
+    SELECT word, cnt, {chain.replace('vals', 'vals_arr')} AS chain
+    FROM (
+      SELECT word, cnt, edges, {vals} AS vals_arr
+      FROM {words_cte} w JOIN edges{tag} e USING (word)
+    )
+  )
+)""",
+        f"""seg{tag} AS MATERIALIZED (
+  SELECT word, cnt, {toks} AS pieces FROM dp{tag}
+)""",
+    ]
+
+
+def unigram_encode_oracle_sql(
+    table: str,
+    max_vocab: int = 512,
+    max_len: int = 5,
+    iters: int = 2,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `unigram_train` + `unigram_encode`: identical
+    word model, candidate seeding, grid-snapped costs, packed-BIGINT
+    Viterbi folds per EM round, hard-EM refresh, and per-doc
+    reassembly.  Any cost, tie-break, pruning, or reassembly
+    divergence hash-mismatches."""
+    L = int(max_len)
+    ctes = [
+        f"""words AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split_regex(lower({text_col}), '[^a-z]+'))
+      AS word
+    FROM {table}
+  ) WHERE word <> '' GROUP BY word
+)""",
+        f"""subs AS MATERIALIZED (
+  SELECT word, cnt, gs.j AS j, gi.i AS i,
+         substring(word, gs.j + 1, gi.i - gs.j) AS sub
+  FROM words
+  CROSS JOIN UNNEST(generate_series(0, length(word) - 1)) AS gs(j)
+  CROSS JOIN UNNEST(generate_series(gs.j + 1,
+                    least(gs.j + {L}, length(word)))) AS gi(i)
+)""",
+        f"""cand AS (
+  SELECT sub AS token, CAST(sum(cnt) AS BIGINT) AS freq
+  FROM subs GROUP BY sub
+)""",
+        f"""vocab0raw AS (
+  SELECT token, freq FROM cand WHERE length(token) = 1
+  UNION ALL
+  SELECT token, freq FROM (
+    SELECT token, freq,
+           row_number() OVER (ORDER BY freq DESC, token ASC) AS rn
+    FROM cand WHERE length(token) > 1 AND freq >= {int(min_count)}
+  ) WHERE rn <= {int(max_vocab)}
+)""",
+    ]
+
+    def costs_cte(src: str, out: str) -> str:
+        return f"""{out} AS MATERIALIZED (
+  SELECT token, freq,
+         CAST(floor(round(
+           ln(CAST((SELECT sum(freq) FROM {src}) AS DOUBLE))
+           - ln(CAST(freq AS DOUBLE)), 6) * 1000000.0 + 0.5)
+           AS BIGINT) AS cost
+  FROM {src}
+)"""
+
+    ctes.append(costs_cte("vocab0raw", "vocab0"))
+    for t in range(int(iters)):
+        ctes += _duck_dp_ctes("words", f"vocab{t}", L, str(t))
+        ctes.append(
+            f"""used{t} AS (
+  SELECT piece AS token, CAST(sum(cnt) AS BIGINT) AS freq FROM (
+    SELECT cnt, unnest(pieces) AS piece FROM seg{t}
+  ) GROUP BY piece
+)"""
+        )
+        ctes.append(
+            f"""vocab{t + 1}raw AS (
+  SELECT v.token, coalesce(u.freq, 1) AS freq
+  FROM vocab{t} v LEFT JOIN used{t} u ON v.token = u.token
+  WHERE length(v.token) = 1
+  UNION ALL
+  SELECT token, freq FROM used{t} WHERE length(token) > 1
+)"""
+        )
+        ctes.append(costs_cte(f"vocab{t + 1}raw", f"vocab{t + 1}"))
+    final = f"vocab{int(iters)}"
+    ctes += _duck_dp_ctes("words", final, L, "F")
+    ctes.append(
+        f"""doc_words AS (
+  SELECT {id_col} AS doc_id, pos, word FROM (
+    SELECT {id_col},
+           generate_subscripts(string_split_regex(lower({text_col}),
+                               '[^a-z]+'), 1) - 1 AS pos,
+           unnest(string_split_regex(lower({text_col}), '[^a-z]+'))
+             AS word
+    FROM {table}
+  ) WHERE word <> ''
+)"""
+    )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_tokens AS BIGINT) AS n_tokens, pieces
+FROM (
+  SELECT d.doc_id, count(*) AS n_words,
+         sum(len(s.pieces)) AS n_tokens,
+         array_to_string(
+           flatten(list(s.pieces ORDER BY d.pos)), ' ') AS pieces
+  FROM doc_words d JOIN segF s ON d.word = s.word
+  GROUP BY d.doc_id
+)
+"""

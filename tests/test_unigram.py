@@ -1,0 +1,133 @@
+"""Unigram-LM tokenizer (`operators/unigram.py`): Viterbi
+segmentation quality on planted corpora, determinism, tie-breaks,
+coverage behavior, and the CLI verb."""
+
+from pyspark.sql import functions as F
+
+from minerva_etl_spark.operators.unigram import (
+    unigram_encode,
+    unigram_train,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _encode_map(spark, rows, **kw):
+    docs = _docs(spark, rows)
+    vocab = unigram_train(docs, **kw)
+    return vocab, {
+        r.doc_id: r
+        for r in unigram_encode(
+            docs, vocab, max_len=kw.get("max_len", 5)
+        ).collect()
+    }
+
+
+def test_frequent_words_become_single_pieces(spark):
+    """Words frequent enough to enter the candidate vocabulary encode
+    as ONE piece; rare carriers decompose into learned sub-pieces."""
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cats sat on the mats"),
+        (3, "matting and catting all day"),
+        (4, "a banana and an apple"),
+    ]
+    _vocab, out = _encode_map(
+        spark, rows, max_vocab=64, max_len=4, iters=2, min_count=2
+    )
+    assert out[1].pieces == "the cat sat on the mat"
+    assert out[1].n_tokens == 6 and out[1].n_words == 6
+    # 'cats'/'mats' decompose into the frequent stem + 's'
+    assert out[2].pieces == "the cat s sat on the mat s"
+    # 'matting'/'catting' reuse stems; singletons fall back to chars
+    assert out[3].pieces.startswith("mat ting and cat ting")
+
+
+def test_training_is_deterministic(spark):
+    rows = [(i, "alpha beta gamma alpha beta") for i in range(1, 6)]
+    docs = _docs(spark, rows)
+    a = {
+        (r.token): (r.freq, r.cost)
+        for r in unigram_train(docs, max_vocab=32, max_len=4).collect()
+    }
+    b = {
+        (r.token): (r.freq, r.cost)
+        for r in unigram_train(docs, max_vocab=32, max_len=4).collect()
+    }
+    assert a == b
+
+
+def test_unused_pieces_prune_chars_survive(spark):
+    """Hard EM drops multi-char pieces that no Viterbi path uses;
+    single characters are floored at freq 1 so coverage never
+    breaks."""
+    rows = [(1, "aaab aaab aaab xyz")]
+    vocab = unigram_train(
+        _docs(spark, rows), max_vocab=32, max_len=4, iters=2,
+        min_count=2,
+    )
+    toks = {r.token for r in vocab.collect()}
+    # all corpus chars present
+    assert {"a", "b", "x", "y", "z"} <= toks
+    # every surviving multi-char piece is actually used by the final
+    # segmentation of some word (hard-EM invariant)
+    docs = _docs(spark, rows)
+    enc = unigram_encode(docs, vocab, max_len=4).collect()[0]
+    used = set(enc.pieces.split(" "))
+    multi = {t for t in toks if len(t) > 1}
+    assert multi <= used, (multi - used)
+
+
+def test_oov_character_collapses_word_to_one_piece(spark):
+    """Encoding a word containing a character absent from training
+    collapses that word into ONE out-of-vocabulary piece (the packed
+    lattice's documented unreachable-cell behavior) — deterministic,
+    and mirrored exactly by the oracle formula."""
+    train = [(1, "abc abc abc")]
+    docs = _docs(spark, train)
+    vocab = unigram_train(docs, max_vocab=16, max_len=3)
+    target = _docs(spark, [(9, "abq abc")])
+    out = unigram_encode(target, vocab, max_len=3).collect()[0]
+    pieces = out.pieces.split(" ")
+    assert "abq" in pieces  # one OOV piece, not a crash
+    assert "abc" in pieces
+
+
+def test_encode_follows_word_order_and_counts(spark):
+    rows = [(1, "zz yy zz"), (2, "yy")]
+    _vocab, out = _encode_map(
+        spark, rows, max_vocab=16, max_len=2, iters=1, min_count=1
+    )
+    assert out[1].pieces == "zz yy zz"
+    assert out[1].n_words == 3
+    assert out[2].pieces == "yy"
+
+
+def test_cli_unigram(spark, tmp_path):
+    from minerva_etl_spark.cli import cmd_corpus
+
+    inp = str(tmp_path / "docs")
+    _docs(
+        spark, [(1, "spark spark rows"), (2, "spark rows rows")]
+    ).write.parquet(inp)
+
+    class A:
+        pass
+
+    a = A()
+    a.action = "unigram"
+    a.input = inp
+    a.output = str(tmp_path / "out")
+    a.n = 32
+    a.iters = 2
+    a.window = 4
+    a.text_col = "text"
+    cmd_corpus(a)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 2
+    assert set(out.columns) == {"doc_id", "n_words", "n_tokens", "pieces"}
+    vocab = spark.read.parquet(str(tmp_path / "out") + "_vocab")
+    assert {"token", "freq", "cost"} <= set(vocab.columns)
+    assert vocab.filter(F.length("token") == 1).count() >= 1
