@@ -210,6 +210,9 @@ HEADLINE = [
     "epub_extract",
     # round-12: mixed-format dispatch over all three document codecs
     "office_extract",
+    # round-12: the fused archives -> dispatch -> codecs -> filter
+    # lineage (the pipeline_document shape over the r12 edges)
+    "pipeline_office",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",

@@ -2413,6 +2413,116 @@ def _oracle_unigram_encode() -> str:
     )
 
 
+def q_pipeline_office(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused MIXED-FORMAT office-delivery pipeline — the
+    `pipeline_document` shape with the r12 dispatch edge in the
+    middle: documents become real PDFs / DOCX / EPUBs (doc_id % 3),
+    packed as members of real zip / tar.gz archives written by owning
+    tasks, harvested back (`read_archives`), routed per payload by
+    MAGIC BYTES (`office_extract` — file extensions are deliberately
+    decorative), token-counted, and filtered to ≥ 30 tokens — five
+    operators in one lineage with zero driver round-trips between
+    stages.  The oracle replays the survivors closed-form per format;
+    any stage breaking — archive member bytes, format sniffing, any of
+    the three codecs, tokenizing, filtering — shifts the hash."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.epub import synthesize_epub
+    from minerva_etl_spark.operators.office import office_extract
+    from minerva_etl_spark.operators.pdf import synthesize_pdf
+    from minerva_etl_spark.operators.text import with_token_count
+    from minerva_etl_spark.sources.archive import (
+        read_archives,
+        write_archives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                if d % 3 == 0:
+                    payload = synthesize_pdf(
+                        [f"Doc {d} report", t], title=f"Doc {d}"
+                    )
+                    ext = "pdf"
+                elif d % 3 == 1:
+                    payload = synthesize_docx(
+                        [f"Doc {d} report", t], title=f"Doc {d}"
+                    )
+                    ext = "docx"
+                else:
+                    payload = synthesize_epub(
+                        [f"<p>Doc {d} report</p>", f"<p>{t}</p>"],
+                        title=f"Doc {d}",
+                    )
+                    ext = "epub"
+                shard = d % 6
+                arc = "zip" if shard % 2 == 0 else "tar.gz"
+                rows.append(
+                    (f"shard-{shard}.{arc}", f"doc_{d:06d}.{ext}", payload)
+                )
+            yield pd.DataFrame(
+                rows, columns=["archive", "member", "content"]
+            )
+
+    staged = docs.mapInPandas(
+        synth, "archive string, member string, content binary"
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_officepipe_")
+    write_archives(staged, root).collect()
+    members = read_archives(spark, root).select(
+        F.regexp_extract("member", r"doc_(\d+)\.", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    out = (
+        with_token_count(office_extract(members))
+        .where(F.col("n_tokens") >= 30)
+        .select("doc_id", "format", "title", "text", "n_tokens")
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_pipeline_office() -> str:
+    from minerva_etl_spark.operators.text import tokens_duck_sql
+
+    toks = tokens_duck_sql("text")
+    return f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS s FROM documents
+), built AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+              ELSE 'epub' END AS format,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10)
+                   ELSE chr(10) END
+           || s AS text
+  FROM san
+), counted AS (
+  SELECT doc_id, format, text,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM built
+)
+SELECT doc_id, format,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       text, n_tokens
+FROM counted WHERE n_tokens >= 30
+"""
+
+
 def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus composition report (`operators/text.py::corpus_report`):
     per (lang, source) doc counts + token/char totals — the numbers
@@ -7269,6 +7379,10 @@ _REGISTRY_ORDER = [
     #     (operators/unigram.py — hard-EM Viterbi over packed-BIGINT
     #     lattices; the bpe_encode family's second algorithm).
     "unigram_encode",
+    #   pipeline_office composes archives → magic-byte dispatch → all
+    #     three document codecs → token filter in one lineage (the
+    #     pipeline_document shape over the r12 ingest edges).
+    "pipeline_office",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -7441,6 +7555,7 @@ def build_queries() -> dict:
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
+        "pipeline_office": q_pipeline_office,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -7600,6 +7715,7 @@ def build_oracles() -> dict[str, str]:
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),
+        "pipeline_office": _oracle_pipeline_office(),
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),
