@@ -216,3 +216,23 @@ def test_cli_pq_build_and_query(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert out.count() == 3 * emb.count()
     assert set(out.columns) == {"query_id", "vec_id", "cosine", "rank"}
+
+
+def test_query_plan_is_python_free_and_broadcasts(spark, tmp_path):
+    """The whole retrieval path — probe, LUT build, ADC fold, rescore —
+    stays JVM-side (no Python eval nodes), and the centroid + LUT
+    sides arrive by broadcast, not shuffle."""
+    emb = load_table(spark, SF, "embeddings")
+    p = str(tmp_path / "state")
+    build_ivf_pq_state(
+        spark, emb, p, coarse_k=4, coarse_iters=2,
+        m=16, pq_k=16, pq_iters=2,
+    )
+    out = ivf_pq_state_query(
+        spark, _queries(emb), p, source=emb, k=3, n_probe=2,
+        overfetch=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan

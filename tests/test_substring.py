@@ -108,3 +108,20 @@ def test_cli_substring_dedup(spark, tmp_path):
     }
     assert out[1].n_removed == 0
     assert out[2].n_removed == 12
+
+
+def test_plan_is_python_free_no_cartesian(spark):
+    """The whole rule is Catalyst: shingle projection, digest groupBy,
+    equi-joins, coverage rebuild — no Python eval nodes and no
+    cartesian product anywhere."""
+    span = " ".join(f"p{i}" for i in range(10))
+    df = _df(spark, [(1, span), (2, span)])
+    plan = (
+        substring_dedup(df, w=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
