@@ -2413,6 +2413,41 @@ def _oracle_unigram_encode() -> str:
     )
 
 
+def q_unigram_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token-ID encoding (`operators/unigram.py::
+    unigram_encode_ids` — the trainable artifact: ids dense-ranked
+    ``(freq desc, token asc)``, OOV → -1): the tokenizer family's
+    interchangeability proof next to `bpe_encode_ids`.  Array emitted
+    as joined string + length (the `lifecycle_array_trend`
+    convention)."""
+    _prep(spark)
+    from minerva_etl_spark.operators.unigram import (
+        unigram_encode_ids,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = unigram_train(
+        docs, max_vocab=256, max_len=5, iters=2, min_count=2
+    )
+    return unigram_encode_ids(docs, vocab, max_len=5).select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.array_join("token_ids", " ").alias("token_ids_str"),
+    )
+
+
+def _oracle_unigram_encode_ids() -> str:
+    from minerva_etl_spark.operators.unigram import (
+        unigram_encode_ids_oracle_sql,
+    )
+
+    return unigram_encode_ids_oracle_sql(
+        "documents", max_vocab=256, max_len=5, iters=2, min_count=2
+    )
+
+
 def q_pipeline_office(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused MIXED-FORMAT office-delivery pipeline — the
     `pipeline_document` shape with the r12 dispatch edge in the
@@ -7379,6 +7414,10 @@ _REGISTRY_ORDER = [
     #     (operators/unigram.py — hard-EM Viterbi over packed-BIGINT
     #     lattices; the bpe_encode family's second algorithm).
     "unigram_encode",
+    #   unigram_encode_ids maps the piece streams through the
+    #     dense-ranked id table (the bpe_encode_ids convention; OOV
+    #     collapse documented as -1).
+    "unigram_encode_ids",
     #   pipeline_office composes archives → magic-byte dispatch → all
     #     three document codecs → token filter in one lineage (the
     #     pipeline_document shape over the r12 ingest edges).
@@ -7555,6 +7594,7 @@ def build_queries() -> dict:
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
+        "unigram_encode_ids": q_unigram_encode_ids,
         "pipeline_office": q_pipeline_office,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
@@ -7715,6 +7755,7 @@ def build_oracles() -> dict[str, str]:
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),
+        "unigram_encode_ids": _oracle_unigram_encode_ids(),
         "pipeline_office": _oracle_pipeline_office(),
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,

@@ -50,7 +50,10 @@ from pyspark.sql.window import Window
 __all__ = [
     "unigram_train",
     "unigram_encode",
+    "unigram_encode_ids",
+    "unigram_vocab_ids",
     "unigram_encode_oracle_sql",
+    "unigram_encode_ids_oracle_sql",
 ]
 
 #: parent-pointer packing base (word length < 1024 by construction)
@@ -291,6 +294,67 @@ def unigram_encode(
     )
 
 
+def unigram_vocab_ids(vocab: DataFrame) -> DataFrame:
+    """Assign stable token ids: 0-based dense rank by ``(freq desc,
+    token asc)`` — frequent pieces get small ids, ties break
+    lexicographically (the `bpe_encode_ids` convention adapted to a
+    probability-ranked vocabulary).  Returns ``(token, token_id)``."""
+    return vocab.select(
+        "token",
+        (
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("freq").desc(), F.col("token").asc()
+                )
+            )
+            - 1
+        ).cast("int").alias("token_id"),
+    )
+
+
+def unigram_encode_ids(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`unigram_encode` emitting the trainable artifact: each doc's
+    token-ID array (``array<int>``) under `unigram_vocab_ids` — the
+    id stream a pretraining packer consumes.  Pieces not in the id
+    table (the documented OOV collapse) map to -1."""
+    ids = unigram_vocab_ids(vocab)
+    pieces = unigram_encode(
+        docs, vocab, max_len=max_len, id_col=id_col, text_col=text_col
+    )
+    ex = pieces.select(
+        id_col,
+        "n_words",
+        F.posexplode(F.split("pieces", " ")).alias("pos", "token"),
+    )
+    return (
+        ex.join(F.broadcast(ids), "token", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "token_id"))
+                ),
+                lambda s: F.coalesce(
+                    s["token_id"], F.lit(-1).cast("int")
+                ),
+            ).alias("token_ids"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.size("token_ids").cast("bigint").alias("n_tokens"),
+            "token_ids",
+        )
+    )
+
+
 # ------------------------------------------------------------- oracle
 
 
@@ -353,20 +417,18 @@ list_reverse(list_filter(
     ]
 
 
-def unigram_encode_oracle_sql(
+def _oracle_ctes(
     table: str,
-    max_vocab: int = 512,
-    max_len: int = 5,
-    iters: int = 2,
-    min_count: int = 2,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> str:
-    """DuckDB twin of `unigram_train` + `unigram_encode`: identical
-    word model, candidate seeding, grid-snapped costs, packed-BIGINT
-    Viterbi folds per EM round, hard-EM refresh, and per-doc
-    reassembly.  Any cost, tie-break, pruning, or reassembly
-    divergence hash-mismatches."""
+    max_vocab: int,
+    max_len: int,
+    iters: int,
+    min_count: int,
+    id_col: str,
+    text_col: str,
+) -> list[str]:
+    """The full train+segment CTE chain shared by the pieces and
+    token-ids oracles — ends with ``segF`` (final segmentation per
+    distinct word) and ``doc_words`` (per-doc word occurrences)."""
     L = int(max_len)
     ctes = [
         f"""words AS MATERIALIZED (
@@ -443,7 +505,29 @@ def unigram_encode_oracle_sql(
   ) WHERE word <> ''
 )"""
     )
-    body = ",\n".join(ctes)
+    return ctes
+
+
+def unigram_encode_oracle_sql(
+    table: str,
+    max_vocab: int = 512,
+    max_len: int = 5,
+    iters: int = 2,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `unigram_train` + `unigram_encode`: identical
+    word model, candidate seeding, grid-snapped costs, packed-BIGINT
+    Viterbi folds per EM round, hard-EM refresh, and per-doc
+    reassembly.  Any cost, tie-break, pruning, or reassembly
+    divergence hash-mismatches."""
+    body = ",\n".join(
+        _oracle_ctes(
+            table, max_vocab, max_len, iters, min_count, id_col,
+            text_col,
+        )
+    )
     return f"""
 WITH {body}
 SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
@@ -455,5 +539,64 @@ FROM (
            flatten(list(s.pieces ORDER BY d.pos)), ' ') AS pieces
   FROM doc_words d JOIN segF s ON d.word = s.word
   GROUP BY d.doc_id
+)
+"""
+
+
+def unigram_encode_ids_oracle_sql(
+    table: str,
+    max_vocab: int = 512,
+    max_len: int = 5,
+    iters: int = 2,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `unigram_encode_ids`: the same chain with the
+    final vocabulary dense-ranked ``(freq desc, token asc)`` into
+    0-based ids and each doc's piece stream mapped through it (OOV →
+    -1, the documented collapse class).  The gate projection joins the
+    id array as a string (the `lifecycle_array_trend` convention)."""
+    body = ",\n".join(
+        _oracle_ctes(
+            table, max_vocab, max_len, iters, min_count, id_col,
+            text_col,
+        )
+    )
+    final = f"vocab{int(iters)}"
+    return f"""
+WITH {body},
+ids AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY freq DESC, token ASC) - 1
+              AS INT) AS token_id
+  FROM {final}
+),
+doc_pieces AS (
+  SELECT d.doc_id, d.pos AS wpos,
+         generate_subscripts(s.pieces, 1) AS ppos,
+         unnest(s.pieces) AS token,
+         len(s.pieces) AS n_in_word
+  FROM doc_words d JOIN segF s ON d.word = s.word
+),
+mapped AS (
+  SELECT p.doc_id, p.wpos, p.ppos,
+         coalesce(i.token_id, -1) AS token_id
+  FROM doc_pieces p LEFT JOIN ids i ON p.token = i.token
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       token_ids_str
+FROM (
+  SELECT m.doc_id,
+         (SELECT count(*) FROM doc_words dw
+          WHERE dw.doc_id = m.doc_id) AS n_words,
+         count(*) AS n_tokens,
+         array_to_string(
+           list(CAST(token_id AS VARCHAR)
+                ORDER BY m.wpos, m.ppos), ' ') AS token_ids_str
+  FROM mapped m
+  GROUP BY m.doc_id
 )
 """

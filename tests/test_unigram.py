@@ -131,3 +131,23 @@ def test_cli_unigram(spark, tmp_path):
     vocab = spark.read.parquet(str(tmp_path / "out") + "_vocab")
     assert {"token", "freq", "cost"} <= set(vocab.columns)
     assert vocab.filter(F.length("token") == 1).count() >= 1
+
+
+def test_encode_ids_rank_and_oov(spark):
+    """Ids are dense (freq desc, token asc) 0-based; OOV pieces map
+    to -1; multisets conserve through the id mapping."""
+    from minerva_etl_spark.operators.unigram import (
+        unigram_encode_ids,
+        unigram_vocab_ids,
+    )
+
+    train = _docs(spark, [(1, "abc abc abc ab")])
+    vocab = unigram_train(train, max_vocab=16, max_len=3, min_count=1)
+    ids = {r.token: r.token_id for r in unigram_vocab_ids(vocab).collect()}
+    assert sorted(ids.values()) == list(range(len(ids)))
+    out = unigram_encode_ids(
+        _docs(spark, [(5, "abc abq")]), vocab, max_len=3
+    ).collect()[0]
+    assert out.n_words == 2
+    assert -1 in out.token_ids          # 'abq' is the OOV collapse
+    assert ids["abc"] in out.token_ids  # the frequent piece id
