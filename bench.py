@@ -213,6 +213,10 @@ HEADLINE = [
     # round-12: the fused archives -> dispatch -> codecs -> filter
     # lineage (the pipeline_document shape over the r12 edges)
     "pipeline_office",
+    # round-12: mail-corpus edge (MIME walk + mbox split; fixtures
+    # staged outside the clock)
+    "eml_extract",
+    "mbox_extract",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",
@@ -302,7 +306,8 @@ def main() -> None:
     # only the operator (decode + band join), never fixture synthesis.
     for _row in ("audio_dedup_fingerprint", "video_dedup_dhash",
                  "jpeg_features", "pdf_extract", "docx_extract",
-                 "epub_extract", "office_extract"):
+                 "epub_extract", "office_extract", "eml_extract",
+                 "mbox_extract"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

@@ -1722,7 +1722,10 @@ def cmd_media(args) -> None:
     container walk: container.xml -> OPF spine -> XHTML chapters
     through the engine's one HTML extractor), `office-text`
     (mixed-format dispatch: magic-byte sniff routes one binary column
-    across the PDF/DOCX/EPUB codecs, unified schema out), `image-dhash` /
+    across the PDF/DOCX/EPUB codecs, unified schema out), `eml-text`
+    (RFC 5322/MIME extraction: transfer decoding, plain-over-html
+    preference, RFC 2047 subjects), `mbox-split` (mailbox -> one row
+    per message, From-unescaped, ready for eml-text), `image-dhash` /
     `image-dedup` (perceptual near-dup hashing over decoded pixels
     and the pigeonhole hamming pair join), `audio-fingerprint` /
     `audio-dedup` (frame-energy envelope hash over decoded WAV,
@@ -1803,6 +1806,14 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.office import office_extract
 
         out = office_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "eml-text":
+        from minerva_etl_spark.operators.email_ingest import eml_extract
+
+        out = eml_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "mbox-split":
+        from minerva_etl_spark.operators.email_ingest import mbox_split
+
+        out = mbox_split(df, id_col="media_id")
     elif args.action == "image-dhash":
         from minerva_etl_spark.operators.imagehash import image_dhash
 
@@ -2488,7 +2499,8 @@ def main(argv: list[str] | None = None) -> None:
                  "jpeg-features", "gif-features", "image-features",
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "docx-text",
-                 "epub-text", "office-text", "image-dhash",
+                 "epub-text", "office-text", "eml-text", "mbox-split",
+                 "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",
                  "audio-increment", "video-increment",

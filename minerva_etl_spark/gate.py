@@ -2448,6 +2448,154 @@ def _oracle_unigram_encode_ids() -> str:
     )
 
 
+def q_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL email extraction (`operators/email_ingest.py::
+    eml_extract` — the mail-corpus ingest edge, r12): each doc becomes
+    an RFC 5322 message cycling the four real-world MIME shapes by
+    doc_id % 4 — single-part plain (7bit), multipart/alternative
+    plain+html-decoy (quoted-printable; plain must win), HTML-only
+    (base64; the engine's HTML extractor must recover the text), and
+    multipart/mixed plain+attachment (the attachment counts a part,
+    contributes no text) — with every 5th subject RFC 2047 Q-encoded.
+    The oracle rebuilds subject/sender/part-count/text closed-form; a
+    MIME-walk, transfer-decoding, alternative-preference, or
+    encoded-word bug hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.email_ingest import (
+        eml_extract,
+        synthesize_eml,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                kw = dict(
+                    subject=f"Doc {d} mail",
+                    sender=f"user{d}@corpus.test",
+                    q_encode_subject=(d % 5 == 0),
+                )
+                if d % 4 == 0:
+                    payload = synthesize_eml(text_body=t, **kw)
+                elif d % 4 == 1:
+                    payload = synthesize_eml(
+                        text_body=t,
+                        html_body="<p>html decoy</p>",
+                        cte="quoted-printable",
+                        **kw,
+                    )
+                elif d % 4 == 2:
+                    payload = synthesize_eml(
+                        html_body=f"<p>{t}</p>", cte="base64", **kw
+                    )
+                else:
+                    payload = synthesize_eml(
+                        text_body=t, attachment=b"\x00\x01bin", **kw
+                    )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "eml",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return eml_extract(payloads)
+
+
+_ORACLE_EML_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' mail' AS subject,
+       'user' || CAST(doc_id AS VARCHAR) || '@corpus.test' AS sender,
+       CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 2 ELSE 1 END AS INT)
+         AS n_parts,
+       text,
+       CAST(length(text) AS INT) AS n_chars
+FROM san
+"""
+
+
+def q_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBOX mailbox split + extraction (`operators/email_ingest.py::
+    mbox_split` → `eml_extract`): each doc becomes an mbox holding
+    ``1 + doc_id % 3`` messages (message k's subject indexes it; the
+    body is the doc text, so a ``From``-separator or ``>From``
+    unescape bug corrupts text), split into per-message rows inside
+    one Arrow task, then parsed.  The oracle regenerates every
+    exploded message row closed-form with generate_series."""
+    _prep(spark)
+    from minerva_etl_spark.operators.email_ingest import (
+        eml_extract,
+        mbox_split,
+        synthesize_eml,
+        synthesize_mbox,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                msgs = [
+                    synthesize_eml(
+                        subject=f"Doc {d} msg {k}",
+                        sender=f"user{d}@corpus.test",
+                        text_body=t,
+                    )
+                    for k in range(1 + d % 3)
+                ]
+                rows.append((d, synthesize_mbox(msgs)))
+            yield pd.DataFrame(rows, columns=["mbox_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "mbox",
+        lambda: docs.mapInPandas(synth, "mbox_id bigint, payload binary"),
+    )
+    messages = mbox_split(payloads)
+    # composite message key (msg_index < 3 < 10) so the extractor's
+    # single-id contract carries both identifiers through the parse
+    keyed = messages.select(
+        (F.col("mbox_id") * 10 + F.col("msg_index")).alias("mkey"),
+        "payload",
+    )
+    return eml_extract(keyed, id_col="mkey").select(
+        F.expr("mkey div 10").alias("mbox_id"),
+        F.expr("CAST(mkey % 10 AS INT)").alias("msg_index"),
+        "subject",
+        "sender",
+        "text",
+        "n_chars",
+    )
+
+
+_ORACLE_MBOX_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id AS mbox_id, CAST(gs.k AS INT) AS msg_index,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' msg '
+         || CAST(gs.k AS VARCHAR) AS subject,
+       'user' || CAST(doc_id AS VARCHAR) || '@corpus.test' AS sender,
+       text,
+       CAST(length(text) AS INT) AS n_chars
+FROM san
+CROSS JOIN UNNEST(generate_series(0, doc_id % 3)) AS gs(k)
+"""
+
+
 def q_pipeline_office(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The fused MIXED-FORMAT office-delivery pipeline — the
     `pipeline_document` shape with the r12 dispatch edge in the
@@ -7422,6 +7570,12 @@ _REGISTRY_ORDER = [
     #     three document codecs → token filter in one lineage (the
     #     pipeline_document shape over the r12 ingest edges).
     "pipeline_office",
+    #   eml_extract / mbox_extract pin the mail-corpus edge
+    #     (operators/email_ingest.py — RFC 5322 + MIME walk with
+    #     transfer decoding and alternative preference; mbox From-
+    #     separator split composing into the same parser).
+    "eml_extract",
+    "mbox_extract",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -7596,6 +7750,8 @@ def build_queries() -> dict:
         "unigram_encode": q_unigram_encode,
         "unigram_encode_ids": q_unigram_encode_ids,
         "pipeline_office": q_pipeline_office,
+        "eml_extract": q_eml_extract,
+        "mbox_extract": q_mbox_extract,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -7757,6 +7913,8 @@ def build_oracles() -> dict[str, str]:
         "unigram_encode": _oracle_unigram_encode(),
         "unigram_encode_ids": _oracle_unigram_encode_ids(),
         "pipeline_office": _oracle_pipeline_office(),
+        "eml_extract": _ORACLE_EML_EXTRACT,
+        "mbox_extract": _ORACLE_MBOX_EXTRACT,
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),
