@@ -217,6 +217,8 @@ HEADLINE = [
     # staged outside the clock)
     "eml_extract",
     "mbox_extract",
+    # round-12: RTF group-stack tokenizer
+    "rtf_extract",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",
@@ -307,7 +309,7 @@ def main() -> None:
     for _row in ("audio_dedup_fingerprint", "video_dedup_dhash",
                  "jpeg_features", "pdf_extract", "docx_extract",
                  "epub_extract", "office_extract", "eml_extract",
-                 "mbox_extract"):
+                 "mbox_extract", "rtf_extract"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

@@ -1725,7 +1725,9 @@ def cmd_media(args) -> None:
     across the PDF/DOCX/EPUB codecs, unified schema out), `eml-text`
     (RFC 5322/MIME extraction: transfer decoding, plain-over-html
     preference, RFC 2047 subjects), `mbox-split` (mailbox -> one row
-    per message, From-unescaped, ready for eml-text), `image-dhash` /
+    per message, From-unescaped, ready for eml-text), `rtf-text`
+    (RTF group-stack tokenizer: destination skips, hex/unicode
+    escapes), `image-dhash` /
     `image-dedup` (perceptual near-dup hashing over decoded pixels
     and the pigeonhole hamming pair join), `audio-fingerprint` /
     `audio-dedup` (frame-energy envelope hash over decoded WAV,
@@ -1814,6 +1816,10 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.email_ingest import mbox_split
 
         out = mbox_split(df, id_col="media_id")
+    elif args.action == "rtf-text":
+        from minerva_etl_spark.operators.rtf import rtf_extract
+
+        out = rtf_extract(df, id_col="media_id", on_error=args.on_error)
     elif args.action == "image-dhash":
         from minerva_etl_spark.operators.imagehash import image_dhash
 
@@ -2500,6 +2506,7 @@ def main(argv: list[str] | None = None) -> None:
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "docx-text",
                  "epub-text", "office-text", "eml-text", "mbox-split",
+                 "rtf-text",
                  "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",

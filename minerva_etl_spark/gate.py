@@ -2448,6 +2448,70 @@ def _oracle_unigram_encode_ids() -> str:
     )
 
 
+def q_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RTF text extraction (`operators/rtf.py::rtf_extract` —
+    the legacy rich-text edge, r12): each doc becomes a conformant
+    RTF — font/color tables, an ``\\info`` title group and a ``{\\*``
+    generator destination that must NOT leak into text, the header +
+    sanitized-text paragraphs joined by ``\\par`` — with every 3rd doc
+    writing EVERY space as the cp1252 hex escape ``\\'20`` (the
+    control-symbol path on every word boundary).  The oracle rebuilds
+    paragraph count, text and char count closed-form; a group-stack,
+    control-word, hex-decode, or destination-skip bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.rtf import (
+        rtf_extract,
+        synthesize_rtf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                rows.append(
+                    (
+                        d,
+                        synthesize_rtf(
+                            [f"Doc {d} report", t],
+                            title=f"Doc {d}",
+                            hex_escape_spaces=(d % 3 == 0),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "rtf",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return rtf_extract(payloads)
+
+
+_ORACLE_RTF_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+),
+built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || CASE WHEN length(text) > 0
+                THEN chr(10) || text ELSE '' END AS text,
+         CASE WHEN length(text) > 0 THEN 2 ELSE 1 END AS n_paragraphs
+  FROM san
+)
+SELECT doc_id, CAST(n_paragraphs AS INT) AS n_paragraphs, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
 def q_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL email extraction (`operators/email_ingest.py::
     eml_extract` — the mail-corpus ingest edge, r12): each doc becomes
@@ -7576,6 +7640,10 @@ _REGISTRY_ORDER = [
     #     separator split composing into the same parser).
     "eml_extract",
     "mbox_extract",
+    #   rtf_extract pins the legacy rich-text edge (operators/rtf.py
+    #     — group-stack tokenizer, destination skips, hex/unicode
+    #     escapes; also routed by the office dispatcher).
+    "rtf_extract",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -7752,6 +7820,7 @@ def build_queries() -> dict:
         "pipeline_office": q_pipeline_office,
         "eml_extract": q_eml_extract,
         "mbox_extract": q_mbox_extract,
+        "rtf_extract": q_rtf_extract,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -7915,6 +7984,7 @@ def build_oracles() -> dict[str, str]:
         "pipeline_office": _oracle_pipeline_office(),
         "eml_extract": _ORACLE_EML_EXTRACT,
         "mbox_extract": _ORACLE_MBOX_EXTRACT,
+        "rtf_extract": _ORACLE_RTF_EXTRACT,
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),

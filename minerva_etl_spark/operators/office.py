@@ -11,7 +11,7 @@ emitting one unified schema ``(id, format, title, text, n_chars)``.
 
 Sniffing rules (cheap, prefix-only — no speculative full parses):
 
-* ``%PDF-`` prefix → ``pdf``.
+* ``%PDF-`` prefix → ``pdf``; ``{\rtf`` prefix → ``rtf``.
 * ZIP (``PK\\x03\\x04``) → peek the entry list once:
   ``word/document.xml`` → ``docx``; ``META-INF/container.xml`` or a
   first-entry ``mimetype`` of ``application/epub+zip`` → ``epub``.
@@ -41,6 +41,8 @@ def sniff_document_format(payload: bytes) -> str:
     module doc)."""
     if payload[:5] == b"%PDF-":
         return "pdf"
+    if payload[:5] == b"{\\rtf":
+        return "rtf"
     if payload[:4] == b"PK\x03\x04":
         try:
             zf = zipfile.ZipFile(io.BytesIO(payload))
@@ -72,13 +74,14 @@ def office_extract(
     id_col: str = "doc_id",
     on_error: str = "fail",
 ) -> DataFrame:
-    """Mixed PDF/DOCX/EPUB column → unified
+    """Mixed PDF/DOCX/EPUB/RTF column → unified
     ``(id, format, title, text, n_chars)``.  Magic-byte routing per
     payload inside Arrow tasks; ``on_error='skip'`` drops unknown and
     undecodable payloads (dirty-corpus mode)."""
     from minerva_etl_spark.operators.docx import docx_extract_text
     from minerva_etl_spark.operators.epub import epub_extract_text
     from minerva_etl_spark.operators.pdf import pdf_extract_text
+    from minerva_etl_spark.operators.rtf import rtf_extract_text
 
     id_type = dict(docs.dtypes).get(id_col, "bigint")
     schema = OFFICE_SCHEMA.replace(
@@ -88,6 +91,9 @@ def office_extract(
         "pdf": pdf_extract_text,
         "docx": docx_extract_text,
         "epub": epub_extract_text,
+        # RTF carries no title metadata -> title is NULL in the
+        # unified schema
+        "rtf": lambda b: {"title": None, **rtf_extract_text(b)},
     }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
