@@ -219,6 +219,9 @@ HEADLINE = [
     "mbox_extract",
     # round-12: RTF group-stack tokenizer
     "rtf_extract",
+    # round-12: exact-integer PageRank (3 damped rounds, edge join +
+    # combinable groupBy per round)
+    "pagerank_crawl",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",

@@ -2448,6 +2448,55 @@ def _oracle_unigram_encode_ids() -> str:
     )
 
 
+#: shared by the Spark row and its oracle: the deterministic link
+#: graph for `pagerank_crawl` — every doc links to its 1 + doc_id % 3
+#: successors at stride 7 (mod N), giving hubs, chains and a few
+#: dangling targets.
+_PAGERANK_EDGES_SQL = """(
+  SELECT d.doc_id AS src,
+         (d.doc_id * 7 + gs.k) % (SELECT count(*) FROM documents)
+           AS dst
+  FROM documents d
+  CROSS JOIN UNNEST(generate_series(1, 1 + d.doc_id % 3)) AS gs(k)
+  WHERE d.doc_id * 7 + gs.k <> d.doc_id
+)"""
+
+
+def q_pagerank_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer PageRank (`operators/pagerank.py::pagerank` —
+    crawl-frontier authority scoring, r12): three damped rounds over a
+    deterministic doc-id link graph (hubs + chains + dangling mass),
+    every arithmetic step integer so any partitioning of either
+    engine lands bit-identically on the 10¹² rank grid.  Per round:
+    one edge-vs-ranks equi-join + one combinable groupBy — the
+    textbook iterative-Spark shape with an oracle that unrolls the
+    recurrence closed-form."""
+    _prep(spark)
+    from minerva_etl_spark.operators.pagerank import pagerank
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + F.col("doc_id") % 3)
+        ).alias("k"),
+    ).select(
+        "src",
+        ((F.col("src") * 7 + F.col("k")) % F.lit(n)).alias("dst"),
+        (F.col("src") * 7 + F.col("k")).alias("__raw"),
+    ).where(F.col("__raw") != F.col("src")).drop("__raw")
+    return pagerank(edges, iters=3, damping_pct=85)
+
+
+def _oracle_pagerank_crawl() -> str:
+    from minerva_etl_spark.operators.pagerank import pagerank_oracle_sql
+
+    return pagerank_oracle_sql(
+        _PAGERANK_EDGES_SQL, iters=3, damping_pct=85
+    )
+
+
 def q_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RTF text extraction (`operators/rtf.py::rtf_extract` —
     the legacy rich-text edge, r12): each doc becomes a conformant
@@ -7644,6 +7693,10 @@ _REGISTRY_ORDER = [
     #     — group-stack tokenizer, destination skips, hex/unicode
     #     escapes; also routed by the office dispatcher).
     "rtf_extract",
+    #   pagerank_crawl pins exact-integer PageRank (operators/
+    #     pagerank.py — frontier authority scoring; the kmeans-style
+    #     unrolled-recurrence oracle discipline on a graph workload).
+    "pagerank_crawl",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -7821,6 +7874,7 @@ def build_queries() -> dict:
         "eml_extract": q_eml_extract,
         "mbox_extract": q_mbox_extract,
         "rtf_extract": q_rtf_extract,
+        "pagerank_crawl": q_pagerank_crawl,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -7985,6 +8039,7 @@ def build_oracles() -> dict[str, str]:
         "eml_extract": _ORACLE_EML_EXTRACT,
         "mbox_extract": _ORACLE_MBOX_EXTRACT,
         "rtf_extract": _ORACLE_RTF_EXTRACT,
+        "pagerank_crawl": _oracle_pagerank_crawl(),
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),
