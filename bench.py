@@ -222,6 +222,11 @@ HEADLINE = [
     # round-12: exact-integer PageRank (3 damped rounds, edge join +
     # combinable groupBy per round)
     "pagerank_crawl",
+    # round-12: deterministic corpus sketches (KMV top-k scan, HLL
+    # combinable registers, count-min cells + broadcast point query)
+    "sketch_kmv",
+    "sketch_hll",
+    "sketch_cm",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",

@@ -1297,6 +1297,8 @@ def cmd_corpus(args) -> None:
     unigram-LM tokenizer: hard-EM Viterbi train over the distinct-word
     table, vocab sidecar at <output>_vocab, encoded pieces out; --n
     vocab size, --window max piece length, --iters EM rounds),
+    `sketch` (deterministic distinct-count sketches over --text-col:
+    KMV at --n minima + HLL m=256, one estimate row each),
     `chat-curate` (SFT conversation
     prep: parse JSONL chat records, validate structure, bound turns,
     render the ChatML training string — all Catalyst, dirty records
@@ -1522,6 +1524,27 @@ def cmd_corpus(args) -> None:
         out = unigram_encode(
             df, vocab, max_len=args.window, text_col=args.text_col
         )
+    elif args.action == "sketch":
+        from pyspark.sql import functions as FF
+
+        from minerva_etl_spark.operators.sketch import (
+            hll_estimate,
+            hll_registers,
+            kmv_estimate_expr,
+            kmv_sketch,
+        )
+
+        items = df.select(FF.col(args.text_col).alias("item"))
+        kmv = kmv_sketch(items, "item", k=args.n).filter(
+            FF.col("pos") == args.n
+        ).select(
+            FF.lit("kmv").alias("method"),
+            kmv_estimate_expr(args.n).alias("estimate"),
+        )
+        hll = hll_estimate(hll_registers(items, "item"), b=8).select(
+            FF.lit("hll").alias("method"), "estimate"
+        )
+        out = kmv.unionByName(hll)
     elif args.action == "c4-rules":
         from minerva_etl_spark.operators.text import c4_rules
 
@@ -2409,7 +2432,7 @@ def main(argv: list[str] | None = None) -> None:
             "ivf-build", "ivf-increment", "ivf-query",
             "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
             "pq-build", "pq-increment", "pq-query", "substring-dedup",
-            "c4-rules", "unigram",
+            "c4-rules", "unigram", "sketch",
             "bitext", "pack-semantic", "ppl-buckets", "script-profile",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",

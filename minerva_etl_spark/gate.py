@@ -2497,6 +2497,144 @@ def _oracle_pagerank_crawl() -> str:
     )
 
 
+def _token_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+
+
+_TOKENS_SQL = """(
+  SELECT token FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+)"""
+
+
+def _shingle_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token shingles — the fixture's word POOL is tiny (~31
+    types), so token-level distinct sketches would be degenerate;
+    shingles give a universe in the tens of thousands, which is what
+    a distinct sketch is for."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(size(split(text, ' '))"
+                " - 3, 0)), i -> concat_ws(' ', "
+                "slice(split(text, ' '), i + 1, 3)))"
+            )
+        ).alias("item")
+    ).filter(F.col("item") != "")
+
+
+_SHINGLES_SQL = """(
+  SELECT item FROM (
+    SELECT array_to_string(list_slice(toks, gs.i + 1, gs.i + 3), ' ')
+      AS item
+    FROM (SELECT string_split(text, ' ') AS toks FROM documents) d
+    CROSS JOIN UNNEST(generate_series(0,
+      greatest(len(toks) - 3, 0))) AS gs(i)
+  ) WHERE item <> ''
+)"""
+
+
+def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketch (`operators/sketch.py::kmv_sketch` — the
+    corpus-stats sketch family, r12): the 64 smallest distinct md5
+    hashes of the document token stream, plus the exact-integer
+    distinct estimate derived from the k-th value.  TakeOrdered plan
+    (per-partition top-k), never a global sort; mergeability is
+    pytest-pinned."""
+    _prep(spark)
+    from minerva_etl_spark.operators.sketch import (
+        kmv_estimate_expr,
+        kmv_sketch,
+    )
+
+    sk = kmv_sketch(_shingle_stream(spark, sf_dir), "item", k=64)
+    return sk.withColumn(
+        "estimate",
+        F.when(
+            F.col("pos") == 64, kmv_estimate_expr(64)
+        ).otherwise(F.lit(None).cast("bigint")),
+    )
+
+
+def _oracle_sketch_kmv() -> str:
+    from minerva_etl_spark.operators.sketch import kmv_oracle_sql
+
+    inner = kmv_oracle_sql(_SHINGLES_SQL + " t", "item", k=64).strip()
+    return f"""
+WITH sk AS ({inner})
+SELECT pos, h,
+       CASE WHEN pos = 64
+            THEN CAST((CAST(63 AS HUGEINT)
+                       * CAST({1 << 60} AS HUGEINT))
+                      // CAST(h AS HUGEINT) AS BIGINT)
+            ELSE NULL END AS estimate
+FROM sk
+"""
+
+
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct estimate (`operators/sketch.py::hll_registers` +
+    `hll_estimate`): md5-bucketed registers (m=256, one combinable
+    groupBy), exact integer harmonic numerator, ONE pinned IEEE
+    division for the raw Flajolet estimate — bit-identical in the
+    oracle because both engines divide the same BIGINT the same
+    way."""
+    _prep(spark)
+    from minerva_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    regs = hll_registers(_shingle_stream(spark, sf_dir), "item", b=8)
+    return hll_estimate(regs, b=8)
+
+
+def _oracle_sketch_hll() -> str:
+    from minerva_etl_spark.operators.sketch import hll_oracle_sql
+
+    return hll_oracle_sql(_SHINGLES_SQL + " t", "item", b=8)
+
+
+def q_sketch_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy-hitter estimates (`operators/sketch.py::
+    cm_sketch`/`cm_query`): a 4×256 exact-BIGINT sketch over the full
+    token stream, point-queried for the distinct tokens of the first
+    five documents.  CM never underestimates (pytest-pinned vs true
+    counts); the oracle replays cells and min-queries exactly."""
+    _prep(spark)
+    from minerva_etl_spark.operators.sketch import cm_query, cm_sketch
+
+    toks = _token_stream(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    queries = docs.filter("doc_id < 5").select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    sk = cm_sketch(toks, "token", d=4, w=256)
+    return cm_query(sk, queries, "token", d=4, w=256)
+
+
+def _oracle_sketch_cm() -> str:
+    from minerva_etl_spark.operators.sketch import cm_oracle_sql
+
+    return cm_oracle_sql(
+        _TOKENS_SQL,
+        "token",
+        """(
+  SELECT token AS item FROM (
+    SELECT unnest(string_split(text, ' ')) AS token
+    FROM documents WHERE doc_id < 5
+  ) WHERE token <> ''
+)""",
+        d=4,
+        w=256,
+    )
+
+
 def q_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL RTF text extraction (`operators/rtf.py::rtf_extract` —
     the legacy rich-text edge, r12): each doc becomes a conformant
@@ -7697,6 +7835,12 @@ _REGISTRY_ORDER = [
     #     pagerank.py — frontier authority scoring; the kmeans-style
     #     unrolled-recurrence oracle discipline on a graph workload).
     "pagerank_crawl",
+    #   sketch_kmv / sketch_hll / sketch_cm pin the deterministic
+    #     corpus-sketch family (operators/sketch.py — md5-draw KMV /
+    #     HLL registers / count-min, all merge-combinable).
+    "sketch_kmv",
+    "sketch_hll",
+    "sketch_cm",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -7875,6 +8019,9 @@ def build_queries() -> dict:
         "mbox_extract": q_mbox_extract,
         "rtf_extract": q_rtf_extract,
         "pagerank_crawl": q_pagerank_crawl,
+        "sketch_kmv": q_sketch_kmv,
+        "sketch_hll": q_sketch_hll,
+        "sketch_cm": q_sketch_cm,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -8040,6 +8187,9 @@ def build_oracles() -> dict[str, str]:
         "mbox_extract": _ORACLE_MBOX_EXTRACT,
         "rtf_extract": _ORACLE_RTF_EXTRACT,
         "pagerank_crawl": _oracle_pagerank_crawl(),
+        "sketch_kmv": _oracle_sketch_kmv(),
+        "sketch_hll": _oracle_sketch_hll(),
+        "sketch_cm": _oracle_sketch_cm(),
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),
