@@ -227,6 +227,8 @@ HEADLINE = [
     "sketch_kmv",
     "sketch_hll",
     "sketch_cm",
+    # round-12: ES weighted sampling (key projection + salted top-n)
+    "weighted_sample",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",

@@ -1299,6 +1299,8 @@ def cmd_corpus(args) -> None:
     vocab size, --window max piece length, --iters EM rounds),
     `sketch` (deterministic distinct-count sketches over --text-col:
     KMV at --n minima + HLL m=256, one estimate row each),
+    `weighted-sample` (Efraimidis-Spirakis sampling without
+    replacement: --n rows drawn proportional to --order-col, seeded),
     `chat-curate` (SFT conversation
     prep: parse JSONL chat records, validate structure, bound turns,
     render the ChatML training string — all Catalyst, dirty records
@@ -1523,6 +1525,12 @@ def cmd_corpus(args) -> None:
         vocab.write.mode("overwrite").parquet(args.output + "_vocab")
         out = unigram_encode(
             df, vocab, max_len=args.window, text_col=args.text_col
+        )
+    elif args.action == "weighted-sample":
+        from minerva_etl_spark.operators.mixing import weighted_sample
+
+        out = weighted_sample(
+            df, n=args.n, weight_col=args.order_col, seed=args.seed
         )
     elif args.action == "sketch":
         from pyspark.sql import functions as FF
@@ -2432,7 +2440,7 @@ def main(argv: list[str] | None = None) -> None:
             "ivf-build", "ivf-increment", "ivf-query",
             "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
             "pq-build", "pq-increment", "pq-query", "substring-dedup",
-            "c4-rules", "unigram", "sketch",
+            "c4-rules", "unigram", "sketch", "weighted-sample",
             "bitext", "pack-semantic", "ppl-buckets", "script-profile",
             "chat-curate", "preference-pairs", "code-profile",
             "code-dedup", "fim", "budget-select", "secrets",

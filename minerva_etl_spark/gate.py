@@ -2539,6 +2539,39 @@ _SHINGLES_SQL = """(
 )"""
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (`operators/mixing.py::
+    weighted_sample` — Efraimidis & Spirakis A-Res, r12): exactly 100
+    documents drawn ∝ ``n_chars`` through the seeded md5 ticket,
+    rounded-key rank with id tie-break so both engines pick the
+    identical sample.  One codegen key projection + the two-level
+    salted top-n — no global sort.  The per-ITEM companion to the
+    tempered per-SOURCE mix (`source_mix`)."""
+    _prep(spark)
+    from minerva_etl_spark.operators.mixing import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return weighted_sample(
+        docs, n=100, weight_col="n_chars", seed=7
+    )
+
+
+def _oracle_weighted_sample() -> str:
+    from minerva_etl_spark.operators.mixing import (
+        weighted_sample_oracle_sql,
+    )
+
+    return weighted_sample_oracle_sql(
+        "documents",
+        n=100,
+        weight_col="n_chars",
+        seed=7,
+        select_cols="doc_id, source, n_chars",
+    )
+
+
 def q_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketch (`operators/sketch.py::kmv_sketch` — the
     corpus-stats sketch family, r12): the 64 smallest distinct md5
@@ -7841,6 +7874,10 @@ _REGISTRY_ORDER = [
     "sketch_kmv",
     "sketch_hll",
     "sketch_cm",
+    #   weighted_sample pins Efraimidis-Spirakis weighted sampling
+    #     without replacement (operators/mixing.py — the per-item
+    #     companion to the tempered source mix).
+    "weighted_sample",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -8022,6 +8059,7 @@ def build_queries() -> dict:
         "sketch_kmv": q_sketch_kmv,
         "sketch_hll": q_sketch_hll,
         "sketch_cm": q_sketch_cm,
+        "weighted_sample": q_weighted_sample,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -8190,6 +8228,7 @@ def build_oracles() -> dict[str, str]:
         "sketch_kmv": _oracle_sketch_kmv(),
         "sketch_hll": _oracle_sketch_hll(),
         "sketch_cm": _oracle_sketch_cm(),
+        "weighted_sample": _oracle_weighted_sample(),
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),

@@ -400,3 +400,81 @@ SELECT d.doc_id, d.{source_col} AS source,
               THEN 1 ELSE 0 END AS n_copies
 FROM {table} d JOIN rates r ON d.{source_col} = r.source
 """
+
+
+# ---------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis & Spirakis 2006)
+# ---------------------------------------------------------------------
+
+def weighted_sample(
+    docs: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly-``n`` weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-Res scheme (r12): every row draws
+    ``u ∈ (0, 1]`` from the engine-wide md5 ticket (seeded, so
+    independent samples coexist) and the ``n`` largest
+    ``u^(1/w)`` keys win — equivalently the n largest
+    ``ln(u) / w``, which is what's computed (no pow): rounded to 6 dp
+    BEFORE ranking with the id tie-break, the `cosine_expr`
+    discipline, so both engines pick the identical sample.  Inclusion
+    probability is proportional to weight in the without-replacement
+    sense of the published scheme.  Rows with ``weight <= 0`` or NULL
+    are excluded (never sampled).
+
+    Scale shape: one codegen projection for the keys, then
+    `skew.cap_per_key`'s two-level salted top-n under a constant
+    group — no global sort, no collect.  This is the per-ITEM
+    companion to `source_mix_rates`' per-SOURCE tempering: quality
+    scores (`text.py`), perplexities (`lm.py`) or classifier margins
+    (`logreg.py`) plug in as weights directly."""
+    from minerva_etl_spark.operators.skew import cap_per_key
+
+    u = (
+        f"(CAST(conv(substring(md5(concat('{int(seed)}', ':', "
+        f"CAST({id_col} AS STRING))), 1, 15), 16, 10) AS DOUBLE) "
+        f"+ 1.0d) / 1152921504606846976.0d"
+    )
+    keyed = docs.filter(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn(
+        "skey",
+        F.expr(
+            f"round(ln({u}) / CAST({weight_col} AS DOUBLE), 6)"
+        ),
+    )
+    return cap_per_key(
+        keyed.withColumn("__g", F.lit(0)),
+        keys=["__g"],
+        order_by=[F.col("skey").desc(), F.col(id_col).asc()],
+        n=int(n),
+        salt_col=id_col,
+    ).drop("__g", "rank")
+
+
+def weighted_sample_oracle_sql(
+    table: str,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    select_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`weighted_sample` (identical key
+    expression and tie-break)."""
+    u = (
+        f"(CAST(('0x' || substring(md5('{int(seed)}' || ':' || "
+        f"CAST({id_col} AS VARCHAR)), 1, 15))::BIGINT AS DOUBLE) "
+        f"+ 1.0) / 1152921504606846976.0"
+    )
+    return f"""
+SELECT {select_cols},
+       round(ln({u}) / CAST({weight_col} AS DOUBLE), 6) AS skey
+FROM {table}
+WHERE {weight_col} IS NOT NULL AND {weight_col} > 0
+ORDER BY skey DESC, {id_col} ASC
+LIMIT {int(n)}
+"""

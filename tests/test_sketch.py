@@ -129,3 +129,27 @@ def test_cm_merge_equals_whole(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, whole.collect())
     )
+
+
+def test_weighted_sample_bias_and_determinism(spark):
+    """`mixing.weighted_sample`: heavy items are sampled far more
+    often than light ones under ES A-Res, the draw is deterministic
+    per seed, and different seeds give different samples."""
+    from minerva_etl_spark.operators.mixing import weighted_sample
+
+    rows = [(i, 1000 if i < 50 else 1) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    s1 = {r.doc_id for r in weighted_sample(df, 50, "w", seed=1).collect()}
+    s1b = {r.doc_id for r in weighted_sample(df, 50, "w", seed=1).collect()}
+    s2 = {r.doc_id for r in weighted_sample(df, 50, "w", seed=2).collect()}
+    assert s1 == s1b          # deterministic per seed
+    assert s1 != s2           # seed actually matters
+    heavy = len([d for d in s1 if d < 50])
+    assert heavy >= 35, heavy  # 50 heavy items at 1000x weight dominate
+    assert len(s1) == 50
+    # zero/negative weights never sampled
+    df2 = spark.createDataFrame(
+        [(1, 0), (2, -5), (3, 10)], "doc_id bigint, w bigint"
+    )
+    out = weighted_sample(df2, 3, "w").collect()
+    assert [r.doc_id for r in out] == [3]
