@@ -325,9 +325,12 @@ def main() -> None:
     # Known-bounded window note (r10 verdict ask 8): any
     # 'WindowExec: No Partition Defined' warnings in this log come
     # from binary_metrics' cumulative AUC window (operators/
-    # logreg.py, DISTINCT rounded scores <= 2e6 rows) and the BPE
-    # base-vocab ranking (operators/bpe.py, alphabet-sized input) —
-    # both single-partition over DOMAIN-BOUNDED inputs by design;
+    # logreg.py, DISTINCT rounded scores <= 2e6 rows), the BPE
+    # base-vocab ranking (operators/bpe.py, alphabet-sized input),
+    # the unigram vocab seed/id ranks (operators/unigram.py, vocab
+    # bounded by max_vocab), and the KMV sketch position rank
+    # (operators/sketch.py, k rows after TakeOrdered) — all
+    # single-partition over DOMAIN-BOUNDED inputs by design;
     # not a scale risk, do not re-investigate.
     print("# note: WindowExec 'No Partition Defined' = bounded-domain"
           " windows (logreg AUC / BPE base vocab) — known, by design",

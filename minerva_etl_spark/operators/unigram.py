@@ -35,7 +35,10 @@ value-hash gate row):
   pieces come from ``substring(word, ...)`` on boundary pairs.
 
 Words are ``[a-z]+`` runs of the lowercased text (the `bpe.py`
-tokenization), so word length < 1024 and the packing never collides.
+tokenization); runs of 1024+ characters (binary blobs masquerading as
+text) would alias the parent packing, so they are EXCLUDED from both
+training and encoding (mirrored in the oracle) — the same class of
+row a length-bounded quality filter drops first anyway.
 
 Reference: extension (the reference has no tokenizer surface); the
 algorithm is the published unigram-LM recipe.
@@ -73,7 +76,9 @@ def _words(docs: DataFrame, text_col: str) -> DataFrame:
                 F.split(F.lower(F.col(text_col)), "[^a-z]+")
             ).alias("word")
         )
-        .filter(F.col("word") != "")
+        .filter(
+            (F.col("word") != "") & (F.length("word") < _ENC)
+        )
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -266,7 +271,9 @@ def unigram_encode(
                 F.split(F.lower(F.col(text_col)), "[^a-z]+")
             ).alias("pos", "word"),
         )
-        .filter(F.col("word") != "")
+        .filter(
+            (F.col("word") != "") & (F.length("word") < _ENC)
+        )
     )
     distinct_words = (
         doc_words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
@@ -436,7 +443,7 @@ def _oracle_ctes(
     SELECT unnest(string_split_regex(lower({text_col}), '[^a-z]+'))
       AS word
     FROM {table}
-  ) WHERE word <> '' GROUP BY word
+  ) WHERE word <> '' AND length(word) < 1024 GROUP BY word
 )""",
         f"""subs AS MATERIALIZED (
   SELECT word, cnt, gs.j AS j, gi.i AS i,
@@ -502,7 +509,7 @@ def _oracle_ctes(
            unnest(string_split_regex(lower({text_col}), '[^a-z]+'))
              AS word
     FROM {table}
-  ) WHERE word <> ''
+  ) WHERE word <> '' AND length(word) < 1024
 )"""
     )
     return ctes

@@ -151,3 +151,20 @@ def test_encode_ids_rank_and_oov(spark):
     assert out.n_words == 2
     assert -1 in out.token_ids          # 'abq' is the OOV collapse
     assert ids["abc"] in out.token_ids  # the frequent piece id
+
+
+def test_monster_words_excluded(spark):
+    """Runs of 1024+ [a-z] characters would alias the parent packing,
+    so they are excluded from training AND encoding (the documented
+    guard, mirrored by the oracle)."""
+    from minerva_etl_spark.operators.unigram import _words
+
+    blob = "x" * 1500
+    docs = _docs(spark, [(1, f"normal words here {blob} more words")])
+    trained_words = {r.word for r in _words(docs, "text").collect()}
+    assert blob not in trained_words
+    assert "normal" in trained_words
+    vocab = unigram_train(docs, max_vocab=16, max_len=3, min_count=1)
+    out = unigram_encode(docs, vocab, max_len=3).collect()[0]
+    assert out.n_words == 5  # the blob word is not in the stream
+    assert blob not in out.pieces
