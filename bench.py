@@ -178,6 +178,10 @@ HEADLINE = [
     # round-12: corpus-scale exact substring dedup (sorted-shingle
     # digest groupBy + per-doc coverage rebuild — the Lee et al. rule)
     "dedup_substring",
+    # round-12: the substring rule's delivery protocol (digest-keyed
+    # history join, state build is part of the story — the
+    # frontier_increment rule)
+    "dedup_substring_increment",
     # round-11: ratio-margin bitext mining (pure Catalyst: broadcast
     # product -> decimal top-k sums -> margin windows)
     "bitext_mine",

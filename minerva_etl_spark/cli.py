@@ -1321,8 +1321,8 @@ def cmd_corpus(args) -> None:
     if args.action in ("increment", "increment-emb", "ivf-build",
                        "ivf-increment", "ivf-query", "ivf-build-q",
                        "ivf-increment-q", "ivf-query-pq",
-                       "pq-build", "pq-increment",
-                       "pq-query") and not args.state:
+                       "pq-build", "pq-increment", "pq-query",
+                       "substring-increment") and not args.state:
         raise SystemExit(
             f"minerva-spark corpus {args.action}: --state is required "
             "(path of the persisted state)"
@@ -1563,6 +1563,23 @@ def cmd_corpus(args) -> None:
         out = substring_dedup(
             df, w=args.window, text_col=args.text_col
         )
+    elif args.action == "substring-increment":
+        from minerva_etl_spark.operators.substring import (
+            build_substring_state,
+            substring_increment,
+        )
+        from minerva_etl_spark.fsutil import parquet_exists
+
+        if parquet_exists(spark, args.state.rstrip("/")):
+            out = substring_increment(
+                spark, df, args.state, w=args.window,
+                text_col=args.text_col,
+            )
+        else:
+            out = build_substring_state(
+                spark, df, args.state, w=args.window,
+                text_col=args.text_col,
+            )
     elif args.action == "script-profile":
         from minerva_etl_spark.operators.text import with_script_profile
 
@@ -2440,6 +2457,7 @@ def main(argv: list[str] | None = None) -> None:
             "ivf-build", "ivf-increment", "ivf-query",
             "ivf-build-q", "ivf-increment-q", "ivf-query-pq",
             "pq-build", "pq-increment", "pq-query", "substring-dedup",
+            "substring-increment",
             "c4-rules", "unigram", "sketch", "weighted-sample",
             "bitext", "pack-semantic", "ppl-buckets", "script-profile",
             "chat-curate", "preference-pairs", "code-profile",

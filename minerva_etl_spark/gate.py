@@ -2252,6 +2252,54 @@ def _oracle_dedup_substring() -> str:
     return substring_dedup_oracle_sql(_SUBSTR_CORPUS_SQL, w=_SUBSTR_W)
 
 
+def q_dedup_substring_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL substring dedup (`operators/substring.py::
+    build_substring_state` / `substring_increment` — the signature-
+    state protocol applied to the Lee et al. rule, r12): the planted
+    corpus's first half builds a digest-keyed state (one row per
+    distinct shingle, first occurrence pinned), the second half
+    arrives as one delivery that joins its shingles against history —
+    history text is never rescanned — and the delivery's output is
+    IDENTICAL to the full-corpus batch run restricted to the delta
+    (ascending-id deliveries; the oracle replays exactly that).
+    Every dedup family in the engine now has its incremental
+    variant."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.substring import (
+        build_substring_state,
+        substring_increment,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _substr_corpus_spark(docs)
+    root = tempfile.mkdtemp(prefix="minerva_gate_substr_inc_")
+    path = root + "/state"
+    build_substring_state(
+        spark, corpus.filter("doc_id < 250"), path, w=_SUBSTR_W
+    )
+    out = substring_increment(
+        spark, corpus.filter("doc_id >= 250"), path, w=_SUBSTR_W
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_dedup_substring_increment() -> str:
+    from minerva_etl_spark.operators.substring import (
+        substring_dedup_oracle_sql,
+    )
+
+    inner = substring_dedup_oracle_sql(
+        _SUBSTR_CORPUS_SQL, w=_SUBSTR_W
+    ).strip()
+    return f"""
+SELECT * FROM ({inner}) WHERE doc_id >= 250
+"""
+
+
 def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length training-sequence chunking (`operators/text.py::
     chunk_sequences`): 64-token chunks every 48 tokens (16-token
@@ -7878,6 +7926,10 @@ _REGISTRY_ORDER = [
     #     without replacement (operators/mixing.py — the per-item
     #     companion to the tempered source mix).
     "weighted_sample",
+    #   dedup_substring_increment pins the substring rule's
+    #     signature-state delivery protocol (digest-keyed history,
+    #     ascending-id deliveries == batch restricted to the delta).
+    "dedup_substring_increment",
     #   dedup_substring pins the corpus-scale Lee-et-al substring rule
     #     (operators/substring.py — sorted-shingle groupBy, per-token
     #     coverage rebuild, planted overlapping spans): the segment-
@@ -8060,6 +8112,7 @@ def build_queries() -> dict:
         "sketch_hll": q_sketch_hll,
         "sketch_cm": q_sketch_cm,
         "weighted_sample": q_weighted_sample,
+        "dedup_substring_increment": q_dedup_substring_increment,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -8229,6 +8282,7 @@ def build_oracles() -> dict[str, str]:
         "sketch_hll": _oracle_sketch_hll(),
         "sketch_cm": _oracle_sketch_cm(),
         "weighted_sample": _oracle_weighted_sample(),
+        "dedup_substring_increment": _oracle_dedup_substring_increment(),
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),

@@ -59,6 +59,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "substring_dedup",
+    "build_substring_state",
+    "substring_increment",
     "substring_dedup_oracle_sql",
 ]
 
@@ -77,23 +79,7 @@ def substring_dedup(
     w = int(w)
     if w < 2:
         raise ValueError(f"w must be >= 2, got {w}")
-    base = docs.select(
-        id_col, F.split(F.col(text_col), " ").alias("__toks")
-    ).withColumn("__n", F.size("__toks"))
-    occ = (
-        base.filter(F.col("__n") >= w)
-        .select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, __n - {w}), i -> "
-                    f"struct(i AS pos, md5(concat_ws(' ', "
-                    f"slice(__toks, i + 1, {w}))) AS digest))"
-                )
-            ).alias("__o"),
-        )
-        .select(id_col, F.col("__o.pos").alias("pos"), "__o.digest")
-    )
+    base, occ = _occurrences(docs, w, id_col, text_col)
     # the suffix-sort stand-in: ONE combinable agg per digest
     stats = occ.groupBy("digest").agg(
         F.count(F.lit(1)).alias("__cnt"),
@@ -111,6 +97,38 @@ def substring_dedup(
         )
         .select(id_col, "pos")
     )
+    return _rebuild(base, removable, w, id_col)
+
+
+def _occurrences(
+    docs: DataFrame, w: int, id_col: str, text_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(base, occ) — the tokenized frame and its shingle occurrences,
+    shared by the batch and incremental paths."""
+    base = docs.select(
+        id_col, F.split(F.col(text_col), " ").alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    occ = (
+        base.filter(F.col("__n") >= w)
+        .select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, __n - {w}), i -> "
+                    f"struct(i AS pos, md5(concat_ws(' ', "
+                    f"slice(__toks, i + 1, {w}))) AS digest))"
+                )
+            ).alias("__o"),
+        )
+        .select(id_col, F.col("__o.pos").alias("pos"), "__o.digest")
+    )
+    return base, occ
+
+
+def _rebuild(
+    base: DataFrame, removable: DataFrame, w: int, id_col: str
+) -> DataFrame:
+    """Per-token coverage rebuild shared by both paths."""
     rem = removable.groupBy(id_col).agg(
         F.array_sort(F.collect_list("pos")).alias("__rps")
     )
@@ -136,6 +154,116 @@ def substring_dedup(
             ).alias("kept_text"),
         )
     )
+
+
+def build_substring_state(
+    spark,
+    docs: DataFrame,
+    state_path: str,
+    w: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Initialize the persisted substring-dedup state — one row per
+    DISTINCT shingle digest ever seen, carrying its first occurrence
+    ``(digest, first_doc, first_pos)`` — and return the initial
+    corpus's dedup output (== :func:`substring_dedup`).  The state is
+    digest-keyed and grows with distinct shingles, never with
+    occurrences (the `incremental.py` signature-state family: history
+    payloads are never rescanned by later deliveries)."""
+    from minerva_etl_spark.operators.incremental import _state_lease
+
+    w = int(w)
+    with _state_lease(spark, state_path):
+        base, occ = _occurrences(docs, w, id_col, text_col)
+        stats = occ.groupBy("digest").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("pos").alias("p")
+                )
+            ).alias("__first"),
+        )
+        stats.select(
+            "digest",
+            F.col("__first.d").alias("first_doc"),
+            F.col("__first.p").alias("first_pos"),
+        ).write.mode("overwrite").parquet(state_path.rstrip("/"))
+        removable = (
+            occ.join(stats.filter(F.col("__cnt") >= 2), "digest")
+            .filter(
+                ~(
+                    (F.col(id_col) == F.col("__first.d"))
+                    & (F.col("pos") == F.col("__first.p"))
+                )
+            )
+            .select(id_col, "pos")
+        )
+        return _rebuild(base, removable, w, id_col).localCheckpoint(
+            eager=True
+        )
+
+
+def substring_increment(
+    spark,
+    delta: DataFrame,
+    state_path: str,
+    w: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One delivery against the persisted state: the delta's shingles
+    join the digest-keyed history (an equi-join moving only the
+    delta's occurrences — history is never rescanned), every delta
+    occurrence of a KNOWN digest is removable, and within the delta
+    the usual keep-first applies to NEW digests; new digests append
+    to the state inside the lease.
+
+    Provided delivery ids ascend (later deliveries carry larger doc
+    ids — the append-only ingest order every incremental state here
+    assumes), the result is IDENTICAL to running
+    :func:`substring_dedup` over history ∪ delta and keeping the
+    delta's rows — which is exactly what the
+    `dedup_substring_increment` oracle replays closed-form."""
+    from minerva_etl_spark.operators.incremental import _state_lease
+
+    w = int(w)
+    root = state_path.rstrip("/")
+    with _state_lease(spark, state_path):
+        hist = spark.read.parquet(root).select("digest").withColumn(
+            "__known", F.lit(True)
+        )
+        base, occ = _occurrences(delta, w, id_col, text_col)
+        delta_stats = occ.groupBy("digest").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("pos").alias("p")
+                )
+            ).alias("__first"),
+        )
+        joined = occ.join(delta_stats, "digest").join(
+            hist, "digest", "left"
+        )
+        removable = joined.filter(
+            F.coalesce(F.col("__known"), F.lit(False))
+            | (
+                (F.col("__cnt") >= 2)
+                & ~(
+                    (F.col(id_col) == F.col("__first.d"))
+                    & (F.col("pos") == F.col("__first.p"))
+                )
+            )
+        ).select(id_col, "pos")
+        out = _rebuild(base, removable, w, id_col).localCheckpoint(
+            eager=True
+        )  # pinned before the state mutates
+        delta_stats.join(hist, "digest", "left_anti").select(
+            "digest",
+            F.col("__first.d").alias("first_doc"),
+            F.col("__first.p").alias("first_pos"),
+        ).write.mode("append").parquet(root)
+    return out
 
 
 def substring_dedup_oracle_sql(

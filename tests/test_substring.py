@@ -125,3 +125,42 @@ def test_plan_is_python_free_no_cartesian(spark):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_matches_batch_restricted_to_delta(spark, tmp_path):
+    """build(first half) + increment(second half) == the full batch
+    run restricted to the delta (ascending-id deliveries), and the
+    digest state grows append-only."""
+    from minerva_etl_spark.operators.substring import (
+        build_substring_state,
+        substring_dedup,
+        substring_increment,
+    )
+
+    span = " ".join(f"q{i}" for i in range(10))
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, " ".join(f"u{i}" for i in range(20))),
+        # delta: re-uses history's span AND plants its own duplicate
+        (10, f"zero {span} one two three four five six"),
+        (11, f"pre {span} post " + " ".join(f"v{i}" for i in range(9))),
+    ]
+    df = _df(spark, rows)
+    hist = df.filter("doc_id < 10")
+    delta = df.filter("doc_id >= 10")
+    p = str(tmp_path / "state")
+    build_substring_state(spark, hist, p, w=8)
+    n0 = spark.read.parquet(p).count()
+    inc = {
+        r.doc_id: (r.n_removed, r.kept_text)
+        for r in substring_increment(spark, delta, p, w=8).collect()
+    }
+    batch = {
+        r.doc_id: (r.n_removed, r.kept_text)
+        for r in substring_dedup(df, w=8).collect()
+        if r.doc_id >= 10
+    }
+    assert inc == batch
+    assert inc[10][0] == 10  # the historic span is removed
+    n1 = spark.read.parquet(p).count()
+    assert n1 > n0  # new digests appended, history untouched
