@@ -1519,12 +1519,13 @@ def cmd_corpus(args) -> None:
         )
 
         vocab = unigram_train(
-            df, max_vocab=args.n, max_len=args.window,
+            df, max_vocab=args.vocab_size, max_len=args.max_piece_len,
             iters=args.iters, text_col=args.text_col,
         )
         vocab.write.mode("overwrite").parquet(args.output + "_vocab")
         out = unigram_encode(
-            df, vocab, max_len=args.window, text_col=args.text_col
+            df, vocab, max_len=args.max_piece_len,
+            text_col=args.text_col,
         )
     elif args.action == "weighted-sample":
         from minerva_etl_spark.operators.mixing import weighted_sample
@@ -2486,7 +2487,16 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--pq-m", type=int, default=4, dest="pq_m",
                     help="pq-build: subspace count (dim must divide)")
     co.add_argument("--pq-k", type=int, default=8, dest="pq_k",
-                    help="pq-build: codewords per subspace")
+                    help="pq-build: codewords per subspace (2..128 — "
+                         "codes persist as signed tinyint)")
+    co.add_argument("--max-piece-len", type=int, default=5,
+                    dest="max_piece_len",
+                    help="unigram: longest candidate piece (module "
+                         "default 5 — NOT --window, whose 50 default "
+                         "is substring-dedup semantics)")
+    co.add_argument("--vocab-size", type=int, default=512,
+                    dest="vocab_size",
+                    help="unigram: target vocabulary size")
     co.add_argument("--ref-filter", default=None, dest="ref_filter",
                     help="ppl-buckets: SQL predicate selecting the LM "
                          "reference slice (default lang = 'en')")

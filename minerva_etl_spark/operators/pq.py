@@ -207,6 +207,11 @@ def pq_fit(
     Returns ``(subspace, code_id, cvec, csq_grid)`` where ``csq_grid``
     is the grid-snapped squared norm used for exact reconstruction-norm
     sums."""
+    if not 2 <= int(pq_k) <= 128:
+        raise ValueError(
+            f"pq_k must be in [2, 128] (codes persist as signed "
+            f"tinyint); got {pq_k}"
+        )
     sub = _subspace_explode(embeddings, m, d_sub, id_col, vec_col)
     w_seed = Window.partitionBy("subspace").orderBy(F.col(id_col).asc())
     cb = (

@@ -145,6 +145,20 @@ def rtf_extract_text(payload: bytes) -> dict:
                 skip_until_depth = depth
                 i += 2
                 continue
+            if nxt in (b"~", b"-", b"_"):
+                # control SYMBOLS (no parameter, no delimiter):
+                # \~ non-breaking space, \- optional hyphen (zero
+                # width unless the line breaks — drop), \_ non-
+                # breaking hyphen.  Without this they parsed as an
+                # empty control word and the symbol leaked literally
+                # (r12 ADVICE).
+                if skip_until_depth is None and pending_skip == 0:
+                    if nxt == b"~":
+                        out.append(" ")
+                    elif nxt == b"_":
+                        out.append("-")
+                i += 2
+                continue
             if nxt == b"'":
                 code = data[i + 2 : i + 4]
                 i += 4
@@ -175,6 +189,16 @@ def rtf_extract_text(payload: bytes) -> dict:
             if k < n and data[k : k + 1] == b" ":
                 k += 1
             i = k
+            if word == "bin":
+                # \binN: the next N bytes are raw binary — consume
+                # them UNCONDITIONALLY (even inside skipped groups:
+                # payload bytes can contain { } \ and would corrupt
+                # the group-depth scan; r12 ADVICE).
+                try:
+                    i += max(0, int(param or "0"))
+                except ValueError:
+                    pass
+                continue
             if skip_until_depth is not None:
                 continue
             if word == "" and param == "":

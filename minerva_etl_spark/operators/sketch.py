@@ -127,11 +127,15 @@ SELECT CAST(pos AS INT) AS pos, h FROM topk
 
 
 def _rho_expr(rest: str, width: int) -> str:
-    # leading-zero rank of a `width`-bit value + 1; 0 -> width + 1
+    # leading-zero rank of a `width`-bit value + 1; 0 -> width + 1.
+    # Pure-integer formulation: length(bin(x)) is the bit length
+    # (floor(log2 x) + 1) in BOTH Spark and DuckDB, so rho is exact
+    # cross-engine.  floor(log2(CAST(x AS DOUBLE))) is NOT — Spark
+    # computes log2 as ln(x)/ln(2) while DuckDB uses libm log2, and
+    # they disagree on values like 2^48-1 (r12 ADVICE).
     return (
         f"CAST(CASE WHEN {rest} = 0 THEN {width + 1} "
-        f"ELSE {width} - CAST(floor(log2(CAST({rest} AS DOUBLE))) "
-        f"AS INT) END AS INT)"
+        f"ELSE {width} + 1 - length(bin({rest})) END AS INT)"
     )
 
 
@@ -195,10 +199,12 @@ def hll_oracle_sql(table_expr: str, item_col: str, b: int = 8) -> str:
     m = 1 << int(b)
     width = _HBITS - int(b)
     alpha = 0.7213 / (1.0 + 1.079 / m)
+    # same pure-integer bit-length formulation as _rho_expr — the two
+    # engines' libm log2 provably disagree (e.g. rest = 2^48-1), the
+    # minimal binary string length never does.
     rho = (
         f"CASE WHEN rest = 0 THEN {width + 1} "
-        f"ELSE {width} - CAST(floor(log2(CAST(rest AS DOUBLE))) "
-        f"AS INT) END"
+        f"ELSE {width} + 1 - length(bin(rest)) END"
     )
     return f"""
 WITH h AS (

@@ -189,6 +189,11 @@ def build_substring_state(
             F.col("__first.d").alias("first_doc"),
             F.col("__first.p").alias("first_pos"),
         ).write.mode("overwrite").parquet(state_path.rstrip("/"))
+        _write_watermark(
+            spark,
+            state_path,
+            docs.agg(F.max(id_col)).collect()[0][0],
+        )
         removable = (
             occ.join(stats.filter(F.col("__cnt") >= 2), "digest")
             .filter(
@@ -202,6 +207,35 @@ def build_substring_state(
         return _rebuild(base, removable, w, id_col).localCheckpoint(
             eager=True
         )
+
+
+def _watermark_path(state_path: str) -> str:
+    # `_`-prefixed entries are hidden from Spark's parquet file
+    # listing, so the sidecar never pollutes reads of the state root.
+    return state_path.rstrip("/") + "/_watermark"
+
+
+def _write_watermark(spark, state_path: str, max_id) -> None:
+    if max_id is None:
+        return
+    spark.createDataFrame(
+        [(int(max_id),)], "max_doc_id bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        _watermark_path(state_path)
+    )
+
+
+def _read_watermark(spark, state_path: str):
+    """The largest doc id any prior delivery carried, or None for a
+    pre-watermark state (best-effort fallback: max(first_doc) from
+    the digest state — a floor, since docs contributing no new digest
+    don't appear there)."""
+    try:
+        return spark.read.parquet(_watermark_path(state_path)).agg(
+            F.max("max_doc_id")
+        ).collect()[0][0]
+    except Exception:
+        return None
 
 
 def substring_increment(
@@ -219,18 +253,41 @@ def substring_increment(
     the usual keep-first applies to NEW digests; new digests append
     to the state inside the lease.
 
-    Provided delivery ids ascend (later deliveries carry larger doc
-    ids — the append-only ingest order every incremental state here
-    assumes), the result is IDENTICAL to running
+    Delivery ids must ascend (later deliveries carry larger doc ids —
+    the append-only ingest order every incremental state here
+    assumes); under that order the result is IDENTICAL to running
     :func:`substring_dedup` over history ∪ delta and keeping the
     delta's rows — which is exactly what the
-    `dedup_substring_increment` oracle replays closed-form."""
+    `dedup_substring_increment` oracle replays closed-form.  The
+    assumption is ENFORCED (r12 ADVICE): the state carries a
+    ``_watermark`` sidecar with the largest id ever delivered, and a
+    delta row at or below it raises instead of silently producing
+    keep-first winners that differ from the full-corpus run."""
     from minerva_etl_spark.operators.incremental import _state_lease
 
     w = int(w)
     root = state_path.rstrip("/")
     with _state_lease(spark, state_path):
-        hist = spark.read.parquet(root).select("digest").withColumn(
+        hist_full = spark.read.parquet(root)
+        floor = _read_watermark(spark, state_path)
+        if floor is None:  # pre-watermark state: best-available floor
+            floor = hist_full.agg(F.max("first_doc")).collect()[0][0]
+        bounds = delta.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        ).collect()[0]
+        if (
+            floor is not None
+            and bounds["lo"] is not None
+            and bounds["lo"] <= floor
+        ):
+            raise ValueError(
+                f"substring_increment: delivery carries {id_col}="
+                f"{bounds['lo']} <= state watermark {floor}; the "
+                f"batch-equivalence guarantee needs ascending "
+                f"delivery ids (re-deliver with fresh ids or rebuild "
+                f"the state)"
+            )
+        hist = hist_full.select("digest").withColumn(
             "__known", F.lit(True)
         )
         base, occ = _occurrences(delta, w, id_col, text_col)
@@ -263,6 +320,13 @@ def substring_increment(
             F.col("__first.d").alias("first_doc"),
             F.col("__first.p").alias("first_pos"),
         ).write.mode("append").parquet(root)
+        if bounds["hi"] is not None:
+            _write_watermark(
+                spark,
+                state_path,
+                max(bounds["hi"], floor) if floor is not None
+                else bounds["hi"],
+            )
     return out
 
 

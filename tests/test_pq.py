@@ -236,3 +236,14 @@ def test_query_plan_is_python_free_and_broadcasts(spark, tmp_path):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_pq_k_over_tinyint_range_raises(spark):
+    """r12 ADVICE: codes persist as signed tinyint, so pq_k > 128
+    must fail loudly instead of silently wrapping code ids."""
+    vecs = spark.range(4).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS float), CAST(id+1 AS float)) AS embedding",
+    )
+    with pytest.raises(ValueError, match="pq_k"):
+        pq_fit(vecs, m=1, d_sub=2, pq_k=200)

@@ -103,3 +103,27 @@ def test_spark_extract_and_cli(spark, tmp_path):
     cmd_media(a)
     got = spark.read.parquet(str(tmp_path / "out")).collect()[0]
     assert got.text == "via cli"
+
+
+def test_control_symbols_and_bin_payload():
+    """r12 ADVICE: \\~ is a non-breaking space (not a literal '~'),
+    \\- an optional hyphen (zero-width), \\_ a non-breaking hyphen,
+    and \\binN raw bytes must be consumed — even when they contain
+    braces that would otherwise corrupt the group-depth scan."""
+    doc = (
+        b"{\\rtf1\\ansi\\ansicpg1252 "
+        b"a\\~b\\-c\\_d"
+        b"{\\*\\objdata \\bin5 \x01{}\x02\x03junk-after-bin}"
+        b" tail\\par}"
+    )
+    rec = rtf_extract_text(doc)
+    assert rec["text"] == "a b" + "c-d" + " tail"
+    # \bin inside a skipped destination: payload braces must not
+    # close the group early (the 'junk-after-bin' stays skipped)
+    assert "junk" not in rec["text"] and "\x01" not in rec["text"]
+
+
+def test_bin_payload_in_body_is_dropped_not_leaked():
+    doc = b"{\\rtf1\\ansi before \\bin4 \xde\xad\xbe\xefafter\\par}"
+    rec = rtf_extract_text(doc)
+    assert rec["text"] == "before after"

@@ -153,3 +153,42 @@ def test_weighted_sample_bias_and_determinism(spark):
     )
     out = weighted_sample(df2, 3, "w").collect()
     assert [r.doc_id for r in out] == [3]
+
+
+def test_hll_rho_is_exact_integer_cross_engine(spark):
+    """r12 ADVICE: floor(log2(double)) disagrees between Spark
+    (ln/ln2) and DuckDB (libm log2) on values like 2^48-1.  The rho
+    expression is now a pure bit-length formulation; pin it against
+    Python's int.bit_length() in BOTH engines on the adversarial
+    boundary values."""
+    import duckdb
+
+    from minerva_etl_spark.operators.sketch import _rho_expr
+
+    width = 52
+    vals = [0, 1, 2, 3, (1 << 48) - 1, 1 << 48, (1 << 52) - 1, 255,
+            256, (1 << 31) - 1]
+    expect = [
+        width + 1 if v == 0 else width + 1 - v.bit_length()
+        for v in vals
+    ]
+    got_spark = [
+        r.rho
+        for r in spark.createDataFrame(
+            [(v,) for v in vals], "rest bigint"
+        ).selectExpr(f"{_rho_expr('rest', width)} AS rho").collect()
+    ]
+    assert got_spark == expect
+    duck_case = (
+        f"CASE WHEN rest = 0 THEN {width + 1} "
+        f"ELSE {width} + 1 - length(bin(rest)) END"
+    )
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            f"SELECT {duck_case} FROM (SELECT CAST({v} AS BIGINT) "
+            f"AS rest)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    assert got_duck == expect

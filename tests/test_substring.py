@@ -164,3 +164,26 @@ def test_incremental_matches_batch_restricted_to_delta(spark, tmp_path):
     assert inc[10][0] == 10  # the historic span is removed
     n1 = spark.read.parquet(p).count()
     assert n1 > n0  # new digests appended, history untouched
+
+
+def test_increment_rejects_non_ascending_delivery(spark, tmp_path):
+    """r12 ADVICE: the batch-equivalence guarantee assumes ascending
+    delivery ids; the state now carries a _watermark sidecar and a
+    delta at or below it raises instead of silently diverging."""
+    from minerva_etl_spark.operators.substring import (
+        build_substring_state,
+        substring_increment,
+    )
+
+    rows = [(1, " ".join(f"a{i}" for i in range(12))),
+            (5, " ".join(f"b{i}" for i in range(12)))]
+    p = str(tmp_path / "state")
+    build_substring_state(spark, _df(spark, rows), p, w=8)
+    stale = _df(spark, [(5, " ".join(f"c{i}" for i in range(12)))])
+    with pytest.raises(ValueError, match="watermark"):
+        substring_increment(spark, stale, p, w=8)
+    # fresh ids still flow, and the watermark advances with them
+    ok = _df(spark, [(9, " ".join(f"d{i}" for i in range(12)))])
+    assert substring_increment(spark, ok, p, w=8).count() == 1
+    with pytest.raises(ValueError, match="watermark"):
+        substring_increment(spark, ok, p, w=8)
