@@ -282,10 +282,25 @@ def main() -> None:
 
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
 
-    def measure(name: str) -> float:
+    # r13 (the r12 verdict's ask 5): per-query SAMPLES are recorded
+    # and BENCH_DETAIL carries {median, min, max} per query, so a
+    # single-session scheduler hiccup (r12's 0.39->1.95s
+    # type_deduction "regression" on unchanged code) is readable as
+    # spread instead of re-litigated as a regression.  `value` stays
+    # the MIN for continuity with twelve rounds of history.
+    samples: dict[str, list[float]] = {}
+
+    def _median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        n = len(ys)
+        mid = n // 2
+        return ys[mid] if n % 2 else (ys[mid - 1] + ys[mid]) / 2.0
+
+    def measure(name: str, n_runs: int | None = None) -> float:
         fn = qs[name]
         best = None
-        for _ in range(runs):
+        samples[name] = []
+        for _ in range(n_runs or runs):
             t0 = time.time()
             df = fn(spark, sf_dir)
             # noop sink: forces FULL evaluation of every column and
@@ -296,13 +311,17 @@ def main() -> None:
             # while computing nothing).
             df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
+            samples[name].append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         return best
 
-    # canary first: fixed session position, fresh JVM (see CANARY)
+    # canary first: fixed session position, fresh JVM (see CANARY).
+    # 3+ runs so the canary MEDIAN — the round-over-round comparable
+    # quoted in close-outs — is a real median, not a mean-of-two.
+    canary_runs = max(runs, 3)
     canary_timings: dict[str, float] = {}
     for name in CANARY:
-        canary_timings[name] = round(measure(name), 3)
+        canary_timings[name] = round(measure(name, canary_runs), 3)
         print(
             f"# canary {name}: {canary_timings[name]:.2f}s",
             file=sys.stderr,
@@ -350,6 +369,17 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    stats = {
+        name: {
+            "median": round(_median(xs), 3),
+            "min": min(xs),
+            "max": max(xs),
+        }
+        for name, xs in samples.items()
+    }
+    canary_median_total = round(
+        sum(stats[n]["median"] for n in CANARY), 3
+    )
     with open(detail_path, "w") as fh:
         json.dump(
             {
@@ -357,10 +387,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "stats": stats,
                 "canary_total": canary_total,
+                "canary_median_total": canary_median_total,
                 "canary": canary_timings,
                 "sf": sf,
                 "runs": runs,
+                "canary_runs": canary_runs,
             },
             fh,
             indent=1,
@@ -378,6 +411,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries": worst3,
                 "canary_total": canary_total,
+                "canary_median_total": canary_median_total,
                 "canary_n": len(canary_timings),
                 "detail": "BENCH_DETAIL.json",
             }

@@ -7640,192 +7640,198 @@ def _oracle_tfidf_terms() -> str:
 #: are redundant demos whose operators are already proven in-window
 #: (TPC-H showpieces, a duplicate granularity rung, extra window ops).
 _REGISTRY_ORDER = [
-    # ---------------- r12 driver window (first 50) -------------------
-    # r12 rotation (the r11 verdict's ask 2): the six r11-born rows
-    # with no driver CORRECTNESS row rotate IN (sim_ivf_pq_increment,
-    # bitext_mine, wds_roundtrip, pack_semantic, ccnet_buckets,
-    # script_profile — never-checked debt back to zero).  Six
-    # multi-round driver-green rows rotate OUT with named in-window
-    # vouchers (comment block after the window + COVERAGE.md r12).
-    # token_budget_select STAYS in-window per the r11 verdict's ask 1
-    # (the oracle HUGEINT fix needs a green driver row to close).
+    # ---------------- r13 driver window (first 50) -------------------
+    # r13 rotation (the r12 verdict's ask 1): 17 of the 21 r12-born
+    # rows rotate IN for their FIRST driver CORRECTNESS row — the PQ
+    # pair, the substring pair, the unigram pair, the 7-row
+    # office/email arc, pagerank, and the 3 sketches (the r12 judge
+    # sweep showed all 21 hash-green at sf0.01; the remaining 4 —
+    # bitext_mine_ann, c4_rules, orc_roundtrip, weighted_sample — are
+    # labeled r14 rotate-ins below, per the verdict's explicit
+    # fallback plan, now written down in COVERAGE.md).  17 multi-round
+    # driver-green rows rotate OUT with named in-window vouchers
+    # (comment block after the window + COVERAGE.md r13).  The two
+    # lifecycle anchors and the seven rows with only ONE driver-green
+    # round (sim_ivf_pq_increment, bitext_mine, pack_semantic,
+    # ccnet_buckets, script_profile, wds_roundtrip,
+    # token_budget_select) STAY per the rotation protocol.
     # -- LLM-pipeline: dedup / decontamination / quality --------------
     "semantic_dedup",
-    "boilerplate_strip",
-    "dedup_segments",
-    "quality_filter",
     "gopher_rules",
-    "lm_perplexity",
+    # r13 rotate-in: corpus-scale Lee-et-al substring rule (sorted-
+    # shingle digest groupBy + per-token coverage rebuild).
+    "dedup_substring",
+    # r13 rotate-in: its digest-keyed state delivery protocol
+    # (ascending-id deliveries == batch restricted to the delta,
+    # now watermark-enforced).
+    "dedup_substring_increment",
+    "ccnet_buckets",
+    "script_profile",
     # -- LLM-pipeline: similarity -------------------------------------
-    "sim_ivf_pq",
-    # r12 rotate-in: extends in-window sim_ivf_pq's quantized state
-    # with the frozen-centroid delta-assign delivery cycle.
     "sim_ivf_pq_increment",
-    # r12 rotate-in: ratio-margin bitext mining (DECIMAL-exact
-    # neighborhood sums), cosine/window machinery shared with
-    # sim_ivf_pq.
+    # r13 rotate-in: trained product quantization (per-subspace L2
+    # codebooks, m-byte codes, exact-BIGINT ADC scoring).
+    "sim_ivf_tpq",
+    # r13 rotate-in: the trained-PQ state's frozen-parameter
+    # delta-encode delivery protocol.
+    "sim_ivf_tpq_increment",
     "bitext_mine",
     # -- LLM-pipeline: text / tokens / curation ------------------------
     "tfidf_terms",
-    "bpe_encode",
-    "chunk_sequences",
-    # r12 rotate-in: the same two-pass prefix-sum packer spine as
-    # shard_pack_shuffled, driven by the cluster+affinity order key.
+    # r13 rotate-in: SentencePiece-unigram tokenizer (hard-EM Viterbi
+    # as packed-BIGINT lattice folds).
+    "unigram_encode",
+    # r13 rotate-in: the dense-ranked id mapping over the same piece
+    # streams (the bpe_encode_ids convention).
+    "unigram_encode_ids",
     "pack_semantic",
-    # r12 rotate-in: lm_perplexity's scorer composed with the
-    # skew-safe exact NTILE.
-    "ccnet_buckets",
-    # r12 rotate-in: one-codegen-projection Unicode script histogram
-    # (the text_profile family).
-    "script_profile",
-    "curated_export",
+    "token_budget_select",
     "pipeline_curate_bp",
+    # -- LLM-pipeline: corpus sketches (r13 rotate-ins) -----------------
+    # md5-draw KMV / HLL registers / count-min — all merge-combinable;
+    # the HLL rho is the r13 pure-integer bit-length formulation
+    # (cross-engine exact, r12 ADVICE).
+    "sketch_kmv",
+    "sketch_hll",
+    "sketch_cm",
     # -- LLM-pipeline: multimodal codecs -------------------------------
     "gif_features",
     "image_features_mixed",
     "wav_g711_features",
     # -- crawl arc ------------------------------------------------------
-    "warc_harvest",
-    "html_extract",
     "url_profile",
     "robots_filter",
-    "sitemap_urls",
     "feed_entries",
     "pipeline_crawl",
-    "frontier_build",
+    "frontier_increment",
+    "fetch_schedule",
+    # r13 rotate-in: exact-integer PageRank over the crawl host graph
+    # (unrolled-recurrence oracle discipline).
+    "pagerank_crawl",
     # -- document-corpus ingest edges -----------------------------------
-    "pdf_extract",
-    # r12 rotate-in: tar shard export/import through the same
-    # write_archives/read_archives machinery archive_harvest pinned.
+    "pipeline_document",
+    # r13 rotate-ins: the office/email arc — OOXML walk, OCF/OPF
+    # spine walk, RTF group-stack tokenizer, magic-byte dispatch over
+    # ONE mixed binary column, the fused archive->dispatch->codecs
+    # pipeline, and the RFC-5322/MIME mail edge.
+    "docx_extract",
+    "epub_extract",
+    "rtf_extract",
+    "office_extract",
+    "pipeline_office",
+    "eml_extract",
+    "mbox_extract",
     "wds_roundtrip",
+    "markup_extract",
     # -- engine lifecycle anchors (fused ingest + materialization) -------
     "lifecycle_load_store",
     "lifecycle_materialize",
-    # -- r11 rotate-ins: the 18 r10-born rows getting their FIRST driver
-    #    CORRECTNESS row (judge sweep r10: 18/18 hash-green at sf0.01) --
-    "pipeline_document",
-    "frontier_increment",
-    "bpe_roundtrip",
-    "fetch_schedule",
+    # -- SFT / code / safety scans --------------------------------------
     "chat_curate",
-    "markup_extract",
     "preference_pairs",
     "decontamination_bloom",
     "code_profile",
-    "code_dedup",
     "code_fim",
     "code_secrets",
+    # -- media dedup + incremental state --------------------------------
     "image_dedup_dhash",
-    "token_budget_select",
-    "audio_dedup_fingerprint",
+    "incremental_video_dedup",
+    "bpe_roundtrip",
+    # ---------- entries past the driver's 50-row window --------------
+    # r13 rotated-OUT rows (17, every one >=2-round driver-green, most
+    # 3+; named in-window voucher for each; tools/check_oracle.py
+    # still verifies all of them every session):
+    #   lm_perplexity — ccnet_buckets (in-window) composes the SAME
+    #     interpolated-LM scorer inside the skew-safe NTILE.
+    #   sim_ivf_pq — sim_ivf_tpq (in-window) is the trained
+    #     generalization of the same IVF+ADC serving join, and
+    #     sim_ivf_pq_increment (in-window) replays the int8 state
+    #     build; full-vs-quantized recall parity is pytest-pinned
+    #     (test_quantize, test_pq).
+    #   bpe_encode — bpe_roundtrip (in-window) decodes ids encoded
+    #     through the same vocab (an encode bug breaks both), and the
+    #     tokenizer family gains the in-window unigram pair.
+    #   chunk_sequences — pack_semantic (in-window) drives the same
+    #     two-pass prefix-sum packer over chunker output.
+    #   curated_export — token_budget_select (in-window) pins the
+    #     same md5-draw + broadcast-ratio selection frame.
+    #   boilerplate_strip — pipeline_curate_bp (in-window) composes
+    #     the boilerplate stage end to end.
+    #   quality_filter — pipeline_curate_bp's quality stage +
+    #     gopher_rules (in-window, same one-scan rule family).
+    #   dedup_segments — dedup_substring (in-window) is the strictly
+    #     stronger exact-duplicate-text rule on the same digest-
+    #     groupBy spine (segment digests are its w=paragraph special
+    #     case conceptually; segment mechanics stay pytest-pinned).
+    #   code_dedup — the normalized-digest groupBy spine is in-window
+    #     via dedup_substring, and the code synthesis/normalize scan
+    #     via code_profile (in-window).
+    #   warc_harvest — pipeline_crawl (in-window) writes AND reads
+    #     real record-gzipped WARC inside the fused harvest.
+    #   html_extract — pipeline_crawl runs html_extract end to end
+    #     (title/text/charset all hash-load-bearing there).
+    #   pdf_extract — pipeline_document (in-window) runs pdf_extract
+    #     over real archive members incl. Flate + ObjStm containers;
+    #     the exotic variants (encryption revisions, Type0/CID
+    #     CMaps) stay pytest-pinned (test_pdf).
+    #   sitemap_urls — feed_entries (in-window) exercises the same
+    #     stdlib-ElementTree-in-Arrow namespaced-XML walk (RSS plain
+    #     + Atom namespaced), and epub_extract (in-window) parses
+    #     container/OPF XML through the same machinery.
+    #   frontier_build — frontier_increment (in-window) extends the
+    #     same frontier construction with the delivery cycle.
+    #   video_dedup_dhash — incremental_video_dedup (in-window) runs
+    #     the same AVI decode + frame dhash + pigeonhole band join
+    #     inside the delta-vs-history cycle.
+    #   incremental_image_dedup — incremental_video_dedup (in-window)
+    #     exercises the same lease-serialized signature state, and
+    #     image_dedup_dhash (in-window) the same image dhash.
+    #   audio_dedup_fingerprint — wav_g711_features (in-window)
+    #     decodes RIFF/WAVE through the same codec, and the 64-bit
+    #     pigeonhole band join is in-window via image_dedup_dhash.
+    "lm_perplexity",
+    "sim_ivf_pq",
+    "bpe_encode",
+    "chunk_sequences",
+    "curated_export",
+    "boilerplate_strip",
+    "quality_filter",
+    "dedup_segments",
+    "code_dedup",
+    "warc_harvest",
+    "html_extract",
+    "pdf_extract",
+    "sitemap_urls",
+    "frontier_build",
     "video_dedup_dhash",
     "incremental_image_dedup",
-    "incremental_video_dedup",
-    # ---------- entries past the driver's 50-row window --------------
-    # r12 rotated-OUT rows (6, every one ≥2-round driver-green — green
-    # in BOTH CORRECTNESS_r10.json and CORRECTNESS_r11.json — with a
-    # named in-window voucher; tools/check_oracle.py still verifies
-    # all of them every session):
-    #   sim_ivf_query — driver-green r10+r11; sim_ivf_pq (in-window)
-    #     executes the identical probe-pruned candidate equi-join +
-    #     salted top-k over the same prebuilt IVF state, and
-    #     sim_ivf_pq_increment (in-window) replays the state build;
-    #     full-precision recall EQUALITY with the quantized path is
-    #     pytest-pinned (test_quantize).
-    #   dsir_select — driver-green r10+r11; the hashed-n-gram
-    #     importance scorer rides lm_perplexity's LM machinery
-    #     (in-window, and composed again by in-window ccnet_buckets);
-    #     the broadcast ratio table + md5-draw selection frame is
-    #     in-window via token_budget_select and curated_export.
-    #   shard_pack_shuffled — driver-green r10+r11; pack_semantic
-    #     (in-window) runs the SAME two-pass partitioned prefix-sum
-    #     packer through the order_col hook, chunk_sequences
-    #     (in-window) pins the chunker, and the md5 shuffle draw is
-    #     pinned engine-wide (curated_export, wds_roundtrip).
-    #   archive_harvest — driver-green r10+r11; wds_roundtrip
-    #     (in-window) round-trips tar members through the same
-    #     write_archives/read_archives machinery, and pipeline_document
-    #     (in-window) harvests a tar/zip archive corpus end to end.
-    #   corpus_report — driver-green r10+r11; the per-(lang,source)
-    #     one-scan stats share the scan family with in-window
-    #     quality_filter / gopher_rules, and the token totals ride the
-    #     same tokenizer token_budget_select (in-window) pins.
-    #   charset_decode — driver-green r10+r11; pipeline_crawl
-    #     (in-window) runs decode_text end to end inside the fused
-    #     WARC harvest (BOM strip + header/meta resolution on the
-    #     surviving rows shifts its hash), pytest test_charset covers
-    #     the full scenario matrix.
+    "audio_dedup_fingerprint",
+    # r12-born rows NOT yet driver-checked — labeled r14 rotate-ins
+    # (the r12 verdict's explicit fallback; all four locally
+    # hash-verified every session):
+    #   bitext_mine_ann pins the corpus-x-corpus hand-off (ivf_join
+    #     candidates -> the same margin engine); its components are
+    #     in-window via bitext_mine and sim_ivf_tpq.
+    "bitext_mine_ann",
+    #   c4_rules pins the C4 line/page cleaning ruleset (the
+    #     gopher_rules family, in-window).
+    "c4_rules",
+    #   orc_roundtrip pins the ORC harvest plugin (S2 family — plugin
+    #     dispatch in-window via lifecycle_load_store).
+    "orc_roundtrip",
+    #   weighted_sample pins Efraimidis-Spirakis sampling (the
+    #     md5-ticket draw is in-window via token_budget_select).
+    "weighted_sample",
+    # r12 rotated-OUT rows (vouchers unchanged, see the r12 block in
+    # COVERAGE.md):
     "sim_ivf_query",
     "dsir_select",
     "shard_pack_shuffled",
     "archive_harvest",
     "corpus_report",
     "charset_decode",
-    # r11 rotated-OUT rows (18, every one ≥2-round driver-green; named
-    # in-window voucher for each — tools/check_oracle.py still verifies
-    # all of them every session):
-    #   trend_time_agg_1d_dst — 10 consecutive driver-green rounds
-    #     (r1-r10); the DST/granularity bucketing stays in-window via
-    #     lifecycle_materialize's fingerprint timestamp series, and the
-    #     ladder arithmetic is pytest-pinned (test_granularity,
-    #     test_aggregation_compile).
-    #   dedup_simhash_hamming — 8 driver-green rounds; the shared
-    #     64-bit pigeonhole band-join machine is in-window THREE times
-    #     over via image_dedup_dhash / audio_dedup_fingerprint /
-    #     video_dedup_dhash (operators/imagehash.py band join), and the
-    #     simhash signature fold is pytest-pinned.
-    #   dedup_components — 8 driver-green rounds; the pair-graph →
-    #     connected-components → canonical stage runs inside in-window
-    #     pipeline_curate_bp (keep_best_per_component), and label-prop
-    #     convergence is pytest-pinned (test_dedup_components).
-    #   incremental_embedding — the persisted-state lease/append cycle
-    #     is in-window via incremental_image_dedup AND
-    #     incremental_video_dedup (same state machinery), and the
-    #     embedding state feeds in-window sim_ivf_query's prebuilt
-    #     index.
-    #   semantic_decontamination — semantic_dedup (in-window) runs the
-    #     identical per-cluster ε-ball pair join; the decontamination
-    #     surface is in-window via decontamination_bloom.
-    #   text_profile — 8 driver-green rounds; code_profile (in-window)
-    #     is the same one-scan profile family, and the text-stats scan
-    #     is shared with in-window quality_filter / gopher_rules.
-    #   embed_text_hashed — the hashing-trick projection is pytest-
-    #     pinned (test_text_embed) and its downstream consumers
-    #     (semantic_dedup, sim_ivf_query) are in-window.
-    #   bpe_encode_ids — bpe_roundtrip (in-window) decodes the very ids
-    #     bpe_encode_ids produces through the same vocab (an encode bug
-    #     breaks BOTH rows); bpe_encode stays in-window.
-    #   pack_token_ids — shard_pack_shuffled (in-window) runs the same
-    #     two-pass partitioned prefix-sum pack; the token-id payload
-    #     path is vouched by bpe_roundtrip (in-window).
-    #   logreg_train — driver-green r8/r9/r10; the exact-AUC eval twin
-    #     is pytest-pinned (test_logreg), and the feature scan it
-    #     consumes is in-window via quality_filter.
-    #   jpeg_features — image_features_mixed (in-window) decodes JPEG
-    #     payloads through the same baseline-JPEG codec dispatch.
-    #   live_monitor — 8 driver-green rounds; the availableNow
-    #     streaming orchestration is pytest-pinned (test_streaming,
-    #     test_live_monitor) and the staleness decision it polls is
-    #     in-window via lifecycle_materialize.
-    #   lifecycle_job_log — lifecycle_load_store (in-window) runs the
-    #     same fused loader, which writes the job log it reads.
-    #   lifecycle_schema_evolution — the trendstore ALTER/part-schema
-    #     machinery is exercised by in-window lifecycle_load_store's
-    #     multi-part store cycle + pytest test_trendstore.
-    #   lifecycle_attr_store — 8 driver-green rounds; attribute
-    #     compact/curr-ptr pytest-pinned (test_attribute_store).
-    #   lifecycle_notification — 8 driver-green rounds; the trigger →
-    #     notification path is pytest-pinned (test_trigger).
-    #   lifecycle_retention — 8 driver-green rounds; retention windows
-    #     are pytest-pinned (test_trendstore retention tests).
-    #   entity_dim_register — 8 driver-green rounds; the directory
-    #     create-on-miss join runs on every in-window
-    #     lifecycle_load_store ingest.
-    #   wav_spectral — rotated out mid-r11 to make room for the NEW
-    #     sim_ivf_pq row (jpeg_features precedent); the full RIFF/WAVE
-    #     decode stays in-window TWICE via wav_g711_features and
-    #     audio_dedup_fingerprint, and the spectral energies are
-    #     pytest-pinned (test_audiohash / test_operators WAV rows).
+    # r11 rotated-OUT rows (vouchers unchanged, see the r11 block in
+    # COVERAGE.md):
     "wav_spectral",
     "trend_time_agg_1d_dst",
     "dedup_simhash_hamming",
@@ -7845,98 +7851,6 @@ _REGISTRY_ORDER = [
     "lifecycle_notification",
     "lifecycle_retention",
     "entity_dim_register",
-    # (the six r11-born rows formerly listed here rotated INTO the
-    # window above in r12)
-    # NEW r12 rows born out-of-window — labeled r13 rotate-in
-    # candidates (r8.5/r10/r11 precedent), locally hash-verified at
-    # sf0.001 + sf0.01:
-    #   bitext_mine_ann pins the corpus×corpus hand-off (ivf_join
-    #     candidates → the same margin engine) the r11 verdict asked
-    #     to oracle-pin; its components are in-window via bitext_mine
-    #     and sim_ivf_pq/sim_ivf_pq_increment.
-    "bitext_mine_ann",
-    #   sim_ivf_tpq pins trained product quantization (operators/
-    #     pq.py — per-subspace L2 codebooks, m-byte codes, exact-BIGINT
-    #     ADC scoring): the serving join shape is in-window via
-    #     sim_ivf_pq; recall parity at the documented over-fetch is
-    #     pytest-pinned (tests/test_pq.py).
-    "sim_ivf_tpq",
-    #   sim_ivf_tpq_increment replays the trained-PQ state's delivery
-    #     protocol (frozen-parameter delta-encode + append) — the
-    #     sim_ivf_pq_increment shape over the m-byte payload.
-    "sim_ivf_tpq_increment",
-    #   docx_extract pins the OOXML office-document ingest edge
-    #     (operators/docx.py — stdlib zip + WordprocessingML walk,
-    #     run/tab/br/table semantics): the Arrow mapInPandas codec
-    #     shape is in-window via pdf_extract; the writer/reader round
-    #     trip is pytest-pinned (tests/test_docx.py).
-    "docx_extract",
-    #   epub_extract pins the e-book container edge (operators/
-    #     epub.py — OCF zip → container.xml → OPF spine walk, chapter
-    #     bodies through the engine's one HTML extractor); pytest-
-    #     pinned round trip incl. the reverse-manifest spine decoy
-    #     (tests/test_epub.py).
-    "epub_extract",
-    #   office_extract pins the mixed-format dispatch edge
-    #     (operators/office.py — magic-byte sniff routing one binary
-    #     column across all three document codecs, the
-    #     image_features_mixed pattern).
-    "office_extract",
-    #   c4_rules pins the C4 (Raffel et al. 2020) line/page cleaning
-    #     ruleset (operators/text.py::c4_rules — the gopher_rules
-    #     family; planted violations per rule class).
-    "c4_rules",
-    #   orc_roundtrip pins the ORC harvest plugin (S2 family — the
-    #     plugin dispatch itself is in-window via lifecycle_load_store
-    #     and archive/warc rows).
-    "orc_roundtrip",
-    #   unigram_encode pins the SentencePiece-unigram tokenizer
-    #     (operators/unigram.py — hard-EM Viterbi over packed-BIGINT
-    #     lattices; the bpe_encode family's second algorithm).
-    "unigram_encode",
-    #   unigram_encode_ids maps the piece streams through the
-    #     dense-ranked id table (the bpe_encode_ids convention; OOV
-    #     collapse documented as -1).
-    "unigram_encode_ids",
-    #   pipeline_office composes archives → magic-byte dispatch → all
-    #     three document codecs → token filter in one lineage (the
-    #     pipeline_document shape over the r12 ingest edges).
-    "pipeline_office",
-    #   eml_extract / mbox_extract pin the mail-corpus edge
-    #     (operators/email_ingest.py — RFC 5322 + MIME walk with
-    #     transfer decoding and alternative preference; mbox From-
-    #     separator split composing into the same parser).
-    "eml_extract",
-    "mbox_extract",
-    #   rtf_extract pins the legacy rich-text edge (operators/rtf.py
-    #     — group-stack tokenizer, destination skips, hex/unicode
-    #     escapes; also routed by the office dispatcher).
-    "rtf_extract",
-    #   pagerank_crawl pins exact-integer PageRank (operators/
-    #     pagerank.py — frontier authority scoring; the kmeans-style
-    #     unrolled-recurrence oracle discipline on a graph workload).
-    "pagerank_crawl",
-    #   sketch_kmv / sketch_hll / sketch_cm pin the deterministic
-    #     corpus-sketch family (operators/sketch.py — md5-draw KMV /
-    #     HLL registers / count-min, all merge-combinable).
-    "sketch_kmv",
-    "sketch_hll",
-    "sketch_cm",
-    #   weighted_sample pins Efraimidis-Spirakis weighted sampling
-    #     without replacement (operators/mixing.py — the per-item
-    #     companion to the tempered source mix).
-    "weighted_sample",
-    #   dedup_substring_increment pins the substring rule's
-    #     signature-state delivery protocol (digest-keyed history,
-    #     ascending-id deliveries == batch restricted to the delta).
-    "dedup_substring_increment",
-    #   dedup_substring pins the corpus-scale Lee-et-al substring rule
-    #     (operators/substring.py — sorted-shingle groupBy, per-token
-    #     coverage rebuild, planted overlapping spans): the segment-
-    #     digest family is in-window via dedup_segments, and the
-    #     planted-span mechanics are pytest-pinned (tests/
-    #     test_substring.py).
-    "dedup_substring",
     # r10 rotated-OUT rows (vouchers unchanged, see the r10 block in
     # COVERAGE.md):
     "semantic_dedup_trained",
