@@ -214,6 +214,9 @@ HEADLINE = [
     "epub_extract",
     # round-12: mixed-format dispatch over all three document codecs
     "office_extract",
+    "xlsx_extract",
+    "pptx_extract",
+    "doc_extract",
     # round-12: the fused archives -> dispatch -> codecs -> filter
     # lineage (the pipeline_document shape over the r12 edges)
     "pipeline_office",
@@ -342,7 +345,8 @@ def main() -> None:
     for _row in ("audio_dedup_fingerprint", "video_dedup_dhash",
                  "jpeg_features", "pdf_extract", "docx_extract",
                  "epub_extract", "office_extract", "eml_extract",
-                 "mbox_extract", "rtf_extract"):
+                 "mbox_extract", "rtf_extract", "xlsx_extract",
+                 "pptx_extract", "doc_extract"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

@@ -1869,6 +1869,18 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.rtf import rtf_extract
 
         out = rtf_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "xlsx-text":
+        from minerva_etl_spark.operators.xlsx import xlsx_extract
+
+        out = xlsx_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "pptx-text":
+        from minerva_etl_spark.operators.pptx import pptx_extract
+
+        out = pptx_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "doc-text":
+        from minerva_etl_spark.operators.msdoc import doc_extract
+
+        out = doc_extract(df, id_col="media_id", on_error=args.on_error)
     elif args.action == "image-dhash":
         from minerva_etl_spark.operators.imagehash import image_dhash
 
@@ -2565,7 +2577,7 @@ def main(argv: list[str] | None = None) -> None:
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "docx-text",
                  "epub-text", "office-text", "eml-text", "mbox-split",
-                 "rtf-text",
+                 "rtf-text", "xlsx-text", "pptx-text", "doc-text",
                  "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",

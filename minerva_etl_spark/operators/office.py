@@ -2,9 +2,10 @@
 binary column (round 12).
 
 A real crawl's "documents" bucket is never pre-sorted by format: one
-binary column holds PDFs next to DOCX next to EPUB.  This module is
-the dispatch edge over the three codecs (`operators/pdf.py`,
-`operators/docx.py`, `operators/epub.py`) — the same pattern
+binary column holds PDFs next to DOCX next to EPUB next to legacy
+.doc.  This module is the dispatch edge over the document codecs
+(`operators/pdf.py`, `docx.py`, `epub.py`, `rtf.py`, `xlsx.py`,
+`pptx.py`, `msdoc.py`) — the same pattern
 `multimodal.image_features` uses for mixed PNG/JPEG columns: sniff
 each payload's magic bytes IN-TASK and route it to the right parser,
 emitting one unified schema ``(id, format, title, text, n_chars)``.
@@ -13,8 +14,16 @@ Sniffing rules (cheap, prefix-only — no speculative full parses):
 
 * ``%PDF-`` prefix → ``pdf``; ``{\rtf`` prefix → ``rtf``.
 * ZIP (``PK\\x03\\x04``) → peek the entry list once:
-  ``word/document.xml`` → ``docx``; ``META-INF/container.xml`` or a
-  first-entry ``mimetype`` of ``application/epub+zip`` → ``epub``.
+  ``word/document.xml`` → ``docx``; ``xl/workbook.xml`` → ``xlsx``;
+  ``ppt/presentation.xml`` → ``pptx``; ``META-INF/container.xml`` or
+  a first-entry ``mimetype`` of ``application/epub+zip`` → ``epub``.
+* OLE2/CFB (``D0 CF 11 E0``) → peek the directory once (r13, the r12
+  verdict's ask 6): a ``WordDocument`` stream → ``doc`` (legacy Word
+  97–2003, extracted via the piece table in `operators/msdoc.py`);
+  any other compound file (xls/ppt/msi/password-protected OOXML) →
+  ``ole2`` — TAGGED distinct from ``unknown`` so a corpus report can
+  count the legacy-office backlog, but not yet extracted (honest
+  ValueError).
 * anything else → ``unknown`` (ValueError under ``on_error='fail'``,
   dropped under ``'skip'`` — the codec contract).
 
@@ -37,12 +46,20 @@ __all__ = ["sniff_document_format", "office_extract", "OFFICE_SCHEMA"]
 
 
 def sniff_document_format(payload: bytes) -> str:
-    """``'pdf' | 'docx' | 'epub' | 'unknown'`` from magic bytes (see
-    module doc)."""
+    """``'pdf' | 'docx' | 'xlsx' | 'pptx' | 'epub' | 'rtf' | 'doc' |
+    'ole2' | 'unknown'`` from magic bytes (see module doc)."""
     if payload[:5] == b"%PDF-":
         return "pdf"
     if payload[:5] == b"{\\rtf":
         return "rtf"
+    if payload[:4] == b"\xd0\xcf\x11\xe0":
+        from minerva_etl_spark.operators.msdoc import cfb_list_streams
+
+        try:
+            streams = set(cfb_list_streams(payload))
+        except ValueError:
+            return "unknown"
+        return "doc" if "WordDocument" in streams else "ole2"
     if payload[:4] == b"PK\x03\x04":
         try:
             zf = zipfile.ZipFile(io.BytesIO(payload))
@@ -51,6 +68,10 @@ def sniff_document_format(payload: bytes) -> str:
         names = set(zf.namelist())
         if "word/document.xml" in names:
             return "docx"
+        if "xl/workbook.xml" in names:
+            return "xlsx"
+        if "ppt/presentation.xml" in names:
+            return "pptx"
         if "META-INF/container.xml" in names:
             return "epub"
         try:
@@ -74,14 +95,17 @@ def office_extract(
     id_col: str = "doc_id",
     on_error: str = "fail",
 ) -> DataFrame:
-    """Mixed PDF/DOCX/EPUB/RTF column → unified
+    """Mixed PDF/DOCX/XLSX/PPTX/EPUB/RTF/DOC column → unified
     ``(id, format, title, text, n_chars)``.  Magic-byte routing per
-    payload inside Arrow tasks; ``on_error='skip'`` drops unknown and
-    undecodable payloads (dirty-corpus mode)."""
+    payload inside Arrow tasks; ``on_error='skip'`` drops unknown,
+    ``ole2``-tagged and undecodable payloads (dirty-corpus mode)."""
     from minerva_etl_spark.operators.docx import docx_extract_text
     from minerva_etl_spark.operators.epub import epub_extract_text
+    from minerva_etl_spark.operators.msdoc import doc_extract_text
     from minerva_etl_spark.operators.pdf import pdf_extract_text
+    from minerva_etl_spark.operators.pptx import pptx_extract_text
     from minerva_etl_spark.operators.rtf import rtf_extract_text
+    from minerva_etl_spark.operators.xlsx import xlsx_extract_text
 
     id_type = dict(docs.dtypes).get(id_col, "bigint")
     schema = OFFICE_SCHEMA.replace(
@@ -91,9 +115,12 @@ def office_extract(
         "pdf": pdf_extract_text,
         "docx": docx_extract_text,
         "epub": epub_extract_text,
-        # RTF carries no title metadata -> title is NULL in the
-        # unified schema
+        "xlsx": xlsx_extract_text,
+        "pptx": pptx_extract_text,
+        # RTF and legacy .doc carry no dc:title -> NULL in the
+        # unified schema (doc_extract_text already reports None)
         "rtf": lambda b: {"title": None, **rtf_extract_text(b)},
+        "doc": doc_extract_text,
     }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -106,7 +133,13 @@ def office_extract(
                     if fmt == "unknown":
                         raise ValueError(
                             "unrecognized document payload (not "
-                            "PDF/DOCX/EPUB)"
+                            "PDF/DOCX/XLSX/PPTX/EPUB/RTF/DOC)"
+                        )
+                    if fmt == "ole2":
+                        raise ValueError(
+                            "OLE2 compound file without a "
+                            "WordDocument stream (legacy "
+                            "xls/ppt/msi — tagged, not extracted)"
                         )
                     rec = parsers[fmt](payload)
                 except (ValueError, NotImplementedError):

@@ -1,0 +1,449 @@
+"""XLSX (OOXML SpreadsheetML) text extraction — the spreadsheet leg
+of the office-corpus ingest arc (round 13; the r12 verdict's ask 2).
+
+ECMA-376 SpreadsheetML: a ZIP container holding ``xl/workbook.xml``
+(sheet names + relationship ids), ``xl/_rels/workbook.xml.rels``
+(relationship id → worksheet part), per-sheet
+``xl/worksheets/sheetN.xml`` grids, and the ``xl/sharedStrings.xml``
+string table most real producers emit.  Everything here is pure
+stdlib (``zipfile`` + ``xml.etree``) decoded inside Arrow
+``mapInPandas`` tasks — the engine's media-codec shape
+(`operators/docx.py` precedent): no shuffle, linear in payload bytes.
+
+Extraction rules (deterministic, oracle-matchable):
+
+* Sheets are walked in WORKBOOK order (the ``sheet`` elements of
+  ``xl/workbook.xml``, resolved through the relationship part) — not
+  zip-entry order, which real producers scramble.
+* Each sheet contributes one block: the sheet NAME, then its rows;
+  cells join with TAB, rows with NEWLINE.  Cells render by their
+  ``t`` type: ``s`` → sharedStrings item (ALL ``t`` runs of the
+  ``si`` concatenated — rich-text runs are invisible, like DOCX run
+  splits), ``inlineStr`` → the inline ``is``/``t`` runs, ``str`` →
+  the cached formula string in ``v``, ``b`` → ``TRUE``/``FALSE``,
+  numeric (no ``t``) → the RAW ``v`` lexical form (never through a
+  float round-trip — ``0.1`` stays ``0.1``).
+* Cells appear in document order; absent cells of a sparse row are
+  simply absent (text extraction, not grid reconstruction — the rule
+  is documented and mirrored by the oracle).
+* Blocks join with a single NEWLINE into ``text``; ``title`` comes
+  from ``docProps/core.xml``'s ``dc:title`` (NULL when absent).
+
+Rejects are honest: non-ZIP bytes and ZIPs without
+``xl/workbook.xml`` raise ``ValueError`` (``on_error='skip'`` drops
+them in dirty-corpus mode).
+
+The writer (:func:`synthesize_xlsx`) emits a minimal conformant
+package with BOTH string mechanisms — cells alternate shared-string
+and inline-string by (row+col) parity, integer-looking cells are
+written as true numeric cells — fixed zip timestamps, deterministic
+bytes (the `docx.synthesize_docx` contract).
+
+Reference parity note: the reference harvests structured text files
+(CSV plugins, `src/harvest/`); binary office documents are this
+repo's document-ingest extension arc (`pdf.py`, `docx.py`,
+`epub.py`, `rtf.py`).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = [
+    "synthesize_xlsx",
+    "xlsx_extract_text",
+    "xlsx_extract",
+    "XLSX_EXTRACT_SCHEMA",
+]
+
+_MAIN = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
+_R_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/"
+    "relationships}id"
+)
+_CP = (
+    "http://schemas.openxmlformats.org/package/2006/metadata/"
+    "core-properties"
+)
+_DC = "http://purl.org/dc/elements/1.1/"
+
+_INT_RE = re.compile(r"^-?\d+$")
+
+
+def _xml_escape(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+# --------------------------------------------------------------- writer
+
+
+def _col_letter(idx: int) -> str:
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def synthesize_xlsx(
+    sheets: list[tuple[str, list[list[str]]]],
+    title: str | None = None,
+    compress: bool = True,
+) -> bytes:
+    """Build a minimal conformant XLSX: ``sheets`` is a list of
+    ``(name, rows)`` where rows are lists of cell strings.  Integer-
+    looking cells become numeric cells; text cells ALTERNATE between
+    the shared-string table and inline strings by (row+col) parity so
+    both read paths are exercised on every sheet.  Shared strings at
+    index > 0 are emitted as two rich-text runs (split at the first
+    space) — extraction must be run-invariant.  Fixed zip timestamps
+    → byte-deterministic output."""
+    shared: list[str] = []
+    shared_index: dict[str, int] = {}
+    sheet_xmls: list[str] = []
+    for _, rows in sheets:
+        body = []
+        for r, row in enumerate(rows):
+            cells = []
+            for c, val in enumerate(row):
+                ref = f"{_col_letter(c)}{r + 1}"
+                if _INT_RE.match(val):
+                    cells.append(f'<c r="{ref}"><v>{val}</v></c>')
+                elif (r + c) % 2 == 0:
+                    if val not in shared_index:
+                        shared_index[val] = len(shared)
+                        shared.append(val)
+                    cells.append(
+                        f'<c r="{ref}" t="s">'
+                        f"<v>{shared_index[val]}</v></c>"
+                    )
+                else:
+                    cells.append(
+                        f'<c r="{ref}" t="inlineStr"><is>'
+                        f'<t xml:space="preserve">{_xml_escape(val)}'
+                        f"</t></is></c>"
+                    )
+            body.append(f'<row r="{r + 1}">' + "".join(cells) + "</row>")
+        sheet_xmls.append(
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<worksheet xmlns="{_MAIN}"><sheetData>'
+            + "".join(body)
+            + "</sheetData></worksheet>"
+        )
+    si_items = []
+    for i, s in enumerate(shared):
+        if i > 0 and " " in s:
+            head, tail = s.split(" ", 1)
+            si_items.append(
+                "<si><r><t xml:space=\"preserve\">"
+                + _xml_escape(head + " ")
+                + "</t></r><r><t xml:space=\"preserve\">"
+                + _xml_escape(tail)
+                + "</t></r></si>"
+            )
+        else:
+            si_items.append(
+                f'<si><t xml:space="preserve">{_xml_escape(s)}</t></si>'
+            )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<sst xmlns="{_MAIN}" count="{len(shared)}" '
+        f'uniqueCount="{len(shared)}">' + "".join(si_items) + "</sst>"
+    )
+    # workbook sheet order deliberately references rIds in REVERSE
+    # numeric order for multi-sheet books so extraction order is
+    # proven to follow the workbook, not the rId or zip order
+    wb_sheets = []
+    rels = []
+    for i, (name, _) in enumerate(sheets):
+        rid = f"rId{len(sheets) - i}"
+        wb_sheets.append(
+            f'<sheet name="{_xml_escape(name)}" sheetId="{i + 1}" '
+            f'r:id="{rid}"/>'
+        )
+        rels.append(
+            f'<Relationship Id="{rid}" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/"
+            f'worksheet" Target="worksheets/sheet{i + 1}.xml"/>'
+        )
+    workbook = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<workbook xmlns="{_MAIN}" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">'
+        "<sheets>" + "".join(wb_sheets) + "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_REL_NS}">'
+        + "".join(rels)
+        + '<Relationship Id="rIdS" Type="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships/sharedStrings" '
+        'Target="sharedStrings.xml"/></Relationships>'
+    )
+    core = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<cp:coreProperties xmlns:cp="{_CP}" xmlns:dc="{_DC}">'
+        + (f"<dc:title>{_xml_escape(title)}</dc:title>" if title else "")
+        + "</cp:coreProperties>"
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+        'content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.'
+        'spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/docProps/core.xml" ContentType='
+        '"application/vnd.openxmlformats-package.core-properties+xml"/>'
+        "</Types>"
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_REL_NS}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships/officeDocument" '
+        'Target="xl/workbook.xml"/>'
+        '<Relationship Id="rId2" Type="http://schemas.openxmlformats.'
+        'org/package/2006/relationships/metadata/core-properties" '
+        'Target="docProps/core.xml"/>'
+        "</Relationships>"
+    )
+    entries = [
+        ("[Content_Types].xml", content_types),
+        ("_rels/.rels", root_rels),
+        ("xl/workbook.xml", workbook),
+        ("xl/_rels/workbook.xml.rels", wb_rels),
+        ("xl/sharedStrings.xml", sst),
+        ("docProps/core.xml", core),
+    ]
+    for i, sx in enumerate(sheet_xmls):
+        entries.append((f"xl/worksheets/sheet{i + 1}.xml", sx))
+    buf = io.BytesIO()
+    comp = zipfile.ZIP_DEFLATED if compress else zipfile.ZIP_STORED
+    with zipfile.ZipFile(buf, "w") as zf:
+        for name, data in entries:
+            zi = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            zi.compress_type = comp
+            zf.writestr(zi, data.encode("utf-8"))
+    return buf.getvalue()
+
+
+# --------------------------------------------------------------- reader
+
+
+def _tag(el) -> str:
+    t = el.tag
+    return t.rsplit("}", 1)[-1] if "}" in t else t
+
+
+def _si_text(si) -> str:
+    """All ``t`` runs of a shared-string item (plain or rich-text),
+    skipping the phonetic ``rPh`` guide subtrees real producers
+    embed."""
+    out: list[str] = []
+    if _tag(si) == "t":
+        return si.text or ""
+
+    def walk(el):
+        for ch in el:
+            tt = _tag(ch)
+            if tt == "rPh":
+                continue
+            if tt == "t":
+                out.append(ch.text or "")
+            else:
+                walk(ch)
+
+    walk(si)
+    return "".join(out)
+
+
+def _cell_text(c, shared: list[str]) -> str:
+    t = c.get("t", "")
+    if t == "inlineStr":
+        for node in c:
+            if _tag(node) == "is":
+                return _si_text(node)
+        return ""
+    v = None
+    for node in c:
+        if _tag(node) == "v":
+            v = node.text or ""
+            break
+    if v is None:
+        return ""
+    if t == "s":
+        idx = int(v)
+        if not 0 <= idx < len(shared):
+            raise ValueError(
+                f"shared-string index {idx} out of range "
+                f"({len(shared)} items)"
+            )
+        return shared[idx]
+    if t == "b":
+        return "TRUE" if v.strip() == "1" else "FALSE"
+    # t == "str" (cached formula string) and numeric cells: the raw
+    # lexical form, never a float round-trip
+    return v
+
+
+def xlsx_extract_text(payload: bytes) -> dict:
+    """Parse one XLSX payload → ``{title, n_sheets, n_rows, n_cells,
+    text, n_chars}``.  Raises ``ValueError`` for non-XLSX bytes (see
+    module doc)."""
+    import xml.etree.ElementTree as ET
+
+    if payload[:4] == b"\xd0\xcf\x11\xe0":
+        raise ValueError(
+            "OLE compound file (legacy .xls or password-protected "
+            "OOXML) — not a ZIP-based XLSX"
+        )
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"not an XLSX payload (not a ZIP): {exc}") from exc
+    names = set(zf.namelist())
+    if "xl/workbook.xml" not in names:
+        raise ValueError("ZIP without xl/workbook.xml — not an XLSX")
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in names:
+        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        shared = [_si_text(si) for si in sst if _tag(si) == "si"]
+    rel_target: dict[str, str] = {}
+    if "xl/_rels/workbook.xml.rels" in names:
+        rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        for rel in rels:
+            rid = rel.get("Id")
+            tgt = rel.get("Target", "")
+            if rid:
+                rel_target[rid] = (
+                    tgt.lstrip("/") if tgt.startswith("/") else "xl/" + tgt
+                )
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    sheet_parts: list[tuple[str, str]] = []  # (name, part) in wb order
+    for sheets_el in wb:
+        if _tag(sheets_el) != "sheets":
+            continue
+        for sh in sheets_el:
+            if _tag(sh) != "sheet":
+                continue
+            name = sh.get("name", "")
+            rid = sh.get(_R_ATTR) or sh.get("id")
+            part = rel_target.get(rid or "", "")
+            if part:
+                sheet_parts.append((name, part))
+    if not sheet_parts:
+        # workbooks without usable rels: fall back to sheetN order
+        sheet_parts = [
+            (f"sheet{i}", n)
+            for i, n in enumerate(
+                sorted(
+                    n for n in names
+                    if re.match(r"xl/worksheets/sheet\d+\.xml$", n)
+                ),
+                start=1,
+            )
+        ]
+    blocks: list[str] = []
+    n_rows = 0
+    n_cells = 0
+    for name, part in sheet_parts:
+        if part not in names:
+            raise ValueError(f"workbook references missing part {part}")
+        ws = ET.fromstring(zf.read(part))
+        rows_out: list[str] = []
+        for sheet_data in ws:
+            if _tag(sheet_data) != "sheetData":
+                continue
+            for row in sheet_data:
+                if _tag(row) != "row":
+                    continue
+                n_rows += 1
+                cells = [
+                    _cell_text(c, shared)
+                    for c in row
+                    if _tag(c) == "c"
+                ]
+                n_cells += len(cells)
+                rows_out.append("\t".join(cells))
+        blocks.append(name + ("\n" + "\n".join(rows_out) if rows_out
+                              else ""))
+    text = "\n".join(blocks)
+    title = None
+    if "docProps/core.xml" in names:
+        core = ET.fromstring(zf.read("docProps/core.xml"))
+        el = core.find(f"{{{_DC}}}title")
+        if el is not None and el.text is not None:
+            title = el.text
+    return {
+        "title": title,
+        "n_sheets": len(sheet_parts),
+        "n_rows": n_rows,
+        "n_cells": n_cells,
+        "text": text,
+        "n_chars": len(text),
+    }
+
+
+XLSX_EXTRACT_SCHEMA = (
+    "doc_id bigint, title string, n_sheets int, n_rows int, "
+    "n_cells int, text string, n_chars int"
+)
+
+
+def xlsx_extract(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """XLSX → text over a binary column: shuffle-free Arrow
+    ``mapInPandas`` (the `pdf_extract` contract)."""
+    id_type = dict(docs.dtypes).get(id_col, "bigint")
+    schema = XLSX_EXTRACT_SCHEMA.replace(
+        "doc_id bigint", f"{id_col} {id_type}", 1
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    rec = xlsx_extract_text(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows.append(
+                    (
+                        did,
+                        rec["title"],
+                        rec["n_sheets"],
+                        rec["n_rows"],
+                        rec["n_cells"],
+                        rec["text"],
+                        rec["n_chars"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "title", "n_sheets", "n_rows", "n_cells",
+                    "text", "n_chars",
+                ],
+            )
+
+    return docs.select(id_col, payload_col).mapInPandas(run, schema)
