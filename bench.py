@@ -135,6 +135,9 @@ HEADLINE = [
     # over the distinct-word table — the train IS the story, as with
     # bpe_train)
     "unigram_encode",
+    # r13: byte-fallback roundtrip (q-stripped retrain + penalty
+    # lattice + decode) — times the full contract, not just encode
+    "unigram_encode_bf",
     "logreg_train",
     "logreg_eval",
     # round-8 rows

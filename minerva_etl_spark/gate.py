@@ -2510,6 +2510,56 @@ _PAGERANK_EDGES_SQL = """(
 )"""
 
 
+def q_unigram_encode_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram byte-fallback ROUND TRIP (`operators/unigram.py::
+    unigram_encode_bf`/`unigram_decode`, r13 — the r12 verdict's ask
+    3, the SentencePiece ``byte_fallback`` contract): the vocabulary
+    trains on the corpus with every 'q' STRIPPED (so 'q' is provably
+    out-of-alphabet), then encodes the ORIGINAL text plus a planted
+    ' qed quiz' suffix — every doc forces fallback — through the
+    unchanged packed lattice with penalty-cost letter edges; OOV
+    letters render as ``<0xNN>`` byte pieces and word-final pieces
+    carry ``</w>``.  The ``decoded`` column is decode(encode(text))
+    while the oracle computes it INDEPENDENTLY as the normalized word
+    stream of the source, so the row only hash-matches when the round
+    trip is bit-exact."""
+    _prep(spark)
+    from minerva_etl_spark.operators.unigram import (
+        unigram_decode,
+        unigram_encode_bf,
+        unigram_train,
+    )
+
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    train_docs = base.select(
+        "doc_id", F.regexp_replace("text", "[qQ]", "").alias("text")
+    )
+    encode_docs = base.select(
+        "doc_id", F.concat(F.col("text"), F.lit(" qed quiz"))
+        .alias("text")
+    )
+    vocab = unigram_train(
+        train_docs, max_vocab=256, max_len=5, iters=2, min_count=2
+    )
+    enc = unigram_encode_bf(encode_docs, vocab, max_len=5)
+    return unigram_decode(enc, pieces_col="pieces", out_col="decoded")
+
+
+def _oracle_unigram_encode_bf() -> str:
+    from minerva_etl_spark.operators.unigram import (
+        unigram_encode_bf_oracle_sql,
+    )
+
+    return unigram_encode_bf_oracle_sql(
+        "(SELECT doc_id, regexp_replace(text, '[qQ]', '', 'g') "
+        "AS text FROM documents)",
+        "(SELECT doc_id, text || ' qed quiz' AS text FROM documents)",
+        max_vocab=256, max_len=5, iters=2, min_count=2,
+    )
+
+
 def q_pagerank_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-integer PageRank (`operators/pagerank.py::pagerank` —
     crawl-frontier authority scoring, r12): three damped rounds over a
@@ -8052,6 +8102,12 @@ _REGISTRY_ORDER = [
     #     containers (operators/msdoc.py — FAT/directory/mini-stream
     #     reader, FIB, two-piece cp1252/UTF-16 CLX piece table).
     "doc_extract",
+    #   unigram_encode_bf pins the SentencePiece byte_fallback
+    #     contract (operators/unigram.py — q-stripped training, OOV
+    #     letters as <0xNN> penalty edges through the unchanged
+    #     lattice, </w> markers, decode(encode(x)) == x proven
+    #     against an INDEPENDENT closed-form decode).
+    "unigram_encode_bf",
     # r12 rotated-OUT rows (vouchers unchanged, see the r12 block in
     # COVERAGE.md):
     "sim_ivf_query",
@@ -8250,6 +8306,7 @@ def build_queries() -> dict:
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
         "unigram_encode_ids": q_unigram_encode_ids,
+        "unigram_encode_bf": q_unigram_encode_bf,
         "pipeline_office": q_pipeline_office,
         "eml_extract": q_eml_extract,
         "mbox_extract": q_mbox_extract,
@@ -8423,6 +8480,7 @@ def build_oracles() -> dict[str, str]:
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),
         "unigram_encode_ids": _oracle_unigram_encode_ids(),
+        "unigram_encode_bf": _oracle_unigram_encode_bf(),
         "pipeline_office": _oracle_pipeline_office(),
         "eml_extract": _ORACLE_EML_EXTRACT,
         "mbox_extract": _ORACLE_MBOX_EXTRACT,

@@ -53,9 +53,12 @@ from pyspark.sql.window import Window
 __all__ = [
     "unigram_train",
     "unigram_encode",
+    "unigram_encode_bf",
+    "unigram_decode",
     "unigram_encode_ids",
     "unigram_vocab_ids",
     "unigram_encode_oracle_sql",
+    "unigram_encode_bf_oracle_sql",
     "unigram_encode_ids_oracle_sql",
 ]
 
@@ -65,6 +68,16 @@ _ENC = 1024
 _INF = 4_000_000_000_000
 #: cost grid
 _GRID = 1_000_000.0
+#: byte-fallback penalty cost (r13, the r12 verdict's ask 3): above
+#: any real piece cost (ln-scale grid tops out ~28e6) so fallback
+#: never displaces a trained segmentation, but low enough that a
+#: worst-case all-fallback 1023-char word (1023 · 4e7 ≈ 4.1e10)
+#: stays far below the _INF sentinel — the packed lattice is
+#: UNCHANGED, fallback letters are just ordinary high-cost edges
+_BF_COST = 40_000_000
+#: end-of-word marker on the byte-fallback stream (the bpe.py `</w>`
+#: convention) — what makes decode(encode(x)) a real round trip
+_EOW = "</w>"
 
 
 def _words(docs: DataFrame, text_col: str) -> DataFrame:
@@ -301,6 +314,114 @@ def unigram_encode(
     )
 
 
+def unigram_encode_bf(
+    docs: DataFrame,
+    vocab: DataFrame,
+    max_len: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """`unigram_encode` with the SentencePiece ``byte_fallback``
+    contract (r13): characters the vocabulary cannot cover — letters
+    never seen at train time — segment as penalty-cost single-char
+    edges through the UNCHANGED packed lattice and render as byte
+    pieces ``<0xNN>`` (UTF-8, one byte for the [a-z] word alphabet);
+    the last piece of each word carries the ``</w>`` marker so
+    :func:`unigram_decode` restores the normalized word stream
+    bit-exactly.  Returns ``(id, n_words, n_tokens, pieces)``."""
+    spark = docs.sparkSession
+    letters = spark.range(26).select(
+        F.expr("char(97 + id)").alias("token")
+    )
+    known = vocab.select("token").filter(F.length("token") == 1)
+    missing = [
+        r.token
+        for r in letters.join(known, "token", "left_anti").collect()
+    ]  # ≤ 26 rows — a bounded alphabet, not data
+    vocab_bf = vocab.select("token", "cost").unionByName(
+        spark.createDataFrame(
+            [(t, _BF_COST) for t in sorted(missing)],
+            "token string, cost bigint",
+        )
+    )
+    doc_words = (
+        docs.select(
+            id_col,
+            F.posexplode(
+                F.split(F.lower(F.col(text_col)), "[^a-z]+")
+            ).alias("pos", "word"),
+        )
+        .filter((F.col("word") != "") & (F.length("word") < _ENC))
+    )
+    distinct_words = doc_words.groupBy("word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    seg = _segment(distinct_words, vocab_bf, max_len)
+    if missing:
+        in_list = ", ".join(f"'{t}'" for t in sorted(missing))
+        render = (
+            f"IF(p IN ({in_list}), "
+            f"concat('<0x', upper(hex(ascii(p))), '>'), p)"
+        )
+    else:
+        render = "p"
+    seg = seg.select(
+        "word",
+        F.expr(
+            f"transform(pieces, (p, k) -> concat({render}, "
+            f"IF(k = size(pieces) - 1, '{_EOW}', '')))"
+        ).alias("pieces"),
+    )
+    return (
+        doc_words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.expr(
+                "flatten(transform("
+                "array_sort(collect_list(struct(pos, pieces))), "
+                "s -> s.pieces))"
+            ).alias("__pieces"),
+        )
+        .select(
+            id_col,
+            "n_words",
+            F.size("__pieces").cast("bigint").alias("n_tokens"),
+            F.array_join("__pieces", " ").alias("pieces"),
+        )
+    )
+
+
+def unigram_decode(
+    encoded: DataFrame,
+    id_col: str = "doc_id",
+    pieces_col: str = "pieces",
+    out_col: str = "text",
+) -> DataFrame:
+    """Invert :func:`unigram_encode_bf`: the space-joined byte-
+    fallback piece stream back to the normalized word sequence —
+    ``decode(encode(t))`` equals ``t``'s lowercased ``[a-z]+`` word
+    stream joined by single spaces.  ONE codegen projection (an
+    ``aggregate`` fold over the split pieces): strip ``</w>`` into
+    spaces, decode ``<0xNN>`` byte pieces via ``conv``/``char`` —
+    no join, no UDF."""
+    fold = f"""
+rtrim(aggregate(
+  split({pieces_col}, ' '),
+  CAST('' AS STRING),
+  (acc, t) -> concat(
+    acc,
+    IF(regexp_replace(t, '{_EOW}$', '')
+         RLIKE '^<0x[0-9A-F]{{2}}>$',
+       char(CAST(conv(substring(
+           regexp_replace(t, '{_EOW}$', ''), 4, 2), 16, 10)
+           AS INT)),
+       regexp_replace(t, '{_EOW}$', '')),
+    IF(t LIKE '%{_EOW}', ' ', ''))))
+"""
+    return encoded.withColumn(out_col, F.expr(fold))
+
+
 def unigram_vocab_ids(vocab: DataFrame) -> DataFrame:
     """Assign stable token ids: 0-based dense rank by ``(freq desc,
     token asc)`` — frequent pieces get small ids, ties break
@@ -366,7 +487,11 @@ def unigram_encode_ids(
 
 
 def _duck_dp_ctes(
-    words_cte: str, vocab_cte: str, max_len: int, tag: str
+    words_cte: str,
+    vocab_cte: str,
+    max_len: int,
+    tag: str,
+    subs_cte: str = "subs",
 ) -> list[str]:
     """The DuckDB Viterbi chain over ``words_cte (word, cnt)`` at
     ``vocab_cte (token, cost)`` → ``seg{tag} (word, cnt, pieces)`` —
@@ -406,7 +531,7 @@ list_reverse(list_filter(
         f"""edges{tag} AS MATERIALIZED (
   SELECT s.word, list({{'i': s.i, 'j': s.j, 'cost': v.cost}}
                       ORDER BY s.i, s.j) AS edges
-  FROM subs s JOIN {vocab_cte} v ON s.sub = v.token
+  FROM {subs_cte} s JOIN {vocab_cte} v ON s.sub = v.token
   GROUP BY s.word
 )""",
         f"""dp{tag} AS MATERIALIZED (
@@ -545,6 +670,111 @@ FROM (
          array_to_string(
            flatten(list(s.pieces ORDER BY d.pos)), ' ') AS pieces
   FROM doc_words d JOIN segF s ON d.word = s.word
+  GROUP BY d.doc_id
+)
+"""
+
+
+def unigram_encode_bf_oracle_sql(
+    train_table: str,
+    encode_table: str,
+    max_vocab: int = 512,
+    max_len: int = 5,
+    iters: int = 2,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of `unigram_train` (over ``train_table``) +
+    `unigram_encode_bf` + `unigram_decode` (over ``encode_table``):
+    the full train chain, the encode corpus segmented under the
+    trained vocabulary UNION the 26-letter penalty alphabet, byte
+    pieces rendered ``<0xNN>`` with the ``</w>`` word marker — and
+    ``decoded`` computed INDEPENDENTLY as the encode corpus's
+    normalized word stream, so the row only hash-matches when
+    decode(encode(x)) == x bit-exactly."""
+    L = int(max_len)
+    body = _oracle_ctes(
+        train_table, max_vocab, max_len, iters, min_count, id_col,
+        text_col,
+    )
+    final = f"vocab{int(iters)}"
+    body.append(
+        f"""doc_wordsE AS MATERIALIZED (
+  SELECT {id_col} AS doc_id, pos, word FROM (
+    SELECT {id_col},
+           generate_subscripts(string_split_regex(lower({text_col}),
+                               '[^a-z]+'), 1) - 1 AS pos,
+           unnest(string_split_regex(lower({text_col}), '[^a-z]+'))
+             AS word
+    FROM {encode_table}
+  ) WHERE word <> '' AND length(word) < 1024
+)"""
+    )
+    body.append(
+        """wordsE AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt
+  FROM doc_wordsE GROUP BY word
+)"""
+    )
+    body.append(
+        f"""subsE AS MATERIALIZED (
+  SELECT word, cnt, gs.j AS j, gi.i AS i,
+         substring(word, gs.j + 1, gi.i - gs.j) AS sub
+  FROM wordsE
+  CROSS JOIN UNNEST(generate_series(0, length(word) - 1)) AS gs(j)
+  CROSS JOIN UNNEST(generate_series(gs.j + 1,
+                    least(gs.j + {L}, length(word)))) AS gi(i)
+)"""
+    )
+    body.append(
+        f"""penalty AS MATERIALIZED (
+  SELECT chr(CAST(96 + gs.i AS INT)) AS token
+  FROM UNNEST(generate_series(1, 26)) AS gs(i)
+  WHERE chr(CAST(96 + gs.i AS INT)) NOT IN
+    (SELECT token FROM {final} WHERE length(token) = 1)
+)"""
+    )
+    body.append(
+        f"""vocabBF AS MATERIALIZED (
+  SELECT token, CAST(0 AS BIGINT) AS freq, cost FROM {final}
+  UNION ALL
+  SELECT token, CAST(0 AS BIGINT) AS freq,
+         CAST({_BF_COST} AS BIGINT) AS cost
+  FROM penalty
+)"""
+    )
+    body += _duck_dp_ctes("wordsE", "vocabBF", L, "BF",
+                          subs_cte="subsE")
+    body.append(
+        f"""segR AS (
+  SELECT word,
+         list(
+           CASE WHEN pen.token IS NOT NULL
+                THEN '<0x' || upper(to_hex(ascii(x.piece))) || '>'
+                ELSE x.piece END
+           || CASE WHEN x.ppos = x.np THEN '{_EOW}' ELSE '' END
+           ORDER BY x.ppos) AS pieces
+  FROM (
+    SELECT word, generate_subscripts(pieces, 1) AS ppos,
+           unnest(pieces) AS piece, len(pieces) AS np
+    FROM segBF
+  ) x LEFT JOIN penalty pen ON x.piece = pen.token
+  GROUP BY word
+)"""
+    )
+    joined = ",\n".join(body)
+    return f"""
+WITH {joined}
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_tokens AS BIGINT) AS n_tokens, pieces, decoded
+FROM (
+  SELECT d.doc_id, count(*) AS n_words,
+         sum(len(s.pieces)) AS n_tokens,
+         array_to_string(
+           flatten(list(s.pieces ORDER BY d.pos)), ' ') AS pieces,
+         array_to_string(list(d.word ORDER BY d.pos), ' ') AS decoded
+  FROM doc_wordsE d JOIN segR s ON d.word = s.word
   GROUP BY d.doc_id
 )
 """

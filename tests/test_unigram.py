@@ -120,9 +120,11 @@ def test_cli_unigram(spark, tmp_path):
     a.action = "unigram"
     a.input = inp
     a.output = str(tmp_path / "out")
-    a.n = 32
     a.iters = 2
-    a.window = 4
+    # r13: the unigram action has DEDICATED flags (r12 ADVICE: it
+    # used to overload --window/--n with substring-dedup defaults)
+    a.vocab_size = 32
+    a.max_piece_len = 4
     a.text_col = "text"
     cmd_corpus(a)
     out = spark.read.parquet(str(tmp_path / "out"))
@@ -168,3 +170,51 @@ def test_monster_words_excluded(spark):
     out = unigram_encode(docs, vocab, max_len=3).collect()[0]
     assert out.n_words == 5  # the blob word is not in the stream
     assert blob not in out.pieces
+
+
+def test_byte_fallback_roundtrip(spark):
+    """r13 (the r12 verdict's ask 3): train with 'q' stripped, encode
+    text containing q-words — OOV letters surface as <0xNN> byte
+    pieces, </w> marks word ends, and decode(encode(x)) == x's
+    normalized word stream bit-exactly."""
+    from minerva_etl_spark.operators.unigram import (
+        unigram_decode,
+        unigram_encode_bf,
+    )
+
+    rows = [
+        (1, "the cat sat on the quick quiet mat"),
+        (2, "quartz jazz and the fox"),
+    ]
+    docs = _docs(spark, rows)
+    train = docs.select(
+        "doc_id", F.regexp_replace("text", "q", "").alias("text")
+    )
+    vocab = unigram_train(train, max_vocab=64, max_len=5, iters=2)
+    out = {
+        r.doc_id: r
+        for r in unigram_decode(
+            unigram_encode_bf(docs, vocab, max_len=5),
+            pieces_col="pieces",
+            out_col="decoded",
+        ).collect()
+    }
+    assert "<0x71>" in out[1].pieces  # q fell back to its byte
+    assert out[1].pieces.count("</w>") == 8  # one marker per word
+    for did, text in rows:
+        assert out[did].decoded == text  # already normalized
+
+
+def test_byte_fallback_never_displaces_trained_pieces(spark):
+    """Fully in-vocabulary text encodes IDENTICALLY with and without
+    the fallback alphabet (penalty edges are strictly worse than any
+    real path) — modulo the </w> markers the bf stream carries."""
+    from minerva_etl_spark.operators.unigram import unigram_encode_bf
+
+    rows = [(1, "banana bandana banana bandana the band")]
+    docs = _docs(spark, rows)
+    vocab = unigram_train(docs, max_vocab=64, max_len=5, iters=2)
+    plain = unigram_encode(docs, vocab, max_len=5).collect()[0]
+    bf = unigram_encode_bf(docs, vocab, max_len=5).collect()[0]
+    assert bf.pieces.replace("</w>", "") == plain.pieces
+    assert bf.n_tokens == plain.n_tokens
