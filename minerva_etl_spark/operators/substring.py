@@ -61,6 +61,8 @@ __all__ = [
     "substring_dedup",
     "build_substring_state",
     "substring_increment",
+    "build_substring_state_bucketed",
+    "substring_increment_bucketed",
     "substring_dedup_oracle_sql",
 ]
 
@@ -324,6 +326,174 @@ def substring_increment(
             _write_watermark(
                 spark,
                 state_path,
+                max(bounds["hi"], floor) if floor is not None
+                else bounds["hi"],
+            )
+    return out
+
+
+def build_substring_state_bucketed(
+    spark,
+    docs: DataFrame,
+    table_name: str,
+    w: int = 50,
+    n_buckets: int = 64,
+    path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Catalog-backed variant of :func:`build_substring_state` for
+    100 TB-of-history scale (r13, the r12 verdict's ask 4 — the
+    `imagehash.ingest_hash_increment_bucketed` strategy): the digest
+    state persists ``bucketBy(n_buckets, digest)``, so every later
+    delivery's history join reads the (large) state WITHOUT an
+    exchange — only the delta's occurrences shuffle to the bucket
+    layout.  Same lease discipline, same output as the parquet-path
+    variant (proven equal by test)."""
+    from minerva_etl_spark.fsutil import StoreLease
+
+    w = int(w)
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    root = path or f"{warehouse}/{table_name}"
+    with StoreLease(spark, root + ".__lease"):
+        base, occ = _occurrences(docs, w, id_col, text_col)
+        stats = occ.groupBy("digest").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("pos").alias("p")
+                )
+            ).alias("__first"),
+        )
+        writer = (
+            stats.select(
+                "digest",
+                F.col("__first.d").alias("first_doc"),
+                F.col("__first.p").alias("first_pos"),
+            )
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "digest")
+            .sortBy("digest")
+            .format("parquet")
+        )
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
+        _write_watermark(
+            spark,
+            root + ".__wm__",
+            docs.agg(F.max(id_col)).collect()[0][0],
+        )
+        removable = (
+            occ.join(stats.filter(F.col("__cnt") >= 2), "digest")
+            .filter(
+                ~(
+                    (F.col(id_col) == F.col("__first.d"))
+                    & (F.col("pos") == F.col("__first.p"))
+                )
+            )
+            .select(id_col, "pos")
+        )
+        return _rebuild(base, removable, w, id_col).localCheckpoint(
+            eager=True
+        )
+
+
+def substring_increment_bucketed(
+    spark,
+    delta: DataFrame,
+    table_name: str,
+    w: int = 50,
+    n_buckets: int = 64,
+    path: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One delivery against the BUCKETED digest state: identical
+    decisions to :func:`substring_increment` (watermark enforcement
+    included), but the history side of the digest equi-join is a
+    bucketed table scan — zero Exchange on the state, however large
+    it has grown (plan-asserted by test)."""
+    from minerva_etl_spark.fsutil import StoreLease
+
+    w = int(w)
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    root = path or f"{warehouse}/{table_name}"
+    with StoreLease(spark, root + ".__lease"):
+        if not spark.catalog.tableExists(table_name):
+            raise ValueError(
+                f"substring_increment_bucketed: state table "
+                f"{table_name} does not exist — build it with "
+                f"build_substring_state_bucketed first"
+            )
+        hist_full = spark.table(table_name)
+        floor = _read_watermark(spark, root + ".__wm__")
+        if floor is None:
+            floor = hist_full.agg(F.max("first_doc")).collect()[0][0]
+        bounds = delta.agg(
+            F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+        ).collect()[0]
+        if (
+            floor is not None
+            and bounds["lo"] is not None
+            and bounds["lo"] <= floor
+        ):
+            raise ValueError(
+                f"substring_increment_bucketed: delivery carries "
+                f"{id_col}={bounds['lo']} <= state watermark {floor}; "
+                f"ascending delivery ids required"
+            )
+        hist = hist_full.select("digest").withColumn(
+            "__known", F.lit(True)
+        )
+        base, occ = _occurrences(delta, w, id_col, text_col)
+        delta_stats = occ.groupBy("digest").agg(
+            F.count(F.lit(1)).alias("__cnt"),
+            F.min(
+                F.struct(
+                    F.col(id_col).alias("d"), F.col("pos").alias("p")
+                )
+            ).alias("__first"),
+        )
+        joined = occ.join(delta_stats, "digest").join(
+            hist, "digest", "left"
+        )
+        removable = joined.filter(
+            F.coalesce(F.col("__known"), F.lit(False))
+            | (
+                (F.col("__cnt") >= 2)
+                & ~(
+                    (F.col(id_col) == F.col("__first.d"))
+                    & (F.col("pos") == F.col("__first.p"))
+                )
+            )
+        ).select(id_col, "pos")
+        out = _rebuild(base, removable, w, id_col).localCheckpoint(
+            eager=True
+        )  # pinned before the state mutates
+        writer = (
+            delta_stats.join(hist, "digest", "left_anti")
+            .select(
+                "digest",
+                F.col("__first.d").alias("first_doc"),
+                F.col("__first.p").alias("first_pos"),
+            )
+            .write.mode("append")
+            .bucketBy(n_buckets, "digest")
+            .sortBy("digest")
+            .format("parquet")
+        )
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
+        if bounds["hi"] is not None:
+            _write_watermark(
+                spark,
+                root + ".__wm__",
                 max(bounds["hi"], floor) if floor is not None
                 else bounds["hi"],
             )

@@ -187,3 +187,88 @@ def test_increment_rejects_non_ascending_delivery(spark, tmp_path):
     assert substring_increment(spark, ok, p, w=8).count() == 1
     with pytest.raises(ValueError, match="watermark"):
         substring_increment(spark, ok, p, w=8)
+
+
+def test_bucketed_state_matches_parquet_state(spark, tmp_path):
+    """r13 (the r12 verdict's ask 4): the bucketed digest state makes
+    the SAME decisions as the parquet-path state across build + two
+    deliveries, and enforces the same watermark."""
+    from minerva_etl_spark.operators.substring import (
+        build_substring_state,
+        build_substring_state_bucketed,
+        substring_increment,
+        substring_increment_bucketed,
+    )
+
+    span = " ".join(f"s{i}" for i in range(10))
+    hist = _df(spark, [
+        (1, f"alpha {span} omega"),
+        (2, " ".join(f"h{i}" for i in range(15))),
+    ])
+    d1 = _df(spark, [(10, f"pre {span} post one two three four five")])
+    d2 = _df(spark, [(20, f"x {span} y " + " ".join(
+        f"k{i}" for i in range(8)))])
+
+    p = str(tmp_path / "plain")
+    spark.sql("DROP TABLE IF EXISTS substr_state_bkt")
+    r_plain = []
+    r_bkt = []
+    r_plain.append(build_substring_state(spark, hist, p, w=8))
+    r_bkt.append(build_substring_state_bucketed(
+        spark, hist, "substr_state_bkt", w=8, n_buckets=4,
+        path=str(tmp_path / "bkt")))
+    for d in (d1, d2):
+        r_plain.append(substring_increment(spark, d, p, w=8))
+        r_bkt.append(substring_increment_bucketed(
+            spark, d, "substr_state_bkt", w=8, n_buckets=4,
+            path=str(tmp_path / "bkt")))
+    for a, b in zip(r_plain, r_bkt):
+        ra = {(r.doc_id, r.n_removed, r.kept_text) for r in a.collect()}
+        rb = {(r.doc_id, r.n_removed, r.kept_text) for r in b.collect()}
+        assert ra == rb
+    # identical watermark enforcement
+    stale = _df(spark, [(15, " ".join(f"z{i}" for i in range(12)))])
+    with pytest.raises(ValueError, match="watermark"):
+        substring_increment_bucketed(
+            spark, stale, "substr_state_bkt", w=8, n_buckets=4,
+            path=str(tmp_path / "bkt"))
+
+
+def test_bucketed_history_join_is_exchange_free(spark, tmp_path):
+    """Differential plan assert: the delta-occurrences ⋈ history
+    digest join has exactly ONE FEWER Exchange against the bucketed
+    state than against the plain parquet state — the history side's
+    shuffle is gone (the delta side still shuffles to the bucket
+    layout, as designed)."""
+    from minerva_etl_spark.operators.substring import (
+        _occurrences,
+        build_substring_state,
+        build_substring_state_bucketed,
+    )
+    from minerva_etl_spark.store.bucketed import count_exchanges
+
+    hist = _df(spark, [
+        (i, " ".join(f"w{i}x{j}" for j in range(12)))
+        for i in range(1, 6)
+    ])
+    p = str(tmp_path / "plain")
+    spark.sql("DROP TABLE IF EXISTS substr_state_bkt2")
+    build_substring_state(spark, hist, p, w=8)
+    build_substring_state_bucketed(
+        spark, hist, "substr_state_bkt2", w=8, n_buckets=4,
+        path=str(tmp_path / "bkt"))
+    delta = _df(spark, [(30, " ".join(f"d{j}" for j in range(12)))])
+    _, occ = _occurrences(delta, 8, "doc_id", "text")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j_bkt = occ.join(
+            spark.table("substr_state_bkt2").select("digest"), "digest"
+        )
+        j_plain = occ.join(
+            spark.read.parquet(p).select("digest"), "digest"
+        )
+        n_bkt, n_plain = count_exchanges(j_bkt), count_exchanges(j_plain)
+        assert n_bkt == n_plain - 1, (n_bkt, n_plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
