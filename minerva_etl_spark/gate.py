@@ -931,7 +931,7 @@ FROM files
 #: bump when ANY staged fixture's generating formula changes — the
 #: stage cache key includes it, so stale payloads can never leak
 #: across formula revisions.
-_MEDIA_STAGE_VERSION = "r13a"
+_MEDIA_STAGE_VERSION = "r13b"
 
 
 def _media_fixture_staged(spark, sf_dir, kind, build):
@@ -2521,8 +2521,8 @@ def q_unigram_encode_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     letters render as ``<0xNN>`` byte pieces and word-final pieces
     carry ``</w>``.  The ``decoded`` column is decode(encode(text))
     while the oracle computes it INDEPENDENTLY as the normalized word
-    stream of the source, so the row only hash-matches when the round
-    trip is bit-exact."""
+    stream of the source, so the row only hash-matches when the
+    round trip is bit-exact."""
     _prep(spark)
     from minerva_etl_spark.operators.unigram import (
         unigram_decode,
@@ -6524,7 +6524,8 @@ def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose WordDocument stream carries a spec-shaped FIB and whose
     0Table stream carries a two-piece CLX piece table — piece 1
     cp1252 ("compressed" fc), piece 2 UTF-16LE — so BOTH decode
-    paths run on every row; paragraphs are \\r-joined Word text.
+    paths run on every row; paragraphs are \\r-joined Word text and
+    the title rides a real \\x05SummaryInformation property set.
     The oracle rebuilds the paragraph rendering closed-form; a FAT
     walk, directory, FIB offset, piece-table or encoding bug
     hash-mismatches."""
@@ -6545,7 +6546,8 @@ def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 t = _ascii_sanitize(str(t))
                 payload = synthesize_doc(
-                    [f"Doc {d} report", t, f"tail {d % 9}"]
+                    [f"Doc {d} report", t, f"tail {d % 9}"],
+                    title=f"Doc {d}",
                 )
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
@@ -6567,7 +6569,7 @@ WITH san AS (
            || 'tail ' || CAST(doc_id % 9 AS VARCHAR) AS text
   FROM san
 )
-SELECT doc_id, CAST(NULL AS VARCHAR) AS title,
+SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        CAST(2 AS INT) AS n_pieces, CAST(3 AS INT) AS n_paragraphs,
        text, CAST(length(text) AS INT) AS n_chars
 FROM built

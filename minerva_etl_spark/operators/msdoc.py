@@ -182,12 +182,105 @@ def _build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
     return blob
 
 
-def synthesize_doc(paragraphs: list[str]) -> bytes:
+#: SummaryInformation FMTID F29F85E0-4FF9-1068-AB91-08002B27B3D9
+#: in its on-disk little-endian layout (MS-OLEPS)
+_SUMMARY_FMTID = bytes.fromhex("e0859ff2f94f6810ab9108002b27b3d9")
+_SUMMARY_STREAM = "\x05SummaryInformation"
+_VT_I2 = 2
+_VT_LPSTR = 30
+_VT_LPWSTR = 31
+_PID_CODEPAGE = 1
+_PID_TITLE = 2
+
+
+def _summary_info_stream(title: str) -> bytes:
+    """A minimal MS-OLEPS property set carrying the codepage (PID 1,
+    VT_I2 = 1252) and the title (PID 2, VT_LPSTR) — the stream real
+    Word writes document metadata to."""
+    tbytes = title.encode("cp1252", "replace") + b"\x00"
+    pad = (4 - len(tbytes) % 4) % 4
+    prop_cp = struct.pack("<IhH", _VT_I2, 1252, 0)
+    prop_title = (
+        struct.pack("<II", _VT_LPSTR, len(tbytes))
+        + tbytes
+        + b"\x00" * pad
+    )
+    # section: cb, cProps, then (pid, offset) pairs, then props
+    hdr_len = 8 + 2 * 8
+    off_cp = hdr_len
+    off_title = hdr_len + len(prop_cp)
+    section = (
+        struct.pack(
+            "<II", hdr_len + len(prop_cp) + len(prop_title), 2
+        )
+        + struct.pack("<II", _PID_CODEPAGE, off_cp)
+        + struct.pack("<II", _PID_TITLE, off_title)
+        + prop_cp
+        + prop_title
+    )
+    head = (
+        struct.pack("<HHI", 0xFFFE, 0, 0x00020A04)
+        + b"\x00" * 16  # clsid
+        + struct.pack("<I", 1)  # one section
+        + _SUMMARY_FMTID
+        + struct.pack("<I", 48)  # section offset (fixed header size)
+    )
+    assert len(head) == 48
+    return head + section
+
+
+def _summary_title(blob: bytes) -> str | None:
+    """PID 2 (title) from a SummaryInformation property set, honoring
+    the PID 1 codepage; None when absent or malformed (metadata is
+    best-effort, never job-failing)."""
+    try:
+        (order,) = struct.unpack_from("<H", blob, 0)
+        if order != 0xFFFE:
+            return None
+        (n_sections,) = struct.unpack_from("<I", blob, 24)
+        if n_sections < 1:
+            return None
+        (sec_off,) = struct.unpack_from("<I", blob, 28 + 16)
+        (n_props,) = struct.unpack_from("<I", blob, sec_off + 4)
+        codepage = "cp1252"
+        title_off = None
+        for k in range(min(n_props, 4096)):
+            pid, off = struct.unpack_from(
+                "<II", blob, sec_off + 8 + 8 * k
+            )
+            if pid == _PID_CODEPAGE:
+                (vt,) = struct.unpack_from("<I", blob, sec_off + off)
+                if vt == _VT_I2:
+                    (cp,) = struct.unpack_from(
+                        "<h", blob, sec_off + off + 4
+                    )
+                    codepage = f"cp{cp}"
+            elif pid == _PID_TITLE:
+                title_off = sec_off + off
+        if title_off is None:
+            return None
+        vt, n = struct.unpack_from("<II", blob, title_off)
+        if vt == _VT_LPSTR:
+            raw = blob[title_off + 8 : title_off + 8 + n]
+            return raw.decode(codepage, "replace").rstrip("\x00") or None
+        if vt == _VT_LPWSTR:
+            raw = blob[title_off + 8 : title_off + 8 + 2 * n]
+            return raw.decode("utf-16-le", "replace").rstrip("\x00") \
+                or None
+        return None
+    except (struct.error, LookupError):
+        return None
+
+
+def synthesize_doc(
+    paragraphs: list[str], title: str | None = None
+) -> bytes:
     """Build a minimal Word-97 .doc: paragraphs joined by ``\\r``
     paragraph marks, stored as TWO pieces — the first half cp1252
     ("compressed"), the second UTF-16LE — through a real CLX/PlcPcd
-    in the 0Table stream.  (The binary format carries no dc:title;
-    extraction reports title = NULL.)"""
+    in the 0Table stream.  ``title`` lands in a real
+    ``\\x05SummaryInformation`` MS-OLEPS property set (PID 2), the
+    stream Word itself writes metadata to."""
     text = "\r".join(paragraphs) + "\r"
     split = len(text) // 2
     # piece 1 is cp1252: back the split off until its text encodes
@@ -223,16 +316,24 @@ def synthesize_doc(paragraphs: list[str]) -> bytes:
     struct.pack_into("<I", fib, 0x01A2, 0)  # fcClx
     struct.pack_into("<I", fib, 0x01A6, len(clx))  # lcbClx
     word_stream = bytes(fib) + raw1 + raw2
-    # pad both streams to the 4096 mini-cutoff: per MS-CFB a stream
-    # UNDER the cutoff must live in the mini stream, which this
-    # minimal writer does not emit; the zero tail is inert (every
-    # read is offset+length-bounded by the FIB / lcbClx)
-    return _build_cfb(
-        [
-            ("WordDocument", word_stream.ljust(_MINI_CUTOFF, b"\x00")),
-            ("0Table", clx.ljust(_MINI_CUTOFF, b"\x00")),
-        ]
-    )
+    # pad streams to the 4096 mini-cutoff: per MS-CFB a stream UNDER
+    # the cutoff must live in the mini stream, which this minimal
+    # writer does not emit; the zero tail is inert (every read is
+    # offset+length-bounded by the FIB / lcbClx / OLEPS sizes)
+    streams = [
+        ("WordDocument", word_stream.ljust(_MINI_CUTOFF, b"\x00")),
+        ("0Table", clx.ljust(_MINI_CUTOFF, b"\x00")),
+    ]
+    if title is not None:
+        streams.append(
+            (
+                _SUMMARY_STREAM,
+                _summary_info_stream(title).ljust(
+                    _MINI_CUTOFF, b"\x00"
+                ),
+            )
+        )
+    return _build_cfb(streams)
 
 
 # --------------------------------------------------------------- reader
@@ -404,9 +505,11 @@ def _normalize_word_text(s: str) -> str:
 
 def doc_extract_text(payload: bytes) -> dict:
     """Parse one legacy .doc payload → ``{title, n_pieces,
-    n_paragraphs, text, n_chars}`` (title is always NULL — the binary
-    format has no dc:title).  Raises ``ValueError`` for non-CFB bytes
-    and CFB containers that are not Word documents."""
+    n_paragraphs, text, n_chars}``; ``title`` comes from the
+    ``\\x05SummaryInformation`` property set (PID 2, codepage-aware),
+    NULL when the stream or property is absent.  Raises
+    ``ValueError`` for non-CFB bytes and CFB containers that are not
+    Word documents."""
     cfb = _Cfb(payload)
     try:
         wd = cfb.read("WordDocument")
@@ -470,8 +573,13 @@ def doc_extract_text(payload: bytes) -> dict:
         pieces.append(wd[fc_min:fc_mac].decode("cp1252", "replace"))
     text = _normalize_word_text("".join(pieces)).rstrip("\n")
     paragraphs = text.split("\n") if text else []
+    title = None
+    try:
+        title = _summary_title(cfb.read(_SUMMARY_STREAM))
+    except KeyError:
+        pass  # no metadata stream — title stays NULL
     return {
-        "title": None,
+        "title": title,
         "n_pieces": len(pieces),
         "n_paragraphs": len(paragraphs),
         "text": text,

@@ -117,8 +117,9 @@ def office_extract(
         "epub": epub_extract_text,
         "xlsx": xlsx_extract_text,
         "pptx": pptx_extract_text,
-        # RTF and legacy .doc carry no dc:title -> NULL in the
-        # unified schema (doc_extract_text already reports None)
+        # RTF carries no title metadata -> NULL in the unified
+        # schema; .doc titles come from the SummaryInformation
+        # property set when present
         "rtf": lambda b: {"title": None, **rtf_extract_text(b)},
         "doc": doc_extract_text,
     }

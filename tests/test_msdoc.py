@@ -170,3 +170,45 @@ def test_spark_extract_and_cli(spark, tmp_path):
     cmd_media(a)
     got = spark.read.parquet(str(tmp_path / "out")).collect()[0]
     assert got.text == "via cli"
+
+
+def test_summary_information_title():
+    """r13: titles ride a real \\x05SummaryInformation MS-OLEPS
+    property set (PID 2, codepage via PID 1); absent stream → NULL."""
+    rec = doc_extract_text(
+        synthesize_doc(["body text here"], title="Doc 42")
+    )
+    assert rec["title"] == "Doc 42"
+    assert rec["text"] == "body text here"
+    assert doc_extract_text(synthesize_doc(["x"]))["title"] is None
+
+
+def test_summary_title_lpwstr_variant():
+    """Real producers also write VT_LPWSTR titles — hand-patch the
+    property type to the UTF-16 variant and re-read."""
+    import struct as _s
+
+    from minerva_etl_spark.operators.msdoc import (
+        _SUMMARY_FMTID,
+        _SUMMARY_STREAM,
+        _summary_title,
+    )
+
+    t = "wide title"
+    raw = t.encode("utf-16-le") + b"\x00\x00"
+    prop = _s.pack("<II", 31, len(t) + 1) + raw
+    section = (
+        _s.pack("<II", 8 + 8 + len(prop), 1)
+        + _s.pack("<II", 2, 16)
+        + prop
+    )
+    blob = (
+        _s.pack("<HHI", 0xFFFE, 0, 0)
+        + b"\x00" * 16
+        + _s.pack("<I", 1)
+        + _SUMMARY_FMTID
+        + _s.pack("<I", 48)
+        + section
+    )
+    assert _SUMMARY_STREAM == "\x05SummaryInformation"
+    assert _summary_title(blob) == t
