@@ -220,6 +220,8 @@ HEADLINE = [
     "xlsx_extract",
     "pptx_extract",
     "doc_extract",
+    "xls_extract",
+    "ppt_extract",
     # round-12: the fused archives -> dispatch -> codecs -> filter
     # lineage (the pipeline_document shape over the r12 edges)
     "pipeline_office",
@@ -349,7 +351,8 @@ def main() -> None:
                  "jpeg_features", "pdf_extract", "docx_extract",
                  "epub_extract", "office_extract", "eml_extract",
                  "mbox_extract", "rtf_extract", "xlsx_extract",
-                 "pptx_extract", "doc_extract"):
+                 "pptx_extract", "doc_extract", "xls_extract",
+                 "ppt_extract"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

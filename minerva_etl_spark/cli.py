@@ -1881,6 +1881,14 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.msdoc import doc_extract
 
         out = doc_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "xls-text":
+        from minerva_etl_spark.operators.xls import xls_extract
+
+        out = xls_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "ppt-text":
+        from minerva_etl_spark.operators.ppt import ppt_extract
+
+        out = ppt_extract(df, id_col="media_id", on_error=args.on_error)
     elif args.action == "image-dhash":
         from minerva_etl_spark.operators.imagehash import image_dhash
 
@@ -2578,6 +2586,7 @@ def main(argv: list[str] | None = None) -> None:
                  "avi-frames", "features", "pdf-text", "docx-text",
                  "epub-text", "office-text", "eml-text", "mbox-split",
                  "rtf-text", "xlsx-text", "pptx-text", "doc-text",
+                 "xls-text", "ppt-text",
                  "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",

@@ -6576,6 +6576,128 @@ FROM built
 """
 
 
+def q_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy Excel BIFF8 extraction (`operators/xls.py::xls_extract`,
+    r13 — the legacy-office triple's spreadsheet leg): every doc
+    becomes a real two-sheet .xls inside a real CFB container — the
+    SST mixes compressed and forced-UTF-16 strings, integer cells
+    alternate RK and Number records, a TRUE BoolErr rides every row —
+    with an OLEPS title.  The oracle rebuilds the sheet/TAB/NEWLINE
+    rendering closed-form; a record-walk, SST, RK-decode or
+    BoundSheet-order bug hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.xls import (
+        synthesize_xls,
+        xls_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                payload = synthesize_xls(
+                    [
+                        ("Data", [[f"Doc {d} report", str(d * 7),
+                                   "TRUE"],
+                                  [t, str(-(d % 13))]]),
+                        ("Notes", [[f"note block {d % 5}"]]),
+                    ],
+                    title=f"Doc {d}",
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "xls",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return xls_extract(payloads)
+
+
+_ORACLE_XLS_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+), built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         'Data' || chr(10)
+           || 'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || chr(9) || CAST(doc_id * 7 AS VARCHAR)
+           || chr(9) || 'TRUE' || chr(10)
+           || text || chr(9) || CAST(-(doc_id % 13) AS VARCHAR)
+           || chr(10)
+           || 'Notes' || chr(10) || 'note block '
+           || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM san
+)
+SELECT doc_id, title, CAST(2 AS INT) AS n_sheets,
+       CAST(3 AS INT) AS n_rows, CAST(6 AS INT) AS n_cells,
+       text, CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy PowerPoint extraction (`operators/ppt.py::ppt_extract`,
+    r13): every doc becomes a real binary .ppt record tree — two text
+    blocks per deck, the writer alternating TextBytesAtom (cp1252)
+    and TextCharsAtom (UTF-16) so both decode paths run on every row
+    — inside a real CFB with an OLEPS title.  The oracle rebuilds the
+    paragraph rendering closed-form."""
+    _prep(spark)
+    from minerva_etl_spark.operators.ppt import (
+        ppt_extract,
+        synthesize_ppt,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                payload = synthesize_ppt(
+                    [[f"Doc {d} deck", t], [f"closing {d % 7}"]],
+                    title=f"Doc {d}",
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "ppt",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return ppt_extract(payloads)
+
+
+_ORACLE_PPT_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+), built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' deck' || chr(10)
+           || text || chr(10)
+           || 'closing ' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM san
+)
+SELECT doc_id, title, CAST(2 AS INT) AS n_texts,
+       CAST(3 AS INT) AS n_paragraphs, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
     each doc becomes a real feed synthesized in-task — even doc_ids
@@ -8104,6 +8226,12 @@ _REGISTRY_ORDER = [
     #     containers (operators/msdoc.py — FAT/directory/mini-stream
     #     reader, FIB, two-piece cp1252/UTF-16 CLX piece table).
     "doc_extract",
+    #   xls_extract / ppt_extract pin the legacy-office triple's
+    #     other two legs (operators/xls.py BIFF8 records incl. SST
+    #     Continue splits + RK/Number/BoolErr; operators/ppt.py
+    #     record-tree text atoms, both encodings per deck).
+    "xls_extract",
+    "ppt_extract",
     #   unigram_encode_bf pins the SentencePiece byte_fallback
     #     contract (operators/unigram.py — q-stripped training, OOV
     #     letters as <0xNN> penalty edges through the unchanged
@@ -8304,6 +8432,8 @@ def build_queries() -> dict:
         "xlsx_extract": q_xlsx_extract,
         "pptx_extract": q_pptx_extract,
         "doc_extract": q_doc_extract,
+        "xls_extract": q_xls_extract,
+        "ppt_extract": q_ppt_extract,
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
@@ -8478,6 +8608,8 @@ def build_oracles() -> dict[str, str]:
         "xlsx_extract": _ORACLE_XLSX_EXTRACT,
         "pptx_extract": _ORACLE_PPTX_EXTRACT,
         "doc_extract": _ORACLE_DOC_EXTRACT,
+        "xls_extract": _ORACLE_XLS_EXTRACT,
+        "ppt_extract": _ORACLE_PPT_EXTRACT,
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),

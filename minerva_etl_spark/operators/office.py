@@ -18,11 +18,13 @@ Sniffing rules (cheap, prefix-only — no speculative full parses):
   ``ppt/presentation.xml`` → ``pptx``; ``META-INF/container.xml`` or
   a first-entry ``mimetype`` of ``application/epub+zip`` → ``epub``.
 * OLE2/CFB (``D0 CF 11 E0``) → peek the directory once (r13, the r12
-  verdict's ask 6): a ``WordDocument`` stream → ``doc`` (legacy Word
-  97–2003, extracted via the piece table in `operators/msdoc.py`);
-  any other compound file (xls/ppt/msi/password-protected OOXML) →
-  ``ole2`` — TAGGED distinct from ``unknown`` so a corpus report can
-  count the legacy-office backlog, but not yet extracted (honest
+  verdict's ask 6): a ``WordDocument`` stream → ``doc`` (the MS-DOC
+  piece table, `operators/msdoc.py`), ``Workbook``/``Book`` →
+  ``xls`` (BIFF8 records, `operators/xls.py`),
+  ``PowerPoint Document`` → ``ppt`` (record-tree text atoms,
+  `operators/ppt.py`); any other compound file (msi, password-
+  protected OOXML) → ``ole2`` — TAGGED distinct from ``unknown`` so
+  a corpus report can count the backlog, but not extracted (honest
   ValueError).
 * anything else → ``unknown`` (ValueError under ``on_error='fail'``,
   dropped under ``'skip'`` — the codec contract).
@@ -59,7 +61,13 @@ def sniff_document_format(payload: bytes) -> str:
             streams = set(cfb_list_streams(payload))
         except ValueError:
             return "unknown"
-        return "doc" if "WordDocument" in streams else "ole2"
+        if "WordDocument" in streams:
+            return "doc"
+        if "Workbook" in streams or "Book" in streams:
+            return "xls"
+        if "PowerPoint Document" in streams:
+            return "ppt"
+        return "ole2"
     if payload[:4] == b"PK\x03\x04":
         try:
             zf = zipfile.ZipFile(io.BytesIO(payload))
@@ -103,8 +111,10 @@ def office_extract(
     from minerva_etl_spark.operators.epub import epub_extract_text
     from minerva_etl_spark.operators.msdoc import doc_extract_text
     from minerva_etl_spark.operators.pdf import pdf_extract_text
+    from minerva_etl_spark.operators.ppt import ppt_extract_text
     from minerva_etl_spark.operators.pptx import pptx_extract_text
     from minerva_etl_spark.operators.rtf import rtf_extract_text
+    from minerva_etl_spark.operators.xls import xls_extract_text
     from minerva_etl_spark.operators.xlsx import xlsx_extract_text
 
     id_type = dict(docs.dtypes).get(id_col, "bigint")
@@ -122,6 +132,8 @@ def office_extract(
         # property set when present
         "rtf": lambda b: {"title": None, **rtf_extract_text(b)},
         "doc": doc_extract_text,
+        "xls": xls_extract_text,
+        "ppt": ppt_extract_text,
     }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -131,7 +131,8 @@ def test_office_dispatch_routes_doc_and_tags_ole2(spark):
 
     d = synthesize_doc(["routed body"])
     assert sniff_document_format(d) == "doc"
-    other = _build_cfb([("Workbook", b"\x09\x08".ljust(4096, b"\x00"))])
+    # a compound file that is none of doc/xls/ppt (e.g. an MSI)
+    other = _build_cfb([("Contents", b"\x09\x08".ljust(4096, b"\x00"))])
     assert sniff_document_format(other) == "ole2"
     df = spark.createDataFrame(
         [(1, d), (2, other)], "doc_id bigint, payload binary"
