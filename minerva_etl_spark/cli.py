@@ -1889,6 +1889,10 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.ppt import ppt_extract
 
         out = ppt_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "msg-text":
+        from minerva_etl_spark.operators.msg import msg_extract
+
+        out = msg_extract(df, id_col="media_id", on_error=args.on_error)
     elif args.action == "image-dhash":
         from minerva_etl_spark.operators.imagehash import image_dhash
 
@@ -2586,7 +2590,7 @@ def main(argv: list[str] | None = None) -> None:
                  "avi-frames", "features", "pdf-text", "docx-text",
                  "epub-text", "office-text", "eml-text", "mbox-split",
                  "rtf-text", "xlsx-text", "pptx-text", "doc-text",
-                 "xls-text", "ppt-text",
+                 "xls-text", "ppt-text", "msg-text",
                  "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",

@@ -6698,6 +6698,66 @@ FROM built
 """
 
 
+def q_msg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlook .msg extraction (`operators/msg.py::msg_extract`,
+    r13 — the binary leg of the mail arc next to in-window
+    eml/mbox): every doc becomes a real CFB .msg whose TOP-LEVEL
+    property streams carry subject/body/sender/to — even docs UTF-16
+    (001F), odd docs cp1252 (001E), so both decodes run — plus one
+    NESTED recipient storage carrying a DECOY subject stream the
+    directory-tree walk must not surface.  The oracle rebuilds all
+    fields closed-form; a tree-walk, property-tag or decode bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.msg import (
+        msg_extract,
+        synthesize_msg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                payload = synthesize_msg(
+                    subject=f"Subject {d}",
+                    body=t,
+                    sender=f"sender{d % 20}@corpus.test",
+                    to=f"rcpt{d % 7}@corpus.test",
+                    wide=(d % 2 == 0),
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "msg",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return msg_extract(payloads)
+
+
+_ORACLE_MSG_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id,
+       'Subject ' || CAST(doc_id AS VARCHAR) AS subject,
+       'sender' || CAST(doc_id % 20 AS VARCHAR)
+         || '@corpus.test' AS sender,
+       'rcpt' || CAST(doc_id % 7 AS VARCHAR)
+         || '@corpus.test' AS "to",
+       text AS body,
+       CAST(1 AS INT) AS n_recipients,
+       CAST(length(text) AS INT) AS n_chars
+FROM san
+"""
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
     each doc becomes a real feed synthesized in-task — even doc_ids
@@ -8232,6 +8292,10 @@ _REGISTRY_ORDER = [
     #     record-tree text atoms, both encodings per deck).
     "xls_extract",
     "ppt_extract",
+    #   msg_extract pins the Outlook binary mail leg (operators/
+    #     msg.py — CFB directory-tree walk, top-level vs nested
+    #     recipient storages, 001F/001E property decodes).
+    "msg_extract",
     #   unigram_encode_bf pins the SentencePiece byte_fallback
     #     contract (operators/unigram.py — q-stripped training, OOV
     #     letters as <0xNN> penalty edges through the unchanged
@@ -8434,6 +8498,7 @@ def build_queries() -> dict:
         "doc_extract": q_doc_extract,
         "xls_extract": q_xls_extract,
         "ppt_extract": q_ppt_extract,
+        "msg_extract": q_msg_extract,
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
@@ -8610,6 +8675,7 @@ def build_oracles() -> dict[str, str]:
         "doc_extract": _ORACLE_DOC_EXTRACT,
         "xls_extract": _ORACLE_XLS_EXTRACT,
         "ppt_extract": _ORACLE_PPT_EXTRACT,
+        "msg_extract": _ORACLE_MSG_EXTRACT,
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),

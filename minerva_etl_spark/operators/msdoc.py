@@ -415,13 +415,46 @@ class _Cfb:
                 entries.append(None)
                 continue
             name = ent[: nlen - 2].decode("utf-16-le", "replace")
+            left, right, child = struct.unpack_from("<III", ent, 68)
             (start,) = struct.unpack_from("<I", ent, 116)
             (size,) = struct.unpack_from("<Q", ent, 120)
             entries.append(
                 {"name": name, "type": obj_type, "start": start,
-                 "size": size}
+                 "size": size, "left": left, "right": right,
+                 "child": child}
             )
         return entries
+
+    def top_level(self) -> list[dict]:
+        """Entries directly under the root storage (the red-black
+        sibling tree hanging off the root's child pointer) — a .msg
+        reader must NOT confuse a nested attachment/recipient
+        storage's streams with the message's own."""
+        root = next(
+            (e for e in self.entries if e and e["type"] == 5), None
+        )
+        if root is None:
+            return []
+        out: list[dict] = []
+        stack = [root["child"]]
+        seen: set[int] = set()
+        while stack:
+            idx = stack.pop()
+            if (
+                idx in seen
+                or idx >= len(self.entries)
+                or idx == _FREESECT
+            ):
+                continue
+            seen.add(idx)
+            ent = (
+                self.entries[idx] if idx < len(self.entries) else None
+            )
+            if ent is None:
+                continue
+            out.append(ent)
+            stack.extend([ent["left"], ent["right"]])
+        return out
 
     def _mini(self) -> tuple[bytes, list[int]]:
         if self._mini_data is None:
@@ -455,6 +488,9 @@ class _Cfb:
         )
         if ent is None:
             raise KeyError(name)
+        return self.read_entry(ent)
+
+    def read_entry(self, ent: dict) -> bytes:
         if ent["size"] < self.mini_cutoff:
             mini, minifat = self._mini()
             out = []

@@ -67,6 +67,8 @@ def sniff_document_format(payload: bytes) -> str:
             return "xls"
         if "PowerPoint Document" in streams:
             return "ppt"
+        if any(s.startswith("__substg1.0_") for s in streams):
+            return "msg"
         return "ole2"
     if payload[:4] == b"PK\x03\x04":
         try:
@@ -110,6 +112,7 @@ def office_extract(
     from minerva_etl_spark.operators.docx import docx_extract_text
     from minerva_etl_spark.operators.epub import epub_extract_text
     from minerva_etl_spark.operators.msdoc import doc_extract_text
+    from minerva_etl_spark.operators.msg import msg_extract_text
     from minerva_etl_spark.operators.pdf import pdf_extract_text
     from minerva_etl_spark.operators.ppt import ppt_extract_text
     from minerva_etl_spark.operators.pptx import pptx_extract_text
@@ -134,6 +137,15 @@ def office_extract(
         "doc": doc_extract_text,
         "xls": xls_extract_text,
         "ppt": ppt_extract_text,
+        # .msg maps onto the unified document schema as
+        # title=subject, text=body
+        "msg": lambda b: (
+            lambda r: {
+                "title": r["subject"],
+                "text": r["body"],
+                "n_chars": r["n_chars"],
+            }
+        )(msg_extract_text(b)),
     }
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
