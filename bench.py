@@ -158,6 +158,8 @@ HEADLINE = [
     "wav_spectral",
     "image_features_mixed",
     "warc_harvest",
+    "wet_harvest",
+    "wat_harvest",
     "html_extract",
     "url_profile",
     "charset_decode",

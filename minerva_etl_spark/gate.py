@@ -6758,6 +6758,185 @@ FROM san
 """
 
 
+def q_wet_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl WET ingest (`sources/wet.py::read_wet` /
+    `write_wet_files`, r13): documents become conversion records in
+    REAL gzip-membered WET shards written by owning tasks, harvested
+    back through the typed reader (warc_type/content-type filters +
+    UTF-8 decode).  The oracle rebuilds uri/text/n_chars closed-form;
+    a record-frame, filter or decode bug hash-mismatches."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.sources.wet import read_wet, write_wet_files
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                rows.append(
+                    (
+                        f"part-{d % 8}.warc.wet.gz",
+                        f"rec-{d:09d}",
+                        f"https://corpus.test/d/{d}",
+                        "2026-02-03T04:05:06Z",
+                        f"Doc {d} wet\n{t}",
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["warc_file", "record_id", "target_uri",
+                         "warc_date", "text"],
+            )
+
+    staged = docs.mapInPandas(
+        synth,
+        "warc_file string, record_id string, target_uri string, "
+        "warc_date string, text string",
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_wet_")
+    write_wet_files(staged, root).collect()
+    out = (
+        read_wet(spark, root)
+        .select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("bigint").alias("doc_id"),
+            "target_uri",
+            "text",
+            "n_chars",
+        )
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ORACLE_WET_HARVEST = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id,
+       'https://corpus.test/d/' || CAST(doc_id AS VARCHAR)
+         AS target_uri,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' wet' || chr(10) || text
+         AS text,
+       CAST(length('Doc ' || CAST(doc_id AS VARCHAR) || ' wet')
+            + 1 + length(text) AS INT) AS n_chars
+FROM san
+"""
+
+
+def q_wat_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common Crawl WAT ingest (`sources/wet.py::read_wat`, r13):
+    documents become metadata records whose JSON envelopes carry the
+    response headers, HTML title and a formula-sized Links array,
+    written as real gzip-membered WAT shards and harvested back
+    through the codegen `get_json_object` extraction (no Python in
+    the JSON path).  Docs at doc_id % 11 == 0 OMIT the HTML-Metadata
+    block (non-HTML responses — title NULL, links 0), so the
+    missing-path semantics are load-bearing."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.sources.wet import read_wat, write_wat_files
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                http = {
+                    "Headers": {
+                        "Content-Type": "text/html"
+                        if d % 3 else "application/pdf"
+                    }
+                }
+                if d % 11 != 0:
+                    http["HTML-Metadata"] = {
+                        "Head": {"Title": f"Doc {d} title"},
+                        "Links": [
+                            {"url": f"/l/{d}/{j}"}
+                            for j in range(d % 5)
+                        ],
+                    }
+                env = {
+                    "Envelope": {
+                        "WARC-Header-Metadata": {
+                            "WARC-Target-URI":
+                                f"https://corpus.test/d/{d}"
+                        },
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": http
+                        },
+                    }
+                }
+                rows.append(
+                    (
+                        f"part-{d % 8}.warc.wat.gz",
+                        f"rec-{d:09d}",
+                        f"https://corpus.test/d/{d}",
+                        "2026-02-03T04:05:06Z",
+                        _json.dumps(env, sort_keys=True),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["warc_file", "record_id", "target_uri",
+                         "warc_date", "meta_json"],
+            )
+
+    staged = docs.mapInPandas(
+        synth,
+        "warc_file string, record_id string, target_uri string, "
+        "warc_date string, meta_json string",
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_wat_")
+    write_wat_files(staged, root).collect()
+    out = (
+        read_wat(spark, root)
+        .select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("bigint").alias("doc_id"),
+            "target_uri",
+            "title",
+            "n_links",
+            "http_content_type",
+        )
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ORACLE_WAT_HARVEST = """
+SELECT doc_id,
+       'https://corpus.test/d/' || CAST(doc_id AS VARCHAR)
+         AS target_uri,
+       CASE WHEN doc_id % 11 = 0 THEN NULL
+            ELSE 'Doc ' || CAST(doc_id AS VARCHAR) || ' title'
+       END AS title,
+       CAST(CASE WHEN doc_id % 11 = 0 THEN 0
+                 ELSE doc_id % 5 END AS INT) AS n_links,
+       CASE WHEN doc_id % 3 = 0 THEN 'application/pdf'
+            ELSE 'text/html' END AS http_content_type
+FROM documents
+"""
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
     each doc becomes a real feed synthesized in-task — even doc_ids
@@ -8296,6 +8475,12 @@ _REGISTRY_ORDER = [
     #     msg.py — CFB directory-tree walk, top-level vs nested
     #     recipient storages, 001F/001E property decodes).
     "msg_extract",
+    #   wet_harvest / wat_harvest pin the Common Crawl derivative
+    #     formats (sources/wet.py — typed conversion/metadata layers
+    #     over the WARC reader; WAT extraction is codegen
+    #     get_json_object with load-bearing missing-path semantics).
+    "wet_harvest",
+    "wat_harvest",
     #   unigram_encode_bf pins the SentencePiece byte_fallback
     #     contract (operators/unigram.py — q-stripped training, OOV
     #     letters as <0xNN> penalty edges through the unchanged
@@ -8499,6 +8684,8 @@ def build_queries() -> dict:
         "xls_extract": q_xls_extract,
         "ppt_extract": q_ppt_extract,
         "msg_extract": q_msg_extract,
+        "wet_harvest": q_wet_harvest,
+        "wat_harvest": q_wat_harvest,
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
@@ -8676,6 +8863,8 @@ def build_oracles() -> dict[str, str]:
         "xls_extract": _ORACLE_XLS_EXTRACT,
         "ppt_extract": _ORACLE_PPT_EXTRACT,
         "msg_extract": _ORACLE_MSG_EXTRACT,
+        "wet_harvest": _ORACLE_WET_HARVEST,
+        "wat_harvest": _ORACLE_WAT_HARVEST,
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),

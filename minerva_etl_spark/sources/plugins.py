@@ -52,6 +52,7 @@ def _load_entry_points() -> None:
     for mod in (
         "minerva_etl_spark.sources.warc",
         "minerva_etl_spark.sources.archive",
+        "minerva_etl_spark.sources.wet",
     ):
         try:
             importlib.import_module(mod)
