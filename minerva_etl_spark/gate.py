@@ -6937,6 +6937,71 @@ FROM documents
 """
 
 
+def q_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sniff-only format census (`operators/office.py::
+    format_census`, r13): the budgeting pass over the same staged
+    six-format mixed column `office_extract` extracts — one Arrow
+    sniff scan + one combinable groupBy, NO parse.  The gate projects
+    (format, n_docs); the oracle counts the doc_id % 6 cycle
+    closed-form (total_bytes stays operator-only: synthesized payload
+    sizes are compression-dependent, not closed-form)."""
+    _prep(spark)
+    from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.epub import synthesize_epub
+    from minerva_etl_spark.operators.msdoc import synthesize_doc
+    from minerva_etl_spark.operators.office import format_census
+    from minerva_etl_spark.operators.pdf import synthesize_pdf
+    from minerva_etl_spark.operators.pptx import synthesize_pptx
+    from minerva_etl_spark.operators.xlsx import synthesize_xlsx
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                head = f"Doc {d} report"
+                if d % 6 == 0:
+                    payload = synthesize_pdf([head, t], title=f"Doc {d}")
+                elif d % 6 == 1:
+                    payload = synthesize_docx([head, t], title=f"Doc {d}")
+                elif d % 6 == 2:
+                    payload = synthesize_epub(
+                        [f"<p>{head}</p>", f"<p>{t}</p>"],
+                        title=f"Doc {d}",
+                    )
+                elif d % 6 == 3:
+                    payload = synthesize_xlsx(
+                        [("Data", [[head], [t]])], title=f"Doc {d}"
+                    )
+                elif d % 6 == 4:
+                    payload = synthesize_pptx([[head, t]], title=f"Doc {d}")
+                else:
+                    payload = synthesize_doc([head, t])
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "office",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return format_census(payloads).select("format", "n_docs")
+
+
+_ORACLE_FORMAT_CENSUS = """
+SELECT CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+            WHEN 2 THEN 'epub' WHEN 3 THEN 'xlsx'
+            WHEN 4 THEN 'pptx' ELSE 'doc' END AS format,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
     each doc becomes a real feed synthesized in-task — even doc_ids
@@ -8481,6 +8546,10 @@ _REGISTRY_ORDER = [
     #     get_json_object with load-bearing missing-path semantics).
     "wet_harvest",
     "wat_harvest",
+    #   format_census pins the sniff-only budgeting pass over the
+    #     shared six-format staged column (one scan, one combinable
+    #     groupBy, no parse).
+    "format_census",
     #   unigram_encode_bf pins the SentencePiece byte_fallback
     #     contract (operators/unigram.py — q-stripped training, OOV
     #     letters as <0xNN> penalty edges through the unchanged
@@ -8686,6 +8755,7 @@ def build_queries() -> dict:
         "msg_extract": q_msg_extract,
         "wet_harvest": q_wet_harvest,
         "wat_harvest": q_wat_harvest,
+        "format_census": q_format_census,
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
@@ -8865,6 +8935,7 @@ def build_oracles() -> dict[str, str]:
         "msg_extract": _ORACLE_MSG_EXTRACT,
         "wet_harvest": _ORACLE_WET_HARVEST,
         "wat_harvest": _ORACLE_WAT_HARVEST,
+        "format_census": _ORACLE_FORMAT_CENSUS,
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),

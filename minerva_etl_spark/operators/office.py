@@ -44,7 +44,12 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
-__all__ = ["sniff_document_format", "office_extract", "OFFICE_SCHEMA"]
+__all__ = [
+    "sniff_document_format",
+    "office_extract",
+    "format_census",
+    "OFFICE_SCHEMA",
+]
 
 
 def sniff_document_format(payload: bytes) -> str:
@@ -180,3 +185,35 @@ def office_extract(
             )
 
     return docs.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def format_census(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sniff-ONLY format census over a mixed binary column: per
+    format, row count and total payload bytes — the budgeting pass a
+    100 TB document bucket runs BEFORE deciding which codecs to pay
+    for (sniffing reads magic bytes + one zip entry list / CFB
+    directory peek, never a full parse).  One Arrow scan + one
+    map-side-combinable groupBy."""
+    import pyspark.sql.functions as F
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts = []
+            sizes = []
+            for payload in pdf[payload_col]:
+                b = bytes(payload)
+                fmts.append(sniff_document_format(b))
+                sizes.append(len(b))
+            yield pd.DataFrame({"format": fmts, "n_bytes": sizes})
+
+    per_row = docs.select(payload_col).mapInPandas(
+        run, "format string, n_bytes bigint"
+    )
+    return per_row.groupBy("format").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+    )

@@ -104,3 +104,27 @@ def test_cli_office_text(spark, tmp_path):
     }
     assert out[1].format == "pdf" and out[1].text == "pdf here"
     assert out[2].format == "epub" and out[2].text == "epub here"
+
+
+def test_format_census_counts_without_parsing(spark):
+    """r13: the sniff-only census counts formats + bytes in one scan;
+    unknown and ole2 payloads are counted, never parse-failed."""
+    from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.msdoc import _build_cfb
+    from minerva_etl_spark.operators.office import format_census
+
+    rows = [
+        (1, synthesize_docx(["a"])),
+        (2, synthesize_docx(["b"])),
+        (3, b"%PDF-1.4 minimal-but-sniffable"),
+        (4, b"garbage bytes"),
+        (5, _build_cfb([("Contents", b"x".ljust(4096, b"\x00"))])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r.format: (r.n_docs, r.total_bytes)
+           for r in format_census(df).collect()}
+    assert got["docx"][0] == 2
+    assert got["pdf"][0] == 1
+    assert got["unknown"] == (1, 13)
+    assert got["ole2"][0] == 1
+    assert got["docx"][1] == sum(len(p) for _, p in rows[:2])
