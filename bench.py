@@ -219,6 +219,7 @@ HEADLINE = [
     "epub_extract",
     # round-12: mixed-format dispatch over all three document codecs
     "office_extract",
+    "format_census",
     "xlsx_extract",
     "pptx_extract",
     "doc_extract",

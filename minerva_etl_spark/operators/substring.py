@@ -218,13 +218,20 @@ def _watermark_path(state_path: str) -> str:
 
 
 def _write_watermark(spark, state_path: str, max_id) -> None:
+    """One small text file via the Hadoop FS API (the lease-token
+    mechanism) — NOT a Spark write: a 1-row `createDataFrame(...)
+    .coalesce(1).write` costs ~6 s of job overhead per call (measured
+    r13), which dominated the whole increment."""
     if max_id is None:
         return
-    spark.createDataFrame(
-        [(int(max_id),)], "max_doc_id bigint"
-    ).coalesce(1).write.mode("overwrite").parquet(
-        _watermark_path(state_path)
-    )
+    from minerva_etl_spark.fsutil import _fs
+
+    fs, hpath, _jvm = _fs(spark, _watermark_path(state_path), raw=True)
+    out = fs.create(hpath, True)  # overwrite; parents auto-created
+    try:
+        out.write(bytearray(str(int(max_id)).encode()))
+    finally:
+        out.close()
 
 
 def _read_watermark(spark, state_path: str):
@@ -232,10 +239,11 @@ def _read_watermark(spark, state_path: str):
     pre-watermark state (best-effort fallback: max(first_doc) from
     the digest state — a floor, since docs contributing no new digest
     don't appear there)."""
+    from minerva_etl_spark.fsutil import fs_read_small
+
     try:
-        return spark.read.parquet(_watermark_path(state_path)).agg(
-            F.max("max_doc_id")
-        ).collect()[0][0]
+        raw = fs_read_small(spark, _watermark_path(state_path))
+        return int(raw) if raw not in (None, "") else None
     except Exception:
         return None
 
