@@ -160,6 +160,7 @@ HEADLINE = [
     "warc_harvest",
     "wet_harvest",
     "wat_harvest",
+    "cdx_harvest",
     "html_extract",
     "url_profile",
     "charset_decode",

@@ -7002,6 +7002,79 @@ GROUP BY 1
 """
 
 
+def q_cdx_harvest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ crawl-index round trip (`sources/cdx.py`, r13): documents
+    become capture rows — SURT urlkeys derived by the pure-Catalyst
+    `surt_key_expr`, formula timestamps/status/mime/digest/WARC
+    coordinates — written as real sorted CDXJ shards by owning tasks
+    and harvested back through the codegen line/JSON projection.
+    The oracle rebuilds every field closed-form; a SURT, timestamp,
+    JSON-extraction or sort bug hash-mismatches."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.sources.cdx import (
+        read_cdxj,
+        surt_key_expr,
+        write_cdxj,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    captures = docs.selectExpr(
+        "concat('part-', CAST(doc_id % 8 AS STRING), '.cdxj') "
+        "AS cdx_file",
+        "concat('https://h', CAST(doc_id % 20 AS STRING), "
+        "'.corpus.test/d/', CAST(doc_id AS STRING)) AS url",
+        "CAST(timestamp'2026-02-03 04:05:06' "
+        "+ make_interval(0,0,0,0,0,0, CAST(doc_id % 50 AS INT)) "
+        "AS timestamp_ntz) AS ts",
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 200 WHEN 1 THEN 301 "
+        "ELSE 404 END AS status",
+        "IF(doc_id % 2 = 0, 'text/html', 'application/pdf') AS mime",
+        "concat('sha1:', md5(CAST(doc_id AS STRING))) AS digest",
+        "concat('w-', CAST(doc_id % 4 AS STRING), '.warc.gz') "
+        "AS warc_file",
+        "CAST(doc_id * 1000 AS BIGINT) AS warc_offset",
+        "CAST(100 + doc_id % 500 AS BIGINT) AS warc_length",
+    ).selectExpr("*", f"{surt_key_expr('url')} AS urlkey")
+    root = tempfile.mkdtemp(prefix="minerva_gate_cdx_")
+    write_cdxj(captures, root).collect()
+    out = (
+        read_cdxj(spark, root)
+        .select(
+            F.regexp_extract("url", r"/d/(\d+)$", 1)
+            .cast("bigint").alias("doc_id"),
+            "urlkey", "ts", "host", "url", "mime", "status",
+            "digest", "warc_file", "warc_offset", "warc_length",
+        )
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ORACLE_CDX_HARVEST = """
+SELECT doc_id,
+       'test,corpus,h' || CAST(doc_id % 20 AS VARCHAR) || ')/d/'
+         || CAST(doc_id AS VARCHAR) AS urlkey,
+       TIMESTAMP '2026-02-03 04:05:06'
+         + (doc_id % 50) * INTERVAL 1 SECOND AS ts,
+       'h' || CAST(doc_id % 20 AS VARCHAR) || '.corpus.test' AS host,
+       'https://h' || CAST(doc_id % 20 AS VARCHAR)
+         || '.corpus.test/d/' || CAST(doc_id AS VARCHAR) AS url,
+       CASE WHEN doc_id % 2 = 0 THEN 'text/html'
+            ELSE 'application/pdf' END AS mime,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+            ELSE 404 END AS INT) AS status,
+       'sha1:' || md5(CAST(doc_id AS VARCHAR)) AS digest,
+       'w-' || CAST(doc_id % 4 AS VARCHAR) || '.warc.gz' AS warc_file,
+       CAST(doc_id * 1000 AS BIGINT) AS warc_offset,
+       CAST(100 + doc_id % 500 AS BIGINT) AS warc_length
+FROM documents
+"""
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
     each doc becomes a real feed synthesized in-task — even doc_ids
@@ -8550,6 +8623,10 @@ _REGISTRY_ORDER = [
     #     shared six-format staged column (one scan, one combinable
     #     groupBy, no parse).
     "format_census",
+    #   cdx_harvest pins the CDXJ crawl-index round trip
+    #     (sources/cdx.py — pure-Catalyst SURT keys, sorted shards,
+    #     codegen line/JSON projection back).
+    "cdx_harvest",
     #   unigram_encode_bf pins the SentencePiece byte_fallback
     #     contract (operators/unigram.py — q-stripped training, OOV
     #     letters as <0xNN> penalty edges through the unchanged
@@ -8756,6 +8833,7 @@ def build_queries() -> dict:
         "wet_harvest": q_wet_harvest,
         "wat_harvest": q_wat_harvest,
         "format_census": q_format_census,
+        "cdx_harvest": q_cdx_harvest,
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
@@ -8936,6 +9014,7 @@ def build_oracles() -> dict[str, str]:
         "wet_harvest": _ORACLE_WET_HARVEST,
         "wat_harvest": _ORACLE_WAT_HARVEST,
         "format_census": _ORACLE_FORMAT_CENSUS,
+        "cdx_harvest": _ORACLE_CDX_HARVEST,
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),

@@ -1,0 +1,159 @@
+"""CDXJ crawl-index ingest (round 13) — the URL-index sibling of the
+WET/WAT derivatives in `sources/wet.py`.
+
+Common Crawl (and every pywb-style archive) publishes a per-crawl
+URL index in CDXJ: one line per capture —
+
+    ``<SURT urlkey> <timestamp> <JSON block>``
+
+where the SURT key is the canonicalized reversed-host form
+(``com,example)/path``), the timestamp is 14-digit
+``yyyyMMddHHmmss``, and the JSON block carries url / mime / status /
+digest / length / offset / filename (the WARC member coordinates a
+fetcher needs for range requests).  Crawl-scale dedup, recrawl
+scheduling and partition pruning all start from this index, not from
+the WARC payloads.
+
+The reader is Spark-native: ``spark.read.text`` (parallel line
+splits, predicate pushdown on nothing to block), ONE codegen
+projection splitting the two space-delimited head fields and
+extracting the JSON fields with ``get_json_object`` — no Python.
+SURT keys parse back into ``host`` (labels un-reversed) and ``path``
+with Catalyst expressions; the timestamp becomes a real
+``timestamp_ntz``.
+
+The writer mirrors for fixture/export parity (sorted lines — CDX
+files are sorted by urlkey so mergesort-joins over shards work).
+
+Reference parity: harvest-plugin family (`sources/plugins.py`),
+registered as ``cdxj``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["read_cdxj", "write_cdxj", "surt_key_expr"]
+
+
+def surt_key_expr(url_col: str) -> str:
+    """SURT urlkey from a URL column, pure Catalyst: host labels
+    reversed and comma-joined, lowercased, default ports dropped,
+    ``)`` before the path, query kept (the pywb convention this
+    module writes and reads)."""
+    host = f"lower(parse_url({url_col}, 'HOST'))"
+    path = f"coalesce(parse_url({url_col}, 'PATH'), '/')"
+    query = f"parse_url({url_col}, 'QUERY')"
+    rev = (
+        f"array_join(reverse(split({host}, '\\\\.')), ',')"
+    )
+    return (
+        f"concat({rev}, ')', CASE WHEN {path} = '' THEN '/' "
+        f"ELSE {path} END, "
+        f"CASE WHEN {query} IS NULL THEN '' "
+        f"ELSE concat('?', {query}) END)"
+    )
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """CDXJ file(s) → typed capture rows: ``(urlkey, ts, host, url,
+    mime, status, digest, warc_file, warc_offset, warc_length)``.
+    One codegen projection over ``spark.read.text`` — malformed
+    lines (no JSON block) drop, the dirty-delivery convention."""
+    lines = spark.read.text(path).select(
+        F.col("value").alias("line")
+    )
+    j = F.expr("substring(line, instr(line, '{'))")
+    head = F.expr("substring(line, 1, instr(line, '{') - 1)")
+    parts = F.split(F.trim(head), " ")
+    return (
+        lines.filter(F.expr("instr(line, '{') > 1"))
+        .select(
+            parts.getItem(0).alias("urlkey"),
+            F.to_timestamp(
+                parts.getItem(1), "yyyyMMddHHmmss"
+            ).cast("timestamp_ntz").alias("ts"),
+            j.alias("__j"),
+        )
+        .select(
+            "urlkey",
+            "ts",
+            F.expr(
+                "array_join(reverse(split("
+                "substring_index(urlkey, ')', 1), ',')), '.')"
+            ).alias("host"),
+            F.get_json_object("__j", "$.url").alias("url"),
+            F.get_json_object("__j", "$.mime").alias("mime"),
+            F.get_json_object("__j", "$.status").cast("int")
+            .alias("status"),
+            F.get_json_object("__j", "$.digest").alias("digest"),
+            F.get_json_object("__j", "$.filename").alias("warc_file"),
+            F.get_json_object("__j", "$.offset").cast("bigint")
+            .alias("warc_offset"),
+            F.get_json_object("__j", "$.length").cast("bigint")
+            .alias("warc_length"),
+        )
+    )
+
+
+def write_cdxj(
+    df: DataFrame,
+    out_dir: str,
+    file_col: str = "cdx_file",
+) -> DataFrame:
+    """Export capture rows (``cdx_file``, ``urlkey``, ``ts``
+    timestamp, ``url``, ``mime``, ``status``, ``digest``,
+    ``warc_file``, ``warc_offset``, ``warc_length``) as CDXJ shards —
+    one file per ``file_col`` group, lines SORTED by (urlkey, ts)
+    per the format's merge contract; the owning task writes its
+    file."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_group(pdf):
+        import json as _json
+        import os as _os
+
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["urlkey", "ts"], kind="mergesort"
+        )
+        name = str(pdf[file_col].iloc[0])
+        with open(_os.path.join(out_dir, name), "w") as fh:
+            for r in pdf.itertuples():
+                blob = _json.dumps(
+                    {
+                        "url": r.url,
+                        "mime": r.mime,
+                        "status": str(int(r.status)),
+                        "digest": r.digest,
+                        "length": str(int(r.warc_length)),
+                        "offset": str(int(r.warc_offset)),
+                        "filename": r.warc_file,
+                    },
+                    sort_keys=True,
+                )
+                ts14 = pd.Timestamp(r.ts).strftime("%Y%m%d%H%M%S")
+                fh.write(f"{r.urlkey} {ts14} {blob}\n")
+        return pd.DataFrame(
+            {"cdx_file": [name], "n_lines": [len(pdf)]}
+        )
+
+    return df.groupBy(file_col).applyInPandas(
+        write_group, "cdx_file string, n_lines bigint"
+    )
+
+
+def _cdxj_reader(spark: SparkSession, path: str, config) -> DataFrame:
+    return read_cdxj(spark, path)
+
+
+def register() -> None:
+    from minerva_etl_spark.sources.plugins import register_plugin
+
+    register_plugin("cdxj", _cdxj_reader)
+
+
+register()

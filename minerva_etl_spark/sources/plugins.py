@@ -53,6 +53,7 @@ def _load_entry_points() -> None:
         "minerva_etl_spark.sources.warc",
         "minerva_etl_spark.sources.archive",
         "minerva_etl_spark.sources.wet",
+        "minerva_etl_spark.sources.cdx",
     ):
         try:
             importlib.import_module(mod)

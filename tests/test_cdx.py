@@ -1,0 +1,87 @@
+"""CDXJ crawl index (`sources/cdx.py`): SURT key semantics, write/
+read round trip, sorted-shard contract, dirty lines, plugin."""
+
+from pyspark.sql import functions as F
+
+
+def test_surt_key_expr(spark):
+    from minerva_etl_spark.sources.cdx import surt_key_expr
+
+    rows = [
+        (1, "https://www.Example.com/a/b?x=1"),
+        (2, "http://sub.test.org"),
+        (3, "https://one.two.three.io/p"),
+    ]
+    df = spark.createDataFrame(rows, "i bigint, url string")
+    keys = {
+        r.i: r.k
+        for r in df.selectExpr("i", f"{surt_key_expr('url')} AS k")
+        .collect()
+    }
+    assert keys[1] == "com,example,www)/a/b?x=1"
+    assert keys[2] == "org,test,sub)/"
+    assert keys[3] == "io,three,two,one)/p"
+
+
+def _captures(spark):
+    rows = [
+        ("part-0.cdxj", "com,example)/p1", "2026-02-03 04:05:06",
+         "https://example.com/p1", "text/html", 200, "sha1:AAA",
+         "w-00.warc.gz", 1234, 555),
+        ("part-0.cdxj", "com,example)/p0", "2026-02-03 04:05:07",
+         "https://example.com/p0", "application/pdf", 301,
+         "sha1:BBB", "w-01.warc.gz", 99, 42),
+        ("part-1.cdxj", "org,other)/x", "2026-02-03 05:00:00",
+         "https://other.org/x", "text/html", 404, "sha1:CCC",
+         "w-02.warc.gz", 7, 8),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "cdx_file string, urlkey string, ts string, url string, "
+        "mime string, status int, digest string, warc_file string, "
+        "warc_offset bigint, warc_length bigint",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def test_roundtrip_and_sorted_shards(spark, tmp_path):
+    from minerva_etl_spark.sources.cdx import read_cdxj, write_cdxj
+
+    d = str(tmp_path / "cdx")
+    written = {r.cdx_file: r.n_lines
+               for r in write_cdxj(_captures(spark), d).collect()}
+    assert written == {"part-0.cdxj": 2, "part-1.cdxj": 1}
+    back = {r.urlkey: r for r in read_cdxj(spark, d).collect()}
+    assert len(back) == 3
+    r = back["com,example)/p0"]
+    assert (r.status, r.mime, r.warc_offset, r.warc_length) == (
+        301, "application/pdf", 99, 42)
+    assert r.host == "example.com"
+    assert str(r.ts) == "2026-02-03 04:05:07"
+    # shard lines sorted by (urlkey, ts) — the merge contract
+    lines = (tmp_path / "cdx" / "part-0.cdxj").read_text().splitlines()
+    assert lines[0].startswith("com,example)/p0 ")
+    assert lines[1].startswith("com,example)/p1 ")
+
+
+def test_malformed_lines_drop(spark, tmp_path):
+    from minerva_etl_spark.sources.cdx import read_cdxj
+
+    p = tmp_path / "dirty.cdxj"
+    p.write_text(
+        'com,a)/x 20260203040506 {"url": "https://a.com/x", '
+        '"status": "200", "offset": "1", "length": "2", '
+        '"filename": "w.warc.gz", "mime": "text/html", '
+        '"digest": "sha1:D"}\n'
+        "garbage line without json\n"
+    )
+    out = read_cdxj(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0].urlkey == "com,a)/x"
+
+
+def test_registered_as_harvest_plugin(spark, tmp_path):
+    from minerva_etl_spark.sources.cdx import write_cdxj
+    from minerva_etl_spark.sources.plugins import get_plugin
+
+    d = str(tmp_path / "cdx")
+    write_cdxj(_captures(spark), d).collect()
+    assert get_plugin("cdxj")(spark, d, None).count() == 3
