@@ -227,6 +227,7 @@ HEADLINE = [
     "xls_extract",
     "ppt_extract",
     "msg_extract",
+    "mail_extract",
     # round-12: the fused archives -> dispatch -> codecs -> filter
     # lineage (the pipeline_document shape over the r12 edges)
     "pipeline_office",
@@ -357,7 +358,7 @@ def main() -> None:
                  "epub_extract", "office_extract", "eml_extract",
                  "mbox_extract", "rtf_extract", "xlsx_extract",
                  "pptx_extract", "doc_extract", "xls_extract",
-                 "ppt_extract", "msg_extract"):
+                 "ppt_extract", "msg_extract", "mail_extract"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

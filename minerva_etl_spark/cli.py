@@ -1893,6 +1893,10 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.msg import msg_extract
 
         out = msg_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "mail-text":
+        from minerva_etl_spark.operators.email_ingest import mail_extract
+
+        out = mail_extract(df, id_col="media_id", on_error=args.on_error)
     elif args.action == "image-dhash":
         from minerva_etl_spark.operators.imagehash import image_dhash
 
@@ -2590,7 +2594,7 @@ def main(argv: list[str] | None = None) -> None:
                  "avi-frames", "features", "pdf-text", "docx-text",
                  "epub-text", "office-text", "eml-text", "mbox-split",
                  "rtf-text", "xlsx-text", "pptx-text", "doc-text",
-                 "xls-text", "ppt-text", "msg-text",
+                 "xls-text", "ppt-text", "msg-text", "mail-text",
                  "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",

@@ -7075,6 +7075,73 @@ FROM documents
 """
 
 
+def q_mail_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format MAIL dispatch (`operators/email_ingest.py::
+    mail_extract`, r13 — the office_extract pattern on the mail arc):
+    one binary column mixes wire-format RFC 5322 messages (even docs,
+    quoted-printable bodies) with desktop Outlook .msg exports (odd
+    docs, alternating 001F/001E property widths) carrying the same
+    subject/sender/body content; magic routing per payload, unified
+    ``(kind, subject, sender, text, n_chars)``.  The oracle rebuilds
+    both kinds closed-form — a routing or either-codec regression
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.email_ingest import (
+        mail_extract,
+        synthesize_eml,
+    )
+    from minerva_etl_spark.operators.msg import synthesize_msg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                if d % 2 == 0:
+                    payload = synthesize_eml(
+                        subject=f"Doc {d} mail",
+                        sender=f"user{d % 20}@corpus.test",
+                        text_body=t,
+                        cte="quoted-printable",
+                    )
+                else:
+                    payload = synthesize_msg(
+                        subject=f"Doc {d} mail",
+                        body=t,
+                        sender=f"user{d % 20}@corpus.test",
+                        to="corpus@example.test",
+                        wide=(d % 4 == 1),
+                    )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "mail",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return mail_extract(payloads)
+
+
+_ORACLE_MAIL_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'eml' ELSE 'msg' END AS kind,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' mail' AS subject,
+       'user' || CAST(doc_id % 20 AS VARCHAR) || '@corpus.test'
+         AS sender,
+       text,
+       CAST(length(text) AS INT) AS n_chars
+FROM san
+"""
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
     each doc becomes a real feed synthesized in-task — even doc_ids
@@ -8627,6 +8694,9 @@ _REGISTRY_ORDER = [
     #     (sources/cdx.py — pure-Catalyst SURT keys, sorted shards,
     #     codegen line/JSON projection back).
     "cdx_harvest",
+    #   mail_extract pins the mixed eml/.msg mail dispatch (the
+    #     office_extract pattern on the mail arc).
+    "mail_extract",
     #   unigram_encode_bf pins the SentencePiece byte_fallback
     #     contract (operators/unigram.py — q-stripped training, OOV
     #     letters as <0xNN> penalty edges through the unchanged
@@ -8834,6 +8904,7 @@ def build_queries() -> dict:
         "wat_harvest": q_wat_harvest,
         "format_census": q_format_census,
         "cdx_harvest": q_cdx_harvest,
+        "mail_extract": q_mail_extract,
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
@@ -9015,6 +9086,7 @@ def build_oracles() -> dict[str, str]:
         "wat_harvest": _ORACLE_WAT_HARVEST,
         "format_census": _ORACLE_FORMAT_CENSUS,
         "cdx_harvest": _ORACLE_CDX_HARVEST,
+        "mail_extract": _ORACLE_MAIL_EXTRACT,
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),

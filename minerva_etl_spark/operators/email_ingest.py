@@ -54,7 +54,9 @@ __all__ = [
     "eml_extract_text",
     "eml_extract",
     "mbox_split",
+    "mail_extract",
     "EML_EXTRACT_SCHEMA",
+    "MAIL_EXTRACT_SCHEMA",
 ]
 
 _BOUNDARY = "=-minerva-boundary-0001"
@@ -316,3 +318,75 @@ def mbox_split(
     return docs.select(id_col, payload_col).mapInPandas(
         run, f"{id_col} {id_type}, msg_index int, payload binary"
     )
+
+
+MAIL_EXTRACT_SCHEMA = (
+    "doc_id bigint, kind string, subject string, sender string, "
+    "text string, n_chars int"
+)
+
+
+def mail_extract(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Mixed mail column → unified ``(id, kind, subject, sender,
+    text, n_chars)`` (r13): a real mail corpus is wire-format RFC
+    5322 (.eml, incl. mbox-split members) MIXED with desktop-exported
+    Outlook .msg (CFB) — per-payload magic routing in-task, the
+    `office_extract` pattern applied to the mail arc.  CFB magic →
+    `operators/msg.py` (subject/body from top-level property
+    streams); anything else must carry an RFC 5322 header block →
+    the MIME walk.  ``on_error='skip'`` drops undecodable payloads."""
+    from minerva_etl_spark.operators.msg import msg_extract_text
+
+    id_type = dict(docs.dtypes).get(id_col, "bigint")
+    schema = MAIL_EXTRACT_SCHEMA.replace(
+        "doc_id bigint", f"{id_col} {id_type}", 1
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                try:
+                    if payload[:4] == b"\xd0\xcf\x11\xe0":
+                        rec = msg_extract_text(payload)
+                        rows.append(
+                            (
+                                did,
+                                "msg",
+                                rec["subject"],
+                                rec["sender"],
+                                rec["body"],
+                                rec["n_chars"],
+                            )
+                        )
+                    else:
+                        rec = eml_extract_text(payload)
+                        rows.append(
+                            (
+                                did,
+                                "eml",
+                                rec["subject"],
+                                rec["sender"],
+                                rec["text"],
+                                rec["n_chars"],
+                            )
+                        )
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":
+                        continue
+                    raise
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "kind", "subject", "sender", "text",
+                    "n_chars",
+                ],
+            )
+
+    return docs.select(id_col, payload_col).mapInPandas(run, schema)

@@ -100,3 +100,26 @@ def test_spark_extract_and_cli(spark, tmp_path):
     cmd_media(a)
     got = spark.read.parquet(str(tmp_path / "out")).collect()[0]
     assert got.body == "via cli"
+
+
+def test_mail_extract_mixed_dispatch(spark):
+    """r13: the mixed eml/.msg mail dispatcher routes by magic and
+    unifies the schema; junk drops under skip."""
+    from minerva_etl_spark.operators.email_ingest import (
+        mail_extract,
+        synthesize_eml,
+    )
+
+    rows = [
+        (1, synthesize_eml(subject="S1", sender="a@x.test",
+                           text_body="wire body")),
+        (2, synthesize_msg("S2", "desktop body", sender="b@x.test")),
+        (3, b"neither format"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    out = {r.doc_id: r for r in mail_extract(df, on_error="skip").collect()}
+    assert set(out) == {1, 2}
+    assert out[1].kind == "eml" and out[1].text == "wire body"
+    assert out[1].subject == "S1" and out[1].sender == "a@x.test"
+    assert out[2].kind == "msg" and out[2].text == "desktop body"
+    assert out[2].sender == "b@x.test"
