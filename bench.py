@@ -161,6 +161,7 @@ HEADLINE = [
     "wet_harvest",
     "wat_harvest",
     "cdx_harvest",
+    "cdx_recrawl",
     "html_extract",
     "url_profile",
     "charset_decode",

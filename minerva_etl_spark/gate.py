@@ -7142,6 +7142,96 @@ FROM san
 """
 
 
+def q_cdx_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling over the CDX index (`sources/cdx.py::
+    recrawl_candidates`, r13): every third URL carries TWO captures a
+    day apart — the second's payload digest changes only for even
+    doc_ids — round-tripped through real CDXJ shards, then the
+    latest-per-urlkey window computes capture counts, the
+    content-churn flag (tri-state: NULL without a baseline) and the
+    capture gap.  The oracle rebuilds all of it closed-form; a
+    window-order, lag, or tri-state bug hash-mismatches."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.sources.cdx import (
+        read_cdxj,
+        recrawl_candidates,
+        surt_key_expr,
+        write_cdxj,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def capture(ts_shift_days: int, v2: bool):
+        digest = (
+            "concat('sha1:', md5(concat(CAST(doc_id AS STRING), "
+            "IF(doc_id % 2 = 0, ':v2', ''))))"
+            if v2
+            else "concat('sha1:', md5(CAST(doc_id AS STRING)))"
+        )
+        return docs.selectExpr(
+            "concat('part-', CAST(doc_id % 8 AS STRING), '.cdxj') "
+            "AS cdx_file",
+            "concat('https://h', CAST(doc_id % 20 AS STRING), "
+            "'.corpus.test/d/', CAST(doc_id AS STRING)) AS url",
+            "CAST(timestamp'2026-02-03 04:05:06' "
+            "+ make_interval(0,0,0,"
+            f"{int(ts_shift_days)}"
+            ",0,0, CAST(doc_id % 50 AS INT)) AS timestamp_ntz) AS ts",
+            "CAST(200 AS INT) AS status",
+            "'text/html' AS mime",
+            f"{digest} AS digest",
+            "'w-0.warc.gz' AS warc_file",
+            "CAST(doc_id * 1000 AS BIGINT) AS warc_offset",
+            "CAST(100 AS BIGINT) AS warc_length",
+        ).selectExpr("*", f"{surt_key_expr('url')} AS urlkey")
+
+    captures = capture(0, False).unionByName(
+        capture(1, True).filter(
+            "CAST(regexp_extract(url, '/d/([0-9]+)$', 1) AS BIGINT) "
+            "% 3 = 0"
+        )
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_cdxr_")
+    write_cdxj(captures, root).collect()
+    out = (
+        recrawl_candidates(read_cdxj(spark, root))
+        .select(
+            F.regexp_extract("url", r"/d/(\d+)$", 1)
+            .cast("bigint").alias("doc_id"),
+            "urlkey", "ts", "status", "digest", "n_captures",
+            "changed", "secs_since_prev",
+        )
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ORACLE_CDX_RECRAWL = """
+SELECT doc_id,
+       'test,corpus,h' || CAST(doc_id % 20 AS VARCHAR) || ')/d/'
+         || CAST(doc_id AS VARCHAR) AS urlkey,
+       TIMESTAMP '2026-02-03 04:05:06'
+         + (doc_id % 50) * INTERVAL 1 SECOND
+         + CASE WHEN doc_id % 3 = 0 THEN INTERVAL 1 DAY
+                ELSE INTERVAL 0 DAY END AS ts,
+       CAST(200 AS INT) AS status,
+       'sha1:' || md5(CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 AND doc_id % 2 = 0
+                 THEN ':v2' ELSE '' END) AS digest,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT)
+         AS n_captures,
+       CASE WHEN doc_id % 3 = 0 THEN doc_id % 2 = 0
+            ELSE NULL END AS changed,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 86400
+                 ELSE NULL END AS BIGINT) AS secs_since_prev
+FROM documents
+"""
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
     each doc becomes a real feed synthesized in-task — even doc_ids
@@ -8697,6 +8787,10 @@ _REGISTRY_ORDER = [
     #   mail_extract pins the mixed eml/.msg mail dispatch (the
     #     office_extract pattern on the mail arc).
     "mail_extract",
+    #   cdx_recrawl pins the latest-per-urlkey recrawl window over
+    #     the round-tripped index (tri-state churn flag, ntz-safe
+    #     capture gap).
+    "cdx_recrawl",
     #   unigram_encode_bf pins the SentencePiece byte_fallback
     #     contract (operators/unigram.py — q-stripped training, OOV
     #     letters as <0xNN> penalty edges through the unchanged
@@ -8905,6 +8999,7 @@ def build_queries() -> dict:
         "format_census": q_format_census,
         "cdx_harvest": q_cdx_harvest,
         "mail_extract": q_mail_extract,
+        "cdx_recrawl": q_cdx_recrawl,
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
@@ -9087,6 +9182,7 @@ def build_oracles() -> dict[str, str]:
         "format_census": _ORACLE_FORMAT_CENSUS,
         "cdx_harvest": _ORACLE_CDX_HARVEST,
         "mail_extract": _ORACLE_MAIL_EXTRACT,
+        "cdx_recrawl": _ORACLE_CDX_RECRAWL,
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),

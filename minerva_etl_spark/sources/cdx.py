@@ -33,7 +33,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-__all__ = ["read_cdxj", "write_cdxj", "surt_key_expr"]
+__all__ = ["read_cdxj", "write_cdxj", "surt_key_expr",
+           "recrawl_candidates"]
 
 
 def surt_key_expr(url_col: str) -> str:
@@ -157,3 +158,51 @@ def register() -> None:
 
 
 register()
+
+
+def recrawl_candidates(captures: DataFrame) -> DataFrame:
+    """The index workflow a recrawl scheduler runs over CDX captures
+    (r13): per ``urlkey``, order captures by ``ts`` and keep the
+    LATEST, carrying ``n_captures``, whether the latest payload
+    digest CHANGED vs the previous capture (content churn — the
+    recrawl-priority signal), and the seconds since the previous
+    capture.  One window over (urlkey, ts) — Spark sorts within the
+    urlkey partition, no global sort; single-capture URLs report
+    ``changed = NULL`` (no baseline), the honest tri-state.
+
+    Returns ``(urlkey, url, ts, status, digest, n_captures, changed,
+    secs_since_prev)``.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("urlkey").orderBy(F.col("ts").asc())
+    enriched = captures.select(
+        "urlkey", "url", "ts", "status", "digest",
+        F.lag("digest").over(w).alias("__prev_digest"),
+        F.lag("ts").over(w).alias("__prev_ts"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("urlkey")
+        ).alias("n_captures"),
+    )
+    return (
+        enriched.filter(F.col("__rn") == F.col("n_captures"))
+        .select(
+            "urlkey",
+            "url",
+            "ts",
+            "status",
+            "digest",
+            F.col("n_captures").cast("int").alias("n_captures"),
+            F.when(
+                F.col("__prev_digest").isNotNull(),
+                F.col("digest") != F.col("__prev_digest"),
+            ).alias("changed"),
+            # timestampdiff, not unix_timestamp: ntz values must
+            # subtract tz-independently under ANY session timezone
+            F.when(
+                F.col("__prev_ts").isNotNull(),
+                F.expr("timestampdiff(SECOND, __prev_ts, ts)"),
+            ).cast("bigint").alias("secs_since_prev"),
+        )
+    )

@@ -85,3 +85,42 @@ def test_registered_as_harvest_plugin(spark, tmp_path):
     d = str(tmp_path / "cdx")
     write_cdxj(_captures(spark), d).collect()
     assert get_plugin("cdxj")(spark, d, None).count() == 3
+
+
+def test_recrawl_candidates(spark):
+    """Latest-per-urlkey with the tri-state churn flag and the
+    ntz-safe capture gap."""
+    from minerva_etl_spark.sources.cdx import recrawl_candidates
+
+    rows = [
+        # two captures, digest changed
+        ("com,a)/x", "2026-02-03 00:00:00", "https://a.com/x",
+         200, "sha1:AAA"),
+        ("com,a)/x", "2026-02-04 00:00:10", "https://a.com/x",
+         200, "sha1:BBB"),
+        # two captures, digest stable
+        ("com,a)/y", "2026-02-03 00:00:00", "https://a.com/y",
+         200, "sha1:CCC"),
+        ("com,a)/y", "2026-02-03 06:00:00", "https://a.com/y",
+         200, "sha1:CCC"),
+        # single capture: no baseline
+        ("com,a)/z", "2026-02-03 00:00:00", "https://a.com/z",
+         404, "sha1:DDD"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "urlkey string, ts string, url string, status int, "
+        "digest string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    out = {r.urlkey: r for r in recrawl_candidates(df).collect()}
+    assert len(out) == 3
+    x = out["com,a)/x"]
+    assert (x.n_captures, x.changed, x.secs_since_prev) == (
+        2, True, 86410)
+    assert x.digest == "sha1:BBB"  # the LATEST capture wins
+    y = out["com,a)/y"]
+    assert (y.n_captures, y.changed, y.secs_since_prev) == (
+        2, False, 21600)
+    z = out["com,a)/z"]
+    assert (z.n_captures, z.changed, z.secs_since_prev) == (
+        1, None, None)
