@@ -341,7 +341,14 @@ def xlsx_extract_text(payload: bytes) -> dict:
             if _tag(sh) != "sheet":
                 continue
             name = sh.get("name", "")
+            # transitional OR strict OOXML: the r:id attribute lives
+            # under different namespaces — accept any *}id
             rid = sh.get(_R_ATTR) or sh.get("id")
+            if rid is None:
+                for k, v in sh.attrib.items():
+                    if k.endswith("}id"):
+                        rid = v
+                        break
             part = rel_target.get(rid or "", "")
             if part:
                 sheet_parts.append((name, part))

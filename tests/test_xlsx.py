@@ -169,3 +169,28 @@ def test_spark_extract_and_cli(spark, tmp_path):
     cmd_media(a)
     got = spark.read.parquet(str(tmp_path / "out")).collect()[0]
     assert got.text == "V\nvia cli"
+
+
+def test_strict_ooxml_namespace_rid_resolves():
+    """ECMA-376 STRICT workbooks put r:id under a different namespace
+    (purl.oclc.org) — sheet resolution must accept any *}id."""
+    import io
+    import zipfile
+
+    base = synthesize_xlsx([("S", [["strict body"]])])
+    zf = zipfile.ZipFile(io.BytesIO(base))
+    entries = {n: zf.read(n) for n in zf.namelist()}
+    wb = entries["xl/workbook.xml"].decode()
+    wb = wb.replace(
+        "http://schemas.openxmlformats.org/officeDocument/2006/"
+        "relationships",
+        "http://purl.oclc.org/ooxml/officeDocument/relationships",
+    )
+    entries["xl/workbook.xml"] = wb.encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n, d in entries.items():
+            out.writestr(n, d)
+    rec = xlsx_extract_text(buf.getvalue())
+    assert rec["text"] == "S\nstrict body"
+    assert rec["n_sheets"] == 1
