@@ -1523,10 +1523,20 @@ def cmd_corpus(args) -> None:
             iters=args.iters, text_col=args.text_col,
         )
         vocab.write.mode("overwrite").parquet(args.output + "_vocab")
-        out = unigram_encode(
-            df, vocab, max_len=args.max_piece_len,
-            text_col=args.text_col,
-        )
+        if getattr(args, "byte_fallback", False):
+            from minerva_etl_spark.operators.unigram import (
+                unigram_encode_bf,
+            )
+
+            out = unigram_encode_bf(
+                df, vocab, max_len=args.max_piece_len,
+                text_col=args.text_col,
+            )
+        else:
+            out = unigram_encode(
+                df, vocab, max_len=args.max_piece_len,
+                text_col=args.text_col,
+            )
     elif args.action == "weighted-sample":
         from minerva_etl_spark.operators.mixing import weighted_sample
 
@@ -2525,6 +2535,12 @@ def main(argv: list[str] | None = None) -> None:
     co.add_argument("--vocab-size", type=int, default=512,
                     dest="vocab_size",
                     help="unigram: target vocabulary size")
+    co.add_argument("--byte-fallback", action="store_true",
+                    dest="byte_fallback",
+                    help="unigram: encode OOV letters as <0xNN> byte "
+                         "pieces with </w> word markers (decodable "
+                         "stream — the SentencePiece byte_fallback "
+                         "contract)")
     co.add_argument("--ref-filter", default=None, dest="ref_filter",
                     help="ppl-buckets: SQL predicate selecting the LM "
                          "reference slice (default lang = 'en')")

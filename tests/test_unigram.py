@@ -218,3 +218,42 @@ def test_byte_fallback_never_displaces_trained_pieces(spark):
     bf = unigram_encode_bf(docs, vocab, max_len=5).collect()[0]
     assert bf.pieces.replace("</w>", "") == plain.pieces
     assert bf.n_tokens == plain.n_tokens
+
+
+def test_cli_unigram_byte_fallback(spark, tmp_path):
+    """The CLI trains on the input itself, so every letter is
+    covered — the --byte-fallback value there is the DECODABLE
+    stream (</w> word markers); byte pieces appear when a trained
+    vocab meets a different corpus (the operator/gate-row path)."""
+    from minerva_etl_spark.cli import cmd_corpus
+    from minerva_etl_spark.operators.unigram import unigram_decode
+
+    inp = str(tmp_path / "docs")
+    _docs(
+        spark, [(1, "alpha beta beta"), (2, "alpha gamma beta")]
+    ).write.parquet(inp)
+
+    class A:
+        pass
+
+    a = A()
+    a.action = "unigram"
+    a.input = inp
+    a.output = str(tmp_path / "out")
+    a.iters = 1
+    a.vocab_size = 16
+    a.max_piece_len = 4
+    a.byte_fallback = True
+    a.text_col = "text"
+    cmd_corpus(a)
+    enc = spark.read.parquet(str(tmp_path / "out"))
+    out = {r.doc_id: r.pieces for r in enc.collect()}
+    assert out[1].count("</w>") == 3 and out[2].count("</w>") == 3
+    dec = {
+        r.doc_id: r.decoded
+        for r in unigram_decode(
+            enc, pieces_col="pieces", out_col="decoded"
+        ).collect()
+    }
+    assert dec[1] == "alpha beta beta"
+    assert dec[2] == "alpha gamma beta"
