@@ -1,10 +1,12 @@
 #!/usr/bin/env bash
-# The round-12 document-ingest arc from the CLI: synthesize a mixed
-# PDF / DOCX / EPUB / RTF corpus plus an mbox mailbox with the
-# engine's own writers, then extract everything back — per-format
-# verbs, the magic-byte office dispatcher, and the mail path — and
-# finish with C4 cleaning, corpus-scale substring dedup, and a
-# unigram-LM tokenizer trained on the extracted text.
+# The rounds-12/13 document-ingest arc from the CLI: synthesize a
+# mixed PDF / DOCX / EPUB / RTF / XLSX / PPTX / legacy-.doc/.xls/
+# .ppt corpus plus an mbox mailbox AND Outlook .msg exports with the
+# engine's own writers, then extract everything back — a sniff-only
+# format census, the magic-byte office dispatcher, per-format verbs,
+# and both mail paths — and finish with C4 cleaning, corpus-scale
+# substring dedup, and a unigram-LM tokenizer (byte-fallback stream)
+# trained on the extracted text.
 #
 # Input: any parquet of documents (doc_id, text, ...).
 set -euo pipefail
@@ -27,8 +29,14 @@ from minerva_etl_spark.operators.email_ingest import (
     synthesize_eml, synthesize_mbox,
 )
 from minerva_etl_spark.operators.epub import synthesize_epub
+from minerva_etl_spark.operators.msdoc import synthesize_doc
+from minerva_etl_spark.operators.msg import synthesize_msg
 from minerva_etl_spark.operators.pdf import synthesize_pdf
+from minerva_etl_spark.operators.ppt import synthesize_ppt
+from minerva_etl_spark.operators.pptx import synthesize_pptx
 from minerva_etl_spark.operators.rtf import synthesize_rtf
+from minerva_etl_spark.operators.xls import synthesize_xls
+from minerva_etl_spark.operators.xlsx import synthesize_xlsx
 
 docs_path, out = sys.argv[1], sys.argv[2]
 spark = get_spark(shuffle_partitions=8)
@@ -37,14 +45,20 @@ rows = spark.read.parquet(docs_path).limit(40).collect()
 
 def payload(d, t):
     title = f"Doc {d}"
-    if d % 4 == 0:
-        return synthesize_pdf([title, t], title=title)
-    if d % 4 == 1:
-        return synthesize_docx([title, t], title=title)
-    if d % 4 == 2:
-        return synthesize_epub([f"<p>{title}</p>", f"<p>{t}</p>"],
-                               title=title)
-    return synthesize_rtf([title, t], title=title)
+    return [
+        lambda: synthesize_pdf([title, t], title=title),
+        lambda: synthesize_docx([title, t], title=title),
+        lambda: synthesize_epub([f"<p>{title}</p>", f"<p>{t}</p>"],
+                                title=title),
+        lambda: synthesize_rtf([title, t], title=title),
+        lambda: synthesize_xlsx([("Data", [[title], [t]])],
+                                title=title),
+        lambda: synthesize_pptx([[title, t]], title=title),
+        lambda: synthesize_doc([title, t], title=title),
+        lambda: synthesize_xls([("Data", [[title], [t]])],
+                               title=title),
+        lambda: synthesize_ppt([[title, t]], title=title),
+    ][d % 9]()
 
 
 mixed = [(r.doc_id, payload(r.doc_id, r.text)) for r in rows]
@@ -56,9 +70,23 @@ msgs = [synthesize_eml(f"Doc {r.doc_id} mail", "corpus@example.test",
 spark.createDataFrame([(0, synthesize_mbox(msgs))],
                       "media_id bigint, payload binary") \
     .write.mode("overwrite").parquet(out + "/mailbox")
+
+# desktop exports: wire-format eml MIXED with Outlook .msg
+mail = [
+    (r.doc_id,
+     synthesize_msg(f"Doc {r.doc_id} mail", r.text,
+                    sender="corpus@example.test")
+     if r.doc_id % 2
+     else synthesize_eml(f"Doc {r.doc_id} mail", "corpus@example.test",
+                         text_body=r.text))
+    for r in rows[10:20]
+]
+spark.createDataFrame(mail, "media_id bigint, payload binary") \
+    .write.mode("overwrite").parquet(out + "/mail_mixed")
 EOF
 
-# 1. One verb for the whole mixed column: magic-byte dispatch
+# 1. Budget first (sniff-only census), then one verb for the whole
+#    mixed column: magic-byte dispatch across NINE formats
 minerva-spark media office-text \
   --input "$OUT/mixed" --output "$OUT/extracted"
 
@@ -76,6 +104,10 @@ spark.read.parquet(out + "/messages") \
 EOF
 minerva-spark media eml-text \
   --input "$OUT/messages_keyed" --output "$OUT/mail_text"
+
+# 2b. The mixed desktop-mail path: one verb for eml + .msg together
+minerva-spark media mail-text \
+  --input "$OUT/mail_mixed" --output "$OUT/mail_mixed_text"
 
 # 3. Curate the extracted text: a C4 cleaning REPORT (this corpus
 #    has no terminal punctuation, so C4 would drop everything — the
@@ -97,9 +129,11 @@ minerva-spark corpus substring-dedup \
   --window 8 --text-col text
 minerva-spark corpus unigram \
   --input "$OUT/deduped" --output "$OUT/tokenized" \
-  --n 256 --window 5 --iters 2 --text-col kept_text
+  --vocab-size 256 --max-piece-len 5 --iters 2 \
+  --byte-fallback --text-col kept_text
 
 echo "office demo complete:"
+echo "  mail mixed -> $OUT/mail_mixed_text (eml + .msg, one verb)"
 echo "  extracted  -> $OUT/extracted (format,title,text per payload)"
 echo "  mail       -> $OUT/mail_text"
 echo "  c4 report  -> $OUT/c4_report (per-rule attrition)"
