@@ -411,3 +411,17 @@ def append_small_parquet(
     spark.createDataFrame(rows, ddl).coalesce(1).write.mode(
         "append"
     ).parquet(path)
+
+def write_one_row_parquet(spark, path: str, ddl: str, values) -> None:
+    """One-row metadata parquet WITHOUT a Python-local DataFrame:
+    ``spark.range(1)`` + literal casts plans as a single JVM task.
+    The previous ``createDataFrame([...]).coalesce(1).write`` shape
+    measured ~6 s PER CALL of Python-worker scheduling overhead
+    (r13) — pure waste on per-delivery state-meta bumps."""
+    from pyspark.sql import functions as F
+
+    cols = []
+    for spec, v in zip(ddl.split(","), values):
+        name, typ = spec.strip().rsplit(" ", 1)
+        cols.append(F.lit(v).cast(typ).alias(name))
+    spark.range(1).select(*cols).write.mode("overwrite").parquet(path)

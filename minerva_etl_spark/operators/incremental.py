@@ -619,9 +619,11 @@ def build_ivf_state(
         cent.write.mode("overwrite").parquet(cent_p)
         assigned.write.mode("overwrite").parquet(asg_p)
         n = spark.read.parquet(asg_p).count()  # count the persisted copy
-        spark.createDataFrame(
-            [(n, n)], "n_at_fit bigint, n_total bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+        from minerva_etl_spark.fsutil import write_one_row_parquet
+
+        write_one_row_parquet(
+            spark, meta_p, "n_at_fit bigint, n_total bigint", (n, n)
+        )
     return spark.read.parquet(asg_p)
 
 
@@ -648,10 +650,12 @@ def ivf_increment(
         n_delta = delta_assigned.count()
         delta_assigned.write.mode("append").parquet(asg_p)
         meta = spark.read.parquet(meta_p).collect()[0]  # one row
-        spark.createDataFrame(
-            [(meta.n_at_fit, meta.n_total + n_delta)],
-            "n_at_fit bigint, n_total bigint",
-        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+        from minerva_etl_spark.fsutil import write_one_row_parquet
+
+        write_one_row_parquet(
+            spark, meta_p, "n_at_fit bigint, n_total bigint",
+            (meta.n_at_fit, meta.n_total + n_delta),
+        )
     return delta_assigned
 
 

@@ -320,10 +320,13 @@ def build_ivf_pq_state(
         cb.write.mode("overwrite").parquet(cb_p)
         coarse.join(codes, id_col).write.mode("overwrite").parquet(asg_p)
         n = spark.read.parquet(asg_p).count()
-        spark.createDataFrame(
-            [(n, n, m, d_sub)],
+        from minerva_etl_spark.fsutil import write_one_row_parquet
+
+        write_one_row_parquet(
+            spark, meta_p,
             "n_at_fit bigint, n_total bigint, m int, d_sub int",
-        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+            (n, n, m, d_sub),
+        )
     return spark.read.parquet(asg_p)
 
 
@@ -363,10 +366,13 @@ def ivf_pq_increment(
         )  # pinned before state mutates
         n_delta = delta.count()
         delta.write.mode("append").parquet(asg_p)
-        spark.createDataFrame(
-            [(meta.n_at_fit, meta.n_total + n_delta, m, d_sub)],
+        from minerva_etl_spark.fsutil import write_one_row_parquet
+
+        write_one_row_parquet(
+            spark, meta_p,
             "n_at_fit bigint, n_total bigint, m int, d_sub int",
-        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+            (meta.n_at_fit, meta.n_total + n_delta, m, d_sub),
+        )
     return delta
 
 

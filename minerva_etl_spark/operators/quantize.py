@@ -170,9 +170,11 @@ def build_ivf_state_q(
             "overwrite"
         ).parquet(asg_p)
         n = spark.read.parquet(asg_p).count()  # the persisted copy
-        spark.createDataFrame(
-            [(n, n)], "n_at_fit bigint, n_total bigint"
-        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+        from minerva_etl_spark.fsutil import write_one_row_parquet
+
+        write_one_row_parquet(
+            spark, meta_p, "n_at_fit bigint, n_total bigint", (n, n)
+        )
     return spark.read.parquet(asg_p)
 
 
@@ -208,10 +210,12 @@ def ivf_increment_q(
         n_delta = delta_q.count()
         delta_q.write.mode("append").parquet(asg_p)
         meta = spark.read.parquet(meta_p).collect()[0]  # one row
-        spark.createDataFrame(
-            [(meta.n_at_fit, meta.n_total + n_delta)],
-            "n_at_fit bigint, n_total bigint",
-        ).coalesce(1).write.mode("overwrite").parquet(meta_p)
+        from minerva_etl_spark.fsutil import write_one_row_parquet
+
+        write_one_row_parquet(
+            spark, meta_p, "n_at_fit bigint, n_total bigint",
+            (meta.n_at_fit, meta.n_total + n_delta),
+        )
     return delta_q
 
 
