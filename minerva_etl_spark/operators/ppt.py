@@ -127,28 +127,42 @@ def synthesize_ppt(
 
 def _walk_text(blob: bytes, start: int, end: int,
                out: list[str]) -> None:
-    pos = start
-    while pos + 8 <= end:
-        ver_inst, rtype, rlen = struct.unpack_from("<HHI", blob, pos)
-        if rtype == 0 and rlen == 0 and ver_inst == 0:
-            break  # zero padding tail
-        payload_start = pos + 8
-        payload_end = min(payload_start + rlen, end)
-        if (ver_inst & 0x000F) == 0x000F:
-            _walk_text(blob, payload_start, payload_end, out)
-        elif rtype == _RT_TEXT_CHARS_ATOM:
-            out.append(
-                blob[payload_start:payload_end].decode(
-                    "utf-16-le", "replace"
-                )
+    # EXPLICIT stack, not recursion: a hostile file can nest
+    # containers ~1 level per 8 bytes, which would blow Python's
+    # recursion limit (an escape from the codec's ValueError
+    # contract) long before it costs any real memory here.
+    stack = [(start, end)]
+    while stack:
+        pos, seg_end = stack.pop()
+        while pos + 8 <= seg_end:
+            ver_inst, rtype, rlen = struct.unpack_from(
+                "<HHI", blob, pos
             )
-        elif rtype == _RT_TEXT_BYTES_ATOM:
-            out.append(
-                blob[payload_start:payload_end].decode(
-                    "cp1252", "replace"
+            if rtype == 0 and rlen == 0 and ver_inst == 0:
+                break  # zero padding tail
+            payload_start = pos + 8
+            payload_end = min(payload_start + rlen, seg_end)
+            if (ver_inst & 0x000F) == 0x000F:
+                # resume the remainder of THIS level after the
+                # container's subtree (document order preserved:
+                # LIFO pops the subtree first)
+                stack.append((payload_end, seg_end))
+                stack.append((payload_start, payload_end))
+                pos = seg_end  # terminate current scan; resumed above
+                break
+            if rtype == _RT_TEXT_CHARS_ATOM:
+                out.append(
+                    blob[payload_start:payload_end].decode(
+                        "utf-16-le", "replace"
+                    )
                 )
-            )
-        pos = payload_end
+            elif rtype == _RT_TEXT_BYTES_ATOM:
+                out.append(
+                    blob[payload_start:payload_end].decode(
+                        "cp1252", "replace"
+                    )
+                )
+            pos = payload_end
 
 
 def ppt_extract_text(payload: bytes) -> dict:

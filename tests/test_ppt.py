@@ -98,3 +98,21 @@ def test_spark_extract_and_cli(spark, tmp_path):
     cmd_media(a)
     got = spark.read.parquet(str(tmp_path / "out")).collect()[0]
     assert got.text == "via cli"
+
+
+def test_hostile_deep_nesting_does_not_recurse():
+    """A pathological file nesting thousands of containers must not
+    blow Python's recursion limit (the walk is an explicit stack)."""
+    import struct
+
+    from minerva_etl_spark.operators.msdoc import _build_cfb
+    from minerva_etl_spark.operators.ppt import _atom
+
+    inner = _atom(0x0FA8, b"deep text")
+    for _ in range(5000):
+        inner = struct.pack("<HHI", 0x000F, 0x03E8, len(inner)) + inner
+    blob = _build_cfb(
+        [("PowerPoint Document", inner.ljust(4 * 4096, b"\x00"))]
+    )
+    rec = ppt_extract_text(blob)
+    assert rec["text"] == "deep text"
