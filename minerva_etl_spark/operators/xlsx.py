@@ -252,22 +252,25 @@ def _tag(el) -> str:
 def _si_text(si) -> str:
     """All ``t`` runs of a shared-string item (plain or rich-text),
     skipping the phonetic ``rPh`` guide subtrees real producers
-    embed."""
-    out: list[str] = []
+    embed.  Explicit stack (hostile XML depth must not blow the
+    recursion limit); document order preserved."""
     if _tag(si) == "t":
         return si.text or ""
-
-    def walk(el):
-        for ch in el:
-            tt = _tag(ch)
-            if tt == "rPh":
-                continue
-            if tt == "t":
-                out.append(ch.text or "")
-            else:
-                walk(ch)
-
-    walk(si)
+    out: list[str] = []
+    stack = [list(si)]
+    while stack:
+        level = stack[-1]
+        if not level:
+            stack.pop()
+            continue
+        ch = level.pop(0)
+        tt = _tag(ch)
+        if tt == "rPh":
+            continue
+        if tt == "t":
+            out.append(ch.text or "")
+        else:
+            stack.append(list(ch))
     return "".join(out)
 
 
