@@ -157,6 +157,7 @@ HEADLINE = [
     "wav_g711_features",
     "wav_spectral",
     "image_features_mixed",
+    "exif_scan",
     "warc_harvest",
     "wet_harvest",
     "wat_harvest",
@@ -359,7 +360,8 @@ def main() -> None:
                  "epub_extract", "office_extract", "eml_extract",
                  "mbox_extract", "rtf_extract", "xlsx_extract",
                  "pptx_extract", "doc_extract", "xls_extract",
-                 "ppt_extract", "msg_extract", "mail_extract"):
+                 "ppt_extract", "msg_extract", "mail_extract",
+                 "exif_scan"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

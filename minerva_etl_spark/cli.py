@@ -1907,6 +1907,14 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.email_ingest import mail_extract
 
         out = mail_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "exif-scan":
+        from minerva_etl_spark.operators.exif import exif_scan
+
+        out = exif_scan(df)
+    elif args.action == "exif-strip":
+        from minerva_etl_spark.operators.exif import strip_exif
+
+        out = strip_exif(df)
     elif args.action == "image-dhash":
         from minerva_etl_spark.operators.imagehash import image_dhash
 
@@ -2611,6 +2619,7 @@ def main(argv: list[str] | None = None) -> None:
                  "epub-text", "office-text", "eml-text", "mbox-split",
                  "rtf-text", "xlsx-text", "pptx-text", "doc-text",
                  "xls-text", "ppt-text", "msg-text", "mail-text",
+                 "exif-scan", "exif-strip",
                  "image-dhash",
                  "image-dedup", "audio-fingerprint", "audio-dedup",
                  "video-dhash", "video-dedup", "image-increment",

@@ -7232,6 +7232,85 @@ FROM documents
 """
 
 
+def q_exif_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF census over a JPEG column (`operators/exif.py::
+    exif_scan`, r13 — the metadata/privacy pass before images enter
+    a training set): every doc becomes a real baseline JPEG; docs NOT
+    at doc_id % 7 == 0 gain a spec-shaped APP1 Exif (byte order
+    alternating II/MM by parity, formula make/model/orientation/
+    datetime, a GPS sub-IFD pointer at doc_id % 3 == 0); % 7 == 0
+    docs stay EXIF-less and must yield NULL metadata (census, not
+    filter).  The oracle rebuilds every field closed-form; a TIFF
+    byte-order, offset-vs-inline, or GPS-pointer bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.exif import (
+        exif_scan,
+        insert_app1,
+        synthesize_exif_app1,
+    )
+    from minerva_etl_spark.operators.jpeg import synthesize_jpeg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 6 + d % 5, 4 + d % 3
+                px = bytes(
+                    [(d * 37) % 256, (d * 59 + 11) % 256,
+                     (d * 83 + 29) % 256] * (w * h)
+                )
+                payload = synthesize_jpeg(
+                    px, w, h, quality=75, subsampling="4:2:0"
+                )
+                if d % 7 != 0:
+                    app1 = synthesize_exif_app1(
+                        make=f"Cam{d % 5}",
+                        model=f"Model X {d % 11}",
+                        orientation=1 + d % 8,
+                        datetime=f"2026:02:03 04:05:{d % 60:02d}",
+                        gps=(1.0, 2.0) if d % 3 == 0 else None,
+                        byte_order="II" if d % 2 == 0 else "MM",
+                    )
+                    payload = insert_app1(payload, app1)
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "exif",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
+    return exif_scan(payloads)
+
+
+_ORACLE_EXIF_SCAN = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Cam' || CAST(doc_id % 5 AS VARCHAR) END AS make,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Model X ' || CAST(doc_id % 11 AS VARCHAR)
+       END AS model,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 1 + doc_id % 8 END AS INT) AS orientation,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE '2026:02:03 04:05:'
+              || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+       END AS exif_datetime,
+       CASE WHEN doc_id % 7 = 0 THEN FALSE
+            ELSE doc_id % 3 = 0 END AS has_gps,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+            WHEN doc_id % 3 = 0 THEN 5 ELSE 4 END AS INT) AS n_tags
+FROM documents
+"""
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
     each doc becomes a real feed synthesized in-task — even doc_ids
@@ -8791,6 +8870,11 @@ _REGISTRY_ORDER = [
     #     the round-tripped index (tri-state churn flag, ntz-safe
     #     capture gap).
     "cdx_recrawl",
+    #   exif_scan pins the EXIF metadata/privacy census (operators/
+    #     exif.py — TIFF IFD both byte orders, inline vs offset
+    #     values, GPS sub-IFD presence; the strip pass is pinned by
+    #     byte-identity pytest, stronger than any oracle).
+    "exif_scan",
     #   unigram_encode_bf pins the SentencePiece byte_fallback
     #     contract (operators/unigram.py — q-stripped training, OOV
     #     letters as <0xNN> penalty edges through the unchanged
@@ -9000,6 +9084,7 @@ def build_queries() -> dict:
         "cdx_harvest": q_cdx_harvest,
         "mail_extract": q_mail_extract,
         "cdx_recrawl": q_cdx_recrawl,
+        "exif_scan": q_exif_scan,
         "c4_rules": q_c4_rules,
         "orc_roundtrip": q_orc_roundtrip,
         "unigram_encode": q_unigram_encode,
@@ -9183,6 +9268,7 @@ def build_oracles() -> dict[str, str]:
         "cdx_harvest": _ORACLE_CDX_HARVEST,
         "mail_extract": _ORACLE_MAIL_EXTRACT,
         "cdx_recrawl": _ORACLE_CDX_RECRAWL,
+        "exif_scan": _ORACLE_EXIF_SCAN,
         "c4_rules": _oracle_c4_rules(),
         "orc_roundtrip": _ORACLE_ORC_ROUNDTRIP,
         "unigram_encode": _oracle_unigram_encode(),
