@@ -419,9 +419,19 @@ def write_one_row_parquet(spark, path: str, ddl: str, values) -> None:
     measured ~6 s PER CALL of Python-worker scheduling overhead
     (r13) — pure waste on per-delivery state-meta bumps."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-    cols = []
-    for spec, v in zip(ddl.split(","), values):
-        name, typ = spec.strip().rsplit(" ", 1)
-        cols.append(F.lit(v).cast(typ).alias(name))
+    # Parse the DDL properly so parameterized types — decimal(10,2),
+    # array<int>, ... — round-trip instead of splitting mid-type on
+    # the naive ``ddl.split(',')`` (r14 ADVICE).
+    struct = T._parse_datatype_string(ddl)
+    if len(struct.fields) != len(values):
+        raise ValueError(
+            f"write_one_row_parquet: {len(struct.fields)} DDL fields "
+            f"vs {len(values)} values"
+        )
+    cols = [
+        F.lit(v).cast(f.dataType).alias(f.name)
+        for f, v in zip(struct.fields, values)
+    ]
     spark.range(1).select(*cols).write.mode("overwrite").parquet(path)

@@ -397,7 +397,10 @@ class _Cfb:
                 raise ValueError(f"CFB FAT index {cur} out of range")
             cur = self.fat[cur]
             guard += 1
-            if guard > 4 * 1024 * 1024 // self.sect + 65536:
+            # A valid chain visits each FAT entry at most once, so
+            # len(self.fat) steps is the true maximum — this detects
+            # real cycles without capping legitimate stream sizes.
+            if guard > len(self.fat):
                 raise ValueError("CFB FAT chain cycle")
         blob = b"".join(out)
         return blob[:size] if size is not None else blob
@@ -472,7 +475,7 @@ class _Cfb:
                 mf.extend(struct.unpack(f"<{per}I", self._sector(cur)))
                 cur = self.fat[cur] if cur < len(self.fat) else _ENDOFCHAIN
                 guard += 1
-                if guard > 65536:
+                if guard > len(self.fat):
                     raise ValueError("CFB miniFAT chain cycle")
             self._minifat = mf
         return self._mini_data, self._minifat
@@ -503,7 +506,7 @@ class _Cfb:
                     minifat[cur] if cur < len(minifat) else _ENDOFCHAIN
                 )
                 guard += 1
-                if guard > 1048576:
+                if guard > len(minifat):
                     raise ValueError("CFB mini chain cycle")
             return b"".join(out)[: ent["size"]]
         return self._chain(ent["start"], ent["size"])
@@ -513,6 +516,19 @@ def cfb_list_streams(payload: bytes) -> list[str]:
     """Stream names of an OLE2 container (dispatch helper)."""
     return [
         e["name"] for e in _Cfb(payload).entries if e and e["type"] == 2
+    ]
+
+
+def cfb_top_level_streams(payload: bytes) -> list[str]:
+    """Stream names directly under the ROOT storage only.  Format
+    sniffing must use this, not `cfb_list_streams`: a .msg whose
+    OLE-embedded attachment contributes a nested WordDocument/
+    Workbook stream must still sniff as ``msg``, and an
+    EncryptionInfo check must not be fooled by nested storages."""
+    return [
+        e["name"]
+        for e in _Cfb(payload).top_level()
+        if e["type"] == 2
     ]
 
 

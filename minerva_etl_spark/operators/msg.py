@@ -79,12 +79,17 @@ def synthesize_msg(
     sender: str = "",
     to: str = "",
     wide: bool = True,
+    nested_decoy: str | None = None,
 ) -> bytes:
     """Build a minimal .msg: the four core property streams
     (``wide`` selects 001F UTF-16 vs 001E cp1252 for ALL of them —
     non-latin text requires ``wide``), a ``__properties_version1.0``
     stub, and ONE nested recipient storage whose decoy subject
-    stream must never leak into extraction.  Deterministic bytes."""
+    stream must never leak into extraction.  Deterministic bytes.
+    ``nested_decoy`` adds one extra stream of that name INSIDE the
+    nested storage (e.g. ``"WordDocument"`` — an OLE-embedded Word
+    attachment's tell-tale) to pin that format sniffing only looks
+    at top-level entries."""
 
     def enc(s: str) -> bytes:
         raw = (
@@ -105,6 +110,10 @@ def synthesize_msg(
         (_stg_name(0x3001, True), "Decoy Recipient".encode("utf-16-le")),
         (_stg_name(_P_SUBJECT, True), "DECOY".encode("utf-16-le")),
     ]
+    if nested_decoy is not None:
+        recip_streams.append(
+            (nested_decoy, b"\x00" * 16)
+        )
     # hand-rolled CFB with one nested storage (msdoc._build_cfb is
     # flat-only): sector plan [FAT][DIR...][stream sectors]
     # pad stream CONTENT to the mini-cutoff (this writer emits no

@@ -54,26 +54,39 @@ __all__ = [
 
 def sniff_document_format(payload: bytes) -> str:
     """``'pdf' | 'docx' | 'xlsx' | 'pptx' | 'epub' | 'rtf' | 'doc' |
-    'ole2' | 'unknown'`` from magic bytes (see module doc)."""
+    'xls' | 'ppt' | 'msg' | 'ooxml_encrypted' | 'ole2' | 'unknown'``
+    from magic bytes (see module doc).  CFB sniffing looks at
+    TOP-LEVEL directory entries only, so nested attachment storages
+    never masquerade as the container's own format."""
     if payload[:5] == b"%PDF-":
         return "pdf"
     if payload[:5] == b"{\\rtf":
         return "rtf"
     if payload[:4] == b"\xd0\xcf\x11\xe0":
-        from minerva_etl_spark.operators.msdoc import cfb_list_streams
+        from minerva_etl_spark.operators.msdoc import (
+            cfb_top_level_streams,
+        )
 
         try:
-            streams = set(cfb_list_streams(payload))
+            # TOP-LEVEL streams only (r14): a .msg whose OLE-embedded
+            # attachment carries a nested WordDocument/Workbook must
+            # still sniff as 'msg', not as the attachment's format.
+            streams = set(cfb_top_level_streams(payload))
         except ValueError:
             return "unknown"
+        if any(s.startswith("__substg1.0_") for s in streams):
+            return "msg"
+        if "EncryptionInfo" in streams and "EncryptedPackage" in streams:
+            # password-protected OOXML (MS-OFFCRYPTO): a CFB wrapper
+            # around the encrypted zip — distinct from generic ole2
+            # so format_census can count the decryption backlog.
+            return "ooxml_encrypted"
         if "WordDocument" in streams:
             return "doc"
         if "Workbook" in streams or "Book" in streams:
             return "xls"
         if "PowerPoint Document" in streams:
             return "ppt"
-        if any(s.startswith("__substg1.0_") for s in streams):
-            return "msg"
         return "ole2"
     if payload[:4] == b"PK\x03\x04":
         try:
@@ -170,6 +183,12 @@ def office_extract(
                             "OLE2 compound file without a "
                             "WordDocument stream (legacy "
                             "xls/ppt/msi — tagged, not extracted)"
+                        )
+                    if fmt == "ooxml_encrypted":
+                        raise ValueError(
+                            "password-protected OOXML document "
+                            "(EncryptionInfo/EncryptedPackage — "
+                            "tagged, not extracted)"
                         )
                     rec = parsers[fmt](payload)
                 except (ValueError, NotImplementedError):

@@ -311,6 +311,14 @@ def _parse_sst(
                 wide = bool(read(1)[0] & 0x01)
             avail = remaining() // (2 if wide else 1)
             take = min(left, avail)
+            if take == 0:
+                # A wide fragment with a single odd byte left (or an
+                # empty tail with no Continue) can never make
+                # progress; fail fast instead of spinning forever.
+                raise ValueError(
+                    "SST truncated (fragment too short for one "
+                    "character)"
+                )
             raw = read(take * (2 if wide else 1))
             got.append(
                 raw.decode("utf-16-le" if wide else "latin-1",

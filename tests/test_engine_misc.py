@@ -857,3 +857,25 @@ def test_wav_spectral_spark_multichannel(spark):
     row = wav_spectral(df).collect()[0]
     assert row.n_samples == n  # frames, not interleaved samples
     assert row.dominant_bin == k
+
+
+def test_write_one_row_parquet_parameterized_types(spark, tmp_path):
+    """r14 ADVICE (low): the naive ddl.split(',') mis-parsed
+    parameterized types (decimal(10,2) split mid-type); the DDL now
+    goes through a real StructType parse."""
+    from decimal import Decimal
+
+    from minerva_etl_spark.fsutil import write_one_row_parquet
+
+    p = str(tmp_path / "meta")
+    write_one_row_parquet(
+        spark,
+        p,
+        "amount decimal(10,2), tag string, n bigint",
+        [Decimal("12.34"), "x", 7],
+    )
+    row = spark.read.parquet(p).collect()[0]
+    assert row.amount == Decimal("12.34")
+    assert row.tag == "x" and row.n == 7
+    with pytest.raises(ValueError, match="DDL fields"):
+        write_one_row_parquet(spark, p, "a int, b int", [1])

@@ -213,3 +213,25 @@ def test_summary_title_lpwstr_variant():
     )
     assert _SUMMARY_STREAM == "\x05SummaryInformation"
     assert _summary_title(blob) == t
+
+
+def test_fat_chain_cycle_detected_without_size_cap():
+    """r14 ADVICE (medium): the old guard capped chains at ~37 MB and
+    mis-reported big legitimate streams as cycles.  The bound is now
+    len(fat) — the true maximum — so a real cycle still raises while
+    a chain exactly as long as the FAT walks fine."""
+    from minerva_etl_spark.operators.msdoc import _Cfb, _ENDOFCHAIN
+
+    cfb = _Cfb(synthesize_doc(["cycle guard fixture"]))
+    sect = cfb.sect
+    # a legitimate chain covering EVERY fat entry once (longer than
+    # any proportional cap could reasonably allow relative to fat
+    # size) must not be flagged
+    n = 100_000
+    cfb.fat = list(range(1, n)) + [_ENDOFCHAIN]
+    cfb._sector = lambda i: b"\x00" * sect
+    assert len(cfb._chain(0)) == n * sect
+    # a genuine 2-cycle raises
+    cfb.fat = [1, 0]
+    with pytest.raises(ValueError, match="FAT chain cycle"):
+        cfb._chain(0)

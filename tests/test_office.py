@@ -128,3 +128,57 @@ def test_format_census_counts_without_parsing(spark):
     assert got["unknown"] == (1, 13)
     assert got["ole2"][0] == 1
     assert got["docx"][1] == sum(len(p) for _, p in rows[:2])
+
+
+def test_msg_with_embedded_word_attachment_sniffs_as_msg():
+    """r14 ADVICE (low): sniffing walks TOP-LEVEL directory entries
+    only — a nested attachment storage contributing a WordDocument
+    stream must not reroute the container to the doc codec."""
+    from minerva_etl_spark.operators.msg import (
+        msg_extract_text,
+        synthesize_msg,
+    )
+    from minerva_etl_spark.operators.office import (
+        sniff_document_format,
+    )
+
+    b = synthesize_msg(
+        "Real subject", "real body", nested_decoy="WordDocument"
+    )
+    assert sniff_document_format(b) == "msg"
+    assert msg_extract_text(b)["subject"] == "Real subject"
+
+
+def test_encrypted_ooxml_tagged_distinctly(spark):
+    """A password-protected OOXML file is a CFB wrapper holding
+    EncryptionInfo + EncryptedPackage (MS-OFFCRYPTO): tagged
+    'ooxml_encrypted' (distinct from generic ole2), skipped under
+    on_error='skip', counted by format_census."""
+    from minerva_etl_spark.operators.msdoc import _build_cfb
+    from minerva_etl_spark.operators.office import (
+        format_census,
+        office_extract,
+        sniff_document_format,
+    )
+
+    enc = _build_cfb(
+        [
+            ("EncryptionInfo", b"\x04\x00\x04\x00" + b"\x00" * 60),
+            ("EncryptedPackage", b"\x10" * 256),
+        ]
+    )
+    assert sniff_document_format(enc) == "ooxml_encrypted"
+    from minerva_etl_spark.operators.docx import synthesize_docx
+
+    df = spark.createDataFrame(
+        [(1, synthesize_docx(["kept"])), (2, enc)],
+        "doc_id bigint, payload binary",
+    )
+    out = office_extract(df, on_error="skip").collect()
+    assert [r.doc_id for r in out] == [1]
+    with pytest.raises(Exception, match="password-protected"):
+        office_extract(df, on_error="fail").collect()
+    census = {
+        r.format: r.n_docs for r in format_census(df).collect()
+    }
+    assert census.get("ooxml_encrypted") == 1

@@ -177,3 +177,16 @@ def test_spark_extract_and_cli(spark, tmp_path):
     cmd_media(a)
     got = spark.read.parquet(str(tmp_path / "out")).collect()[0]
     assert got.text == "V\nvia cli"
+
+
+def test_truncated_sst_raises_instead_of_hanging():
+    """r14 ADVICE (high): a wide string with a single odd byte left
+    in the final fragment made avail=0/take=0 and spun forever;
+    it must fail fast like every other reject path."""
+    payload = (
+        struct.pack("<II", 1, 1)  # cstTotal=1, cstUnique=1
+        + struct.pack("<HB", 2, 1)  # cch=2, fHighByte (wide)
+        + b"A"  # one odd byte: not enough for one UTF-16 unit
+    )
+    with pytest.raises(ValueError, match="SST truncated"):
+        _parse_sst(payload, [])
