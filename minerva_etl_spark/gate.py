@@ -931,7 +931,7 @@ FROM files
 #: bump when ANY staged fixture's generating formula changes — the
 #: stage cache key includes it, so stale payloads can never leak
 #: across formula revisions.
-_MEDIA_STAGE_VERSION = "r13b"
+_MEDIA_STAGE_VERSION = "r14a"  # xlsx writer gained styles.xml/dates
 
 
 def _media_fixture_staged(spark, sf_dir, kind, build):
@@ -6939,16 +6939,24 @@ FROM documents
 
 def q_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sniff-only format census (`operators/office.py::
-    format_census`, r13): the budgeting pass over the same staged
-    six-format mixed column `office_extract` extracts — one Arrow
-    sniff scan + one combinable groupBy, NO parse.  The gate projects
-    (format, n_docs); the oracle counts the doc_id % 6 cycle
-    closed-form (total_bytes stays operator-only: synthesized payload
-    sizes are compression-dependent, not closed-form)."""
+    format_census`, r13; r14 adds the encrypted leg): the budgeting
+    pass a 100 TB bucket runs before paying for codecs — one Arrow
+    sniff scan + one combinable groupBy, NO parse.  The fixture
+    cycles doc_id % 7 over the six extractable formats PLUS a
+    password-protected OOXML wrapper (CFB with EncryptionInfo/
+    EncryptedPackage, MS-OFFCRYPTO) that must be tagged
+    ``ooxml_encrypted`` — the census is how the decryption backlog
+    gets counted.  The gate projects (format, n_docs); the oracle
+    counts the cycle closed-form (total_bytes stays operator-only:
+    synthesized payload sizes are compression-dependent, not
+    closed-form)."""
     _prep(spark)
     from minerva_etl_spark.operators.docx import synthesize_docx
     from minerva_etl_spark.operators.epub import synthesize_epub
-    from minerva_etl_spark.operators.msdoc import synthesize_doc
+    from minerva_etl_spark.operators.msdoc import (
+        _build_cfb,
+        synthesize_doc,
+    )
     from minerva_etl_spark.operators.office import format_census
     from minerva_etl_spark.operators.pdf import synthesize_pdf
     from minerva_etl_spark.operators.pptx import synthesize_pptx
@@ -6965,37 +6973,51 @@ def q_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(d)
                 t = _ascii_sanitize(str(t))
                 head = f"Doc {d} report"
-                if d % 6 == 0:
+                if d % 7 == 0:
                     payload = synthesize_pdf([head, t], title=f"Doc {d}")
-                elif d % 6 == 1:
+                elif d % 7 == 1:
                     payload = synthesize_docx([head, t], title=f"Doc {d}")
-                elif d % 6 == 2:
+                elif d % 7 == 2:
                     payload = synthesize_epub(
                         [f"<p>{head}</p>", f"<p>{t}</p>"],
                         title=f"Doc {d}",
                     )
-                elif d % 6 == 3:
+                elif d % 7 == 3:
                     payload = synthesize_xlsx(
                         [("Data", [[head], [t]])], title=f"Doc {d}"
                     )
-                elif d % 6 == 4:
+                elif d % 7 == 4:
                     payload = synthesize_pptx([[head, t]], title=f"Doc {d}")
-                else:
+                elif d % 7 == 5:
                     payload = synthesize_doc([head, t])
+                else:
+                    payload = _build_cfb(
+                        [
+                            (
+                                "EncryptionInfo",
+                                b"\x04\x00\x04\x00" + b"\x00" * 60,
+                            ),
+                            (
+                                "EncryptedPackage",
+                                t.encode()[:64].ljust(64, b"\x00"),
+                            ),
+                        ]
+                    )
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = _media_fixture_staged(
-        spark, sf_dir, "office",
+        spark, sf_dir, "census",
         lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
     )
     return format_census(payloads).select("format", "n_docs")
 
 
 _ORACLE_FORMAT_CENSUS = """
-SELECT CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+SELECT CASE doc_id % 7 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
             WHEN 2 THEN 'epub' WHEN 3 THEN 'xlsx'
-            WHEN 4 THEN 'pptx' ELSE 'doc' END AS format,
+            WHEN 4 THEN 'pptx' WHEN 5 THEN 'doc'
+            ELSE 'ooxml_encrypted' END AS format,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM documents
 GROUP BY 1

@@ -75,6 +75,105 @@ _CP = (
 _DC = "http://purl.org/dc/elements/1.1/"
 
 _INT_RE = re.compile(r"^-?\d+$")
+_DATE_RE = re.compile(r"^(\d{4})-(\d{2})-(\d{2})$")
+_DATETIME_RE = re.compile(
+    r"^(\d{4})-(\d{2})-(\d{2}) (\d{2}):(\d{2}):(\d{2})$"
+)
+
+# Built-in number-format ids (ECMA-376 §18.8.30).  14-17/27-36/50-58
+# are date renders, 18-21/45-47 time renders, 22 the combined
+# m/d/yy h:mm.  Anything carrying a time component renders as a full
+# datetime (deterministic, locale-free).
+_BUILTIN_DATE_FMT = (
+    set(range(14, 18)) | set(range(27, 37)) | set(range(50, 59))
+)
+_BUILTIN_DATETIME_FMT = {22} | set(range(18, 22)) | set(range(45, 48))
+
+
+def _custom_fmt_kind(code: str) -> str | None:
+    """``'date' | 'datetime' | None`` for a custom numFmt code:
+    strip quoted literals, ``[...]`` sections and ``\\x`` escapes,
+    then look for date (y/d/m) and time (h/s) tokens."""
+    bare = re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code).lower()
+    has_time = "h" in bare or "s" in bare
+    has_date = (
+        "y" in bare or "d" in bare or ("m" in bare and not has_time)
+    )
+    if has_date and has_time:
+        return "datetime"
+    if has_date:
+        return "date"
+    if has_time:
+        return "datetime"
+    return None
+
+
+def _serial_to_iso(v: str, kind: str, date1904: bool) -> str:
+    """Render an Excel date serial as ISO text.  1900 system: serial
+    1 = 1900-01-01, serial 60 = the phantom 1900-02-29 (the Lotus
+    leap-year bug — rendered literally), 61+ offset by the bug.
+    1904 system: serial 0 = 1904-01-01.  Unrepresentable serials
+    (0/negative in the 1900 system) fall back to the raw lexical
+    form."""
+    import datetime as _dt
+
+    try:
+        serial = float(v)
+    except ValueError:
+        return v
+    days = int(serial)
+    secs = round((serial - days) * 86400)
+    if secs >= 86400:
+        days += 1
+        secs = 0
+    if date1904:
+        if days < 0:
+            return v
+        base = _dt.date(1904, 1, 1) + _dt.timedelta(days=days)
+        date_part = base.isoformat()
+    elif days == 60:
+        date_part = "1900-02-29"  # Excel's phantom day
+    elif 1 <= days < 60:
+        date_part = (
+            _dt.date(1899, 12, 31) + _dt.timedelta(days=days)
+        ).isoformat()
+    elif days > 60:
+        date_part = (
+            _dt.date(1899, 12, 30) + _dt.timedelta(days=days)
+        ).isoformat()
+    else:
+        return v
+    if kind == "date" and secs == 0:
+        return date_part
+    h, rem = divmod(secs, 3600)
+    m, s = divmod(rem, 60)
+    return f"{date_part} {h:02d}:{m:02d}:{s:02d}"
+
+
+def _date_to_serial(
+    y: int, mo: int, d: int, secs: int, date1904: bool
+) -> str | None:
+    """Writer-side inverse of :func:`_serial_to_iso` (None = not
+    representable as a serial; the caller keeps the text form)."""
+    import datetime as _dt
+
+    try:
+        day = _dt.date(y, mo, d)
+    except ValueError:
+        return None
+    if date1904:
+        days = (day - _dt.date(1904, 1, 1)).days
+        if days < 0:
+            return None
+    elif day >= _dt.date(1900, 3, 1):
+        days = (day - _dt.date(1899, 12, 30)).days
+    elif day >= _dt.date(1900, 1, 1):
+        days = (day - _dt.date(1899, 12, 31)).days
+    else:
+        return None
+    if secs == 0:
+        return str(days)
+    return repr(days + secs / 86400.0)
 
 
 def _xml_escape(s: str) -> str:
@@ -99,15 +198,20 @@ def synthesize_xlsx(
     sheets: list[tuple[str, list[list[str]]]],
     title: str | None = None,
     compress: bool = True,
+    date1904: bool = False,
 ) -> bytes:
     """Build a minimal conformant XLSX: ``sheets`` is a list of
     ``(name, rows)`` where rows are lists of cell strings.  Integer-
-    looking cells become numeric cells; text cells ALTERNATE between
-    the shared-string table and inline strings by (row+col) parity so
-    both read paths are exercised on every sheet.  Shared strings at
-    index > 0 are emitted as two rich-text runs (split at the first
-    space) — extraction must be run-invariant.  Fixed zip timestamps
-    → byte-deterministic output."""
+    looking cells become numeric cells; ISO-date-looking cells
+    (``YYYY-MM-DD`` / ``YYYY-MM-DD HH:MM:SS``) become date SERIALS
+    styled with builtin numFmt 14/22 through ``xl/styles.xml`` (the
+    1900 system with its leap-year bug, or 1904 when ``date1904``);
+    text cells ALTERNATE between the shared-string table and inline
+    strings by (row+col) parity so both read paths are exercised on
+    every sheet.  Shared strings at index > 0 are emitted as two
+    rich-text runs (split at the first space) — extraction must be
+    run-invariant.  Fixed zip timestamps → byte-deterministic
+    output."""
     shared: list[str] = []
     shared_index: dict[str, int] = {}
     sheet_xmls: list[str] = []
@@ -117,7 +221,24 @@ def synthesize_xlsx(
             cells = []
             for c, val in enumerate(row):
                 ref = f"{_col_letter(c)}{r + 1}"
-                if _INT_RE.match(val):
+                md = _DATE_RE.match(val)
+                mdt = _DATETIME_RE.match(val)
+                serial = None
+                if md or mdt:
+                    g = [int(x) for x in (mdt or md).groups()]
+                    secs = (
+                        g[3] * 3600 + g[4] * 60 + g[5] if mdt else 0
+                    )
+                    serial = _date_to_serial(
+                        g[0], g[1], g[2], secs, date1904
+                    )
+                if serial is not None:
+                    style = 2 if mdt else 1
+                    cells.append(
+                        f'<c r="{ref}" s="{style}">'
+                        f"<v>{serial}</v></c>"
+                    )
+                elif _INT_RE.match(val):
                     cells.append(f'<c r="{ref}"><v>{val}</v></c>')
                 elif (r + c) % 2 == 0:
                     if val not in shared_index:
@@ -180,7 +301,16 @@ def synthesize_xlsx(
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<workbook xmlns="{_MAIN}" xmlns:r="http://schemas.'
         'openxmlformats.org/officeDocument/2006/relationships">'
-        "<sheets>" + "".join(wb_sheets) + "</sheets></workbook>"
+        + ('<workbookPr date1904="1"/>' if date1904 else "")
+        + "<sheets>" + "".join(wb_sheets) + "</sheets></workbook>"
+    )
+    styles = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<styleSheet xmlns="{_MAIN}"><cellXfs count="3">'
+        '<xf numFmtId="0"/>'
+        '<xf numFmtId="14" applyNumberFormat="1"/>'
+        '<xf numFmtId="22" applyNumberFormat="1"/>'
+        "</cellXfs></styleSheet>"
     )
     wb_rels = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -188,7 +318,10 @@ def synthesize_xlsx(
         + "".join(rels)
         + '<Relationship Id="rIdS" Type="http://schemas.openxmlformats'
         '.org/officeDocument/2006/relationships/sharedStrings" '
-        'Target="sharedStrings.xml"/></Relationships>'
+        'Target="sharedStrings.xml"/>'
+        '<Relationship Id="rIdY" Type="http://schemas.openxmlformats'
+        '.org/officeDocument/2006/relationships/styles" '
+        'Target="styles.xml"/></Relationships>'
     )
     core = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
@@ -227,6 +360,7 @@ def synthesize_xlsx(
         ("xl/workbook.xml", workbook),
         ("xl/_rels/workbook.xml.rels", wb_rels),
         ("xl/sharedStrings.xml", sst),
+        ("xl/styles.xml", styles),
         ("docProps/core.xml", core),
     ]
     for i, sx in enumerate(sheet_xmls):
@@ -274,7 +408,12 @@ def _si_text(si) -> str:
     return "".join(out)
 
 
-def _cell_text(c, shared: list[str]) -> str:
+def _cell_text(
+    c,
+    shared: list[str],
+    xf_kinds: list[str | None] = (),
+    date1904: bool = False,
+) -> str:
     t = c.get("t", "")
     if t == "inlineStr":
         for node in c:
@@ -298,9 +437,61 @@ def _cell_text(c, shared: list[str]) -> str:
         return shared[idx]
     if t == "b":
         return "TRUE" if v.strip() == "1" else "FALSE"
+    if t in ("", "n"):
+        # a numeric cell whose style resolves to a date/time number
+        # format renders as ISO text (1900 system incl. the phantom
+        # Feb 29, or 1904 per workbookPr)
+        s = c.get("s")
+        if s is not None:
+            try:
+                kind = xf_kinds[int(s)]
+            except (ValueError, IndexError):
+                kind = None
+            if kind is not None:
+                return _serial_to_iso(v, kind, date1904)
     # t == "str" (cached formula string) and numeric cells: the raw
     # lexical form, never a float round-trip
     return v
+
+
+def _parse_styles(blob: bytes) -> list[str | None]:
+    """``xl/styles.xml`` → per-cellXf date kind (``'date'`` /
+    ``'datetime'`` / None), resolving custom ``numFmts`` codes."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(blob)
+    custom: dict[int, str] = {}
+    kinds: list[str | None] = []
+    for child in root:
+        if _tag(child) == "numFmts":
+            for nf in child:
+                if _tag(nf) != "numFmt":
+                    continue
+                try:
+                    custom[int(nf.get("numFmtId", ""))] = nf.get(
+                        "formatCode", ""
+                    )
+                except ValueError:
+                    continue
+    for child in root:
+        if _tag(child) != "cellXfs":
+            continue
+        for xf in child:
+            if _tag(xf) != "xf":
+                continue
+            try:
+                fmt_id = int(xf.get("numFmtId", "0"))
+            except ValueError:
+                fmt_id = 0
+            if fmt_id in custom:
+                kinds.append(_custom_fmt_kind(custom[fmt_id]))
+            elif fmt_id in _BUILTIN_DATE_FMT:
+                kinds.append("date")
+            elif fmt_id in _BUILTIN_DATETIME_FMT:
+                kinds.append("datetime")
+            else:
+                kinds.append(None)
+    return kinds
 
 
 def xlsx_extract_text(payload: bytes) -> dict:
@@ -325,6 +516,9 @@ def xlsx_extract_text(payload: bytes) -> dict:
     if "xl/sharedStrings.xml" in names:
         sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
         shared = [_si_text(si) for si in sst if _tag(si) == "si"]
+    xf_kinds: list[str | None] = []
+    if "xl/styles.xml" in names:
+        xf_kinds = _parse_styles(zf.read("xl/styles.xml"))
     rel_target: dict[str, str] = {}
     if "xl/_rels/workbook.xml.rels" in names:
         rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
@@ -336,6 +530,10 @@ def xlsx_extract_text(payload: bytes) -> dict:
                     tgt.lstrip("/") if tgt.startswith("/") else "xl/" + tgt
                 )
     wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    date1904 = False
+    for child in wb:
+        if _tag(child) == "workbookPr":
+            date1904 = child.get("date1904", "") in ("1", "true")
     sheet_parts: list[tuple[str, str]] = []  # (name, part) in wb order
     for sheets_el in wb:
         if _tag(sheets_el) != "sheets":
@@ -383,7 +581,7 @@ def xlsx_extract_text(payload: bytes) -> dict:
                     continue
                 n_rows += 1
                 cells = [
-                    _cell_text(c, shared)
+                    _cell_text(c, shared, xf_kinds, date1904)
                     for c in row
                     if _tag(c) == "c"
                 ]

@@ -194,3 +194,101 @@ def test_strict_ooxml_namespace_rid_resolves():
     rec = xlsx_extract_text(buf.getvalue())
     assert rec["text"] == "S\nstrict body"
     assert rec["n_sheets"] == 1
+
+
+def test_date_serials_render_iso_1900_system():
+    """Date-formatted serials (builtin numFmt 14/22 via styles.xml)
+    render as ISO text; the writer/reader pair round-trips ISO
+    strings through real serials (r13 verdict ask 5)."""
+    rows = [
+        ["2026-03-04", "label"],
+        ["2026-03-04 05:06:07", "42"],
+        ["1900-02-28", "1900-03-01"],
+    ]
+    b = synthesize_xlsx([("D", rows)])
+    rec = xlsx_extract_text(b)
+    assert rec["text"] == (
+        "D\n2026-03-04\tlabel\n2026-03-04 05:06:07\t42\n"
+        "1900-02-28\t1900-03-01"
+    )
+    assert b == synthesize_xlsx([("D", rows)])
+
+
+def test_date_serials_1904_system():
+    """workbookPr date1904='1' shifts the epoch: the same ISO text
+    round-trips through 1904-system serials."""
+    b = synthesize_xlsx(
+        [("D", [["1904-01-02", "2026-03-04 05:06:07"]])],
+        date1904=True,
+    )
+    rec = xlsx_extract_text(b)
+    assert rec["text"] == "D\n1904-01-02\t2026-03-04 05:06:07"
+
+
+def test_leap_year_bug_serials_59_60_61():
+    """The Lotus leap-year bug, straight from hand-built sheet XML:
+    serial 59 = 1900-02-28, serial 60 = the phantom 1900-02-29
+    (rendered literally), serial 61 = 1900-03-01."""
+    import io
+    import zipfile
+
+    b = synthesize_xlsx([("D", [["x"]])])
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    entries = {n: zf.read(n) for n in zf.namelist()}
+    entries["xl/worksheets/sheet1.xml"] = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData><row r="1">'
+        '<c r="A1" s="1"><v>59</v></c>'
+        '<c r="B1" s="1"><v>60</v></c>'
+        '<c r="C1" s="1"><v>61</v></c>'
+        '<c r="D1"><v>61</v></c>'
+        "</row></sheetData></worksheet>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n, data in entries.items():
+            out.writestr(n, data)
+    rec = xlsx_extract_text(buf.getvalue())
+    # unstyled D1 keeps the raw lexical form
+    assert rec["text"] == "D\n1900-02-28\t1900-02-29\t1900-03-01\t61"
+
+
+def test_custom_numfmt_dates_and_non_dates():
+    """Custom numFmts: date tokens outside quoted/bracketed sections
+    drive the render; a plain '0.00' custom format must NOT convert,
+    and quoted literals containing y/m/d must not false-positive."""
+    import io
+    import zipfile
+
+    b = synthesize_xlsx([("D", [["x"]])])
+    zf = zipfile.ZipFile(io.BytesIO(b))
+    entries = {n: zf.read(n) for n in zf.namelist()}
+    entries["xl/styles.xml"] = (
+        '<?xml version="1.0"?>'
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main">'
+        '<numFmts count="3">'
+        '<numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd"/>'
+        '<numFmt numFmtId="165" formatCode="0.00"/>'
+        '<numFmt numFmtId="166" formatCode="&quot;day&quot; 0.0"/>'
+        "</numFmts>"
+        '<cellXfs count="4"><xf numFmtId="0"/>'
+        '<xf numFmtId="164"/><xf numFmtId="165"/>'
+        '<xf numFmtId="166"/></cellXfs></styleSheet>'
+    ).encode()
+    entries["xl/worksheets/sheet1.xml"] = (
+        '<?xml version="1.0"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData><row r="1">'
+        '<c r="A1" s="1"><v>46085</v></c>'
+        '<c r="B1" s="2"><v>46085</v></c>'
+        '<c r="C1" s="3"><v>46085</v></c>'
+        "</row></sheetData></worksheet>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n, data in entries.items():
+            out.writestr(n, data)
+    rec = xlsx_extract_text(buf.getvalue())
+    assert rec["text"] == "D\n2026-03-04\t46085\t46085"
