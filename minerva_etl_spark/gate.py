@@ -7743,6 +7743,57 @@ SELECT doc_id, decoded_text FROM n WHERE decoded_text <> ''
 """
 
 
+def q_bpe_roundtrip_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE byte-fallback ROUND TRIP (`operators/bpe.py::
+    bpe_encode_ids_bf`/`bpe_decode_ids_bf`, r14 — the r13 verdict's
+    ask 2, GPT-2-style byte-level fallback on the persisted-vocab
+    contract): merges + vocabulary train on the corpus with every
+    'q' STRIPPED (so 'q' is provably out-of-alphabet), then the
+    ORIGINAL text plus a planted ' qed quiz' suffix encodes against
+    that FIXED vocabulary — every doc forces fallback — with OOV
+    symbols resolving to ``<0xNN>`` byte tokens at deterministic ids
+    appended after the trained vocabulary (never -1, never dropped).
+    The ``decoded_text`` column is decode(encode(text)) while the
+    oracle computes it INDEPENDENTLY as the normalized word stream
+    of the encode-side source, so the row only hash-matches when the
+    round trip through real token ids is bit-exact."""
+    _prep(spark)
+    from minerva_etl_spark.operators.bpe import (
+        bpe_decode_ids_bf,
+        bpe_encode_ids_bf,
+        bpe_train,
+        bpe_vocab,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    train_docs = docs.select(
+        "doc_id", F.regexp_replace("text", "[qQ]", "").alias("text")
+    )
+    encode_docs = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" qed quiz")).alias("text"),
+    )
+    merges, _ = bpe_train(train_docs, n_merges=12, min_count=2)
+    vocab_ids = bpe_vocab(train_docs, merges)
+    enc = bpe_encode_ids_bf(encode_docs, merges, vocab_ids)
+    return bpe_decode_ids_bf(enc, vocab_ids)
+
+
+_ORACLE_BPE_ROUNDTRIP_BF = """
+WITH n AS (
+  SELECT doc_id,
+         trim(array_to_string(
+           list_filter(string_split_regex(lower(text || ' qed quiz'),
+                                          '[^a-z]+'),
+                       w -> w <> ''), ' ')) AS decoded_text
+  FROM documents
+)
+SELECT doc_id, decoded_text FROM n WHERE decoded_text <> ''
+"""
+
+
 def q_frontier_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental crawl-frontier state (`operators/frontier.py::
     ingest_frontier_increment`): two polls through a persisted
@@ -8761,6 +8812,7 @@ _REGISTRY_ORDER = [
     "image_dedup_dhash",
     "incremental_video_dedup",
     "bpe_roundtrip",
+    "bpe_roundtrip_bf",
     # ---------- entries past the driver's 50-row window --------------
     # r13 rotated-OUT rows (17, every one >=2-round driver-green, most
     # 3+; named in-window voucher for each; tools/check_oracle.py
@@ -9144,6 +9196,7 @@ def build_queries() -> dict:
         "pipeline_document": q_pipeline_document,
         "frontier_increment": q_frontier_increment,
         "bpe_roundtrip": q_bpe_roundtrip,
+        "bpe_roundtrip_bf": q_bpe_roundtrip_bf,
         "fetch_schedule": q_fetch_schedule,
         "chat_curate": q_chat_curate,
         "markup_extract": q_markup_extract,
@@ -9328,6 +9381,7 @@ def build_oracles() -> dict[str, str]:
         "pipeline_document": _oracle_pipeline_document(),
         "frontier_increment": _ORACLE_FRONTIER_INCREMENT,
         "bpe_roundtrip": _ORACLE_BPE_ROUNDTRIP,
+        "bpe_roundtrip_bf": _ORACLE_BPE_ROUNDTRIP_BF,
         "fetch_schedule": _ORACLE_FETCH_SCHEDULE,
         "chat_curate": _ORACLE_CHAT_CURATE,
         "markup_extract": _ORACLE_MARKUP_EXTRACT,

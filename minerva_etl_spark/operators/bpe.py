@@ -557,6 +557,171 @@ def bpe_vocab(
     return _vocab_ids(_initial_vocab(docs, text_col), _merge_list(merges))
 
 
+def _byte_token_ids(spark, start_tid: int) -> DataFrame:
+    """The 512 byte-fallback vocabulary rows: ``<0xNN>_`` (word-
+    medial) and ``<0xNN></w>_`` (word-final) at deterministic ids
+    ``start_tid + 2*NN`` / ``+ 2*NN + 1`` — appended AFTER the
+    trained vocabulary, the SentencePiece byte-piece convention
+    adapted to this engine's terminator scheme."""
+    rows = []
+    for nn in range(256):
+        rows.append((f"<0x{nn:02X}>{_T}", start_tid + 2 * nn))
+        rows.append((f"<0x{nn:02X}>{_EOW}{_T}", start_tid + 2 * nn + 1))
+    return spark.createDataFrame(rows, "tok string, tid int")
+
+
+def _bf_start_tid(vocab_ids: DataFrame) -> int:
+    row = vocab_ids.agg(F.max("tid")).collect()  # one scalar row
+    return int(row[0][0]) + 1
+
+
+def bpe_encode_ids_bf(
+    docs: DataFrame,
+    merges: DataFrame,
+    vocab_ids: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`bpe_encode_ids` with BYTE-LEVEL FALLBACK (the GPT-2 /
+    SentencePiece ``byte_fallback`` contract, r14 — the r13 verdict's
+    ask 2): encoding runs against a PERSISTED vocabulary
+    (:func:`bpe_vocab` of the training corpus), and symbols that
+    vocabulary cannot cover — characters never seen at train time, or
+    a word-final form of a char only ever seen word-medially — render
+    as byte tokens ``<0xNN>`` (UTF-8; one byte for the ``[a-z]`` word
+    alphabet) at deterministic ids appended after the trained
+    vocabulary.  BPE therefore NEVER emits an unknown/-1 id and
+    :func:`bpe_decode_ids_bf` restores the normalized word stream
+    bit-exactly.
+
+    Scale shape: identical to :func:`bpe_encode_ids` — the merge fold
+    runs once per DISTINCT word, id resolution is two broadcast
+    equi-joins against the bounded vocabulary (trained + 512 byte
+    rows), and per-doc arrays rebuild through the order-restoring
+    ``array_sort(collect_list(struct))``.  No UDFs, no extra
+    shuffles.
+    """
+    spark = docs.sparkSession
+    ms = _merge_list(merges)
+    if ms:
+        pats = ", ".join(_sq(f" {l} {r}") for l, r, _ in ms)
+        reps = ", ".join(_sq(f" {m}") for _, _, m in ms)
+        fold = (
+            f"aggregate(arrays_zip(array({pats}), array({reps})), "
+            "sym, (acc, x) -> replace(acc, x['0'], x['1']))"
+        )
+    else:
+        fold = "sym"
+    start = _bf_start_tid(vocab_ids)
+    bt = _byte_token_ids(spark, start).withColumnRenamed(
+        "tok", "__btok"
+    ).withColumnRenamed("tid", "__btid")
+    wsym = _initial_vocab(docs, text_col).select(
+        "word",
+        F.posexplode(F.split(F.trim(F.expr(fold)), " ")).alias(
+            "spos", "tok"
+        ),
+    )
+    # unmatched symbols are single-char based (every merge surface is
+    # in the trained vocab by construction) — rewrite them to their
+    # byte-token form, preserving the word-final marker
+    bf_tok = (
+        "IF(tid IS NOT NULL, NULL, concat('<0x', "
+        "lpad(hex(ascii(substring(tok, 1, 1))), 2, '0'), '>', "
+        f"IF(tok LIKE '%{_EOW}{_T}', '{_EOW}{_T}', '{_T}')))"
+    )
+    resolved = (
+        wsym.join(F.broadcast(vocab_ids), "tok", "left")
+        .withColumn("__btok", F.expr(bf_tok))
+        .join(F.broadcast(bt), "__btok", "left")
+        .select(
+            "word",
+            "spos",
+            F.coalesce("tid", "__btid").cast("int").alias("tid"),
+        )
+    )
+    wids = resolved.groupBy("word").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(spos, tid))),"
+            " x -> x.tid)"
+        ).alias("ids")
+    )
+    dwords = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), "[^a-z]+")
+        ).alias("wpos", "word"),
+    ).filter(F.col("word") != "")
+    return (
+        dwords.join(wids, "word")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "flatten(transform("
+                "array_sort(collect_list(struct(wpos, ids))),"
+                " x -> x.ids))"
+            )
+            .cast("array<int>")
+            .alias("token_ids")
+        )
+        .select(
+            id_col,
+            F.size("token_ids").cast("bigint").alias("n_bpe_tokens"),
+            "token_ids",
+        )
+    )
+
+
+def bpe_decode_ids_bf(
+    encoded: DataFrame,
+    vocab_ids: DataFrame,
+    id_col: str = "doc_id",
+    ids_col: str = "token_ids",
+) -> DataFrame:
+    """Invert :func:`bpe_encode_ids_bf`: ids resolve through the same
+    persisted vocabulary EXTENDED with the 512 byte rows, then ONE
+    codegen ``aggregate`` fold per document strips terminators, turns
+    ``</w>`` markers into spaces, and decodes ``<0xNN>`` byte pieces
+    via ``conv``/``char`` — no UDF, the `unigram_decode` fold adapted
+    to BPE's in-token terminator scheme."""
+    spark = encoded.sparkSession
+    start = _bf_start_tid(vocab_ids)
+    lut = vocab_ids.select(
+        "tok", F.col("tid").cast("int").alias("tid")
+    ).unionByName(_byte_token_ids(spark, start))
+    toks = encoded.select(
+        F.col(id_col),
+        F.posexplode(F.col(ids_col)).alias("tpos", "tid"),
+    )
+    core = (
+        f"regexp_replace(substring(t, 1, length(t) - {len(_T)}), "
+        f"'{_EOW}$', '')"
+    )
+    fold = f"""
+rtrim(aggregate(
+  __toks,
+  CAST('' AS STRING),
+  (acc, t) -> concat(
+    acc,
+    IF({core} RLIKE '^<0x[0-9A-F]{{2}}>$',
+       char(CAST(conv(substring({core}, 4, 2), 16, 10) AS INT)),
+       {core}),
+    IF(substring(t, 1, length(t) - {len(_T)}) LIKE '%{_EOW}',
+       ' ', ''))))
+"""
+    return (
+        toks.join(F.broadcast(lut), "tid")
+        .groupBy(id_col)
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(tpos, tok))),"
+                " x -> x.tok)"
+            ).alias("__toks")
+        )
+        .select(id_col, F.expr(fold).alias("decoded_text"))
+    )
+
+
 def bpe_decode_ids(
     encoded: DataFrame,
     docs: DataFrame | None = None,
