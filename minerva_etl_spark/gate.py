@@ -2300,6 +2300,48 @@ SELECT * FROM ({inner}) WHERE doc_id >= 250
 """
 
 
+def q_dedup_substring_increment_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BUCKETED substring-dedup state, driver-proven (r14 — the
+    r13 verdict's ask 3): same planted corpus and same delivery
+    protocol as `dedup_substring_increment`, but the digest state
+    persists ``bucketBy(64, digest)`` (`operators/substring.py::
+    build_substring_state_bucketed`) so the per-delivery history join
+    reads the state WITHOUT an exchange — the 100 TB-of-history scale
+    path.  Decisions must equal the plain-parquet variant (the
+    differential-Exchange pytest pins the plan shape; THIS row pins
+    the values against the full-corpus oracle restricted to the
+    delta)."""
+    _prep(spark)
+    import shutil
+    import tempfile
+    import uuid
+
+    from minerva_etl_spark.operators.substring import (
+        build_substring_state_bucketed,
+        substring_increment_bucketed,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = _substr_corpus_spark(docs)
+    root = tempfile.mkdtemp(prefix="minerva_gate_substr_bkt_")
+    tbl = f"substr_state_bkt_{uuid.uuid4().hex[:8]}"
+    try:
+        build_substring_state_bucketed(
+            spark, corpus.filter("doc_id < 250"), tbl, w=_SUBSTR_W,
+            path=root + "/state",
+        )
+        out = substring_increment_bucketed(
+            spark, corpus.filter("doc_id >= 250"), tbl, w=_SUBSTR_W,
+            path=root + "/state",
+        )  # localCheckpointed inside, before the state mutates
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def q_chunk_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-length training-sequence chunking (`operators/text.py::
     chunk_sequences`): 64-token chunks every 48 tokens (16-token
@@ -8740,6 +8782,7 @@ _REGISTRY_ORDER = [
     # (ascending-id deliveries == batch restricted to the delta,
     # now watermark-enforced).
     "dedup_substring_increment",
+    "dedup_substring_increment_bucketed",
     "ccnet_buckets",
     "script_profile",
     # -- LLM-pipeline: similarity -------------------------------------
@@ -9174,6 +9217,8 @@ def build_queries() -> dict:
         "sketch_cm": q_sketch_cm,
         "weighted_sample": q_weighted_sample,
         "dedup_substring_increment": q_dedup_substring_increment,
+        "dedup_substring_increment_bucketed":
+            q_dedup_substring_increment_bucketed,
         "dedup_substring": q_dedup_substring,
         "wds_roundtrip": q_wds_roundtrip,
         "pack_semantic": q_pack_semantic,
@@ -9359,6 +9404,8 @@ def build_oracles() -> dict[str, str]:
         "sketch_cm": _oracle_sketch_cm(),
         "weighted_sample": _oracle_weighted_sample(),
         "dedup_substring_increment": _oracle_dedup_substring_increment(),
+        "dedup_substring_increment_bucketed":
+            _oracle_dedup_substring_increment(),
         "dedup_substring": _oracle_dedup_substring(),
         "wds_roundtrip": _ORACLE_WDS_ROUNDTRIP,
         "pack_semantic": _oracle_pack_semantic(),
