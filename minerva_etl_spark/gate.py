@@ -8489,6 +8489,151 @@ FROM rgb
 """
 
 
+def q_video_features_mjpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPRESSED video decode (r14 — the r13 verdict's ask 4):
+    MJPG-in-AVI, the one video codec implementable without ffmpeg —
+    each '00dc' frame is a real baseline JPEG decoded by
+    `operators/jpeg.py::jpeg_decode` inside `multimodal.avi_decode`'s
+    RIFF walk.  Per document: 2 + d%3 solid-colour frames whose
+    colour VARIES per frame index k, JPEG-encoded at quality 75 into
+    a real AVI (RIFF/hdrl/strh/strf/movi) — `avi_features` then
+    decodes every frame and means over all frames' pixels.  Solid
+    colours make the lossy chain exactly recomputable per frame (the
+    `jpeg_features` closed form), so the oracle replays forward
+    YCbCr → DC quantise/dequantise → inverse YCbCr per (doc, frame)
+    and averages across frames on the same half-up 6-dp grid.  A
+    container-walk, stream-geometry, Huffman, quant, upsample, or
+    frame-order bug hash-mismatches."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.multimodal import (
+            synthesize_avi,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 6 + d % 5, 4 + d % 3
+                nf = 2 + d % 3
+                frames = [
+                    bytes(
+                        [
+                            (d * 37 + 11 * k) % 256,
+                            (d * 59 + 7 * k + 11) % 256,
+                            (d * 83 + 13 * k + 29) % 256,
+                        ]
+                        * (w * h)
+                    )
+                    for k in range(nf)
+                ]
+                payloads.append(
+                    synthesize_avi(
+                        frames, w, h, fps=10, codec="MJPG", quality=75
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = _media_fixture_staged(
+        spark, sf_dir, "mjpg",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
+    return M.avi_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        "fps",
+        "n_frames",
+        F.col("channel_means")[0].alias("mean_c0"),
+        F.col("channel_means")[1].alias("mean_c1"),
+        F.col("channel_means")[2].alias("mean_c2"),
+    )
+
+
+# per-frame closed form identical to _ORACLE_JPEG (solid colour →
+# DC-only blocks), then the cross-frame average on avi_features'
+# half-up 6-dp grid: floor(sum/n * 1e6 + 0.5)/1e6 with sum the exact
+# integer pixel sum (value × w×h summed over frames)
+_ORACLE_VIDEO_MJPEG = """
+WITH qt AS (
+  SELECT GREATEST(1, LEAST(255, (16 * (200 - 2 * 75) + 50) // 100)) AS ql,
+         GREATEST(1, LEAST(255, (17 * (200 - 2 * 75) + 50) // 100)) AS qc
+), fr AS (
+  SELECT doc_id,
+         6 + doc_id % 5 AS w,
+         4 + doc_id % 3 AS h,
+         2 + doc_id % 3 AS nf,
+         unnest(generate_series(0, CAST(1 + doc_id % 3 AS INT))) AS k
+  FROM documents
+), src AS (
+  SELECT doc_id, w, h, nf, k,
+         (doc_id * 37 + 11 * k) % 256 AS r,
+         (doc_id * 59 + 7 * k + 11) % 256 AS g,
+         (doc_id * 83 + 13 * k + 29) % 256 AS b
+  FROM fr
+), ycc AS (
+  SELECT doc_id, w, h, nf, k,
+    LEAST(255, GREATEST(0,
+      floor(0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0))) AS y,
+    LEAST(255, GREATEST(0,
+      floor(128 - 0.168736e0 * r - 0.331264e0 * g + 0.5e0 * b + 0.5e0))) AS cb,
+    LEAST(255, GREATEST(0,
+      floor(128 + 0.5e0 * r - 0.418688e0 * g - 0.081312e0 * b + 0.5e0))) AS cr
+  FROM src
+), rec AS (
+  SELECT doc_id, w, h, nf, k,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0e0 * (y - 128)) / ql + 0.5e0 + 1e-7) * ql / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS yq,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0e0 * (cb - 128)) / qc + 0.5e0 + 1e-7) * qc / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS cbq,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0e0 * (cr - 128)) / qc + 0.5e0 + 1e-7) * qc / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS crq
+  FROM ycc, qt
+), rgb AS (
+  SELECT doc_id, w, h, nf,
+    LEAST(255, GREATEST(0,
+      floor(yq + 1.402e0 * (crq - 128) + 0.5e0))) AS r2,
+    LEAST(255, GREATEST(0,
+      floor(yq - 0.344136e0 * (cbq - 128) - 0.714136e0 * (crq - 128)
+            + 0.5e0))) AS g2,
+    LEAST(255, GREATEST(0,
+      floor(yq + 1.772e0 * (cbq - 128) + 0.5e0))) AS b2
+  FROM rec
+), agg AS (
+  SELECT doc_id, w, h, nf,
+         SUM(r2) * w * h AS sr,
+         SUM(g2) * w * h AS sg,
+         SUM(b2) * w * h AS sb
+  FROM rgb GROUP BY doc_id, w, h, nf
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(10 AS INT) AS fps,
+       CAST(nf AS INT) AS n_frames,
+       floor(CAST(sr AS DOUBLE) / (w * h * nf) * 1e6 + 0.5e0) / 1e6
+         AS mean_c0,
+       floor(CAST(sg AS DOUBLE) / (w * h * nf) * 1e6 + 0.5e0) / 1e6
+         AS mean_c1,
+       floor(CAST(sb AS DOUBLE) / (w * h * nf) * 1e6 + 0.5e0) / 1e6
+         AS mean_c2
+FROM agg
+"""
+
+
 def q_image_features_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format image column (`operators/multimodal.py::
     image_features`): even doc_ids carry the formula-patterned PNG
@@ -8856,6 +9001,7 @@ _REGISTRY_ORDER = [
     "incremental_video_dedup",
     "bpe_roundtrip",
     "bpe_roundtrip_bf",
+    "video_features_mjpeg",
     # ---------- entries past the driver's 50-row window --------------
     # r13 rotated-OUT rows (17, every one >=2-round driver-green, most
     # 3+; named in-window voucher for each; tools/check_oracle.py
@@ -9261,6 +9407,7 @@ def build_queries() -> dict:
         "png_features": q_png_features,
         "avi_features": q_avi_features,
         "jpeg_features": q_jpeg_features,
+        "video_features_mjpeg": q_video_features_mjpeg,
         "image_features_mixed": q_image_features_mixed,
         "incremental_embedding": q_incremental_embedding,
         "semantic_decontamination": q_semantic_decontamination,
@@ -9448,6 +9595,7 @@ def build_oracles() -> dict[str, str]:
         "png_features": _ORACLE_PNG,
         "avi_features": _ORACLE_AVI,
         "jpeg_features": _ORACLE_JPEG,
+        "video_features_mjpeg": _ORACLE_VIDEO_MJPEG,
         "image_features_mixed": _ORACLE_IMAGE_MIXED,
         "incremental_embedding": _oracle_incremental_embedding(),
         "semantic_decontamination": _oracle_semantic_decontamination(),

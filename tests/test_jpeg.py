@@ -338,3 +338,71 @@ def test_cli_media_image_verbs(tmp_path, spark):
     main(["media", "image-resize", "--input", src, "--output", out2,
           "--width", "2", "--height", "2"])
     assert spark.read.parquet(out2).count() == 2
+
+
+def test_mjpg_corrupt_frame_error_policy(spark):
+    """r14 (the r13 verdict's ask 4): a corrupt JPEG frame inside an
+    MJPG AVI follows the codec error contract — on_error='fail'
+    raises, on_error='skip' drops that media row and keeps the
+    rest."""
+    import pytest
+
+    from minerva_etl_spark.operators.multimodal import (
+        avi_decode,
+        avi_features,
+        synthesize_avi,
+    )
+
+    w, h = 8, 6
+    frames = [bytes([10, 20, 30] * (w * h)) for _ in range(2)]
+    good = synthesize_avi(frames, w, h, codec="MJPG", quality=75)
+    # corrupt the SECOND frame's entropy data: truncate the payload
+    # mid-scan (chop the movi tail) so jpeg_decode fails on it
+    bad = bytearray(good)
+    # find the second '00dc' chunk and zero its JPEG SOI marker
+    first = bad.index(b"00dc")
+    second = bad.index(b"00dc", first + 4)
+    bad[second + 8 : second + 10] = b"\x00\x00"
+    bad = bytes(bad)
+    with pytest.raises(Exception):
+        avi_decode(bad)
+    df = spark.createDataFrame(
+        [(1, good), (2, bad)], "media_id bigint, payload binary"
+    )
+    out = avi_features(df, on_error="skip").collect()
+    assert [r.media_id for r in out] == [1]
+    with pytest.raises(Exception):
+        avi_features(df, on_error="fail").collect()
+
+
+def test_mjpg_wrong_geometry_frame_rejected():
+    """A frame whose decoded dimensions disagree with the stream
+    header raises (stream geometry is the contract)."""
+    import struct
+
+    import pytest
+
+    from minerva_etl_spark.operators.jpeg import synthesize_jpeg
+    from minerva_etl_spark.operators.multimodal import (
+        avi_decode,
+        synthesize_avi,
+    )
+
+    w, h = 8, 6
+    payload = bytearray(
+        synthesize_avi([bytes([1, 2, 3] * (w * h))], w, h, codec="MJPG")
+    )
+    # swap the frame for a differently-sized JPEG, fixing chunk size
+    other = synthesize_jpeg(bytes([1, 2, 3] * 20), 5, 4, 75)
+    idx = payload.index(b"00dc")
+    (old_size,) = struct.unpack("<I", payload[idx + 4 : idx + 8])
+    new = (
+        payload[: idx + 4]
+        + struct.pack("<I", len(other))
+        + other
+        + (b"\x00" if len(other) % 2 else b"")
+    )
+    # rebuild RIFF/movi sizes by re-synthesizing is overkill: the
+    # walker reads chunk-local sizes, so patching this chunk suffices
+    with pytest.raises(ValueError, match="stream header says"):
+        avi_decode(bytes(new))
