@@ -157,6 +157,9 @@ HEADLINE = [
     "wav_g711_features",
     "wav_spectral",
     "image_features_mixed",
+    # round-14: MJPEG-in-AVI — compressed video via the per-frame
+    # baseline-JPEG chain (fixture staged outside the clock)
+    "video_features_mjpeg",
     "exif_scan",
     "warc_harvest",
     "wet_harvest",
@@ -190,6 +193,10 @@ HEADLINE = [
     # history join, state build is part of the story — the
     # frontier_increment rule)
     "dedup_substring_increment",
+    # round-14: the bucketBy(64, digest) state variant — the
+    # exchange-free history join (state build + one delivery, same
+    # story shape as the plain row)
+    "dedup_substring_increment_bucketed",
     # round-11: ratio-margin bitext mining (pure Catalyst: broadcast
     # product -> decimal top-k sums -> margin windows)
     "bitext_mine",
@@ -271,10 +278,11 @@ HEADLINE = [
     # sim_ivf where the fit amortizes outside the clock)
     "incremental_image_dedup",
     "incremental_video_dedup",
-    # bpe_roundtrip is deliberately NOT here (the sim_ivf_incremental
-    # rule): its gate row retrains 12 merges in-row, so benching it
-    # times the training harness a third time — encode is already
-    # timed by bpe_encode_ids, and decode is two joins + array_join.
+    # bpe_roundtrip / bpe_roundtrip_bf are deliberately NOT here
+    # (the sim_ivf_incremental rule): their gate rows retrain 12
+    # merges in-row, so benching them times the training harness
+    # again — encode is already timed by bpe_encode_ids, and decode
+    # is two joins + one fold.
     # engine write paths: CSV ingest -> upsert -> read-back, and the
     # fingerprint materialization loop (sf-dependent ingest volume)
     "lifecycle_load_store",
@@ -361,7 +369,8 @@ def main() -> None:
                  "mbox_extract", "rtf_extract", "xlsx_extract",
                  "pptx_extract", "doc_extract", "xls_extract",
                  "ppt_extract", "msg_extract", "mail_extract",
-                 "exif_scan"):
+                 "exif_scan", "format_census",
+                 "video_features_mjpeg"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

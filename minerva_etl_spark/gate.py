@@ -8449,33 +8449,33 @@ WITH qt AS (
 ), ycc AS (
   SELECT doc_id, w, h,
     LEAST(255, GREATEST(0,
-      floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+      floor(0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0))) AS y,
     LEAST(255, GREATEST(0,
-      floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+      floor(128 - 0.168736e0 * r - 0.331264e0 * g + 0.5e0 * b + 0.5e0))) AS cb,
     LEAST(255, GREATEST(0,
-      floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+      floor(128 + 0.5e0 * r - 0.418688e0 * g - 0.081312e0 * b + 0.5e0))) AS cr
   FROM src
 ), rec AS (
   SELECT doc_id, w, h,
     LEAST(255, GREATEST(0, floor(
-      floor((8.0 * (y - 128)) / ql + 0.5 + 1e-7) * ql / 8.0
-      + 128 + 0.5 + 1e-7))) AS yq,
+      floor((8.0e0 * (y - 128)) / ql + 0.5e0 + 1e-7) * ql / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS yq,
     LEAST(255, GREATEST(0, floor(
-      floor((8.0 * (cb - 128)) / qc + 0.5 + 1e-7) * qc / 8.0
-      + 128 + 0.5 + 1e-7))) AS cbq,
+      floor((8.0e0 * (cb - 128)) / qc + 0.5e0 + 1e-7) * qc / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS cbq,
     LEAST(255, GREATEST(0, floor(
-      floor((8.0 * (cr - 128)) / qc + 0.5 + 1e-7) * qc / 8.0
-      + 128 + 0.5 + 1e-7))) AS crq
+      floor((8.0e0 * (cr - 128)) / qc + 0.5e0 + 1e-7) * qc / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS crq
   FROM ycc, qt
 ), rgb AS (
   SELECT doc_id, w, h,
     LEAST(255, GREATEST(0,
-      floor(yq + 1.402 * (crq - 128) + 0.5))) AS r2,
+      floor(yq + 1.402e0 * (crq - 128) + 0.5e0))) AS r2,
     LEAST(255, GREATEST(0,
-      floor(yq - 0.344136 * (cbq - 128) - 0.714136 * (crq - 128)
-            + 0.5))) AS g2,
+      floor(yq - 0.344136e0 * (cbq - 128) - 0.714136e0 * (crq - 128)
+            + 0.5e0))) AS g2,
     LEAST(255, GREATEST(0,
-      floor(yq + 1.772 * (cbq - 128) + 0.5))) AS b2
+      floor(yq + 1.772e0 * (cbq - 128) + 0.5e0))) AS b2
   FROM rec
 )
 SELECT doc_id AS media_id,
@@ -8636,28 +8636,37 @@ FROM agg
 
 def q_image_features_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mixed-format image column (`operators/multimodal.py::
-    image_features`): even doc_ids carry the formula-patterned PNG
-    fixture (same generator as `png_features`), odd doc_ids a
-    solid-colour JPEG (same generator as `jpeg_features`) — ONE binary
-    column, per-payload magic-byte dispatch inside the Arrow batch,
-    the realistic crawl shape.  The oracle unions the two closed-form
-    recomputations keyed by parity, so a sniffing bug, a cross-codec
-    mixup, or either codec regressing hash-mismatches."""
+    image_features`; r14 widens the cycle to THREE codecs so this row
+    vouches the GIF leg too): doc_id % 3 == 0 carries the
+    formula-patterned PNG fixture (the `png_features` generator),
+    % 3 == 1 a solid-colour JPEG (the `jpeg_features` generator),
+    % 3 == 2 an animated GIF (the `gif_features` palette formula,
+    interlaced when odd, extra frames shifting the formula to prove
+    the frame walk) — ONE binary column, per-payload magic-byte
+    dispatch inside the Arrow batch, the realistic crawl shape.  The
+    oracle unions the three closed-form recomputations keyed by
+    doc_id % 3, so a sniffing bug, a cross-codec mixup, or any codec
+    regressing hash-mismatches."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def synth(batches):
         import pandas as pd
 
+        from minerva_etl_spark.operators.gif import synthesize_gif
         from minerva_etl_spark.operators.jpeg import synthesize_jpeg
         from minerva_etl_spark.operators.multimodal import synthesize_png
 
+        palette = [
+            ((i * 41) % 256, (i * 59) % 256, (i * 83) % 256)
+            for i in range(8)
+        ]
         for pdf in batches:
             payloads = []
             for did in pdf["doc_id"]:
                 d = int(did)
                 w, h = 6 + d % 5, 4 + d % 3
-                if d % 2 == 0:
+                if d % 3 == 0:
                     px = bytes(
                         (d * 7 + y * 31 + x * 13 + ch * 101) % 256
                         for y in range(h)
@@ -8666,7 +8675,7 @@ def q_image_features_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     filters = [(d + y) % 5 for y in range(h)]
                     payloads.append(synthesize_png(px, w, h, 3, filters))
-                else:
+                elif d % 3 == 1:
                     px = bytes(
                         [(d * 37) % 256, (d * 59 + 11) % 256,
                          (d * 83 + 29) % 256] * (w * h)
@@ -8674,6 +8683,21 @@ def q_image_features_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(
                         synthesize_jpeg(px, w, h, quality=75,
                                         subsampling="4:2:0")
+                    )
+                else:
+                    frames = [
+                        [
+                            (d * 7 + f * 17 + y * 31 + x * 13) % 8
+                            for y in range(h)
+                            for x in range(w)
+                        ]
+                        for f in range(1 + d % 2)
+                    ]
+                    payloads.append(
+                        synthesize_gif(
+                            frames, palette, w, h,
+                            interlace=(d % 2 == 1),
+                        )
                     )
             yield pd.DataFrame(
                 {"media_id": pdf["doc_id"], "payload": payloads}
@@ -8698,7 +8722,7 @@ def q_image_features_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_IMAGE_MIXED = """
 WITH dims AS (
   SELECT doc_id, 6 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
-  FROM documents WHERE doc_id % 2 = 0
+  FROM documents WHERE doc_id % 3 = 0
 ), px AS (
   SELECT doc_id, w, h, ch.c AS c,
          (doc_id * 7 + y.y * 31 + x.x * 13 + ch.c * 101) % 256 AS v
@@ -8708,7 +8732,7 @@ WITH dims AS (
        UNNEST(generate_series(0, 2)) AS ch(c)
 ), chmean AS (
   SELECT doc_id, w, h, c,
-         floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5)
+         floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5e0)
              / 1000000 AS m
   FROM px GROUP BY doc_id, w, h, c
 ), png_rows AS (
@@ -8731,27 +8755,27 @@ WITH dims AS (
          (doc_id * 83 + 29) % 256 AS b,
          6 + doc_id % 5 AS w,
          4 + doc_id % 3 AS h
-  FROM documents WHERE doc_id % 2 = 1
+  FROM documents WHERE doc_id % 3 = 1
 ), ycc AS (
   SELECT doc_id, w, h,
     LEAST(255, GREATEST(0,
-      floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5))) AS y,
+      floor(0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0))) AS y,
     LEAST(255, GREATEST(0,
-      floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5))) AS cb,
+      floor(128 - 0.168736e0 * r - 0.331264e0 * g + 0.5e0 * b + 0.5e0))) AS cb,
     LEAST(255, GREATEST(0,
-      floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5))) AS cr
+      floor(128 + 0.5e0 * r - 0.418688e0 * g - 0.081312e0 * b + 0.5e0))) AS cr
   FROM src
 ), rec AS (
   SELECT doc_id, w, h,
     LEAST(255, GREATEST(0, floor(
-      floor((8.0 * (y - 128)) / ql + 0.5 + 1e-7) * ql / 8.0
-      + 128 + 0.5 + 1e-7))) AS yq,
+      floor((8.0e0 * (y - 128)) / ql + 0.5e0 + 1e-7) * ql / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS yq,
     LEAST(255, GREATEST(0, floor(
-      floor((8.0 * (cb - 128)) / qc + 0.5 + 1e-7) * qc / 8.0
-      + 128 + 0.5 + 1e-7))) AS cbq,
+      floor((8.0e0 * (cb - 128)) / qc + 0.5e0 + 1e-7) * qc / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS cbq,
     LEAST(255, GREATEST(0, floor(
-      floor((8.0 * (cr - 128)) / qc + 0.5 + 1e-7) * qc / 8.0
-      + 128 + 0.5 + 1e-7))) AS crq
+      floor((8.0e0 * (cr - 128)) / qc + 0.5e0 + 1e-7) * qc / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS crq
   FROM ycc, qt
 ), jpeg_rows AS (
   SELECT doc_id AS media_id,
@@ -8760,15 +8784,47 @@ WITH dims AS (
          CAST(h AS INT) AS height,
          CAST(3 AS INT) AS n_channels,
          CAST(LEAST(255, GREATEST(0,
-           floor(yq + 1.402 * (crq - 128) + 0.5))) AS DOUBLE) AS mean_c0,
+           floor(yq + 1.402e0 * (crq - 128) + 0.5e0))) AS DOUBLE) AS mean_c0,
          CAST(LEAST(255, GREATEST(0,
-           floor(yq - 0.344136 * (cbq - 128) - 0.714136 * (crq - 128)
-                 + 0.5))) AS DOUBLE) AS mean_c1,
+           floor(yq - 0.344136e0 * (cbq - 128) - 0.714136e0 * (crq - 128)
+                 + 0.5e0))) AS DOUBLE) AS mean_c1,
          CAST(LEAST(255, GREATEST(0,
-           floor(yq + 1.772 * (cbq - 128) + 0.5))) AS DOUBLE) AS mean_c2
+           floor(yq + 1.772e0 * (cbq - 128) + 0.5e0))) AS DOUBLE) AS mean_c2
   FROM rec
 )
+, gdims AS (
+  SELECT doc_id, 6 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+  FROM documents WHERE doc_id % 3 = 2
+), gpx AS (
+  SELECT doc_id, w, h,
+         (doc_id * 7 + y.y * 31 + x.x * 13) % 8 AS idx
+  FROM gdims,
+       UNNEST(generate_series(0, w - 1)) AS x(x),
+       UNNEST(generate_series(0, h - 1)) AS y(y)
+), gch AS (
+  SELECT doc_id, w, h, c.c AS c,
+         CASE c.c WHEN 0 THEN (idx * 41) % 256
+                  WHEN 1 THEN (idx * 59) % 256
+                  ELSE (idx * 83) % 256 END AS v
+  FROM gpx, UNNEST(generate_series(0, 2)) AS c(c)
+), gmean AS (
+  SELECT doc_id, w, h, c,
+         floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5e0)
+             / 1000000 AS m
+  FROM gch GROUP BY doc_id, w, h, c
+), gif_rows AS (
+  SELECT doc_id AS media_id,
+         'gif' AS format,
+         CAST(w AS INT) AS width,
+         CAST(h AS INT) AS height,
+         CAST(3 AS INT) AS n_channels,
+         max(CASE WHEN c = 0 THEN m END) AS mean_c0,
+         max(CASE WHEN c = 1 THEN m END) AS mean_c1,
+         max(CASE WHEN c = 2 THEN m END) AS mean_c2
+  FROM gmean GROUP BY doc_id, w, h
+)
 SELECT * FROM png_rows UNION ALL SELECT * FROM jpeg_rows
+UNION ALL SELECT * FROM gif_rows
 """
 
 
@@ -8902,158 +8958,187 @@ def _oracle_tfidf_terms() -> str:
 #: are redundant demos whose operators are already proven in-window
 #: (TPC-H showpieces, a duplicate granularity rung, extra window ops).
 _REGISTRY_ORDER = [
-    # ---------------- r13 driver window (first 50) -------------------
-    # r13 rotation (the r12 verdict's ask 1): 17 of the 21 r12-born
-    # rows rotate IN for their FIRST driver CORRECTNESS row — the PQ
-    # pair, the substring pair, the unigram pair, the 7-row
-    # office/email arc, pagerank, and the 3 sketches (the r12 judge
-    # sweep showed all 21 hash-green at sf0.01; the remaining 4 —
-    # bitext_mine_ann, c4_rules, orc_roundtrip, weighted_sample — are
-    # labeled r14 rotate-ins below, per the verdict's explicit
-    # fallback plan, now written down in COVERAGE.md).  17 multi-round
-    # driver-green rows rotate OUT with named in-window vouchers
-    # (comment block after the window + COVERAGE.md r13).  The two
-    # lifecycle anchors and the seven rows with only ONE driver-green
-    # round (sim_ivf_pq_increment, bitext_mine, pack_semantic,
-    # ccnet_buckets, script_profile, wds_roundtrip,
-    # token_budget_select) STAY per the rotation protocol.
-    # -- LLM-pipeline: dedup / decontamination / quality --------------
-    "semantic_dedup",
-    "gopher_rules",
-    # r13 rotate-in: corpus-scale Lee-et-al substring rule (sorted-
-    # shingle digest groupBy + per-token coverage rebuild).
+    # ---------------- r14 driver window (first 50) -------------------
+    # r14 rotation (the r13 verdict's ask 1): ALL 21 never-driver-
+    # checked rows rotate IN for their FIRST driver CORRECTNESS row —
+    # the 4 held-over r12-born rows (bitext_mine_ann, c4_rules,
+    # orc_roundtrip, weighted_sample), the 14 r13-born office/mail/
+    # crawl-index/exif/byte-fallback rows, and the 3 r14-born rows
+    # (bpe_roundtrip_bf, dedup_substring_increment_bucketed,
+    # video_features_mjpeg — zero new-row debt carried into r15).
+    # 21 multi-round driver-green rows rotate OUT with named
+    # in-window vouchers (comment block after the window +
+    # COVERAGE.md r14).  The 17 rows with only ONE driver-green round
+    # (the r13 first-timers) STAY per the rotation protocol, as do
+    # the two lifecycle anchors.
+    # -- substring dedup + state (incl. the NEW bucketed row) ---------
     "dedup_substring",
-    # r13 rotate-in: its digest-keyed state delivery protocol
-    # (ascending-id deliveries == batch restricted to the delta,
-    # now watermark-enforced).
     "dedup_substring_increment",
+    # r14-born: the bucketBy(64, digest) state — the exchange-free
+    # history join driver-proven, not only plan-asserted
     "dedup_substring_increment_bucketed",
+    # r14 rotate-in (r12-born): C4 line/page cleaning ruleset
+    "c4_rules",
     "ccnet_buckets",
-    "script_profile",
-    # -- LLM-pipeline: similarity -------------------------------------
-    "sim_ivf_pq_increment",
-    # r13 rotate-in: trained product quantization (per-subspace L2
-    # codebooks, m-byte codes, exact-BIGINT ADC scoring).
+    # -- similarity / bitext -------------------------------------------
     "sim_ivf_tpq",
-    # r13 rotate-in: the trained-PQ state's frozen-parameter
-    # delta-encode delivery protocol.
     "sim_ivf_tpq_increment",
-    "bitext_mine",
-    # -- LLM-pipeline: text / tokens / curation ------------------------
-    "tfidf_terms",
-    # r13 rotate-in: SentencePiece-unigram tokenizer (hard-EM Viterbi
-    # as packed-BIGINT lattice folds).
+    # r14 rotate-in (r12-born): ANN candidates -> margin engine
+    "bitext_mine_ann",
+    # -- tokenizers ------------------------------------------------------
     "unigram_encode",
-    # r13 rotate-in: the dense-ranked id mapping over the same piece
-    # streams (the bpe_encode_ids convention).
     "unigram_encode_ids",
+    # r14 rotate-in (r13-born): SentencePiece byte_fallback roundtrip
+    "unigram_encode_bf",
+    # r14-born: GPT-2-style BPE byte fallback on the persisted-vocab
+    # contract (q-stripped training, planted OOV, independent oracle)
+    "bpe_roundtrip_bf",
+    # -- curation / selection -------------------------------------------
     "pack_semantic",
-    "token_budget_select",
+    # r14 rotate-in (r12-born): Efraimidis-Spirakis weighted draw
+    "weighted_sample",
     "pipeline_curate_bp",
-    # -- LLM-pipeline: corpus sketches (r13 rotate-ins) -----------------
-    # md5-draw KMV / HLL registers / count-min — all merge-combinable;
-    # the HLL rho is the r13 pure-integer bit-length formulation
-    # (cross-engine exact, r12 ADVICE).
+    # -- corpus sketches --------------------------------------------------
     "sketch_kmv",
     "sketch_hll",
     "sketch_cm",
-    # -- LLM-pipeline: multimodal codecs -------------------------------
-    "gif_features",
+    # -- media codecs + dedup ---------------------------------------------
+    # fixture widened r14: cycles PNG/JPEG/GIF (vouches gif_features)
     "image_features_mixed",
     "wav_g711_features",
-    # -- crawl arc ------------------------------------------------------
-    "url_profile",
-    "robots_filter",
-    "feed_entries",
+    # r14-born: MJPEG-in-AVI — compressed video decode, per-frame
+    # closed-form lossy oracle
+    "video_features_mjpeg",
+    # r14 rotate-in (r13-born): EXIF metadata/privacy census
+    "exif_scan",
+    "incremental_video_dedup",
+    # -- crawl arc ---------------------------------------------------------
     "pipeline_crawl",
-    "frontier_increment",
-    "fetch_schedule",
-    # r13 rotate-in: exact-integer PageRank over the crawl host graph
-    # (unrolled-recurrence oracle discipline).
     "pagerank_crawl",
-    # -- document-corpus ingest edges -----------------------------------
+    # r14 rotate-ins (r13-born): the Common Crawl derivative formats
+    # and the CDXJ index + recrawl window
+    "wet_harvest",
+    "wat_harvest",
+    "cdx_harvest",
+    "cdx_recrawl",
+    # -- document / office arc ---------------------------------------------
     "pipeline_document",
-    # r13 rotate-ins: the office/email arc — OOXML walk, OCF/OPF
-    # spine walk, RTF group-stack tokenizer, magic-byte dispatch over
-    # ONE mixed binary column, the fused archive->dispatch->codecs
-    # pipeline, and the RFC-5322/MIME mail edge.
     "docx_extract",
     "epub_extract",
     "rtf_extract",
+    # r14 rotate-ins (r13-born): the full office matrix — OOXML
+    # spreadsheet/deck, the legacy CFB triple, the sniff census
+    "xlsx_extract",
+    "pptx_extract",
+    "doc_extract",
+    "xls_extract",
+    "ppt_extract",
     "office_extract",
+    "format_census",
     "pipeline_office",
+    # -- mail arc ------------------------------------------------------------
     "eml_extract",
     "mbox_extract",
-    "wds_roundtrip",
-    "markup_extract",
-    # -- engine lifecycle anchors (fused ingest + materialization) -------
+    # r14 rotate-ins (r13-born): MS-OXMSG + the mixed mail dispatch
+    "msg_extract",
+    "mail_extract",
+    # r14 rotate-in (r12-born): ORC harvest plugin round trip
+    "orc_roundtrip",
+    # -- engine lifecycle anchors ---------------------------------------------
     "lifecycle_load_store",
     "lifecycle_materialize",
-    # -- SFT / code / safety scans --------------------------------------
+    # -- SFT / code representatives ---------------------------------------------
     "chat_curate",
+    "code_profile",
+    # ---------- entries past the driver's 50-row window --------------
+    # r14 rotated-OUT rows (21, every one >=2-round driver-green, most
+    # 3-4; named in-window voucher for each; tools/check_oracle.py
+    # still verifies all of them every session):
+    #   semantic_dedup (4 rounds) — sim_ivf_tpq (in-window) trains the
+    #     same Lloyd's k-means codebooks; pack_semantic (in) composes
+    #     centroid assignment over embeddings; the exact-cosine
+    #     candidate decision is in-window via bitext_mine_ann's
+    #     margin engine.
+    #   gopher_rules (4) — c4_rules (in): the same one-scan line/page
+    #     rule-census family; pipeline_curate_bp (in) runs the
+    #     quality-rule stage end to end.
+    #   script_profile (2) — format_census (in): the same single-scan
+    #     combinable census shape; c4_rules (in) pins per-line text
+    #     classification; test_script_profile stays.
+    #   sim_ivf_pq_increment (2) — sim_ivf_tpq_increment (in): the
+    #     trained generalization of the same frozen-parameter
+    #     delta-encode state protocol; int8-vs-trained parity is
+    #     pytest-pinned (test_quantize, test_pq).
+    #   bitext_mine (2) — bitext_mine_ann (in) composes the same
+    #     DECIMAL-exact margin engine over ANN candidates.
+    #   tfidf_terms (4) — ccnet_buckets (in): the same token-explode +
+    #     broadcast log-ratio scoring spine; per-key ranking windows
+    #     in-window via cdx_recrawl.
+    #   token_budget_select (3) — weighted_sample (in): the same
+    #     deterministic md5-ticket draw; pipeline_curate_bp (in) runs
+    #     the source-mix/cap stage.
+    #   gif_features (4) — image_features_mixed (in): its fixture now
+    #     cycles PNG/JPEG/GIF, so the LZW + interlace + palette chain
+    #     is hash-load-bearing in-window.
+    #   url_profile (4) — cdx_harvest (in): SURT canonicalization is
+    #     the stronger URL normalization; pipeline_crawl (in) parses
+    #     URLs end to end.
+    #   robots_filter (4) — pipeline_crawl (in) vouches the harvest
+    #     arc; the longest-prefix-match core stays pytest-pinned
+    #     (test_robots); fetch governance windows via cdx_recrawl.
+    #   feed_entries (4) — epub_extract (in): the same stdlib-
+    #     ElementTree-in-Arrow namespaced-XML walk; wat_harvest (in):
+    #     crawl-record metadata extraction.
+    #   frontier_increment (3) — cdx_recrawl (in): latest-per-urlkey
+    #     state window; the ascending-delivery protocol is in-window
+    #     via dedup_substring_increment(+_bucketed).
+    #   fetch_schedule (3) — cdx_recrawl (in): the same latest-capture
+    #     + gap recrawl-window logic.
+    #   markup_extract (3) — docx/epub/rtf (in): the markup-walk
+    #     family; pipeline_document (in) composes extraction over
+    #     archive members; test_markup stays.
+    #   preference_pairs (3) — chat_curate (in): the same role-turn
+    #     conversation frames; DPO pair construction pytest-pinned
+    #     (test_preference).
+    #   decontamination_bloom (3) — dedup_substring (in): digest-
+    #     membership decontamination at corpus scale; Bloom bitmap
+    #     mechanics pytest-pinned (test_bloom).
+    #   code_fim (3) / code_secrets (3) — code_profile (in): the same
+    #     one-scan code-column machinery; span surgery + secret-regex
+    #     rules pytest-pinned (test_code).
+    #   image_dedup_dhash (3) — incremental_video_dedup (in): the same
+    #     frame dhash + pigeonhole band join inside the lease-
+    #     serialized state cycle.
+    #   bpe_roundtrip (3) — bpe_roundtrip_bf (in): the strictly
+    #     stronger roundtrip over the same trained merges (adds OOV
+    #     byte fallback; an encode/decode/id bug breaks both).
+    #   wds_roundtrip (2) — pack_semantic (in) pins shard assembly;
+    #     owning-task archive write+read-back in-window via
+    #     pipeline_crawl's WARC files; WebDataset member naming
+    #     stays pytest-pinned.
+
+    "semantic_dedup",
+    "gopher_rules",
+    "script_profile",
+    "sim_ivf_pq_increment",
+    "bitext_mine",
+    "tfidf_terms",
+    "token_budget_select",
+    "gif_features",
+    "url_profile",
+    "robots_filter",
+    "feed_entries",
+    "frontier_increment",
+    "fetch_schedule",
+    "markup_extract",
     "preference_pairs",
     "decontamination_bloom",
-    "code_profile",
     "code_fim",
     "code_secrets",
-    # -- media dedup + incremental state --------------------------------
     "image_dedup_dhash",
-    "incremental_video_dedup",
     "bpe_roundtrip",
-    "bpe_roundtrip_bf",
-    "video_features_mjpeg",
-    # ---------- entries past the driver's 50-row window --------------
-    # r13 rotated-OUT rows (17, every one >=2-round driver-green, most
-    # 3+; named in-window voucher for each; tools/check_oracle.py
-    # still verifies all of them every session):
-    #   lm_perplexity — ccnet_buckets (in-window) composes the SAME
-    #     interpolated-LM scorer inside the skew-safe NTILE.
-    #   sim_ivf_pq — sim_ivf_tpq (in-window) is the trained
-    #     generalization of the same IVF+ADC serving join, and
-    #     sim_ivf_pq_increment (in-window) replays the int8 state
-    #     build; full-vs-quantized recall parity is pytest-pinned
-    #     (test_quantize, test_pq).
-    #   bpe_encode — bpe_roundtrip (in-window) decodes ids encoded
-    #     through the same vocab (an encode bug breaks both), and the
-    #     tokenizer family gains the in-window unigram pair.
-    #   chunk_sequences — pack_semantic (in-window) drives the same
-    #     two-pass prefix-sum packer over chunker output.
-    #   curated_export — token_budget_select (in-window) pins the
-    #     same md5-draw + broadcast-ratio selection frame.
-    #   boilerplate_strip — pipeline_curate_bp (in-window) composes
-    #     the boilerplate stage end to end.
-    #   quality_filter — pipeline_curate_bp's quality stage +
-    #     gopher_rules (in-window, same one-scan rule family).
-    #   dedup_segments — dedup_substring (in-window) is the strictly
-    #     stronger exact-duplicate-text rule on the same digest-
-    #     groupBy spine (segment digests are its w=paragraph special
-    #     case conceptually; segment mechanics stay pytest-pinned).
-    #   code_dedup — the normalized-digest groupBy spine is in-window
-    #     via dedup_substring, and the code synthesis/normalize scan
-    #     via code_profile (in-window).
-    #   warc_harvest — pipeline_crawl (in-window) writes AND reads
-    #     real record-gzipped WARC inside the fused harvest.
-    #   html_extract — pipeline_crawl runs html_extract end to end
-    #     (title/text/charset all hash-load-bearing there).
-    #   pdf_extract — pipeline_document (in-window) runs pdf_extract
-    #     over real archive members incl. Flate + ObjStm containers;
-    #     the exotic variants (encryption revisions, Type0/CID
-    #     CMaps) stay pytest-pinned (test_pdf).
-    #   sitemap_urls — feed_entries (in-window) exercises the same
-    #     stdlib-ElementTree-in-Arrow namespaced-XML walk (RSS plain
-    #     + Atom namespaced), and epub_extract (in-window) parses
-    #     container/OPF XML through the same machinery.
-    #   frontier_build — frontier_increment (in-window) extends the
-    #     same frontier construction with the delivery cycle.
-    #   video_dedup_dhash — incremental_video_dedup (in-window) runs
-    #     the same AVI decode + frame dhash + pigeonhole band join
-    #     inside the delta-vs-history cycle.
-    #   incremental_image_dedup — incremental_video_dedup (in-window)
-    #     exercises the same lease-serialized signature state, and
-    #     image_dedup_dhash (in-window) the same image dhash.
-    #   audio_dedup_fingerprint — wav_g711_features (in-window)
-    #     decodes RIFF/WAVE through the same codec, and the 64-bit
-    #     pigeonhole band join is in-window via image_dedup_dhash.
+    "wds_roundtrip",
+    # earlier rotations (r6-r13): vouchers unchanged, see COVERAGE.md
     "lm_perplexity",
     "sim_ivf_pq",
     "bpe_encode",
@@ -9071,89 +9156,12 @@ _REGISTRY_ORDER = [
     "video_dedup_dhash",
     "incremental_image_dedup",
     "audio_dedup_fingerprint",
-    # r12-born rows NOT yet driver-checked — labeled r14 rotate-ins
-    # (the r12 verdict's explicit fallback; all four locally
-    # hash-verified every session):
-    #   bitext_mine_ann pins the corpus-x-corpus hand-off (ivf_join
-    #     candidates -> the same margin engine); its components are
-    #     in-window via bitext_mine and sim_ivf_tpq.
-    "bitext_mine_ann",
-    #   c4_rules pins the C4 line/page cleaning ruleset (the
-    #     gopher_rules family, in-window).
-    "c4_rules",
-    #   orc_roundtrip pins the ORC harvest plugin (S2 family — plugin
-    #     dispatch in-window via lifecycle_load_store).
-    "orc_roundtrip",
-    #   weighted_sample pins Efraimidis-Spirakis sampling (the
-    #     md5-ticket draw is in-window via token_budget_select).
-    "weighted_sample",
-    # r13-born rows (NEW this round, also r14 rotate-in candidates;
-    # the office dispatch surface is ALREADY in-window via
-    # office_extract, whose fixture now cycles all six formats):
-    #   xlsx_extract pins SpreadsheetML (operators/xlsx.py — workbook
-    #     sheet order via reverse rIds, shared + rich-run + inline
-    #     strings, raw-lexical numerics).
-    "xlsx_extract",
-    #   pptx_extract pins PresentationML (operators/pptx.py —
-    #     DrawingML runs/breaks; every 4th deck carries 12 slides so
-    #     numeric slide ordering is load-bearing).
-    "pptx_extract",
-    #   doc_extract pins legacy Word-97 binary over real CFB
-    #     containers (operators/msdoc.py — FAT/directory/mini-stream
-    #     reader, FIB, two-piece cp1252/UTF-16 CLX piece table).
-    "doc_extract",
-    #   xls_extract / ppt_extract pin the legacy-office triple's
-    #     other two legs (operators/xls.py BIFF8 records incl. SST
-    #     Continue splits + RK/Number/BoolErr; operators/ppt.py
-    #     record-tree text atoms, both encodings per deck).
-    "xls_extract",
-    "ppt_extract",
-    #   msg_extract pins the Outlook binary mail leg (operators/
-    #     msg.py — CFB directory-tree walk, top-level vs nested
-    #     recipient storages, 001F/001E property decodes).
-    "msg_extract",
-    #   wet_harvest / wat_harvest pin the Common Crawl derivative
-    #     formats (sources/wet.py — typed conversion/metadata layers
-    #     over the WARC reader; WAT extraction is codegen
-    #     get_json_object with load-bearing missing-path semantics).
-    "wet_harvest",
-    "wat_harvest",
-    #   format_census pins the sniff-only budgeting pass over the
-    #     shared six-format staged column (one scan, one combinable
-    #     groupBy, no parse).
-    "format_census",
-    #   cdx_harvest pins the CDXJ crawl-index round trip
-    #     (sources/cdx.py — pure-Catalyst SURT keys, sorted shards,
-    #     codegen line/JSON projection back).
-    "cdx_harvest",
-    #   mail_extract pins the mixed eml/.msg mail dispatch (the
-    #     office_extract pattern on the mail arc).
-    "mail_extract",
-    #   cdx_recrawl pins the latest-per-urlkey recrawl window over
-    #     the round-tripped index (tri-state churn flag, ntz-safe
-    #     capture gap).
-    "cdx_recrawl",
-    #   exif_scan pins the EXIF metadata/privacy census (operators/
-    #     exif.py — TIFF IFD both byte orders, inline vs offset
-    #     values, GPS sub-IFD presence; the strip pass is pinned by
-    #     byte-identity pytest, stronger than any oracle).
-    "exif_scan",
-    #   unigram_encode_bf pins the SentencePiece byte_fallback
-    #     contract (operators/unigram.py — q-stripped training, OOV
-    #     letters as <0xNN> penalty edges through the unchanged
-    #     lattice, </w> markers, decode(encode(x)) == x proven
-    #     against an INDEPENDENT closed-form decode).
-    "unigram_encode_bf",
-    # r12 rotated-OUT rows (vouchers unchanged, see the r12 block in
-    # COVERAGE.md):
     "sim_ivf_query",
     "dsir_select",
     "shard_pack_shuffled",
     "archive_harvest",
     "corpus_report",
     "charset_decode",
-    # r11 rotated-OUT rows (vouchers unchanged, see the r11 block in
-    # COVERAGE.md):
     "wav_spectral",
     "trend_time_agg_1d_dst",
     "dedup_simhash_hamming",
@@ -9173,8 +9181,6 @@ _REGISTRY_ORDER = [
     "lifecycle_notification",
     "lifecycle_retention",
     "entity_dim_register",
-    # r10 rotated-OUT rows (vouchers unchanged, see the r10 block in
-    # COVERAGE.md):
     "semantic_dedup_trained",
     "domain_cap",
     "leakage_split",
@@ -9204,7 +9210,6 @@ _REGISTRY_ORDER = [
     "bpe_train",
     "sim_ivf_incremental",
     "logreg_eval",
-    # earlier rotations (r6-r9): vouchers unchanged, see COVERAGE.md
     "sessionize",
     "trend_time_agg_1h",
     "attr_curr",
