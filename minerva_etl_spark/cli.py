@@ -1371,7 +1371,19 @@ def cmd_corpus(args) -> None:
         from minerva_etl_spark.operators.bpe import bpe_train
 
         merges, _vocab = bpe_train(df, n_merges=args.n)
-        out = merges
+        if getattr(args, "byte_fallback", False):
+            # --byte-fallback: emit token-id arrays through the
+            # persisted-vocab byte-fallback encoder (never -1/dropped)
+            # instead of the merge table
+            from minerva_etl_spark.operators.bpe import (
+                bpe_encode_ids_bf,
+                bpe_vocab,
+            )
+
+            vocab_ids = bpe_vocab(df, merges)
+            out = bpe_encode_ids_bf(df, merges, vocab_ids)
+        else:
+            out = merges
     elif args.action == "increment":
         from minerva_etl_spark.operators.incremental import ingest_increment
 
@@ -2545,10 +2557,12 @@ def main(argv: list[str] | None = None) -> None:
                     help="unigram: target vocabulary size")
     co.add_argument("--byte-fallback", action="store_true",
                     dest="byte_fallback",
-                    help="unigram: encode OOV letters as <0xNN> byte "
-                         "pieces with </w> word markers (decodable "
-                         "stream — the SentencePiece byte_fallback "
-                         "contract)")
+                    help="unigram/bpe: encode OOV as <0xNN> byte "
+                         "pieces/tokens with </w> word markers "
+                         "(decodable stream — the SentencePiece "
+                         "byte_fallback contract; for bpe, emits "
+                         "token-id arrays through the persisted "
+                         "vocab instead of the merge table)")
     co.add_argument("--ref-filter", default=None, dest="ref_filter",
                     help="ppl-buckets: SQL predicate selecting the LM "
                          "reference slice (default lang = 'en')")

@@ -1,0 +1,1351 @@
+"""Gate rows: office/document/mail extraction arc.
+
+Mechanically split out of gate.py (r14); see gate.py for the registry.
+"""
+from __future__ import annotations
+
+
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from minerva_etl_spark.catalog import directory
+from minerva_etl_spark.catalog.granularity import Granularity
+from minerva_etl_spark.operators import asof
+from minerva_etl_spark.operators import dedup as D
+from minerva_etl_spark.operators import multimodal as M
+from minerva_etl_spark.plans.sqltranslate import translate
+from minerva_etl_spark.trigger import trigger as trigger_mod
+from minerva_etl_spark.operators import kmeans as KM
+from minerva_etl_spark.operators import similarity as S
+from minerva_etl_spark.operators import skew as SK
+from minerva_etl_spark.operators import split as SPL
+from minerva_etl_spark.operators import text as X
+from minerva_etl_spark.operators.aggregation import (
+    TrendAggSpec,
+    entity_aggregate,
+    time_aggregate,
+    time_aggregate_oracle_sql,
+    _oracle_agg_sql,
+)
+from minerva_etl_spark.operators.attribute import compact_history, latest_per_entity
+from minerva_etl_spark.operators.upsert import dedup_last_wins, insert_missing, merge_packages
+from minerva_etl_spark.sources.tables import load_table
+
+from minerva_etl_spark.gate_common import (
+    _ascii_sanitize,
+    _ascii_sanitize_sql,
+    _media_fixture_staged,
+    _prep,
+)
+
+
+
+def q_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RTF text extraction (`operators/rtf.py::rtf_extract` —
+    the legacy rich-text edge, r12): each doc becomes a conformant
+    RTF — font/color tables, an ``\\info`` title group and a ``{\\*``
+    generator destination that must NOT leak into text, the header +
+    sanitized-text paragraphs joined by ``\\par`` — with every 3rd doc
+    writing EVERY space as the cp1252 hex escape ``\\'20`` (the
+    control-symbol path on every word boundary).  The oracle rebuilds
+    paragraph count, text and char count closed-form; a group-stack,
+    control-word, hex-decode, or destination-skip bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.rtf import (
+        rtf_extract,
+        synthesize_rtf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                rows.append(
+                    (
+                        d,
+                        synthesize_rtf(
+                            [f"Doc {d} report", t],
+                            title=f"Doc {d}",
+                            hex_escape_spaces=(d % 3 == 0),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "rtf",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return rtf_extract(payloads)
+
+
+_ORACLE_RTF_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+),
+built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || CASE WHEN length(text) > 0
+                THEN chr(10) || text ELSE '' END AS text,
+         CASE WHEN length(text) > 0 THEN 2 ELSE 1 END AS n_paragraphs
+  FROM san
+)
+SELECT doc_id, CAST(n_paragraphs AS INT) AS n_paragraphs, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL email extraction (`operators/email_ingest.py::
+    eml_extract` — the mail-corpus ingest edge, r12): each doc becomes
+    an RFC 5322 message cycling the four real-world MIME shapes by
+    doc_id % 4 — single-part plain (7bit), multipart/alternative
+    plain+html-decoy (quoted-printable; plain must win), HTML-only
+    (base64; the engine's HTML extractor must recover the text), and
+    multipart/mixed plain+attachment (the attachment counts a part,
+    contributes no text) — with every 5th subject RFC 2047 Q-encoded.
+    The oracle rebuilds subject/sender/part-count/text closed-form; a
+    MIME-walk, transfer-decoding, alternative-preference, or
+    encoded-word bug hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.email_ingest import (
+        eml_extract,
+        synthesize_eml,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                kw = dict(
+                    subject=f"Doc {d} mail",
+                    sender=f"user{d}@corpus.test",
+                    q_encode_subject=(d % 5 == 0),
+                )
+                if d % 4 == 0:
+                    payload = synthesize_eml(text_body=t, **kw)
+                elif d % 4 == 1:
+                    payload = synthesize_eml(
+                        text_body=t,
+                        html_body="<p>html decoy</p>",
+                        cte="quoted-printable",
+                        **kw,
+                    )
+                elif d % 4 == 2:
+                    payload = synthesize_eml(
+                        html_body=f"<p>{t}</p>", cte="base64", **kw
+                    )
+                else:
+                    payload = synthesize_eml(
+                        text_body=t, attachment=b"\x00\x01bin", **kw
+                    )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "eml",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return eml_extract(payloads)
+
+
+_ORACLE_EML_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' mail' AS subject,
+       'user' || CAST(doc_id AS VARCHAR) || '@corpus.test' AS sender,
+       CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 2 ELSE 1 END AS INT)
+         AS n_parts,
+       text,
+       CAST(length(text) AS INT) AS n_chars
+FROM san
+"""
+
+
+def q_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBOX mailbox split + extraction (`operators/email_ingest.py::
+    mbox_split` → `eml_extract`): each doc becomes an mbox holding
+    ``1 + doc_id % 3`` messages (message k's subject indexes it; the
+    body is the doc text, so a ``From``-separator or ``>From``
+    unescape bug corrupts text), split into per-message rows inside
+    one Arrow task, then parsed.  The oracle regenerates every
+    exploded message row closed-form with generate_series."""
+    _prep(spark)
+    from minerva_etl_spark.operators.email_ingest import (
+        eml_extract,
+        mbox_split,
+        synthesize_eml,
+        synthesize_mbox,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                msgs = [
+                    synthesize_eml(
+                        subject=f"Doc {d} msg {k}",
+                        sender=f"user{d}@corpus.test",
+                        text_body=t,
+                    )
+                    for k in range(1 + d % 3)
+                ]
+                rows.append((d, synthesize_mbox(msgs)))
+            yield pd.DataFrame(rows, columns=["mbox_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "mbox",
+        lambda: docs.mapInPandas(synth, "mbox_id bigint, payload binary"),
+    )
+    messages = mbox_split(payloads)
+    # composite message key (msg_index < 3 < 10) so the extractor's
+    # single-id contract carries both identifiers through the parse
+    keyed = messages.select(
+        (F.col("mbox_id") * 10 + F.col("msg_index")).alias("mkey"),
+        "payload",
+    )
+    return eml_extract(keyed, id_col="mkey").select(
+        F.expr("mkey div 10").alias("mbox_id"),
+        F.expr("CAST(mkey % 10 AS INT)").alias("msg_index"),
+        "subject",
+        "sender",
+        "text",
+        "n_chars",
+    )
+
+
+_ORACLE_MBOX_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id AS mbox_id, CAST(gs.k AS INT) AS msg_index,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' msg '
+         || CAST(gs.k AS VARCHAR) AS subject,
+       'user' || CAST(doc_id AS VARCHAR) || '@corpus.test' AS sender,
+       text,
+       CAST(length(text) AS INT) AS n_chars
+FROM san
+CROSS JOIN UNNEST(generate_series(0, doc_id % 3)) AS gs(k)
+"""
+
+
+def q_pipeline_office(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused MIXED-FORMAT office-delivery pipeline — the
+    `pipeline_document` shape with the r12 dispatch edge in the
+    middle: documents become real PDFs / DOCX / EPUBs (doc_id % 3),
+    packed as members of real zip / tar.gz archives written by owning
+    tasks, harvested back (`read_archives`), routed per payload by
+    MAGIC BYTES (`office_extract` — file extensions are deliberately
+    decorative), token-counted, and filtered to ≥ 30 tokens — five
+    operators in one lineage with zero driver round-trips between
+    stages.  The oracle replays the survivors closed-form per format;
+    any stage breaking — archive member bytes, format sniffing, any of
+    the three codecs, tokenizing, filtering — shifts the hash."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.epub import synthesize_epub
+    from minerva_etl_spark.operators.office import office_extract
+    from minerva_etl_spark.operators.pdf import synthesize_pdf
+    from minerva_etl_spark.operators.text import with_token_count
+    from minerva_etl_spark.sources.archive import (
+        read_archives,
+        write_archives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                if d % 3 == 0:
+                    payload = synthesize_pdf(
+                        [f"Doc {d} report", t], title=f"Doc {d}"
+                    )
+                    ext = "pdf"
+                elif d % 3 == 1:
+                    payload = synthesize_docx(
+                        [f"Doc {d} report", t], title=f"Doc {d}"
+                    )
+                    ext = "docx"
+                else:
+                    payload = synthesize_epub(
+                        [f"<p>Doc {d} report</p>", f"<p>{t}</p>"],
+                        title=f"Doc {d}",
+                    )
+                    ext = "epub"
+                shard = d % 6
+                arc = "zip" if shard % 2 == 0 else "tar.gz"
+                rows.append(
+                    (f"shard-{shard}.{arc}", f"doc_{d:06d}.{ext}", payload)
+                )
+            yield pd.DataFrame(
+                rows, columns=["archive", "member", "content"]
+            )
+
+    staged = docs.mapInPandas(
+        synth, "archive string, member string, content binary"
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_officepipe_")
+    write_archives(staged, root).collect()
+    members = read_archives(spark, root).select(
+        F.regexp_extract("member", r"doc_(\d+)\.", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    out = (
+        with_token_count(office_extract(members))
+        .where(F.col("n_tokens") >= 30)
+        .select("doc_id", "format", "title", "text", "n_tokens")
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_pipeline_office() -> str:
+    from minerva_etl_spark.operators.text import tokens_duck_sql
+
+    toks = tokens_duck_sql("text")
+    return f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS s FROM documents
+), built AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+              ELSE 'epub' END AS format,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10)
+                   ELSE chr(10) END
+           || s AS text
+  FROM san
+), counted AS (
+  SELECT doc_id, format, text,
+         CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM built
+)
+SELECT doc_id, format,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       text, n_tokens
+FROM counted WHERE n_tokens >= 30
+"""
+
+
+def q_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text extraction (`operators/pdf.py::pdf_extract`):
+    each doc becomes a real two-page PDF synthesized in-task — page 1
+    a fixed header line, page 2 the sanitized doc text, /Title in the
+    Info dict — with the CONTAINER cycling doc_id % 3 over the three
+    real-world layouts: 0 → PDF 1.5 ObjStm + cross-reference stream
+    (the post-2005 majority shape, r11), 1 → PDF 1.4 plain streams,
+    2 → PDF 1.4 FlateDecode streams — and every fifth non-ObjStm doc
+    additionally ENCRYPTED under the standard security handler with
+    an empty user password, cycling ALL FOUR supported revisions
+    (RC4-40 / RC4-128 / AESV2 / AES-256-R6 — the "owner-restricted"
+    crawl class, r11), and every seventh doc written in the
+    CID/Type0 COMPOSITE-FONT layout (Identity-H, 2-byte code show
+    strings, a real /ToUnicode CMap with bfchar + bfrange entries —
+    the CJK/modern-generator shape, r12) — then parsed back through
+    the full chain: binary-safe object scan, key derivation (md5
+    ladder or the 2.B SHA-2 KDF) + password verify + per-object
+    RC4/AES-CBC, /ObjStm expansion, page-tree walk, zlib inflate,
+    font resolution + CMap decode, Tj tokenizing with literal-string
+    unescaping.
+    The oracle rebuilds title, page join, and char count closed-form
+    and is container- and encryption-blind by design; a bug in ANY
+    stage (xref/object boundaries, ObjStm offset table, key
+    derivation, Flate dispatch, string escapes, page order)
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.pdf import (
+        pdf_extract,
+        synthesize_pdf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                rows.append(
+                    (
+                        d,
+                        synthesize_pdf(
+                            [f"Doc {d} report", t],
+                            title=f"Doc {d}",
+                            compress=(d % 3 == 2),
+                            objstm=(d % 3 == 0),
+                            encrypt=(d % 3 != 0 and d % 5 == 0),
+                            encrypt_r=(2, 3, 4, 6)[(d // 5) % 4],
+                            # every 7th doc uses the CID/Type0
+                            # composite-font layout (r12) — across
+                            # ObjStm, plain, Flate, and encrypted
+                            # containers; same text, so the oracle
+                            # stays container- and font-blind
+                            type0=(d % 7 == 0),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "pdf",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )  # staged like the media fixtures: the row times EXTRACTION
+    return pdf_extract(payloads)
+
+
+def q_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL DOCX text extraction (`operators/docx.py::docx_extract` —
+    the office-corpus ingest edge, r12): each doc becomes a conformant
+    OOXML package synthesized in-task — paragraph 1 a fixed header,
+    paragraph 2 the sanitized doc text split across ``1 + d % 4`` runs
+    (extraction must be run-split-invariant), every 5th doc a third
+    paragraph carrying a structural ``w:tab``, every 3rd doc a 2×2
+    ``w:tbl`` (cells TAB-joined, rows NEWLINE-joined), ``dc:title`` in
+    core.xml, zip entries stored (even ids) or deflated (odd) — then
+    parsed back through the stdlib zip + WordprocessingML walk.  The
+    oracle rebuilds title, block joins and char count closed-form; a
+    bug in the run/tab/br walk, table traversal, body ordering, or
+    core-properties read hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.docx import (
+        docx_extract,
+        synthesize_docx,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                paras = [f"Doc {d} report", t]
+                if d % 5 == 0:
+                    paras.append(f"tab{d}\tcol")
+                rows.append(
+                    (
+                        d,
+                        synthesize_docx(
+                            paras,
+                            title=f"Doc {d}",
+                            table=(
+                                [
+                                    [f"T{d} r0c0", f"T{d} r0c1"],
+                                    [f"T{d} r1c0", f"T{d} r1c1"],
+                                ]
+                                if d % 3 == 0 else None
+                            ),
+                            runs_per_para=1 + d % 4,
+                            compress=(d % 2 == 1),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "docx",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return docx_extract(payloads)
+
+
+_ORACLE_DOCX_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+),
+built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || chr(10) || text
+           || CASE WHEN doc_id % 5 = 0
+                THEN chr(10) || 'tab' || CAST(doc_id AS VARCHAR)
+                     || chr(9) || 'col'
+                ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                THEN chr(10)
+                     || 'T' || CAST(doc_id AS VARCHAR) || ' r0c0'
+                     || chr(9)
+                     || 'T' || CAST(doc_id AS VARCHAR) || ' r0c1'
+                     || chr(10)
+                     || 'T' || CAST(doc_id AS VARCHAR) || ' r1c0'
+                     || chr(9)
+                     || 'T' || CAST(doc_id AS VARCHAR) || ' r1c1'
+                ELSE '' END AS text
+  FROM san
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(2 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_paragraphs,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_tables,
+       text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EPUB text extraction (`operators/epub.py::epub_extract` —
+    the e-book corpus ingest edge, r12): each doc becomes a conformant
+    EPUB synthesized in-task — OCF stored-mimetype-first zip,
+    container.xml → OPF, a header chapter + the sanitized doc text
+    chapter (+ a trailer chapter on even ids), ``dc:title`` and the
+    doc's OWN ``lang`` column as ``dc:language``, the MANIFEST written
+    in reverse chapter order so only a correct SPINE walk extracts in
+    reading order, entries stored (ids ≡ 0 mod 3) or deflated — then
+    parsed back through the stdlib container→OPF→spine→XHTML chain
+    with chapter bodies through the engine's one HTML extractor.  The
+    oracle rebuilds title, language, chapter joins and char count
+    closed-form; a spine-order, manifest-resolution, metadata, or
+    HTML-walk bug hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.epub import (
+        epub_extract,
+        synthesize_epub,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t, lang in zip(pdf["doc_id"], pdf["text"], pdf["lang"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                chapters = [
+                    f"<p>Doc {d} report</p>",
+                    f"<p>{t}</p>",
+                ]
+                if d % 2 == 0:
+                    chapters.append(f"<p>end {d}</p>")
+                rows.append(
+                    (
+                        d,
+                        synthesize_epub(
+                            chapters,
+                            title=f"Doc {d}",
+                            language=str(lang),
+                            compress=(d % 3 != 0),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "epub",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return epub_extract(payloads)
+
+
+_ORACLE_EPUB_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, lang, {_ascii_sanitize_sql('text')} AS text
+  FROM documents
+),
+built AS (
+  SELECT doc_id, lang,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || chr(10) || text
+           || CASE WHEN doc_id % 2 = 0
+                THEN chr(10) || 'end ' || CAST(doc_id AS VARCHAR)
+                ELSE '' END AS text
+  FROM san
+)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       lang AS language,
+       CAST(2 + CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS INT)
+         AS n_chapters,
+       text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_office_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIXED-FORMAT document extraction (`operators/office.py::
+    office_extract` — the dispatch edge over the document codecs;
+    r13 extends the cycle per the r12 verdict's ask 2): one binary
+    column cycles doc_id % 6 over a real PDF (plain 1.4), a real DOCX
+    (deflated OOXML), a real EPUB (spine-walked OCF), a real XLSX
+    (shared + inline strings), a real PPTX (DrawingML runs), and a
+    real legacy .doc (CFB container, two-piece cp1252/UTF-16 piece
+    table) carrying the same header + sanitized-text content;
+    magic-byte sniffing routes each payload in-task and the unified
+    ``(format, title, text, n_chars)`` schema comes back.  The oracle
+    rebuilds all six formats' text closed-form (they differ only in
+    the codec-specific page/paragraph/sheet/slide join), so a
+    sniffing, routing, or any-codec regression hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.epub import synthesize_epub
+    from minerva_etl_spark.operators.msdoc import synthesize_doc
+    from minerva_etl_spark.operators.office import office_extract
+    from minerva_etl_spark.operators.pdf import synthesize_pdf
+    from minerva_etl_spark.operators.pptx import synthesize_pptx
+    from minerva_etl_spark.operators.xlsx import synthesize_xlsx
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                head = f"Doc {d} report"
+                if d % 6 == 0:
+                    payload = synthesize_pdf(
+                        [head, t], title=f"Doc {d}"
+                    )
+                elif d % 6 == 1:
+                    payload = synthesize_docx(
+                        [head, t], title=f"Doc {d}"
+                    )
+                elif d % 6 == 2:
+                    payload = synthesize_epub(
+                        [f"<p>{head}</p>", f"<p>{t}</p>"],
+                        title=f"Doc {d}",
+                    )
+                elif d % 6 == 3:
+                    payload = synthesize_xlsx(
+                        [("Data", [[head], [t]])], title=f"Doc {d}"
+                    )
+                elif d % 6 == 4:
+                    payload = synthesize_pptx(
+                        [[head, t]], title=f"Doc {d}"
+                    )
+                else:
+                    payload = synthesize_doc([head, t])
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "office",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return office_extract(payloads)
+
+
+_ORACLE_OFFICE_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+), built AS (
+  SELECT doc_id,
+         CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+              WHEN 2 THEN 'epub' WHEN 3 THEN 'xlsx'
+              WHEN 4 THEN 'pptx' ELSE 'doc' END AS format,
+         CASE WHEN doc_id % 6 = 5 THEN NULL
+              ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
+         -- pdf: pages join with a blank line; xlsx prefixes the
+         -- sheet name row; all others join head/body with one LF
+         CASE WHEN doc_id % 6 = 3 THEN 'Data' || chr(10) ELSE '' END
+           || 'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || CASE WHEN doc_id % 6 = 0 THEN chr(10) || chr(10)
+                   ELSE chr(10) END
+           || text AS text
+  FROM san
+)
+SELECT doc_id, format, title, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SpreadsheetML extraction (`operators/xlsx.py::xlsx_extract`,
+    r13 — the r12 verdict's ask 2): every doc becomes a real two-sheet
+    XLSX whose workbook wires relationship ids in REVERSE (extraction
+    order must come from the workbook sheet list, not rIds or zip
+    order), with a numeric cell (raw lexical form), shared-string
+    cells (the second as TWO rich-text runs) and an inline-string
+    cell — both string mechanisms on every row.  The oracle rebuilds
+    the sheet-name/TAB/NEWLINE rendering closed-form; a sheet-order,
+    cell-type, shared-index or rich-run bug hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.xlsx import (
+        synthesize_xlsx,
+        xlsx_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                payload = synthesize_xlsx(
+                    [
+                        ("Data", [[f"Doc {d} report", str(d * 7)], [t]]),
+                        ("Notes", [[f"note block {d % 5}"]]),
+                    ],
+                    title=f"Doc {d}",
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "xlsx",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return xlsx_extract(payloads)
+
+
+_ORACLE_XLSX_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+), built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         'Data' || chr(10)
+           || 'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || chr(9) || CAST(doc_id * 7 AS VARCHAR) || chr(10)
+           || text || chr(10)
+           || 'Notes' || chr(10) || 'note block '
+           || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM san
+)
+SELECT doc_id, title, CAST(2 AS INT) AS n_sheets,
+       CAST(3 AS INT) AS n_rows, CAST(4 AS INT) AS n_cells,
+       text, CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PresentationML extraction (`operators/pptx.py::pptx_extract`,
+    r13): every doc becomes a real two-slide deck — slide 1 carries a
+    header paragraph plus the sanitized body split across DrawingML
+    runs, slide 2 a closing line — and decks with doc_id % 4 == 0 get
+    TEN filler slides appended so slide10+ proves numeric (not
+    lexicographic) slide ordering on every fourth row.  The oracle
+    rebuilds the paragraph/slide NEWLINE rendering closed-form."""
+    _prep(spark)
+    from minerva_etl_spark.operators.pptx import (
+        pptx_extract,
+        synthesize_pptx,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                slides = [[f"Doc {d} deck", t], [f"closing {d % 7}"]]
+                if d % 4 == 0:
+                    slides += [
+                        [f"filler {d} {i}"] for i in range(3, 13)
+                    ]
+                rows.append((d, synthesize_pptx(slides,
+                                                title=f"Doc {d}")))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "pptx",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return pptx_extract(payloads)
+
+
+_ORACLE_PPTX_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+), filler AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN
+           (SELECT string_agg(chr(10) || 'filler '
+                    || CAST(doc_id AS VARCHAR) || ' '
+                    || CAST(gs.i AS VARCHAR), '' ORDER BY gs.i)
+            FROM UNNEST(generate_series(3, 12)) AS gs(i))
+         ELSE '' END AS tail,
+         CASE WHEN doc_id % 4 = 0 THEN 12 ELSE 2 END AS n_slides,
+         CASE WHEN doc_id % 4 = 0 THEN 13 ELSE 3 END AS n_paragraphs
+  FROM san
+), built AS (
+  SELECT s.doc_id,
+         'Doc ' || CAST(s.doc_id AS VARCHAR) AS title,
+         f.n_slides, f.n_paragraphs,
+         'Doc ' || CAST(s.doc_id AS VARCHAR) || ' deck' || chr(10)
+           || s.text || chr(10)
+           || 'closing ' || CAST(s.doc_id % 7 AS VARCHAR)
+           || f.tail AS text
+  FROM san s JOIN filler f ON s.doc_id = f.doc_id
+)
+SELECT doc_id, title, CAST(n_slides AS INT) AS n_slides,
+       CAST(n_paragraphs AS INT) AS n_paragraphs, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_doc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy Word-97 .doc extraction (`operators/msdoc.py::
+    doc_extract`, r13 — the r12 verdict's ask 6): every doc becomes a
+    REAL CFB compound file (header, FAT, directory, padded streams)
+    whose WordDocument stream carries a spec-shaped FIB and whose
+    0Table stream carries a two-piece CLX piece table — piece 1
+    cp1252 ("compressed" fc), piece 2 UTF-16LE — so BOTH decode
+    paths run on every row; paragraphs are \\r-joined Word text and
+    the title rides a real \\x05SummaryInformation property set.
+    The oracle rebuilds the paragraph rendering closed-form; a FAT
+    walk, directory, FIB offset, piece-table or encoding bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.msdoc import (
+        doc_extract,
+        synthesize_doc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                payload = synthesize_doc(
+                    [f"Doc {d} report", t, f"tail {d % 9}"],
+                    title=f"Doc {d}",
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "msdoc",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return doc_extract(payloads)
+
+
+_ORACLE_DOC_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+), built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report' || chr(10)
+           || text || chr(10)
+           || 'tail ' || CAST(doc_id % 9 AS VARCHAR) AS text
+  FROM san
+)
+SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(2 AS INT) AS n_pieces, CAST(3 AS INT) AS n_paragraphs,
+       text, CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_xls_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy Excel BIFF8 extraction (`operators/xls.py::xls_extract`,
+    r13 — the legacy-office triple's spreadsheet leg): every doc
+    becomes a real two-sheet .xls inside a real CFB container — the
+    SST mixes compressed and forced-UTF-16 strings, integer cells
+    alternate RK and Number records, a TRUE BoolErr rides every row —
+    with an OLEPS title.  The oracle rebuilds the sheet/TAB/NEWLINE
+    rendering closed-form; a record-walk, SST, RK-decode or
+    BoundSheet-order bug hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.xls import (
+        synthesize_xls,
+        xls_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                payload = synthesize_xls(
+                    [
+                        ("Data", [[f"Doc {d} report", str(d * 7),
+                                   "TRUE"],
+                                  [t, str(-(d % 13))]]),
+                        ("Notes", [[f"note block {d % 5}"]]),
+                    ],
+                    title=f"Doc {d}",
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "xls",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return xls_extract(payloads)
+
+
+_ORACLE_XLS_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+), built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         'Data' || chr(10)
+           || 'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || chr(9) || CAST(doc_id * 7 AS VARCHAR)
+           || chr(9) || 'TRUE' || chr(10)
+           || text || chr(9) || CAST(-(doc_id % 13) AS VARCHAR)
+           || chr(10)
+           || 'Notes' || chr(10) || 'note block '
+           || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM san
+)
+SELECT doc_id, title, CAST(2 AS INT) AS n_sheets,
+       CAST(3 AS INT) AS n_rows, CAST(6 AS INT) AS n_cells,
+       text, CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_ppt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy PowerPoint extraction (`operators/ppt.py::ppt_extract`,
+    r13): every doc becomes a real binary .ppt record tree — two text
+    blocks per deck, the writer alternating TextBytesAtom (cp1252)
+    and TextCharsAtom (UTF-16) so both decode paths run on every row
+    — inside a real CFB with an OLEPS title.  The oracle rebuilds the
+    paragraph rendering closed-form."""
+    _prep(spark)
+    from minerva_etl_spark.operators.ppt import (
+        ppt_extract,
+        synthesize_ppt,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                payload = synthesize_ppt(
+                    [[f"Doc {d} deck", t], [f"closing {d % 7}"]],
+                    title=f"Doc {d}",
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "ppt",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return ppt_extract(payloads)
+
+
+_ORACLE_PPT_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+), built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' deck' || chr(10)
+           || text || chr(10)
+           || 'closing ' || CAST(doc_id % 7 AS VARCHAR) AS text
+  FROM san
+)
+SELECT doc_id, title, CAST(2 AS INT) AS n_texts,
+       CAST(3 AS INT) AS n_paragraphs, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
+def q_msg_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlook .msg extraction (`operators/msg.py::msg_extract`,
+    r13 — the binary leg of the mail arc next to in-window
+    eml/mbox): every doc becomes a real CFB .msg whose TOP-LEVEL
+    property streams carry subject/body/sender/to — even docs UTF-16
+    (001F), odd docs cp1252 (001E), so both decodes run — plus one
+    NESTED recipient storage carrying a DECOY subject stream the
+    directory-tree walk must not surface.  The oracle rebuilds all
+    fields closed-form; a tree-walk, property-tag or decode bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.msg import (
+        msg_extract,
+        synthesize_msg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                payload = synthesize_msg(
+                    subject=f"Subject {d}",
+                    body=t,
+                    sender=f"sender{d % 20}@corpus.test",
+                    to=f"rcpt{d % 7}@corpus.test",
+                    wide=(d % 2 == 0),
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "msg",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return msg_extract(payloads)
+
+
+_ORACLE_MSG_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id,
+       'Subject ' || CAST(doc_id AS VARCHAR) AS subject,
+       'sender' || CAST(doc_id % 20 AS VARCHAR)
+         || '@corpus.test' AS sender,
+       'rcpt' || CAST(doc_id % 7 AS VARCHAR)
+         || '@corpus.test' AS "to",
+       text AS body,
+       CAST(1 AS INT) AS n_recipients,
+       CAST(length(text) AS INT) AS n_chars
+FROM san
+"""
+
+
+def q_format_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sniff-only format census (`operators/office.py::
+    format_census`, r13; r14 adds the encrypted leg): the budgeting
+    pass a 100 TB bucket runs before paying for codecs — one Arrow
+    sniff scan + one combinable groupBy, NO parse.  The fixture
+    cycles doc_id % 7 over the six extractable formats PLUS a
+    password-protected OOXML wrapper (CFB with EncryptionInfo/
+    EncryptedPackage, MS-OFFCRYPTO) that must be tagged
+    ``ooxml_encrypted`` — the census is how the decryption backlog
+    gets counted.  The gate projects (format, n_docs); the oracle
+    counts the cycle closed-form (total_bytes stays operator-only:
+    synthesized payload sizes are compression-dependent, not
+    closed-form)."""
+    _prep(spark)
+    from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.epub import synthesize_epub
+    from minerva_etl_spark.operators.msdoc import (
+        _build_cfb,
+        synthesize_doc,
+    )
+    from minerva_etl_spark.operators.office import format_census
+    from minerva_etl_spark.operators.pdf import synthesize_pdf
+    from minerva_etl_spark.operators.pptx import synthesize_pptx
+    from minerva_etl_spark.operators.xlsx import synthesize_xlsx
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                head = f"Doc {d} report"
+                if d % 7 == 0:
+                    payload = synthesize_pdf([head, t], title=f"Doc {d}")
+                elif d % 7 == 1:
+                    payload = synthesize_docx([head, t], title=f"Doc {d}")
+                elif d % 7 == 2:
+                    payload = synthesize_epub(
+                        [f"<p>{head}</p>", f"<p>{t}</p>"],
+                        title=f"Doc {d}",
+                    )
+                elif d % 7 == 3:
+                    payload = synthesize_xlsx(
+                        [("Data", [[head], [t]])], title=f"Doc {d}"
+                    )
+                elif d % 7 == 4:
+                    payload = synthesize_pptx([[head, t]], title=f"Doc {d}")
+                elif d % 7 == 5:
+                    payload = synthesize_doc([head, t])
+                else:
+                    payload = _build_cfb(
+                        [
+                            (
+                                "EncryptionInfo",
+                                b"\x04\x00\x04\x00" + b"\x00" * 60,
+                            ),
+                            (
+                                "EncryptedPackage",
+                                t.encode()[:64].ljust(64, b"\x00"),
+                            ),
+                        ]
+                    )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "census",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return format_census(payloads).select("format", "n_docs")
+
+
+_ORACLE_FORMAT_CENSUS = """
+SELECT CASE doc_id % 7 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+            WHEN 2 THEN 'epub' WHEN 3 THEN 'xlsx'
+            WHEN 4 THEN 'pptx' WHEN 5 THEN 'doc'
+            ELSE 'ooxml_encrypted' END AS format,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+def q_mail_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-format MAIL dispatch (`operators/email_ingest.py::
+    mail_extract`, r13 — the office_extract pattern on the mail arc):
+    one binary column mixes wire-format RFC 5322 messages (even docs,
+    quoted-printable bodies) with desktop Outlook .msg exports (odd
+    docs, alternating 001F/001E property widths) carrying the same
+    subject/sender/body content; magic routing per payload, unified
+    ``(kind, subject, sender, text, n_chars)``.  The oracle rebuilds
+    both kinds closed-form — a routing or either-codec regression
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.email_ingest import (
+        mail_extract,
+        synthesize_eml,
+    )
+    from minerva_etl_spark.operators.msg import synthesize_msg
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                if d % 2 == 0:
+                    payload = synthesize_eml(
+                        subject=f"Doc {d} mail",
+                        sender=f"user{d % 20}@corpus.test",
+                        text_body=t,
+                        cte="quoted-printable",
+                    )
+                else:
+                    payload = synthesize_msg(
+                        subject=f"Doc {d} mail",
+                        body=t,
+                        sender=f"user{d % 20}@corpus.test",
+                        to="corpus@example.test",
+                        wide=(d % 4 == 1),
+                    )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "mail",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return mail_extract(payloads)
+
+
+_ORACLE_MAIL_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+)
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'eml' ELSE 'msg' END AS kind,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' mail' AS subject,
+       'user' || CAST(doc_id % 20 AS VARCHAR) || '@corpus.test'
+         AS sender,
+       text,
+       CAST(length(text) AS INT) AS n_chars
+FROM san
+"""
+
+
+def q_pipeline_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused DOCUMENT-delivery pipeline — the archive/PDF twin of
+    `pipeline_crawl`'s harvest edge: documents become real two-page
+    PDFs (even ids Flate-compressed), packed as members of real
+    archives (even shards zip, odd tar.gz), written by owning tasks,
+    then harvested back: `read_archives` → member-name doc_id →
+    `pdf_extract` → `with_token_count` → keep docs with ≥ 30 tokens.
+    Three r10 operators composed in one lineage with zero driver
+    round-trips between stages; the oracle replays the survivors
+    closed-form (title, exact text, token count), so ANY stage
+    breaking — archive member bytes, PDF object boundaries, Flate
+    dispatch, text-op tokenizing, filtering — shifts the hash."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.pdf import (
+        pdf_extract,
+        synthesize_pdf,
+    )
+    from minerva_etl_spark.operators.text import with_token_count
+    from minerva_etl_spark.sources.archive import (
+        read_archives,
+        write_archives,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                shard = d % 6
+                ext = "zip" if shard % 2 == 0 else "tar.gz"
+                payload = synthesize_pdf(
+                    [f"Doc {d} report", _ascii_sanitize(str(t))],
+                    title=f"Doc {d}",
+                    compress=(d % 2 == 0),
+                    # r11: a third of the corpus ships as PDF 1.5
+                    # ObjStm (container-blind oracle, same text)
+                    objstm=(d % 3 == 0),
+                )
+                rows.append(
+                    (f"shard-{shard}.{ext}", f"doc_{d:06d}.pdf", payload)
+                )
+            yield pd.DataFrame(
+                rows, columns=["archive", "member", "content"]
+            )
+
+    staged = docs.mapInPandas(
+        synth, "archive string, member string, content binary"
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_docpipe_")
+    write_archives(staged, root).collect()
+    members = read_archives(spark, root).select(
+        F.regexp_extract("member", r"doc_(\d+)\.pdf", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.col("content").alias("payload"),
+    )
+    out = (
+        with_token_count(pdf_extract(members))
+        .where(F.col("n_tokens") >= 30)
+        .select("doc_id", "n_pages", "title", "text", "n_tokens")
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_pipeline_document() -> str:
+    from minerva_etl_spark.operators.text import tokens_duck_sql
+
+    toks = tokens_duck_sql("text")
+    return f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS s FROM documents
+), built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+             || chr(10) || chr(10) || s AS text
+  FROM san
+), counted AS (
+  SELECT doc_id, text, CAST(len({toks}) AS BIGINT) AS n_tokens
+  FROM built
+)
+SELECT doc_id,
+       CAST(2 AS INT) AS n_pages,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       text,
+       n_tokens
+FROM counted WHERE n_tokens >= 30
+"""
+
+
+_ORACLE_FEED_ENTRIES = """
+WITH e AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i
+  FROM documents, UNNEST(generate_series(0, doc_id % 3)) AS t(i)
+)
+SELECT doc_id AS feed_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS format,
+       'Feed ' || CAST(doc_id AS VARCHAR) AS feed_title,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' item '
+           || CAST(i AS VARCHAR) AS title,
+       'https://corpus.test/d/' || CAST(doc_id AS VARCHAR) || '/'
+           || CAST(i AS VARCHAR) AS link,
+       '2026-02-03T04:05:0' || CAST(i AS VARCHAR) || 'Z' AS published,
+       CASE WHEN i % 2 = 0
+            THEN 'guid:' || CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(i AS VARCHAR)
+            ELSE 'https://corpus.test/d/' || CAST(doc_id AS VARCHAR)
+                 || '/' || CAST(i AS VARCHAR) END AS guid
+FROM e
+"""

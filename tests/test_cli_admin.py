@@ -1262,3 +1262,26 @@ def test_cli_corpus_ivf_verbs(tmp_path, spark):
 
     with _pytest.raises(SystemExit):
         main(["corpus", "ivf-query", "--input", qsrc, "--output", out3])
+
+
+def test_cli_corpus_bpe_byte_fallback(tmp_path, spark):
+    """`corpus bpe --byte-fallback` emits token-id arrays through the
+    persisted-vocab byte-fallback encoder — no -1, no drops (r14)."""
+    from minerva_etl_spark.cli import main
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "cats chase rats on mats"),
+         (3, "quiz with unseen q letters")],
+        "doc_id bigint, text string",
+    )
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    out = str(tmp_path / "ids")
+    main(["corpus", "bpe", "--input", src, "--output", out,
+          "--n", "4", "--byte-fallback"])
+    got = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {1, 2, 3}
+    for r in got.values():
+        assert r.n_bpe_tokens == len(r.token_ids)
+        assert all(i is not None and i >= 0 for i in r.token_ids)
