@@ -129,7 +129,7 @@ def probe(spark, data_dir: str, mult: int) -> dict:
                 F.lit("2026-02-01 00:00:00"),
                 F.lit("2026-02-02 00:00:00"),
             )
-        ).cast("timestamp_ntz").alias("ts"),
+        ).alias("__ts_str"),
         F.concat(F.lit("https://probe.test/d/"), F.col("doc_id"))
         .alias("url"),
         F.lit("text/html").alias("mime"),
@@ -138,7 +138,9 @@ def probe(spark, data_dir: str, mult: int) -> dict:
         F.lit("crawl-00001.warc.gz").alias("warc_file"),
         (F.col("doc_id") * 1000).alias("warc_offset"),
         F.lit(512).alias("warc_length"),
-    )
+    ).withColumn(
+        "ts", F.col("__ts_str").cast("timestamp_ntz")
+    ).drop("__ts_str")
     cdx_dir = f"{work}/cdx"
     timed("cdx_write",
           lambda: write_cdxj(caps, cdx_dir).count(),
