@@ -160,6 +160,9 @@ HEADLINE = [
     # round-14: MJPEG-in-AVI — compressed video via the per-frame
     # baseline-JPEG chain (fixture staged outside the clock)
     "video_features_mjpeg",
+    # round-14: baseline TIFF (IFD walk both byte orders, PackBits,
+    # multi-strip/multi-page; fixture staged outside the clock)
+    "tiff_features",
     "exif_scan",
     "warc_harvest",
     "wet_harvest",
@@ -370,7 +373,7 @@ def main() -> None:
                  "pptx_extract", "doc_extract", "xls_extract",
                  "ppt_extract", "msg_extract", "mail_extract",
                  "exif_scan", "format_census",
-                 "video_features_mjpeg"):
+                 "video_features_mjpeg", "tiff_features"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

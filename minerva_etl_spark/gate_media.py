@@ -1653,3 +1653,108 @@ WITH dims AS (
 SELECT * FROM png_rows UNION ALL SELECT * FROM jpeg_rows
 UNION ALL SELECT * FROM gif_rows
 """
+
+
+def q_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode (`operators/tiff.py`, r14 — the
+    scanned-document leg of the image arc): per-document multi-strip
+    TIFFs cycling gray-II vs RGB-MM by parity, PackBits compression
+    every third doc, and a SECOND page (different formula seed) on
+    odd docs — the decoder must count pages but decode only the
+    first, assemble strips, and invert PackBits.  Decode is LOSSLESS,
+    so the oracle replays the generating-formula means directly; a
+    byte-order, strip-assembly, PackBits, or page-walk bug
+    hash-mismatches.  Gray rows pivot to mean_c0 with NULL c1/c2 (the
+    honest single-channel shape)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.tiff import synthesize_tiff
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 6 + d % 5, 4 + d % 3
+                ch = 1 if d % 2 else 3
+                pages = []
+                for k in range(1 + d % 2):
+                    px = bytes(
+                        (d + k * 17 + y * 31 + x * 13 + c * 101) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(ch)
+                    )
+                    pages.append((px, w, h, ch))
+                payloads.append(
+                    synthesize_tiff(
+                        pages,
+                        byte_order="II" if d % 2 else "MM",
+                        compression=32773 if d % 3 == 0 else 1,
+                        rows_per_strip=3,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from minerva_etl_spark.operators.tiff import tiff_features
+
+    media = _media_fixture_staged(
+        spark, sf_dir, "tiff",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
+    return tiff_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        "n_pages",
+        "byte_order",
+        # F.get: NULL past the end (ANSI-safe) — gray rows carry a
+        # 1-element means array
+        F.get("channel_means", 0).alias("mean_c0"),
+        F.get("channel_means", 1).alias("mean_c1"),
+        F.get("channel_means", 2).alias("mean_c2"),
+    )
+
+
+_ORACLE_TIFF = """
+WITH dims AS (
+  SELECT doc_id,
+         6 + doc_id % 5 AS w,
+         4 + doc_id % 3 AS h,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS ch,
+         CASE WHEN doc_id % 2 = 1 THEN 'II' ELSE 'MM' END AS bo,
+         1 + doc_id % 2 AS np
+  FROM documents
+), px AS (
+  SELECT doc_id, w, h, ch, c.c AS c,
+         (doc_id + y.y * 31 + x.x * 13 + c.c * 101) % 256 AS v
+  FROM dims,
+       UNNEST(generate_series(0, w - 1)) AS x(x),
+       UNNEST(generate_series(0, h - 1)) AS y(y),
+       UNNEST(generate_series(0, ch - 1)) AS c(c)
+), m AS (
+  SELECT doc_id, c,
+         floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5e0)
+             / 1000000 AS mv
+  FROM px GROUP BY doc_id, c
+)
+SELECT d.doc_id AS media_id,
+       CAST(d.w AS INT) AS width,
+       CAST(d.h AS INT) AS height,
+       CAST(d.ch AS INT) AS n_channels,
+       CAST(d.np AS INT) AS n_pages,
+       d.bo AS byte_order,
+       max(CASE WHEN m.c = 0 THEN m.mv END) AS mean_c0,
+       max(CASE WHEN m.c = 1 THEN m.mv END) AS mean_c1,
+       max(CASE WHEN m.c = 2 THEN m.mv END) AS mean_c2
+FROM dims d JOIN m ON d.doc_id = m.doc_id
+GROUP BY d.doc_id, d.w, d.h, d.ch, d.np, d.bo
+"""

@@ -690,6 +690,8 @@ def sniff_image_format(payload: bytes) -> str:
         return "jpeg"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
     raise ValueError(
         f"unrecognized image payload (leading bytes {payload[:4]!r})"
     )
@@ -706,6 +708,10 @@ def image_decode(payload: bytes) -> dict:
         from minerva_etl_spark.operators.jpeg import jpeg_decode
 
         d = jpeg_decode(payload)
+    elif fmt == "tiff":
+        from minerva_etl_spark.operators.tiff import tiff_decode
+
+        d = tiff_decode(payload)
     else:
         from minerva_etl_spark.operators.gif import gif_decode
 
