@@ -156,6 +156,18 @@ def fs_create_atomic(spark: SparkSession, path: str, content: str) -> bool:
     return True
 
 
+def fs_write_small(spark: SparkSession, path: str, content: str) -> None:
+    """Write/overwrite a small text file through the Hadoop FS API
+    (portable to HDFS/object stores — never a Python-local DataFrame,
+    the r13 state-meta lesson).  For artifacts like tokenizer.json."""
+    fs, hpath, _ = _fs(spark, path, raw=True)
+    out = fs.create(hpath, True)
+    try:
+        out.write(bytearray(content.encode()))
+    finally:
+        out.close()
+
+
 def fs_read_small(spark: SparkSession, path: str) -> str | None:
     """Contents of a small file (lease tokens); None if absent — even
     when another writer deletes the file between the exists-probe and

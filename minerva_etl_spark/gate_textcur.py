@@ -1638,3 +1638,55 @@ def q_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _oracle_tfidf_terms() -> str:
     return X.tfidf_oracle_sql("documents", n=3)
+
+
+def q_bpe_hf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer ARTIFACT round trip (`operators/tokenizer_io.py`,
+    r14): train BPE on the q-stripped corpus, EXPORT the merges +
+    persisted vocab as a HuggingFace-schema tokenizer.json, IMPORT it
+    back, then encode the original text plus the planted ' qed quiz'
+    suffix THROUGH THE RE-IMPORTED tables with byte fallback and
+    decode.  The decoded stream must equal the independently computed
+    normalized word stream — a serialization bug anywhere (terminator
+    strip/re-add, merge order, id map, byte-row id space)
+    hash-mismatches.  This is the interop contract: an external HF
+    loader and this engine see the same artifact."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.bpe import (
+        bpe_decode_ids_bf,
+        bpe_encode_ids_bf,
+        bpe_train,
+        bpe_vocab,
+    )
+    from minerva_etl_spark.operators.tokenizer_io import (
+        bpe_export_hf,
+        bpe_import_hf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    train_docs = docs.select(
+        "doc_id", F.regexp_replace("text", "[qQ]", "").alias("text")
+    )
+    encode_docs = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" qed quiz")).alias("text"),
+    )
+    merges, _ = bpe_train(train_docs, n_merges=12, min_count=2)
+    vocab_ids = bpe_vocab(train_docs, merges)
+    root = tempfile.mkdtemp(prefix="minerva_gate_hf_")
+    try:
+        path = root + "/tokenizer.json"
+        bpe_export_hf(merges, vocab_ids, path)
+        merges2, vocab2 = bpe_import_hf(spark, path)
+        enc = bpe_encode_ids_bf(encode_docs, merges2, vocab2)
+        out = bpe_decode_ids_bf(enc, vocab2).localCheckpoint(
+            eager=True
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out

@@ -1,0 +1,77 @@
+"""HuggingFace tokenizer.json interop (`operators/tokenizer_io.py`):
+export schema, exact table round trip, encode-through-imported
+equality, byte-fallback id space."""
+
+import json
+
+import pytest
+
+from minerva_etl_spark.operators.bpe import (
+    bpe_encode_ids_bf,
+    bpe_train,
+    bpe_vocab,
+)
+from minerva_etl_spark.operators.tokenizer_io import (
+    bpe_export_hf,
+    bpe_import_hf,
+)
+
+_DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "cats chase rats on mats"),
+    (3, "the rat sat too"),
+]
+
+
+def test_export_schema_and_roundtrip_tables(spark, tmp_path):
+    docs = spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+    merges, _ = bpe_train(docs, n_merges=6, min_count=2)
+    vocab = bpe_vocab(docs, merges)
+    path = str(tmp_path / "tokenizer.json")
+    doc = bpe_export_hf(merges, vocab, path)
+    on_disk = json.loads(open(path).read())
+    assert on_disk == doc
+    m = on_disk["model"]
+    assert m["type"] == "BPE"
+    assert m["end_of_word_suffix"] == "</w>"
+    assert m["byte_fallback"] is True
+    # merges are "left right" with terminators stripped, rank order
+    assert len(m["merges"]) == merges.count()
+    assert all(" " in x and "_" not in x.replace("</w>", "")
+               for x in m["merges"])
+    # byte rows present at ids past the trained vocab
+    assert "<0x71>" in m["vocab"] and "<0x71></w>" in m["vocab"]
+
+    m2, v2 = bpe_import_hf(spark, path)
+    orig_m = [(r.rank, r.left, r.right)
+              for r in merges.orderBy("rank").collect()]
+    got_m = [(r.rank, r.left, r.right)
+             for r in m2.orderBy("rank").collect()]
+    assert orig_m == got_m
+    orig_v = {(r.tok, r.tid) for r in vocab.collect()}
+    got_v = {(r.tok, r.tid) for r in v2.collect()}
+    assert orig_v == got_v  # byte rows dropped on import
+
+
+def test_encode_through_imported_artifact_is_identical(spark, tmp_path):
+    docs = spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+    merges, _ = bpe_train(docs, n_merges=6, min_count=2)
+    vocab = bpe_vocab(docs, merges)
+    path = str(tmp_path / "tok.json")
+    bpe_export_hf(merges, vocab, path)
+    m2, v2 = bpe_import_hf(spark, path)
+    oov = spark.createDataFrame(
+        [(9, "quiz the qat")], "doc_id bigint, text string"
+    )
+    a = bpe_encode_ids_bf(oov, merges, vocab).collect()[0]
+    b = bpe_encode_ids_bf(oov, m2, v2).collect()[0]
+    assert a.token_ids == b.token_ids
+
+
+def test_import_rejects_non_bpe(spark, tmp_path):
+    p = str(tmp_path / "bad.json")
+    open(p, "w").write(json.dumps({"model": {"type": "Unigram"}}))
+    with pytest.raises(ValueError, match="only .*BPE|BPE"):
+        bpe_import_hf(spark, p)
+    with pytest.raises(FileNotFoundError):
+        bpe_import_hf(spark, str(tmp_path / "absent.json"))
