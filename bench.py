@@ -155,6 +155,9 @@ HEADLINE = [
     "embed_text_hashed",
     "gif_features",
     "wav_g711_features",
+    # round-14: IMA-ADPCM decode (stateful 89-step machine; oracle
+    # replays it via DuckDB list_reduce)
+    "wav_adpcm_features",
     "wav_spectral",
     "image_features_mixed",
     # round-14: MJPEG-in-AVI — compressed video via the per-frame

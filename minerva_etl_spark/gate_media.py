@@ -1758,3 +1758,105 @@ SELECT d.doc_id AS media_id,
 FROM dims d JOIN m ON d.doc_id = m.doc_id
 GROUP BY d.doc_id, d.w, d.h, d.ch, d.np, d.bo
 """
+
+
+def q_wav_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode (`operators/adpcm.py` via the
+    `_wav_parse_manual` RIFF fallback, r14): per-doc single-block
+    mono IMA-ADPCM WAVs (format code 0x11) — nibble stream
+    (d*7 + k*3) % 16, header predictor ((d*131) % 4096) - 2048, step
+    index d % 89 — decoded through the 89-step state machine inside
+    Arrow tasks.  The decoder is STATEFUL per sample, and the oracle
+    replays it EXACTLY: a DuckDB ``list_reduce`` carrying
+    [step_index, s0..sk] through the same integer step table, then
+    the RMS on the shared half-up grid.  One wrong clamp, table
+    entry, nibble order, or sign bit diverges the entire suffix and
+    hash-mismatches."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.adpcm import (
+            synthesize_wav_ima,
+        )
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                n_nib = 2 * (20 + d % 8)
+                nibs = [(d * 7 + k * 3) % 16 for k in range(n_nib)]
+                payloads.append(
+                    synthesize_wav_ima(
+                        nibs,
+                        predictor=((d * 131) % 4096) - 2048,
+                        step_index=d % 89,
+                        sample_rate=8000,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return M.wav_features(media)
+
+
+def _oracle_wav_adpcm() -> str:
+    """The IMA state machine replayed in DuckDB: ``list_reduce`` over
+    the nibble stream with accumulator layout [idx, s0, s1, ...] —
+    fresh list per step (NO struct-field accumulator: DuckDB mutates
+    reduce structs field-by-field, which double-applies expressions
+    that re-read earlier fields)."""
+    from minerva_etl_spark.operators.adpcm import (
+        INDEX_TABLE,
+        STEP_TABLE,
+    )
+
+    st = "[" + ",".join(map(str, STEP_TABLE)) + "]"
+    it = "[" + ",".join(map(str, INDEX_TABLE)) + "]"
+    df = (
+        "((tbl.st[acc[1] + 1] // 8)"
+        " + CASE WHEN (x[1] & 1) = 1 THEN tbl.st[acc[1] + 1] // 4"
+        " ELSE 0 END"
+        " + CASE WHEN (x[1] & 2) = 2 THEN tbl.st[acc[1] + 1] // 2"
+        " ELSE 0 END"
+        " + CASE WHEN (x[1] & 4) = 4 THEN tbl.st[acc[1] + 1]"
+        " ELSE 0 END)"
+    )
+    p2 = (
+        f"LEAST(32767, GREATEST(-32768, acc[-1] + "
+        f"CASE WHEN (x[1] & 8) = 8 THEN -{df} ELSE {df} END))"
+    )
+    ni = "LEAST(88, GREATEST(0, acc[1] + tbl.it[(x[1] & 15) + 1]))"
+    lam = f"(acc, x) -> list_concat(list_concat([{ni}], acc[2:]), [{p2}])"
+    return f"""
+WITH tbl AS (SELECT {st} AS st, {it} AS it),
+cfg AS (
+  SELECT doc_id AS d,
+         ((doc_id * 131) % 4096) - 2048 AS pred0,
+         doc_id % 89 AS idx0,
+         2 * (20 + doc_id % 8) AS n_nib
+  FROM documents
+),
+dec AS (
+  SELECT d, n_nib,
+    list_reduce(
+      list_prepend([idx0, pred0],
+        list_transform(generate_series(0, n_nib - 1),
+                       k -> [(d*7 + k*3) % 16])),
+      {lam})[2:] AS samples
+  FROM cfg, tbl
+)
+SELECT d AS media_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(n_nib + 1 AS BIGINT) AS n_frames,
+       CAST(1 AS INT) AS n_channels,
+       CAST(((n_nib + 1) * 1000) // 8000 AS BIGINT) AS duration_ms,
+       floor(sqrt(CAST(list_sum(list_transform(samples,
+                 v -> CAST(v*v AS HUGEINT))) AS DOUBLE)
+                  / (n_nib + 1)) * 1000000 + 0.5) / 1000000 AS rms
+FROM dec
+"""

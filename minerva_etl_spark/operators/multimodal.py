@@ -198,16 +198,22 @@ def _wav_parse_manual(payload: bytes) -> tuple[tuple, int, int]:
         pos += 8 + size + (size % 2)
     if fmt is None:
         raise ValueError("WAVE payload has no fmt chunk")
-    audio_format, n_channels, rate, _br, _ba, bits = fmt
+    audio_format, n_channels, rate, _br, block_align, bits = fmt
     if audio_format == 7:
         vals = tuple(ulaw_expand(b) for b in raw)
     elif audio_format == 6:
         vals = tuple(alaw_expand(b) for b in raw)
+    elif audio_format == 0x11:
+        # IMA ADPCM (DVI4) — real block-structured decode (r14)
+        from minerva_etl_spark.operators.adpcm import decode_ima_wav
+
+        vals = decode_ima_wav(raw, n_channels, block_align)
     else:
         raise NotImplementedError(
             f"unsupported WAVE format code {audio_format} "
-            "(PCM=1 via the stdlib path, mu-law=7 and A-law=6 here; "
-            "compressed formats are out of scope)"
+            "(PCM=1 via the stdlib path, mu-law=7, A-law=6 and "
+            "IMA-ADPCM=0x11 here; other compressed formats are out "
+            "of scope)"
         )
     return vals, rate, n_channels
 
