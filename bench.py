@@ -166,6 +166,8 @@ HEADLINE = [
     # round-14: baseline TIFF (IFD walk both byte orders, PackBits,
     # multi-strip/multi-page; fixture staged outside the clock)
     "tiff_features",
+    # round-14: BMP/DIB (24-bit both row orders, palette, RLE8)
+    "bmp_features",
     "exif_scan",
     "warc_harvest",
     "wet_harvest",

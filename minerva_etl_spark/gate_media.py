@@ -1860,3 +1860,117 @@ SELECT d AS media_id,
                   / (n_nib + 1)) * 1000000 + 0.5) / 1000000 AS rms
 FROM dec
 """
+
+
+def q_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP decode (`operators/bmp.py`, r14): odd doc_ids carry
+    24-bit BI_RGB with the PNG generating formula (top-down storage
+    when d % 4 == 1 — both row orders load-bearing), even doc_ids an
+    8-bit palettized image on the GIF palette formula, RLE8-compressed
+    when d % 4 == 0 (runs + EOL/EOB escapes).  Decode is LOSSLESS and
+    palette resolution is deterministic, so the oracle replays both
+    legs closed-form; routed through the MIXED image dispatcher
+    (`multimodal.image_features`) so the sniff edge is pinned too."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.bmp import synthesize_bmp
+
+        palette = [
+            ((i * 41) % 256, (i * 59) % 256, (i * 83) % 256)
+            for i in range(8)
+        ]
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 6 + d % 5, 4 + d % 3
+                if d % 2 == 1:
+                    px = bytes(
+                        (d * 7 + y * 31 + x * 13 + c * 101) % 256
+                        for y in range(h)
+                        for x in range(w)
+                        for c in range(3)
+                    )
+                    payloads.append(
+                        synthesize_bmp(
+                            px, w, h, bits=24,
+                            topdown=(d % 4 == 1),
+                        )
+                    )
+                else:
+                    idx = bytes(
+                        (d * 7 + y * 31 + x * 13) % 8
+                        for y in range(h)
+                        for x in range(w)
+                    )
+                    payloads.append(
+                        synthesize_bmp(
+                            idx, w, h, bits=8, palette=palette,
+                            rle=(d % 4 == 0),
+                        )
+                    )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return M.image_features(media).select(
+        "media_id",
+        "format",
+        "width",
+        "height",
+        "n_channels",
+        F.get("channel_means", 0).alias("mean_c0"),
+        F.get("channel_means", 1).alias("mean_c1"),
+        F.get("channel_means", 2).alias("mean_c2"),
+    )
+
+
+_ORACLE_BMP = """
+WITH dims AS (
+  SELECT doc_id, 6 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+  FROM documents
+), rgb24 AS (
+  SELECT doc_id, w, h, c.c AS c,
+         (doc_id * 7 + y.y * 31 + x.x * 13 + c.c * 101) % 256 AS v
+  FROM dims,
+       UNNEST(generate_series(0, w - 1)) AS x(x),
+       UNNEST(generate_series(0, h - 1)) AS y(y),
+       UNNEST(generate_series(0, 2)) AS c(c)
+  WHERE doc_id % 2 = 1
+), pal8 AS (
+  SELECT doc_id, w, h, c.c AS c,
+         CASE c.c
+           WHEN 0 THEN (((doc_id * 7 + y.y * 31 + x.x * 13) % 8) * 41)
+                      % 256
+           WHEN 1 THEN (((doc_id * 7 + y.y * 31 + x.x * 13) % 8) * 59)
+                      % 256
+           ELSE (((doc_id * 7 + y.y * 31 + x.x * 13) % 8) * 83) % 256
+         END AS v
+  FROM dims,
+       UNNEST(generate_series(0, w - 1)) AS x(x),
+       UNNEST(generate_series(0, h - 1)) AS y(y),
+       UNNEST(generate_series(0, 2)) AS c(c)
+  WHERE doc_id % 2 = 0
+), px AS (
+  SELECT * FROM rgb24 UNION ALL SELECT * FROM pal8
+), m AS (
+  SELECT doc_id, w, h, c,
+         floor(CAST(sum(v) AS DOUBLE) / count(*) * 1000000 + 0.5e0)
+             / 1000000 AS mv
+  FROM px GROUP BY doc_id, w, h, c
+)
+SELECT doc_id AS media_id,
+       'bmp' AS format,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       max(CASE WHEN c = 0 THEN mv END) AS mean_c0,
+       max(CASE WHEN c = 1 THEN mv END) AS mean_c1,
+       max(CASE WHEN c = 2 THEN mv END) AS mean_c2
+FROM m GROUP BY doc_id, w, h
+"""

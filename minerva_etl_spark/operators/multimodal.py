@@ -698,6 +698,8 @@ def sniff_image_format(payload: bytes) -> str:
         return "gif"
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         return "tiff"
+    if payload[:2] == b"BM":
+        return "bmp"
     raise ValueError(
         f"unrecognized image payload (leading bytes {payload[:4]!r})"
     )
@@ -718,6 +720,10 @@ def image_decode(payload: bytes) -> dict:
         from minerva_etl_spark.operators.tiff import tiff_decode
 
         d = tiff_decode(payload)
+    elif fmt == "bmp":
+        from minerva_etl_spark.operators.bmp import bmp_decode
+
+        d = bmp_decode(payload)
     else:
         from minerva_etl_spark.operators.gif import gif_decode
 
