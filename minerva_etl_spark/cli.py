@@ -1846,7 +1846,12 @@ def cmd_media(args) -> None:
 
         out = gif_features(df)
     elif args.action == "image-features":
+        # routes png/jpeg/gif/tiff/bmp by magic bytes
         out = M.image_features(df)
+    elif args.action == "tiff-features":
+        from minerva_etl_spark.operators.tiff import tiff_features
+
+        out = tiff_features(df, on_error=args.on_error)
     elif args.action == "image-resize":
         out = M.image_resize(df, args.width, args.height)
     elif args.action == "avi-features":
@@ -2628,6 +2633,7 @@ def main(argv: list[str] | None = None) -> None:
         "action",
         choices=["wav-features", "wav-spectral", "png-features",
                  "jpeg-features", "gif-features", "image-features",
+                 "tiff-features",
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "docx-text",
                  "epub-text", "office-text", "eml-text", "mbox-split",

@@ -129,3 +129,17 @@ def test_spark_features_and_mixed_dispatch(spark):
     )
     kept = tiff_features(df2, on_error="skip").collect()
     assert sorted(r.media_id for r in kept) == [1, 2]
+
+
+def test_cli_tiff_features(spark, tmp_path):
+    from minerva_etl_spark.cli import main
+
+    rows = [(1, synthesize_tiff([(_px(5, 4, 3, 1), 5, 4, 3)]))]
+    src = str(tmp_path / "media")
+    spark.createDataFrame(
+        rows, "media_id bigint, payload binary"
+    ).write.parquet(src)
+    out = str(tmp_path / "feat")
+    main(["media", "tiff-features", "--input", src, "--output", out])
+    got = spark.read.parquet(out).collect()[0]
+    assert got.width == 5 and got.n_pages == 1
