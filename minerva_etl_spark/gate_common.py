@@ -144,7 +144,7 @@ def _code_synth_exprs(spark_side: bool) -> tuple[str, str, str, str]:
 #: bump when ANY staged fixture's generating formula changes — the
 #: stage cache key includes it, so stale payloads can never leak
 #: across formula revisions.
-_MEDIA_STAGE_VERSION = "r14a"  # xlsx writer gained styles.xml/dates
+_MEDIA_STAGE_VERSION = "r14b"  # tiff fixture gained LZW/predictor legs
 
 
 def _media_fixture_staged(spark, sf_dir, kind, build):

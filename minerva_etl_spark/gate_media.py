@@ -1658,14 +1658,17 @@ UNION ALL SELECT * FROM gif_rows
 def q_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-TIFF decode (`operators/tiff.py`, r14 — the
     scanned-document leg of the image arc): per-document multi-strip
-    TIFFs cycling gray-II vs RGB-MM by parity, PackBits compression
-    every third doc, and a SECOND page (different formula seed) on
-    odd docs — the decoder must count pages but decode only the
-    first, assemble strips, and invert PackBits.  Decode is LOSSLESS,
-    so the oracle replays the generating-formula means directly; a
-    byte-order, strip-assembly, PackBits, or page-walk bug
-    hash-mismatches.  Gray rows pivot to mean_c0 with NULL c1/c2 (the
-    honest single-channel shape)."""
+    TIFFs cycling gray-II vs RGB-MM by parity and ALL THREE
+    compressions by doc_id % 3 — PackBits (0), TIFF-variant LZW with
+    the horizontal-differencing predictor alternating (1), and
+    uncompressed (2) — plus a SECOND page (different formula seed) on
+    odd docs: the decoder must count pages but decode only the first,
+    assemble strips, invert PackBits/LZW (MSB-first, early change)
+    and the predictor.  Decode is LOSSLESS, so the oracle replays the
+    generating-formula means directly; a byte-order, strip-assembly,
+    compression, predictor, or page-walk bug hash-mismatches.  Gray
+    rows pivot to mean_c0 with NULL c1/c2 (the honest single-channel
+    shape)."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
@@ -1689,12 +1692,14 @@ def q_tiff_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for c in range(ch)
                     )
                     pages.append((px, w, h, ch))
+                comp = {0: 32773, 1: 5, 2: 1}[d % 3]
                 payloads.append(
                     synthesize_tiff(
                         pages,
                         byte_order="II" if d % 2 else "MM",
-                        compression=32773 if d % 3 == 0 else 1,
+                        compression=comp,
                         rows_per_strip=3,
+                        predictor=2 if d % 6 == 1 else 1,
                     )
                 )
             yield pd.DataFrame(

@@ -42,6 +42,8 @@ __all__ = [
     "tiff_features",
     "packbits_encode",
     "packbits_decode",
+    "lzw_encode",
+    "lzw_decode",
     "TIFF_FEATURE_SCHEMA",
 ]
 
@@ -54,9 +56,11 @@ _T_STRIP_OFFSETS = 273
 _T_SAMPLES = 277
 _T_ROWS_PER_STRIP = 278
 _T_STRIP_COUNTS = 279
+_T_PREDICTOR = 317
 _T_TILE_WIDTH = 322
 
 _COMP_NONE = 1
+_COMP_LZW = 5
 _COMP_PACKBITS = 32773
 
 
@@ -121,6 +125,145 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+# ----------------------------------------------------------- TIFF LZW
+# TIFF 6.0 §13: the GIF algorithm with three format twists — codes
+# pack MSB-first, ClearCode=256/EOI=257 with the table starting at
+# 258, and the "early change": the code width bumps one code EARLIER
+# than the table-size power of two (the libtiff-compatible behavior).
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def lzw_encode(data: bytes) -> bytes:
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for byte in data:
+        k = w + bytes([byte])
+        if k in table:
+            w = k
+            continue
+        emit(table[w], width)
+        table[k] = next_code
+        next_code += 1
+        # early change: widen when the NEXT code would not fit
+        if next_code == (1 << width) - 1:
+            if width == 12:
+                emit(_LZW_CLEAR, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+            else:
+                width += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read(width: int) -> int:
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            raise ValueError("LZW stream truncated (no EOI)")
+        v = 0
+        for _ in range(width):
+            v = (v << 1) | (
+                (data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            )
+            bitpos += 1
+        return v
+
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        code = read(width)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            reset()
+            continue
+        if prev is None:
+            if code >= 256:
+                raise ValueError(f"LZW first code {code} not a literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError(f"LZW code {code} beyond table")
+        out += entry
+        prev = entry
+        # early change mirrors the encoder — with the decode-side
+        # off-by-one: the decoder's table lags the encoder's by one
+        # entry (its insert for code k happens while processing code
+        # k+1), so the width bumps at 2^w - 2 here vs 2^w - 1 there
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"LZW produced {len(out)} bytes, expected {expected}"
+        )
+    return bytes(out)
+
+
+def _undiff_rows(rows: bytes, w: int, ch: int, h: int) -> bytes:
+    """Invert the horizontal-differencing predictor (tag 317 = 2):
+    within each row, each sample adds the previous sample of the
+    same channel."""
+    out = bytearray(rows)
+    stride = w * ch
+    for y in range(h):
+        base = y * stride
+        for i in range(ch, stride):
+            out[base + i] = (out[base + i] + out[base + i - ch]) & 0xFF
+    return bytes(out)
+
+
+def _diff_rows(rows: bytes, w: int, ch: int, h: int) -> bytes:
+    out = bytearray(rows)
+    stride = w * ch
+    for y in range(h):
+        base = y * stride
+        for i in range(stride - 1, ch - 1, -1):
+            out[base + i] = (out[base + i] - out[base + i - ch]) & 0xFF
+    return bytes(out)
+
+
 # -------------------------------------------------------------- writer
 
 
@@ -129,14 +272,19 @@ def synthesize_tiff(
     byte_order: str = "II",
     compression: int = _COMP_NONE,
     rows_per_strip: int = 4,
+    predictor: int = 1,
 ) -> bytes:
     """A real (possibly multi-page) TIFF from row-major 8-bit pixel
     buffers.  ``pages`` is ``[(pixels, width, height, channels)]``
     with channels 1 (gray) or 3 (RGB); strips are ``rows_per_strip``
-    rows each so multi-strip assembly is exercised.  Deterministic
-    bytes."""
+    rows each so multi-strip assembly is exercised.  ``compression``
+    1 (none) / 5 (LZW, TIFF variant) / 32773 (PackBits);
+    ``predictor=2`` applies horizontal differencing (the common LZW
+    pairing).  Deterministic bytes."""
     if byte_order not in ("II", "MM"):
         raise ValueError("byte_order must be 'II' or 'MM'")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
     e = "<" if byte_order == "II" else ">"
     out = bytearray()
     out += byte_order.encode()
@@ -153,14 +301,16 @@ def synthesize_tiff(
             )
         strips = []
         for y0 in range(0, h, rows_per_strip):
-            rows = pixels[
-                y0 * w * ch : min(y0 + rows_per_strip, h) * w * ch
-            ]
-            strips.append(
-                packbits_encode(rows)
-                if compression == _COMP_PACKBITS
-                else bytes(rows)
-            )
+            n_rows = min(y0 + rows_per_strip, h) - y0
+            rows = pixels[y0 * w * ch : (y0 + n_rows) * w * ch]
+            if predictor == 2:
+                rows = _diff_rows(rows, w, ch, n_rows)
+            if compression == _COMP_PACKBITS:
+                strips.append(packbits_encode(rows))
+            elif compression == _COMP_LZW:
+                strips.append(lzw_encode(rows))
+            else:
+                strips.append(bytes(rows))
         # strip data first, then the IFD (offsets known up front)
         strip_offsets = []
         for s in strips:
@@ -181,7 +331,8 @@ def synthesize_tiff(
             entries.append(struct.pack(f"{e}HHII", tag, 4, 1, v))
 
         extra = bytearray()
-        n_entries = 9  # fixed tag set (BITS is one entry either way)
+        # fixed tag set (BITS is one entry either way) + predictor
+        n_entries = 9 + (1 if predictor == 2 else 0)
         ifd_at = len(out)
         # layout: count + entries + next ptr, then overflow arrays
         overflow_at = ifd_at + 2 + n_entries * 12 + 4
@@ -213,6 +364,8 @@ def synthesize_tiff(
             )
         short(_T_SAMPLES, ch)
         short(_T_ROWS_PER_STRIP, rows_per_strip)
+        if predictor == 2:
+            short(_T_PREDICTOR, 2)
         if len(strips) == 1:
             long_(_T_STRIP_COUNTS, len(strips[0]))
         else:
@@ -334,12 +487,15 @@ def _decode_page(payload, e, tags, u16, u32) -> dict:
         if bits != {8}:
             raise ValueError(f"only 8-bit samples supported, got {bits}")
     comp = one(_T_COMPRESSION, _COMP_NONE)
-    if comp not in (_COMP_NONE, _COMP_PACKBITS):
+    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
         raise ValueError(
-            f"unsupported TIFF compression {comp} (baseline none/"
-            "PackBits only; LZW/JPEG-in-TIFF payloads are counted "
-            "by format census, not decoded)"
+            f"unsupported TIFF compression {comp} (none/LZW/"
+            "PackBits; JPEG-in-TIFF payloads are counted by format "
+            "census, not decoded)"
         )
+    predictor = one(_T_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     photo = one(_T_PHOTOMETRIC)
     if photo not in (1, 2):
         raise ValueError(
@@ -361,14 +517,19 @@ def _decode_page(payload, e, tags, u16, u32) -> dict:
         expected = rows * w * ch
         raw = payload[off : off + cnt_b]
         if comp == _COMP_PACKBITS:
-            out += packbits_decode(raw, expected)
+            strip = packbits_decode(raw, expected)
+        elif comp == _COMP_LZW:
+            strip = lzw_decode(raw, expected)
         else:
             if len(raw) != expected:
                 raise ValueError(
                     f"strip {k} is {len(raw)} bytes, expected "
                     f"{expected}"
                 )
-            out += raw
+            strip = raw
+        if predictor == 2:
+            strip = _undiff_rows(strip, w, ch, rows)
+        out += strip
         remaining_rows -= rows
     if remaining_rows != 0:
         raise ValueError("strips do not cover the image height")

@@ -143,3 +143,32 @@ def test_cli_tiff_features(spark, tmp_path):
     main(["media", "tiff-features", "--input", src, "--output", out])
     got = spark.read.parquet(out).collect()[0]
     assert got.width == 5 and got.n_pages == 1
+
+
+def test_lzw_roundtrip_and_tiff_lzw_predictor():
+    """TIFF-variant LZW (MSB-first, early change) round-trips runs,
+    noise (12-bit wrap + Clear), and empty input; the horizontal-
+    differencing predictor composes with it inside full files."""
+    import os
+    import random
+
+    from minerva_etl_spark.operators.tiff import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = random.Random(3)
+    for _ in range(10):
+        n = rng.randrange(0, 2000)
+        data = bytes(rng.randrange(256) for _ in range(n))
+        assert lzw_decode(lzw_encode(data), n) == data
+    noise = os.urandom(60_000)  # forces the 12-bit wrap + re-Clear
+    assert lzw_decode(lzw_encode(noise), len(noise)) == noise
+    with pytest.raises(ValueError, match="truncated"):
+        lzw_decode(lzw_encode(b"abcabc")[:2], 6)
+    for pred in (1, 2):
+        px = _px(7, 9, 3, seed=4)
+        t = synthesize_tiff([(px, 7, 9, 3)], byte_order="MM",
+                            compression=5, rows_per_strip=4,
+                            predictor=pred)
+        assert tiff_decode(t)["pixels"] == px
