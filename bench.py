@@ -264,6 +264,9 @@ HEADLINE = [
     "sketch_cm",
     # round-12: ES weighted sampling (key projection + salted top-n)
     "weighted_sample",
+    # round-14: incremental crawl index (bucketed capture state;
+    # build + one delivery is the story, the frontier_increment rule)
+    "cdx_index_increment",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",

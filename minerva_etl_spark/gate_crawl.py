@@ -1106,6 +1106,108 @@ FROM documents
 """
 
 
+def q_cdx_index_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL crawl index (`sources/cdx.py::build_capture_state`
+    / `ingest_captures_increment`, r14 — the signature-state protocol
+    applied to the URL index): delivery 1 builds the
+    ``bucketBy(urlkey)`` capture state from every URL's first capture
+    (real CDXJ shards round-tripped first), delivery 2 carries the
+    day-later second captures of every third URL — digest churn on
+    even doc_ids — and its recrawl decisions must equal the
+    FULL-INDEX recompute restricted to the touched urlkeys.  The
+    delta's keys broadcast into a semi-join against the bucketed scan
+    and the recrawl window's partitioning matches the bucket layout,
+    so the history side is exchange-free (plan-pinned by pytest);
+    the oracle replays the touched keys closed-form."""
+    _prep(spark)
+    import shutil
+    import tempfile
+    import uuid
+
+    from minerva_etl_spark.sources.cdx import (
+        build_capture_state,
+        ingest_captures_increment,
+        read_cdxj,
+        surt_key_expr,
+        write_cdxj,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def capture(ts_shift_days: int, v2: bool):
+        digest = (
+            "concat('sha1:', md5(concat(CAST(doc_id AS STRING), "
+            "IF(doc_id % 2 = 0, ':v2', ''))))"
+            if v2
+            else "concat('sha1:', md5(CAST(doc_id AS STRING)))"
+        )
+        return docs.selectExpr(
+            "concat('part-', CAST(doc_id % 8 AS STRING), '.cdxj') "
+            "AS cdx_file",
+            "concat('https://h', CAST(doc_id % 20 AS STRING), "
+            "'.corpus.test/d/', CAST(doc_id AS STRING)) AS url",
+            "CAST(timestamp'2026-02-03 04:05:06' "
+            "+ make_interval(0,0,0,"
+            f"{int(ts_shift_days)}"
+            ",0,0, CAST(doc_id % 50 AS INT)) AS timestamp_ntz) AS ts",
+            "CAST(200 AS INT) AS status",
+            "'text/html' AS mime",
+            f"{digest} AS digest",
+            "'w-0.warc.gz' AS warc_file",
+            "CAST(doc_id * 1000 AS BIGINT) AS warc_offset",
+            "CAST(100 AS BIGINT) AS warc_length",
+        ).selectExpr("*", f"{surt_key_expr('url')} AS urlkey")
+
+    root = tempfile.mkdtemp(prefix="minerva_gate_cdxinc_")
+    tbl = f"cdx_state_{uuid.uuid4().hex[:8]}"
+    try:
+        # delivery 1 arrives as real CDXJ shards, read back into the
+        # bucketed state
+        write_cdxj(capture(0, False), root + "/shards").collect()
+        build_capture_state(
+            spark, read_cdxj(spark, root + "/shards"), tbl,
+            n_buckets=16, path=root + "/state",
+        )
+        delta = capture(1, True).filter(
+            "CAST(regexp_extract(url, '/d/([0-9]+)$', 1) AS BIGINT) "
+            "% 3 = 0"
+        )
+        out = (
+            ingest_captures_increment(
+                spark, delta, tbl, n_buckets=16, path=root + "/state"
+            )
+            .select(
+                F.regexp_extract("url", r"/d/(\d+)$", 1)
+                .cast("bigint").alias("doc_id"),
+                "urlkey", "ts", "status", "digest", "n_captures",
+                "changed", "secs_since_prev",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ORACLE_CDX_INDEX_INCREMENT = """
+SELECT doc_id,
+       'test,corpus,h' || CAST(doc_id % 20 AS VARCHAR) || ')/d/'
+         || CAST(doc_id AS VARCHAR) AS urlkey,
+       TIMESTAMP '2026-02-03 04:05:06'
+         + (doc_id % 50) * INTERVAL 1 SECOND
+         + INTERVAL 1 DAY AS ts,
+       CAST(200 AS INT) AS status,
+       'sha1:' || md5(CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN ':v2' ELSE '' END) AS digest,
+       CAST(2 AS INT) AS n_captures,
+       doc_id % 2 = 0 AS changed,
+       CAST(86400 AS BIGINT) AS secs_since_prev
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+
 def q_feed_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RSS/Atom feed parsing (`operators/feeds.py::feed_entries`):
     each doc becomes a real feed synthesized in-task — even doc_ids

@@ -160,6 +160,97 @@ def register() -> None:
 register()
 
 
+#: the capture-state schema the incremental index persists — exactly
+#: the columns `recrawl_candidates` consumes
+_STATE_COLS = ["urlkey", "url", "ts", "status", "digest"]
+
+
+def build_capture_state(
+    spark: SparkSession,
+    captures: DataFrame,
+    table_name: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> int:
+    """Persist CDX capture rows as a catalog-backed state table
+    ``bucketBy(n_buckets, urlkey)`` sorted by (urlkey, ts) — the
+    crawl-scale index layout: every later delivery's history read and
+    the recrawl window's ``partitionBy(urlkey)`` consume the state
+    WITHOUT an exchange (the `build_substring_state_bucketed`
+    strategy applied to the URL index).  Returns the row count."""
+    from minerva_etl_spark.fsutil import StoreLease
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    root = path or f"{warehouse}/{table_name}"
+    with StoreLease(spark, root + ".__lease"):
+        writer = (
+            captures.select(*_STATE_COLS)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, "urlkey")
+            .sortBy("urlkey", "ts")
+            .format("parquet")
+        )
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
+        return spark.table(table_name).count()
+
+
+def ingest_captures_increment(
+    spark: SparkSession,
+    delta: DataFrame,
+    table_name: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+) -> DataFrame:
+    """One crawl delivery against the bucketed capture state: append
+    the delta's captures and return :func:`recrawl_candidates` for
+    exactly the urlkeys the delta TOUCHED — equal to the full-index
+    recompute restricted to those keys (the incremental-state
+    contract every dedup family here follows).
+
+    Scale shape: per-delivery cost follows the DELTA's key set — the
+    delta's distinct urlkeys broadcast into a semi-join against the
+    bucketed state scan (no exchange on the history side), and the
+    recrawl window's hash-partitioning matches the bucket layout.
+    The output is pinned (localCheckpoint) BEFORE the state mutates,
+    so a failed append never yields decisions from half-written
+    state."""
+    from minerva_etl_spark.fsutil import StoreLease
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    root = path or f"{warehouse}/{table_name}"
+    with StoreLease(spark, root + ".__lease"):
+        if not spark.catalog.tableExists(table_name):
+            raise ValueError(
+                f"ingest_captures_increment: state table "
+                f"{table_name} does not exist — build it with "
+                f"build_capture_state first"
+            )
+        hist = spark.table(table_name)
+        keys = delta.select("urlkey").distinct()
+        touched = hist.join(F.broadcast(keys), "urlkey")
+        all_caps = touched.select(*_STATE_COLS).unionByName(
+            delta.select(*_STATE_COLS)
+        )
+        out = recrawl_candidates(all_caps).localCheckpoint(eager=True)
+        writer = (
+            delta.select(*_STATE_COLS)
+            .write.mode("append")
+            .bucketBy(n_buckets, "urlkey")
+            .sortBy("urlkey", "ts")
+            .format("parquet")
+        )
+        if path is not None:
+            writer = writer.option("path", path)
+        writer.saveAsTable(table_name)
+    return out
+
+
 def recrawl_candidates(captures: DataFrame) -> DataFrame:
     """The index workflow a recrawl scheduler runs over CDX captures
     (r13): per ``urlkey``, order captures by ``ts`` and keep the

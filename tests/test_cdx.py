@@ -124,3 +124,96 @@ def test_recrawl_candidates(spark):
     z = out["com,a)/z"]
     assert (z.n_captures, z.changed, z.secs_since_prev) == (
         1, None, None)
+
+
+def test_capture_state_increment_equals_full_recompute(spark, tmp_path):
+    """r14: the bucketed capture state — a delivery's recrawl
+    decisions equal the full-index recompute restricted to the
+    urlkeys it touched; untouched keys are absent."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from minerva_etl_spark.sources.cdx import (
+        build_capture_state,
+        ingest_captures_increment,
+        recrawl_candidates,
+    )
+
+    def caps(rows):
+        return spark.createDataFrame(
+            rows, "urlkey string, url string, ts string, status int, "
+                  "digest string"
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+    first = caps([
+        ("test,a)/x", "https://a.test/x", "2026-02-01 00:00:00", 200, "d1"),
+        ("test,b)/y", "https://b.test/y", "2026-02-01 01:00:00", 200, "d2"),
+        ("test,c)/z", "https://c.test/z", "2026-02-01 02:00:00", 200, "d3"),
+    ])
+    second = caps([
+        ("test,a)/x", "https://a.test/x", "2026-02-02 00:00:00", 200, "d1b"),
+        ("test,c)/z", "https://c.test/z", "2026-02-03 02:00:00", 200, "d3"),
+    ])
+    tbl = f"cdx_state_{uuid.uuid4().hex[:8]}"
+    path = str(tmp_path / "state")
+    try:
+        n = build_capture_state(spark, first, tbl, n_buckets=4,
+                                path=path)
+        assert n == 3
+        out = {r.urlkey: r for r in ingest_captures_increment(
+            spark, second, tbl, n_buckets=4, path=path).collect()}
+        # only touched keys come back
+        assert set(out) == {"test,a)/x", "test,c)/z"}
+        assert out["test,a)/x"].changed is True      # digest churned
+        assert out["test,c)/z"].changed is False     # same digest
+        assert out["test,a)/x"].n_captures == 2
+        assert out["test,a)/x"].secs_since_prev == 86400
+        # equal to the full recompute restricted to touched keys
+        full = {r.urlkey: r for r in recrawl_candidates(
+            first.unionByName(second)).collect()}
+        for k, r in out.items():
+            assert r == full[k]
+        # the state itself accumulated both deliveries
+        assert spark.table(tbl).count() == 5
+        # increment against a missing table raises
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="does not exist"):
+            ingest_captures_increment(
+                spark, second, "cdx_state_never_built")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_capture_state_window_reads_bucketed_without_exchange(
+    spark, tmp_path
+):
+    """Plan shape: the recrawl window over the bucketed state needs
+    NO Exchange on the state scan (the bucket layout IS the window
+    partitioning)."""
+    import uuid
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from minerva_etl_spark.sources.cdx import build_capture_state
+
+    rows = [(f"test,h{i % 7})/p{i}", f"https://h{i % 7}.test/p{i}",
+             "2026-02-01 00:00:00", 200, f"d{i}") for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "urlkey string, url string, ts string, status int, "
+              "digest string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    tbl = f"cdx_state_{uuid.uuid4().hex[:8]}"
+    try:
+        build_capture_state(spark, df, tbl, n_buckets=4,
+                            path=str(tmp_path / "s"))
+        w = Window.partitionBy("urlkey").orderBy("ts")
+        windowed = spark.table(tbl).withColumn(
+            "rn", F.row_number().over(w)
+        )
+        plan = windowed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
