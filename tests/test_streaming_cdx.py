@@ -1,0 +1,139 @@
+"""Streaming crawl index (`streaming/cdx.py`): N micro-batches == N
+`ingest_captures_increment` calls with the same deliveries, and a
+retried epoch is a no-op via the applied-epoch sidecar."""
+
+import uuid
+
+from pyspark.sql import functions as F
+
+
+def _caps(spark, rows):
+    return spark.createDataFrame(
+        rows, "urlkey string, url string, ts string, status int, "
+              "digest string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def _fixture(spark):
+    d1 = _caps(spark, [
+        ("test,a)/x", "https://a.test/x", "2026-02-01 00:00:00", 200,
+         "d1"),
+        ("test,b)/y", "https://b.test/y", "2026-02-01 01:00:00", 200,
+         "d2"),
+        ("test,c)/z", "https://c.test/z", "2026-02-01 02:00:00", 200,
+         "d3"),
+    ])
+    d2 = _caps(spark, [
+        ("test,a)/x", "https://a.test/x", "2026-02-02 00:00:00", 200,
+         "d1b"),
+        ("test,c)/z", "https://c.test/z", "2026-02-03 02:00:00", 200,
+         "d3"),
+    ])
+    return d1, d2
+
+
+def test_stream_equals_sequential_batch_increments(spark, tmp_path):
+    from minerva_etl_spark.sources.cdx import (
+        build_capture_state,
+        ingest_captures_increment,
+    )
+    from minerva_etl_spark.streaming.cdx import cdx_index_stream
+
+    d1, d2 = _fixture(spark)
+    schema = ("urlkey string, url string, ts timestamp_ntz, "
+              "status int, digest string")
+
+    twin_tbl = f"cdxs_twin_{uuid.uuid4().hex[:8]}"
+    tbl = f"cdxs_{uuid.uuid4().hex[:8]}"
+    try:
+        # batch twin: build empty, two increments
+        build_capture_state(
+            spark, d1.limit(0), twin_tbl, n_buckets=4,
+            path=str(tmp_path / "twin_state"),
+        )
+        twin = []
+        for d in (d1, d2):
+            twin += [
+                (r.urlkey, r.n_captures, r.changed, r.secs_since_prev)
+                for r in ingest_captures_increment(
+                    spark, d, twin_tbl, n_buckets=4,
+                    path=str(tmp_path / "twin_state"),
+                ).collect()
+            ]
+
+        build_capture_state(
+            spark, d1.limit(0), tbl, n_buckets=4,
+            path=str(tmp_path / "state"),
+        )
+        src = str(tmp_path / "src")
+        decisions = str(tmp_path / "decisions")
+        ckpt = str(tmp_path / "ckpt")
+        d1.coalesce(1).write.mode("append").parquet(src)
+
+        def run_available():
+            q = (
+                cdx_index_stream(
+                    spark.readStream.schema(schema).parquet(src),
+                    tbl, str(tmp_path / "state"), decisions, ckpt,
+                    n_buckets=4,
+                )
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        run_available()
+        d2.coalesce(1).write.mode("append").parquet(src)
+        run_available()
+
+        got = sorted(
+            (r.urlkey, r.n_captures, r.changed, r.secs_since_prev)
+            for r in spark.read.parquet(decisions).collect()
+        )
+        assert got == sorted(twin)
+        # delivery 2 saw history: churn flag + capture gap present
+        by_batch = {}
+        for r in spark.read.parquet(decisions).collect():
+            by_batch.setdefault(r.batch_id, set()).add(r.urlkey)
+        assert len(by_batch) == 2
+        # the appends ran in the micro-batch's cloned session; the
+        # outer session's file listing needs a refresh to see them
+        spark.sql(f"REFRESH TABLE {tbl}")
+        assert spark.table(tbl).count() == 5
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {twin_tbl}")
+
+
+def test_retried_epoch_is_a_noop(spark, tmp_path):
+    """A re-delivered epoch must not double-append captures (which
+    would corrupt n_captures) — the applied-epoch sidecar skips
+    it."""
+    from minerva_etl_spark.sources.cdx import build_capture_state
+    from minerva_etl_spark.streaming.cdx import cdx_batch_handler
+
+    d1, d2 = _fixture(spark)
+    tbl = f"cdxs_retry_{uuid.uuid4().hex[:8]}"
+    state = str(tmp_path / "state")
+    decisions = str(tmp_path / "decisions")
+    try:
+        build_capture_state(spark, d1, tbl, n_buckets=4, path=state)
+        handler = cdx_batch_handler(tbl, state, decisions, n_buckets=4)
+        handler(d2, 1)
+        n_state = spark.table(tbl).count()
+        caps_a = {
+            r.urlkey: r.n_captures
+            for r in spark.read.parquet(decisions).collect()
+        }
+        handler(d2, 1)  # the retry
+        assert spark.table(tbl).count() == n_state
+        assert caps_a["test,a)/x"] == 2
+        # a LATER epoch still applies
+        d3 = _caps(spark, [
+            ("test,a)/x", "https://a.test/x", "2026-02-05 00:00:00",
+             200, "d1c"),
+        ])
+        handler(d3, 2)
+        assert spark.table(tbl).count() == n_state + 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
