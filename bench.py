@@ -168,6 +168,9 @@ HEADLINE = [
     "tiff_features",
     # round-14: BMP/DIB (24-bit both row orders, palette, RLE8)
     "bmp_features",
+    # round-14: JPEG-in-TIFF (per-strip baseline JPEG inside the
+    # IFD walk)
+    "tiff_jpeg_features",
     "exif_scan",
     "warc_harvest",
     "wet_harvest",

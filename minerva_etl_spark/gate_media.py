@@ -1979,3 +1979,139 @@ SELECT doc_id AS media_id,
        max(CASE WHEN c = 2 THEN mv END) AS mean_c2
 FROM m GROUP BY doc_id, w, h
 """
+
+
+def q_tiff_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JPEG-in-TIFF decode (`operators/tiff.py` compression 7, r14 —
+    the scanner hand-off format: every strip a complete baseline JPEG
+    bitstream decoded by `operators/jpeg.py` inside the IFD/strip
+    walk): per document a single page of SOLID-COLOUR BANDS, one per
+    2-row strip, colour varying per band index — solid bands make the
+    lossy chain exactly recomputable, so the oracle replays the
+    quality-75 DC closed form per (doc, band) and weights the means
+    by band height on the half-up 6-dp grid.  A strip-boundary,
+    geometry-crosscheck, or either-codec bug hash-mismatches."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.tiff import synthesize_tiff
+
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                w, h = 6 + d % 5, 4 + d % 3
+                px = bytearray()
+                for y in range(h):
+                    k = y // 2
+                    px += bytes(
+                        (
+                            (d * 37 + 11 * k) % 256,
+                            (d * 59 + 7 * k + 11) % 256,
+                            (d * 83 + 13 * k + 29) % 256,
+                        )
+                    ) * w
+                payloads.append(
+                    synthesize_tiff(
+                        [(bytes(px), w, h, 3)],
+                        byte_order="MM" if d % 2 else "II",
+                        compression=7,
+                        rows_per_strip=2,
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    from minerva_etl_spark.operators.tiff import tiff_features
+
+    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    return tiff_features(media).select(
+        "media_id",
+        "width",
+        "height",
+        "n_channels",
+        "byte_order",
+        F.get("channel_means", 0).alias("mean_c0"),
+        F.get("channel_means", 1).alias("mean_c1"),
+        F.get("channel_means", 2).alias("mean_c2"),
+    )
+
+
+# per-band quality-75 DC closed form (the _ORACLE_JPEG math, DOUBLE
+# literals), weighted by band height: band k covers min(2, h - 2k)
+# rows
+_ORACLE_TIFF_JPEG = """
+WITH qt AS (
+  SELECT GREATEST(1, LEAST(255, (16 * (200 - 2 * 75) + 50) // 100)) AS ql,
+         GREATEST(1, LEAST(255, (17 * (200 - 2 * 75) + 50) // 100)) AS qc
+), fr AS (
+  SELECT doc_id,
+         6 + doc_id % 5 AS w,
+         4 + doc_id % 3 AS h,
+         unnest(generate_series(
+             0, CAST((4 + doc_id % 3 + 1) // 2 - 1 AS INT))) AS k
+  FROM documents
+), src AS (
+  SELECT doc_id, w, h, k,
+         LEAST(2, h - 2 * k) AS band_rows,
+         (doc_id * 37 + 11 * k) % 256 AS r,
+         (doc_id * 59 + 7 * k + 11) % 256 AS g,
+         (doc_id * 83 + 13 * k + 29) % 256 AS b
+  FROM fr WHERE 2 * k < h
+), ycc AS (
+  SELECT doc_id, w, h, band_rows,
+    LEAST(255, GREATEST(0,
+      floor(0.299e0 * r + 0.587e0 * g + 0.114e0 * b + 0.5e0))) AS y,
+    LEAST(255, GREATEST(0,
+      floor(128 - 0.168736e0 * r - 0.331264e0 * g + 0.5e0 * b
+            + 0.5e0))) AS cb,
+    LEAST(255, GREATEST(0,
+      floor(128 + 0.5e0 * r - 0.418688e0 * g - 0.081312e0 * b
+            + 0.5e0))) AS cr
+  FROM src
+), rec AS (
+  SELECT doc_id, w, h, band_rows,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0e0 * (y - 128)) / ql + 0.5e0 + 1e-7) * ql / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS yq,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0e0 * (cb - 128)) / qc + 0.5e0 + 1e-7) * qc / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS cbq,
+    LEAST(255, GREATEST(0, floor(
+      floor((8.0e0 * (cr - 128)) / qc + 0.5e0 + 1e-7) * qc / 8.0e0
+      + 128 + 0.5e0 + 1e-7))) AS crq
+  FROM ycc, qt
+), rgb AS (
+  SELECT doc_id, w, h, band_rows,
+    LEAST(255, GREATEST(0,
+      floor(yq + 1.402e0 * (crq - 128) + 0.5e0))) AS r2,
+    LEAST(255, GREATEST(0,
+      floor(yq - 0.344136e0 * (cbq - 128) - 0.714136e0 * (crq - 128)
+            + 0.5e0))) AS g2,
+    LEAST(255, GREATEST(0,
+      floor(yq + 1.772e0 * (cbq - 128) + 0.5e0))) AS b2
+  FROM rec
+), agg AS (
+  SELECT doc_id, w, h,
+         SUM(r2 * band_rows) * w AS sr,
+         SUM(g2 * band_rows) * w AS sg,
+         SUM(b2 * band_rows) * w AS sb
+  FROM rgb GROUP BY doc_id, w, h
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(3 AS INT) AS n_channels,
+       CASE WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS byte_order,
+       floor(CAST(sr AS DOUBLE) / (w * h) * 1000000 + 0.5e0)
+           / 1000000 AS mean_c0,
+       floor(CAST(sg AS DOUBLE) / (w * h) * 1000000 + 0.5e0)
+           / 1000000 AS mean_c1,
+       floor(CAST(sb AS DOUBLE) / (w * h) * 1000000 + 0.5e0)
+           / 1000000 AS mean_c2
+FROM agg
+"""

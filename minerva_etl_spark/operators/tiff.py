@@ -61,6 +61,7 @@ _T_TILE_WIDTH = 322
 
 _COMP_NONE = 1
 _COMP_LZW = 5
+_COMP_JPEG = 7  # new-style: each strip a complete JPEG bitstream
 _COMP_PACKBITS = 32773
 
 
@@ -304,11 +305,27 @@ def synthesize_tiff(
             n_rows = min(y0 + rows_per_strip, h) - y0
             rows = pixels[y0 * w * ch : (y0 + n_rows) * w * ch]
             if predictor == 2:
+                if compression == _COMP_JPEG:
+                    raise ValueError(
+                        "predictor does not apply to JPEG-in-TIFF"
+                    )
                 rows = _diff_rows(rows, w, ch, n_rows)
             if compression == _COMP_PACKBITS:
                 strips.append(packbits_encode(rows))
             elif compression == _COMP_LZW:
                 strips.append(lzw_encode(rows))
+            elif compression == _COMP_JPEG:
+                if ch != 3:
+                    raise ValueError(
+                        "JPEG-in-TIFF strips require RGB pages"
+                    )
+                from minerva_etl_spark.operators.jpeg import (
+                    synthesize_jpeg,
+                )
+
+                strips.append(
+                    synthesize_jpeg(bytes(rows), w, n_rows, quality=75)
+                )
             else:
                 strips.append(bytes(rows))
         # strip data first, then the IFD (offsets known up front)
@@ -487,21 +504,29 @@ def _decode_page(payload, e, tags, u16, u32) -> dict:
         if bits != {8}:
             raise ValueError(f"only 8-bit samples supported, got {bits}")
     comp = one(_T_COMPRESSION, _COMP_NONE)
-    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_PACKBITS):
+    if comp not in (_COMP_NONE, _COMP_LZW, _COMP_JPEG,
+                    _COMP_PACKBITS):
         raise ValueError(
-            f"unsupported TIFF compression {comp} (none/LZW/"
-            "PackBits; JPEG-in-TIFF payloads are counted by format "
-            "census, not decoded)"
+            f"unsupported TIFF compression {comp} "
+            "(none/LZW/JPEG/PackBits; old-style JPEG (6) and "
+            "CCITT fax payloads are counted by format census, not "
+            "decoded)"
         )
     predictor = one(_T_PREDICTOR, 1)
     if predictor not in (1, 2):
         raise ValueError(f"unsupported TIFF predictor {predictor}")
     photo = one(_T_PHOTOMETRIC)
-    if photo not in (1, 2):
+    # 6 (YCbCr) is the usual JPEG-in-TIFF marking: the embedded JPEG
+    # handles the colour transform, output is RGB either way
+    allowed = (1, 2, 6) if comp == _COMP_JPEG else (1, 2)
+    if photo not in allowed:
         raise ValueError(
             f"unsupported PhotometricInterpretation {photo}"
         )
-    if (photo == 2) != (ch == 3):
+    if comp == _COMP_JPEG:
+        if ch != 3:
+            raise ValueError("JPEG-in-TIFF requires 3 samples")
+    elif (photo == 2) != (ch == 3):
         raise ValueError("photometric/samples mismatch")
     rps = one(_T_ROWS_PER_STRIP, h)
     offsets = many(_T_STRIP_OFFSETS)
@@ -520,6 +545,16 @@ def _decode_page(payload, e, tags, u16, u32) -> dict:
             strip = packbits_decode(raw, expected)
         elif comp == _COMP_LZW:
             strip = lzw_decode(raw, expected)
+        elif comp == _COMP_JPEG:
+            from minerva_etl_spark.operators.jpeg import jpeg_decode
+
+            d = jpeg_decode(raw)
+            if (d["width"], d["height"]) != (w, rows):
+                raise ValueError(
+                    f"JPEG strip {k} is {d['width']}x{d['height']}, "
+                    f"expected {w}x{rows}"
+                )
+            strip = bytes(d["pixels"])
         else:
             if len(raw) != expected:
                 raise ValueError(

@@ -172,3 +172,28 @@ def test_lzw_roundtrip_and_tiff_lzw_predictor():
                             compression=5, rows_per_strip=4,
                             predictor=pred)
         assert tiff_decode(t)["pixels"] == px
+
+
+def test_jpeg_in_tiff_roundtrip_and_rejects():
+    """Compression 7: every strip a complete baseline JPEG; solid
+    bands decode to the jpeg closed form; geometry cross-checks and
+    the predictor prohibition are honest rejects."""
+    w, h, rps = 7, 8, 4
+    px = bytearray()
+    for y in range(h):
+        k = y // rps
+        px += bytes(((10 + 60 * k) % 256, 90, (200 + k) % 256)) * w
+    t = synthesize_tiff([(bytes(px), w, h, 3)], compression=7,
+                        rows_per_strip=rps)
+    d = tiff_decode(t)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    # bands are solid after decode (DC-only blocks)
+    for y in range(h):
+        row = d["pixels"][y * w * 3 : (y + 1) * w * 3]
+        assert row == row[:3] * w
+    with pytest.raises(ValueError, match="predictor does not apply"):
+        synthesize_tiff([(bytes(px), w, h, 3)], compression=7,
+                        predictor=2)
+    gray = bytes(w * h)
+    with pytest.raises(ValueError, match="RGB"):
+        synthesize_tiff([(gray, w, h, 1)], compression=7)
