@@ -241,6 +241,9 @@ HEADLINE = [
     # round-12: mixed-format dispatch over all three document codecs
     "office_extract",
     "format_census",
+    # round-14: provenance census — three container parsers, no
+    # content extraction
+    "office_metadata",
     "xlsx_extract",
     "pptx_extract",
     "doc_extract",

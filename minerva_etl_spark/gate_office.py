@@ -1349,3 +1349,77 @@ SELECT doc_id AS feed_id,
                  || '/' || CAST(i AS VARCHAR) END AS guid
 FROM e
 """
+
+
+def q_office_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-PROVENANCE census (`operators/office.py::
+    office_metadata`, r14): one binary column cycling the three real
+    metadata CONTAINERS — the PDF trailer /Info dict (d%3=0), OOXML
+    ``docProps/core.xml`` (docx leg, d%3=1; xlsx/pptx share the same
+    part), and the MS-OLEPS ``\\x05SummaryInformation`` stream (.doc
+    leg, d%3=2; xls/ppt/msg share it) — each with planted title,
+    author, and creation timestamps on doc_id formulas.  NO content
+    extraction runs (the PDF page walk is skipped — provenance
+    filtering at 100 TB must not pay for text).  The oracle replays
+    every field closed-form incl. the PDF-date and W3CDTF/FILETIME
+    round trips; a container-parse, codepage, or date-conversion bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.office import office_metadata
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.docx import synthesize_docx
+        from minerva_etl_spark.operators.msdoc import synthesize_doc
+        from minerva_etl_spark.operators.pdf import synthesize_pdf
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                title = f"Doc {d}"
+                author = f"Author {d % 20}"
+                created = (
+                    f"2026-02-{1 + d % 28:02d} "
+                    f"{d % 24:02d}:{d % 60:02d}:{(d * 7) % 60:02d}"
+                )
+                if d % 3 == 0:
+                    payload = synthesize_pdf(
+                        ["body"], title=title, author=author,
+                        created=created,
+                    )
+                elif d % 3 == 1:
+                    payload = synthesize_docx(
+                        ["body"], title=title, author=author,
+                        created=created,
+                    )
+                else:
+                    payload = synthesize_doc(
+                        ["body"], title=title, author=author,
+                        created=created,
+                    )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = docs.mapInPandas(
+        synth, "doc_id bigint, payload binary"
+    )
+    return office_metadata(payloads)
+
+
+_ORACLE_OFFICE_METADATA = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+            ELSE 'doc' END AS format,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       'Author ' || CAST(doc_id % 20 AS VARCHAR) AS author,
+       '2026-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+         || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
+         || ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+         AS created
+FROM documents
+"""

@@ -124,6 +124,8 @@ def synthesize_docx(
     table: list[list[str]] | None = None,
     runs_per_para: int = 3,
     compress: bool = True,
+    author: str | None = None,
+    created: str | None = None,
 ) -> bytes:
     """Build a minimal conformant DOCX: ``paragraphs`` as multi-run
     ``w:p`` blocks (embedded TAB/NEWLINE become ``w:tab``/``w:br``),
@@ -145,10 +147,22 @@ def synthesize_docx(
         + "".join(body)
         + "<w:sectPr/></w:body></w:document>"
     )
+    created_el = ""
+    if created is not None:
+        # W3CDTF, the dcterms:created form real producers emit
+        created_el = (
+            '<dcterms:created xsi:type="dcterms:W3CDTF">'
+            + created.replace(" ", "T") + "Z</dcterms:created>"
+        )
     core = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<cp:coreProperties xmlns:cp="{_CP}" xmlns:dc="{_DC}">'
+        f'<cp:coreProperties xmlns:cp="{_CP}" xmlns:dc="{_DC}" '
+        'xmlns:dcterms="http://purl.org/dc/terms/" '
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'
         + (f"<dc:title>{_xml_escape(title)}</dc:title>" if title else "")
+        + (f"<dc:creator>{_xml_escape(author)}</dc:creator>"
+           if author else "")
+        + created_el
         + "</cp:coreProperties>"
     )
     content_types = (

@@ -189,35 +189,83 @@ _SUMMARY_STREAM = "\x05SummaryInformation"
 _VT_I2 = 2
 _VT_LPSTR = 30
 _VT_LPWSTR = 31
+_VT_FILETIME = 64
 _PID_CODEPAGE = 1
 _PID_TITLE = 2
+_PID_AUTHOR = 4
+_PID_CREATE_DTM = 12
+_PID_LASTSAVE_DTM = 13
+
+#: FILETIME epoch (1601-01-01) to Unix epoch, in seconds
+_FILETIME_EPOCH_S = 11644473600
 
 
-def _summary_info_stream(title: str) -> bytes:
-    """A minimal MS-OLEPS property set carrying the codepage (PID 1,
-    VT_I2 = 1252) and the title (PID 2, VT_LPSTR) — the stream real
-    Word writes document metadata to."""
-    tbytes = title.encode("cp1252", "replace") + b"\x00"
-    pad = (4 - len(tbytes) % 4) % 4
-    prop_cp = struct.pack("<IhH", _VT_I2, 1252, 0)
-    prop_title = (
-        struct.pack("<II", _VT_LPSTR, len(tbytes))
-        + tbytes
-        + b"\x00" * pad
-    )
-    # section: cb, cProps, then (pid, offset) pairs, then props
-    hdr_len = 8 + 2 * 8
-    off_cp = hdr_len
-    off_title = hdr_len + len(prop_cp)
-    section = (
-        struct.pack(
-            "<II", hdr_len + len(prop_cp) + len(prop_title), 2
+def _iso_to_filetime(iso: str) -> int:
+    """``YYYY-MM-DD HH:MM:SS`` (UTC) → FILETIME 100-ns ticks."""
+    import calendar
+    import datetime as _dt
+
+    dt = _dt.datetime.strptime(iso, "%Y-%m-%d %H:%M:%S")
+    unix = calendar.timegm(dt.timetuple())
+    return (unix + _FILETIME_EPOCH_S) * 10_000_000
+
+
+def _filetime_to_iso(ticks: int) -> str | None:
+    import datetime as _dt
+
+    unix = ticks // 10_000_000 - _FILETIME_EPOCH_S
+    try:
+        return _dt.datetime.utcfromtimestamp(unix).strftime(
+            "%Y-%m-%d %H:%M:%S"
         )
-        + struct.pack("<II", _PID_CODEPAGE, off_cp)
-        + struct.pack("<II", _PID_TITLE, off_title)
-        + prop_cp
-        + prop_title
-    )
+    except (OverflowError, OSError, ValueError):
+        return None
+
+
+def _summary_info_stream(
+    title: str,
+    author: str | None = None,
+    created: str | None = None,
+) -> bytes:
+    """A minimal MS-OLEPS property set carrying the codepage (PID 1,
+    VT_I2 = 1252), the title (PID 2, VT_LPSTR) and optionally the
+    author (PID 4, VT_LPSTR) and creation time (PID 12, VT_FILETIME,
+    ``created`` as ``YYYY-MM-DD HH:MM:SS`` UTC) — the stream real
+    Word writes document metadata to."""
+
+    def lpstr(s: str) -> bytes:
+        raw = s.encode("cp1252", "replace") + b"\x00"
+        pad = (4 - len(raw) % 4) % 4
+        return struct.pack("<II", _VT_LPSTR, len(raw)) + raw \
+            + b"\x00" * pad
+
+    props: list[tuple[int, bytes]] = [
+        (_PID_CODEPAGE, struct.pack("<IhH", _VT_I2, 1252, 0)),
+        (_PID_TITLE, lpstr(title)),
+    ]
+    if author is not None:
+        props.append((_PID_AUTHOR, lpstr(author)))
+    if created is not None:
+        props.append(
+            (
+                _PID_CREATE_DTM,
+                struct.pack(
+                    "<IQ", _VT_FILETIME, _iso_to_filetime(created)
+                ),
+            )
+        )
+    # section: cb, cProps, then (pid, offset) pairs, then props
+    hdr_len = 8 + len(props) * 8
+    offs = []
+    at = hdr_len
+    for _pid, blob in props:
+        offs.append(at)
+        at += len(blob)
+    section = struct.pack("<II", at, len(props))
+    for (pid, _blob), off in zip(props, offs):
+        section += struct.pack("<II", pid, off)
+    for _pid, blob in props:
+        section += blob
     head = (
         struct.pack("<HHI", 0xFFFE, 0, 0x00020A04)
         + b"\x00" * 16  # clsid
@@ -229,21 +277,31 @@ def _summary_info_stream(title: str) -> bytes:
     return head + section
 
 
-def _summary_title(blob: bytes) -> str | None:
-    """PID 2 (title) from a SummaryInformation property set, honoring
-    the PID 1 codepage; None when absent or malformed (metadata is
-    best-effort, never job-failing)."""
+def summary_properties(blob: bytes) -> dict:
+    """The corpus-relevant properties of a SummaryInformation set —
+    ``{title, author, created, modified}`` (strings / ISO strings,
+    None when absent), honoring the PID 1 codepage.  Best-effort:
+    malformed sets return the all-None dict, never raise (metadata
+    must not fail ingestion)."""
+    out: dict = {"title": None, "author": None, "created": None,
+                 "modified": None}
     try:
         (order,) = struct.unpack_from("<H", blob, 0)
         if order != 0xFFFE:
-            return None
+            return out
         (n_sections,) = struct.unpack_from("<I", blob, 24)
         if n_sections < 1:
-            return None
+            return out
         (sec_off,) = struct.unpack_from("<I", blob, 28 + 16)
         (n_props,) = struct.unpack_from("<I", blob, sec_off + 4)
         codepage = "cp1252"
-        title_off = None
+        wanted = {
+            _PID_TITLE: "title",
+            _PID_AUTHOR: "author",
+            _PID_CREATE_DTM: "created",
+            _PID_LASTSAVE_DTM: "modified",
+        }
+        prop_offs: dict[str, int] = {}
         for k in range(min(n_props, 4096)):
             pid, off = struct.unpack_from(
                 "<II", blob, sec_off + 8 + 8 * k
@@ -255,25 +313,42 @@ def _summary_title(blob: bytes) -> str | None:
                         "<h", blob, sec_off + off + 4
                     )
                     codepage = f"cp{cp}"
-            elif pid == _PID_TITLE:
-                title_off = sec_off + off
-        if title_off is None:
-            return None
-        vt, n = struct.unpack_from("<II", blob, title_off)
-        if vt == _VT_LPSTR:
-            raw = blob[title_off + 8 : title_off + 8 + n]
-            return raw.decode(codepage, "replace").rstrip("\x00") or None
-        if vt == _VT_LPWSTR:
-            raw = blob[title_off + 8 : title_off + 8 + 2 * n]
-            return raw.decode("utf-16-le", "replace").rstrip("\x00") \
-                or None
-        return None
+            elif pid in wanted:
+                prop_offs[wanted[pid]] = sec_off + off
+        for key, at in prop_offs.items():
+            (vt,) = struct.unpack_from("<I", blob, at)
+            if vt == _VT_LPSTR:
+                (n,) = struct.unpack_from("<I", blob, at + 4)
+                raw = blob[at + 8 : at + 8 + n]
+                out[key] = (
+                    raw.decode(codepage, "replace").rstrip("\x00")
+                    or None
+                )
+            elif vt == _VT_LPWSTR:
+                (n,) = struct.unpack_from("<I", blob, at + 4)
+                raw = blob[at + 8 : at + 8 + 2 * n]
+                out[key] = (
+                    raw.decode("utf-16-le", "replace").rstrip("\x00")
+                    or None
+                )
+            elif vt == _VT_FILETIME:
+                (ticks,) = struct.unpack_from("<Q", blob, at + 4)
+                out[key] = _filetime_to_iso(ticks)
+        return out
     except (struct.error, LookupError):
-        return None
+        return out
+
+
+def _summary_title(blob: bytes) -> str | None:
+    """PID 2 (title) only — the original doc/xls/ppt title hook."""
+    return summary_properties(blob)["title"]
 
 
 def synthesize_doc(
-    paragraphs: list[str], title: str | None = None
+    paragraphs: list[str],
+    title: str | None = None,
+    author: str | None = None,
+    created: str | None = None,
 ) -> bytes:
     """Build a minimal Word-97 .doc: paragraphs joined by ``\\r``
     paragraph marks, stored as TWO pieces — the first half cp1252
@@ -328,7 +403,9 @@ def synthesize_doc(
         streams.append(
             (
                 _SUMMARY_STREAM,
-                _summary_info_stream(title).ljust(
+                _summary_info_stream(
+                    title, author=author, created=created
+                ).ljust(
                     _MINI_CUTOFF, b"\x00"
                 ),
             )

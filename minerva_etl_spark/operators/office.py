@@ -47,8 +47,10 @@ from pyspark.sql import DataFrame
 __all__ = [
     "sniff_document_format",
     "office_extract",
+    "office_metadata",
     "format_census",
     "OFFICE_SCHEMA",
+    "OFFICE_METADATA_SCHEMA",
 ]
 
 
@@ -203,6 +205,133 @@ def office_extract(
                 columns=[id_col, "format", "title", "text", "n_chars"],
             )
 
+    return docs.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+OFFICE_METADATA_SCHEMA = (
+    "doc_id bigint, format string, title string, author string, "
+    "created string"
+)
+
+
+def _zip_core_metadata(payload: bytes) -> dict:
+    """docProps/core.xml of any OOXML package (docx/xlsx/pptx share
+    it) — title/creator/created; EPUB falls back to the OPF dc:
+    elements."""
+    import xml.etree.ElementTree as ET
+
+    out = {"title": None, "author": None, "created": None}
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    names = set(zf.namelist())
+    dc = "{http://purl.org/dc/elements/1.1/}"
+    if "docProps/core.xml" in names:
+        root = ET.fromstring(zf.read("docProps/core.xml"))
+        for el in root:
+            tag = el.tag.rsplit("}", 1)[-1]
+            if tag == "title":
+                out["title"] = el.text
+            elif tag == "creator":
+                out["author"] = el.text
+            elif tag == "created" and el.text:
+                out["created"] = (
+                    el.text.replace("T", " ").rstrip("Z")[:19]
+                )
+        return out
+    if "META-INF/container.xml" in names:
+        # EPUB: resolve the OPF, read its dc: metadata
+        cont = ET.fromstring(zf.read("META-INF/container.xml"))
+        opf_path = None
+        for el in cont.iter():
+            if el.tag.rsplit("}", 1)[-1] == "rootfile":
+                opf_path = el.get("full-path")
+                break
+        if opf_path and opf_path in names:
+            opf = ET.fromstring(zf.read(opf_path))
+            for el in opf.iter():
+                if el.tag == f"{dc}title":
+                    out["title"] = el.text
+                elif el.tag == f"{dc}creator":
+                    out["author"] = el.text
+                elif el.tag == f"{dc}date" and el.text:
+                    out["created"] = (
+                        el.text.replace("T", " ").rstrip("Z")[:19]
+                    )
+    return out
+
+
+def office_metadata(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Document-PROVENANCE census over a mixed binary column (r14):
+    per payload ``(format, title, author, created)`` from whichever
+    metadata CONTAINER the format uses — the trailer /Info dict for
+    PDF, ``docProps/core.xml`` for every OOXML package (docx/xlsx/
+    pptx share it; EPUB's OPF is the zip fallback), the MS-OLEPS
+    ``\\x05SummaryInformation`` stream for every CFB format (doc/xls/
+    ppt/msg share it).  Container-level dispatch means three parsers
+    cover ten formats, and NO content extraction runs — the pass a
+    100 TB bucket uses for attribution/dedup-by-provenance
+    filtering.  Missing metadata is NULL, never an error; unknown
+    payloads follow the codec error policy."""
+    from minerva_etl_spark.operators.msdoc import (
+        _SUMMARY_STREAM,
+        cfb_read_stream,
+        summary_properties,
+    )
+    from minerva_etl_spark.operators.pdf import pdf_info
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                fmt = sniff_document_format(payload)
+                try:
+                    if fmt == "unknown":
+                        raise ValueError(
+                            "unrecognized document payload"
+                        )
+                    if fmt == "pdf":
+                        meta = pdf_info(payload)
+                    elif fmt == "rtf":
+                        meta = {"title": None, "author": None,
+                                "created": None}  # no \\info fixture
+                    elif payload[:4] == b"PK\x03\x04":
+                        meta = _zip_core_metadata(payload)
+                    else:  # any CFB format: OLEPS when present
+                        try:
+                            blob = cfb_read_stream(
+                                payload, _SUMMARY_STREAM
+                            )
+                            props = summary_properties(blob)
+                        except KeyError:
+                            props = {}
+                        meta = {
+                            "title": props.get("title"),
+                            "author": props.get("author"),
+                            "created": props.get("created"),
+                        }
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows.append(
+                    (did, fmt, meta["title"], meta["author"],
+                     meta["created"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "title", "author",
+                         "created"],
+            )
+
+    id_type = dict(docs.dtypes).get(id_col, "bigint")
+    schema = OFFICE_METADATA_SCHEMA.replace(
+        "doc_id bigint", f"{id_col} {id_type}", 1
+    )
     return docs.select(id_col, payload_col).mapInPandas(run, schema)
 
 

@@ -295,6 +295,8 @@ def _tounicode_cmap(code2char: dict[int, str]) -> bytes:
 def synthesize_pdf(
     pages: list[str],
     title: str | None = None,
+    author: str | None = None,
+    created: str | None = None,
     compress: bool = True,
     objstm: bool = False,
     encrypt: bool = False,
@@ -348,6 +350,12 @@ def synthesize_pdf(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
     t = f"/Title ({_esc(title)}) " if title is not None else ""
+    if author is not None:
+        t += f"/Author ({_esc(author)}) "
+    if created is not None:
+        # 'YYYY-MM-DD HH:MM:SS' -> the PDF date form D:YYYYMMDDHHMMSSZ
+        digits = "".join(c for c in created if c.isdigit())
+        t += f"/CreationDate (D:{digits}Z) "
     objs.append(f"<< {t}/Producer (minerva-spark) >>".encode())
     char2code: dict[str, int] = {}
     if type0:
@@ -1360,6 +1368,48 @@ def _page_order(objs: dict[int, bytes]) -> list[int]:
     if pages_in_tree:
         return pages_in_tree
     return sorted(n for n, b in objs.items() if is_type(b, b"Page"))
+
+
+def pdf_info(payload: bytes) -> dict:
+    """Document-metadata census over the trailer's /Info dictionary
+    (r14): ``{title, author, created}`` with ``created`` parsed from
+    the PDF date form (``D:YYYYMMDDHHMMSS...``) to ISO — the same
+    Info-resolution rules as `pdf_extract_text` (LAST trailer wins,
+    stream-masked greps, standard-security decryption), WITHOUT the
+    page walk: a 100 TB provenance pass must not pay for content
+    extraction."""
+    if not payload.startswith(b"%PDF-"):
+        raise ValueError("not a PDF payload (missing %PDF- header)")
+    objs, masked, gens = _scan(payload)
+    crypt = None
+    if re.search(rb"/Encrypt\b", masked):
+        crypt = _resolve_crypt(objs, masked, gens)
+    objs, from_objstm = _expand_objstms(objs, crypt)
+    out: dict = {"title": None, "author": None, "created": None}
+    info_refs = re.findall(rb"/Info\s+(\d+)\s+\d+\s+R", masked)
+    if not (info_refs and int(info_refs[-1]) in objs):
+        return out
+    inum = int(info_refs[-1])
+    d = _dict_of(objs[inum])
+    for key, name in (("title", b"/Title"), ("author", b"/Author"),
+                      ("created", b"/CreationDate")):
+        raw = _string_value(d, name)
+        if raw is None:
+            continue
+        if crypt is not None and inum not in from_objstm:
+            raw = crypt(inum, raw)
+        out[key] = raw.decode("latin-1")
+    if out["created"] is not None:
+        m = re.match(r"^D:(\d{4})(\d{2})(\d{2})(\d{2})?(\d{2})?(\d{2})?",
+                     out["created"])
+        if m:
+            y, mo, dd, hh, mi, ss = (
+                g or "00" for g in m.groups()
+            )
+            out["created"] = f"{y}-{mo}-{dd} {hh}:{mi}:{ss}"
+        else:
+            out["created"] = None
+    return out
 
 
 def pdf_extract_text(payload: bytes) -> dict:

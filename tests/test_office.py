@@ -182,3 +182,41 @@ def test_encrypted_ooxml_tagged_distinctly(spark):
         r.format: r.n_docs for r in format_census(df).collect()
     }
     assert census.get("ooxml_encrypted") == 1
+
+
+def test_office_metadata_three_containers(spark):
+    """r14: the provenance census reads all three metadata
+    containers — PDF /Info, OOXML core.xml, MS-OLEPS — and reports
+    NULLs (never errors) for payloads without metadata."""
+    from minerva_etl_spark.operators.msdoc import (
+        _build_cfb,
+        synthesize_doc,
+    )
+    from minerva_etl_spark.operators.office import office_metadata
+    from minerva_etl_spark.operators.pdf import synthesize_pdf
+
+    rows = [
+        (1, synthesize_pdf(["x"], title="P", author="PA",
+                           created="2026-02-03 04:05:06")),
+        (2, synthesize_docx(["x"], title="D", author="DA",
+                            created="2026-02-03 04:05:07")),
+        (3, synthesize_doc(["x"], title="W", author="WA",
+                           created="2026-02-03 04:05:08")),
+        (4, synthesize_docx(["x"])),  # OOXML without metadata
+        (5, _build_cfb([("Contents", b"x".ljust(4096, b"\x00"))])),
+    ]
+    got = {
+        r.doc_id: r
+        for r in office_metadata(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        ).collect()
+    }
+    assert (got[1].title, got[1].author, got[1].created) == (
+        "P", "PA", "2026-02-03 04:05:06")
+    assert (got[2].author, got[2].created) == (
+        "DA", "2026-02-03 04:05:07")
+    assert (got[3].author, got[3].created) == (
+        "WA", "2026-02-03 04:05:08")
+    assert got[4].title is None and got[4].created is None
+    # a generic compound file census-tags with NULL metadata
+    assert got[5].format == "ole2" and got[5].title is None
