@@ -1880,6 +1880,12 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.epub import epub_extract
 
         out = epub_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "office-meta":
+        from minerva_etl_spark.operators.office import office_metadata
+
+        out = office_metadata(
+            df, id_col="media_id", on_error=args.on_error
+        )
     elif args.action == "office-text":
         from minerva_etl_spark.operators.office import office_extract
 
@@ -2636,7 +2642,8 @@ def main(argv: list[str] | None = None) -> None:
                  "tiff-features",
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "docx-text",
-                 "epub-text", "office-text", "eml-text", "mbox-split",
+                 "epub-text", "office-text", "office-meta",
+                 "eml-text", "mbox-split",
                  "rtf-text", "xlsx-text", "pptx-text", "doc-text",
                  "xls-text", "ppt-text", "msg-text", "mail-text",
                  "exif-scan", "exif-strip",

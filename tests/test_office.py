@@ -220,3 +220,18 @@ def test_office_metadata_three_containers(spark):
     assert got[4].title is None and got[4].created is None
     # a generic compound file census-tags with NULL metadata
     assert got[5].format == "ole2" and got[5].title is None
+
+
+def test_cli_office_meta(spark, tmp_path):
+    from minerva_etl_spark.cli import main
+
+    src = str(tmp_path / "m")
+    spark.createDataFrame(
+        [(1, synthesize_docx(["x"], title="T", author="A",
+                             created="2026-02-03 04:05:06"))],
+        "media_id bigint, payload binary",
+    ).write.parquet(src)
+    out = str(tmp_path / "meta")
+    main(["media", "office-meta", "--input", src, "--output", out])
+    row = spark.read.parquet(out).collect()[0]
+    assert row.author == "A" and row.created == "2026-02-03 04:05:06"
