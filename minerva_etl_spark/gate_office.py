@@ -1373,8 +1373,11 @@ def q_office_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from minerva_etl_spark.operators.docx import synthesize_docx
+        from minerva_etl_spark.operators.epub import synthesize_epub
         from minerva_etl_spark.operators.msdoc import synthesize_doc
         from minerva_etl_spark.operators.pdf import synthesize_pdf
+        from minerva_etl_spark.operators.pptx import synthesize_pptx
+        from minerva_etl_spark.operators.xlsx import synthesize_xlsx
 
         for pdf in batches:
             rows = []
@@ -1386,21 +1389,21 @@ def q_office_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"2026-02-{1 + d % 28:02d} "
                     f"{d % 24:02d}:{d % 60:02d}:{(d * 7) % 60:02d}"
                 )
-                if d % 3 == 0:
-                    payload = synthesize_pdf(
-                        ["body"], title=title, author=author,
-                        created=created,
+                kw = dict(title=title, author=author, created=created)
+                if d % 6 == 0:
+                    payload = synthesize_pdf(["body"], **kw)
+                elif d % 6 == 1:
+                    payload = synthesize_docx(["body"], **kw)
+                elif d % 6 == 2:
+                    payload = synthesize_doc(["body"], **kw)
+                elif d % 6 == 3:
+                    payload = synthesize_xlsx(
+                        [("Data", [["body"]])], **kw
                     )
-                elif d % 3 == 1:
-                    payload = synthesize_docx(
-                        ["body"], title=title, author=author,
-                        created=created,
-                    )
+                elif d % 6 == 4:
+                    payload = synthesize_pptx([["body"]], **kw)
                 else:
-                    payload = synthesize_doc(
-                        ["body"], title=title, author=author,
-                        created=created,
-                    )
+                    payload = synthesize_epub(["<p>body</p>"], **kw)
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -1412,8 +1415,9 @@ def q_office_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_OFFICE_METADATA = """
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
-            ELSE 'doc' END AS format,
+       CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+            WHEN 2 THEN 'doc' WHEN 3 THEN 'xlsx'
+            WHEN 4 THEN 'pptx' ELSE 'epub' END AS format,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        'Author ' || CAST(doc_id % 20 AS VARCHAR) AS author,
        '2026-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')

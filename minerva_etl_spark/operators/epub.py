@@ -75,6 +75,8 @@ def synthesize_epub(
     title: str | None = None,
     language: str | None = None,
     compress: bool = True,
+    author: str | None = None,
+    created: str | None = None,
 ) -> bytes:
     """Build a conformant EPUB: each ``chapters[i]`` becomes the BODY
     markup of ``OEBPS/ch{i}.xhtml`` (caller supplies block elements,
@@ -97,6 +99,11 @@ def synthesize_epub(
         meta += f"<dc:title>{_xml_escape(title)}</dc:title>"
     if language is not None:
         meta += f"<dc:language>{_xml_escape(language)}</dc:language>"
+    if author:
+        meta += f"<dc:creator>{_xml_escape(author)}</dc:creator>"
+    if created:
+        meta += ("<dc:date>" + created.replace(" ", "T")
+                 + "Z</dc:date>")
     opf = (
         '<?xml version="1.0" encoding="UTF-8"?>'
         f'<package xmlns="{_OPF}" xmlns:dc="{_DC}" version="3.0" '

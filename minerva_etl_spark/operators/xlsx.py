@@ -199,6 +199,8 @@ def synthesize_xlsx(
     title: str | None = None,
     compress: bool = True,
     date1904: bool = False,
+    author: str | None = None,
+    created: str | None = None,
 ) -> bytes:
     """Build a minimal conformant XLSX: ``sheets`` is a list of
     ``(name, rows)`` where rows are lists of cell strings.  Integer-
@@ -323,10 +325,21 @@ def synthesize_xlsx(
         '.org/officeDocument/2006/relationships/styles" '
         'Target="styles.xml"/></Relationships>'
     )
+    created_el = ""
+    if created is not None:
+        created_el = (
+            '<dcterms:created xsi:type="dcterms:W3CDTF">'
+            + created.replace(" ", "T") + "Z</dcterms:created>"
+        )
     core = (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
-        f'<cp:coreProperties xmlns:cp="{_CP}" xmlns:dc="{_DC}">'
+        f'<cp:coreProperties xmlns:cp="{_CP}" xmlns:dc="{_DC}" '
+        'xmlns:dcterms="http://purl.org/dc/terms/" '
+        'xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance">'
         + (f"<dc:title>{_xml_escape(title)}</dc:title>" if title else "")
+        + (f"<dc:creator>{_xml_escape(author)}</dc:creator>"
+           if author else "")
+        + created_el
         + "</cp:coreProperties>"
     )
     content_types = (
