@@ -137,7 +137,9 @@ from minerva_etl_spark.gate_trend import (  # noqa: F401
     q_upsert_last_wins,
 )
 from minerva_etl_spark.gate_textcur import (  # noqa: F401
+    _ORACLE_UNIGRAM_HF,
     q_bpe_hf_roundtrip,
+    q_unigram_hf_roundtrip,
     _C4_CORPUS_SQL,
     _LR_FEATS_DUCK,
     _LR_FEATS_SPARK,
@@ -657,16 +659,22 @@ _REGISTRY_ORDER = [
     #     touched keys).
     "cdx_index_increment",
     #   office_metadata pins the provenance census (operators/
-    #     office.py::office_metadata — three container parsers
-    #     covering ten formats: PDF /Info, OOXML core.xml, MS-OLEPS;
-    #     no content extraction; closed-form oracle incl. the
-    #     PDF-date/W3CDTF/FILETIME conversions).
+    #     office.py::office_metadata — five container parsers
+    #     covering eleven formats: PDF /Info, OOXML core.xml,
+    #     MS-OLEPS, RTF {\info}, .msg property streams; no content
+    #     extraction; closed-form oracle incl. the PDF-date/W3CDTF/
+    #     FILETIME conversions).
     "office_metadata",
     #   bpe_hf_roundtrip pins the HuggingFace tokenizer.json
     #     export/import interop (operators/tokenizer_io.py — the
     #     re-imported artifact must reproduce the byte-fallback
     #     roundtrip bit-exactly).
     "bpe_hf_roundtrip",
+    #   unigram_hf_roundtrip pins the Unigram tokenizer.json leg
+    #     (ordered [piece, -cost] vocab; integer grid costs survive
+    #     the JSON float round trip losslessly; encode THROUGH the
+    #     re-imported costs).
+    "unigram_hf_roundtrip",
     # earlier rotations (r6-r13): vouchers unchanged, see COVERAGE.md
     "lm_perplexity",
     "sim_ivf_pq",
@@ -925,6 +933,7 @@ def build_queries() -> dict:
         "bpe_roundtrip": q_bpe_roundtrip,
         "bpe_roundtrip_bf": q_bpe_roundtrip_bf,
         "bpe_hf_roundtrip": q_bpe_hf_roundtrip,
+        "unigram_hf_roundtrip": q_unigram_hf_roundtrip,
         "fetch_schedule": q_fetch_schedule,
         "chat_curate": q_chat_curate,
         "markup_extract": q_markup_extract,
@@ -1120,6 +1129,7 @@ def build_oracles() -> dict[str, str]:
         "bpe_roundtrip": _ORACLE_BPE_ROUNDTRIP,
         "bpe_roundtrip_bf": _ORACLE_BPE_ROUNDTRIP_BF,
         "bpe_hf_roundtrip": _ORACLE_BPE_ROUNDTRIP_BF,
+        "unigram_hf_roundtrip": _ORACLE_UNIGRAM_HF,
         "fetch_schedule": _ORACLE_FETCH_SCHEDULE,
         "chat_curate": _ORACLE_CHAT_CURATE,
         "markup_extract": _ORACLE_MARKUP_EXTRACT,

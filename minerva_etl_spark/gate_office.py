@@ -1375,8 +1375,10 @@ def q_office_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         from minerva_etl_spark.operators.docx import synthesize_docx
         from minerva_etl_spark.operators.epub import synthesize_epub
         from minerva_etl_spark.operators.msdoc import synthesize_doc
+        from minerva_etl_spark.operators.msg import synthesize_msg
         from minerva_etl_spark.operators.pdf import synthesize_pdf
         from minerva_etl_spark.operators.pptx import synthesize_pptx
+        from minerva_etl_spark.operators.rtf import synthesize_rtf
         from minerva_etl_spark.operators.xlsx import synthesize_xlsx
 
         for pdf in batches:
@@ -1390,20 +1392,26 @@ def q_office_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"{d % 24:02d}:{d % 60:02d}:{(d * 7) % 60:02d}"
                 )
                 kw = dict(title=title, author=author, created=created)
-                if d % 6 == 0:
+                if d % 8 == 0:
                     payload = synthesize_pdf(["body"], **kw)
-                elif d % 6 == 1:
+                elif d % 8 == 1:
                     payload = synthesize_docx(["body"], **kw)
-                elif d % 6 == 2:
+                elif d % 8 == 2:
                     payload = synthesize_doc(["body"], **kw)
-                elif d % 6 == 3:
+                elif d % 8 == 3:
                     payload = synthesize_xlsx(
                         [("Data", [["body"]])], **kw
                     )
-                elif d % 6 == 4:
+                elif d % 8 == 4:
                     payload = synthesize_pptx([["body"]], **kw)
-                else:
+                elif d % 8 == 5:
                     payload = synthesize_epub(["<p>body</p>"], **kw)
+                elif d % 8 == 6:
+                    payload = synthesize_rtf(["body"], **kw)
+                else:
+                    payload = synthesize_msg(
+                        title, "body", sender=author
+                    )
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
@@ -1415,15 +1423,17 @@ def q_office_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_OFFICE_METADATA = """
 SELECT doc_id,
-       CASE doc_id % 6 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+       CASE doc_id % 8 WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
             WHEN 2 THEN 'doc' WHEN 3 THEN 'xlsx'
-            WHEN 4 THEN 'pptx' ELSE 'epub' END AS format,
+            WHEN 4 THEN 'pptx' WHEN 5 THEN 'epub'
+            WHEN 6 THEN 'rtf' ELSE 'msg' END AS format,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        'Author ' || CAST(doc_id % 20 AS VARCHAR) AS author,
-       '2026-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+       CASE WHEN doc_id % 8 = 7 THEN NULL ELSE
+         '2026-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
          || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
          || ':' || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0')
          || ':' || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
-         AS created
+       END AS created
 FROM documents
 """

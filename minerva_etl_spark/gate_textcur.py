@@ -1690,3 +1690,72 @@ def q_bpe_hf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
     return out
+
+
+def q_unigram_hf_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram ARTIFACT round trip (`operators/tokenizer_io.py::
+    unigram_export_hf`/`unigram_import_hf`, r14): train the unigram
+    vocabulary on the q-stripped corpus, export it as a
+    HuggingFace-schema Unigram tokenizer.json (ordered [piece, score]
+    list, score = -cost — the integer grid survives the JSON float
+    round trip losslessly), import it back, then byte-fallback-encode
+    the original text plus ' qed quiz' THROUGH THE RE-IMPORTED costs
+    and decode.  decoded must equal the independently computed
+    normalized word stream — a score-serialization or ordering bug
+    shifts a lattice cost and hash-mismatches."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.tokenizer_io import (
+        unigram_export_hf,
+        unigram_import_hf,
+    )
+    from minerva_etl_spark.operators.unigram import (
+        unigram_decode,
+        unigram_encode_bf,
+        unigram_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    train_docs = docs.select(
+        "doc_id", F.regexp_replace("text", "[qQ]", "").alias("text")
+    )
+    encode_docs = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" qed quiz")).alias("text"),
+    )
+    vocab = unigram_train(
+        train_docs, max_vocab=256, max_len=5, iters=2, min_count=2
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_uhf_")
+    try:
+        path = root + "/tokenizer.json"
+        unigram_export_hf(vocab, path)
+        vocab2 = unigram_import_hf(spark, path)
+        enc = unigram_encode_bf(encode_docs, vocab2, max_len=5)
+        out = (
+            unigram_decode(enc, pieces_col="pieces", out_col="decoded")
+            .select("doc_id", "decoded")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ORACLE_UNIGRAM_HF = """
+WITH n AS (
+  SELECT doc_id,
+         trim(array_to_string(
+           list_filter(string_split_regex(lower(text || ' qed quiz'),
+                                          '[^a-z]+'),
+                       w -> w <> ''), ' ')) AS decoded
+  FROM documents
+)
+SELECT doc_id, decoded FROM n WHERE decoded <> ''
+"""

@@ -270,9 +270,10 @@ def office_metadata(
     metadata CONTAINER the format uses — the trailer /Info dict for
     PDF, ``docProps/core.xml`` for every OOXML package (docx/xlsx/
     pptx share it; EPUB's OPF is the zip fallback), the MS-OLEPS
-    ``\\x05SummaryInformation`` stream for every CFB format (doc/xls/
-    ppt/msg share it).  Container-level dispatch means three parsers
-    cover ten formats, and NO content extraction runs — the pass a
+    ``\\x05SummaryInformation`` stream for CFB formats (doc/xls/ppt),
+    the RTF ``{\\info}`` group, and .msg subject/sender property
+    streams.  Container-level dispatch means five parsers cover
+    eleven formats, and NO content extraction runs — the pass a
     100 TB bucket uses for attribution/dedup-by-provenance
     filtering.  Missing metadata is NULL, never an error; unknown
     payloads follow the codec error policy."""
@@ -297,8 +298,22 @@ def office_metadata(
                     if fmt == "pdf":
                         meta = pdf_info(payload)
                     elif fmt == "rtf":
-                        meta = {"title": None, "author": None,
-                                "created": None}  # no \\info fixture
+                        from minerva_etl_spark.operators.rtf import (
+                            rtf_info,
+                        )
+
+                        meta = rtf_info(payload)
+                    elif fmt == "msg":
+                        # Outlook mail: subject/sender are the
+                        # document-provenance analogue
+                        from minerva_etl_spark.operators.msg import (
+                            msg_extract_text,
+                        )
+
+                        r = msg_extract_text(payload)
+                        meta = {"title": r["subject"] or None,
+                                "author": r["sender"] or None,
+                                "created": None}
                     elif payload[:4] == b"PK\x03\x04":
                         meta = _zip_core_metadata(payload)
                     else:  # any CFB format: OLEPS when present

@@ -78,6 +78,8 @@ def synthesize_rtf(
     paragraphs: list[str],
     title: str | None = None,
     hex_escape_spaces: bool = False,
+    author: str | None = None,
+    created: str | None = None,
 ) -> bytes:
     """Build a conformant RTF document: font/color tables and an
     ``\\info`` title group (all of which must NOT extract), the
@@ -88,9 +90,21 @@ def synthesize_rtf(
     body = "\\par ".join(_rtf_escape(p) for p in paragraphs)
     if hex_escape_spaces:
         body = body.replace(" ", "\\'20")
-    info = (
-        "{\\info{\\title " + _rtf_escape(title) + "}}" if title else ""
-    )
+    info_parts = ""
+    if title:
+        info_parts += "{\\title " + _rtf_escape(title) + "}"
+    if author:
+        info_parts += "{\\author " + _rtf_escape(author) + "}"
+    if created:
+        # 'YYYY-MM-DD HH:MM:SS' -> \creatim\yrN\moN\dyN\hrN\minN\secN
+        y, mo, rest = created[:4], created[5:7], created[8:]
+        dy, hh, mi, ss = rest[:2], rest[3:5], rest[6:8], rest[9:11]
+        info_parts += (
+            "{\\creatim"
+            f"\\yr{int(y)}\\mo{int(mo)}\\dy{int(dy)}"
+            f"\\hr{int(hh)}\\min{int(mi)}\\sec{int(ss)}}}"
+        )
+    info = "{\\info" + info_parts + "}" if info_parts else ""
     doc = (
         "{\\rtf1\\ansi\\ansicpg1252\\deff0"
         "{\\fonttbl{\\f0\\fswiss Helvetica;}}"
@@ -274,3 +288,107 @@ def rtf_extract(
             )
 
     return docs.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def rtf_info(payload: bytes) -> dict:
+    """The ``{\\info ...}`` document-metadata group (r14):
+    ``{title, author, created}`` — title/author as group text,
+    ``created`` from ``\\creatim``'s ``\\yr..\\sec`` parameters,
+    rendered ISO.  A dedicated lightweight walk (group stack with
+    first-control-word destination naming, hex escapes, ``\\binN``
+    consumption) — metadata extraction must not pay for the full
+    text scan.  Missing fields are None; non-RTF bytes raise."""
+    if not payload.startswith(b"{\\rtf"):
+        raise ValueError("not an RTF payload (missing {\\rtf header)")
+    data = payload
+    i, n = 0, len(data)
+    stack: list[str | None] = []
+    bufs: dict[str, list[str]] = {"title": [], "author": []}
+    dtm: dict[str, int] = {}
+
+    def chain() -> list[str]:
+        return [d for d in stack if d]
+
+    def append_char(ch: str) -> None:
+        c = chain()
+        if "info" in c and c:
+            if c[-1] in bufs:
+                bufs[c[-1]].append(ch)
+
+    while i < n:
+        c = data[i : i + 1]
+        if c == b"{":
+            stack.append(None)
+            i += 1
+            continue
+        if c == b"}":
+            if stack:
+                stack.pop()
+            i += 1
+            continue
+        if c != b"\\":
+            append_char(data[i : i + 1].decode("latin-1"))
+            i += 1
+            continue
+        nxt = data[i + 1 : i + 2]
+        if nxt in (b"\\", b"{", b"}"):
+            append_char(nxt.decode("ascii"))
+            i += 2
+            continue
+        if nxt == b"'":
+            code = data[i + 2 : i + 4]
+            i += 4
+            try:
+                append_char(
+                    bytes.fromhex(code.decode("ascii")).decode(
+                        "cp1252", "replace"
+                    )
+                )
+            except ValueError:
+                pass
+            continue
+        if nxt in (b"*", b"~", b"-", b"_"):
+            i += 2
+            continue
+        j = i + 1
+        while j < n and chr(data[j]).isalpha():
+            j += 1
+        word = data[i + 1 : j].decode("ascii")
+        k = j
+        if k < n and data[k : k + 1] == b"-":
+            k += 1
+        while k < n and chr(data[k]).isdigit():
+            k += 1
+        param = data[j:k].decode("ascii") if k > j else ""
+        if k < n and data[k : k + 1] == b" ":
+            k += 1
+        i = k
+        if word == "bin":
+            try:
+                i += max(0, int(param or "0"))
+            except ValueError:
+                pass
+            continue
+        if stack and stack[-1] is None:
+            stack[-1] = word  # first control word names the group
+        if (
+            word in ("yr", "mo", "dy", "hr", "min", "sec")
+            and "creatim" in chain()
+            and "info" in chain()
+        ):
+            try:
+                dtm[word] = int(param or "0")
+            except ValueError:
+                pass
+    out = {
+        "title": "".join(bufs["title"]).strip() or None,
+        "author": "".join(bufs["author"]).strip() or None,
+        "created": None,
+    }
+    if "yr" in dtm:
+        out["created"] = (
+            f"{dtm.get('yr', 0):04d}-{dtm.get('mo', 1):02d}-"
+            f"{dtm.get('dy', 1):02d} {dtm.get('hr', 0):02d}:"
+            f"{dtm.get('min', 0):02d}:{dtm.get('sec', 0):02d}"
+        )
+    return out

@@ -1,5 +1,6 @@
 """Tokenizer artifact interop — HuggingFace ``tokenizer.json`` export
-and import for the engine's trained BPE (round 14).
+and import for BOTH trained tokenizer families, BPE and unigram
+(round 14).
 
 A tokenizer trained at corpus scale is only useful if the TRAINING
 stack can hand it to the SERVING/loader stack.  The de-facto exchange
@@ -40,11 +41,16 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from minerva_etl_spark.operators.bpe import _EOW, _T, _byte_token_ids
 
-__all__ = ["bpe_export_hf", "bpe_import_hf"]
+__all__ = [
+    "bpe_export_hf",
+    "bpe_import_hf",
+    "unigram_export_hf",
+    "unigram_import_hf",
+]
 
 
 def _strip_term(tok: str) -> str:
@@ -144,3 +150,67 @@ def bpe_import_hf(
         "rank int, left string, right string, pair_count bigint",
     )
     return merges, vocab_ids
+
+
+def unigram_export_hf(vocab: DataFrame, path: str) -> dict:
+    """Serialize a trained unigram vocabulary (``token, freq,
+    cost``) as a HuggingFace-schema Unigram ``tokenizer.json``: the
+    vocab is the ORDERED ``[piece, score]`` list (order = token id,
+    exactly `unigram_vocab_ids`'s (freq desc, token asc) rank), with
+    ``score = -cost`` — the engine's grid costs are integers far
+    below 2^53, so the JSON float round-trip is LOSSLESS and
+    :func:`unigram_import_hf` reconstructs the exact lattice."""
+    rows = vocab.orderBy(
+        F.col("freq").desc(), F.col("token").asc()
+    ).collect()
+    entries = [[r["token"], -int(r["cost"])] for r in rows]
+    doc = {
+        "version": "1.0",
+        "model": {
+            "type": "Unigram",
+            "vocab": entries,
+            "unk_id": None,
+            "byte_fallback": True,
+        },
+    }
+    from minerva_etl_spark.fsutil import fs_write_small
+
+    fs_write_small(
+        vocab.sparkSession, path,
+        json.dumps(doc, indent=1, sort_keys=True),
+    )
+    return doc
+
+
+def unigram_import_hf(
+    spark: SparkSession, path: str
+) -> DataFrame:
+    """Load a Unigram ``tokenizer.json`` back into the engine's
+    ``(token, cost, token_id)`` table — costs reconstructed exactly
+    (``cost = -score``, integers), ids from list position (the
+    schema's contract).  ``<0xNN>`` byte pieces are dropped (the
+    byte-fallback encoder derives them)."""
+    from minerva_etl_spark.fsutil import fs_read_small
+
+    raw = fs_read_small(spark, path)
+    if raw is None:
+        raise FileNotFoundError(path)
+    doc = json.loads(raw)
+    model = doc.get("model", {})
+    if model.get("type") != "Unigram":
+        raise ValueError(
+            f"tokenizer.json model.type={model.get('type')!r} — "
+            "expected Unigram"
+        )
+    import re as _re
+
+    byte_re = _re.compile(r"^<0x[0-9A-F]{2}>(</w>)?$")
+    rows = []
+    for tid, (piece, score) in enumerate(model.get("vocab", [])):
+        if byte_re.match(piece):
+            continue
+        cost = -int(round(float(score)))
+        rows.append((piece, cost, tid))
+    return spark.createDataFrame(
+        rows, "token string, cost bigint, token_id int"
+    )

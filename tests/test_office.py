@@ -235,3 +235,27 @@ def test_cli_office_meta(spark, tmp_path):
     main(["media", "office-meta", "--input", src, "--output", out])
     row = spark.read.parquet(out).collect()[0]
     assert row.author == "A" and row.created == "2026-02-03 04:05:06"
+
+
+def test_office_metadata_rtf_and_msg(spark):
+    """r14: the provenance census covers RTF (\\info group) and .msg
+    (subject/sender) too."""
+    from minerva_etl_spark.operators.msg import synthesize_msg
+    from minerva_etl_spark.operators.office import office_metadata
+    from minerva_etl_spark.operators.rtf import synthesize_rtf
+
+    rows = [
+        (1, synthesize_rtf(["x"], title="RT", author="RA",
+                           created="2026-02-03 04:05:06")),
+        (2, synthesize_msg("Subj", "body", sender="s@x.test")),
+    ]
+    got = {
+        r.doc_id: r
+        for r in office_metadata(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        ).collect()
+    }
+    assert (got[1].title, got[1].author, got[1].created) == (
+        "RT", "RA", "2026-02-03 04:05:06")
+    assert (got[2].format, got[2].title, got[2].author) == (
+        "msg", "Subj", "s@x.test")

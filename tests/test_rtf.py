@@ -127,3 +127,31 @@ def test_bin_payload_in_body_is_dropped_not_leaked():
     doc = b"{\\rtf1\\ansi before \\bin4 \xde\xad\xbe\xefafter\\par}"
     rec = rtf_extract_text(doc)
     assert rec["text"] == "before after"
+
+
+def test_rtf_info_metadata():
+    """r14: the {\\info} group — title/author text, \\creatim
+    datetime — parses without the full text scan, and planting it
+    never leaks into extraction."""
+    from minerva_etl_spark.operators.rtf import (
+        rtf_extract_text,
+        rtf_info,
+        synthesize_rtf,
+    )
+
+    b = synthesize_rtf(
+        ["body text here"], title="R Title", author="R Author",
+        created="2026-02-03 04:05:06",
+    )
+    assert rtf_info(b) == {
+        "title": "R Title", "author": "R Author",
+        "created": "2026-02-03 04:05:06",
+    }
+    assert rtf_extract_text(b)["text"] == "body text here"
+    assert rtf_info(synthesize_rtf(["x"])) == {
+        "title": None, "author": None, "created": None,
+    }
+    import pytest as _p
+
+    with _p.raises(ValueError, match="not an RTF"):
+        rtf_info(b"plain bytes")

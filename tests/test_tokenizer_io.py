@@ -75,3 +75,51 @@ def test_import_rejects_non_bpe(spark, tmp_path):
         bpe_import_hf(spark, p)
     with pytest.raises(FileNotFoundError):
         bpe_import_hf(spark, str(tmp_path / "absent.json"))
+
+
+def test_unigram_export_import_exact_costs(spark, tmp_path):
+    """r14: Unigram tokenizer.json — ordered [piece, -cost] entries;
+    integer grid costs survive the JSON float round trip losslessly
+    and ids come from list position (the schema contract)."""
+    from minerva_etl_spark.operators.tokenizer_io import (
+        unigram_export_hf,
+        unigram_import_hf,
+    )
+    from minerva_etl_spark.operators.unigram import (
+        unigram_encode,
+        unigram_train,
+        unigram_vocab_ids,
+    )
+
+    docs = spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+    vocab = unigram_train(docs, max_vocab=64, max_len=4, iters=1)
+    path = str(tmp_path / "uni.json")
+    doc = unigram_export_hf(vocab, path)
+    assert doc["model"]["type"] == "Unigram"
+    v2 = unigram_import_hf(spark, path)
+    orig = {(r.token, r.cost) for r in vocab.collect()}
+    got = {(r.token, r.cost) for r in v2.collect()}
+    assert orig == got
+    # ids from position == unigram_vocab_ids ranks
+    ids = {r.token: r.token_id
+           for r in unigram_vocab_ids(vocab).collect()}
+    for r in v2.collect():
+        assert ids[r.token] == r.token_id
+    # encoding through the imported costs is identical
+    a = {(r.doc_id, r.pieces)
+         for r in unigram_encode(docs, vocab, max_len=4).collect()}
+    b = {(r.doc_id, r.pieces)
+         for r in unigram_encode(docs, v2, max_len=4).collect()}
+    assert a == b
+    import pytest as _p
+
+    with _p.raises(ValueError, match="Unigram"):
+        from minerva_etl_spark.operators.tokenizer_io import (
+            bpe_export_hf,
+        )
+        # a BPE file must be rejected by the unigram importer
+        from minerva_etl_spark.operators.bpe import bpe_train, bpe_vocab
+
+        m, _ = bpe_train(docs, n_merges=2)
+        bpe_export_hf(m, bpe_vocab(docs, m), str(tmp_path / "b.json"))
+        unigram_import_hf(spark, str(tmp_path / "b.json"))
