@@ -387,7 +387,8 @@ def main() -> None:
                  "pptx_extract", "doc_extract", "xls_extract",
                  "ppt_extract", "msg_extract", "mail_extract",
                  "exif_scan", "format_census",
-                 "video_features_mjpeg", "tiff_features"):
+                 "video_features_mjpeg", "tiff_features",
+                 "tiff_jpeg_features", "office_metadata"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

@@ -2028,7 +2028,12 @@ def q_tiff_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from minerva_etl_spark.operators.tiff import tiff_features
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "tiffjpeg",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     return tiff_features(media).select(
         "media_id",
         "width",

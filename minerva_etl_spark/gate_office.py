@@ -1415,8 +1415,11 @@ def q_office_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    payloads = docs.mapInPandas(
-        synth, "doc_id bigint, payload binary"
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "officemeta",
+        lambda: docs.mapInPandas(
+            synth, "doc_id bigint, payload binary"
+        ),
     )
     return office_metadata(payloads)
 
