@@ -150,6 +150,81 @@ def probe(spark, data_dir: str, mult: int) -> dict:
     rc = recrawl_candidates(idx)
     timed("cdx_recrawl", rc.count, shuffle_df=rc)
 
+    # --- r14 codecs: synth + decode in one lineage (zero-shuffle,
+    # linear-in-bytes claim — the office-codec probe shape) ----------
+    def codec(kind: str):
+        def gen(batches):
+            import pandas as pd
+
+            from minerva_etl_spark.operators.adpcm import (
+                synthesize_wav_ima,
+            )
+            from minerva_etl_spark.operators.bmp import synthesize_bmp
+            from minerva_etl_spark.operators.tiff import (
+                synthesize_tiff,
+            )
+
+            for pdf in batches:
+                rows = []
+                for d in pdf["doc_id"]:
+                    d = int(d)
+                    w, h = 16 + d % 9, 12 + d % 7
+                    if kind == "tiff":
+                        px = bytes(
+                            (d + y * 31 + x * 13 + c * 101) % 256
+                            for y in range(h)
+                            for x in range(w)
+                            for c in range(3)
+                        )
+                        p = synthesize_tiff(
+                            [(px, w, h, 3)],
+                            compression={0: 32773, 1: 5, 2: 1}[d % 3],
+                            rows_per_strip=4,
+                        )
+                    elif kind == "bmp":
+                        px = bytes(
+                            (d + y * 31 + x * 13 + c * 101) % 256
+                            for y in range(h)
+                            for x in range(w)
+                            for c in range(3)
+                        )
+                        p = synthesize_bmp(px, w, h, bits=24)
+                    else:  # adpcm
+                        nibs = [
+                            (d * 7 + k * 3) % 16
+                            for k in range(2 * (100 + d % 50))
+                        ]
+                        p = synthesize_wav_ima(
+                            nibs, ((d * 131) % 4096) - 2048, d % 89
+                        )
+                    rows.append((d, p))
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "payload"]
+                )
+
+        staged = docs.selectExpr("doc_id").mapInPandas(
+            gen, "media_id bigint, payload binary"
+        )
+        if kind == "tiff":
+            from minerva_etl_spark.operators.tiff import tiff_features
+
+            return tiff_features(staged)
+        if kind == "bmp":
+            from minerva_etl_spark.operators.bmp import bmp_decode  # noqa
+
+            from minerva_etl_spark.operators.multimodal import (
+                image_features,
+            )
+
+            return image_features(staged)
+        from minerva_etl_spark.operators.multimodal import wav_features
+
+        return wav_features(staged)
+
+    for kind in ("tiff", "bmp", "adpcm"):
+        out_df = codec(kind)
+        timed(f"{kind}_decode", out_df.count, shuffle_df=out_df)
+
     shutil.rmtree(work, ignore_errors=True)
     return results
 
