@@ -273,6 +273,9 @@ HEADLINE = [
     # round-14: incremental crawl index (bucketed capture state;
     # build + one delivery is the story, the frontier_increment rule)
     "cdx_index_increment",
+    # round-14: web-graph edges from WAT Links (codegen explode +
+    # URL resolution + host aggregation)
+    "wat_link_graph",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",

@@ -405,7 +405,9 @@ from minerva_etl_spark.gate_office import (  # noqa: F401
 )
 from minerva_etl_spark.gate_crawl import (  # noqa: F401
     _ORACLE_CDX_INDEX_INCREMENT,
+    _ORACLE_WAT_LINK_GRAPH,
     q_cdx_index_increment,
+    q_wat_link_graph,
     _ORACLE_ARCHIVE_HARVEST,
     _ORACLE_CDX_HARVEST,
     _ORACLE_CDX_RECRAWL,
@@ -675,6 +677,10 @@ _REGISTRY_ORDER = [
     #     the JSON float round trip losslessly; encode THROUGH the
     #     re-imported costs).
     "unigram_hf_roundtrip",
+    #   wat_link_graph pins the web-graph build edge (sources/wet.py
+    #     ::wat_links — Links arrays exploded + URL-resolved in pure
+    #     codegen, host extraction, per-(src,dst) counts closed-form).
+    "wat_link_graph",
     # earlier rotations (r6-r13): vouchers unchanged, see COVERAGE.md
     "lm_perplexity",
     "sim_ivf_pq",
@@ -885,6 +891,7 @@ def build_queries() -> dict:
         "msg_extract": q_msg_extract,
         "wet_harvest": q_wet_harvest,
         "wat_harvest": q_wat_harvest,
+        "wat_link_graph": q_wat_link_graph,
         "format_census": q_format_census,
         "office_metadata": q_office_metadata,
         "cdx_harvest": q_cdx_harvest,
@@ -1081,6 +1088,7 @@ def build_oracles() -> dict[str, str]:
         "msg_extract": _ORACLE_MSG_EXTRACT,
         "wet_harvest": _ORACLE_WET_HARVEST,
         "wat_harvest": _ORACLE_WAT_HARVEST,
+        "wat_link_graph": _ORACLE_WAT_LINK_GRAPH,
         "format_census": _ORACLE_FORMAT_CENSUS,
         "office_metadata": _ORACLE_OFFICE_METADATA,
         "cdx_harvest": _ORACLE_CDX_HARVEST,

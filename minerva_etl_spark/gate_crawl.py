@@ -1493,3 +1493,111 @@ SELECT doc_id,
             + 2 + length(text) AS INT) AS n_chars
 FROM san
 """
+
+
+def q_wat_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph from WAT metadata (`sources/wet.py::
+    wat_links`, r14 — the web-graph build edge): per doc a WAT
+    envelope whose Links array mixes ABSOLUTE cross-host urls (even
+    link indexes → h{(d+j)%7}.ext.test) with ROOT-RELATIVE paths
+    (odd indexes → resolve against the source host), written as real
+    gzip-membered WAT shards and read back; `wat_links` explodes +
+    resolves every edge in pure codegen and the graph aggregates per
+    (src_host, dst_host).  The oracle regenerates the edge set
+    closed-form — a JSON-path, resolution-rule, or host-extraction
+    bug shifts counts and hash-mismatches."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.sources.wet import (
+        wat_links,
+        write_wat_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                http = {"Headers": {"Content-Type": "text/html"}}
+                if d % 11 != 0:
+                    http["HTML-Metadata"] = {
+                        "Links": [
+                            {
+                                "url": (
+                                    f"https://h{(d + j) % 7}"
+                                    f".ext.test/p/{j}"
+                                    if j % 2 == 0
+                                    else f"/l/{d}/{j}"
+                                )
+                            }
+                            for j in range(d % 5)
+                        ],
+                    }
+                env = {
+                    "Envelope": {
+                        "WARC-Header-Metadata": {
+                            "WARC-Target-URI":
+                                f"https://corpus.test/d/{d}"
+                        },
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": http
+                        },
+                    }
+                }
+                rows.append(
+                    (
+                        f"part-{d % 8}.warc.wat.gz",
+                        f"rec-{d:09d}",
+                        f"https://corpus.test/d/{d}",
+                        "2026-02-03T04:05:06Z",
+                        _json.dumps(env, sort_keys=True),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["warc_file", "record_id", "target_uri",
+                         "warc_date", "meta_json"],
+            )
+
+    staged = docs.mapInPandas(
+        synth,
+        "warc_file string, record_id string, target_uri string, "
+        "warc_date string, meta_json string",
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_watlg_")
+    write_wat_files(staged, root).collect()
+    out = (
+        wat_links(spark, root)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_links"))
+        .localCheckpoint(eager=True)  # pinned before the dir goes
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+_ORACLE_WAT_LINK_GRAPH = """
+WITH l AS (
+  SELECT doc_id, j.j AS j
+  FROM documents,
+       UNNEST(generate_series(0, CAST(doc_id % 5 - 1 AS INT))) AS j(j)
+  WHERE doc_id % 11 <> 0
+), e AS (
+  SELECT CASE WHEN j % 2 = 0
+              THEN 'h' || CAST((doc_id + j) % 7 AS VARCHAR)
+                   || '.ext.test'
+              ELSE 'corpus.test' END AS dst_host
+  FROM l
+)
+SELECT 'corpus.test' AS src_host, dst_host,
+       CAST(count(*) AS BIGINT) AS n_links
+FROM e GROUP BY dst_host
+"""

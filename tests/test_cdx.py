@@ -217,3 +217,49 @@ def test_capture_state_window_reads_bucketed_without_exchange(
         assert "Exchange" not in plan, plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_wat_links_resolution_rules(spark, tmp_path):
+    """r14: wat_links resolves absolute, protocol-relative,
+    root-relative, and directory-relative urls against the source
+    page, in pure codegen."""
+    import json
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from minerva_etl_spark.sources.wet import wat_links, write_wat_files
+
+    links = [
+        {"url": "https://other.test/abs"},
+        {"url": "//cdn.test/pr"},
+        {"url": "/root/rel"},
+        {"url": "sib.html"},
+    ]
+    env = {
+        "Envelope": {
+            "WARC-Header-Metadata": {
+                "WARC-Target-URI": "https://src.test/a/b/page.html"
+            },
+            "Payload-Metadata": {
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": {"Links": links}
+                }
+            },
+        }
+    }
+    df = spark.createDataFrame(
+        [("w.warc.wat.gz", "rec-1", "https://src.test/a/b/page.html",
+          "2026-02-03T04:05:06Z", json.dumps(env))],
+        "warc_file string, record_id string, target_uri string, "
+        "warc_date string, meta_json string",
+    )
+    root = str(tmp_path / "wat")
+    write_wat_files(df, root).collect()
+    rows = {r.link_pos: r for r in wat_links(spark, root).collect()}
+    assert rows[0].url == "https://other.test/abs"
+    assert rows[0].dst_host == "other.test" and rows[0].external
+    assert rows[1].url == "https://cdn.test/pr"
+    assert rows[2].url == "https://src.test/root/rel"
+    assert not rows[2].external
+    assert rows[3].url == "https://src.test/a/b/sib.html"
+    assert rows[3].src_host == "src.test"
