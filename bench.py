@@ -276,6 +276,9 @@ HEADLINE = [
     # round-14: web-graph edges from WAT Links (codegen explode +
     # URL resolution + host aggregation)
     "wat_link_graph",
+    # round-14: the fused WAT -> links -> host graph -> PageRank
+    # composition
+    "pipeline_webgraph",
     "archive_harvest",
     "feed_entries",
     "pipeline_document",

@@ -406,7 +406,9 @@ from minerva_etl_spark.gate_office import (  # noqa: F401
 from minerva_etl_spark.gate_crawl import (  # noqa: F401
     _ORACLE_CDX_INDEX_INCREMENT,
     _ORACLE_WAT_LINK_GRAPH,
+    _oracle_pipeline_webgraph,
     q_cdx_index_increment,
+    q_pipeline_webgraph,
     q_wat_link_graph,
     _ORACLE_ARCHIVE_HARVEST,
     _ORACLE_CDX_HARVEST,
@@ -681,6 +683,10 @@ _REGISTRY_ORDER = [
     #     ::wat_links — Links arrays exploded + URL-resolved in pure
     #     codegen, host extraction, per-(src,dst) counts closed-form).
     "wat_link_graph",
+    #   pipeline_webgraph pins the fused WAT -> links -> host graph
+    #     -> exact-integer PageRank composition (the authority
+    #     feedback loop of a crawl scheduler), oracle-unrolled.
+    "pipeline_webgraph",
     # earlier rotations (r6-r13): vouchers unchanged, see COVERAGE.md
     "lm_perplexity",
     "sim_ivf_pq",
@@ -892,6 +898,7 @@ def build_queries() -> dict:
         "wet_harvest": q_wet_harvest,
         "wat_harvest": q_wat_harvest,
         "wat_link_graph": q_wat_link_graph,
+        "pipeline_webgraph": q_pipeline_webgraph,
         "format_census": q_format_census,
         "office_metadata": q_office_metadata,
         "cdx_harvest": q_cdx_harvest,
@@ -1089,6 +1096,7 @@ def build_oracles() -> dict[str, str]:
         "wet_harvest": _ORACLE_WET_HARVEST,
         "wat_harvest": _ORACLE_WAT_HARVEST,
         "wat_link_graph": _ORACLE_WAT_LINK_GRAPH,
+        "pipeline_webgraph": _oracle_pipeline_webgraph(),
         "format_census": _ORACLE_FORMAT_CENSUS,
         "office_metadata": _ORACLE_OFFICE_METADATA,
         "cdx_harvest": _ORACLE_CDX_HARVEST,

@@ -1601,3 +1601,117 @@ SELECT 'corpus.test' AS src_host, dst_host,
        CAST(count(*) AS BIGINT) AS n_links
 FROM e GROUP BY dst_host
 """
+
+
+def q_pipeline_webgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused WEB-GRAPH pipeline (r14): WAT shards → `wat_links`
+    (explode + resolve + host extraction, codegen) → distinct
+    cross-host edges (self-loops dropped) → three exact-integer
+    PageRank rounds (`operators/pagerank.py`) — the authority scoring
+    a crawl scheduler feeds back into fetch priorities, end to end
+    from the real metadata format.  The oracle regenerates the edge
+    set closed-form and unrolls the identical integer recurrence; any
+    stage breaking (JSON paths, URL resolution, dedup, damping math)
+    hash-mismatches."""
+    _prep(spark)
+    import shutil
+    import tempfile
+
+    from minerva_etl_spark.operators.pagerank import pagerank
+    from minerva_etl_spark.sources.wet import (
+        wat_links,
+        write_wat_files,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                http = {"Headers": {"Content-Type": "text/html"}}
+                if d % 11 != 0:
+                    http["HTML-Metadata"] = {
+                        "Links": [
+                            {
+                                "url": (
+                                    f"https://h{(d + j) % 7}"
+                                    f".ext.test/p/{j}"
+                                    if j % 2 == 0
+                                    else f"/l/{d}/{j}"
+                                )
+                            }
+                            for j in range(d % 5)
+                        ],
+                    }
+                env = {
+                    "Envelope": {
+                        "WARC-Header-Metadata": {
+                            "WARC-Target-URI":
+                                f"https://h{d % 3}.corpus.test/d/{d}"
+                        },
+                        "Payload-Metadata": {
+                            "HTTP-Response-Metadata": http
+                        },
+                    }
+                }
+                rows.append(
+                    (
+                        f"part-{d % 8}.warc.wat.gz",
+                        f"rec-{d:09d}",
+                        f"https://h{d % 3}.corpus.test/d/{d}",
+                        "2026-02-03T04:05:06Z",
+                        _json.dumps(env, sort_keys=True),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["warc_file", "record_id", "target_uri",
+                         "warc_date", "meta_json"],
+            )
+
+    staged = docs.mapInPandas(
+        synth,
+        "warc_file string, record_id string, target_uri string, "
+        "warc_date string, meta_json string",
+    )
+    root = tempfile.mkdtemp(prefix="minerva_gate_webgraph_")
+    write_wat_files(staged, root).collect()
+    edges = (
+        wat_links(spark, root)
+        .where(F.col("dst_host") != F.col("src_host"))
+        .select(
+            F.col("src_host").alias("src"),
+            F.col("dst_host").alias("dst"),
+        )
+        .distinct()
+    )
+    out = pagerank(edges, iters=3, damping_pct=85).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
+def _oracle_pipeline_webgraph() -> str:
+    from minerva_etl_spark.operators.pagerank import pagerank_oracle_sql
+
+    edges = """(
+  SELECT DISTINCT
+    'h' || CAST(doc_id % 3 AS VARCHAR) || '.corpus.test' AS src,
+    CASE WHEN j.j % 2 = 0
+         THEN 'h' || CAST((doc_id + j.j) % 7 AS VARCHAR)
+              || '.ext.test'
+         ELSE 'h' || CAST(doc_id % 3 AS VARCHAR) || '.corpus.test'
+    END AS dst
+  FROM documents,
+       UNNEST(generate_series(0, CAST(doc_id % 5 - 1 AS INT))) AS j(j)
+  WHERE doc_id % 11 <> 0
+) eall WHERE src <> dst"""
+    return pagerank_oracle_sql(f"(SELECT * FROM {edges})",
+                               iters=3, damping_pct=85)
