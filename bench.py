@@ -258,6 +258,9 @@ HEADLINE = [
     # staged outside the clock)
     "eml_extract",
     "mbox_extract",
+    # round-14: MIME attachment explode -> office dispatch (fixture
+    # staged outside the clock)
+    "mail_attachment_extract",
     # round-12: RTF group-stack tokenizer
     "rtf_extract",
     # round-12: exact-integer PageRank (3 damped rounds, edge join +
@@ -394,7 +397,8 @@ def main() -> None:
                  "ppt_extract", "msg_extract", "mail_extract",
                  "exif_scan", "format_census",
                  "video_features_mjpeg", "tiff_features",
-                 "tiff_jpeg_features", "office_metadata"):
+                 "tiff_jpeg_features", "office_metadata",
+                 "mail_attachment_extract"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

@@ -366,7 +366,9 @@ from minerva_etl_spark.gate_media import (  # noqa: F401
     q_wav_spectral,
 )
 from minerva_etl_spark.gate_office import (  # noqa: F401
+    _ORACLE_MAIL_ATTACHMENTS,
     _ORACLE_OFFICE_METADATA,
+    q_mail_attachment_extract,
     q_office_metadata,
     _ORACLE_DOCX_EXTRACT,
     _ORACLE_DOC_EXTRACT,
@@ -687,6 +689,10 @@ _REGISTRY_ORDER = [
     #     -> exact-integer PageRank composition (the authority
     #     feedback loop of a crawl scheduler), oracle-unrolled.
     "pipeline_webgraph",
+    #   mail_attachment_extract pins the enterprise mail composition
+    #     (email_ingest.eml_attachments: MIME attachment explode +
+    #     transfer decode -> office_extract under composite ids).
+    "mail_attachment_extract",
     # earlier rotations (r6-r13): vouchers unchanged, see COVERAGE.md
     "lm_perplexity",
     "sim_ivf_pq",
@@ -901,6 +907,7 @@ def build_queries() -> dict:
         "pipeline_webgraph": q_pipeline_webgraph,
         "format_census": q_format_census,
         "office_metadata": q_office_metadata,
+        "mail_attachment_extract": q_mail_attachment_extract,
         "cdx_harvest": q_cdx_harvest,
         "mail_extract": q_mail_extract,
         "cdx_recrawl": q_cdx_recrawl,
@@ -1099,6 +1106,7 @@ def build_oracles() -> dict[str, str]:
         "pipeline_webgraph": _oracle_pipeline_webgraph(),
         "format_census": _ORACLE_FORMAT_CENSUS,
         "office_metadata": _ORACLE_OFFICE_METADATA,
+        "mail_attachment_extract": _ORACLE_MAIL_ATTACHMENTS,
         "cdx_harvest": _ORACLE_CDX_HARVEST,
         "mail_extract": _ORACLE_MAIL_EXTRACT,
         "cdx_recrawl": _ORACLE_CDX_RECRAWL,

@@ -1440,3 +1440,96 @@ SELECT doc_id,
        END AS created
 FROM documents
 """
+
+
+def q_mail_attachment_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The enterprise mail-corpus composition (r14): every message
+    carries TWO real document attachments — a DOCX and a PDF, base64
+    transfer encoding — exploded by `email_ingest.eml_attachments`
+    (MIME leaf walk, disposition/filename rules, transfer decode) and
+    routed straight into `office_extract` under a composite
+    (message, part) id.  The oracle replays both attachments' titles
+    and text closed-form: a MIME-walk, base64, dispatch, or codec bug
+    hash-mismatches.  This is where the documents of a real
+    enterprise corpus actually live — inside the mail."""
+    _prep(spark)
+    from minerva_etl_spark.operators.email_ingest import (
+        eml_attachments,
+    )
+    from minerva_etl_spark.operators.office import office_extract
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.docx import synthesize_docx
+        from minerva_etl_spark.operators.email_ingest import (
+            synthesize_eml,
+        )
+        from minerva_etl_spark.operators.pdf import synthesize_pdf
+
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                d = int(did)
+                atts = [
+                    (
+                        f"report-{d}.docx",
+                        "application/vnd.openxmlformats-"
+                        "officedocument.wordprocessingml.document",
+                        synthesize_docx(
+                            [f"att body {d}"], title=f"Att {d}"
+                        ),
+                    ),
+                    (
+                        f"scan-{d}.pdf",
+                        "application/pdf",
+                        synthesize_pdf(
+                            [f"att page {d}"], title=f"P {d}"
+                        ),
+                    ),
+                ]
+                rows.append(
+                    (
+                        d,
+                        synthesize_eml(
+                            f"Msg {d}", f"user{d % 20}@corpus.test",
+                            text_body=f"mail body {d}",
+                            attachments=atts,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    mail = _media_fixture_staged(
+        spark, sf_dir, "mailatt",
+        lambda: docs.mapInPandas(
+            synth, "doc_id bigint, payload binary"
+        ),
+    )
+    atts = eml_attachments(mail).select(
+        (F.col("doc_id") * 10 + F.col("part_index")).alias("att_id"),
+        "payload",
+    )
+    return office_extract(atts, id_col="att_id")
+
+
+_ORACLE_MAIL_ATTACHMENTS = """
+WITH a AS (
+  SELECT doc_id * 10 AS att_id, 'docx' AS format,
+         'Att ' || CAST(doc_id AS VARCHAR) AS title,
+         'att body ' || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+  UNION ALL
+  SELECT doc_id * 10 + 1, 'pdf',
+         'P ' || CAST(doc_id AS VARCHAR),
+         'att page ' || CAST(doc_id AS VARCHAR)
+  FROM documents
+)
+SELECT att_id, format, title, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM a
+"""

@@ -56,6 +56,8 @@ __all__ = [
     "mbox_split",
     "mail_extract",
     "EML_EXTRACT_SCHEMA",
+    "EML_ATTACHMENT_SCHEMA",
+    "eml_attachments",
     "MAIL_EXTRACT_SCHEMA",
 ]
 
@@ -96,6 +98,7 @@ def synthesize_eml(
     attachment: bytes | None = None,
     cte: str = "7bit",
     q_encode_subject: bool = False,
+    attachments: "list[tuple[str, str, bytes]] | None" = None,
 ) -> bytes:
     """Build one RFC 5322 message as deterministic raw bytes:
     single-part when only one body is given, ``multipart/alternative``
@@ -126,13 +129,20 @@ def synthesize_eml(
             ).encode()
             + _encode_body(html_body, cte)
         )
+    att_list = list(attachments or [])
     if attachment is not None:
-        b = base64.b64encode(attachment)
+        att_list.insert(
+            0, ("blob.bin", "application/octet-stream", attachment)
+        )
+    for fname, ctype, blob in att_list:
+        b = base64.b64encode(blob)
         parts.append(
-            b"Content-Type: application/octet-stream\r\n"
-            b"Content-Transfer-Encoding: base64\r\n"
-            b'Content-Disposition: attachment; filename="blob.bin"\r\n'
-            b"\r\n"
+            (
+                f"Content-Type: {ctype}\r\n"
+                "Content-Transfer-Encoding: base64\r\n"
+                f'Content-Disposition: attachment; filename="{fname}"'
+                "\r\n\r\n"
+            ).encode()
             + b"\r\n".join(b[i : i + 72] for i in range(0, len(b), 72))
             + b"\r\n"
         )
@@ -149,7 +159,7 @@ def synthesize_eml(
             + body
         )
         return raw
-    subtype = "mixed" if attachment is not None else "alternative"
+    subtype = "mixed" if att_list else "alternative"
     lines = (
         "\r\n".join(headers).encode()
         + (
@@ -389,4 +399,59 @@ def mail_extract(
                 ],
             )
 
+    return docs.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+EML_ATTACHMENT_SCHEMA = (
+    "doc_id bigint, part_index int, filename string, "
+    "content_type string, n_bytes int, payload binary"
+)
+
+
+def eml_attachments(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Explode the ATTACHMENTS of RFC 5322 messages (r14 — the
+    enterprise-corpus edge: the documents worth extracting usually
+    ride inside the mail, not the body): one row per MIME leaf whose
+    Content-Disposition is ``attachment`` (or that carries a
+    filename), with the transfer encoding decoded back to raw bytes —
+    ready to route into `office_extract`/`office_metadata`.
+    ``part_index`` numbers attachments per message in document
+    order."""
+    import email
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                msg = email.message_from_bytes(bytes(payload))
+                k = 0
+                for p in msg.walk():
+                    if p.is_multipart():
+                        continue
+                    fname = p.get_filename()
+                    if (
+                        p.get_content_disposition() != "attachment"
+                        and fname is None
+                    ):
+                        continue
+                    raw = p.get_payload(decode=True) or b""
+                    rows.append(
+                        (did, k, fname, p.get_content_type(),
+                         len(raw), raw)
+                    )
+                    k += 1
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "part_index", "filename",
+                         "content_type", "n_bytes", "payload"],
+            )
+
+    id_type = dict(docs.dtypes).get(id_col, "bigint")
+    schema = EML_ATTACHMENT_SCHEMA.replace(
+        "doc_id bigint", f"{id_col} {id_type}", 1
+    )
     return docs.select(id_col, payload_col).mapInPandas(run, schema)

@@ -150,3 +150,40 @@ def test_cli_eml_and_mbox(spark, tmp_path):
     cmd_media(b)
     out2 = spark.read.parquet(str(tmp_path / "out2")).collect()
     assert len(out2) == 1 and out2[0].msg_index == 0
+
+
+def test_eml_attachments_explode_and_decode(spark):
+    """r14: attachments explode one row per MIME leaf with a
+    disposition/filename, transfer encoding decoded; bodies never
+    leak in."""
+    from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.email_ingest import (
+        eml_attachments,
+        synthesize_eml,
+    )
+
+    dx = synthesize_docx(["att body"], title="A")
+    e = synthesize_eml(
+        "S", "a@b.test", text_body="hello body",
+        html_body="<p>html</p>",
+        attachments=[
+            ("a.docx", "application/msword+x", dx),
+            ("b.bin", "application/octet-stream", b"\x00\x01\x02"),
+        ],
+    )
+    df = spark.createDataFrame(
+        [(1, e)], "doc_id bigint, payload binary"
+    )
+    rows = sorted(
+        eml_attachments(df).collect(), key=lambda r: r.part_index
+    )
+    assert [(r.part_index, r.filename, r.n_bytes) for r in rows] == [
+        (0, "a.docx", len(dx)), (1, "b.bin", 3)
+    ]
+    assert bytes(rows[0].payload) == dx
+    # a message without attachments contributes zero rows
+    plain = synthesize_eml("S", "a@b.test", text_body="x")
+    df2 = spark.createDataFrame(
+        [(2, plain)], "doc_id bigint, payload binary"
+    )
+    assert eml_attachments(df2).count() == 0
