@@ -67,12 +67,13 @@ def test_honest_rejects():
     with pytest.raises(ValueError, match="not a TIFF"):
         tiff_decode(b"PNG whatever")
     good = bytearray(synthesize_tiff([(_px(4, 4, 1), 4, 4, 1)]))
-    # unsupported compression: patch the Compression entry value (LZW=5)
+    # unsupported compression: patch the Compression entry value to
+    # old-style JPEG (6 — LZW=5 became a real decode path in r14)
     i = good.index(struct.pack("<HH", 259, 3))
-    bad = bytes(good[: i + 8]) + struct.pack("<H", 5) + bytes(
+    bad = bytes(good[: i + 8]) + struct.pack("<H", 6) + bytes(
         good[i + 10 :]
     )
-    with pytest.raises(ValueError, match="compression 5"):
+    with pytest.raises(ValueError, match="compression 6"):
         tiff_decode(bad)
     # IFD chain cycle: point the next-IFD pointer back at itself
     d = synthesize_tiff([(_px(4, 4, 1), 4, 4, 1)])
