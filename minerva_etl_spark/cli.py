@@ -1894,6 +1894,12 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.email_ingest import eml_extract
 
         out = eml_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "eml-attachments":
+        from minerva_etl_spark.operators.email_ingest import (
+            eml_attachments,
+        )
+
+        out = eml_attachments(df, id_col="media_id")
     elif args.action == "mbox-split":
         from minerva_etl_spark.operators.email_ingest import mbox_split
 
@@ -2108,6 +2114,10 @@ def cmd_crawl(args) -> None:
             out = out.where(
                 F.col("warc_type").isin(args.types.split(","))
             )
+    elif args.action == "wat-links":
+        from minerva_etl_spark.sources.wet import wat_links
+
+        out = wat_links(spark, args.input)
     elif args.action == "warc-export":
         df = spark.read.parquet(args.input)
         out = write_warc_files(df, args.output_dir or args.output)
@@ -2643,7 +2653,7 @@ def main(argv: list[str] | None = None) -> None:
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "docx-text",
                  "epub-text", "office-text", "office-meta",
-                 "eml-text", "mbox-split",
+                 "eml-text", "eml-attachments", "mbox-split",
                  "rtf-text", "xlsx-text", "pptx-text", "doc-text",
                  "xls-text", "ppt-text", "msg-text", "mail-text",
                  "exif-scan", "exif-strip",
@@ -2704,7 +2714,7 @@ def main(argv: list[str] | None = None) -> None:
                  "warc-to-text", "url-profile", "domain-report",
                  "robots-filter", "robots-sitemaps", "sitemap-urls",
                  "feed-entries", "frontier-ingest", "fetch-schedule",
-                 "markup-extract"],
+                 "markup-extract", "wat-links"],
     )
     cw.add_argument("--input", required=True,
                     help="WARC dir/glob, or input parquet")

@@ -446,7 +446,7 @@ def eml_attachments(
                     k += 1
             yield pd.DataFrame(
                 rows,
-                columns=["doc_id", "part_index", "filename",
+                columns=[id_col, "part_index", "filename",
                          "content_type", "n_bytes", "payload"],
             )
 

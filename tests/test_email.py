@@ -187,3 +187,21 @@ def test_eml_attachments_explode_and_decode(spark):
         [(2, plain)], "doc_id bigint, payload binary"
     )
     assert eml_attachments(df2).count() == 0
+
+
+def test_cli_eml_attachments(spark, tmp_path):
+    from minerva_etl_spark.cli import main
+    from minerva_etl_spark.operators.email_ingest import synthesize_eml
+
+    src = str(tmp_path / "m")
+    spark.createDataFrame(
+        [(1, synthesize_eml("S", "a@b.test", text_body="x",
+                            attachments=[("f.bin",
+                                          "application/octet-stream",
+                                          b"abc")]))],
+        "media_id bigint, payload binary",
+    ).write.parquet(src)
+    out = str(tmp_path / "atts")
+    main(["media", "eml-attachments", "--input", src, "--output", out])
+    row = spark.read.parquet(out).collect()[0]
+    assert row.filename == "f.bin" and row.n_bytes == 3
