@@ -102,3 +102,19 @@ def test_stereo_interleave():
         decode_ima_wav(
             struct.pack("<hBB", 0, 99, 0) + b"\x00\x00", 1, 6
         )
+
+
+def test_wav_spectral_flows_through_adpcm(spark):
+    """wav_spectral rides the same decode front end, so ADPCM
+    payloads get spectral features with no API change."""
+    from minerva_etl_spark.operators.multimodal import wav_spectral
+
+    nibs = [(5 * k) % 16 for k in range(64)]
+    payload = synthesize_wav_ima(nibs, predictor=0, step_index=40,
+                                 sample_rate=8000)
+    df = spark.createDataFrame(
+        [(1, payload)], "media_id bigint, payload binary"
+    )
+    row = wav_spectral(df).collect()[0]
+    assert row.n_samples == 65
+    assert row.dominant_bin is not None
