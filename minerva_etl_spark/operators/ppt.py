@@ -81,6 +81,8 @@ def _container(rec_type: int, payload: bytes) -> bytes:
 def synthesize_ppt(
     slides: list[list[str]],
     title: str | None = None,
+    author: str | None = None,
+    created: str | None = None,
 ) -> bytes:
     """Build a minimal binary .ppt: one TextHeaderAtom + text atom
     per paragraph, paragraphs within a slide joined by ``\\r`` inside
@@ -114,7 +116,9 @@ def synthesize_ppt(
         streams.append(
             (
                 _SUMMARY_STREAM,
-                _summary_info_stream(title).ljust(
+                _summary_info_stream(
+                    title, author=author, created=created
+                ).ljust(
                     _MINI_CUTOFF, b"\x00"
                 ),
             )

@@ -108,6 +108,8 @@ def _int_to_rk(v: int, times100: bool = False) -> int:
 def synthesize_xls(
     sheets: list[tuple[str, list[list[str]]]],
     title: str | None = None,
+    author: str | None = None,
+    created: str | None = None,
 ) -> bytes:
     """Build a minimal BIFF8 .xls: text cells go through the SST as
     LabelSst (every second unique string forced UTF-16 so both
@@ -234,7 +236,9 @@ def synthesize_xls(
         streams.append(
             (
                 _SUMMARY_STREAM,
-                _summary_info_stream(title).ljust(
+                _summary_info_stream(
+                    title, author=author, created=created
+                ).ljust(
                     _MINI_CUTOFF, b"\x00"
                 ),
             )
