@@ -223,15 +223,16 @@ def _filetime_to_iso(ticks: int) -> str | None:
 
 
 def _summary_info_stream(
-    title: str,
+    title: str | None,
     author: str | None = None,
     created: str | None = None,
 ) -> bytes:
     """A minimal MS-OLEPS property set carrying the codepage (PID 1,
-    VT_I2 = 1252), the title (PID 2, VT_LPSTR) and optionally the
+    VT_I2 = 1252) and whichever of the title (PID 2, VT_LPSTR),
     author (PID 4, VT_LPSTR) and creation time (PID 12, VT_FILETIME,
-    ``created`` as ``YYYY-MM-DD HH:MM:SS`` UTC) — the stream real
-    Word writes document metadata to."""
+    ``created`` as ``YYYY-MM-DD HH:MM:SS`` UTC) are set — the stream
+    real Word writes document metadata to.  ``title`` may be None
+    (author/created without a title is a legal property set)."""
 
     def lpstr(s: str) -> bytes:
         raw = s.encode("cp1252", "replace") + b"\x00"
@@ -241,8 +242,9 @@ def _summary_info_stream(
 
     props: list[tuple[int, bytes]] = [
         (_PID_CODEPAGE, struct.pack("<IhH", _VT_I2, 1252, 0)),
-        (_PID_TITLE, lpstr(title)),
     ]
+    if title is not None:
+        props.append((_PID_TITLE, lpstr(title)))
     if author is not None:
         props.append((_PID_AUTHOR, lpstr(author)))
     if created is not None:
@@ -399,7 +401,7 @@ def synthesize_doc(
         ("WordDocument", word_stream.ljust(_MINI_CUTOFF, b"\x00")),
         ("0Table", clx.ljust(_MINI_CUTOFF, b"\x00")),
     ]
-    if title is not None:
+    if any(v is not None for v in (title, author, created)):
         streams.append(
             (
                 _SUMMARY_STREAM,

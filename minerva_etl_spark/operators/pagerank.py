@@ -25,8 +25,10 @@ Per iteration: one broadcast-or-shuffle equi-join of edges against
 the rank table on ``src`` and one map-side-combinable groupBy on
 ``dst`` — the textbook shape; the rank table is node-sized, edges are
 scanned once per round, nothing collects to the driver.  Lineage is
-cut per round (``localCheckpoint``) so any iteration count stays
-flat.
+cut per round (``localCheckpoint``) and each superseded round's
+checkpoint is freed as soon as its successor materializes, so any
+iteration count runs flat in BOTH plan depth and executor storage
+(O(1) retained RDDs, pytest-pinned).
 
 Reference parity note: extension of the crawl arc (the reference has
 no graph surface); the algorithm is the published recipe under the
@@ -36,6 +38,8 @@ exact-arithmetic discipline `kmeans.py` established.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from minerva_etl_spark.operators.dedup import _free_local_checkpoint
 
 __all__ = ["pagerank", "pagerank_oracle_sql"]
 
@@ -86,6 +90,7 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("__c").alias("__in"))
         )
+        prev = ranks
         ranks = (
             nodes.join(contribs, "node", "left")
             .select(
@@ -100,6 +105,11 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        # free the superseded round's checkpoint the moment its
+        # successor is materialized (the dedup.connected_components
+        # pattern) — a 50-iteration run holds O(1) checkpointed RDDs
+        # (nodes + current ranks), not O(iters) executor storage
+        _free_local_checkpoint(prev)
     return ranks
 
 

@@ -112,7 +112,7 @@ def synthesize_ppt(
         _container(_RT_SLIDE_LIST_WITH_TEXT, b"".join(body)),
     )
     streams = [(_PPT_STREAM, doc.ljust(_MINI_CUTOFF, b"\x00"))]
-    if title is not None:
+    if any(v is not None for v in (title, author, created)):
         streams.append(
             (
                 _SUMMARY_STREAM,

@@ -21,7 +21,19 @@ the engine's artifacts onto that schema and back:
 * with ``byte_fallback=True`` the 512 byte rows
   (``<0xNN>`` / ``<0xNN></w>``) are materialized into the vocab at
   their deterministic ids (`bpe._byte_token_ids`), so an external
-  loader sees the SAME id space `bpe_encode_ids_bf` emits.
+  loader sees the SAME id space `bpe_encode_ids_bf` emits;
+* the document declares the engine's TEXT CONTRACT so the external
+  ``tokenizers`` loader reproduces the engine's encodings on raw
+  text (r15): ``normalizer: Lowercase`` then ``pre_tokenizer: Split``
+  on the regex ``[^a-z]+`` with behavior ``Removed`` — exactly the
+  engine's ``split(lower(text), '[^a-z]+')`` word stream — and
+  ``decoder: BPEDecoder`` with suffix ``</w>`` (the engine's decode
+  folds ``</w>`` into spaces).  The byte rows are additionally
+  declared as ``added_tokens`` (``special: true`` — they are id-space
+  markers, not text-matchable content; the functional byte-fallback
+  mechanism is the model's ``byte_fallback`` flag over the vocab
+  entries, so an external decode keeps working even when a loader
+  ignores the declarations).
 
 Export collects the (bounded) vocab/merge tables to the driver — the
 same documented contract as `bpe._merge_list` — and writes ONE small
@@ -53,6 +65,18 @@ __all__ = [
 ]
 
 
+#: the engine's text contract, declared in HF tokenizer.json terms:
+#: ``split(lower(text), '[^a-z]+')`` == Lowercase, then Split on the
+#: regex with the matched delimiters REMOVED (not kept as tokens)
+_HF_NORMALIZER = {"type": "Lowercase"}
+_HF_PRE_TOKENIZER = {
+    "type": "Split",
+    "pattern": {"Regex": "[^a-z]+"},
+    "behavior": "Removed",
+    "invert": False,
+}
+
+
 def _strip_term(tok: str) -> str:
     if not tok.endswith(_T):
         raise ValueError(
@@ -82,12 +106,29 @@ def bpe_export_hf(
         f"{_strip_term(r['left'])} {_strip_term(r['right'])}"
         for r in mrows
     ]
+    added_tokens = []
     if byte_fallback:
         start = (max(vocab.values()) + 1) if vocab else 0
         for r in _byte_token_ids(spark, start).collect():
-            vocab[_strip_term(r["tok"])] = int(r["tid"])
+            tok = _strip_term(r["tok"])
+            vocab[tok] = int(r["tid"])
+            added_tokens.append(
+                {
+                    "id": int(r["tid"]),
+                    "content": tok,
+                    "single_word": False,
+                    "lstrip": False,
+                    "rstrip": False,
+                    "normalized": False,
+                    "special": True,
+                }
+            )
     doc = {
         "version": "1.0",
+        "normalizer": _HF_NORMALIZER,
+        "pre_tokenizer": _HF_PRE_TOKENIZER,
+        "decoder": {"type": "BPEDecoder", "suffix": _EOW},
+        "added_tokens": added_tokens,
         "model": {
             "type": "BPE",
             "vocab": vocab,
@@ -140,6 +181,18 @@ def bpe_import_hf(
         if isinstance(m, (list, tuple)):  # HF also allows pairs
             left, right = m
         else:
+            # the string form is ambiguous when a token itself
+            # contains a space: "a b c" could be ("a b","c") or
+            # ("a","b c").  A well-formed space-free merge has
+            # EXACTLY one separator — anything else must raise, not
+            # silently mis-split (the pair-list form carries such
+            # tokens losslessly; re-export in that form instead).
+            if m.count(" ") != 1:
+                raise ValueError(
+                    f"ambiguous string-form merge {m!r} (rank "
+                    f"{rank}): token contains a space — use the "
+                    "pair-list merge form"
+                )
             left, right = m.split(" ", 1)
         merge_rows.append((rank, left + _T, right + _T, -1))
     vocab_ids = spark.createDataFrame(
@@ -166,6 +219,13 @@ def unigram_export_hf(vocab: DataFrame, path: str) -> dict:
     entries = [[r["token"], -int(r["cost"])] for r in rows]
     doc = {
         "version": "1.0",
+        # same text contract as the BPE artifact (r15): the unigram
+        # lattice runs over the identical lowercased [a-z]+ word
+        # stream, and decode folds </w> into spaces
+        "normalizer": _HF_NORMALIZER,
+        "pre_tokenizer": _HF_PRE_TOKENIZER,
+        "decoder": {"type": "BPEDecoder", "suffix": _EOW},
+        "added_tokens": [],
         "model": {
             "type": "Unigram",
             "vocab": entries,

@@ -232,7 +232,7 @@ def synthesize_xls(
         + b"".join(sheet_streams)
     )
     streams = [("Workbook", workbook.ljust(_MINI_CUTOFF, b"\x00"))]
-    if title is not None:
+    if any(v is not None for v in (title, author, created)):
         streams.append(
             (
                 _SUMMARY_STREAM,

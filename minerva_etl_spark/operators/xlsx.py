@@ -93,7 +93,16 @@ _BUILTIN_DATETIME_FMT = {22} | set(range(18, 22)) | set(range(45, 48))
 def _custom_fmt_kind(code: str) -> str | None:
     """``'date' | 'datetime' | None`` for a custom numFmt code:
     strip quoted literals, ``[...]`` sections and ``\\x`` escapes,
-    then look for date (y/d/m) and time (h/s) tokens."""
+    then look for date (y/d/m) and time (h/s) tokens.
+
+    Elapsed-time bracket tokens (``[h]`` / ``[mm]`` / ``[ss]``,
+    ECMA-376 §18.8.31) mark a DURATION format, not a calendar
+    render — ``[h]:mm:ss`` must keep the raw serial (34:30:00 is not
+    a date), so they classify as None BEFORE the bracket strip
+    (which would otherwise leave ``:mm:ss`` and misread 'm' as a
+    date token)."""
+    if re.search(r"\[\s*(h+|m+|s+)\s*\]", code, re.I):
+        return None
     bare = re.sub(r'"[^"]*"|\[[^\]]*\]|\\.', "", code).lower()
     has_time = "h" in bare or "s" in bare
     has_date = (

@@ -146,13 +146,23 @@ def wat_links(spark: SparkSession, path: str) -> DataFrame:
         .select("src_uri", "link_pos", F.col("__l.url").alias("__raw"))
         .filter(F.col("__raw").isNotNull())
     )
-    scheme = "regexp_extract(src_uri, '^([a-z][a-z0-9+.-]*):', 1)"
-    host = "regexp_extract(src_uri, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)"
+    # query/fragment stripped FIRST (RFC 3986 §5.3 merge works on
+    # the path): a page like http://h/p?x=/y must resolve 'a.html'
+    # from the path directory http://h/, not from inside the query
+    # string — and a query-before-any-slash URL must not leak '?…'
+    # into the extracted host
+    stripped = "regexp_extract(src_uri, '^([^?#]*)', 1)"
+    scheme = f"regexp_extract({stripped}, '^([a-z][a-z0-9+.-]*):', 1)"
+    host = (
+        f"regexp_extract({stripped}, "
+        "'^[a-z][a-z0-9+.-]*://([^/]+)', 1)"
+    )
     # src directory for relative resolution: everything through the
     # last '/' of the path (scheme://host/ when the path is bare)
     src_dir = (
-        "CASE WHEN src_uri RLIKE '^[a-z][a-z0-9+.-]*://[^/]+/.*/' "
-        f"THEN regexp_extract(src_uri, '^(.*/)', 1) "
+        f"CASE WHEN {stripped} RLIKE "
+        "'^[a-z][a-z0-9+.-]*://[^/]+/.*/' "
+        f"THEN regexp_extract({stripped}, '^(.*/)', 1) "
         f"ELSE concat({scheme}, '://', {host}, '/') END"
     )
     resolved = f"""

@@ -12,10 +12,20 @@ Idempotence against foreachBatch's at-least-once retries: the capture
 state has no natural ascending-id watermark (captures arrive in any
 timestamp order), so the wrapper records the last APPLIED epoch in a
 small sidecar (Hadoop-FS, the substring `_watermark` mechanism) and a
-re-delivered epoch is a documented no-op — a retry never
-double-appends captures (which would corrupt ``n_captures``).  The
-crash window between the state append and the sidecar write is the
-same boundary `streaming/embedding.py` documents.
+re-delivered epoch never re-appends captures (which would corrupt
+``n_captures``).  A retried epoch is NOT a pure no-op, though: the
+state already carries that delta (the sidecar is written only after
+the append), so the retry recomputes the recrawl decisions FROM THE
+STATE restricted to the delivery's touched urlkeys — identical to
+what the original call produced — and rewrites the epoch's decision
+partition (an idempotent dynamic-partition overwrite).  That closes
+both crash windows: state-append→sidecar (retry skips the append,
+state is already correct) and sidecar→decisions-write (retry
+re-lands the partition instead of silently losing the epoch's
+scheduling signal).  The only remaining boundary is the same one
+`streaming/embedding.py` documents: a crash INSIDE the state append
+leaves a torn bucket file, which the StoreLease + overwrite-rebuild
+recovery path owns.
 
 Stream == batch: N micro-batches produce the same decision outputs as
 N `ingest_captures_increment` calls with the same deliveries in the
@@ -47,6 +57,7 @@ def cdx_batch_handler(
     from minerva_etl_spark.fsutil import fs_read_small, fs_write_small
     from minerva_etl_spark.sources.cdx import (
         ingest_captures_increment,
+        recrawl_candidates,
     )
 
     def on_batch(batch_df: DataFrame, epoch: int) -> None:
@@ -55,12 +66,26 @@ def cdx_batch_handler(
         spark = batch_df.sparkSession
         applied = fs_read_small(spark, _epoch_path(state_path))
         if applied is not None and int(epoch) <= int(applied.strip()):
-            return  # retried epoch: state already carries it
-        out = ingest_captures_increment(
-            spark, batch_df, table_name,
-            n_buckets=n_buckets, path=state_path,
-        )
-        fs_write_small(spark, _epoch_path(state_path), str(int(epoch)))
+            # Retried epoch: the state already carries this delta
+            # (the sidecar lands only after the append), so the
+            # decisions recompute from the state alone — restricted
+            # to the delivery's urlkeys this equals the original
+            # output — and the partition write below re-lands it.
+            spark.sql(f"REFRESH TABLE {table_name}")
+            keys = batch_df.select("urlkey").distinct()
+            out = recrawl_candidates(
+                spark.table(table_name).join(
+                    F.broadcast(keys), "urlkey"
+                )
+            )
+        else:
+            out = ingest_captures_increment(
+                spark, batch_df, table_name,
+                n_buckets=n_buckets, path=state_path,
+            )
+            fs_write_small(
+                spark, _epoch_path(state_path), str(int(epoch))
+            )
         (
             out.withColumn(
                 "batch_id", F.lit(int(epoch)).cast("bigint")

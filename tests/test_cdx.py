@@ -263,3 +263,53 @@ def test_wat_links_resolution_rules(spark, tmp_path):
     assert not rows[2].external
     assert rows[3].url == "https://src.test/a/b/sib.html"
     assert rows[3].src_host == "src.test"
+
+
+def test_wat_links_query_string_not_a_directory(spark, tmp_path):
+    """r15 (ADVICE): slashes inside the source page's query string
+    must not count as path directories — http://h/p?x=/y resolves
+    'a.html' to http://h/a.html (RFC 3986 merge strips the query
+    first), and a query-before-any-slash URL keeps a clean host."""
+    import json
+
+    from minerva_etl_spark.sources.wet import wat_links, write_wat_files
+
+    def env_for(src, links):
+        return {
+            "Envelope": {
+                "WARC-Header-Metadata": {"WARC-Target-URI": src},
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [{"url": u} for u in links]
+                        }
+                    }
+                },
+            }
+        }
+
+    cases = [
+        ("https://h.test/p?x=/y", ["a.html"]),
+        ("https://h.test/a/b.php?d=/e/f/", ["c.html"]),
+        ("https://h.test?q=1", ["r.html"]),
+        ("https://h.test/a/#frag/with/slash", ["s.html"]),
+    ]
+    df = spark.createDataFrame(
+        [
+            (f"w{i}.warc.wat.gz", f"rec-{i}", src,
+             "2026-02-03T04:05:06Z", json.dumps(env_for(src, links)))
+            for i, (src, links) in enumerate(cases)
+        ],
+        "warc_file string, record_id string, target_uri string, "
+        "warc_date string, meta_json string",
+    )
+    root = str(tmp_path / "wat")
+    write_wat_files(df, root).collect()
+    got = {r.src_uri: r for r in wat_links(spark, root).collect()}
+    assert got["https://h.test/p?x=/y"].url == "https://h.test/a.html"
+    assert (got["https://h.test/a/b.php?d=/e/f/"].url
+            == "https://h.test/a/c.html")
+    assert got["https://h.test?q=1"].url == "https://h.test/r.html"
+    assert got["https://h.test?q=1"].src_host == "h.test"
+    assert (got["https://h.test/a/#frag/with/slash"].url
+            == "https://h.test/a/s.html")

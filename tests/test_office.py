@@ -237,6 +237,38 @@ def test_cli_office_meta(spark, tmp_path):
     assert row.author == "A" and row.created == "2026-02-03 04:05:06"
 
 
+def test_oleps_author_without_title(spark):
+    """r15 (ADVICE): every CFB writer emits the SummaryInformation
+    stream when ANY of title/author/created is set — author/created
+    without a title must not be silently dropped (title may be
+    omitted from a legal MS-OLEPS property list)."""
+    from minerva_etl_spark.operators.msdoc import synthesize_doc
+    from minerva_etl_spark.operators.office import office_metadata
+    from minerva_etl_spark.operators.ppt import synthesize_ppt
+    from minerva_etl_spark.operators.xls import synthesize_xls
+
+    rows = [
+        (1, synthesize_doc(["x"], author="DA",
+                           created="2026-02-03 04:05:06")),
+        (2, synthesize_xls([("S", [["x"]])], author="XA",
+                           created="2026-02-03 04:05:07")),
+        (3, synthesize_ppt([["x"]], author="PA",
+                           created="2026-02-03 04:05:08")),
+    ]
+    got = {
+        r.doc_id: r
+        for r in office_metadata(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        ).collect()
+    }
+    assert (got[1].title, got[1].author, got[1].created) == (
+        None, "DA", "2026-02-03 04:05:06")
+    assert (got[2].title, got[2].author, got[2].created) == (
+        None, "XA", "2026-02-03 04:05:07")
+    assert (got[3].title, got[3].author, got[3].created) == (
+        None, "PA", "2026-02-03 04:05:08")
+
+
 def test_office_metadata_rtf_and_msg(spark):
     """r14: the provenance census covers RTF (\\info group) and .msg
     (subject/sender) too."""

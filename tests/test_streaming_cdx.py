@@ -107,8 +107,11 @@ def test_stream_equals_sequential_batch_increments(spark, tmp_path):
 
 def test_retried_epoch_is_a_noop(spark, tmp_path):
     """A re-delivered epoch must not double-append captures (which
-    would corrupt n_captures) — the applied-epoch sidecar skips
-    it."""
+    would corrupt n_captures); its decisions recompute from the
+    state and RE-LAND, so a crash between the sidecar write and the
+    decisions write never loses the epoch's partition."""
+    import shutil
+
     from minerva_etl_spark.sources.cdx import build_capture_state
     from minerva_etl_spark.streaming.cdx import cdx_batch_handler
 
@@ -122,12 +125,28 @@ def test_retried_epoch_is_a_noop(spark, tmp_path):
         handler(d2, 1)
         n_state = spark.table(tbl).count()
         caps_a = {
-            r.urlkey: r.n_captures
+            (r.urlkey, r.n_captures, r.changed, r.secs_since_prev)
             for r in spark.read.parquet(decisions).collect()
         }
         handler(d2, 1)  # the retry
         assert spark.table(tbl).count() == n_state
-        assert caps_a["test,a)/x"] == 2
+        assert ("test,a)/x", 2, True, 86400) in caps_a
+        # retry re-landed an identical partition (idempotent)
+        caps_b = {
+            (r.urlkey, r.n_captures, r.changed, r.secs_since_prev)
+            for r in spark.read.parquet(decisions).collect()
+        }
+        assert caps_b == caps_a
+        # crash window sim: sidecar written but decisions lost —
+        # the retry must recompute them from the state alone
+        shutil.rmtree(str(tmp_path / "decisions" / "batch_id=1"))
+        handler(d2, 1)
+        assert spark.table(tbl).count() == n_state
+        caps_c = {
+            (r.urlkey, r.n_captures, r.changed, r.secs_since_prev)
+            for r in spark.read.parquet(decisions).collect()
+        }
+        assert caps_c == caps_a
         # a LATER epoch still applies
         d3 = _caps(spark, [
             ("test,a)/x", "https://a.test/x", "2026-02-05 00:00:00",

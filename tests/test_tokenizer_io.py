@@ -68,6 +68,76 @@ def test_encode_through_imported_artifact_is_identical(spark, tmp_path):
     assert a.token_ids == b.token_ids
 
 
+def test_full_document_sections(spark, tmp_path):
+    """r15 (VERDICT ask 4): the artifact carries the engine's text
+    contract so the external `tokenizers` loader reproduces the
+    engine's encodings on raw text — normalizer (Lowercase),
+    pre_tokenizer (Split on [^a-z]+ Removed), decoder (BPEDecoder
+    with the </w> suffix), and added_tokens declaring the byte-row
+    id block."""
+    docs = spark.createDataFrame(_DOCS, "doc_id bigint, text string")
+    merges, _ = bpe_train(docs, n_merges=4, min_count=2)
+    vocab = bpe_vocab(docs, merges)
+    path = str(tmp_path / "full.json")
+    doc = bpe_export_hf(merges, vocab, path)
+    assert doc["normalizer"] == {"type": "Lowercase"}
+    assert doc["pre_tokenizer"] == {
+        "type": "Split",
+        "pattern": {"Regex": "[^a-z]+"},
+        "behavior": "Removed",
+        "invert": False,
+    }
+    assert doc["decoder"] == {"type": "BPEDecoder", "suffix": "</w>"}
+    # added_tokens cover exactly the 512 byte rows, ids matching the
+    # vocab entries (the public schema's per-entry shape)
+    assert len(doc["added_tokens"]) == 512
+    for a in doc["added_tokens"]:
+        assert set(a) == {"id", "content", "single_word", "lstrip",
+                          "rstrip", "normalized", "special"}
+        assert a["special"] is True
+        assert doc["model"]["vocab"][a["content"]] == a["id"]
+    # the sections are ignored gracefully by the engine's importer
+    m2, v2 = bpe_import_hf(spark, path)
+    assert m2.count() == merges.count()
+    assert v2.count() == vocab.count()
+    # unigram export declares the same contract
+    from minerva_etl_spark.operators.tokenizer_io import (
+        unigram_export_hf,
+    )
+    from minerva_etl_spark.operators.unigram import unigram_train
+
+    uv = unigram_train(docs, max_vocab=32, max_len=4, iters=1)
+    udoc = unigram_export_hf(uv, str(tmp_path / "u.json"))
+    assert udoc["normalizer"] == doc["normalizer"]
+    assert udoc["pre_tokenizer"] == doc["pre_tokenizer"]
+    assert udoc["decoder"] == doc["decoder"]
+
+
+def test_ambiguous_string_merge_raises(spark, tmp_path):
+    """r15 (VERDICT ask 7): a string-form merge whose token contains
+    a space cannot be split unambiguously — the importer must raise,
+    not silently mis-split (the pair-list form carries such tokens
+    losslessly and still imports)."""
+    base = {
+        "model": {
+            "type": "BPE",
+            "vocab": {"a": 0, "b": 1},
+            "merges": ["a b c"],  # ("a b","c") or ("a","b c")?
+            "end_of_word_suffix": "</w>",
+        }
+    }
+    p = str(tmp_path / "amb.json")
+    open(p, "w").write(json.dumps(base))
+    with pytest.raises(ValueError, match="ambiguous"):
+        bpe_import_hf(spark, p)
+    # the pair-list form of the same merge is fine
+    base["model"]["merges"] = [["a b", "c"]]
+    open(p, "w").write(json.dumps(base))
+    m2, _ = bpe_import_hf(spark, p)
+    got = m2.collect()[0]
+    assert (got.left, got.right) == ("a b_", "c_")
+
+
 def test_import_rejects_non_bpe(spark, tmp_path):
     p = str(tmp_path / "bad.json")
     open(p, "w").write(json.dumps({"model": {"type": "Unigram"}}))

@@ -292,3 +292,20 @@ def test_custom_numfmt_dates_and_non_dates():
             out.writestr(n, data)
     rec = xlsx_extract_text(buf.getvalue())
     assert rec["text"] == "D\n2026-03-04\t46085\t46085"
+
+
+def test_elapsed_time_formats_keep_raw_serial():
+    """r15 (ADVICE): elapsed-time bracket tokens ([h]/[mm]/[ss])
+    mark a DURATION format — '[h]:mm:ss' must not classify as a
+    date via the leftover 'mm' after the bracket strip; the cell
+    keeps its raw serial.  AM/PM-style brackets like [$-409] still
+    classify by their remaining tokens."""
+    from minerva_etl_spark.operators.xlsx import _custom_fmt_kind
+
+    assert _custom_fmt_kind("[h]:mm:ss") is None
+    assert _custom_fmt_kind("[hh]:mm") is None
+    assert _custom_fmt_kind("[mm]:ss") is None
+    assert _custom_fmt_kind("[ss].00") is None
+    # locale prefix is NOT an elapsed token — still a datetime
+    assert _custom_fmt_kind("[$-409]h:mm AM/PM") == "datetime"
+    assert _custom_fmt_kind("yyyy-mm-dd") == "date"
