@@ -1890,6 +1890,15 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.office import office_extract
 
         out = office_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "office-decrypt":
+        from minerva_etl_spark.operators.office import (
+            office_decrypt_extract,
+        )
+
+        out = office_decrypt_extract(
+            df, id_col="media_id", password=args.password,
+            on_error=args.on_error,
+        )
     elif args.action == "eml-text":
         from minerva_etl_spark.operators.email_ingest import eml_extract
 
@@ -2652,7 +2661,8 @@ def main(argv: list[str] | None = None) -> None:
                  "tiff-features",
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "docx-text",
-                 "epub-text", "office-text", "office-meta",
+                 "epub-text", "office-text", "office-decrypt",
+                 "office-meta",
                  "eml-text", "eml-attachments", "mbox-split",
                  "rtf-text", "xlsx-text", "pptx-text", "doc-text",
                  "xls-text", "ppt-text", "msg-text", "mail-text",
@@ -2672,6 +2682,9 @@ def main(argv: list[str] | None = None) -> None:
     md.add_argument("--n-shards", type=int, default=8, dest="n_shards",
                     help="wds-export: tar shard count (md5-draw "
                          "assignment; size shards 100MB-1GB)")
+    md.add_argument("--password", default=None,
+                    help="office-decrypt: password to try (default: "
+                         "the VelvetSweatshop convention)")
     md.add_argument("--id-col", default="media_id", dest="id_col",
                     help="wds-export: sample key column")
     md.add_argument("--input", required=True, help="input parquet")

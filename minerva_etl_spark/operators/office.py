@@ -47,9 +47,11 @@ from pyspark.sql import DataFrame
 __all__ = [
     "sniff_document_format",
     "office_extract",
+    "office_decrypt_extract",
     "office_metadata",
     "format_census",
     "OFFICE_SCHEMA",
+    "OFFICE_DECRYPT_SCHEMA",
     "OFFICE_METADATA_SCHEMA",
 ]
 
@@ -119,16 +121,9 @@ OFFICE_SCHEMA = (
 )
 
 
-def office_extract(
-    docs: DataFrame,
-    payload_col: str = "payload",
-    id_col: str = "doc_id",
-    on_error: str = "fail",
-) -> DataFrame:
-    """Mixed PDF/DOCX/XLSX/PPTX/EPUB/RTF/DOC column → unified
-    ``(id, format, title, text, n_chars)``.  Magic-byte routing per
-    payload inside Arrow tasks; ``on_error='skip'`` drops unknown,
-    ``ole2``-tagged and undecodable payloads (dirty-corpus mode)."""
+def _text_parsers() -> dict:
+    """format → ``payload -> {title, text, n_chars}`` parser map (the
+    codec matrix both extraction operators dispatch over)."""
     from minerva_etl_spark.operators.docx import docx_extract_text
     from minerva_etl_spark.operators.epub import epub_extract_text
     from minerva_etl_spark.operators.msdoc import doc_extract_text
@@ -140,11 +135,7 @@ def office_extract(
     from minerva_etl_spark.operators.xls import xls_extract_text
     from minerva_etl_spark.operators.xlsx import xlsx_extract_text
 
-    id_type = dict(docs.dtypes).get(id_col, "bigint")
-    schema = OFFICE_SCHEMA.replace(
-        "doc_id bigint", f"{id_col} {id_type}", 1
-    )
-    parsers = {
+    return {
         "pdf": pdf_extract_text,
         "docx": docx_extract_text,
         "epub": epub_extract_text,
@@ -167,6 +158,23 @@ def office_extract(
             }
         )(msg_extract_text(b)),
     }
+
+
+def office_extract(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "fail",
+) -> DataFrame:
+    """Mixed PDF/DOCX/XLSX/PPTX/EPUB/RTF/DOC column → unified
+    ``(id, format, title, text, n_chars)``.  Magic-byte routing per
+    payload inside Arrow tasks; ``on_error='skip'`` drops unknown,
+    ``ole2``-tagged and undecodable payloads (dirty-corpus mode)."""
+    id_type = dict(docs.dtypes).get(id_col, "bigint")
+    schema = OFFICE_SCHEMA.replace(
+        "doc_id bigint", f"{id_col} {id_type}", 1
+    )
+    parsers = _text_parsers()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -203,6 +211,116 @@ def office_extract(
             yield pd.DataFrame(
                 rows,
                 columns=[id_col, "format", "title", "text", "n_chars"],
+            )
+
+    return docs.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+OFFICE_DECRYPT_SCHEMA = (
+    "doc_id bigint, format string, encryption string, title string, "
+    "text string, n_chars int"
+)
+
+
+def office_decrypt_extract(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    password: str | None = None,
+    on_error: str = "fail",
+) -> DataFrame:
+    """Decryption-aware mixed-document extraction (r15): like
+    :func:`office_extract`, but payloads protected by a DEFAULT-
+    password scheme (`operators/offcrypto.py` — Excel's well-known
+    ``VelvetSweatshop`` convention) are decrypted in-task and routed
+    into their normal codec, with an ``encryption`` census column:
+
+    * ``none`` — plaintext payload, extracted normally;
+    * ``ecma376_standard`` — ``EncryptionInfo``/``EncryptedPackage``
+      CFB whose verifier accepts the password; the inner zip is
+      re-sniffed and extracted (``format`` reports the INNER format);
+    * ``xls_rc4`` — BIFF8 ``FilePass`` Office-97 RC4 accepted; the
+      Workbook decrypts and extracts as a plain .xls;
+    * ``locked`` — the payload is genuinely password-protected (the
+      verifier rejected) or uses a scheme with real secrets (Agile,
+      CryptoAPI, XOR obfuscation): format keeps the encrypted tag,
+      title/text stay NULL — the honest backlog row (NOT an error:
+      a census must count these, `format_census`-style).
+
+    A downstream census is one groupBy:
+    ``office_decrypt_extract(df).groupBy("format", "encryption")``.
+    Scale shape: identical to `office_extract` — one Arrow scan, no
+    shuffle; the 50 000-round key spin costs ~50 ms once per
+    encrypted payload, amortized inside the task."""
+    from minerva_etl_spark.operators.offcrypto import (
+        DEFAULT_PASSWORD,
+        WrongPasswordError,
+        decrypt_ooxml,
+        decrypt_xls_rc4,
+        xls_encryption_type,
+    )
+
+    password = DEFAULT_PASSWORD if password is None else password
+    id_type = dict(docs.dtypes).get(id_col, "bigint")
+    schema = OFFICE_DECRYPT_SCHEMA.replace(
+        "doc_id bigint", f"{id_col} {id_type}", 1
+    )
+    parsers = _text_parsers()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                fmt = sniff_document_format(payload)
+                enc = "none"
+                try:
+                    if fmt == "ooxml_encrypted":
+                        try:
+                            payload = decrypt_ooxml(payload, password)
+                            fmt = sniff_document_format(payload)
+                            enc = "ecma376_standard"
+                        except (WrongPasswordError, ValueError):
+                            rows.append(
+                                (did, "ooxml_encrypted", "locked",
+                                 None, None, None)
+                            )
+                            continue
+                    elif (
+                        fmt == "xls"
+                        and xls_encryption_type(payload) is not None
+                    ):
+                        try:
+                            payload = decrypt_xls_rc4(payload, password)
+                            enc = "xls_rc4"
+                        except (WrongPasswordError, ValueError):
+                            rows.append(
+                                (did, "xls", "locked", None, None,
+                                 None)
+                            )
+                            continue
+                    if fmt == "unknown":
+                        raise ValueError(
+                            "unrecognized document payload"
+                        )
+                    if fmt == "ole2":
+                        raise ValueError(
+                            "OLE2 compound file without a known "
+                            "document stream"
+                        )
+                    rec = parsers[fmt](payload)
+                except (ValueError, NotImplementedError):
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows.append(
+                    (did, fmt, enc, rec["title"], rec["text"],
+                     rec["n_chars"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "encryption", "title",
+                         "text", "n_chars"],
             )
 
     return docs.select(id_col, payload_col).mapInPandas(run, schema)

@@ -387,6 +387,12 @@ def xls_extract_text(payload: bytes) -> dict:
     i = 0
     while i < len(recs):
         rtype, off, pl = recs[i]
+        if rtype == 0x002F:  # FilePass: the stream is encrypted
+            raise ValueError(
+                "RC4/XOR-encrypted workbook (FilePass) — route "
+                "through offcrypto.decrypt_xls_rc4 / "
+                "office.office_decrypt_extract"
+            )
         if rtype == _R_BOUNDSHEET:
             (ply,) = struct.unpack_from("<I", pl, 0)
             cch = pl[6]
