@@ -706,21 +706,25 @@ def q_office_decrypt_default(
 ) -> DataFrame:
     """DEFAULT-PASSWORD office decryption (`operators/offcrypto.py` +
     `office.py::office_decrypt_extract`, r15 — the r14 verdict's ask
-    3): one binary column cycles doc_id % 5 over a plain DOCX, an
-    ECMA-376-Standard-encrypted DOCX and XLSX under Excel's implicit
+    3): one binary column cycles doc_id % 6 over a plain DOCX, an
+    ECMA-376-STANDARD-encrypted DOCX and XLSX under Excel's implicit
     ``VelvetSweatshop`` password (MS-OFFCRYPTO §2.3.4 — 50 000-round
-    SHA-1 spin, AES-128-ECB package), a BIFF8 .xls under Office-97
-    RC4 with the same default password (§2.3.6 — MD5 key base,
-    per-1024-block rekeying, record-aware byte map), and one OOXML
-    encrypted with a REAL per-doc password.  The operator verifies,
-    decrypts and extracts the first four in-task and census-tags the
-    fifth ``locked`` with NULL text — the oracle rebuilds every leg's
-    format/encryption/text closed-form, so a key-derivation, AES,
-    RC4, verifier, or census bug hash-mismatches."""
+    SHA-1 spin, AES-128-ECB package), an AGILE-encrypted DOCX (§
+    2.3.4.10 — the 4.4 XML descriptor, SHA-512 spin + purpose block
+    keys, AES-256-CBC segments: what Office 2010+ writes for the
+    same default), a BIFF8 .xls under Office-97 RC4 (§2.3.6 — MD5
+    key base, per-1024-block rekeying, record-aware byte map), and
+    one OOXML encrypted with a REAL password.  The operator
+    verifies, decrypts and extracts the first five in-task and
+    census-tags the sixth ``locked`` with NULL text — the oracle
+    rebuilds every leg's format/encryption/text closed-form, so a
+    key-derivation, AES, RC4, verifier, or census bug
+    hash-mismatches."""
     _prep(spark)
     from minerva_etl_spark.operators.docx import synthesize_docx
     from minerva_etl_spark.operators.offcrypto import (
         encrypt_ooxml,
+        encrypt_ooxml_agile,
         encrypt_xls_rc4,
     )
     from minerva_etl_spark.operators.office import (
@@ -742,17 +746,17 @@ def q_office_decrypt_default(
                 head = f"Doc {d} report"
                 # fixed seeds keep the fixture deterministic AND let
                 # the per-worker (password, salt) key cache absorb
-                # the 50k-round spins (one per leg, not per doc)
-                if d % 5 == 0:
+                # the 50k/100k-round spins (one per leg, not per doc)
+                if d % 6 == 0:
                     payload = synthesize_docx(
                         [head, t], title=f"Doc {d}"
                     )
-                elif d % 5 == 1:
+                elif d % 6 == 1:
                     payload = encrypt_ooxml(
                         synthesize_docx([head, t], title=f"Doc {d}"),
                         seed=b"gate-r15-docx",
                     )
-                elif d % 5 == 2:
+                elif d % 6 == 2:
                     payload = encrypt_ooxml(
                         synthesize_xlsx(
                             [("Data", [[head], [t]])],
@@ -760,7 +764,12 @@ def q_office_decrypt_default(
                         ),
                         seed=b"gate-r15-xlsx",
                     )
-                elif d % 5 == 3:
+                elif d % 6 == 3:
+                    payload = encrypt_ooxml_agile(
+                        synthesize_docx([head, t], title=f"Doc {d}"),
+                        seed=b"gate-r15-agile",
+                    )
+                elif d % 6 == 4:
                     payload = encrypt_xls_rc4(
                         synthesize_xls(
                             [("Data", [[head], [t]])],
@@ -781,7 +790,7 @@ def q_office_decrypt_default(
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = _media_fixture_staged(
-        spark, sf_dir, "offdec",
+        spark, sf_dir, "offdec6",
         lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
     )
     return office_decrypt_extract(payloads)
@@ -792,17 +801,18 @@ WITH san AS (
   SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
 ), built AS (
   SELECT doc_id,
-         CASE doc_id % 5 WHEN 2 THEN 'xlsx' WHEN 3 THEN 'xls'
-              WHEN 4 THEN 'ooxml_encrypted' ELSE 'docx' END AS format,
-         CASE doc_id % 5 WHEN 0 THEN 'none'
-              WHEN 3 THEN 'xls_rc4'
-              WHEN 4 THEN 'locked'
+         CASE doc_id % 6 WHEN 2 THEN 'xlsx' WHEN 4 THEN 'xls'
+              WHEN 5 THEN 'ooxml_encrypted' ELSE 'docx' END AS format,
+         CASE doc_id % 6 WHEN 0 THEN 'none'
+              WHEN 3 THEN 'ecma376_agile'
+              WHEN 4 THEN 'xls_rc4'
+              WHEN 5 THEN 'locked'
               ELSE 'ecma376_standard' END AS encryption,
-         CASE WHEN doc_id % 5 = 4 THEN NULL
+         CASE WHEN doc_id % 6 = 5 THEN NULL
               ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
-         CASE WHEN doc_id % 5 = 4 THEN NULL
+         CASE WHEN doc_id % 6 = 5 THEN NULL
               ELSE
-                CASE WHEN doc_id % 5 IN (2, 3)
+                CASE WHEN doc_id % 6 IN (2, 4)
                      THEN 'Data' || chr(10) ELSE '' END
                 || 'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
                 || chr(10) || text

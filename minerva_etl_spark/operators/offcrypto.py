@@ -9,7 +9,7 @@ emits both the legacy BIFF8 RC4 form and the ECMA-376 form under that
 convention.  Those files are decryptable with ZERO secrets — a
 curation pipeline that tags them as backlog instead of extracting
 them silently loses real text.  This module implements exactly the
-two published default-password schemes and nothing key-escrow-ish:
+published default-password schemes and nothing key-escrow-ish:
 
 * **ECMA-376 Standard Encryption** (MS-OFFCRYPTO §2.3.4.5–2.3.4.7):
   the ``EncryptionInfo`` + ``EncryptedPackage`` CFB pair around an
@@ -18,7 +18,14 @@ two published default-password schemes and nothing key-escrow-ish:
   AES-128/192/256 in ECB over the package, password verified against
   the encrypted verifier pair BEFORE any payload work — a wrong
   password is a clean :class:`WrongPasswordError`, never garbage
-  text.
+  text.  This is what Office 2007 writes.
+* **ECMA-376 Agile Encryption** (§2.3.4.10–2.3.4.13): the version-4.4
+  XML descriptor — SHA-512 password spin, the three 8-byte PURPOSE
+  block keys (verifier-input / verifier-value / key-value), an
+  intermediate key wrapped under the password key, and the package in
+  4096-byte AES-256-CBC segments with per-segment
+  ``SHA512(keySalt ‖ LE32(i))`` IVs.  This is what Office 2010+
+  writes — a modern default-encrypted corpus is mostly agile.
 * **BIFF8 "Office 97/2000" RC4** (MS-OFFCRYPTO §2.3.6, MS-XLS
   §2.2.10): the ``FilePass`` record form.  MD5 key derivation
   (password hash truncated to 5 bytes, ``(trunc+salt)×16`` rehash),
@@ -35,8 +42,8 @@ round-trips are self-proving.  XOR obfuscation (MS-OFFCRYPTO §2.3.7)
 is detected (``FilePass.wEncryptionType = 0``) but NOT decrypted —
 its key setup needs the spec's ``InitialCode``/``XorMatrix`` constant
 tables, which this clean-room module does not carry; those files stay
-an honest ``locked`` census tag.  Agile encryption (EncryptionInfo
-version 4.4) and CryptoAPI RC4 (version ≥ 2) likewise verify-reject
+an honest ``locked`` census tag.  CryptoAPI RC4 (FilePass version
+≥ 2) and non-AES/SHA512 agile parameter sets likewise verify-reject
 with named errors.
 
 AES is implemented here because the container ships no crypto
@@ -71,9 +78,13 @@ __all__ = [
     "DEFAULT_PASSWORD",
     "aes_ecb_encrypt",
     "aes_ecb_decrypt",
+    "aes_cbc_encrypt",
+    "aes_cbc_decrypt",
     "rc4_crypt",
     "encrypt_ooxml",
+    "encrypt_ooxml_agile",
     "decrypt_ooxml",
+    "ooxml_encryption_scheme",
     "encrypt_xls_rc4",
     "decrypt_xls_rc4",
     "xls_encryption_type",
@@ -213,6 +224,38 @@ def aes_ecb_decrypt(key: bytes, data: bytes) -> bytes:
     return s.tobytes()
 
 
+def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC stays fully vectorized on decrypt: Pᵢ = D(Cᵢ) ⊕ Cᵢ₋₁ has
+    no chain dependence once every block is ECB-decrypted, so the
+    XOR is one shifted-array op."""
+    if len(iv) != 16:
+        raise ValueError("AES-CBC IV must be 16 bytes")
+    plain = np.frombuffer(
+        aes_ecb_decrypt(key, data), dtype=np.uint8
+    ).reshape(-1, 16)
+    prev = np.vstack(
+        [
+            np.frombuffer(iv, dtype=np.uint8),
+            np.frombuffer(data, dtype=np.uint8).reshape(-1, 16)[:-1],
+        ]
+    )
+    return (plain ^ prev).tobytes()
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """CBC encryption IS chained (Cᵢ feeds Cᵢ₊₁) — block-at-a-time,
+    used only by the fixture writers."""
+    if len(iv) != 16:
+        raise ValueError("AES-CBC IV must be 16 bytes")
+    out = []
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = aes_ecb_encrypt(key, blk)
+        out.append(prev)
+    return b"".join(out)
+
+
 # =====================================================================
 # RC4
 # =====================================================================
@@ -337,13 +380,30 @@ def encrypt_ooxml(
     )
 
 
+def ooxml_encryption_scheme(payload: bytes) -> str:
+    """``'standard' | 'agile' | 'other'`` from the EncryptionInfo
+    version pair (census tag helper — no key work)."""
+    from minerva_etl_spark.operators.msdoc import _Cfb
+
+    info = _Cfb(payload).read("EncryptionInfo")
+    v_major, v_minor = struct.unpack_from("<HH", info, 0)
+    if (v_major, v_minor) == (4, 4):
+        return "agile"
+    if v_minor == 2 and v_major in (2, 3, 4):
+        return "standard"
+    return "other"
+
+
 def decrypt_ooxml(
     payload: bytes, password: str = DEFAULT_PASSWORD
 ) -> bytes:
-    """ECMA-376-encrypted CFB → the inner OOXML zip bytes.  Raises
-    :class:`WrongPasswordError` when the verifier pair rejects the
-    password, ``ValueError`` for non-Standard encryption variants
-    (Agile v4.4, CryptoAPI RC4, extensible) — named honest rejects."""
+    """ECMA-376-encrypted CFB → the inner OOXML zip bytes.  Handles
+    BOTH published schemes: Standard (version ≤4.2, AES-ECB package)
+    and Agile (4.4, AES-CBC segments — what Office 2010+ writes).
+    Raises :class:`WrongPasswordError` when the verifier rejects the
+    password, ``ValueError`` for unsupported variants (CryptoAPI
+    RC4, extensible, non-AES agile parameters) — named honest
+    rejects."""
     from minerva_etl_spark.operators.msdoc import _Cfb
 
     cfb = _Cfb(payload)
@@ -351,10 +411,7 @@ def decrypt_ooxml(
     package = cfb.read("EncryptedPackage")
     v_major, v_minor, flags = struct.unpack_from("<HHI", info, 0)
     if (v_major, v_minor) == (4, 4):
-        raise ValueError(
-            "ECMA-376 Agile encryption (4.4) — not a default-password "
-            "scheme; tagged locked"
-        )
+        return _decrypt_ooxml_agile(info, package, password)
     if v_minor != 2 or v_major not in (2, 3, 4):
         raise ValueError(
             f"unsupported EncryptionInfo version {v_major}.{v_minor}"
@@ -395,6 +452,223 @@ def decrypt_ooxml(
             f"{len(body)}"
         )
     return aes_ecb_decrypt(key, body)[:total]
+
+
+# =====================================================================
+# ECMA-376 Agile Encryption (MS-OFFCRYPTO §2.3.4.10-2.3.4.13)
+# =====================================================================
+# Office 2010+ writes THIS scheme for default-encrypted files, so a
+# modern VelvetSweatshop corpus is mostly agile, not Standard.  The
+# EncryptionInfo is version 4.4: an 8-byte header then an XML
+# descriptor; keys derive via a SHA-2 spin and the §2.3.4.13 8-byte
+# purpose block keys; the package decrypts in 4096-byte AES-CBC
+# segments with per-segment IVs.
+
+_AGILE_NS = "http://schemas.microsoft.com/office/2006/encryption"
+_AGILE_PW_NS = (
+    "http://schemas.microsoft.com/office/2006/keyEncryptor/password"
+)
+#: the three purpose block keys (MS-OFFCRYPTO §2.3.4.13)
+_BLK_VERIFIER_INPUT = bytes(
+    [0xFE, 0xA7, 0xD2, 0x76, 0x3B, 0x4B, 0x9E, 0x79]
+)
+_BLK_VERIFIER_VALUE = bytes(
+    [0xD7, 0xAA, 0x0F, 0x6D, 0x30, 0x61, 0x34, 0x4E]
+)
+_BLK_KEY_VALUE = bytes(
+    [0x14, 0x6E, 0x0B, 0xE7, 0xAB, 0xAC, 0xD0, 0xD6]
+)
+_AGILE_SEGMENT = 4096
+_AGILE_SPIN = 100_000
+
+
+@functools.lru_cache(maxsize=1024)
+def _agile_pw_hash(password: str, salt: bytes, spin: int) -> bytes:
+    """The spun password hash shared by all three purpose keys:
+    H₀ = SHA512(salt ‖ UTF-16LE(password)); Hₙ = SHA512(LE32(n) ‖
+    Hₙ₋₁) for spin rounds.  Memoized like the Standard path."""
+    h = hashlib.sha512(salt + password.encode("utf-16-le")).digest()
+    for i in range(spin):
+        h = hashlib.sha512(struct.pack("<I", i) + h).digest()
+    return h
+
+
+def _agile_key(
+    password: str, salt: bytes, spin: int, block: bytes, key_bytes: int
+) -> bytes:
+    h = hashlib.sha512(
+        _agile_pw_hash(password, salt, spin) + block
+    ).digest()
+    return h[:key_bytes].ljust(key_bytes, b"\x00")
+
+
+def _pad16(b: bytes) -> bytes:
+    return b[:16].ljust(16, b"\x00")
+
+
+def _agile_segment_iv(key_salt: bytes, index: int) -> bytes:
+    return _pad16(
+        hashlib.sha512(key_salt + struct.pack("<I", index)).digest()
+    )
+
+
+def encrypt_ooxml_agile(
+    zip_bytes: bytes,
+    password: str = DEFAULT_PASSWORD,
+    seed: bytes | None = None,
+    spin: int = _AGILE_SPIN,
+) -> bytes:
+    """Wrap an OOXML zip in Agile encryption (AES-256-CBC, SHA-512 —
+    the parameters Office 2010+ writes).  Deterministic via ``seed``
+    like :func:`encrypt_ooxml`."""
+    import base64
+    from minerva_etl_spark.operators.msdoc import (
+        _MINI_CUTOFF,
+        _build_cfb,
+    )
+
+    if zip_bytes[:4] != b"PK\x03\x04":
+        raise ValueError(
+            "encrypt_ooxml_agile expects an OOXML zip payload"
+        )
+    seed = seed or hashlib.sha1(b"agile-fixture" + zip_bytes).digest()
+    pw_salt = hashlib.sha512(seed + b"pwsalt").digest()[:16]
+    key_salt = hashlib.sha512(seed + b"keysalt").digest()[:16]
+    verifier = hashlib.sha512(seed + b"verifier").digest()[:16]
+    key_value = hashlib.sha512(seed + b"keyvalue").digest()[:32]
+    kb = 32  # AES-256
+    enc_vi = aes_cbc_encrypt(
+        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_INPUT, kb),
+        _pad16(pw_salt), verifier,
+    )
+    vhash = hashlib.sha512(verifier).digest()  # 64 = 4 blocks
+    enc_vv = aes_cbc_encrypt(
+        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_VALUE, kb),
+        _pad16(pw_salt), vhash,
+    )
+    enc_kv = aes_cbc_encrypt(
+        _agile_key(password, pw_salt, spin, _BLK_KEY_VALUE, kb),
+        _pad16(pw_salt), key_value,
+    )
+    segs = []
+    for i in range(0, max(len(zip_bytes), 1), _AGILE_SEGMENT):
+        seg = zip_bytes[i : i + _AGILE_SEGMENT]
+        seg = seg.ljust((len(seg) + 15) // 16 * 16, b"\x00")
+        segs.append(
+            aes_cbc_encrypt(
+                key_value,
+                _agile_segment_iv(key_salt, i // _AGILE_SEGMENT),
+                seg,
+            )
+        )
+    package = struct.pack("<Q", len(zip_bytes)) + b"".join(segs)
+    b64 = lambda b: base64.b64encode(b).decode()  # noqa: E731
+    xml = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<encryption xmlns="{_AGILE_NS}" xmlns:p="{_AGILE_PW_NS}">'
+        f'<keyData saltSize="16" blockSize="16" keyBits="256" '
+        f'hashSize="64" cipherAlgorithm="AES" '
+        f'cipherChaining="ChainingModeCBC" hashAlgorithm="SHA512" '
+        f'saltValue="{b64(key_salt)}"/>'
+        f"<keyEncryptors>"
+        f'<keyEncryptor uri="{_AGILE_PW_NS}">'
+        f'<p:encryptedKey spinCount="{spin}" saltSize="16" '
+        f'blockSize="16" keyBits="256" hashSize="64" '
+        f'cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" '
+        f'hashAlgorithm="SHA512" saltValue="{b64(pw_salt)}" '
+        f'encryptedVerifierHashInput="{b64(enc_vi)}" '
+        f'encryptedVerifierHashValue="{b64(enc_vv)}" '
+        f'encryptedKeyValue="{b64(enc_kv)}"/>'
+        f"</keyEncryptor></keyEncryptors></encryption>"
+    )
+    info = struct.pack("<HHI", 4, 4, 0x40) + xml.encode()
+    return _build_cfb(
+        [
+            ("EncryptionInfo", info.ljust(_MINI_CUTOFF, b"\x00")),
+            ("EncryptedPackage", package.ljust(_MINI_CUTOFF, b"\x00")),
+        ]
+    )
+
+
+def _decrypt_ooxml_agile(
+    info: bytes, package: bytes, password: str
+) -> bytes:
+    """Agile-path worker for :func:`decrypt_ooxml` (version 4.4
+    already checked)."""
+    import base64
+    import xml.etree.ElementTree as ET
+
+    xml_body = info[8:].split(b"\x00", 1)[0]
+    root = ET.fromstring(xml_body.decode("utf-8"))
+    kd = root.find(f"{{{_AGILE_NS}}}keyData")
+    ek = root.find(
+        f"{{{_AGILE_NS}}}keyEncryptors/{{{_AGILE_NS}}}keyEncryptor/"
+        f"{{{_AGILE_PW_NS}}}encryptedKey"
+    )
+    if kd is None or ek is None:
+        raise ValueError("agile EncryptionInfo without keyData/"
+                         "password keyEncryptor")
+    if (
+        kd.get("cipherAlgorithm") != "AES"
+        or kd.get("cipherChaining") != "ChainingModeCBC"
+        or kd.get("hashAlgorithm") != "SHA512"
+        or ek.get("hashAlgorithm") != "SHA512"
+    ):
+        raise ValueError(
+            f"unsupported agile parameters "
+            f"({kd.get('cipherAlgorithm')}/{kd.get('cipherChaining')}"
+            f"/{kd.get('hashAlgorithm')})"
+        )
+    spin = int(ek.get("spinCount"))
+    kb = int(ek.get("keyBits")) // 8
+    pw_salt = base64.b64decode(ek.get("saltValue"))
+    key_salt = base64.b64decode(kd.get("saltValue"))
+    enc_vi = base64.b64decode(ek.get("encryptedVerifierHashInput"))
+    enc_vv = base64.b64decode(ek.get("encryptedVerifierHashValue"))
+    enc_kv = base64.b64decode(ek.get("encryptedKeyValue"))
+    verifier = aes_cbc_decrypt(
+        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_INPUT, kb),
+        _pad16(pw_salt), enc_vi,
+    )[:16]
+    vhash = aes_cbc_decrypt(
+        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_VALUE, kb),
+        _pad16(pw_salt), enc_vv,
+    )[: int(ek.get("hashSize"))]
+    if hashlib.sha512(verifier).digest()[: len(vhash)] != vhash:
+        raise WrongPasswordError(
+            "agile verifier mismatch — not the default password"
+        )
+    key_value = aes_cbc_decrypt(
+        _agile_key(password, pw_salt, spin, _BLK_KEY_VALUE, kb),
+        _pad16(pw_salt), enc_kv,
+    )[:kb]
+    (total,) = struct.unpack_from("<Q", package, 0)
+    body = package[8:]
+    out = []
+    need = total
+    seg_ct = _AGILE_SEGMENT  # ciphertext segment == plaintext segment
+    for i in range(0, len(body), seg_ct):
+        if need <= 0:
+            break
+        seg = body[i : i + seg_ct]
+        seg = seg[: len(seg) // 16 * 16]
+        if not seg:
+            break
+        out.append(
+            aes_cbc_decrypt(
+                key_value,
+                _agile_segment_iv(key_salt, i // seg_ct),
+                seg,
+            )[:need]
+        )
+        need -= len(out[-1])
+    plain = b"".join(out)
+    if len(plain) != total:
+        raise ValueError(
+            f"EncryptedPackage declares {total} bytes but yields "
+            f"{len(plain)}"
+        )
+    return plain
 
 
 # =====================================================================

@@ -236,9 +236,12 @@ def office_decrypt_extract(
     into their normal codec, with an ``encryption`` census column:
 
     * ``none`` — plaintext payload, extracted normally;
-    * ``ecma376_standard`` — ``EncryptionInfo``/``EncryptedPackage``
-      CFB whose verifier accepts the password; the inner zip is
-      re-sniffed and extracted (``format`` reports the INNER format);
+    * ``ecma376_standard`` / ``ecma376_agile`` —
+      ``EncryptionInfo``/``EncryptedPackage`` CFB whose verifier
+      accepts the password (Standard = AES-ECB package, what Office
+      2007 writes; Agile = 4.4 AES-CBC segments, what Office 2010+
+      writes); the inner zip is re-sniffed and extracted (``format``
+      reports the INNER format);
     * ``xls_rc4`` — BIFF8 ``FilePass`` Office-97 RC4 accepted; the
       Workbook decrypts and extracts as a plain .xls;
     * ``locked`` — the payload is genuinely password-protected (the
@@ -257,6 +260,7 @@ def office_decrypt_extract(
         WrongPasswordError,
         decrypt_ooxml,
         decrypt_xls_rc4,
+        ooxml_encryption_scheme,
         xls_encryption_type,
     )
 
@@ -277,9 +281,10 @@ def office_decrypt_extract(
                 try:
                     if fmt == "ooxml_encrypted":
                         try:
+                            scheme = ooxml_encryption_scheme(payload)
                             payload = decrypt_ooxml(payload, password)
                             fmt = sniff_document_format(payload)
-                            enc = "ecma376_standard"
+                            enc = f"ecma376_{scheme}"
                         except (WrongPasswordError, ValueError):
                             rows.append(
                                 (did, "ooxml_encrypted", "locked",

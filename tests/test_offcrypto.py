@@ -78,6 +78,69 @@ def test_ooxml_roundtrip_and_wrong_password():
     assert decrypt_ooxml(enc256) == doc
 
 
+def test_aes_cbc_nist_vector():
+    """NIST SP 800-38A F.2.1 (AES-128-CBC) pins the CBC wiring, and
+    the vectorized decrypt inverts the chained encrypt."""
+    from minerva_etl_spark.operators.offcrypto import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+    )
+
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex(
+        "6bc1bee22e409f96e93d7e117393172a"
+        "ae2d8a571e03ac9c9eb76fac45af8e51"
+    )
+    ct = aes_cbc_encrypt(key, iv, pt)
+    assert ct.hex() == (
+        "7649abac8119b246cee98e9b12e9197d"
+        "5086cb9b507219ee95db113a917678b2"
+    )
+    assert aes_cbc_decrypt(key, iv, ct) == pt
+
+
+def test_agile_roundtrip_multisegment():
+    """Agile (4.4) — what Office 2010+ writes for default-encrypted
+    files: multi-segment AES-256-CBC package, per-segment IVs,
+    purpose block keys, wrong-password rejection."""
+    import random
+
+    from minerva_etl_spark.operators.docx import (
+        docx_extract_text,
+        synthesize_docx,
+    )
+    from minerva_etl_spark.operators.offcrypto import (
+        encrypt_ooxml_agile,
+        ooxml_encryption_scheme,
+    )
+
+    rng = random.Random(7)
+    paras = [
+        "".join(rng.choice("abcdefghij ") for _ in range(400))
+        for _ in range(60)
+    ]  # incompressible -> the zip spans several 4096-byte segments
+    doc = synthesize_docx(paras, title="Big")
+    assert len(doc) > 2 * 4096
+    enc = encrypt_ooxml_agile(doc)
+    assert ooxml_encryption_scheme(enc) == "agile"
+    assert decrypt_ooxml(enc) == doc
+    assert docx_extract_text(decrypt_ooxml(enc))["text"] == (
+        "\n".join(paras)
+    )
+    assert encrypt_ooxml_agile(doc) == enc  # deterministic
+    with pytest.raises(WrongPasswordError):
+        decrypt_ooxml(enc, "nope")
+    real = encrypt_ooxml_agile(doc, password="hidden")
+    with pytest.raises(WrongPasswordError):
+        decrypt_ooxml(real)
+    assert decrypt_ooxml(real, "hidden") == doc
+    # standard vs agile census split
+    from minerva_etl_spark.operators.offcrypto import encrypt_ooxml
+
+    assert ooxml_encryption_scheme(encrypt_ooxml(doc)) == "standard"
+
+
 def test_xls_rc4_roundtrip_multiblock():
     """Workbooks spanning several 1024-byte RC4 blocks: block-edge
     rekeying, lbPlyPos fix-ups and OLEPS pass-through all load-bear."""
