@@ -240,6 +240,11 @@ HEADLINE = [
     "epub_extract",
     # round-12: mixed-format dispatch over all three document codecs
     "office_extract",
+    # r15: default-password decryption — Standard/Agile AES +
+    # BIFF8 RC4 verify+decrypt per payload (fixtures staged
+    # outside the clock like every media row)
+    "office_decrypt_default",
+    "xls_decrypt_velvet",
     "format_census",
     # round-14: provenance census — three container parsers, no
     # content extraction
@@ -398,6 +403,7 @@ def main() -> None:
                  "exif_scan", "format_census",
                  "video_features_mjpeg", "tiff_features",
                  "tiff_jpeg_features", "office_metadata",
+                 "office_decrypt_default", "xls_decrypt_velvet",
                  "mail_attachment_extract"):
         qs[_row](spark, sf_dir)
 

@@ -706,23 +706,26 @@ def q_office_decrypt_default(
 ) -> DataFrame:
     """DEFAULT-PASSWORD office decryption (`operators/offcrypto.py` +
     `office.py::office_decrypt_extract`, r15 — the r14 verdict's ask
-    3): one binary column cycles doc_id % 6 over a plain DOCX, an
+    3): one binary column cycles doc_id % 7 over a plain DOCX, an
     ECMA-376-STANDARD-encrypted DOCX and XLSX under Excel's implicit
     ``VelvetSweatshop`` password (MS-OFFCRYPTO §2.3.4 — 50 000-round
     SHA-1 spin, AES-128-ECB package), an AGILE-encrypted DOCX (§
     2.3.4.10 — the 4.4 XML descriptor, SHA-512 spin + purpose block
     keys, AES-256-CBC segments: what Office 2010+ writes for the
     same default), a BIFF8 .xls under Office-97 RC4 (§2.3.6 — MD5
-    key base, per-1024-block rekeying, record-aware byte map), and
-    one OOXML encrypted with a REAL password.  The operator
-    verifies, decrypts and extracts the first five in-task and
-    census-tags the sixth ``locked`` with NULL text — the oracle
-    rebuilds every leg's format/encryption/text closed-form, so a
-    key-derivation, AES, RC4, verifier, or census bug
-    hash-mismatches."""
+    key base, per-1024-block rekeying, record-aware byte map), a
+    Word-97 .doc under the same RC4 scheme (fEncrypted + table-
+    stream EncryptionHeader, 512-byte rekey blocks), and one OOXML
+    encrypted with a REAL password.  The operator verifies, decrypts
+    and extracts the first six in-task and census-tags the seventh
+    ``locked`` with NULL text — the oracle rebuilds every leg's
+    format/encryption/text closed-form, so a key-derivation, AES,
+    RC4, verifier, or census bug hash-mismatches."""
     _prep(spark)
     from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.msdoc import synthesize_doc
     from minerva_etl_spark.operators.offcrypto import (
+        encrypt_doc_rc4,
         encrypt_ooxml,
         encrypt_ooxml_agile,
         encrypt_xls_rc4,
@@ -747,16 +750,16 @@ def q_office_decrypt_default(
                 # fixed seeds keep the fixture deterministic AND let
                 # the per-worker (password, salt) key cache absorb
                 # the 50k/100k-round spins (one per leg, not per doc)
-                if d % 6 == 0:
+                if d % 7 == 0:
                     payload = synthesize_docx(
                         [head, t], title=f"Doc {d}"
                     )
-                elif d % 6 == 1:
+                elif d % 7 == 1:
                     payload = encrypt_ooxml(
                         synthesize_docx([head, t], title=f"Doc {d}"),
                         seed=b"gate-r15-docx",
                     )
-                elif d % 6 == 2:
+                elif d % 7 == 2:
                     payload = encrypt_ooxml(
                         synthesize_xlsx(
                             [("Data", [[head], [t]])],
@@ -764,18 +767,23 @@ def q_office_decrypt_default(
                         ),
                         seed=b"gate-r15-xlsx",
                     )
-                elif d % 6 == 3:
+                elif d % 7 == 3:
                     payload = encrypt_ooxml_agile(
                         synthesize_docx([head, t], title=f"Doc {d}"),
                         seed=b"gate-r15-agile",
                     )
-                elif d % 6 == 4:
+                elif d % 7 == 4:
                     payload = encrypt_xls_rc4(
                         synthesize_xls(
                             [("Data", [[head], [t]])],
                             title=f"Doc {d}",
                         ),
                         seed=b"gate-r15-xls",
+                    )
+                elif d % 7 == 5:
+                    payload = encrypt_doc_rc4(
+                        synthesize_doc([head, t], title=f"Doc {d}"),
+                        seed=b"gate-r15-doc",
                     )
                 else:
                     # fixed non-default password: the verifier-reject
@@ -790,7 +798,7 @@ def q_office_decrypt_default(
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = _media_fixture_staged(
-        spark, sf_dir, "offdec6",
+        spark, sf_dir, "offdec7",
         lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
     )
     return office_decrypt_extract(payloads)
@@ -801,18 +809,20 @@ WITH san AS (
   SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
 ), built AS (
   SELECT doc_id,
-         CASE doc_id % 6 WHEN 2 THEN 'xlsx' WHEN 4 THEN 'xls'
-              WHEN 5 THEN 'ooxml_encrypted' ELSE 'docx' END AS format,
-         CASE doc_id % 6 WHEN 0 THEN 'none'
+         CASE doc_id % 7 WHEN 2 THEN 'xlsx' WHEN 4 THEN 'xls'
+              WHEN 5 THEN 'doc'
+              WHEN 6 THEN 'ooxml_encrypted' ELSE 'docx' END AS format,
+         CASE doc_id % 7 WHEN 0 THEN 'none'
               WHEN 3 THEN 'ecma376_agile'
               WHEN 4 THEN 'xls_rc4'
-              WHEN 5 THEN 'locked'
+              WHEN 5 THEN 'doc_rc4'
+              WHEN 6 THEN 'locked'
               ELSE 'ecma376_standard' END AS encryption,
-         CASE WHEN doc_id % 6 = 5 THEN NULL
+         CASE WHEN doc_id % 7 = 6 THEN NULL
               ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
-         CASE WHEN doc_id % 6 = 5 THEN NULL
+         CASE WHEN doc_id % 7 = 6 THEN NULL
               ELSE
-                CASE WHEN doc_id % 6 IN (2, 4)
+                CASE WHEN doc_id % 7 IN (2, 4)
                      THEN 'Data' || chr(10) ELSE '' END
                 || 'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
                 || chr(10) || text

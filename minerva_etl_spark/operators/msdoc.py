@@ -658,6 +658,11 @@ def doc_extract_text(payload: bytes) -> dict:
             f"(wIdent=0x{w_ident:04X})"
         )
     (flags,) = struct.unpack_from("<H", wd, 0x000A)
+    if flags & 0x0100:  # fEncrypted: RC4 or XOR-obfuscated
+        raise ValueError(
+            "encrypted Word document (fEncrypted) — route through "
+            "offcrypto.decrypt_doc_rc4 / office.office_decrypt_extract"
+        )
     tbl_name = "1Table" if flags & 0x0200 else "0Table"
     (fc_min,) = struct.unpack_from("<I", wd, 0x0018)
     (fc_mac,) = struct.unpack_from("<I", wd, 0x001C)

@@ -88,6 +88,9 @@ __all__ = [
     "encrypt_xls_rc4",
     "decrypt_xls_rc4",
     "xls_encryption_type",
+    "encrypt_doc_rc4",
+    "decrypt_doc_rc4",
+    "doc_encryption_type",
 ]
 
 #: Excel's implicit default password (public, in MS-OFFCRYPTO's own
@@ -708,13 +711,16 @@ def _std97_block_key(key_base: bytes, block: int) -> bytes:
     return hashlib.md5(key_base + struct.pack("<I", block)).digest()[:16]
 
 
-def _std97_keystream(key_base: bytes, n_bytes: int) -> bytes:
-    """Concatenated per-1024-block RC4 keystreams covering the first
-    ``n_bytes`` stream positions (each block starts a fresh cipher)."""
+def _std97_keystream(
+    key_base: bytes, n_bytes: int, block_size: int = _RC4_BLOCK
+) -> bytes:
+    """Concatenated per-block RC4 keystreams covering the first
+    ``n_bytes`` stream positions (each block starts a fresh cipher).
+    Excel rekeys every 1024 bytes, Word every 512."""
     out = []
-    for block in range((n_bytes + _RC4_BLOCK - 1) // _RC4_BLOCK):
+    for block in range((n_bytes + block_size - 1) // block_size):
         key = _std97_block_key(key_base, block)
-        out.append(rc4_crypt(key, b"\x00" * _RC4_BLOCK))
+        out.append(rc4_crypt(key, b"\x00" * block_size))
     return b"".join(out)[:n_bytes]
 
 
@@ -864,6 +870,172 @@ def encrypt_xls_rc4(
     _fixup_boundsheets(out, _FILEPASS_LEN, bof_end)
     return _rebuild_cfb_with_workbook(
         payload, _apply_std97(bytes(out), key_base)
+    )
+
+
+# ---------------------------------------------------------------
+# Word 97 RC4 (MS-DOC §2.2.6.2 + MS-OFFCRYPTO §2.3.6) — the same
+# Std97 machinery with Word's parameters: 512-byte rekey blocks, the
+# 52-byte EncryptionHeader at offset 0 of the table stream, the
+# FibBase (first 0x44 bytes of WordDocument) plaintext, everything
+# after it — and the table stream past the header, and any Data
+# stream — XORed against the keystream at its ABSOLUTE encrypted-
+# stream offset.  The encrypt side plants fixtures with exactly the
+# convention the decrypt side inverts.
+
+_DOC_BLOCK = 512
+_DOC_PLAIN_HEAD = 0x44
+_DOC_HDR_LEN = 52
+_FIB_F_ENCRYPTED = 0x0100
+_FIB_F_WHICH_TBL = 0x0200
+_FIB_F_OBFUSCATED = 0x8000
+
+
+def _xor_from(blob: bytes, key_base: bytes, start: int) -> bytes:
+    """XOR ``blob[start:]`` against the Word 512-block keystream at
+    ABSOLUTE stream offsets (vectorized); bytes before ``start`` pass
+    through untouched.  Involution: encrypt == decrypt."""
+    ks = np.frombuffer(
+        _std97_keystream(key_base, len(blob), _DOC_BLOCK),
+        dtype=np.uint8,
+    )
+    out = np.frombuffer(blob, dtype=np.uint8).copy()
+    out[start:] ^= ks[start:]
+    return out.tobytes()
+
+
+def doc_encryption_type(payload: bytes) -> str | None:
+    """``'rc4' | 'xor' | None`` for a .doc payload, from the FibBase
+    flags (fEncrypted / fObfuscation) — no key work."""
+    from minerva_etl_spark.operators.msdoc import _Cfb
+
+    try:
+        wd = _Cfb(payload).read("WordDocument")
+    except KeyError:
+        return None
+    if len(wd) < 0x10 or struct.unpack_from("<H", wd, 0)[0] != 0xA5EC:
+        return None
+    (flags,) = struct.unpack_from("<H", wd, 0x0A)
+    if not flags & _FIB_F_ENCRYPTED:
+        return None
+    return "xor" if flags & _FIB_F_OBFUSCATED else "rc4"
+
+
+def _doc_streams(payload: bytes):
+    from minerva_etl_spark.operators.msdoc import _Cfb
+
+    cfb = _Cfb(payload)
+    try:
+        wd = cfb.read("WordDocument")
+    except KeyError:
+        raise ValueError("not a .doc (no WordDocument stream)") from None
+    if struct.unpack_from("<H", wd, 0)[0] != 0xA5EC:
+        raise ValueError("WordDocument without the Word97 FIB magic")
+    (flags,) = struct.unpack_from("<H", wd, 0x0A)
+    tbl_name = "1Table" if flags & _FIB_F_WHICH_TBL else "0Table"
+    return cfb, wd, flags, tbl_name
+
+
+def _rebuild_cfb_doc(payload: bytes, repl: dict) -> bytes:
+    from minerva_etl_spark.operators.msdoc import (
+        _MINI_CUTOFF,
+        _Cfb,
+        _build_cfb,
+    )
+
+    cfb = _Cfb(payload)
+    streams = []
+    for ent in cfb.top_level():
+        if ent["type"] != 2:
+            continue
+        if ent["name"] in repl:
+            streams.append(
+                (ent["name"],
+                 repl[ent["name"]].ljust(_MINI_CUTOFF, b"\x00"))
+            )
+        else:
+            streams.append((ent["name"], cfb.read_entry(ent)))
+    return _build_cfb(streams)
+
+
+def encrypt_doc_rc4(
+    payload: bytes,
+    password: str = DEFAULT_PASSWORD,
+    seed: bytes | None = None,
+) -> bytes:
+    """Encrypt a plaintext Word-97 .doc with the Office 97/2000 RC4
+    scheme (fEncrypted set, lKey = 52, the EncryptionHeader
+    prepended to the table stream).  Deterministic via ``seed``."""
+    cfb, wd, flags, tbl_name = _doc_streams(payload)
+    if flags & _FIB_F_ENCRYPTED:
+        raise ValueError("document is already encrypted (fEncrypted)")
+    tbl = cfb.read(tbl_name)
+    seed = seed or hashlib.sha1(b"doc-fixture" + payload).digest()
+    salt = hashlib.md5(seed + b"salt").digest()
+    verifier = hashlib.md5(seed + b"verifier").digest()
+    key_base = _std97_key_base(password, salt)
+    key0 = _std97_block_key(key_base, 0)
+    enc = rc4_crypt(key0, verifier + hashlib.md5(verifier).digest())
+    header = struct.pack("<HH", 1, 1) + salt + enc
+    assert len(header) == _DOC_HDR_LEN
+    new_wd = bytearray(
+        _xor_from(wd, key_base, _DOC_PLAIN_HEAD)
+    )
+    struct.pack_into(
+        "<H", new_wd, 0x0A, flags | _FIB_F_ENCRYPTED
+    )
+    struct.pack_into("<I", new_wd, 0x0E, _DOC_HDR_LEN)  # lKey
+    new_tbl = header + _xor_from(
+        header + tbl, key_base, _DOC_HDR_LEN
+    )[_DOC_HDR_LEN:]
+    return _rebuild_cfb_doc(
+        payload, {"WordDocument": bytes(new_wd), tbl_name: new_tbl}
+    )
+
+
+def decrypt_doc_rc4(
+    payload: bytes, password: str = DEFAULT_PASSWORD
+) -> bytes:
+    """RC4-encrypted Word-97 .doc → plaintext .doc bytes (flags
+    cleared, EncryptionHeader dropped) ready for
+    `msdoc.doc_extract_text`.  :class:`WrongPasswordError` on
+    verifier mismatch; XOR obfuscation and CryptoAPI raise named
+    rejects."""
+    cfb, wd, flags, tbl_name = _doc_streams(payload)
+    if flags & _FIB_F_OBFUSCATED:
+        raise ValueError(
+            "XOR obfuscation (Method 1) — key tables not carried; "
+            "tagged locked"
+        )
+    if not flags & _FIB_F_ENCRYPTED:
+        raise ValueError("document is not encrypted (no fEncrypted)")
+    tbl = cfb.read(tbl_name)
+    v_major, v_minor = struct.unpack_from("<HH", tbl, 0)
+    if (v_major, v_minor) != (1, 1):
+        raise ValueError(
+            f"CryptoAPI RC4 encryption ({v_major}.{v_minor}) — "
+            "unsupported, tagged locked"
+        )
+    salt = tbl[4:20]
+    enc_verifier = tbl[20:36]
+    enc_vhash = tbl[36:52]
+    key_base = _std97_key_base(password, salt)
+    key0 = _std97_block_key(key_base, 0)
+    plain = rc4_crypt(key0, enc_verifier + enc_vhash)
+    if hashlib.md5(plain[:16]).digest() != plain[16:]:
+        raise WrongPasswordError(
+            "RC4 verifier mismatch — not the given password"
+        )
+    new_wd = bytearray(
+        _xor_from(wd, key_base, _DOC_PLAIN_HEAD)
+    )
+    struct.pack_into(
+        "<H", new_wd, 0x0A, flags & ~_FIB_F_ENCRYPTED
+    )
+    struct.pack_into("<I", new_wd, 0x0E, 0)  # lKey
+    new_tbl = _xor_from(tbl, key_base, _DOC_HDR_LEN)[_DOC_HDR_LEN:]
+    return _rebuild_cfb_doc(
+        payload, {"WordDocument": bytes(new_wd), tbl_name: new_tbl}
     )
 
 

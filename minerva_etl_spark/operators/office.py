@@ -242,8 +242,9 @@ def office_decrypt_extract(
       2007 writes; Agile = 4.4 AES-CBC segments, what Office 2010+
       writes); the inner zip is re-sniffed and extracted (``format``
       reports the INNER format);
-    * ``xls_rc4`` — BIFF8 ``FilePass`` Office-97 RC4 accepted; the
-      Workbook decrypts and extracts as a plain .xls;
+    * ``xls_rc4`` / ``doc_rc4`` — BIFF8 ``FilePass`` / Word-97
+      ``fEncrypted`` Office-97 RC4 accepted; the payload decrypts
+      and extracts as a plain .xls/.doc;
     * ``locked`` — the payload is genuinely password-protected (the
       verifier rejected) or uses a scheme with real secrets (Agile,
       CryptoAPI, XOR obfuscation): format keeps the encrypted tag,
@@ -258,8 +259,10 @@ def office_decrypt_extract(
     from minerva_etl_spark.operators.offcrypto import (
         DEFAULT_PASSWORD,
         WrongPasswordError,
+        decrypt_doc_rc4,
         decrypt_ooxml,
         decrypt_xls_rc4,
+        doc_encryption_type,
         ooxml_encryption_scheme,
         xls_encryption_type,
     )
@@ -301,6 +304,19 @@ def office_decrypt_extract(
                         except (WrongPasswordError, ValueError):
                             rows.append(
                                 (did, "xls", "locked", None, None,
+                                 None)
+                            )
+                            continue
+                    elif (
+                        fmt == "doc"
+                        and doc_encryption_type(payload) is not None
+                    ):
+                        try:
+                            payload = decrypt_doc_rc4(payload, password)
+                            enc = "doc_rc4"
+                        except (WrongPasswordError, ValueError):
+                            rows.append(
+                                (did, "doc", "locked", None, None,
                                  None)
                             )
                             continue

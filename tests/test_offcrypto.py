@@ -169,6 +169,63 @@ def test_xls_rc4_roundtrip_multiblock():
         encrypt_xls_rc4(enc)
 
 
+def test_doc_rc4_roundtrip():
+    """Word-97 RC4 (fEncrypted + table-stream EncryptionHeader,
+    512-byte rekey blocks): round trip, wrong password, the plain
+    reader's named reject, and OLEPS pass-through."""
+    from minerva_etl_spark.operators.msdoc import (
+        doc_extract_text,
+        synthesize_doc,
+    )
+    from minerva_etl_spark.operators.offcrypto import (
+        decrypt_doc_rc4,
+        doc_encryption_type,
+        encrypt_doc_rc4,
+    )
+
+    paras = [f"paragraph {i} of the secret memo" for i in range(30)]
+    plain = synthesize_doc(paras, title="DT", author="DA")
+    enc = encrypt_doc_rc4(plain)
+    assert doc_encryption_type(enc) == "rc4"
+    assert doc_encryption_type(plain) is None
+    with pytest.raises(ValueError, match="fEncrypted"):
+        doc_extract_text(enc)
+    dec = decrypt_doc_rc4(enc)
+    assert doc_extract_text(dec) == doc_extract_text(plain)
+    assert doc_extract_text(dec)["title"] == "DT"
+    assert encrypt_doc_rc4(plain) == enc  # deterministic
+    with pytest.raises(WrongPasswordError):
+        decrypt_doc_rc4(enc, "wrong")
+    with pytest.raises(ValueError, match="already encrypted"):
+        encrypt_doc_rc4(enc)
+    with pytest.raises(ValueError, match="not encrypted"):
+        decrypt_doc_rc4(plain)
+
+
+def test_office_decrypt_doc_leg(spark):
+    from minerva_etl_spark.operators.msdoc import synthesize_doc
+    from minerva_etl_spark.operators.offcrypto import encrypt_doc_rc4
+    from minerva_etl_spark.operators.office import (
+        office_decrypt_extract,
+    )
+
+    rows = [
+        (1, encrypt_doc_rc4(synthesize_doc(["hidden doc"], title="H"))),
+        (2, encrypt_doc_rc4(synthesize_doc(["really locked"]),
+                            password="secret!")),
+    ]
+    got = {
+        r.doc_id: r
+        for r in office_decrypt_extract(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        ).collect()
+    }
+    assert (got[1].format, got[1].encryption, got[1].text) == (
+        "doc", "doc_rc4", "hidden doc")
+    assert (got[2].format, got[2].encryption, got[2].text) == (
+        "doc", "locked", None)
+
+
 def test_plain_xls_reader_rejects_filepass():
     """`xls_extract_text` must NAME the encryption instead of
     garbage-parsing encrypted records."""
