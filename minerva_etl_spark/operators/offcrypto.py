@@ -104,6 +104,29 @@ class WrongPasswordError(ValueError):
     so the census can honestly split decrypted vs still-locked."""
 
 
+def _malformed_to_valueerror(fn):
+    """Dirty-corpus rule: a truncated/garbage encryption structure
+    must surface as ``ValueError`` (the codec error-policy contract),
+    never as a raw ``struct.error``/``IndexError``/XML parse error
+    that would crash an ``on_error='skip'`` scan.
+    ``WrongPasswordError`` (a ValueError subclass) passes through."""
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ValueError:
+            raise  # incl. WrongPasswordError
+        except (struct.error, IndexError, KeyError, TypeError,
+                SyntaxError, UnicodeDecodeError) as e:
+            raise ValueError(
+                f"{fn.__name__}: malformed encryption structure "
+                f"({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapped
+
+
 # =====================================================================
 # AES (FIPS-197), numpy-vectorized ECB
 # =====================================================================
@@ -397,6 +420,7 @@ def ooxml_encryption_scheme(payload: bytes) -> str:
     return "other"
 
 
+@_malformed_to_valueerror
 def decrypt_ooxml(
     payload: bytes, password: str = DEFAULT_PASSWORD
 ) -> bytes:
@@ -593,6 +617,7 @@ def encrypt_ooxml_agile(
     )
 
 
+@_malformed_to_valueerror
 def _decrypt_ooxml_agile(
     info: bytes, package: bytes, password: str
 ) -> bytes:
@@ -993,6 +1018,7 @@ def encrypt_doc_rc4(
     )
 
 
+@_malformed_to_valueerror
 def decrypt_doc_rc4(
     payload: bytes, password: str = DEFAULT_PASSWORD
 ) -> bytes:
@@ -1039,6 +1065,7 @@ def decrypt_doc_rc4(
     )
 
 
+@_malformed_to_valueerror
 def decrypt_xls_rc4(
     payload: bytes, password: str = DEFAULT_PASSWORD
 ) -> bytes:

@@ -287,6 +287,41 @@ def test_office_decrypt_extract_mixed_matrix(spark):
     assert census[("docx", "ecma376_standard")] == 1
 
 
+def test_malformed_encryption_structures_are_policy_rows(spark):
+    """Dirty-corpus rule: truncated/garbage EncryptionInfo must
+    follow the codec error policy (locked row / skip), never crash
+    the scan with a raw struct/XML error."""
+    import struct
+
+    from minerva_etl_spark.operators.msdoc import (
+        _MINI_CUTOFF,
+        _build_cfb,
+    )
+    from minerva_etl_spark.operators.office import (
+        office_decrypt_extract,
+    )
+
+    garbage_agile = _build_cfb([
+        ("EncryptionInfo",
+         (struct.pack("<HHI", 4, 4, 0x40) + b"<notxml").ljust(
+             _MINI_CUTOFF, b"\x00")),
+        ("EncryptedPackage", b"\x00" * _MINI_CUTOFF),
+    ])
+    short_info = _build_cfb([
+        ("EncryptionInfo", b"xx".ljust(_MINI_CUTOFF, b"\x00")),
+        ("EncryptedPackage", b"\x00" * _MINI_CUTOFF),
+    ])
+    with pytest.raises(ValueError):
+        decrypt_ooxml(garbage_agile)
+    rows = [(1, garbage_agile), (2, short_info)]
+    got = office_decrypt_extract(
+        spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    ).collect()
+    # both become honest locked census rows, not errors
+    assert {(r.doc_id, r.encryption) for r in got} == {
+        (1, "locked"), (2, "locked")}
+
+
 def test_xor_obfuscation_detected_not_decrypted():
     """A FilePass with wEncryptionType=0 (XOR Method 1) is a named
     locked reject — never a garbage decode."""
