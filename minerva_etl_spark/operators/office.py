@@ -415,12 +415,21 @@ def office_metadata(
     eleven formats, and NO content extraction runs — the pass a
     100 TB bucket uses for attribution/dedup-by-provenance
     filtering.  Missing metadata is NULL, never an error; unknown
-    payloads follow the codec error policy."""
+    payloads follow the codec error policy.
+
+    Encrypted payloads (r15): OOXML under a DEFAULT-password scheme
+    decrypts in-task so core.xml provenance is read (format reports
+    the inner format); genuinely locked files keep the
+    ``ooxml_encrypted`` tag with NULL metadata.  RC4-encrypted
+    .doc/.xls need no handling here — the Office-97 scheme never
+    encrypts the OLEPS SummaryInformation stream, so their
+    provenance reads directly."""
     from minerva_etl_spark.operators.msdoc import (
         _SUMMARY_STREAM,
         cfb_read_stream,
         summary_properties,
     )
+    from minerva_etl_spark.operators.offcrypto import decrypt_ooxml
     from minerva_etl_spark.operators.pdf import pdf_info
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -429,6 +438,12 @@ def office_metadata(
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 payload = bytes(payload)
                 fmt = sniff_document_format(payload)
+                if fmt == "ooxml_encrypted":
+                    try:
+                        payload = decrypt_ooxml(payload)
+                        fmt = sniff_document_format(payload)
+                    except ValueError:
+                        pass  # locked: tag stays, metadata NULL
                 try:
                     if fmt == "unknown":
                         raise ValueError(

@@ -237,6 +237,41 @@ def test_cli_office_meta(spark, tmp_path):
     assert row.author == "A" and row.created == "2026-02-03 04:05:06"
 
 
+def test_office_metadata_decrypts_default_password(spark):
+    """r15: the provenance census reads core.xml THROUGH
+    default-password encryption; RC4 .xls provenance needs no
+    decryption (OLEPS is never encrypted in the Office-97 scheme);
+    genuinely locked files keep the tag with NULL metadata."""
+    from minerva_etl_spark.operators.offcrypto import (
+        encrypt_ooxml,
+        encrypt_xls_rc4,
+    )
+    from minerva_etl_spark.operators.office import office_metadata
+    from minerva_etl_spark.operators.xls import synthesize_xls
+
+    rows = [
+        (1, encrypt_ooxml(
+            synthesize_docx(["x"], title="ET", author="EA",
+                            created="2026-02-03 04:05:06"))),
+        (2, encrypt_xls_rc4(
+            synthesize_xls([("S", [["x"]])], title="XT", author="XA",
+                           created="2026-02-03 04:05:07"))),
+        (3, encrypt_ooxml(synthesize_docx(["x"], title="NO"),
+                          password="real-pw")),
+    ]
+    got = {
+        r.doc_id: r
+        for r in office_metadata(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        ).collect()
+    }
+    assert (got[1].format, got[1].title, got[1].author) == (
+        "docx", "ET", "EA")
+    assert (got[2].format, got[2].title, got[2].created) == (
+        "xls", "XT", "2026-02-03 04:05:07")
+    assert (got[3].format, got[3].title) == ("ooxml_encrypted", None)
+
+
 def test_oleps_author_without_title(spark):
     """r15 (ADVICE): every CFB writer emits the SummaryInformation
     stream when ANY of title/author/created is set — author/created
