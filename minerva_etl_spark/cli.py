@@ -1890,6 +1890,10 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.office import office_extract
 
         out = office_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "odf-text":
+        from minerva_etl_spark.operators.odf import odf_extract
+
+        out = odf_extract(df, id_col="media_id", on_error=args.on_error)
     elif args.action == "office-decrypt":
         from minerva_etl_spark.operators.office import (
             office_decrypt_extract,
@@ -2661,7 +2665,7 @@ def main(argv: list[str] | None = None) -> None:
                  "tiff-features",
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "docx-text",
-                 "epub-text", "office-text", "office-decrypt",
+                 "epub-text", "office-text", "odf-text", "office-decrypt",
                  "office-meta",
                  "eml-text", "eml-attachments", "mbox-split",
                  "rtf-text", "xlsx-text", "pptx-text", "doc-text",

@@ -914,6 +914,77 @@ FROM built
 """
 
 
+def q_odf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument extraction (`operators/odf.py`, r15 — the
+    LibreOffice/OpenOffice slice the office matrix lacked): one
+    binary column cycles doc_id % 3 over a real .odt (text:p
+    paragraphs), a real .ods (table walk, float cells via lexical
+    office:value), and a real .odp (draw:page frames) — each a
+    conformant OCF zip with the STORED-first mimetype member and a
+    meta.xml title — routed through the mixed-format dispatcher.
+    The oracle rebuilds all three renderings closed-form, so a
+    sniff, namespace-walk, cell-type, or page-order bug
+    hash-mismatches."""
+    _prep(spark)
+    from minerva_etl_spark.operators.odf import (
+        synthesize_odp,
+        synthesize_ods,
+        synthesize_odt,
+    )
+    from minerva_etl_spark.operators.office import office_extract
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                head = f"Doc {d} report"
+                if d % 3 == 0:
+                    payload = synthesize_odt(
+                        [head, t], title=f"Doc {d}"
+                    )
+                elif d % 3 == 1:
+                    payload = synthesize_ods(
+                        [("Data", [[head], [t]])], title=f"Doc {d}"
+                    )
+                else:
+                    payload = synthesize_odp(
+                        [[head, t]], title=f"Doc {d}"
+                    )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "odf",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return office_extract(payloads)
+
+
+_ORACLE_ODF_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+), built AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'odt' WHEN 1 THEN 'ods'
+              ELSE 'odp' END AS format,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         CASE WHEN doc_id % 3 = 1 THEN 'Data' || chr(10) ELSE '' END
+           || 'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || chr(10) || text AS text
+  FROM san
+)
+SELECT doc_id, format, title, text,
+       CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
 def q_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SpreadsheetML extraction (`operators/xlsx.py::xlsx_extract`,
     r13 — the r12 verdict's ask 2): every doc becomes a real two-sheet

@@ -1,0 +1,449 @@
+"""OpenDocument text extraction — odt / ods / odp (round 15).
+
+LibreOffice/OpenOffice corpora are real: public-sector crawls and
+enterprise buckets carry OpenDocument next to OOXML, and an office
+matrix without it silently drops that slice.  ODF (OASIS
+OpenDocument v1.2, ISO/IEC 26300) is an OCF-style zip: a stored
+``mimetype`` member first, ``content.xml`` with the body,
+``meta.xml`` with provenance, ``META-INF/manifest.xml``.  One
+namespace-aware ``content.xml`` walk covers all three document
+classes:
+
+* **odt** (``office:text``): ``text:p`` / ``text:h`` paragraphs in
+  document order, joined by LF; ``text:tab``/``text:line-break``
+  render as TAB/LF and ``text:s`` expands its ``text:c`` space run
+  (the whitespace elements ODF uses instead of literal runs).
+* **ods** (``office:spreadsheet``): per ``table:table`` the name on
+  its own line, then rows with cells joined by TAB;
+  ``office:value-type="float"`` cells render their lexical
+  ``office:value`` (display text may be locale-formatted);
+  ``table:number-columns-repeated`` expands (bounded), trailing empty
+  cells trimmed — the `xlsx.py` rendering contract.
+* **odp** (``office:presentation``): per ``draw:page`` every
+  ``text:p`` inside its frames, pages separated like slides.
+
+``title`` comes from ``meta.xml`` (``dc:title``); `odf_metadata`
+additionally returns ``dc:creator`` and ``meta:creation-date`` for
+the provenance census (`office.office_metadata`).
+
+The writers synthesize conformant fixtures (mimetype STORED first,
+per the OCF rule readers sniff by), so the gate oracle can rebuild
+every rendering closed-form.
+
+Scale shape: one Arrow ``mapInPandas`` scan via the office
+dispatcher — per-payload zip inflate + one ElementTree walk, no
+shuffle, no Python in any other path.
+
+Reference parity: extension surface (the reference has no document
+codecs); the format is the public OASIS spec.
+"""
+
+from __future__ import annotations
+
+import io
+import zipfile
+import xml.etree.ElementTree as ET
+
+__all__ = [
+    "synthesize_odt",
+    "synthesize_ods",
+    "synthesize_odp",
+    "odf_extract_text",
+    "odf_extract",
+    "odf_metadata",
+    "sniff_odf",
+    "ODF_EXTRACT_SCHEMA",
+]
+
+_NS_OFFICE = "urn:oasis:names:tc:opendocument:xmlns:office:1.0"
+_NS_TEXT = "urn:oasis:names:tc:opendocument:xmlns:text:1.0"
+_NS_TABLE = "urn:oasis:names:tc:opendocument:xmlns:table:1.0"
+_NS_DRAW = "urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"
+_NS_META = "urn:oasis:names:tc:opendocument:xmlns:meta:1.0"
+_NS_DC = "http://purl.org/dc/elements/1.1/"
+_NS_MANIFEST = "urn:oasis:names:tc:opendocument:xmlns:manifest:1.0"
+
+_MIME = {
+    "odt": "application/vnd.oasis.opendocument.text",
+    "ods": "application/vnd.oasis.opendocument.spreadsheet",
+    "odp": "application/vnd.oasis.opendocument.presentation",
+}
+_BODY_TAG = {
+    "odt": f"{{{_NS_OFFICE}}}text",
+    "ods": f"{{{_NS_OFFICE}}}spreadsheet",
+    "odp": f"{{{_NS_OFFICE}}}presentation",
+}
+#: cap for table:number-columns-repeated expansion — ODF writers pad
+#: sheets to 2^14/2^20 columns with one repeated empty cell; a text
+#: render must not materialize that (bounded like every codec guard)
+_MAX_REPEAT = 4096
+_BODY_NAME = {"odt": "text", "ods": "spreadsheet",
+              "odp": "presentation"}
+
+
+def _meta_xml(
+    title: str | None, author: str | None, created: str | None
+) -> bytes:
+    parts = []
+    if title is not None:
+        parts.append(f"<dc:title>{_esc(title)}</dc:title>")
+    if author is not None:
+        parts.append(f"<dc:creator>{_esc(author)}</dc:creator>")
+    if created is not None:
+        parts.append(
+            "<meta:creation-date>"
+            + created.replace(" ", "T")
+            + "</meta:creation-date>"
+        )
+    return (
+        f'<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-meta xmlns:office="{_NS_OFFICE}" '
+        f'xmlns:meta="{_NS_META}" xmlns:dc="{_NS_DC}" '
+        f'office:version="1.2"><office:meta>'
+        + "".join(parts)
+        + "</office:meta></office:document-meta>"
+    ).encode()
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;")
+        .replace(">", "&gt;")
+    )
+
+
+def _package(kind: str, content: bytes, meta: bytes) -> bytes:
+    manifest = (
+        f'<?xml version="1.0" encoding="UTF-8"?>'
+        f'<manifest:manifest xmlns:manifest="{_NS_MANIFEST}" '
+        f'manifest:version="1.2">'
+        f'<manifest:file-entry manifest:full-path="/" '
+        f'manifest:media-type="{_MIME[kind]}"/>'
+        f'<manifest:file-entry manifest:full-path="content.xml" '
+        f'manifest:media-type="text/xml"/>'
+        f'<manifest:file-entry manifest:full-path="meta.xml" '
+        f'manifest:media-type="text/xml"/>'
+        f"</manifest:manifest>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        # OCF rule: mimetype FIRST and STORED so byte-level sniffers
+        # can read it without inflating
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"), _MIME[kind],
+            compress_type=zipfile.ZIP_STORED,
+        )
+        zf.writestr("content.xml", content)
+        zf.writestr("meta.xml", meta)
+        zf.writestr("META-INF/manifest.xml", manifest)
+    return buf.getvalue()
+
+
+def _content_head(kind: str) -> str:
+    return (
+        f'<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-content xmlns:office="{_NS_OFFICE}" '
+        f'xmlns:text="{_NS_TEXT}" xmlns:table="{_NS_TABLE}" '
+        f'xmlns:draw="{_NS_DRAW}" office:version="1.2">'
+        f"<office:body><office:{_BODY_NAME[kind]}>"
+    )
+
+
+def synthesize_odt(
+    paragraphs: list[str],
+    title: str | None = None,
+    author: str | None = None,
+    created: str | None = None,
+) -> bytes:
+    """Minimal conformant .odt; every 3rd paragraph exercises the
+    whitespace elements (tab + expanded space run)."""
+    body = []
+    for i, p in enumerate(paragraphs):
+        if i % 3 == 2 and "\t" not in p:
+            # route one TAB + a 2-space run through the markup forms
+            body.append(
+                "<text:p>" + _esc(p) + "<text:tab/>tail"
+                '<text:s text:c="2"/>end</text:p>'
+            )
+        else:
+            body.append("<text:p>" + _esc(p) + "</text:p>")
+    content = (
+        _content_head("odt") + "".join(body)
+        + "</office:text></office:body></office:document-content>"
+    ).encode()
+    return _package(
+        "odt", content, _meta_xml(title, author, created)
+    )
+
+
+def synthesize_ods(
+    sheets: list[tuple[str, list[list[str]]]],
+    title: str | None = None,
+    author: str | None = None,
+    created: str | None = None,
+) -> bytes:
+    """Minimal conformant .ods: integer-looking cells become real
+    ``office:value-type="float"`` cells (lexical office:value),
+    everything else string cells."""
+    body = []
+    for name, rows in sheets:
+        body.append(f'<table:table table:name="{_esc(name)}">')
+        for row in rows:
+            body.append("<table:table-row>")
+            for val in row:
+                try:
+                    iv = int(val)
+                    is_int = str(iv) == val
+                except ValueError:
+                    is_int = False
+                if is_int:
+                    body.append(
+                        f'<table:table-cell office:value-type="float"'
+                        f' office:value="{iv}"><text:p>{iv}</text:p>'
+                        f"</table:table-cell>"
+                    )
+                else:
+                    body.append(
+                        '<table:table-cell office:value-type='
+                        '"string"><text:p>' + _esc(val)
+                        + "</text:p></table:table-cell>"
+                    )
+            body.append("</table:table-row>")
+        body.append("</table:table>")
+    content = (
+        _content_head("ods") + "".join(body)
+        + "</office:spreadsheet></office:body>"
+        "</office:document-content>"
+    ).encode()
+    return _package(
+        "ods", content, _meta_xml(title, author, created)
+    )
+
+
+def synthesize_odp(
+    slides: list[list[str]],
+    title: str | None = None,
+    author: str | None = None,
+    created: str | None = None,
+) -> bytes:
+    """Minimal conformant .odp: one draw:page per slide, paragraphs
+    inside a draw:frame/draw:text-box."""
+    body = []
+    for k, paras in enumerate(slides):
+        body.append(f'<draw:page draw:name="page{k + 1}">')
+        body.append("<draw:frame><draw:text-box>")
+        for p in paras:
+            body.append("<text:p>" + _esc(p) + "</text:p>")
+        body.append("</draw:text-box></draw:frame></draw:page>")
+    content = (
+        _content_head("odp") + "".join(body)
+        + "</office:presentation></office:body>"
+        "</office:document-content>"
+    ).encode()
+    return _package(
+        "odp", content, _meta_xml(title, author, created)
+    )
+
+
+def sniff_odf(names: set, zf: zipfile.ZipFile) -> str | None:
+    """``'odt' | 'ods' | 'odp' | None`` for an already-opened zip:
+    the stored ``mimetype`` member when present (the OCF rule), else
+    the ``content.xml`` body element."""
+    if "mimetype" in names:
+        try:
+            mt = zf.read("mimetype").decode("ascii", "replace").strip()
+        except Exception:  # noqa: BLE001 — malformed member: fall through
+            mt = ""
+        for kind, mime in _MIME.items():
+            if mt == mime:
+                return kind
+    if "content.xml" in names:
+        try:
+            root = ET.fromstring(zf.read("content.xml"))
+        except ET.ParseError:
+            return None
+        body = root.find(f"{{{_NS_OFFICE}}}body")
+        if body is not None:
+            for kind, tag in _BODY_TAG.items():
+                if body.find(tag) is not None:
+                    return kind
+    return None
+
+
+def _para_text(p) -> str:
+    """One text:p / text:h rendered with the ODF whitespace
+    elements."""
+    out = []
+    if p.text:
+        out.append(p.text)
+    for el in p:
+        tag = el.tag.rsplit("}", 1)[-1]
+        if tag == "tab":
+            out.append("\t")
+        elif tag == "line-break":
+            out.append("\n")
+        elif tag == "s":
+            n = int(el.get(f"{{{_NS_TEXT}}}c", "1") or "1")
+            out.append(" " * min(n, _MAX_REPEAT))
+        else:  # spans etc: recurse
+            out.append(_para_text(el))
+        if el.tail:
+            out.append(el.tail)
+    return "".join(out)
+
+
+def odf_extract_text(payload: bytes) -> dict:
+    """One ODF payload → ``{title, text, n_chars}`` (the office
+    dispatch contract).  Raises ``ValueError`` for non-ODF zips and
+    malformed XML."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"not a zip payload: {e}") from e
+    names = set(zf.namelist())
+    kind = sniff_odf(names, zf)
+    if kind is None:
+        raise ValueError(
+            "zip without an OpenDocument mimetype/content.xml"
+        )
+    try:
+        root = ET.fromstring(zf.read("content.xml"))
+    except ET.ParseError as e:
+        raise ValueError(f"malformed content.xml: {e}") from e
+    body = root.find(f"{{{_NS_OFFICE}}}body")
+    host = body.find(_BODY_TAG[kind]) if body is not None else None
+    if host is None:
+        raise ValueError("content.xml without the expected body")
+    blocks: list[str] = []
+    if kind == "odt":
+        for p in host.iter():
+            if p.tag in (f"{{{_NS_TEXT}}}p", f"{{{_NS_TEXT}}}h"):
+                blocks.append(_para_text(p))
+    elif kind == "ods":
+        for table in host.findall(f"{{{_NS_TABLE}}}table"):
+            rows_out = []
+            for row in table.findall(f"{{{_NS_TABLE}}}table-row"):
+                cells = []
+                for cell in row.findall(
+                    f"{{{_NS_TABLE}}}table-cell"
+                ):
+                    rep = int(
+                        cell.get(
+                            f"{{{_NS_TABLE}}}number-columns-repeated",
+                            "1",
+                        )
+                        or "1"
+                    )
+                    vtype = cell.get(f"{{{_NS_OFFICE}}}value-type")
+                    if vtype in ("float", "currency", "percentage"):
+                        v = cell.get(f"{{{_NS_OFFICE}}}value", "")
+                    else:
+                        v = "\n".join(
+                            _para_text(p)
+                            for p in cell.findall(
+                                f"{{{_NS_TEXT}}}p"
+                            )
+                        )
+                    cells.extend([v] * min(rep, _MAX_REPEAT))
+                while cells and cells[-1] == "":
+                    cells.pop()  # trailing padded columns
+                rows_out.append("\t".join(cells))
+            while rows_out and rows_out[-1] == "":
+                rows_out.pop()
+            name = table.get(f"{{{_NS_TABLE}}}name", "")
+            blocks.append(
+                name + ("\n" + "\n".join(rows_out) if rows_out else "")
+            )
+    else:  # odp
+        for page in host.findall(f"{{{_NS_DRAW}}}page"):
+            paras = [
+                _para_text(p)
+                for p in page.iter()
+                if p.tag == f"{{{_NS_TEXT}}}p"
+            ]
+            blocks.append("\n".join(paras))
+    text = "\n".join(blocks)
+    title = odf_metadata(payload, zf=zf, names=names)["title"]
+    return {"title": title, "text": text, "n_chars": len(text)}
+
+
+ODF_EXTRACT_SCHEMA = (
+    "doc_id bigint, format string, title string, text string, "
+    "n_chars int"
+)
+
+
+def odf_extract(
+    docs,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    on_error: str = "fail",
+):
+    """OpenDocument binary column → ``(id, format, title, text,
+    n_chars)`` — the per-codec DataFrame operator every document
+    format here exposes (one Arrow scan; the mixed-format road is
+    `office.office_extract`)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_type = dict(docs.dtypes).get(id_col, "bigint")
+    schema = ODF_EXTRACT_SCHEMA.replace(
+        "doc_id bigint", f"{id_col} {id_type}", 1
+    )
+
+    def run(batches: "Iterator[pd.DataFrame]"):
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = bytes(payload)
+                try:
+                    zf = zipfile.ZipFile(io.BytesIO(payload))
+                    kind = sniff_odf(set(zf.namelist()), zf)
+                    if kind is None:
+                        raise ValueError("not an OpenDocument zip")
+                    rec = odf_extract_text(payload)
+                except (ValueError, zipfile.BadZipFile):
+                    if on_error == "skip":
+                        continue
+                    raise
+                rows.append(
+                    (did, kind, rec["title"], rec["text"],
+                     rec["n_chars"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "format", "title", "text",
+                         "n_chars"],
+            )
+
+    return docs.select(id_col, payload_col).mapInPandas(run, schema)
+
+
+def odf_metadata(
+    payload: bytes,
+    zf: zipfile.ZipFile | None = None,
+    names: set | None = None,
+) -> dict:
+    """``{title, author, created}`` from meta.xml (NULLs when the
+    member or element is absent — the provenance-census contract)."""
+    if zf is None:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+        names = set(zf.namelist())
+    out = {"title": None, "author": None, "created": None}
+    if "meta.xml" not in names:
+        return out
+    try:
+        root = ET.fromstring(zf.read("meta.xml"))
+    except ET.ParseError:
+        return out
+    for el in root.iter():
+        if el.tag == f"{{{_NS_DC}}}title":
+            out["title"] = el.text
+        elif el.tag == f"{{{_NS_DC}}}creator":
+            out["author"] = el.text
+        elif el.tag == f"{{{_NS_META}}}creation-date" and el.text:
+            out["created"] = (
+                el.text.replace("T", " ").rstrip("Z")[:19]
+            )
+    return out

@@ -57,11 +57,14 @@ __all__ = [
 
 
 def sniff_document_format(payload: bytes) -> str:
-    """``'pdf' | 'docx' | 'xlsx' | 'pptx' | 'epub' | 'rtf' | 'doc' |
-    'xls' | 'ppt' | 'msg' | 'ooxml_encrypted' | 'ole2' | 'unknown'``
-    from magic bytes (see module doc).  CFB sniffing looks at
-    TOP-LEVEL directory entries only, so nested attachment storages
-    never masquerade as the container's own format."""
+    """``'pdf' | 'docx' | 'xlsx' | 'pptx' | 'epub' | 'odt' | 'ods' |
+    'odp' | 'rtf' | 'doc' | 'xls' | 'ppt' | 'msg' |
+    'ooxml_encrypted' | 'ole2' | 'unknown'`` from magic bytes (see
+    module doc).  CFB sniffing looks at TOP-LEVEL directory entries
+    only, so nested attachment storages never masquerade as the
+    container's own format; OpenDocument sniffs by the stored
+    ``mimetype`` member (the OCF rule) with a content.xml body-element
+    fallback."""
     if payload[:5] == b"%PDF-":
         return "pdf"
     if payload[:5] == b"{\\rtf":
@@ -106,6 +109,11 @@ def sniff_document_format(payload: bytes) -> str:
             return "pptx"
         if "META-INF/container.xml" in names:
             return "epub"
+        from minerva_etl_spark.operators.odf import sniff_odf
+
+        odf_kind = sniff_odf(names, zf)
+        if odf_kind is not None:
+            return odf_kind
         try:
             if zf.read("mimetype") == b"application/epub+zip":
                 return "epub"
@@ -128,6 +136,7 @@ def _text_parsers() -> dict:
     from minerva_etl_spark.operators.epub import epub_extract_text
     from minerva_etl_spark.operators.msdoc import doc_extract_text
     from minerva_etl_spark.operators.msg import msg_extract_text
+    from minerva_etl_spark.operators.odf import odf_extract_text
     from minerva_etl_spark.operators.pdf import pdf_extract_text
     from minerva_etl_spark.operators.ppt import ppt_extract_text
     from minerva_etl_spark.operators.pptx import pptx_extract_text
@@ -148,6 +157,10 @@ def _text_parsers() -> dict:
         "doc": doc_extract_text,
         "xls": xls_extract_text,
         "ppt": ppt_extract_text,
+        # one namespace walk covers all three OpenDocument classes
+        "odt": odf_extract_text,
+        "ods": odf_extract_text,
+        "odp": odf_extract_text,
         # .msg maps onto the unified document schema as
         # title=subject, text=body
         "msg": lambda b: (
@@ -468,6 +481,12 @@ def office_metadata(
                         meta = {"title": r["subject"] or None,
                                 "author": r["sender"] or None,
                                 "created": None}
+                    elif fmt in ("odt", "ods", "odp"):
+                        from minerva_etl_spark.operators.odf import (
+                            odf_metadata,
+                        )
+
+                        meta = odf_metadata(payload)
                     elif payload[:4] == b"PK\x03\x04":
                         meta = _zip_core_metadata(payload)
                     else:  # any CFB format: OLEPS when present

@@ -1,0 +1,143 @@
+"""OpenDocument codec (`operators/odf.py`): odt/ods/odp renderings,
+whitespace elements, float cells, repeated columns, sniffing through
+the office dispatcher, metadata, and honest rejects."""
+
+import io
+import zipfile
+
+import pytest
+
+from minerva_etl_spark.operators.odf import (
+    odf_extract_text,
+    odf_metadata,
+    synthesize_odp,
+    synthesize_ods,
+    synthesize_odt,
+)
+from minerva_etl_spark.operators.office import sniff_document_format
+
+
+def test_odt_paragraphs_and_whitespace_elements():
+    t = synthesize_odt(
+        ["alpha", "beta", "gamma"], title="T", author="A",
+        created="2026-02-03 04:05:06",
+    )
+    r = odf_extract_text(t)
+    # paragraph 3 routes a text:tab + a text:s c="2" run
+    assert r["text"] == "alpha\nbeta\ngamma\ttail  end"
+    assert r["title"] == "T"
+    assert odf_metadata(t) == {
+        "title": "T", "author": "A",
+        "created": "2026-02-03 04:05:06",
+    }
+
+
+def test_ods_cells_and_float_values():
+    s = synthesize_ods(
+        [("Data", [["alpha", "42"], ["beta"]]), ("Notes", [["x"]])],
+    )
+    r = odf_extract_text(s)
+    assert r["text"] == "Data\nalpha\t42\nbeta\nNotes\nx"
+    assert r["title"] is None  # no meta.xml title
+
+
+def test_ods_repeated_columns_bounded():
+    """table:number-columns-repeated expands (bounded) and trailing
+    padded empties trim — the render a 2^14-column padded sheet
+    needs."""
+    raw = synthesize_ods([("S", [["a"]])])
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    content = zf.read("content.xml").decode()
+    content = content.replace(
+        "</table:table-row>",
+        '<table:table-cell table:number-columns-repeated="3" '
+        'office:value-type="string"><text:p>r</text:p>'
+        "</table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="16384"/>'
+        "</table:table-row>",
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in zf.namelist():
+            out.writestr(
+                n, content.encode() if n == "content.xml"
+                else zf.read(n)
+            )
+    r = odf_extract_text(buf.getvalue())
+    assert r["text"] == "S\na\tr\tr\tr"
+
+
+def test_odp_pages():
+    p = synthesize_odp([["head", "body"], ["closing"]], title="P")
+    r = odf_extract_text(p)
+    assert r["text"] == "head\nbody\nclosing"
+    assert r["title"] == "P"
+
+
+def test_sniff_and_dispatch(spark):
+    from minerva_etl_spark.operators.office import (
+        office_extract,
+        office_metadata,
+    )
+
+    rows = [
+        (1, synthesize_odt(["doc text"], title="OT", author="OA")),
+        (2, synthesize_ods([("S", [["v", "7"]])], title="OS")),
+        (3, synthesize_odp([["slide"]], title="OP")),
+    ]
+    for _, payload in rows:
+        pass
+    assert sniff_document_format(rows[0][1]) == "odt"
+    assert sniff_document_format(rows[1][1]) == "ods"
+    assert sniff_document_format(rows[2][1]) == "odp"
+    got = {
+        r.doc_id: r
+        for r in office_extract(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        ).collect()
+    }
+    assert (got[1].format, got[1].title, got[1].text) == (
+        "odt", "OT", "doc text")
+    assert (got[2].format, got[2].text) == ("ods", "S\nv\t7")
+    assert (got[3].format, got[3].text) == ("odp", "slide")
+    meta = {
+        r.doc_id: r
+        for r in office_metadata(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        ).collect()
+    }
+    assert (meta[1].format, meta[1].title, meta[1].author) == (
+        "odt", "OT", "OA")
+
+
+def test_sniff_without_mimetype_member_falls_back_to_body():
+    raw = synthesize_odt(["x"])
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in zf.namelist():
+            if n != "mimetype":
+                out.writestr(n, zf.read(n))
+    assert sniff_document_format(buf.getvalue()) == "odt"
+    assert odf_extract_text(buf.getvalue())["text"] == "x"
+
+
+def test_rejects_are_honest():
+    with pytest.raises(ValueError, match="zip"):
+        odf_extract_text(b"not a zip at all")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        out.writestr("random.txt", "hi")
+    with pytest.raises(ValueError, match="OpenDocument"):
+        odf_extract_text(buf.getvalue())
+    # malformed content.xml
+    raw = synthesize_odt(["x"])
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as out:
+        for n in zf.namelist():
+            out.writestr(
+                n, b"<broken" if n == "content.xml" else zf.read(n)
+            )
+    with pytest.raises(ValueError):
+        odf_extract_text(buf2.getvalue())
