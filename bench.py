@@ -241,6 +241,7 @@ HEADLINE = [
     # round-12: mixed-format dispatch over all three document codecs
     "office_extract",
     "odf_extract",
+    "xlsb_extract",
     # r15: default-password decryption — Standard/Agile AES +
     # BIFF8 RC4 verify+decrypt per payload (fixtures staged
     # outside the clock like every media row)
@@ -405,7 +406,7 @@ def main() -> None:
                  "video_features_mjpeg", "tiff_features",
                  "tiff_jpeg_features", "office_metadata",
                  "office_decrypt_default", "xls_decrypt_velvet",
-                 "odf_extract",
+                 "odf_extract", "xlsb_extract",
                  "mail_attachment_extract"):
         qs[_row](spark, sf_dir)
 

@@ -1890,6 +1890,10 @@ def cmd_media(args) -> None:
         from minerva_etl_spark.operators.office import office_extract
 
         out = office_extract(df, id_col="media_id", on_error=args.on_error)
+    elif args.action == "xlsb-text":
+        from minerva_etl_spark.operators.xlsb import xlsb_extract
+
+        out = xlsb_extract(df, id_col="media_id", on_error=args.on_error)
     elif args.action == "odf-text":
         from minerva_etl_spark.operators.odf import odf_extract
 
@@ -2665,7 +2669,8 @@ def main(argv: list[str] | None = None) -> None:
                  "tiff-features",
                  "png-resize", "image-resize", "frames", "avi-features",
                  "avi-frames", "features", "pdf-text", "docx-text",
-                 "epub-text", "office-text", "odf-text", "office-decrypt",
+                 "epub-text", "office-text", "odf-text", "xlsb-text",
+                 "office-decrypt",
                  "office-meta",
                  "eml-text", "eml-attachments", "mbox-split",
                  "rtf-text", "xlsx-text", "pptx-text", "doc-text",

@@ -380,6 +380,7 @@ from minerva_etl_spark.gate_office import (  # noqa: F401
     _ORACLE_MBOX_EXTRACT,
     _ORACLE_MSG_EXTRACT,
     _ORACLE_ODF_EXTRACT,
+    _ORACLE_XLSB_EXTRACT,
     _ORACLE_OFFICE_DECRYPT,
     _ORACLE_OFFICE_EXTRACT,
     _ORACLE_PPTX_EXTRACT,
@@ -399,6 +400,7 @@ from minerva_etl_spark.gate_office import (  # noqa: F401
     q_mbox_extract,
     q_msg_extract,
     q_odf_extract,
+    q_xlsb_extract,
     q_office_decrypt_default,
     q_office_extract,
     q_pdf_extract,
@@ -499,7 +501,6 @@ _REGISTRY_ORDER = [
     "pipeline_curate_bp",
     # -- corpus sketches --------------------------------------------------
     "sketch_kmv",
-    "sketch_hll",
     # -- media codecs + dedup ---------------------------------------------
     "image_features_mixed",
     "video_features_mjpeg",
@@ -529,6 +530,10 @@ _REGISTRY_ORDER = [
     "pptx_extract",
     "doc_extract",
     "xls_extract",
+    # r15-born (straight in): the Excel BINARY workbook —
+    # BIFF12 record streams, both string mechanisms, the
+    # reversed-rId bundle-order proof
+    "xlsb_extract",
     "ppt_extract",
     "format_census",
     # r15 rotate-in (r14-born): the five-container provenance census
@@ -608,11 +613,12 @@ _REGISTRY_ORDER = [
     "mbox_extract",
     "office_extract",
     "pipeline_office",
-    #   sketch_cm (2) — sketch_kmv + sketch_hll (in): the same
-    #     mergeable-integer-sketch machinery (counter-array agg +
-    #     exact replayed oracle); count-min point-query/merge
-    #     semantics stay pytest-pinned (test_sketch).
+    #   sketch_cm (2) / sketch_hll (2) — sketch_kmv (in): the same
+    #     mergeable-integer-sketch machinery (one map-side-combinable
+    #     agg + exact replayed oracle); count-min point-query/merge
+    #     and HLL register semantics stay pytest-pinned (test_sketch).
     "sketch_cm",
+    "sketch_hll",
     # r14 rotated-OUT rows (21, every one >=2-round driver-green, most
     # 3-4; named in-window voucher for each; tools/check_oracle.py
     # still verifies all of them every session):
@@ -905,6 +911,7 @@ def build_queries() -> dict:
         "office_extract": q_office_extract,
         "office_decrypt_default": q_office_decrypt_default,
         "odf_extract": q_odf_extract,
+        "xlsb_extract": q_xlsb_extract,
         "xls_decrypt_velvet": q_xls_decrypt_velvet,
         "xlsx_extract": q_xlsx_extract,
         "pptx_extract": q_pptx_extract,
@@ -1107,6 +1114,7 @@ def build_oracles() -> dict[str, str]:
         "office_extract": _ORACLE_OFFICE_EXTRACT,
         "office_decrypt_default": _ORACLE_OFFICE_DECRYPT,
         "odf_extract": _ORACLE_ODF_EXTRACT,
+        "xlsb_extract": _ORACLE_XLSB_EXTRACT,
         "xls_decrypt_velvet": _ORACLE_XLS_VELVET,
         "xlsx_extract": _ORACLE_XLSX_EXTRACT,
         "pptx_extract": _ORACLE_PPTX_EXTRACT,

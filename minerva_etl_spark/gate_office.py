@@ -914,6 +914,77 @@ FROM built
 """
 
 
+def q_xlsb_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excel BINARY workbook extraction (`operators/xlsb.py`, r15 —
+    the big-workbook format the matrix lacked): every doc becomes a
+    real two-sheet .xlsb whose BIFF12 record streams exercise shared
+    (BrtCellIsst) AND inline (BrtCellSt) strings, RK and Real
+    numeric cells, BrtCellBool — with the workbook bundle wired in
+    REVERSE rId order so extraction order provably follows the
+    BrtBundleSh list, and a docProps/core.xml title.  The oracle
+    rebuilds the sheet/TAB/LF rendering closed-form (the `xls.py`
+    contract: one SQL covers both Excel generations)."""
+    _prep(spark)
+    from minerva_etl_spark.operators.xlsb import (
+        synthesize_xlsb,
+        xlsb_extract,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                t = _ascii_sanitize(str(t))
+                payload = synthesize_xlsb(
+                    [
+                        ("Data", [[f"Doc {d} report", str(d * 7),
+                                   "TRUE"],
+                                  [t, str(-(d % 13))]]),
+                        ("Notes", [[f"note block {d % 5}"]]),
+                    ],
+                    title=f"Doc {d}",
+                )
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    payloads = _media_fixture_staged(
+        spark, sf_dir, "xlsb",
+        lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
+    )
+    return xlsb_extract(payloads)
+
+
+#: identical rendering contract to BIFF8 — the same closed form
+#: covers both Excel generations (a shared bug would have to corrupt
+#: two unrelated record framings identically to stay green)
+_ORACLE_XLSB_EXTRACT = f"""
+WITH san AS (
+  SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
+), built AS (
+  SELECT doc_id,
+         'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+         'Data' || chr(10)
+           || 'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
+           || chr(9) || CAST(doc_id * 7 AS VARCHAR)
+           || chr(9) || 'TRUE' || chr(10)
+           || text || chr(9) || CAST(-(doc_id % 13) AS VARCHAR)
+           || chr(10)
+           || 'Notes' || chr(10) || 'note block '
+           || CAST(doc_id % 5 AS VARCHAR) AS text
+  FROM san
+)
+SELECT doc_id, title, CAST(2 AS INT) AS n_sheets,
+       CAST(3 AS INT) AS n_rows, CAST(6 AS INT) AS n_cells,
+       text, CAST(length(text) AS INT) AS n_chars
+FROM built
+"""
+
+
 def q_odf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OpenDocument extraction (`operators/odf.py`, r15 — the
     LibreOffice/OpenOffice slice the office matrix lacked): one

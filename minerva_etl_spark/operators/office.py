@@ -57,8 +57,8 @@ __all__ = [
 
 
 def sniff_document_format(payload: bytes) -> str:
-    """``'pdf' | 'docx' | 'xlsx' | 'pptx' | 'epub' | 'odt' | 'ods' |
-    'odp' | 'rtf' | 'doc' | 'xls' | 'ppt' | 'msg' |
+    """``'pdf' | 'docx' | 'xlsx' | 'xlsb' | 'pptx' | 'epub' | 'odt' |
+    'ods' | 'odp' | 'rtf' | 'doc' | 'xls' | 'ppt' | 'msg' |
     'ooxml_encrypted' | 'ole2' | 'unknown'`` from magic bytes (see
     module doc).  CFB sniffing looks at TOP-LEVEL directory entries
     only, so nested attachment storages never masquerade as the
@@ -105,6 +105,8 @@ def sniff_document_format(payload: bytes) -> str:
             return "docx"
         if "xl/workbook.xml" in names:
             return "xlsx"
+        if "xl/workbook.bin" in names:
+            return "xlsb"
         if "ppt/presentation.xml" in names:
             return "pptx"
         if "META-INF/container.xml" in names:
@@ -142,6 +144,7 @@ def _text_parsers() -> dict:
     from minerva_etl_spark.operators.pptx import pptx_extract_text
     from minerva_etl_spark.operators.rtf import rtf_extract_text
     from minerva_etl_spark.operators.xls import xls_extract_text
+    from minerva_etl_spark.operators.xlsb import xlsb_extract_text
     from minerva_etl_spark.operators.xlsx import xlsx_extract_text
 
     return {
@@ -149,6 +152,7 @@ def _text_parsers() -> dict:
         "docx": docx_extract_text,
         "epub": epub_extract_text,
         "xlsx": xlsx_extract_text,
+        "xlsb": xlsb_extract_text,
         "pptx": pptx_extract_text,
         # RTF carries no title metadata -> NULL in the unified
         # schema; .doc titles come from the SummaryInformation
