@@ -287,6 +287,27 @@ def test_office_decrypt_extract_mixed_matrix(spark):
     assert census[("docx", "ecma376_standard")] == 1
 
 
+def test_encrypted_xlsb_decrypts_and_routes(spark):
+    """Cross-feature: an ECMA-376-encrypted XLSB decrypts and routes
+    into the r15 BIFF12 codec (the dispatcher re-sniffs the inner
+    zip, whatever OOXML flavor it is)."""
+    from minerva_etl_spark.operators.office import (
+        office_decrypt_extract,
+    )
+    from minerva_etl_spark.operators.xlsb import synthesize_xlsb
+
+    enc = encrypt_ooxml(
+        synthesize_xlsb([("S", [["sealed", "5"]])], title="B")
+    )
+    got = office_decrypt_extract(
+        spark.createDataFrame(
+            [(1, enc)], "doc_id bigint, payload binary"
+        )
+    ).collect()[0]
+    assert (got.format, got.encryption, got.title, got.text) == (
+        "xlsb", "ecma376_standard", "B", "S\nsealed\t5")
+
+
 def test_malformed_encryption_structures_are_policy_rows(spark):
     """Dirty-corpus rule: truncated/garbage EncryptionInfo must
     follow the codec error policy (locked row / skip), never crash
