@@ -1,12 +1,15 @@
 #!/usr/bin/env bash
-# The rounds-12/13 document-ingest arc from the CLI: synthesize a
-# mixed PDF / DOCX / EPUB / RTF / XLSX / PPTX / legacy-.doc/.xls/
-# .ppt corpus plus an mbox mailbox AND Outlook .msg exports with the
-# engine's own writers, then extract everything back — a sniff-only
-# format census, the magic-byte office dispatcher, per-format verbs,
-# and both mail paths — and finish with C4 cleaning, corpus-scale
-# substring dedup, and a unigram-LM tokenizer (byte-fallback stream)
-# trained on the extracted text.
+# The rounds-12/15 document-ingest arc from the CLI: synthesize a
+# mixed PDF / DOCX / EPUB / RTF / XLSX / XLSB / PPTX / ODT / ODS /
+# ODP / legacy-.doc/.xls/.ppt corpus — including DEFAULT-PASSWORD
+# ENCRYPTED members (ECMA-376 Standard + Agile, Office-97 RC4) —
+# plus an mbox mailbox AND Outlook .msg exports with the engine's
+# own writers, then extract everything back: a sniff-only format
+# census, the decryption-aware office dispatcher (locked files
+# become census rows, never errors), per-format verbs, and both
+# mail paths — and finish with C4 cleaning, corpus-scale substring
+# dedup, and a unigram-LM tokenizer (byte-fallback stream) trained
+# on the extracted text.
 #
 # Input: any parquet of documents (doc_id, text, ...).
 set -euo pipefail
@@ -31,6 +34,13 @@ from minerva_etl_spark.operators.email_ingest import (
 from minerva_etl_spark.operators.epub import synthesize_epub
 from minerva_etl_spark.operators.msdoc import synthesize_doc
 from minerva_etl_spark.operators.msg import synthesize_msg
+from minerva_etl_spark.operators.odf import (
+    synthesize_odp, synthesize_ods, synthesize_odt,
+)
+from minerva_etl_spark.operators.offcrypto import (
+    encrypt_ooxml, encrypt_ooxml_agile, encrypt_xls_rc4,
+)
+from minerva_etl_spark.operators.xlsb import synthesize_xlsb
 from minerva_etl_spark.operators.pdf import synthesize_pdf
 from minerva_etl_spark.operators.ppt import synthesize_ppt
 from minerva_etl_spark.operators.pptx import synthesize_pptx
@@ -58,7 +68,24 @@ def payload(d, t):
         lambda: synthesize_xls([("Data", [[title], [t]])],
                                title=title),
         lambda: synthesize_ppt([[title, t]], title=title),
-    ][d % 9]()
+        lambda: synthesize_odt([title, t], title=title),
+        lambda: synthesize_ods([("Data", [[title], [t]])],
+                               title=title),
+        lambda: synthesize_odp([[title, t]], title=title),
+        lambda: synthesize_xlsb([("Data", [[title], [t]])],
+                                title=title),
+        # default-password encrypted members (decryptable with zero
+        # secrets — the VelvetSweatshop convention)
+        lambda: encrypt_ooxml(
+            synthesize_docx([title, t], title=title)),
+        lambda: encrypt_ooxml_agile(
+            synthesize_docx([title, t], title=title)),
+        lambda: encrypt_xls_rc4(
+            synthesize_xls([("Data", [[title], [t]])], title=title)),
+        # a REALLY locked file: stays a census row with NULL text
+        lambda: encrypt_ooxml(
+            synthesize_docx([title, t]), password="actual-secret"),
+    ][d % 17]()
 
 
 mixed = [(r.doc_id, payload(r.doc_id, r.text)) for r in rows]
@@ -85,10 +112,12 @@ spark.createDataFrame(mail, "media_id bigint, payload binary") \
     .write.mode("overwrite").parquet(out + "/mail_mixed")
 EOF
 
-# 1. Budget first (sniff-only census), then one verb for the whole
-#    mixed column: magic-byte dispatch across NINE formats
-minerva-spark media office-text \
-  --input "$OUT/mixed" --output "$OUT/extracted"
+# 1. Budget first (sniff-only census), then ONE decryption-aware
+#    verb for the whole mixed column: magic-byte dispatch across
+#    THIRTEEN formats + the encryption census (none / standard /
+#    agile / xls_rc4 / locked)
+minerva-spark media office-decrypt \
+  --input "$OUT/mixed" --output "$OUT/extracted" --on-error skip
 
 # 2. The mail path: split the mailbox, then parse each message
 minerva-spark media mbox-split \
@@ -119,6 +148,7 @@ from minerva_etl_spark.session import get_spark
 out = sys.argv[1]
 spark = get_spark(shuffle_partitions=8)
 spark.read.parquet(out + "/extracted") \
+    .filter("text IS NOT NULL") \
     .selectExpr("media_id AS doc_id", "text") \
     .write.mode("overwrite").parquet(out + "/texts")
 EOF
