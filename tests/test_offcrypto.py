@@ -343,6 +343,54 @@ def test_malformed_encryption_structures_are_policy_rows(spark):
         (1, "locked"), (2, "locked")}
 
 
+def test_encrypted_attachment_through_mail_arc(spark):
+    """Realistic enterprise composition: an ENCRYPTED office
+    attachment rides an e-mail — `eml_attachments` explodes it and
+    `office_decrypt_extract` opens the default-password member while
+    census-tagging a truly locked sibling."""
+    from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.email_ingest import (
+        eml_attachments,
+        synthesize_eml,
+    )
+    from minerva_etl_spark.operators.office import (
+        office_decrypt_extract,
+    )
+
+    eml = synthesize_eml(
+        subject="q3 numbers",
+        sender="cfo@corp.test",
+        text_body="see attached",
+        attachments=[
+            ("open.docx",
+             "application/vnd.openxmlformats-officedocument"
+             ".wordprocessingml.document",
+             encrypt_ooxml(synthesize_docx(["default-sealed body"]))),
+            ("locked.docx",
+             "application/vnd.openxmlformats-officedocument"
+             ".wordprocessingml.document",
+             encrypt_ooxml(synthesize_docx(["top secret"]),
+                           password="Tr3b0r!")),
+        ],
+    )
+    atts = eml_attachments(
+        spark.createDataFrame(
+            [(1, eml)], "doc_id bigint, payload binary"
+        )
+    )
+    got = {
+        r.doc_id: r
+        for r in office_decrypt_extract(
+            atts.selectExpr("filename AS doc_id", "payload"),
+            id_col="doc_id",
+        ).collect()
+    }
+    assert (got["open.docx"].encryption, got["open.docx"].text) == (
+        "ecma376_standard", "default-sealed body")
+    assert (got["locked.docx"].encryption,
+            got["locked.docx"].text) == ("locked", None)
+
+
 def test_xor_obfuscation_detected_not_decrypted():
     """A FilePass with wEncryptionType=0 (XOR Method 1) is a named
     locked reject — never a garbage decode."""

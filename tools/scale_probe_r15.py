@@ -254,6 +254,72 @@ def probe(spark, data_dir: str, mult: int) -> dict:
     dec = office_decrypt_extract(encs)
     timed("office_decrypt", dec.count, shuffle_df=dec)
 
+    # --- r15 second wave: agile decrypt + the ODF / XLSB codecs ------
+    def agile_synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.docx import synthesize_docx
+        from minerva_etl_spark.operators.offcrypto import (
+            encrypt_ooxml_agile,
+        )
+
+        for pdf in batches:
+            rows = [
+                (int(d), encrypt_ooxml_agile(
+                    synthesize_docx([f"agile doc {int(d)}"]),
+                    seed=b"probe-r15-agile",
+                ))
+                for d in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    agile = office_decrypt_extract(
+        docs.mapInPandas(agile_synth, "doc_id bigint, payload binary")
+    )
+    timed("office_decrypt_agile", agile.count, shuffle_df=agile)
+
+    def odfxlsb_synth(batches):
+        import pandas as pd
+
+        from minerva_etl_spark.operators.odf import (
+            synthesize_odp,
+            synthesize_ods,
+            synthesize_odt,
+        )
+        from minerva_etl_spark.operators.xlsb import synthesize_xlsb
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if d % 4 == 0:
+                    p = synthesize_odt([f"p{i} doc {d}"
+                                        for i in range(6)])
+                elif d % 4 == 1:
+                    p = synthesize_ods(
+                        [("S", [[f"r{i}", str(d * i + 1)]
+                                for i in range(6)])]
+                    )
+                elif d % 4 == 2:
+                    p = synthesize_odp([[f"s{i} doc {d}"]
+                                        for i in range(3)])
+                else:
+                    p = synthesize_xlsb(
+                        [("S", [[f"r{i}", str(d * i + 1)]
+                                for i in range(6)])]
+                    )
+                rows.append((d, p))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from minerva_etl_spark.operators.office import office_extract as _oe
+
+    mixed = _oe(
+        docs.mapInPandas(
+            odfxlsb_synth, "doc_id bigint, payload binary"
+        )
+    )
+    timed("odf_xlsb_extract", mixed.count, shuffle_df=mixed)
+
     shutil.rmtree(work, ignore_errors=True)
     return results
 
