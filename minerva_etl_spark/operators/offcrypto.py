@@ -181,8 +181,13 @@ _INV_SHIFT = np.array(
 )
 
 
+@functools.lru_cache(maxsize=256)
 def _expand_key(key: bytes) -> np.ndarray:
-    """Round keys as ``(Nr+1, 16)`` uint8 (FIPS-197 §5.2)."""
+    """Round keys as ``(Nr+1, 16)`` uint8 (FIPS-197 §5.2).  Memoized:
+    the chained CBC ENCRYPT path (fixture writers) calls the block
+    cipher once per 16-byte block, and re-deriving the schedule each
+    call dominated a ×16 probe — the schedule depends only on the
+    key."""
     nk = len(key) // 4
     if nk not in (4, 6, 8) or len(key) % 4:
         raise ValueError(f"AES key must be 16/24/32 bytes, got {len(key)}")

@@ -256,6 +256,9 @@ def probe(spark, data_dir: str, mult: int) -> dict:
 
     # --- r15 second wave: agile decrypt + the ODF / XLSB codecs ------
     def agile_synth(batches):
+        # the probe measures the DECRYPT side; chained CBC *encrypt*
+        # is the deliberately slow fixture-writer path, so one
+        # payload is encrypted once and fanned out
         import pandas as pd
 
         from minerva_etl_spark.operators.docx import synthesize_docx
@@ -263,15 +266,15 @@ def probe(spark, data_dir: str, mult: int) -> dict:
             encrypt_ooxml_agile,
         )
 
+        blob = encrypt_ooxml_agile(
+            synthesize_docx(["agile probe doc"]),
+            seed=b"probe-r15-agile",
+        )
         for pdf in batches:
-            rows = [
-                (int(d), encrypt_ooxml_agile(
-                    synthesize_docx([f"agile doc {int(d)}"]),
-                    seed=b"probe-r15-agile",
-                ))
-                for d in pdf["doc_id"]
-            ]
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+            yield pd.DataFrame(
+                {"doc_id": [int(d) for d in pdf["doc_id"]],
+                 "payload": [blob] * len(pdf)}
+            )
 
     agile = office_decrypt_extract(
         docs.mapInPandas(agile_synth, "doc_id bigint, payload binary")
