@@ -51,6 +51,7 @@ __all__ = [
     "odf_extract_text",
     "odf_extract",
     "odf_metadata",
+    "odf_is_encrypted",
     "sniff_odf",
     "ODF_EXTRACT_SCHEMA",
 ]
@@ -270,6 +271,25 @@ def sniff_odf(names: set, zf: zipfile.ZipFile) -> str | None:
     return None
 
 
+def odf_is_encrypted(payload: bytes) -> bool:
+    """True when the OCF manifest declares ``manifest:encryption-data``
+    for any entry — LibreOffice password protection (PBKDF2 +
+    Blowfish/AES per member).  Those files carry a REAL user password
+    (no default-password convention exists for ODF), so the honest
+    move is a ``locked`` census tag, never a garbage inflate."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+        if "META-INF/manifest.xml" not in zf.namelist():
+            return False
+        root = ET.fromstring(zf.read("META-INF/manifest.xml"))
+    except (zipfile.BadZipFile, ET.ParseError, KeyError):
+        return False
+    return any(
+        el.tag == f"{{{_NS_MANIFEST}}}encryption-data"
+        for el in root.iter()
+    )
+
+
 def _para_text(p) -> str:
     """One text:p / text:h rendered with the ODF whitespace
     elements."""
@@ -305,6 +325,11 @@ def odf_extract_text(payload: bytes) -> dict:
     if kind is None:
         raise ValueError(
             "zip without an OpenDocument mimetype/content.xml"
+        )
+    if odf_is_encrypted(payload):
+        raise ValueError(
+            "password-protected OpenDocument (manifest "
+            "encryption-data — real user password, tagged locked)"
         )
     try:
         root = ET.fromstring(zf.read("content.xml"))

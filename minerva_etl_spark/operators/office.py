@@ -324,6 +324,20 @@ def office_decrypt_extract(
                                  None)
                             )
                             continue
+                    elif fmt in ("odt", "ods", "odp"):
+                        from minerva_etl_spark.operators.odf import (
+                            odf_is_encrypted,
+                        )
+
+                        if odf_is_encrypted(payload):
+                            # LibreOffice password protection has no
+                            # default-password convention — honest
+                            # locked census row
+                            rows.append(
+                                (did, fmt, "locked", None, None,
+                                 None)
+                            )
+                            continue
                     elif (
                         fmt == "doc"
                         and doc_encryption_type(payload) is not None

@@ -122,6 +122,46 @@ def test_sniff_without_mimetype_member_falls_back_to_body():
     assert odf_extract_text(buf.getvalue())["text"] == "x"
 
 
+def test_libreoffice_encryption_is_a_locked_tag(spark):
+    """A manifest declaring encryption-data (LibreOffice password
+    protection — a REAL password, no default convention) must be a
+    named reject / locked census row, never a garbage inflate."""
+    from minerva_etl_spark.operators.odf import odf_is_encrypted
+    from minerva_etl_spark.operators.office import (
+        office_decrypt_extract,
+    )
+
+    raw = synthesize_odt(["x"], title="T")
+    zf = zipfile.ZipFile(io.BytesIO(raw))
+    manifest = zf.read("META-INF/manifest.xml").decode()
+    manifest = manifest.replace(
+        'manifest:media-type="text/xml"/>',
+        'manifest:media-type="text/xml">'
+        '<manifest:encryption-data><manifest:algorithm/>'
+        "</manifest:encryption-data></manifest:file-entry>",
+        1,
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for n in zf.namelist():
+            out.writestr(
+                n,
+                manifest.encode() if n == "META-INF/manifest.xml"
+                else zf.read(n),
+            )
+    enc = buf.getvalue()
+    assert odf_is_encrypted(enc) and not odf_is_encrypted(raw)
+    with pytest.raises(ValueError, match="password-protected"):
+        odf_extract_text(enc)
+    got = office_decrypt_extract(
+        spark.createDataFrame(
+            [(1, enc)], "doc_id bigint, payload binary"
+        )
+    ).collect()[0]
+    assert (got.format, got.encryption, got.text) == (
+        "odt", "locked", None)
+
+
 def test_rejects_are_honest():
     with pytest.raises(ValueError, match="zip"):
         odf_extract_text(b"not a zip at all")
