@@ -63,6 +63,35 @@ class LockNotAvailable(MinervaError, RuntimeError):
     is the analogous contention handler)."""
 
 
+def malformed_payload_guard(fn):
+    """Dirty-corpus rule shared by the binary codecs (r15): a
+    truncated or garbage structure must surface as ``ValueError`` —
+    the codec error-policy contract every ``on_error='skip'`` scan
+    relies on — never as a raw struct/zip/XML/Unicode error that
+    kills the whole Spark task.  ``ValueError`` subclasses (e.g.
+    ``offcrypto.WrongPasswordError``) pass through untouched."""
+    import struct as _struct
+    import zipfile as _zipfile
+    import zlib as _zlib
+    from functools import wraps
+
+    @wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except ValueError:
+            raise
+        except (_struct.error, IndexError, KeyError, TypeError,
+                OverflowError, SyntaxError, UnicodeDecodeError,
+                EOFError, _zipfile.BadZipFile, _zlib.error) as e:
+            raise ValueError(
+                f"{fn.__name__}: malformed payload "
+                f"({type(e).__name__}: {e})"
+            ) from e
+
+    return wrapped
+
+
 def translate_analysis_exceptions(f):
     """Decorator twin of :func:`translate_analysis_exception` (the
     reference decorates DB-touching functions the same way,

@@ -107,9 +107,11 @@ def _meta_xml(
 
 
 def _esc(s: str) -> str:
+    # also escapes '"': _esc is interpolated into ATTRIBUTE values
+    # (table:name="..."), where a raw quote would truncate the attr
     return (
         s.replace("&", "&amp;").replace("<", "&lt;")
-        .replace(">", "&gt;")
+        .replace(">", "&gt;").replace('"', "&quot;")
     )
 
 
@@ -261,8 +263,8 @@ def sniff_odf(names: set, zf: zipfile.ZipFile) -> str | None:
     if "content.xml" in names:
         try:
             root = ET.fromstring(zf.read("content.xml"))
-        except ET.ParseError:
-            return None
+        except Exception:  # noqa: BLE001 — torn member (BadZipFile/
+            return None  # zlib.error/CRC) or non-XML: not sniffable
         body = root.find(f"{{{_NS_OFFICE}}}body")
         if body is not None:
             for kind, tag in _BODY_TAG.items():
@@ -313,9 +315,10 @@ def _para_text(p) -> str:
 
 
 def odf_extract_text(payload: bytes) -> dict:
-    """One ODF payload → ``{title, text, n_chars}`` (the office
-    dispatch contract).  Raises ``ValueError`` for non-ODF zips and
-    malformed XML."""
+    """One ODF payload → ``{format, title, text, n_chars}`` (the
+    office dispatch contract plus the detected class — callers that
+    already dispatched may ignore it).  Raises ``ValueError`` for
+    non-ODF zips, encrypted manifests, and malformed XML."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(payload))
     except zipfile.BadZipFile as e:
@@ -333,7 +336,10 @@ def odf_extract_text(payload: bytes) -> dict:
         )
     try:
         root = ET.fromstring(zf.read("content.xml"))
-    except ET.ParseError as e:
+    except KeyError as e:
+        # mimetype declared ODF but the zip carries no content.xml
+        raise ValueError("OpenDocument without content.xml") from e
+    except Exception as e:  # torn member / CRC / non-XML
         raise ValueError(f"malformed content.xml: {e}") from e
     body = root.find(f"{{{_NS_OFFICE}}}body")
     host = body.find(_BODY_TAG[kind]) if body is not None else None
@@ -389,7 +395,8 @@ def odf_extract_text(payload: bytes) -> dict:
             blocks.append("\n".join(paras))
     text = "\n".join(blocks)
     title = odf_metadata(payload, zf=zf, names=names)["title"]
-    return {"title": title, "text": text, "n_chars": len(text)}
+    return {"format": kind, "title": title, "text": text,
+            "n_chars": len(text)}
 
 
 ODF_EXTRACT_SCHEMA = (
@@ -421,19 +428,14 @@ def odf_extract(
         for pdf in batches:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
-                payload = bytes(payload)
                 try:
-                    zf = zipfile.ZipFile(io.BytesIO(payload))
-                    kind = sniff_odf(set(zf.namelist()), zf)
-                    if kind is None:
-                        raise ValueError("not an OpenDocument zip")
-                    rec = odf_extract_text(payload)
-                except (ValueError, zipfile.BadZipFile):
+                    rec = odf_extract_text(bytes(payload))
+                except ValueError:
                     if on_error == "skip":
                         continue
                     raise
                 rows.append(
-                    (did, kind, rec["title"], rec["text"],
+                    (did, rec["format"], rec["title"], rec["text"],
                      rec["n_chars"])
                 )
             yield pd.DataFrame(
@@ -460,8 +462,8 @@ def odf_metadata(
         return out
     try:
         root = ET.fromstring(zf.read("meta.xml"))
-    except ET.ParseError:
-        return out
+    except Exception:  # noqa: BLE001 — torn member or non-XML:
+        return out  # provenance is NULL, never an error
     for el in root.iter():
         if el.tag == f"{{{_NS_DC}}}title":
             out["title"] = el.text

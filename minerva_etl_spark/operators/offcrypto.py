@@ -104,27 +104,11 @@ class WrongPasswordError(ValueError):
     so the census can honestly split decrypted vs still-locked."""
 
 
-def _malformed_to_valueerror(fn):
-    """Dirty-corpus rule: a truncated/garbage encryption structure
-    must surface as ``ValueError`` (the codec error-policy contract),
-    never as a raw ``struct.error``/``IndexError``/XML parse error
-    that would crash an ``on_error='skip'`` scan.
-    ``WrongPasswordError`` (a ValueError subclass) passes through."""
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        try:
-            return fn(*args, **kwargs)
-        except ValueError:
-            raise  # incl. WrongPasswordError
-        except (struct.error, IndexError, KeyError, TypeError,
-                SyntaxError, UnicodeDecodeError) as e:
-            raise ValueError(
-                f"{fn.__name__}: malformed encryption structure "
-                f"({type(e).__name__}: {e})"
-            ) from e
-
-    return wrapped
+# dirty-corpus rule: truncated/garbage encryption structures surface
+# as ValueError (the shared codec guard); WrongPasswordError passes
+from minerva_etl_spark.errors import (  # noqa: E402
+    malformed_payload_guard as _malformed_to_valueerror,
+)
 
 
 # =====================================================================
@@ -411,6 +395,7 @@ def encrypt_ooxml(
     )
 
 
+@_malformed_to_valueerror
 def ooxml_encryption_scheme(payload: bytes) -> str:
     """``'standard' | 'agile' | 'other'`` from the EncryptionInfo
     version pair (census tag helper — no key work)."""
@@ -790,6 +775,7 @@ def _apply_std97(blob: bytes, key_base: bytes) -> bytes:
     return out.tobytes()
 
 
+@_malformed_to_valueerror
 def xls_encryption_type(payload: bytes) -> str | None:
     """``'rc4' | 'rc4_cryptoapi' | 'xor' | None`` for a BIFF8 .xls
     payload — scans the Workbook globals for a ``FilePass`` record
@@ -934,6 +920,7 @@ def _xor_from(blob: bytes, key_base: bytes, start: int) -> bytes:
     return out.tobytes()
 
 
+@_malformed_to_valueerror
 def doc_encryption_type(payload: bytes) -> str | None:
     """``'rc4' | 'xor' | None`` for a .doc payload, from the FibBase
     flags (fEncrypted / fObfuscation) — no key work."""

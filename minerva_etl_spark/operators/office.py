@@ -44,6 +44,10 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from minerva_etl_spark.errors import (
+    malformed_payload_guard as _guarded,
+)
+
 __all__ = [
     "sniff_document_format",
     "office_extract",
@@ -119,8 +123,8 @@ def sniff_document_format(payload: bytes) -> str:
         try:
             if zf.read("mimetype") == b"application/epub+zip":
                 return "epub"
-        except KeyError:
-            pass
+        except Exception:  # noqa: BLE001 — absent OR torn member:
+            pass  # sniffing never raises on dirty zips
         return "unknown"
     return "unknown"
 
@@ -384,10 +388,13 @@ OFFICE_METADATA_SCHEMA = (
 )
 
 
+@_guarded
 def _zip_core_metadata(payload: bytes) -> dict:
     """docProps/core.xml of any OOXML package (docx/xlsx/pptx share
     it) — title/creator/created; EPUB falls back to the OPF dc:
-    elements."""
+    elements.  Torn members / garbage XML surface as ValueError (the
+    shared codec guard) so the provenance scan's error policy owns
+    them."""
     import xml.etree.ElementTree as ET
 
     out = {"title": None, "author": None, "created": None}

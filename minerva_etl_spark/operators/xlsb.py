@@ -44,7 +44,9 @@ import struct
 import zipfile
 import xml.etree.ElementTree as ET
 
+from minerva_etl_spark.errors import malformed_payload_guard
 from minerva_etl_spark.operators.xls import _int_to_rk, _rk_value
+from minerva_etl_spark.operators.xlsx import _xml_escape
 
 __all__ = [
     "synthesize_xlsb",
@@ -246,9 +248,11 @@ def synthesize_xlsb(
     if any(v is not None for v in (title, author, created)):
         dc = []
         if title is not None:
-            dc.append(f"<dc:title>{title}</dc:title>")
+            dc.append(f"<dc:title>{_xml_escape(title)}</dc:title>")
         if author is not None:
-            dc.append(f"<dc:creator>{author}</dc:creator>")
+            dc.append(
+                f"<dc:creator>{_xml_escape(author)}</dc:creator>"
+            )
         if created is not None:
             dc.append(
                 '<dcterms:created xsi:type="dcterms:W3CDTF">'
@@ -298,15 +302,21 @@ def _read_wide(payload: bytes, pos: int) -> tuple[str, int]:
 
 
 def _num_str(d: float) -> str:
-    if d == int(d) and abs(d) < 1e15:
+    import math
+
+    if math.isfinite(d) and d == int(d) and abs(d) < 1e15:
         return str(int(d))
     return repr(d)
 
 
+@malformed_payload_guard
 def xlsb_extract_text(payload: bytes) -> dict:
     """One .xlsb payload → ``{title, n_sheets, n_rows, n_cells,
     text, n_chars}`` (the `xls.xls_extract_text` shape).  Raises
-    ``ValueError`` for non-xlsb zips and torn record streams."""
+    ``ValueError`` for non-xlsb zips, torn record streams, and every
+    other malformed-structure class (the shared codec guard — a
+    short cell payload or garbage rels must follow the error policy,
+    never kill the task)."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(payload))
     except zipfile.BadZipFile as e:
@@ -348,7 +358,9 @@ def xlsb_extract_text(payload: bytes) -> dict:
                 f"BundleSh {name!r} references missing part "
                 f"({rid} -> {part})"
             )
-        cells: dict[tuple[int, int], str] = {}
+        # one pass, cells grouped per row as they stream — a 100k-row
+        # workbook renders O(cells log cols), never O(rows × cells)
+        by_row: dict[int, dict[int, str]] = {}
         row = 0
         for rtype, pl in _records(zf.read(part)):
             if rtype == _BRT_ROW_HDR:
@@ -360,16 +372,16 @@ def xlsb_extract_text(payload: bytes) -> dict:
                 (col,) = struct.unpack_from("<I", pl, 0)
                 if rtype == _BRT_CELL_RK:
                     (rk,) = struct.unpack_from("<I", pl, 8)
-                    cells[(row, col)] = _rk_value(rk)
+                    val = _rk_value(rk)
                 elif rtype == _BRT_CELL_REAL:
                     (d,) = struct.unpack_from("<d", pl, 8)
-                    cells[(row, col)] = _num_str(d)
+                    val = _num_str(d)
                 elif rtype == _BRT_CELL_BOOL:
-                    cells[(row, col)] = (
-                        "TRUE" if pl[8] else "FALSE"
-                    )
+                    if len(pl) < 9:
+                        raise ValueError("BrtCellBool truncated")
+                    val = "TRUE" if pl[8] else "FALSE"
                 elif rtype == _BRT_CELL_ST:
-                    cells[(row, col)] = _read_wide(pl, 8)[0]
+                    val = _read_wide(pl, 8)[0]
                 else:  # Isst
                     (isst,) = struct.unpack_from("<I", pl, 8)
                     if not 0 <= isst < len(sst):
@@ -377,17 +389,16 @@ def xlsb_extract_text(payload: bytes) -> dict:
                             f"BrtCellIsst index {isst} out of range "
                             f"({len(sst)} strings)"
                         )
-                    cells[(row, col)] = sst[isst]
+                    val = sst[isst]
+                by_row.setdefault(row, {})[col] = val
         rows_out = []
-        for r in sorted({rc[0] for rc in cells}):
+        for r in sorted(by_row):
+            cols = by_row[r]
             rows_out.append(
-                "\t".join(
-                    cells[(r, c)]
-                    for c in sorted(c for rr, c in cells if rr == r)
-                )
+                "\t".join(cols[c] for c in sorted(cols))
             )
             n_rows += 1
-        n_cells += len(cells)
+            n_cells += len(cols)
         blocks.append(
             name + ("\n" + "\n".join(rows_out) if rows_out else "")
         )

@@ -12,20 +12,22 @@ Idempotence against foreachBatch's at-least-once retries: the capture
 state has no natural ascending-id watermark (captures arrive in any
 timestamp order), so the wrapper records the last APPLIED epoch in a
 small sidecar (Hadoop-FS, the substring `_watermark` mechanism) and a
-re-delivered epoch never re-appends captures (which would corrupt
-``n_captures``).  A retried epoch is NOT a pure no-op, though: the
-state already carries that delta (the sidecar is written only after
-the append), so the retry recomputes the recrawl decisions FROM THE
-STATE restricted to the delivery's touched urlkeys — identical to
-what the original call produced — and rewrites the epoch's decision
-partition (an idempotent dynamic-partition overwrite).  That closes
-both crash windows: state-append→sidecar (retry skips the append,
-state is already correct) and sidecar→decisions-write (retry
-re-lands the partition instead of silently losing the epoch's
-scheduling signal).  The only remaining boundary is the same one
-`streaming/embedding.py` documents: a crash INSIDE the state append
-leaves a torn bucket file, which the StoreLease + overwrite-rebuild
-recovery path owns.
+SIDECAR-ACKNOWLEDGED epoch never re-appends captures (which would
+corrupt ``n_captures``).  Such a retried epoch is NOT a pure no-op,
+though: the state already carries that delta (the sidecar is written
+only after the append), so the retry recomputes the recrawl
+decisions FROM THE STATE restricted to the delivery's touched
+urlkeys — identical to what the original call produced — and
+rewrites the epoch's decision partition (an idempotent
+dynamic-partition overwrite).  That closes the sidecar→decisions
+crash window (r14 advice): a crash between the sidecar write and
+the decisions write no longer loses the epoch's scheduling signal.
+The state-append→sidecar window REMAINS the documented at-least-once
+boundary (same as `streaming/embedding.py`): a crash after the
+append lands but before the sidecar write makes the retry re-append
+that delta — captures have no natural ascending-id watermark to
+dedupe on, so exactly-once here would need an atomic
+state+watermark commit the parquet state does not provide.
 
 Stream == batch: N micro-batches produce the same decision outputs as
 N `ingest_captures_increment` calls with the same deliveries in the

@@ -162,6 +162,48 @@ def test_libreoffice_encryption_is_a_locked_tag(spark):
         "odt", "locked", None)
 
 
+def test_torn_zip_members_follow_error_policy(spark):
+    """r15 review: a zip whose content.xml member bytes are torn
+    (CRC/deflate corruption — routine in a dirty corpus) must sniff
+    as non-ODF and skip under on_error='skip', never kill the task
+    with a raw BadZipFile/zlib.error; a mimetype-only ODF zip (no
+    content.xml) raises ValueError."""
+    from minerva_etl_spark.operators.office import (
+        office_extract,
+        sniff_document_format,
+    )
+
+    raw = synthesize_odt(["x" * 200])
+    # flip bytes inside the stored payload region to corrupt the
+    # deflate stream of content.xml without touching the directory
+    torn = bytearray(raw)
+    marker = torn.find(b"content.xml")  # first local header
+    for i in range(marker + 20, marker + 60):
+        torn[i] ^= 0xFF
+    torn = bytes(torn)
+    assert sniff_document_format(torn) in ("unknown", "odt")
+    with pytest.raises(ValueError):
+        odf_extract_text(torn)
+    out = office_extract(
+        spark.createDataFrame(
+            [(1, torn), (2, synthesize_odt(["ok"]))],
+            "doc_id bigint, payload binary",
+        ),
+        on_error="skip",
+    ).collect()
+    assert [(r.doc_id, r.text) for r in out] == [(2, "ok")]
+    # mimetype declares ODF but no content.xml
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            zipfile.ZipInfo("mimetype"),
+            "application/vnd.oasis.opendocument.text",
+            compress_type=zipfile.ZIP_STORED,
+        )
+    with pytest.raises(ValueError, match="content.xml"):
+        odf_extract_text(buf.getvalue())
+
+
 def test_rejects_are_honest():
     with pytest.raises(ValueError, match="zip"):
         odf_extract_text(b"not a zip at all")

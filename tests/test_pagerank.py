@@ -62,6 +62,9 @@ def test_superseded_checkpoints_are_freed(spark):
     assert after - before <= 2
     # the surviving frame is still fully usable
     assert result.count() == 20
+
+
+def test_symmetric_cycle_is_uniform(spark):
     """A directed cycle: perfect symmetry ⇒ identical ranks."""
     n = 6
     e = _edges(spark, [(i, (i + 1) % n) for i in range(n)])

@@ -89,6 +89,74 @@ def test_spark_operator(spark):
     assert got[2].text == "S\nr2\t2" and got[2].n_cells == 2
 
 
+def test_malformed_structures_are_valueerrors(spark):
+    """r15 review: short cell payloads, garbage rels XML, and
+    non-finite Real cells surface as ValueError / render safely —
+    never a raw struct/IndexError/ParseError/OverflowError that
+    kills an on_error='skip' scan."""
+    import struct
+
+    from minerva_etl_spark.operators.xlsb import (
+        _BRT_CELL_BOOL,
+        _BRT_CELL_REAL,
+        _num_str,
+        _rec,
+    )
+
+    assert _num_str(float("inf")) == "inf"
+    assert _num_str(float("nan")) == "nan"
+
+    def rebuild(part_patch=None, rels_patch=None):
+        good = synthesize_xlsb([("S", [["x"]])])
+        zf = zipfile.ZipFile(io.BytesIO(good))
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as out:
+            for n in zf.namelist():
+                data = zf.read(n)
+                if part_patch and n == "xl/worksheets/sheet1.bin":
+                    data = part_patch(data)
+                if rels_patch and n == "xl/_rels/workbook.bin.rels":
+                    data = rels_patch(data)
+                out.writestr(n, data)
+        return buf.getvalue()
+
+    # a well-framed BrtCellBool with a SHORT payload (8 bytes, no
+    # bool byte) and a BrtCellReal with only 4 value bytes
+    short_bool = rebuild(
+        part_patch=lambda d: d
+        + _rec(_BRT_CELL_BOOL, struct.pack("<II", 0, 0))
+    )
+    with pytest.raises(ValueError):
+        xlsb_extract_text(short_bool)
+    short_real = rebuild(
+        part_patch=lambda d: d
+        + _rec(_BRT_CELL_REAL, struct.pack("<II", 0, 0) + b"\x00" * 4)
+    )
+    with pytest.raises(ValueError):
+        xlsb_extract_text(short_real)
+    # garbage rels XML
+    bad_rels = rebuild(rels_patch=lambda d: b"<not-xml")
+    with pytest.raises(ValueError):
+        xlsb_extract_text(bad_rels)
+    # and the operator skips all of them under the policy
+    rows = [(1, short_bool), (2, bad_rels),
+            (3, synthesize_xlsb([("S", [["ok"]])]))]
+    out = xlsb_extract(
+        spark.createDataFrame(rows, "doc_id bigint, payload binary"),
+        on_error="skip",
+    ).collect()
+    assert [(r.doc_id, r.text) for r in out] == [(3, "S\nok")]
+
+
+def test_metadata_xml_escaping():
+    """r15 review: titles with XML metacharacters must round-trip —
+    the writer escapes core.xml (reusing the xlsx escape)."""
+    b = synthesize_xlsb(
+        [("S", [["x"]])], title="P&L <2026>", author='Q"A',
+    )
+    assert xlsb_extract_text(b)["title"] == "P&L <2026>"
+
+
 def test_rejects_are_honest():
     with pytest.raises(ValueError, match="zip"):
         xlsb_extract_text(b"junk")
