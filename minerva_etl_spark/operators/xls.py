@@ -421,7 +421,10 @@ def xls_extract_text(payload: bytes) -> dict:
             raise ValueError(
                 f"BoundSheet offset {ply} does not point at a BOF"
             )
-        cells: dict[tuple[int, int], str] = {}
+        # cells grouped per row as they stream (r15: the xlsb fix
+        # applied here too) — a 100k-row sheet renders
+        # O(cells log cols), never O(rows × cells)
+        by_row: dict[int, dict[int, str]] = {}
         started = False
         for rtype, off, pl in recs:
             if off < ply:
@@ -440,39 +443,35 @@ def xls_extract_text(payload: bytes) -> dict:
                         f"LabelSst index {isst} out of range "
                         f"({len(sst)} strings)"
                     )
-                cells[(r, c)] = sst[isst]
+                by_row.setdefault(r, {})[c] = sst[isst]
             elif rtype == _R_NUMBER:
                 r, c, _x, d = struct.unpack_from("<HHHd", pl, 0)
-                cells[(r, c)] = _num_str(d)
+                by_row.setdefault(r, {})[c] = _num_str(d)
             elif rtype == _R_RK:
                 r, c, _x, rk = struct.unpack_from("<HHHI", pl, 0)
-                cells[(r, c)] = _rk_value(rk)
+                by_row.setdefault(r, {})[c] = _rk_value(rk)
             elif rtype == _R_MULRK:
                 r, c0 = struct.unpack_from("<HH", pl, 0)
                 n_rk = (len(pl) - 6) // 6
                 for k in range(n_rk):
                     (rk,) = struct.unpack_from("<I", pl, 4 + 6 * k + 2)
-                    cells[(r, c0 + k)] = _rk_value(rk)
+                    by_row.setdefault(r, {})[c0 + k] = _rk_value(rk)
             elif rtype == _R_BOOLERR:
                 r, c, _x, v, is_err = struct.unpack_from(
                     "<HHHBB", pl, 0
                 )
-                cells[(r, c)] = (
+                by_row.setdefault(r, {})[c] = (
                     "" if is_err else ("TRUE" if v else "FALSE")
                 )
             # _R_FORMULA and everything else: skipped (documented)
         rows_out: list[str] = []
-        for r in sorted({rc[0] for rc in cells}):
+        for r in sorted(by_row):
+            cols = by_row[r]
             rows_out.append(
-                "\t".join(
-                    cells[(r, c)]
-                    for c in sorted(
-                        c for rr, c in cells if rr == r
-                    )
-                )
+                "\t".join(cols[c] for c in sorted(cols))
             )
             n_rows += 1
-        n_cells += len(cells)
+            n_cells += len(cols)
         blocks.append(
             name + ("\n" + "\n".join(rows_out) if rows_out else "")
         )
