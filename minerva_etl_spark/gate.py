@@ -474,8 +474,9 @@ _REGISTRY_ORDER = [
     # wav_adpcm_features, bmp_features, bpe_hf_roundtrip,
     # unigram_hf_roundtrip, cdx_index_increment, office_metadata,
     # wat_link_graph, pipeline_webgraph, mail_attachment_extract),
-    # and BOTH r15-born rows go straight in (office_decrypt_default,
-    # xls_decrypt_velvet — zero new-row debt).  13 multi-round
+    # and ALL FOUR r15-born rows go straight in
+    # (office_decrypt_default, xls_decrypt_velvet, odf_extract,
+    # xlsb_extract — zero new-row debt).  15 multi-round
     # driver-green rows rotate OUT with named in-window vouchers
     # (comment block after the window + COVERAGE.md r15).  Every row
     # with only ONE driver-green round (the r14 first-timers) STAYS
