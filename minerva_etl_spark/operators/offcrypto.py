@@ -20,12 +20,15 @@ published default-password schemes and nothing key-escrow-ish:
   password is a clean :class:`WrongPasswordError`, never garbage
   text.  This is what Office 2007 writes.
 * **ECMA-376 Agile Encryption** (§2.3.4.10–2.3.4.13): the version-4.4
-  XML descriptor — SHA-512 password spin, the three 8-byte PURPOSE
-  block keys (verifier-input / verifier-value / key-value), an
-  intermediate key wrapped under the password key, and the package in
-  4096-byte AES-256-CBC segments with per-segment
-  ``SHA512(keySalt ‖ LE32(i))`` IVs.  This is what Office 2010+
-  writes — a modern default-encrypted corpus is mostly agile.
+  XML descriptor — the declared-hash password spin (SHA-1 for Office
+  2010, SHA-512 for 2013+; SHA-256/384 accepted too), the three
+  8-byte PURPOSE block keys (verifier-input / verifier-value /
+  key-value), an intermediate key wrapped under the password key,
+  and the package in 4096-byte AES-CBC segments (128/192/256-bit
+  per the declared ``keyBits``) with per-segment
+  ``H(keySalt ‖ LE32(i))`` IVs, every key/IV 0x36-padded per
+  §2.3.4.11.  This is what Office 2010+ writes — a modern
+  default-encrypted corpus is mostly agile.
 * **BIFF8 "Office 97/2000" RC4** (MS-OFFCRYPTO §2.3.6, MS-XLS
   §2.2.10): the ``FilePass`` record form.  MD5 key derivation
   (password hash truncated to 5 bytes, ``(trunc+salt)×16`` rehash),
@@ -43,8 +46,8 @@ is detected (``FilePass.wEncryptionType = 0``) but NOT decrypted —
 its key setup needs the spec's ``InitialCode``/``XorMatrix`` constant
 tables, which this clean-room module does not carry; those files stay
 an honest ``locked`` census tag.  CryptoAPI RC4 (FilePass version
-≥ 2) and non-AES/SHA512 agile parameter sets likewise verify-reject
-with named errors.
+≥ 2) and non-AES agile parameter sets likewise verify-reject with
+named errors.
 
 AES is implemented here because the container ships no crypto
 libraries: FIPS-197 with the S-box/GF(2⁸) tables *generated* from the
@@ -497,35 +500,60 @@ _BLK_KEY_VALUE = bytes(
 )
 _AGILE_SEGMENT = 4096
 _AGILE_SPIN = 100_000
+#: XML ``hashAlgorithm`` values → hashlib names (§2.3.4.10 table;
+#: Office 2010 writes SHA1, 2013+ writes SHA512 — both decrypt)
+_AGILE_HASHES = {
+    "SHA1": "sha1",
+    "SHA256": "sha256",
+    "SHA384": "sha384",
+    "SHA512": "sha512",
+}
+
+
+def _agile_H(hash_alg: str, data: bytes) -> bytes:
+    return hashlib.new(_AGILE_HASHES[hash_alg], data).digest()
 
 
 @functools.lru_cache(maxsize=1024)
-def _agile_pw_hash(password: str, salt: bytes, spin: int) -> bytes:
+def _agile_pw_hash(
+    password: str, salt: bytes, spin: int, hash_alg: str = "SHA512"
+) -> bytes:
     """The spun password hash shared by all three purpose keys:
-    H₀ = SHA512(salt ‖ UTF-16LE(password)); Hₙ = SHA512(LE32(n) ‖
-    Hₙ₋₁) for spin rounds.  Memoized like the Standard path."""
-    h = hashlib.sha512(salt + password.encode("utf-16-le")).digest()
+    H₀ = H(salt ‖ UTF-16LE(password)); Hₙ = H(LE32(n) ‖ Hₙ₋₁) for
+    spin rounds — H is the keyEncryptor's declared ``hashAlgorithm``
+    (SHA-1 for Office 2010, SHA-512 for 2013+).  Memoized like the
+    Standard path."""
+    h = _agile_H(hash_alg, salt + password.encode("utf-16-le"))
     for i in range(spin):
-        h = hashlib.sha512(struct.pack("<I", i) + h).digest()
+        h = _agile_H(hash_alg, struct.pack("<I", i) + h)
     return h
 
 
+def _pad36(b: bytes, size: int = 16) -> bytes:
+    """§2.3.4.11/2.3.4.12: truncate to ``size``, pad short values
+    with 0x36 (keys, IVs, and block-key hashes all use this rule)."""
+    return b[:size].ljust(size, b"\x36")
+
+
 def _agile_key(
-    password: str, salt: bytes, spin: int, block: bytes, key_bytes: int
+    password: str,
+    salt: bytes,
+    spin: int,
+    block: bytes,
+    key_bytes: int,
+    hash_alg: str = "SHA512",
 ) -> bytes:
-    h = hashlib.sha512(
-        _agile_pw_hash(password, salt, spin) + block
-    ).digest()
-    return h[:key_bytes].ljust(key_bytes, b"\x00")
+    h = _agile_H(
+        hash_alg, _agile_pw_hash(password, salt, spin, hash_alg) + block
+    )
+    return _pad36(h, key_bytes)
 
 
-def _pad16(b: bytes) -> bytes:
-    return b[:16].ljust(16, b"\x00")
-
-
-def _agile_segment_iv(key_salt: bytes, index: int) -> bytes:
-    return _pad16(
-        hashlib.sha512(key_salt + struct.pack("<I", index)).digest()
+def _agile_segment_iv(
+    key_salt: bytes, index: int, hash_alg: str = "SHA512"
+) -> bytes:
+    return _pad36(
+        _agile_H(hash_alg, key_salt + struct.pack("<I", index))
     )
 
 
@@ -534,10 +562,14 @@ def encrypt_ooxml_agile(
     password: str = DEFAULT_PASSWORD,
     seed: bytes | None = None,
     spin: int = _AGILE_SPIN,
+    hash_alg: str = "SHA512",
+    key_bits: int = 256,
 ) -> bytes:
-    """Wrap an OOXML zip in Agile encryption (AES-256-CBC, SHA-512 —
-    the parameters Office 2010+ writes).  Deterministic via ``seed``
-    like :func:`encrypt_ooxml`."""
+    """Wrap an OOXML zip in Agile encryption.  Defaults to
+    AES-256-CBC/SHA-512 (what Office 2013+ writes); pass
+    ``hash_alg="SHA1", key_bits=128`` for the parameter set Office
+    2010 writes.  Deterministic via ``seed`` like
+    :func:`encrypt_ooxml`."""
     import base64
     from minerva_etl_spark.operators.msdoc import (
         _MINI_CUTOFF,
@@ -548,24 +580,35 @@ def encrypt_ooxml_agile(
         raise ValueError(
             "encrypt_ooxml_agile expects an OOXML zip payload"
         )
+    if hash_alg not in _AGILE_HASHES:
+        raise ValueError(f"unsupported agile hashAlgorithm {hash_alg}")
+    if key_bits not in (128, 192, 256):
+        raise ValueError(f"unsupported agile keyBits {key_bits}")
+    hash_size = hashlib.new(_AGILE_HASHES[hash_alg]).digest_size
     seed = seed or hashlib.sha1(b"agile-fixture" + zip_bytes).digest()
     pw_salt = hashlib.sha512(seed + b"pwsalt").digest()[:16]
     key_salt = hashlib.sha512(seed + b"keysalt").digest()[:16]
     verifier = hashlib.sha512(seed + b"verifier").digest()[:16]
-    key_value = hashlib.sha512(seed + b"keyvalue").digest()[:32]
-    kb = 32  # AES-256
+    kb = key_bits // 8
+    key_value = hashlib.sha512(seed + b"keyvalue").digest()[:kb]
     enc_vi = aes_cbc_encrypt(
-        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_INPUT, kb),
-        _pad16(pw_salt), verifier,
+        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_INPUT, kb,
+                   hash_alg),
+        _pad36(pw_salt), verifier,
     )
-    vhash = hashlib.sha512(verifier).digest()  # 64 = 4 blocks
+    # the verifier hash CBC-pads to a block multiple (§2.3.4.13 —
+    # e.g. SHA-1's 20 bytes round up to 32)
+    vhash = _agile_H(hash_alg, verifier)
+    vhash_padded = vhash.ljust((len(vhash) + 15) // 16 * 16, b"\x00")
     enc_vv = aes_cbc_encrypt(
-        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_VALUE, kb),
-        _pad16(pw_salt), vhash,
+        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_VALUE, kb,
+                   hash_alg),
+        _pad36(pw_salt), vhash_padded,
     )
     enc_kv = aes_cbc_encrypt(
-        _agile_key(password, pw_salt, spin, _BLK_KEY_VALUE, kb),
-        _pad16(pw_salt), key_value,
+        _agile_key(password, pw_salt, spin, _BLK_KEY_VALUE, kb,
+                   hash_alg),
+        _pad36(pw_salt), key_value.ljust((kb + 15) // 16 * 16, b"\x00"),
     )
     segs = []
     for i in range(0, max(len(zip_bytes), 1), _AGILE_SEGMENT):
@@ -574,7 +617,8 @@ def encrypt_ooxml_agile(
         segs.append(
             aes_cbc_encrypt(
                 key_value,
-                _agile_segment_iv(key_salt, i // _AGILE_SEGMENT),
+                _agile_segment_iv(key_salt, i // _AGILE_SEGMENT,
+                                  hash_alg),
                 seg,
             )
         )
@@ -583,16 +627,16 @@ def encrypt_ooxml_agile(
     xml = (
         f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<encryption xmlns="{_AGILE_NS}" xmlns:p="{_AGILE_PW_NS}">'
-        f'<keyData saltSize="16" blockSize="16" keyBits="256" '
-        f'hashSize="64" cipherAlgorithm="AES" '
-        f'cipherChaining="ChainingModeCBC" hashAlgorithm="SHA512" '
+        f'<keyData saltSize="16" blockSize="16" keyBits="{key_bits}" '
+        f'hashSize="{hash_size}" cipherAlgorithm="AES" '
+        f'cipherChaining="ChainingModeCBC" hashAlgorithm="{hash_alg}" '
         f'saltValue="{b64(key_salt)}"/>'
         f"<keyEncryptors>"
         f'<keyEncryptor uri="{_AGILE_PW_NS}">'
         f'<p:encryptedKey spinCount="{spin}" saltSize="16" '
-        f'blockSize="16" keyBits="256" hashSize="64" '
+        f'blockSize="16" keyBits="{key_bits}" hashSize="{hash_size}" '
         f'cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" '
-        f'hashAlgorithm="SHA512" saltValue="{b64(pw_salt)}" '
+        f'hashAlgorithm="{hash_alg}" saltValue="{b64(pw_salt)}" '
         f'encryptedVerifierHashInput="{b64(enc_vi)}" '
         f'encryptedVerifierHashValue="{b64(enc_vv)}" '
         f'encryptedKeyValue="{b64(enc_kv)}"/>'
@@ -626,39 +670,46 @@ def _decrypt_ooxml_agile(
     if kd is None or ek is None:
         raise ValueError("agile EncryptionInfo without keyData/"
                          "password keyEncryptor")
+    kd_hash = kd.get("hashAlgorithm")
+    ek_hash = ek.get("hashAlgorithm")
     if (
         kd.get("cipherAlgorithm") != "AES"
         or kd.get("cipherChaining") != "ChainingModeCBC"
-        or kd.get("hashAlgorithm") != "SHA512"
-        or ek.get("hashAlgorithm") != "SHA512"
+        or kd_hash not in _AGILE_HASHES
+        or ek_hash not in _AGILE_HASHES
     ):
         raise ValueError(
             f"unsupported agile parameters "
             f"({kd.get('cipherAlgorithm')}/{kd.get('cipherChaining')}"
-            f"/{kd.get('hashAlgorithm')})"
+            f"/{kd_hash}/{ek_hash})"
         )
     spin = int(ek.get("spinCount"))
     kb = int(ek.get("keyBits")) // 8
+    if kb not in (16, 24, 32):
+        raise ValueError(f"unsupported agile keyBits {kb * 8}")
     pw_salt = base64.b64decode(ek.get("saltValue"))
     key_salt = base64.b64decode(kd.get("saltValue"))
     enc_vi = base64.b64decode(ek.get("encryptedVerifierHashInput"))
     enc_vv = base64.b64decode(ek.get("encryptedVerifierHashValue"))
     enc_kv = base64.b64decode(ek.get("encryptedKeyValue"))
     verifier = aes_cbc_decrypt(
-        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_INPUT, kb),
-        _pad16(pw_salt), enc_vi,
+        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_INPUT, kb,
+                   ek_hash),
+        _pad36(pw_salt), enc_vi,
     )[:16]
     vhash = aes_cbc_decrypt(
-        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_VALUE, kb),
-        _pad16(pw_salt), enc_vv,
+        _agile_key(password, pw_salt, spin, _BLK_VERIFIER_VALUE, kb,
+                   ek_hash),
+        _pad36(pw_salt), enc_vv,
     )[: int(ek.get("hashSize"))]
-    if hashlib.sha512(verifier).digest()[: len(vhash)] != vhash:
+    if _agile_H(ek_hash, verifier)[: len(vhash)] != vhash:
         raise WrongPasswordError(
             "agile verifier mismatch — not the default password"
         )
     key_value = aes_cbc_decrypt(
-        _agile_key(password, pw_salt, spin, _BLK_KEY_VALUE, kb),
-        _pad16(pw_salt), enc_kv,
+        _agile_key(password, pw_salt, spin, _BLK_KEY_VALUE, kb,
+                   ek_hash),
+        _pad36(pw_salt), enc_kv,
     )[:kb]
     (total,) = struct.unpack_from("<Q", package, 0)
     body = package[8:]
@@ -675,7 +726,7 @@ def _decrypt_ooxml_agile(
         out.append(
             aes_cbc_decrypt(
                 key_value,
-                _agile_segment_iv(key_salt, i // seg_ct),
+                _agile_segment_iv(key_salt, i // seg_ct, kd_hash),
                 seg,
             )[:need]
         )
@@ -894,10 +945,11 @@ def encrypt_xls_rc4(
 # Std97 machinery with Word's parameters: 512-byte rekey blocks, the
 # 52-byte EncryptionHeader at offset 0 of the table stream, the
 # FibBase (first 0x44 bytes of WordDocument) plaintext, everything
-# after it — and the table stream past the header, and any Data
-# stream — XORed against the keystream at its ABSOLUTE encrypted-
-# stream offset.  The encrypt side plants fixtures with exactly the
-# convention the decrypt side inverts.
+# after it — the table stream past the header, and the Data stream
+# IN ITS ENTIRETY (embedded objects / field data) — XORed against
+# the keystream at its ABSOLUTE encrypted-stream offset.  The
+# encrypt side plants fixtures with exactly the convention the
+# decrypt side inverts.
 
 _DOC_BLOCK = 512
 _DOC_PLAIN_HEAD = 0x44
@@ -953,6 +1005,18 @@ def _doc_streams(payload: bytes):
     return cfb, wd, flags, tbl_name
 
 
+def _doc_data_crypt(cfb, key_base: bytes) -> dict:
+    """The Data stream (embedded objects / field data) is encrypted
+    IN ITS ENTIRETY (MS-DOC §2.2.6.2 — offset 0, same 512-byte block
+    keystream); absent on most documents.  Involution, so one helper
+    serves both directions."""
+    try:
+        data = cfb.read("Data")
+    except KeyError:
+        return {}
+    return {"Data": _xor_from(data, key_base, 0)}
+
+
 def _rebuild_cfb_doc(payload: bytes, repl: dict) -> bytes:
     from minerva_etl_spark.operators.msdoc import (
         _MINI_CUTOFF,
@@ -1006,7 +1070,9 @@ def encrypt_doc_rc4(
         header + tbl, key_base, _DOC_HDR_LEN
     )[_DOC_HDR_LEN:]
     return _rebuild_cfb_doc(
-        payload, {"WordDocument": bytes(new_wd), tbl_name: new_tbl}
+        payload,
+        {"WordDocument": bytes(new_wd), tbl_name: new_tbl,
+         **_doc_data_crypt(cfb, key_base)},
     )
 
 
@@ -1053,7 +1119,9 @@ def decrypt_doc_rc4(
     struct.pack_into("<I", new_wd, 0x0E, 0)  # lKey
     new_tbl = _xor_from(tbl, key_base, _DOC_HDR_LEN)[_DOC_HDR_LEN:]
     return _rebuild_cfb_doc(
-        payload, {"WordDocument": bytes(new_wd), tbl_name: new_tbl}
+        payload,
+        {"WordDocument": bytes(new_wd), tbl_name: new_tbl,
+         **_doc_data_crypt(cfb, key_base)},
     )
 
 

@@ -267,10 +267,11 @@ def office_decrypt_extract(
       ``fEncrypted`` Office-97 RC4 accepted; the payload decrypts
       and extracts as a plain .xls/.doc;
     * ``locked`` — the payload is genuinely password-protected (the
-      verifier rejected) or uses a scheme with real secrets (Agile,
-      CryptoAPI, XOR obfuscation): format keeps the encrypted tag,
-      title/text stay NULL — the honest backlog row (NOT an error:
-      a census must count these, `format_census`-style).
+      verifier rejected the password) or uses an unsupported scheme
+      (CryptoAPI RC4, XOR obfuscation, non-AES agile parameter
+      sets): format keeps the encrypted tag, title/text stay NULL —
+      the honest backlog row (NOT an error: a census must count
+      these, `format_census`-style).
 
     A downstream census is one groupBy:
     ``office_decrypt_extract(df).groupBy("format", "encryption")``.

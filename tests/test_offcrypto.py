@@ -141,6 +141,86 @@ def test_agile_roundtrip_multisegment():
     assert ooxml_encryption_scheme(encrypt_ooxml(doc)) == "standard"
 
 
+def test_agile_declared_parameter_sets():
+    """Office 2010 writes agile with SHA-1/AES-128 (2013+ moved to
+    SHA-512/AES-256): the decryptor must follow the hashAlgorithm /
+    keyBits the XML declares instead of hard-rejecting (r15 advice,
+    medium)."""
+    from minerva_etl_spark.operators.docx import (
+        docx_extract_text,
+        synthesize_docx,
+    )
+    from minerva_etl_spark.operators.offcrypto import (
+        encrypt_ooxml_agile,
+        ooxml_encryption_scheme,
+    )
+
+    doc = synthesize_docx(["twenty ten body"], title="O14")
+    # the Office-2010 parameter set (spin stays 100k in real files;
+    # smaller here to keep the suite fast — spin is declared too)
+    o2010 = encrypt_ooxml_agile(
+        doc, hash_alg="SHA1", key_bits=128, spin=5_000
+    )
+    assert ooxml_encryption_scheme(o2010) == "agile"
+    assert decrypt_ooxml(o2010) == doc
+    assert docx_extract_text(decrypt_ooxml(o2010))["text"] == (
+        "twenty ten body"
+    )
+    with pytest.raises(WrongPasswordError):
+        decrypt_ooxml(o2010, "nope")
+    real = encrypt_ooxml_agile(
+        doc, hash_alg="SHA1", key_bits=128, spin=5_000,
+        password="hidden",
+    )
+    with pytest.raises(WrongPasswordError):
+        decrypt_ooxml(real)
+    # the other accepted hash/key combinations round-trip too
+    for alg, bits in (("SHA256", 192), ("SHA384", 256)):
+        enc = encrypt_ooxml_agile(
+            doc, hash_alg=alg, key_bits=bits, spin=1_000
+        )
+        assert decrypt_ooxml(enc) == doc
+    # unknown algorithms stay named rejects on BOTH sides
+    with pytest.raises(ValueError, match="hashAlgorithm"):
+        encrypt_ooxml_agile(doc, hash_alg="MD5")
+    with pytest.raises(ValueError, match="keyBits"):
+        encrypt_ooxml_agile(doc, key_bits=512)
+
+
+def test_doc_rc4_data_stream_encrypted_too():
+    """MS-DOC §2.2.6.2: the Data stream (embedded objects / field
+    data) is encrypted IN ITS ENTIRETY — a decrypted .doc must not
+    leave it as ciphertext (r15 advice)."""
+    from minerva_etl_spark.operators.msdoc import (
+        _MINI_CUTOFF,
+        _build_cfb,
+        _Cfb,
+        doc_extract_text,
+        synthesize_doc,
+    )
+    from minerva_etl_spark.operators.offcrypto import (
+        decrypt_doc_rc4,
+        encrypt_doc_rc4,
+    )
+
+    base = synthesize_doc(["memo body with data"], title="D")
+    cfb = _Cfb(base)
+    streams = [
+        (e["name"], cfb.read_entry(e))
+        for e in cfb.top_level()
+        if e["type"] == 2
+    ]
+    blob = b"EMBEDDED-OBJECT-BYTES-" * 40
+    streams.append(("Data", blob.ljust(_MINI_CUTOFF, b"\x00")))
+    plain = _build_cfb(streams)
+    enc = encrypt_doc_rc4(plain)
+    # ciphertext: the Data stream must NOT ride through readable
+    assert _Cfb(enc).read("Data")[: len(blob)] != blob
+    dec = decrypt_doc_rc4(enc)
+    assert _Cfb(dec).read("Data")[: len(blob)] == blob
+    assert doc_extract_text(dec) == doc_extract_text(plain)
+
+
 def test_xls_rc4_roundtrip_multiblock():
     """Workbooks spanning several 1024-byte RC4 blocks: block-edge
     rekeying, lbPlyPos fix-ups and OLEPS pass-through all load-bear."""
