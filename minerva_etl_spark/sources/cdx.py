@@ -161,8 +161,22 @@ register()
 
 
 #: the capture-state schema the incremental index persists — exactly
-#: the columns `recrawl_candidates` consumes
+#: the columns `recrawl_candidates` consumes.  The persisted table
+#: additionally carries an ``epoch bigint`` bookkeeping column (-1
+#: for batch deliveries): the streaming wrapper stamps each
+#: delivery's foreachBatch epoch so a retry can detect that an
+#: append ALREADY landed (the exactly-once mechanism in
+#: `streaming/cdx.py`) — readers always project ``_STATE_COLS``, so
+#: the column never leaks into recrawl output.
 _STATE_COLS = ["urlkey", "url", "ts", "status", "digest"]
+_EPOCH_COL = "epoch"
+
+
+def _stamp_epoch(df: DataFrame, epoch: int | None) -> DataFrame:
+    return df.select(*_STATE_COLS).withColumn(
+        _EPOCH_COL,
+        F.lit(int(-1 if epoch is None else epoch)).cast("bigint"),
+    )
 
 
 def build_capture_state(
@@ -186,7 +200,7 @@ def build_capture_state(
     root = path or f"{warehouse}/{table_name}"
     with StoreLease(spark, root + ".__lease"):
         writer = (
-            captures.select(*_STATE_COLS)
+            _stamp_epoch(captures, None)
             .write.mode("overwrite")
             .bucketBy(n_buckets, "urlkey")
             .sortBy("urlkey", "ts")
@@ -198,15 +212,32 @@ def build_capture_state(
         return spark.table(table_name).count()
 
 
+def epoch_in_state(
+    spark: SparkSession, table_name: str, epoch: int
+) -> bool:
+    """Whether any capture stamped with ``epoch`` is already
+    persisted — the streaming retry's landed-append probe.  Cheap:
+    parquet min/max stats prune the scan to at most the files the
+    epoch wrote."""
+    spark.sql(f"REFRESH TABLE {table_name}")
+    return bool(
+        spark.table(table_name)
+        .filter(F.col(_EPOCH_COL) == int(epoch))
+        .take(1)
+    )
+
+
 def ingest_captures_increment(
     spark: SparkSession,
     delta: DataFrame,
     table_name: str,
     n_buckets: int = 64,
     path: str | None = None,
+    epoch: int | None = None,
 ) -> DataFrame:
     """One crawl delivery against the bucketed capture state: append
-    the delta's captures and return :func:`recrawl_candidates` for
+    the delta's captures (stamped with ``epoch`` when the streaming
+    wrapper supplies one) and return :func:`recrawl_candidates` for
     exactly the urlkeys the delta TOUCHED — equal to the full-index
     recompute restricted to those keys (the incremental-state
     contract every dedup family here follows).
@@ -239,7 +270,7 @@ def ingest_captures_increment(
         )
         out = recrawl_candidates(all_caps).localCheckpoint(eager=True)
         writer = (
-            delta.select(*_STATE_COLS)
+            _stamp_epoch(delta, epoch)
             .write.mode("append")
             .bucketBy(n_buckets, "urlkey")
             .sortBy("urlkey", "ts")

@@ -1,6 +1,6 @@
 """Always-on crawl indexing: a streaming capture source feeding the
 bucketed CDX capture state (round 14 — the `streaming/substring.py`
-pattern applied to the URL index).
+pattern applied to the URL index; exactly-once since round 16).
 
 Each micro-batch runs one `sources/cdx.py::ingest_captures_increment`
 cycle: the delivery's captures append to the ``bucketBy(urlkey)``
@@ -8,30 +8,37 @@ state and the recrawl decisions for the touched urlkeys land in a
 per-epoch decision partition — the continuously-updated scheduling
 signal a live crawler consumes.
 
-Idempotence against foreachBatch's at-least-once retries: the capture
-state has no natural ascending-id watermark (captures arrive in any
-timestamp order), so the wrapper records the last APPLIED epoch in a
-small sidecar (Hadoop-FS, the substring `_watermark` mechanism) and a
-SIDECAR-ACKNOWLEDGED epoch never re-appends captures (which would
-corrupt ``n_captures``).  Such a retried epoch is NOT a pure no-op,
-though: the state already carries that delta (the sidecar is written
-only after the append), so the retry recomputes the recrawl
-decisions FROM THE STATE restricted to the delivery's touched
-urlkeys — identical to what the original call produced — and
-rewrites the epoch's decision partition (an idempotent
-dynamic-partition overwrite).  That closes the sidecar→decisions
-crash window (r14 advice): a crash between the sidecar write and
-the decisions write no longer loses the epoch's scheduling signal.
-The state-append→sidecar window REMAINS the documented at-least-once
-boundary (same as `streaming/embedding.py`): a crash after the
-append lands but before the sidecar write makes the retry re-append
-that delta — captures have no natural ascending-id watermark to
-dedupe on, so exactly-once here would need an atomic
-state+watermark commit the parquet state does not provide.
+Idempotence against foreachBatch's at-least-once retries — the full
+story (r16 closes the last window, the r15 verdict's ask 3):
+
+* every appended capture is STAMPED with its foreachBatch epoch
+  (`sources/cdx.py::_stamp_epoch` — an internal bigint column readers
+  never project), so "did this epoch's append land?" is a cheap
+  stats-pruned probe (`epoch_in_state`), not a guess;
+* the wrapper still records the last FULLY-APPLIED epoch in a small
+  sidecar (Hadoop-FS, the substring ``_watermark`` mechanism),
+  written only after the append;
+* a retry with ``epoch == applied`` (crash between the sidecar write
+  and the decisions write) recomputes the decisions FROM THE STATE
+  restricted to the delivery's urlkeys — the state already carries
+  exactly this delta and nothing later, because Structured Streaming
+  replays only the LAST batch, so the recompute equals the original
+  output — and re-lands the epoch's decision partition (idempotent
+  dynamic-partition overwrite);
+* a retry with ``epoch > applied`` but the epoch ALREADY stamped in
+  the state (crash between the state append and the sidecar write —
+  the window r15 documented as open) SKIPS the re-append, writes the
+  sidecar, and recomputes the decisions exactly as above.  No
+  duplicate captures, no corrupted ``n_captures``;
+* an ``epoch < applied`` redelivery is a pure NO-OP: its sidecar
+  advance happened only after its decisions landed, so nothing can
+  be missing (r15 advice — older epochs must not be rewritten from
+  NEWER state).
 
 Stream == batch: N micro-batches produce the same decision outputs as
 N `ingest_captures_increment` calls with the same deliveries in the
-same order (pinned by the pytest twin).
+same order (pinned by the pytest twin; the crash windows are each
+simulated in `tests/test_streaming_cdx.py`).
 """
 
 from __future__ import annotations
@@ -51,46 +58,59 @@ def cdx_batch_handler(
     decisions_path: str,
     n_buckets: int = 64,
 ):
-    """The foreachBatch handler (exposed for the retry-noop test):
+    """The foreachBatch handler (exposed for the crash-window tests):
     one `ingest_captures_increment` cycle per micro-batch, guarded by
-    the applied-epoch sidecar."""
+    the epoch stamp in the state plus the applied-epoch sidecar."""
     from pyspark.sql import functions as F
 
     from minerva_etl_spark.fsutil import fs_read_small, fs_write_small
     from minerva_etl_spark.sources.cdx import (
+        epoch_in_state,
         ingest_captures_increment,
         recrawl_candidates,
     )
+
+    def recompute_from_state(spark, batch_df: DataFrame) -> DataFrame:
+        # the state already carries this epoch's delta and nothing
+        # later (last-batch-only replay), so restricting the full
+        # recompute to the delivery's urlkeys equals the original
+        spark.sql(f"REFRESH TABLE {table_name}")
+        keys = batch_df.select("urlkey").distinct()
+        return recrawl_candidates(
+            spark.table(table_name).join(F.broadcast(keys), "urlkey")
+        )
 
     def on_batch(batch_df: DataFrame, epoch: int) -> None:
         if not batch_df.take(1):  # empty trigger: no state mutation
             return
         spark = batch_df.sparkSession
+        epoch = int(epoch)
         applied = fs_read_small(spark, _epoch_path(state_path))
-        if applied is not None and int(epoch) <= int(applied.strip()):
-            # Retried epoch: the state already carries this delta
-            # (the sidecar lands only after the append), so the
-            # decisions recompute from the state alone — restricted
-            # to the delivery's urlkeys this equals the original
-            # output — and the partition write below re-lands it.
-            spark.sql(f"REFRESH TABLE {table_name}")
-            keys = batch_df.select("urlkey").distinct()
-            out = recrawl_candidates(
-                spark.table(table_name).join(
-                    F.broadcast(keys), "urlkey"
-                )
-            )
+        applied = None if applied is None else int(applied.strip())
+        if applied is not None and epoch < applied:
+            # this epoch fully committed long ago (its sidecar
+            # advance implies its decisions landed) — rewriting now
+            # would inject NEWER state into an old partition
+            return
+        if applied is not None and epoch == applied:
+            # crash was between the sidecar write and the decisions
+            # write: re-land the decisions only
+            out = recompute_from_state(spark, batch_df)
+        elif epoch_in_state(spark, table_name, epoch):
+            # crash was between the state append and the sidecar
+            # write: the delta is already in the state — re-appending
+            # would duplicate captures.  Acknowledge, then re-land.
+            fs_write_small(spark, _epoch_path(state_path), str(epoch))
+            out = recompute_from_state(spark, batch_df)
         else:
             out = ingest_captures_increment(
                 spark, batch_df, table_name,
-                n_buckets=n_buckets, path=state_path,
+                n_buckets=n_buckets, path=state_path, epoch=epoch,
             )
-            fs_write_small(
-                spark, _epoch_path(state_path), str(int(epoch))
-            )
+            fs_write_small(spark, _epoch_path(state_path), str(epoch))
         (
             out.withColumn(
-                "batch_id", F.lit(int(epoch)).cast("bigint")
+                "batch_id", F.lit(epoch).cast("bigint")
             )
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

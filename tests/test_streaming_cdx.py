@@ -156,3 +156,83 @@ def test_retried_epoch_is_a_noop(spark, tmp_path):
         assert spark.table(tbl).count() == n_state + 1
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_crash_between_append_and_sidecar_is_exactly_once(
+    spark, tmp_path
+):
+    """THE r15 at-least-once window (the r15 verdict's ask 3): a
+    crash after the state append but before the sidecar write.  The
+    epoch stamp in the state lets the retry detect the landed append
+    and skip it — no duplicate captures, no corrupted n_captures —
+    while still landing the epoch's decisions and sidecar."""
+    from minerva_etl_spark.sources.cdx import (
+        build_capture_state,
+        ingest_captures_increment,
+    )
+    from minerva_etl_spark.streaming.cdx import (
+        _epoch_path,
+        cdx_batch_handler,
+    )
+    from minerva_etl_spark.fsutil import fs_read_small
+
+    d1, d2 = _fixture(spark)
+    tbl = f"cdxs_crash_{uuid.uuid4().hex[:8]}"
+    state = str(tmp_path / "state")
+    decisions = str(tmp_path / "decisions")
+    try:
+        build_capture_state(spark, d1, tbl, n_buckets=4, path=state)
+        handler = cdx_batch_handler(tbl, state, decisions, n_buckets=4)
+        handler(d2, 1)
+        n_state = spark.table(tbl).count()
+
+        # ---- simulate the crash: epoch 2's append lands (stamped),
+        # but the process dies before sidecar AND decisions write
+        d3 = _caps(spark, [
+            ("test,a)/x", "https://a.test/x", "2026-02-05 00:00:00",
+             200, "d1c"),
+            ("test,b)/y", "https://b.test/y", "2026-02-05 01:00:00",
+             200, "d2"),
+        ])
+        ingest_captures_increment(
+            spark, d3, tbl, n_buckets=4, path=state, epoch=2
+        )
+        spark.sql(f"REFRESH TABLE {tbl}")
+        assert spark.table(tbl).count() == n_state + 2
+        assert fs_read_small(spark, _epoch_path(state)).strip() == "1"
+
+        # ---- the retry: must NOT re-append (exactly-once), must
+        # advance the sidecar, must land epoch 2's decisions
+        handler(d3, 2)
+        spark.sql(f"REFRESH TABLE {tbl}")
+        assert spark.table(tbl).count() == n_state + 2  # no dupes
+        assert fs_read_small(spark, _epoch_path(state)).strip() == "2"
+        got = {
+            (r.urlkey, r.n_captures, r.changed)
+            for r in spark.read.parquet(decisions)
+            .filter("batch_id = 2").collect()
+        }
+        # a)/x: 3 captures (d1, d1b, d1c) with digest churn on the
+        # last step; b)/y: 2 captures, unchanged digest
+        assert got == {("test,a)/x", 3, True), ("test,b)/y", 2, False)}
+        # n_captures stayed honest THROUGH the crash+retry: a
+        # re-append would have read 4 here
+        assert (
+            spark.table(tbl).filter("urlkey = 'test,a)/x'").count() == 3
+        )
+
+        # ---- an OLDER-epoch redelivery is a pure no-op (r15
+        # advice): it must not rewrite its partition from newer state
+        import shutil
+
+        shutil.rmtree(str(tmp_path / "decisions" / "batch_id=1"))
+        handler(d2, 1)
+        spark.sql(f"REFRESH TABLE {tbl}")
+        assert spark.table(tbl).count() == n_state + 2
+        assert fs_read_small(spark, _epoch_path(state)).strip() == "2"
+        assert (
+            spark.read.parquet(decisions)
+            .filter("batch_id = 1").count() == 0
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
