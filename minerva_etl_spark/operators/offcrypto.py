@@ -37,6 +37,13 @@ published default-password schemes and nothing key-escrow-ish:
   ``InterfaceHdr``-class records and ``BoundSheet8.lbPlyPos`` stay
   plaintext; everything else XORs against the block keystream at its
   absolute stream offset).
+* **RC4 CryptoAPI** (§2.3.5 — Office XP/2003, r16): the same
+  block-rekeyed RC4 transport with SHA-1 key derivation
+  (``SHA1(H0 ‖ LE32(block))``, the 40-bit zero-pad-to-16 export
+  rule) and a CryptoAPI ``EncryptionHeader``; FilePass version
+  2/3/4.2 for .xls (1024-byte blocks, same byte map) and the
+  table-stream header form for .doc (512-byte blocks, lKey = header
+  size, Data stream encrypted in its entirety).
 
 Both directions ship: ``encrypt_*`` exists so tests and the gate can
 plant bit-deterministic encrypted fixtures with the same machinery
@@ -45,9 +52,8 @@ round-trips are self-proving.  XOR obfuscation (MS-OFFCRYPTO §2.3.7)
 is detected (``FilePass.wEncryptionType = 0``) but NOT decrypted —
 its key setup needs the spec's ``InitialCode``/``XorMatrix`` constant
 tables, which this clean-room module does not carry; those files stay
-an honest ``locked`` census tag.  CryptoAPI RC4 (FilePass version
-≥ 2) and non-AES agile parameter sets likewise verify-reject with
-named errors.
+an honest ``locked`` census tag.  Non-AES agile parameter sets
+likewise verify-reject with named errors.
 
 AES is implemented here because the container ships no crypto
 libraries: FIPS-197 with the S-box/GF(2⁸) tables *generated* from the
@@ -89,9 +95,11 @@ __all__ = [
     "decrypt_ooxml",
     "ooxml_encryption_scheme",
     "encrypt_xls_rc4",
+    "encrypt_xls_rc4_cryptoapi",
     "decrypt_xls_rc4",
     "xls_encryption_type",
     "encrypt_doc_rc4",
+    "encrypt_doc_rc4_cryptoapi",
     "decrypt_doc_rc4",
     "doc_encryption_type",
 ]
@@ -777,17 +785,26 @@ def _std97_block_key(key_base: bytes, block: int) -> bytes:
     return hashlib.md5(key_base + struct.pack("<I", block)).digest()[:16]
 
 
+def _rc4_block_keystream(
+    block_key, n_bytes: int, block_size: int = _RC4_BLOCK
+) -> bytes:
+    """Concatenated per-block RC4 keystreams covering the first
+    ``n_bytes`` stream positions (each block starts a fresh cipher
+    keyed by ``block_key(block_index)``).  Excel rekeys every 1024
+    bytes, Word every 512 — in BOTH the Office-97 (MD5) and
+    CryptoAPI (SHA-1) derivations; only the key function differs."""
+    out = []
+    for block in range((n_bytes + block_size - 1) // block_size):
+        out.append(rc4_crypt(block_key(block), b"\x00" * block_size))
+    return b"".join(out)[:n_bytes]
+
+
 def _std97_keystream(
     key_base: bytes, n_bytes: int, block_size: int = _RC4_BLOCK
 ) -> bytes:
-    """Concatenated per-block RC4 keystreams covering the first
-    ``n_bytes`` stream positions (each block starts a fresh cipher).
-    Excel rekeys every 1024 bytes, Word every 512."""
-    out = []
-    for block in range((n_bytes + block_size - 1) // block_size):
-        key = _std97_block_key(key_base, block)
-        out.append(rc4_crypt(key, b"\x00" * block_size))
-    return b"".join(out)[:n_bytes]
+    return _rc4_block_keystream(
+        lambda b: _std97_block_key(key_base, b), n_bytes, block_size
+    )
 
 
 def _walk_biff(blob: bytes):
@@ -804,15 +821,15 @@ def _walk_biff(blob: bytes):
         pos += 4 + rlen
 
 
-def _apply_std97(blob: bytes, key_base: bytes) -> bytes:
+def _apply_biff_keystream(blob: bytes, keystream: bytes) -> bytes:
     """XOR the encryptable byte ranges of a Workbook stream against
-    the per-block keystream at their ABSOLUTE stream offsets (the
+    a per-block keystream at their ABSOLUTE stream offsets (the
     involution: encrypt == decrypt).  Plaintext stays: every record
     header, the §2.2.10 never-encrypted records, and
-    ``BoundSheet8.lbPlyPos`` (first 4 payload bytes)."""
-    ks = np.frombuffer(
-        _std97_keystream(key_base, len(blob)), dtype=np.uint8
-    )
+    ``BoundSheet8.lbPlyPos`` (first 4 payload bytes).  The byte map
+    is IDENTICAL for the Office-97 and CryptoAPI RC4 schemes — only
+    the keystream derivation differs."""
+    ks = np.frombuffer(keystream, dtype=np.uint8)
     out = np.frombuffer(blob, dtype=np.uint8).copy()
     mask = np.zeros(len(blob), dtype=bool)
     for rtype, pos, rlen in _walk_biff(blob):
@@ -824,6 +841,12 @@ def _apply_std97(blob: bytes, key_base: bytes) -> bytes:
         mask[start : pos + 4 + rlen] = True
     out[mask] ^= ks[mask]
     return out.tobytes()
+
+
+def _apply_std97(blob: bytes, key_base: bytes) -> bytes:
+    return _apply_biff_keystream(
+        blob, _std97_keystream(key_base, len(blob))
+    )
 
 
 @_malformed_to_valueerror
@@ -960,13 +983,17 @@ _FIB_F_OBFUSCATED = 0x8000
 
 
 def _xor_from(blob: bytes, key_base: bytes, start: int) -> bytes:
-    """XOR ``blob[start:]`` against the Word 512-block keystream at
-    ABSOLUTE stream offsets (vectorized); bytes before ``start`` pass
-    through untouched.  Involution: encrypt == decrypt."""
-    ks = np.frombuffer(
-        _std97_keystream(key_base, len(blob), _DOC_BLOCK),
-        dtype=np.uint8,
+    """XOR ``blob[start:]`` against the Word 512-block Office-97
+    keystream at ABSOLUTE stream offsets (vectorized); bytes before
+    ``start`` pass through untouched.  Involution: encrypt ==
+    decrypt."""
+    return _xor_from_ks(
+        blob, _std97_keystream(key_base, len(blob), _DOC_BLOCK), start
     )
+
+
+def _xor_from_ks(blob: bytes, keystream: bytes, start: int) -> bytes:
+    ks = np.frombuffer(keystream, dtype=np.uint8)
     out = np.frombuffer(blob, dtype=np.uint8).copy()
     out[start:] ^= ks[start:]
     return out.tobytes()
@@ -974,12 +1001,15 @@ def _xor_from(blob: bytes, key_base: bytes, start: int) -> bytes:
 
 @_malformed_to_valueerror
 def doc_encryption_type(payload: bytes) -> str | None:
-    """``'rc4' | 'xor' | None`` for a .doc payload, from the FibBase
-    flags (fEncrypted / fObfuscation) — no key work."""
+    """``'rc4' | 'rc4_cryptoapi' | 'xor' | None`` for a .doc
+    payload, from the FibBase flags (fEncrypted / fObfuscation) plus
+    the table-stream EncryptionVersionInfo (1.1 = Office-97 MD5,
+    ≥2.2 = CryptoAPI SHA-1) — no key work."""
     from minerva_etl_spark.operators.msdoc import _Cfb
 
+    cfb = _Cfb(payload)
     try:
-        wd = _Cfb(payload).read("WordDocument")
+        wd = cfb.read("WordDocument")
     except KeyError:
         return None
     if len(wd) < 0x10 or struct.unpack_from("<H", wd, 0)[0] != 0xA5EC:
@@ -987,7 +1017,16 @@ def doc_encryption_type(payload: bytes) -> str | None:
     (flags,) = struct.unpack_from("<H", wd, 0x0A)
     if not flags & _FIB_F_ENCRYPTED:
         return None
-    return "xor" if flags & _FIB_F_OBFUSCATED else "rc4"
+    if flags & _FIB_F_OBFUSCATED:
+        return "xor"
+    tbl_name = "1Table" if flags & _FIB_F_WHICH_TBL else "0Table"
+    try:
+        v_major = struct.unpack_from(
+            "<H", cfb.read(tbl_name), 0
+        )[0]
+    except KeyError:
+        return "rc4"
+    return "rc4" if v_major == 1 else "rc4_cryptoapi"
 
 
 def _doc_streams(payload: bytes):
@@ -1082,9 +1121,11 @@ def decrypt_doc_rc4(
 ) -> bytes:
     """RC4-encrypted Word-97 .doc → plaintext .doc bytes (flags
     cleared, EncryptionHeader dropped) ready for
-    `msdoc.doc_extract_text`.  :class:`WrongPasswordError` on
-    verifier mismatch; XOR obfuscation and CryptoAPI raise named
-    rejects."""
+    `msdoc.doc_extract_text`.  Handles BOTH published RC4 forms:
+    Office-97 (table-stream version 1.1, §2.3.6) and CryptoAPI
+    (version 2/3/4.2, §2.3.5 — Word XP/2003).
+    :class:`WrongPasswordError` on verifier mismatch; XOR
+    obfuscation raises a named reject."""
     cfb, wd, flags, tbl_name = _doc_streams(payload)
     if flags & _FIB_F_OBFUSCATED:
         raise ValueError(
@@ -1095,34 +1136,54 @@ def decrypt_doc_rc4(
         raise ValueError("document is not encrypted (no fEncrypted)")
     tbl = cfb.read(tbl_name)
     v_major, v_minor = struct.unpack_from("<HH", tbl, 0)
-    if (v_major, v_minor) != (1, 1):
+    if (v_major, v_minor) == (1, 1):
+        salt = tbl[4:20]
+        enc_verifier = tbl[20:36]
+        enc_vhash = tbl[36:52]
+        key_base = _std97_key_base(password, salt)
+        key0 = _std97_block_key(key_base, 0)
+        plain = rc4_crypt(key0, enc_verifier + enc_vhash)
+        if hashlib.md5(plain[:16]).digest() != plain[16:]:
+            raise WrongPasswordError(
+                "RC4 verifier mismatch — not the given password"
+            )
+
+        def ks(blob: bytes) -> bytes:
+            return _std97_keystream(key_base, len(blob), _DOC_BLOCK)
+
+        hdr_len = _DOC_HDR_LEN
+    elif v_major in (2, 3, 4) and v_minor == 2:
+        salt, key_bits = _parse_cryptoapi_header(tbl, 4, password)
+        h0 = _cryptoapi_h0(password, salt)
+
+        def ks(blob: bytes) -> bytes:
+            return _rc4_block_keystream(
+                lambda b: _cryptoapi_block_key(h0, b, key_bits),
+                len(blob), _DOC_BLOCK,
+            )
+
+        # the full header structure: version(4) + flags(4) + size(4)
+        # + header + verifier(60)
+        hdr_len = 12 + struct.unpack_from("<I", tbl, 8)[0] + 60
+    else:
         raise ValueError(
-            f"CryptoAPI RC4 encryption ({v_major}.{v_minor}) — "
-            "unsupported, tagged locked"
-        )
-    salt = tbl[4:20]
-    enc_verifier = tbl[20:36]
-    enc_vhash = tbl[36:52]
-    key_base = _std97_key_base(password, salt)
-    key0 = _std97_block_key(key_base, 0)
-    plain = rc4_crypt(key0, enc_verifier + enc_vhash)
-    if hashlib.md5(plain[:16]).digest() != plain[16:]:
-        raise WrongPasswordError(
-            "RC4 verifier mismatch — not the given password"
+            f"unknown .doc RC4 version {v_major}.{v_minor}"
         )
     new_wd = bytearray(
-        _xor_from(wd, key_base, _DOC_PLAIN_HEAD)
+        _xor_from_ks(wd, ks(wd), _DOC_PLAIN_HEAD)
     )
     struct.pack_into(
         "<H", new_wd, 0x0A, flags & ~_FIB_F_ENCRYPTED
     )
     struct.pack_into("<I", new_wd, 0x0E, 0)  # lKey
-    new_tbl = _xor_from(tbl, key_base, _DOC_HDR_LEN)[_DOC_HDR_LEN:]
-    return _rebuild_cfb_doc(
-        payload,
-        {"WordDocument": bytes(new_wd), tbl_name: new_tbl,
-         **_doc_data_crypt(cfb, key_base)},
-    )
+    new_tbl = _xor_from_ks(tbl, ks(tbl), hdr_len)[hdr_len:]
+    repl = {"WordDocument": bytes(new_wd), tbl_name: new_tbl}
+    try:
+        data = cfb.read("Data")
+        repl["Data"] = _xor_from_ks(data, ks(data), 0)
+    except KeyError:
+        pass
+    return _rebuild_cfb_doc(payload, repl)
 
 
 @_malformed_to_valueerror
@@ -1131,8 +1192,11 @@ def decrypt_xls_rc4(
 ) -> bytes:
     """RC4-encrypted BIFF8 .xls → plaintext .xls bytes (FilePass
     removed, sheet offsets restored) ready for `xls.xls_extract_text`.
-    :class:`WrongPasswordError` on verifier mismatch; XOR obfuscation
-    and CryptoAPI RC4 raise named ``ValueError`` rejects."""
+    Handles BOTH published RC4 forms: Office-97 (FilePass version
+    1.1, MD5 derivation, §2.3.6) and CryptoAPI (version 2/3/4.2,
+    SHA-1 derivation with the 40-bit zero-pad rule, §2.3.5 — what
+    Excel XP/2003 writes).  :class:`WrongPasswordError` on verifier
+    mismatch; XOR obfuscation raises a named ``ValueError`` reject."""
     from minerva_etl_spark.operators.msdoc import _Cfb
 
     cfb = _Cfb(payload)
@@ -1162,24 +1226,241 @@ def decrypt_xls_rc4(
             "tagged locked"
         )
     v_major, v_minor = struct.unpack_from("<HH", blob, pos + 6)
-    if (v_major, v_minor) != (1, 1):
+    if (v_major, v_minor) == (1, 1):
+        salt = blob[pos + 10 : pos + 26]
+        enc_verifier = blob[pos + 26 : pos + 42]
+        enc_vhash = blob[pos + 42 : pos + 58]
+        key_base = _std97_key_base(password, salt)
+        key0 = _std97_block_key(key_base, 0)
+        plain = rc4_crypt(key0, enc_verifier + enc_vhash)
+        if hashlib.md5(plain[:16]).digest() != plain[16:]:
+            raise WrongPasswordError(
+                "RC4 verifier mismatch — not the default password"
+            )
+        keystream = _std97_keystream(key_base, len(blob))
+    elif v_major in (2, 3, 4) and v_minor == 2:
+        salt, key_bits = _parse_cryptoapi_header(
+            blob, pos + 10, password
+        )
+        h0 = _cryptoapi_h0(password, salt)
+        keystream = _rc4_block_keystream(
+            lambda b: _cryptoapi_block_key(h0, b, key_bits),
+            len(blob), _RC4_BLOCK,
+        )
+    else:
         raise ValueError(
-            f"CryptoAPI RC4 encryption ({v_major}.{v_minor}) — "
-            "unsupported, tagged locked"
+            f"unknown FilePass RC4 version {v_major}.{v_minor}"
         )
-    salt = blob[pos + 10 : pos + 26]
-    enc_verifier = blob[pos + 26 : pos + 42]
-    enc_vhash = blob[pos + 42 : pos + 58]
-    key_base = _std97_key_base(password, salt)
-    key0 = _std97_block_key(key_base, 0)
-    plain = rc4_crypt(key0, enc_verifier + enc_vhash)
-    if hashlib.md5(plain[:16]).digest() != plain[16:]:
-        raise WrongPasswordError(
-            "RC4 verifier mismatch — not the default password"
-        )
-    decrypted = bytearray(_apply_std97(blob, key_base))
+    decrypted = bytearray(_apply_biff_keystream(blob, keystream))
     # drop FilePass, restore the sheet offsets it displaced
     total = 4 + rlen
     del decrypted[pos : pos + total]
     _fixup_boundsheets(decrypted, -total, pos)
     return _rebuild_cfb_with_workbook(payload, bytes(decrypted))
+
+
+# =====================================================================
+# RC4 CryptoAPI (MS-OFFCRYPTO §2.3.5) — Office XP/2003
+# =====================================================================
+# The second-generation binary-document RC4 scheme: the same
+# block-rekeyed RC4 transport as Office 97 but with SHA-1 key
+# derivation (§2.3.5.2) and a CryptoAPI EncryptionHeader carrying the
+# algorithm/key-size declaration.  Excel stores it in FilePass with
+# EncryptionVersionInfo 2/3/4.2 (1024-byte rekey blocks, the same
+# §2.2.10 record-aware byte map); Word stores the header at offset 0
+# of the table stream with lKey = its size (512-byte rekey blocks,
+# FibBase plaintext, Data stream encrypted in its entirety).  Under
+# the VelvetSweatshop convention this is the Office XP/2003 slice of
+# a default-password corpus — the largest still-locked class before
+# r16.
+#
+# Key derivation (§2.3.5.2): H0 = SHA1(salt ‖ UTF-16LE(password));
+# per block Hb = SHA1(H0 ‖ LE32(block)); key = Hb[:keyBits/8] —
+# EXCEPT 40-bit keys, which zero-pad to 16 bytes (the export-grade
+# CSP convention the spec mandates).  Verifier (§2.3.5.6): ONE
+# continuous block-0 RC4 stream over EncryptedVerifier ‖
+# EncryptedVerifierHash, then SHA1(verifier) == hash.
+
+_ALG_RC4 = 0x6801
+_CSP_RC4 = "Microsoft Enhanced Cryptographic Provider v1.0"
+
+
+@functools.lru_cache(maxsize=1024)
+def _cryptoapi_h0(password: str, salt: bytes) -> bytes:
+    return hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+
+
+def _cryptoapi_block_key(h0: bytes, block: int, key_bits: int) -> bytes:
+    h = hashlib.sha1(h0 + struct.pack("<I", block)).digest()
+    if key_bits == 40:
+        return h[:5] + b"\x00" * 11
+    return h[: key_bits // 8]
+
+
+def _parse_cryptoapi_header(
+    blob: bytes, off: int, password: str
+) -> tuple[bytes, int]:
+    """Parse ``EncryptionHeaderFlags + EncryptionHeaderSize +
+    EncryptionHeader + EncryptionVerifier`` at ``off`` (§2.3.5.1),
+    validate RC4/SHA-1, and VERIFY the password — returns (salt,
+    key_bits) or raises :class:`WrongPasswordError` / ``ValueError``
+    (named rejects, before any payload work)."""
+    hdr_size = struct.unpack_from("<I", blob, off + 4)[0]
+    hdr = blob[off + 8 : off + 8 + hdr_size]
+    alg_id, alg_hash, key_size = struct.unpack_from("<III", hdr, 8)
+    if alg_id != _ALG_RC4:
+        raise ValueError(
+            f"unsupported CryptoAPI AlgID 0x{alg_id:04X} (not RC4)"
+        )
+    if alg_hash != _ALG_SHA1:
+        raise ValueError(
+            f"unsupported CryptoAPI AlgIDHash 0x{alg_hash:04X}"
+        )
+    key_bits = key_size or 40  # KeySize 0 means 40-bit (§2.3.5.1)
+    if key_bits % 8 or not 40 <= key_bits <= 128:
+        raise ValueError(f"unsupported RC4 key size {key_bits}")
+    v = off + 8 + hdr_size
+    (salt_size,) = struct.unpack_from("<I", blob, v)
+    if salt_size != 16:
+        raise ValueError(f"unsupported salt size {salt_size}")
+    salt = blob[v + 4 : v + 20]
+    enc_verifier = blob[v + 20 : v + 36]
+    (vhash_size,) = struct.unpack_from("<I", blob, v + 36)
+    if vhash_size != 20:
+        raise ValueError(
+            f"unsupported verifier hash size {vhash_size}"
+        )
+    enc_vhash = blob[v + 40 : v + 60]
+    if len(enc_vhash) != 20:
+        raise ValueError("truncated CryptoAPI EncryptionVerifier")
+    h0 = _cryptoapi_h0(password, salt)
+    key0 = _cryptoapi_block_key(h0, 0, key_bits)
+    plain = rc4_crypt(key0, enc_verifier + enc_vhash)
+    if hashlib.sha1(plain[:16]).digest() != plain[16:36]:
+        raise WrongPasswordError(
+            "CryptoAPI RC4 verifier mismatch — not the given password"
+        )
+    return salt, key_bits
+
+
+def _build_cryptoapi_header(
+    password: str, seed: bytes, key_bits: int
+) -> bytes:
+    """EncryptionVersionInfo(2.2) + flags + size + EncryptionHeader +
+    EncryptionVerifier — the writer twin of
+    :func:`_parse_cryptoapi_header` (deterministic via ``seed``)."""
+    if key_bits % 8 or not 40 <= key_bits <= 128:
+        raise ValueError(f"unsupported RC4 key size {key_bits}")
+    salt = hashlib.md5(seed + b"salt").digest()
+    verifier = hashlib.md5(seed + b"verifier").digest()
+    h0 = _cryptoapi_h0(password, salt)
+    key0 = _cryptoapi_block_key(h0, 0, key_bits)
+    enc = rc4_crypt(
+        key0, verifier + hashlib.sha1(verifier).digest()
+    )
+    csp = _CSP_RC4.encode("utf-16-le") + b"\x00\x00"
+    flags = 0x04  # fCryptoAPI
+    header = struct.pack(
+        "<8I", flags, 0, _ALG_RC4, _ALG_SHA1,
+        0 if key_bits == 40 else key_bits, 1, 0, 0
+    ) + csp
+    verifier_struct = (
+        struct.pack("<I", 16) + salt + enc[:16]
+        + struct.pack("<I", 20) + enc[16:36]
+    )
+    return (
+        struct.pack("<HH", 2, 2)
+        + struct.pack("<II", flags, len(header))
+        + header
+        + verifier_struct
+    )
+
+
+def encrypt_xls_rc4_cryptoapi(
+    payload: bytes,
+    password: str = DEFAULT_PASSWORD,
+    seed: bytes | None = None,
+    key_bits: int = 128,
+) -> bytes:
+    """Encrypt a plaintext BIFF8 .xls with the RC4 CryptoAPI scheme
+    (FilePass version 2.2 — what Excel XP/2003 writes): the CryptoAPI
+    header lands in FilePass after the globals BOF, sheet offsets fix
+    up, and the §2.2.10 byte map XORs against the SHA-1-derived
+    1024-byte-block keystream.  Deterministic via ``seed``."""
+    from minerva_etl_spark.operators.msdoc import _Cfb
+
+    cfb = _Cfb(payload)
+    blob = None
+    for name in ("Workbook", "Book"):
+        try:
+            blob = cfb.read(name)
+            break
+        except KeyError:
+            continue
+    if blob is None:
+        raise ValueError("not an .xls (no Workbook/Book stream)")
+    recs = list(_walk_biff(blob))
+    if not recs or recs[0][0] != _R_BOF:
+        raise ValueError("Workbook stream without a leading BOF")
+    if any(r[0] == _R_FILEPASS for r in recs):
+        raise ValueError("workbook is already encrypted (FilePass)")
+    seed = seed or hashlib.sha1(b"xlsca-fixture" + payload).digest()
+    body = _build_cryptoapi_header(password, seed, key_bits)
+    filepass = (
+        struct.pack("<HHH", _R_FILEPASS, len(body) + 2, 1) + body
+    )
+    salt = hashlib.md5(seed + b"salt").digest()
+    h0 = _cryptoapi_h0(password, salt)
+    bof_end = recs[0][1] + 4 + recs[0][2]
+    out = bytearray(blob[:bof_end] + filepass + blob[bof_end:])
+    _fixup_boundsheets(out, len(filepass), bof_end)
+    keystream = _rc4_block_keystream(
+        lambda b: _cryptoapi_block_key(h0, b, key_bits),
+        len(out), _RC4_BLOCK,
+    )
+    return _rebuild_cfb_with_workbook(
+        payload, _apply_biff_keystream(bytes(out), keystream)
+    )
+
+
+def encrypt_doc_rc4_cryptoapi(
+    payload: bytes,
+    password: str = DEFAULT_PASSWORD,
+    seed: bytes | None = None,
+    key_bits: int = 128,
+) -> bytes:
+    """Encrypt a plaintext Word-97 .doc with the RC4 CryptoAPI
+    scheme (fEncrypted set, the CryptoAPI header at table-stream
+    offset 0, lKey = its size, 512-byte rekey blocks).
+    Deterministic via ``seed``."""
+    cfb, wd, flags, tbl_name = _doc_streams(payload)
+    if flags & _FIB_F_ENCRYPTED:
+        raise ValueError("document is already encrypted (fEncrypted)")
+    tbl = cfb.read(tbl_name)
+    seed = seed or hashlib.sha1(b"docca-fixture" + payload).digest()
+    header = _build_cryptoapi_header(password, seed, key_bits)
+    salt = hashlib.md5(seed + b"salt").digest()
+    h0 = _cryptoapi_h0(password, salt)
+
+    def ks(blob: bytes) -> bytes:
+        return _rc4_block_keystream(
+            lambda b: _cryptoapi_block_key(h0, b, key_bits),
+            len(blob), _DOC_BLOCK,
+        )
+
+    new_wd = bytearray(
+        _xor_from_ks(wd, ks(wd), _DOC_PLAIN_HEAD)
+    )
+    struct.pack_into("<H", new_wd, 0x0A, flags | _FIB_F_ENCRYPTED)
+    struct.pack_into("<I", new_wd, 0x0E, len(header))  # lKey
+    padded = header + tbl
+    new_tbl = header + _xor_from_ks(
+        padded, ks(padded), len(header)
+    )[len(header):]
+    repl = {"WordDocument": bytes(new_wd), tbl_name: new_tbl}
+    try:
+        data = cfb.read("Data")
+        repl["Data"] = _xor_from_ks(data, ks(data), 0)
+    except KeyError:
+        pass
+    return _rebuild_cfb_doc(payload, repl)

@@ -266,12 +266,15 @@ def office_decrypt_extract(
     * ``xls_rc4`` / ``doc_rc4`` — BIFF8 ``FilePass`` / Word-97
       ``fEncrypted`` Office-97 RC4 accepted; the payload decrypts
       and extracts as a plain .xls/.doc;
+    * ``xls_rc4_cryptoapi`` / ``doc_rc4_cryptoapi`` — the
+      second-generation RC4 scheme (MS-OFFCRYPTO §2.3.5, SHA-1
+      derivation — Office XP/2003) accepted the same way (r16);
     * ``locked`` — the payload is genuinely password-protected (the
       verifier rejected the password) or uses an unsupported scheme
-      (CryptoAPI RC4, XOR obfuscation, non-AES agile parameter
-      sets): format keeps the encrypted tag, title/text stay NULL —
-      the honest backlog row (NOT an error: a census must count
-      these, `format_census`-style).
+      (XOR obfuscation, non-AES agile parameter sets): format keeps
+      the encrypted tag, title/text stay NULL — the honest backlog
+      row (NOT an error: a census must count these,
+      `format_census`-style).
 
     A downstream census is one groupBy:
     ``office_decrypt_extract(df).groupBy("format", "encryption")``.
@@ -318,11 +321,13 @@ def office_decrypt_extract(
                             continue
                     elif (
                         fmt == "xls"
-                        and xls_encryption_type(payload) is not None
+                        and (
+                            scheme := xls_encryption_type(payload)
+                        ) is not None
                     ):
                         try:
                             payload = decrypt_xls_rc4(payload, password)
-                            enc = "xls_rc4"
+                            enc = f"xls_{scheme}"
                         except (WrongPasswordError, ValueError):
                             rows.append(
                                 (did, "xls", "locked", None, None,
@@ -345,11 +350,13 @@ def office_decrypt_extract(
                             continue
                     elif (
                         fmt == "doc"
-                        and doc_encryption_type(payload) is not None
+                        and (
+                            scheme := doc_encryption_type(payload)
+                        ) is not None
                     ):
                         try:
                             payload = decrypt_doc_rc4(payload, password)
-                            enc = "doc_rc4"
+                            enc = f"doc_{scheme}"
                         except (WrongPasswordError, ValueError):
                             rows.append(
                                 (did, "doc", "locked", None, None,

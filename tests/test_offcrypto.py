@@ -282,6 +282,131 @@ def test_doc_rc4_roundtrip():
         decrypt_doc_rc4(plain)
 
 
+def test_xls_rc4_cryptoapi_roundtrip():
+    """RC4 CryptoAPI (MS-OFFCRYPTO §2.3.5 — Excel XP/2003): SHA-1
+    block-key derivation, FilePass version 2.2, the same §2.2.10
+    byte map; multi-block workbooks plus the 40-bit export-grade
+    zero-pad rule."""
+    from minerva_etl_spark.operators.offcrypto import (
+        encrypt_xls_rc4_cryptoapi,
+    )
+    from minerva_etl_spark.operators.xls import (
+        synthesize_xls,
+        xls_extract_text,
+    )
+
+    sheets = [
+        ("Data", [[f"row {i} cell", str(7 * i + 1)] for i in range(30)]),
+        ("Notes", [[f"note {i}"] for i in range(10)]),
+    ]
+    plain = synthesize_xls(sheets, title="CT", author="CA")
+    enc = encrypt_xls_rc4_cryptoapi(plain)
+    assert xls_encryption_type(enc) == "rc4_cryptoapi"
+    dec = decrypt_xls_rc4(enc)
+    assert xls_extract_text(dec) == xls_extract_text(plain)
+    assert xls_extract_text(dec)["title"] == "CT"
+    assert encrypt_xls_rc4_cryptoapi(plain) == enc  # deterministic
+    with pytest.raises(WrongPasswordError):
+        decrypt_xls_rc4(enc, "wrong")
+    # the ciphertexts of the two RC4 generations must differ (the
+    # derivations are unrelated) yet both decrypt
+    assert enc != encrypt_xls_rc4(plain)
+    # 40-bit export grade: Hb[:5] zero-padded to a 16-byte RC4 key
+    enc40 = encrypt_xls_rc4_cryptoapi(plain, key_bits=40)
+    assert xls_encryption_type(enc40) == "rc4_cryptoapi"
+    assert xls_extract_text(decrypt_xls_rc4(enc40)) == (
+        xls_extract_text(plain)
+    )
+    with pytest.raises(WrongPasswordError):
+        decrypt_xls_rc4(enc40, "wrong")
+    with pytest.raises(ValueError, match="key size"):
+        encrypt_xls_rc4_cryptoapi(plain, key_bits=256)
+
+
+def test_doc_rc4_cryptoapi_roundtrip():
+    """Word XP/2003 RC4 CryptoAPI: the header at table-stream offset
+    0 (version 2.2), 512-byte rekey blocks, FibBase plaintext, and
+    the Data stream encrypted in its entirety."""
+    from minerva_etl_spark.operators.msdoc import (
+        _MINI_CUTOFF,
+        _build_cfb,
+        _Cfb,
+        doc_extract_text,
+        synthesize_doc,
+    )
+    from minerva_etl_spark.operators.offcrypto import (
+        decrypt_doc_rc4,
+        doc_encryption_type,
+        encrypt_doc_rc4_cryptoapi,
+    )
+
+    paras = [f"cryptoapi paragraph {i}" for i in range(30)]
+    base = synthesize_doc(paras, title="XT", author="XA")
+    cfb = _Cfb(base)
+    streams = [
+        (e["name"], cfb.read_entry(e))
+        for e in cfb.top_level()
+        if e["type"] == 2
+    ]
+    blob = b"FIELD-DATA-" * 64
+    streams.append(("Data", blob.ljust(_MINI_CUTOFF, b"\x00")))
+    plain = _build_cfb(streams)
+    enc = encrypt_doc_rc4_cryptoapi(plain)
+    assert doc_encryption_type(enc) == "rc4_cryptoapi"
+    assert _Cfb(enc).read("Data")[: len(blob)] != blob
+    dec = decrypt_doc_rc4(enc)
+    assert doc_extract_text(dec) == doc_extract_text(plain)
+    assert doc_extract_text(dec)["title"] == "XT"
+    assert _Cfb(dec).read("Data")[: len(blob)] == blob
+    assert encrypt_doc_rc4_cryptoapi(plain) == enc  # deterministic
+    with pytest.raises(WrongPasswordError):
+        decrypt_doc_rc4(enc, "wrong")
+    # the Office-97 census tag is unchanged by the new scheme
+    from minerva_etl_spark.operators.offcrypto import encrypt_doc_rc4
+
+    assert doc_encryption_type(encrypt_doc_rc4(plain)) == "rc4"
+
+
+def test_office_decrypt_cryptoapi_dispatch(spark):
+    """The dispatcher decrypts BOTH RC4 generations in-task with
+    distinct census tags, and a real-password CryptoAPI file stays a
+    locked row."""
+    from minerva_etl_spark.operators.msdoc import synthesize_doc
+    from minerva_etl_spark.operators.offcrypto import (
+        encrypt_doc_rc4_cryptoapi,
+        encrypt_xls_rc4_cryptoapi,
+    )
+    from minerva_etl_spark.operators.office import (
+        office_decrypt_extract,
+    )
+    from minerva_etl_spark.operators.xls import synthesize_xls
+
+    rows = [
+        (1, encrypt_xls_rc4_cryptoapi(
+            synthesize_xls([("S", [["modern", "9"]])], title="M"))),
+        (2, encrypt_doc_rc4_cryptoapi(
+            synthesize_doc(["xp era body"], title="X"))),
+        (3, encrypt_xls_rc4(
+            synthesize_xls([("S", [["legacy", "5"]])], title="L"))),
+        (4, encrypt_xls_rc4_cryptoapi(
+            synthesize_xls([("S", [["sealed"]])]),
+            password="real-secret")),
+    ]
+    got = {
+        r.doc_id: r
+        for r in office_decrypt_extract(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        ).collect()
+    }
+    assert (got[1].format, got[1].encryption, got[1].text) == (
+        "xls", "xls_rc4_cryptoapi", "S\nmodern\t9")
+    assert (got[2].format, got[2].encryption, got[2].text) == (
+        "doc", "doc_rc4_cryptoapi", "xp era body")
+    assert (got[3].format, got[3].encryption) == ("xls", "xls_rc4")
+    assert (got[4].format, got[4].encryption, got[4].text) == (
+        "xls", "locked", None)
+
+
 def test_office_decrypt_doc_leg(spark):
     from minerva_etl_spark.operators.msdoc import synthesize_doc
     from minerva_etl_spark.operators.offcrypto import encrypt_doc_rc4
