@@ -45,15 +45,20 @@ published default-password schemes and nothing key-escrow-ish:
   table-stream header form for .doc (512-byte blocks, lKey = header
   size, Data stream encrypted in its entirety).
 
+* **XLS XOR obfuscation "Method 1"** (§2.3.7, r16): the oldest
+  Excel protection (``FilePass.wEncryptionType = 0``) — the
+  published ``InitialCode``/``XorMatrix`` polynomial tables, the
+  15-bit rotate-fold verifier (pinned against the published example
+  hashes), the 16-byte obfuscation array, and the per-record
+  rotate-XOR transform keyed off each record's end offset.
+
 Both directions ship: ``encrypt_*`` exists so tests and the gate can
 plant bit-deterministic encrypted fixtures with the same machinery
 the decryptor inverts (no fixture can be right by accident), and so
-round-trips are self-proving.  XOR obfuscation (MS-OFFCRYPTO §2.3.7)
-is detected (``FilePass.wEncryptionType = 0``) but NOT decrypted —
-its key setup needs the spec's ``InitialCode``/``XorMatrix`` constant
-tables, which this clean-room module does not carry; those files stay
-an honest ``locked`` census tag.  Non-AES agile parameter sets
-likewise verify-reject with named errors.
+round-trips are self-proving.  Word's XOR obfuscation variant (the
+fObfuscation FIB flag) remains a named ``locked`` reject — it shares
+Method 1's key derivation but transforms bytes differently; non-AES
+agile parameter sets likewise verify-reject with named errors.
 
 AES is implemented here because the container ships no crypto
 libraries: FIPS-197 with the S-box/GF(2⁸) tables *generated* from the
@@ -96,7 +101,11 @@ __all__ = [
     "ooxml_encryption_scheme",
     "encrypt_xls_rc4",
     "encrypt_xls_rc4_cryptoapi",
+    "encrypt_xls_xor",
     "decrypt_xls_rc4",
+    "decrypt_xls_xor",
+    "xls_xor_key",
+    "xls_xor_verifier",
     "xls_encryption_type",
     "encrypt_doc_rc4",
     "encrypt_doc_rc4_cryptoapi",
@@ -1129,8 +1138,8 @@ def decrypt_doc_rc4(
     cfb, wd, flags, tbl_name = _doc_streams(payload)
     if flags & _FIB_F_OBFUSCATED:
         raise ValueError(
-            "XOR obfuscation (Method 1) — key tables not carried; "
-            "tagged locked"
+            "Word XOR obfuscation — Method 1 keys but a different "
+            "byte transform; unsupported, tagged locked"
         )
     if not flags & _FIB_F_ENCRYPTED:
         raise ValueError("document is not encrypted (no fEncrypted)")
@@ -1222,8 +1231,7 @@ def decrypt_xls_rc4(
     (enc_type,) = struct.unpack_from("<H", blob, pos + 4)
     if enc_type == 0:
         raise ValueError(
-            "XOR obfuscation (Method 1) — key tables not carried; "
-            "tagged locked"
+            "XOR obfuscation (Method 1) — use decrypt_xls_xor"
         )
     v_major, v_minor = struct.unpack_from("<HH", blob, pos + 6)
     if (v_major, v_minor) == (1, 1):
@@ -1464,3 +1472,244 @@ def encrypt_doc_rc4_cryptoapi(
     except KeyError:
         pass
     return _rebuild_cfb_doc(payload, repl)
+
+
+# =====================================================================
+# XLS XOR obfuscation "Method 1" (MS-OFFCRYPTO §2.3.7)
+# =====================================================================
+# The oldest Excel protection (BIFF FilePass ``wEncryptionType = 0``)
+# and the most common one on legacy .xls corpora.  All constants are
+# from the PUBLISHED MS-OFFCRYPTO §2.3.7.1 specification — public
+# knowledge in exactly the way the FIPS-197 S-box is:
+#
+# * the 16-bit obfuscation key is a GF(2) polynomial checksum of the
+#   password: ``InitialCode[len-1]`` XOR the carry-less product of
+#   each password byte with its position's ``XorMatrix`` seed,
+#   modulo x¹⁶+x¹²+x⁵+1 (CRC-CCITT's 0x1021).  The spec prints the
+#   matrix as 105 literal words = 15 seeds × 7 successive doublings;
+#   generating them from the doubling identity reproduces the
+#   published table bit-for-bit (pytest pins published literals AND
+#   the structure);
+# * the password verifier (§2.3.7.1 CreatePasswordVerifier_Method1)
+#   is the same 15-bit rotate-fold Excel uses for sheet protection —
+#   pinned against the published example values
+#   (``password`` → 0x83AF, ``abcdefghij`` → 0xFEF1);
+# * the 16-byte obfuscation array (§2.3.7.2): position i carries
+#   ``XorRor(source[i], keybyte)`` where source is the password
+#   padded by the published PadArray, keybyte alternates the key's
+#   low/high byte by position parity, and ``XorRor(a, b)`` is
+#   XOR-then-rotate-right-1;
+# * data transformation (§2.3.7.3–2.3.7.5, MS-XLS §2.2.10): per
+#   record, byte j of the record data XORs against
+#   ``array[(recordEnd + j) mod 16]`` with an 8-bit rotation —
+#   encrypt = ``rol(p ^ k, 5)``, decrypt = ``rol(c, 3) ^ k`` — and
+#   the same never-encrypted record map as the RC4 schemes.
+#
+# There is no salt anywhere: the whole scheme is a pure function of
+# the password, so fixtures are deterministic by construction.
+
+_XOR_INITIAL_CODE = (
+    0xE1F0, 0x1D0F, 0xCC9C, 0x84C0, 0x110C, 0x0E10, 0xF1CE, 0x313E,
+    0x1872, 0xE139, 0xD40F, 0x84F9, 0x280C, 0xA96A, 0x4EC3,
+)
+#: the published 105-word XorMatrix = these 15 seeds, each doubled 6
+#: times modulo the 0x1021 polynomial (§2.3.7.1 prints the expansion)
+_XOR_MATRIX_SEEDS = (
+    0xAEFC, 0x7B61, 0x4563, 0x0375, 0xD849, 0x6F45, 0xEB23, 0x47D3,
+    0xB861, 0x45A0, 0xAA51, 0x76B4, 0x3730, 0x3331, 0x1021,
+)
+_XOR_PAD = (
+    0xBB, 0xFF, 0xFF, 0xBA, 0xFF, 0xFF, 0xB9, 0x80, 0x00, 0xBE,
+    0x0F, 0x00, 0xBF, 0x0F, 0x00,
+)
+
+
+def _build_xor_matrix() -> tuple:
+    out = []
+    for seed in _XOR_MATRIX_SEEDS:
+        x = seed
+        for _ in range(7):
+            out.append(x)
+            x = ((x << 1) ^ (0x1021 if x & 0x8000 else 0)) & 0xFFFF
+    return tuple(out)
+
+
+_XOR_MATRIX = _build_xor_matrix()
+#: 8-bit rotate-left lookup tables (vectorized data transform)
+_ROL3 = np.array(
+    [((v << 3) | (v >> 5)) & 0xFF for v in range(256)], dtype=np.uint8
+)
+_ROL5 = np.array(
+    [((v << 5) | (v >> 3)) & 0xFF for v in range(256)], dtype=np.uint8
+)
+
+
+def _xor_password_bytes(password: str) -> bytes:
+    """The scheme predates Unicode: passwords are single-byte ANSI,
+    at most 15 characters (the spec's table sizes)."""
+    try:
+        pw = password.encode("latin-1")
+    except UnicodeEncodeError as exc:
+        raise ValueError(
+            "XOR obfuscation passwords are single-byte ANSI"
+        ) from exc
+    if not 1 <= len(pw) <= 15:
+        raise ValueError(
+            f"XOR obfuscation passwords are 1-15 bytes, got {len(pw)}"
+        )
+    return pw
+
+
+def xls_xor_key(password: str) -> int:
+    """§2.3.7.1 CreateXorKey_Method1: the 16-bit obfuscation key."""
+    pw = _xor_password_bytes(password)
+    key = _XOR_INITIAL_CODE[len(pw) - 1]
+    idx = 0x68
+    for ch in reversed(pw):
+        c = ch
+        for _ in range(7):
+            if c & 0x40:
+                key ^= _XOR_MATRIX[idx]
+            c = (c << 1) & 0xFF
+            idx -= 1
+    return key
+
+
+def xls_xor_verifier(password: str) -> int:
+    """§2.3.7.1 CreatePasswordVerifier_Method1 — the same 15-bit
+    rotate-fold Excel publishes for sheet protection (which is how
+    the published example values pin this clean-room build)."""
+    pw = _xor_password_bytes(password)
+    v = 0
+    for b in reversed(bytes([len(pw)]) + pw):
+        v = (((v >> 14) & 1) | ((v << 1) & 0x7FFF)) ^ b
+    return v ^ 0xCE4B
+
+
+def _xor_array_method1(password: str) -> np.ndarray:
+    """§2.3.7.2 CreateXorArray_Method1, collapsed: the spec's three
+    loops (odd head, password pairs, pad pairs) all reduce to
+    ``arr[i] = XorRor(src[i], key_lo if i even else key_hi)`` with
+    src = password ‖ PadArray."""
+    pw = _xor_password_bytes(password)
+    key = xls_xor_key(password)
+    lo, hi = key & 0xFF, key >> 8
+    src = pw + bytes(_XOR_PAD[: 16 - len(pw)])
+    arr = np.zeros(16, dtype=np.uint8)
+    for i in range(16):
+        x = src[i] ^ (hi if i & 1 else lo)
+        arr[i] = ((x >> 1) | (x << 7)) & 0xFF  # rotate right 1
+    return arr
+
+
+def _apply_xor_method1(
+    blob: bytes, password: str, decrypt: bool
+) -> bytes:
+    """XOR-transform the encryptable record bytes of a Workbook
+    stream (§2.3.7.3/2.3.7.5 + the MS-XLS §2.2.10 map): byte j of a
+    record's data uses ``array[(recordEnd + j) mod 16]``; encrypt =
+    ``rol(p ^ k, 5)``, decrypt = ``rol(c, 3) ^ k``.  Vectorized per
+    record (table-lookup rotations)."""
+    arr = _xor_array_method1(password)
+    out = np.frombuffer(blob, dtype=np.uint8).copy()
+    for rtype, pos, rlen in _walk_biff(blob):
+        if rtype in _PLAINTEXT_RECORDS or rlen == 0:
+            continue
+        data_start = pos + 4
+        start = data_start + (4 if rtype == _R_BOUNDSHEET else 0)
+        end = data_start + rlen
+        if start >= end:
+            continue
+        j = np.arange(start - data_start, rlen, dtype=np.int64)
+        k = arr[(data_start + rlen + j) & 0xF]
+        seg = out[start:end]
+        if decrypt:
+            out[start:end] = _ROL3[seg] ^ k
+        else:
+            out[start:end] = _ROL5[seg ^ k]
+    return out.tobytes()
+
+
+def encrypt_xls_xor(
+    payload: bytes, password: str = DEFAULT_PASSWORD
+) -> bytes:
+    """Obfuscate a plaintext BIFF8 .xls with XOR Method 1 (FilePass
+    ``wEncryptionType = 0`` carrying the 16-bit key + verifier).
+    Deterministic by construction — the scheme has no salt."""
+    from minerva_etl_spark.operators.msdoc import _Cfb
+
+    cfb = _Cfb(payload)
+    blob = None
+    for name in ("Workbook", "Book"):
+        try:
+            blob = cfb.read(name)
+            break
+        except KeyError:
+            continue
+    if blob is None:
+        raise ValueError("not an .xls (no Workbook/Book stream)")
+    recs = list(_walk_biff(blob))
+    if not recs or recs[0][0] != _R_BOF:
+        raise ValueError("Workbook stream without a leading BOF")
+    if any(r[0] == _R_FILEPASS for r in recs):
+        raise ValueError("workbook is already encrypted (FilePass)")
+    filepass = struct.pack(
+        "<HHHHH", _R_FILEPASS, 6, 0,
+        xls_xor_key(password), xls_xor_verifier(password),
+    )
+    bof_end = recs[0][1] + 4 + recs[0][2]
+    out = bytearray(blob[:bof_end] + filepass + blob[bof_end:])
+    _fixup_boundsheets(out, len(filepass), bof_end)
+    return _rebuild_cfb_with_workbook(
+        payload, _apply_xor_method1(bytes(out), password, decrypt=False)
+    )
+
+
+@_malformed_to_valueerror
+def decrypt_xls_xor(
+    payload: bytes, password: str = DEFAULT_PASSWORD
+) -> bytes:
+    """XOR-obfuscated BIFF8 .xls → plaintext .xls bytes (FilePass
+    removed, sheet offsets restored).  The stored key AND verifier
+    must both match the password's derivation
+    (:class:`WrongPasswordError` otherwise — checked before any
+    payload work)."""
+    from minerva_etl_spark.operators.msdoc import _Cfb
+
+    cfb = _Cfb(payload)
+    blob = None
+    for name in ("Workbook", "Book"):
+        try:
+            blob = cfb.read(name)
+            break
+        except KeyError:
+            continue
+    if blob is None:
+        raise ValueError("not an .xls (no Workbook/Book stream)")
+    fp = None
+    for rtype, pos, rlen in _walk_biff(blob):
+        if rtype == _R_FILEPASS:
+            fp = (pos, rlen)
+            break
+        if rtype == _R_EOF:
+            break
+    if fp is None:
+        raise ValueError("workbook is not encrypted (no FilePass)")
+    pos, rlen = fp
+    enc_type, key, ver = struct.unpack_from("<HHH", blob, pos + 4)
+    if enc_type != 0:
+        raise ValueError(
+            "FilePass is RC4, not XOR — use decrypt_xls_rc4"
+        )
+    if (key, ver) != (xls_xor_key(password),
+                      xls_xor_verifier(password)):
+        raise WrongPasswordError(
+            "XOR key/verifier mismatch — not the given password"
+        )
+    decrypted = bytearray(
+        _apply_xor_method1(blob, password, decrypt=True)
+    )
+    total = 4 + rlen
+    del decrypted[pos : pos + total]
+    _fixup_boundsheets(decrypted, -total, pos)
+    return _rebuild_cfb_with_workbook(payload, bytes(decrypted))

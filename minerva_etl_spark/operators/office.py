@@ -269,6 +269,8 @@ def office_decrypt_extract(
     * ``xls_rc4_cryptoapi`` / ``doc_rc4_cryptoapi`` — the
       second-generation RC4 scheme (MS-OFFCRYPTO §2.3.5, SHA-1
       derivation — Office XP/2003) accepted the same way (r16);
+    * ``xls_xor`` — XOR obfuscation Method 1 (§2.3.7, the oldest
+      Excel protection) whose key+verifier match the password (r16);
     * ``locked`` — the payload is genuinely password-protected (the
       verifier rejected the password) or uses an unsupported scheme
       (XOR obfuscation, non-AES agile parameter sets): format keeps
@@ -287,6 +289,7 @@ def office_decrypt_extract(
         decrypt_doc_rc4,
         decrypt_ooxml,
         decrypt_xls_rc4,
+        decrypt_xls_xor,
         doc_encryption_type,
         ooxml_encryption_scheme,
         xls_encryption_type,
@@ -326,7 +329,11 @@ def office_decrypt_extract(
                         ) is not None
                     ):
                         try:
-                            payload = decrypt_xls_rc4(payload, password)
+                            payload = (
+                                decrypt_xls_xor
+                                if scheme == "xor"
+                                else decrypt_xls_rc4
+                            )(payload, password)
                             enc = f"xls_{scheme}"
                         except (WrongPasswordError, ValueError):
                             rows.append(

@@ -596,32 +596,107 @@ def test_encrypted_attachment_through_mail_arc(spark):
             got["locked.docx"].text) == ("locked", None)
 
 
-def test_xor_obfuscation_detected_not_decrypted():
-    """A FilePass with wEncryptionType=0 (XOR Method 1) is a named
-    locked reject — never a garbage decode."""
-    import struct
-
-    from minerva_etl_spark.operators.xls import synthesize_xls
-
-    plain = synthesize_xls([("S", [["x"]])])
-    enc = encrypt_xls_rc4(plain)
-    # rewrite the FilePass's wEncryptionType to 0 (XOR)
-    from minerva_etl_spark.operators.msdoc import _Cfb
-
-    cfb = _Cfb(enc)
-    wb = bytearray(cfb.read("Workbook"))
-    pos = 0
-    while True:
-        rtype, rlen = struct.unpack_from("<HH", wb, pos)
-        if rtype == 0x002F:
-            struct.pack_into("<H", wb, pos + 4, 0)
-            break
-        pos += 4 + rlen
+def test_xor_published_verifier_and_key_anchors():
+    """The §2.3.7.1 derivations against PUBLISHED example values:
+    the verifier is the same 15-bit rotate-fold Excel documents for
+    sheet protection, whose example hashes are public ('password' →
+    0x83AF, 'test' → 0xCBEB, 'abcdefghij' → 0xFEF1 in the OOo Excel
+    format documentation) — an external anchor a self-round-trip
+    could never provide.  The 105-word XorMatrix additionally
+    verifies against its own published structure: 15 seeds × 7
+    successive doublings modulo the 0x1021 polynomial."""
     from minerva_etl_spark.operators.offcrypto import (
-        _rebuild_cfb_with_workbook,
+        _XOR_MATRIX,
+        xls_xor_key,
+        xls_xor_verifier,
     )
 
-    xored = _rebuild_cfb_with_workbook(enc, bytes(wb))
-    assert xls_encryption_type(xored) == "xor"
-    with pytest.raises(ValueError, match="XOR obfuscation"):
-        decrypt_xls_rc4(xored)
+    assert xls_xor_verifier("password") == 0x83AF
+    assert xls_xor_verifier("test") == 0xCBEB
+    assert xls_xor_verifier("abcdefghij") == 0xFEF1
+    # published literal spot-checks of the matrix (first + last group
+    # + a middle seed) — the generator must reproduce the spec table
+    assert _XOR_MATRIX[:7] == (
+        0xAEFC, 0x4DD9, 0x9BB2, 0x2745, 0x4E8A, 0x9D14, 0x2A09)
+    assert _XOR_MATRIX[-7:] == (
+        0x1021, 0x2042, 0x4084, 0x8108, 0x1231, 0x2462, 0x48C4)
+    assert _XOR_MATRIX[28:35] == (
+        0xD849, 0xA0B3, 0x5147, 0xA28E, 0x553D, 0xAA7A, 0x44D5)
+    assert len(_XOR_MATRIX) == 105
+    # poly-doubling identity holds within every group
+    for g in range(15):
+        for i in range(6):
+            x = _XOR_MATRIX[7 * g + i]
+            nxt = ((x << 1) ^ (0x1021 if x & 0x8000 else 0)) & 0xFFFF
+            assert _XOR_MATRIX[7 * g + i + 1] == nxt
+    # keys are position-sensitive (the matrix group walk)
+    assert xls_xor_key("ab") != xls_xor_key("ba")
+    with pytest.raises(ValueError, match="1-15"):
+        xls_xor_verifier("x" * 16)
+
+
+def test_xls_xor_roundtrip():
+    """XOR Method 1 end to end: multi-record workbooks round-trip,
+    the key/verifier pair rejects wrong passwords, and the two RC4
+    generations coexist with distinct census tags."""
+    from minerva_etl_spark.operators.offcrypto import (
+        decrypt_xls_xor,
+        encrypt_xls_xor,
+    )
+    from minerva_etl_spark.operators.xls import (
+        synthesize_xls,
+        xls_extract_text,
+    )
+
+    sheets = [
+        ("Data", [[f"cell {i} text", str(3 * i)] for i in range(20)]),
+        ("Notes", [["memo"]]),
+    ]
+    plain = synthesize_xls(sheets, title="XO")
+    enc = encrypt_xls_xor(plain)
+    assert xls_encryption_type(enc) == "xor"
+    dec = decrypt_xls_xor(enc)
+    assert xls_extract_text(dec) == xls_extract_text(plain)
+    assert xls_extract_text(dec)["title"] == "XO"
+    assert encrypt_xls_xor(plain) == enc  # salt-free: deterministic
+    with pytest.raises(WrongPasswordError):
+        decrypt_xls_xor(enc, "wrong")
+    # a supplied non-default ANSI password works end to end
+    enc2 = encrypt_xls_xor(plain, "s3cret")
+    assert xls_extract_text(decrypt_xls_xor(enc2, "s3cret")) == (
+        xls_extract_text(plain)
+    )
+    with pytest.raises(WrongPasswordError):
+        decrypt_xls_xor(enc2)  # the default must NOT open it
+    # cross-scheme named rejects, both directions
+    with pytest.raises(ValueError, match="use decrypt_xls_xor"):
+        decrypt_xls_rc4(enc)
+    with pytest.raises(ValueError, match="RC4"):
+        decrypt_xls_xor(encrypt_xls_rc4(plain))
+
+
+def test_office_decrypt_xor_leg(spark):
+    """The dispatcher opens default-password XOR workbooks with the
+    xls_xor census tag; real-password XOR stays a locked row."""
+    from minerva_etl_spark.operators.offcrypto import encrypt_xls_xor
+    from minerva_etl_spark.operators.office import (
+        office_decrypt_extract,
+    )
+    from minerva_etl_spark.operators.xls import synthesize_xls
+
+    rows = [
+        (1, encrypt_xls_xor(
+            synthesize_xls([("S", [["oldest", "1"]])], title="O"))),
+        (2, encrypt_xls_xor(
+            synthesize_xls([("S", [["sealed"]])]), "s3cret")),
+    ]
+    got = {
+        r.doc_id: r
+        for r in office_decrypt_extract(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        ).collect()
+    }
+    assert (got[1].format, got[1].encryption, got[1].text) == (
+        "xls", "xls_xor", "S\noldest\t1")
+    assert (got[2].format, got[2].encryption, got[2].text) == (
+        "xls", "locked", None)
