@@ -52,6 +52,9 @@ __all__ = [
     "odf_extract",
     "odf_metadata",
     "odf_is_encrypted",
+    "odf_encryption_type",
+    "encrypt_odf",
+    "decrypt_odf",
     "sniff_odf",
     "ODF_EXTRACT_SCHEMA",
 ]
@@ -474,3 +477,348 @@ def odf_metadata(
                 el.text.replace("T", " ").rstrip("Z")[:19]
             )
     return out
+
+
+# =====================================================================
+# ODF package encryption (OASIS ODF 1.2 Part 3 §3.4) — round 16
+# =====================================================================
+# LibreOffice/OpenOffice password protection is PER-MEMBER: each
+# protected zip member is raw-DEFLATEd, then encrypted, then STORED,
+# and the manifest's <manifest:encryption-data> records everything a
+# reader needs — checksum (over the first 1K of the still-compressed
+# plaintext, the password check), algorithm + IV, PBKDF2 salt /
+# iteration count / key size, and the start-key generation (the
+# password is hashed once, SHA-1 or SHA-256, before PBKDF2).  Two
+# published cipher profiles exist: legacy "Blowfish CFB" (8-bit
+# feedback, `operators/blowfish.py`) and the ODF 1.2
+# xmlenc#aes256-cbc profile (W3C padding) — both decrypt here.
+# Unlike the Excel world there is NO default-password convention, so
+# the decrypt dispatcher only opens these when the caller SUPPLIES a
+# password; otherwise they stay honest `locked` census rows.
+
+_XMLENC_AES = {
+    "http://www.w3.org/2001/04/xmlenc#aes256-cbc": 32,
+    "http://www.w3.org/2001/04/xmlenc#aes192-cbc": 24,
+    "http://www.w3.org/2001/04/xmlenc#aes128-cbc": 16,
+}
+_M = f"{{{_NS_MANIFEST}}}"
+
+
+class _Mf:
+    """One manifest encryption-data record."""
+
+    __slots__ = ("checksum_type", "checksum", "algo", "iv", "salt",
+                 "iterations", "key_size", "start_key", "size")
+
+
+def _manifest_encryption(root) -> dict:
+    """full-path → :class:`_Mf` for every encrypted entry."""
+    import base64
+
+    out = {}
+    for fe in root.iter(f"{_M}file-entry"):
+        ed = fe.find(f"{_M}encryption-data")
+        if ed is None:
+            continue
+        rec = _Mf()
+        rec.size = fe.get(f"{_M}size")
+        rec.size = int(rec.size) if rec.size is not None else None
+        rec.checksum_type = ed.get(f"{_M}checksum-type", "")
+        rec.checksum = base64.b64decode(ed.get(f"{_M}checksum", ""))
+        alg = ed.find(f"{_M}algorithm")
+        kd = ed.find(f"{_M}key-derivation")
+        if alg is None or kd is None:
+            raise ValueError(
+                "encryption-data without algorithm/key-derivation"
+            )
+        rec.algo = alg.get(f"{_M}algorithm-name", "")
+        rec.iv = base64.b64decode(
+            alg.get(f"{_M}initialisation-vector", "")
+        )
+        kd_name = kd.get(f"{_M}key-derivation-name", "")
+        if "PBKDF2" not in kd_name and "pbkdf2" not in kd_name:
+            raise ValueError(
+                f"unsupported key derivation {kd_name!r}"
+            )
+        rec.salt = base64.b64decode(kd.get(f"{_M}salt", ""))
+        rec.iterations = int(kd.get(f"{_M}iteration-count", "1024"))
+        rec.key_size = int(kd.get(f"{_M}key-size", "16"))
+        skg = ed.find(f"{_M}start-key-generation")
+        rec.start_key = (
+            skg.get(f"{_M}start-key-generation-name", "SHA1")
+            if skg is not None
+            else "SHA1"
+        )
+        out[fe.get(f"{_M}full-path")] = rec
+    return out
+
+
+def odf_encryption_type(payload: bytes) -> str | None:
+    """``'blowfish' | 'aes' | 'unknown' | None`` — the census tag
+    helper (one manifest peek, no key work).  ``'unknown'`` means
+    the manifest DECLARES encryption-data but the record is
+    malformed or unrecognized: still an encrypted document (the
+    dispatcher's decrypt attempt will name-reject it into a locked
+    row), never silently "not encrypted"."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+        root = ET.fromstring(zf.read("META-INF/manifest.xml"))
+    except Exception:  # noqa: BLE001 — dirty zips: not encrypted ODF
+        return None
+    try:
+        recs = _manifest_encryption(root)
+    except ValueError:
+        recs = None
+    if recs:
+        for rec in recs.values():
+            return "blowfish" if "Blowfish" in rec.algo else "aes"
+    if any(el.tag == f"{_M}encryption-data" for el in root.iter()):
+        return "unknown"
+    return None
+
+
+def _start_key(password: str, gen_name: str) -> bytes:
+    import hashlib
+
+    if gen_name.endswith("sha256"):
+        return hashlib.sha256(password.encode("utf-8")).digest()
+    if gen_name == "SHA1" or gen_name.endswith("sha1"):
+        return hashlib.sha1(password.encode("utf-8")).digest()
+    raise ValueError(f"unsupported start-key generation {gen_name!r}")
+
+
+def _member_checksum(kind: str, deflated: bytes) -> bytes:
+    import hashlib
+
+    algo = "sha256" if "sha256" in kind.lower() else "sha1"
+    window = deflated[:1024] if "1k" in kind.lower() else deflated
+    return hashlib.new(algo, window).digest()
+
+
+def decrypt_odf(payload: bytes, password: str) -> bytes:
+    """Password-protected ODF package → the plaintext package (all
+    members decrypted + inflated, encryption-data stripped from the
+    manifest) ready for :func:`odf_extract_text`.  The per-member
+    checksum is the password check: a mismatch raises
+    ``WrongPasswordError`` before any inflate touches wrong-key
+    bytes.  Unsupported algorithms raise named ``ValueError``."""
+    import hashlib
+    import zlib
+
+    from minerva_etl_spark.operators.blowfish import (
+        blowfish_cfb8_decrypt,
+    )
+    from minerva_etl_spark.operators.offcrypto import (
+        WrongPasswordError,
+        aes_cbc_decrypt,
+    )
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+        man_root = ET.fromstring(zf.read("META-INF/manifest.xml"))
+    except Exception as e:  # noqa: BLE001
+        raise ValueError(f"not an ODF package: {e}") from e
+    recs = _manifest_encryption(man_root)
+    if not recs:
+        raise ValueError("package is not encrypted (no "
+                         "encryption-data in the manifest)")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as out:
+        for info in zf.infolist():
+            name = info.filename
+            data = zf.read(name)
+            if name == "mimetype":
+                out.writestr(
+                    zipfile.ZipInfo("mimetype"), data,
+                    compress_type=zipfile.ZIP_STORED,
+                )
+                continue
+            if name == "META-INF/manifest.xml":
+                continue  # rewritten below, scrubbed
+            rec = recs.get(name)
+            if rec is None:
+                out.writestr(name, data)
+                continue
+            key = hashlib.pbkdf2_hmac(
+                "sha1",
+                _start_key(password, rec.start_key),
+                rec.salt, rec.iterations, rec.key_size,
+            )
+            if "Blowfish" in rec.algo or rec.algo.endswith(
+                "#blowfish"
+            ):
+                deflated = blowfish_cfb8_decrypt(key, rec.iv, data)
+            elif rec.algo in _XMLENC_AES:
+                if len(key) != _XMLENC_AES[rec.algo]:
+                    raise ValueError(
+                        f"key size {len(key)} does not match "
+                        f"{rec.algo}"
+                    )
+                plain = aes_cbc_decrypt(key, rec.iv, data)
+                pad = plain[-1] if plain else 0
+                if not 1 <= pad <= 16:
+                    raise WrongPasswordError(
+                        "invalid xmlenc padding — wrong password"
+                    )
+                deflated = plain[:-pad]
+            else:
+                raise ValueError(
+                    f"unsupported ODF cipher {rec.algo!r}"
+                )
+            if _member_checksum(
+                rec.checksum_type, deflated
+            ) != rec.checksum:
+                raise WrongPasswordError(
+                    f"checksum mismatch on {name} — wrong password"
+                )
+            plaintext = zlib.decompress(deflated, -15)
+            if rec.size is not None and len(plaintext) != rec.size:
+                raise ValueError(
+                    f"{name}: inflated {len(plaintext)} bytes, "
+                    f"manifest declares {rec.size}"
+                )
+            out.writestr(name, plaintext)
+        # scrub encryption-data (and the stale size attr) from the
+        # manifest so downstream readers see a plain package
+        for fe in man_root.iter(f"{_M}file-entry"):
+            ed = fe.find(f"{_M}encryption-data")
+            if ed is not None:
+                fe.remove(ed)
+        ET.register_namespace("manifest", _NS_MANIFEST)
+        out.writestr(
+            "META-INF/manifest.xml",
+            ET.tostring(man_root, xml_declaration=True,
+                        encoding="UTF-8"),
+        )
+    return buf.getvalue()
+
+
+def encrypt_odf(
+    payload: bytes,
+    password: str,
+    cipher: str = "blowfish",
+    iterations: int = 1024,
+    seed: bytes | None = None,
+) -> bytes:
+    """Password-protect a plaintext ODF package per ODF 1.2 §3.4 —
+    the fixture-writer twin of :func:`decrypt_odf` (every member
+    except ``mimetype`` and the manifest is deflated → encrypted →
+    STORED; the manifest gains per-member encryption-data).
+    ``cipher``: ``'blowfish'`` (legacy OOo, SHA-1 start key) or
+    ``'aes256'`` (ODF 1.2, SHA-256 start key).  Deterministic via
+    ``seed``."""
+    import base64
+    import hashlib
+    import zlib
+
+    from minerva_etl_spark.operators.blowfish import (
+        blowfish_cfb8_encrypt,
+    )
+    from minerva_etl_spark.operators.offcrypto import aes_cbc_encrypt
+
+    if cipher not in ("blowfish", "aes256"):
+        raise ValueError(f"unsupported cipher {cipher!r}")
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    names = set(zf.namelist())
+    if sniff_odf(names, zf) is None:
+        raise ValueError("encrypt_odf expects an ODF package")
+    if odf_is_encrypted(payload):
+        raise ValueError("package is already encrypted")
+    seed = seed or hashlib.sha1(b"odf-fixture" + payload).digest()
+    b64 = lambda b: base64.b64encode(b).decode()  # noqa: E731
+    entries = [
+        f'<manifest:file-entry manifest:full-path="/" '
+        f'manifest:media-type="'
+        + zf.read("mimetype").decode("ascii")
+        + '"/>'
+    ]
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        out.writestr(
+            zipfile.ZipInfo("mimetype"), zf.read("mimetype"),
+            compress_type=zipfile.ZIP_STORED,
+        )
+        for info in zf.infolist():
+            name = info.filename
+            if name in ("mimetype", "META-INF/manifest.xml"):
+                continue
+            data = zf.read(name)
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+            deflated = comp.compress(data) + comp.flush()
+            salt = hashlib.sha1(
+                seed + name.encode() + b"salt"
+            ).digest()[:16]
+            if cipher == "blowfish":
+                iv = hashlib.sha1(
+                    seed + name.encode() + b"iv"
+                ).digest()[:8]
+                key = hashlib.pbkdf2_hmac(
+                    "sha1",
+                    hashlib.sha1(password.encode("utf-8")).digest(),
+                    salt, iterations, 16,
+                )
+                ct = blowfish_cfb8_encrypt(key, iv, deflated)
+                algo = (
+                    f'manifest:algorithm-name="Blowfish CFB" '
+                    f'manifest:initialisation-vector="{b64(iv)}"'
+                )
+                cksum_type = "SHA1/1K"
+                cksum = hashlib.sha1(deflated[:1024]).digest()
+                skg = "SHA1"
+                key_size = 16
+            else:
+                iv = hashlib.sha1(
+                    seed + name.encode() + b"iv16"
+                ).digest()[:16]
+                key = hashlib.pbkdf2_hmac(
+                    "sha1",
+                    hashlib.sha256(password.encode("utf-8")).digest(),
+                    salt, iterations, 32,
+                )
+                pad = 16 - len(deflated) % 16
+                padded = deflated + b"\x00" * (pad - 1) + bytes([pad])
+                ct = aes_cbc_encrypt(key, iv, padded)
+                algo = (
+                    'manifest:algorithm-name='
+                    '"http://www.w3.org/2001/04/xmlenc#aes256-cbc" '
+                    f'manifest:initialisation-vector="{b64(iv)}"'
+                )
+                cksum_type = (
+                    "urn:oasis:names:tc:opendocument:xmlns:"
+                    "manifest:1.0#sha256-1k"
+                )
+                cksum = hashlib.sha256(deflated[:1024]).digest()
+                skg = "http://www.w3.org/2000/09/xmldsig#sha256"
+                key_size = 32
+            out.writestr(
+                zipfile.ZipInfo(name), ct,
+                compress_type=zipfile.ZIP_STORED,
+            )
+            media = "text/xml" if name.endswith(".xml") else ""
+            entries.append(
+                f'<manifest:file-entry manifest:full-path='
+                f'"{_esc(name)}" manifest:media-type="{media}" '
+                f'manifest:size="{len(data)}">'
+                f'<manifest:encryption-data '
+                f'manifest:checksum-type="{cksum_type}" '
+                f'manifest:checksum="{b64(cksum)}">'
+                f"<manifest:algorithm {algo}/>"
+                f'<manifest:key-derivation '
+                f'manifest:key-derivation-name="PBKDF2" '
+                f'manifest:key-size="{key_size}" '
+                f'manifest:iteration-count="{iterations}" '
+                f'manifest:salt="{b64(salt)}"/>'
+                f'<manifest:start-key-generation '
+                f'manifest:start-key-generation-name="{skg}" '
+                f'manifest:key-size='
+                f'"{32 if cipher == "aes256" else 20}"/>'
+                f"</manifest:encryption-data></manifest:file-entry>"
+            )
+        manifest = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            f'<manifest:manifest xmlns:manifest="{_NS_MANIFEST}" '
+            f'manifest:version="1.2">' + "".join(entries)
+            + "</manifest:manifest>"
+        ).encode()
+        out.writestr("META-INF/manifest.xml", manifest)
+    return buf.getvalue()

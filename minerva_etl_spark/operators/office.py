@@ -271,6 +271,11 @@ def office_decrypt_extract(
       derivation — Office XP/2003) accepted the same way (r16);
     * ``xls_xor`` — XOR obfuscation Method 1 (§2.3.7, the oldest
       Excel protection) whose key+verifier match the password (r16);
+    * ``odf_blowfish`` / ``odf_aes`` — LibreOffice/OpenOffice
+      password protection (OASIS ODF 1.2 §3.4: PBKDF2 +
+      Blowfish-CFB or AES-CBC per member) opened with a SUPPLIED
+      password (r16 — ODF has no default-password convention, so
+      these only decrypt when the caller passes the real one);
     * ``locked`` — the payload is genuinely password-protected (the
       verifier rejected the password) or uses an unsupported scheme
       (XOR obfuscation, non-AES agile parameter sets): format keeps
@@ -343,18 +348,28 @@ def office_decrypt_extract(
                             continue
                     elif fmt in ("odt", "ods", "odp"):
                         from minerva_etl_spark.operators.odf import (
-                            odf_is_encrypted,
+                            decrypt_odf,
+                            odf_encryption_type,
                         )
 
-                        if odf_is_encrypted(payload):
-                            # LibreOffice password protection has no
-                            # default-password convention — honest
-                            # locked census row
-                            rows.append(
-                                (did, fmt, "locked", None, None,
-                                 None)
-                            )
-                            continue
+                        cipher = odf_encryption_type(payload)
+                        if cipher is not None:
+                            # no default-password convention exists
+                            # for ODF, so this only opens when the
+                            # caller SUPPLIED the document's real
+                            # password (r16); otherwise the honest
+                            # locked census row stands
+                            try:
+                                payload = decrypt_odf(
+                                    payload, password
+                                )
+                                enc = f"odf_{cipher}"
+                            except (WrongPasswordError, ValueError):
+                                rows.append(
+                                    (did, fmt, "locked", None, None,
+                                     None)
+                                )
+                                continue
                     elif (
                         fmt == "doc"
                         and (
