@@ -247,6 +247,11 @@ HEADLINE = [
     # outside the clock like every media row)
     "office_decrypt_default",
     "xls_decrypt_velvet",
+    # r16: CryptoAPI RC4 (xls/doc, 40-bit), XOR Method 1, and
+    # Office-2010 agile parameters + locked census leg
+    "office_decrypt_cryptoapi",
+    # r16: supplied-password ODF (PBKDF2 + Blowfish-CFB8 / AES-CBC)
+    "odf_decrypt_password",
     "format_census",
     # round-14: provenance census — three container parsers, no
     # content extraction
@@ -406,6 +411,7 @@ def main() -> None:
                  "video_features_mjpeg", "tiff_features",
                  "tiff_jpeg_features", "office_metadata",
                  "office_decrypt_default", "xls_decrypt_velvet",
+                 "office_decrypt_cryptoapi", "odf_decrypt_password",
                  "odf_extract", "xlsb_extract",
                  "mail_attachment_extract"):
         qs[_row](spark, sf_dir)

@@ -401,6 +401,10 @@ from minerva_etl_spark.gate_office import (  # noqa: F401
     q_msg_extract,
     q_odf_extract,
     q_xlsb_extract,
+    _ORACLE_ODF_DECRYPT,
+    _ORACLE_OFFICE_DECRYPT_CA,
+    q_odf_decrypt_password,
+    q_office_decrypt_cryptoapi,
     q_office_decrypt_default,
     q_office_extract,
     q_pdf_extract,
@@ -467,7 +471,17 @@ from minerva_etl_spark.gate_crawl import (  # noqa: F401
 #: are redundant demos whose operators are already proven in-window
 #: (TPC-H showpieces, a duplicate granularity rung, extra window ops).
 _REGISTRY_ORDER = [
-    # ---------------- r15 driver window (first 50) -------------------
+    # ---------------- r16 driver window (first 50) -------------------
+    # r16 rotation: the r16-born decrypt-matrix row
+    # (office_decrypt_cryptoapi — CryptoAPI xls/doc, 40-bit, XOR
+    # Method 1, Office-2010 agile, locked leg) goes STRAIGHT into the
+    # window per the zero-debt protocol; doc_extract (driver-green
+    # r13-r15) rotates OUT with in-window vouchers:
+    # office_decrypt_default leg 5 and office_decrypt_cryptoapi leg 1
+    # both extract decrypted .doc through the SAME msdoc codec
+    # (piece table, OLEPS title), and pipeline_document composes doc
+    # extraction over archive members; test_msdoc stays.
+    # ---------------- r15 window notes (historical) ------------------
     # r15 rotation (the r14 verdict's ask 1): ALL 11 never-driver-
     # checked r14-born rows rotate IN for their FIRST driver
     # CORRECTNESS row (tiff_features, tiff_jpeg_features,
@@ -529,8 +543,6 @@ _REGISTRY_ORDER = [
     "pipeline_document",
     "xlsx_extract",
     "pptx_extract",
-    "doc_extract",
-    "xls_extract",
     # r15-born (straight in): the Excel BINARY workbook —
     # BIFF12 record streams, both string mechanisms, the
     # reversed-rId bundle-order proof
@@ -548,6 +560,13 @@ _REGISTRY_ORDER = [
     # multi-block BIFF8 RC4 leg
     "office_decrypt_default",
     "xls_decrypt_velvet",
+    # r16-born (straight in): CryptoAPI RC4 (xls 128/40-bit + doc),
+    # XOR Method 1, Office-2010 agile parameters, locked census leg
+    "office_decrypt_cryptoapi",
+    # r16-born (straight in): supplied-password OpenDocument
+    # decryption — PBKDF2 + Blowfish-CFB8 (pi-generated tables) and
+    # the ODF 1.2 AES-256-CBC profile, + wrong-password locked leg
+    "odf_decrypt_password",
     # -- mail arc ------------------------------------------------------------
     "msg_extract",
     "mail_extract",
@@ -562,6 +581,15 @@ _REGISTRY_ORDER = [
     "chat_curate",
     "code_profile",
     # ---------- entries past the driver's 50-row window --------------
+    # r16 rotated-OUT rows (each driver-green r13-r15; vouchers:
+    # doc_extract — office_decrypt_default leg 5 and
+    # office_decrypt_cryptoapi leg 1 extract decrypted .doc through
+    # the SAME msdoc codec; xls_extract — xls_decrypt_velvet (in)
+    # renders full multi-sheet BIFF8 workbooks through the same
+    # codec and office_decrypt_cryptoapi's three xls legs add the
+    # CryptoAPI/XOR paths on top; test_msdoc/test_xls stay):
+    "doc_extract",
+    "xls_extract",
     # r15 rotated-OUT rows (13, every one >=2-round driver-green;
     # named in-window voucher for each; tools/check_oracle.py still
     # verifies all of them every session):
@@ -911,6 +939,8 @@ def build_queries() -> dict:
         "epub_extract": q_epub_extract,
         "office_extract": q_office_extract,
         "office_decrypt_default": q_office_decrypt_default,
+        "office_decrypt_cryptoapi": q_office_decrypt_cryptoapi,
+        "odf_decrypt_password": q_odf_decrypt_password,
         "odf_extract": q_odf_extract,
         "xlsb_extract": q_xlsb_extract,
         "xls_decrypt_velvet": q_xls_decrypt_velvet,
@@ -1114,6 +1144,8 @@ def build_oracles() -> dict[str, str]:
         "epub_extract": _ORACLE_EPUB_EXTRACT,
         "office_extract": _ORACLE_OFFICE_EXTRACT,
         "office_decrypt_default": _ORACLE_OFFICE_DECRYPT,
+        "office_decrypt_cryptoapi": _ORACLE_OFFICE_DECRYPT_CA,
+        "odf_decrypt_password": _ORACLE_ODF_DECRYPT,
         "odf_extract": _ORACLE_ODF_EXTRACT,
         "xlsb_extract": _ORACLE_XLSB_EXTRACT,
         "xls_decrypt_velvet": _ORACLE_XLS_VELVET,
