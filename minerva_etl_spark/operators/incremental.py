@@ -463,17 +463,32 @@ def ingest_embedding_increment(
     the store lease is held across read-state -> decide -> append, so
     concurrent deliveries fully serialize.
 
-    ``epoch`` makes the cycle IDEMPOTENT for at-least-once callers
+    ``epoch`` makes the cycle EXACTLY-ONCE for at-least-once callers
     (the streaming ``foreachBatch`` path, which may retry a
-    micro-batch after a crash): each committed epoch drops an
-    append-only marker file under ``<state>.__epochs/`` right after
-    the state append, inside the same lease, and a cycle whose epoch
-    marker already exists returns ``None`` without touching the state
-    — a retried batch cannot append its vectors twice.  (The
-    remaining window — a crash BETWEEN the state append and the
-    marker create — re-admits that one delivery on retry; closing it
-    needs a transactional substrate like Delta, the same boundary as
-    `operators/upsert.py`'s MERGE path.)"""
+    micro-batch after a crash — r16, the CDX epoch-stamp protocol
+    applied here): every appended state row is STAMPED with its
+    epoch (an internal bigint column readers never project; batch
+    callers stamp -1), and each committed epoch additionally drops a
+    marker file under ``<state>.__epochs/`` right after the append,
+    inside the same lease.  A retry therefore distinguishes every
+    crash position:
+
+    * marker present (crash after commit, before/during the caller's
+      decision write): the state already carries exactly this delta
+      and nothing later (Structured Streaming replays only the LAST
+      batch), so the decisions RECOMPUTE from state-minus-this-epoch
+      versus the delta — equal to the original output — and return
+      for the caller's idempotent partition overwrite;
+    * marker absent but the epoch already stamped in the state
+      (crash between the append and the marker — the window that was
+      at-least-once before r16): the re-append is SKIPPED, the
+      marker lands, and the decisions recompute exactly as above.
+      No duplicate vectors, ever;
+    * neither: the normal cycle runs.
+
+    Legacy states whose files predate the epoch column keep the old
+    behavior (marker no-op returns ``None``; appends unstamped) —
+    stamping them would split the parquet schema."""
     delta_state = build_embedding_state(
         new_embeddings, id_col, vec_col
     ).localCheckpoint(eager=True)
@@ -483,10 +498,36 @@ def ingest_embedding_increment(
         else None
     )
     with _state_lease(spark, state_path):
-        if marker is not None and path_exists(spark, marker):
-            return None  # retried, already-committed micro-batch
-        if parquet_exists(spark, state_path):
-            history = spark.read.parquet(state_path)
+        exists = parquet_exists(spark, state_path)
+        history = spark.read.parquet(state_path) if exists else None
+        has_epoch_col = history is not None and (
+            "epoch" in history.columns
+        )
+        if epoch is not None and has_epoch_col:
+            marker_hit = path_exists(spark, marker)
+            appended = marker_hit or bool(
+                history.filter(
+                    F.col("epoch") == int(epoch)
+                ).take(1)
+            )
+            if appended:
+                # retried epoch: recompute the decisions from
+                # state-minus-this-delta (equal to the original) and
+                # make sure the marker is down
+                decisions = embedding_increment(
+                    delta_state,
+                    history.filter(
+                        F.col("epoch").isNull()
+                        | (F.col("epoch") != int(epoch))
+                    ),
+                    threshold,
+                ).localCheckpoint(eager=True)
+                if not marker_hit:
+                    fs_create_atomic(spark, marker, "committed")
+                return decisions
+        elif marker is not None and path_exists(spark, marker):
+            return None  # legacy (unstamped) state: old behavior
+        if history is not None:
             decisions = embedding_increment(
                 delta_state, history, threshold
             )
@@ -496,7 +537,15 @@ def ingest_embedding_increment(
                 F.lit(None).cast("bigint").alias("near_dup_of"),
             ).withColumn("keep", F.lit(True))
         decisions = decisions.localCheckpoint(eager=True)
-        delta_state.write.mode("append").parquet(state_path)
+        stamped = delta_state
+        if not exists or has_epoch_col:
+            stamped = delta_state.withColumn(
+                "epoch",
+                F.lit(int(-1 if epoch is None else epoch)).cast(
+                    "bigint"
+                ),
+            )
+        stamped.write.mode("append").parquet(state_path)
         if marker is not None:
             fs_create_atomic(spark, marker, "committed")
     return decisions

@@ -190,6 +190,10 @@ def build_substring_state(
             "digest",
             F.col("__first.d").alias("first_doc"),
             F.col("__first.p").alias("first_pos"),
+            # epoch stamp (r16): -1 for the batch build; streaming
+            # increments stamp their foreachBatch epoch so retries
+            # are exactly-once (readers never project this column)
+            F.lit(-1).cast("bigint").alias("epoch"),
         ).write.mode("overwrite").parquet(state_path.rstrip("/"))
         _write_watermark(
             spark,
@@ -255,6 +259,7 @@ def substring_increment(
     w: int = 50,
     id_col: str = "doc_id",
     text_col: str = "text",
+    epoch: int | None = None,
 ) -> DataFrame:
     """One delivery against the persisted state: the delta's shingles
     join the digest-keyed history (an equi-join moving only the
@@ -272,21 +277,51 @@ def substring_increment(
     assumption is ENFORCED (r12 ADVICE): the state carries a
     ``_watermark`` sidecar with the largest id ever delivered, and a
     delta row at or below it raises instead of silently producing
-    keep-first winners that differ from the full-corpus run."""
+    keep-first winners that differ from the full-corpus run.
+
+    ``epoch`` (r16 — the CDX epoch-stamp protocol): streaming
+    callers stamp each appended digest with its foreachBatch epoch.
+    A RETRIED delivery whose digests are already stamped in the
+    state (any crash position after the append) recomputes its
+    decisions with the state MINUS this epoch's rows as history —
+    equal to the original output under last-batch-only replay —
+    skips the re-append, and advances the watermark if the crash
+    beat it.  Without this, a retry saw its own digests as history
+    and removed EVERYTHING from the delivery.  Legacy states without
+    the epoch column keep the old watermark-raise behavior."""
     from minerva_etl_spark.operators.incremental import _state_lease
 
     w = int(w)
     root = state_path.rstrip("/")
     with _state_lease(spark, state_path):
         hist_full = spark.read.parquet(root)
+        has_epoch = "epoch" in hist_full.columns
+        applied = (
+            epoch is not None
+            and has_epoch
+            and bool(
+                hist_full.filter(
+                    F.col("epoch") == int(epoch)
+                ).take(1)
+            )
+        )
+        hist_rows = (
+            hist_full.filter(
+                F.col("epoch").isNull()
+                | (F.col("epoch") != int(epoch))
+            )
+            if applied
+            else hist_full
+        )
         floor = _read_watermark(spark, state_path)
         if floor is None:  # pre-watermark state: best-available floor
-            floor = hist_full.agg(F.max("first_doc")).collect()[0][0]
+            floor = hist_rows.agg(F.max("first_doc")).collect()[0][0]
         bounds = delta.agg(
             F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
         ).collect()[0]
         if (
-            floor is not None
+            not applied
+            and floor is not None
             and bounds["lo"] is not None
             and bounds["lo"] <= floor
         ):
@@ -297,7 +332,7 @@ def substring_increment(
                 f"delivery ids (re-deliver with fresh ids or rebuild "
                 f"the state)"
             )
-        hist = hist_full.select("digest").withColumn(
+        hist = hist_rows.select("digest").withColumn(
             "__known", F.lit(True)
         )
         base, occ = _occurrences(delta, w, id_col, text_col)
@@ -325,12 +360,25 @@ def substring_increment(
         out = _rebuild(base, removable, w, id_col).localCheckpoint(
             eager=True
         )  # pinned before the state mutates
-        delta_stats.join(hist, "digest", "left_anti").select(
-            "digest",
-            F.col("__first.d").alias("first_doc"),
-            F.col("__first.p").alias("first_pos"),
-        ).write.mode("append").parquet(root)
-        if bounds["hi"] is not None:
+        if not applied:
+            append = delta_stats.join(
+                hist, "digest", "left_anti"
+            ).select(
+                "digest",
+                F.col("__first.d").alias("first_doc"),
+                F.col("__first.p").alias("first_pos"),
+            )
+            if has_epoch:
+                append = append.withColumn(
+                    "epoch",
+                    F.lit(int(-1 if epoch is None else epoch)).cast(
+                        "bigint"
+                    ),
+                )
+            append.write.mode("append").parquet(root)
+        if bounds["hi"] is not None and (
+            floor is None or bounds["hi"] > floor
+        ):
             _write_watermark(
                 spark,
                 state_path,

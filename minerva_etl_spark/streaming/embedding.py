@@ -13,17 +13,18 @@ micro-batch: the checkpoint gives exactly-once SOURCE-side file
 tracking, the store lease serializes concurrent writers, and each
 batch's decisions land in a per-epoch partition of the decision log.
 
-Sink-side semantics (honest accounting — foreachBatch itself is
-at-least-once): the state append is idempotent against batch
-RETRIES through the per-epoch marker `ingest_embedding_increment`
-commits inside the lease (a retried epoch is a no-op; the one
-remaining window is a crash between the append and the marker —
-closing it needs a transactional substrate, see the Delta MERGE
-boundary).  The decision log writes each epoch into its own
-``batch_id=<epoch>`` partition with dynamic overwrite, so a retry
-that DID re-run the cycle replaces rather than duplicates its rows;
-a retry that hit the epoch marker leaves the already-written
-partition alone.
+Sink-side semantics: EXACTLY-ONCE against foreachBatch retries
+since r16 (the CDX epoch-stamp protocol) — every appended state row
+carries its epoch, so `ingest_embedding_increment` distinguishes a
+crash before the append (normal re-run), between the append and the
+epoch marker (re-append SKIPPED — the formerly-open window), and
+after the marker (decisions recompute from state-minus-this-epoch,
+equal to the original under last-batch-only replay).  A retried
+epoch therefore always RETURNS its decisions again, and the
+decision log's ``batch_id=<epoch>`` dynamic-overwrite partition
+re-lands them idempotently — no crash position loses an epoch's
+decisions or double-appends its vectors.  Legacy (pre-epoch-column)
+states keep the old marker-no-op behavior.
 
 Stream == batch: N micro-batches through this wrapper produce the
 same decisions as N calls to `ingest_embedding_increment` with the

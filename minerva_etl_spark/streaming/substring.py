@@ -11,16 +11,18 @@ per micro-batch — checkpointed exactly-once source-side file
 tracking, the store lease serializing concurrent writers, per-epoch
 decision-log partitions.
 
-Idempotence against foreachBatch's at-least-once retries rides the
-state's OWN delivery watermark (r13): a retried epoch re-delivers doc
-ids at or below the recorded watermark, `substring_increment` raises
-its ascending-ids error, and the wrapper treats that as
-"already applied" and skips — so a retry never double-mutates the
-digest state.  The one remaining window is a crash between the state
-append and the decision write (the same boundary
-`streaming/embedding.py` documents; closing it needs a transactional
-substrate — see the Delta MERGE dispatch note in `operators/
-upsert.py`).
+Idempotence against foreachBatch's at-least-once retries is
+EXACTLY-ONCE since r16 (the CDX epoch-stamp protocol): every digest
+the increment appends is stamped with its foreachBatch epoch, so a
+retried delivery — whatever the crash position — recomputes its
+decisions with the state MINUS its own epoch's rows as history
+(equal to the original under last-batch-only replay), skips the
+re-append, advances the watermark if the crash beat it, and
+re-lands its decision partition idempotently.  Before r16 a
+crash between the state append and the watermark write made the
+retry see its own digests as history and strip the entire delivery.
+Legacy states without the epoch column keep the r13 watermark
+behavior (retry = no-op via the ascending-ids raise).
 
 Stream == batch: N micro-batches produce the same kept-text outputs
 as N `substring_increment` calls with the same deliveries in the
@@ -46,9 +48,11 @@ def substring_batch_handler(
     id_col: str = "doc_id",
     text_col: str = "text",
 ):
-    """The foreachBatch handler (exposed for the retry-noop test):
-    one `substring_increment` cycle per micro-batch; a watermark
-    rejection (re-delivered epoch) is a documented no-op."""
+    """The foreachBatch handler (exposed for the crash-window
+    tests): one `substring_increment` cycle per micro-batch, with
+    the epoch passed through so stamped states make retries
+    exactly-once; the watermark rejection remains the legacy
+    (unstamped-state) no-op."""
     from pyspark.sql import functions as F
 
     from minerva_etl_spark.operators.substring import (
@@ -63,10 +67,11 @@ def substring_batch_handler(
             out = substring_increment(
                 spark, batch_df, state_path,
                 w=w, id_col=id_col, text_col=text_col,
+                epoch=int(epoch),
             )
         except ValueError as exc:
             if "watermark" in str(exc):
-                return  # retried epoch: state already carries it
+                return  # legacy unstamped state: retry = no-op
             raise
         (
             out.withColumn(

@@ -94,11 +94,14 @@ def test_stream_equals_sequential_batch_ingest(spark, tmp_path):
     assert bids[0] != bids[10]
 
 
-def test_retried_epoch_is_a_noop(spark, tmp_path):
+def test_retried_epoch_is_exactly_once(spark, tmp_path):
     """foreachBatch is at-least-once: a micro-batch retried AFTER its
-    state append must not re-append its vectors or flip decisions —
-    the per-epoch marker committed inside the lease makes the retry a
-    no-op (returns None)."""
+    state append must not re-append its vectors or flip decisions.
+    Since r16 (the epoch-stamp protocol) the retry RETURNS its
+    decisions again — recomputed from state-minus-this-epoch, equal
+    to the originals — so the caller's dynamic-overwrite partition
+    re-lands instead of going missing when the crash beat the
+    decision write."""
     from minerva_etl_spark.operators.incremental import (
         ingest_embedding_increment,
     )
@@ -113,12 +116,20 @@ def test_retried_epoch_is_a_noop(spark, tmp_path):
     )
     assert first is not None and first.count() == 2
     assert spark.read.parquet(state).count() == 2
+    orig = sorted(
+        (r.vec_id, r.near_dup_of, r.keep) for r in first.collect()
+    )
 
-    # the retry: same epoch, same payload — must be rejected
+    # the retry: same epoch, same payload — no re-append, and the
+    # decisions come back IDENTICAL (not None: a crash between the
+    # marker and the decision write must be recoverable)
     retry = ingest_embedding_increment(
         spark, batch, state, epoch=7
     )
-    assert retry is None
+    assert retry is not None
+    assert sorted(
+        (r.vec_id, r.near_dup_of, r.keep) for r in retry.collect()
+    ) == orig
     assert spark.read.parquet(state).count() == 2  # NOT 4
 
     # the next epoch proceeds normally
@@ -132,3 +143,54 @@ def test_retried_epoch_is_a_noop(spark, tmp_path):
     )
     assert nxt is not None
     assert spark.read.parquet(state).count() == 3
+
+
+def test_crash_between_append_and_marker_is_exactly_once(
+    spark, tmp_path
+):
+    """THE formerly-open window: the state append lands but the
+    process dies before the epoch marker.  The epoch stamp in the
+    state lets the retry detect the landed append, skip the
+    re-append, drop the marker, and return the original decisions —
+    including a near-dup decision that a naive re-run would have
+    flipped (the vector would match ITSELF in history)."""
+    import os
+
+    from minerva_etl_spark.operators.incremental import (
+        ingest_embedding_increment,
+    )
+
+    state = str(tmp_path / "state")
+    base = spark.createDataFrame(
+        [(0, [1.0] * 8)], "vec_id bigint, embedding array<double>"
+    )
+    assert ingest_embedding_increment(
+        spark, base, state, epoch=1
+    ).count() == 1
+
+    # epoch 2: one fresh vector + one near-dup of history
+    d2 = spark.createDataFrame(
+        [(10, [-1.0] * 8), (11, [1.0] * 8)],
+        "vec_id bigint, embedding array<double>",
+    )
+    first = ingest_embedding_increment(spark, d2, state, epoch=2)
+    orig = sorted(
+        (r.vec_id, r.near_dup_of, r.keep) for r in first.collect()
+    )
+    assert orig == [(10, None, True), (11, 0, False)]
+    # ---- simulate the crash: delete the epoch-2 marker (the append
+    # already landed)
+    marker = f"{state}.__epochs/2"
+    assert os.path.exists(marker)
+    os.remove(marker)
+
+    retry = ingest_embedding_increment(spark, d2, state, epoch=2)
+    assert retry is not None
+    got = sorted(
+        (r.vec_id, r.near_dup_of, r.keep) for r in retry.collect()
+    )
+    # identical decisions: 11 still dups against vec 0, NOT against
+    # its own stamped copy (which would read near_dup_of=10 or self)
+    assert got == orig
+    assert spark.read.parquet(state).count() == 3  # no duplicates
+    assert os.path.exists(marker)  # the retry completed the commit

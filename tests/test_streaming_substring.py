@@ -95,10 +95,11 @@ def test_stream_equals_sequential_batch_increments(spark, tmp_path):
     assert bids[1] != bids[10]
 
 
-def test_retried_epoch_is_a_noop(spark, tmp_path):
-    """foreachBatch is at-least-once: re-running a delivery whose ids
-    the state watermark already covers must neither re-append digests
-    nor raise — the wrapper swallows the watermark rejection."""
+def test_retried_epoch_is_exactly_once(spark, tmp_path):
+    """foreachBatch is at-least-once: re-running a delivery must
+    neither re-append digests nor flip decisions.  Since r16 the
+    epoch stamp makes the retry re-land IDENTICAL decisions
+    (recomputed with the state minus its own rows as history)."""
     from minerva_etl_spark.operators.substring import (
         build_substring_state,
     )
@@ -115,7 +116,67 @@ def test_retried_epoch_is_a_noop(spark, tmp_path):
     handler = substring_batch_handler(state, decisions, w=8)
     handler(d2, 1)
     n_state = spark.read.parquet(state).count()
-    n_dec = spark.read.parquet(decisions).count()
+    caps = sorted(
+        (r.doc_id, r.n_removed, r.kept_text)
+        for r in spark.read.parquet(decisions).collect()
+    )
     handler(d2, 1)  # the retry
     assert spark.read.parquet(state).count() == n_state
-    assert spark.read.parquet(decisions).count() == n_dec
+    assert sorted(
+        (r.doc_id, r.n_removed, r.kept_text)
+        for r in spark.read.parquet(decisions).collect()
+    ) == caps
+
+
+def test_crash_between_append_and_watermark_is_exactly_once(
+    spark, tmp_path
+):
+    """THE formerly-open window: the digest append lands but the
+    process dies before the watermark write.  Before r16 the retry
+    saw its own digests as history and stripped the ENTIRE delivery;
+    the epoch stamp makes it recompute the original decisions, skip
+    the re-append, and advance the watermark."""
+    from minerva_etl_spark.operators.substring import (
+        _read_watermark,
+        _write_watermark,
+        build_substring_state,
+        substring_increment,
+    )
+    from minerva_etl_spark.streaming.substring import (
+        substring_batch_handler,
+    )
+
+    corpus, _ = _corpus(spark)
+    d1 = corpus.filter("doc_id < 10")
+    d2 = corpus.filter("doc_id >= 10")
+    state = str(tmp_path / "state")
+    decisions = str(tmp_path / "decisions")
+    build_substring_state(spark, d1, state, w=8)
+    floor_before = _read_watermark(spark, state)
+
+    # epoch 1 applies fully (the reference decisions)
+    want = sorted(
+        (r.doc_id, r.n_removed, r.kept_text)
+        for r in substring_increment(
+            spark, d2, state, w=8, epoch=1
+        ).collect()
+    )
+    n_state = spark.read.parquet(state).count()
+    # ---- simulate the crash: roll the watermark back to its
+    # pre-delivery value (the append + decisions stay)
+    _write_watermark(spark, state, floor_before)
+
+    handler = substring_batch_handler(state, decisions, w=8)
+    handler(d2, 1)  # the retry
+    got = sorted(
+        (r.doc_id, r.n_removed, r.kept_text)
+        for r in spark.read.parquet(decisions).collect()
+    )
+    assert got == want  # NOT the everything-stripped wrong output
+    # doc 10 still keeps its fresh text (only the historic span
+    # removed), doc 11 untouched
+    m = {d: n for d, n, _ in got}
+    assert m[10] == 10 and m[11] == 0
+    assert spark.read.parquet(state).count() == n_state  # no dupes
+    # the retry advanced the watermark past the delivery again
+    assert _read_watermark(spark, state) == 11
