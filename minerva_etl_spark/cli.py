@@ -2691,9 +2691,10 @@ def main(argv: list[str] | None = None) -> None:
     md.add_argument("--n-shards", type=int, default=8, dest="n_shards",
                     help="wds-export: tar shard count (md5-draw "
                          "assignment; size shards 100MB-1GB)")
-    md.add_argument("--password", default=None,
-                    help="office-decrypt: password to try (default: "
-                         "the VelvetSweatshop convention)")
+    md.add_argument("--password", default=None, action="append",
+                    help="office-decrypt: candidate password; repeat "
+                         "the flag for a wordlist tried in order "
+                         "(default: the VelvetSweatshop convention)")
     md.add_argument("--id-col", default="media_id", dest="id_col",
                     help="wds-export: sample key column")
     md.add_argument("--input", required=True, help="input parquet")

@@ -247,7 +247,7 @@ def office_decrypt_extract(
     docs: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
-    password: str | None = None,
+    password: "str | list[str] | None" = None,
     on_error: str = "fail",
 ) -> DataFrame:
     """Decryption-aware mixed-document extraction (r15): like
@@ -283,6 +283,13 @@ def office_decrypt_extract(
       row (NOT an error: a census must count these,
       `format_census`-style).
 
+    ``password`` accepts a single candidate or a WORDLIST
+    (``list[str]`` — r16): each scheme tries the candidates in order
+    and the first verifier-accept wins, the standard corpus-recovery
+    mode (per wrong candidate only the verifier check runs, and the
+    key spins memoize per (password, salt) across the worker).
+    ``None`` means the ``VelvetSweatshop`` default alone.
+
     A downstream census is one groupBy:
     ``office_decrypt_extract(df).groupBy("format", "encryption")``.
     Scale shape: identical to `office_extract` — one Arrow scan, no
@@ -300,7 +307,24 @@ def office_decrypt_extract(
         xls_encryption_type,
     )
 
-    password = DEFAULT_PASSWORD if password is None else password
+    if password is None:
+        candidates = [DEFAULT_PASSWORD]
+    elif isinstance(password, str):
+        candidates = [password]
+    else:
+        candidates = list(password)
+        if not candidates:
+            raise ValueError("password wordlist must not be empty")
+
+    def try_candidates(fn, payload):
+        # WrongPasswordError -> next candidate; scheme-level
+        # ValueErrors (unsupported/malformed) are final immediately
+        for i, pw in enumerate(candidates):
+            try:
+                return fn(payload, pw)
+            except WrongPasswordError:
+                if i == len(candidates) - 1:
+                    raise
     id_type = dict(docs.dtypes).get(id_col, "bigint")
     schema = OFFICE_DECRYPT_SCHEMA.replace(
         "doc_id bigint", f"{id_col} {id_type}", 1
@@ -318,7 +342,7 @@ def office_decrypt_extract(
                     if fmt == "ooxml_encrypted":
                         try:
                             scheme = ooxml_encryption_scheme(payload)
-                            payload = decrypt_ooxml(payload, password)
+                            payload = try_candidates(decrypt_ooxml, payload)
                             fmt = sniff_document_format(payload)
                             enc = f"ecma376_{scheme}"
                         except (WrongPasswordError, ValueError):
@@ -334,11 +358,12 @@ def office_decrypt_extract(
                         ) is not None
                     ):
                         try:
-                            payload = (
+                            payload = try_candidates(
                                 decrypt_xls_xor
                                 if scheme == "xor"
-                                else decrypt_xls_rc4
-                            )(payload, password)
+                                else decrypt_xls_rc4,
+                                payload,
+                            )
                             enc = f"xls_{scheme}"
                         except (WrongPasswordError, ValueError):
                             rows.append(
@@ -360,8 +385,8 @@ def office_decrypt_extract(
                             # password (r16); otherwise the honest
                             # locked census row stands
                             try:
-                                payload = decrypt_odf(
-                                    payload, password
+                                payload = try_candidates(
+                                    decrypt_odf, payload
                                 )
                                 enc = f"odf_{cipher}"
                             except (WrongPasswordError, ValueError):
@@ -377,7 +402,7 @@ def office_decrypt_extract(
                         ) is not None
                     ):
                         try:
-                            payload = decrypt_doc_rc4(payload, password)
+                            payload = try_candidates(decrypt_doc_rc4, payload)
                             enc = f"doc_{scheme}"
                         except (WrongPasswordError, ValueError):
                             rows.append(

@@ -407,6 +407,57 @@ def test_office_decrypt_cryptoapi_dispatch(spark):
         "xls", "locked", None)
 
 
+def test_office_decrypt_wordlist(spark):
+    """Wordlist mode (r16): a list of candidate passwords tries in
+    order per payload — the corpus-recovery shape.  Each scheme's
+    verifier gates the attempts; exhausting the list yields the
+    locked census row, and scheme-level rejects never burn through
+    the list."""
+    from minerva_etl_spark.operators.docx import synthesize_docx
+    from minerva_etl_spark.operators.odf import (
+        encrypt_odf,
+        synthesize_odt,
+    )
+    from minerva_etl_spark.operators.offcrypto import encrypt_xls_xor
+    from minerva_etl_spark.operators.office import (
+        office_decrypt_extract,
+    )
+    from minerva_etl_spark.operators.xls import synthesize_xls
+
+    rows = [
+        # opens with the 2nd candidate (Standard AES)
+        (1, encrypt_ooxml(synthesize_docx(["alpha body"]),
+                          password="site-pw")),
+        # opens with the default (1st candidate)
+        (2, encrypt_xls_rc4(synthesize_xls([("S", [["beta"]])]))),
+        # opens with the 3rd candidate (ODF Blowfish)
+        (3, encrypt_odf(synthesize_odt(["gamma body"]), "odf-pw")),
+        # XOR under a password NOT in the list -> locked
+        (4, encrypt_xls_xor(synthesize_xls([("S", [["delta"]])]),
+                            "absent")),
+    ]
+    got = {
+        r.doc_id: r
+        for r in office_decrypt_extract(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary"),
+            password=["VelvetSweatshop", "site-pw", "odf-pw"],
+        ).collect()
+    }
+    assert (got[1].encryption, got[1].text) == (
+        "ecma376_standard", "alpha body")
+    assert (got[2].encryption, got[2].text) == ("xls_rc4", "S\nbeta")
+    assert (got[3].encryption, got[3].text) == (
+        "odf_blowfish", "gamma body")
+    assert (got[4].encryption, got[4].text) == ("locked", None)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        office_decrypt_extract(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary"),
+            password=[],
+        )
+
+
 def test_office_decrypt_doc_leg(spark):
     from minerva_etl_spark.operators.msdoc import synthesize_doc
     from minerva_etl_spark.operators.offcrypto import encrypt_doc_rc4
