@@ -678,8 +678,9 @@ def decrypt_odf(payload: bytes, password: str) -> bytes:
                     f"manifest declares {rec.size}"
                 )
             out.writestr(name, plaintext)
-        # scrub encryption-data (and the stale size attr) from the
-        # manifest so downstream readers see a plain package
+        # scrub encryption-data from the manifest so downstream
+        # readers see a plain package (manifest:size stays — it
+        # records the plaintext size, which is still correct)
         for fe in man_root.iter(f"{_M}file-entry"):
             ed = fe.find(f"{_M}encryption-data")
             if ed is not None:
