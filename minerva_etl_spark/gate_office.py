@@ -919,7 +919,7 @@ def q_office_decrypt_cryptoapi(
 ) -> DataFrame:
     """The r16 decrypt matrix — the schemes the r15 verdict named as
     the last mainstream locked slices (`operators/offcrypto.py`):
-    one binary column cycles doc_id % 6 over a BIFF8 .xls under RC4
+    one binary column cycles doc_id % 7 over a BIFF8 .xls under RC4
     CryptoAPI (MS-OFFCRYPTO §2.3.5 — SHA-1 block keys, FilePass
     version 2.2, 128-bit), a Word-97 .doc under the same CryptoAPI
     scheme (table-stream header, 512-byte blocks), a 40-bit
@@ -927,24 +927,28 @@ def q_office_decrypt_cryptoapi(
     XOR-obfuscated .xls (§2.3.7 Method 1 — the published
     InitialCode/XorMatrix tables), an AGILE docx with the OFFICE
     2010 parameter set (SHA-1 spin + AES-128-CBC, the r15 advice's
-    medium finding), and a CryptoAPI .xls under a REAL password that
-    must stay a ``locked`` census row.  All under ``VelvetSweatshop``
-    except the locked leg; the oracle rebuilds every leg's
-    format/encryption/text closed-form, so a SHA-1 derivation,
-    40-bit pad, XOR table, rotate direction, agile parameter, or
-    census bug hash-mismatches."""
+    medium finding), a PowerPoint deck under MS-PPT's
+    persist-object RC4 CryptoAPI (Current User token, persist
+    directory, block = persist id), and a CryptoAPI .xls under a
+    REAL password that must stay a ``locked`` census row.  All under
+    ``VelvetSweatshop`` except the locked leg; the oracle rebuilds
+    every leg's format/encryption/text closed-form, so a SHA-1
+    derivation, 40-bit pad, XOR table, rotate direction, agile
+    parameter, persist-map, or census bug hash-mismatches."""
     _prep(spark)
     from minerva_etl_spark.operators.docx import synthesize_docx
     from minerva_etl_spark.operators.msdoc import synthesize_doc
     from minerva_etl_spark.operators.offcrypto import (
         encrypt_doc_rc4_cryptoapi,
         encrypt_ooxml_agile,
+        encrypt_ppt_rc4,
         encrypt_xls_rc4_cryptoapi,
         encrypt_xls_xor,
     )
     from minerva_etl_spark.operators.office import (
         office_decrypt_extract,
     )
+    from minerva_etl_spark.operators.ppt import synthesize_ppt
     from minerva_etl_spark.operators.xls import synthesize_xls
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -963,26 +967,31 @@ def q_office_decrypt_cryptoapi(
                 )
                 # fixed seeds: the per-worker (password, salt) caches
                 # absorb the key spins (one per leg, not per doc)
-                if d % 6 == 0:
+                if d % 7 == 0:
                     payload = encrypt_xls_rc4_cryptoapi(
                         xls(), seed=b"gate-r16-xlsca"
                     )
-                elif d % 6 == 1:
+                elif d % 7 == 1:
                     payload = encrypt_doc_rc4_cryptoapi(
                         synthesize_doc([head, t], title=f"Doc {d}"),
                         seed=b"gate-r16-docca",
                     )
-                elif d % 6 == 2:
+                elif d % 7 == 2:
                     payload = encrypt_xls_rc4_cryptoapi(
                         xls(), seed=b"gate-r16-xls40", key_bits=40
                     )
-                elif d % 6 == 3:
+                elif d % 7 == 3:
                     payload = encrypt_xls_xor(xls())
-                elif d % 6 == 4:
+                elif d % 7 == 4:
                     payload = encrypt_ooxml_agile(
                         synthesize_docx([head, t], title=f"Doc {d}"),
                         seed=b"gate-r16-agile2010",
                         hash_alg="SHA1", key_bits=128, spin=5_000,
+                    )
+                elif d % 7 == 5:
+                    payload = encrypt_ppt_rc4(
+                        synthesize_ppt([[head, t]], title=f"Doc {d}"),
+                        seed=b"gate-r16-pptca",
                     )
                 else:
                     payload = encrypt_xls_rc4_cryptoapi(
@@ -993,7 +1002,7 @@ def q_office_decrypt_cryptoapi(
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     payloads = _media_fixture_staged(
-        spark, sf_dir, "offdec16",
+        spark, sf_dir, "offdec16b",
         lambda: docs.mapInPandas(synth, "doc_id bigint, payload binary"),
     )
     return office_decrypt_extract(payloads)
@@ -1004,19 +1013,20 @@ WITH san AS (
   SELECT doc_id, {_ascii_sanitize_sql('text')} AS text FROM documents
 ), built AS (
   SELECT doc_id,
-         CASE doc_id % 6 WHEN 1 THEN 'doc' WHEN 4 THEN 'docx'
-              ELSE 'xls' END AS format,
-         CASE doc_id % 6 WHEN 0 THEN 'xls_rc4_cryptoapi'
+         CASE doc_id % 7 WHEN 1 THEN 'doc' WHEN 4 THEN 'docx'
+              WHEN 5 THEN 'ppt' ELSE 'xls' END AS format,
+         CASE doc_id % 7 WHEN 0 THEN 'xls_rc4_cryptoapi'
               WHEN 1 THEN 'doc_rc4_cryptoapi'
               WHEN 2 THEN 'xls_rc4_cryptoapi'
               WHEN 3 THEN 'xls_xor'
               WHEN 4 THEN 'ecma376_agile'
+              WHEN 5 THEN 'ppt_rc4_cryptoapi'
               ELSE 'locked' END AS encryption,
-         CASE WHEN doc_id % 6 = 5 THEN NULL
+         CASE WHEN doc_id % 7 = 6 THEN NULL
               ELSE 'Doc ' || CAST(doc_id AS VARCHAR) END AS title,
-         CASE WHEN doc_id % 6 = 5 THEN NULL
+         CASE WHEN doc_id % 7 = 6 THEN NULL
               ELSE
-                CASE WHEN doc_id % 6 IN (1, 4) THEN ''
+                CASE WHEN doc_id % 7 IN (1, 4, 5) THEN ''
                      ELSE 'Data' || chr(10) END
                 || 'Doc ' || CAST(doc_id AS VARCHAR) || ' report'
                 || chr(10) || text

@@ -111,6 +111,9 @@ __all__ = [
     "encrypt_doc_rc4_cryptoapi",
     "decrypt_doc_rc4",
     "doc_encryption_type",
+    "encrypt_ppt_rc4",
+    "decrypt_ppt_rc4",
+    "ppt_encryption_type",
 ]
 
 #: Excel's implicit default password (public, in MS-OFFCRYPTO's own
@@ -1713,3 +1716,254 @@ def decrypt_xls_xor(
     del decrypted[pos : pos + total]
     _fixup_boundsheets(decrypted, -total, pos)
     return _rebuild_cfb_with_workbook(payload, bytes(decrypted))
+
+
+# =====================================================================
+# PowerPoint 2002/2003 RC4 CryptoAPI (MS-PPT §2.1.2 + §2.3.5)
+# =====================================================================
+# The third binary host of the CryptoAPI scheme.  PowerPoint's unit
+# of encryption is the PERSIST OBJECT: the Current User stream's
+# CurrentUserAtom carries the encrypted-document header token
+# (0xF3D1C4DF vs the plaintext 0xE391C05F), the UserEditAtom chain
+# and PersistDirectoryAtom(s) stay plaintext and map persist ids to
+# stream offsets, the §2.3.5.1 header rides in a
+# CryptSession10Container persist (referenced by the UserEditAtom's
+# encryptSessionPersistIdRef), and every OTHER persist object —
+# record header included — is one RC4 stream keyed with block =
+# its PERSIST ID (not a byte-offset block like the .xls/.doc hosts).
+# Scope note: fixtures carry the document persist; real decks also
+# encrypt their Pictures-stream payloads, which this module does not
+# synthesize.
+
+_RT_CURRENT_USER = 0x0FF6
+_RT_USER_EDIT = 0x0FF5
+_RT_PERSIST_DIR = 0x1772
+_RT_CRYPT_SESSION10 = 0x2F14
+_PPT_TOKEN_PLAIN = 0xE391C05F
+_PPT_TOKEN_ENC = 0xF3D1C4DF
+_PPT_STREAM = "PowerPoint Document"
+_CU_STREAM = "Current User"
+
+
+@_malformed_to_valueerror
+def ppt_encryption_type(payload: bytes) -> str | None:
+    """``'rc4_cryptoapi' | None`` from the CurrentUserAtom header
+    token — no key work.  Legacy fixtures without a Current User
+    stream read as plaintext."""
+    from minerva_etl_spark.operators.msdoc import _Cfb
+
+    try:
+        cu = _Cfb(payload).read(_CU_STREAM)
+    except KeyError:
+        return None
+    if len(cu) < 16:
+        return None
+    (token,) = struct.unpack_from("<I", cu, 12)
+    return "rc4_cryptoapi" if token == _PPT_TOKEN_ENC else None
+
+
+def _ppt_persist_map(blob: bytes, off_ue: int):
+    """Walk the UserEditAtom chain from the newest edit: returns
+    ``({persist_id: offset}, encrypt_session_persist_id)`` with the
+    NEWEST directory entry winning for re-published ids."""
+    persist: dict[int, int] = {}
+    crypt_ref = None
+    seen: set[int] = set()
+    off = off_ue
+    while off and off not in seen:
+        seen.add(off)
+        _ver, rtype, rlen = struct.unpack_from("<HHI", blob, off)
+        if rtype != _RT_USER_EDIT:
+            raise ValueError(
+                f"expected UserEditAtom at offset {off}, got "
+                f"record 0x{rtype:04X}"
+            )
+        p = off + 8
+        off_last, off_dir = struct.unpack_from("<II", blob, p + 8)
+        if crypt_ref is None and rlen >= 32:
+            (crypt_ref,) = struct.unpack_from("<I", blob, p + 28)
+        _dver, dtype, dlen = struct.unpack_from("<HHI", blob, off_dir)
+        if dtype != _RT_PERSIST_DIR:
+            raise ValueError(
+                f"expected PersistDirectoryAtom at offset {off_dir}"
+            )
+        q = off_dir + 8
+        endq = q + dlen
+        while q + 4 <= endq:
+            (val,) = struct.unpack_from("<I", blob, q)
+            pid, cnt = val & 0xFFFFF, val >> 20
+            q += 4
+            for i in range(cnt):
+                if q + 4 > endq:
+                    raise ValueError(
+                        "truncated PersistDirectoryAtom entry run"
+                    )
+                (o,) = struct.unpack_from("<I", blob, q)
+                persist.setdefault(pid + i, o)
+                q += 4
+        off = off_last
+    return persist, crypt_ref
+
+
+def encrypt_ppt_rc4(
+    payload: bytes,
+    password: str = DEFAULT_PASSWORD,
+    seed: bytes | None = None,
+    key_bits: int = 128,
+) -> bytes:
+    """Encrypt a plaintext binary .ppt with RC4 CryptoAPI per
+    MS-PPT: the document record becomes persist object 1 (one RC4
+    stream, block = 1), the CryptoAPI header lands in a
+    CryptSession10Container persist, a PersistDirectoryAtom +
+    UserEditAtom map both, and a Current User stream carries the
+    encrypted-document token.  Deterministic via ``seed``."""
+    from minerva_etl_spark.operators.msdoc import (
+        _MINI_CUTOFF,
+        _Cfb,
+        _build_cfb,
+    )
+
+    cfb = _Cfb(payload)
+    try:
+        blob = cfb.read(_PPT_STREAM)
+    except KeyError:
+        raise ValueError(
+            "not a .ppt (no PowerPoint Document stream)"
+        ) from None
+    if ppt_encryption_type(payload) is not None:
+        raise ValueError("presentation is already encrypted")
+    _ver, rtype, rlen = struct.unpack_from("<HHI", blob, 0)
+    doc = blob[: 8 + rlen]  # the document persist record
+    seed = seed or hashlib.sha1(b"pptca-fixture" + payload).digest()
+    header = _build_cryptoapi_header(password, seed, key_bits)
+    salt = hashlib.md5(seed + b"salt").digest()
+    h0 = _cryptoapi_h0(password, salt)
+    enc_doc = rc4_crypt(_cryptoapi_block_key(h0, 1, key_bits), doc)
+    crypt_rec = (
+        struct.pack(
+            "<HHI", 0x000F, _RT_CRYPT_SESSION10, len(header)
+        )
+        + header
+    )
+    off_crypt = len(enc_doc)
+    stream = enc_doc + crypt_rec
+    # persist ids 1..2 -> [document, crypt session]
+    dir_payload = struct.pack(
+        "<III", 1 | (2 << 20), 0, off_crypt
+    )
+    off_dir = len(stream)
+    stream += (
+        struct.pack("<HHI", 0, _RT_PERSIST_DIR, len(dir_payload))
+        + dir_payload
+    )
+    off_ue = len(stream)
+    ue_payload = (
+        struct.pack("<IHBB", 0, 0, 0, 3)  # lastSlideIdRef, version
+        + struct.pack("<IIII", 0, off_dir, 1, 3)
+        + struct.pack("<HH", 0, 0)  # lastView, unused
+        + struct.pack("<I", 2)  # encryptSessionPersistIdRef
+    )
+    stream += (
+        struct.pack("<HHI", 0, _RT_USER_EDIT, len(ue_payload))
+        + ue_payload
+    )
+    name = b"minerva"
+    cu_payload = (
+        struct.pack(
+            "<IIIHH", 0x14, _PPT_TOKEN_ENC, off_ue, len(name), 0x03F4
+        )
+        + bytes([0x03, 0x00])  # majorVersion, minorVersion
+        + b"\x00\x00"  # unused
+        + name
+        + struct.pack("<I", 0x00000008)  # relVersion
+    )
+    cu_rec = (
+        struct.pack("<HHI", 0, _RT_CURRENT_USER, len(cu_payload))
+        + cu_payload
+    )
+    streams = []
+    replaced = False
+    for ent in cfb.top_level():
+        if ent["type"] != 2:
+            continue
+        if ent["name"] == _PPT_STREAM:
+            streams.append(
+                (_PPT_STREAM, stream.ljust(_MINI_CUTOFF, b"\x00"))
+            )
+            replaced = True
+        elif ent["name"] == _CU_STREAM:
+            continue  # rewritten below
+        else:
+            streams.append((ent["name"], cfb.read_entry(ent)))
+    assert replaced
+    streams.append((_CU_STREAM, cu_rec.ljust(_MINI_CUTOFF, b"\x00")))
+    return _build_cfb(streams)
+
+
+@_malformed_to_valueerror
+def decrypt_ppt_rc4(
+    payload: bytes, password: str = DEFAULT_PASSWORD
+) -> bytes:
+    """RC4-CryptoAPI-encrypted .ppt → plaintext .ppt bytes: every
+    persist object decrypts IN PLACE (offsets — and therefore the
+    persist directory — stay valid), the CryptSession10Container is
+    neutralized to a skippable atom, and the Current User token
+    flips to plaintext so `ppt.ppt_extract_text` reads the result
+    directly.  :class:`WrongPasswordError` on verifier mismatch."""
+    from minerva_etl_spark.operators.msdoc import _Cfb
+
+    cfb = _Cfb(payload)
+    try:
+        cu = bytearray(cfb.read(_CU_STREAM))
+    except KeyError:
+        raise ValueError(
+            "presentation is not encrypted (no Current User stream)"
+        ) from None
+    (token,) = struct.unpack_from("<I", cu, 12)
+    if token != _PPT_TOKEN_ENC:
+        raise ValueError(
+            "presentation is not encrypted (plaintext header token)"
+        )
+    (off_ue,) = struct.unpack_from("<I", cu, 16)
+    blob = bytearray(cfb.read(_PPT_STREAM))
+    persist, crypt_ref = _ppt_persist_map(bytes(blob), off_ue)
+    if crypt_ref is None or crypt_ref not in persist:
+        raise ValueError(
+            "encrypted .ppt without an encryptSessionPersistIdRef "
+            "persist"
+        )
+    coff = persist[crypt_ref]
+    _cver, ctype, _clen = struct.unpack_from("<HHI", blob, coff)
+    if ctype != _RT_CRYPT_SESSION10:
+        raise ValueError(
+            f"persist {crypt_ref} is record 0x{ctype:04X}, not "
+            f"CryptSession10Container"
+        )
+    v_major, v_minor = struct.unpack_from("<HH", blob, coff + 8)
+    if v_major not in (2, 3, 4) or v_minor != 2:
+        raise ValueError(
+            f"unknown .ppt encryption version {v_major}.{v_minor}"
+        )
+    salt, key_bits = _parse_cryptoapi_header(
+        bytes(blob), coff + 12, password
+    )
+    h0 = _cryptoapi_h0(password, salt)
+    for pid, off in persist.items():
+        if pid == crypt_ref:
+            continue
+        if off + 8 > len(blob):
+            raise ValueError(f"persist {pid} offset past the stream")
+        key = _cryptoapi_block_key(h0, pid, key_bits)
+        head = rc4_crypt(key, bytes(blob[off : off + 8]))
+        (prlen,) = struct.unpack_from("<I", head, 4)
+        end = off + 8 + prlen
+        if end > len(blob):
+            raise ValueError(f"persist {pid} overruns the stream")
+        blob[off:end] = rc4_crypt(key, bytes(blob[off:end]))
+    # neutralize the crypt container (recVer 0xF -> atom) so the
+    # plain record walker skips its binary payload
+    struct.pack_into("<H", blob, coff, 0)
+    struct.pack_into("<I", cu, 12, _PPT_TOKEN_PLAIN)
+    return _rebuild_cfb_doc(
+        payload, {_PPT_STREAM: bytes(blob), _CU_STREAM: bytes(cu)}
+    )

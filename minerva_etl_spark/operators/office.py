@@ -266,9 +266,11 @@ def office_decrypt_extract(
     * ``xls_rc4`` / ``doc_rc4`` — BIFF8 ``FilePass`` / Word-97
       ``fEncrypted`` Office-97 RC4 accepted; the payload decrypts
       and extracts as a plain .xls/.doc;
-    * ``xls_rc4_cryptoapi`` / ``doc_rc4_cryptoapi`` — the
-      second-generation RC4 scheme (MS-OFFCRYPTO §2.3.5, SHA-1
-      derivation — Office XP/2003) accepted the same way (r16);
+    * ``xls_rc4_cryptoapi`` / ``doc_rc4_cryptoapi`` /
+      ``ppt_rc4_cryptoapi`` — the second-generation RC4 scheme
+      (MS-OFFCRYPTO §2.3.5, SHA-1 derivation — Office XP/2003)
+      accepted the same way; PowerPoint's variant decrypts per
+      PERSIST OBJECT with block = persist id (r16);
     * ``xls_xor`` — XOR obfuscation Method 1 (§2.3.7, the oldest
       Excel protection) whose key+verifier match the password (r16);
     * ``odf_blowfish`` / ``odf_aes`` — LibreOffice/OpenOffice
@@ -300,10 +302,12 @@ def office_decrypt_extract(
         WrongPasswordError,
         decrypt_doc_rc4,
         decrypt_ooxml,
+        decrypt_ppt_rc4,
         decrypt_xls_rc4,
         decrypt_xls_xor,
         doc_encryption_type,
         ooxml_encryption_scheme,
+        ppt_encryption_type,
         xls_encryption_type,
     )
 
@@ -395,6 +399,21 @@ def office_decrypt_extract(
                                      None)
                                 )
                                 continue
+                    elif (
+                        fmt == "ppt"
+                        and ppt_encryption_type(payload) is not None
+                    ):
+                        try:
+                            payload = try_candidates(
+                                decrypt_ppt_rc4, payload
+                            )
+                            enc = "ppt_rc4_cryptoapi"
+                        except (WrongPasswordError, ValueError):
+                            rows.append(
+                                (did, "ppt", "locked", None, None,
+                                 None)
+                            )
+                            continue
                     elif (
                         fmt == "doc"
                         and (

@@ -181,6 +181,21 @@ def ppt_extract_text(payload: bytes) -> dict:
             "OLE2 container without a PowerPoint Document stream "
             "(not a .ppt)"
         ) from None
+    try:
+        cu = cfb.read("Current User")
+        # the CurrentUserAtom's encrypted-document token (r16): a
+        # named reject instead of walking ciphertext records
+        if (
+            len(cu) >= 16
+            and struct.unpack_from("<I", cu, 12)[0] == 0xF3D1C4DF
+        ):
+            raise ValueError(
+                "encrypted PowerPoint document (RC4 CryptoAPI "
+                "header token) — decrypt with "
+                "offcrypto.decrypt_ppt_rc4 first"
+            )
+    except KeyError:
+        pass
     atoms: list[str] = []
     _walk_text(blob, 0, len(blob), atoms)
     norm = [

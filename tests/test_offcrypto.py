@@ -407,6 +407,79 @@ def test_office_decrypt_cryptoapi_dispatch(spark):
         "xls", "locked", None)
 
 
+def test_ppt_rc4_cryptoapi_roundtrip():
+    """PowerPoint XP/2003 RC4 CryptoAPI (MS-PPT persist-object
+    encryption): the Current User token, the UserEditAtom →
+    PersistDirectoryAtom map, per-persist RC4 with block = persist
+    id, and the neutralized CryptSession10Container."""
+    from minerva_etl_spark.operators.offcrypto import (
+        decrypt_ppt_rc4,
+        encrypt_ppt_rc4,
+        ppt_encryption_type,
+    )
+    from minerva_etl_spark.operators.ppt import (
+        ppt_extract_text,
+        synthesize_ppt,
+    )
+
+    slides = [
+        [f"slide {i} heading", f"slide {i} body line"]
+        for i in range(6)
+    ]
+    plain = synthesize_ppt(slides, title="PC", author="PA")
+    enc = encrypt_ppt_rc4(plain)
+    assert ppt_encryption_type(enc) == "rc4_cryptoapi"
+    assert ppt_encryption_type(plain) is None
+    # the plain reader names the encryption instead of walking
+    # ciphertext records
+    with pytest.raises(ValueError, match="encrypted PowerPoint"):
+        ppt_extract_text(enc)
+    dec = decrypt_ppt_rc4(enc)
+    assert ppt_extract_text(dec) == ppt_extract_text(plain)
+    assert ppt_extract_text(dec)["title"] == "PC"
+    assert encrypt_ppt_rc4(plain) == enc  # deterministic
+    with pytest.raises(WrongPasswordError):
+        decrypt_ppt_rc4(enc, "wrong")
+    with pytest.raises(ValueError, match="already encrypted"):
+        encrypt_ppt_rc4(enc)
+    with pytest.raises(ValueError, match="not encrypted"):
+        decrypt_ppt_rc4(plain)
+    # 40-bit export grade
+    enc40 = encrypt_ppt_rc4(plain, key_bits=40)
+    assert ppt_extract_text(decrypt_ppt_rc4(enc40)) == (
+        ppt_extract_text(plain)
+    )
+
+
+def test_office_decrypt_ppt_leg(spark):
+    from minerva_etl_spark.operators.offcrypto import encrypt_ppt_rc4
+    from minerva_etl_spark.operators.office import (
+        office_decrypt_extract,
+    )
+    from minerva_etl_spark.operators.ppt import synthesize_ppt
+
+    rows = [
+        (1, encrypt_ppt_rc4(
+            synthesize_ppt([["deck body"]], title="D"))),
+        (2, encrypt_ppt_rc4(
+            synthesize_ppt([["sealed"]]), password="real-secret")),
+        (3, synthesize_ppt([["open deck"]], title="O")),
+    ]
+    got = {
+        r.doc_id: r
+        for r in office_decrypt_extract(
+            spark.createDataFrame(rows, "doc_id bigint, payload binary")
+        ).collect()
+    }
+    assert (got[1].format, got[1].encryption, got[1].title,
+            got[1].text) == ("ppt", "ppt_rc4_cryptoapi", "D",
+                             "deck body")
+    assert (got[2].format, got[2].encryption, got[2].text) == (
+        "ppt", "locked", None)
+    assert (got[3].format, got[3].encryption, got[3].text) == (
+        "ppt", "none", "open deck")
+
+
 def test_office_decrypt_wordlist(spark):
     """Wordlist mode (r16): a list of candidate passwords tries in
     order per payload — the corpus-recovery shape.  Each scheme's
