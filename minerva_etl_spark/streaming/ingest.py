@@ -4,9 +4,17 @@ The reference's loader is batch per-file; its live deployment shape is
 "a directory where files keep landing".  Structured Streaming's file
 source gives exactly that: new CSV files become micro-batches, each
 batch runs the same normalize → upsert path as the batch loader
-(`foreachBatch` — the store write is not an idempotent sink-API write,
-so we keep the loader semantics and rely on the checkpoint for
-exactly-once file tracking).
+(`foreachBatch` with exactly-once SOURCE-side file tracking from the
+checkpoint).
+
+Retry semantics (r16 note — why this wrapper needs no epoch stamp,
+unlike the unbounded-state families in `streaming/cdx.py` /
+`substring.py` / `embedding.py`): `TrendStore.store` is an UPSERT on
+(entity_id, timestamp) with dynamic partition overwrite, so a
+retried micro-batch re-lands byte-equivalent rows over themselves —
+idempotent by key, no append to duplicate and no decision output to
+lose.  Only the bookkeeping `created` column moves on a retry
+(last-wins, the store's documented semantics).
 
 Downstream incrementality needs nothing new: every store marks the
 modified log, which the live-monitor watcher already turns into
