@@ -472,15 +472,13 @@ from minerva_etl_spark.gate_crawl import (  # noqa: F401
 #: (TPC-H showpieces, a duplicate granularity rung, extra window ops).
 _REGISTRY_ORDER = [
     # ---------------- r16 driver window (first 50) -------------------
-    # r16 rotation: the r16-born decrypt-matrix row
-    # (office_decrypt_cryptoapi — CryptoAPI xls/doc, 40-bit, XOR
-    # Method 1, Office-2010 agile, locked leg) goes STRAIGHT into the
-    # window per the zero-debt protocol; doc_extract (driver-green
-    # r13-r15) rotates OUT with in-window vouchers:
-    # office_decrypt_default leg 5 and office_decrypt_cryptoapi leg 1
-    # both extract decrypted .doc through the SAME msdoc codec
-    # (piece table, OLEPS title), and pipeline_document composes doc
-    # extraction over archive members; test_msdoc stays.
+    # r16 rotation: BOTH r16-born rows (office_decrypt_cryptoapi —
+    # the 7-leg decrypt matrix: CryptoAPI xls/doc/ppt, 40-bit, XOR
+    # Method 1, Office-2010 agile, locked leg — and
+    # odf_decrypt_password) go STRAIGHT into the window per the
+    # zero-debt protocol; doc_extract and xls_extract (each
+    # driver-green r13-r15) rotate OUT with in-window vouchers
+    # (see the rotated-out block below + COVERAGE.md r16).
     # ---------------- r15 window notes (historical) ------------------
     # r15 rotation (the r14 verdict's ask 1): ALL 11 never-driver-
     # checked r14-born rows rotate IN for their FIRST driver
@@ -560,8 +558,9 @@ _REGISTRY_ORDER = [
     # multi-block BIFF8 RC4 leg
     "office_decrypt_default",
     "xls_decrypt_velvet",
-    # r16-born (straight in): CryptoAPI RC4 (xls 128/40-bit + doc),
-    # XOR Method 1, Office-2010 agile parameters, locked census leg
+    # r16-born (straight in): CryptoAPI RC4 (xls 128/40-bit, doc,
+    # and MS-PPT persist-object ppt), XOR Method 1, Office-2010
+    # agile parameters, locked census leg
     "office_decrypt_cryptoapi",
     # r16-born (straight in): supplied-password OpenDocument
     # decryption — PBKDF2 + Blowfish-CFB8 (pi-generated tables) and

@@ -118,6 +118,23 @@ def _esc(s: str) -> str:
     )
 
 
+
+def _zwrite(
+    zf: zipfile.ZipFile, name: str, data: bytes, stored: bool = False
+) -> None:
+    """Deterministic member write: a plain-string ``writestr`` stamps
+    the CURRENT local time into the zip header (bytes then differ
+    across a second boundary — a real flake the r16 determinism
+    asserts caught), so every ODF writer goes through a fixed-epoch
+    ``ZipInfo``."""
+    zf.writestr(
+        zipfile.ZipInfo(name), data,
+        compress_type=(
+            zipfile.ZIP_STORED if stored else zipfile.ZIP_DEFLATED
+        ),
+    )
+
+
 def _package(kind: str, content: bytes, meta: bytes) -> bytes:
     manifest = (
         f'<?xml version="1.0" encoding="UTF-8"?>'
@@ -135,13 +152,10 @@ def _package(kind: str, content: bytes, meta: bytes) -> bytes:
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         # OCF rule: mimetype FIRST and STORED so byte-level sniffers
         # can read it without inflating
-        zf.writestr(
-            zipfile.ZipInfo("mimetype"), _MIME[kind],
-            compress_type=zipfile.ZIP_STORED,
-        )
-        zf.writestr("content.xml", content)
-        zf.writestr("meta.xml", meta)
-        zf.writestr("META-INF/manifest.xml", manifest)
+        _zwrite(zf, "mimetype", _MIME[kind].encode(), stored=True)
+        _zwrite(zf, "content.xml", content)
+        _zwrite(zf, "meta.xml", meta)
+        _zwrite(zf, "META-INF/manifest.xml", manifest)
     return buf.getvalue()
 
 
@@ -628,16 +642,13 @@ def decrypt_odf(payload: bytes, password: str) -> bytes:
             name = info.filename
             data = zf.read(name)
             if name == "mimetype":
-                out.writestr(
-                    zipfile.ZipInfo("mimetype"), data,
-                    compress_type=zipfile.ZIP_STORED,
-                )
+                _zwrite(out, "mimetype", data, stored=True)
                 continue
             if name == "META-INF/manifest.xml":
                 continue  # rewritten below, scrubbed
             rec = recs.get(name)
             if rec is None:
-                out.writestr(name, data)
+                _zwrite(out, name, data)
                 continue
             key = hashlib.pbkdf2_hmac(
                 "sha1",
@@ -677,7 +688,7 @@ def decrypt_odf(payload: bytes, password: str) -> bytes:
                     f"{name}: inflated {len(plaintext)} bytes, "
                     f"manifest declares {rec.size}"
                 )
-            out.writestr(name, plaintext)
+            _zwrite(out, name, plaintext)
         # scrub encryption-data from the manifest so downstream
         # readers see a plain package (manifest:size stays — it
         # records the plaintext size, which is still correct)
@@ -686,7 +697,8 @@ def decrypt_odf(payload: bytes, password: str) -> bytes:
             if ed is not None:
                 fe.remove(ed)
         ET.register_namespace("manifest", _NS_MANIFEST)
-        out.writestr(
+        _zwrite(
+            out,
             "META-INF/manifest.xml",
             ET.tostring(man_root, xml_declaration=True,
                         encoding="UTF-8"),
@@ -735,10 +747,7 @@ def encrypt_odf(
     ]
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w") as out:
-        out.writestr(
-            zipfile.ZipInfo("mimetype"), zf.read("mimetype"),
-            compress_type=zipfile.ZIP_STORED,
-        )
+        _zwrite(out, "mimetype", zf.read("mimetype"), stored=True)
         for info in zf.infolist():
             name = info.filename
             if name in ("mimetype", "META-INF/manifest.xml"):
@@ -791,10 +800,7 @@ def encrypt_odf(
                 cksum = hashlib.sha256(deflated[:1024]).digest()
                 skg = "http://www.w3.org/2000/09/xmldsig#sha256"
                 key_size = 32
-            out.writestr(
-                zipfile.ZipInfo(name), ct,
-                compress_type=zipfile.ZIP_STORED,
-            )
+            _zwrite(out, name, ct, stored=True)
             media = "text/xml" if name.endswith(".xml") else ""
             entries.append(
                 f'<manifest:file-entry manifest:full-path='
@@ -821,5 +827,5 @@ def encrypt_odf(
             f'manifest:version="1.2">' + "".join(entries)
             + "</manifest:manifest>"
         ).encode()
-        out.writestr("META-INF/manifest.xml", manifest)
+        _zwrite(out, "META-INF/manifest.xml", manifest)
     return buf.getvalue()

@@ -269,7 +269,18 @@ def synthesize_xlsb(
         )
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", (
+        # fixed-epoch ZipInfo: a plain-string writestr stamps the
+        # CURRENT time into the member header, so "deterministic
+        # bytes" would break across a second boundary (the r16 odf
+        # flake class)
+        def w(name, data):
+            zf.writestr(
+                zipfile.ZipInfo(name),
+                data,
+                compress_type=zipfile.ZIP_DEFLATED,
+            )
+
+        w("[Content_Types].xml", (
             '<?xml version="1.0"?><Types xmlns="http://schemas.'
             'openxmlformats.org/package/2006/content-types">'
             '<Default Extension="bin" ContentType="application/vnd.'
@@ -277,17 +288,17 @@ def synthesize_xlsb(
             '<Default Extension="xml" ContentType="application/xml"/>'
             "</Types>"
         ))
-        zf.writestr("xl/workbook.bin", b"".join(wb))
-        zf.writestr("xl/_rels/workbook.bin.rels", (
+        w("xl/workbook.bin", b"".join(wb))
+        w("xl/_rels/workbook.bin.rels", (
             '<?xml version="1.0"?>'
             f'<Relationships xmlns="{_REL_NS}">'
             + "".join(rels) + "</Relationships>"
         ))
-        zf.writestr("xl/sharedStrings.bin", b"".join(sst))
+        w("xl/sharedStrings.bin", b"".join(sst))
         for i, part in enumerate(sheet_parts):
-            zf.writestr(f"xl/worksheets/sheet{i + 1}.bin", part)
+            w(f"xl/worksheets/sheet{i + 1}.bin", part)
         if core is not None:
-            zf.writestr("docProps/core.xml", core)
+            w("docProps/core.xml", core)
     return buf.getvalue()
 
 
