@@ -94,15 +94,28 @@ def bpe_train(
     n_merges: int,
     min_count: int = 2,
     text_col: str = "text",
+    checkpoint_every: int = 8,
 ) -> tuple[DataFrame, DataFrame]:
     """Learn up to ``n_merges`` BPE merges from the corpus.
 
     Returns ``(merges, vocab)``: merges as ``(rank, left, right,
     pair_count)`` in application order — the artifact a tokenizer
     loads — and the final symbolized vocabulary ``(word, cnt, sym)``.
+
+    ``checkpoint_every`` bounds how many merge applications accumulate
+    as lazy lineage before the vocabulary is re-materialized: chained
+    ``replace`` projections collapse into ONE fused projection per
+    pair-count pass, so an eager materialization job per round (the
+    pre-r16 shape) pays a full extra pass over the vocabulary per merge
+    for no algorithmic benefit; checkpointing only every K rounds keeps
+    the per-round cost at one distributed pass while still truncating
+    lineage before replay cost (i replaces per row) or planning depth
+    can compound at large merge counts.
     """
     spark = docs.sparkSession
     vocab = _initial_vocab(docs, text_col).localCheckpoint(eager=True)
+    checkpoint_every = max(1, int(checkpoint_every))
+    pending = 0  # merges applied since the last materialization
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(int(n_merges)):
         best = (
@@ -129,7 +142,11 @@ def bpe_train(
                 f"concat(' ', {_sq(left)}, ' ', {_sq(right)}), "
                 f"concat(' ', {_sq(merged)}))"
             ),
-        ).localCheckpoint(eager=True)
+        )
+        pending += 1
+        if pending >= checkpoint_every:
+            vocab = vocab.localCheckpoint(eager=True)
+            pending = 0
         merges.append((rank, left, right, int(cnt)))
     mdf = spark.createDataFrame(
         merges, "rank int, left string, right string, pair_count bigint"
@@ -340,7 +357,11 @@ def bpe_encode_ids(
         )
     else:
         fold = "sym"
-    vocab0 = _initial_vocab(docs, text_col)
+    # one corpus word-count pass, not three: vocab0 feeds the base-id
+    # derivation (whose .count() is an action), and the symbol explode
+    # below — un-materialized, each re-ran the full explode + groupBy
+    # (guide §5: cut the re-executed subtree)
+    vocab0 = _initial_vocab(docs, text_col).localCheckpoint(eager=True)
     vocab_ids = _vocab_ids(vocab0, ms)
     wsym = vocab0.select(
         "word",

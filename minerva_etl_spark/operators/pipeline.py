@@ -77,11 +77,16 @@ def curate_corpus(
     re-runs the quality classifier over the raw scan.  Pass False to
     keep pure lineage when the caller persists intermediates itself.
     """
+    # classify_quality already scores every row in the same codegen
+    # scan that decides `keep`, so the quality-kept corpus WITH its
+    # score is one filter-project over that scan — the pre-r16 shape
+    # (a separate two-column score table joined back onto the docs)
+    # paid an extra pass plus an extra join/exchange for data this
+    # pipeline already had in hand (guide §2.4: don't re-join what one
+    # projection carries).
+    doc_cols = list(docs.columns)
     scored = classify_quality(docs, text_col)
-    q = scored.filter("keep").select(id_col, "quality_score")
-    if materialize:
-        q = q.localCheckpoint(eager=True)
-    kept = docs.join(q.select(id_col), id_col)
+    kept = scored.filter("keep").select(*doc_cols, "quality_score")
     if materialize:
         kept = kept.localCheckpoint(eager=True)
 
@@ -102,7 +107,10 @@ def curate_corpus(
         )
         if materialize:
             kept = kept.localCheckpoint(eager=True)
-        q = q.join(kept.select(id_col), id_col)
+
+    # the decision table's input: id + score of every surviving doc
+    # (a projection of `kept`, not a re-join)
+    q = kept.select(id_col, "quality_score")
 
     pairs = D.minhash_candidate_pairs(kept, text_col=text_col, id_col=id_col)
     comps = D.connected_components(pairs)
@@ -120,8 +128,9 @@ def curate_corpus(
     if cap_per_source is not None:
         from minerva_etl_spark.operators.skew import cap_per_key
 
+        # `clean` still carries quality_score — no join needed to rank
         capped = cap_per_key(
-            clean.join(q, id_col),
+            clean,
             keys=[source_col],
             order_by=[
                 F.col("quality_score").desc(), F.col(id_col).asc()
@@ -129,10 +138,15 @@ def curate_corpus(
             n=cap_per_source,
             salt_col=id_col,
         )
-        clean = capped.drop("quality_score", "rank")
+        clean = capped.drop("rank")
 
+    # the export consumes its input twice (mix-rate aggregation + the
+    # pack pass): materialize the final corpus once so the
+    # decontamination explode / cap windows don't re-run per consumer
+    if materialize:
+        clean = clean.localCheckpoint(eager=True)
     return curated_export(
-        clean,
+        clean.drop("quality_score"),
         alpha=alpha,
         shard_tokens=shard_tokens,
         shuffle_seed=shuffle_seed,

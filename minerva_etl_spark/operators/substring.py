@@ -185,7 +185,11 @@ def build_substring_state(
                     F.col(id_col).alias("d"), F.col("pos").alias("p")
                 )
             ).alias("__first"),
-        )
+        ).localCheckpoint(eager=True)
+        # ^ the digest shuffle (the expensive suffix-sort stand-in)
+        # runs ONCE; both consumers below — the state write and the
+        # rebuild join — read the materialized blocks instead of each
+        # re-running the full shingle scan + exchange (r16)
         stats.select(
             "digest",
             F.col("__first.d").alias("first_doc"),
@@ -343,7 +347,10 @@ def substring_increment(
                     F.col(id_col).alias("d"), F.col("pos").alias("p")
                 )
             ).alias("__first"),
-        )
+        ).localCheckpoint(eager=True)
+        # ^ one digest shuffle serves both the decision join and the
+        # state append (r16) — previously the append re-ran the whole
+        # delta shingle scan + exchange
         joined = occ.join(delta_stats, "digest").join(
             hist, "digest", "left"
         )
@@ -422,7 +429,9 @@ def build_substring_state_bucketed(
                     F.col(id_col).alias("d"), F.col("pos").alias("p")
                 )
             ).alias("__first"),
-        )
+        ).localCheckpoint(eager=True)
+        # one digest shuffle for both the bucketed write and the
+        # rebuild join (r16), as in build_substring_state
         writer = (
             stats.select(
                 "digest",
@@ -514,7 +523,8 @@ def substring_increment_bucketed(
                     F.col(id_col).alias("d"), F.col("pos").alias("p")
                 )
             ).alias("__first"),
-        )
+        ).localCheckpoint(eager=True)
+        # one digest shuffle for decisions AND the bucketed append (r16)
         joined = occ.join(delta_stats, "digest").join(
             hist, "digest", "left"
         )

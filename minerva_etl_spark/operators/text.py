@@ -457,6 +457,11 @@ def remove_boilerplate_segments(
         .agg(F.countDistinct(id_col).alias("__nd"))
         .filter(F.col("__nd") >= int(max_docs))
         .select("__digest")
+        # materialized once: the size probe below AND the chosen apply
+        # strategy (broadcast collect_set or the distributed join) both
+        # consume this table — without the checkpoint each action
+        # re-ran the full segment explode + digest exchange (r16)
+        .localCheckpoint(eager=True)
     )
     # count is cheap relative to the corpus scan (digest table only) and
     # decides whether the collected array is safe to build at all
