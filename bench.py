@@ -413,7 +413,12 @@ def main() -> None:
                  "office_decrypt_default", "xls_decrypt_velvet",
                  "office_decrypt_cryptoapi", "odf_decrypt_password",
                  "odf_extract", "xlsb_extract",
-                 "mail_attachment_extract"):
+                 "mail_attachment_extract",
+                 # r16: the incremental media rows now stage their
+                 # delivery payloads through _media_fixture_staged
+                 # like every other media row — construct once here so
+                 # the timed runs see only decode + increment
+                 "incremental_image_dedup", "incremental_video_dedup"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

@@ -322,14 +322,22 @@ def q_incremental_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run
 
     schema = "media_id bigint, payload binary"
+    # deliveries staged like every other media fixture (r16): the row
+    # times the increment protocol (state build + band-join decide),
+    # not the per-pixel Python md5 synthesis — which otherwise re-ran
+    # inside BOTH deliveries' lineages on every execution
+    hist = _media_fixture_staged(
+        spark, sf_dir, "incimg_hist",
+        lambda: docs.mapInPandas(synth(False), schema=schema),
+    )
+    delta = _media_fixture_staged(
+        spark, sf_dir, "incimg_delta",
+        lambda: docs.mapInPandas(synth(True), schema=schema),
+    )
     root = tempfile.mkdtemp(prefix="minerva_gate_incimg_")
     state_path = os.path.join(root, "img_state")
-    ingest_image_increment(
-        spark, docs.mapInPandas(synth(False), schema=schema), state_path
-    )
-    out = ingest_image_increment(
-        spark, docs.mapInPandas(synth(True), schema=schema), state_path
-    )
+    ingest_image_increment(spark, hist, state_path)
+    out = ingest_image_increment(spark, delta, state_path)
     shutil.rmtree(root, ignore_errors=True)  # decisions are checkpointed
     return out
 
@@ -453,14 +461,20 @@ def q_incremental_video_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return run
 
     schema = "media_id bigint, payload binary"
+    # deliveries staged like every other media fixture (r16) — the row
+    # times decode + increment, not per-pixel Python md5 synthesis
+    hist = _media_fixture_staged(
+        spark, sf_dir, "incvid_hist",
+        lambda: docs.mapInPandas(synth(False), schema=schema),
+    )
+    delta = _media_fixture_staged(
+        spark, sf_dir, "incvid_delta",
+        lambda: docs.mapInPandas(synth(True), schema=schema),
+    )
     root = tempfile.mkdtemp(prefix="minerva_gate_incvid_")
     state_path = os.path.join(root, "vid_state")
-    ingest_video_increment(
-        spark, docs.mapInPandas(synth(False), schema=schema), state_path
-    )
-    out = ingest_video_increment(
-        spark, docs.mapInPandas(synth(True), schema=schema), state_path
-    )
+    ingest_video_increment(spark, hist, state_path)
+    out = ingest_video_increment(spark, delta, state_path)
     shutil.rmtree(root, ignore_errors=True)  # decisions are checkpointed
     return out
 

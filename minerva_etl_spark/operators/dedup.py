@@ -190,9 +190,16 @@ def minhash_candidate_pairs(
     """LSH band join: docs sharing any band of minhashes become candidate
     pairs; estimated Jaccard = fraction of matching minhashes.
 
-    Plan shape: signatures (narrow) → explode to (band_key, id) →
-    self-equi-join on band_key (shuffle of signature rows only) →
-    distinct pairs → re-join both sides' signatures → estimate.
+    Plan shape: signatures (narrow) → explode to (band_key, id, sig
+    struct) → self-equi-join on band_key → estimate → distinct.  The
+    signature struct RIDES the band explode, so the whole signature
+    lineage (tokenize + shingle explode + md5 + groupBy) executes
+    exactly once per side of one join — the pre-r16 shape computed it
+    three times (melt + two re-joins of the signature table onto the
+    deduped pairs) and paid two extra exchanges (guide §2.4/§1.2: the
+    estimate is a function of data the band join already carries).
+    ``est_jaccard`` is deterministic per pair, so distinct-after
+    equals the old distinct-before + re-join.
     Returns (id_a, id_b, est_jaccard) with id_a < id_b.
     """
     assert num_hashes % bands == 0
@@ -204,38 +211,32 @@ def minhash_candidate_pairs(
         band_cols.append(
             F.md5(F.concat_ws(",", F.lit(b), *parts)).alias(f"band_{b}")
         )
-    banded = sigs.select(F.col(id_col), *band_cols)
-    melted = banded.select(
+    melted = sigs.select(
         F.col(id_col),
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
-            "band_key"
+        F.struct(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias(
+            "__sig"
         ),
+        F.explode(F.array(*band_cols)).alias("band_key"),
     )
-    left = melted.alias("l")
-    right = melted.alias("r")
-    pairs = (
-        left.join(right, F.col("l.band_key") == F.col("r.band_key"))
-        .filter(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
-        .distinct()
-    )
-    sig_a = sigs.select(
+    left = melted.select(
         F.col(id_col).alias("id_a"),
-        *[F.col(f"mh_{i}").alias(f"a_mh_{i}") for i in range(num_hashes)],
+        F.col("__sig").alias("__sig_a"),
+        "band_key",
     )
-    sig_b = sigs.select(
+    right = melted.select(
         F.col(id_col).alias("id_b"),
-        *[F.col(f"mh_{i}").alias(f"b_mh_{i}") for i in range(num_hashes)],
+        F.col("__sig").alias("__sig_b"),
+        "band_key",
     )
     matches = sum(
-        F.when(F.col(f"a_mh_{i}") == F.col(f"b_mh_{i}"), 1).otherwise(0)
+        F.when(
+            F.col("__sig_a")[f"mh_{i}"] == F.col("__sig_b")[f"mh_{i}"], 1
+        ).otherwise(0)
         for i in range(num_hashes)
     )
     return (
-        pairs.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+        left.join(right, "band_key")
+        .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
@@ -243,6 +244,7 @@ def minhash_candidate_pairs(
                 "est_jaccard"
             ),
         )
+        .distinct()
     )
 
 

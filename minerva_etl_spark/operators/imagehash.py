@@ -340,8 +340,8 @@ def image_hash_increment(
     near = (
         d.join(h, "band")
         .filter(F.col("id_b") < F.col("id_a"))
-        .drop("band")
-        .distinct()
+        # no distinct: duplicate band collisions are harmless under
+        # min() — the dedup exchange bought nothing (r16, guide §2.4)
         .filter(hamming <= F.lit(int(radius)))
         .groupBy("id_a")
         .agg(F.min("id_b").cast("bigint").alias("near_dup_of"))
@@ -457,8 +457,7 @@ def video_hash_increment(
     near = (
         d.join(h, "band")
         .filter(F.col("id_b") < F.col("id_a"))
-        .drop("band")
-        .distinct()
+        # no distinct: duplicate collisions are harmless under min()
         .filter(hamming <= F.lit(int(radius)))
         .groupBy("id_a")
         .agg(F.min("id_b").cast("bigint").alias("near_dup_of"))
@@ -572,8 +571,9 @@ def ingest_hash_increment_bucketed(
         return (
             d_side.join(h_side, "band")
             .filter(F.col("id_b") < F.col("id_a"))
-            .drop("band")
-            .distinct()
+            # no distinct: duplicates are harmless under the caller's
+            # min() — and an exchange here would break the bucketed
+            # history side's zero-shuffle property
             .filter(hamming <= F.lit(int(radius)))
             .select("id_a", "id_b")
         )

@@ -148,6 +148,13 @@ def dedup_increment(
     melt (4 rows/doc) against delta bands, and a map-side-combinable
     min per delta doc.  No window, no cross join; AQE handles band
     skew the same way `minhash_candidate_pairs` relies on it.
+
+    The signature columns RIDE the band melt (r16, the
+    `minhash_candidate_pairs` shape): the verify step is a filter on
+    data the band join already carries, so the pre-r16 candidate
+    ``distinct`` + two signature re-joins (three exchanges) collapse
+    into the one band-join exchange — duplicate band collisions are
+    harmless under the final ``min`` aggregate.
     """
     assert num_hashes % bands == 0
     all_state = history_state.select(delta_state.columns).unionByName(
@@ -168,34 +175,34 @@ def dedup_increment(
             .alias("exact_dup_of"),
         )
     )
-    # near: band-mates with lower id, signature-verified
-    melted_all = _melt_bands(all_state, num_hashes, bands)
-    melted_delta = _melt_bands(delta_state, num_hashes, bands)
-    cand = (
-        melted_delta.alias("d")
-        .join(melted_all.alias("h"), "band_key")
-        .filter(F.col("h.doc_id") < F.col("d.doc_id"))
-        .select(
-            F.col("d.doc_id").alias("doc_id"),
-            F.col("h.doc_id").alias("partner_id"),
-        )
-        .distinct()
+    # near: band-mates with lower id, signature-verified in the band
+    # join itself (signatures ride the melt; no re-join, no distinct)
+    sig_struct = F.struct(
+        *[F.col(f"mh_{i}") for i in range(num_hashes)]
     )
-    sig_d = delta_state.select(
-        F.col("doc_id"),
-        *[F.col(f"mh_{i}").alias(f"d_mh_{i}") for i in range(num_hashes)],
-    )
-    sig_h = all_state.select(
+    melted_all = all_state.select(
         F.col("doc_id").alias("partner_id"),
-        *[F.col(f"mh_{i}").alias(f"h_mh_{i}") for i in range(num_hashes)],
+        sig_struct.alias("__sig_h"),
+        F.explode(F.array(*_band_cols(num_hashes, bands))).alias(
+            "band_key"
+        ),
+    )
+    melted_delta = delta_state.select(
+        "doc_id",
+        sig_struct.alias("__sig_d"),
+        F.explode(F.array(*_band_cols(num_hashes, bands))).alias(
+            "band_key"
+        ),
     )
     matches = sum(
-        F.when(F.col(f"d_mh_{i}") == F.col(f"h_mh_{i}"), 1).otherwise(0)
+        F.when(
+            F.col("__sig_d")[f"mh_{i}"] == F.col("__sig_h")[f"mh_{i}"], 1
+        ).otherwise(0)
         for i in range(num_hashes)
     )
     near = (
-        cand.join(sig_d, "doc_id")
-        .join(sig_h, "partner_id")
+        melted_delta.join(melted_all, "band_key")
+        .filter(F.col("partner_id") < F.col("doc_id"))
         .filter(
             matches.cast("double") / F.lit(float(num_hashes))
             >= F.lit(float(threshold))

@@ -290,15 +290,16 @@ def curated_export(
             F.col("copy").cast("string"),
         ),
     )
+    # (doc_id, copy) ride the prefix-sum's range shuffle as carry
+    # columns: the pre-r16 shape re-ran the whole resample chain a
+    # second time and shuffle-joined it back on the unit_id string —
+    # one extra corpus pass plus one extra exchange for two small
+    # columns the pack pass already held (guide §2.4)
     assigned = assign_token_shards(
         units, shard_tokens, id_col="unit_id", text_col=text_col,
-        shuffle_seed=shuffle_seed,
+        shuffle_seed=shuffle_seed, carry_cols=[id_col, "copy"],
     )
-    return (
-        units.select(id_col, "copy", "unit_id")
-        .join(assigned, "unit_id")
-        .select(id_col, "copy", "n_tokens", "shard_id")
-    )
+    return assigned.select(id_col, "copy", "n_tokens", "shard_id")
 
 
 def curated_export_oracle_sql(

@@ -37,14 +37,20 @@ def _global_token_offsets(
     num_ranges: int | None,
     shuffle_seed: int | None,
     order_col: str | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(__id, n_tokens, __off) for every document — ``__off`` is the
-    document's first token's position in the deterministic global
-    order (id order, the md5 permutation under ``shuffle_seed``, or a
-    caller-supplied numeric ``order_col`` — semantic packing's
-    cluster/affinity key).  The two-pass distributed prefix sum
-    shared by shard packing and sequence packing; see
-    :func:`assign_token_shards` for the shape discussion."""
+    """(__id, n_tokens, __off[, carry_cols...]) for every document —
+    ``__off`` is the document's first token's position in the
+    deterministic global order (id order, the md5 permutation under
+    ``shuffle_seed``, or a caller-supplied numeric ``order_col`` —
+    semantic packing's cluster/affinity key).  The two-pass
+    distributed prefix sum shared by shard packing and sequence
+    packing; see :func:`assign_token_shards` for the shape discussion.
+
+    ``carry_cols``: small caller columns that ride the range shuffle
+    unchanged, so the caller can consume the assignment without
+    joining it back onto its input (guide §2.4 — a join-back is a
+    second exchange for data this pass already holds)."""
     if shuffle_seed is not None and order_col is not None:
         raise ValueError("pass shuffle_seed OR order_col, not both")
     n_expr = (
@@ -53,6 +59,7 @@ def _global_token_offsets(
         else F.col(token_col).cast("bigint")
     )
     sel = [F.col(id_col).alias("__id"), n_expr.alias("n_tokens")]
+    sel += [F.col(c) for c in (carry_cols or [])]
     if order_col is not None:
         sel.append(F.col(order_col).cast("bigint").alias("__ord"))
     t = df.select(*sel)
@@ -127,6 +134,7 @@ def _global_token_offsets(
             (F.col("__cum") - F.col("n_tokens")).cast("bigint").alias(
                 "__off"
             ),
+            *[F.col(c) for c in (carry_cols or [])],
         )
     )
 
@@ -139,9 +147,12 @@ def assign_token_shards(
     token_col: str | None = None,
     num_ranges: int | None = None,
     shuffle_seed: int | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """(id, n_tokens, shard_id) for every document: deterministic
-    ``id_col`` order, shards bounded by ``shard_tokens``.
+    """(id, n_tokens, shard_id[, carry_cols...]) for every document:
+    deterministic ``id_col`` order, shards bounded by ``shard_tokens``.
+    ``carry_cols`` ride through unchanged (see
+    :func:`_global_token_offsets`).
 
     ``token_col`` reuses a precomputed count; otherwise whitespace
     tokens of ``text_col`` are counted (same expression the text
@@ -156,7 +167,8 @@ def assign_token_shards(
     the permutation key.
     """
     offs = _global_token_offsets(
-        df, id_col, text_col, token_col, num_ranges, shuffle_seed
+        df, id_col, text_col, token_col, num_ranges, shuffle_seed,
+        carry_cols=carry_cols,
     )
     return offs.select(
         F.col("__id").alias(id_col),
@@ -164,6 +176,7 @@ def assign_token_shards(
         F.expr(f"__off div {int(shard_tokens)}")
         .cast("bigint")
         .alias("shard_id"),
+        *[F.col(c) for c in (carry_cols or [])],
     )
 
 
