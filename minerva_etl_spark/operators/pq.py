@@ -62,6 +62,7 @@ from minerva_etl_spark.operators.similarity import (
     _dot_fold_spark,
     cosine_from_norms_expr,
     norm_expr,
+    probe_nearest_centroids,
 )
 
 __all__ = [
@@ -123,26 +124,58 @@ def _l2_rank_col(subvec: str, cvec: str) -> F.Column:
 def _assign_codes(
     sub: DataFrame, codebooks: DataFrame, id_col: str
 ) -> DataFrame:
-    """Nearest codeword per (vector, subspace): broadcast the codebook
-    table (m·pq_k rows), equi-join on ``subspace``, keep the L2
-    argmin.  Returns ``(id, subspace, subvec, code_id)``."""
-    scored = sub.join(
-        F.broadcast(codebooks.select("subspace", "code_id", "cvec")),
-        "subspace",
-    ).select(
-        id_col,
-        "subspace",
-        "subvec",
-        "code_id",
-        _l2_rank_col("subvec", "cvec").alias("__d"),
+    """Nearest codeword per (vector, subspace): the per-subspace
+    codebook collapses into ONE broadcast row per subspace holding a
+    code_id-sorted struct array, the equi-join on ``subspace`` stays
+    1:1 (no pq_k row multiplication), and each row folds over its
+    codeword array keeping the L2 argmin (r16; the `assign_centroids`
+    fold shape).  Reproduces the pre-r16 row_number window's
+    (__d ASC NULLS FIRST, code_id ASC) winner exactly: scores use the
+    identical round(|c|²−2·x·c, 6) doubles (|c|² now folded once per
+    codeword instead of once per pair), ties keep the lower code id,
+    and a NULL score ranks first as under ASC ordering.  Removes the
+    Exchange+Sort that shuffled pq_k copies of every subvector.
+    Returns ``(id, subspace, subvec, code_id)``."""
+    cid_t = codebooks.schema["code_id"].dataType.simpleString()
+    cb_arr = (
+        codebooks.select(
+            "subspace",
+            F.col("code_id").alias("cid"),
+            F.col("cvec").cast("array<double>").alias("cvec"),
+        )
+        .withColumn("csq", F.expr(_csq_sql("cvec")))
+        .groupBy("subspace")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "cvec", "csq"))
+            ).alias("__codes")
+        )
     )
-    w = Window.partitionBy(id_col, "subspace").orderBy(
-        F.col("__d").asc(), F.col("code_id").asc()
+    pair_d = (
+        f"round(c.csq - 2.0d * "
+        f"{_dot_fold_spark('subvec', 'c.cvec')}, 6)"
+    )
+    best = (
+        f"aggregate("
+        f"transform(__codes, c -> named_struct("
+        f"'cid', c.cid, 'd', {pair_d})), "
+        f"CAST(NULL AS STRUCT<cid: {cid_t}, d: DOUBLE>), "
+        f"(best, c) -> CASE "
+        f"WHEN best IS NULL THEN c "
+        f"WHEN best.d IS NOT NULL AND "
+        f"(c.d IS NULL OR c.d < best.d) THEN c "
+        f"ELSE best END)"
     )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, "subspace", "subvec", "code_id")
+        sub.join(F.broadcast(cb_arr), "subspace")
+        .withColumn("__best", F.expr(best))
+        .filter(F.col("__best").isNotNull())
+        .select(
+            id_col,
+            "subspace",
+            "subvec",
+            F.col("__best.cid").alias("code_id"),
+        )
     )
 
 
@@ -458,31 +491,12 @@ def ivf_pq_state_query(
     q = queries.select(query_id_col, query_vec_col).withColumn(
         "__qnorm", norm_expr(query_vec_col)
     )
-    probes = (
-        q.crossJoin(
-            F.broadcast(
-                centroids.select("centroid_id", "cvec").withColumn(
-                    "__cnorm", norm_expr("cvec")
-                )
-            )
-        )
-        .withColumn(
-            "__ccos",
-            cosine_from_norms_expr(
-                query_vec_col, "cvec", "__qnorm", "__cnorm"
-            ),
-        )
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(
-                    F.col("__ccos").desc(), F.col("centroid_id").asc()
-                )
-            ),
-        )
-        .filter(F.col("__rn") <= n_probe)
-        .select(query_id_col, "centroid_id", "__qnorm")
-    )
+    # fold-based probe choice over one broadcast centroid-array row —
+    # same winners as the pre-r16 crossJoin+window, zero query shuffle
+    # (r16; see similarity.probe_nearest_centroids)
+    probes = probe_nearest_centroids(
+        q, centroids, n_probe, query_vec_col
+    ).select(query_id_col, "centroid_id", "__qnorm")
     lut = _query_lut(
         _subspace_explode(q, m, d_sub, query_id_col, query_vec_col),
         codebooks,

@@ -58,6 +58,7 @@ from minerva_etl_spark.operators.incremental import (
 from minerva_etl_spark.operators.similarity import (
     cosine_from_norms_expr,
     norm_expr,
+    probe_nearest_centroids,
 )
 
 __all__ = [
@@ -255,31 +256,12 @@ def ivf_state_query_q(
     q = queries.select(query_id_col, query_vec_col).withColumn(
         "__qnorm", norm_expr(query_vec_col)
     )
-    probes = (
-        q.crossJoin(
-            F.broadcast(
-                centroids.select("centroid_id", "cvec").withColumn(
-                    "__cnorm", norm_expr("cvec")
-                )
-            )
-        )
-        .withColumn(
-            "__ccos",
-            cosine_from_norms_expr(
-                query_vec_col, "cvec", "__qnorm", "__cnorm"
-            ),
-        )
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(
-                    F.col("__ccos").desc(), F.col("centroid_id").asc()
-                )
-            ),
-        )
-        .filter(F.col("__rn") <= n_probe)
-        .select(query_id_col, query_vec_col, "centroid_id")
-    )
+    # fold-based probe choice over one broadcast centroid-array row —
+    # same winners as the pre-r16 crossJoin+window, zero query shuffle
+    # (r16; see similarity.probe_nearest_centroids)
+    probes = probe_nearest_centroids(
+        q, centroids, n_probe, query_vec_col
+    ).select(query_id_col, query_vec_col, "centroid_id")
     # quantize the query batch with the SAME rule as the state — the
     # scales cancel in qcos, so any per-vector scale works, but using
     # one rule keeps the oracle replay one CTE

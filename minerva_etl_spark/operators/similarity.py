@@ -266,31 +266,15 @@ def ivf_join(
     """
     from minerva_etl_spark.operators.skew import cap_per_key
 
-    probes = (
-        queries.select(query_id_col, query_vec_col)
-        .withColumn("__qnorm", norm_expr(query_vec_col))
-        .crossJoin(
-            F.broadcast(
-                centroids.select(centroid_id_col, centroid_vec_col)
-                .withColumn("__cnorm", norm_expr(centroid_vec_col))
-            )
-        )
-        .withColumn(
-            "__ccos",
-            cosine_from_norms_expr(
-                query_vec_col, centroid_vec_col, "__qnorm", "__cnorm"
-            ),
-        )
-        .withColumn(
-            "__rn",
-            F.row_number().over(
-                Window.partitionBy(query_id_col).orderBy(
-                    F.col("__ccos").desc(), F.col(centroid_id_col).asc()
-                )
-            ),
-        )
-        .filter(F.col("__rn") <= n_probe)
-        .select(query_id_col, query_vec_col, "__qnorm", centroid_id_col)
+    probes = probe_nearest_centroids(
+        queries.select(query_id_col, query_vec_col).withColumn(
+            "__qnorm", norm_expr(query_vec_col)
+        ),
+        centroids,
+        n_probe,
+        query_vec_col,
+        centroid_id_col,
+        centroid_vec_col,
     )
     cand = probes.join(
         assigned.select(
@@ -376,6 +360,89 @@ SELECT query_id, {id_col}, cosine, CAST(rank AS INT) AS rank FROM (
 """
 
 
+def _centroid_array(
+    centroids: DataFrame, centroid_id_col: str, centroid_vec_col: str
+) -> DataFrame:
+    """ONE row holding the centroid table as a cid-sorted array of
+    ``(cid, cvec, cn)`` structs — the broadcast operand of the
+    fold-based nearest/probe selections below (r16).  The norm is
+    folded once per centroid here, exactly as the per-column
+    ``__cnorm`` of the pre-r16 crossJoin shape."""
+    return (
+        centroids.select(
+            F.col(centroid_id_col).alias("cid"),
+            F.col(centroid_vec_col).cast("array<double>").alias("cvec"),
+        )
+        .withColumn("cn", norm_expr("cvec"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cid", "cvec", "cn"))
+            ).alias("__cents")
+        )
+    )
+
+
+def probe_nearest_centroids(
+    q: DataFrame,
+    centroids: DataFrame,
+    n_probe: int,
+    query_vec_col: str,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "cvec",
+) -> DataFrame:
+    """Per-query ``n_probe`` nearest-centroid choice folded over ONE
+    broadcast centroid-array row (r16; the `assign_centroids` shape) —
+    shared by `ivf_join` and the PQ / int8 search probes.  ``q`` must
+    already carry a ``__qnorm`` column; the result is ``q``'s columns
+    plus ``centroid_id_col``, one row per (query, probed centroid).
+
+    The per-row array_sort comparator reproduces the pre-r16
+    row_number window's (cosine DESC NULLS LAST, centroid_id ASC)
+    order exactly — same rounded-cosine doubles — and
+    ``slice(…, n_probe)`` the ``__rn <= n_probe`` filter, without the
+    Exchange+Sort that shuffled K copies of every query vector."""
+    pair_cos = (
+        f"round({_dot_fold_spark(query_vec_col, 'c.cvec')} / "
+        f"nullif(__qnorm * c.cn, 0.0), 6)"
+    )
+    by_cos_desc_cid_asc = (
+        "(a, b) -> CASE "
+        "WHEN a.cos IS NULL AND b.cos IS NULL THEN "
+        "CASE WHEN a.cid < b.cid THEN -1 "
+        "WHEN a.cid > b.cid THEN 1 ELSE 0 END "
+        "WHEN a.cos IS NULL THEN 1 "
+        "WHEN b.cos IS NULL THEN -1 "
+        "WHEN a.cos > b.cos THEN -1 "
+        "WHEN a.cos < b.cos THEN 1 "
+        "ELSE CASE WHEN a.cid < b.cid THEN -1 "
+        "WHEN a.cid > b.cid THEN 1 ELSE 0 END END"
+    )
+    in_cols = list(q.columns)
+    return (
+        q.crossJoin(
+            F.broadcast(
+                _centroid_array(
+                    centroids, centroid_id_col, centroid_vec_col
+                )
+            )
+        )
+        .withColumn(
+            "__probe",
+            F.explode(
+                F.expr(
+                    f"slice(array_sort(transform(__cents, c -> "
+                    f"named_struct('cid', c.cid, 'cos', {pair_cos})), "
+                    f"{by_cos_desc_cid_asc}), 1, {int(n_probe)})"
+                )
+            ),
+        )
+        .select(
+            *in_cols,
+            F.col("__probe.cid").alias(centroid_id_col),
+        )
+    )
+
+
 def assign_centroids(
     embeddings: DataFrame,
     centroids: DataFrame,
@@ -385,42 +452,54 @@ def assign_centroids(
     centroid_vec_col: str = "cvec",
     keep_score: bool = False,
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the (small) centroid table,
-    score every vector against every centroid, keep the argmax —
-    rounded-cosine order with centroid-id tie-break, exactly as the
-    oracle formulation.  One pass over the corpus, no corpus shuffle
-    beyond the row_number window by vector id.  Norms are folded once
-    per vector and once per centroid (not once per pair) — same
-    doubles, K× less norm work."""
-    scored = (
-        embeddings.withColumn("__enorm", norm_expr(vec_col))
-        .crossJoin(
-            F.broadcast(
-                centroids.withColumn(
-                    "__cnorm", norm_expr(centroid_vec_col)
-                )
-            )
-        )
-        .select(
-            id_col,
-            vec_col,
-            centroid_id_col,
-            cosine_from_norms_expr(
-                vec_col, centroid_vec_col, "__enorm", "__cnorm"
-            ).alias("__ccos"),
-        )
+    """Nearest-centroid assignment: the centroid table collapses into
+    ONE broadcast row holding a cid-sorted array of (id, vec, norm)
+    structs, and each corpus row folds over that array picking the
+    argmax — rounded-cosine order with centroid-id tie-break, exactly
+    as the oracle formulation.
+
+    ZERO corpus exchange (r16; guide §2.4): the pre-r16 shape
+    (broadcast crossJoin to K rows/vector → row_number window keyed by
+    vector id) shuffled K copies of every embedding through an
+    Exchange+Sort just to pick the per-row max — data each row already
+    held.  The fold visits centroids in ascending-id order keeping
+    strictly-greater cosines, which reproduces the window's
+    (cosine DESC NULLS LAST, centroid_id ASC) winner bit-for-bit: same
+    rounded-cosine doubles (identical fold expressions), ties keep the
+    earlier = lower id, NULL cosines (zero-norm vectors) never replace
+    a non-NULL best, and an all-NULL row falls to the lowest centroid
+    id — each case matching the window ordering."""
+    cid_t = centroids.schema[centroid_id_col].dataType.simpleString()
+    cent_arr = _centroid_array(
+        centroids, centroid_id_col, centroid_vec_col
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("__ccos").desc(), F.col(centroid_id_col).asc()
+    pair_cos = (
+        f"round({_dot_fold_spark(vec_col, 'c.cvec')} / "
+        f"nullif(__enorm * c.cn, 0.0), 6)"
     )
-    out_cols = [id_col, vec_col, centroid_id_col]
+    best = (
+        f"aggregate("
+        f"transform(__cents, c -> named_struct("
+        f"'cid', c.cid, 'cos', {pair_cos})), "
+        f"CAST(NULL AS STRUCT<cid: {cid_t}, cos: DOUBLE>), "
+        f"(best, c) -> CASE "
+        f"WHEN best IS NULL THEN c "
+        f"WHEN c.cos IS NOT NULL AND "
+        f"(best.cos IS NULL OR c.cos > best.cos) THEN c "
+        f"ELSE best END)"
+    )
+    out_cols = [id_col, vec_col, F.col("__best.cid").alias(centroid_id_col)]
     if keep_score:  # the rounded cosine to the ASSIGNED centroid —
         out_cols.append(  # semantic packing orders within-cluster by it
-            F.col("__ccos").alias("affinity")
+            F.col("__best.cos").alias("affinity")
         )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        embeddings.withColumn("__enorm", norm_expr(vec_col))
+        .crossJoin(F.broadcast(cent_arr))
+        .withColumn("__best", F.expr(best))
+        # empty centroid table → NULL best; the crossJoin+window shape
+        # produced zero rows there, so drop them for exact parity
+        .filter(F.col("__best").isNotNull())
         .select(*out_cols)
     )
 
