@@ -224,12 +224,62 @@ class TrendStore:
         Per part: split columns (reference package split,
         `trendstore.py:234-250`) → upsert on (entity_id, timestamp)
         restricted to touched partitions → dynamic partition overwrite.
+
+        ONE shared pre-pass (r16): the duplicate-key probe, the
+        touched-partition collect and the modified-log marks all
+        depend only on (entity_id, timestamp) — identical for every
+        part — so a single two-level aggregation job computes all
+        three for the whole store() call, where the pre-r16 shape ran
+        three separate full passes over the batch PER PART (guide
+        §1.2: don't repeat passes).  ``created`` is a literal here, so
+        each touched timestamp's mark is exactly ``created``.
         """
         created = created or datetime.now(timezone.utc).replace(tzinfo=None)
-        for part in self.parts:
-            cols = [c for c in part.trend_columns if c in package.columns]
-            if not cols:
-                continue
+        parts = [
+            (part, [c for c in part.trend_columns if c in package.columns])
+            for part in self.parts
+        ]
+        parts = [(p, cols) for p, cols in parts if cols]
+        if not parts:
+            return
+        keyed = package.select("entity_id", "timestamp").withColumn(
+            PARTITION_COL, self.partition_index_col("timestamp")
+        )
+        if self.validate_keys:
+            # the per-key count level exists only for the duplicate
+            # probe; map-side combinable, collapses to one row per key
+            stats = (
+                keyed.groupBy("timestamp", PARTITION_COL, "entity_id")
+                .agg(F.count(F.lit(1)).alias("__c"))
+                .groupBy("timestamp", PARTITION_COL)
+                .agg(F.max("__c").alias("__maxdup"))
+            )
+        else:
+            stats = keyed.groupBy("timestamp", PARTITION_COL).agg(
+                F.lit(1).alias("__maxdup")
+            )
+        stats_rows = stats.limit(self.MARKS_COLLECT_LIMIT + 1).collect()
+        oversized = len(stats_rows) > self.MARKS_COLLECT_LIMIT
+        if (
+            self.validate_keys
+            and not oversized
+            and any(r["__maxdup"] > 1 for r in stats_rows)
+        ):
+            from minerva_etl_spark.errors import UniqueViolation
+
+            dup = (
+                package.groupBy("entity_id", "timestamp")
+                .count()
+                .filter("count > 1")
+                .limit(1)
+                .collect()
+            )[0]  # error path only: one extra job to name the key
+            raise UniqueViolation(
+                "duplicate (entity_id, timestamp) keys in package: "
+                f"({dup.entity_id}, {dup.timestamp})"
+            )
+        touched = sorted({r[PARTITION_COL] for r in stats_rows})
+        for part, cols in parts:
             batch = package.select("entity_id", "timestamp", *cols)
             batch = (
                 batch.withColumn("created", F.lit(created))
@@ -238,7 +288,17 @@ class TrendStore:
                     PARTITION_COL, self.partition_index_col("timestamp")
                 )
             )
-            self._store_part(spark, part, batch)
+            if oversized:  # years-long backfill: per-part passes
+                self._store_part(spark, part, batch)
+            else:
+                self._store_part(
+                    spark, part, batch, keys_unique=True,
+                    marks_rows=[
+                        (r["timestamp"], part.name, created)
+                        for r in stats_rows
+                    ],
+                    touched=touched,
+                )
 
     def store_batch(self, spark: SparkSession, package: DataFrame) -> None:
         """Fused multi-package upsert: ``package`` already carries
@@ -258,7 +318,7 @@ class TrendStore:
         # Marks are written per part right after that part's store, so
         # crash consistency is unchanged (a stored part is always
         # marked before the next part starts).
-        marks = self._collect_marks(package)
+        marks, parts_touched = self._collect_marks(package)
         for part in self.parts:
             cols = [c for c in part.trend_columns if c in package.columns]
             if not cols:
@@ -288,6 +348,8 @@ class TrendStore:
             self._store_part(
                 spark, part, batch, keys_unique=True,
                 marks_rows=None if marks is None else marks.get(part.name, []),
+                touched=None if parts_touched is None
+                else parts_touched.get(part.name, []),
             )
 
     def _lease(self, spark: SparkSession, scope_path: str):
@@ -329,18 +391,27 @@ class TrendStore:
                 aggs.append(F.max("created").alias(part.name))
             names.append(part.name)
         if not names:
-            return {}
-        agg = package.groupBy("timestamp").agg(*aggs)
+            return {}, {}
+        # the partition index rides the same aggregation (timestamp
+        # determines it), so each part's touched-partition set comes
+        # out of THIS job too instead of one distinct job per part
+        # (r16; guide §1.2): a timestamp touched a part iff its
+        # conditional mark is non-null
+        agg = package.groupBy(
+            "timestamp", self.partition_index_col("timestamp")
+        ).agg(*aggs)
         rows = agg.limit(self.MARKS_COLLECT_LIMIT + 1).collect()
         if len(rows) > self.MARKS_COLLECT_LIMIT:
-            return None
+            return None, None
         out: dict[str, list[tuple]] = {n: [] for n in names}
+        parts_touched: dict[str, set] = {n: set() for n in names}
         for r in rows:
             for n in names:
                 m = r[n]
                 if m is not None:
                     out[n].append((r["timestamp"], n, m))
-        return out
+                    parts_touched[n].add(r[PARTITION_COL])
+        return out, {n: sorted(s) for n, s in parts_touched.items()}
 
     def _write_marks_rows(
         self, spark: SparkSession, rows: list[tuple]
@@ -365,6 +436,7 @@ class TrendStore:
         batch: DataFrame,
         keys_unique: bool = False,
         marks_rows: "list[tuple] | None" = None,
+        touched: "list | None" = None,
     ) -> None:
         """Upsert one prepared batch (keys + metrics + created/job_id +
         partition col, unique on the key) into a single part.
@@ -397,7 +469,7 @@ class TrendStore:
                     f"({r.entity_id}, {r.timestamp})"
                 )
         with self._lease(spark, self.part_path(part.name)):
-            self._store_part_locked(spark, part, batch, marks_rows)
+            self._store_part_locked(spark, part, batch, marks_rows, touched)
 
     def _store_part_locked(
         self,
@@ -405,6 +477,7 @@ class TrendStore:
         part: "TrendStorePart",
         batch: DataFrame,
         marks_rows: "list[tuple] | None" = None,
+        touched: "list | None" = None,
     ) -> None:
         existing = self.read_part(spark, part.name, with_partition_col=True)
         if existing is not None:
@@ -427,11 +500,15 @@ class TrendStore:
                 # only on Delta/Iceberg; rare admin-grade event here)
                 scope = existing
             else:
-                # fast path: only the partitions the batch touches
-                touched = [
-                    r[PARTITION_COL]
-                    for r in batch.select(PARTITION_COL).distinct().collect()
-                ]
+                # fast path: only the partitions the batch touches —
+                # precomputed by store()'s shared pre-pass when
+                # available (r16), one distinct job otherwise
+                if touched is None:
+                    touched = [
+                        r[PARTITION_COL]
+                        for r in batch.select(PARTITION_COL)
+                        .distinct().collect()
+                    ]
                 scope = existing.filter(F.col(PARTITION_COL).isin(touched))
             merged = upsert(
                 scope.select(*batch.columns), batch,
