@@ -418,7 +418,13 @@ def main() -> None:
                  # delivery payloads through _media_fixture_staged
                  # like every other media row — construct once here so
                  # the timed runs see only decode + increment
-                 "incremental_image_dedup", "incremental_video_dedup"):
+                 "incremental_image_dedup", "incremental_video_dedup",
+                 # r16: the last unstaged media synth rows converted
+                 # to _media_fixture_staged (same ask-3 rule)
+                 "image_dedup_dhash", "wav_features",
+                 "wav_g711_features", "wav_spectral", "gif_features",
+                 "png_features", "avi_features", "image_features_mixed",
+                 "wav_adpcm_features", "bmp_features"):
         qs[_row](spark, sf_dir)
 
     # Known-bounded window note (r10 verdict ask 8): any

@@ -1360,24 +1360,29 @@ def q_frontier_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
     state_path = os.path.join(root, "frontier_state")
 
     def poll(n: int):
-        def synth(batches):
-            import pandas as pd
-
-            for pdf in batches:
-                rows = []
-                for did in pdf["doc_id"]:
-                    d = int(did)
-                    if n == 1:
-                        rows.append((f"https://s{d % 40}.test/p/{d}",))
-                    elif d % 3 == 0:
-                        rows.append(
-                            (f"HTTPS://S{d % 40}.TEST/p/{d}#frag",)
-                        )
-                    else:
-                        rows.append((f"https://s{d % 40}.test/q/{d}",))
-                yield pd.DataFrame(rows, columns=["url"])
-
-        return docs.mapInPandas(synth, "url string")
+        # same URL strings as the r15 pandas synth, built in Catalyst
+        # (r16, guide §4.1: the fixture is pure string-of-doc_id, so
+        # the mapInPandas Python boundary bought nothing — both polls
+        # now stay whole-stage codegen end to end)
+        if n == 1:
+            url = F.concat(
+                F.lit("https://s"), F.col("doc_id") % 40,
+                F.lit(".test/p/"), F.col("doc_id"),
+            )
+        else:
+            url = F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("HTTPS://S"), F.col("doc_id") % 40,
+                    F.lit(".TEST/p/"), F.col("doc_id"), F.lit("#frag"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("https://s"), F.col("doc_id") % 40,
+                    F.lit(".test/q/"), F.col("doc_id"),
+                )
+            )
+        return docs.select(url.cast("string").alias("url"))
 
     ingest_frontier_increment(spark, poll(1), state_path)
     out = ingest_frontier_increment(spark, poll(2), state_path)

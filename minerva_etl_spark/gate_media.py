@@ -90,8 +90,11 @@ def q_image_dedup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
             yield pd.DataFrame(rows, columns=["media_id", "payload"])
 
-    media = docs.mapInPandas(
-        synth, schema="media_id bigint, payload binary"
+    media = _media_fixture_staged(
+        spark, sf_dir, "dhash_png",
+        lambda: docs.mapInPandas(
+            synth, schema="media_id bigint, payload binary"
+        ),
     )
     hashes = image_dhash(media, on_error="fail")
     return dhash_pairs(hashes, radius=3)
@@ -718,7 +721,12 @@ def q_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "wav_pcm",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     return M.wav_features(media)
 
 
@@ -777,7 +785,12 @@ def q_wav_g711_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "wav_g711",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     return M.wav_features(media)
 
 
@@ -860,7 +873,12 @@ def q_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "wav_spec",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     return M.wav_spectral(media)
 
 
@@ -1003,7 +1021,12 @@ def q_gif_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "gif",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     from minerva_etl_spark.operators.gif import gif_features
 
     return gif_features(media).select(
@@ -1079,7 +1102,12 @@ def q_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "png_feat",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     # gate projection: the 3-element channel_means array is pivoted
     # into scalar double columns (driver canonicalizer cannot sort
     # raw array cells — the lifecycle_array_trend rule)
@@ -1159,7 +1187,12 @@ def q_avi_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "avi",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     # gate projection: channel_means pivoted to scalar doubles
     # (driver canonicalizer cannot sort raw array cells)
     return M.avi_features(media).select(
@@ -1544,7 +1577,12 @@ def q_image_features_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "img_mixed",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     return M.image_features(media).select(
         "media_id",
         "format",
@@ -1819,7 +1857,12 @@ def q_wav_adpcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "wav_adpcm",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     return M.wav_features(media)
 
 
@@ -1936,7 +1979,12 @@ def q_bmp_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["doc_id"], "payload": payloads}
             )
 
-    media = docs.mapInPandas(synth, "media_id bigint, payload binary")
+    media = _media_fixture_staged(
+        spark, sf_dir, "bmp",
+        lambda: docs.mapInPandas(
+            synth, "media_id bigint, payload binary"
+        ),
+    )
     return M.image_features(media).select(
         "media_id",
         "format",
