@@ -95,33 +95,35 @@ def dsir_select(
     Returns ``(id, log_weight, selected)`` for EVERY document;
     feature-less docs carry weight 0.0 and still enter the draw.
     """
-    doc_counts = _bucket_counts(docs, n_buckets, id_col, text_col)
+    # the per-doc bucket counts (the corpus-scale explode + groupBy)
+    # feed BOTH distribution estimates AND the per-doc contribution
+    # join — checkpoint once so the n-gram pass runs once, not once
+    # per consumer (r16; guide §5: cut the re-executed subtree)
+    doc_counts = _bucket_counts(
+        docs, n_buckets, id_col, text_col
+    ).localCheckpoint(eager=True)
     # the target slice is a subset of the corpus, so both distributions
-    # derive from ONE explode: re-aggregate the per-doc counts, with the
-    # target side gated by a joined membership flag
+    # derive from ONE aggregation over the flagged counts: cr sums all
+    # rows, ct only the target-gated ones (NULL for a bucket with no
+    # target rows — exactly the pre-r16 left-join's missing ct, and the
+    # same coalesce downstream)
     flags = docs.select(
         F.col(id_col), F.expr(f"({target_filter_sql})").alias("__t")
     )
-    flagged = doc_counts.join(flags, id_col)
-    target_counts = (
-        flagged.filter(F.col("__t"))
+    counts = (
+        doc_counts.join(flags, id_col)
         .groupBy("bucket")
-        .agg(F.sum("cnt").alias("ct"))
-    )
-    raw_counts = doc_counts.groupBy("bucket").agg(
-        F.sum("cnt").alias("cr")
-    )
-    totals = (
-        raw_counts.agg(F.sum("cr").alias("tr"))
-        .crossJoin(
-            target_counts.agg(F.sum("ct").alias("tt"))
+        .agg(
+            F.sum("cnt").alias("cr"),
+            F.sum(F.when(F.col("__t"), F.col("cnt"))).alias("ct"),
         )
+        .localCheckpoint(eager=True)  # <= n_buckets rows
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
     )  # one row
-    # every bucket seen in a doc is seen in raw_counts; the target slice
-    # is a subset of the corpus, so left join covers all buckets
     ratio = (
-        raw_counts.join(target_counts, "bucket", "left")
-        .crossJoin(F.broadcast(totals))
+        counts.crossJoin(F.broadcast(totals))
         .select(
             "bucket",
             (
@@ -157,6 +159,10 @@ def dsir_select(
             .otherwise(F.round(F.expr(fold), round_dp))
             .alias("log_weight"),
         )
+        # two narrow columns per doc, consumed by the winner top-k AND
+        # the final membership join — materialized once instead of
+        # re-running the contribution join + fold per consumer (r16)
+        .localCheckpoint(eager=True)
     )
     unif = F.expr(_UNIF_SPARK.format(id=id_col))
     keyed = weighted.withColumn(
