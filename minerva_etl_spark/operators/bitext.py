@@ -115,11 +115,16 @@ def mine_bitext(
     from minerva_etl_spark.operators.skew import cap_per_key
 
     c6 = F.round(F.col(cosine_col), 6)
+    # the candidate product (bipartite crossJoin cosines, or the whole
+    # ivf_join chain in the ANN path) feeds THREE consumers — the
+    # forward neighborhood, the backward neighborhood, and the scored
+    # join; checkpoint the 3-column pair list once so the expensive
+    # candidate lineage executes once, not three times (r16; guide §5)
     pairs = candidates.select(
         src_id,
         tgt_id,
         c6.cast("decimal(10,6)").alias("__c"),
-    )
+    ).localCheckpoint(eager=True)
     wf = Window.partitionBy(src_id).orderBy(
         F.col("__c").desc(), F.col(tgt_id).asc()
     )

@@ -100,18 +100,28 @@ def ngram_lm_score(
     flagged = docs.withColumn("__ref", F.expr(f"({ref_filter_sql})"))
     corpus_bg = _bigrams(flagged, id_col, text_col, ("__ref",))
 
+    # the two model tables are vocab-bounded — checkpoint them so the
+    # vocab count and the scoring joins read materialized counts
+    # instead of re-running the reference explode per consumer (r16;
+    # pre-r16 the unigram explode ran for uni AND vocab, the bigram
+    # explode for bi AND scored: 4 corpus/ref passes, now 3 — the
+    # occurrence-level corpus_bg itself stays unmaterialized, its
+    # recompute is a codegen scan while materializing it would cost
+    # O(corpus) storage)
     uni = (
         flagged.filter("__ref")
         .withColumn("__toks", F.expr(tokens_spark_sql(text_col)))
         .select(F.explode("__toks").alias("tok"))
         .groupBy("tok")
         .agg(F.count("*").alias("c1"))
+        .localCheckpoint(eager=True)
     )
     vocab = uni.agg(F.count("*").alias("v"))  # one row
     bi = (
         corpus_bg.filter("__ref")
         .groupBy("bg")
         .agg(F.count("*").alias("c2"))
+        .localCheckpoint(eager=True)
     )
 
     scored = (
