@@ -370,7 +370,10 @@ def bpe_encode_ids(
         ),
     )
     wids = (
-        wsym.join(vocab_ids, "tok")
+        # vocab_ids is alphabet+merges sized by construction — broadcast
+        # deliberately (guide §3.1: post-union/groupBy size estimates
+        # are unreliable, and an SMJ here exchanges the symbol explode)
+        wsym.join(F.broadcast(vocab_ids), "tok")
         .groupBy("word")
         .agg(
             F.expr(

@@ -180,7 +180,14 @@ def _segment(
     ``(word, cnt, pieces array<string>)``.  One broadcast join of the
     substring explode against the bounded vocabulary, one combinable
     edge collect, one codegen DP projection — no per-word Python, no
-    iterative driver loop."""
+    iterative driver loop.
+
+    ``cnt`` rides the edge aggregation (constant per word, so
+    ``first`` is deterministic) instead of joining ``words`` back on —
+    the join re-executed the caller's word-count subtree as a second
+    exchange for a column this groupBy already holds (guide §2.4); a
+    word with no vocabulary edge produced no row under the old inner
+    join and produces none now."""
     edges = (
         _subs(words, max_len)
         .join(
@@ -189,14 +196,14 @@ def _segment(
         )
         .groupBy("word")
         .agg(
+            F.first("cnt").alias("cnt"),
             F.array_sort(
                 F.collect_list(F.struct("i", "j", "cost"))
-            ).alias("__edges")
+            ).alias("__edges"),
         )
     )
     return (
-        words.join(edges, "word")
-        .withColumn("__vals", F.expr(_DP_VALS))
+        edges.withColumn("__vals", F.expr(_DP_VALS))
         .withColumn("__chain", F.expr(_DP_CHAIN))
         .select(
             "word", "cnt", F.expr(_DP_TOKENS).alias("pieces")
