@@ -424,6 +424,72 @@ def append_small_parquet(
         "append"
     ).parquet(path)
 
+def write_small_parquet(
+    spark: SparkSession,
+    path: str,
+    rows: list[tuple],
+    ddl: str,
+) -> bool:
+    """Overwrite a SMALL metadata table driver-side: one pyarrow file
+    in a tmp directory, then the same delete+rename swap as
+    :func:`swap_directory_write` (identical crash window).  Returns
+    False on a non-local filesystem — callers keep their distributed
+    write path there (r16; guide §1.2: a per-poll Spark write job on a
+    driver-held metadata table is pure job-scheduling overhead)."""
+    import os as _os
+    import shutil
+
+    if "://" in path and not path.startswith("file:"):
+        return False
+    target = path[len("file:"):] if path.startswith("file:") else path
+    tmp = target + "__tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    # append into the empty tmp dir = write one fresh file there, with
+    # the same DDL->pyarrow schema derivation Spark reads back as
+    # TIMESTAMP_NTZ etc.
+    append_small_parquet(spark, tmp, rows, ddl)
+    shutil.rmtree(target, ignore_errors=True)
+    _os.rename(tmp, target)
+    return True
+
+
+def read_small_parquet_rows(
+    path: str, columns: list[str], max_rows: int
+) -> "list[tuple] | None":
+    """Driver-side read of a SMALL local metadata table: the listed
+    columns of every ``*.parquet`` file under ``path``, as Python
+    tuples, with NO Spark job.  Returns ``None`` when the path is
+    non-local, unreadable, or holds more than ``max_rows`` rows
+    (checked from file footers before reading any data) — callers then
+    keep their distributed read path; ``[]`` when the table does not
+    exist yet."""
+    if "://" in path and not path.startswith("file:"):
+        return None
+    import glob
+    import os as _os
+
+    local = path[len("file:"):] if path.startswith("file:") else path
+    if not _os.path.isdir(local):
+        return []
+    files = sorted(glob.glob(_os.path.join(local, "*.parquet")))
+    if not files:
+        return []
+    try:
+        import pyarrow.parquet as pq
+
+        if sum(pq.ParquetFile(f).metadata.num_rows for f in files) > max_rows:
+            return None
+        out: list[tuple] = []
+        for f in files:
+            t = pq.read_table(f, columns=columns)
+            out.extend(
+                zip(*(t.column(c).to_pylist() for c in columns))
+            )
+        return out
+    except Exception:
+        return None
+
+
 def write_one_row_parquet(spark, path: str, ddl: str, values) -> None:
     """One-row metadata parquet WITHOUT a Python-local DataFrame:
     ``spark.range(1)`` + literal casts plans as a single JVM task.

@@ -170,6 +170,26 @@ class MaterializationEngine:
         )
 
     # -------------------------------------------------------- schedule
+    #: max processed-state rows read/written driver-side per poll; the
+    #: state is (materialization x processed buckets) and the engine
+    #: already broadcasts it (i.e. it is driver-memory-bound by
+    #: design) — past this bound the distributed read/write paths take
+    #: over unchanged
+    STATE_COLLECT_LIMIT = 500_000
+
+    def _read_state_rows(self) -> "list[tuple] | None":
+        """Processed state as driver tuples (no Spark job), or None
+        when non-local/oversized — callers fall back to the
+        DataFrame path (r16; guide §1.2/§5: the state is poll-loop
+        metadata, not corpus data)."""
+        from minerva_etl_spark.fsutil import read_small_parquet_rows
+
+        return read_small_parquet_rows(
+            self.state_path,
+            ["materialization", "timestamp", "processed_fingerprint"],
+            self.STATE_COLLECT_LIMIT,
+        )
+
     def stale_chunks(
         self,
         modified_log: DataFrame,
@@ -177,6 +197,7 @@ class MaterializationEngine:
         max_num: int | None = None,
         newest_first: bool = True,
         state: DataFrame | None = None,
+        state_rows: "list[tuple] | None" = None,
     ) -> list[tuple[str, datetime, str]]:
         """(materialization, bucket, source_fingerprint) needing work —
         the J7 scheduling join over state/registry tables.
@@ -204,7 +225,9 @@ class MaterializationEngine:
         mats = [m for m in self.materializations.values() if m.enabled]
         if not mats:
             return []
-        rows = self._stale_registry_join(mats, modified_log, now, state)
+        rows = self._stale_registry_join(
+            mats, modified_log, now, state, state_rows
+        )
         out = [
             (r.materialization, r.target_ts, r.source_fingerprint)
             for r in rows
@@ -245,6 +268,7 @@ class MaterializationEngine:
         modified_log: DataFrame,
         now: datetime,
         state: DataFrame | None = None,
+        state_rows: "list[tuple] | None" = None,
     ) -> list:
         reg_rows = []
         grans: dict[str, Granularity] = {}
@@ -273,15 +297,29 @@ class MaterializationEngine:
             f"WHEN gran = '{k}' THEN ({g.bucket_end_spark_sql('timestamp')})"
             for k, g in grans.items()
         ) + " END"
-        modified_state = fold_modified_state(modified_log)
-        joined = modified_state.join(
+        # ONE exchange for the whole staleness query (r16; guide §2.4
+        # "two operations keyed the same way share one exchange"): the
+        # raw log broadcast-joins the registry, one explicit
+        # repartition on (materialization, target_ts) then satisfies
+        # BOTH aggregation levels — the per-source-bucket fold
+        # (previously its own (part, timestamp) exchange via
+        # fold_modified_state) and the fingerprint roll-up.
+        joined = modified_log.join(
             F.broadcast(registry),
-            modified_state.part == registry.source_part,
+            modified_log.part == registry.source_part,
         )
         # fingerprint string must stay byte-identical to
         # source_fingerprints() — processed state compares across runs
         fps = (
             joined.withColumn("target_ts", F.expr(bucket_case))
+            .repartition("materialization", "target_ts")
+            .groupBy("materialization", "target_ts", "part", "timestamp")
+            .agg(
+                F.max("modified").alias("last_modified"),
+                F.first("processing_deadline").alias("processing_deadline"),
+                F.first("stability_deadline").alias("stability_deadline"),
+                F.first("reprocess_floor").alias("reprocess_floor"),
+            )
             .groupBy("materialization", "target_ts")
             .agg(
                 F.to_json(
@@ -313,6 +351,21 @@ class MaterializationEngine:
                 & (F.col("target_ts") >= F.col("reprocess_floor"))
             )
         )
+        if state_rows is not None:
+            # processed state already in driver memory: filter the
+            # (bounded) candidate buckets here instead of building a
+            # broadcast relation from a parquet read — one job fewer
+            # per poll, identical keep rule (never-processed OR
+            # fingerprint changed)
+            smap = {(m, ts): fp for m, ts, fp in state_rows}
+            return [
+                r
+                for r in fps.select(
+                    "materialization", "target_ts", "source_fingerprint"
+                ).collect()
+                if smap.get((r.materialization, r.target_ts))
+                != r.source_fingerprint
+            ]
         return self._with_state_filter(fps, state).collect()
 
     # ---------------------------------------------------------- execute
@@ -328,9 +381,11 @@ class MaterializationEngine:
         buckets — not one per bucket like the reference's per-chunk
         loop; at scale this is the difference between N tiny jobs and
         one partition-pruned job)."""
-        state = self.read_state()
+        state_rows = self._read_state_rows()
+        state = self.read_state() if state_rows is None else None
         chunks = self.stale_chunks(
-            modified_log, now, max_num=max_num, state=state
+            modified_log, now, max_num=max_num,
+            state=state, state_rows=state_rows,
         )
         done: list[tuple[str, datetime]] = []
         by_mat: dict[str, list[tuple[datetime, str]]] = {}
@@ -342,7 +397,27 @@ class MaterializationEngine:
             result = mat.transform(self.spark, timestamps)
             sink(name, result, timestamps)
             done.extend((name, ts) for ts in timestamps)
-        if done:
+        if done and state_rows is not None:
+            # state already driver-held (bounded): merge + swap-write
+            # it with NO Spark job (r16; guide §1.2 — the pre-r16
+            # shape paid an anti-join + a parquet write job per poll
+            # for a metadata table the staleness check had already
+            # pulled to the driver)
+            from minerva_etl_spark.fsutil import write_small_parquet
+
+            merged = {(m, ts): fp for m, ts, fp in state_rows}
+            for name, pairs in by_mat.items():
+                for ts, fp in pairs:
+                    merged[(name, ts)] = fp
+            if not write_small_parquet(
+                self.spark,
+                self.state_path,
+                [(m, ts, fp) for (m, ts), fp in sorted(merged.items())],
+                "materialization string, timestamp timestamp_ntz, "
+                "processed_fingerprint string",
+            ):  # non-local FS raced in: distributed fallback
+                state_rows, state = None, self.read_state()
+        if done and state_rows is None:
             # ONE state update for the whole cycle: a per-materialization
             # anti-join+union would chain an M-deep plan before the
             # single write (pure Catalyst bloat at hundreds of
