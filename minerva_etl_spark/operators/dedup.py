@@ -895,6 +895,16 @@ def keep_best_per_component(
     joined = joined.withColumn(
         "component_id", F.coalesce("component_id", F.col(id_col))
     )
+    # the membership join feeds BOTH the winner aggregation and the
+    # final join-back below — without a barrier the whole corpus-side
+    # join subtree (scan + two exchanges + sort-merge) executes twice
+    # (r16; guide §5: materialize a reused intermediate).  Checkpoint
+    # only the three columns the consumers need; the downstream
+    # exchanges are deliberately kept so the aggregation still
+    # combines map-side and the join-back keeps AQE skew handling.
+    joined = joined.select(
+        id_col, "component_id", score_col
+    ).localCheckpoint(eager=True)
     # winner per cluster: highest score, ties to lowest id == the
     # minimum of the (-score, id) struct; NULL scores lose to any real
     # score (desc-NULLS-LAST semantics) via the -inf sentinel
