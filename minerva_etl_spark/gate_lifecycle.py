@@ -1106,11 +1106,15 @@ def q_lifecycle_array_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # floor() on both engines: Spark's double->bigint cast truncates
     # while DuckDB's rounds, so the raw cast would diverge
+    # checkpoint the fixture agg once: both CSV writes (full feed +
+    # re-delivery slice) read the same blocks instead of re-running
+    # the events aggregation (the lifecycle_load_store rule, applied
+    # here r16)
     agg = ev.groupBy("user_id", "ts").agg(
         F.min(F.floor("value").cast("bigint")).alias("lo"),
         F.max(F.floor("value").cast("bigint")).alias("hi"),
         F.count(F.lit(1)).alias("n"),
-    )
+    ).localCheckpoint(eager=True)
     frame1 = agg.select(
         F.concat(F.lit("node-"), F.col("user_id")).alias("node"),
         F.col("ts").cast("string").alias("ts"),
@@ -1120,9 +1124,12 @@ def q_lifecycle_array_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("readings"),
         F.col("n").alias("level"),
     )
-    frame1.coalesce(1).write.mode("overwrite").option("header", True).csv(
-        base + "/in1"
-    )
+    # a harvest DELIVERY is a directory of files — write it 8-way, not
+    # coalesce(1): single-task CSV serialization was the second-largest
+    # warm cost of the load_store row (same rule here, r16)
+    frame1.repartition(8).write.mode("overwrite").option(
+        "header", True
+    ).csv(base + "/in1")
     # re-delivery: user_id%3==0 slice shrinks to a 2-element array
     (
         agg.filter(F.col("user_id") % 3 == 0)
@@ -1135,7 +1142,7 @@ def q_lifecycle_array_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("readings"),
             F.col("n").alias("level"),
         )
-        .coalesce(1)
+        .repartition(4)
         .write.mode("overwrite")
         .option("header", True)
         .csv(base + "/in2")
