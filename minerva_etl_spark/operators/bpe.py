@@ -577,8 +577,19 @@ def bpe_vocab(
     file).  Decode on another machine / a different corpus must use
     this table, not re-derive it: the base-symbol ids are
     lexicographic over THIS corpus's alphabet, so re-deriving from a
-    corpus with even one new character shifts every id."""
-    return _vocab_ids(_initial_vocab(docs, text_col), _merge_list(merges))
+    corpus with even one new character shifts every id.
+
+    Both levels are checkpointed (r16; guide §5): ``_vocab_ids``
+    consumes the corpus word-count pass twice (the base-id ``count()``
+    action and the union lineage), and callers consume THIS table
+    several times over (``_bf_start_tid`` scalar collects + one
+    broadcast build per encode/decode) — un-materialized, each
+    consumer re-ran the full corpus explode; the output table itself
+    is alphabet+merges bounded, so its checkpoint is a few KB."""
+    vocab0 = _initial_vocab(docs, text_col).localCheckpoint(eager=True)
+    return _vocab_ids(vocab0, _merge_list(merges)).localCheckpoint(
+        eager=True
+    )
 
 
 def _byte_token_ids(spark, start_tid: int) -> DataFrame:
@@ -789,7 +800,10 @@ def bpe_decode_ids(
         F.posexplode(F.col(ids_col)).alias("tpos", "tid"),
     )
     return (
-        toks.join(vocab_ids, "tid")
+        # vocab_ids is alphabet+merges bounded — broadcast deliberately
+        # (the encode-side B8 rationale: an SMJ here exchanges the
+        # corpus-wide id posexplode for a table of a few hundred rows)
+        toks.join(F.broadcast(vocab_ids), "tid")
         .groupBy(id_col)
         .agg(
             F.expr(
