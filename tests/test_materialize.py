@@ -288,3 +288,53 @@ def test_state_write_single_update_per_cycle(spark, tmp_path):
     assert {r.materialization for r in state} == {f"m{i}_1h" for i in range(5)}
     # idempotent second cycle: nothing stale, state unchanged
     assert eng.run(log, ts(2024, 1, 1, 6, 0), lambda *a: None) == []
+
+
+def test_driver_side_state_path_matches_distributed(spark, tmp_path):
+    """r16: the bounded driver-side state read/merge/write must be
+    byte-equivalent to the distributed anti-join+union path — same
+    rows, same Spark-readable types — and the oversized fallback must
+    keep working (forced by shrinking STATE_COLLECT_LIMIT to 0)."""
+    def build(path, limit):
+        eng = MaterializationEngine(spark, str(path))
+        if limit is not None:
+            eng.STATE_COLLECT_LIMIT = limit  # instance override
+        eng.register(
+            Materialization(
+                name="m_1h",
+                target_gran=Granularity.parse("1h"),
+                sources=["src_15m"],
+                transform=lambda s, t: s.createDataFrame(
+                    [(x,) for x in t], "timestamp timestamp_ntz"
+                ),
+                processing_delay=timedelta(seconds=1),
+                stability_delay=timedelta(seconds=0),
+                reprocessing_period=timedelta(days=3650),
+            )
+        )
+        return eng
+
+    log1 = make_log(spark, [
+        ("src_15m", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 16)),
+    ])
+    log2 = make_log(spark, [
+        ("src_15m", ts(2024, 1, 1, 0, 15), ts(2024, 1, 1, 0, 16)),
+        ("src_15m", ts(2024, 1, 1, 1, 15), ts(2024, 1, 1, 1, 16)),
+    ])
+    drv = build(tmp_path / "drv", None)        # driver-side path (local FS)
+    dst = build(tmp_path / "dst", 0)           # forced distributed fallback
+    for eng in (drv, dst):
+        assert eng.run(log1, ts(2024, 1, 1, 6, 0), lambda *a: None) == [
+            ("m_1h", ts(2024, 1, 1, 1, 0))
+        ]
+        # second delivery: only the new bucket is stale (the first
+        # bucket's fingerprint is found in state by BOTH read paths)
+        assert eng.run(log2, ts(2024, 1, 1, 6, 0), lambda *a: None) == [
+            ("m_1h", ts(2024, 1, 1, 2, 0))
+        ]
+        assert eng.run(log2, ts(2024, 1, 1, 6, 0), lambda *a: None) == []
+    a = sorted(map(tuple, drv.read_state().collect()))
+    b = sorted(map(tuple, dst.read_state().collect()))
+    assert a == b and len(a) == 2
+    # both state tables read back with identical Spark schemas
+    assert drv.read_state().schema == dst.read_state().schema
