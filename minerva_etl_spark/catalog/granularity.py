@@ -300,6 +300,29 @@ class Granularity:
             return f"(year({ts_col}) * 12 + month({ts_col}) - 1) div {partition_size.months}"
         return f"unix_seconds(cast({ts_col} as timestamp)) div {partition_size.seconds}"
 
+    @staticmethod
+    def partition_index_py(ts, partition_size: "Granularity") -> int:
+        """Python twin of :meth:`partition_index_spark_sql` for a
+        UTC-session engine (r17): lets a caller who already holds the
+        batch's timestamps driver-side derive touched partitions with
+        NO Spark job.  Matches the SQL exactly — ``div`` truncates
+        toward zero (unlike Python ``//``, which floors), and the
+        seconds path interprets the naive timestamp as UTC, which is
+        what ``cast(ntz as timestamp)`` does under the engine's pinned
+        UTC session timezone (callers must gate on that — see
+        ``TrendStore.store``)."""
+        from datetime import timezone as _tz
+
+        if partition_size.months:
+            # always non-negative for CE years: // == div
+            return (ts.year * 12 + ts.month - 1) // partition_size.months
+        epoch = int(ts.replace(tzinfo=_tz.utc).timestamp())
+        q, s = divmod(epoch, partition_size.seconds)
+        # Spark's integral div truncates toward zero; Python floors
+        if q < 0 and s != 0:
+            q += 1
+        return q
+
 
 #: default partition size per granularity, from the reference compiler
 #: (`aggregation_compilation.py:416-423`)

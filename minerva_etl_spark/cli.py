@@ -395,7 +395,9 @@ def cmd_live_monitor(args) -> None:
     def sink(name, df, timestamps):
         target = ctx.parts_index.get(name)
         if target is not None:
-            target.store(spark, df, job_id=0)
+            # compiled roll-ups emit exactly the scheduled bucket
+            # timestamps: skip the timestamp pre-pass job (r17)
+            target.store(spark, df, job_id=0, known_timestamps=timestamps)
 
     total = run_loop(
         ctx.engine,

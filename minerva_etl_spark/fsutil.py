@@ -361,6 +361,34 @@ _PA_TYPES = {
 }
 
 
+def is_driver_local(spark: "SparkSession | None", path: str) -> bool:
+    """True iff ``path`` resolves to the driver-local filesystem: an
+    explicit ``file:`` scheme, or a scheme-less path whose Hadoop
+    defaultFS is itself local — the SAME resolution ``parquet_exists``
+    and every distributed reader/writer applies to that path.
+
+    A scheme-less path on a cluster whose defaultFS is HDFS/S3 is NOT
+    local (r16 ADVICE, medium): treating it as local would make the
+    driver-side state helpers read an empty local dir as authoritative
+    state and then fork the table onto the driver's local disk,
+    permanently diverging from the distributed readers.  With no
+    session to consult, the answer is conservatively False (callers
+    fall back to their distributed paths)."""
+    if path.startswith("file:"):
+        return True
+    if "://" in path:
+        return False
+    if spark is None:
+        return False
+    try:
+        fs = spark._jvm.org.apache.hadoop.fs.FileSystem.get(
+            spark._jsc.hadoopConfiguration()
+        )
+        return str(fs.getScheme()) == "file"
+    except Exception:
+        return False
+
+
 def append_small_parquet(
     spark: SparkSession,
     path: str,
@@ -389,8 +417,7 @@ def append_small_parquet(
     for spec in ddl.split(","):
         name, typ = spec.strip().split(None, 1)
         fields.append((name, typ.strip().lower()))
-    local = "://" not in path or path.startswith("file:")
-    if local:
+    if is_driver_local(spark, path):
         import os as _os
 
         import pyarrow as pa
@@ -435,11 +462,14 @@ def write_small_parquet(
     :func:`swap_directory_write` (identical crash window).  Returns
     False on a non-local filesystem — callers keep their distributed
     write path there (r16; guide §1.2: a per-poll Spark write job on a
-    driver-held metadata table is pure job-scheduling overhead)."""
+    driver-held metadata table is pure job-scheduling overhead).
+    Locality is resolved through the Hadoop defaultFS for scheme-less
+    paths (r16 ADVICE), so a cluster deployment never forks the state
+    table onto the driver's local disk."""
     import os as _os
     import shutil
 
-    if "://" in path and not path.startswith("file:"):
+    if not is_driver_local(spark, path):
         return False
     target = path[len("file:"):] if path.startswith("file:") else path
     tmp = target + "__tmp"
@@ -454,7 +484,8 @@ def write_small_parquet(
 
 
 def read_small_parquet_rows(
-    path: str, columns: list[str], max_rows: int
+    path: str, columns: list[str], max_rows: int,
+    spark: "SparkSession | None" = None,
 ) -> "list[tuple] | None":
     """Driver-side read of a SMALL local metadata table: the listed
     columns of every ``*.parquet`` file under ``path``, as Python
@@ -462,8 +493,11 @@ def read_small_parquet_rows(
     non-local, unreadable, or holds more than ``max_rows`` rows
     (checked from file footers before reading any data) — callers then
     keep their distributed read path; ``[]`` when the table does not
-    exist yet."""
-    if "://" in path and not path.startswith("file:"):
+    exist yet.  Pass ``spark`` so scheme-less paths resolve through
+    the Hadoop defaultFS (r16 ADVICE): on a cluster whose defaultFS is
+    HDFS/S3 a missing LOCAL dir must mean "not local", never "the
+    state is authoritatively empty"."""
+    if not is_driver_local(spark, path):
         return None
     import glob
     import os as _os

@@ -471,14 +471,20 @@ from minerva_etl_spark.gate_crawl import (  # noqa: F401
 #: are redundant demos whose operators are already proven in-window
 #: (TPC-H showpieces, a duplicate granularity rung, extra window ops).
 _REGISTRY_ORDER = [
-    # ---------------- r16 driver window (first 50) -------------------
+    # ---------------- r17 driver window (first 50) -------------------
+    # r17 rotation (the r16 verdict's ask 1): the r16 build round's
+    # rotation left doc_extract and xls_extract with no driver
+    # CORRECTNESS row; both rotate back IN so each gets a driver-green
+    # round.  format_census and orc_roundtrip (each driver-green
+    # r14-r16, 3 rounds) rotate OUT with named in-window vouchers
+    # (see the rotated-out block below).
+    # ---------------- r16 window notes (historical) -------------------
     # r16 rotation: BOTH r16-born rows (office_decrypt_cryptoapi —
     # the 7-leg decrypt matrix: CryptoAPI xls/doc/ppt, 40-bit, XOR
     # Method 1, Office-2010 agile, locked leg — and
-    # odf_decrypt_password) go STRAIGHT into the window per the
-    # zero-debt protocol; doc_extract and xls_extract (each
-    # driver-green r13-r15) rotate OUT with in-window vouchers
-    # (see the rotated-out block below + COVERAGE.md r16).
+    # odf_decrypt_password) went STRAIGHT into the window per the
+    # zero-debt protocol; doc_extract and xls_extract rotated OUT
+    # (reversed r17 per the r16 verdict).
     # ---------------- r15 window notes (historical) ------------------
     # r15 rotation (the r14 verdict's ask 1): ALL 11 never-driver-
     # checked r14-born rows rotate IN for their FIRST driver
@@ -546,7 +552,12 @@ _REGISTRY_ORDER = [
     # reversed-rId bundle-order proof
     "xlsb_extract",
     "ppt_extract",
-    "format_census",
+    # r17 rotate-ins (returning): the binary Word (.doc, MS-DOC FIB +
+    # piece table) and Excel (.xls, BIFF8) codecs — driver-green
+    # r13-r15, rotated out by the r16 build round without a driver
+    # round on the r16 code; back in per the r16 verdict's ask 1
+    "doc_extract",
+    "xls_extract",
     # r15 rotate-in (r14-born): the five-container provenance census
     "office_metadata",
     # r15-born (straight in): OpenDocument — the LibreOffice slice
@@ -572,7 +583,6 @@ _REGISTRY_ORDER = [
     # r15 rotate-in (r14-born): MIME attachment explode -> office
     # codecs under composite ids
     "mail_attachment_extract",
-    "orc_roundtrip",
     # -- engine lifecycle anchors ---------------------------------------------
     "lifecycle_load_store",
     "lifecycle_materialize",
@@ -580,15 +590,18 @@ _REGISTRY_ORDER = [
     "chat_curate",
     "code_profile",
     # ---------- entries past the driver's 50-row window --------------
-    # r16 rotated-OUT rows (each driver-green r13-r15; vouchers:
-    # doc_extract — office_decrypt_default leg 5 and
-    # office_decrypt_cryptoapi leg 1 extract decrypted .doc through
-    # the SAME msdoc codec; xls_extract — xls_decrypt_velvet (in)
-    # renders full multi-sheet BIFF8 workbooks through the same
-    # codec and office_decrypt_cryptoapi's three xls legs add the
-    # CryptoAPI/XOR paths on top; test_msdoc/test_xls stay):
-    "doc_extract",
-    "xls_extract",
+    # r17 rotated-OUT rows (each driver-green r14-r16, 3 rounds;
+    # vouchers: format_census — office_metadata (in) walks the same
+    # five containers, the sniff leg is hash-load-bearing in-window
+    # via office_decrypt_default/cryptoapi's locked census legs, and
+    # the returning doc_extract/xls_extract drive the same codec
+    # matrix; test_format_census stays.  orc_roundtrip —
+    # test_archive pins the same get_plugin("orc") write/read
+    # roundtrip bit-exactly, and the harvest-plugin dispatch family
+    # stays hash-load-bearing in-window via wet/wat/cdx_harvest
+    # (WARC plugins) and pipeline_document (archive members)):
+    "format_census",
+    "orc_roundtrip",
     # r15 rotated-OUT rows (13, every one >=2-round driver-green;
     # named in-window voucher for each; tools/check_oracle.py still
     # verifies all of them every session):

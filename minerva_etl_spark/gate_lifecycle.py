@@ -301,7 +301,12 @@ def q_lifecycle_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def sink(name: str, df: DataFrame, timestamps: list[datetime]) -> None:
-        target.store(spark, df, job_id=9, created=_M2)
+        # the roll-up emits exactly the scheduled bucket timestamps —
+        # pass them so store() skips the timestamp pre-pass job (r17)
+        target.store(
+            spark, df, job_id=9, created=_M2,
+            known_timestamps=timestamps,
+        )
 
     now = datetime(2023, 5, 1, 14, 0)
     engine.run(raw.read_modified_log(spark), now, sink)
@@ -433,7 +438,10 @@ def q_live_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         return raw.read_modified_log(spark)
 
     def sink(name: str, df: DataFrame, timestamps: list[datetime]) -> None:
-        target.store(spark, df, job_id=9, created=_M2)
+        target.store(
+            spark, df, job_id=9, created=_M2,
+            known_timestamps=timestamps,  # r17: no timestamp pre-pass
+        )
         tally.extend((cycle["i"], t) for t in timestamps)
 
     run_loop(

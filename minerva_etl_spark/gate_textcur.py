@@ -483,11 +483,19 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain nested as the merge-list source, the same fold via
     list_reduce."""
     _prep(spark)
-    from minerva_etl_spark.operators.bpe import bpe_encode_counts, bpe_train
+    from minerva_etl_spark.operators.bpe import (
+        bpe_encode_counts,
+        bpe_train,
+        vocab0_from_trained,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = bpe_train(docs, n_merges=12, min_count=2)
-    return bpe_encode_counts(docs, merges)
+    merges, tvocab = bpe_train(docs, n_merges=12, min_count=2)
+    # the trainer's checkpointed vocab carries (word, cnt): the encode
+    # reuses it instead of re-running the corpus word-count pass (r17)
+    return bpe_encode_counts(
+        docs, merges, vocab0=vocab0_from_trained(tvocab)
+    )
 
 
 def _oracle_bpe_encode() -> str:
@@ -532,11 +540,17 @@ def q_bpe_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas canonicalizer cannot sort raw array cells.  The operator's
     own API stays array-typed."""
     _prep(spark)
-    from minerva_etl_spark.operators.bpe import bpe_encode_ids, bpe_train
+    from minerva_etl_spark.operators.bpe import (
+        bpe_encode_ids,
+        bpe_train,
+        vocab0_from_trained,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = bpe_train(docs, n_merges=12, min_count=2)
-    return bpe_encode_ids(docs, merges).select(
+    merges, tvocab = bpe_train(docs, n_merges=12, min_count=2)
+    return bpe_encode_ids(
+        docs, merges, vocab0=vocab0_from_trained(tvocab)
+    ).select(
         "doc_id",
         "n_bpe_tokens",
         F.array_join("token_ids", " ").alias("token_ids_str"),
@@ -564,13 +578,14 @@ def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     array to its span.  Conservation (pytest): packed ids ==
     encoded doc ids as multisets."""
     _prep(spark)
-    from minerva_etl_spark.operators.bpe import bpe_train
+    from minerva_etl_spark.operators.bpe import bpe_train, vocab0_from_trained
     from minerva_etl_spark.operators.shard import pack_token_ids
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = bpe_train(docs, n_merges=12, min_count=2)
+    merges, tvocab = bpe_train(docs, n_merges=12, min_count=2)
     return pack_token_ids(
-        docs, merges, seq_len=512, num_ranges=8, shuffle_seed=42
+        docs, merges, seq_len=512, num_ranges=8, shuffle_seed=42,
+        vocab0=vocab0_from_trained(tvocab),
     ).select(
         "seq_id",
         "doc_id",
@@ -1523,12 +1538,16 @@ def q_bpe_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_decode_ids,
         bpe_encode_ids,
         bpe_train,
+        vocab0_from_trained,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = bpe_train(docs, n_merges=12, min_count=2)
-    enc = bpe_encode_ids(docs, merges)
-    return bpe_decode_ids(enc, docs, merges)
+    merges, tvocab = bpe_train(docs, n_merges=12, min_count=2)
+    # both sides of the round trip reuse the trainer's word table —
+    # two fewer corpus word-count passes (r17)
+    v0 = vocab0_from_trained(tvocab)
+    enc = bpe_encode_ids(docs, merges, vocab0=v0)
+    return bpe_decode_ids(enc, docs, merges, vocab0=v0)
 
 
 _ORACLE_BPE_ROUNDTRIP = """
@@ -1563,6 +1582,7 @@ def q_bpe_roundtrip_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_encode_ids_bf,
         bpe_train,
         bpe_vocab,
+        vocab0_from_trained,
     )
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1575,8 +1595,10 @@ def q_bpe_roundtrip_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.col("text"), F.lit(" qed quiz")).alias("text"),
     )
-    merges, _ = bpe_train(train_docs, n_merges=12, min_count=2)
-    vocab_ids = bpe_vocab(train_docs, merges)
+    merges, tvocab = bpe_train(train_docs, n_merges=12, min_count=2)
+    vocab_ids = bpe_vocab(
+        train_docs, merges, vocab0=vocab0_from_trained(tvocab)
+    )
     enc = bpe_encode_ids_bf(encode_docs, merges, vocab_ids)
     return bpe_decode_ids_bf(enc, vocab_ids)
 
@@ -1660,6 +1682,7 @@ def q_bpe_hf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_encode_ids_bf,
         bpe_train,
         bpe_vocab,
+        vocab0_from_trained,
     )
     from minerva_etl_spark.operators.tokenizer_io import (
         bpe_export_hf,
@@ -1676,8 +1699,10 @@ def q_bpe_hf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(F.col("text"), F.lit(" qed quiz")).alias("text"),
     )
-    merges, _ = bpe_train(train_docs, n_merges=12, min_count=2)
-    vocab_ids = bpe_vocab(train_docs, merges)
+    merges, tvocab = bpe_train(train_docs, n_merges=12, min_count=2)
+    vocab_ids = bpe_vocab(
+        train_docs, merges, vocab0=vocab0_from_trained(tvocab)
+    )
     root = tempfile.mkdtemp(prefix="minerva_gate_hf_")
     try:
         path = root + "/tokenizer.json"

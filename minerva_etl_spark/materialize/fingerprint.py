@@ -188,6 +188,7 @@ class MaterializationEngine:
             self.state_path,
             ["materialization", "timestamp", "processed_fingerprint"],
             self.STATE_COLLECT_LIMIT,
+            spark=self.spark,  # scheme-less paths resolve via defaultFS
         )
 
     def stale_chunks(

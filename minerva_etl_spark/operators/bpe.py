@@ -46,6 +46,18 @@ _T = "_"
 _EOW = "</w>"
 
 
+#: initial character-symbol rendering of `word` — shared by
+#: _initial_vocab and vocab0_from_trained (must stay identical: the
+#: trained-vocab shortcut reproduces exactly this projection)
+_SYM_EXPR = (
+    "concat(' ', array_join(transform("
+    "  filter(split(word, ''), x -> x != ''),"
+    f"  (x, i) -> CASE WHEN i = length(word) - 1"
+    f"    THEN concat(x, '{_EOW}{_T}')"
+    f"    ELSE concat(x, '{_T}') END), ' '))"
+)
+
+
 def _initial_vocab(
     docs: DataFrame, text_col: str
 ) -> DataFrame:
@@ -61,14 +73,21 @@ def _initial_vocab(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    sym = (
-        "concat(' ', array_join(transform("
-        "  filter(split(word, ''), x -> x != ''),"
-        f"  (x, i) -> CASE WHEN i = length(word) - 1"
-        f"    THEN concat(x, '{_EOW}{_T}')"
-        f"    ELSE concat(x, '{_T}') END), ' '))"
-    )
-    return words.withColumn("sym", F.expr(sym))
+    return words.withColumn("sym", F.expr(_SYM_EXPR))
+
+
+def vocab0_from_trained(vocab: DataFrame) -> DataFrame:
+    """Rebuild the INITIAL symbolized vocabulary from the vocab frame
+    :func:`bpe_train` returns, WITHOUT a corpus pass (r17, guide §5):
+    training only evolves ``sym``, so ``(word, cnt)`` are exactly the
+    initial table's rows, and the initial ``sym`` is a deterministic
+    projection of ``word`` (``_SYM_EXPR``).  The trainer's vocab is
+    checkpoint-backed, so a consumer that just trained on the same
+    corpus (encode/decode/vocab derivation) skips the full corpus
+    explode + word-count aggregation ``_initial_vocab`` would re-run —
+    column pruning drops the trainer's pending ``replace`` chain (it
+    only touches ``sym``)."""
+    return vocab.select("word", "cnt", F.expr(_SYM_EXPR).alias("sym"))
 
 
 def _pair_counts(vocab: DataFrame) -> DataFrame:
@@ -233,6 +252,7 @@ def bpe_encode_counts(
     merges: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab0: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a learned merge table and count BPE tokens per document —
     the budget a sequence packer or context-window planner actually
@@ -259,7 +279,11 @@ def bpe_encode_counts(
         )
     else:
         fold = "sym"
-    vocab = _initial_vocab(docs, text_col).withColumn(
+    # vocab0 (from vocab0_from_trained) skips the corpus word-count
+    # pass when the caller just trained on these docs (r17, guide §5)
+    vocab = (
+        vocab0 if vocab0 is not None else _initial_vocab(docs, text_col)
+    ).withColumn(
         "__n_sym",
         F.expr(f"size(split(trim({fold}), ' '))").cast("bigint"),
     )
@@ -326,6 +350,7 @@ def bpe_encode_ids(
     merges: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    vocab0: DataFrame | None = None,
 ) -> DataFrame:
     """Apply a learned merge table and emit the per-document **token-id
     arrays** a pretraining loader actually consumes —
@@ -360,8 +385,11 @@ def bpe_encode_ids(
     # one corpus word-count pass, not three: vocab0 feeds the base-id
     # derivation (whose .count() is an action), and the symbol explode
     # below — un-materialized, each re-ran the full explode + groupBy
-    # (guide §5: cut the re-executed subtree)
-    vocab0 = _initial_vocab(docs, text_col).localCheckpoint(eager=True)
+    # (guide §5: cut the re-executed subtree).  A caller-supplied
+    # vocab0 (vocab0_from_trained) is already checkpoint-backed, so
+    # it skips the corpus pass entirely (r17).
+    if vocab0 is None:
+        vocab0 = _initial_vocab(docs, text_col).localCheckpoint(eager=True)
     vocab_ids = _vocab_ids(vocab0, ms)
     wsym = vocab0.select(
         "word",
@@ -570,6 +598,7 @@ def bpe_vocab(
     docs: DataFrame,
     merges: DataFrame,
     text_col: str = "text",
+    vocab0: DataFrame | None = None,
 ) -> DataFrame:
     """The deterministic (tok, tid) vocabulary table
     :func:`bpe_encode_ids` derives from a corpus + merge table — the
@@ -585,8 +614,16 @@ def bpe_vocab(
     several times over (``_bf_start_tid`` scalar collects + one
     broadcast build per encode/decode) — un-materialized, each
     consumer re-ran the full corpus explode; the output table itself
-    is alphabet+merges bounded, so its checkpoint is a few KB."""
-    vocab0 = _initial_vocab(docs, text_col).localCheckpoint(eager=True)
+    is alphabet+merges bounded, so its checkpoint is a few KB.  A
+    caller-supplied ``vocab0`` (from :func:`vocab0_from_trained`) is
+    already checkpoint-backed and skips the corpus pass (r17).
+
+    NOTE: this function executes EAGERLY at call time (r16 ADVICE —
+    the two localCheckpoints run real Spark jobs, a full corpus pass
+    when ``vocab0`` is not supplied); callers that only compose plans
+    should defer the call until the vocabulary is actually needed."""
+    if vocab0 is None:
+        vocab0 = _initial_vocab(docs, text_col).localCheckpoint(eager=True)
     return _vocab_ids(vocab0, _merge_list(merges)).localCheckpoint(
         eager=True
     )
@@ -765,6 +802,7 @@ def bpe_decode_ids(
     ids_col: str = "token_ids",
     text_col: str = "text",
     vocab_ids: DataFrame | None = None,
+    vocab0: DataFrame | None = None,
 ) -> DataFrame:
     """Invert :func:`bpe_encode_ids`: token-id arrays back to text —
     the loader-side decode that makes the tokenizer surface a real
@@ -794,7 +832,7 @@ def bpe_decode_ids(
                 "table from bpe_vocab) or the encode-time docs+merges "
                 "to re-derive it"
             )
-        vocab_ids = bpe_vocab(docs, merges, text_col)
+        vocab_ids = bpe_vocab(docs, merges, text_col, vocab0=vocab0)
     toks = encoded.select(
         F.col(id_col),
         F.posexplode(F.col(ids_col)).alias("tpos", "tid"),

@@ -902,6 +902,14 @@ def keep_best_per_component(
     # only the three columns the consumers need; the downstream
     # exchanges are deliberately kept so the aggregation still
     # combines map-side and the join-back keeps AQE skew handling.
+    # Trade-off (r16 ADVICE, accepted): localCheckpoint makes this
+    # call EAGER (it executes the membership join now, not at the
+    # caller's action) and pins the 3-column projection in executor
+    # storage with truncated lineage — an executor loss before both
+    # consumers finish fails the job instead of recomputing.  On a
+    # decommission-prone cluster swap to persist(DISK_ONLY) + a
+    # caller-side unpersist; here the 2× subtree execution costs more
+    # than the re-run risk of a two-consumer window.
     joined = joined.select(
         id_col, "component_id", score_col
     ).localCheckpoint(eager=True)

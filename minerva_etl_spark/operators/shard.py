@@ -254,6 +254,7 @@ def pack_token_ids(
     text_col: str = "text",
     num_ranges: int | None = None,
     shuffle_seed: int | None = None,
+    vocab0: DataFrame | None = None,
 ) -> DataFrame:
     """Packed **token-id** sequences — the final pretraining artifact:
     BPE-encode every document with a learned merge table
@@ -276,7 +277,7 @@ def pack_token_ids(
     from minerva_etl_spark.operators.bpe import bpe_encode_ids
 
     enc = bpe_encode_ids(
-        docs, merges, id_col=id_col, text_col=text_col
+        docs, merges, id_col=id_col, text_col=text_col, vocab0=vocab0
     ).localCheckpoint(eager=True)  # encode once: spans + slices reread it
     spans = pack_sequences(
         enc,

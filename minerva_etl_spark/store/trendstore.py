@@ -29,6 +29,7 @@ the 100 MB–1 GB sweet spot at cluster scale.
 from __future__ import annotations
 
 import os
+import threading
 from dataclasses import dataclass
 from datetime import datetime, timedelta, timezone
 
@@ -43,6 +44,12 @@ from minerva_etl_spark.operators.upsert import upsert
 
 PARTITION_COL = "__part_idx"
 SYSTEM_COLS = ("entity_id", "timestamp", "created", "job_id")
+
+#: serializes the rare static-session fallback in ``_write_merged`` —
+#: a set/restore of the SESSION-level partitionOverwriteMode must never
+#: expose a concurrent part writer's insertInto to static mode (which
+#: would truncate every untouched partition of that part)
+_OVERWRITE_MODE_LOCK = threading.Lock()
 
 
 def _same_schema(a, b) -> bool:
@@ -217,6 +224,7 @@ class TrendStore:
         package: DataFrame,
         job_id: int = 0,
         created: datetime | None = None,
+        known_timestamps: "list[datetime] | None" = None,
     ) -> None:
         """Upsert one data package ``(entity_id, timestamp, metrics...)``
         into every part it carries columns for, then mark modified.
@@ -233,6 +241,21 @@ class TrendStore:
         three separate full passes over the batch PER PART (guide
         §1.2: don't repeat passes).  ``created`` is a literal here, so
         each touched timestamp's mark is exactly ``created``.
+
+        ``known_timestamps`` (r17, the r16 verdict's ask 7): when the
+        caller ALREADY holds the package's exact distinct timestamp
+        set driver-side — the materialization engine's sink knows its
+        scheduled bucket list, and a roll-up transform emits exactly
+        those bucket timestamps — even the one shared pre-pass is a
+        re-execution of the package's whole lineage just to read its
+        timestamps.  Passing them skips that job: marks and touched
+        partitions derive in pure Python and the lineage executes
+        exactly ONCE (the merge write).  The caller GUARANTEES
+        equality with the package's true timestamp set; the hint is
+        ignored when ``validate_keys`` is on (the dup probe needs the
+        pass anyway), when oversized, or when the session timezone is
+        not the engine's pinned UTC (the Python partition index
+        replicates the SQL only under UTC).
         """
         created = created or datetime.now(timezone.utc).replace(tzinfo=None)
         parts = [
@@ -241,6 +264,40 @@ class TrendStore:
         ]
         parts = [(p, cols) for p, cols in parts if cols]
         if not parts:
+            return
+        if (
+            known_timestamps is not None
+            and not self.validate_keys
+            and len(known_timestamps) <= self.MARKS_COLLECT_LIMIT
+            and str(
+                spark.conf.get("spark.sql.session.timeZone", "")
+            ).upper() == "UTC"
+        ):
+            idx = {
+                t: Granularity.partition_index_py(t, self.partition_size)
+                for t in known_timestamps
+            }
+            touched = sorted(set(idx.values()))
+            jobs = []
+            for part, cols in parts:
+                batch = (
+                    package.select("entity_id", "timestamp", *cols)
+                    .withColumn("created", F.lit(created))
+                    .withColumn("job_id", F.lit(job_id).cast("bigint"))
+                    .withColumn(
+                        PARTITION_COL, self.partition_index_col("timestamp")
+                    )
+                )
+                marks = [
+                    (t, part.name, created) for t in known_timestamps
+                ]
+                jobs.append(
+                    lambda p=part, b=batch, m=marks: self._store_part(
+                        spark, p, b, keys_unique=True,
+                        marks_rows=m, touched=touched,
+                    )
+                )
+            self._run_part_jobs(spark, jobs)
             return
         keyed = package.select("entity_id", "timestamp").withColumn(
             PARTITION_COL, self.partition_index_col("timestamp")
@@ -279,6 +336,7 @@ class TrendStore:
                 f"({dup.entity_id}, {dup.timestamp})"
             )
         touched = sorted({r[PARTITION_COL] for r in stats_rows})
+        jobs = []
         for part, cols in parts:
             batch = package.select("entity_id", "timestamp", *cols)
             batch = (
@@ -289,16 +347,71 @@ class TrendStore:
                 )
             )
             if oversized:  # years-long backfill: per-part passes
-                self._store_part(spark, part, batch)
-            else:
-                self._store_part(
-                    spark, part, batch, keys_unique=True,
-                    marks_rows=[
-                        (r["timestamp"], part.name, created)
-                        for r in stats_rows
-                    ],
-                    touched=touched,
+                jobs.append(
+                    lambda p=part, b=batch: self._store_part(spark, p, b)
                 )
+            else:
+                marks = [
+                    (r["timestamp"], part.name, created) for r in stats_rows
+                ]
+                jobs.append(
+                    lambda p=part, b=batch, m=marks: self._store_part(
+                        spark, p, b, keys_unique=True,
+                        marks_rows=m, touched=touched,
+                    )
+                )
+        self._run_part_jobs(spark, jobs)
+
+    #: max concurrent per-part write pipelines in a multi-part store —
+    #: guide §2.6: 2-3 jobs in flight is enough to back-fill the
+    #: scheduler tail of one part's write with the next part's work
+    #: without the jobs fighting for executors
+    STORE_PART_THREADS = 3
+
+    def _run_part_jobs(self, spark: SparkSession, jobs: list) -> None:
+        """Run the per-part store closures, overlapping independent
+        parts from driver threads (guide §2.6) when there is more than
+        one.  Parts are independent scopes (distinct tables, paths and
+        leases), so their read-merge-write pipelines never share state;
+        the shared modified-log appends serialize on the log's own
+        lease (0.1 s poll, ~ms hold).  Each part is still marked
+        modified only AFTER its own store completes, so per-part crash
+        consistency is unchanged; only the cross-part ORDER becomes
+        concurrent, and a multi-part store was never atomic across
+        parts to begin with (a crash between sequential parts left the
+        same partial state).
+
+        Threading is gated on the bucketed write path being
+        mutation-free: with the session's partitionOverwriteMode
+        already "dynamic" (session.get_spark pins it), _write_merged's
+        insertInto touches no session conf.  A session left at
+        "static" keeps the sequential order so its set/restore
+        fallback can never expose a sibling part's insertInto to
+        static mode."""
+        if len(jobs) > 1 and (
+            self.layout != "bucketed"
+            or str(
+                spark.conf.get(
+                    "spark.sql.sources.partitionOverwriteMode", "static"
+                )
+            ).lower() == "dynamic"
+        ):
+            from concurrent.futures import ThreadPoolExecutor
+
+            from pyspark import inheritable_thread_target
+
+            # session form: worker threads inherit the parent's job
+            # group/description/tags (thread-local in the JVM)
+            wrap = inheritable_thread_target(spark)
+            with ThreadPoolExecutor(
+                max_workers=min(len(jobs), self.STORE_PART_THREADS)
+            ) as pool:
+                futures = [pool.submit(wrap(j)) for j in jobs]
+                for f in futures:
+                    f.result()
+            return
+        for j in jobs:
+            j()
 
     def store_batch(self, spark: SparkSession, package: DataFrame) -> None:
         """Fused multi-package upsert: ``package`` already carries
@@ -316,9 +429,11 @@ class TrendStore:
         # pre-dedup package per timestamp equals max over the deduped
         # survivors, because dedup keeps the greatest created per key.
         # Marks are written per part right after that part's store, so
-        # crash consistency is unchanged (a stored part is always
-        # marked before the next part starts).
+        # per-part crash consistency is unchanged (a stored part is
+        # always marked before its job returns; parts run concurrently
+        # via _run_part_jobs, guide §2.6).
         marks, parts_touched = self._collect_marks(package)
+        jobs = []
         for part in self.parts:
             cols = [c for c in part.trend_columns if c in package.columns]
             if not cols:
@@ -345,12 +460,15 @@ class TrendStore:
             # timestamp) unique by construction — re-validating would
             # re-run the whole parse pipeline as one extra shuffle job
             # per part
-            self._store_part(
-                spark, part, batch, keys_unique=True,
-                marks_rows=None if marks is None else marks.get(part.name, []),
-                touched=None if parts_touched is None
-                else parts_touched.get(part.name, []),
+            jobs.append(
+                lambda p=part, b=batch: self._store_part(
+                    spark, p, b, keys_unique=True,
+                    marks_rows=None if marks is None else marks.get(p.name, []),
+                    touched=None if parts_touched is None
+                    else parts_touched.get(p.name, []),
+                )
             )
+        self._run_part_jobs(spark, jobs)
 
     def _lease(self, spark: SparkSession, scope_path: str):
         from minerva_etl_spark.fsutil import StoreLease
@@ -602,19 +720,35 @@ class TrendStore:
             else:
                 # insertInto maps columns BY POSITION: select in table
                 # order.  Dynamic overwrite = only touched partitions.
+                # The writer-level .option("partitionOverwriteMode",
+                # "dynamic") is NOT honored by insertInto (probed on
+                # Spark 4.1.2: session static + writer dynamic truncated
+                # the table), so dynamic mode must come from the session
+                # conf.  session.get_spark pins it to "dynamic" at
+                # creation, so the common path mutates nothing and is
+                # safe under concurrent per-part writer threads; a
+                # session left at "static" takes the lock-serialized
+                # set/restore fallback.
                 cols = spark.table(name).columns
-                prev = spark.conf.get(
+                out = merged.select(*cols)
+                mode = spark.conf.get(
                     "spark.sql.sources.partitionOverwriteMode", "static"
                 )
-                spark.conf.set(
-                    "spark.sql.sources.partitionOverwriteMode", "dynamic"
-                )
-                try:
-                    merged.select(*cols).write.insertInto(name, overwrite=True)
-                finally:
-                    spark.conf.set(
-                        "spark.sql.sources.partitionOverwriteMode", prev
-                    )
+                if str(mode).lower() == "dynamic":
+                    out.write.insertInto(name, overwrite=True)
+                else:
+                    with _OVERWRITE_MODE_LOCK:
+                        spark.conf.set(
+                            "spark.sql.sources.partitionOverwriteMode",
+                            "dynamic",
+                        )
+                        try:
+                            out.write.insertInto(name, overwrite=True)
+                        finally:
+                            spark.conf.set(
+                                "spark.sql.sources.partitionOverwriteMode",
+                                mode,
+                            )
             return
         # path layout: temp-path write-and-swap.  `merged` still READS
         # the files being replaced, so the write lands in a sibling tmp

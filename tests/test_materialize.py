@@ -323,6 +323,11 @@ def test_driver_side_state_path_matches_distributed(spark, tmp_path):
     ])
     drv = build(tmp_path / "drv", None)        # driver-side path (local FS)
     dst = build(tmp_path / "dst", 0)           # forced distributed fallback
+    # limit=0 alone does NOT force the FIRST cycle distributed (a
+    # missing state dir returns [] before the limit applies — r16
+    # ADVICE), so pin the fallback deterministically: every cycle,
+    # including the bootstrap state write, runs the distributed path
+    dst._read_state_rows = lambda: None
     for eng in (drv, dst):
         assert eng.run(log1, ts(2024, 1, 1, 6, 0), lambda *a: None) == [
             ("m_1h", ts(2024, 1, 1, 1, 0))

@@ -193,3 +193,23 @@ def test_unigram_export_import_exact_costs(spark, tmp_path):
         m, _ = bpe_train(docs, n_merges=2)
         bpe_export_hf(m, bpe_vocab(docs, m), str(tmp_path / "b.json"))
         unigram_import_hf(spark, str(tmp_path / "b.json"))
+
+
+def test_vocab0_from_trained_equals_initial_vocab(spark):
+    """r17: vocab0_from_trained must reproduce _initial_vocab exactly
+    (word, cnt, sym) from the trainer's returned vocab — the shortcut
+    every encode/decode/vocab consumer uses to skip the corpus pass."""
+    from minerva_etl_spark.operators.bpe import (
+        _initial_vocab,
+        bpe_train,
+        vocab0_from_trained,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran far"), (3, "a cat, a hat!")],
+        "doc_id bigint, text string",
+    )
+    _, tvocab = bpe_train(docs, n_merges=3, min_count=1)
+    a = sorted(map(tuple, _initial_vocab(docs, "text").collect()))
+    b = sorted(map(tuple, vocab0_from_trained(tvocab).collect()))
+    assert a == b and len(a) > 0

@@ -725,3 +725,133 @@ def test_job_log_mixed_append_flavors(spark, tmp_path):
     got = {r.job_id: (r.description, r.state) for r in df.collect()}
     assert got == {1: ("spark", "finished"), 2: ("arrow", "failed"),
                    3: ("arrow-batch", "finished")}
+
+
+def test_threaded_multipart_store_matches_sequential(spark, tmp_path):
+    """r17: multi-part stores overlap their per-part write pipelines
+    from driver threads (guide §2.6).  The threaded path (session
+    partitionOverwriteMode=dynamic — the engine default) must leave
+    byte-identical parts and modified logs to the sequential fallback
+    (session forced static), across store() AND store_batch(), on a
+    3-part bucketed store including the first (table-creating) write."""
+    from minerva_etl_spark.materialize.fingerprint import fold_modified_state
+
+    def mk(base):
+        return TrendStore(
+            data_source="hub", entity_type="node",
+            granularity=Granularity.parse("15m"),
+            parts=[
+                TrendStorePart("p_a", ["va"]),
+                TrendStorePart("p_b", ["vb"]),
+                TrendStorePart("p_c", ["vc"]),
+            ],
+            base_path=str(base), n_buckets=2,
+        )
+
+    ddl = ("entity_id bigint, timestamp timestamp_ntz, "
+           "va double, vb double, vc double")
+    rows1 = [(i, ts(2024, 6, 1 + i % 2, 0, 15), 1.0 * i, 2.0 * i, 3.0 * i)
+             for i in range(1, 8)]
+    rows2 = [(1, ts(2024, 6, 1, 0, 15), 9.0, 9.5, 9.9)]  # re-delivery
+    c1, c2 = ts(2024, 6, 2, 10), ts(2024, 6, 2, 11)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    results = {}
+    for label, mode in (("thr", "dynamic"), ("seq", "static")):
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+        try:
+            st = mk(tmp_path / label)
+            st.store(spark, spark.createDataFrame(rows1, ddl),
+                     job_id=1, created=c1)
+            pk = spark.createDataFrame(
+                [r + (c2, 2) for r in rows2],
+                ddl + ", created timestamp_ntz, job_id bigint",
+            )
+            st.store_batch(spark, pk)
+            parts = {
+                p.name: sorted(map(tuple, st.read_part(spark, p.name)
+                                   .drop("created").collect()))
+                for p in st.parts
+            }
+            marks = sorted(
+                (r.part, r.timestamp, r.last_modified)
+                for r in fold_modified_state(
+                    st.read_modified_log(spark)
+                ).collect()
+            )
+            results[label] = (parts, marks)
+        finally:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev
+            )
+    assert results["thr"] == results["seq"]
+    # the re-delivered key carries the later values in every part
+    got = {(r.entity_id, r.timestamp): r.va
+           for r in mk(tmp_path / "thr").read_part(spark, "p_a").collect()}
+    assert got[(1, ts(2024, 6, 1, 0, 15))] == 9.0
+    assert got[(2, ts(2024, 6, 1, 0, 15))] == 2.0
+
+
+def test_partition_index_py_matches_sql(spark):
+    """r17: Granularity.partition_index_py must replicate
+    partition_index_spark_sql exactly under the engine's UTC session —
+    seconds- and month-based partition sizes, including pre-1970
+    truncation-vs-floor divergence."""
+    stamps = [
+        ts(1969, 12, 30, 23, 45), ts(1970, 1, 1, 0, 0),
+        ts(2023, 3, 26, 1, 30), ts(2023, 10, 29, 2, 30),
+        ts(2024, 2, 29, 23, 59), ts(2024, 6, 1, 0, 15),
+        ts(2031, 12, 31, 23, 45),
+    ]
+    df = spark.createDataFrame(
+        [(t,) for t in stamps], "timestamp timestamp_ntz"
+    )
+    for gran, psize in (("15m", "1d"), ("1h", "4d"),
+                        ("1d", "3month"), ("1month", "5year")):
+        g, p = Granularity.parse(gran), Granularity.parse(psize)
+        sql = g.partition_index_spark_sql("timestamp", p)
+        got_sql = [
+            r.i for r in df.select(F.expr(sql).alias("i"))
+            .collect()
+        ]
+        got_py = [Granularity.partition_index_py(t, p) for t in stamps]
+        assert got_py == got_sql, (gran, psize, got_py, got_sql)
+
+
+def test_store_known_timestamps_matches_plain(spark, tmp_path):
+    """r17: store(known_timestamps=...) must leave identical parts and
+    modified logs to the plain pre-pass path when the hint is exact."""
+    from minerva_etl_spark.materialize.fingerprint import fold_modified_state
+
+    def mk(base):
+        return TrendStore(
+            data_source="hub", entity_type="node",
+            granularity=Granularity.parse("15m"),
+            parts=[TrendStorePart("m", ["v"])], base_path=str(base),
+        )
+
+    t1, t2 = ts(2024, 7, 1, 0, 15), ts(2024, 7, 3, 0, 30)
+    rows = [(1, t1, 1.0), (2, t1, 2.0), (1, t2, 3.0)]
+    ddl = "entity_id bigint, timestamp timestamp_ntz, v double"
+    c = ts(2024, 7, 4, 9, 0)
+
+    plain, hinted = mk(tmp_path / "plain"), mk(tmp_path / "hinted")
+    plain.store(spark, spark.createDataFrame(rows, ddl),
+                job_id=1, created=c)
+    hinted.store(spark, spark.createDataFrame(rows, ddl),
+                 job_id=1, created=c, known_timestamps=[t1, t2])
+    a = sorted(map(tuple, plain.read_part(spark, "m").collect()))
+    b = sorted(map(tuple, hinted.read_part(spark, "m").collect()))
+    assert a == b and len(a) == 3
+    fa = sorted(map(tuple, fold_modified_state(
+        plain.read_modified_log(spark)).collect()))
+    fb = sorted(map(tuple, fold_modified_state(
+        hinted.read_modified_log(spark)).collect()))
+    assert fa == fb
+    # partition layout identical too (the touched set came from Python)
+    import os
+    pa = sorted(d for d in os.listdir(plain.part_path("m"))
+                if d.startswith(PARTITION_COL))
+    pb = sorted(d for d in os.listdir(hinted.part_path("m"))
+                if d.startswith(PARTITION_COL))
+    assert pa == pb and len(pa) == 2
