@@ -82,7 +82,15 @@ def substring_dedup(
     if w < 2:
         raise ValueError(f"w must be >= 2, got {w}")
     base, occ = _occurrences(docs, w, id_col, text_col)
-    # the suffix-sort stand-in: ONE combinable agg per digest
+    # the suffix-sort stand-in: ONE combinable agg per digest.
+    # DELIBERATELY not checkpointed (r17, measured): the removable
+    # join re-executes this subtree (explode + digest exchange), but
+    # materializing the distinct-digest stats costs more than the
+    # recompute — A/B at sf0.1: 1.69 s/8 jobs lazy vs 2.60 s/11 jobs
+    # checkpointed (floor of 6 runs each).  The STATE paths below DO
+    # checkpoint their stats because they have a second heavyweight
+    # consumer (the state write) and the swap would otherwise read
+    # files being replaced; this pure-batch path has only the join.
     stats = occ.groupBy("digest").agg(
         F.count(F.lit(1)).alias("__cnt"),
         F.min(

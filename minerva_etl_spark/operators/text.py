@@ -1112,7 +1112,16 @@ def tfidf_top_terms(
         )
         .filter(F.col("term") != "")
     )
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # checkpointed (r17): `tf` feeds BOTH the score join's left side
+    # and the document-frequency roll-up — un-materialized, the whole
+    # scan + token explode + (doc, term) exchange executed twice (the
+    # r17 plan audit: 3 corpus scans in the final plan, no exchange
+    # reuse).  (doc, term, tf) is the corpus vocabulary level — far
+    # smaller than the exploded tokens it replaces.  Eager: the call
+    # now runs one Spark job up front.
+    tf = tok.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.groupBy().agg(F.count(F.lit(1)).alias("__n_docs"))
     scored = (
